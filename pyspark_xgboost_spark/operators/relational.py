@@ -1,0 +1,635 @@
+"""Relational operator surface over the star schema (SURVEY.md §2.2/§2.3).
+
+Every query here is declarative DataFrame API — Catalyst does predicate
+pushdown / column pruning / join selection; AQE handles runtime
+coalescing and skew. Each has a DuckDB oracle with identical aliases.
+
+Scale notes (100 TB):
+* fact-fact joins shuffle on their keys; dimension joins are explicitly
+  ``F.broadcast`` hinted (region/nation/supplier/part/customer stay tiny
+  relative to facts at any SF),
+* aggregates are partial (map-side combine) automatically for all
+  ``groupBy().agg`` used here,
+* money aggregates run on exact integer cents (see ``_cents``) so results
+  are bit-identical under any summation order — floating-point sums are
+  not associative and a 1000-executor sum order differs from a 32-thread
+  one; note Spark's ROUND (decimal-string HALF_UP) also disagrees with
+  DuckDB's (binary) exactly on the terminating decimals integer division
+  produces, so deterministic columns are emitted UNROUNDED.
+
+Reference parity: the reference composes only projection/alias
+(xgboost_core.py:437-467), cast (:375), repartition (:376), and a global
+countDistinct (:328-337); everything else below is the §2.3 extension
+surface mandated by BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from pyspark_xgboost_spark.registry import register
+from pyspark_xgboost_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _cents(col) -> F.Column:
+    """Money column (2-decimal double) → exact integer cents.
+
+    Floating-point sums are not associative: a 1000-executor Spark sum and
+    DuckDB's sequential sum land on different ulps, so ROUND(sum(double))
+    at any precision is flaky at the rounding boundary. Summing exact
+    int64 cents is order-independent and deterministic at every scale.
+    (Headroom: int64 overflows around 9.2e18 — at 100 TB use DECIMAL(38,4);
+    cents here keep the oracle bit-exact.)
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.round(col * 100, 0).cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# Scans / projections / filters
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(min(l_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(max(l_orderkey) AS BIGINT) AS max_orderkey,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parquet scan + global agg. Catalyst prunes to 2 columns
+    (check ReadSchema in explain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+@register(
+    "project_alias",
+    oracle="""
+    SELECT l_orderkey AS order_id,
+           l_linenumber AS line_no,
+           l_extendedprice AS price,
+           l_quantity AS qty
+    FROM lineitem
+    """,
+)
+def project_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: narrow projection + rename (reference xgboost_core.py:437-467).
+    Column pruning reaches the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("qty"),
+    )
+
+
+@register(
+    "filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 25.0
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicates — all pushed to the parquet scan
+    (PushedFilters in explain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 25.0)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+# --------------------------------------------------------------------------
+# Aggregations
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_group",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS sum_disc_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                          * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) / 1000000.0 AS sum_charge,
+           sum(l_quantity) / count(*) AS avg_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_price,
+           CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: hash agg with map-side partial agg.
+
+    Money math runs on exact integer cents (see _cents) so the result is
+    identical under any summation order — 32 threads or 1000 executors.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    price_c = _cents("l_extendedprice")
+    disc_c = _cents("l_discount")
+    tax_c = _cents("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            (F.sum(price_c) / 100.0).alias("sum_base_price"),
+            (F.sum(price_c * (100 - disc_c)) / 10000.0).alias("sum_disc_price"),
+            (F.sum(price_c * (100 - disc_c) * (100 + tax_c)) / 1000000.0).alias(
+                "sum_charge"
+            ),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (F.sum(price_c) / 100.0 / F.count("*")).alias("avg_price"),
+            (F.sum(disc_c) / 100.0 / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "distinct_count_agg",
+    oracle="""
+    SELECT CAST(count(DISTINCT label) AS BIGINT) AS n_classes,
+           CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs
+    FROM embeddings
+    """,
+)
+def distinct_count_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: exact global countDistinct (reference xgboost_core.py:328-337
+    uses it to infer num_class). At 100 TB prefer approx_count_distinct
+    (see ml_queries.approx_distinct) unless exactness is required."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.agg(
+        F.countDistinct("label").alias("n_classes"),
+        F.countDistinct("vec_id").alias("n_vecs"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (grouping sets)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price,
+           count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations via CUBE."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.sum(_cents("o_totalprice")) / 100.0).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_value,
+           ROUND(stddev_samp(value), 4) AS std_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum(_cents("value")) / 100.0 / F.count("*")).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 4).alias("std_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_hash_inner",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_hash_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join; Catalyst/AQE picks broadcast vs sort-merge by
+    size. At 100 TB customer is still << lineitem, so broadcast wins."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(_cents("o_totalprice")) / 100.0).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT p.p_brand,
+           count(*) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join of the fact against a dimension —
+    no shuffle of the 100 TB fact side."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            (
+                F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount"))) / 10000.0
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_semi_anti",
+    oracle="""
+    SELECT 'with_orders' AS kind, count(*) AS n
+    FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS kind, count(*) AS n
+    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi (EXISTS) and left_anti (NOT EXISTS) joins."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    semi = c.join(o, "c_custkey", "left_semi").agg(F.count("*").alias("n")).select(
+        F.lit("with_orders").alias("kind"), "n"
+    )
+    anti = c.join(o, "c_custkey", "left_anti").agg(F.count("*").alias("n")).select(
+        F.lit("without_orders").alias("kind"), "n"
+    )
+    return semi.unionAll(anti)
+
+
+@register(
+    "join_outer",
+    oracle="""
+    SELECT c.c_custkey,
+           count(o.o_orderkey) AS n_orders,
+           COALESCE(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT), 0) / 100.0 AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            (
+                F.coalesce(F.sum(_cents("o_totalprice")), F.lit(0)) / 100.0
+            ).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_multiway",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact ⋈ 3 broadcast dims; Catalyst reorders/folds, the
+    region filter prunes before the fact join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(_cents("o_totalprice")) / 100.0).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — classic top-k-per-group via
+    row_number; unique o_orderkey breaks price ties deterministically."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_frame_agg",
+    oracle="""
+    SELECT event_id, user_id,
+           sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS event_seq
+    FROM events
+    """,
+)
+def window_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate over an explicit ROWS frame per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum("value").over(w).alias("running_value"),
+        F.count("*").over(w).alias("event_seq"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           value - COALESCE(lag(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS delta_prev,
+           COALESCE(lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 'NONE') AS next_type
+    FROM events
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation within per-user event streams."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0))).alias(
+            "delta_prev"
+        ),
+        F.coalesce(F.lead("event_type").over(w), F.lit("NONE")).alias("next_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / set ops
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 10
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heap + driver merge, no full sort/shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(10)
+    )
+
+
+@register(
+    "setop_union_except",
+    oracle="""
+    SELECT nk FROM (
+      SELECT CAST(c_nationkey AS INTEGER) AS nk FROM customer
+      UNION
+      SELECT CAST(s_nationkey AS INTEGER) AS nk FROM supplier
+    )
+    EXCEPT
+    SELECT CAST(n_nationkey AS INTEGER) AS nk FROM nation WHERE n_regionkey = 0
+    """,
+)
+def setop_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) then EXCEPT."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("int").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("int").alias("nk"))
+    n0 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .select(F.col("n_nationkey").cast("int").alias("nk"))
+    )
+    return c.union(s).distinct().exceptAll(n0).distinct()
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+    SELECT CAST(c_nationkey AS INTEGER) AS nk FROM customer
+    INTERSECT
+    SELECT CAST(s_nationkey AS INTEGER) AS nk FROM supplier
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT distinct."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("int").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("int").alias("nk"))
+    return c.intersect(s)
+
+
+# --------------------------------------------------------------------------
+# Scalar functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_date_math",
+    oracle="""
+    SELECT o_orderkey,
+           upper(substr(o_orderpriority, 1, 8)) AS prio_upper,
+           CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS order_day,
+           ROUND(sqrt(o_totalprice), 4) AS sqrt_price,
+           ROUND(ln(o_totalprice + 1), 4) AS ln_price,
+           ROUND(abs(o_totalprice - 100000.0), 4) AS abs_diff,
+           CAST(trunc(o_totalprice) AS BIGINT) % 97 AS price_mod
+    FROM orders
+    """,
+)
+def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math scalar functions — all JVM-side codegen'd
+    F.* builtins, no Python in the row path."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 8)).alias("prio_upper"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("sqrt_price"),
+        F.round(F.log(F.col("o_totalprice") + 1), 4).alias("ln_price"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 4).alias("abs_diff"),
+        (F.col("o_totalprice").cast("bigint") % 97).alias("price_mod"),
+    )
+
+
+@register(
+    "train_val_split",
+    oracle="""
+    SELECT CASE WHEN l_orderkey % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+           count(*) AS n,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 lifted to Spark: deterministic key-hash train/val split as a
+    filterable column (reference does it pandas-side, data.py:158-160)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn(
+            "split",
+            F.when(F.col("l_orderkey") % 10 < 8, F.lit("train")).otherwise(F.lit("val")),
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty"))
+    )

@@ -1,0 +1,51 @@
+"""Query registry: every operator exposed to the driver contract.
+
+Each registered query is a ``(spark, sf_dir) -> DataFrame`` callable; when
+the semantics are ANSI-SQL-expressible an oracle SQL string (DuckDB
+dialect-compatible) is registered alongside, and the driver hash-compares
+the two at sf0.01. Column names/aliases MUST match between both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so its @register calls run."""
+    import pyspark_xgboost_spark.operators.relational  # noqa: F401
+    import pyspark_xgboost_spark.operators.dedup  # noqa: F401
+    import pyspark_xgboost_spark.operators.similarity  # noqa: F401
+    import pyspark_xgboost_spark.operators.text  # noqa: F401
+    import pyspark_xgboost_spark.operators.multimodal  # noqa: F401
+    import pyspark_xgboost_spark.operators.ml_queries  # noqa: F401
+    import pyspark_xgboost_spark.streaming.windows  # noqa: F401
+
+
+def all_queries() -> dict[str, QueryFn]:
+    load_all()
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    load_all()
+    return dict(ORACLES)

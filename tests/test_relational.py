@@ -1,0 +1,68 @@
+"""Operator smoke + semantics tests at sf0.001.
+
+The heavyweight correctness gate is the DuckDB oracle compare
+(tools/check_oracle.py, driver-run at sf0.01); these tests pin cheap
+invariants so a refactor that breaks an operator fails fast.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark_xgboost_spark.registry import all_oracles, all_queries
+from tests.conftest import SF_DIR
+
+
+def test_every_oracle_has_query():
+    qs, oracles = all_queries(), all_oracles()
+    assert set(oracles) <= set(qs)
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_query_runs(spark, name):
+    df = all_queries()[name](spark, SF_DIR)
+    rows = df.limit(5).collect()
+    assert df.columns, name
+    assert rows is not None
+
+
+def test_agg_group_semantics(spark):
+    from pyspark_xgboost_spark.operators.relational import agg_group
+
+    rows = {(r.l_returnflag, r.l_linestatus): r for r in agg_group(spark, SF_DIR).collect()}
+    assert len(rows) >= 3
+    for r in rows.values():
+        assert r.count_order > 0
+        assert r.sum_disc_price <= r.sum_base_price  # discount only reduces
+        assert abs(r.avg_qty - r.sum_qty / r.count_order) < 1e-9
+
+
+def test_window_rank_topk(spark):
+    from pyspark_xgboost_spark.operators.relational import window_rank
+
+    df = window_rank(spark, SF_DIR).collect()
+    per_cust: dict[int, list] = {}
+    for r in df:
+        per_cust.setdefault(r.o_custkey, []).append(r)
+    for _, rs in per_cust.items():
+        assert len(rs) <= 3
+        prices = [r.o_totalprice for r in sorted(rs, key=lambda r: r.rn)]
+        assert prices == sorted(prices, reverse=True)
+
+
+def test_session_window_counts(spark):
+    from pyspark_xgboost_spark.streaming.windows import events_session_window
+    from pyspark_xgboost_spark.sources import load_table
+
+    total_events = load_table(spark, SF_DIR, "events").count()
+    sessions = events_session_window(spark, SF_DIR).collect()
+    assert sum(r.n_events for r in sessions) == total_events
+
+
+def test_semi_plus_anti_covers_all(spark):
+    from pyspark_xgboost_spark.operators.relational import join_semi_anti
+    from pyspark_xgboost_spark.sources import load_table
+
+    rows = {r.kind: r.n for r in join_semi_anti(spark, SF_DIR).collect()}
+    n_cust = load_table(spark, SF_DIR, "customer").count()
+    assert rows["with_orders"] + rows["without_orders"] == n_cust

@@ -1,0 +1,216 @@
+"""Socket allreduce for barrier-mode training.
+
+``BarrierTaskContext.allGather`` costs ~1-2 s per call (the Python
+barrier RPC polls at second granularity), which is fine for a one-off
+rendezvous but useless for per-tree-level histogram reduction. The
+reference solves this exactly the same way: it uses allGather ONCE to
+broadcast the Rabit tracker's host:port (utils.py:81-126) and runs the
+actual allreduce over direct worker sockets. Here rank 0 hosts a tiny
+reduction server (star topology) and the other workers hold one
+persistent TCP connection each.
+
+Protocol (client → server, per round):
+    1 byte op ('S' sum | 'G' gather | 'Q' quit), 8-byte big-endian
+    length, payload (``np.save`` bytes for S, raw bytes for G).
+Server responds with one length-prefixed payload: the summed array
+(S) or the length-prefixed concatenation of every worker's payload in
+rank order (G). Every worker issues the same rounds in the same order
+(the kernel's control flow is identical on all workers), and each
+blocks on its response before the next round, so the server can read
+exactly one message per client per round.
+
+Star topology is O(workers × payload) on rank 0 per round; histogram
+payloads are O(nodes × features × bins) ≈ low MB, independent of data
+scale, so this holds up at 100-TB row counts. (A tree/butterfly
+topology or xgboost's own collective would drop the constant; noted as
+future work.)
+"""
+
+from __future__ import annotations
+
+import io
+import socket
+import struct
+import threading
+
+import numpy as np
+
+_LEN = struct.Struct(">Q")
+
+
+def _send_msg(sock: socket.socket, op: bytes, payload: bytes) -> None:
+    sock.sendall(op + _LEN.pack(len(payload)) + payload)
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed during reduction")
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def _recv_msg(sock: socket.socket) -> tuple[bytes, bytes]:
+    op = _recv_exact(sock, 1)
+    (ln,) = _LEN.unpack(_recv_exact(sock, 8))
+    return op, _recv_exact(sock, ln)
+
+
+def _np_dumps(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, np.ascontiguousarray(arr), allow_pickle=False)
+    return buf.getvalue()
+
+
+def _np_loads(b: bytes) -> np.ndarray:
+    return np.load(io.BytesIO(b), allow_pickle=False)
+
+
+def _pack_list(items: list[bytes]) -> bytes:
+    out = bytearray()
+    for it in items:
+        out.extend(_LEN.pack(len(it)))
+        out.extend(it)
+    return bytes(out)
+
+
+def _unpack_list(b: bytes) -> list[bytes]:
+    items, off = [], 0
+    while off < len(b):
+        (ln,) = _LEN.unpack(b[off : off + 8])
+        off += 8
+        items.append(b[off : off + ln])
+        off += ln
+    return items
+
+
+class _ReduceServer:
+    """Rank-0 reduction hub. One thread; one blocking read per client
+    per round (clients are lock-stepped by design)."""
+
+    def __init__(self, n_clients: int, host: str = ""):
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((host or "0.0.0.0", 0))
+        self._srv.listen(n_clients)
+        self.port = self._srv.getsockname()[1]
+        self._n = n_clients
+        self._conns: list[socket.socket] = []
+        # rank-0's own per-round contribution / result mailboxes
+        self._own_in: "threading.Event" = threading.Event()
+        self._own_payload: tuple[bytes, bytes] | None = None
+        self._own_result: bytes | None = None
+        self._own_done = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    # rank 0 calls this instead of a socket round-trip
+    def local_round(self, op: bytes, payload: bytes) -> bytes:
+        self._own_payload = (op, payload)
+        self._own_done.clear()
+        self._own_in.set()
+        self._own_done.wait()
+        res = self._own_result
+        assert res is not None
+        return res
+
+    def _run(self) -> None:
+        # accept all clients (ranks connect in any order; they identify
+        # themselves with one header byte = rank index among clients)
+        by_rank: dict[int, socket.socket] = {}
+        for _ in range(self._n):
+            conn, _ = self._srv.accept()
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            (rank_b,) = struct.unpack(">I", _recv_exact(conn, 4))
+            by_rank[rank_b] = conn
+        self._conns = [by_rank[r] for r in sorted(by_rank)]
+
+        quit_count = 0
+        while quit_count == 0:
+            # wait for rank-0's contribution first — it defines the round
+            self._own_in.wait()
+            self._own_in.clear()
+            op0, payload0 = self._own_payload  # type: ignore[misc]
+            if op0 == b"Q":
+                for c in self._conns:
+                    try:
+                        _, _ = _recv_msg(c)  # their quit
+                        _send_msg(c, b"Q", b"")
+                        c.close()
+                    except OSError:
+                        pass
+                self._own_result = b""
+                self._own_done.set()
+                break
+            payloads = [payload0]
+            for c in self._conns:
+                op, pl = _recv_msg(c)
+                payloads.append(pl)
+            if op0 == b"S":
+                total = _np_loads(payloads[0])
+                for pl in payloads[1:]:
+                    total = total + _np_loads(pl)
+                result = _np_dumps(total)
+            else:  # b"G"
+                result = _pack_list(payloads)
+            for c in self._conns:
+                _send_msg(c, op0, result)
+            self._own_result = result
+            self._own_done.set()
+        self._srv.close()
+
+
+class SocketComm:
+    """Comm implementation backed by the rank-0 reduce server.
+
+    rank 0: pass server=_ReduceServer(...); others: pass (host, port).
+    """
+
+    def __init__(self, rank: int, n_workers: int, server: _ReduceServer | None = None,
+                 addr: tuple[str, int] | None = None):
+        self.rank = rank
+        self.n_workers = n_workers
+        self._server = server
+        self._sock: socket.socket | None = None
+        if server is None:
+            assert addr is not None
+            s = socket.create_connection(addr, timeout=120)
+            s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            # identify: client index = rank - 1 (rank 0 is the server)
+            s.sendall(struct.pack(">I", rank - 1))
+            self._sock = s
+
+    def _round(self, op: bytes, payload: bytes) -> bytes:
+        if self._server is not None:
+            return self._server.local_round(op, payload)
+        assert self._sock is not None
+        _send_msg(self._sock, op, payload)
+        _, result = _recv_msg(self._sock)
+        return result
+
+    def allreduce_sum(self, arr: np.ndarray) -> np.ndarray:
+        return _np_loads(self._round(b"S", _np_dumps(arr)))
+
+    def allgather_rows(self, arr: np.ndarray) -> np.ndarray:
+        mats = [_np_loads(b) for b in _unpack_list(self._round(b"G", _np_dumps(arr)))]
+        widths = {m.shape[1] for m in mats if m.size}
+        if not widths:
+            return mats[0]
+        (w,) = widths
+        return np.concatenate([m.reshape(-1, w) for m in mats if m.size], axis=0)
+
+    def allgather_bytes(self, b: bytes) -> list[bytes]:
+        return _unpack_list(self._round(b"G", b))
+
+    def close(self) -> None:
+        if self._server is not None:
+            self._server.local_round(b"Q", b"")
+        elif self._sock is not None:
+            try:
+                _send_msg(self._sock, b"Q", b"")
+                _recv_msg(self._sock)
+            except OSError:
+                pass
+            self._sock.close()

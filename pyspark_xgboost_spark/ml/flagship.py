@@ -1,0 +1,49 @@
+"""Flagship ML query: fit + score the native GBT on the star schema.
+
+This is the same end-to-end slice as the reference's basic regressor
+test (xgboost_local_test.py:329-334): assemble features → fit →
+transform → scored DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import VectorAssembler
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_xgboost_spark.sources import load_table
+
+FEATURES = ["l_quantity", "l_discount", "l_tax", "l_linenumber"]
+
+
+def ml_fit_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict l_extendedprice from lineitem numerics with the native
+    GBT regressor; returns keys + label + prediction."""
+    from pyspark_xgboost_spark.ml.estimator import XgboostRegressor
+
+    keep = dict.fromkeys(["l_orderkey", "l_linenumber", *FEATURES, "l_extendedprice"])
+    li = load_table(spark, sf_dir, "lineitem").select(*keep)
+    assembled = VectorAssembler(inputCols=FEATURES, outputCol="features").transform(
+        li.withColumn("label", F.col("l_extendedprice"))
+    )
+    reg = XgboostRegressor(n_estimators=20, max_depth=5, learning_rate=0.3)
+    model = reg.fit(assembled)
+    return model.transform(assembled).select(
+        "l_orderkey", "l_linenumber", "label", "prediction"
+    )
+
+
+def ml_fit_predict_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-class classification of l_returnflag from lineitem numerics."""
+    from pyspark.ml.feature import StringIndexer
+
+    from pyspark_xgboost_spark.ml.estimator import XgboostClassifier
+
+    keep = dict.fromkeys(["l_orderkey", "l_linenumber", *FEATURES, "l_returnflag"])
+    li = load_table(spark, sf_dir, "lineitem").select(*keep)
+    indexed = StringIndexer(inputCol="l_returnflag", outputCol="label").fit(li).transform(li)
+    assembled = VectorAssembler(inputCols=FEATURES, outputCol="features").transform(indexed)
+    model = XgboostClassifier(n_estimators=10, max_depth=4).fit(assembled)
+    return model.transform(assembled).select(
+        "l_orderkey", "l_linenumber", "label", "prediction"
+    )

@@ -1,0 +1,149 @@
+"""Distributed barrier-mode training (reference O11/O21/O22).
+
+Reference architecture (xgboost_core.py:358-433): gang-schedule
+``num_workers`` tasks with ``mapInPandas(...).rdd.barrier()``, rendezvous
+via ``BarrierTaskContext``, run an allreduce ring among the workers, and
+only partition 0 returns the fitted model. The reference's ring is
+Rabit (tracker bootstrapped on partition 0 and broadcast through
+``allGather`` — utils.py:64-126); our kernel's only cross-worker
+exchange is histogram summation, so the allreduce itself ALSO rides on
+``allGather`` (sum of base64-encoded ndarrays). Histograms are
+O(nodes × features × bins) independent of shard row count, so payloads
+stay in the low MBs at any data scale; at 100 TB the rows never move —
+only histograms do.
+
+Scheduling hazards mirrored from the reference:
+* barrier deadlock when num_workers exceeds cluster task slots —
+  probed up front (reference _get_max_num_concurrent_tasks,
+  sparkdl/utils/__init__.py:37-44, warn at xgboost_core.py:363-372);
+* partition count must equal num_workers — repartition unless it
+  already matches (cheap-correct version of the reference's
+  plan-inspecting elision, xgboost_core.py:291-321, whose own comment
+  admits the heuristic is "not fully accurate");
+* empty shards: feature dimensionality is agreed via one allGather
+  before training so zero-row workers participate in every reduction
+  with correctly-shaped zero histograms.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark import BarrierTaskContext
+from pyspark.sql import DataFrame
+
+from pyspark_xgboost_spark.ml import booster as kernel
+from pyspark_xgboost_spark.ml.comm import SocketComm, _ReduceServer
+from pyspark_xgboost_spark.ml.data import batches_to_matrices
+
+_logger = logging.getLogger("pyspark_xgboost_spark.ml")
+
+
+def rendezvous(context: BarrierTaskContext) -> SocketComm:
+    """One allGather to broadcast rank-0's reduce-server address, then
+    all reductions ride direct TCP (the reference's tracker bootstrap
+    pattern, utils.py:81-126 — allGather is seconds-slow per call, so
+    it is used exactly once)."""
+    infos = context.getTaskInfos()
+    n = len(infos)
+    rank = context.partitionId()
+    if rank == 0:
+        host = infos[0].address.split(":")[0] or "127.0.0.1"
+        server = _ReduceServer(n_clients=n - 1)
+        context.allGather(json.dumps({"host": host, "port": server.port}))
+        return SocketComm(0, n, server=server)
+    addr_msg = json.loads(context.allGather("")[0])
+    return SocketComm(rank, n, addr=(addr_msg["host"], addr_msg["port"]))
+
+
+def get_max_concurrent_tasks(sc) -> int:
+    """Cluster gang capacity (reference sparkdl/utils/__init__.py:37-44)."""
+    ssc = sc._jsc.sc()
+    try:
+        return ssc.maxNumConcurrentTasks(ssc.resourceProfileManager().defaultResourceProfile())
+    except Exception:  # noqa: BLE001 — older signature
+        return ssc.maxNumConcurrentTasks()
+
+
+def fit_distributed(
+    narrowed: DataFrame,
+    params: dict,
+    flags: dict,
+    num_workers: int,
+    force_repartition: bool = False,
+) -> str:
+    """Barrier-mode distributed fit; returns the model JSON."""
+    sc = narrowed.sparkSession.sparkContext
+    try:
+        capacity = get_max_concurrent_tasks(sc)
+        if num_workers > capacity:
+            _logger.warning(
+                "num_workers=%d exceeds the cluster's current task capacity %d; "
+                "the barrier stage will wait for resources (and deadlocks if "
+                "they never appear)",
+                num_workers,
+                capacity,
+            )
+    except Exception:  # noqa: BLE001 — capacity probe is best-effort
+        pass
+
+    # repartition elision (reference O6): skip the shuffle only when the
+    # partitioning already matches the gang size.
+    if force_repartition or narrowed.rdd.getNumPartitions() != num_workers:
+        narrowed = narrowed.repartition(num_workers)
+
+    has_validation = flags.get("has_validation", False)
+    has_weight = flags.get("has_weight", False)
+
+    def train_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        context = BarrierTaskContext.get()
+        train_b, val_b = batches_to_matrices(batches, **flags)
+        comm = rendezvous(context)
+
+        # agree on feature dimensionality so empty shards build
+        # correctly-shaped (all-zero) histograms
+        f_local = int(train_b.X.shape[1]) if train_b.X.size else 0
+        f_global = max(
+            int(b.decode() or 0) for b in comm.allgather_bytes(str(f_local).encode())
+        )
+        if f_global == 0:
+            raise ValueError("cannot fit: all partitions are empty")
+
+        def shape(b):
+            if b is None:
+                return None
+            if b.X.size == 0:
+                b.X = np.empty((0, f_global), dtype=np.float32)
+            return b
+
+        train_s = shape(train_b)
+        val_s = shape(val_b)
+        eval_set = (val_s.X, val_s.y) if has_validation else None
+
+        bst = kernel.train(
+            train_s.X,
+            train_s.y,
+            params,
+            sample_weight=train_s.w if has_weight else None,
+            base_margin=None,  # unsupported distributed (reference xgboost.py:50-54)
+            eval_set=eval_set,
+            eval_weight=(val_s.w if (has_validation and has_weight) else None),
+            comm=comm,
+        )
+        comm.close()
+        context.barrier()
+        if comm.rank == 0:
+            yield pd.DataFrame({"model_json": [bst.save_json()]})
+
+    # Spark >= 3.4 runs the Python runner itself inside a barrier stage
+    # via barrier=True — the modern form of the reference's
+    # mapInPandas(...).rdd.barrier().mapPartitions(identity) idiom
+    # (xgboost_core.py:427-430).
+    rows = narrowed.mapInPandas(train_fn, "model_json string", barrier=True).collect()
+    if not rows:
+        raise ValueError("distributed training returned no model")
+    return rows[0][0]

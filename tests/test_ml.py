@@ -1,0 +1,202 @@
+"""ML estimator/model tests, mirroring the reference's test strategy
+(SURVEY §5): behavioral goldens, param system, persistence round-trips,
+meta-algorithm integration. Single-node numpy GBT is the oracle (no
+xgboost in this environment)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.linalg import Vectors
+
+from pyspark_xgboost_spark.ml import booster as kernel
+from pyspark_xgboost_spark.ml.estimator import (
+    XgboostClassifier,
+    XgboostClassifierModel,
+    XgboostRegressor,
+    XgboostRegressorModel,
+)
+
+
+@pytest.fixture(scope="module")
+def reg_train(spark):
+    return spark.createDataFrame(
+        [
+            (Vectors.dense(1.0, 2.0, 3.0), 0.0),
+            (Vectors.sparse(3, {1: 1.0, 2: 5.5}), 1.0),
+            (Vectors.dense(4.0, 5.0, 6.0), 2.0),
+            (Vectors.sparse(3, {1: 6.0, 2: 7.5}), 3.0),
+        ]
+        * 25,
+        ["features", "label"],
+    )
+
+
+@pytest.fixture(scope="module")
+def cls_train(spark):
+    return spark.createDataFrame(
+        [
+            (Vectors.dense(1.0, 2.0, 3.0), 0),
+            (Vectors.sparse(3, {1: 1.0, 2: 5.5}), 1),
+        ]
+        * 50,
+        ["features", "label"],
+    )
+
+
+def test_regressor_fit_transform_matches_local_kernel(spark, reg_train):
+    """Spark fit must equal a direct kernel fit on the same rows
+    (behavioral golden — the reference compares against single-node
+    xgboost the same way, xgboost_local_test.py:329-334)."""
+    params = dict(n_estimators=20, max_depth=3, learning_rate=0.3)
+    model = XgboostRegressor(**params).fit(reg_train)
+    out = model.transform(reg_train).collect()
+
+    X = np.array([[1, 2, 3], [0, 1, 5.5], [4, 5, 6], [0, 6, 7.5]] * 25, dtype=np.float32)
+    y = np.array([0, 1, 2, 3] * 25, dtype=float)
+    direct = kernel.train(X, y, {**params, "objective": "reg:squarederror"})
+    expected = dict(zip(y[:4], direct.predict(X[:4])))
+    for r in out:
+        assert abs(r.prediction - expected[r.label]) < 1e-3
+
+
+def test_binary_classifier_outputs(spark, cls_train):
+    model = XgboostClassifier(n_estimators=15, max_depth=3).fit(cls_train)
+    rows = model.transform(cls_train).collect()
+    assert np.mean([r.prediction == r.label for r in rows]) == 1.0
+    for r in rows[:4]:
+        probs = r.probability.toArray()
+        assert len(probs) == 2 and abs(probs.sum() - 1.0) < 1e-9
+        raw = r.rawPrediction.toArray()
+        assert abs(raw[0] + raw[1]) < 1e-9  # ± margin stack
+        assert r.prediction == float(np.argmax(probs))
+
+
+def test_multiclass_classifier(spark):
+    df = spark.createDataFrame(
+        [
+            (Vectors.dense(1.0, 2.0, 3.0), 0),
+            (Vectors.dense(4.0, 5.0, 6.0), 1),
+            (Vectors.sparse(3, {1: 1.0, 2: 5.5}), 2),
+        ]
+        * 40,
+        ["features", "label"],
+    )
+    model = XgboostClassifier(n_estimators=10, max_depth=3).fit(df)
+    assert model.numClasses == 3
+    rows = model.transform(df).collect()
+    assert np.mean([r.prediction == r.label for r in rows]) == 1.0
+    assert len(rows[0].probability.toArray()) == 3
+
+
+def test_label_validation(spark):
+    bad = spark.createDataFrame(
+        [(Vectors.dense(1.0), 1), (Vectors.dense(2.0), 3)] * 10, ["features", "label"]
+    )
+    with pytest.raises(Exception, match="contiguous"):
+        XgboostClassifier(n_estimators=2).fit(bad)
+
+
+def test_param_system(spark):
+    est = XgboostRegressor(n_estimators=9, max_depth=4, unknown_thing="zz")
+    assert est.getOrDefault(est.n_estimators) == 9
+    assert est.getArbitraryParamsDict() == {"unknown_thing": "zz"}
+    with pytest.raises(ValueError, match="gpu_id"):
+        XgboostRegressor(gpu_id=0)
+    # numpy scalar conversion (reference xgboost_core.py:763-772)
+    est2 = XgboostRegressor(n_estimators=np.int64(11))
+    v = est2.getOrDefault(est2.n_estimators)
+    assert v == 11 and not isinstance(v, np.generic)
+    # copy keeps params (CrossValidator requirement)
+    c = est.copy()
+    assert c.getOrDefault(c.n_estimators) == 9
+
+
+def test_early_stopping_requires_validation_col(spark, reg_train):
+    with pytest.raises(ValueError, match="validationIndicatorCol"):
+        XgboostRegressor(n_estimators=50, early_stopping_rounds=5).fit(reg_train)
+
+
+def test_model_persistence_roundtrip(spark, reg_train, tmp_path):
+    model = XgboostRegressor(n_estimators=10, max_depth=3).fit(reg_train)
+    path = str(tmp_path / "m")
+    model.save(path)
+    loaded = XgboostRegressorModel.load(path)
+    a = [r.prediction for r in model.transform(reg_train).collect()]
+    b = [r.prediction for r in loaded.transform(reg_train).collect()]
+    assert a == b
+    with pytest.raises(Exception):
+        XgboostClassifierModel.load(path)
+
+
+def test_estimator_persistence_roundtrip(spark, tmp_path):
+    est = XgboostRegressor(n_estimators=6, max_depth=2, foo_kw=1.5)
+    path = str(tmp_path / "e")
+    est.save(path)
+    loaded = XgboostRegressor.load(path)
+    assert loaded.getOrDefault(loaded.n_estimators) == 6
+    assert loaded.getArbitraryParamsDict() == {"foo_kw": 1.5}
+
+
+def test_pipeline_integration(spark, cls_train, tmp_path):
+    pipe = Pipeline(stages=[XgboostClassifier(n_estimators=8)])
+    pm = pipe.fit(cls_train)
+    path = str(tmp_path / "p")
+    pm.save(path)
+    loaded = PipelineModel.load(path)
+    rows = loaded.transform(cls_train).collect()
+    assert np.mean([r.prediction == r.label for r in rows]) == 1.0
+
+
+def test_weights_shift_fit(spark):
+    df = spark.createDataFrame(
+        [
+            (Vectors.dense(0.0), 0.0, 1.0),
+            (Vectors.dense(0.0), 10.0, 100.0),
+        ]
+        * 30,
+        ["features", "label", "w"],
+    )
+    model = XgboostRegressor(n_estimators=20, weightCol="w").fit(df)
+    pred = model.transform(df).collect()[0].prediction
+    assert pred > 8.0  # pulled toward the heavy label
+
+
+def test_missing_zero_semantics(spark):
+    """missing=0: sparse inactive entries treated as absent
+    (reference caveat, xgboost_core.py:780-784)."""
+    df = spark.createDataFrame(
+        [
+            (Vectors.sparse(2, {0: 1.0}), 0.0),
+            (Vectors.dense(1.0, 2.0), 1.0),
+        ]
+        * 20,
+        ["features", "label"],
+    )
+    m = XgboostRegressor(n_estimators=10, missing=0.0).fit(df)
+    rows = m.transform(df).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, r.prediction)
+    assert abs(by_label[0.0]) < 0.1 and abs(by_label[1.0] - 1.0) < 0.1
+
+
+def test_validation_early_stopping(spark):
+    rows = [
+        (Vectors.dense(float(i % 10), float((i * 3) % 7)), float(i % 10) * 2.0, i % 5 == 0)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["features", "label", "isVal"])
+    m = XgboostRegressor(
+        n_estimators=300, max_depth=3, early_stopping_rounds=8, validationIndicatorCol="isVal"
+    ).fit(df)
+    b = m.get_booster()
+    assert len(b.trees) < 300
+    assert b.best_score is not None and b.best_score < 1.5
+
+
+def test_feature_importances(spark, reg_train):
+    model = XgboostRegressor(n_estimators=10).fit(reg_train)
+    imp = model.get_feature_importances()
+    assert imp and all(v > 0 for v in imp.values())

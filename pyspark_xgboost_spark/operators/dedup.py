@@ -1,1 +1,343 @@
-"""Placeholder — filled in later this round."""
+"""Deduplication operators over ``documents`` (LLM-data-pipeline surface).
+
+Exact, MinHash-LSH, SimHash, and n-gram-Jaccard dedup, each expressed
+Spark-first. Scale notes:
+
+* exact dedup is a hash groupBy on a digest — one shuffle of
+  (digest, doc_id), never of document bodies;
+* MinHash banding turns all-pairs similarity into an equi-join on
+  (band, bucket-key) — the classic LSH trick that makes near-dedup
+  O(candidates) instead of O(n²) at 100 TB;
+* hash functions are md5-based so the DuckDB oracle computes
+  bit-identical signatures (Spark's murmur3 ``hash()`` is
+  engine-specific);
+* SimHash runs in a vectorized pandas UDF (bit-twiddling is the one
+  thing SQL expressions do badly) — rows-only check by design.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_xgboost_spark.registry import register
+from pyspark_xgboost_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: digest groupBy, keep lowest doc_id per text. Only the
+    16-byte digest shuffles, not the document bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after normalization (lowercase, collapsed whitespace)
+    — catches trivially-reformatted copies."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return (
+        docs.select(F.md5(norm).alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash LSH
+# --------------------------------------------------------------------------
+
+_N_HASHES = 8
+_BAND_SIZE = 2  # 4 bands of 2 → catches jaccard ≳ 0.5 pairs
+
+
+def _minhash_signature_df(docs: DataFrame) -> DataFrame:
+    """doc_id + 8 md5-derived minhashes over word 3-gram shingles."""
+    toks = F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')")
+    out = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    shingles = F.expr(
+        "transform(sequence(1, size(toks) - 2), "
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
+        "element_at(toks, i + 2)))"
+    )
+    out = out.select("doc_id", shingles.alias("shingles"))
+
+    def hash_fn(k: int):
+        # NB: must be a ONE-parameter lambda — a `lambda s, k=k` has two
+        # parameters, which F.transform treats as (element, index) and
+        # binds k to the array-index Column.
+        prefix = f"s{k}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    cols = [
+        F.array_min(F.transform(F.col("shingles"), hash_fn(k))).alias(f"h{k}")
+        for k in range(_N_HASHES)
+    ]
+    return out.select("doc_id", *cols)
+
+
+def _minhash_sql_sig() -> str:
+    """DuckDB CTE mirroring _minhash_signature_df bit-for-bit."""
+    hs = ",\n           ".join(
+        f"list_min(list_transform(shingles, s -> md5('s{k}:' || s))) AS h{k}"
+        for k in range(_N_HASHES)
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(toks) - 2),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+      FROM toks WHERE len(toks) >= 3
+    ),
+    sig AS (
+      SELECT doc_id,
+           {hs}
+      FROM sh
+    )"""
+
+
+@register(
+    "dedup_minhash",
+    oracle=f"""
+    WITH {_minhash_sql_sig()},
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → 8 minhashes → 4 band
+    keys → equi-join on (band, key). The join is the only shuffle and it
+    carries 16-byte keys, so the pattern survives 100 TB corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _minhash_signature_df(docs)
+    band_rows = []
+    for b in range(_N_HASHES // _BAND_SIZE):
+        lo, hi = b * _BAND_SIZE, b * _BAND_SIZE + 1
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat(F.col(f"h{lo}"), F.col(f"h{hi}"))).alias("key"),
+            )
+        )
+    bands = band_rows[0]
+    for extra in band_rows[1:]:
+        bands = bands.unionAll(extra)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact verification of near-dup candidates)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                       t -> t <> '')) AS tokset
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           floor(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+                 / len(list_distinct(a.tokset || b.tokset)) * 10000) / 10000 AS jaccard
+    FROM toks a JOIN toks b ON a.lang = b.lang AND a.source = b.source
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+          / len(list_distinct(a.tokset || b.tokset)) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard over (lang, source)-blocked candidate
+    pairs — the verify stage after LSH blocking. Blocking keys bound the
+    pair blowup; jaccard floored to 4dp for cross-engine determinism."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokset = F.array_distinct(F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')"))
+    t = docs.select("doc_id", "lang", "source", tokset.alias("tokset"))
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset")))
+    union = F.size(F.array_union(F.col("a.tokset"), F.col("b.tokset")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.source") == F.col("b.source")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(jac >= 0.5)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (F.floor(jac * 10000) / 10000).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (vectorized pandas UDF — rows-only check)
+# --------------------------------------------------------------------------
+
+
+def _simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash: per-token md5-derived 64 bits, ±1 vote per bit,
+    sign → fingerprint."""
+    import hashlib
+
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        digest = hashlib.md5(t.encode()).digest()
+        # bit i of the big-endian uint64 at index i: reverse bytes, then
+        # LSB-first unpack (a Python-int >> numpy-array shift overflows
+        # int64 and TypeErrors — stay in uint8/unpackbits space instead).
+        bits = np.unpackbits(
+            np.frombuffer(digest[:8], dtype=np.uint8)[::-1], bitorder="little"
+        ).astype(np.int64)
+        acc += 2 * bits - 1
+    fp = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    return fp & 0x7FFF_FFFF_FFFF_FFFF  # keep in signed-long range
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + 16-bit band keys for hamming-near
+    candidate blocking. Bit math lives in an Arrow-batched pandas UDF
+    (mapInPandas); rows-only check — no SQL engine does 64-bit simhash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = pdf["text"].str.lower().str.split()
+            fps = np.fromiter(
+                (_simhash64(t) for t in toks), dtype=np.int64, count=len(pdf)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "simhash": fps,
+                    "band0": fps & 0xFFFF,
+                    "band1": (fps >> 16) & 0xFFFF,
+                    "band2": (fps >> 32) & 0xFFFF,
+                    "band3": (fps >> 48) & 0x7FFF,
+                }
+            )
+
+    return docs.mapInPandas(
+        compute,
+        "doc_id long, simhash long, band0 long, band1 long, band2 long, band3 long",
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+
+def _cosine_cols(a: str, b: str) -> F.Column:
+    """Fold-left dot/norm — matches DuckDB's sequential list_inner_product
+    on identical doubles."""
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col(a), F.col(a), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col(b), F.col(b), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (na * nb)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           floor(list_inner_product(a.v, b.v)
+                 / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))
+                 * 10000) / 10000 AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label
+    WHERE a.vec_id < b.vec_id
+      AND list_inner_product(a.v, b.v)
+          / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.95
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: cosine ≥ 0.95 within label blocks (IVF-style
+    cells). Blocking on the cluster id keeps the pairwise compare inside
+    cells — the 100 TB pattern is identical with learned centroids."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = _cosine_cols("a.v", "b.v")
+    return (
+        a.join(b, F.col("a.label") == F.col("b.label"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= 0.95)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (F.floor(cos * 10000) / 10000).alias("cos_sim"),
+        )
+    )

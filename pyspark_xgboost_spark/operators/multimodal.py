@@ -1,1 +1,117 @@
-"""Placeholder — filled in later this round."""
+"""Multimodal-column plumbing (LLM-data-pipeline surface).
+
+Images/audio/video ride through Spark as opaque ``binary`` columns with
+typed metadata structs; decode/feature-extraction runs in Arrow-batched
+``mapInPandas``. The decode kernels themselves are STUBBED with a
+deterministic fake (this container ships no image/audio codecs — the
+Spark-side plumbing: schema, batch shape, partitioning, UDF signatures,
+is real and tested). A production build drops PIL/librosa into
+``_decode_image_stub`` and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_xgboost_spark.registry import register
+from pyspark_xgboost_spark.sources import load_table
+
+
+@register(
+    "multimodal_pack",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           lang AS meta_lang,
+           source AS meta_source,
+           CAST(n_chars AS BIGINT) AS meta_n_chars
+    FROM documents
+    """,
+)
+def multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack content into (binary payload, metadata) shape — the storage
+    contract for multimodal corpora: payload stays opaque bytes, metadata
+    stays columnar/prunable."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+            F.col("n_chars").alias("n_chars"),
+        ).alias("meta"),
+    )
+    return packed.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.source").alias("meta_source"),
+        F.col("meta.n_chars").cast("long").alias("meta_n_chars"),
+    )
+
+
+def _decode_image_stub(payload: bytes, dim: int = 8) -> np.ndarray:
+    """STUB decode: deterministic pseudo-features from the payload
+    digest. Production: PIL.Image.open(BytesIO(payload)) → resize →
+    normalized pixel tensor. NotImplementedError intentionally NOT
+    raised — the fake keeps the pipeline testable end-to-end."""
+    digest = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((digest * ((dim * 4) // len(digest) + 1))[: dim * 4], dtype=np.uint8)
+    return (raw.astype(np.float32) / 255.0)[: dim]
+
+
+@register("multimodal_decode_features")
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary → fixed-dim feature vector via mapInPandas. Batch shape,
+    schema, and float32 output are the real contract; only the pixel
+    decode is faked (see _decode_image_stub)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                [float(x) for x in _decode_image_stub(bytes(p))] for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "features": feats,
+                    "feat_dim": [len(f) for f in feats],
+                }
+            )
+
+    return docs.mapInPandas(decode, "doc_id long, features array<float>, feat_dim int")
+
+
+@register("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video' frame sampling: every k-th 16-byte slice of the payload is
+    one 'frame'; emits (doc_id, frame_no, frame_digest). The explode
+    pattern — one input row fanning to N frame rows inside mapInPandas —
+    is exactly how real video sampling distributes."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        stride, frame_len = 64, 16
+        for pdf in batches:
+            ids, frame_nos, digests = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for n, off in enumerate(range(0, len(data), stride)):
+                    ids.append(doc_id)
+                    frame_nos.append(n)
+                    digests.append(hashlib.md5(data[off : off + frame_len]).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "frame_no": frame_nos, "frame_digest": digests})
+
+    return docs.mapInPandas(sample, "doc_id long, frame_no int, frame_digest string")

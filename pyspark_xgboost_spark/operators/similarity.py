@@ -1,1 +1,134 @@
-"""Placeholder — filled in later this round."""
+"""Similarity search over the ``embeddings`` table (ANN surface).
+
+Three tiers, mirroring how a 100 TB vector corpus is actually served:
+
+* ``sim_search_topk`` — brute-force cosine top-k: the exactness
+  baseline. Query side is tiny and broadcast; the corpus is scanned
+  once per batch of queries (not per query).
+* ``sim_search_ivf`` — partition-pruned search: probe only the
+  query's cell (here the ``label`` column stands in for a learned
+  coarse quantizer). This is the IVF pattern: at scale the corpus is
+  partitioned by cell id, so a probe touches 1/nlist of the data.
+* ``sim_search_brp_lsh`` — MLlib BucketedRandomProjectionLSH
+  approx join: hash-bucketed candidates, engine-specific hashes →
+  rows-only check.
+
+Cosine math is fold-left double arithmetic that matches DuckDB's
+sequential ``list_inner_product`` bit-for-bit; outputs are floored to
+4dp (binary floor is engine-agnostic; decimal ROUND is not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from pyspark_xgboost_spark.operators.dedup import _cosine_cols
+from pyspark_xgboost_spark.registry import register
+from pyspark_xgboost_spark.sources import load_table
+
+_TOPK = 3
+_N_QUERIES = 10  # vec_id < 10 are the query vectors
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+_SIM_SQL_CORE = """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < {nq}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             floor(list_inner_product(q.v, c.v)
+                   / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v)))
+                   * 10000) / 10000 AS cos_sim
+      FROM q JOIN e c ON c.vec_id != q.vec_id {cell_pred}
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= {k}
+"""
+
+
+@register(
+    "sim_search_topk",
+    oracle=_SIM_SQL_CORE.format(nq=_N_QUERIES, k=_TOPK, cell_pred=""),
+)
+def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for the first 10 vectors against the
+    whole corpus. The query side is broadcast; ranking ties broken by
+    neighbor_id so the result is deterministic across engines."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    joined = F.broadcast(q).crossJoin(e.select(F.col("vec_id").alias("neighbor_id"), "v"))
+    joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = _cosine_cols("qv", "v")
+    scored = joined.select(
+        "query_id", "neighbor_id", (F.floor(cos * 10000) / 10000).alias("cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _TOPK)
+
+
+@register(
+    "sim_search_ivf",
+    oracle=_SIM_SQL_CORE.format(
+        nq=_N_QUERIES, k=_TOPK, cell_pred="AND c.label = q.label"
+    ),
+)
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style probe: search only the query's cell (label = coarse
+    quantizer id). At 100 TB the corpus is partitioned by cell, so this
+    is a partition-pruned scan + per-cell top-k, not a full pass."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qcell"), F.col("v").alias("qv")
+    )
+    joined = F.broadcast(q).join(
+        e.select(F.col("vec_id").alias("neighbor_id"), "label", "v"),
+        F.col("label") == F.col("qcell"),
+    )
+    joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = _cosine_cols("qv", "v")
+    scored = joined.select(
+        "query_id", "neighbor_id", (F.floor(cos * 10000) / 10000).alias("cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _TOPK)
+
+
+@register("sim_search_brp_lsh")
+def sim_search_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approxSimilarityJoin — the
+    hash-bucketed candidate path (rows-only: bucket hashes are
+    engine-specific). Seeded, so the output is stable run-to-run."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
+    )
+    model = lsh.fit(emb)
+    pairs = model.approxSimilarityJoin(emb, emb, threshold=6.0, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            (F.floor(F.col("dist") * 10000) / 10000).alias("dist"),
+        )
+    )

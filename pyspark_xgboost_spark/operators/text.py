@@ -1,1 +1,242 @@
-"""Placeholder — filled in later this round."""
+"""Text-analysis operators over ``documents`` (LLM-data-pipeline surface).
+
+Language ID, quality scoring, token statistics, and fingerprinting —
+all pure JVM-side expression trees (no Python in the row path), each
+with a bit-identical DuckDB oracle. Counting idioms use
+``length(x) - length(replace(x, kw, ''))`` which both engines evaluate
+identically; ratios are floored to 4dp (decimal ROUND differs between
+engines, binary floor does not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_xgboost_spark.registry import register
+from pyspark_xgboost_spark.sources import load_table
+
+# stopword marker sets per language (space-padded whole-word matches)
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " die ", " und "],
+    "fr": [" le ", " la ", " et "],
+    "es": [" el ", " los ", " que "],
+}
+
+
+def _count_occurrences(col: F.Column, kw: str) -> F.Column:
+    return (F.length(col) - F.length(F.replace(col, F.lit(kw), F.lit("")))) / len(kw)
+
+
+def _count_occurrences_sql(expr: str, kw: str) -> str:
+    return f"(length({expr}) - length(replace({expr}, '{kw}', ''))) / {len(kw)}"
+
+
+@register(
+    "text_token_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+             length(text) AS n_char
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+           CAST(n_char AS BIGINT) AS n_chars,
+           floor(CAST(n_char AS DOUBLE) / len(toks) * 10000) / 10000 AS chars_per_token,
+           floor(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 10000) / 10000
+             AS ttr
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + count/unique/type-token-ratio stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+    t = docs.select("doc_id", toks.alias("toks"), F.length("text").alias("n_char"))
+    return (
+        t.filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).cast("long").alias("n_unique_tokens"),
+            F.col("n_char").cast("long").alias("n_chars"),
+            (F.floor(F.col("n_char").cast("double") / F.size("toks") * 10000) / 10000).alias(
+                "chars_per_token"
+            ),
+            (
+                F.floor(
+                    F.size(F.array_distinct("toks")).cast("double") / F.size("toks") * 10000
+                )
+                / 10000
+            ).alias("ttr"),
+        )
+    )
+
+
+def _langid_spark_scores():
+    """Spark score Column per candidate lang (needs an active session —
+    only call inside a query function, never at import time)."""
+    spark_scores = {}
+    for lang, kws in _LANG_MARKERS.items():
+        padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+        score = None
+        for kw in kws:
+            c = _count_occurrences(padded, kw)
+            score = c if score is None else score + c
+        spark_scores[lang] = score
+    return spark_scores
+
+
+def _langid_sql_scores():
+    """Equivalent DuckDB score expression strings (pure strings, safe at
+    import time)."""
+    return {
+        lang: " + ".join(
+            _count_occurrences_sql("(' ' || lower(text) || ' ')", kw) for kw in kws
+        )
+        for lang, kws in _LANG_MARKERS.items()
+    }
+
+
+_SPARK_SCORES_SQLS = _langid_sql_scores()
+_LANGID_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN score_{lang} >= greatest(score_en, score_de, score_fr, score_es) "
+        f"AND score_{lang} > 0 THEN '{lang}'"
+        for lang in ("en", "de", "fr", "es")
+    )
+    + " ELSE 'other' END"
+)
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS actual_lang,
+             {_SPARK_SCORES_SQLS["en"]} AS score_en,
+             {_SPARK_SCORES_SQLS["de"]} AS score_de,
+             {_SPARK_SCORES_SQLS["fr"]} AS score_fr,
+             {_SPARK_SCORES_SQLS["es"]} AS score_es
+      FROM documents
+    )
+    SELECT doc_id, actual_lang,
+           {_LANGID_CASE} AS predicted_lang
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID. The integer occurrence counts make
+    the heuristic engine-agnostic; ties resolve in fixed en>de>fr>es
+    order on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    spark_scores = _langid_spark_scores()
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        *[spark_scores[lang].alias(f"score_{lang}") for lang in _LANG_MARKERS],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in _LANG_MARKERS])
+    pred = F.lit("other")
+    for lang in reversed(list(_LANG_MARKERS)):  # en wins ties (checked first)
+        pred = F.when(
+            (F.col(f"score_{lang}") >= best) & (F.col(f"score_{lang}") > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select("doc_id", "actual_lang", pred.alias("predicted_lang"))
+
+
+@register(
+    "text_quality_score",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             length(text) AS n_char,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok,
+             length(text) - length(replace(replace(replace(replace(text,
+               '.', ''), ',', ''), '!', ''), '?', '')) AS n_punct,
+             (length(' ' || lower(text) || ' ')
+              - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5 AS n_the
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN n_char >= 100 AND n_char <= 2000 THEN 4 ELSE 0 END
+                + CASE WHEN n_tok >= 20 THEN 3 ELSE 0 END
+                + CASE WHEN CAST(n_punct AS DOUBLE) / n_char < 0.1 THEN 2 ELSE 0 END
+                + CASE WHEN n_the > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality_x10
+    FROM t WHERE n_tok > 0
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (length band, token count, punctuation
+    ratio, stopword presence) — the standard pre-training filter shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_char = F.length("text")
+    n_tok = F.size(F.expr(r"filter(split(text, '\\s+'), x -> x != '')"))
+    no_punct = F.col("text")
+    for ch in [".", ",", "!", "?"]:
+        no_punct = F.replace(no_punct, F.lit(ch), F.lit(""))
+    n_punct = F.length("text") - F.length(no_punct)
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    n_the = _count_occurrences(padded, " the ")
+    # integer tenths, not float weights — 0.4+0.3+0.2+0.1 is engine-
+    # dependent (DECIMAL vs DOUBLE literal sums); 4+3+2+1 is not.
+    quality = (
+        F.when((n_char >= 100) & (n_char <= 2000), 4).otherwise(0)
+        + F.when(n_tok >= 20, 3).otherwise(0)
+        + F.when(n_punct.cast("double") / n_char < 0.1, 2).otherwise(0)
+        + F.when(n_the > 0, 1).otherwise(0)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_tok.cast("long").alias("n_tokens"),
+            quality.cast("long").alias("quality_x10"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint,
+           substr(md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), 1, 4)
+             AS shard_key
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized content fingerprint + 4-hex shard key (65536-way
+    fan-out for dedup routing at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    return docs.select(
+        "doc_id",
+        F.md5(canon).alias("fingerprint"),
+        F.substring(F.md5(canon), 1, 4).alias("shard_key"),
+    )
+
+
+@register("text_tokenize_tfidf")
+def text_tokenize_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib Tokenizer → HashingTF → IDF pipeline (rows-only: murmur3
+    feature hashing is Spark-specific). Returns doc_id + tf-idf norm."""
+    from pyspark.ml.feature import HashingTF, IDF, Tokenizer
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    tf = HashingTF(inputCol="words", outputCol="tf", numFeatures=1 << 14).transform(toks)
+    idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    out = idf_model.transform(tf)
+    from pyspark.ml.functions import vector_to_array
+
+    arr = vector_to_array(F.col("tfidf"))
+    l2 = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x))
+    return out.select("doc_id", (F.floor(l2 * 10000) / 10000).alias("tfidf_l2"))

@@ -149,29 +149,45 @@ def _minhash_sql_sig() -> str:
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle → 8 minhashes → 4 band
-    keys → equi-join on (band, key). The join is the only shuffle and it
-    carries 16-byte keys, so the pattern survives 100 TB corpora."""
+    keys (exploded, ONE pass over the signatures) → groupBy (band, key)
+    buckets → in-bucket pair expansion.
+
+    Scale shape: exactly one scan of the corpus and one shuffle of
+    16-byte band keys. The earlier union-of-4-bands + self-join version
+    recomputed the md5-shingle pipeline 8× (4 band branches × 2 join
+    sides) — 50s at sf0.1 vs ~4s for this plan. Bucket sizes are
+    collision-bounded (a hot bucket means near-identical docs), so
+    collect_list stays small; a 100 TB run would additionally cap bucket
+    size to bound worst-case blowup."""
     docs = load_table(spark, sf_dir, "documents")
     sig = _minhash_signature_df(docs)
-    band_rows = []
-    for b in range(_N_HASHES // _BAND_SIZE):
-        lo, hi = b * _BAND_SIZE, b * _BAND_SIZE + 1
-        band_rows.append(
-            sig.select(
-                "doc_id",
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat(F.col(f"h{lo}"), F.col(f"h{hi}"))).alias("key"),
+                F.md5(
+                    F.concat(F.col(f"h{b * _BAND_SIZE}"), F.col(f"h{b * _BAND_SIZE + 1}"))
+                ).alias("key"),
             )
-        )
-    bands = band_rows[0]
-    for extra in band_rows[1:]:
-        bands = bands.unionAll(extra)
-    a = bands.alias("a")
-    b = bands.alias("b")
+            for b in range(_N_HASHES // _BAND_SIZE)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # all (ids[i], ids[j]) i<j pairs; ids sorted so doc_a < doc_b holds
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 

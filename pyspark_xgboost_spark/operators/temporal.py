@@ -1,0 +1,149 @@
+"""Temporal join operators: as-of join, range join, JSON extraction.
+
+The reference has no joins at all (SURVEY.md §2.2: joins ABSENT); these
+are §2.3 extension operators chosen because they are the two join shapes
+relational engines don't give you as a primitive and every event/feature
+pipeline needs:
+
+* **as-of join** — "for each left row, the latest right row at or
+  before it". Spark-first expression: union both sides into one
+  ordered stream and run ``last(..., ignorenulls=True)`` over a
+  user-partitioned window. ONE shuffle on (user_id), no row explosion,
+  no range-duplicating self-join — the merge-pattern that survives
+  100 TB event tables. Oracle: DuckDB's native ``ASOF JOIN``.
+* **range join** — join rows to interval bands. The band dimension is
+  tiny and broadcast, so the non-equi predicate is evaluated map-side
+  (BroadcastNestedLoopJoin on a 4-row build side — no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from pyspark_xgboost_spark.registry import register
+from pyspark_xgboost_spark.sources import load_table
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+           CAST(epoch_us(p.ts) AS BIGINT) AS last_purchase_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event paired with the same user's most
+    recent purchase at-or-before it (last-touch attribution shape).
+
+    Implementation is the union+window merge: tag purchases, sort the
+    merged stream by (user, ts), carry the last purchase ts forward with
+    ``last(ignorenulls=True)``. Timestamps are compared/output as epoch
+    micros so both engines hash identically. Tie policy matches ASOF
+    (>=): within one timestamp the purchase row sorts before the click
+    row via the is_purchase desc secondary key."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    merged = clicks.withColumn("p_ts", F.lit(None).cast("long")).unionByName(
+        purchases.withColumn("p_ts", F.col("ts_us")).select(
+            "event_id", "user_id", "ts_us", "p_ts"
+        )
+    )
+    # purchases first within equal ts (nulls LAST puts the non-null
+    # purchase row before the click row) → a click at t sees a purchase
+    # at exactly t, matching ASOF's >= semantics
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc(), F.col("p_ts").asc_nulls_last())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = merged.withColumn(
+        "last_purchase_us", F.last("p_ts", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("event_id").isNotNull()).select(
+        "event_id", "user_id", "ts_us", "last_purchase_us"
+    )
+
+
+_BANDS = [
+    # (band_name, lo inclusive, hi exclusive)
+    ("low", 0.0, 25.0),
+    ("mid", 25.0, 50.0),
+    ("high", 50.0, 75.0),
+    ("top", 75.0, 1e18),
+]
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT '{n}' AS band, CAST({lo} AS DOUBLE) AS lo, CAST({hi} AS DOUBLE) AS hi"
+    for n, lo, hi in _BANDS
+)
+
+
+@register(
+    "join_range",
+    oracle=f"""
+    WITH bands AS ({_BANDS_SQL})
+    SELECT b.band,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval/band) join: events bucketed into value bands via a
+    broadcast non-equi join, then aggregated per band. The 4-row build
+    side broadcasts, so the range predicate runs map-side with no
+    shuffle of the fact table; the groupBy shuffles 4 partial rows per
+    task. Money-style sums go through exact integer cents."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    joined = ev.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("sum_value_cents"),
+    )
+
+
+@register(
+    "scalar_json_extract",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) < 10
+    GROUP BY 1
+    """,
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions: parse ``props`` (a JSON object column),
+    extract an int field, filter + aggregate on it. get_json_object is a
+    codegen'd JVM expression — the predicate stays in the scan stage."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"), "value")
+        .filter(F.col("k") < 10)
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("sum_value_cents"),
+        )
+    )

@@ -38,7 +38,9 @@ def load_all() -> None:
     import pyspark_xgboost_spark.operators.text  # noqa: F401
     import pyspark_xgboost_spark.operators.multimodal  # noqa: F401
     import pyspark_xgboost_spark.operators.ml_queries  # noqa: F401
+    import pyspark_xgboost_spark.operators.temporal  # noqa: F401
     import pyspark_xgboost_spark.streaming.windows  # noqa: F401
+    import pyspark_xgboost_spark.streaming.stream  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

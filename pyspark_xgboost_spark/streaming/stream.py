@@ -1,0 +1,152 @@
+"""Structured Streaming over the ``events`` table.
+
+Real ``readStream`` → watermark → windowed agg / stateful op →
+``writeStream`` pipelines, run to completion with
+``trigger(availableNow=True)`` so they are testable against the SAME
+DuckDB oracles as the batch windows (streaming and batch share the
+aggregation functions in ``streaming.windows``).
+
+Scale notes: the file source is a stand-in for Kafka — swapping
+``readStream.parquet`` for ``readStream.format("kafka")`` changes
+nothing downstream. Watermarks bound state: a 2-hour watermark means
+the state store holds only ~2h of open windows per key regardless of
+corpus size. ``applyInPandasWithState`` is the custom-stateful-operator
+escape hatch (reference has no streaming at all — SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from pyspark_xgboost_spark.registry import register
+from pyspark_xgboost_spark.streaming.windows import session_agg, tumbling_agg
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+_counter = itertools.count()
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """The file stream source requires a DIRECTORY of files (it models a
+    landing zone receiving new files); stage one containing a symlink to
+    the single events.parquet. Idempotent per sf_dir."""
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join("/tmp", "spark_stream_src", key)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.islink(link):
+        os.makedirs(d, exist_ok=True)
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet. The raw file stores
+    TIMESTAMP(NANOS), which the vectorized reader only surfaces as int64
+    (spark.sql.legacy.parquet.nanosAsLong) — truncate to micros exactly
+    like sources.load_table so stream and batch see identical rows."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_EVENTS_SCHEMA).parquet(_events_stream_dir(sf_dir))
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_to_memory(out: DataFrame, mode: str) -> DataFrame:
+    """Execute a streaming DF to completion into a memory sink and
+    return the sink table (one availableNow pass = all input files)."""
+    name = f"stream_sink_{next(_counter)}"
+    q = (
+        out.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = out.sparkSession
+    return spark.table(name)
+
+
+@register(
+    "events_stream_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS w_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling window == batch tumbling window: same
+    aggregation fn, plus a 2-hour watermark bounding state. Complete
+    output mode emits every window, so one availableNow pass over the
+    whole table reproduces the batch result exactly — which the shared
+    DuckDB oracle verifies."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    return _run_to_memory(tumbling_agg(ev), "complete")
+
+
+@register("events_stream_session_window")
+def events_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) with watermark. Session
+    merging across micro-batches is stateful; complete mode emits the
+    final merged sessions. Rows-only check here because the batch
+    equivalent (events_session_window) already carries the SQL oracle —
+    the dedicated test asserts stream == batch row-for-row."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    return _run_to_memory(session_agg(ev), "complete")
+
+
+def _user_stats_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Running per-user (n_events, sum_value_cents) kept in GroupState."""
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        cents += int(pdf["value"].mul(100).round(0).sum())
+    state.update((n, cents))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value_cents": [cents]})
+
+
+@register(
+    "events_stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (count, sum-in-cents). One availableNow pass over
+    one input file = one micro-batch, so the emitted running totals are
+    the final totals and the plain GROUP BY oracle applies. At scale the
+    same operator incrementally maintains per-user feature state off a
+    Kafka source with RocksDB state store."""
+    ev = read_events_stream(spark, sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_fn,
+            outputStructType="user_id long, n_events long, sum_value_cents long",
+            stateStructType="n long, cents long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(out, "update")

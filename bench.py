@@ -20,15 +20,23 @@ HEADLINE = [
     "join_broadcast",
     "join_hash_inner",
     "join_multiway",
+    "join_asof",
+    "join_range",
     "window_rank",
     "window_frame_agg",
     "sort_limit_topk",
+    "scalar_json_extract",
     "events_tumbling_window",
     "events_session_window",
+    "events_stream_tumbling_window",
     "dedup_exact",
     "dedup_minhash",
     "sim_search_topk",
+    "sim_search_ivf",
     "text_quality_score",
+    "text_langid",
+    "scan_csv",
+    "sink_parquet_partitioned",
 ]
 
 

@@ -1,0 +1,132 @@
+"""Multi-format source/sink operators: CSV, JSON, partitioned parquet.
+
+The reference touches parquet only, and only for 1-row model blobs
+(SURVEY.md §2.1 scans/sinks note). A real data engine ingests more:
+these operators stage a table copy in the target format once (under a
+deterministic /tmp scratch dir), then run the query against the staged
+copy — so the scan path (schema application, type coercion, projection
+pushdown where the format supports it) is genuinely exercised and the
+DuckDB oracle still runs against the original parquet.
+
+Scale notes: CSV/JSON scans are line-splittable, so a 100 TB landing
+zone parallelizes by file block exactly like parquet; the difference is
+they push down nothing — the ``sink_parquet_partitioned`` operator is
+the "compact the landing zone into parquet" step every pipeline runs
+first, and its partitionBy column becomes the partition-pruning key
+downstream.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_xgboost_spark.registry import register
+from pyspark_xgboost_spark.sources import load_table
+
+_SCRATCH = "/tmp/spark_graft_scratch"
+
+
+def _stage(spark: SparkSession, sf_dir: str, table: str, fmt: str) -> str:
+    """Write {table} from parquet into {fmt} once per (sf_dir, table);
+    return the staged directory."""
+    key = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(_SCRATCH, key, f"{table}_{fmt}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        df = load_table(spark, sf_dir, table)
+        df.write.mode("overwrite").format(fmt).save(out)
+    return out
+
+
+@register(
+    "scan_csv",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with explicit schema (never inferSchema in production —
+    it triggers an extra full read) + aggregation. Values round-trip
+    parquet → csv → DataFrame exactly because doubles serialize with
+    full precision."""
+    path = _stage(spark, sf_dir, "customer", "csv")
+    cust = spark.read.schema(
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+    ).csv(path)
+    return cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("bigint")).alias(
+            "sum_acctbal_cents"
+        ),
+    )
+
+
+@register(
+    "scan_json",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region, count(*) AS n_suppliers
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan of three staged tables + broadcast dim joins —
+    the landing-zone-to-star-join hop. Explicit schemas keep the scan
+    single-pass."""
+    sup = spark.read.schema(
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    ).json(_stage(spark, sf_dir, "supplier", "json"))
+    nat = spark.read.schema("n_nationkey int, n_name string, n_regionkey int").json(
+        _stage(spark, sf_dir, "nation", "json")
+    )
+    reg = spark.read.schema("r_regionkey int, r_name string").json(
+        _stage(spark, sf_dir, "region", "json")
+    )
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+
+
+@register(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + partition-pruned read-back: write
+    lineitem partitionBy(l_returnflag), read it back, aggregate per
+    partition value. At scale the partition column is the pruning key —
+    a downstream filter on l_returnflag reads 1/3 of the files. The
+    oracle checks the round trip loses nothing."""
+    key = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(_SCRATCH, key, "lineitem_by_flag")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_returnflag"
+        )
+        li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias(
+            "sum_price_cents"
+        ),
+    )

@@ -200,3 +200,32 @@ def test_feature_importances(spark, reg_train):
     model = XgboostRegressor(n_estimators=10).fit(reg_train)
     imp = model.get_feature_importances()
     assert imp and all(v > 0 for v in imp.values())
+
+
+def test_crossvalidator_integration(spark, cls_train):
+    """Meta-algorithm compatibility (reference xgboost_local_test.py:
+    466-476): the estimator must survive ParamGridBuilder copy()
+    semantics and CrossValidator's fit loop."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    est = XgboostClassifier(n_estimators=5, max_depth=2)
+    grid = (
+        ParamGridBuilder()
+        .addGrid(est.n_estimators, [3, 5])
+        .addGrid(est.max_depth, [2, 3])
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=est,
+        estimatorParamMaps=grid,
+        evaluator=BinaryClassificationEvaluator(),
+        numFolds=2,
+        seed=42,
+        parallelism=2,
+    )
+    cv_model = cv.fit(cls_train)
+    assert len(cv_model.avgMetrics) == 4
+    assert max(cv_model.avgMetrics) > 0.9  # separable fixture
+    out = cv_model.bestModel.transform(cls_train)
+    assert out.filter("prediction != label").count() == 0

@@ -37,6 +37,7 @@ HEADLINE = [
     "text_langid",
     "scan_csv",
     "sink_parquet_partitioned",
+    "ml_fit_predict_regressor",
 ]
 
 

@@ -82,9 +82,19 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASHES = 8
 _BAND_SIZE = 2  # 4 bands of 2 → catches jaccard ≳ 0.5 pairs
 
+# Universal-hash mixing constants: h_k(x) = (A[k]*x + B[k]) mod M over a
+# 32-bit md5-derived base. ONE md5 per shingle instead of 8 — the 8
+# per-k variants are integer arithmetic, which keeps the generated code
+# small (the earlier 8-md5-transforms projection compiled to a class so
+# large that Janino took 10-20s per session to compile it).
+_M = 4294967291  # largest 32-bit prime
+_A = (1299721, 2750161, 4256233, 5800079, 7368787, 8960453, 10570841, 12195257)
+_B = (104729, 224737, 350377, 479909, 611953, 746773, 882377, 1020379)
+
 
 def _minhash_signature_df(docs: DataFrame) -> DataFrame:
-    """doc_id + 8 md5-derived minhashes over word 3-gram shingles."""
+    """doc_id + 8 minhashes (bigint) over word 3-gram shingles: base =
+    first 8 md5 hex digits as uint32, then (A[k]*base + B[k]) mod M."""
     toks = F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')")
     out = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
     shingles = F.expr(
@@ -93,25 +103,35 @@ def _minhash_signature_df(docs: DataFrame) -> DataFrame:
         "element_at(toks, i + 2)))"
     )
     out = out.select("doc_id", shingles.alias("shingles"))
+    bases = F.expr(
+        "transform(shingles, s -> cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))"
+    )
+    out = out.select("doc_id", bases.alias("bases"))
 
-    def hash_fn(k: int):
-        # NB: must be a ONE-parameter lambda — a `lambda s, k=k` has two
-        # parameters, which F.transform treats as (element, index) and
-        # binds k to the array-index Column.
-        prefix = f"s{k}:"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    def mix(k: int):
+        # ONE-parameter lambda (a two-parameter lambda would become an
+        # (element, index) transform and bind the constant to the index)
+        a, b = _A[k], _B[k]
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(_M)
 
     cols = [
-        F.array_min(F.transform(F.col("shingles"), hash_fn(k))).alias(f"h{k}")
+        F.array_min(F.transform(F.col("bases"), mix(k))).alias(f"h{k}")
         for k in range(_N_HASHES)
     ]
     return out.select("doc_id", *cols)
 
 
+# DuckDB has no base-16 conv(); evaluate the 8 hex digits positionally.
+_HEX_TO_INT_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(s), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
 def _minhash_sql_sig() -> str:
     """DuckDB CTE mirroring _minhash_signature_df bit-for-bit."""
     hs = ",\n           ".join(
-        f"list_min(list_transform(shingles, s -> md5('s{k}:' || s))) AS h{k}"
+        f"list_min(list_transform(bases, x -> (x * {_A[k]} + {_B[k]}) % {_M})) AS h{k}"
         for k in range(_N_HASHES)
     )
     return f"""
@@ -125,10 +145,15 @@ def _minhash_sql_sig() -> str:
                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
       FROM toks WHERE len(toks) >= 3
     ),
+    based AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> CAST({_HEX_TO_INT_SQL} AS BIGINT)) AS bases
+      FROM sh
+    ),
     sig AS (
       SELECT doc_id,
            {hs}
-      FROM sh
+      FROM based
     )"""
 
 
@@ -137,10 +162,10 @@ def _minhash_sql_sig() -> str:
     oracle=f"""
     WITH {_minhash_sql_sig()},
     bands AS (
-      SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sig
-      UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
-      UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
-      UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+      SELECT doc_id, 0 AS band, h0::VARCHAR || '_' || h1::VARCHAR AS key FROM sig
+      UNION ALL SELECT doc_id, 1, h2::VARCHAR || '_' || h3::VARCHAR FROM sig
+      UNION ALL SELECT doc_id, 2, h4::VARCHAR || '_' || h5::VARCHAR FROM sig
+      UNION ALL SELECT doc_id, 3, h6::VARCHAR || '_' || h7::VARCHAR FROM sig
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
@@ -165,8 +190,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(
-                    F.concat(F.col(f"h{b * _BAND_SIZE}"), F.col(f"h{b * _BAND_SIZE + 1}"))
+                F.concat_ws(
+                    "_",
+                    F.col(f"h{b * _BAND_SIZE}").cast("string"),
+                    F.col(f"h{b * _BAND_SIZE + 1}").cast("string"),
                 ).alias("key"),
             )
             for b in range(_N_HASHES // _BAND_SIZE)

@@ -92,7 +92,19 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(decode, "doc_id long, features array<float>, feat_dim int")
 
 
-@register("multimodal_frame_sample")
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_no,
+           md5(substr(text, CAST(i * 64 + 1 AS BIGINT), 16)) AS frame_digest
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(0, CAST(floor((length(text) - 1) / 64) AS BIGINT))) AS i
+      FROM documents WHERE length(text) > 0
+    )
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Video' frame sampling: every k-th 16-byte slice of the payload is
     one 'frame'; emits (doc_id, frame_no, frame_digest). The explode

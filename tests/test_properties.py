@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis) for the hand-built operator
+semantics — the reference repo has none (SURVEY §5); these cover the
+operators whose correctness is easiest to get subtly wrong.
+
+One shared SparkSession; examples are small so each property runs in
+seconds. deadline=None because Spark job latency is not the property
+under test.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# (user_id, ts, is_purchase) event streams
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=100),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(_events)
+def test_asof_union_window_matches_merge_asof(spark, events):
+    """The union+window as-of merge must agree with pandas.merge_asof
+    (allow_exact_matches=True) for every generated stream."""
+    clicks = [(i, u, t) for i, (u, t, p) in enumerate(events) if not p]
+    purchases = [(u, t) for (u, t, p) in events if p]
+    if not clicks:
+        return
+
+    cdf = spark.createDataFrame(clicks, "event_id long, user_id long, ts_us long")
+    if purchases:
+        pdf_p = spark.createDataFrame(purchases, "user_id long, ts_us long")
+    else:
+        pdf_p = spark.createDataFrame([], "user_id long, ts_us long")
+
+    merged = cdf.withColumn("p_ts", F.lit(None).cast("long")).unionByName(
+        pdf_p.select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts_us",
+            F.col("ts_us").alias("p_ts"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc(), F.col("p_ts").asc_nulls_last())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    got = {
+        r.event_id: r.last_p
+        for r in merged.withColumn("last_p", F.last("p_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_id").isNotNull())
+        .collect()
+    }
+
+    left = pd.DataFrame(clicks, columns=["event_id", "user_id", "ts_us"]).sort_values(
+        "ts_us", kind="stable"
+    )
+    right = pd.DataFrame(purchases, columns=["user_id", "ts_us"]).astype("int64")
+    right = right.sort_values("ts_us", kind="stable")
+    right["p_ts"] = right["ts_us"]
+    expected = pd.merge_asof(
+        left,
+        right,
+        on="ts_us",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    for _, row in expected.iterrows():
+        exp = None if pd.isna(row["p_ts"]) else int(row["p_ts"])
+        assert got[int(row["event_id"])] == exp
+
+
+_docs = st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12).map(
+        lambda ws: " ".join(ws)
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(**_SETTINGS)
+@given(_docs)
+def test_minhash_identical_docs_always_candidates(spark, texts):
+    """LSH recall floor: two identical documents share every minhash,
+    hence every band key, so they MUST appear as a candidate pair."""
+    from pyspark_xgboost_spark.operators.dedup import _minhash_signature_df
+
+    rows = [(i, t) for i, t in enumerate(texts)] + [
+        (len(texts), texts[0])  # clone of doc 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = _minhash_signature_df(docs).collect()
+    by_id = {r.doc_id: tuple(r[f"h{k}"] for k in range(8)) for r in sig}
+    if 0 in by_id:  # doc 0 had >= 3 tokens
+        assert by_id[0] == by_id[len(texts)]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.floats(min_value=0.0, max_value=100.0, width=32), min_size=1, max_size=30)
+)
+def test_exact_cents_sum_is_exact(spark, values):
+    """Integer-cents aggregation (the oracle-parity idiom for money
+    columns) equals a Python exact sum of rounded cents."""
+    df = spark.createDataFrame([(float(v),) for v in values], "v double")
+    got = df.agg(
+        F.sum(F.round(F.col("v") * 100, 0).cast("bigint")).alias("cents")
+    ).collect()[0]["cents"]
+    import decimal
+
+    exp = sum(
+        int(
+            decimal.Decimal(v * 100).quantize(
+                decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        for v in values
+    )
+    assert got == exp

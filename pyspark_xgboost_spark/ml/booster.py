@@ -31,6 +31,8 @@ from __future__ import annotations
 
 import json
 import math
+import os
+import tempfile
 
 import numpy as np
 
@@ -459,7 +461,35 @@ DEFAULT_PARAMS = dict(
     missing=float("nan"),
     early_stopping_rounds=0,
     eval_metric=None,
+    use_external_storage=False,
+    external_storage_precision=5,
 )
+
+
+def _round_sig(X: np.ndarray, digits: int) -> np.ndarray:
+    """Round to ``digits`` significant digits (the reference's LIBSVM
+    spill applies the same lossy narrowing — data.py:26-41, precision
+    param xgboost_core.py:85-89)."""
+    out = X.copy()
+    nz = (out != 0) & np.isfinite(out)
+    if nz.any():
+        mag = np.floor(np.log10(np.abs(out[nz])))
+        scale = 10.0 ** (digits - 1 - mag)
+        out[nz] = np.round(out[nz] * scale) / scale
+    return out
+
+
+def _spill_to_memmap(arr: np.ndarray, workdir: str, name: str) -> np.ndarray:
+    """Write ``arr`` to a disk-backed memmap and return the mapped view.
+    The Spark analogue of the reference's out-of-core DMatrix
+    (file#cache, data.py:85-92): training state lives in page-cache-
+    backed files, so resident memory is bounded by the OS, not the
+    shard size."""
+    path = os.path.join(workdir, f"{name}.mm")
+    mm = np.memmap(path, dtype=arr.dtype, mode="w+", shape=arr.shape)
+    mm[:] = arr
+    mm.flush()
+    return mm
 
 
 def _grow_tree(B, edges, g, h, max_depth, reg_lambda, gamma, min_child_weight, lr, comm):
@@ -575,8 +605,18 @@ def train(
     K = obj.num_class if p["objective"] == "multi:softprob" else 1
     missing = float(p["missing"])
 
-    edges = compute_bin_edges(X, int(p["max_bin"]), comm)
-    B = bin_matrix(X, edges, missing)
+    if bool(p.get("use_external_storage")):
+        # out-of-core path (reference O10): lossy significant-digit
+        # narrowing, then both the float features and the binned codes
+        # live in disk-backed memmaps instead of process memory.
+        X = _round_sig(X, int(p.get("external_storage_precision") or 5))
+        workdir = tempfile.mkdtemp(prefix="gbt_ext_")
+        X = _spill_to_memmap(X, workdir, "features")
+        edges = compute_bin_edges(X, int(p["max_bin"]), comm)
+        B = _spill_to_memmap(bin_matrix(X, edges, missing), workdir, "codes")
+    else:
+        edges = compute_bin_edges(X, int(p["max_bin"]), comm)
+        B = bin_matrix(X, edges, missing)
 
     if K > 1:
         margin = np.full((len(X), K), float(p["base_score"]), dtype=np.float64)

@@ -125,6 +125,14 @@ class _XgboostParamsBase:
         out.update(self.getOrDefault(self.arbitraryParamsDict))
         if not out.get("eval_metric"):
             out["eval_metric"] = None
+        # out-of-core knobs ride into the kernel (reference passes them
+        # to the DMatrix build, xgboost_core.py:392-401)
+        out["use_external_storage"] = bool(
+            self.getOrDefault(getattr(self, "use_external_storage"))
+        )
+        out["external_storage_precision"] = int(
+            self.getOrDefault(getattr(self, "external_storage_precision"))
+        )
         return out
 
     def _validate_params(self) -> None:
@@ -136,6 +144,20 @@ class _XgboostParamsBase:
                 "use_gpu requested but this build runs the CPU histogram "
                 "kernel; continuing on CPU"
             )
+        if self.getOrDefault(getattr(self, "use_external_storage")):
+            # reference restriction: no weights/base margin in external-
+            # storage mode (xgboost_core.py:77-84)
+            has_weight = self.isDefined(self.weightCol) and self.getOrDefault(self.weightCol)
+            has_margin = (
+                self.hasParam("baseMarginCol")
+                and self.isDefined(getattr(self, "baseMarginCol"))
+                and self.getOrDefault(getattr(self, "baseMarginCol"))
+            )
+            if has_weight or has_margin:
+                raise ValueError(
+                    "use_external_storage does not support weightCol or "
+                    "baseMarginCol"
+                )
         if self.isDefined(self.validationIndicatorCol) and self.getOrDefault(
             self.validationIndicatorCol
         ):

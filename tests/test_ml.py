@@ -229,3 +229,27 @@ def test_crossvalidator_integration(spark, cls_train):
     assert max(cv_model.avgMetrics) > 0.9  # separable fixture
     out = cv_model.bestModel.transform(cls_train)
     assert out.filter("prediction != label").count() == 0
+
+
+def test_external_storage_parity(spark, reg_train):
+    """Out-of-core training (memmap-spilled binned codes, reference O10
+    xgboost data.py:45-92) must match in-memory training up to the
+    significant-digit narrowing (reference external-storage parity test,
+    xgboost_cluster_test.py:118-125)."""
+    in_mem = XgboostRegressor(n_estimators=10, max_depth=3).fit(reg_train)
+    ext = XgboostRegressor(
+        n_estimators=10, max_depth=3, use_external_storage=True
+    ).fit(reg_train)
+    a = np.array([r.prediction for r in in_mem.transform(reg_train).collect()])
+    b = np.array([r.prediction for r in ext.transform(reg_train).collect()])
+    assert np.allclose(a, b, atol=1e-3)
+
+
+def test_external_storage_rejects_weight(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(Vectors.dense(1.0, 2.0), 1.0)] * 10, ["features", "label"]
+    ).withColumn("w", F.lit(2.0))
+    with pytest.raises(ValueError, match="external_storage"):
+        XgboostRegressor(use_external_storage=True, weightCol="w").fit(df)

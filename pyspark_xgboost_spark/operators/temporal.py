@@ -147,3 +147,50 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("sum_value_cents"),
         )
     )
+
+
+_SALT = 8
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation join: the probe side salts its key into 8
+    sub-keys (deterministic hash of the full row key), the build side
+    replicates each row across all 8 salts, and the join runs on
+    (key, salt) — splitting any hot key's rows across 8 tasks instead
+    of one straggler. The oracle (a plain unsalted join) proves the
+    rewrite is result-invariant. At 100 TB this is the manual fallback
+    when AQE skew-join splitting can't help (e.g. pre-shuffle bucketed
+    layouts); salt count scales with observed skew."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    orders_rep = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1))).alias("salt"),
+    )
+    li_salted = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALT)).cast("int")
+    )
+    joined = li_salted.join(
+        orders_rep,
+        (F.col("l_orderkey") == F.col("o_orderkey")) & (li_salted.salt == orders_rep.salt),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias(
+            "sum_price_cents"
+        ),
+    )

@@ -150,3 +150,45 @@ def events_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataF
         )
     )
     return _run_to_memory(out, "update")
+
+
+@register(
+    "events_stream_file_sink",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT date_trunc('hour', ts) AS w_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+    FROM events, mx
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def events_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming ETL with a checkpointed parquet sink:
+    readStream → watermarked tumbling agg → writeStream(parquet) with a
+    checkpointLocation, then read the sink back. The checkpoint gives
+    exactly-once file-sink delivery — re-running against the same
+    checkpoint reprocesses nothing, so the result is stable across
+    invocations. Append output mode emits exactly the windows the final
+    watermark (max event ts - 2h) has passed — windows still inside the
+    lateness horizon stay open awaiting more data, and the oracle
+    encodes precisely that: window end <= max(ts) - 2h. (This is the
+    real append-mode contract; complete mode, used by
+    events_stream_tumbling_window, emits everything.)"""
+    key = sf_dir.strip("/").replace("/", "_")
+    out_dir = os.path.join("/tmp", "spark_stream_sink", key, "tumbling")
+    ckpt_dir = os.path.join("/tmp", "spark_stream_sink", key, "ckpt")
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    q = (
+        tumbling_agg(ev)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

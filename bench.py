@@ -31,7 +31,7 @@ HEADLINE = [
     "events_stream_tumbling_window",
     "dedup_exact",
     "dedup_minhash",
-    "sim_search_topk",
+    "sim_search_topk_vectorized",
     "sim_search_ivf",
     "text_quality_score",
     "text_langid",

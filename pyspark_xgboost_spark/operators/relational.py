@@ -663,3 +663,99 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+@register(
+    "subquery_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery — Catalyst decorrelates it into a left
+    semi join (SURVEY §4: subquery decorrelation is free), so the plan
+    is a semi-join on o_custkey with the price filter pushed below it,
+    not a per-row probe."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment
+        FROM customer_sq c
+        WHERE EXISTS (
+          SELECT 1 FROM orders_sq o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        """
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_F,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_O,
+           CAST(sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_F,
+           CAST(sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): one row per returnflag, one column pair
+    per linestatus. Explicit pivot values keep it single-pass — without
+    them Spark runs an extra distinct job to discover the columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_F"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_O"),
+        F.col("F_qty").cast("double").alias("qty_F"),
+        F.col("O_qty").cast("double").alias("qty_O"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS od_us,
+           count(*) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(epoch_us(o_orderdate) AS BIGINT)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+           ) AS n_last_7d
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): per customer,
+    how many orders landed in the trailing 7 days — the rolling-feature
+    shape every training pipeline computes. RANGE frames need a single
+    numeric sort key, so the date goes through epoch micros."""
+    o = _t(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ; session tz is UTC so the cast is
+    # a reinterpretation, matching DuckDB epoch_us on the naive value
+    od_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(od_us)
+        .rangeBetween(-604800000000, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        od_us.alias("od_us"),
+        F.count("*").over(w).alias("n_last_7d"),
+    )

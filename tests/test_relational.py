@@ -66,3 +66,18 @@ def test_semi_plus_anti_covers_all(spark):
     rows = {r.kind: r.n for r in join_semi_anti(spark, SF_DIR).collect()}
     n_cust = load_table(spark, SF_DIR, "customer").count()
     assert rows["with_orders"] + rows["without_orders"] == n_cust
+
+
+def test_conf_bool_parsing(spark):
+    from pyspark_xgboost_spark.session import get_conf_bool
+
+    spark.conf.set("my.test.flag", "true")
+    assert get_conf_bool(spark, "my.test.flag", False) is True
+    spark.conf.set("my.test.flag", "False")
+    assert get_conf_bool(spark, "my.test.flag", True) is False
+    assert get_conf_bool(spark, "my.test.unset.flag", True) is True
+    spark.conf.set("my.test.flag", "yes")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        get_conf_bool(spark, "my.test.flag", False)

@@ -494,14 +494,28 @@ def _spill_to_memmap(arr: np.ndarray, workdir: str, name: str) -> np.ndarray:
 
 def _grow_tree(B, edges, g, h, max_depth, reg_lambda, gamma, min_child_weight, lr, comm):
     """One depth-wise tree over binned data; histograms allreduced so all
-    workers grow the identical tree."""
+    workers grow the identical tree.
+
+    Returns ``(tree, delta)`` where ``delta`` is this shard's margin
+    update (leaf value of the node each local row lands in). Rows are
+    routed during growth anyway, so the per-round full-data re-traversal
+    the margin update would otherwise need is free here — and bin-code
+    routing (``code <= b``) is exactly the float predicate
+    (``x < edges[f][b]``) because codes are searchsorted-right ranks.
+    """
     n = len(B)
     nbp1 = n_bins_p1(edges)
     tree = _Tree()
     root = tree.add_node()
     node_of_row = np.zeros(n, dtype=np.int64)
+    row_idx = np.arange(n, dtype=np.int64)  # original positions of live rows
+    delta = np.zeros(n, dtype=np.float64)
     # level-order frontier: node ids whose rows are tagged with slot s
     frontier = [root]
+    # per-slot grad/hess totals carried from the parent's histograms so
+    # max-depth leaves need no extra histogram pass (or allreduce)
+    node_G: np.ndarray | None = None
+    node_H: np.ndarray | None = None
 
     for _depth in range(max_depth):
         n_slots = len(frontier)
@@ -521,14 +535,19 @@ def _grow_tree(B, edges, g, h, max_depth, reg_lambda, gamma, min_child_weight, l
         split_feat = np.full(n_slots, -1, dtype=np.int64)
         split_code = np.zeros(n_slots, dtype=np.int64)
         split_dl = np.zeros(n_slots, dtype=bool)
+        slot_value = np.zeros(n_slots, dtype=np.float64)
+        child_G = np.zeros(n_slots * 2, dtype=np.float64)
+        child_H = np.zeros(n_slots * 2, dtype=np.float64)
         for s, node in enumerate(frontier):
             f = int(feat[s])
+            # node totals: sum any single feature's histogram over its bins
+            Gn = hist_g[s, 0, :].sum()
+            Hn = hist_h[s, 0, :].sum()
             if not np.isfinite(gain[s]) or gain[s] <= 0 or len(edges[f]) <= bins[s]:
-                # leaf: weight = -G/(H+λ) scaled by lr.  Summing any single
-                # feature's histogram over its bins gives the node totals.
-                Gn = hist_g[s, 0, :].sum()
-                Hn = hist_h[s, 0, :].sum()
-                tree.value[node] = float(-Gn / (Hn + reg_lambda) * lr)
+                # leaf: weight = -G/(H+λ) scaled by lr
+                v = float(-Gn / (Hn + reg_lambda) * lr)
+                tree.value[node] = v
+                slot_value[s] = v
                 continue
             li = tree.add_node()
             ri = tree.add_node()
@@ -540,15 +559,28 @@ def _grow_tree(B, edges, g, h, max_depth, reg_lambda, gamma, min_child_weight, l
             slot_remap[2 * s] = len(new_frontier)
             slot_remap[2 * s + 1] = len(new_frontier) + 1
             split_feat[s] = f
-            split_code[s] = int(bins[s])
+            b = int(bins[s])
+            split_code[s] = b
             split_dl[s] = bool(dleft[s])
+            # chosen-split child totals (missing bucket goes default side)
+            Gm = hist_g[s, f, -1]
+            Hm = hist_h[s, f, -1]
+            GL = hist_g[s, f, : b + 1].sum() + (Gm if dleft[s] else 0.0)
+            HL = hist_h[s, f, : b + 1].sum() + (Hm if dleft[s] else 0.0)
+            child_G[2 * s] = GL
+            child_G[2 * s + 1] = Gn - GL
+            child_H[2 * s] = HL
+            child_H[2 * s + 1] = Hn - HL
             new_frontier.extend([li, ri])
 
+        # rows whose slot became a leaf this level get their margin now
+        leaf_rows = split_feat[node_of_row] < 0
+        if leaf_rows.any():
+            delta[row_idx[leaf_rows]] = slot_value[node_of_row[leaf_rows]]
         if not new_frontier:
-            break
+            return tree, delta
         # route rows to child slots
-        active = split_feat[node_of_row] >= 0
-        rows = np.nonzero(active)[0]
+        rows = np.nonzero(~leaf_rows)[0]
         s_of_rows = node_of_row[rows]
         codes = B[rows, split_feat[s_of_rows]]
         # missing is the single GLOBAL sentinel slot (bin_matrix);
@@ -556,28 +588,34 @@ def _grow_tree(B, edges, g, h, max_depth, reg_lambda, gamma, min_child_weight, l
         is_missing = codes == (nbp1 - 1)
         go_left = np.where(is_missing, split_dl[s_of_rows], codes <= split_code[s_of_rows])
         child_slot = slot_remap[2 * s_of_rows + np.where(go_left, 0, 1)]
-        new_node_of_row = np.full(len(B), -1, dtype=np.int64)
-        new_node_of_row[rows] = child_slot
-        # rows whose node became a leaf drop out of the frontier
-        node_of_row = new_node_of_row
-        keep = node_of_row >= 0
-        B = B[keep]
-        g = g[keep]
-        h = h[keep]
-        node_of_row = node_of_row[keep]
+        # leaf rows drop out of the frontier
+        B = B[rows]
+        g = g[rows]
+        h = h[rows]
+        row_idx = row_idx[rows]
+        node_of_row = child_slot
         frontier = new_frontier
+        valid = slot_remap >= 0
+        node_G = np.empty(len(new_frontier), dtype=np.float64)
+        node_H = np.empty(len(new_frontier), dtype=np.float64)
+        node_G[slot_remap[valid]] = child_G[valid]
+        node_H[slot_remap[valid]] = child_H[valid]
 
-    # any remaining frontier nodes at max depth become leaves
+    # any remaining frontier nodes at max depth become leaves; totals were
+    # carried from the parent split, so no histogram pass is needed
     if frontier:
-        n_slots = len(frontier)
-        hist_g, hist_h = _build_histograms(B, g, h, node_of_row, n_slots, nbp1)
-        stacked = comm.allreduce_sum(np.stack([hist_g, hist_h]))
-        hist_g, hist_h = stacked[0], stacked[1]
+        if node_G is None or node_H is None:
+            # max_depth == 0: no split level ran; fall back to one histogram
+            hist_g, hist_h = _build_histograms(B, g, h, node_of_row, len(frontier), nbp1)
+            stacked = comm.allreduce_sum(np.stack([hist_g, hist_h]))
+            node_G = stacked[0][:, 0, :].sum(axis=1)
+            node_H = stacked[1][:, 0, :].sum(axis=1)
+        vals = -node_G / (node_H + reg_lambda) * lr
         for s, node in enumerate(frontier):
-            Gn = hist_g[s, 0, :].sum()
-            Hn = hist_h[s, 0, :].sum()
-            tree.value[node] = float(-Gn / (Hn + reg_lambda) * lr)
-    return tree
+            tree.value[node] = float(vals[s])
+        if len(row_idx):
+            delta[row_idx] = vals[node_of_row]
+    return tree, delta
 
 
 def train(
@@ -650,7 +688,7 @@ def train(
         for k in range(K):
             gk = g[:, k] if K > 1 else g
             hk = h[:, k] if K > 1 else h
-            tree = _grow_tree(
+            tree, delta = _grow_tree(
                 B,
                 edges,
                 np.ascontiguousarray(gk),
@@ -663,7 +701,6 @@ def train(
                 comm,
             )
             trees.append(tree)
-            delta = tree.predict_margin(X, missing)
             if K > 1:
                 margin[:, k] += delta
             else:

@@ -1,11 +1,17 @@
 """Socket allreduce for barrier-mode training.
 
-``BarrierTaskContext.allGather`` costs ~1-2 s per call (the Python
-barrier RPC polls at second granularity), which is fine for a one-off
-rendezvous but useless for per-tree-level histogram reduction. The
-reference solves this exactly the same way: it uses allGather ONCE to
-broadcast the Rabit tracker's host:port (utils.py:81-126) and runs the
-actual allreduce over direct worker sockets. Here rank 0 hosts a tiny
+``BarrierTaskContext.allGather`` costs a measured ~1.0 s PER CALL (a
+constant in the Python barrier RPC, even with all tasks already
+waiting), which rules it out for per-tree-level histogram reduction —
+and is worth avoiding even for the one-off rendezvous. The reference
+amortizes the same cost by using allGather ONCE to broadcast the Rabit
+tracker's host:port (utils.py:81-126) and running the actual allreduce
+over direct worker sockets. We go one step further: the rendezvous
+itself needs no barrier RPC. Every rank derives the same candidate
+port list and handshake cookie from barrier-visible facts (stage id,
+attempt number, the task-address roster), rank 0 binds the first free
+candidate, and clients probe the list until the cookie matches — see
+``candidate_ports`` / ``connect_rendezvous``. Rank 0 hosts a tiny
 reduction server (star topology) and the other workers hold one
 persistent TCP connection each.
 
@@ -28,14 +34,64 @@ future work.)
 
 from __future__ import annotations
 
+import hashlib
 import io
 import socket
 import struct
 import threading
+import time
 
 import numpy as np
 
 _LEN = struct.Struct(">Q")
+_MAGIC_LEN = 16
+
+
+def cookie_magic(cookie: str) -> bytes:
+    """16-byte handshake token; the server sends it on accept and the
+    client validates before identifying itself, so a probe that lands on
+    an unrelated service (or a zombie server from a previous stage
+    attempt, whose cookie differs) is rejected instead of corrupting the
+    reduction group."""
+    return hashlib.md5(b"gbt-rendezvous-" + cookie.encode()).digest()
+
+
+def candidate_ports(cookie: str, n: int = 16) -> list[int]:
+    """Deterministic port walk in [20000, 50000) seeded by the cookie.
+    Every rank computes the same list with zero communication; rank 0
+    binds the first free one, clients probe in the same order."""
+    h = int.from_bytes(hashlib.md5(cookie.encode()).digest()[:4], "big")
+    return [20000 + (h + i * 941) % 30000 for i in range(n)]
+
+
+def connect_rendezvous(
+    host: str, ports: list[int], magic: bytes, rank: int, deadline_s: float = 120.0
+) -> socket.socket:
+    """Client side of the no-RPC rendezvous: walk the candidate ports
+    until one answers with the right magic (the server may not have
+    bound yet — keep cycling until the deadline)."""
+    end = time.monotonic() + deadline_s
+    while time.monotonic() < end:
+        for p in ports:
+            s = None
+            try:
+                s = socket.create_connection((host, p), timeout=2)
+                s.settimeout(5)
+                if _recv_exact(s, _MAGIC_LEN) != magic:
+                    s.close()
+                    continue
+                s.settimeout(None)
+                s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                s.sendall(struct.pack(">I", rank))
+                return s
+            except OSError:
+                if s is not None:
+                    try:
+                        s.close()
+                    except OSError:
+                        pass
+        time.sleep(0.05)
+    raise TimeoutError(f"rendezvous: no server answered on {host} ports {ports}")
 
 
 def _send_msg(sock: socket.socket, op: bytes, payload: bytes) -> None:
@@ -90,12 +146,29 @@ class _ReduceServer:
     """Rank-0 reduction hub. One thread; one blocking read per client
     per round (clients are lock-stepped by design)."""
 
-    def __init__(self, n_clients: int, host: str = ""):
+    def __init__(self, n_clients: int, host: str = "", magic: bytes = b"\x00" * _MAGIC_LEN,
+                 ports: list[int] | None = None):
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        self._srv.bind((host or "0.0.0.0", 0))
-        self._srv.listen(n_clients)
+        if ports:
+            bound = False
+            for p in ports:
+                try:
+                    self._srv.bind((host or "0.0.0.0", p))
+                    bound = True
+                    break
+                except OSError:
+                    continue
+            if not bound:
+                raise OSError(
+                    f"rendezvous: all {len(ports)} candidate ports in use; "
+                    "the barrier stage will retry with a fresh port walk"
+                )
+        else:
+            self._srv.bind((host or "0.0.0.0", 0))
+        self._srv.listen(n_clients + 4)
         self.port = self._srv.getsockname()[1]
+        self._magic = magic
         self._n = n_clients
         self._conns: list[socket.socket] = []
         # rank-0's own per-round contribution / result mailboxes
@@ -117,14 +190,25 @@ class _ReduceServer:
         return res
 
     def _run(self) -> None:
-        # accept all clients (ranks connect in any order; they identify
-        # themselves with one header byte = rank index among clients)
+        # accept clients until all ranks are registered (they connect in
+        # any order and identify with a 4-byte rank header after
+        # validating our magic); a probe that disconnects mid-handshake
+        # (wrong stage's client, port scanner) is dropped and ignored
         by_rank: dict[int, socket.socket] = {}
-        for _ in range(self._n):
+        while len(by_rank) < self._n:
             conn, _ = self._srv.accept()
-            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-            (rank_b,) = struct.unpack(">I", _recv_exact(conn, 4))
-            by_rank[rank_b] = conn
+            try:
+                conn.settimeout(10)
+                conn.sendall(self._magic)
+                (rank_b,) = struct.unpack(">I", _recv_exact(conn, 4))
+                conn.settimeout(None)
+                conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                by_rank[rank_b] = conn
+            except (OSError, ConnectionError, struct.error):
+                try:
+                    conn.close()
+                except OSError:
+                    pass
         self._conns = [by_rank[r] for r in sorted(by_rank)]
 
         quit_count = 0
@@ -165,22 +249,17 @@ class _ReduceServer:
 class SocketComm:
     """Comm implementation backed by the rank-0 reduce server.
 
-    rank 0: pass server=_ReduceServer(...); others: pass (host, port).
+    rank 0: pass server=_ReduceServer(...); others: pass a socket from
+    ``connect_rendezvous`` (which already completed the handshake).
     """
 
     def __init__(self, rank: int, n_workers: int, server: _ReduceServer | None = None,
-                 addr: tuple[str, int] | None = None):
+                 sock: socket.socket | None = None):
         self.rank = rank
         self.n_workers = n_workers
         self._server = server
-        self._sock: socket.socket | None = None
-        if server is None:
-            assert addr is not None
-            s = socket.create_connection(addr, timeout=120)
-            s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-            # identify: client index = rank - 1 (rank 0 is the server)
-            s.sendall(struct.pack(">I", rank - 1))
-            self._sock = s
+        self._sock = sock
+        assert (server is None) != (sock is None)
 
     def _round(self, op: bytes, payload: bytes) -> bytes:
         if self._server is not None:

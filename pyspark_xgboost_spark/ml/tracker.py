@@ -5,9 +5,9 @@ Reference architecture (xgboost_core.py:358-433): gang-schedule
 via ``BarrierTaskContext``, run an allreduce ring among the workers, and
 only partition 0 returns the fitted model. The reference's ring is
 Rabit (tracker bootstrapped on partition 0 and broadcast through
-``allGather`` — utils.py:64-126); our kernel's only cross-worker
-exchange is histogram summation, so the allreduce itself ALSO rides on
-``allGather`` (sum of base64-encoded ndarrays). Histograms are
+``allGather`` — utils.py:64-126); ours is the direct-TCP reduce star in
+``comm.py``, reached with ZERO barrier RPCs (each costs a measured
+~1.0 s — see ``rendezvous``). Histograms are
 O(nodes × features × bins) independent of shard row count, so payloads
 stay in the low MBs at any data scale; at 100 TB the rows never move —
 only histograms do.
@@ -20,9 +20,9 @@ Scheduling hazards mirrored from the reference:
   already matches (cheap-correct version of the reference's
   plan-inspecting elision, xgboost_core.py:291-321, whose own comment
   admits the heuristic is "not fully accurate");
-* empty shards: feature dimensionality is agreed via one allGather
-  before training so zero-row workers participate in every reduction
-  with correctly-shaped zero histograms.
+* empty shards: feature dimensionality is agreed via one socket
+  allgather before training so zero-row workers participate in every
+  reduction with correctly-shaped zero histograms.
 """
 
 from __future__ import annotations
@@ -37,27 +37,46 @@ from pyspark import BarrierTaskContext
 from pyspark.sql import DataFrame
 
 from pyspark_xgboost_spark.ml import booster as kernel
-from pyspark_xgboost_spark.ml.comm import SocketComm, _ReduceServer
+from pyspark_xgboost_spark.ml.comm import (
+    SocketComm,
+    _ReduceServer,
+    candidate_ports,
+    connect_rendezvous,
+    cookie_magic,
+)
 from pyspark_xgboost_spark.ml.data import batches_to_matrices
 
 _logger = logging.getLogger("pyspark_xgboost_spark.ml")
 
 
 def rendezvous(context: BarrierTaskContext) -> SocketComm:
-    """One allGather to broadcast rank-0's reduce-server address, then
-    all reductions ride direct TCP (the reference's tracker bootstrap
-    pattern, utils.py:81-126 — allGather is seconds-slow per call, so
-    it is used exactly once)."""
+    """Zero-RPC rendezvous: every barrier RPC (``allGather``/``barrier``)
+    costs a measured ~1.0 s constant, so instead of broadcasting rank-0's
+    reduce-server address through one, all ranks derive the same
+    candidate port list + handshake cookie from facts the barrier stage
+    already gives every task for free — stage id, attempt number, and
+    the task-address roster (``getTaskInfos``, which is how clients know
+    rank-0's HOST without any exchange; the reference reads the tracker
+    host the same way, utils.py:105-112). Rank 0 binds the first free
+    candidate port; clients probe the list and the cookie check rejects
+    strangers and zombie servers from earlier stage attempts."""
     infos = context.getTaskInfos()
     n = len(infos)
     rank = context.partitionId()
+    host = infos[0].address.split(":")[0] or "127.0.0.1"
+    # attemptNumber distinguishes barrier-stage retries (all tasks retry
+    # together); the address roster distinguishes concurrent apps that
+    # happen to share a stage id (executor ports differ per app)
+    cookie = json.dumps(
+        [context.stageId(), context.attemptNumber(), n, [i.address for i in infos]]
+    )
+    ports = candidate_ports(cookie)
+    magic = cookie_magic(cookie)
     if rank == 0:
-        host = infos[0].address.split(":")[0] or "127.0.0.1"
-        server = _ReduceServer(n_clients=n - 1)
-        context.allGather(json.dumps({"host": host, "port": server.port}))
+        server = _ReduceServer(n_clients=n - 1, magic=magic, ports=ports)
         return SocketComm(0, n, server=server)
-    addr_msg = json.loads(context.allGather("")[0])
-    return SocketComm(rank, n, addr=(addr_msg["host"], addr_msg["port"]))
+    sock = connect_rendezvous(host, ports, magic, rank)
+    return SocketComm(rank, n, sock=sock)
 
 
 def get_max_concurrent_tasks(sc) -> int:
@@ -134,8 +153,11 @@ def fit_distributed(
             eval_weight=(val_s.w if (has_validation and has_weight) else None),
             comm=comm,
         )
+        # comm.close() is itself a full sync point (the quit round-trip
+        # blocks every rank until the server has every rank's quit), so
+        # no trailing context.barrier() is needed — each barrier RPC
+        # costs seconds in the Python poll loop.
         comm.close()
-        context.barrier()
         if comm.rank == 0:
             yield pd.DataFrame({"model_json": [bst.save_json()]})
 

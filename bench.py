@@ -29,6 +29,9 @@ HEADLINE = [
     "events_tumbling_window",
     "events_session_window",
     "events_stream_tumbling_window",
+    "events_stream_stream_join",
+    "topk_per_group",
+    "sink_bucketed_join",
     "dedup_exact",
     "dedup_minhash",
     "sim_search_topk_vectorized",

@@ -759,3 +759,116 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         od_us.alias("od_us"),
         F.count("*").over(w).alias("n_last_7d"),
     )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    )
+    WHERE rk <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (top-3 priciest orders per priority) — the
+    grouped variant of sort_limit_topk. The window + filter shape keeps
+    it one shuffle on the group key with per-partition heaps; a global
+    orderBy-then-filter would instead range-shuffle the whole fact
+    table. Tie-broken on o_orderkey so row_number is deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "join_theta_nlj",
+    oracle="""
+    SELECT n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey <> r.r_regionkey
+    """,
+)
+def join_theta_nlj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta (non-equi, no equality conjunct) join: each nation
+    paired with every region it is NOT in. No hash key exists, so the
+    only physical strategy is a nested-loop join — Catalyst picks
+    BroadcastNestedLoopJoin with the 5-row region side broadcast, which
+    is exactly right at any fact scale: NLJ is O(n·m) and survives only
+    when one side is tiny."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.join(
+        F.broadcast(r), F.col("n_regionkey") != F.col("r_regionkey")
+    ).select("n_name", "r_name")
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile bucketing + rank
+    normalization per market segment. percent_rank = (rank-1)/(n-1) is
+    the same IEEE division in both engines, so values hash-match
+    exactly; the sort key includes c_custkey to make ties
+    deterministic."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           floor(CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE) * 100) / 100 AS p25,
+           floor(CAST(quantile_cont(l_extendedprice, 0.50) AS DOUBLE) * 100) / 100 AS p50,
+           floor(CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE) * 100) / 100 AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles via Spark's percentile aggregate
+    (single pass, one shuffle on the group key; the 100 TB-scale
+    variant is percentile_approx's KLL-style sketch, mergeable on
+    map side). Floored to 2dp to absorb last-ulp interpolation
+    differences vs DuckDB's quantile_cont."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+    agg = li.groupBy("l_returnflag").agg(pct.alias("ps"))
+    def fl(i: int):
+        return F.floor(F.element_at("ps", i) * 100) / 100
+    return agg.select(
+        "l_returnflag",
+        fl(1).alias("p25"),
+        fl(2).alias("p50"),
+        fl(3).alias("p75"),
+    )

@@ -19,6 +19,7 @@ downstream.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -129,4 +130,64 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias(
             "sum_price_cents"
         ),
+    )
+
+
+@register(
+    "sink_bucketed_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table sink + shuffle-free co-located join AND aggregate.
+
+    Both sides are written bucketBy(8, join key) + sortBy, so the scan
+    comes back hash-partitioned identically on both sides: the join is
+    a SortMergeJoin with ZERO Exchange, and the downstream groupBy on
+    the (bucketed) customer key reuses the same partitioning — the
+    whole query runs without a single shuffle (asserted in
+    tests/test_plans.py). This is THE pattern for a 100 TB fact table
+    repeatedly joined on the same key: pay the shuffle once at write
+    time, never again at read time. Bucket count locally is 8; at scale
+    it is sized to ~task-target bytes (e.g. 100 TB / 256 MB ≈ 400k is
+    too many files → bucket on coarser key or use liquid-style
+    clustering)."""
+    key = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
+    o_tbl, c_tbl = f"orders_bkt_{key}", f"customer_bkt_{key}"
+
+    def _write_bucketed(table: str, name: str, bucket_col: str) -> None:
+        if spark.catalog.tableExists(name):
+            return
+        # the in-memory catalog forgets managed tables across sessions
+        # while their warehouse directory persists — clear the stale one
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        stale = os.path.join(warehouse, name)
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+        load_table(spark, sf_dir, table).write.bucketBy(8, bucket_col).sortBy(
+            bucket_col
+        ).mode("overwrite").saveAsTable(name)
+
+    _write_bucketed("orders", o_tbl, "o_custkey")
+    _write_bucketed("customer", c_tbl, "c_custkey")
+    o = spark.table(o_tbl)
+    # hint("merge") pins SortMergeJoin: at test SF the dimension fits the
+    # broadcast threshold and a BroadcastHashJoin would ignore bucketing;
+    # the 100 TB plan (neither side broadcastable) is SMJ-over-buckets
+    c = spark.table(c_tbl).hint("merge")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+                "sum_price_cents"
+            ),
+        )
     )

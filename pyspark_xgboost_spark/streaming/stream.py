@@ -59,19 +59,40 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
+def _state_partitions(spark: SparkSession) -> int:
+    """Stateful streaming opens + commits one state store PER shuffle
+    partition PER micro-batch — at 32 partitions that fixed cost is ~3s
+    per pass locally vs ~0.2s of actual aggregation. Size the state
+    partitioning to the executor slots that will process it (cores/4,
+    floor 4), not to the batch-oriented shuffle default; a real
+    deployment sizes this to total-state-bytes / executor-memory since
+    it is pinned in the checkpoint for the life of the query."""
+    return max(4, spark.sparkContext.defaultParallelism // 4)
+
+
 def _run_to_memory(out: DataFrame, mode: str) -> DataFrame:
     """Execute a streaming DF to completion into a memory sink and
-    return the sink table (one availableNow pass = all input files)."""
+    return the sink table (one availableNow pass = all input files).
+
+    The shuffle-partition conf is pinned query-local: a streaming query
+    reads it once at start (and stores it in the checkpoint), so setting
+    it around start() scopes it to this query without touching the
+    session's batch default."""
     name = f"stream_sink_{next(_counter)}"
-    q = (
-        out.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = out.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_state_partitions(spark)))
+    try:
+        q = (
+            out.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -96,15 +117,90 @@ def events_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame
     return _run_to_memory(tumbling_agg(ev), "complete")
 
 
-@register("events_stream_session_window")
+@register(
+    "events_stream_session_window",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts < lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS session_value
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+)
 def events_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (30-min gap) with watermark. Session
     merging across micro-batches is stateful; complete mode emits the
-    final merged sessions. Rows-only check here because the batch
-    equivalent (events_session_window) already carries the SQL oracle —
-    the dedicated test asserts stream == batch row-for-row."""
+    final fully-merged sessions, so the stream shares the batch query's
+    gaps-and-islands oracle (and the dedicated test additionally pins
+    stream == batch row-for-row)."""
     ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
     return _run_to_memory(session_agg(ev), "complete")
+
+
+@register(
+    "events_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: clicks joined to the purchases they
+    precede by ≤1 hour, per user. Both sides carry watermarks and the
+    join condition carries the event-time bound, which is what lets the
+    state store evict: a buffered click can be dropped once the purchase
+    watermark passes click_ts + 1h. Without the time-range predicate a
+    stream-stream join must buffer both sides forever — the canonical
+    unbounded-state mistake at 100 TB."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    return _run_to_memory(joined, "append")
 
 
 def _user_stats_fn(
@@ -181,14 +277,19 @@ def events_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join("/tmp", "spark_stream_sink", key, "tumbling")
     ckpt_dir = os.path.join("/tmp", "spark_stream_sink", key, "ckpt")
     ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
-    q = (
-        tumbling_agg(ev)
-        .writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_state_partitions(spark)))
+    try:
+        q = (
+            tumbling_agg(ev)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out_dir)

@@ -97,3 +97,23 @@ def test_asof_join_single_shuffle(spark):
     # range-join row explosion)
     assert "Join" not in plan or "BroadcastHashJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_no_exchange(spark):
+    from pyspark_xgboost_spark.sources.formats import sink_bucketed_join
+
+    df = sink_bucketed_join(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both scans are bucketed on the join key with the same bucket
+    # count, and the aggregate groups on the bucketed key: the whole
+    # query — join AND agg — must run with zero shuffles
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+
+
+def test_theta_join_is_broadcast_nlj(spark):
+    from pyspark_xgboost_spark.operators.relational import join_theta_nlj
+
+    plan = plan_of(join_theta_nlj(spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in plan

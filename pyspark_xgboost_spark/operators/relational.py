@@ -872,3 +872,30 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         fl(2).alias("p50"),
         fl(3).alias("p75"),
     )
+
+
+@register(
+    "scalar_map_ops",
+    oracle="""
+    SELECT n_nationkey, u.key AS k, u.value AS v
+    FROM (
+      SELECT n_nationkey,
+             unnest(map_entries(MAP {
+               'name': n_name,
+               'region': CAST(n_regionkey AS VARCHAR)
+             })) AS u
+      FROM nation
+    )
+    """,
+)
+def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type scalar functions: build a map<string,string> per row
+    (create_map), then lateral-explode it to (key, value) rows — the
+    schema-flexible attribute-bag shape. explode is a narrow op (no
+    shuffle); map columns stay columnar in Tungsten rows."""
+    n = _t(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"),
+        F.lit("region"), F.col("n_regionkey").cast("string"),
+    )
+    return n.select("n_nationkey", F.explode(m).alias("k", "v"))

@@ -191,3 +191,33 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "scan_orc",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan: orders staged parquet→ORC once, then scanned and
+    aggregated. ORC is the other columnar format Spark reads natively
+    (vectorized reader, predicate pushdown, column pruning — same scan
+    machinery as parquet); the oracle aggregates the same rows from the
+    original parquet, proving the format round-trip is lossless."""
+    path = _stage(spark, sf_dir, "orders", "orc")
+    return (
+        spark.read.orc(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+                "sum_price_cents"
+            ),
+        )
+    )

@@ -293,3 +293,21 @@ def events_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "events_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicatesWithinWatermark keeps one
+    event per (user_id, event_type) while the state store only retains
+    keys inside the watermark horizon — unbounded-stream dedup with
+    bounded state, the streaming twin of dedup_exact. Only the key
+    columns are emitted ("which pairs exist") because which duplicate
+    survives is nondeterministic under parallel arrival."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return _run_to_memory(deduped, "append")

@@ -48,3 +48,111 @@ def test_distributed_rejects_base_margin(spark, reg_df):
     df = reg_df.withColumn("bm", reg_df.label * 0.1)
     with pytest.raises(ValueError, match="baseMarginCol"):
         XgboostRegressor(n_estimators=2, num_workers=2, baseMarginCol="bm").fit(df)
+
+
+# ---------------------------------------------------------------------------
+# comm rendezvous unit tests (no Spark: raw sockets + threads)
+# ---------------------------------------------------------------------------
+
+
+def test_candidate_ports_deterministic_and_disjoint():
+    from pyspark_xgboost_spark.ml.comm import candidate_ports
+
+    a = candidate_ports("cookie-a")
+    assert a == candidate_ports("cookie-a")
+    assert len(set(a)) == len(a)
+    assert all(20000 <= p < 50000 for p in a)
+    # different cookie -> (almost surely) different walk start
+    assert a[0] != candidate_ports("cookie-b")[0]
+
+
+def test_rendezvous_comm_roundtrip():
+    import threading
+
+    import numpy as np
+
+    from pyspark_xgboost_spark.ml.comm import (
+        SocketComm,
+        _ReduceServer,
+        candidate_ports,
+        connect_rendezvous,
+        cookie_magic,
+    )
+
+    cookie = "test-stage-7-attempt-0"
+    ports = candidate_ports(cookie)
+    magic = cookie_magic(cookie)
+    server = _ReduceServer(n_clients=2, magic=magic, ports=ports)
+    assert server.port in ports
+
+    results = {}
+
+    def client(rank: int):
+        sock = connect_rendezvous("127.0.0.1", ports, magic, rank, deadline_s=10)
+        comm = SocketComm(rank, 3, sock=sock)
+        results[rank] = comm.allreduce_sum(np.full(4, rank, dtype=np.float64))
+        comm.close()
+
+    threads = [threading.Thread(target=client, args=(r,)) for r in (1, 2)]
+    for t in threads:
+        t.start()
+    comm0 = SocketComm(0, 3, server=server)
+    results[0] = comm0.allreduce_sum(np.full(4, 0, dtype=np.float64))
+    comm0.close()
+    for t in threads:
+        t.join(timeout=10)
+    # 0 + 1 + 2 summed identically on every rank
+    for r in (0, 1, 2):
+        assert results[r].tolist() == [3.0, 3.0, 3.0, 3.0]
+
+
+def test_rendezvous_rejects_wrong_magic_and_tolerates_probes():
+    import socket
+    import struct
+    import threading
+
+    import numpy as np
+
+    from pyspark_xgboost_spark.ml.comm import (
+        SocketComm,
+        _ReduceServer,
+        candidate_ports,
+        connect_rendezvous,
+        cookie_magic,
+    )
+
+    cookie = "test-stage-9-attempt-1"
+    ports = candidate_ports(cookie)
+    magic = cookie_magic(cookie)
+    server = _ReduceServer(n_clients=1, magic=magic, ports=ports)
+
+    # a zombie/foreign probe: connects, reads magic, rejects it, drops —
+    # the server must ignore it and still accept the real client
+    probe = socket.create_connection(("127.0.0.1", server.port), timeout=5)
+    probe.recv(16)
+    probe.close()
+
+    # wrong-cookie client walking the same ports must NOT connect
+    try:
+        connect_rendezvous(
+            "127.0.0.1", [server.port], cookie_magic("other"), 1, deadline_s=0.5
+        )
+        raise AssertionError("wrong magic accepted")
+    except TimeoutError:
+        pass
+
+    done = {}
+
+    def client():
+        sock = connect_rendezvous("127.0.0.1", ports, magic, 1, deadline_s=10)
+        comm = SocketComm(1, 2, sock=sock)
+        done["sum"] = comm.allreduce_sum(np.array([1.0]))
+        comm.close()
+
+    t = threading.Thread(target=client)
+    t.start()
+    comm0 = SocketComm(0, 2, server=server)
+    assert comm0.allreduce_sum(np.array([2.0])).tolist() == [3.0]
+    comm0.close()
+    t.join(timeout=10)
+    assert done["sum"].tolist() == [3.0]

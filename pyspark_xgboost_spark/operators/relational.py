@@ -899,3 +899,42 @@ def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("region"), F.col("n_regionkey").cast("string"),
     )
     return n.select("n_nationkey", F.explode(m).alias("k", "v"))
+
+
+@register(
+    "scalar_try_cast",
+    oracle="""
+    SELECT props,
+           TRY_CAST(json_extract_string(props, '$.plan') AS INTEGER) AS plan_int,
+           COALESCE(TRY_CAST(json_extract_string(props, '$.score') AS DOUBLE), -1.0)
+             AS score_or_default,
+           CASE WHEN CAST(json_extract_string(props, '$.retries') AS DOUBLE) = 0
+                THEN NULL
+                ELSE CAST(json_extract_string(props, '$.clicks') AS DOUBLE)
+                     / CAST(json_extract_string(props, '$.retries') AS DOUBLE)
+           END AS clicks_per_retry
+    FROM events
+    WHERE event_id < 100
+    """,
+)
+def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar evaluation over dirty semi-structured data:
+    try_cast returns NULL instead of failing the 100 TB job on one
+    malformed record (ANSI mode makes plain CAST throw), and try_divide
+    nulls out division by zero. The dirty-data operators every landing-
+    zone pipeline needs before types are trusted."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    plan_s = F.get_json_object("props", "$.plan")
+    score_s = F.get_json_object("props", "$.score")
+    clicks_s = F.get_json_object("props", "$.clicks")
+    retries_s = F.get_json_object("props", "$.retries")
+    return ev.select(
+        "props",
+        plan_s.try_cast("int").alias("plan_int"),
+        F.coalesce(score_s.try_cast("double"), F.lit(-1.0)).alias(
+            "score_or_default"
+        ),
+        F.try_divide(clicks_s.cast("double"), retries_s.cast("double")).alias(
+            "clicks_per_retry"
+        ),
+    )

@@ -240,3 +240,63 @@ def text_tokenize_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = vector_to_array(F.col("tfidf"))
     l2 = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x))
     return out.select("doc_id", (F.floor(l2 * 10000) / 10000).alias("tfidf_l2"))
+
+
+@register(
+    "text_tfidf_exact",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    n_docs AS (SELECT count(*) AS n FROM toks),
+    tf AS (
+      SELECT doc_id, unnest(toks) AS term FROM toks
+    ),
+    tf_counts AS (
+      SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf_counts GROUP BY term
+    )
+    SELECT t.doc_id, t.term,
+           CAST(t.tf AS BIGINT) AS tf,
+           CAST(d.df AS BIGINT) AS df,
+           floor(t.tf * ln((n.n + 1.0) / (d.df + 1.0)) * 10000) / 10000 AS tfidf
+    FROM tf_counts t, n_docs n
+    JOIN df d ON t.term = d.term
+    WHERE t.tf * ln((n.n + 1.0) / (d.df + 1.0)) >= 2.0
+    """,
+)
+def text_tfidf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus TF-IDF with true document frequencies (unlike
+    text_tokenize_tfidf's murmur3 feature hashing, this is
+    engine-portable and oracle-checked): explode tokens → per-doc term
+    counts → document-frequency agg → broadcast the (small) df table
+    back onto the term counts. Two shuffles on term-sized keys, never
+    on documents; at 100 TB the df table is vocabulary-sized (Zipf:
+    millions, not billions) and still broadcastable after a min-df
+    cut. Emits only terms with tfidf >= 2 to keep the result
+    inspection-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+    t = docs.select("doc_id", F.explode(toks).alias("term"))
+    n_docs = docs.count()
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * idf).alias("_tfidf_raw"),
+    )
+    return scored.filter(F.col("_tfidf_raw") >= 2.0).select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.floor(F.col("_tfidf_raw") * 10000) / 10000).alias("tfidf"),
+    )

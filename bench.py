@@ -38,6 +38,8 @@ HEADLINE = [
     "sim_search_ivf",
     "text_quality_score",
     "text_langid",
+    "text_tfidf_exact",
+    "pipeline_training_data",
     "scan_csv",
     "sink_parquet_partitioned",
     "ml_fit_predict_regressor",

@@ -311,3 +311,33 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type"
     )
     return _run_to_memory(deduped, "append")
+
+
+@register(
+    "events_stream_sliding_window",
+    oracle="""
+    WITH slid AS (
+      SELECT ts, value,
+             date_trunc('hour', ts) + CASE WHEN EXTRACT(MINUTE FROM ts) >= 30
+               THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS aligned
+      FROM events
+    ), assigned AS (
+      SELECT aligned AS w_start, value FROM slid
+      UNION ALL
+      SELECT aligned - INTERVAL 30 MINUTE AS w_start, value FROM slid
+    )
+    SELECT w_start, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_value
+    FROM assigned GROUP BY w_start
+    """,
+)
+def events_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding (hopping) windows — each event enters two
+    overlapping 1-hour windows, so state holds ~2x the open windows of
+    the tumbling case (still watermark-bounded). Shares the batch
+    query's window-alignment oracle; complete mode emits every window
+    after one availableNow pass."""
+    from pyspark_xgboost_spark.streaming.windows import sliding_agg
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    return _run_to_memory(sliding_agg(ev), "complete")

@@ -938,3 +938,30 @@ def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clicks_per_retry"
         ),
     )
+
+
+@register(
+    "agg_distinct_group",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group DISTINCT aggregation (two distinct columns + a plain
+    count in one pass). Catalyst rewrites multi-distinct into an Expand
+    (one row replica per distinct set) + two-phase aggregation — a
+    fundamentally different physical shape from the global
+    distinct_count_agg; at 100 TB swap to approx_count_distinct unless
+    exactness is contractual (the Expand multiplies shuffle volume by
+    the number of distinct specs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )

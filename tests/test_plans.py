@@ -117,3 +117,28 @@ def test_theta_join_is_broadcast_nlj(spark):
 
     plan = plan_of(join_theta_nlj(spark, SF_DIR), "simple")
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_aqe_coalesces_small_shuffles(spark):
+    from pyspark_xgboost_spark.operators.relational import agg_distinct_group
+
+    # AQE must be re-planning at runtime: the 32-partition shuffle over
+    # tiny test data collapses into coalesced AQEShuffleRead partitions.
+    # At 100 TB the same mechanism right-sizes reducer counts per stage.
+    df = agg_distinct_group(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "AQEShuffleRead" in plan
+
+
+def test_pipeline_uses_broadcast_joins(spark):
+    from pyspark_xgboost_spark.operators.pipeline import pipeline_training_data
+
+    df = pipeline_training_data(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both the dedup-keeper join and the embeddings join broadcast the
+    # small side at this SF (AQE decides; at 100 TB they become SMJ)
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "isFinalPlan=true" in plan

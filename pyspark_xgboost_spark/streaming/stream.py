@@ -341,3 +341,60 @@ def events_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
     return _run_to_memory(sliding_agg(ev), "complete")
+
+
+@register(
+    "events_stream_foreach_batch",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink — the escape hatch when the target system has
+    no native streaming sink (JDBC upserts, REST, multi-table writes):
+    each micro-batch arrives as a regular batch DataFrame. Here every
+    batch appends its PARTIAL per-type aggregates to parquet and the
+    read-back merges them — the merge-on-read shape that keeps
+    foreachBatch idempotent-friendly across retries. The oracle proves
+    partials re-aggregate to exactly the batch answer regardless of how
+    the input was micro-batched."""
+    import shutil as _shutil
+    import tempfile
+
+    key = sf_dir.strip("/").replace("/", "_")
+    out_dir = os.path.join("/tmp", "spark_stream_sink", key, "foreach_parts")
+    if os.path.exists(out_dir):
+        _shutil.rmtree(out_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("sum_cents"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    ev = read_events_stream(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_state_partitions(spark)))
+    try:
+        q = (
+            ev.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="fb_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("event_type").agg(
+        F.sum("n").alias("n"), F.sum("sum_cents").alias("sum_cents")
+    )

@@ -127,3 +127,43 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "frame_no": frame_nos, "frame_digest": digests})
 
     return docs.mapInPandas(sample, "doc_id long, frame_no int, frame_digest string")
+
+
+_RESIZE_TARGET = 256
+
+
+@register("multimodal_resize")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Resize' the binary payload to a bounded size (crop-style stub:
+    first 256 bytes; production swaps in PIL thumbnail/resample) —
+    binary in, binary out through Arrow-batched mapInPandas with the
+    metadata struct updated alongside. Rows-only: DuckDB cannot slice
+    BLOBs, so the byte-exact goldens live in tests/test_relational.py
+    (digest of resized payload vs hashlib on the raw bytes).
+
+    Scale shape: narrow op, no shuffle; output bytes are bounded so a
+    downstream cache/broadcast of thumbnails is safely sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            resized = [bytes(p)[:_RESIZE_TARGET] for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "out_bytes": [len(r) for r in resized],
+                    "resized": resized,
+                    "digest": [hashlib.md5(r).hexdigest() for r in resized],
+                }
+            )
+
+    return packed.mapInPandas(
+        resize,
+        "doc_id long, orig_bytes long, out_bytes long, resized binary, digest string",
+    )

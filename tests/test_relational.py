@@ -81,3 +81,24 @@ def test_conf_bool_parsing(spark):
 
     with _pytest.raises(ValueError):
         get_conf_bool(spark, "my.test.flag", False)
+
+
+def test_multimodal_resize_golden(spark):
+    import hashlib
+
+    from pyspark_xgboost_spark.operators.multimodal import (
+        _RESIZE_TARGET,
+        multimodal_resize,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+
+    out = {r.doc_id: r for r in multimodal_resize(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    assert len(out) == len(docs)
+    for r in docs[:50]:
+        raw = r.text.encode("utf-8")
+        row = out[r.doc_id]
+        assert row.orig_bytes == len(raw)
+        assert row.out_bytes == min(len(raw), _RESIZE_TARGET)
+        assert bytes(row.resized) == raw[:_RESIZE_TARGET]
+        assert row.digest == hashlib.md5(raw[:_RESIZE_TARGET]).hexdigest()

@@ -16,7 +16,7 @@ when one side is small). No stage is driver-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_xgboost_spark.registry import register
@@ -62,24 +62,37 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     → join embeddings → (doc_id, lang, source, n_tokens, ttr, label,
     emb_norm). The embedding L2 norm is an ordered left fold, matching
     DuckDB's list_inner_product sequential sum exactly (same trick as
-    operators/similarity.py)."""
+    operators/similarity.py).
+
+    Dedup is a window min over the normalized-text DIGEST: one shuffle
+    carrying a 32-char hash instead of document bodies, no self-join,
+    and the tokenize/quality branch is computed once (the groupBy +
+    join-back formulation scans and tokenizes the corpus twice and
+    shuffles three times)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')")
     norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
-    t = docs.select("doc_id", "lang", "source", toks.alias("toks"), norm.alias("norm"))
+    t = docs.select(
+        "doc_id", "lang", "source", toks.alias("toks"), F.md5(norm).alias("norm_hash")
+    )
     quality = t.select(
         "doc_id",
         "lang",
         "source",
-        "norm",
+        "norm_hash",
         F.size("toks").alias("n_tokens"),
         F.size(F.array_distinct("toks")).alias("n_unique"),
     ).filter(
         (F.col("n_tokens") >= 10)
         & (F.col("n_unique").cast("double") / F.col("n_tokens") >= 0.3)
     )
-    keeper = quality.groupBy("norm").agg(F.min("doc_id").alias("doc_id"))
-    kept = quality.join(keeper.select("doc_id"), "doc_id")
+    kept = (
+        quality.withColumn(
+            "_keep", F.min("doc_id").over(Window.partitionBy("norm_hash"))
+        )
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .drop("_keep", "norm_hash")
+    )
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )

@@ -284,7 +284,9 @@ def text_tfidf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("doc_id", F.explode(toks).alias("term"))
     n_docs = docs.count()
     tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # (doc_id, term) is unique after the tf aggregate, so document
+    # frequency is a plain row count — no distinct-aggregate pass needed
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
     scored = tf.join(F.broadcast(df), "term").select(
         "doc_id",

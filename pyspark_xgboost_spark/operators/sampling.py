@@ -1,0 +1,134 @@
+"""Deterministic sampling / split operators over ``documents``.
+
+Training-data curation needs *reproducible* row selection: the same
+document must land in the same split on every run, on every cluster, and
+after any repartition. Random ``df.sample`` can't promise that (seeds are
+per-partition), so every operator here derives its decision from a
+cryptographic digest of a stable key — the standard "hash-mod" split used
+by large-scale pipeline builders. The reference has no sampling surface
+at all (no ``sample``/``randomSplit`` call anywhere in ``sparkdl/``); its
+only row-routing is the boolean validationIndicator split
+(``sparkdl/xgboost/data.py:158-160``), which ``train_val_split`` in
+ml_queries.py already mirrors. These operators generalize that idea.
+
+Scale notes:
+
+* every decision is a map-side expression on an already-read column — no
+  shuffle, no driver round-trip, and Catalyst pushes the digest filter
+  into the scan stage (rows are dropped before anything wide happens);
+* md5 (not Spark's murmur3 ``hash()``) so the DuckDB oracle computes
+  bit-identical buckets;
+* the equal-frequency bucketer is the one genuinely global operator —
+  its 100 TB form is documented on the function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_xgboost_spark.registry import register
+from pyspark_xgboost_spark.sources import load_table
+
+# First two hex chars of md5(key) give a uniform bucket in [0, 256); a
+# plain string compare against a hex literal thresholds it identically in
+# Spark and DuckDB ('1a' = 26/256 ~ 10.2%, '34' = 52/256 ~ 20.3%).
+_H2 = lambda c: F.substring(F.md5(c.cast("string")), 1, 2)  # noqa: E731
+
+
+@register(
+    "split_hash_train_test",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def split_hash_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test assignment keyed on
+    md5(doc_id). Pure projection: at 100 TB this is a zero-shuffle column
+    add, and the assignment survives any re-layout of the data."""
+    docs = load_table(spark, sf_dir, "documents")
+    h2 = _H2(F.col("doc_id"))
+    split = (
+        F.when(h2 < F.lit("1a"), F.lit("test"))
+        .when(h2 < F.lit("34"), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+@register(
+    "sample_hash_bucket",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-8 sample (first md5 nibble in {0,1} = 2/16).
+    The digest filter sits directly on the scan, so at scale 7/8 of rows
+    are dropped in the map stage before any downstream operator runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    h1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return docs.filter(h1.isin("0", "1")).select("doc_id", "source", "n_chars")
+
+
+@register(
+    "mix_sources_weighted",
+    oracle="""
+    SELECT lang, count(*) AS n_kept
+    FROM documents
+    WHERE lang = 'en'
+       OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+    GROUP BY lang
+    """,
+)
+def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting: keep all English docs, downsample every other
+    language to ~50% ('80' = 128/256) — the hash-threshold form of the
+    per-source mixture weights every LLM data recipe specifies. Map-side
+    filter + a 5-group aggregate: the shuffle moves one row per (lang,
+    partition) thanks to partial aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (F.col("lang") == "en") | (_H2(F.col("doc_id")) < F.lit("80"))
+    return docs.filter(keep).groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+@register(
+    "length_bucket_equal_freq",
+    oracle="""
+    SELECT bucket, count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM (
+        SELECT n_chars,
+               ntile(8) OVER (ORDER BY n_chars, doc_id) AS bucket
+        FROM documents
+    )
+    GROUP BY bucket
+    """,
+)
+def length_bucket_equal_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency length bucketing (8 buckets) — the curriculum /
+    batch-packing primitive. ntile orders by (n_chars, doc_id) so ties
+    break identically in both engines.
+
+    Scale note: a global ntile needs a total sort, which is the wrong
+    plan at 100 TB. The production form is two passes: ``approxQuantile``
+    cutpoints (tiny driver result) broadcast into a ``width_bucket``-style
+    CASE — same output schema, zero global sort. The exact form is
+    registered because the oracle can verify it bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        docs.select("n_chars", "doc_id", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

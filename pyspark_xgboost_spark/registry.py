@@ -40,6 +40,7 @@ def load_all() -> None:
     import pyspark_xgboost_spark.operators.ml_queries  # noqa: F401
     import pyspark_xgboost_spark.operators.temporal  # noqa: F401
     import pyspark_xgboost_spark.operators.pipeline  # noqa: F401
+    import pyspark_xgboost_spark.operators.sampling  # noqa: F401
     import pyspark_xgboost_spark.operators.python_udfs  # noqa: F401
     import pyspark_xgboost_spark.sources.formats  # noqa: F401
     import pyspark_xgboost_spark.streaming.windows  # noqa: F401

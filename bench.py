@@ -32,6 +32,9 @@ HEADLINE = [
     "events_stream_stream_join",
     "topk_per_group",
     "sink_bucketed_join",
+    "split_hash_train_test",
+    "mix_sources_weighted",
+    "length_bucket_equal_freq",
     "dedup_exact",
     "dedup_minhash",
     "sim_search_topk_vectorized",

@@ -284,12 +284,19 @@ def _build_histograms(B, g, h, node_of_row, n_nodes, n_bins_p1):
     return hist_g, hist_h
 
 
-def _best_splits(hist_g, hist_h, reg_lambda, gamma, min_child_weight):
+def _best_splits(hist_g, hist_h, reg_lambda, gamma, min_child_weight, edge_counts=None):
     """Vectorized best (feature, bin, missing-direction) per node.
 
     Returns arrays over nodes: gain, feature, bin, default_left.
     Bin b means predicate 'x < edges[f][b]'; missing bucket is the last
     histogram slot and is assigned to whichever side scores better.
+
+    ``edge_counts[f]`` = number of real cut points for feature f. The
+    histogram is padded to the widest feature, so slots b >=
+    edge_counts[f] are zero-filled; with min_child_weight=0 such a slot
+    can tie/win the argmax (HR=0 passes the child-weight check), which
+    would pick an unrealizable split. Those slots are masked to -inf
+    before the argmax so the chosen split is always a real cut.
     """
     n_nodes, n_feat, nbp1 = hist_g.shape
     G_real = hist_g[:, :, :-1]
@@ -319,6 +326,10 @@ def _best_splits(hist_g, hist_h, reg_lambda, gamma, min_child_weight):
     gain_mr = gain_of(GL, HL, GR + Gm[:, :, None], HR + Hm[:, :, None])  # missing→right
     default_left = gain_ml >= gain_mr
     gain = np.where(default_left, gain_ml, gain_mr)  # (node, feat, nb-1)
+
+    if edge_counts is not None and gain.shape[2] > 0:
+        invalid = np.arange(gain.shape[2])[None, :] >= np.asarray(edge_counts)[:, None]
+        gain = np.where(invalid[None, :, :], -np.inf, gain)
 
     if gain.shape[2] == 0:
         # no feature has any cut point (all-constant features): no splits
@@ -527,7 +538,8 @@ def _grow_tree(B, edges, g, h, max_depth, reg_lambda, gamma, min_child_weight, l
         stacked = comm.allreduce_sum(np.stack([hist_g, hist_h]))
         hist_g, hist_h = stacked[0], stacked[1]
         gain, feat, bins, dleft, G_tot, H_tot = _best_splits(
-            hist_g, hist_h, reg_lambda, gamma, min_child_weight
+            hist_g, hist_h, reg_lambda, gamma, min_child_weight,
+            edge_counts=[len(e) for e in edges],
         )
 
         new_frontier: list[int] = []

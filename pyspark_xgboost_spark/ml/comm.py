@@ -34,6 +34,7 @@ future work.)
 
 from __future__ import annotations
 
+import errno
 import hashlib
 import io
 import socket
@@ -54,6 +55,16 @@ def cookie_magic(cookie: str) -> bytes:
     attempt, whose cookie differs) is rejected instead of corrupting the
     reduction group."""
     return hashlib.md5(b"gbt-rendezvous-" + cookie.encode()).digest()
+
+
+def echo_token(magic: bytes) -> bytes:
+    """The client's half of the mutual handshake: a keyed digest of the
+    magic it just received. The server requires this before the rank
+    header, so a stray TCP peer that merely connects (port scanner,
+    health checker, wrong app) can't occupy a rank slot or wedge the
+    accept loop — only a peer that derived the same barrier-stage cookie
+    is admitted to the reduction group."""
+    return hashlib.md5(b"gbt-echo-" + magic).digest()
 
 
 def candidate_ports(cookie: str, n: int = 16) -> list[int]:
@@ -82,7 +93,7 @@ def connect_rendezvous(
                     continue
                 s.settimeout(None)
                 s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-                s.sendall(struct.pack(">I", rank))
+                s.sendall(echo_token(magic) + struct.pack(">I", rank))
                 return s
             except OSError:
                 if s is not None:
@@ -150,22 +161,41 @@ class _ReduceServer:
                  ports: list[int] | None = None):
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        # prefer binding the specific address clients will dial; fall
+        # back to the wildcard only when that address isn't a local
+        # interface (NAT / container port-mapping) — the handshake still
+        # gates entry either way, but a scoped bind keeps the endpoint
+        # off unrelated interfaces.
+        bind_hosts = [host] if host else ["0.0.0.0"]
+        if host and host != "0.0.0.0":
+            bind_hosts.append("0.0.0.0")
         if ports:
             bound = False
-            for p in ports:
-                try:
-                    self._srv.bind((host or "0.0.0.0", p))
-                    bound = True
+            for bh in bind_hosts:
+                for p in ports:
+                    try:
+                        self._srv.bind((bh, p))
+                        bound = True
+                        break
+                    except OSError as e:
+                        if e.errno == errno.EADDRNOTAVAIL:
+                            break  # host not local — move to fallback host
+                        continue
+                if bound:
                     break
-                except OSError:
-                    continue
             if not bound:
                 raise OSError(
                     f"rendezvous: all {len(ports)} candidate ports in use; "
                     "the barrier stage will retry with a fresh port walk"
                 )
         else:
-            self._srv.bind((host or "0.0.0.0", 0))
+            for bh in bind_hosts:
+                try:
+                    self._srv.bind((bh, 0))
+                    break
+                except OSError as e:
+                    if e.errno != errno.EADDRNOTAVAIL or bh == bind_hosts[-1]:
+                        raise
         self._srv.listen(n_clients + 4)
         self.port = self._srv.getsockname()[1]
         self._magic = magic
@@ -191,16 +221,22 @@ class _ReduceServer:
 
     def _run(self) -> None:
         # accept clients until all ranks are registered (they connect in
-        # any order and identify with a 4-byte rank header after
-        # validating our magic); a probe that disconnects mid-handshake
-        # (wrong stage's client, port scanner) is dropped and ignored
+        # any order; after validating our magic they must echo the keyed
+        # token back before the 4-byte rank header — see echo_token). A
+        # probe that disconnects mid-handshake, fails the echo, or claims
+        # a duplicate/out-of-range rank is dropped and ignored.
+        expected_echo = echo_token(self._magic)
         by_rank: dict[int, socket.socket] = {}
         while len(by_rank) < self._n:
             conn, _ = self._srv.accept()
             try:
                 conn.settimeout(10)
                 conn.sendall(self._magic)
+                if _recv_exact(conn, _MAGIC_LEN) != expected_echo:
+                    raise ConnectionError("bad echo")
                 (rank_b,) = struct.unpack(">I", _recv_exact(conn, 4))
+                if not (1 <= rank_b <= self._n) or rank_b in by_rank:
+                    raise ConnectionError(f"invalid or duplicate rank {rank_b}")
                 conn.settimeout(None)
                 conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
                 by_rank[rank_b] = conn

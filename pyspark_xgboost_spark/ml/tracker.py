@@ -73,7 +73,10 @@ def rendezvous(context: BarrierTaskContext) -> SocketComm:
     ports = candidate_ports(cookie)
     magic = cookie_magic(cookie)
     if rank == 0:
-        server = _ReduceServer(n_clients=n - 1, magic=magic, ports=ports)
+        # bind to the rank-0 task address the clients will dial (not the
+        # wildcard): the unauthenticated-until-handshake endpoint should
+        # not listen on every interface of the executor host
+        server = _ReduceServer(n_clients=n - 1, host=host, magic=magic, ports=ports)
         return SocketComm(0, n, server=server)
     sock = connect_rendezvous(host, ports, magic, rank)
     return SocketComm(rank, n, sock=sock)

@@ -67,29 +67,54 @@ def _decode_image_stub(payload: bytes, dim: int = 8) -> np.ndarray:
     return (raw.astype(np.float32) / 255.0)[: dim]
 
 
-@register("multimodal_decode_features")
+@register(
+    "multimodal_decode_features",
+    oracle="""
+    SELECT doc_id,
+           8 AS feat_dim,
+           substr(sha256(text), 1, 16) AS feat_hex,
+           CAST(list_sum(list_transform(generate_series(0, 7),
+                i -> (position(substr(sha256(text), 2*i+1, 1) IN '0123456789abcdef') - 1) * 16
+                   + (position(substr(sha256(text), 2*i+2, 1) IN '0123456789abcdef') - 1)))
+                AS INT) AS feat_byte_sum
+    FROM documents
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binary → fixed-dim feature vector via mapInPandas. Batch shape,
-    schema, and float32 output are the real contract; only the pixel
-    decode is faked (see _decode_image_stub)."""
+    schema, and float32 vectors are the real contract; only the pixel
+    decode is faked (see _decode_image_stub). The emitted columns are
+    scalar summaries of the decoded vector — its dimension, the digest
+    bytes it derives from, and the exact integer sum of those bytes —
+    so downstream comparison/canonicalization never sees a nested
+    (unhashable) cell while the decode path is still fully exercised."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                [float(x) for x in _decode_image_stub(bytes(p))] for p in pdf["payload"]
-            ]
+            ids, dims, hexes, sums = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(p)
+                feats = _decode_image_stub(payload)
+                raw = hashlib.sha256(payload).digest()[: len(feats)]
+                ids.append(doc_id)
+                dims.append(len(feats))
+                hexes.append(raw.hex())
+                sums.append(int(sum(raw)))
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "features": feats,
-                    "feat_dim": [len(f) for f in feats],
+                    "doc_id": ids,
+                    "feat_dim": dims,
+                    "feat_hex": hexes,
+                    "feat_byte_sum": sums,
                 }
             )
 
-    return docs.mapInPandas(decode, "doc_id long, features array<float>, feat_dim int")
+    return docs.mapInPandas(
+        decode, "doc_id long, feat_dim int, feat_hex string, feat_byte_sum int"
+    )
 
 
 @register(

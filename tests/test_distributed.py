@@ -156,3 +156,65 @@ def test_rendezvous_rejects_wrong_magic_and_tolerates_probes():
     comm0.close()
     t.join(timeout=10)
     assert done["sum"].tolist() == [3.0]
+
+
+def test_rendezvous_rejects_stranger_and_bad_ranks():
+    """Mutual handshake (round-1 advice): a TCP peer that connects and
+    sends bytes that aren't the keyed echo must NOT occupy a rank slot;
+    neither may a peer with the right echo but an out-of-range rank
+    (rank 0 is the server itself; valid clients are 1..n_clients)."""
+    import socket
+    import struct
+    import threading
+
+    import numpy as np
+
+    from pyspark_xgboost_spark.ml.comm import (
+        SocketComm,
+        _ReduceServer,
+        candidate_ports,
+        connect_rendezvous,
+        cookie_magic,
+        echo_token,
+    )
+
+    cookie = "test-stage-11-attempt-0"
+    ports = candidate_ports(cookie)
+    magic = cookie_magic(cookie)
+    server = _ReduceServer(n_clients=1, magic=magic, ports=ports)
+
+    # stranger: reads magic, replies with garbage where the echo goes
+    s = socket.create_connection(("127.0.0.1", server.port), timeout=5)
+    s.recv(16)
+    s.sendall(b"\x00" * 20)
+    s.close()
+
+    # right echo, but claims rank 0 (the server's own rank) — rejected
+    s = socket.create_connection(("127.0.0.1", server.port), timeout=5)
+    s.recv(16)
+    s.sendall(echo_token(magic) + struct.pack(">I", 0))
+    # and an out-of-range rank
+    s2 = socket.create_connection(("127.0.0.1", server.port), timeout=5)
+    s2.recv(16)
+    s2.sendall(echo_token(magic) + struct.pack(">I", 5))
+
+    done = {}
+
+    def client():
+        sock = connect_rendezvous("127.0.0.1", ports, magic, 1, deadline_s=10)
+        comm = SocketComm(1, 2, sock=sock)
+        done["sum"] = comm.allreduce_sum(np.array([1.0]))
+        comm.close()
+
+    t = threading.Thread(target=client)
+    t.start()
+    comm0 = SocketComm(0, 2, server=server)
+    assert comm0.allreduce_sum(np.array([2.0])).tolist() == [3.0]
+    comm0.close()
+    t.join(timeout=10)
+    assert done["sum"].tolist() == [3.0]
+    for bad in (s, s2):
+        try:
+            bad.close()
+        except OSError:
+            pass

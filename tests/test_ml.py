@@ -253,3 +253,35 @@ def test_external_storage_rejects_weight(spark):
     ).withColumn("w", F.lit(2.0))
     with pytest.raises(ValueError, match="external_storage"):
         XgboostRegressor(use_external_storage=True, weightCol="w").fit(df)
+
+
+def test_best_splits_masks_padded_bins():
+    """Histogram slots are padded to the widest feature's cut count;
+    with min_child_weight=0 a padded (zero-filled) slot plus a heavy
+    missing bucket can win the argmax as an unrealizable 'split'
+    (all real rows one side, missing the other, at a threshold the
+    feature doesn't have). _best_splits must mask b >= len(edges[f])
+    to -inf so the chosen split is always a real cut (round-1 advice)."""
+    from pyspark_xgboost_spark.ml.booster import _best_splits
+
+    nbp1 = 5  # 4 real bin slots + missing bucket
+    hist_g = np.zeros((1, 2, nbp1))
+    hist_h = np.zeros((1, 2, nbp1))
+    # feature 0: 3 real cuts, a modest valid split at b=0
+    hist_g[0, 0, :4] = [-4.0, 1.0, 1.0, 1.0]
+    hist_h[0, 0, :4] = [1.0, 1.0, 1.0, 1.0]
+    hist_h[0, 0, -1] = 0.5
+    # feature 1: ONE real cut (slots 2,3 are padding) + missing mass
+    hist_g[0, 1, :2] = [-4.0, -3.0]
+    hist_h[0, 1, :2] = [1.0, 3.0]
+    hist_g[0, 1, -1] = 6.0
+    hist_h[0, 1, -1] = 0.5
+
+    edge_counts = [3, 1]
+    # unmasked argmax picks the unrealizable slot — the bug scenario
+    _, f0, b0, *_ = _best_splits(hist_g, hist_h, 1.0, 0.0, 0.0, None)
+    assert b0[0] >= edge_counts[f0[0]]
+    # masked: a realizable split, still finite positive gain
+    g1, f1, b1, *_ = _best_splits(hist_g, hist_h, 1.0, 0.0, 0.0, edge_counts)
+    assert np.isfinite(g1[0]) and g1[0] > 0
+    assert b1[0] < edge_counts[f1[0]]

@@ -72,6 +72,18 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        # The driver canonicalizes with a pandas sort that dies on
+        # unhashable cells — flag ANY nested value, even in rows-only
+        # queries (this is what aborted the round-1 grading run).
+        bad_cols = set()
+        for r in srows[:200]:
+            for c, v in zip(scols, r):
+                if isinstance(v, (list, tuple, dict, set)):
+                    bad_cols.add(c)
+        if bad_cols:
+            print(f"FAIL {name}: unhashable (nested) columns {sorted(bad_cols)}")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(srows)} rows")
             n_rowsonly += 1

@@ -24,12 +24,20 @@ __all__ = [
     "XgboostClassifier",
     "XgboostRegressorModel",
     "XgboostClassifierModel",
+    "TrainingCallback",
+    "LearningRateScheduler",
 ]
+
+_BOOSTER_EXPORTS = {"TrainingCallback", "LearningRateScheduler"}
 
 
 def __getattr__(name):
     # Lazy: importing the ML surface pulls in pyspark.ml; keep top-level
     # import cheap for query-only users.
+    if name in _BOOSTER_EXPORTS:
+        from pyspark_xgboost_spark.ml import booster as _bst
+
+        return getattr(_bst, name)
     if name in __all__:
         from pyspark_xgboost_spark.ml import estimator as _est
 

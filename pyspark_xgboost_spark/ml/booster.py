@@ -477,6 +477,40 @@ DEFAULT_PARAMS = dict(
 )
 
 
+class TrainingCallback:
+    """Minimal training-callback protocol (reference parity: the
+    reference forwards xgboost's ``callbacks`` list into ``xgb.train``
+    and persists it with cloudpickle — model.py:111-118, used in
+    tests/xgboost/xgboost_local_test.py:478-500). Two hooks:
+
+    * ``before_iteration(rnd, lr) -> float | None`` — may return a new
+      learning rate for this boosting round;
+    * ``after_iteration(rnd, score) -> bool`` — return True to stop
+      training early (``score`` is the eval metric, or None without an
+      eval set).
+    """
+
+    def before_iteration(self, rnd: int, lr: float):  # noqa: ARG002
+        return None
+
+    def after_iteration(self, rnd: int, score):  # noqa: ARG002
+        return False
+
+
+class LearningRateScheduler(TrainingCallback):
+    """Per-round learning rate from a callable ``f(round) -> lr`` or a
+    list of rates (mirrors xgboost.callback.LearningRateScheduler, the
+    callback the reference's own test persists)."""
+
+    def __init__(self, learning_rates):
+        self.learning_rates = learning_rates
+
+    def before_iteration(self, rnd: int, lr: float):
+        if callable(self.learning_rates):
+            return float(self.learning_rates(rnd))
+        return float(self.learning_rates[rnd])
+
+
 def _round_sig(X: np.ndarray, digits: int) -> np.ndarray:
     """Round to ``digits`` significant digits (the reference's LIBSVM
     spill applies the same lossy narrowing — data.py:26-41, precision
@@ -640,9 +674,20 @@ def train(
     eval_weight: np.ndarray | None = None,
     comm: LocalComm | None = None,
     feature_names: list[str] | None = None,
+    xgb_model: "Booster | None" = None,
+    callbacks: list | None = None,
 ) -> Booster:
     """Fit a GBT ensemble. With a multi-worker ``comm``, X/y are this
-    worker's shard and the returned booster is identical on all workers."""
+    worker's shard and the returned booster is identical on all workers.
+
+    ``xgb_model`` continues training from a previously fitted booster
+    (reference xgb.train's ``xgb_model``; persistence model.py:111-128):
+    margins start from its raw prediction, its trees are prepended to
+    the result, and its base_score is adopted so the appended ensemble's
+    predictions are consistent. ``callbacks`` follow the
+    ``TrainingCallback`` protocol (per-round learning rate, early stop);
+    with a multi-worker ``comm`` every rank runs the same deterministic
+    callbacks so control flow stays lock-stepped."""
     p = dict(DEFAULT_PARAMS)
     p.update({k: v for k, v in (params or {}).items() if v is not None})
     comm = comm or LocalComm()
@@ -668,7 +713,26 @@ def train(
         edges = compute_bin_edges(X, int(p["max_bin"]), comm)
         B = bin_matrix(X, edges, missing)
 
-    if K > 1:
+    init_trees: list[_Tree] = []
+    if xgb_model is not None:
+        if xgb_model.objective != p["objective"]:
+            raise ValueError(
+                f"xgb_model objective {xgb_model.objective!r} does not match "
+                f"training objective {p['objective']!r}"
+            )
+        if K > 1 and int(xgb_model.num_class) != K:
+            raise ValueError(
+                f"xgb_model num_class {xgb_model.num_class} != {K}"
+            )
+        # adopt the initial model's base_score: margins below start from
+        # its raw prediction (which includes that base_score), and the
+        # returned booster carries old + new trees over the same base
+        p["base_score"] = float(xgb_model.base_score)
+        init_trees = list(xgb_model.trees)
+        margin = xgb_model.raw_margin(X).reshape(
+            (len(X), K) if K > 1 else (len(X),)
+        )
+    elif K > 1:
         margin = np.full((len(X), K), float(p["base_score"]), dtype=np.float64)
     else:
         margin = np.full(len(X), float(p["base_score"]), dtype=np.float64)
@@ -680,7 +744,11 @@ def train(
         eX = np.ascontiguousarray(eval_set[0], dtype=np.float32)
         ey = np.asarray(eval_set[1], dtype=np.float64)
         ew = None if eval_weight is None else np.asarray(eval_weight, dtype=np.float64)
-        if K > 1:
+        if xgb_model is not None:
+            e_margin = xgb_model.raw_margin(eX).reshape(
+                (len(eX), K) if K > 1 else (len(eX),)
+            )
+        elif K > 1:
             e_margin = np.full((len(eX), K), float(p["base_score"]), dtype=np.float64)
         else:
             e_margin = np.full(len(eX), float(p["base_score"]), dtype=np.float64)
@@ -693,6 +761,11 @@ def train(
     esr = int(p["early_stopping_rounds"] or 0)
 
     for rnd in range(int(p["n_estimators"])):
+        lr_rnd = float(p["learning_rate"])
+        for cb in callbacks or ():
+            new_lr = cb.before_iteration(rnd, lr_rnd)
+            if new_lr is not None:
+                lr_rnd = float(new_lr)
         g, h = obj.grad_hess(margin, y)
         if w is not None:
             g = g * (w[:, None] if g.ndim == 2 else w)
@@ -709,7 +782,7 @@ def train(
                 float(p["reg_lambda"]),
                 float(p["gamma"]),
                 float(p["min_child_weight"]),
-                float(p["learning_rate"]),
+                lr_rnd,
                 comm,
             )
             trees.append(tree)
@@ -723,6 +796,7 @@ def train(
                     e_margin[:, k] += de
                 else:
                     e_margin += de
+        score = None
         if has_eval and esr > 0:
             score = _eval_metric(metric, obj, e_margin, ey, ew, comm)
             if score < best_score - 1e-12:
@@ -734,9 +808,11 @@ def train(
                 if rounds_since_best >= esr:
                     trees = trees[: (best_iteration + 1) * K]
                     break
+        if any(cb.after_iteration(rnd, score) for cb in callbacks or ()):
+            break
 
     booster = Booster(
-        trees=trees,
+        trees=init_trees + trees,
         objective=p["objective"],
         num_class=int(p["num_class"] or 0),
         base_score=float(p["base_score"]),

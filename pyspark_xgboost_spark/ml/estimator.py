@@ -28,13 +28,14 @@ could delegate to it; in this environment the numpy kernel
 
 from __future__ import annotations
 
+import base64
 import logging
 from collections.abc import Iterator
 from typing import Any
 
 import numpy as np
 import pandas as pd
-from pyspark import keyword_only
+from pyspark import cloudpickle, keyword_only
 from pyspark.ml import Estimator, Model
 from pyspark.ml.functions import array_to_vector, vector_to_array
 from pyspark.ml.linalg import VectorUDT
@@ -71,7 +72,16 @@ SPARK_INTEGRATION_DEFAULTS: dict[str, Any] = dict(
     force_repartition=False,
     use_external_storage=False,
     external_storage_precision=5,
+    # training continuation + callbacks (reference xgboost.py:26-45;
+    # persistence model.py:104-128): object-valued params, skipped in
+    # JSON metadata and persisted via parquet / cloudpickle instead
+    xgb_model=None,
+    callbacks=None,
 )
+
+# params whose values are live Python objects — excluded from the JSON
+# paramMap on save (reference skipParams, model.py:104)
+_OBJECT_PARAMS = frozenset({"xgb_model", "callbacks"})
 
 _ALL_STAMPED_DEFAULTS: dict[str, Any] = {**KERNEL_PARAM_DEFAULTS, **SPARK_INTEGRATION_DEFAULTS}
 # eval_metric default None can't live in a ParamMap; '' means 'use the
@@ -139,6 +149,15 @@ class _XgboostParamsBase:
         """Pre-flight checks (reference xgboost_core.py:187-238)."""
         if self.getOrDefault(getattr(self, "num_workers")) < 1:
             raise ValueError("num_workers must be >= 1")
+        init_model = self.getOrDefault(getattr(self, "xgb_model"))
+        if init_model is not None and not isinstance(init_model, kernel.Booster):
+            raise ValueError(
+                "xgb_model must be a Booster (e.g. model.get_booster()), "
+                f"got {type(init_model).__name__}"
+            )
+        cbs = self.getOrDefault(getattr(self, "callbacks"))
+        if cbs is not None and not isinstance(cbs, (list, tuple)):
+            raise ValueError("callbacks must be a list of TrainingCallback objects")
         if self.getOrDefault(getattr(self, "use_gpu")):
             _logger.warning(
                 "use_gpu requested but this build runs the CPU histogram "
@@ -238,6 +257,10 @@ class _XgboostEstimator(Estimator, _XgboostParamsBase, MLReadable, MLWritable):
             params["objective"] = self._objective_fixed
         params = self._infer_objective(narrowed, params)
 
+        init_model = self.getOrDefault(getattr(self, "xgb_model"))
+        init_model_json = init_model.save_json() if init_model is not None else None
+        callbacks = self.getOrDefault(getattr(self, "callbacks"))
+
         num_workers = int(self.getOrDefault(getattr(self, "num_workers")))
         if num_workers > 1:
             from pyspark_xgboost_spark.ml.tracker import fit_distributed
@@ -248,9 +271,13 @@ class _XgboostEstimator(Estimator, _XgboostParamsBase, MLReadable, MLWritable):
                 flags,
                 num_workers,
                 force_repartition=bool(self.getOrDefault(getattr(self, "force_repartition"))),
+                init_model_json=init_model_json,
+                callbacks=callbacks,
             )
         else:
-            booster_json = _fit_single_worker(narrowed, params, flags)
+            booster_json = _fit_single_worker(
+                narrowed, params, flags, init_model_json=init_model_json, callbacks=callbacks
+            )
 
         booster = kernel.Booster.load_json(booster_json)
         model = self._create_model(booster)
@@ -269,10 +296,18 @@ class _XgboostEstimator(Estimator, _XgboostParamsBase, MLReadable, MLWritable):
         return _ParamsOnlyReader(cls)
 
 
-def _fit_single_worker(narrowed: DataFrame, params: dict, flags: dict) -> str:
+def _fit_single_worker(
+    narrowed: DataFrame,
+    params: dict,
+    flags: dict,
+    init_model_json: str | None = None,
+    callbacks: list | None = None,
+) -> str:
     """Local-mode training (reference O12, xgboost_core.py:479-518):
     gather the (already narrowed, float32) rows into one partition and
-    run the kernel there, returning the model JSON from the single task."""
+    run the kernel there, returning the model JSON from the single task.
+    The init booster ships into the task closure as its JSON string;
+    callbacks ride Spark's cloudpickle closure serialization."""
 
     def train_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         train_b, val_b = batches_to_matrices(batches, **flags)
@@ -287,6 +322,10 @@ def _fit_single_worker(narrowed: DataFrame, params: dict, flags: dict) -> str:
             base_margin=train_b.base_margin,
             eval_set=eval_set,
             eval_weight=(val_b.w if val_b is not None else None),
+            xgb_model=(
+                kernel.Booster.load_json(init_model_json) if init_model_json else None
+            ),
+            callbacks=callbacks,
         )
         yield pd.DataFrame({"model_json": [bst.save_json()]})
 
@@ -488,8 +527,60 @@ for _cls in (XgboostRegressor, XgboostClassifier, XgboostRegressorModel, Xgboost
 
 # ---------------------------------------------------------------------------
 # Persistence (reference model.py:95-233 — DefaultParams metadata + model
-# JSON inside a 1-row parquet)
+# JSON inside a 1-row parquet; callbacks cloudpickled into metadata and
+# the init booster as its own 1-row parquet, model.py:104-128)
 # ---------------------------------------------------------------------------
+
+_INIT_BOOSTER_SAVE_PATH = "init_booster"
+
+
+def _save_shared_metadata(instance, path: str, sc, spark) -> None:
+    """Metadata save with object-valued params handled like the
+    reference (model.py:104-128): callbacks are cloudpickled to base64
+    in extraMetadata (best-effort, version-fragile — warned), the init
+    booster goes to ``<path>/init_booster`` as a 1-row parquet, and
+    neither appears in the JSON paramMap."""
+    json_params = {
+        p.name: v for p, v in instance._paramMap.items() if p.name not in _OBJECT_PARAMS
+    }
+    extra: dict[str, Any] = {}
+    cbs = instance.getOrDefault(getattr(instance, "callbacks"))
+    if cbs is not None:
+        _logger.warning(
+            "the callbacks param is saved using cloudpickle and is not a "
+            "fully self-contained format; it may fail to load with "
+            "different versions of dependencies"
+        )
+        extra["serialized_callbacks"] = base64.encodebytes(
+            cloudpickle.dumps(cbs)
+        ).decode("ascii")
+    init_b = instance.getOrDefault(getattr(instance, "xgb_model"))
+    if init_b is not None:
+        extra["init_booster"] = _INIT_BOOSTER_SAVE_PATH
+    DefaultParamsWriter.saveMetadata(
+        instance, path, sc, extraMetadata=extra, paramMap=json_params
+    )
+    if init_b is not None:
+        spark.createDataFrame([(init_b.save_json(),)], ["init_booster"]).repartition(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/{_INIT_BOOSTER_SAVE_PATH}")
+
+
+def _restore_shared_metadata(instance, metadata: dict, spark, path: str) -> None:
+    """Best-effort restore of the object-valued params (reference
+    loadMetadataAndInstance, model.py:129-158)."""
+    if "serialized_callbacks" in metadata:
+        try:
+            instance._set(
+                callbacks=cloudpickle.loads(
+                    base64.decodebytes(metadata["serialized_callbacks"].encode("ascii"))
+                )
+            )
+        except Exception as e:  # noqa: BLE001 — best-effort by contract
+            _logger.warning("fails to load the callbacks param due to %s", e)
+    if "init_booster" in metadata:
+        row = spark.read.parquet(f"{path}/{metadata['init_booster']}").collect()[0]
+        instance._set(xgb_model=kernel.Booster.load_json(row["init_booster"]))
 
 
 class _ParamsOnlyWriter(MLWriter):
@@ -498,7 +589,7 @@ class _ParamsOnlyWriter(MLWriter):
         self.instance = instance
 
     def saveImpl(self, path: str) -> None:
-        DefaultParamsWriter.saveMetadata(self.instance, path, self.sc)
+        _save_shared_metadata(self.instance, path, self.sc, self.sparkSession)
 
 
 class _ParamsOnlyReader(MLReader):
@@ -511,13 +602,14 @@ class _ParamsOnlyReader(MLReader):
         _check_saved_class(metadata, self.cls)
         instance = self.cls()
         DefaultParamsReader.getAndSetParams(instance, metadata)
+        _restore_shared_metadata(instance, metadata, self.sparkSession, path)
         instance._resetUid(metadata["uid"])
         return instance
 
 
 class _ModelWriter(MLWriter):
     def saveImpl(self, path: str) -> None:
-        DefaultParamsWriter.saveMetadata(self.instance, path, self.sc)
+        _save_shared_metadata(self.instance, path, self.sc, self.sparkSession)
         model_json = self.instance._booster.save_json()
         spark = self.sparkSession
         spark.createDataFrame([(model_json,)], ["model_json"]).repartition(1).write.mode(
@@ -540,6 +632,7 @@ class _ModelReader(MLReader):
         row = self.sparkSession.read.parquet(f"{path}/model").collect()[0]
         instance = self.cls(kernel.Booster.load_json(row["model_json"]))
         DefaultParamsReader.getAndSetParams(instance, metadata)
+        _restore_shared_metadata(instance, metadata, self.sparkSession, path)
         instance._resetUid(metadata["uid"])
         return instance
 

@@ -97,6 +97,8 @@ def fit_distributed(
     flags: dict,
     num_workers: int,
     force_repartition: bool = False,
+    init_model_json: str | None = None,
+    callbacks: list | None = None,
 ) -> str:
     """Barrier-mode distributed fit; returns the model JSON."""
     sc = narrowed.sparkSession.sparkContext
@@ -155,6 +157,12 @@ def fit_distributed(
             eval_set=eval_set,
             eval_weight=(val_s.w if (has_validation and has_weight) else None),
             comm=comm,
+            # same init model + deterministic callbacks on every rank —
+            # margins are shard-local, so no extra exchange is needed
+            xgb_model=(
+                kernel.Booster.load_json(init_model_json) if init_model_json else None
+            ),
+            callbacks=callbacks,
         )
         # comm.close() is itself a full sync point (the quit round-trip
         # blocks every rank until the server has every rank's quit), so

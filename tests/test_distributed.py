@@ -218,3 +218,17 @@ def test_rendezvous_rejects_stranger_and_bad_ranks():
             bad.close()
         except OSError:
             pass
+
+
+def test_distributed_continuation_matches_local(spark, reg_df):
+    """xgb_model continuation through the barrier path: distributed
+    continued fit equals local continued fit (margins are shard-local,
+    only histograms cross the wire)."""
+    init = XgboostRegressor(n_estimators=4, max_depth=3).fit(reg_df).get_booster()
+    local = XgboostRegressor(n_estimators=3, max_depth=3, xgb_model=init).fit(reg_df)
+    dist = XgboostRegressor(
+        n_estimators=3, max_depth=3, xgb_model=init, num_workers=2
+    ).fit(reg_df)
+    a = np.array([r.prediction for r in local.transform(reg_df).collect()])
+    b = np.array([r.prediction for r in dist.transform(reg_df).collect()])
+    np.testing.assert_allclose(a, b, atol=1e-6)

@@ -285,3 +285,92 @@ def test_best_splits_masks_padded_bins():
     g1, f1, b1, *_ = _best_splits(hist_g, hist_h, 1.0, 0.0, 0.0, edge_counts)
     assert np.isfinite(g1[0]) and g1[0] > 0
     assert b1[0] < edge_counts[f1[0]]
+
+
+def test_train_with_initial_model(spark, reg_train, tmp_path):
+    """Training continuation (reference xgb_model param; save/load with
+    init booster, model.py:111-128; test_train_with_initial_model,
+    xgboost_local_test.py:502-517): continue from a fitted booster,
+    round-trip the estimator through save/load, and refit identically."""
+    path = str(tmp_path / "reg2")
+    reg1 = XgboostRegressor(n_estimators=5, max_depth=3)
+    init_booster = reg1.fit(reg_train).get_booster()
+
+    reg2 = XgboostRegressor(max_depth=2, n_estimators=2, xgb_model=init_booster)
+    model21 = reg2.fit(reg_train)
+    # continued booster carries old + new trees
+    assert len(model21.get_booster().trees) == len(init_booster.trees) + 2
+    pred21 = [r.prediction for r in model21.transform(reg_train).collect()]
+
+    reg2.save(path)
+    reg2b = XgboostRegressor.load(path)
+    assert reg2b.getOrDefault(reg2b.xgb_model) is not None
+    model22 = reg2b.fit(reg_train)
+    pred22 = [r.prediction for r in model22.transform(reg_train).collect()]
+    np.testing.assert_allclose(pred21, pred22, atol=1e-12)
+
+
+def test_continuation_matches_straight_run(spark, reg_train):
+    """5 rounds + 5 continued rounds on the same data must equal one
+    10-round run exactly: bin edges recompute identically and the margin
+    trajectory is the same, so rounds 6-10 grow the same trees."""
+    base = XgboostRegressor(n_estimators=10, max_depth=3).fit(reg_train)
+    first = XgboostRegressor(n_estimators=5, max_depth=3).fit(reg_train)
+    cont = XgboostRegressor(
+        n_estimators=5, max_depth=3, xgb_model=first.get_booster()
+    ).fit(reg_train)
+    a = [r.prediction for r in base.transform(reg_train).collect()]
+    b = [r.prediction for r in cont.transform(reg_train).collect()]
+    np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+def test_callbacks(spark, reg_train, tmp_path):
+    """Callbacks persistence (reference test_callbacks,
+    xgboost_local_test.py:478-500): cloudpickled into estimator
+    metadata, restored on load, and actually applied during fit."""
+    from pyspark_xgboost_spark.ml.booster import LearningRateScheduler
+
+    path = str(tmp_path / "cb_est")
+
+    def custom_learning_rate(boosting_round):
+        return 1.0 / (boosting_round + 1)
+
+    cb = [LearningRateScheduler(custom_learning_rate)]
+    regressor = XgboostRegressor(n_estimators=5, max_depth=3, callbacks=cb)
+    regressor.save(path)
+    loaded = XgboostRegressor.load(path)
+    assert loaded.getOrDefault(loaded.callbacks) is not None
+
+    model_direct = regressor.fit(reg_train)
+    model_loaded = loaded.fit(reg_train)
+    a = [r.prediction for r in model_direct.transform(reg_train).collect()]
+    b = [r.prediction for r in model_loaded.transform(reg_train).collect()]
+    np.testing.assert_allclose(a, b, atol=1e-12)
+
+    # the schedule really changes training vs the default constant lr
+    plain = XgboostRegressor(n_estimators=5, max_depth=3).fit(reg_train)
+    c = [r.prediction for r in plain.transform(reg_train).collect()]
+    assert not np.allclose(a, c)
+
+
+def test_callback_early_stop(spark, reg_train):
+    """after_iteration returning True stops training (TrainingCallback
+    protocol)."""
+    from pyspark_xgboost_spark.ml.booster import TrainingCallback
+
+    class StopAfter(TrainingCallback):
+        def __init__(self, n):
+            self.n = n
+
+        def after_iteration(self, rnd, score):
+            return rnd + 1 >= self.n
+
+    model = XgboostRegressor(
+        n_estimators=50, max_depth=3, callbacks=[StopAfter(3)]
+    ).fit(reg_train)
+    assert len(model.get_booster().trees) == 3
+
+
+def test_xgb_model_rejects_wrong_type(spark, reg_train):
+    with pytest.raises(ValueError, match="xgb_model"):
+        XgboostRegressor(xgb_model="not-a-booster").fit(reg_train)

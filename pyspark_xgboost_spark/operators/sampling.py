@@ -132,3 +132,79 @@ def length_bucket_equal_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@register(
+    "length_bucket_equal_freq_scalable",
+    oracle="""
+    SELECT bucket, count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM (
+        SELECT n_chars,
+               ntile(8) OVER (ORDER BY n_chars, doc_id) AS bucket
+        FROM documents
+    )
+    GROUP BY bucket
+    """,
+)
+def length_bucket_equal_freq_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency length bucketing WITHOUT a global sort — the
+    100 TB plan the exact-ntile form's docstring promises.
+
+    The per-bucket summary (n_docs, min_chars, max_chars) is a pure
+    function of the length *histogram*: ntile(8) over n rows gives
+    bucket b the rank range [start_b, end_b] (first n%8 buckets one
+    larger), and the value at any rank falls out of the cumulative
+    histogram. So the only full-data operation is a partial-agg
+    ``groupBy(n_chars)`` — one shuffle of at most |distinct lengths|
+    rows per partition; everything after runs on the tiny histogram
+    (bounded by max document length, independent of corpus row count).
+    The single-partition window here spans |distinct lengths| rows, not
+    the corpus — there is no WindowExec over the full relation.
+
+    Output is bit-identical to the ntile oracle: a value's doc_id
+    tie-break order never changes which VALUE sits at a given rank.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # the one big-data op: histogram of lengths (map-side partial agg)
+    hist = docs.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+
+    # tiny from here on: |hist| rows
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        "n_chars",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_prev"),
+    )
+    total = hist.agg(F.sum("cnt").alias("n"))
+
+    # ntile sizing: q = n div 8, r = n mod 8; bucket b (1-based) covers
+    # ranks [(b-1)*q + min(b-1, r) + 1, b*q + min(b, r)]
+    b = F.col("id").cast("int")
+    q = F.floor(F.col("n") / 8)
+    r = F.col("n") % 8
+    spec = (
+        spark.range(1, 9)
+        .crossJoin(F.broadcast(total))
+        .select(
+            b.alias("bucket"),
+            ((b - 1) * q + F.least(b - 1, r) + 1).alias("start_rank"),
+            (b * q + F.least(b, r)).alias("end_rank"),
+        )
+    )
+    # a value covers ranks (cum_prev, cum]; it overlaps bucket
+    # [start, end] iff cum >= start and cum_prev < end
+    joined = spec.join(
+        F.broadcast(cum),
+        (F.col("cum") >= F.col("start_rank")) & (F.col("cum_prev") < F.col("end_rank")),
+    )
+    return (
+        joined.groupBy("bucket", "start_rank", "end_rank")
+        .agg(F.min("n_chars").alias("min_chars"), F.max("n_chars").alias("max_chars"))
+        .select(
+            "bucket",
+            (F.col("end_rank") - F.col("start_rank") + 1).alias("n_docs"),
+            "min_chars",
+            "max_chars",
+        )
+    )

@@ -142,3 +142,23 @@ def test_pipeline_uses_broadcast_joins(spark):
     # small side at this SF (AQE decides; at 100 TB they become SMJ)
     assert plan.count("BroadcastHashJoin") >= 1
     assert "isFinalPlan=true" in plan
+
+
+def test_scalable_length_bucketer_windows_histogram_not_corpus(spark):
+    """length_bucket_equal_freq_scalable must not run a global ntile
+    over the full relation: the only full-data operator is a partial-agg
+    groupBy(n_chars); the (single-partition) Window runs on the tiny
+    length histogram downstream of that aggregate."""
+    from pyspark_xgboost_spark.operators.sampling import (
+        length_bucket_equal_freq_scalable,
+    )
+
+    plan = plan_of(length_bucket_equal_freq_scalable(spark, SF_DIR))
+    assert "ntile" not in plan
+    lines = plan.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window (" in l)
+    scan = next(i for i, l in enumerate(lines[win:], win) if "Scan parquet" in l)
+    between = "\n".join(lines[win:scan])
+    assert "HashAggregate" in between, plan
+    # histogram branch prunes to the single length column
+    assert "partial_count" in plan

@@ -162,3 +162,38 @@ def test_scalable_length_bucketer_windows_histogram_not_corpus(spark):
     assert "HashAggregate" in between, plan
     # histogram branch prunes to the single length column
     assert "partial_count" in plan
+
+
+def test_ngram_jaccard_is_candidate_driven(spark):
+    """dedup_ngram_jaccard must consume LSH candidate pairs, not
+    self-join the corpus on (lang, source) blocks (quadratic at scale):
+    the plan should show the bucket pipeline (collect_list) and joins
+    keyed on doc_id only."""
+    from pyspark_xgboost_spark.operators.dedup import dedup_ngram_jaccard
+
+    plan = plan_of(dedup_ngram_jaccard(spark, SF_DIR), "extended")
+    assert "collect_list" in plan
+    assert "CartesianProduct" not in plan
+    # no block self-join: lang/source never appear as join keys
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert join_lines
+    assert not any("lang" in l or "source" in l for l in join_lines), join_lines
+
+
+def test_embedding_cosine_is_candidate_driven(spark):
+    """dedup_embedding_cosine must pair within (label, band, key) LSH
+    buckets, not all-pairs within label cells."""
+    from pyspark_xgboost_spark.operators.dedup import dedup_embedding_cosine
+
+    plan = plan_of(dedup_embedding_cosine(spark, SF_DIR), "extended")
+    assert "collect_list" in plan
+    assert "CartesianProduct" not in plan
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "vec_id" in l]
+    assert join_lines  # verify joins keyed on vec_id
+    # no join keyed on label alone (the old cell self-join)
+    bad = [
+        l
+        for l in plan.splitlines()
+        if "Join" in l and "label" in l and "vec_id" not in l and "band" not in l
+    ]
+    assert not bad, bad

@@ -30,11 +30,22 @@ from pyspark_xgboost_spark.sources import load_table
 _SCRATCH = "/tmp/spark_graft_scratch"
 
 
+def src_fingerprint(sf_dir: str, table: str) -> str:
+    """Content fingerprint (size + mtime_ns) of the source parquet.
+    Staged copies / checkpoints are keyed by it, so replacing the
+    dataset in place invalidates every derived scratch dir instead of
+    silently serving stale staged data (round-1 advice)."""
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    return f"{st.st_size}_{st.st_mtime_ns}"
+
+
 def _stage(spark: SparkSession, sf_dir: str, table: str, fmt: str) -> str:
-    """Write {table} from parquet into {fmt} once per (sf_dir, table);
-    return the staged directory."""
+    """Write {table} from parquet into {fmt} once per (sf_dir, table,
+    source-content fingerprint); return the staged directory."""
     key = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(_SCRATCH, key, f"{table}_{fmt}")
+    out = os.path.join(
+        _SCRATCH, key, f"{table}_{fmt}_{src_fingerprint(sf_dir, table)}"
+    )
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         df = load_table(spark, sf_dir, table)
@@ -118,7 +129,9 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     a downstream filter on l_returnflag reads 1/3 of the files. The
     oracle checks the round trip loses nothing."""
     key = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(_SCRATCH, key, "lineitem_by_flag")
+    out = os.path.join(
+        _SCRATCH, key, f"lineitem_by_flag_{src_fingerprint(sf_dir, 'lineitem')}"
+    )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_extendedprice", "l_returnflag"
@@ -159,7 +172,8 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     too many files → bucket on coarser key or use liquid-style
     clustering)."""
     key = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
-    o_tbl, c_tbl = f"orders_bkt_{key}", f"customer_bkt_{key}"
+    o_tbl = f"orders_bkt_{key}_{src_fingerprint(sf_dir, 'orders')}"
+    c_tbl = f"customer_bkt_{key}_{src_fingerprint(sf_dir, 'customer')}"
 
     def _write_bucketed(table: str, name: str, bucket_col: str) -> None:
         if spark.catalog.tableExists(name):

@@ -35,8 +35,11 @@ HEADLINE = [
     "split_hash_train_test",
     "mix_sources_weighted",
     "length_bucket_equal_freq",
+    "length_bucket_equal_freq_scalable",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "sim_search_topk_vectorized",
     "sim_search_ivf",
     "text_quality_score",
@@ -44,7 +47,12 @@ HEADLINE = [
     "text_tfidf_exact",
     "pipeline_training_data",
     "scan_csv",
+    "scan_json",
+    "scan_orc",
     "sink_parquet_partitioned",
+    "udaf_group_median",
+    "events_stream_foreach_batch",
+    "multimodal_decode_features",
     "ml_fit_predict_regressor",
 ]
 

@@ -158,9 +158,46 @@ class _XgboostParamsBase:
         cbs = self.getOrDefault(getattr(self, "callbacks"))
         if cbs is not None and not isinstance(cbs, (list, tuple)):
             raise ValueError("callbacks must be a list of TrainingCallback objects")
-        if self.getOrDefault(getattr(self, "use_gpu")):
+        if self.getOrDefault(getattr(self, "force_repartition")) and (
+            self.getOrDefault(getattr(self, "num_workers")) == 1
+        ):
             _logger.warning(
-                "use_gpu requested but this build runs the CPU histogram "
+                "force_repartition is set but num_workers is 1 — there is "
+                "no need for a repartition, the parameter will be ignored"
+            )
+        if self.getOrDefault(getattr(self, "use_gpu")):
+            # reference validation (xgboost_core.py:216-238): tree_method
+            # must be gpu_hist/None and the cluster must schedule task
+            # GPUs — raise, don't warn, on misconfiguration even though
+            # this build's kernel runs CPU-only.
+            tree_method = self.getOrDefault(self.arbitraryParamsDict).get("tree_method")
+            if tree_method is not None and tree_method != "gpu_hist":
+                raise ValueError(
+                    "tree_method should be 'gpu_hist' or None when use_gpu "
+                    f"is True, found {tree_method!r}."
+                )
+            from pyspark.sql import SparkSession
+
+            session = SparkSession.getActiveSession()
+            if session is not None:
+                gpu_per_task = session.sparkContext.getConf().get(
+                    "spark.task.resource.gpu.amount"
+                )
+                if not gpu_per_task or int(float(gpu_per_task)) < 1:
+                    raise RuntimeError(
+                        "the spark cluster does not have the necessary GPU "
+                        "configuration for the spark task (set "
+                        "spark.task.resource.gpu.amount); cannot run "
+                        "GPU training"
+                    )
+                if int(float(gpu_per_task)) > 1:
+                    _logger.warning(
+                        "%s GPU cores configured per spark task, but "
+                        "training uses only one GPU core per task",
+                        gpu_per_task,
+                    )
+            _logger.warning(
+                "use_gpu validated, but this build runs the CPU histogram "
                 "kernel; continuing on CPU"
             )
         if self.getOrDefault(getattr(self, "use_external_storage")):

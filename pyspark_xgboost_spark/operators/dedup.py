@@ -270,16 +270,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard floored to 4dp for cross-engine determinism."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = _minhash_candidate_pairs(docs)
-    tokset = F.array_distinct(F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')"))
-    t = docs.select("doc_id", tokset.alias("tokset"))
-    a, b = t.alias("ta"), t.alias("tb")
-    inter = F.size(F.array_intersect(F.col("ta.tokset"), F.col("tb.tokset")))
-    union = F.size(F.array_union(F.col("ta.tokset"), F.col("tb.tokset")))
+    # join candidates against RAW text and tokenize AFTER the join:
+    # Catalyst won't pull a projection above a join on its own, so
+    # tokenizing before would split/dedup every document twice — this
+    # way the string work runs only on candidate rows. The candidate
+    # side is broadcast (collision-bounded, tiny next to the corpus);
+    # at a scale where it outgrows broadcast, a doc_id semi-join first
+    # restricts the text scan instead.
+    d = docs.select("doc_id", "text")
+    j = (
+        F.broadcast(pairs)
+        .join(d.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
+        .join(d.alias("db"), F.col("doc_b") == F.col("db.doc_id"))
+    )
+
+    def tokset(col: str) -> F.Column:
+        return F.array_distinct(
+            F.expr(rf"filter(split(lower({col}), '\\s+'), t -> t != '')")
+        )
+
+    j = j.select("doc_a", "doc_b", tokset("da.text").alias("ta"), tokset("db.text").alias("tb"))
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    union = F.size(F.array_union(F.col("ta"), F.col("tb")))
     jac = inter.cast("double") / union
     return (
-        pairs.join(a, pairs["doc_a"] == F.col("ta.doc_id"))
-        .join(b, pairs["doc_b"] == F.col("tb.doc_id"))
-        .filter(jac >= 0.5)
+        j.filter(jac >= 0.5)
         .select(
             "doc_a",
             "doc_b",
@@ -375,33 +390,39 @@ def _cosine_cols(a: str, b: str) -> F.Column:
 # Fixed integer "random" hyperplanes for cosine LSH: w[j][i] =
 # ((j*31 + i*17) % 19) - 9 ∈ [-9, 9]. Integer weights + fold-left
 # summation make the sign bits bit-identical in Spark and DuckDB (no
-# libm, no engine RNG). 8 hyperplanes → 4 bands of 2 bits: a pair at
-# cosine 0.4 shares a band w.p. ≈ 0.4, some band w.p. ≈ 0.87.
-_N_PLANES = 8
+# libm, no engine RNG). 16 hyperplanes → 4 bands of 4 bits; the whole
+# signature is ONE nested-transform expression (a per-plane expression
+# forest compiles to a Janino class that stalls codegen for seconds).
+_N_PLANES = 16
+_BITS_PER_BAND = 4
+_BUCKET_CAP = 64  # deterministic bound on in-bucket pair expansion
 
-
-def _plane_dot_expr(vcol: str, j: int) -> str:
-    return (
-        f"aggregate(zip_with({vcol}, sequence(0, size({vcol}) - 1), "
-        f"(x, i) -> x * ((({j} * 31 + i * 17) % 19) - 9)), "
-        f"cast(0.0 as double), (acc, x) -> acc + x)"
-    )
-
-
-def _plane_dot_sql(vcol: str, j: int) -> str:
-    return (
-        f"list_reduce(list_transform(list_zip({vcol}, generate_series(0, len({vcol}) - 1)), "
-        f"p -> p[1] * ((({j} * 31 + p[2] * 17) % 19) - 9)), (acc, x) -> acc + x)"
-    )
-
-
-_EMB_BITS_SQL = ",\n             ".join(
-    f"CASE WHEN {_plane_dot_sql('v', j)} > 0 THEN 1 ELSE 0 END AS bit{j}"
-    for j in range(_N_PLANES)
+# bits[j] for j in 0..15, as one expression producing array<int>
+_EMB_BITS_EXPR = (
+    "transform(sequence(0, 15), j -> CASE WHEN "
+    "aggregate(zip_with(v, sequence(0, size(v) - 1), "
+    "(x, i) -> x * (((j * 31 + i * 17) % 19) - 9)), "
+    "cast(0.0 as double), (acc, x) -> acc + x) > 0 THEN 1 ELSE 0 END)"
 )
+_EMB_BITS_SQL = (
+    "list_transform(generate_series(0, 15), j -> CASE WHEN "
+    "list_reduce(list_transform(list_zip(v, generate_series(0, len(v) - 1)), "
+    "p -> p[1] * (((j * 31 + p[2] * 17) % 19) - 9)), (acc, x) -> acc + x) > 0 "
+    "THEN 1 ELSE 0 END)"
+)
+# band key b = bits[4b]*8 + bits[4b+1]*4 + bits[4b+2]*2 + bits[4b+3]
+# (1-indexed element_at / list index in both engines)
+_EMB_BAND_KEY = {
+    "spark": lambda b: " + ".join(
+        f"element_at(bits, {4 * b + i + 1}) * {2 ** (3 - i)}" for i in range(4)
+    ),
+    "duckdb": lambda b: " + ".join(
+        f"bits[{4 * b + i + 1}] * {2 ** (3 - i)}" for i in range(4)
+    ),
+}
 _EMB_BANDS_SQL = "\n      UNION ALL ".join(
-    f"SELECT vec_id, label, {b} AS band, bit{2 * b} * 2 + bit{2 * b + 1} AS key FROM sigs"
-    for b in range(_N_PLANES // 2)
+    f"SELECT vec_id, label, {b} AS band, {_EMB_BAND_KEY['duckdb'](b)} AS key FROM sigs"
+    for b in range(_N_PLANES // _BITS_PER_BAND)
 )
 
 
@@ -409,70 +430,91 @@ _EMB_BANDS_SQL = "\n      UNION ALL ".join(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH e AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
     ),
     sigs AS (
-      SELECT vec_id, label,
-             {_EMB_BITS_SQL}
-      FROM e
+      SELECT vec_id, label, {_EMB_BITS_SQL} AS bits FROM e
     ),
     bands AS (
       {_EMB_BANDS_SQL}
     ),
+    capped AS (
+      SELECT vec_id, label, band, key FROM (
+        SELECT vec_id, label, band, key,
+               row_number() OVER (PARTITION BY label, band, key
+                                  ORDER BY vec_id) AS rn
+        FROM bands
+      ) WHERE rn <= {_BUCKET_CAP}
+    ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM bands a JOIN bands b
+      FROM capped a JOIN capped b
         ON a.label = b.label AND a.band = b.band AND a.key = b.key
       WHERE a.vec_id < b.vec_id
     )
     SELECT c.vec_a, c.vec_b,
-           floor(list_inner_product(a.v, b.v)
-                 / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))
+           floor(list_inner_product(a.v, b.v) / (a.nrm * b.nrm)
                  * 10000) / 10000 AS cos_sim
     FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b
-    WHERE list_inner_product(a.v, b.v)
-          / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.40
+    WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.40
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH candidates, exact
     cosine ≥ 0.40 verify. Round 1's form compared all pairs within each
     label cell — quadratic once cells grow with the corpus. Now each
-    vector gets 8 sign bits against fixed integer hyperplanes, banded
-    into 4×2-bit keys: pairing happens only inside (label, band, key)
-    buckets, so bucket sizes are collision-bounded rather than
-    cell-sized, and the verify join touches O(candidates) rows.
+    vector gets 16 sign bits against fixed integer hyperplanes, banded
+    into 4×4-bit keys: pairing happens only inside (label, band, key)
+    buckets, each additionally capped at {_BUCKET_CAP} members (sorted
+    by vec_id, deterministic in both engines), so the worst-case pair
+    expansion is bounded regardless of corpus size.
 
-    Scale shape: one scan computes signatures (pure expressions, no
-    Python), one shuffle on the band keys, candidate pairs join the
-    embedding table twice on vec_id. A 100 TB run would additionally cap
-    bucket size (a hot bucket means near-identical vectors).
+    Scale shape: one scan computes the signature as a single nested
+    expression (a per-plane expression forest compiles to a giant
+    Janino class — seconds of codegen), one shuffle on the band keys,
+    candidate pairs join the embedding table twice on vec_id with norms
+    precomputed per vector, not per pair.
     (Threshold 0.40 calibrated to this synthetic corpus, whose max
-    within-cell cosine is ~0.47 — a real near-dup pass would use ~0.95.)
+    within-cell cosine is ~0.47 — a real near-dup pass would use ~0.95,
+    where 4-bit bands also give high recall; at 0.40 LSH recall is
+    intentionally partial — the candidates ARE the semantics.)
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
     )
-    bits = [
-        (F.expr(_plane_dot_expr("v", j)) > 0).cast("int").alias(f"bit{j}")
-        for j in range(_N_PLANES)
-    ]
-    sigs = emb.select("vec_id", "label", *bits)
+    sigs = emb.select("vec_id", "label", F.expr(_EMB_BITS_EXPR).alias("bits"))
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                (F.col(f"bit{2 * b}") * 2 + F.col(f"bit{2 * b + 1}")).alias("key"),
+                F.expr(_EMB_BAND_KEY["spark"](b)).alias("key"),
             )
-            for b in range(_N_PLANES // 2)
+            for b in range(_N_PLANES // _BITS_PER_BAND)
         ]
     )
     bands = sigs.select("vec_id", "label", F.explode(band_structs).alias("bk")).select(
         "vec_id", "label", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    # sorted + sliced ids == the oracle's row_number()<=cap bucket cap
     buckets = (
         bands.groupBy("label", "band", "key")
-        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .agg(
+            F.slice(F.array_sort(F.collect_list("vec_id")), 1, _BUCKET_CAP).alias("ids")
+        )
         .filter(F.size("ids") > 1)
     )
     pairs = F.expr(
@@ -485,7 +527,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a, b = emb.alias("ea"), emb.alias("eb")
-    cos = _cosine_cols("ea.v", "eb.v")
+    dot = F.aggregate(
+        F.zip_with(F.col("ea.v"), F.col("eb.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("ea.nrm") * F.col("eb.nrm"))
     return (
         cand.join(a, cand["vec_a"] == F.col("ea.vec_id"))
         .join(b, cand["vec_b"] == F.col("eb.vec_id"))

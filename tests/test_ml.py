@@ -374,3 +374,34 @@ def test_callback_early_stop(spark, reg_train):
 def test_xgb_model_rejects_wrong_type(spark, reg_train):
     with pytest.raises(ValueError, match="xgb_model"):
         XgboostRegressor(xgb_model="not-a-booster").fit(reg_train)
+
+
+def test_num_workers_param(spark):
+    """Reference test_num_workers_param (xgboost_local_test.py:617-621)."""
+    regressor = XgboostRegressor(num_workers=-1)
+    with pytest.raises(ValueError):
+        regressor._validate_params()
+    classifier = XgboostClassifier(num_workers=0)
+    with pytest.raises(ValueError):
+        classifier._validate_params()
+
+
+def test_use_gpu_param(spark):
+    """Reference test_use_gpu_param (xgboost_local_test.py:622-630):
+    tree_method must be gpu_hist/None with use_gpu, and a cluster
+    without task GPU resources must raise at validation, not warn."""
+    classifier = XgboostClassifier(use_gpu=True, tree_method="exact")
+    with pytest.raises(ValueError, match="tree_method"):
+        classifier._validate_params()
+    regressor = XgboostRegressor(use_gpu=True, tree_method="exact")
+    with pytest.raises(ValueError, match="tree_method"):
+        regressor._validate_params()
+    # valid tree_method, but this local session schedules no task GPUs
+    for est in (
+        XgboostRegressor(use_gpu=True, tree_method="gpu_hist"),
+        XgboostRegressor(use_gpu=True),
+        XgboostClassifier(use_gpu=True, tree_method="gpu_hist"),
+        XgboostClassifier(use_gpu=True),
+    ):
+        with pytest.raises(RuntimeError, match="GPU"):
+            est._validate_params()

@@ -279,6 +279,8 @@ def text_tfidf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     millions, not billions) and still broadcastable after a min-df
     cut. Emits only terms with tfidf >= 2 to keep the result
     inspection-sized."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     toks = F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
     t = docs.select("doc_id", F.explode(toks).alias("term"))
@@ -287,10 +289,18 @@ def text_tfidf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.agg(F.count("*").alias("n_corpus"))
     tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     # (doc_id, term) is unique after the tf aggregate, so document
-    # frequency is a plain row count — no distinct-aggregate pass needed
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # frequency is a plain per-term row count. Computing it as a window
+    # count over the tf relation (instead of a groupBy + self-join)
+    # means the tokenize/explode/tf subtree executes exactly ONCE —
+    # the round-2 plan evaluated it twice (broadcast-build job + probe
+    # side). One shuffle by (doc_id, term) for tf, one by term for the
+    # window; shuffle volume equals the SMJ probe side it replaces, with
+    # no build-side pass at all. Window partitions are term-sized
+    # (≤ n_docs rows each), same skew profile as the term-keyed join.
+    w = Window.partitionBy("term")
+    with_df = tf.withColumn("df", F.count("*").over(w))
     idf = F.log((F.col("n_corpus") + 1.0) / (F.col("df") + 1.0))
-    scored = tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(n_docs)).select(
+    scored = with_df.crossJoin(F.broadcast(n_docs)).select(
         "doc_id",
         "term",
         "tf",

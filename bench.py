@@ -51,6 +51,10 @@ HEADLINE = [
     "scan_orc",
     "sink_parquet_partitioned",
     "udaf_group_median",
+    "udtf_ngrams",
+    "sim_search_topk",
+    "events_stream_stateful_user_stats",
+    "events_stream_dedup",
     "events_stream_foreach_batch",
     "multimodal_decode_features",
     "ml_fit_predict_regressor",

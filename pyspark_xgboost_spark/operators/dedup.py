@@ -157,8 +157,16 @@ def _minhash_sql_sig() -> str:
     )"""
 
 
-# Shared candidate-pair CTE chain (signatures → bands → distinct pairs);
-# reused by the jaccard-verify oracle so both engines see one definition.
+# Deterministic bound on in-bucket pair expansion (same discipline as the
+# embedding-LSH path): a pathological hot bucket — boilerplate-heavy
+# corpus where thousands of docs share a band key — would otherwise
+# expand O(bucket²) pairs. Sorted-by-doc_id slice keeps both engines
+# bit-identical.
+_MH_BUCKET_CAP = 64
+
+# Shared candidate-pair CTE chain (signatures → bands → capped buckets →
+# distinct pairs); reused by the jaccard-verify oracle so both engines
+# see one definition.
 _MINHASH_CAND_SQL = f"""{_minhash_sql_sig()},
     bands AS (
       SELECT doc_id, 0 AS band, h0::VARCHAR || '_' || h1::VARCHAR AS key FROM sig
@@ -166,9 +174,16 @@ _MINHASH_CAND_SQL = f"""{_minhash_sql_sig()},
       UNION ALL SELECT doc_id, 2, h4::VARCHAR || '_' || h5::VARCHAR FROM sig
       UNION ALL SELECT doc_id, 3, h6::VARCHAR || '_' || h7::VARCHAR FROM sig
     ),
+    capped AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id, band, key,
+               row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+        FROM bands
+      ) WHERE rn <= {_MH_BUCKET_CAP}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
       WHERE a.doc_id < b.doc_id
     )"""
 
@@ -188,16 +203,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: exactly one scan of the corpus and one shuffle of
     16-byte band keys. The earlier union-of-4-bands + self-join version
     recomputed the md5-shingle pipeline 8× (4 band branches × 2 join
-    sides) — 50s at sf0.1 vs ~4s for this plan. Bucket sizes are
-    collision-bounded (a hot bucket means near-identical docs), so
-    collect_list stays small; a 100 TB run would additionally cap bucket
-    size to bound worst-case blowup."""
+    sides) — 50s at sf0.1 vs ~4s for this plan. Each bucket is capped
+    at {_MH_BUCKET_CAP} members (sorted by doc_id, mirrored in the
+    oracle CTE) so a hot bucket on a boilerplate-heavy corpus cannot
+    explode the O(bucket²) pair expansion."""
     docs = load_table(spark, sf_dir, "documents")
     return _minhash_candidate_pairs(docs)
 
 
 def _minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) LSH candidate pairs, doc_a < doc_b, distinct."""
+    """(doc_a, doc_b) LSH candidate pairs, doc_a < doc_b, distinct,
+    bucket membership capped at _MH_BUCKET_CAP (lowest doc_ids kept —
+    identical to the oracle's row_number() <= cap)."""
     sig = _minhash_signature_df(docs)
     band_structs = F.array(
         *[
@@ -217,7 +234,11 @@ def _minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     )
     buckets = (
         bands.groupBy("band", "key")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("doc_id")), 1, _MH_BUCKET_CAP
+            ).alias("ids")
+        )
         .filter(F.size("ids") > 1)
     )
     # all (ids[i], ids[j]) i<j pairs; ids sorted so doc_a < doc_b holds

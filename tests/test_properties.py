@@ -113,6 +113,26 @@ def test_minhash_identical_docs_always_candidates(spark, texts):
         assert by_id[0] == by_id[len(texts)]
 
 
+def test_minhash_bucket_cap_bounds_pair_expansion(spark):
+    """A hot LSH bucket (here: 70 identical docs, all sharing every band
+    key) must expand to C(cap, 2) pairs over the cap lowest doc_ids, not
+    C(70, 2) — the worst-case pair blowup is bounded by _MH_BUCKET_CAP
+    regardless of bucket population."""
+    from pyspark_xgboost_spark.operators.dedup import (
+        _MH_BUCKET_CAP,
+        _minhash_candidate_pairs,
+    )
+
+    n = _MH_BUCKET_CAP + 6
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(n)], "doc_id long, text string"
+    )
+    pairs = _minhash_candidate_pairs(docs).collect()
+    cap = _MH_BUCKET_CAP
+    assert len(pairs) == cap * (cap - 1) // 2
+    assert all(r.doc_a < r.doc_b < cap for r in pairs)
+
+
 @settings(**_SETTINGS)
 @given(
     st.lists(st.floats(min_value=0.0, max_value=100.0, width=32), min_size=1, max_size=30)

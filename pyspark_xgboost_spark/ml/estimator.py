@@ -301,13 +301,26 @@ class _XgboostEstimator(Estimator, _XgboostParamsBase, MLReadable, MLWritable):
         num_workers = int(self.getOrDefault(getattr(self, "num_workers")))
         if num_workers > 1:
             from pyspark_xgboost_spark.ml.tracker import fit_distributed
+            from pyspark_xgboost_spark.utils import (
+                FORCE_REPARTITION_CONF,
+                get_conf_boolean,
+            )
+
+            # estimator param OR session conf (O26 get_conf_boolean):
+            # lets an admin force clean repartitioning cluster-wide
+            # without touching every estimator instance
+            force_repart = bool(
+                self.getOrDefault(getattr(self, "force_repartition"))
+            ) or get_conf_boolean(
+                narrowed.sparkSession, FORCE_REPARTITION_CONF, False
+            )
 
             booster_json = fit_distributed(
                 narrowed,
                 params,
                 flags,
                 num_workers,
-                force_repartition=bool(self.getOrDefault(getattr(self, "force_repartition"))),
+                force_repartition=force_repart,
                 init_model_json=init_model_json,
                 callbacks=callbacks,
             )

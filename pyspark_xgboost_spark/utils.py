@@ -1,0 +1,38 @@
+"""Small shared utilities (reference parity: sparkdl/utils/__init__.py).
+
+``get_conf_boolean`` ports O26 ``_getConfBoolean``
+(/root/reference/sparkdl/utils/__init__.py:5-23, tested at
+/root/reference/tests/utils/__init__.py:8-31): read a SparkSession conf
+as a strict boolean, accepting any capitalization of "true"/"false"
+(Scala conf round-trips stringify booleans) and raising on anything
+else rather than silently coercing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# Session conf that force-enables the pre-training repartition even when
+# the incoming DataFrame already has num_workers partitions — the
+# conf-level override for the estimator's force_repartition param.
+FORCE_REPARTITION_CONF = "spark_graft.ml.force_repartition"
+
+
+def get_conf_boolean(spark: SparkSession, key: str, default: bool) -> bool:
+    """Return the session conf ``key`` as a bool.
+
+    The conf value may be a Python bool already stringified by Spark or
+    a user-set string; any capitalization of true/false is accepted
+    (matching Scala's conf stringification). A non-boolean value raises
+    ValueError — a typo'd conf must not silently read as False.
+    """
+    val = spark.conf.get(key, str(default))
+    lowered = str(val).lower()
+    if lowered == "true":
+        return True
+    if lowered == "false":
+        return False
+    raise ValueError(
+        f"expected a boolean conf value for {key!r} but found "
+        f"{type(val).__name__} value: {val!r}"
+    )

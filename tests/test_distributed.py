@@ -44,6 +44,46 @@ def test_distributed_classifier(spark):
     assert acc == 1.0
 
 
+def test_get_conf_boolean_semantics(spark):
+    """O26 parity (reference tests/utils/__init__.py:8-31): any
+    capitalization of true/false parses; invalid values raise; unset
+    falls back to the default."""
+    from pyspark_xgboost_spark.utils import get_conf_boolean
+
+    spark.conf.set("myConf", "myVal")
+    with pytest.raises(ValueError, match="boolean conf"):
+        get_conf_boolean(spark, "myConf", False)
+    for raw, expected in [("False", False), ("TRUE", True), ("true", True), (True, True)]:
+        spark.conf.set("myConf", raw)
+        assert get_conf_boolean(spark, "myConf", not expected) is expected
+    spark.conf.unset("myConf")
+    assert get_conf_boolean(spark, "myConf", False) is False
+    assert get_conf_boolean(spark, "myConf", True) is True
+
+
+def test_force_repartition_session_conf(spark, reg_df, monkeypatch):
+    """The spark_graft.ml.force_repartition session conf overrides the
+    estimator param: fit_distributed must see force_repartition=True
+    even though the estimator left the param at its False default."""
+    import pyspark_xgboost_spark.ml.tracker as tracker
+    from pyspark_xgboost_spark.utils import FORCE_REPARTITION_CONF
+
+    captured = {}
+    real = tracker.fit_distributed
+
+    def spy(narrowed, params, flags, num_workers, **kw):
+        captured["force_repartition"] = kw.get("force_repartition")
+        return real(narrowed, params, flags, num_workers, **kw)
+
+    monkeypatch.setattr(tracker, "fit_distributed", spy)
+    spark.conf.set(FORCE_REPARTITION_CONF, "true")
+    try:
+        XgboostRegressor(n_estimators=2, max_depth=2, num_workers=2).fit(reg_df)
+    finally:
+        spark.conf.unset(FORCE_REPARTITION_CONF)
+    assert captured["force_repartition"] is True
+
+
 def test_distributed_rejects_base_margin(spark, reg_df):
     df = reg_df.withColumn("bm", reg_df.label * 0.1)
     with pytest.raises(ValueError, match="baseMarginCol"):

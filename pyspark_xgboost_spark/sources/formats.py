@@ -39,13 +39,29 @@ def src_fingerprint(sf_dir: str, table: str) -> str:
     return f"{st.st_size}_{st.st_mtime_ns}"
 
 
+def gc_stale_siblings(parent: str, prefix: str, keep: str) -> None:
+    """Best-effort removal of sibling scratch dirs sharing ``prefix``
+    (i.e. older fingerprints of the same derived artifact) other than
+    ``keep`` — without this, /tmp grows monotonically every time the
+    source data is replaced (round-2 verdict item)."""
+    try:
+        entries = os.listdir(parent)
+    except OSError:
+        return
+    for name in entries:
+        if name.startswith(prefix) and name != keep:
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+
 def _stage(spark: SparkSession, sf_dir: str, table: str, fmt: str) -> str:
     """Write {table} from parquet into {fmt} once per (sf_dir, table,
-    source-content fingerprint); return the staged directory."""
+    source-content fingerprint); return the staged directory. Stale
+    fingerprints of the same (table, fmt) are garbage-collected."""
     key = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(
-        _SCRATCH, key, f"{table}_{fmt}_{src_fingerprint(sf_dir, table)}"
-    )
+    parent = os.path.join(_SCRATCH, key)
+    leaf = f"{table}_{fmt}_{src_fingerprint(sf_dir, table)}"
+    out = os.path.join(parent, leaf)
+    gc_stale_siblings(parent, f"{table}_{fmt}_", leaf)
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         df = load_table(spark, sf_dir, table)
@@ -129,9 +145,9 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     a downstream filter on l_returnflag reads 1/3 of the files. The
     oracle checks the round trip loses nothing."""
     key = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(
-        _SCRATCH, key, f"lineitem_by_flag_{src_fingerprint(sf_dir, 'lineitem')}"
-    )
+    leaf = f"lineitem_by_flag_{src_fingerprint(sf_dir, 'lineitem')}"
+    gc_stale_siblings(os.path.join(_SCRATCH, key), "lineitem_by_flag_", leaf)
+    out = os.path.join(_SCRATCH, key, leaf)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_extendedprice", "l_returnflag"
@@ -176,11 +192,18 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_tbl = f"customer_bkt_{key}_{src_fingerprint(sf_dir, 'customer')}"
 
     def _write_bucketed(table: str, name: str, bucket_col: str) -> None:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        # old-fingerprint bucketed copies of this table are dead weight
+        # (and dead catalog entries) once the source data changes
+        prefix = f"{table}_bkt_{key}_"
+        gc_stale_siblings(warehouse, prefix, name)
+        for t in spark.catalog.listTables():
+            if t.name.startswith(prefix) and t.name != name:
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
         if spark.catalog.tableExists(name):
             return
         # the in-memory catalog forgets managed tables across sessions
         # while their warehouse directory persists — clear the stale one
-        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
         stale = os.path.join(warehouse, name)
         if os.path.exists(stale):
             shutil.rmtree(stale)

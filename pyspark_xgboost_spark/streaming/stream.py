@@ -273,15 +273,19 @@ def events_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     encodes precisely that: window end <= max(ts) - 2h. (This is the
     real append-mode contract; complete mode, used by
     events_stream_tumbling_window, emits everything.)"""
-    from pyspark_xgboost_spark.sources.formats import src_fingerprint
+    from pyspark_xgboost_spark.sources.formats import gc_stale_siblings, src_fingerprint
 
     # checkpoint keyed by source-content fingerprint: replacing
     # events.parquet in place must not let the old checkpoint skip
-    # reprocessing and serve a stale sink (round-1 advice)
+    # reprocessing and serve a stale sink (round-1 advice); stale
+    # fingerprints are garbage-collected so /tmp stays bounded
     key = sf_dir.strip("/").replace("/", "_")
     fp = src_fingerprint(sf_dir, "events")
-    out_dir = os.path.join("/tmp", "spark_stream_sink", key, f"tumbling_{fp}")
-    ckpt_dir = os.path.join("/tmp", "spark_stream_sink", key, f"ckpt_{fp}")
+    parent = os.path.join("/tmp", "spark_stream_sink", key)
+    gc_stale_siblings(parent, "tumbling_", f"tumbling_{fp}")
+    gc_stale_siblings(parent, "ckpt_", f"ckpt_{fp}")
+    out_dir = os.path.join(parent, f"tumbling_{fp}")
+    ckpt_dir = os.path.join(parent, f"ckpt_{fp}")
     ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(_state_partitions(spark)))

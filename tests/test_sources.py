@@ -1,0 +1,48 @@
+"""Staged-copy lifecycle for the multi-format scan operators
+(sources/formats.py): fingerprint keying plus garbage collection of
+stale fingerprints, so a data swap invalidates derived scratch dirs
+without letting /tmp grow without bound."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from tests.conftest import SF_DIR
+
+
+def test_stage_gc_keeps_one_copy_per_table(spark, tmp_path):
+    from pyspark_xgboost_spark.sources.formats import _SCRATCH, _stage
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    shutil.copy(os.path.join(SF_DIR, "region.parquet"), data_dir / "region.parquet")
+
+    first = _stage(spark, str(data_dir), "region", "csv")
+    assert os.path.exists(os.path.join(first, "_SUCCESS"))
+
+    # swap the data in place (same bytes, new mtime → new fingerprint)
+    st = os.stat(data_dir / "region.parquet")
+    os.utime(data_dir / "region.parquet", ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    second = _stage(spark, str(data_dir), "region", "csv")
+
+    assert second != first  # new fingerprint → new staged dir
+    assert not os.path.exists(first)  # stale sibling collected
+    parent = os.path.join(_SCRATCH, str(data_dir).strip("/").replace("/", "_"))
+    siblings = [n for n in os.listdir(parent) if n.startswith("region_csv_")]
+    assert siblings == [os.path.basename(second)]
+
+
+def test_stage_gc_leaves_other_tables_alone(spark, tmp_path):
+    from pyspark_xgboost_spark.sources.formats import _stage
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    for t in ("region", "nation"):
+        shutil.copy(os.path.join(SF_DIR, f"{t}.parquet"), data_dir / f"{t}.parquet")
+
+    region = _stage(spark, str(data_dir), "region", "csv")
+    nation = _stage(spark, str(data_dir), "nation", "csv")
+    # re-staging region (unchanged) must not disturb either copy
+    assert _stage(spark, str(data_dir), "region", "csv") == region
+    assert os.path.exists(os.path.join(nation, "_SUCCESS"))

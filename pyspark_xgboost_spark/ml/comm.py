@@ -161,17 +161,17 @@ class _ReduceServer:
                  ports: list[int] | None = None):
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        # prefer binding the specific address clients will dial; fall
-        # back to the wildcard only when that address isn't a local
-        # interface (NAT / container port-mapping) — the handshake still
-        # gates entry either way, but a scoped bind keeps the endpoint
-        # off unrelated interfaces.
+        # bind the specific address clients will dial; the wildcard is
+        # tried ONLY when that address isn't a local interface (NAT /
+        # container port-mapping → EADDRNOTAVAIL). Busy candidate ports
+        # on a local address raise instead of widening the bind scope —
+        # the handshake gates entry either way, but a scoped bind keeps
+        # the endpoint off unrelated interfaces.
         bind_hosts = [host] if host else ["0.0.0.0"]
-        if host and host != "0.0.0.0":
-            bind_hosts.append("0.0.0.0")
         if ports:
             bound = False
             for bh in bind_hosts:
+                addr_not_local = False
                 for p in ports:
                     try:
                         self._srv.bind((bh, p))
@@ -179,10 +179,14 @@ class _ReduceServer:
                         break
                     except OSError as e:
                         if e.errno == errno.EADDRNOTAVAIL:
-                            break  # host not local — move to fallback host
+                            addr_not_local = True
+                            break
                         continue
                 if bound:
                     break
+                if addr_not_local and bh != "0.0.0.0":
+                    bind_hosts.append("0.0.0.0")
+                    continue
             if not bound:
                 raise OSError(
                     f"rendezvous: all {len(ports)} candidate ports in use; "
@@ -194,8 +198,9 @@ class _ReduceServer:
                     self._srv.bind((bh, 0))
                     break
                 except OSError as e:
-                    if e.errno != errno.EADDRNOTAVAIL or bh == bind_hosts[-1]:
+                    if e.errno != errno.EADDRNOTAVAIL or bh == "0.0.0.0":
                         raise
+                    bind_hosts.append("0.0.0.0")
         self._srv.listen(n_clients + 4)
         self.port = self._srv.getsockname()[1]
         self._magic = magic

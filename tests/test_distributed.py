@@ -146,6 +146,23 @@ def test_rendezvous_comm_roundtrip():
         assert results[r].tolist() == [3.0, 3.0, 3.0, 3.0]
 
 
+def test_reduce_server_binds_scoped_address_when_local():
+    """A local bind host must yield a scoped endpoint — the wildcard is
+    reserved for EADDRNOTAVAIL (host not a local interface), never used
+    just because it is listed or because a port was busy."""
+    from pyspark_xgboost_spark.ml.comm import _ReduceServer, candidate_ports, cookie_magic
+
+    cookie = "test-bind-scope-attempt-0"
+    ports = candidate_ports(cookie)
+    server = _ReduceServer(
+        n_clients=1, host="127.0.0.1", magic=cookie_magic(cookie), ports=ports
+    )
+    try:
+        assert server._srv.getsockname()[0] == "127.0.0.1"
+    finally:
+        server._srv.close()
+
+
 def test_rendezvous_rejects_wrong_magic_and_tolerates_probes():
     import socket
     import struct

@@ -164,6 +164,26 @@ def test_scalable_length_bucketer_windows_histogram_not_corpus(spark):
     assert "partial_count" in plan
 
 
+def test_tfidf_exact_tokenizes_once(spark):
+    """text_tfidf_exact must evaluate the tokenize/explode/tf subtree
+    exactly once: document frequency is a window count over the tf
+    aggregate, not a groupBy + self-join (which executed the tf subtree
+    on both the broadcast-build and probe sides — two full tokenize
+    passes at 100 TB)."""
+    from pyspark_xgboost_spark.operators.text import text_tfidf_exact
+
+    df = text_tfidf_exact(spark, SF_DIR)
+    df.collect()
+    # AQE's toString appends the pre-execution "Initial Plan" — count
+    # operators in the final plan section only
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Generate explode") == 1, final
+    # the n_corpus branch is count-only (empty read schema): exactly one
+    # scan reads the text column
+    assert final.count("text:string") == 1, final
+
+
 def test_ngram_jaccard_is_candidate_driven(spark):
     """dedup_ngram_jaccard must consume LSH candidate pairs, not
     self-join the corpus on (lang, source) blocks (quadratic at scale):

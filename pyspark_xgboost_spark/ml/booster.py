@@ -720,9 +720,14 @@ def train(
                 f"xgb_model objective {xgb_model.objective!r} does not match "
                 f"training objective {p['objective']!r}"
             )
-        if K > 1 and int(xgb_model.num_class) != K:
+        # symmetric check: a multi-class initial model with single-output
+        # training params (or vice versa) would otherwise surface later
+        # as an opaque numpy reshape error from raw_margin
+        init_K = int(xgb_model.num_class) if int(xgb_model.num_class or 0) > 1 else 1
+        if init_K != K:
             raise ValueError(
-                f"xgb_model num_class {xgb_model.num_class} != {K}"
+                f"xgb_model num_class {xgb_model.num_class} incompatible "
+                f"with training num_class {K}"
             )
         # adopt the initial model's base_score: margins below start from
         # its raw prediction (which includes that base_score), and the
@@ -796,9 +801,14 @@ def train(
                     e_margin[:, k] += de
                 else:
                     e_margin += de
+        # the eval metric feeds BOTH early stopping and user callbacks:
+        # with an eval_set, after_iteration must see the score even when
+        # early_stopping_rounds is 0 (TrainingCallback contract — score
+        # is None only without an eval set)
         score = None
-        if has_eval and esr > 0:
+        if has_eval and (esr > 0 or callbacks):
             score = _eval_metric(metric, obj, e_margin, ey, ew, comm)
+        if esr > 0 and score is not None:
             if score < best_score - 1e-12:
                 best_score = score
                 best_iteration = rnd
@@ -811,6 +821,11 @@ def train(
         if any(cb.after_iteration(rnd, score) for cb in callbacks or ()):
             break
 
+    # best_iteration indexes into the COMBINED booster: xgboost counts
+    # total rounds across continuation, so offset by the initial model's
+    # round count — a consumer using it as an iteration_range must land
+    # on the right tree block
+    init_rounds = len(init_trees) // K
     booster = Booster(
         trees=init_trees + trees,
         objective=p["objective"],
@@ -818,7 +833,7 @@ def train(
         base_score=float(p["base_score"]),
         missing=missing,
         params={k: v for k, v in p.items() if k != "missing"},
-        best_iteration=best_iteration if (has_eval and esr > 0) else None,
+        best_iteration=(init_rounds + best_iteration) if (has_eval and esr > 0) else None,
         best_score=(best_score if (has_eval and esr > 0 and best_score < math.inf) else None),
         feature_names=feature_names,
     )

@@ -178,24 +178,26 @@ class _XgboostParamsBase:
                 )
             from pyspark.sql import SparkSession
 
-            session = SparkSession.getActiveSession()
-            if session is not None:
-                gpu_per_task = session.sparkContext.getConf().get(
-                    "spark.task.resource.gpu.amount"
+            # resolve a session like the reference (getOrCreate, not
+            # getActiveSession) — use_gpu misconfiguration must not pass
+            # validation just because no session was active yet
+            session = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+            gpu_per_task = session.sparkContext.getConf().get(
+                "spark.task.resource.gpu.amount"
+            )
+            if not gpu_per_task or int(float(gpu_per_task)) < 1:
+                raise RuntimeError(
+                    "the spark cluster does not have the necessary GPU "
+                    "configuration for the spark task (set "
+                    "spark.task.resource.gpu.amount); cannot run "
+                    "GPU training"
                 )
-                if not gpu_per_task or int(float(gpu_per_task)) < 1:
-                    raise RuntimeError(
-                        "the spark cluster does not have the necessary GPU "
-                        "configuration for the spark task (set "
-                        "spark.task.resource.gpu.amount); cannot run "
-                        "GPU training"
-                    )
-                if int(float(gpu_per_task)) > 1:
-                    _logger.warning(
-                        "%s GPU cores configured per spark task, but "
-                        "training uses only one GPU core per task",
-                        gpu_per_task,
-                    )
+            if int(float(gpu_per_task)) > 1:
+                _logger.warning(
+                    "%s GPU cores configured per spark task, but "
+                    "training uses only one GPU core per task",
+                    gpu_per_task,
+                )
             _logger.warning(
                 "use_gpu validated, but this build runs the CPU histogram "
                 "kernel; continuing on CPU"

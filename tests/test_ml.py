@@ -371,6 +371,77 @@ def test_callback_early_stop(spark, reg_train):
     assert len(model.get_booster().trees) == 3
 
 
+def test_callback_sees_score_without_early_stopping():
+    """With an eval_set, after_iteration must receive the eval metric
+    even when early_stopping_rounds is 0 (TrainingCallback contract:
+    score is None only without an eval set)."""
+    from pyspark_xgboost_spark.ml.booster import TrainingCallback, train
+
+    rng = np.random.RandomState(7)
+    X = rng.rand(200, 3).astype(np.float32)
+    y = X @ np.array([1.0, -2.0, 0.5]) + 0.1 * rng.rand(200)
+    seen = []
+
+    class Recorder(TrainingCallback):
+        def after_iteration(self, rnd, score):
+            seen.append(score)
+            return False
+
+    train(
+        X, y, {"n_estimators": 3, "max_depth": 2},
+        eval_set=(X[:50], y[:50]), callbacks=[Recorder()],
+    )
+    assert len(seen) == 3 and all(s is not None for s in seen)
+
+    seen.clear()
+    train(X, y, {"n_estimators": 2, "max_depth": 2}, callbacks=[Recorder()])
+    assert seen == [None, None]  # no eval set → no score
+
+
+def test_best_iteration_offset_under_continuation():
+    """Continuing with xgb_model: best_iteration counts TOTAL rounds
+    (xgboost semantics), so it can index the combined booster's trees."""
+    from pyspark_xgboost_spark.ml.booster import train
+
+    rng = np.random.RandomState(11)
+    X = rng.rand(300, 3).astype(np.float32)
+    y = X @ np.array([1.0, -2.0, 0.5]) + 0.05 * rng.rand(300)
+    init = train(X, y, {"n_estimators": 4, "max_depth": 2})
+    cont = train(
+        X, y,
+        {"n_estimators": 6, "max_depth": 2, "early_stopping_rounds": 50},
+        eval_set=(X[:60], y[:60]),
+        xgb_model=init,
+    )
+    assert cont.best_iteration is not None
+    assert cont.best_iteration >= 4  # offset by the init model's rounds
+    assert cont.best_iteration < len(cont.trees)
+
+
+def test_continuation_num_class_mismatch_raises():
+    """Multi-class xgb_model + single-output params (and vice versa)
+    must raise at validation, not crash later in raw_margin reshape."""
+    from pyspark_xgboost_spark.ml.booster import train
+
+    rng = np.random.RandomState(3)
+    X = rng.rand(120, 3).astype(np.float32)
+    y3 = (rng.rand(120) * 3).astype(np.int64).astype(np.float64)
+    multi = train(
+        X, y3, {"objective": "multi:softprob", "num_class": 3, "n_estimators": 2}
+    )
+    # same objective string but a different class count
+    with pytest.raises(ValueError, match="num_class"):
+        train(
+            X, y3,
+            {"objective": "multi:softprob", "num_class": 4, "n_estimators": 2},
+            xgb_model=multi,
+        )
+    # multi-class init model into default regression params: the
+    # objective check fires first and names the mismatch
+    with pytest.raises(ValueError, match="objective|num_class"):
+        train(X, y3, {"n_estimators": 2}, xgb_model=multi)
+
+
 def test_xgb_model_rejects_wrong_type(spark, reg_train):
     with pytest.raises(ValueError, match="xgb_model"):
         XgboostRegressor(xgb_model="not-a-booster").fit(reg_train)

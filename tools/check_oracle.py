@@ -75,7 +75,17 @@ def main() -> int:
         # The driver canonicalizes with a pandas sort that dies on
         # unhashable cells — flag ANY nested value, even in rows-only
         # queries (this is what aborted the round-1 grading run).
-        bad_cols = set()
+        # The schema check is authoritative (a column NULL in every
+        # sampled row but nested by type must still be flagged); the
+        # value scan backstops types the schema can't see (e.g. a UDT
+        # surfacing a Python list).
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        bad_cols = {
+            f.name
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        }
         for r in srows[:200]:
             for c, v in zip(scols, r):
                 if isinstance(v, (list, tuple, dict, set)):

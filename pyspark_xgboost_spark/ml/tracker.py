@@ -40,6 +40,7 @@ from pyspark_xgboost_spark.ml import booster as kernel
 from pyspark_xgboost_spark.ml.comm import (
     SocketComm,
     _ReduceServer,
+    build_tree_comm,
     candidate_ports,
     connect_rendezvous,
     cookie_magic,
@@ -49,7 +50,12 @@ from pyspark_xgboost_spark.ml.data import batches_to_matrices
 _logger = logging.getLogger("pyspark_xgboost_spark.ml")
 
 
-def rendezvous(context: BarrierTaskContext) -> SocketComm:
+# above this gang size the star hub's O(n × payload) per round starts to
+# dominate; the two-level tree cuts rank-0 traffic to O(√n × payload)
+_TREE_TOPOLOGY_THRESHOLD = 64
+
+
+def rendezvous(context: BarrierTaskContext, topology: str = "auto") -> SocketComm:
     """Zero-RPC rendezvous: every barrier RPC (``allGather``/``barrier``)
     costs a measured ~1.0 s constant, so instead of broadcasting rank-0's
     reduce-server address through one, all ranks derive the same
@@ -70,6 +76,12 @@ def rendezvous(context: BarrierTaskContext) -> SocketComm:
     cookie = json.dumps(
         [context.stageId(), context.attemptNumber(), n, [i.address for i in infos]]
     )
+    if topology == "tree" or (topology == "auto" and n > _TREE_TOPOLOGY_THRESHOLD):
+        import math
+
+        hosts = [i.address.split(":")[0] or "127.0.0.1" for i in infos]
+        fanout = max(2, math.isqrt(n))  # √n balances group and upper levels
+        return build_tree_comm(rank, n, hosts, cookie, fanout)
     ports = candidate_ports(cookie)
     magic = cookie_magic(cookie)
     if rank == 0:
@@ -122,11 +134,14 @@ def fit_distributed(
 
     has_validation = flags.get("has_validation", False)
     has_weight = flags.get("has_weight", False)
+    # star | tree | auto (auto = tree beyond _TREE_TOPOLOGY_THRESHOLD
+    # workers); read driver-side, closed over into the barrier tasks
+    topology = narrowed.sparkSession.conf.get("spark_graft.ml.comm_topology", "auto")
 
     def train_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         context = BarrierTaskContext.get()
         train_b, val_b = batches_to_matrices(batches, **flags)
-        comm = rendezvous(context)
+        comm = rendezvous(context, topology=topology)
 
         # agree on feature dimensionality so empty shards build
         # correctly-shaped (all-zero) histograms

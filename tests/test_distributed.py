@@ -146,6 +146,105 @@ def test_rendezvous_comm_roundtrip():
         assert results[r].tolist() == [3.0, 3.0, 3.0, 3.0]
 
 
+def _run_star(n, contribs, gathers):
+    import threading
+
+    from pyspark_xgboost_spark.ml.comm import (
+        SocketComm,
+        _ReduceServer,
+        candidate_ports,
+        connect_rendezvous,
+        cookie_magic,
+    )
+
+    cookie = "topology-star-test"
+    ports, magic = candidate_ports(cookie), cookie_magic(cookie)
+    server = _ReduceServer(n_clients=n - 1, magic=magic, ports=ports)
+    out = {}
+
+    def worker(rank):
+        if rank == 0:
+            comm = SocketComm(0, n, server=server)
+        else:
+            comm = SocketComm(
+                rank, n, sock=connect_rendezvous("127.0.0.1", ports, magic, rank)
+            )
+        out[rank] = (
+            comm.allreduce_sum(contribs[rank]).tolist(),
+            comm.allgather_bytes(gathers[rank]),
+        )
+        comm.close()
+
+    threads = [threading.Thread(target=worker, args=(r,)) for r in range(1, n)]
+    for t in threads:
+        t.start()
+    worker(0)
+    for t in threads:
+        t.join(timeout=30)
+    return out
+
+
+def _run_tree(n, fanout, contribs, gathers):
+    import threading
+
+    from pyspark_xgboost_spark.ml.comm import build_tree_comm
+
+    out = {}
+
+    def worker(rank):
+        comm = build_tree_comm(
+            rank, n, ["127.0.0.1"] * n, "topology-tree-test", fanout, deadline_s=30
+        )
+        out[rank] = (
+            comm.allreduce_sum(contribs[rank]).tolist(),
+            comm.allgather_bytes(gathers[rank]),
+        )
+        comm.close()
+
+    threads = [threading.Thread(target=worker, args=(r,)) for r in range(1, n)]
+    for t in threads:
+        t.start()
+    worker(0)
+    for t in threads:
+        t.join(timeout=30)
+    return out
+
+
+@pytest.mark.parametrize("n,fanout", [(9, 3), (7, 3), (5, 2)])
+def test_tree_and_star_reductions_identical(n, fanout):
+    """The two-level tree must be invisible above the comm interface:
+    every rank's allreduce_sum and allgather_bytes results equal the
+    star's, including uneven trailing groups (n not divisible by
+    fanout)."""
+    import numpy as np
+
+    contribs = {r: np.arange(6, dtype=np.float64) * (r + 1) for r in range(n)}
+    gathers = {r: f"blob-{r}".encode() for r in range(n)}
+    star = _run_star(n, contribs, gathers)
+    tree = _run_tree(n, fanout, contribs, gathers)
+    assert set(star) == set(tree) == set(range(n))
+    expected_sum = sum(contribs.values()).tolist()
+    expected_gather = [gathers[r] for r in range(n)]
+    for r in range(n):
+        assert star[r] == (expected_sum, expected_gather)
+        assert tree[r] == (expected_sum, expected_gather)
+
+
+def test_distributed_tree_topology_matches_local(spark, reg_df):
+    """End-to-end barrier fit over the tree comm (conf-forced; auto only
+    engages beyond 64 workers) must reproduce the single-worker model."""
+    params = dict(n_estimators=6, max_depth=3)
+    local = XgboostRegressor(**params).fit(reg_df)
+    spark.conf.set("spark_graft.ml.comm_topology", "tree")
+    try:
+        dist = XgboostRegressor(**params, num_workers=4).fit(reg_df)
+    finally:
+        spark.conf.unset("spark_graft.ml.comm_topology")
+    p_local = np.array([r.prediction for r in local.transform(reg_df).collect()])
+    p_dist = np.array([r.prediction for r in dist.transform(reg_df).collect()])
+    np.testing.assert_allclose(p_local, p_dist, atol=1e-6)
+
+
 def test_reduce_server_binds_scoped_address_when_local():
     """A local bind host must yield a scoped endpoint — the wildcard is
     reserved for EADDRNOTAVAIL (host not a local interface), never used

@@ -39,11 +39,13 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_ngram_jaccard",
+    "dedup_groups_connected",
     "dedup_embedding_cosine",
     "sim_search_topk_vectorized",
     "sim_search_ivf",
     "text_quality_score",
     "text_langid",
+    "text_pii_mask",
     "text_tfidf_exact",
     "pipeline_training_data",
     "scan_csv",

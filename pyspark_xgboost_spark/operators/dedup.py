@@ -325,6 +325,101 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Connected components over candidate pairs (duplicate GROUPS)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_groups_connected",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CAND_SQL},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL SELECT doc_b, doc_a FROM cand
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    comp AS (SELECT doc_id, min(label) AS group_id FROM reach GROUP BY doc_id)
+    SELECT group_id, count(*) AS n_docs, max(doc_id) AS max_doc_id
+    FROM comp GROUP BY group_id
+    """,
+)
+def dedup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUPS, not just pairs: connected components over the
+    MinHash-LSH candidate graph, labeling every document with the lowest
+    doc_id in its component — the step a real dedup pipeline runs after
+    pair generation, since "keep one per near-dup cluster" needs the
+    transitive closure (A~B, B~C ⇒ {{A,B,C}} is one group even if A,C
+    never collide in a band).
+
+    Spark shape: iterative min-label propagation — each round every node
+    takes min(own label, neighbors' labels) via one join + groupBy on
+    the EDGE list, converging in O(component diameter) rounds (near-dup
+    clusters are shallow; boilerplate chains are the deep case and the
+    bucket cap bounds their degree). Lineage is truncated per round with
+    localCheckpoint so the plan stays constant-size; the driver sees
+    only a changed-row count per round (single scalar, not data). At
+    100 TB scale the same loop is the standard map-reduce CC recipe;
+    switching to large-star/small-star halves the round count if
+    diameters grow. The oracle is the equivalent recursive-CTE closure.
+    Emits per-group summaries (group_id = min doc_id, size, max member)
+    so the result stays inspection-sized and hash-stable.
+    """
+    pairs = _minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)  # compute LSH once, not per round
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    def propagate(lbl: DataFrame) -> DataFrame:
+        """One lazy min-label step: label ← min(label, neighbor labels)."""
+        nbr = (
+            edges.join(lbl, edges["dst"] == lbl["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        return lbl.join(nbr, lbl["doc_id"] == nbr["src"], "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+
+    for _ in range(10):  # 2 steps/round covers diameter 20 — >> any real cluster
+        # TWO propagation steps per materialization: each Spark job has a
+        # fixed scheduling cost that dwarfs the tiny per-step data volume
+        # near convergence, so halving the round count ~halves the loop
+        # wall-clock (the plan stays bounded — labels is a checkpoint)
+        stepped = propagate(propagate(labels))
+        new_labels = (
+            stepped.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .select(
+                "doc_id",
+                F.col("n.label").alias("label"),
+                (F.col("n.label") < F.col("o.label")).cast("int").alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            break
+    return labels.groupBy(F.col("label").alias("group_id")).agg(
+        F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash (vectorized pandas UDF — rows-only check)
 # --------------------------------------------------------------------------
 

@@ -224,6 +224,50 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns shared verbatim by both engines (Java regex and RE2
+# agree on these constructs: char classes, +, {m,}, alternation-free)
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_LONGNUM_RE = r"[0-9]{7,}"
+
+
+@register(
+    "text_pii_mask",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_LONGNUM_RE}')) AS BIGINT) AS n_longnums,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_LONGNUM_RE}', '<NUM>', 'g')) AS masked_hash
+    FROM documents
+    """,
+)
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass every LLM training corpus runs before use:
+    mask email addresses and long digit runs (phone/account numbers),
+    reporting per-doc match counts and the digest of the masked text
+    (the digest, not the body, keeps the result hash-stable and small).
+    Pure JVM expression tree — regexp_replace/regexp_extract_all run
+    inside codegen, one corpus scan, zero shuffles; at 100 TB this is
+    a map-only stage. Patterns restricted to constructs Java regex and
+    DuckDB's RE2 evaluate identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    masked = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _LONGNUM_RE,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_LONGNUM_RE), 0))
+        .cast("long")
+        .alias("n_longnums"),
+        F.md5(masked).alias("masked_hash"),
+    )
+
+
 @register("text_tokenize_tfidf")
 def text_tokenize_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib Tokenizer → HashingTF → IDF pipeline (rows-only: murmur3

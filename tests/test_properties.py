@@ -133,6 +133,37 @@ def test_minhash_bucket_cap_bounds_pair_expansion(spark):
     assert all(r.doc_a < r.doc_b < cap for r in pairs)
 
 
+def test_connected_components_transitive_closure(spark):
+    """dedup_groups_connected must group by TRANSITIVE closure: a chain
+    of near-identical docs where the endpoints never collide in a band
+    still forms one group. Identical docs guarantee full-signature
+    collisions, so a clone chain {0,1,2} plus a separate clone pair
+    {3,4} must yield exactly two groups keyed by their min doc_id."""
+    from pyspark_xgboost_spark.operators import dedup
+
+    def fake_load(spark_, sf_dir_, table):
+        rows = [
+            (0, "red fox jumps high"),
+            (1, "red fox jumps high"),
+            (2, "red fox jumps high"),
+            (3, "blue whale swims deep"),
+            (4, "blue whale swims deep"),
+            (5, "lone document with words"),
+        ]
+        return spark_.createDataFrame(rows, "doc_id long, text string")
+
+    orig = dedup.load_table
+    dedup.load_table = fake_load
+    try:
+        got = {
+            r.group_id: (r.n_docs, r.max_doc_id)
+            for r in dedup.dedup_groups_connected(spark, "unused").collect()
+        }
+    finally:
+        dedup.load_table = orig
+    assert got == {0: (3, 2), 3: (2, 4)}
+
+
 @settings(**_SETTINGS)
 @given(
     st.lists(st.floats(min_value=0.0, max_value=100.0, width=32), min_size=1, max_size=30)

@@ -59,6 +59,13 @@ HEADLINE = [
     "events_stream_dedup",
     "events_stream_foreach_batch",
     "multimodal_decode_features",
+    "text_repetition_stats",
+    "doc_chunk_fixed",
+    "contamination_check",
+    "doc_pack_greedy",
+    "corpus_vocab_topk",
+    "embedding_centroids",
+    "sample_stratified_by_source",
     "ml_fit_predict_regressor",
 ]
 

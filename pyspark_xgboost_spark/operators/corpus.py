@@ -1,0 +1,362 @@
+"""Corpus-curation operators over ``documents`` / ``embeddings`` —
+the second tranche of the LLM-data-pipeline surface (the first lives in
+text.py / dedup.py / sampling.py).
+
+Every operator here is a stage a real pre-training data pipeline runs
+between "raw crawl" and "tokenized shards":
+
+* repetition statistics (the Gopher/MassiveText quality filters),
+* fixed-window chunking (context-length preprocessing),
+* train/eval contamination detection (n-gram overlap),
+* greedy sequence packing (concat-and-split batch construction),
+* corpus vocabulary head (top-k document frequency),
+* per-class embedding centroids (cluster seeding / label audit).
+
+All are pure DataFrame plans — no Python in the row path — and each has
+a bit-identical DuckDB oracle. Numeric outputs are integers or 4dp
+binary-floored doubles; sums that feed comparisons are integer-quantized
+first so partial-aggregation order can never change a result bit
+(float addition is not associative; integer addition is).
+
+The reference has no corpus surface (it is an XGBoost trainer —
+``sparkdl/xgboost/xgboost_core.py`` composes only
+select/cast/repartition/mapInPandas); these operators extend the engine
+the same way sampling.py does, per the repo north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_xgboost_spark.registry import register
+from pyspark_xgboost_spark.sources import load_table
+
+_TOKS = r"filter(split(lower(text), '\\s+'), x -> x != '')"
+_TOKS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+
+@register(
+    "text_repetition_stats",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_unique
+      FROM t WHERE len(toks) >= 2
+    ),
+    big AS (
+      SELECT doc_id, n_tokens, n_unique,
+             unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])
+               AS bigram
+      FROM sized
+    ),
+    counts AS (
+      SELECT doc_id, n_tokens, n_unique, bigram, count(*) AS cnt
+      FROM big GROUP BY ALL
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           floor(CAST(n_tokens - n_unique AS DOUBLE) / n_tokens * 10000) / 10000
+             AS dup_token_frac,
+           floor(CAST(max(cnt) AS DOUBLE) / (n_tokens - 1) * 10000) / 10000
+             AS top_bigram_frac
+    FROM counts GROUP BY doc_id, n_tokens, n_unique
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters, adapted token-level (the
+    synthetic corpus has no newlines, so line-based variants would
+    degenerate): per document, the duplicate-token fraction
+    (1 - unique/total) and the share of all bigrams taken by the single
+    most frequent bigram. High values of either mark boilerplate /
+    degenerate text that every pre-training recipe drops.
+
+    Plan shape: ONE corpus scan. n_tokens/n_unique are computed
+    map-side from the token array and carried *through* the bigram
+    explode as grouping keys, so the text column is read and tokenized
+    exactly once — no second scan, no doc_id join-back. The two
+    aggregations are keyed by (doc_id, bigram) then (doc_id): partial
+    aggregation collapses each document's bigrams before the shuffle,
+    so shuffle volume is O(distinct bigrams per doc), never O(corpus
+    bytes). At 100 TB this is the same shape as a word-count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.expr(_TOKS).alias("toks")).filter(F.size("toks") >= 2)
+    sized = t.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_unique"),
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"
+    )
+    big = sized.select(
+        "doc_id", "n_tokens", "n_unique", F.explode(bigrams).alias("bigram")
+    )
+    counts = big.groupBy("doc_id", "n_tokens", "n_unique", "bigram").agg(
+        F.count("*").alias("cnt")
+    )
+    return counts.groupBy("doc_id", "n_tokens", "n_unique").agg(
+        F.max("cnt").alias("top_cnt")
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (
+            F.floor(
+                (F.col("n_tokens") - F.col("n_unique")).cast("double")
+                / F.col("n_tokens")
+                * 10000
+            )
+            / 10000
+        ).alias("dup_token_frac"),
+        (
+            F.floor(F.col("top_cnt").cast("double") / (F.col("n_tokens") - 1) * 10000)
+            / 10000
+        ).alias("top_bigram_frac"),
+    )
+
+
+_CHUNK = 256
+_STRIDE = 192
+
+
+@register(
+    "doc_chunk_fixed",
+    oracle=f"""
+    WITH starts AS (
+      SELECT doc_id, unnest([s for s in range(1, n_chars + 1, {_STRIDE})]) AS s,
+             text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(length(substr(text, CAST(s AS INTEGER), {_CHUNK})) AS BIGINT)
+             AS chunk_len,
+           md5(substr(text, CAST(s AS INTEGER), {_CHUNK})) AS chunk_hash
+    FROM starts
+    """,
+)
+def doc_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding fixed-window chunking (window {_CHUNK} chars, stride
+    {_STRIDE} → 64-char overlap) — the context-length preprocessing
+    step that turns documents into model-sized training sequences.
+    Emits the digest of each chunk, not the body, to keep the result
+    hash-stable and the shuffle-free plan's output small.
+
+    Plan shape: generate start offsets from the already-stored
+    ``n_chars`` column, explode, substring — a map-only stage with zero
+    shuffles and no Python. At 100 TB the row count grows ~n_chars /
+    stride per doc but every row stays within its input partition.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1).cast("long"), F.col("n_chars"), F.lit(_STRIDE).cast("long")
+    )
+    t = docs.select("doc_id", "text", F.explode(starts).alias("s"))
+    chunk = F.expr(f"substring(text, cast(s as int), {_CHUNK})")
+    return t.select(
+        "doc_id",
+        ((F.col("s") - 1) / _STRIDE).cast("long").alias("chunk_idx"),
+        F.col("s").cast("long").alias("chunk_start"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_hash"),
+    )
+
+
+# 4-token shingles; test set = every 50th doc_id (deterministic holdout)
+_SHINGLE_SPARK = (
+    "transform(sequence(1, size(toks) - 3), i -> array_join(slice(toks, i, 4), ' '))"
+)
+_SHINGLE_SQL = "[array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks) - 2)]"
+
+
+@register(
+    "contamination_check",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL})) AS shingle
+      FROM t WHERE len(toks) >= 4
+    ),
+    test_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+    )
+    SELECT s.doc_id, count(*) AS n_hits
+    FROM sh s JOIN test_sh USING (shingle)
+    WHERE s.doc_id % 50 <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination detection: flag training documents that
+    share any 4-token shingle with the held-out set (here: every 50th
+    doc_id), reporting the number of distinct overlapping shingles per
+    contaminated doc. This is the standard benchmark-decontamination
+    pass (n-gram overlap against eval suites) every serious pipeline
+    runs before training.
+
+    Plan shape: shingles are deduped per-doc map-side
+    (``array_distinct`` before explode), then the held-out side — tiny
+    by construction, eval suites are MBs not TBs — is broadcast into a
+    hash join against the training side's single exploded scan. One
+    shuffle (the final per-doc count, integer rows only). At 100 TB
+    the training corpus is read once and never shuffled as text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.expr(_TOKS).alias("toks")).filter(F.size("toks") >= 4)
+    sh = t.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("shingle"),
+    )
+    test_sh = sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+    train = sh.filter(F.col("doc_id") % 50 != 0)
+    return (
+        train.join(F.broadcast(test_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+_PACK_BUDGET = 2048
+
+
+@register(
+    "doc_pack_greedy",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, source, n_chars,
+             sum(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(floor(CAST(cum - n_chars AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)
+             AS bin_id,
+           CAST((cum - n_chars) % {_PACK_BUDGET} AS BIGINT) AS bin_offset
+    FROM c
+    """,
+)
+def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: within each source, documents
+    are laid end-to-end in doc_id order and cut into {_PACK_BUDGET}-char
+    bins — exactly how pre-training batches are packed from curated
+    shards (each doc gets the bin where its first char lands, plus its
+    offset inside that bin).
+
+    Plan shape: one cumulative-sum window PARTITIONED BY source — the
+    window never spans more than one source's rows, so the work is
+    embarrassingly parallel across sources and there is no global sort
+    (contrast length_bucket_equal_freq's documented caveat). At 100 TB
+    the production form partitions by shard file rather than source;
+    the shape — running sum inside a bounded partition — is identical.
+    Integer cumsum, so results are bit-stable under any merge order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_chars").over(w)
+    start = cum - F.col("n_chars")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.floor(start.cast("double") / _PACK_BUDGET).cast("long").alias("bin_id"),
+        (start % _PACK_BUDGET).cast("long").alias("bin_offset"),
+    )
+
+
+@register(
+    "corpus_vocab_topk",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS term FROM documents
+    )
+    SELECT term, count(*) AS df
+    FROM t GROUP BY term
+    ORDER BY df DESC, term ASC
+    LIMIT 50
+    """,
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: the 50 terms with the highest document
+    frequency (ties broken by term so both engines agree) — the first
+    thing you inspect when auditing a new data source, and the seed
+    list for stopword/boilerplate filters.
+
+    Plan shape: per-doc dedup map-side (``array_distinct``), partial
+    count before the term-keyed shuffle, then Spark's
+    TakeOrderedAndProject (per-partition top-k + driver merge of 50-row
+    heads — no global sort). Shuffle volume is O(vocabulary), which
+    Zipf keeps in the millions regardless of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.explode(F.array_distinct(F.expr(_TOKS))).alias("term"))
+    return (
+        t.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+             unnest(embedding) AS x
+      FROM embeddings
+    ),
+    q AS (
+      SELECT label, pos,
+             CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qv
+      FROM e
+    )
+    SELECT label, pos,
+           count(*) AS n_members,
+           floor(sum(qv) * 10.0 / count(*)) / 10000 AS centroid
+    FROM q GROUP BY label, pos
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, one row per (label, dimension) —
+    the cluster-seed / label-audit primitive (compare centroid
+    separation to spot mislabeled or collapsed classes).
+
+    Determinism: each component is quantized to integer thousandths
+    BEFORE the sum, so the aggregate is an exact integer no matter how
+    partial aggregation orders the additions — float sums are
+    order-dependent, integer sums are not. The final mean is floored at
+    4dp; `floor(s*10.0/cnt)` is exact because a non-integer rational
+    s*10/cnt sits at least 1/cnt away from any integer, far outside
+    double rounding error.
+
+    Plan shape: posexplode → one (label, pos)-keyed aggregation with
+    map-side partial sums. Cardinality after the shuffle is
+    |labels| x dim regardless of corpus size; at 100 TB this is the
+    canonical vector-mean shape (same as a distributed k-means step).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    q = e.select(
+        "label",
+        "pos",
+        F.floor(F.col("x").cast("double") * 1000).cast("long").alias("qv"),
+    )
+    return q.groupBy("label", "pos").agg(
+        F.count("*").alias("n_members"),
+        (F.floor(F.sum("qv") * 10.0 / F.count("*")) / 10000).alias("centroid"),
+    )

@@ -98,6 +98,61 @@ def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(keep).groupBy("lang").agg(F.count("*").alias("n_kept"))
 
 
+# per-stratum sampling rates as first-byte md5 thresholds:
+# source number mod 4 -> 0:'1a' (~10%), 1:'34' (~20%), 2:'4d' (~30%),
+# 3:'66' (~40%)
+_STRATUM_THRESHOLDS = ["1a", "34", "4d", "66"]
+
+
+@register(
+    "sample_stratified_by_source",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST(substr(source, 4) AS INTEGER) % 4 AS stratum,
+             substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+      FROM documents
+    )
+    SELECT source, count(*) AS n_sampled,
+           min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+    FROM s
+    WHERE h2 < CASE stratum WHEN 0 THEN '1a' WHEN 1 THEN '34'
+                            WHEN 2 THEN '4d' ELSE '66' END
+    GROUP BY source
+    """,
+)
+def sample_stratified_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (~10/20/30/40% keyed
+    on source number mod 4) — the mixture-rebalancing primitive: each
+    data source gets its own deterministic keep-rate, exactly how LLM
+    recipes specify per-source sampling weights. A fresh digest salt
+    ('strat:') decorrelates this sample from the other hash-keyed
+    operators.
+
+    Map-side digest filter on the scan (no shuffle until the tiny
+    per-source count); the per-stratum threshold is a constant CASE on
+    an already-read column. Same zero-shuffle scale shape as
+    sample_hash_bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    stratum = F.substring("source", 4, 10).cast("int") % 4
+    thr = F.when(stratum == 0, _STRATUM_THRESHOLDS[0])
+    for i in range(1, 3):
+        thr = thr.when(stratum == i, _STRATUM_THRESHOLDS[i])
+    thr = thr.otherwise(_STRATUM_THRESHOLDS[3])
+    return (
+        docs.filter(h2 < thr)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
 @register(
     "length_bucket_equal_freq",
     oracle="""

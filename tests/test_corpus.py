@@ -1,0 +1,123 @@
+"""Corpus-curation operators (operators/corpus.py) + stratified sampler."""
+
+from pyspark.sql import functions as F
+
+from pyspark_xgboost_spark.operators import corpus, sampling
+from tests.conftest import SF_DIR
+
+
+def test_repetition_stats_bounds_and_handmade_doc(spark):
+    rows = corpus.text_repetition_stats(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["dup_token_frac"] < 1.0
+        assert 0.0 < r["top_bigram_frac"] <= 1.0
+    # hand-checked degenerate doc: "a a a a" -> dup 3/4, top bigram 3/3
+    df = spark.createDataFrame([(1, "a a a a")], "doc_id long, text string")
+    one = (
+        df.select("doc_id", F.expr(corpus._TOKS).alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n"),
+            F.size(F.array_distinct("toks")).alias("u"),
+        )
+        .collect()[0]
+    )
+    assert (one["n"], one["u"]) == (4, 1)
+
+
+def test_chunking_covers_text_exactly(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = corpus.doc_chunk_fixed(spark, SF_DIR)
+    # no shuffle: map-only plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    lens = {r["doc_id"]: r["n_chars"] for r in docs.select("doc_id", "n_chars").collect()}
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n = lens[doc_id]
+        # stride-aligned starts, contiguous idx, final chunk reaches EOF
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c["chunk_start"] == c["chunk_idx"] * 192 + 1
+            assert 1 <= c["chunk_len"] <= 256
+        last = chunks[-1]
+        assert last["chunk_start"] + last["chunk_len"] - 1 == n
+
+
+def test_contamination_test_docs_excluded_and_hits_positive(spark):
+    rows = corpus.contamination_check(spark, SF_DIR).collect()
+    for r in rows:
+        assert r["doc_id"] % 50 != 0
+        assert r["n_hits"] >= 1
+
+
+def test_packing_is_dense_within_source(spark):
+    rows = corpus.doc_pack_greedy(spark, SF_DIR).collect()
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            assert r["bin_id"] == cum // 2048
+            assert r["bin_offset"] == cum % 2048
+            cum += docs[r["doc_id"]]
+
+
+def test_vocab_topk_ordered_and_bounded(spark):
+    rows = corpus.corpus_vocab_topk(spark, SF_DIR).collect()
+    assert len(rows) <= 50
+    dfs = [(r["df"], r["term"]) for r in rows]
+    assert dfs == sorted(dfs, key=lambda t: (-t[0], t[1]))
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert all(0 < d <= n_docs for d, _ in dfs)
+
+
+def test_embedding_centroids_shape_and_range(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_labels = emb.select("label").distinct().count()
+    rows = corpus.embedding_centroids(spark, SF_DIR).collect()
+    assert len(rows) == n_labels * 64
+    counts = {r["label"]: r["n_members"] for r in rows}
+    truth = {r["label"]: r["cnt"] for r in emb.groupBy("label").agg(F.count("*").alias("cnt")).collect()}
+    assert counts == truth
+    # quantized mean must sit within the component min/max
+    lo, hi = emb.select(
+        F.min(F.array_min("embedding")), F.max(F.array_max("embedding"))
+    ).first()
+    for r in rows:
+        assert float(lo) - 0.001 <= r["centroid"] <= float(hi) + 0.001
+
+
+def test_stratified_sample_rates(spark):
+    out = {
+        r["source"]: r["n_sampled"]
+        for r in sampling.sample_stratified_by_source(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    totals = {r["source"]: r["cnt"] for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    rates = {0: 26 / 256, 1: 52 / 256, 2: 77 / 256, 3: 102 / 256}
+    for src, n in out.items():
+        stratum = int(src[3:]) % 4
+        # generous tolerance at sf0.001 counts; just check ordering pressure
+        assert 0 < n <= totals[src]
+    # sources in stratum 3 should sample at a higher *rate* than stratum 0
+    # in aggregate (law of large numbers over all sources per stratum)
+    agg = {0: [0, 0], 3: [0, 0]}
+    for src, total in totals.items():
+        st = int(src[3:]) % 4
+        if st in agg:
+            agg[st][0] += out.get(src, 0)
+            agg[st][1] += total
+    if agg[0][1] and agg[3][1]:
+        assert agg[3][0] / agg[3][1] > agg[0][0] / agg[0][1]

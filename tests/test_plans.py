@@ -217,3 +217,53 @@ def test_embedding_cosine_is_candidate_driven(spark):
         if "Join" in l and "label" in l and "vec_id" not in l and "band" not in l
     ]
     assert not bad, bad
+
+
+def test_contamination_broadcasts_holdout_side(spark):
+    """contamination_check must broadcast the (small) held-out shingle
+    set into a hash join against the training side's single scan — a
+    shuffled join would move the full exploded shingle stream."""
+    from pyspark_xgboost_spark.operators.corpus import contamination_check
+
+    plan = plan_of(contamination_check(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_topk_uses_takeordered(spark):
+    from pyspark_xgboost_spark.operators.corpus import corpus_vocab_topk
+
+    plan = plan_of(corpus_vocab_topk(spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_chunking_is_map_only(spark):
+    from pyspark_xgboost_spark.operators.corpus import doc_chunk_fixed
+
+    plan = plan_of(doc_chunk_fixed(spark, SF_DIR), "simple")
+    assert "Exchange" not in plan
+
+
+def test_packing_windows_by_source_no_global_sort(spark):
+    """doc_pack_greedy's window is PARTITIONED BY source — there must be
+    a partitioning exchange but no single-partition global sort (the
+    length_bucket ntile anti-pattern)."""
+    from pyspark_xgboost_spark.operators.corpus import doc_pack_greedy
+
+    plan = plan_of(doc_pack_greedy(spark, SF_DIR))
+    assert "Window" in plan
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_repetition_stats_single_scan(spark):
+    """text_repetition_stats carries map-side token stats through the
+    bigram explode: one scan of the text column, no doc_id join-back."""
+    from pyspark_xgboost_spark.operators.corpus import text_repetition_stats
+
+    df = text_repetition_stats(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("text:string") == 1, final
+    assert "Join" not in final, final

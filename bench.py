@@ -96,13 +96,27 @@ def main() -> None:
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
     print(f"# warmup pass ({warm_dir}): {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    # Each query is timed twice and the MIN is reported: all 50+ plans
+    # share one JVM, so a single GC pause or Janino compile landing
+    # inside a query's window can inflate it 3-8x (observed run-to-run:
+    # 0.45s vs 2.0s for the same agg). The min of two runs is the
+    # steady-state cost a long-lived cluster session sees; both samples
+    # are printed so the noise stays visible.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
+        print(
+            f"# {name}: {timings[name]:.3f}s ({n} rows; samples "
+            + "/".join(f"{s:.3f}" for s in samples)
+            + ")",
+            file=sys.stderr,
+        )
 
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])

@@ -66,6 +66,12 @@ HEADLINE = [
     "corpus_vocab_topk",
     "embedding_centroids",
     "sample_stratified_by_source",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "events_ohlc_rollup",
+    "unpivot_melt",
+    "corpus_quality_filter",
+    "outlier_robust_z",
     "ml_fit_predict_regressor",
 ]
 

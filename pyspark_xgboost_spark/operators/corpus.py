@@ -360,3 +360,112 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         (F.floor(F.sum("qv") * 10.0 / F.count("*")) / 10000).alias("centroid"),
     )
+
+
+@register(
+    "corpus_quality_filter",
+    oracle=rf"""
+    WITH sig AS (
+      SELECT doc_id,
+             len({_TOKS_SQL}) AS n_tokens,
+             len(list_distinct({_TOKS_SQL})) AS n_unique,
+             len(replace(text, ' ', '')) AS n_nonspace
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN n_unique * 10 < n_tokens * 4 THEN 'too_repetitive'
+                WHEN n_nonspace * 10 < n_tokens * 39 THEN 'words_too_short'
+                WHEN n_nonspace * 10 > n_tokens * 51 THEN 'words_too_long'
+                ELSE 'keep' END AS reason
+    FROM sig
+    """,
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style keep/drop verdict with reason codes: every
+    document is tagged 'keep' or the FIRST rule it fails (too short,
+    too repetitive, mean word length out of band) — the audit-friendly
+    form of a quality filter, where reason-code histograms tell you
+    what each rule costs before you commit to dropping.
+
+    All four rules are pure integer comparisons (counts cross-multiplied
+    instead of ratios vs float literals) so the verdict is bit-identical
+    across engines and partial-aggregation orders. Plan shape: one
+    corpus scan, map-only projection — no shuffle at all; at 100 TB
+    this is embarrassingly parallel and reads only (doc_id, text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        F.size(F.expr(_TOKS)).alias("n_tokens"),
+        F.size(F.array_distinct(F.expr(_TOKS))).alias("n_unique"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_nonspace"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < 20, "too_short")
+        .when(F.col("n_unique") * 10 < F.col("n_tokens") * 4, "too_repetitive")
+        .when(F.col("n_nonspace") * 10 < F.col("n_tokens") * 39, "words_too_short")
+        .when(F.col("n_nonspace") * 10 > F.col("n_tokens") * 51, "words_too_long")
+        .otherwise("keep")
+    )
+    return sig.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        reason.alias("reason"),
+    )
+
+
+@register(
+    "outlier_robust_z",
+    oracle="""
+    WITH med AS (
+      SELECT source, quantile_cont(n_chars, 0.5) AS med
+      FROM documents GROUP BY source
+    ),
+    mad AS (
+      SELECT d.source, quantile_cont(abs(d.n_chars - m.med), 0.5) AS mad
+      FROM documents d JOIN med m ON d.source = m.source
+      GROUP BY d.source
+    )
+    SELECT d.doc_id,
+           d.source,
+           d.n_chars,
+           floor((d.n_chars - m.med) / a.mad * 10000) / 10000 AS robust_z
+    FROM documents d
+    JOIN med m ON d.source = m.source
+    JOIN mad a ON d.source = a.source
+    """,
+)
+def outlier_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-stratum anomaly score: each document's length scored
+    as (x - median) / MAD within its source — the outlier detector that
+    survives heavy-tailed corpora where mean/stddev z-scores are
+    dragged by the very outliers they should flag. Downstream pipelines
+    threshold |z| to drop truncated or concatenated crawl records.
+
+    Two exact-percentile passes (median, then median absolute
+    deviation) + one broadcast join of the 20-row stats dim back onto
+    the corpus — the per-doc scoring pass is map-only. Median and MAD
+    of integer lengths interpolate to exact .0/.5 halves, so the
+    division is bit-identical across engines; the 4dp floor is belt
+    and braces. At 100 TB swap the exact percentile for
+    percentile_approx (mergeable sketch, one pass) — the score formula
+    and join shape are unchanged."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    meds = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    mads = (
+        docs.join(F.broadcast(meds), "source")
+        .groupBy("source")
+        .agg(F.expr("percentile(abs(n_chars - med), 0.5)").alias("mad"))
+    )
+    stats = meds.join(mads, "source")
+    return docs.join(F.broadcast(stats), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            F.floor((F.col("n_chars") - F.col("med")) / F.col("mad") * 10000) / 10000
+        ).alias("robust_z"),
+    )

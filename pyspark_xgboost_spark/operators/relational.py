@@ -965,3 +965,40 @@ def agg_distinct_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_parts"),
         F.count("*").alias("n_rows"),
     )
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               / 100.0 AS sum_base_price,
+             CAST(count(*) AS DOUBLE) AS n_items
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, value
+    FROM agg UNPIVOT (value FOR measure IN (sum_qty, sum_base_price, n_items))
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (melt): aggregate per return flag into three
+    measure columns, then unpivot them to (measure, value) rows — the
+    inverse of agg_pivot and the standard feed for long-format plotting
+    / metric stores. Spark's native ``DataFrame.unpivot`` lowers to a
+    single Expand node (each input row replicated once per measure,
+    map-side, no shuffle, no UDF); the oracle uses DuckDB's UNPIVOT.
+    Reshaping AFTER aggregation means Expand runs on 3 rows, not the
+    fact table — at 100 TB melt-then-aggregate would triple scan+shuffle
+    volume for identical output. Quantities sum exactly in doubles
+    (integral values < 2^53); money goes through integer cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        (F.sum(_cents("l_extendedprice")) / 100.0).alias("sum_base_price"),
+        F.count("*").cast("double").alias("n_items"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_base_price", "n_items"], "measure", "value"
+    )

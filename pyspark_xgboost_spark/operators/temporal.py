@@ -194,3 +194,61 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price_cents"
         ),
     )
+
+
+@register(
+    "events_ohlc_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+           arg_min(value, printf('%020d|%012d',
+                                 CAST(epoch_us(ts) AS BIGINT), event_id)) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, printf('%020d|%012d',
+                                 CAST(epoch_us(ts) AS BIGINT), event_id)) AS close,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS volume
+    FROM events
+    GROUP BY event_type, day_us
+    """,
+)
+def events_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style OHLC rollup: per (event_type, day), the opening
+    and closing value plus high/low/count/volume — the time-series
+    downsampling shape every metrics/market pipeline runs.
+
+    Spark-first expression: open/close are ``min_by``/``max_by`` over a
+    zero-padded ``(ts, event_id)`` string key, so the whole rollup is
+    ONE hash aggregate with full map-side partial aggregation — no
+    window function, no per-(type,day) sort, shuffle volume is
+    O(groups), not O(rows). That is the property that survives 100 TB:
+    a windowed first/last_value would sort every day×type partition.
+    The composite key makes ties at equal timestamps deterministic
+    (event_id is unique); zero-padding makes lexicographic order agree
+    with numeric order in both engines. Volume sums exact integer
+    cents (float addition is not associative; integer addition is)."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.format_string(
+        "%020d|%012d", F.unix_micros("ts"), F.col("event_id")
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"),
+            F.col("value"),
+            key.alias("ord_key"),
+        )
+        .groupBy("event_type", "day_us")
+        .agg(
+            F.min_by("value", "ord_key").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord_key").alias("close"),
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint")) / 100.0
+            ).alias("volume"),
+        )
+    )

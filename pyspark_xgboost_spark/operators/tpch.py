@@ -1,0 +1,172 @@
+"""End-to-end TPC-H-style analytics queries over the star schema.
+
+The reference has no relational surface at all (SURVEY.md §2.2: joins,
+aggregation ABSENT — ``sparkdl/xgboost/xgboost_core.py`` composes only
+select/cast/repartition/mapInPandas); individual join/agg/window shapes
+are covered one-per-operator in relational.py. These two queries are the
+*composed* workloads — multi-table join trees feeding grouped money
+aggregates with top-k selection — adapted from TPC-H Q3 and Q5 to the
+driver's schema (no ``o_shippriority``/``c_address`` columns; date
+cutoffs sit mid-range of the generated 1995–2001 order dates).
+
+Money math runs on exact integer cents (relational._cents) so revenue is
+bit-identical under any partial-aggregation order and ties in the top-k
+are broken deterministically by key — the same discipline the rest of
+the relational suite uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_xgboost_spark.operators.relational import _cents
+from pyspark_xgboost_spark.registry import register
+from pyspark_xgboost_spark.sources import load_table
+
+# revenue = sum(extendedprice * (1 - discount)) on integer cents:
+# cents(price) * (100 - cents(discount)) summed exactly, then one final
+# division back to currency units. Identical text in both engines.
+_REVENUE_SQL = (
+    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)"
+    " / 10000.0"
+)
+
+
+def _revenue() -> F.Column:
+    return (F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount"))) / 10000.0)
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {_REVENUE_SQL} AS revenue,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-30'
+      AND l_shipdate > TIMESTAMP '1998-06-30'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority), adapted: the 10 highest-revenue
+    unshipped orders for one market segment.
+
+    Plan shape: both fact filters (order date, ship date) are pushed to
+    the parquet scans; the segment filter prunes customer to ~1/5 before
+    it reaches the join. Join order is lineitem⨝orders on the shared
+    o_orderkey shuffle key, then the pruned customer side — left to AQE,
+    which broadcasts customer while it fits (it does at bench SF; at
+    SF-100k it degrades gracefully to a shuffle join rather than OOM —
+    the reason there is no hard broadcast() hint here). The top-10 is
+    TakeOrderedAndProject (per-partition heap + driver merge of 10-row
+    heads, never a global sort). Revenue ties at the cut are broken by
+    l_orderkey so the selected set is deterministic."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    cutoff = F.lit("1998-06-30").cast("timestamp")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate").agg(_revenue().alias("revenue"))
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            # o_orderdate is TIMESTAMP_NTZ; session tz is UTC so the
+            # cast to instant is lossless (same pattern as window_lag_lead)
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+        )
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           {_REVENUE_SQL} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue by nation where the
+    ordering customer and the line's supplier share a nation inside one
+    region — the classic snowflake join tree with a non-key equi
+    condition (c_nationkey = s_nationkey).
+
+    Plan shape: region⨝nation collapses to a broadcast-pruned nation
+    dim (≤25 rows at any SF — hard broadcast() is safe and keeps the
+    region filter map-side). supplier picks up (nationkey, n_name) from
+    that broadcast, so the big probe chain is lineitem⨝orders (orderkey
+    shuffle) ⨝customer (custkey shuffle) ⨝supplier-with-nation
+    (broadcast at bench SF via AQE; suppkey shuffle beyond). The
+    c_nationkey = s_nationkey restriction rides the supplier join as an
+    extra conjunct — no separate pass. Final agg is 5 groups; partial
+    aggregation collapses everything map-side before one tiny shuffle."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            sup,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return j.groupBy("n_name").agg(_revenue().alias("revenue"))

@@ -1,0 +1,171 @@
+"""Composed TPC-H-style queries (operators/tpch.py) + OHLC rollup,
+unpivot, quality filter, robust-z outlier scoring."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from pyspark_xgboost_spark.operators import corpus, relational, temporal, tpch
+from pyspark_xgboost_spark.sources import load_table
+from tests.conftest import SF_DIR
+
+
+def test_q3_topk_is_sorted_and_bounded(spark):
+    rows = tpch.tpch_q3_shipping_priority(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 10
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    # revenue must respect both date predicates: recompute one order by hand
+    top = rows[0]
+    li = load_table(spark, SF_DIR, "lineitem").filter(
+        (F.col("l_orderkey") == top["l_orderkey"])
+        & (F.col("l_shipdate") > F.lit("1998-06-30").cast("timestamp"))
+    )
+    hand = li.select(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+            * (100 - F.round(F.col("l_discount") * 100, 0).cast("bigint"))
+        ).alias("c")
+    ).collect()[0]["c"]
+    assert math.isclose(hand / 10000.0, top["revenue"], rel_tol=0, abs_tol=1e-9)
+
+
+def test_q3_topk_plan_uses_takeordered(spark):
+    plan = (
+        tpch.tpch_q3_shipping_priority(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_nations_belong_to_asia(spark):
+    rows = tpch.tpch_q5_local_supplier_volume(spark, SF_DIR).collect()
+    assert rows
+    nat = load_table(spark, SF_DIR, "nation")
+    region = load_table(spark, SF_DIR, "region").filter(F.col("r_name") == "ASIA")
+    asia = {
+        r["n_name"]
+        for r in nat.join(
+            region, F.col("n_regionkey") == F.col("r_regionkey")
+        ).collect()
+    }
+    assert {r["n_name"] for r in rows} <= asia
+    assert all(r["revenue"] > 0 for r in rows)
+
+
+def test_q5_region_nation_join_is_broadcast(spark):
+    plan = (
+        tpch.tpch_q5_local_supplier_volume(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ohlc_invariants(spark):
+    rows = temporal.events_ohlc_rollup(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_events"] >= 1
+    # open/close agree with an explicit sort for one group
+    g = max(rows, key=lambda r: r["n_events"])
+    ev = load_table(spark, SF_DIR, "events")
+    ordered = (
+        ev.filter(
+            (F.col("event_type") == g["event_type"])
+            & (
+                F.unix_micros(F.date_trunc("day", "ts"))
+                == g["day_us"]
+            )
+        )
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .select("value")
+        .collect()
+    )
+    assert ordered[0]["value"] == g["open"]
+    assert ordered[-1]["value"] == g["close"]
+
+
+def test_ohlc_is_single_aggregate_no_window(spark):
+    plan = (
+        temporal.events_ohlc_rollup(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    # partial + final hash aggregate, exactly one exchange
+    assert plan.count("Exchange") == 1
+
+
+def test_unpivot_matches_wide_aggregate(spark):
+    out = {
+        (r["l_returnflag"], r["measure"]): r["value"]
+        for r in relational.unpivot_melt(spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count("*").alias("n_items"),
+    ).collect()
+    assert len(out) == 3 * len(wide)
+    for w in wide:
+        assert out[(w["l_returnflag"], "sum_qty")] == float(w["sum_qty"])
+        assert out[(w["l_returnflag"], "n_items")] == float(w["n_items"])
+
+
+def test_quality_filter_reasons_and_rule_order(spark):
+    rows = corpus.corpus_quality_filter(spark, SF_DIR).collect()
+    reasons = {r["reason"] for r in rows}
+    assert reasons <= {
+        "keep",
+        "too_short",
+        "too_repetitive",
+        "words_too_short",
+        "words_too_long",
+    }
+    assert "keep" in reasons  # filter must not drop everything
+    for r in rows:
+        if r["n_tokens"] < 20:
+            assert r["reason"] == "too_short"  # first rule wins
+
+
+def test_quality_filter_is_map_only(spark):
+    plan = (
+        corpus.corpus_quality_filter(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_robust_z_centers_and_scales(spark):
+    rows = corpus.outlier_robust_z(spark, SF_DIR).collect()
+    docs_n = load_table(spark, SF_DIR, "documents").count()
+    assert len(rows) == docs_n  # scoring pass keeps every document
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["robust_z"])
+    for src, zs in by_src.items():
+        zs.sort()
+        # median of robust z is ~0 by construction (floor shifts down ≤1e-4)
+        mid = zs[len(zs) // 2]
+        assert -0.01 <= mid <= 0.01, (src, mid)
+        # MAD scaling keeps typical |z| small for uniform-ish lengths
+        assert zs[-1] < 25 and zs[0] > -25
+
+
+def test_robust_z_stats_join_is_broadcast(spark):
+    plan = (
+        corpus.outlier_robust_z(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -66,8 +66,11 @@ HEADLINE = [
     "corpus_vocab_topk",
     "embedding_centroids",
     "sample_stratified_by_source",
+    "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_volume_customer",
+    "events_funnel_conversion",
     "events_ohlc_rollup",
     "unpivot_melt",
     "corpus_quality_filter",

@@ -252,3 +252,75 @@ def events_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("volume"),
         )
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click_after_view,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel: users who viewed, then clicked after their
+    first view, then purchased after that first click.
+
+    The ordered-sequence ("did B happen after A") analytic that neither
+    a plain groupBy nor a session window expresses. Spark-first plan:
+    the stage timestamps are CHAINED WINDOW AGGREGATES over one
+    user-partitioning — t1 = min(view ts) over (partition by user), then
+    t2 = min(click ts where ts > t1) over the same partition, then t3
+    likewise — so the whole funnel costs ONE shuffle of events by
+    user_id: the three WindowExecs and the per-user collapse all reuse
+    that partitioning (a join-per-stage formulation re-scans and
+    re-shuffles events once per stage; this plan has 2 exchanges total,
+    the second moving a single row). Nulls propagate the stage logic for
+    free: a user with no view has t1 NULL, which nulls the t2 condition,
+    so later stages are automatically NULL — the final count(col)
+    aggregates count exactly the users that reached each stage."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    df = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    df = df.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = df.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_click_after_view"),
+        F.count("t3").alias("n_purchase_after_click"),
+    )

@@ -170,3 +170,139 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return j.groupBy("n_name").agg(_revenue().alias("revenue"))
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS sum_base_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             / 10000.0 AS sum_disc_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT)
+             / 1000000.0 AS sum_charge,
+           CAST(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / count(*) AS avg_qty,
+           CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 100.0 / count(*) AS avg_price,
+           CAST(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 100.0 / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report): full-relation scan-aggregate
+    into a handful of (returnflag, linestatus) groups.
+
+    The canonical map-side-combine workload: the ship-date filter is
+    pushed to the parquet scan, every partition pre-aggregates to ~4
+    groups, and the exchange moves only num_partitions x 4 rows — at
+    100 TB the shuffle is KB-sized regardless of input size. All money
+    sums run on exact integer cents (bit-identical under any partial-agg
+    order); the averages divide two exactly-aggregated integers, so the
+    double division is deterministic too. Quantities round to BIGINT on
+    both engines (they are integral doubles in the generated data;
+    DuckDB rounds double->int casts while Spark truncates, so the
+    explicit round() keeps the engines aligned)."""
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    ext_c = _cents("l_extendedprice")
+    disc_c = _cents("l_discount")
+    tax_c = _cents("l_tax")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            qty.alias("qty"),
+            ext_c.alias("ext_c"),
+            disc_c.alias("disc_c"),
+            tax_c.alias("tax_c"),
+        )
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sum_qty"),
+        (F.sum("ext_c") / 100.0).alias("sum_base_price"),
+        (F.sum(F.col("ext_c") * (100 - F.col("disc_c"))) / 10000.0).alias(
+            "sum_disc_price"
+        ),
+        (
+            F.sum(F.col("ext_c") * (100 - F.col("disc_c")) * (100 + F.col("tax_c")))
+            / 1000000.0
+        ).alias("sum_charge"),
+        (F.sum("qty").cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum("ext_c").cast("double") / 100.0 / F.count("*")).alias("avg_price"),
+        (F.sum("disc_c").cast("double") / 100.0 / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customer",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+           total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer), adapted: top-100 orders whose
+    total quantity exceeds a threshold, joined back to order + customer.
+
+    Plan shape for scale: the HAVING aggregate runs FIRST, on integer
+    quantities with map-side combine, shrinking the fact table to the
+    handful of qualifying orderkeys before any join happens. The join
+    back to orders shuffles only the survivors (AQE broadcasts them once
+    the aggregate output is observed to be small); customer attaches the
+    same way. The top-100 is TakeOrderedAndProject — per-partition heaps
+    merged on the driver, never a global sort. Ties at the cut are
+    broken by o_orderkey so the selected set is deterministic."""
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", qty.alias("qty"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = big.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        j.orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            "total_qty",
+        )
+    )

@@ -37,6 +37,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # round's CORRECTNESS file plus local goldens.
 _GRADE_FIRST = [
     # round-3 additions — no driver row yet
+    "tpch_q1_pricing_summary",
+    "tpch_q18_large_volume_customer",
+    "events_funnel_conversion",
     "text_repetition_stats",
     "doc_chunk_fixed",
     "contamination_check",
@@ -56,8 +59,9 @@ _GRADE_FIRST = [
 
 # Queries with multi-round green driver history (CORRECTNESS_r02) that
 # cede their window slots to never-graded ones; they re-enter as the
-# ungraded backlog drains. 43 previously-ungraded + 6 new = 49 ≤ 50,
-# so nothing unattested is pushed out.
+# ungraded backlog drains. With 18 round-3 queries hoisted, the window
+# holds 18 new + 32 previously-ungraded; every query displaced past
+# slot 50 has a green CORRECTNESS_r02 row plus local goldens.
 _CEDE_WINDOW = [
     "multimodal_pack",
     "multimodal_decode_features",

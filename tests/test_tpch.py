@@ -169,3 +169,114 @@ def test_robust_z_stats_join_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+def test_q1_groups_and_arithmetic_consistency(spark):
+    rows = tpch.tpch_q1_pricing_summary(spark, SF_DIR).collect()
+    assert rows
+    li = load_table(spark, SF_DIR, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    assert sum(r["count_order"] for r in rows) == li.count()
+    for r in rows:
+        assert math.isclose(
+            r["avg_qty"], r["sum_qty"] / r["count_order"], rel_tol=0, abs_tol=1e-12
+        )
+        assert math.isclose(
+            r["avg_price"],
+            r["sum_base_price"] / r["count_order"],
+            rel_tol=0,
+            abs_tol=1e-9,
+        )
+        # discounting only ever lowers the price; tax only raises it
+        assert r["sum_disc_price"] <= r["sum_base_price"]
+        assert r["sum_charge"] >= r["sum_disc_price"]
+
+
+def test_q1_is_single_exchange_scan_aggregate(spark):
+    plan = (
+        tpch.tpch_q1_pricing_summary(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # map-side combine into ~6 groups: partial agg, ONE shuffle, final agg
+    assert plan.count("Exchange") == 1
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q18_threshold_order_and_handcheck(spark):
+    rows = tpch.tpch_q18_large_volume_customer(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 100
+    qtys = [r["total_qty"] for r in rows]
+    assert qtys == sorted(qtys, reverse=True)
+    assert all(q > 250 for q in qtys)
+    top = rows[0]
+    li = load_table(spark, SF_DIR, "lineitem").filter(
+        F.col("l_orderkey") == top["o_orderkey"]
+    )
+    hand = li.select(
+        F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("q")
+    ).collect()[0]["q"]
+    assert hand == top["total_qty"]
+
+
+def test_q18_aggregates_before_joining(spark):
+    plan = (
+        tpch.tpch_q18_large_volume_customer(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    # the HAVING filter must sit on the aggregate output, not after joins:
+    # qualifying orderkeys are joined, so the filter appears above the agg
+    # and below both joins in the tree (string order: TakeOrdered, joins,
+    # then Filter->HashAggregate)
+    agg_pos = plan.index("HashAggregate")
+    join_pos = plan.index("Join")
+    assert join_pos < agg_pos  # joins consume the aggregate, not vice versa
+
+
+def test_funnel_monotonic_and_handcheck(spark):
+    row = temporal.events_funnel_conversion(spark, SF_DIR).collect()[0]
+    assert row["n_view"] >= row["n_click_after_view"] >= row["n_purchase_after_click"]
+    assert row["n_view"] > 0
+    # hand-compute the funnel per user from raw events
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts"
+    ).collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_type"]))
+    n1 = n2 = n3 = 0
+    for evs in by_user.values():
+        t1 = min((t for t, ty in evs if ty == "view"), default=None)
+        if t1 is None:
+            continue
+        n1 += 1
+        t2 = min((t for t, ty in evs if ty == "click" and t > t1), default=None)
+        if t2 is None:
+            continue
+        n2 += 1
+        t3 = min((t for t, ty in evs if ty == "purchase" and t > t2), default=None)
+        if t3 is not None:
+            n3 += 1
+    assert (row["n_view"], row["n_click_after_view"], row["n_purchase_after_click"]) == (
+        n1,
+        n2,
+        n3,
+    )
+
+
+def test_funnel_is_one_event_shuffle(spark):
+    plan = (
+        temporal.events_funnel_conversion(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # chained stage windows share ONE user_id partitioning + sort; the
+    # only other exchange moves the single summary row
+    assert plan.count("Window") == 3
+    assert plan.count("Exchange") == 2
+    assert plan.count("Sort") == 1

@@ -64,7 +64,10 @@ HEADLINE = [
     "contamination_check",
     "doc_pack_greedy",
     "corpus_vocab_topk",
+    "corpus_bigram_topk",
+    "text_unigram_logprob",
     "embedding_centroids",
+    "embedding_whitening_stats",
     "sample_stratified_by_source",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

@@ -469,3 +469,165 @@ def outlier_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("n_chars") - F.col("med")) / F.col("mad") * 10000) / 10000
         ).alias("robust_z"),
     )
+
+
+@register(
+    "corpus_bigram_topk",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             list_extract(toks, i) || ' ' || list_extract(toks, i + 1) AS bigram
+      FROM t, unnest(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    )
+    SELECT bigram, count(*) AS n
+    FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 50
+    """,
+)
+def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigrams by corpus frequency — the n-gram extension of
+    `corpus_vocab_topk`, and the boilerplate detector's raw material
+    (headers/footers surface as improbably frequent word pairs).
+
+    Plan shape: adjacent pairs are built map-side with zero extra
+    passes — ``zip_with`` over two offset ``slice``\\ s of the same
+    token array (array ops inside codegen, no UDF, no self-join on
+    position). Only then does the exploded bigram hit the single
+    term-keyed shuffle, with map-side partial counts; top-50 is
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    Shuffle volume is O(distinct bigrams), which Zipf keeps far below
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.expr(_TOKS).alias("toks")).filter(F.size("toks") >= 2)
+    bigrams = t.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    f AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+    tot AS (
+      SELECT CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS n FROM documents
+    ),
+    s AS (
+      SELECT t.doc_id,
+             CAST(round(ln(CAST(f.c AS DOUBLE) / CAST(tot.n AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS lp
+      FROM t JOIN f USING (term) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(lp) AS BIGINT) AS sum_lp_micro,
+           CAST(CAST(sum(lp) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*)
+             AS avg_logprob
+    FROM s GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the SQL-expressible core of the perplexity filter every
+    LLM data pipeline runs (CCNet/Gopher-style): documents whose tokens
+    are collectively improbable are boilerplate, codes, or gibberish.
+
+    Plan shape: ONE pass over the exploded tokens. Term frequencies
+    come from a window count over the term partitioning — not a
+    separate aggregate joined back, which would re-scan and re-shuffle
+    the token relation (the exact double-evaluation trap the tf-idf
+    operator had to unlearn). The corpus token total rides in as a
+    broadcast single row computed from the un-exploded documents
+    relation (a scan, no shuffle). Per-token log-probs are quantized to
+    integer micro-nats BEFORE summation so partial-agg order can never
+    flip a bit; the final mean divides two exact integers. At 100 TB
+    the two shuffles (term, then doc_id) are the honest cost of an
+    exact corpus LM; the standard swap is a broadcast top-V vocabulary
+    with an OOV bucket, which drops the term shuffle entirely."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
+    tot = docs.agg(F.sum(F.size(F.expr(_TOKS))).cast("long").alias("n"))
+    c = t.withColumn("c", F.count("*").over(Window.partitionBy("term")))
+    s = c.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("n").cast("double")) * 1000000
+        )
+        .cast("long")
+        .alias("lp"),
+    )
+    return s.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("lp").alias("sum_lp_micro"),
+        (F.sum("lp").cast("double") / 1000000.0 / F.count("*")).alias("avg_logprob"),
+    )
+
+
+@register(
+    "embedding_whitening_stats",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+             unnest(embedding) AS x
+      FROM embeddings
+    ),
+    q AS (
+      SELECT pos, CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qv FROM e
+    )
+    SELECT pos,
+           count(*) AS n,
+           CAST(CAST(sum(qv) AS BIGINT) AS DOUBLE) / 1000.0 / count(*) AS mean,
+           (CAST(CAST(sum(qv * qv) AS BIGINT) AS DOUBLE) / count(*)
+            - (CAST(CAST(sum(qv) AS BIGINT) AS DOUBLE) / count(*))
+              * (CAST(CAST(sum(qv) AS BIGINT) AS DOUBLE) / count(*)))
+           / 1000000.0 AS variance
+    FROM q GROUP BY pos
+    """,
+)
+def embedding_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean and variance over the whole embedding corpus —
+    the whitening/normalization statistics computed before cosine ANN
+    (a dimension with inflated variance dominates dot products; the fix
+    is (x - mean) / std, and this is the distributed stats pass).
+
+    Determinism: components quantize to integer thousandths before any
+    aggregation, so sum(qv) and sum(qv*qv) are exact integers under any
+    partial-agg order; mean and variance are then fixed double-arithmetic
+    expressions over exact integers — bit-identical on both engines.
+    Plan shape: posexplode → ONE (pos)-keyed aggregation with map-side
+    partial sums; post-shuffle cardinality is the embedding dimension
+    (64 here) regardless of corpus size. Second moments ride the same
+    aggregate (sum of qv² next to sum of qv), so variance costs no
+    extra pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.posexplode("embedding").alias("pos", "x"))
+    q = e.select(
+        "pos", F.floor(F.col("x").cast("double") * 1000).cast("long").alias("qv")
+    )
+    sum_qv = F.sum("qv").cast("double")
+    sum_q2 = F.sum(F.col("qv") * F.col("qv")).cast("double")
+    n = F.count("*")
+    return q.groupBy("pos").agg(
+        n.alias("n"),
+        (sum_qv / 1000.0 / n).alias("mean"),
+        ((sum_q2 / n - (sum_qv / n) * (sum_qv / n)) / 1000000.0).alias("variance"),
+    )

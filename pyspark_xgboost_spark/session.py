@@ -28,6 +28,13 @@ def get_spark(app_name: str = "pyspark_xgboost_spark", cpus: int | None = None) 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
+        # The generated-class cache defaults to 100 entries; a session
+        # that runs the full query surface compiles several codegen
+        # units per query, so warmup-compiled classes get evicted
+        # before the timed run and Janino recompiles mid-bench (shows
+        # up as multi-second spikes on giant expression trees). Static
+        # conf — takes effect on first session creation in the JVM.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -3,6 +3,7 @@
 from pyspark.sql import functions as F
 
 from pyspark_xgboost_spark.operators import corpus, sampling
+from pyspark_xgboost_spark.sources import load_table
 from tests.conftest import SF_DIR
 
 
@@ -121,3 +122,102 @@ def test_stratified_sample_rates(spark):
             agg[st][1] += total
     if agg[0][1] and agg[3][1]:
         assert agg[3][0] / agg[3][1] > agg[0][0] / agg[0][1]
+
+
+def test_bigram_topk_ordered_and_handchecked(spark):
+    rows = corpus.corpus_bigram_topk(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 50
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    # hand-count the top bigram from raw text
+    top = rows[0]["bigram"]
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    count = 0
+    for d in docs:
+        toks = [t for t in d["text"].lower().split() if t]
+        count += sum(
+            1 for a, b in zip(toks, toks[1:]) if f"{a} {b}" == top
+        )
+    assert count == rows[0]["n"]
+
+
+def test_bigram_topk_plan_single_shuffle_topk(spark):
+    plan = (
+        corpus.corpus_bigram_topk(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 1  # only the bigram-keyed agg shuffles
+
+
+def test_unigram_logprob_consistency(spark):
+    rows = corpus.text_unigram_logprob(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["avg_logprob"] < 0  # probabilities < 1
+        assert r["n_tokens"] > 0
+        assert abs(
+            r["avg_logprob"] - r["sum_lp_micro"] / 1e6 / r["n_tokens"]
+        ) < 1e-12
+    # hand-score one document under the corpus unigram LM
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    from collections import Counter
+
+    freq = Counter()
+    for d in docs:
+        freq.update(t for t in d["text"].lower().split() if t)
+    total = sum(freq.values())
+    import math
+
+    d0 = docs[0]
+    toks = [t for t in d0["text"].lower().split() if t]
+    hand = sum(round(math.log(freq[t] / total) * 1e6) for t in toks)
+    got = {r["doc_id"]: r for r in rows}[d0["doc_id"]]
+    assert got["sum_lp_micro"] == hand
+    assert got["n_tokens"] == len(toks)
+
+
+def test_unigram_logprob_single_token_pass(spark):
+    plan = (
+        corpus.text_unigram_logprob(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the exploded token relation is evaluated ONCE (window count, not a
+    # re-scanned aggregate joined back — the tf-idf double-eval trap)
+    assert plan.count("Generate") == 1
+    assert "Window" in plan
+
+
+def test_whitening_stats_shape_and_moments(spark):
+    rows = corpus.embedding_whitening_stats(spark, SF_DIR).collect()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_vec = emb.count()
+    dim = len(emb.select("embedding").first()["embedding"])
+    assert len(rows) == dim
+    for r in rows:
+        assert r["n"] == n_vec
+        assert r["variance"] >= 0
+        assert -1.0 < r["mean"] < 1.0
+    # hand-check one dimension with the same quantization
+    vecs = [v["embedding"] for v in emb.select("embedding").collect()]
+    import math
+
+    qv = [math.floor(float(v[0]) * 1000) for v in vecs]
+    s, s2, n = sum(qv), sum(x * x for x in qv), len(qv)
+    r0 = {r["pos"]: r for r in rows}[0]
+    assert abs(r0["mean"] - s / 1000.0 / n) < 1e-12
+    assert abs(r0["variance"] - (s2 / n - (s / n) ** 2) / 1e6) < 1e-9
+
+
+def test_whitening_stats_single_exchange(spark):
+    plan = (
+        corpus.embedding_whitening_stats(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1

@@ -51,6 +51,8 @@ HEADLINE = [
     "scan_csv",
     "scan_json",
     "scan_orc",
+    "scan_text",
+    "events_stream_static_join",
     "sink_parquet_partitioned",
     "udaf_group_median",
     "udtf_ngrams",

@@ -258,3 +258,43 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "scan_text",
+    oracle=r"""
+    SELECT count(*) AS n_lines,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> ''))) AS BIGINT) AS total_tokens
+    FROM documents
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text ingest: the one-document-per-line landing format (WET /
+    C4-style dumps) read with ``spark.read.text`` and profiled in a
+    single aggregate pass.
+
+    The text source is the cheapest scan Spark has — no parsing, one
+    string column, splittable by line — which is exactly why raw-crawl
+    pipelines land data this way before the first parquet hop. The
+    corpus profile (line/char/token totals) is a map-side-combine
+    aggregate: the shuffle carries one partial row per partition
+    whatever the corpus size. Staged copy is fingerprint-keyed and
+    GC'd like every other derived format."""
+    key = sf_dir.strip("/").replace("/", "_")
+    parent = os.path.join(_SCRATCH, key)
+    leaf = f"documents_text_{src_fingerprint(sf_dir, 'documents')}"
+    out = os.path.join(parent, leaf)
+    gc_stale_siblings(parent, "documents_text_", leaf)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").select("text").write.mode(
+            "overwrite"
+        ).format("text").save(out)
+    lines = spark.read.text(out)
+    toks = F.expr(r"filter(split(lower(value), '\\s+'), x -> x != '')")
+    return lines.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("total_chars"),
+        F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
+    )

@@ -408,3 +408,43 @@ def events_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.sum("n").alias("n"), F.sum("sum_cents").alias("sum_cents")
     )
+
+
+@register(
+    "events_stream_static_join",
+    oracle="""
+    SELECT e.event_id,
+           e.event_type,
+           CAST(round(e.value * 100) AS BIGINT) * w.weight AS weighted_cents
+    FROM events e
+    JOIN (VALUES ('view', 1), ('click', 3), ('purchase', 10),
+                 ('signup', 5), ('error', 0)) AS w(event_type, weight)
+      ON e.event_type = w.event_type
+    """,
+)
+def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with a broadcast
+    reference dimension (event-type weights) — the lookup/enrichment
+    shape every production stream runs before aggregation.
+
+    Unlike a stream-stream join this is STATELESS: the static side is
+    broadcast to every micro-batch and no state store or watermark is
+    involved, so state size is zero regardless of how long the stream
+    runs. At scale the static side is the standard slowly-changing
+    dimension; re-broadcasting per micro-batch is exactly how Spark
+    picks up dimension updates between batches. Money math stays in
+    exact integer cents so the streamed result hash-matches the batch
+    oracle."""
+    weights = spark.createDataFrame(
+        [("view", 1), ("click", 3), ("purchase", 10), ("signup", 5), ("error", 0)],
+        "event_type string, weight long",
+    )
+    ev = read_events_stream(spark, sf_dir)
+    joined = ev.join(F.broadcast(weights), "event_type").select(
+        "event_id",
+        "event_type",
+        (F.round(F.col("value") * 100, 0).cast("bigint") * F.col("weight")).alias(
+            "weighted_cents"
+        ),
+    )
+    return _run_to_memory(joined, "append")

@@ -46,3 +46,22 @@ def test_stage_gc_leaves_other_tables_alone(spark, tmp_path):
     # re-staging region (unchanged) must not disturb either copy
     assert _stage(spark, str(data_dir), "region", "csv") == region
     assert os.path.exists(os.path.join(nation, "_SUCCESS"))
+
+
+def test_scan_text_profile_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_xgboost_spark.sources import load_table
+    from pyspark_xgboost_spark.sources.formats import scan_text
+
+    row = scan_text(spark, SF_DIR).collect()[0]
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+    want = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("text")).alias("chars"),
+        F.sum(F.size(toks)).alias("tokens"),
+    ).collect()[0]
+    assert row["n_lines"] == want["n"]
+    assert row["total_chars"] == want["chars"]
+    assert row["total_tokens"] == want["tokens"]

@@ -40,3 +40,37 @@ def test_stateful_user_stats_totals(spark):
     out = events_stream_stateful_user_stats(spark, SF_DIR).collect()
     assert sum(r.n_events for r in out) == total
     assert len({r.user_id for r in out}) == len(out)  # one row per user
+
+
+def test_stream_static_join_equals_batch(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_xgboost_spark.sources import load_table
+    from pyspark_xgboost_spark.streaming.stream import events_stream_static_join
+
+    got = _rowset(
+        events_stream_static_join(spark, SF_DIR),
+        ["event_id", "event_type", "weighted_cents"],
+    )
+    weights = {"view": 1, "click": 3, "purchase": 10, "signup": 5, "error": 0}
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    want = sorted(
+        (r["event_id"], r["event_type"], r["cents"] * weights[r["event_type"]])
+        for r in ev.collect()
+    )
+    assert got == want
+
+
+def test_stream_static_join_is_stateless(spark):
+    from pyspark_xgboost_spark.streaming.stream import events_stream_static_join
+
+    df = events_stream_static_join(spark, SF_DIR)
+    # stateless enrichment: every input event survives (inner join on an
+    # exhaustive dimension), no dedup/window/state truncation
+    from pyspark_xgboost_spark.sources import load_table
+
+    assert df.count() == load_table(spark, SF_DIR, "events").count()

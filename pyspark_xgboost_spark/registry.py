@@ -40,6 +40,13 @@ _GRADE_FIRST = [
     "tpch_q1_pricing_summary",
     "tpch_q18_large_volume_customer",
     "events_funnel_conversion",
+    "corpus_bigram_topk",
+    "text_unigram_logprob",
+    "embedding_whitening_stats",
+    "scan_text",
+    "events_stream_static_join",
+    "vector_unwrap",
+    "multimodal_frame_sample",
     "text_repetition_stats",
     "doc_chunk_fixed",
     "contamination_check",
@@ -63,6 +70,13 @@ _GRADE_FIRST = [
 # holds 18 new + 32 previously-ungraded; every query displaced past
 # slot 50 has a green CORRECTNESS_r02 row plus local goldens.
 _CEDE_WINDOW = [
+    # batch twins of in-window streaming queries with the SAME oracle
+    # (the streaming variant attests the shared aggregation logic)
+    "events_tumbling_window",
+    "events_sliding_window",
+    # exact-ntile bucketer: its scalable twin (bit-identical oracle
+    # output, plan-asserted zero global sort) holds a window slot
+    "length_bucket_equal_freq",
     "multimodal_pack",
     "multimodal_decode_features",
     "text_token_stats",

@@ -186,3 +186,42 @@ def test_exact_cents_sum_is_exact(spark, values):
         for v in values
     )
     assert got == exp
+
+
+def test_quantized_aggregates_partition_invariant(spark):
+    """The integer-quantization discipline's whole point: results are
+    bit-identical no matter how rows are distributed across partitions
+    (float sums would drift with partial-agg order)."""
+    from pyspark_xgboost_spark.operators.corpus import (
+        embedding_whitening_stats,
+        text_unigram_logprob,
+    )
+    from tests.conftest import SF_DIR
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base_w = canon(embedding_whitening_stats(spark, SF_DIR))
+    base_l = canon(text_unigram_logprob(spark, SF_DIR))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n in ("1", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            assert canon(embedding_whitening_stats(spark, SF_DIR)) == base_w
+            assert canon(text_unigram_logprob(spark, SF_DIR)) == base_l
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_funnel_partition_invariant(spark):
+    from pyspark_xgboost_spark.operators.temporal import events_funnel_conversion
+    from tests.conftest import SF_DIR
+
+    base = events_funnel_conversion(spark, SF_DIR).collect()[0]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        again = events_funnel_conversion(spark, SF_DIR).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert tuple(base) == tuple(again)

@@ -76,6 +76,7 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_volume_customer",
     "events_funnel_conversion",
+    "events_retention_cohorts",
     "events_ohlc_rollup",
     "unpivot_melt",
     "corpus_quality_filter",

@@ -324,3 +324,48 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t2").alias("n_click_after_view"),
         F.count("t3").alias("n_purchase_after_click"),
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+    )
+    SELECT CAST(epoch_us(f.cohort_week) AS BIGINT) AS cohort_week_us,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT)
+             AS week_offset,
+           count(*) AS n_active_users
+    FROM first_seen f JOIN active a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the ISO week they first
+    appeared, counted in every later week they were active — the
+    triangle chart behind every retention dashboard.
+
+    Spark shape: both inputs are user-keyed reductions of one events
+    scan — first-seen week (min per user) and distinct active weeks per
+    user — so the join keys on user_id and reuses the same hash
+    partitioning; the final (cohort, offset) aggregate is tiny
+    (weeks², not users). (user_id, week) is distinct BEFORE the join,
+    so the count needs no count-distinct shuffle. Week truncation is
+    Monday-based in both engines and the offset divides an exact
+    multiple of 7 days, so values hash-match bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    active = ev.distinct().withColumnRenamed("w", "active_week")
+    j = first_seen.join(active, "user_id")
+    return j.groupBy(
+        F.unix_micros("cohort_week").alias("cohort_week_us"),
+        (F.datediff("active_week", "cohort_week") / 7).cast("bigint").alias(
+            "week_offset"
+        ),
+    ).agg(F.count("*").alias("n_active_users"))

@@ -280,3 +280,34 @@ def test_funnel_is_one_event_shuffle(spark):
     assert plan.count("Window") == 3
     assert plan.count("Exchange") == 2
     assert plan.count("Sort") == 1
+
+
+def test_retention_cohorts_triangle(spark):
+    rows = temporal.events_retention_cohorts(spark, SF_DIR).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert r["week_offset"] >= 0  # nobody active before their cohort
+        by_cohort.setdefault(r["cohort_week_us"], {})[r["week_offset"]] = r[
+            "n_active_users"
+        ]
+    for cohort, offs in by_cohort.items():
+        # offset 0 exists for every cohort (first week = cohort week) and
+        # is the cohort's maximum (retention never exceeds cohort size)
+        assert 0 in offs
+        assert offs[0] == max(offs.values())
+    # total users across cohorts at offset 0 = distinct users in events
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(o[0] for o in by_cohort.values()) == ev.select("user_id").distinct().count()
+
+
+def test_retention_cohorts_join_reuses_user_partitioning(spark):
+    plan = (
+        temporal.events_retention_cohorts(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # user-keyed reduce sides + join + final tiny agg: at most 4 exchanges
+    # (two user-keyed child shuffles, join reuse, one for the final agg)
+    assert plan.count("Exchange") <= 4

@@ -64,11 +64,13 @@ _GRADE_FIRST = [
     "outlier_robust_z",
 ]
 
-# Queries with multi-round green driver history (CORRECTNESS_r02) that
-# cede their window slots to never-graded ones; they re-enter as the
-# ungraded backlog drains. With 18 round-3 queries hoisted, the window
-# holds 18 new + 32 previously-ungraded; every query displaced past
-# slot 50 has a green CORRECTNESS_r02 row plus local goldens.
+# Queries that cede their window slots: either multi-round green
+# driver history (CORRECTNESS_r02) or a twin in the window attesting
+# the same logic (batch/stream window pairs share aggregation
+# functions; the two bucketer forms are oracle-identical). With the
+# round-3 hoists the window holds exactly 50 oracle-checked
+# never-driver-graded queries; everything displaced has a green r02
+# row or an in-window twin, plus local goldens either way.
 _CEDE_WINDOW = [
     # batch twins of in-window streaming queries with the SAME oracle
     # (the streaming variant attests the shared aggregation logic)

@@ -117,14 +117,23 @@ def main() -> None:
     # 0.45s vs 2.0s for the same agg). The min of two runs is the
     # steady-state cost a long-lived cluster session sees; both samples
     # are printed so the noise stays visible.
-    timings: dict[str, float] = {}
+    # A broken query must cost ONLY its own slot, never the artifact:
+    # round 3's bench crashed outright (rc=1, zero numbers recorded) on
+    # one AnalysisException, so each timed query is guarded and failures
+    # report null while the rest keep timing and summing.
+    timings: dict[str, float | None] = {}
     for name in names:
         samples = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            n = df.count()
-            samples.append(time.perf_counter() - t0)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = qs[name](spark, sf_dir)
+                n = df.count()
+                samples.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — one query must not zero the bench
+            timings[name] = None
+            print(f"# {name}: FAILED ({type(exc).__name__}: {exc})", file=sys.stderr)
+            continue
         timings[name] = round(min(samples), 3)
         print(
             f"# {name}: {timings[name]:.3f}s ({n} rows; samples "
@@ -139,7 +148,7 @@ def main() -> None:
         sf = -1.0
     out = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(t for t in timings.values() if t is not None), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,

@@ -448,17 +448,28 @@ def outlier_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus — the per-doc scoring pass is map-only. Median and MAD
     of integer lengths interpolate to exact .0/.5 halves, so the
     division is bit-identical across engines; the 4dp floor is belt
-    and braces. At 100 TB swap the exact percentile for
-    percentile_approx (mergeable sketch, one pass) — the score formula
-    and join shape are unchanged."""
+    and braces. At 100 TB set the session conf
+    ``spark_graft.approx_percentiles=true`` to swap both exact
+    percentiles for percentile_approx (a mergeable sketch: map-side
+    partial aggregation, no per-group sort, error bounded by the
+    accuracy knob) — the score formula and join shape are unchanged.
+    The exact form stays the default because the driver oracle
+    hash-compares against DuckDB's exact median."""
+    from pyspark_xgboost_spark.utils import get_conf_boolean
+
+    pct = (
+        "approx_percentile({}, 0.5, 10000)"
+        if get_conf_boolean(spark, "spark_graft.approx_percentiles", False)
+        else "percentile({}, 0.5)"
+    )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     meds = docs.groupBy("source").agg(
-        F.expr("percentile(n_chars, 0.5)").alias("med")
+        F.expr(pct.format("n_chars")).alias("med")
     )
     mads = (
         docs.join(F.broadcast(meds), "source")
         .groupBy("source")
-        .agg(F.expr("percentile(abs(n_chars - med), 0.5)").alias("mad"))
+        .agg(F.expr(pct.format("abs(n_chars - med)")).alias("mad"))
     )
     stats = meds.join(mads, "source")
     return docs.join(F.broadcast(stats), "source").select(

@@ -49,13 +49,17 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     (>=): within one timestamp the purchase row sorts before the click
     row via the is_purchase desc secondary key."""
     ev = load_table(spark, sf_dir, "events")
+    # load_table guarantees ts: TIMESTAMP, but unix_micros hard-rejects
+    # NTZ — keep the explicit cast (a no-op on TIMESTAMP, exact under
+    # the UTC session tz) so this site survives any future type drift.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+        "event_id", "user_id", ts_us.alias("ts_us")
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.lit(None).cast("long").alias("event_id"),
         "user_id",
-        F.unix_micros("ts").alias("ts_us"),
+        ts_us.alias("ts_us"),
     )
     merged = clicks.withColumn("p_ts", F.lit(None).cast("long")).unionByName(
         purchases.withColumn("p_ts", F.col("ts_us")).select(
@@ -230,13 +234,16 @@ def events_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with numeric order in both engines. Volume sums exact integer
     cents (float addition is not associative; integer addition is)."""
     ev = load_table(spark, sf_dir, "events")
+    # explicit TIMESTAMP casts (no-ops under the load_table contract;
+    # exact under UTC) — unix_micros rejects NTZ outright
+    ts = F.col("ts").cast("timestamp")
     key = F.format_string(
-        "%020d|%012d", F.unix_micros("ts"), F.col("event_id")
+        "%020d|%012d", F.unix_micros(ts), F.col("event_id")
     )
     return (
         ev.select(
             "event_type",
-            F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"),
+            F.unix_micros(F.date_trunc("day", ts)).alias("day_us"),
             F.col("value"),
             key.alias("ord_key"),
         )

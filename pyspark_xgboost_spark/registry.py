@@ -36,49 +36,29 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # module-import order; every displaced query has a green row in a prior
 # round's CORRECTNESS file plus local goldens.
 _GRADE_FIRST = [
-    # round-3 additions — no driver row yet
-    "tpch_q1_pricing_summary",
-    "tpch_q18_large_volume_customer",
-    "events_funnel_conversion",
-    "corpus_bigram_topk",
-    "text_unigram_logprob",
-    "embedding_whitening_stats",
-    "scan_text",
-    "events_stream_static_join",
-    "vector_unwrap",
-    "multimodal_frame_sample",
-    "text_repetition_stats",
-    "doc_chunk_fixed",
-    "contamination_check",
-    "doc_pack_greedy",
-    "corpus_vocab_topk",
-    "embedding_centroids",
-    "sample_stratified_by_source",
-    "text_pii_mask",
-    "dedup_groups_connected",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
+    # the 7 round-3 FAILs (one root cause: events.ts went TIMESTAMP_NTZ;
+    # fixed round 4 via the canonical reader contract in
+    # sources.normalize_event_ts) — these need fresh green rows first
+    "join_asof",
     "events_ohlc_rollup",
-    "unpivot_melt",
-    "corpus_quality_filter",
-    "outlier_robust_z",
-]
-
-# Queries that cede their window slots: either multi-round green
-# driver history (CORRECTNESS_r02) or a twin in the window attesting
-# the same logic (batch/stream window pairs share aggregation
-# functions; the two bucketer forms are oracle-identical). With the
-# round-3 hoists the window holds exactly 50 oracle-checked
-# never-driver-graded queries; everything displaced has a green r02
-# row or an in-window twin, plus local goldens either way.
-_CEDE_WINDOW = [
-    # batch twins of in-window streaming queries with the SAME oracle
-    # (the streaming variant attests the shared aggregation logic)
+    "events_stream_tumbling_window",
+    "events_stream_session_window",
+    "events_stream_sliding_window",
+    "events_stream_stream_join",
+    "events_stream_file_sink",
+    # the 4 oracle queries never driver-graded (judge-verified green in
+    # the round-3 review, but no authoritative row yet)
     "events_tumbling_window",
     "events_sliding_window",
-    # exact-ntile bucketer: its scalable twin (bit-identical oracle
-    # output, plan-asserted zero global sort) holds a window slot
+    "events_stream_foreach_batch",
     "length_bucket_equal_freq",
+]
+
+# Queries that cede their window slots: multi-round green driver
+# history (r02 + local goldens). The 39 slots behind _GRADE_FIRST fall
+# to module-import order, which is exactly the r03-green surface —
+# every one gets reconfirmed against the regenerated testdata.
+_CEDE_WINDOW = [
     "multimodal_pack",
     "multimodal_decode_features",
     "text_token_stats",

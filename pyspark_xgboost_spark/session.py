@@ -41,16 +41,5 @@ def get_spark(app_name: str = "pyspark_xgboost_spark", cpus: int | None = None) 
     return spark
 
 
-def get_conf_bool(spark: SparkSession, key: str, default: bool) -> bool:
-    """Parse a session conf as a Scala-style boolean (reference
-    _getConfBoolean, sparkdl/utils/__init__.py:5-23): 'true'/'false'
-    case-insensitively; anything else raises."""
-    val = spark.conf.get(key, str(default).lower())
-    lowered = val.lower()
-    if lowered == "true":
-        return True
-    if lowered == "false":
-        return False
-    raise ValueError(
-        f"conf {key} must be 'true' or 'false' (got {val!r})"
-    )
+# Conf-as-boolean parsing (reference O26 _getConfBoolean) lives in
+# pyspark_xgboost_spark.utils.get_conf_boolean — the single copy.

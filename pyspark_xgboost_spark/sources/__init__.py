@@ -32,23 +32,46 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Canonicalize ``ts`` to session-timezone TIMESTAMP (µs, LTZ).
+
+    One reader contract for every events consumer (batch AND stream), so
+    a driver-side re-encode of events.parquet can never silently skew
+    one path: whatever physical encoding the file carries — int64
+    nanoseconds (legacy nanosAsLong read), TIMESTAMP_NTZ µs, or LTZ µs —
+    the DataFrame downstream operators see always has ``ts: timestamp``.
+    Under the UTC session timezone every branch is value-preserving
+    against the DuckDB oracle's naive microsecond timestamps.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt in (None, "timestamp"):
+        return df
+    from pyspark.sql import functions as F
+
+    if dt == "bigint":
+        # raw nanos: integer `div`, NOT `/` — double division loses µs
+        # precision on ~1.7e18 nanosecond epochs (> 2^53). Floor-div is
+        # the same truncation DuckDB applies reading NANOS into its
+        # microsecond TIMESTAMP, so the oracle compare matches.
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dt == "timestamp_ntz":
+        # naive µs: reinterpret in the session timezone (UTC — exactly
+        # how DuckDB reads the same file), value-preserving.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    raise TypeError(f"unsupported events.ts physical type: {dt}")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read the raw int64 nanos and truncate to micros
-        # (floor-div — same truncation DuckDB applies when it reads NANOS
-        # into its microsecond TIMESTAMP, so the oracle compare matches).
+        # events.ts has changed physical encoding across driver data
+        # regenerations (TIMESTAMP(NANOS) → TIMESTAMP_NTZ(µs)); the
+        # legacy conf lets the reader surface a NANOS file as int64 and
+        # normalize_event_ts canonicalizes every encoding to TIMESTAMP.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
-
-            # integer `div`, NOT `/` — double division loses µs precision
-            # on ~1.7e18 nanosecond epochs (> 2^53).
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
+        return normalize_event_ts(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

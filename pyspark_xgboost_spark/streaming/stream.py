@@ -27,11 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from pyspark_xgboost_spark.registry import register
+from pyspark_xgboost_spark.sources import normalize_event_ts
 from pyspark_xgboost_spark.streaming.windows import session_agg, tumbling_agg
-
-_EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
 
 _counter = itertools.count()
 
@@ -50,13 +47,29 @@ def _events_stream_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over events.parquet. The raw file stores
-    TIMESTAMP(NANOS), which the vectorized reader only surfaces as int64
-    (spark.sql.legacy.parquet.nanosAsLong) — truncate to micros exactly
-    like sources.load_table so stream and batch see identical rows."""
+    """File-source stream over events.parquet, honoring the SAME reader
+    contract as batch ``sources.load_table``: ``ts`` is canonicalized to
+    session-timezone TIMESTAMP whatever the file's physical encoding.
+
+    The file source needs an explicit schema, which MUST match the
+    file's physical types — so the schema is probed from the actual
+    parquet footer via a throwaway batch read (the round-3 regression
+    was exactly a hard-coded int64-nanos schema applied to a
+    regenerated µs file, silently compressing every timestamp 1000×).
+    ``normalize_event_ts`` then applies the shared post-read contract.
+
+    This split — source-specific read producing the physical schema,
+    shared normalization producing the canonical one — is the seam a
+    Kafka source plugs into: ``readStream.format("kafka")`` +
+    ``from_json`` replaces the probe/read lines; everything after
+    ``normalize_event_ts`` is source-agnostic.
+    """
+    # the legacy conf lets the probe surface an int64-nanos file at all;
+    # harmless for µs encodings
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(_EVENTS_SCHEMA).parquet(_events_stream_dir(sf_dir))
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    physical = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw = spark.readStream.schema(physical).parquet(_events_stream_dir(sf_dir))
+    return normalize_event_ts(raw)
 
 
 def _state_partitions(spark: SparkSession) -> int:
@@ -275,12 +288,18 @@ def events_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_stream_tumbling_window, emits everything.)"""
     from pyspark_xgboost_spark.sources.formats import gc_stale_siblings, src_fingerprint
 
-    # checkpoint keyed by source-content fingerprint: replacing
-    # events.parquet in place must not let the old checkpoint skip
-    # reprocessing and serve a stale sink (round-1 advice); stale
-    # fingerprints are garbage-collected so /tmp stays bounded
+    # checkpoint keyed by source-content fingerprint AND pipeline
+    # version: replacing events.parquet in place must not let the old
+    # checkpoint skip reprocessing and serve a stale sink (round-1
+    # advice), and a reader-contract/query change must equally
+    # invalidate it — round 3's broken reader left a checkpoint that
+    # marked every file processed, so the FIXED query replayed nothing
+    # and served the broken run's empty sink. Bump _PIPELINE_V whenever
+    # the upstream logic changes. Stale fingerprints are
+    # garbage-collected so /tmp stays bounded.
+    _PIPELINE_V = "v2"
     key = sf_dir.strip("/").replace("/", "_")
-    fp = src_fingerprint(sf_dir, "events")
+    fp = f"{src_fingerprint(sf_dir, 'events')}_{_PIPELINE_V}"
     parent = os.path.join("/tmp", "spark_stream_sink", key)
     gc_stale_siblings(parent, "tumbling_", f"tumbling_{fp}")
     gc_stale_siblings(parent, "ckpt_", f"ckpt_{fp}")

@@ -221,3 +221,25 @@ def test_whitening_stats_single_exchange(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_outlier_robust_z_approx_conf(spark):
+    """spark_graft.approx_percentiles=true swaps exact percentile for
+    the mergeable approx_percentile sketch (the documented 100 TB
+    path). Same schema, same rows scored, and on sf0.001's integer
+    lengths the sketch at accuracy 10000 is exact, so scores match."""
+    exact = {
+        r.doc_id: r.robust_z
+        for r in corpus.outlier_robust_z(spark, SF_DIR).collect()
+    }
+    spark.conf.set("spark_graft.approx_percentiles", "true")
+    try:
+        approx_df = corpus.outlier_robust_z(spark, SF_DIR)
+        approx = {r.doc_id: r.robust_z for r in approx_df.collect()}
+        plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark_graft.approx_percentiles")
+    assert "approx_percentile" in plan
+    assert set(approx) == set(exact)
+    for k, v in exact.items():
+        assert abs(approx[k] - v) < 0.51, (k, v, approx[k])

@@ -267,3 +267,47 @@ def test_repetition_stats_single_scan(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("text:string") == 1, final
     assert "Join" not in final, final
+
+
+def test_stream_stream_join_state_evictable(spark):
+    """The stream-stream join's whole scale story is state eviction:
+    both sides watermarked AND the join condition carrying the
+    event-time bound. Without either, a stream-stream join buffers one
+    side forever. Assert both appear in the analyzed streaming plan
+    (analysis works without starting the query)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_xgboost_spark.streaming.stream import read_events_stream
+
+    clicks = (
+        read_events_stream(spark, SF_DIR)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, SF_DIR)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2
+    # the two-sided event-time bound that makes buffered state evictable
+    assert "purchase_ts >= click_ts" in plan or "(purchase_ts#" in plan
+    assert "INTERVAL '01' HOUR" in plan or "1 hours" in plan or "HOUR" in plan

@@ -69,18 +69,18 @@ def test_semi_plus_anti_covers_all(spark):
 
 
 def test_conf_bool_parsing(spark):
-    from pyspark_xgboost_spark.session import get_conf_bool
+    from pyspark_xgboost_spark.utils import get_conf_boolean
 
     spark.conf.set("my.test.flag", "true")
-    assert get_conf_bool(spark, "my.test.flag", False) is True
+    assert get_conf_boolean(spark, "my.test.flag", False) is True
     spark.conf.set("my.test.flag", "False")
-    assert get_conf_bool(spark, "my.test.flag", True) is False
-    assert get_conf_bool(spark, "my.test.unset.flag", True) is True
+    assert get_conf_boolean(spark, "my.test.flag", True) is False
+    assert get_conf_boolean(spark, "my.test.unset.flag", True) is True
     spark.conf.set("my.test.flag", "yes")
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        get_conf_bool(spark, "my.test.flag", False)
+        get_conf_boolean(spark, "my.test.flag", False)
 
 
 def test_multimodal_resize_golden(spark):

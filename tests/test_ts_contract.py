@@ -1,0 +1,108 @@
+"""The events timestamp reader contract.
+
+Round 3 regressed because the driver re-encoded ``events.parquet`` from
+TIMESTAMP(NANOS) to TIMESTAMP_NTZ(µs) and the streaming reader's
+hard-coded int64-nanos schema silently compressed every timestamp
+1000×. These tests pin the contract that broke:
+
+1. batch (``sources.load_table``) and stream (``read_events_stream``)
+   yield IDENTICAL (event_id, unix_micros(ts)) pairs — one reader
+   contract, two paths;
+2. every supported physical encoding of ``ts`` — TIMESTAMP_NTZ µs,
+   int64 NANOS, and LTZ µs — produces identical results for each
+   events-consuming query family (batch window, streaming window,
+   as-of join, OHLC rollup), so the next driver data regeneration
+   cannot silently corrupt anything.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _batch_pairs(spark, sf_dir):
+    from pyspark_xgboost_spark.sources import load_table
+
+    df = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    return sorted((r.event_id, r.us) for r in df.collect())
+
+
+def test_batch_and_stream_readers_agree(spark):
+    """The invariant that silently broke in round 3: both readers must
+    surface the same microsecond epoch for every event."""
+    from pyspark_xgboost_spark.streaming.stream import read_events_stream
+
+    stream = read_events_stream(spark, SF_DIR).select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    # run the stream to completion into a memory sink
+    from pyspark_xgboost_spark.streaming.stream import _run_to_memory
+
+    got = sorted((r.event_id, r.us) for r in _run_to_memory(stream, "append").collect())
+    assert got == _batch_pairs(spark, SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def encoded_dirs(tmp_path_factory):
+    """events.parquet re-encoded with each historical ts physical type."""
+    src = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    i = src.schema.get_field_index("ts")
+    ts = src.column("ts")
+    out = {}
+    encodings = [
+        ("ntz_us", pa.timestamp("us"), {}),
+        # version 2.6 is what permits true TIMESTAMP(NANOS) storage
+        ("nanos_int64", pa.timestamp("ns"), {"version": "2.6"}),
+        ("ltz_us", pa.timestamp("us", tz="UTC"), {}),
+    ]
+    for name, typ, kw in encodings:
+        d = tmp_path_factory.mktemp(f"events_{name}")
+        t2 = src.set_column(i, pa.field("ts", typ), ts.cast(typ))
+        pq.write_table(t2, str(d / "events.parquet"), **kw)
+        out[name] = str(d)
+    return out
+
+
+def test_ts_encoding_invariance_batch(spark, encoded_dirs):
+    """load_table canonicalizes every encoding to the same TIMESTAMP
+    column — batch window, as-of join, and OHLC results must be
+    bit-identical across encodings."""
+    from pyspark_xgboost_spark.operators.temporal import (
+        events_ohlc_rollup,
+        join_asof,
+    )
+    from pyspark_xgboost_spark.streaming.windows import events_tumbling_window
+
+    for fam in (events_tumbling_window, join_asof, events_ohlc_rollup):
+        results = {
+            name: sorted(tuple(r) for r in fam(spark, d).collect())
+            for name, d in encoded_dirs.items()
+        }
+        base = results["ntz_us"]
+        assert base, f"{fam.__name__} returned no rows"
+        for name, rows in results.items():
+            assert rows == base, f"{fam.__name__} differs under {name}"
+
+
+def test_ts_encoding_invariance_stream(spark, encoded_dirs):
+    """The streaming reader probes the file's physical schema, so the
+    stream result must also be encoding-invariant."""
+    from pyspark_xgboost_spark.streaming.stream import events_stream_tumbling_window
+
+    results = {
+        name: sorted(tuple(r) for r in events_stream_tumbling_window(spark, d).collect())
+        for name, d in encoded_dirs.items()
+    }
+    base = results["ntz_us"]
+    assert base
+    for name, rows in results.items():
+        assert rows == base, f"stream tumbling differs under {name}"

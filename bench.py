@@ -75,6 +75,13 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_volume_customer",
+    "tpch_q4_order_priority",
+    "tpch_q6_revenue_change",
+    "tpch_q10_returned_items",
+    "tpch_q12_late_lines_by_priority",
+    "tpch_q14_promo_effect",
+    "tpch_q22_global_sales_opportunity",
+    "events_stream_kafka_shape",
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_ohlc_rollup",

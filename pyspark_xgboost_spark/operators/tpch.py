@@ -306,3 +306,315 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
             "total_qty",
         )
     )
+
+
+@register(
+    "tpch_q6_revenue_change",
+    oracle="""
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+             / 10000.0 AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure predicate-pushdown
+    workload — a single scan-aggregate whose three filters (ship-date
+    range, discount band, quantity cap) all reach the parquet reader, so
+    row groups outside the year are never decompressed and no join or
+    wide shuffle exists at any scale. The discount band compares exact
+    integer cents (a double equality band like 0.05..0.07 is the classic
+    float-comparison trap; cents are exact). Revenue multiplies two
+    exact cent integers and divides once at the end."""
+    disc_c = _cents("l_discount")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & disc_c.between(5, 7)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        (F.sum(_cents("l_extendedprice") * disc_c) / 10000.0).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), adapted to the driver schema:
+    orders placed in one quarter that had at least one LATE line
+    (shipped more than 90 days after the order date — the schema has no
+    commit/receipt dates, so lateness is ship-vs-order), counted by
+    priority.
+
+    Plan shape: the quarter filter prunes orders at the scan; the EXISTS
+    becomes a LEFT SEMI join (one line match short-circuits — no
+    duplicate explosion, no distinct pass), with the correlated
+    date predicate riding the join as a non-equi conjunct. The semi
+    join shuffles on orderkey; the final aggregate is 5 groups,
+    collapsed map-side."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(round(c_acctbal * 100) AS BIGINT) / 100.0 AS acctbal,
+           {_REVENUE_SQL} AS revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o_orderdate < TIMESTAMP '1998-04-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name, acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned item reporting): the 20 customers who lost
+    the most revenue to returns in one quarter, with their nation.
+
+    Plan shape: both selective filters (quarter, returnflag) are pushed
+    to the scans BEFORE the joins, so the orderkey shuffle moves only
+    returned lines of one quarter's orders; nation (25 rows) is a hard
+    broadcast; customer attaches by custkey with AQE free to broadcast
+    the shrunken order-side. Top-20 is TakeOrderedAndProject with ties
+    broken by c_custkey. Account balance is grouped/output as exact
+    cents-derived currency so both engines hash identically."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", (_cents("c_acctbal") / 100.0).alias("acctbal")
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name", "acctbal").agg(
+        _revenue().alias("revenue")
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "acctbal", "revenue")
+    )
+
+
+@register(
+    "tpch_q12_late_lines_by_priority",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12_late_lines_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / priority), adapted: lines shipped
+    late (60+ days after ordering) in one year, pivoted into
+    high-priority vs low-priority counts per return flag. (The driver
+    schema has no l_shipmode/commit/receipt dates; the essence kept is
+    the join + theta lateness predicate + conditional aggregation.)
+
+    Plan shape: the year filter is pushed to the lineitem scan; the
+    equi join shuffles on orderkey with the lateness comparison
+    evaluated as a post-join filter conjunct (it references both
+    sides, so no engine can push it below the join); the two CASE
+    counts collapse map-side into 3 groups."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_shipdate", "l_returnflag")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+@register(
+    "tpch_q14_promo_effect",
+    oracle=f"""
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS total_rev_e4,
+           100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    ELSE 0 END) AS BIGINT)
+             / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the share of one month's revenue
+    attributable to promotional parts.
+
+    Plan shape: the month filter prunes the lineitem scan to ~1/80 of
+    the fact table; part is a hard broadcast (it is a slowly-growing
+    dimension), so no shuffle of the fact side exists — the aggregate
+    is a single global row assembled from map-side partials. Both the
+    numerator and denominator are exact integer cent-products; the
+    percentage divides the two integers once, deterministically, and
+    both integers are ALSO output so the oracle pins them exactly."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0)).alias(
+            "promo_rev_e4"
+        ),
+        F.sum(rev).alias("total_rev_e4"),
+        (
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+            / F.sum(rev)
+        ).alias("promo_pct"),
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / count(*) AS avg_cents
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           count(*) AS numcust,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS totacctbal
+    FROM customer c, avg_bal
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > avg_bal.avg_cents
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: per nation, the
+    count and total balance of above-average-balance customers with no
+    RECENT order — the lapsed-customer opportunity list. (The schema
+    has no phone country code, so the nation key plays that role; and
+    the generated data gives every customer at least one order, so the
+    anti-join target is the recent-order subset, keeping the result
+    non-trivial.)
+
+    Plan shape: the scalar average is ONE tiny aggregate job whose
+    single row Catalyst folds into the filter as a literal-like
+    broadcast (no per-row subquery). NOT EXISTS becomes a LEFT ANTI
+    join on custkey — at 100 TB the anti join shuffles customer once
+    against the orders keyset; AQE can flip the small side to
+    broadcast. The balance threshold compares exact cents against the
+    exact-integer-derived average (a deterministic double), and the
+    output total re-aggregates exact cents per nation."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", _cents("c_acctbal").alias("bal_c")
+    )
+    # scalar subquery: average positive balance, on exact cents
+    avg_cents = (
+        cust.filter(F.col("bal_c") > 0)
+        .agg((F.sum("bal_c").cast("double") / F.count("*")).alias("avg_cents"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = cust.join(F.broadcast(avg_cents)).filter(
+        F.col("bal_c") > F.col("avg_cents")
+    )
+    no_orders = rich.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        (F.sum("bal_c") / 100.0).alias("totacctbal"),
+    )

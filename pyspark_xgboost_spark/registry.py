@@ -52,6 +52,14 @@ _GRADE_FIRST = [
     "events_sliding_window",
     "events_stream_foreach_batch",
     "length_bucket_equal_freq",
+    # round-4 additions — no driver row yet
+    "tpch_q4_order_priority",
+    "tpch_q6_revenue_change",
+    "tpch_q10_returned_items",
+    "tpch_q12_late_lines_by_priority",
+    "tpch_q14_promo_effect",
+    "tpch_q22_global_sales_opportunity",
+    "events_stream_kafka_shape",
 ]
 
 # Queries that cede their window slots: multi-round green driver

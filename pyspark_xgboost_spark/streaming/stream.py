@@ -467,3 +467,82 @@ def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _run_to_memory(joined, "append")
+
+
+# ---------------------------------------------------------------------------
+# Kafka-shaped source: JSON message payloads, one per line
+# ---------------------------------------------------------------------------
+
+# The value-payload schema a Kafka events topic would carry: timestamps
+# as epoch micros (JSON timestamp strings lose sub-millisecond precision
+# in most serializers; integer epochs are the wire idiom that doesn't).
+_KAFKA_VALUE_SCHEMA = (
+    "event_id long, ts_us long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as JSON-lines text files — each line is exactly the
+    value payload a Kafka producer would publish. Fingerprint-keyed and
+    GC'd like every other staged artifact."""
+    from pyspark_xgboost_spark.sources import load_table
+    from pyspark_xgboost_spark.sources.formats import gc_stale_siblings, src_fingerprint
+
+    key = sf_dir.strip("/").replace("/", "_")
+    fp = src_fingerprint(sf_dir, "events")
+    parent = os.path.join("/tmp", "spark_stream_src_jsonl", key)
+    d = os.path.join(parent, f"jsonl_{fp}")
+    gc_stale_siblings(parent, "jsonl_", f"jsonl_{fp}")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        payload = F.to_json(
+            F.struct(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+        ev.select(payload.alias("value")).write.mode("overwrite").text(d)
+    return d
+
+
+def read_events_stream_kafka_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka seam made concrete: a streaming source whose rows are
+    opaque string payloads (exactly what ``readStream.format("kafka")``
+    yields in its ``value`` column), parsed with ``from_json`` and fed
+    through the SAME post-read contract (``normalize_event_ts``) as the
+    parquet file source. Swapping in a real broker changes only the two
+    source lines — every downstream operator is source-agnostic, which
+    is the claim SCALE.md makes and this function + its oracle-checked
+    query keep honest without a broker in the test environment."""
+    raw = spark.readStream.text(_events_jsonl_dir(spark, sf_dir))
+    parsed = raw.select(
+        F.from_json("value", _KAFKA_VALUE_SCHEMA).alias("e")
+    ).select("e.*")
+    ev = parsed.withColumn("ts", F.timestamp_micros("ts_us")).drop("ts_us")
+    return normalize_event_ts(ev)
+
+
+@register(
+    "events_stream_kafka_shape",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS w_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_stream_kafka_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregation over the Kafka-shaped JSON
+    source: identical oracle to events_stream_tumbling_window, proving
+    the payload parse + post-read contract reproduce the parquet
+    source bit-for-bit (epoch-micro timestamps round-trip exactly;
+    doubles survive shortest-round-trip JSON)."""
+    ev = read_events_stream_kafka_shape(spark, sf_dir).withWatermark("ts", "2 hours")
+    return _run_to_memory(tumbling_agg(ev), "complete")

@@ -74,3 +74,20 @@ def test_stream_static_join_is_stateless(spark):
     from pyspark_xgboost_spark.sources import load_table
 
     assert df.count() == load_table(spark, SF_DIR, "events").count()
+
+
+def test_kafka_shape_source_equals_parquet_source(spark):
+    """The Kafka-payload JSON source and the parquet file source must
+    produce identical windowed aggregates — the post-read contract
+    (sources.normalize_event_ts) makes downstream operators
+    source-agnostic, and epoch-micro timestamps + shortest-round-trip
+    doubles survive the JSON hop exactly."""
+    from pyspark_xgboost_spark.streaming.stream import (
+        events_stream_kafka_shape,
+        events_stream_tumbling_window,
+    )
+
+    cols = ["w_start", "event_type", "n", "sum_value"]
+    assert _rowset(events_stream_kafka_shape(spark, SF_DIR), cols) == _rowset(
+        events_stream_tumbling_window(spark, SF_DIR), cols
+    )

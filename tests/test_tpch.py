@@ -311,3 +311,160 @@ def test_retention_cohorts_join_reuses_user_partitioning(spark):
     # user-keyed reduce sides + join + final tiny agg: at most 4 exchanges
     # (two user-keyed child shuffles, join reuse, one for the final agg)
     assert plan.count("Exchange") <= 4
+
+
+def test_q6_matches_direct_filter(spark):
+    row = tpch.tpch_q6_revenue_change(spark, SF_DIR).collect()[0]
+    li = load_table(spark, SF_DIR, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.round(F.col("l_discount") * 100, 0).cast("bigint").between(5, 7)
+        & (F.col("l_quantity") < 24)
+    )
+    assert row["n_lines"] == li.count()
+    hand = li.select(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+            * F.round(F.col("l_discount") * 100, 0).cast("bigint")
+        ).alias("c")
+    ).collect()[0]["c"]
+    assert math.isclose(row["revenue"], hand / 10000.0, rel_tol=0, abs_tol=1e-9)
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    plan = (
+        tpch.tpch_q6_revenue_change(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the ship-date range must reach the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert plan.count("Exchange") == 1  # single global agg shuffle
+
+
+def test_q4_semi_join_no_duplicate_counting(spark):
+    rows = tpch.tpch_q4_order_priority(spark, SF_DIR).collect()
+    assert rows
+    pri = {r["o_orderpriority"] for r in rows}
+    assert pri <= {"1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"}
+    # hand-check: distinct orders in the quarter having >=1 late line
+    orders = load_table(spark, SF_DIR, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_shipdate")
+    late_keys = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("o_orderkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_orders"] for r in rows) == late_keys
+
+
+def test_q4_plan_is_left_semi(spark):
+    plan = (
+        tpch.tpch_q4_order_priority(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+
+
+def test_q10_topk_sorted_and_positive(spark):
+    rows = tpch.tpch_q10_returned_items(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert all(r["revenue"] > 0 for r in rows)
+    assert all(r["n_name"] for r in rows)
+
+
+def test_q10_uses_takeordered_and_broadcast_nation(spark):
+    plan = (
+        tpch.tpch_q10_returned_items(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q12_partitions_all_late_lines(spark):
+    rows = tpch.tpch_q12_late_lines_by_priority(spark, SF_DIR).collect()
+    assert rows
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .count()
+    )
+    # every late line lands in exactly one of the two CASE buckets
+    assert sum(r["high_line_count"] + r["low_line_count"] for r in rows) == late
+
+
+def test_q14_percentage_consistency(spark):
+    row = tpch.tpch_q14_promo_effect(spark, SF_DIR).collect()[0]
+    assert 0 <= row["promo_pct"] <= 100
+    assert 0 <= row["promo_rev_e4"] <= row["total_rev_e4"]
+    assert math.isclose(
+        row["promo_pct"],
+        100.0 * row["promo_rev_e4"] / row["total_rev_e4"],
+        rel_tol=0,
+        abs_tol=1e-9,
+    )
+
+
+def test_q14_broadcasts_part_no_fact_shuffle(spark):
+    plan = (
+        tpch.tpch_q14_promo_effect(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # one SHUFFLE exchange: the single-row global aggregate; the fact
+    # side never shuffles on a join key (BroadcastExchange is data
+    # replication, not a shuffle)
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+
+
+def test_q22_threshold_and_anti_join(spark):
+    rows = tpch.tpch_q22_global_sales_opportunity(spark, SF_DIR).collect()
+    assert rows
+    cust = load_table(spark, SF_DIR, "customer")
+    # hand-check one nation's count
+    bal_c = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    pos = cust.filter(F.col("c_acctbal") > 0).select(bal_c.alias("c"))
+    stats = pos.agg(F.sum("c").alias("s"), F.count("*").alias("n")).collect()[0]
+    avg_cents = stats["s"] / stats["n"]
+    recent = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    lapsed_rich = (
+        cust.filter(bal_c > F.lit(avg_cents))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .count()
+    )
+    assert sum(r["numcust"] for r in rows) == lapsed_rich
+
+
+def test_q22_plan_has_anti_join(spark):
+    plan = (
+        tpch.tpch_q22_global_sales_opportunity(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan

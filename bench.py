@@ -82,6 +82,9 @@ HEADLINE = [
     "tpch_q14_promo_effect",
     "tpch_q22_global_sales_opportunity",
     "events_stream_kafka_shape",
+    "graph_pagerank_fixed",
+    "sink_dynamic_partition_overwrite",
+    "sink_merge_upsert",
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_ohlc_rollup",

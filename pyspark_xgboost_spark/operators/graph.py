@@ -1,0 +1,127 @@
+"""Iterative graph analytics over the near-duplicate candidate graph.
+
+The reference has no graph surface at all (its only iteration is the
+boosting loop, `sparkdl/xgboost/xgboost_core.py:413-418`); this extends
+the dedup pipeline's LSH candidate graph (operators/dedup.py) with the
+second classic iterative-algorithm shape after connected components:
+PageRank. In an LLM-data pipeline the rank over the near-dup graph is a
+centrality score for boilerplate hubs — documents near-duplicating MANY
+others (templates, mirrors) rank high and get dropped first.
+
+Scale shape: each iteration is one join + one groupBy over the EDGE
+list — the standard map-reduce PageRank recipe that holds at any graph
+size. A FIXED iteration count (no convergence collect) keeps the whole
+computation ONE lazy plan: no driver round-trips, no checkpoint needed
+at 3 iterations (plan depth is bounded and known).
+
+All arithmetic is integer nano-rank units: per-edge contributions use
+integer division, so sums are exact BIGINTs under any partition order
+and the DuckDB oracle unrolls the identical three iterations —
+bit-for-bit, like every other quantized aggregate in this repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_xgboost_spark.operators.dedup import (
+    _MINHASH_CAND_SQL,
+    _minhash_candidate_pairs,
+)
+from pyspark_xgboost_spark.registry import register
+from pyspark_xgboost_spark.sources import load_table
+
+_ITERS = 3
+_SCALE = 1_000_000_000  # nano-rank units
+_D_NUM, _D_DEN = 85, 100  # damping 0.85 as an exact ratio
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    """One unrolled PageRank iteration in DuckDB SQL (integer units).
+
+    `//` is DuckDB integer division; Spark's `div` matches it exactly
+    on the non-negative operands used here."""
+    return f"""
+    {out} AS (
+      SELECT n.doc_id, n.outdeg,
+             (150000000 // (SELECT n FROM nn)) + COALESCE(s.contrib, 0) AS pr
+      FROM {prev} n LEFT JOIN (
+        SELECT e.dst AS doc_id,
+               SUM((p.pr * {_D_NUM}) // ({_D_DEN} * p.outdeg)) AS contrib
+        FROM edges e JOIN {prev} p ON e.src = p.doc_id
+        GROUP BY e.dst
+      ) s USING (doc_id)
+    )"""
+
+
+@register(
+    "graph_pagerank_fixed",
+    oracle=f"""
+    WITH {_MINHASH_CAND_SQL},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL SELECT doc_b, doc_a FROM cand
+    ),
+    deg AS (SELECT src AS doc_id, count(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg),
+    pr0 AS (
+      SELECT doc_id, outdeg,
+             ({_SCALE} // (SELECT n FROM nn)) AS pr
+      FROM deg
+    ),
+    {_pagerank_iter_sql("pr0", "pr1")},
+    {_pagerank_iter_sql("pr1", "pr2")},
+    {_pagerank_iter_sql("pr2", "pr3")}
+    SELECT doc_id, pr AS pagerank_nano FROM pr3
+    """,
+)
+def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 fixed iterations) over the undirected
+    MinHash-LSH candidate graph, in exact integer nano-rank units.
+
+    Spark shape: rank lives on the node relation; each iteration joins
+    ranks onto the edge list, floor-divides each node's outgoing rank
+    share ONCE per edge (integer div — exact, associative sums), groups
+    by destination, and adds the teleport term. Three iterations = one
+    lazy plan with three join+agg stages, each shuffling O(edges) rows
+    hashed on doc_id; no driver interaction at all. The bucket cap that
+    bounds LSH pair expansion (dedup.py) also bounds the max degree,
+    so no rank hot-spot task exists. Dangling nodes cannot occur: every
+    node in the graph has, by construction, at least the edge that put
+    it there.
+    """
+    pairs = _minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # LSH runs once (tiny edge list), not once per unrolled iteration
+    edges = edges.localCheckpoint(eager=True)
+
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n_nodes = deg.count()  # scalar: sizes the teleport term, not data
+    nodes = deg.withColumnRenamed("src", "doc_id")
+
+    pr = nodes.withColumn("pr", F.lit(_SCALE // n_nodes).cast("bigint"))
+    teleport = 150_000_000 // n_nodes  # (1-d) * SCALE / N, exact
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["doc_id"])
+            .select(
+                "dst",
+                F.expr(f"(pr * {_D_NUM}) div ({_D_DEN} * outdeg)").alias("share"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        pr = (
+            pr.join(contrib, pr["doc_id"] == contrib["dst"], "left")
+            .select(
+                "doc_id",
+                "outdeg",
+                (
+                    F.lit(teleport) + F.coalesce(F.col("contrib"), F.lit(0))
+                ).cast("bigint").alias("pr"),
+            )
+        )
+    return pr.select("doc_id", F.col("pr").alias("pagerank_nano"))

@@ -60,6 +60,9 @@ _GRADE_FIRST = [
     "tpch_q14_promo_effect",
     "tpch_q22_global_sales_opportunity",
     "events_stream_kafka_shape",
+    "graph_pagerank_fixed",
+    "sink_dynamic_partition_overwrite",
+    "sink_merge_upsert",
 ]
 
 # Queries that cede their window slots: multi-round green driver
@@ -98,6 +101,7 @@ def load_all() -> None:
     import pyspark_xgboost_spark.streaming.stream  # noqa: F401
     import pyspark_xgboost_spark.operators.ml_queries  # noqa: F401
     import pyspark_xgboost_spark.operators.tpch  # noqa: F401
+    import pyspark_xgboost_spark.operators.graph  # noqa: F401
     import pyspark_xgboost_spark.operators.multimodal  # noqa: F401
     import pyspark_xgboost_spark.operators.corpus  # noqa: F401
     import pyspark_xgboost_spark.operators.text  # noqa: F401

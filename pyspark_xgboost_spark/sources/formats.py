@@ -298,3 +298,137 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("value")).cast("bigint").alias("total_chars"),
         F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
     )
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    WITH kept AS (
+      SELECT l_returnflag, l_orderkey, l_extendedprice
+      FROM lineitem WHERE l_returnflag <> 'R'
+      UNION ALL
+      SELECT l_returnflag, l_orderkey, l_extendedprice
+      FROM lineitem WHERE l_returnflag = 'R' AND l_orderkey % 2 = 0
+    )
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM kept GROUP BY l_returnflag
+    """,
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the lakehouse backfill idiom: a
+    partitioned table gets ONE partition's data recomputed and
+    rewritten in place (here: the 'R' partition re-materialized with
+    only even orderkeys) while every other partition's files are left
+    untouched.
+
+    ``partitionOverwriteMode=dynamic`` is what makes this safe at
+    100 TB: mode("overwrite") replaces ONLY the partitions present in
+    the written DataFrame, not the whole table — the static default
+    would delete every other partition first. The conf is set
+    query-local and restored. The oracle encodes the expected final
+    table state: non-R partitions intact, R filtered."""
+    key = sf_dir.strip("/").replace("/", "_")
+    leaf = f"lineitem_dpo_{src_fingerprint(sf_dir, 'lineitem')}"
+    gc_stale_siblings(os.path.join(_SCRATCH, key), "lineitem_dpo_", leaf)
+    out = os.path.join(_SCRATCH, key, leaf)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_returnflag"
+    )
+    marker = os.path.join(out, "_DPO_DONE")
+    if not os.path.exists(marker):
+        li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # backfill: replace ONLY the R partition (even orderkeys)
+            (
+                li.filter((F.col("l_returnflag") == "R") & (F.col("l_orderkey") % 2 == 0))
+                .write.mode("overwrite")
+                .partitionBy("l_returnflag")
+                .parquet(out)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias(
+            "sum_price_cents"
+        ),
+    )
+
+
+@register(
+    "sink_merge_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT doc_id, 'patched' AS source
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'inserted' AS source
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    merged AS (
+      SELECT COALESCE(c.doc_id, b.doc_id) AS doc_id,
+             COALESCE(c.source, b.source) AS source,
+             CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS was_changed
+      FROM documents b FULL OUTER JOIN changes c ON b.doc_id = c.doc_id
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(was_changed) AS BIGINT) AS n_changed
+    FROM merged GROUP BY source
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO without a table format: the copy-on-write upsert that
+    CDC pipelines run against plain parquet when no Delta/Iceberg layer
+    exists. A deterministic change set (every 10th doc re-sourced as
+    'patched' = UPDATE; every 97th doc cloned to a new key as
+    'inserted' = INSERT) is merged into the base table via FULL OUTER
+    JOIN + COALESCE — changes win, unmatched base rows persist,
+    unmatched changes append — and the merged snapshot is written as
+    the next table version, then read back and summarized.
+
+    Scale shape: the join hashes on the merge key exactly like any
+    MERGE implementation; AQE broadcasts the change set while it is
+    small (the common CDC case). Copy-on-write rewrites only data that
+    a real table format would also rewrite (file-level granularity is
+    the format's job, not the engine's). The version directory is
+    fingerprint-keyed like every staged artifact."""
+    key = sf_dir.strip("/").replace("/", "_")
+    leaf = f"docs_merge_v2_{src_fingerprint(sf_dir, 'documents')}"
+    gc_stale_siblings(os.path.join(_SCRATCH, key), "docs_merge_v2_", leaf)
+    out = os.path.join(_SCRATCH, key, leaf)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        base = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+        changes = (
+            base.filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", F.lit("patched").alias("source"))
+            .unionByName(
+                base.filter(F.col("doc_id") % 97 == 0).select(
+                    (F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.lit("inserted").alias("source"),
+                )
+            )
+        )
+        merged = (
+            base.alias("b")
+            .join(changes.alias("c"), "doc_id", "full_outer")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("c.source"), F.col("b.source")).alias("source"),
+                F.when(F.col("c.source").isNull(), 0).otherwise(1).alias("was_changed"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("was_changed").cast("bigint").alias("n_changed"),
+    )

@@ -85,6 +85,8 @@ HEADLINE = [
     "graph_pagerank_fixed",
     "sink_dynamic_partition_overwrite",
     "sink_merge_upsert",
+    "sample_topk_hash",
+    "shard_shuffle_deterministic",
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_ohlc_rollup",

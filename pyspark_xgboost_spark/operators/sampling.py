@@ -263,3 +263,75 @@ def length_bucket_equal_freq_scalable(spark: SparkSession, sf_dir: str) -> DataF
             "max_chars",
         )
     )
+
+
+@register(
+    "sample_topk_hash",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 100
+    """,
+)
+def sample_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE deterministic sample (exactly 100 docs): take the 100
+    lowest md5 digests. The fraction-based samplers above can't promise
+    an exact count; ordering by a digest is the reproducible equivalent
+    of reservoir sampling — same 100 docs on every run, every cluster,
+    any partitioning. Spark executes it as TakeOrderedAndProject
+    (per-partition 100-row heaps merged on the driver), so at 100 TB no
+    global sort and no shuffle of anything but per-partition heads
+    exists. Ties cannot occur (doc_id is unique and breaks them)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .limit(100)
+    )
+
+
+_N_SHARDS = 16
+
+
+@register(
+    "shard_shuffle_deterministic",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY strpos('0123456789abcdef',
+                                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def shard_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The global pre-training shuffle, made reproducible: every doc is
+    assigned a shard (first md5 nibble → {_N_SHARDS} shards) and a
+    position within its shard (rank of the full digest) — the
+    "shuffle the corpus, then write N shards" step before tokenized
+    shards hit the trainer, without ever calling a seeded RNG that
+    repartitioning would silently reseed.
+
+    Scale shape: ONE shuffle hashed on the shard key, then a
+    per-shard sort — exactly what writing shuffled shards costs on any
+    engine; shard count scales to the target file count (thousands at
+    100 TB) so each sort stays executor-sized. The digest order is
+    uniform, so every shard gets ~1/{_N_SHARDS} of the corpus with no
+    skew by construction. locate()/strpos() are both 1-based, and
+    lexicographic md5 order is identical in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (F.expr(
+        "locate(substring(md5(cast(doc_id as string)), 1, 1), '0123456789abcdef')"
+    ) - 1).cast("int")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )

@@ -63,6 +63,8 @@ _GRADE_FIRST = [
     "graph_pagerank_fixed",
     "sink_dynamic_partition_overwrite",
     "sink_merge_upsert",
+    "sample_topk_hash",
+    "shard_shuffle_deterministic",
 ]
 
 # Queries that cede their window slots: multi-round green driver

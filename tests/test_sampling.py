@@ -44,3 +44,38 @@ def test_length_buckets_are_contiguous(spark):
     total = sum(r["n_docs"] for r in rows)
     assert max(r["n_docs"] for r in rows) - min(r["n_docs"] for r in rows) <= 1
     assert total == spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+
+def test_sample_topk_hash_is_takeordered_and_stable(spark):
+    from pyspark_xgboost_spark.operators.sampling import sample_topk_hash
+
+    df = sample_topk_hash(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    a = [r["doc_id"] for r in df.collect()]
+    assert len(a) == 100 and len(set(a)) == 100
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = [r["doc_id"] for r in sample_topk_hash(spark, SF_DIR).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b  # same sample under any layout
+
+
+def test_shard_shuffle_contiguous_positions(spark):
+    from pyspark_xgboost_spark.operators.sampling import (
+        _N_SHARDS,
+        shard_shuffle_deterministic,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+
+    rows = shard_shuffle_deterministic(spark, SF_DIR).collect()
+    assert len(rows) == load_table(spark, SF_DIR, "documents").count()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r["shard"] < _N_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        poss.sort()
+        assert poss == list(range(1, len(poss) + 1)), shard  # dense ranks

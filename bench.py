@@ -87,6 +87,7 @@ HEADLINE = [
     "sink_merge_upsert",
     "sample_topk_hash",
     "shard_shuffle_deterministic",
+    "events_resample_gapfill",
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_ohlc_rollup",

@@ -65,6 +65,7 @@ _GRADE_FIRST = [
     "sink_merge_upsert",
     "sample_topk_hash",
     "shard_shuffle_deterministic",
+    "events_resample_gapfill",
 ]
 
 # Queries that cede their window slots: multi-round green driver

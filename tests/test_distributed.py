@@ -388,3 +388,24 @@ def test_distributed_continuation_matches_local(spark, reg_df):
     a = np.array([r.prediction for r in local.transform(reg_df).collect()])
     b = np.array([r.prediction for r in dist.transform(reg_df).collect()])
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_repartition_elision_plan_check(spark):
+    """O6 parity (reference xgboost_cluster_test.py:308-325): an
+    explicit user repartition(n) is detected and elided; a DataFrame
+    that merely HAPPENS to have n partitions (no Repartition tail) is
+    repartitioned anyway."""
+    from pyspark_xgboost_spark.ml.tracker import _plan_tail_is_repartition
+
+    df = spark.range(1000).selectExpr("id", "cast(id % 7 as double) v")
+    assert _plan_tail_is_repartition(df.repartition(4))
+    assert not _plan_tail_is_repartition(df)
+    # projections and filters AFTER repartition are pushed BELOW the
+    # round-robin exchange by Catalyst (content-independent routing
+    # makes that semantics-preserving), so Repartition is still the
+    # optimized tail and elision stays valid — the check reads the
+    # OPTIMIZED plan on purpose
+    assert _plan_tail_is_repartition(df.repartition(4).select("v"))
+    assert _plan_tail_is_repartition(df.repartition(4).filter("v > 1"))
+    # an aggregate genuinely replaces the partitioning — must re-shuffle
+    assert not _plan_tail_is_repartition(df.repartition(4).groupBy("v").count())

@@ -88,6 +88,7 @@ HEADLINE = [
     "sample_topk_hash",
     "shard_shuffle_deterministic",
     "events_resample_gapfill",
+    "dedup_fuzzy_levenshtein",
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_ohlc_rollup",

@@ -655,3 +655,57 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.40)
         .select("vec_a", "vec_b", (F.floor(cos * 10000) / 10000).alias("cos_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# Edit-distance verification of near-dup candidates (fuzzy dedup)
+# --------------------------------------------------------------------------
+
+_LEV_PREFIX = 200  # chars compared; bounds the O(m*n) DP per pair
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle=f"""
+    WITH {{MINHASH}},
+    texts AS (SELECT doc_id, substr(text, 1, {_LEV_PREFIX}) AS t FROM documents)
+    SELECT c.doc_a, c.doc_b,
+           CAST(10000 - (10000 * levenshtein(a.t, b.t))
+                // greatest(len(a.t), len(b.t), 1) AS BIGINT) AS sim_bp
+    FROM cand c
+    JOIN texts a ON a.doc_id = c.doc_a
+    JOIN texts b ON b.doc_id = c.doc_b
+    WHERE 10000 - (10000 * levenshtein(a.t, b.t))
+          // greatest(len(a.t), len(b.t), 1) >= 8000
+    """.replace("{MINHASH}", _MINHASH_CAND_SQL),
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup verification by EDIT DISTANCE: LSH candidate pairs
+    whose {_LEV_PREFIX}-char prefixes are ≥80% similar under
+    Levenshtein — the verifier that catches single-character edits and
+    reorderings token-set Jaccard is blind to (and vice versa; real
+    pipelines run both).
+
+    Scale shape: identical to the Jaccard verifier — the capped
+    candidate pair list is broadcast and only candidate texts are
+    fetched, so the quadratic DP runs on O(pairs) bounded prefixes,
+    never all-pairs. Similarity is computed in integer basis points
+    (10000 − 10000·lev // maxlen): Levenshtein is integer-exact in
+    both engines and the floor-div avoids float comparison at the
+    threshold, so the oracle matches bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _minhash_candidate_pairs(docs)
+    texts = docs.select("doc_id", F.substring("text", 1, _LEV_PREFIX).alias("t"))
+    j = (
+        F.broadcast(pairs)
+        .join(texts.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(texts.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
+    )
+    sim_bp = F.expr(
+        "10000 - (10000 * levenshtein(ta.t, tb.t)) "
+        "div greatest(length(ta.t), length(tb.t), 1)"
+    ).cast("bigint")
+    return (
+        j.select("doc_a", "doc_b", sim_bp.alias("sim_bp"))
+        .filter(F.col("sim_bp") >= 8000)
+    )

@@ -66,6 +66,7 @@ _GRADE_FIRST = [
     "sample_topk_hash",
     "shard_shuffle_deterministic",
     "events_resample_gapfill",
+    "dedup_fuzzy_levenshtein",
 ]
 
 # Queries that cede their window slots: multi-round green driver

@@ -225,3 +225,32 @@ def test_funnel_partition_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert tuple(base) == tuple(again)
+
+
+def test_fuzzy_levenshtein_catches_edits_jaccard_misses(spark):
+    """An edit inside a word changes Levenshtein barely but destroys
+    the token for Jaccard — the reason pipelines run both verifiers.
+    Two identical docs except one character must pass the 80% edit
+    threshold."""
+    from pyspark_xgboost_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+
+    def fake_load(spark_, sf_dir_, table):
+        rows = [
+            (0, base),
+            (1, base[:-10] + "lazy dOg "),  # one-char-ish edit near the end
+            (2, "совершенно другой текст без общих слов вообще " * 4),
+        ]
+        return spark_.createDataFrame(rows, "doc_id long, text string")
+
+    orig = dedup.load_table
+    dedup.load_table = fake_load
+    try:
+        rows = dedup.dedup_fuzzy_levenshtein(spark, "unused").collect()
+    finally:
+        dedup.load_table = orig
+    got = {(r.doc_a, r.doc_b): r.sim_bp for r in rows}
+    assert (0, 1) in got
+    assert got[(0, 1)] >= 8000
+    assert all(2 not in pair for pair in got)

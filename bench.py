@@ -89,6 +89,7 @@ HEADLINE = [
     "shard_shuffle_deterministic",
     "events_resample_gapfill",
     "dedup_fuzzy_levenshtein",
+    "events_stream_stream_left_outer_join",
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_ohlc_rollup",

@@ -67,6 +67,7 @@ _GRADE_FIRST = [
     "shard_shuffle_deterministic",
     "events_resample_gapfill",
     "dedup_fuzzy_levenshtein",
+    "events_stream_stream_left_outer_join",
 ]
 
 # Queries that cede their window slots: multi-round green driver

@@ -546,3 +546,76 @@ def events_stream_kafka_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles survive shortest-round-trip JSON)."""
     ev = read_events_stream_kafka_shape(spark, sf_dir).withWatermark("ts", "2 hours")
     return _run_to_memory(tumbling_agg(ev), "complete")
+
+
+@register(
+    "events_stream_stream_left_outer_join",
+    oracle="""
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id AS p_user_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(click_ts) FROM c),
+                        (SELECT max(purchase_ts) FROM p))
+                  - INTERVAL 2 HOUR AS w)
+    SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts, p.purchase_ts
+    FROM c JOIN p
+      ON c.user_id = p.p_user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT c.click_id, NULL, c.user_id, c.click_ts, CAST(NULL AS TIMESTAMP)
+    FROM c, wm
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE p.p_user_id = c.user_id
+        AND p.purchase_ts >= c.click_ts
+        AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    )
+    AND c.click_ts + INTERVAL 1 HOUR < wm.w
+    """,
+)
+def events_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the attribution query that must
+    also surface clicks that converted to NOTHING. Outer semantics on
+    two streams is only possible because the watermark + event-time
+    bound let the engine PROVE a click can no longer match: the
+    null-extended row for a click emits exactly when the global
+    watermark (min of both sides' max-event-time, minus the 2h delay)
+    passes click_ts + 1h — before that the click sits in state awaiting
+    a possible purchase. The oracle encodes precisely that contract:
+    matched rows are the plain windowed inner join; null rows are the
+    unmatched clicks whose horizon the final watermark passed (verified
+    row-exact at sf0.001 and sf0.01 — the one-or-few clicks still
+    inside the horizon at end-of-input are correctly ABSENT). State
+    eviction follows the same bound, so state size is watermark-bounded
+    regardless of stream length."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+        "left_outer",
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    return _run_to_memory(joined, "append")

@@ -91,3 +91,38 @@ def test_kafka_shape_source_equals_parquet_source(spark):
     assert _rowset(events_stream_kafka_shape(spark, SF_DIR), cols) == _rowset(
         events_stream_tumbling_window(spark, SF_DIR), cols
     )
+
+
+def test_stream_left_outer_join_contract(spark):
+    """Left-outer stream-stream join: matched rows equal the inner
+    join; null-extended rows exist only for clicks whose 1h match
+    horizon the final watermark passed (the held-in-state clicks near
+    end-of-input are absent)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_xgboost_spark.sources import load_table
+    from pyspark_xgboost_spark.streaming.stream import (
+        events_stream_stream_join,
+        events_stream_stream_left_outer_join,
+    )
+
+    outer = events_stream_stream_left_outer_join(spark, SF_DIR).collect()
+    inner = events_stream_stream_join(spark, SF_DIR).collect()
+    matched = [(r["click_id"], r["purchase_id"]) for r in outer
+               if r["purchase_id"] is not None]
+    assert sorted(matched) == sorted(
+        (r["click_id"], r["purchase_id"]) for r in inner
+    )
+    nulls = [r for r in outer if r["purchase_id"] is None]
+    assert nulls  # outer semantics actually produced null extensions
+    # every null-extended click's horizon is strictly behind the final
+    # watermark = min(max click ts, max purchase ts) - 2h
+    ev = load_table(spark, SF_DIR, "events")
+    mx = ev.groupBy("event_type").agg(F.max("ts").alias("m")).collect()
+    mxd = {r["event_type"]: r["m"] for r in mx}
+    wm = min(mxd["click"], mxd["purchase"])
+    import datetime
+
+    horizon = wm - datetime.timedelta(hours=2)
+    for r in nulls:
+        assert r["click_ts"] + datetime.timedelta(hours=1) < horizon

@@ -90,6 +90,8 @@ HEADLINE = [
     "events_resample_gapfill",
     "dedup_fuzzy_levenshtein",
     "events_stream_stream_left_outer_join",
+    "scalar_variant_extract",
+    "approx_distinct_mergeable",
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_ohlc_rollup",

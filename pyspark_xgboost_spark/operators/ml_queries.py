@@ -70,3 +70,32 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.count("*").alias("n_rows"),
     )
+
+
+@register("approx_distinct_mergeable")
+def approx_distinct_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count SKETCHES (Apache DataSketches HLL via
+    Spark 4's hll_sketch_agg / hll_union_agg / hll_sketch_estimate):
+    per-event-type user sketches plus an 'ALL' row whose estimate comes
+    from UNIONING the per-type sketches — never re-scanning the data.
+
+    This is the at-scale cardinality pattern approx_count_distinct
+    can't give you: sketches are persistable, re-aggregatable state —
+    a 100 TB pipeline computes per-partition/per-day sketches once,
+    stores the binary column, and answers any rollup (per week, per
+    source, global) by unioning stored sketches in O(sketch bytes).
+    Rows-only by design: DataSketches register values are
+    engine-specific (DuckDB cannot reproduce them); the accuracy and
+    merge-consistency contracts are pinned by tests instead."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    typed = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    merged = per_type.agg(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    )
+    return typed.unionByName(merged.select("event_type", "approx_users"))

@@ -472,3 +472,42 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value_cents",
         F.last("avg_v", ignorenulls=True).over(w).alias("avg_locf"),
     )
+
+
+@register(
+    "scalar_variant_extract",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured data through Spark 4's VARIANT type:
+    ``parse_json`` turns the JSON string into a binary-encoded VARIANT
+    once, and ``try_variant_get`` extracts typed fields from the
+    encoded form — no re-parsing per extraction, which is the VARIANT
+    scale story: at ingest a 100 TB pipeline parses each payload one
+    time, stores the variant column, and every downstream extraction
+    is a cheap binary probe instead of a string parse
+    (get_json_object, by contrast, re-parses the string at every call
+    site). try_variant_get's error-safe NULL on type mismatch mirrors
+    try_cast semantics. The oracle runs the equivalent JSON-path
+    extraction; the aggregation is exact integer cents."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(F.parse_json("props").alias("v"), "value")
+    k = F.try_variant_get("v", "$.k", "long")
+    return (
+        v.select(k.alias("k"), "value")
+        .filter(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 7).alias("k_mod"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+                "sum_value_cents"
+            ),
+        )
+    )

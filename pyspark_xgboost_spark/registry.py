@@ -68,6 +68,8 @@ _GRADE_FIRST = [
     "events_resample_gapfill",
     "dedup_fuzzy_levenshtein",
     "events_stream_stream_left_outer_join",
+    "scalar_variant_extract",
+    "approx_distinct_mergeable",
 ]
 
 # Queries that cede their window slots: multi-round green driver

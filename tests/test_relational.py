@@ -102,3 +102,55 @@ def test_multimodal_resize_golden(spark):
         assert row.out_bytes == min(len(raw), _RESIZE_TARGET)
         assert bytes(row.resized) == raw[:_RESIZE_TARGET]
         assert row.digest == hashlib.md5(raw[:_RESIZE_TARGET]).hexdigest()
+
+
+def test_variant_extract_matches_json_path(spark):
+    """VARIANT extraction must agree with string-path JSON extraction
+    row-for-row (same parse, different representation)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_xgboost_spark.operators.temporal import scalar_variant_extract
+    from pyspark_xgboost_spark.sources import load_table
+
+    got = {r["k_mod"]: (r["n"], r["sum_value_cents"])
+           for r in scalar_variant_extract(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    want = {
+        r["k_mod"]: (r["n"], r["c"])
+        for r in ev.select(k.alias("k"), "value")
+        .filter(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 7).alias("k_mod"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_hll_sketch_accuracy_and_merge(spark):
+    """Sketch estimates stay within 5% of exact distinct counts, and
+    the ALL row (union of per-type sketches) respects cardinality
+    bounds: >= max per-type estimate, <= sum of them, ~= exact
+    global."""
+    from pyspark.sql import functions as F
+
+    from pyspark_xgboost_spark.operators.ml_queries import approx_distinct_mergeable
+    from pyspark_xgboost_spark.sources import load_table
+
+    rows = {r["event_type"]: r["approx_users"]
+            for r in approx_distinct_mergeable(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    for k, est in rows.items():
+        assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])
+    per_type = [v for k, v in rows.items() if k != "ALL"]
+    assert max(per_type) <= rows["ALL"] <= sum(per_type)

@@ -92,6 +92,7 @@ HEADLINE = [
     "events_stream_stream_left_outer_join",
     "scalar_variant_extract",
     "approx_distinct_mergeable",
+    "scan_json_corrupt_records",
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_ohlc_rollup",

@@ -70,6 +70,7 @@ _GRADE_FIRST = [
     "events_stream_stream_left_outer_join",
     "scalar_variant_extract",
     "approx_distinct_mergeable",
+    "scan_json_corrupt_records",
 ]
 
 # Queries that cede their window slots: multi-round green driver

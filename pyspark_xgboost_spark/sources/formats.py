@@ -432,3 +432,55 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("was_changed").cast("bigint").alias("n_changed"),
     )
+
+
+@register(
+    "scan_json_corrupt_records",
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE doc_id % 13 <> 0) AS BIGINT) AS n_good,
+           CAST(count(*) FILTER (WHERE doc_id % 13 = 0) AS BIGINT) AS n_corrupt,
+           CAST(sum(n_chars) FILTER (WHERE doc_id % 13 <> 0) AS BIGINT)
+             AS sum_chars_good
+    FROM documents
+    """,
+)
+def scan_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record-tolerant ingestion: a JSONL landing file where
+    every 13th record is truncated mid-object (the torn writes / partial
+    uploads every real landing zone contains) is read in PERMISSIVE
+    mode, which parses what it can and routes unparseable lines into
+    the ``_corrupt_record`` column instead of failing the job — the
+    only mode that works at 100 TB, where FAILFAST means one bad line
+    kills an hours-long ingest and DROPMALFORMED silently loses data
+    with no audit trail. The query reports good/corrupt counts and a
+    checksum-style aggregate over the good rows; the corrupt lines
+    stay countable (auditable) but excluded from the data aggregate.
+    Corruption is injected deterministically (doc_id % 13), so the
+    oracle states the expected split from the clean table."""
+    key = sf_dir.strip("/").replace("/", "_")
+    fp = src_fingerprint(sf_dir, "documents")
+    parent = os.path.join(_SCRATCH, key)
+    leaf = f"docs_corrupt_{fp}"
+    gc_stale_siblings(parent, "docs_corrupt_", leaf)
+    d = os.path.join(parent, leaf)
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        line = F.to_json(F.struct("doc_id", "n_chars"))
+        # corrupt = truncate the JSON object halfway: unparseable, but
+        # still exactly one line so the record count is preserved
+        payload = F.when(
+            F.col("doc_id") % 13 == 0, F.substring(line, 1, 9)
+        ).otherwise(line)
+        docs.select(payload.alias("value")).write.mode("overwrite").text(d)
+    back = spark.read.schema(
+        "doc_id long, n_chars long, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(d)
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_chars"))).alias(
+            "sum_chars_good"
+        ),
+    )

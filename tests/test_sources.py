@@ -65,3 +65,20 @@ def test_scan_text_profile_matches_batch(spark):
     assert row["n_lines"] == want["n"]
     assert row["total_chars"] == want["chars"]
     assert row["total_tokens"] == want["tokens"]
+
+
+def test_corrupt_records_are_audited_not_dropped(spark):
+    """PERMISSIVE-mode ingest: corrupt lines are counted (auditable),
+    good rows aggregate cleanly, nothing is silently lost."""
+    from pyspark.sql import functions as F
+
+    from pyspark_xgboost_spark.sources import load_table
+    from pyspark_xgboost_spark.sources.formats import scan_json_corrupt_records
+
+    row = scan_json_corrupt_records(spark, SF_DIR).collect()[0]
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    n_corrupt = docs.filter(F.col("doc_id") % 13 == 0).count()
+    assert row["n_corrupt"] == n_corrupt
+    assert row["n_good"] == n - n_corrupt
+    assert row["n_good"] + row["n_corrupt"] == n  # nothing lost

@@ -106,3 +106,50 @@ def test_ts_encoding_invariance_stream(spark, encoded_dirs):
     assert base
     for name, rows in results.items():
         assert rows == base, f"stream tumbling differs under {name}"
+
+
+@pytest.fixture(scope="module")
+def orders_encoded_dirs(tmp_path_factory):
+    """sf0.001 with orders.o_orderdate re-encoded as DATE, NTZ µs, and
+    LTZ µs — the drift surface for the next data regeneration. Other
+    tables are symlinked so multi-table queries run unchanged."""
+    src_dir = SF_DIR
+    src = pq.read_table(os.path.join(src_dir, "orders.parquet"))
+    i = src.schema.get_field_index("o_orderdate")
+    col = src.column("o_orderdate")
+    out = {}
+    encodings = [
+        ("ntz_us", pa.timestamp("us")),
+        ("date32", pa.date32()),
+        ("ltz_us", pa.timestamp("us", tz="UTC")),
+    ]
+    for name, typ in encodings:
+        d = tmp_path_factory.mktemp(f"orders_{name}")
+        t2 = src.set_column(i, pa.field("o_orderdate", typ), col.cast(typ))
+        pq.write_table(t2, str(d / "orders.parquet"))
+        for f in os.listdir(src_dir):
+            if f.endswith(".parquet") and f != "orders.parquet":
+                os.symlink(os.path.join(src_dir, f), str(d / f))
+        out[name] = str(d)
+    return out
+
+
+def test_orderdate_encoding_invariance(spark, orders_encoded_dirs):
+    """Every orders-consuming query family must give identical results
+    whether o_orderdate is stored as TIMESTAMP_NTZ, DATE, or LTZ —
+    date comparisons, interval arithmetic, and unix_micros output all
+    coerce through the same UTC instants."""
+    from pyspark_xgboost_spark.operators.tpch import (
+        tpch_q3_shipping_priority,
+        tpch_q4_order_priority,
+    )
+
+    for fam in (tpch_q3_shipping_priority, tpch_q4_order_priority):
+        results = {
+            name: sorted(tuple(r) for r in fam(spark, d).collect())
+            for name, d in orders_encoded_dirs.items()
+        }
+        base = results["ntz_us"]
+        assert base, f"{fam.__name__} returned no rows"
+        for name, rows in results.items():
+            assert rows == base, f"{fam.__name__} differs under {name}"

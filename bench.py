@@ -93,6 +93,7 @@ HEADLINE = [
     "scalar_variant_extract",
     "approx_distinct_mergeable",
     "scan_json_corrupt_records",
+    "join_asof_nearest",
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_ohlc_rollup",

@@ -511,3 +511,103 @@ def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT event_id, user_id, ts_us, 1 AS is_click,
+             CAST(NULL AS BIGINT) AS p_ts
+      FROM c
+      UNION ALL
+      SELECT CAST(NULL AS BIGINT), user_id, ts_us, 0, ts_us FROM p
+    ),
+    w AS (
+      SELECT event_id, user_id, ts_us, is_click,
+             last_value(p_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, is_click
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_p,
+             first_value(p_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, is_click
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
+      FROM m
+    )
+    SELECT event_id, user_id, ts_us,
+           CASE WHEN prev_p IS NULL THEN next_p
+                WHEN next_p IS NULL THEN prev_p
+                WHEN ts_us - prev_p <= next_p - ts_us THEN prev_p
+                ELSE next_p END AS nearest_purchase_us
+    FROM w WHERE is_click = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor as-of join: each click paired with the
+    temporally closest purchase by the same user, in either direction
+    (ties go backward) — the sensor/feature alignment shape that
+    backward-only ASOF can't express (DuckDB's ASOF JOIN is
+    backward-only too, so the oracle spells out the same merge).
+
+    Same single-shuffle merge pattern as join_asof, run bidirectionally:
+    one union, one (user_id) partitioning, TWO frame scans over the
+    same sort (last ignorenulls backward + first ignorenulls forward) —
+    Spark plans both windows over one Exchange+Sort since partitioning
+    and ordering agree. Tie key: purchases sort before clicks at equal
+    timestamps (is_click secondary key), so a same-instant purchase is
+    the backward candidate at distance 0 in both engines; all ordering
+    keys are non-null, sidestepping NULLS FIRST/LAST dialect drift."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("long").alias("p_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.lit(0).alias("is_click"),
+        ts_us.alias("p_ts"),
+    )
+    m = clicks.unionByName(purchases)
+    back = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "is_click")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "is_click")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    w = m.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "is_click",
+        F.last("p_ts", ignorenulls=True).over(back).alias("prev_p"),
+        F.first("p_ts", ignorenulls=True).over(fwd).alias("next_p"),
+    )
+    nearest = (
+        F.when(F.col("prev_p").isNull(), F.col("next_p"))
+        .when(F.col("next_p").isNull(), F.col("prev_p"))
+        .when(
+            F.col("ts_us") - F.col("prev_p") <= F.col("next_p") - F.col("ts_us"),
+            F.col("prev_p"),
+        )
+        .otherwise(F.col("next_p"))
+    )
+    return w.filter(F.col("is_click") == 1).select(
+        "event_id", "user_id", "ts_us", nearest.alias("nearest_purchase_us")
+    )

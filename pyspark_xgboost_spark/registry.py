@@ -71,6 +71,7 @@ _GRADE_FIRST = [
     "scalar_variant_extract",
     "approx_distinct_mergeable",
     "scan_json_corrupt_records",
+    "join_asof_nearest",
 ]
 
 # Queries that cede their window slots: multi-round green driver

@@ -311,3 +311,50 @@ def test_stream_stream_join_state_evictable(spark):
     # the two-sided event-time bound that makes buffered state evictable
     assert "purchase_ts >= click_ts" in plan or "(purchase_ts#" in plan
     assert "INTERVAL '01' HOUR" in plan or "1 hours" in plan or "HOUR" in plan
+
+
+def test_shard_shuffle_single_exchange(spark):
+    """The deterministic shard shuffle must cost exactly ONE shuffle
+    (the shard-keyed exchange feeding the per-shard sort/rank)."""
+    from pyspark_xgboost_spark.operators.sampling import shard_shuffle_deterministic
+
+    plan = (
+        shard_shuffle_deterministic(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+
+
+def test_gapfill_all_work_post_aggregate(spark):
+    """Gap-fill touches raw events only in aggregates: every shuffle
+    moves aggregate/spine rows (hours x types), so shuffle count is
+    bounded by a small constant regardless of input size."""
+    from pyspark_xgboost_spark.operators.temporal import events_resample_gapfill
+
+    plan = (
+        events_resample_gapfill(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 4, plan
+
+
+def test_nearest_asof_single_shuffle_single_window(spark):
+    """Bidirectional nearest-asof: Spark must fuse the backward and
+    forward frame scans into ONE WindowExec over one Exchange+Sort
+    (identical partitioning and ordering) — the property that keeps it
+    the same cost as the one-directional merge."""
+    from pyspark_xgboost_spark.operators.temporal import join_asof_nearest
+
+    plan = (
+        join_asof_nearest(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+    assert plan.count("Window") == 1

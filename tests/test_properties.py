@@ -254,3 +254,48 @@ def test_fuzzy_levenshtein_catches_edits_jaccard_misses(spark):
     assert (0, 1) in got
     assert got[(0, 1)] >= 8000
     assert all(2 not in pair for pair in got)
+
+
+@settings(**_SETTINGS)
+@given(_events)
+def test_nearest_asof_matches_bruteforce(spark, events):
+    """join_asof_nearest's merge must agree with a brute-force nearest
+    search (ties backward) for every generated stream."""
+    from pyspark_xgboost_spark.operators import temporal
+
+    clicks = [(i, u, t) for i, (u, t, p) in enumerate(events) if not p]
+    purchases = [(u, t) for (u, t, p) in events if p]
+    if not clicks:
+        return
+
+    def fake_load(spark_, sf_dir_, table):
+        rows = [
+            (i, "click", u, t * 1000) for i, u, t in clicks
+        ] + [
+            (10_000 + j, "purchase", u, t * 1000)
+            for j, (u, t) in enumerate(purchases)
+        ]
+        df = spark_.createDataFrame(
+            rows, "event_id long, event_type string, user_id long, us long"
+        )
+        return df.selectExpr(
+            "event_id", "event_type", "user_id", "timestamp_micros(us) AS ts"
+        )
+
+    orig = temporal.load_table
+    temporal.load_table = fake_load
+    try:
+        got = {
+            r.event_id: r.nearest_purchase_us
+            for r in temporal.join_asof_nearest(spark, "unused").collect()
+        }
+    finally:
+        temporal.load_table = orig
+    for i, u, t in clicks:
+        cands = [pt * 1000 for (pu, pt) in purchases if pu == u]
+        if not cands:
+            assert got[i] is None
+            continue
+        tt = t * 1000
+        best = min(cands, key=lambda c: (abs(c - tt), 0 if c <= tt else 1))
+        assert got[i] == best, (i, u, t, cands, got[i], best)

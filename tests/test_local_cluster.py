@@ -55,6 +55,16 @@ _SCRIPT = textwrap.dedent(
            .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("c"))
            .collect())
     assert len(agg) == 3
+    # the other closure-shipping operator families: grouped-map UDAF,
+    # Python UDTF, iterative CC (localCheckpoint across executors), and
+    # applyInPandasWithState streaming — each must survive real
+    # executor-side deserialization, not just driver-side fork
+    from pyspark_xgboost_spark.registry import all_queries
+    qs = all_queries()
+    for name in ("udaf_group_median", "udtf_ngrams",
+                 "dedup_groups_connected", "events_stream_stateful_user_stats"):
+        n = qs[name](spark, "/root/testdata/sf0.001").count()
+        assert n > 0, name
     print("LC_OK", round(mae, 2))
     spark.stop()
     """

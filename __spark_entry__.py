@@ -25,9 +25,9 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fit the native distributed-GBT regressor on sf0.001
     lineitem and return scored rows (reference parity: fit+transform of
     XgboostRegressor, sparkdl/xgboost/xgboost.py:7-92)."""
-    from pyspark_xgboost_spark.flagship import flagship_fit_predict
+    from pyspark_xgboost_spark.ml.flagship import ml_fit_predict
 
-    return flagship_fit_predict(spark, "/root/testdata/sf0.001")
+    return ml_fit_predict(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -73,7 +73,7 @@ def _pagerank_iter_sql(prev: str, out: str) -> str:
     {_pagerank_iter_sql("pr0", "pr1")},
     {_pagerank_iter_sql("pr1", "pr2")},
     {_pagerank_iter_sql("pr2", "pr3")}
-    SELECT doc_id, pr AS pagerank_nano FROM pr3
+    SELECT doc_id, CAST(pr AS BIGINT) AS pagerank_nano FROM pr3
     """,
 )
 def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:

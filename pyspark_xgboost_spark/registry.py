@@ -30,62 +30,116 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Queries that still need an authoritative driver-correctness row are
-# hoisted to the front of the registration order (the driver grades the
-# first 50 registered queries). Everything not named here follows in
-# module-import order; every displaced query has a green row in a prior
-# round's CORRECTNESS file plus local goldens.
+# Priority order for the driver's 50-query grading window (the driver
+# grades the FIRST 50 registered queries). Round-5 policy, per the
+# round-4 review: (1) the two queries whose only-ever red rows were an
+# oracle HUGEINT typing bug (fixed) go first; (2) new round-5 queries
+# with no driver row yet; (3) the 47 oracle queries whose latest green
+# row is round 2 — the oldest attestation, refreshed against current
+# testdata; (4) the round-3 greens queue behind for future windows.
+# Only oracle-checked queries belong here: a rows-only query can never
+# produce a green row and would waste a slot (round 4's mistake with
+# approx_distinct_mergeable).
 _GRADE_FIRST = [
-    # the 7 round-3 FAILs (one root cause: events.ts went TIMESTAMP_NTZ;
-    # fixed round 4 via the canonical reader contract in
-    # sources.normalize_event_ts) — these need fresh green rows first
-    "join_asof",
-    "events_ohlc_rollup",
-    "events_stream_tumbling_window",
-    "events_stream_session_window",
-    "events_stream_sliding_window",
-    "events_stream_stream_join",
-    "events_stream_file_sink",
-    # the 4 oracle queries never driver-graded (judge-verified green in
-    # the round-3 review, but no authoritative row yet)
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_stream_foreach_batch",
-    "length_bucket_equal_freq",
-    # round-4 additions — no driver row yet
-    "tpch_q4_order_priority",
-    "tpch_q6_revenue_change",
-    "tpch_q10_returned_items",
+    # never-green (round-4 reds were DuckDB HUGEINT→float64 in the
+    # driver's pandas fetch, not Spark bugs; oracles now CAST AS BIGINT)
     "tpch_q12_late_lines_by_priority",
-    "tpch_q14_promo_effect",
-    "tpch_q22_global_sales_opportunity",
-    "events_stream_kafka_shape",
     "graph_pagerank_fixed",
-    "sink_dynamic_partition_overwrite",
-    "sink_merge_upsert",
-    "sample_topk_hash",
-    "shard_shuffle_deterministic",
-    "events_resample_gapfill",
-    "dedup_fuzzy_levenshtein",
-    "events_stream_stream_left_outer_join",
-    "scalar_variant_extract",
-    "approx_distinct_mergeable",
-    "scan_json_corrupt_records",
-    "join_asof_nearest",
-]
-
-# Queries that cede their window slots: multi-round green driver
-# history (r02 + local goldens). The 39 slots behind _GRADE_FIRST fall
-# to module-import order, which is exactly the r03-green surface —
-# every one gets reconfirmed against the regenerated testdata.
-_CEDE_WINDOW = [
+    # --- new round-5 oracle queries are inserted here as they land ---
+    "join_skew_aqe_stress",
+    "sim_search_pq",
+    "graph_pagerank_converged",
+    "corpus_quota_sample_topk",
+    "window_session_gap_sql",
+    "dedup_exact_keep_best",
+    # r02-only greens (oldest attested), in r02 grading order
+    "scan_parquet",
+    "project_alias",
+    "filter_pred",
+    "agg_group",
+    "distinct_count_agg",
+    "agg_rollup",
+    "agg_cube",
+    "agg_stats",
+    "join_hash_inner",
+    "join_broadcast",
+    "join_semi_anti",
+    "join_outer",
+    "join_multiway",
+    "window_rank",
+    "window_frame_agg",
+    "window_lag_lead",
+    "sort_limit_topk",
+    "setop_union_except",
+    "setop_intersect",
+    "scalar_string_date_math",
+    "train_val_split",
+    "agg_grouping_sets",
+    "subquery_exists",
+    "agg_pivot",
+    "window_range_frame",
+    "topk_per_group",
+    "join_theta_nlj",
+    "window_ntile",
+    "agg_percentile_exact",
+    "scalar_map_ops",
+    "scalar_try_cast",
+    "agg_distinct_group",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "text_tfidf_exact",
+    "sim_search_topk",
+    "sim_search_ivf",
+    "sim_search_topk_vectorized",
     "multimodal_pack",
     "multimodal_decode_features",
     "text_token_stats",
     "text_langid",
     "text_quality_score",
     "text_fingerprint",
+    # r03 greens queue here (outside the 50 while the list above fills
+    # the window; they rotate in next round)
+    "events_stream_stateful_user_stats",
+    "events_stream_dedup",
+    "events_stream_static_join",
+    "vector_unwrap",
+    "unpivot_melt",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q1_pricing_summary",
+    "tpch_q18_large_volume_customer",
+    "dedup_groups_connected",
+    "multimodal_frame_sample",
+    "text_repetition_stats",
+    "doc_chunk_fixed",
+    "contamination_check",
+    "doc_pack_greedy",
+    "corpus_vocab_topk",
+    "embedding_centroids",
+    "corpus_quality_filter",
+    "outlier_robust_z",
+    "corpus_bigram_topk",
+    "text_unigram_logprob",
+    "embedding_whitening_stats",
+    "text_pii_mask",
+]
+
+# Rows-only queries (registered without an oracle by design — goldens /
+# property tests carry their correctness): they can never produce a
+# green driver row, so they always cede their window slots and close
+# the registration order.
+_CEDE_WINDOW = [
     "text_tokenize_tfidf",
+    "dedup_simhash",
+    "sim_search_brp_lsh",
+    "multimodal_resize",
+    "ml_fit_predict_regressor",
+    "ml_fit_predict_classifier",
+    "approx_distinct",
+    "approx_distinct_mergeable",
 ]
 
 
@@ -93,11 +147,11 @@ def load_all() -> None:
     """Import every operator module so its @register calls run.
 
     Registration order feeds the driver's 50-query grading window:
-    ``_GRADE_FIRST`` (round-3 regression fixes needing fresh rows +
-    every round-4 addition, all never driver-graded) is hoisted to the
-    front; the remaining slots fall to module-import order — the
-    r03-green surface, reconfirmed against the regenerated testdata —
-    and ``_CEDE_WINDOW`` (multi-round green history) closes the order.
+    ``_GRADE_FIRST`` is an explicit priority queue (never-green fixes,
+    then new round-5 queries, then oldest-attested greens — see the
+    comment above the list); queries not named fall to module-import
+    order (the round-4 greens, all freshly attested); ``_CEDE_WINDOW``
+    (rows-only, ungradeable by design) closes the order.
     """
     global QUERIES, ORACLES
     import pyspark_xgboost_spark.operators.temporal  # noqa: F401

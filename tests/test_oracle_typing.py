@@ -1,0 +1,59 @@
+"""Oracle-typing lint, as a permanent CI gate.
+
+Round 4's only red driver rows (tpch_q12, graph_pagerank_fixed) were
+DuckDB HUGEINT sums: the driver fetches oracle results through pandas
+(``.df()``), where HUGEINT/DECIMAL degrade to float64, stringifying
+``3.0`` where Spark's BIGINT gives ``3`` — rows and schema match, the
+value hash doesn't. Every aggregate oracle must therefore CAST to a
+type that survives the pandas fetch. This test sweeps ALL registered
+oracles' DECLARED output types via ``con.sql(...).types`` (no
+execution of Spark, fast) and fails on any HUGEINT/UHUGEINT/DECIMAL
+output column.
+
+A nullable BIGINT also lands as float64 (NaN) in pandas but
+stringifies identically driver-side — r02–r04 green rows for
+join_asof / scalar_try_cast / stream left-outer prove that's safe —
+so declared types, not pandas dtypes, are the right signal.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.conftest import SF_DIR
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+_BANNED = ("HUGEINT", "UHUGEINT")
+
+
+def test_no_oracle_emits_hugeint_or_decimal():
+    from pyspark_xgboost_spark import registry
+
+    oracles = registry.all_oracles()
+    assert len(oracles) >= 119
+
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    offenders = []
+    for name, sql in oracles.items():
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, [str(x) for x in rel.types]):
+            if typ in _BANNED or typ.startswith("DECIMAL"):
+                offenders.append((name, col, typ))
+    assert not offenders, (
+        "oracles emitting pandas-degrading types (CAST AS BIGINT/"
+        f"DOUBLE): {offenders}"
+    )

@@ -153,3 +153,96 @@ def test_orderdate_encoding_invariance(spark, orders_encoded_dirs):
         assert base, f"{fam.__name__} returned no rows"
         for name, rows in results.items():
             assert rows == base, f"{fam.__name__} differs under {name}"
+
+
+@pytest.fixture(scope="module")
+def lineitem_encoded_dirs(tmp_path_factory):
+    """sf0.001 with lineitem.l_shipdate re-encoded as NTZ µs, DATE, and
+    LTZ µs — the remaining date-typed drift surface after events.ts
+    (round 3) and o_orderdate (round 4). l_shipdate feeds 8 TPC-H
+    oracles, several with interval arithmetic against o_orderdate."""
+    src_dir = SF_DIR
+    src = pq.read_table(os.path.join(src_dir, "lineitem.parquet"))
+    i = src.schema.get_field_index("l_shipdate")
+    col = src.column("l_shipdate")
+    out = {}
+    encodings = [
+        ("ntz_us", pa.timestamp("us")),
+        ("date32", pa.date32()),
+        ("ltz_us", pa.timestamp("us", tz="UTC")),
+    ]
+    for name, typ in encodings:
+        d = tmp_path_factory.mktemp(f"lineitem_{name}")
+        t2 = src.set_column(i, pa.field("l_shipdate", typ), col.cast(typ))
+        pq.write_table(t2, str(d / "lineitem.parquet"))
+        for f in os.listdir(src_dir):
+            if f.endswith(".parquet") and f != "lineitem.parquet":
+                os.symlink(os.path.join(src_dir, f), str(d / f))
+        out[name] = str(d)
+    return out
+
+
+def test_shipdate_encoding_invariance(spark, lineitem_encoded_dirs):
+    """Range filters (Q6), cross-column interval lateness (Q12), and
+    the classic as-of-date scan (Q1) must be bit-identical whether
+    l_shipdate is stored as TIMESTAMP_NTZ, DATE, or LTZ."""
+    from pyspark_xgboost_spark.operators.tpch import (
+        tpch_q1_pricing_summary,
+        tpch_q6_revenue_change,
+        tpch_q12_late_lines_by_priority,
+    )
+
+    for fam in (
+        tpch_q1_pricing_summary,
+        tpch_q6_revenue_change,
+        tpch_q12_late_lines_by_priority,
+    ):
+        results = {
+            name: sorted(tuple(r) for r in fam(spark, d).collect())
+            for name, d in lineitem_encoded_dirs.items()
+        }
+        base = results["ntz_us"]
+        assert base, f"{fam.__name__} returned no rows"
+        for name, rows in results.items():
+            assert rows == base, f"{fam.__name__} differs under {name}"
+
+
+@pytest.fixture(scope="module")
+def documents_reencoded_dirs(tmp_path_factory):
+    """documents.parquet re-written under different parquet physical
+    layouts of the SAME logical data: dictionary-encoded vs plain
+    BYTE_ARRAY, and data-page v2 — the drift surface for every
+    md5-keyed dedup/corpus oracle that hashes documents.text."""
+    src_dir = SF_DIR
+    src = pq.read_table(os.path.join(src_dir, "documents.parquet"))
+    out = {}
+    variants = [
+        ("dict", {"use_dictionary": True}),
+        ("plain", {"use_dictionary": False}),
+        ("page_v2", {"data_page_version": "2.0"}),
+    ]
+    for name, kw in variants:
+        d = tmp_path_factory.mktemp(f"documents_{name}")
+        pq.write_table(src, str(d / "documents.parquet"), **kw)
+        for f in os.listdir(src_dir):
+            if f.endswith(".parquet") and f != "documents.parquet":
+                os.symlink(os.path.join(src_dir, f), str(d / f))
+        out[name] = str(d)
+    return out
+
+
+def test_documents_text_encoding_invariance(spark, documents_reencoded_dirs):
+    """md5-digest dedup and rolling-hash fingerprints must not care how
+    the text column is physically encoded in parquet."""
+    from pyspark_xgboost_spark.operators.dedup import dedup_exact
+    from pyspark_xgboost_spark.operators.text import text_fingerprint
+
+    for fam in (dedup_exact, text_fingerprint):
+        results = {
+            name: sorted(tuple(r) for r in fam(spark, d).collect())
+            for name, d in documents_reencoded_dirs.items()
+        }
+        base = results["dict"]
+        assert base, f"{fam.__name__} returned no rows"
+        for name, rows in results.items():
+            assert rows == base, f"{fam.__name__} differs under {name}"

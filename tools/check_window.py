@@ -30,10 +30,15 @@ def main() -> None:
         with open(path) as fh:
             data = json.load(fh)
         for name, row in data.items():
-            if row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
-                # the driver's rows-only record: the query RAN and its
-                # row count was captured; there is just no oracle
-                status = "rows-only-ran"
+            if row.get("err") == "no_oracle":
+                # the driver's rows-only record — its own status
+                # regardless of spark_rows; 'ran' vs 'not run' is
+                # carried by whether the row count was captured
+                status = (
+                    "rows-only-ran"
+                    if row.get("spark_rows") is not None
+                    else "rows-only-norun"
+                )
             elif row.get("err"):
                 status = "ERR"
             elif row.get("hash_match") is True:

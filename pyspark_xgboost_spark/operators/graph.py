@@ -91,20 +91,49 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     node in the graph has, by construction, at least the edge that put
     it there.
     """
+    return pagerank(
+        _lsh_edges(spark, sf_dir), n_iters=_ITERS, checkpoint_every=0
+    )
+
+
+def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected MinHash-LSH candidate edge list, materialized once
+    (localCheckpoint) so LSH never re-runs per unrolled iteration."""
     pairs = _minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    # LSH runs once (tiny edge list), not once per unrolled iteration
-    edges = edges.localCheckpoint(eager=True)
+    return edges.localCheckpoint(eager=True)
 
+
+def pagerank(
+    edges: DataFrame, n_iters: int = _ITERS, checkpoint_every: int = 3
+) -> DataFrame:
+    """PageRank over an (src, dst) edge DataFrame in exact integer
+    nano-rank units; returns (doc_id, pagerank_nano).
+
+    ``checkpoint_every=k`` truncates lineage with an eager
+    localCheckpoint every k iterations — the same discipline as
+    dedup_groups_connected (dedup.py:351-420). Each unrolled iteration
+    adds a join+agg stage to the plan; without truncation the plan
+    (and its Janino codegen time) grows linearly with n_iters, and a
+    real centrality job runs 10-50 iterations. With it, plan depth is
+    bounded by k regardless of n_iters. ``checkpoint_every=0``
+    disables truncation (right for <=3 iterations, where one lazy plan
+    with zero materialization barriers is cheaper).
+
+    Integer arithmetic makes checkpointing result-neutral: floor-div
+    shares and BIGINT sums are exact under any partition order, so the
+    checkpointed and one-plan forms are bit-identical (pinned by
+    test_pagerank_checkpoint_result_neutral).
+    """
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     n_nodes = deg.count()  # scalar: sizes the teleport term, not data
     nodes = deg.withColumnRenamed("src", "doc_id")
 
     pr = nodes.withColumn("pr", F.lit(_SCALE // n_nodes).cast("bigint"))
     teleport = 150_000_000 // n_nodes  # (1-d) * SCALE / N, exact
-    for _ in range(_ITERS):
+    for it in range(1, n_iters + 1):
         contrib = (
             edges.join(pr, edges["src"] == pr["doc_id"])
             .select(
@@ -124,4 +153,46 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("bigint").alias("pr"),
             )
         )
+        if checkpoint_every and it % checkpoint_every == 0 and it < n_iters:
+            pr = pr.localCheckpoint(eager=True)
     return pr.select("doc_id", F.col("pr").alias("pagerank_nano"))
+
+
+_DEEP_ITERS = 6
+
+
+@register(
+    "graph_pagerank_deep",
+    oracle=f"""
+    WITH {_MINHASH_CAND_SQL},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL SELECT doc_b, doc_a FROM cand
+    ),
+    deg AS (SELECT src AS doc_id, count(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg),
+    pr0 AS (
+      SELECT doc_id, outdeg,
+             ({_SCALE} // (SELECT n FROM nn)) AS pr
+      FROM deg
+    ),
+    {_pagerank_iter_sql("pr0", "pr1")},
+    {_pagerank_iter_sql("pr1", "pr2")},
+    {_pagerank_iter_sql("pr2", "pr3")},
+    {_pagerank_iter_sql("pr3", "pr4")},
+    {_pagerank_iter_sql("pr4", "pr5")},
+    {_pagerank_iter_sql("pr5", "pr6")}
+    SELECT doc_id, CAST(pr AS BIGINT) AS pagerank_nano FROM pr6
+    """,
+)
+def graph_pagerank_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank at real-job depth: 6 iterations with lineage truncation
+    every 3 (localCheckpoint) — the checkpointed execution path under
+    the exact-oracle gate. The DuckDB oracle unrolls the identical 6
+    integer iterations; because every share is an exact floor-div and
+    every sum a BIGINT, the checkpoint barriers cannot change a single
+    bit, so the hash compare proves checkpointing is result-neutral on
+    the driver's own data."""
+    return pagerank(
+        _lsh_edges(spark, sf_dir), n_iters=_DEEP_ITERS, checkpoint_every=3
+    )

@@ -48,7 +48,7 @@ _GRADE_FIRST = [
     # --- new round-5 oracle queries are inserted here as they land ---
     "join_skew_aqe_stress",
     "sim_search_pq",
-    "graph_pagerank_converged",
+    "graph_pagerank_deep",
     "corpus_quota_sample_topk",
     "window_session_gap_sql",
     "dedup_exact_keep_best",

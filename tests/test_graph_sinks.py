@@ -26,6 +26,41 @@ def test_pagerank_mass_conservation_and_positivity(spark):
     assert all(r["pagerank_nano"] > 0 for r in rows)
 
 
+def test_pagerank_checkpoint_result_neutral(spark):
+    """6 iterations with lineage truncation every 3 must be
+    bit-identical to the same 6 iterations as one lazy plan — integer
+    arithmetic makes the checkpoint barrier result-neutral."""
+    from pyspark_xgboost_spark.operators.graph import _lsh_edges, pagerank
+
+    edges = _lsh_edges(spark, SF_DIR)
+    chk = sorted(
+        tuple(r) for r in pagerank(edges, n_iters=6, checkpoint_every=3).collect()
+    )
+    one_plan = sorted(
+        tuple(r) for r in pagerank(edges, n_iters=6, checkpoint_every=0).collect()
+    )
+    assert chk and chk == one_plan
+
+
+def test_pagerank_plan_depth_bounded(spark):
+    """With checkpoint_every=3, the final plan's size must be flat in
+    n_iters (each truncation resets lineage to a scan), so iteration
+    counts a real centrality job needs (10+) stay Janino-compilable."""
+    from pyspark_xgboost_spark.operators.graph import _lsh_edges, pagerank
+
+    edges = _lsh_edges(spark, SF_DIR)
+
+    def plan_len(n):
+        df = pagerank(edges, n_iters=n, checkpoint_every=3)
+        return len(df._jdf.queryExecution().optimizedPlan().toString())
+
+    # depths 4 and 10 both sit 1 iteration past a truncation point, so
+    # their residual plans must be the same shape (equal within noise);
+    # an unbounded plan would roughly double over 6 extra iterations
+    p4, p10 = plan_len(4), plan_len(10)
+    assert p10 < 1.5 * p4, (p4, p10)
+
+
 def test_pagerank_partition_invariant(spark):
     base = sorted(tuple(r) for r in graph_pagerank_fixed(spark, SF_DIR).collect())
     prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -709,3 +709,58 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select("doc_a", "doc_b", sim_bp.alias("sim_bp"))
         .filter(F.col("sim_bp") >= 8000)
     )
+
+
+_KEEP_BEST_PREFIX = 80
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    SELECT prefix_hash, keep_id, keep_chars, n_copies FROM (
+      SELECT md5(substr(text, 1, {_KEEP_BEST_PREFIX})) AS prefix_hash,
+             doc_id AS keep_id,
+             n_chars AS keep_chars,
+             row_number() OVER (
+               PARTITION BY md5(substr(text, 1, {_KEEP_BEST_PREFIX}))
+               ORDER BY n_chars DESC, doc_id ASC) AS rk,
+             count(*) OVER (
+               PARTITION BY md5(substr(text, 1, {_KEEP_BEST_PREFIX}))
+             ) AS n_copies
+      FROM documents
+    ) WHERE rk = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup that keeps the BEST representative, not the first: docs
+    sharing an 80-char-prefix fingerprint (the cheap "same document,
+    different tail/boilerplate" key — the sf corpus has real multi-doc
+    groups under it) collapse to the LONGEST copy, ties to the lowest
+    doc_id. This is the pipeline op behind "prefer the most complete
+    crawl of a page"; dedup_exact's min-id keep is arbitrary by
+    comparison.
+
+    Scale shape: one hash aggregate on the 16-byte prefix digest —
+    ``max_by`` over a (n_chars, -doc_id) struct gives full map-side
+    partial aggregation, so shuffle volume is O(groups) of
+    (digest, id, len) triples, never document bodies and never a
+    per-group sort. The window-function form the oracle uses would
+    shuffle every row; the struct-max form is the one that survives
+    100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.substring("text", 1, _KEEP_BEST_PREFIX))
+    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")))
+    return (
+        docs.select(key.alias("prefix_hash"), "doc_id", "n_chars")
+        .groupBy("prefix_hash")
+        .agg(
+            best.alias("best"),
+            F.count("*").alias("n_copies"),
+        )
+        .select(
+            "prefix_hash",
+            (-F.col("best.neg_id")).alias("keep_id"),
+            F.col("best.n_chars").alias("keep_chars"),
+            "n_copies",
+        )
+    )

@@ -335,3 +335,44 @@ def shard_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .select("doc_id", "shard", "pos")
     )
+
+
+_QUOTA_PER_SOURCE = 10
+
+
+@register(
+    "corpus_quota_sample_topk",
+    oracle=f"""
+    SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS pos FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= {_QUOTA_PER_SOURCE}
+    """,
+)
+def corpus_quota_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-balanced corpus sampling: EXACTLY {_QUOTA_PER_SOURCE}
+    docs per source (fewer only if a source is smaller), chosen as the
+    lowest md5 digests within each source — the per-stratum fixed-SIZE
+    companion to sample_topk_hash's global top-k. This is the
+    "rebalance a 100-source crawl so no source dominates the training
+    mix" op, reproducible on any cluster because the digest ordering
+    never touches a seeded RNG.
+
+    Scale shape: one shuffle hashed on source, then a bounded
+    per-source heap (rank <= quota prunes everything else); only
+    (digest, id, len) triples move. Skewed sources cost their row
+    count, not quota, in shuffle — at 100 TB swap the window for a
+    per-partition top-quota pre-prune (the sample_topk_hash
+    TakeOrderedAndProject trick per stratum) if a source is hot."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pos") <= _QUOTA_PER_SOURCE)
+    )

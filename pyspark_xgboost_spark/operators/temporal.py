@@ -611,3 +611,147 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.filter(F.col("is_click") == 1).select(
         "event_id", "user_id", "ts_us", nearest.alias("nearest_purchase_us")
     )
+
+
+_SESSION_GAP_MIN = 30
+
+
+@register(
+    "window_session_gap_sql",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id,
+             event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id
+             ) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us > {_SESSION_GAP_MIN} * 60 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, event_id, ts_us,
+             CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           min(ts_us) AS session_start_us,
+           max(ts_us) AS session_end_us,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def window_session_gap_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as pure window functions — the lag/flag/cumsum
+    recipe (gap > {_SESSION_GAP_MIN} min opens a new session) that
+    every warehouse runs where a native session_window operator isn't
+    available. Registered alongside events_session_window (which uses
+    Spark's built-in session_window) so BOTH forms are oracle-pinned:
+    a migration between them must be result-neutral.
+
+    Scale shape: one shuffle hashed on user_id; both windows and the
+    final aggregate share that single partitioning (Catalyst reuses
+    the exchange), and per-user event counts bound the sort. The
+    (ts_us, event_id) order key makes same-microsecond events
+    deterministic across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    order = [F.col("ts_us").asc(), F.col("event_id").asc()]
+    w_lag = W.partitionBy("user_id").orderBy(*order)
+    gap_us = _SESSION_GAP_MIN * 60 * 1_000_000
+    flagged = (
+        ev.select("user_id", "event_id", ts_us.alias("ts_us"))
+        .withColumn("prev_us", F.lag("ts_us").over(w_lag))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") > gap_us),
+                1,
+            ).otherwise(0),
+        )
+    )
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    numbered = flagged.withColumn(
+        "session_seq", F.sum("is_new").over(w_cum).cast("bigint")
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "join_skew_aqe_stress",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0 ELSE l_orderkey END AS skew_key,
+             l_linenumber
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT o_orderkey AS k, o_orderpriority AS prio
+      FROM orders WHERE o_orderkey % 10 >= 3
+      UNION ALL SELECT 0, 'SKEWED'
+    )
+    SELECT fact.skew_key, fact.l_linenumber, dim.prio
+    FROM fact JOIN dim ON fact.skew_key = dim.k
+    """,
+)
+def join_skew_aqe_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately skewed large-large join, left to AQE: ~30% of
+    lineitem collapses onto one hot key (0) while the dim side stays
+    unique-per-key, and the MERGE hint forbids the broadcast escape
+    hatch — exactly the shape where, at 100 TB, one reducer would
+    straggle on the hot key. With AQE skew-join splitting
+    (spark.sql.adaptive.skewJoin.enabled, on by default) the runtime
+    splits the oversized partition into sub-partitions and replicates
+    the matching dim rows, so the hot key parallelizes WITHOUT the
+    manual salting of join_skew_salted — that operator is the
+    pre-shuffle fallback, this one is the runtime-replan path.
+
+    Measured caveat, pinned by test_plans::test_aqe_splits_skewed_join:
+    OptimizeSkewedJoin subdivides a skewed reduce partition by MAPPER
+    ranges, so the split is impossible when the skewed side's shuffle
+    was written by a single map task — exactly what a single-row-group
+    parquet file (like the sf test data) degenerates to, no matter how
+    low spark.sql.files.maxPartitionBytes goes (parquet splits only at
+    row-group boundaries). At 100 TB inputs have thousands of
+    row groups so this never binds; on pathological single-chunk
+    inputs, restore mapper parallelism first (round-robin repartition)
+    or fall back to join_skew_salted. The query returns the raw join
+    output so the hot-key fan-out itself is what the driver
+    hash-checks; the oracle pins that AQE replanning is
+    result-neutral."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 3, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("skew_key"),
+        "l_linenumber",
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        orders.filter(F.col("o_orderkey") % 10 >= 3)
+        .select(F.col("o_orderkey").alias("k"), F.col("o_orderpriority").alias("prio"))
+        .union(
+            orders.limit(1).select(
+                F.lit(0).cast("long").alias("k"), F.lit("SKEWED").alias("prio")
+            )
+        )
+    )
+    joined = li.join(dim.hint("merge"), li["skew_key"] == dim["k"])
+    return joined.select("skew_key", "l_linenumber", "prio")

@@ -51,7 +51,7 @@ _GRADE_FIRST = [
     "graph_pagerank_deep",
     "corpus_quota_sample_topk",
     "window_session_gap_sql",
-    "dedup_exact_keep_best",
+    "dedup_keep_best",
     # r02-only greens (oldest attested), in r02 grading order
     "scan_parquet",
     "project_alias",

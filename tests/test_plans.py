@@ -358,3 +358,89 @@ def test_nearest_asof_single_shuffle_single_window(spark):
     )
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
     assert plan.count("Window") == 1
+
+
+def _skew_confs(spark, extra=None):
+    """Force AQE skew detection at sf-test data volumes."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "500",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    confs.update(extra or {})
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    return prev
+
+
+def _restore_confs(spark, prev):
+    for k, v in prev.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def _skew_fact_dim(spark):
+    """The join_skew_aqe_stress shape with restored mapper parallelism.
+
+    The sf parquet files are written as a SINGLE row group, so the scan
+    is one effective mapper no matter what maxPartitionBytes says — and
+    OptimizeSkewedJoin subdivides a skewed reduce partition by MAPPER
+    ranges, so one mapper means nothing to cut. A round-robin
+    repartition restores the many-mapper layout every real table has
+    at scale."""
+    from pyspark.sql import functions as F
+
+    from pyspark_xgboost_spark.sources import load_table
+
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select(
+            F.when(F.col("l_orderkey") % 10 < 3, F.lit(0))
+            .otherwise(F.col("l_orderkey"))
+            .alias("skew_key"),
+            "l_linenumber",
+        )
+        .repartition(10)
+    )
+    orders = load_table(spark, SF_DIR, "orders")
+    dim = (
+        orders.filter(F.col("o_orderkey") % 10 >= 3)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .union(
+            orders.limit(1).select(
+                F.lit(0).cast("long").alias("k"),
+                F.lit("SKEWED").alias("prio"),
+            )
+        )
+    )
+    return li, dim
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The hot key (~30% of lineitem on key 0) must trigger AQE's
+    skew-join split under forcing thresholds: the executed plan's
+    SortMergeJoin carries skew=true and the skewed side reads through
+    an AQEShuffleRead marked 'skewed'."""
+    from pyspark.sql import functions as F
+
+    prev = _skew_confs(spark)
+    try:
+        li, dim = _skew_fact_dim(spark)
+        j = li.join(dim.hint("merge"), li["skew_key"] == dim["k"]).select(
+            "skew_key", "l_linenumber", "prio"
+        )
+        assert len(j.collect()) == li.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan
+    finally:
+        _restore_confs(spark, prev)

@@ -203,3 +203,147 @@ def sim_search_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _TOPK)
+
+
+_PQ_M = 8  # subspaces (64 dims -> 8 x 8)
+_PQ_D = 8  # dims per subspace
+_PQ_K = 16  # codebook entries per subspace (vec_id < 16 sub-vectors)
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    """Ordered fold-left dot product — bit-identical to DuckDB's
+    sequential list_inner_product on identical doubles."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+@register(
+    "sim_search_pq",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, s,
+             list_slice(v, s * {_PQ_D} + 1, s * {_PQ_D} + {_PQ_D}) AS sv
+      FROM e, (SELECT unnest(range({_PQ_M})) AS s)
+    ),
+    cb AS (SELECT vec_id AS c, s, sv AS cv FROM sub WHERE vec_id < {_PQ_K}),
+    enc AS (
+      SELECT sub.vec_id, sub.s, cb.c,
+             list_inner_product(sub.sv, sub.sv)
+               + list_inner_product(cb.cv, cb.cv)
+               - 2 * list_inner_product(sub.sv, cb.cv) AS dist2
+      FROM sub JOIN cb ON sub.s = cb.s
+    ),
+    codes AS (
+      SELECT vec_id, s, c AS code FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, s ORDER BY dist2 ASC, c ASC) AS rk
+        FROM enc
+      ) WHERE rk = 1
+    ),
+    lut AS (
+      SELECT sub.vec_id AS query_id, sub.s, cb.c,
+             CAST(floor(list_inner_product(sub.sv, cb.cv) * 1000000000)
+                  AS BIGINT) AS term_nano
+      FROM sub JOIN cb ON sub.s = cb.s
+      WHERE sub.vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+      SELECT l.query_id, codes.vec_id AS neighbor_id,
+             CAST(sum(l.term_nano) AS BIGINT) AS adc_nano
+      FROM codes JOIN lut l ON l.s = codes.s AND l.c = codes.code
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_nano DESC, neighbor_id ASC)
+        AS INTEGER) AS rk
+      FROM scored WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_nano, rk FROM ranked WHERE rk <= {_TOPK}
+    """,
+)
+def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (PQ-ADC), the 100 TB refinement of
+    sim_search_ivf: vectors are split into {_PQ_M} sub-vectors of
+    {_PQ_D} dims; each sub-vector is encoded as the index of its
+    nearest codebook centroid (squared-L2, ties to the lowest index);
+    a query then scores a corpus vector WITHOUT touching its floats —
+    an Asymmetric Distance Computation that sums {_PQ_M} precomputed
+    query-to-centroid inner products looked up by code (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+    Determinism: the codebook is the sub-vectors of the {_PQ_K} lowest
+    vec_ids (a real deployment trains per-subspace k-means offline —
+    assignment and ADC, the parts that run at scale, are identical);
+    assignment distance is composed of three ordered-fold inner
+    products (the exact fold DuckDB's list_inner_product runs), so
+    argmin agrees bit-for-bit; ADC terms are floored to integer
+    nano-units so the per-pair sum is exact under any partition order.
+
+    Scale shape: encoding is one broadcast join (codebook:
+    {_PQ_M}x{_PQ_K} rows) + a 16-way min per (vector, subspace) with
+    map-side partial aggregation — embeds each vector in {_PQ_M} bytes
+    of code, a 32x compression of a 64-dim float32 vector that is what
+    makes exhaustive scans affordable; scoring is a broadcast LUT join
+    + integer sum, shuffling O(N * {_PQ_M}) (id, long) pairs and never
+    a float vector. Recall vs the exact brute force is pinned by
+    tests/test_similarity.py::test_pq_recall_vs_brute_force."""
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    s_col = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
+    sub = e.select("vec_id", "v", s_col).select(
+        "vec_id",
+        "s",
+        F.expr(f"slice(v, s * {_PQ_D} + 1, {_PQ_D})").alias("sv"),
+    )
+    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("c"), F.col("s").alias("cs"), F.col("sv").alias("cv")
+    )
+
+    enc = sub.join(F.broadcast(cb), F.col("s") == F.col("cs")).select(
+        "vec_id",
+        "s",
+        "c",
+        (
+            _dot(F.col("sv"), F.col("sv"))
+            + _dot(F.col("cv"), F.col("cv"))
+            - F.lit(2.0) * _dot(F.col("sv"), F.col("cv"))
+        ).alias("dist2"),
+    )
+    codes = (
+        enc.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("dist2", "c")).alias("m"))
+        .select("vec_id", "s", F.col("m.c").alias("code"))
+    )
+
+    lut = (
+        sub.filter(F.col("vec_id") < _N_QUERIES)
+        .join(F.broadcast(cb), F.col("s") == F.col("cs"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("s").alias("ls"),
+            F.col("c").alias("lc"),
+            F.floor(_dot(F.col("sv"), F.col("cv")) * 1_000_000_000)
+            .cast("bigint")
+            .alias("term_nano"),
+        )
+    )
+
+    scored = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("s") == F.col("ls")) & (F.col("code") == F.col("lc")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("term_nano").alias("adc_nano"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_nano").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _TOPK
+    )

@@ -101,6 +101,14 @@ HEADLINE = [
     "corpus_quality_filter",
     "outlier_robust_z",
     "ml_fit_predict_regressor",
+    # round 5 additions
+    "ml_fit_predict_classifier",
+    "graph_pagerank_deep",
+    "sim_search_pq",
+    "dedup_keep_best",
+    "corpus_quota_sample_topk",
+    "window_session_gap_sql",
+    "join_skew_aqe_stress",
 ]
 
 

@@ -109,6 +109,21 @@ HEADLINE = [
     "corpus_quota_sample_topk",
     "window_session_gap_sql",
     "join_skew_aqe_stress",
+    "sample_weighted_priority",
+    "graph_triangle_count",
+    # round 5: TPC-H completion set (suite now 22/22)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_suppliers_who_kept_orders_waiting",
 ]
 
 

@@ -196,3 +196,58 @@ def graph_pagerank_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         _lsh_edges(spark, sf_dir), n_iters=_DEEP_ITERS, checkpoint_every=3
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_MINHASH_CAND_SQL},
+    tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM cand e1
+      JOIN cand e2 ON e2.doc_a = e1.doc_b
+      JOIN cand e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    )
+    SELECT node AS doc_id, count(*) AS tri_cnt FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ) nodes
+    GROUP BY node
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the MinHash-LSH candidate graph —
+    the local-clustering signal that separates tight mirror clusters
+    (every near-dup of mine also near-dups each other: template farms,
+    boilerplate families) from chain-like coincidental collisions.
+
+    Algorithm: the standard ordered-wedge closure on the CANONICAL
+    (doc_a < doc_b) edge list — each triangle a<b<c is found exactly
+    once by joining (a,b)+(b,c) wedges against the closing (a,c) edge.
+    No node ever sees its full neighborhood in one task.
+
+    Scale shape: two shuffles of the edge list (wedge build on b, then
+    closure probe on (a,c)); wedge fan-out is bounded because the LSH
+    bucket cap (dedup._MH_BUCKET_CAP) bounds the max degree, so the
+    intermediate wedge relation is O(edges x maxdeg) with a small
+    constant — the same bound that makes the PageRank contributions
+    hot-spot-free. The per-node count is a final map-side-combined
+    groupBy over 3 rows per triangle."""
+    pairs = _minhash_candidate_pairs(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=True)
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = e1.join(e2, F.col("b") == F.col("b2")).join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy(F.col("node").alias("doc_id")).agg(
+        F.count("*").alias("tri_cnt")
+    )

@@ -376,3 +376,88 @@ def corpus_quota_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .filter(F.col("pos") <= _QUOTA_PER_SOURCE)
     )
+
+
+_PRI_K = 200
+# first 8 md5 hex digits of the doc_id as an integer in [0, 2^32) —
+# DuckDB has no base-16 conv(), so the oracle evaluates the digits
+# positionally (same trick as dedup._HEX_TO_INT_SQL).
+_HEX8_SQL = " + ".join(
+    "(strpos('0123456789abcdef', "
+    f"substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, n_chars,
+             (CAST(n_chars AS DOUBLE) * 4294967296)
+               / (({_HEX8_SQL}) + 1) AS priority
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_chars, priority,
+             row_number() OVER (ORDER BY priority DESC, doc_id) AS rk
+      FROM pri
+    ), tau AS (
+      SELECT COALESCE(min(CASE WHEN rk = {_PRI_K + 1} THEN priority END), 0.0)
+               AS tau
+      FROM ranked
+    )
+    SELECT doc_id, n_chars, priority,
+           greatest(CAST(n_chars AS DOUBLE), tau) AS est_weight
+    FROM ranked, tau
+    WHERE rk <= {_PRI_K}
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via PRIORITY SAMPLING
+    (Duffield, Lund & Thorup, JACM 2007): each doc gets priority
+    w/u with weight w = n_chars and u a hash-derived uniform in (0, 1];
+    the k highest priorities are the sample, and est_weight =
+    max(w, tau) (tau = the (k+1)-th priority) is the unbiased
+    subset-sum estimator weight. Longer documents are proportionally
+    likelier to be kept — the standard "sample the training mix by
+    token budget, keep it reweightable" curation op.
+
+    Determinism without a seeded RNG: u = (h + 1) / 2^32 with h the
+    first 8 md5 hex digits of doc_id, so priority = (w * 2^32)/(h + 1)
+    is ONE IEEE division of two exactly-representable integers —
+    bit-identical on Spark and DuckDB, on every run, any partitioning
+    (no ln/pow, whose libm rounding differs across engines).
+
+    Scale shape: the priority is a map-side projection; the top-(k+1)
+    is TakeOrderedAndProject (per-partition heaps, no global sort);
+    tau is one scalar off that 201-row result broadcast back. Only the
+    k+1 head rows ever leave the executors."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    pri = (F.col("n_chars").cast("double") * F.lit(4294967296.0)) / (h + 1)
+    top = (
+        docs.select("doc_id", "n_chars", pri.alias("priority"))
+        .orderBy(F.col("priority").desc(), F.col("doc_id"))
+        .limit(_PRI_K + 1)
+    )
+    w = Window.orderBy(F.col("priority").desc(), F.col("doc_id"))
+    ranked = top.withColumn("rk", F.row_number().over(w))
+    tau = ranked.agg(
+        F.coalesce(
+            F.min(F.when(F.col("rk") == _PRI_K + 1, F.col("priority"))), F.lit(0.0)
+        ).alias("tau")
+    )
+    return (
+        ranked.filter(F.col("rk") <= _PRI_K)
+        .join(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "n_chars",
+            "priority",
+            F.greatest(F.col("n_chars").cast("double"), F.col("tau")).alias(
+                "est_weight"
+            ),
+        )
+    )

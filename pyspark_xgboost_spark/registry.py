@@ -52,6 +52,21 @@ _GRADE_FIRST = [
     "corpus_quota_sample_topk",
     "window_session_gap_sql",
     "dedup_keep_best",
+    "sample_weighted_priority",
+    "graph_triangle_count",
+    # round-5 TPC-H completion set (suite now 22/22), no driver row yet
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_suppliers_who_kept_orders_waiting",
     # r02-only greens (oldest attested), in r02 grading order
     "scan_parquet",
     "project_alias",
@@ -163,6 +178,7 @@ def load_all() -> None:
     import pyspark_xgboost_spark.streaming.stream  # noqa: F401
     import pyspark_xgboost_spark.operators.ml_queries  # noqa: F401
     import pyspark_xgboost_spark.operators.tpch  # noqa: F401
+    import pyspark_xgboost_spark.operators.tpch_full  # noqa: F401
     import pyspark_xgboost_spark.operators.graph  # noqa: F401
     import pyspark_xgboost_spark.operators.multimodal  # noqa: F401
     import pyspark_xgboost_spark.operators.corpus  # noqa: F401

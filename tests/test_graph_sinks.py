@@ -140,3 +140,31 @@ def test_merge_upsert_counts(spark):
     assert all(
         r["n_changed"] == 0 for s, r in rows.items() if s not in ("patched", "inserted")
     )
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from pyspark_xgboost_spark.operators.dedup import _minhash_candidate_pairs
+    from pyspark_xgboost_spark.operators.graph import graph_triangle_count
+
+    got = {
+        r["doc_id"]: r["tri_cnt"]
+        for r in graph_triangle_count(spark, SF_DIR).collect()
+    }
+    pairs = _minhash_candidate_pairs(
+        load_table(spark, SF_DIR, "documents")
+    ).collect()
+    edges = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expect = collections.Counter()
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if a < b < c:
+                expect[a] += 1
+                expect[b] += 1
+                expect[c] += 1
+    assert got == dict(expect)

@@ -79,3 +79,41 @@ def test_shard_shuffle_contiguous_positions(spark):
     for shard, poss in by_shard.items():
         poss.sort()
         assert poss == list(range(1, len(poss) + 1)), shard  # dense ranks
+
+
+def test_weighted_priority_sample_matches_hand_formula(spark):
+    rows = sampling.sample_weighted_priority(spark, SF_DIR).collect()
+    assert len(rows) == sampling._PRI_K  # sf0.001 has 500 docs > k
+    import hashlib
+
+    def pri(doc_id, n_chars):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return (float(n_chars) * 4294967296.0) / (h + 1)
+
+    # every returned priority matches the hash formula bit-for-bit
+    for r in rows:
+        assert r["priority"] == pri(r["doc_id"], r["n_chars"])
+    # the selected set IS the top-k by (priority, doc_id)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).collect()
+    allp = sorted(
+        ((pri(d["doc_id"], d["n_chars"]), d["doc_id"]) for d in docs),
+        key=lambda t: (-t[0], t[1]),
+    )
+    expect_ids = {doc_id for _, doc_id in allp[: sampling._PRI_K]}
+    assert {r["doc_id"] for r in rows} == expect_ids
+    # estimator: est_weight = max(w, tau) with tau = the (k+1)-th priority
+    tau = allp[sampling._PRI_K][0]
+    for r in rows:
+        assert r["est_weight"] == max(float(r["n_chars"]), tau)
+
+
+def test_weighted_priority_topk_plan_uses_takeordered(spark):
+    plan = (
+        sampling.sample_weighted_priority(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -513,3 +513,228 @@ def test_gapfill_aggregates_before_spine_join(spark):
     assert "Window" in plan
     # LOCF window sorts the spine (hours x types), partitioned by type
     assert plan.count("WindowExec") <= 1 or "Window" in plan
+
+
+# ---------------------------------------------------------------- round 5:
+# the TPC-H completion set (operators/tpch_full.py). Values are pinned by
+# the DuckDB oracle + partition-invariance gates; these tests pin the
+# SEMANTIC invariants and the plan shapes that matter at 100 TB.
+
+from pyspark_xgboost_spark.operators import tpch_full  # noqa: E402
+
+
+def test_q2_outputs_are_per_part_minima_of_european_suppliers(spark):
+    rows = tpch_full.tpch_q2_min_cost_supplier(spark, SF_DIR).collect()
+    assert rows
+    # every (part) group in the output carries one identical min cost
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["p_partkey"], set()).add(r["cost_c"])
+    assert all(len(costs) == 1 for costs in by_part.values())
+    # all suppliers European
+    nat = load_table(spark, SF_DIR, "nation")
+    region = load_table(spark, SF_DIR, "region").filter(F.col("r_name") == "EUROPE")
+    eur = {
+        r["n_name"]
+        for r in nat.join(region, F.col("n_regionkey") == F.col("r_regionkey")).collect()
+    }
+    assert {r["n_name"] for r in rows} <= eur
+
+
+def test_q7_direction_pairs_and_years_bounded(spark):
+    # sf0.001 may have zero lines between the two named nations (the
+    # pair filter is ~1/625 selective); the oracle gate pins values at
+    # sf0.01, so here the shape constraints are checked vacuously-safe
+    # and the row multiset is pinned against an independent SQL
+    # formulation over temp views.
+    rows = tpch_full.tpch_q7_volume_shipping(spark, SF_DIR).collect()
+    pairs = {(r["supp_nation"], r["cust_nation"]) for r in rows}
+    assert pairs <= {("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")}
+    assert {r["l_year"] for r in rows} <= {1997, 1998}
+    assert all(r["revenue"] > 0 for r in rows)
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load_table(spark, SF_DIR, t).createOrReplaceTempView(f"q7_{t}")
+    expect = spark.sql(
+        """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 / 10000.0 AS revenue
+        FROM q7_lineitem
+        JOIN q7_orders ON o_orderkey = l_orderkey
+        JOIN q7_customer ON c_custkey = o_custkey
+        JOIN q7_supplier ON s_suppkey = l_suppkey
+        JOIN q7_nation sn ON sn.n_nationkey = s_nationkey
+        JOIN q7_nation cn ON cn.n_nationkey = c_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+          AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+            OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        GROUP BY supp_nation, cust_nation, l_year
+        """
+    ).collect()
+    key = lambda r: (r["supp_nation"], r["cust_nation"], r["l_year"])  # noqa: E731
+    assert {key(r): r["revenue"] for r in rows} == {
+        key(r): r["revenue"] for r in expect
+    }
+
+
+def test_q8_share_consistent_with_integer_legs(spark):
+    rows = tpch_full.tpch_q8_market_share(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["nation_rev_e4"] <= r["total_rev_e4"]
+        expect = 100.0 * r["nation_rev_e4"] / r["total_rev_e4"]
+        assert abs(r["mkt_share_pct"] - expect) < 1e-9
+
+
+def test_q11_threshold_cuts_against_grand_total(spark):
+    # sf0.001's tiny supplier table may give NATION_5 zero suppliers
+    # (the oracle gate pins non-empty values at sf0.01) — the invariant
+    # here must hold at any SF: every output part's value exceeds 0.1%
+    # of the hand-recomputed grand total.
+    df = tpch_full.tpch_q11_important_stock(spark, SF_DIR)
+    rows = df.collect()
+    # recompute the grand total over the SAME nation's lines by hand
+    nat = load_table(spark, SF_DIR, "nation").filter(F.col("n_name") == "NATION_5")
+    sup = load_table(spark, SF_DIR, "supplier").join(
+        nat, F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = load_table(spark, SF_DIR, "lineitem").join(
+        sup.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    grand = li.select(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias("g")
+    ).collect()[0]["g"]
+    if grand is None:
+        assert rows == []
+    else:
+        assert rows
+        assert all(r["value_c"] > grand * 0.001 for r in rows)
+
+
+def test_q13_histogram_accounts_for_every_customer(spark):
+    rows = tpch_full.tpch_q13_customer_distribution(spark, SF_DIR).collect()
+    n_cust = load_table(spark, SF_DIR, "customer").count()
+    assert sum(r["custdist"] for r in rows) == n_cust
+
+
+def test_q15_selects_the_exact_integer_max(spark):
+    rows = tpch_full.tpch_q15_top_supplier(spark, SF_DIR).collect()
+    assert rows
+    rev = (
+        load_table(spark, SF_DIR, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+                * (100 - F.round(F.col("l_discount") * 100, 0).cast("bigint"))
+            ).alias("r")
+        )
+        .agg(F.max("r").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert all(r["total_rev_e4"] == rev for r in rows)
+
+
+def test_q16_counts_bounded_by_good_suppliers(spark):
+    rows = tpch_full.tpch_q16_parts_supplier(spark, SF_DIR).collect()
+    assert rows
+    n_good = (
+        load_table(spark, SF_DIR, "supplier").filter(F.col("s_acctbal") >= 0).count()
+    )
+    assert all(0 < r["supplier_cnt"] <= n_good for r in rows)
+    assert all(r["p_brand"] != "Brand#5" and r["p_type"] != "PROMO" for r in rows)
+
+
+def test_q19_fact_side_never_shuffles(spark):
+    plan = (
+        tpch_full.tpch_q19_discounted_revenue(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q20_suppliers_really_moved_volume(spark):
+    rows = tpch_full.tpch_q20_potential_promotion(spark, SF_DIR).collect()
+    # every returned supplier has a red part with >60 units shipped in 1997
+    ps = (
+        load_table(spark, SF_DIR, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            load_table(spark, SF_DIR, "part")
+            .filter(F.col("p_name").like("red %"))
+            .select("p_partkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("sq"))
+        .filter(F.col("sq") > 60)
+    )
+    movers = {r["l_suppkey"] for r in ps.collect()}
+    assert {r["s_suppkey"] for r in rows} <= movers
+
+
+def test_q21_sole_late_supplier_semantics(spark):
+    rows = tpch_full.tpch_q21_suppliers_who_kept_orders_waiting(
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    # independent recomputation via the official EXISTS/NOT EXISTS shape
+    li = load_table(spark, SF_DIR, "lineitem").alias("l1")
+    orders = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lo = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("late"),
+        )
+        .collect()
+    )
+    import collections
+
+    supps = collections.defaultdict(set)
+    lates = collections.defaultdict(set)
+    for r in lo:
+        supps[r["l_orderkey"]].add(r["l_suppkey"])
+        if r["late"]:
+            lates[r["l_orderkey"]].add(r["l_suppkey"])
+    waits = collections.Counter()
+    for ok, late_set in lates.items():
+        if len(supps[ok]) > 1 and len(late_set) == 1:
+            waits[next(iter(late_set))] += 1
+    nat = load_table(spark, SF_DIR, "nation")
+    region = load_table(spark, SF_DIR, "region").filter(F.col("r_name") == "EUROPE")
+    eur_sup = {
+        r["s_suppkey"]: r["s_name"]
+        for r in load_table(spark, SF_DIR, "supplier")
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .collect()
+    }
+    expect = collections.Counter()
+    for sk, n in waits.items():
+        if sk in eur_sup:
+            expect[eur_sup[sk]] = n
+    got = {r["s_name"]: r["numwait"] for r in rows}
+    assert got == dict(expect.most_common(100))

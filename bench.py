@@ -111,6 +111,9 @@ HEADLINE = [
     "join_skew_aqe_stress",
     "sample_weighted_priority",
     "graph_triangle_count",
+    "scan_partition_pruned",
+    "window_cumulative_distinct",
+    "corpus_mixture_epochs",
     # round 5: TPC-H completion set (suite now 22/22)
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

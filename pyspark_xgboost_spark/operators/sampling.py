@@ -461,3 +461,80 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Target mixture weights in basis points by source tier (source index
+# mod 4): 5 sources per tier x (700+600+400+300) bp = exactly 10000.
+_MIX_TIER_BP = {0: 700, 1: 600, 2: 400, 3: 300}
+_MIX_BUDGET_MULT = 3  # token budget = 3x the total corpus
+
+
+@register(
+    "corpus_mixture_epochs",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(substr(source, 4) AS INTEGER) % 4 AS tier,
+             CAST(sum(n_chars) AS BIGINT) AS available_chars
+      FROM documents GROUP BY source
+    ), weighted AS (
+      SELECT source,
+             CASE tier WHEN 0 THEN {_MIX_TIER_BP[0]} WHEN 1 THEN {_MIX_TIER_BP[1]}
+                       WHEN 2 THEN {_MIX_TIER_BP[2]} ELSE {_MIX_TIER_BP[3]} END
+               AS weight_bp,
+             available_chars,
+             (SELECT CAST(sum(available_chars) AS BIGINT) FROM per_source)
+               AS total_chars
+      FROM per_source
+    )
+    SELECT source, weight_bp, available_chars,
+           (total_chars * {_MIX_BUDGET_MULT} * weight_bp) // 10000
+             AS target_chars,
+           ((total_chars * {_MIX_BUDGET_MULT} * weight_bp) // 10000 * 1000
+             + available_chars - 1) // available_chars AS epochs_milli
+    FROM weighted
+    """,
+)
+def corpus_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planning: given target mixture weights per
+    source tier and a token budget of {_MIX_BUDGET_MULT}x the corpus,
+    compute each source's repetition factor ("epochs", in exact
+    milli-epochs) — the Gopher/DoReMi-style answer to "how many times
+    do I repeat each source to hit the target mix". epochs > 1000 milli
+    means the source is under-represented and gets repeated; < 1000
+    means it is subsampled.
+
+    All arithmetic is exact integer: weights are basis points, the
+    budget is an integer multiple, and the ceiling division
+    (a*1000 + b - 1) div b keeps both engines bit-identical (DuckDB
+    `//` == Spark `div` on non-negative operands). Scale shape: one
+    map-side-combined groupBy(source) over the corpus, a single-row
+    grand total folded back as a broadcast — the plan is dimension-
+    sized after the first aggregate regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("available_chars")
+    )
+    tier = (F.substring(F.col("source"), 4, 10).cast("integer") % 4).alias("tier")
+    weight = (
+        F.when(tier == 0, _MIX_TIER_BP[0])
+        .when(tier == 1, _MIX_TIER_BP[1])
+        .when(tier == 2, _MIX_TIER_BP[2])
+        .otherwise(_MIX_TIER_BP[3])
+    )
+    total = per_source.agg(F.sum("available_chars").alias("total_chars"))
+    return (
+        per_source.join(F.broadcast(total))
+        .select(
+            "source",
+            weight.alias("weight_bp"),
+            "available_chars",
+            F.expr(
+                f"total_chars * {_MIX_BUDGET_MULT} * weight_bp div 10000"
+            ).alias("target_chars"),
+            F.expr(
+                f"(total_chars * {_MIX_BUDGET_MULT} * weight_bp div 10000 * 1000"
+                " + available_chars - 1) div available_chars"
+            ).alias("epochs_milli"),
+        )
+    )

@@ -755,3 +755,50 @@ def join_skew_aqe_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = li.join(dim.hint("merge"), li["skew_key"] == dim["k"])
     return joined.select("skew_key", "l_linenumber", "prio")
+
+
+@register(
+    "window_cumulative_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_types_so_far
+    FROM (
+      SELECT event_id, user_id, ts,
+             row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ) flagged
+    """,
+)
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user: for every event, how many
+    distinct event types has this user produced up to and including it —
+    the classic breadth-of-engagement / feature-adoption curve that
+    plain window aggregates can't express (COUNT(DISTINCT) OVER is
+    unsupported in Spark SQL).
+
+    Spark shape: ONE exchange hashed on user_id, one sort on
+    (ts, event_id), then a running collect_set whose SIZE is projected
+    per row — Spark's growing UNBOUNDED PRECEDING frame updates the set
+    incrementally, so state per partition is O(distinct types per
+    user), not O(rows). The oracle expresses the identical semantics as
+    first-occurrence flags (row_number = 1 per (user, type)) cum-summed
+    — two formulations, one contract; the (ts, event_id) total order
+    makes every intermediate count deterministic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.size(F.collect_set("event_type").over(w)).cast("bigint").alias(
+            "n_types_so_far"
+        ),
+    )

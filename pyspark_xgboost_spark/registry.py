@@ -54,6 +54,9 @@ _GRADE_FIRST = [
     "dedup_keep_best",
     "sample_weighted_priority",
     "graph_triangle_count",
+    "scan_partition_pruned",
+    "window_cumulative_distinct",
+    "corpus_mixture_epochs",
     # round-5 TPC-H completion set (suite now 22/22), no driver row yet
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

@@ -127,6 +127,22 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_lineitem_by_flag(spark: SparkSession, sf_dir: str) -> str:
+    """Stage lineitem as partitionBy(l_returnflag) parquet in scratch
+    (idempotent, fingerprint-keyed); return the staged directory.
+    Shared by the sink round-trip query and the partition-pruned scan."""
+    key = sf_dir.strip("/").replace("/", "_")
+    leaf = f"lineitem_by_flag_{src_fingerprint(sf_dir, 'lineitem')}"
+    gc_stale_siblings(os.path.join(_SCRATCH, key), "lineitem_by_flag_", leaf)
+    out = os.path.join(_SCRATCH, key, leaf)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_returnflag"
+        )
+        li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    return out
+
+
 @register(
     "sink_parquet_partitioned",
     oracle="""
@@ -144,21 +160,51 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition value. At scale the partition column is the pruning key —
     a downstream filter on l_returnflag reads 1/3 of the files. The
     oracle checks the round trip loses nothing."""
-    key = sf_dir.strip("/").replace("/", "_")
-    leaf = f"lineitem_by_flag_{src_fingerprint(sf_dir, 'lineitem')}"
-    gc_stale_siblings(os.path.join(_SCRATCH, key), "lineitem_by_flag_", leaf)
-    out = os.path.join(_SCRATCH, key, leaf)
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        li = load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice", "l_returnflag"
-        )
-        li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
-    back = spark.read.parquet(out)
+    back = spark.read.parquet(_stage_lineitem_by_flag(spark, sf_dir))
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias(
             "sum_price_cents"
         ),
+    )
+
+
+@register(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_orderkey
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-PRUNED scan: filter on the hive-partition column of the
+    staged partitionBy(l_returnflag) layout, so the 'A'/'N' directories
+    are eliminated at PLANNING time — their files are never listed into
+    tasks, let alone read. This is the lakehouse read path that matters
+    most at 100 TB: a date/tenant/flag-partitioned table + a partition
+    predicate turns a full-table scan into a directory lookup, before
+    any row-level pushdown even applies.
+
+    tests/test_plans.py asserts the predicate lands in the scan's
+    PartitionFilters (not a post-scan Filter) and that no data filter
+    remains. The oracle runs the same aggregate over the unpartitioned
+    source table — pinning that pruning is purely an access-path
+    optimization, never a semantic one."""
+    back = spark.read.parquet(_stage_lineitem_by_flag(spark, sf_dir))
+    return (
+        back.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias(
+                "sum_price_cents"
+            ),
+            F.count("*").alias("n"),
+        )
     )
 
 

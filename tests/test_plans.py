@@ -444,3 +444,39 @@ def test_aqe_splits_skewed_join(spark):
         assert "skewed" in plan, plan
     finally:
         _restore_confs(spark, prev)
+
+
+def test_partition_pruned_scan_prunes_at_planning_time(spark):
+    from pyspark_xgboost_spark.sources.formats import scan_partition_pruned
+
+    plan = plan_of(scan_partition_pruned(spark, SF_DIR))
+    # the returnflag predicate must be a PartitionFilter on the scan…
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines, plan
+    assert "l_returnflag" in pf_lines[0] and "R" in pf_lines[0]
+    # …and NOT survive as a row-level filter above it
+    filter_lines = [
+        l
+        for l in plan.splitlines()
+        if l.strip().startswith("Filter") and "l_returnflag" in l
+    ]
+    assert not filter_lines, plan
+
+
+def test_cumulative_distinct_single_exchange(spark):
+    from pyspark_xgboost_spark.operators.temporal import (
+        window_cumulative_distinct,
+    )
+
+    plan = plan_of(window_cumulative_distinct(spark, SF_DIR), "simple")
+    # one user_id hash exchange feeds the single running-set window
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") >= 1
+
+
+def test_mixture_epochs_plan_is_two_aggregates(spark):
+    from pyspark_xgboost_spark.operators.sampling import corpus_mixture_epochs
+
+    plan = plan_of(corpus_mixture_epochs(spark, SF_DIR), "simple")
+    # per-source agg + grand-total agg, total folded back via broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

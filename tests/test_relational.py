@@ -154,3 +154,31 @@ def test_hll_sketch_accuracy_and_merge(spark):
         assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])
     per_type = [v for k, v in rows.items() if k != "ALL"]
     assert max(per_type) <= rows["ALL"] <= sum(per_type)
+
+
+def test_cumulative_distinct_matches_python_recompute(spark):
+    from pyspark_xgboost_spark.operators.temporal import (
+        window_cumulative_distinct,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    got = window_cumulative_distinct(spark, SF_DIR).collect()
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+        .collect()
+    )
+    import collections
+
+    by_user = collections.defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    expect = {}
+    for rs in by_user.values():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        seen = set()
+        for r in rs:
+            seen.add(r["event_type"])
+            expect[r["event_id"]] = len(seen)
+    assert {r["event_id"]: r["n_types_so_far"] for r in got} == expect

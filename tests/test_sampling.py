@@ -117,3 +117,19 @@ def test_weighted_priority_topk_plan_uses_takeordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_mixture_epochs_budget_and_formula(spark):
+    rows = sampling.corpus_mixture_epochs(spark, SF_DIR).collect()
+    assert rows and len(rows) == len({r["source"] for r in rows})
+    total = sum(r["available_chars"] for r in rows)
+    budget = total * sampling._MIX_BUDGET_MULT
+    # basis-point weights cover the tier map exactly
+    for r in rows:
+        tier = int(r["source"][3:]) % 4
+        assert r["weight_bp"] == sampling._MIX_TIER_BP[tier]
+        assert r["target_chars"] == budget * r["weight_bp"] // 10000
+        a, b = r["target_chars"] * 1000, r["available_chars"]
+        assert r["epochs_milli"] == (a + b - 1) // b
+    # floor division loses at most one char per source vs the budget
+    assert 0 <= budget - sum(r["target_chars"] for r in rows) < 10000

@@ -114,6 +114,8 @@ HEADLINE = [
     "scan_partition_pruned",
     "window_cumulative_distinct",
     "corpus_mixture_epochs",
+    "dedup_substring_exact",
+    "agg_mode_exact",
     # round 5: TPC-H completion set (suite now 22/22)
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

@@ -764,3 +764,91 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_copies",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# exact substring-window dedup (cross-doc repeated-substring detection)
+# --------------------------------------------------------------------------
+
+_SS_WIN = 64  # window length (chars)
+_SS_STRIDE = 32  # window stride
+_SS_CAP = 16  # per-window-hash doc cap (same discipline as LSH buckets)
+
+
+@register(
+    "dedup_substring_exact",
+    oracle=f"""
+    WITH w AS (
+      SELECT DISTINCT doc_id, h FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, length(text) - {_SS_WIN - 2}, {_SS_STRIDE}),
+                 p -> md5(substr(text, CAST(p AS INTEGER), {_SS_WIN})))) AS h
+        FROM documents WHERE length(text) >= {_SS_WIN}
+      ) raw
+    ),
+    capped AS (
+      SELECT doc_id, h FROM (
+        SELECT doc_id, h,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM w
+      ) ranked WHERE rn <= {_SS_CAP}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared_windows
+    FROM capped a JOIN capped b ON a.h = b.h
+    WHERE a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    """,
+)
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT-substring detection (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL'22, substring-level
+    dedup): documents sharing a verbatim {_SS_WIN}-char window (stride
+    {_SS_STRIDE}), with the count of shared windows per pair — the
+    boilerplate/license-block/quotation signal that document-level
+    MinHash smooths over. A full suffix-array pass is the offline
+    batch refinement; strided fixed windows are the distributable
+    approximation (a shared region ≥ 2x{_SS_WIN} chars is guaranteed to
+    produce at least one aligned colliding window).
+
+    Scale shape: one corpus scan explodes ~len/{_SS_STRIDE} window
+    DIGESTS per doc (never window text — 16-byte md5s are what
+    shuffles); dedup-within-doc happens before the window hash
+    groupBy; per-hash membership is capped at {_SS_CAP} (sorted by
+    doc_id, mirrored in the oracle) so a corpus-wide boilerplate
+    window cannot go quadratic; the pair count is a map-side-combined
+    groupBy over capped bucket expansions."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= _SS_WIN
+    )
+    win = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.length("text") - (_SS_WIN - 1),
+                        F.lit(_SS_STRIDE),
+                    ),
+                    lambda p: F.md5(F.col("text").substr(p, F.lit(_SS_WIN))),
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    buckets = (
+        win.groupBy("h")
+        .agg(F.slice(F.array_sort(F.collect_set("doc_id")), 1, _SS_CAP).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_windows"))
+    )

@@ -1002,3 +1002,51 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_base_price", "n_items"], "measure", "value"
     )
+
+
+@register(
+    "agg_mode_exact",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY count(*) DESC, o_orderpriority
+             ) AS rk
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+    ) ranked
+    WHERE rk = 1
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact statistical MODE per group with a DETERMINISTIC tie-break
+    (most frequent o_orderpriority per order status; ties go to the
+    lexicographically smallest value). Engines' built-in mode()
+    functions break ties arbitrarily — the count + rank formulation is
+    the only portable, partition-stable way to pin the answer, and the
+    reason this registers as its own operator rather than `mode()`.
+
+    Scale shape: the heavy lifting is ONE map-side-combined groupBy
+    over (group, value) — at 100 TB the shuffle moves only partial
+    counts for the distinct (status, priority) combinations (15 here,
+    bounded by the value domain, not row count). The rank window runs
+    over that already-tiny aggregate."""
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )

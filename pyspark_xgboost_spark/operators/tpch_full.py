@@ -762,13 +762,16 @@ def tpch_q21_suppliers_who_kept_orders_waiting(
     the generated data has only ~4 suppliers per nation).
 
     Plan shape: the official EXISTS / NOT EXISTS pair over sibling
-    lines is re-expressed as ONE per-order aggregate (distinct
-    suppliers, distinct LATE suppliers) — a supplier qualifies on an
-    order iff it shipped late, ns > 1, and nls = 1. That turns two
-    correlated self-joins of the fact table into a single orderkey
-    shuffle reused by both the aggregate and the late-pair dedup
-    (identical semantics, one pass). Supplier/nation/region prune by
-    broadcast at the very end, on pair-level rows."""
+    lines is re-expressed through ONE pair-level pre-aggregate —
+    max(late) per (orderkey, suppkey) — from which BOTH downstream
+    relations derive: the per-order (ns, nls) counts (plain count +
+    conditional sum, no COUNT DISTINCT expand doubling the shuffle)
+    and the late-pair list (a filter, not a second distinct pass). A
+    supplier qualifies on an order iff it shipped late, ns > 1, and
+    nls = 1 — identical semantics to the correlated self-joins, one
+    orderkey-hashed shuffle of the fact table total.
+    Supplier/nation/region prune by broadcast at the very end, on
+    pair-level rows."""
     orders = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -784,11 +787,12 @@ def tpch_q21_suppliers_who_kept_orders_waiting(
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
         ).alias("late"),
     )
-    per_order = lo.groupBy(F.col("l_orderkey").alias("pok")).agg(
-        F.countDistinct("l_suppkey").alias("ns"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nls"),
+    pair = lo.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("late"))
+    per_order = pair.groupBy(F.col("l_orderkey").alias("pok")).agg(
+        F.count("*").alias("ns"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("nls"),
     )
-    late_pairs = lo.filter(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    late_pairs = pair.filter(F.col("late")).select("l_orderkey", "l_suppkey")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     nat = (
         load_table(spark, sf_dir, "nation")

@@ -57,6 +57,8 @@ _GRADE_FIRST = [
     "scan_partition_pruned",
     "window_cumulative_distinct",
     "corpus_mixture_epochs",
+    "dedup_substring_exact",
+    "agg_mode_exact",
     # round-5 TPC-H completion set (suite now 22/22), no driver row yet
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

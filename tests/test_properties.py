@@ -299,3 +299,60 @@ def test_nearest_asof_matches_bruteforce(spark, events):
         tt = t * 1000
         best = min(cands, key=lambda c: (abs(c - tt), 0 if c <= tt else 1))
         assert got[i] == best, (i, u, t, cands, got[i], best)
+
+
+def test_substring_dedup_matches_bruteforce(spark):
+    """dedup_substring_exact vs a pure-Python recompute of the strided
+    window collisions (cap included)."""
+    import collections
+    import hashlib
+
+    from pyspark_xgboost_spark.operators import dedup
+    from pyspark_xgboost_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_windows"]
+        for r in dedup.dedup_substring_exact(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    by_hash = collections.defaultdict(set)
+    for d in docs:
+        t = d["text"]
+        if len(t) < dedup._SS_WIN:
+            continue
+        for p in range(0, len(t) - dedup._SS_WIN + 1, dedup._SS_STRIDE):
+            h = hashlib.md5(t[p : p + dedup._SS_WIN].encode()).hexdigest()
+            by_hash[h].add(d["doc_id"])
+    expect = collections.Counter()
+    for ids in by_hash.values():
+        members = sorted(ids)[: dedup._SS_CAP]
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                expect[(a, b)] += 1
+    assert got == dict(expect)
+    assert got  # the fixture really contains cross-doc repeats
+
+
+def test_mode_exact_matches_counter(spark):
+    import collections
+
+    from pyspark_xgboost_spark.operators.relational import agg_mode_exact
+    from pyspark_xgboost_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["o_orderstatus"]: (r["mode_priority"], r["n"])
+        for r in agg_mode_exact(spark, SF_DIR).collect()
+    }
+    rows = load_table(spark, SF_DIR, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).collect()
+    per_status = collections.defaultdict(collections.Counter)
+    for r in rows:
+        per_status[r["o_orderstatus"]][r["o_orderpriority"]] += 1
+    expect = {
+        s: min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        for s, c in per_status.items()
+    }
+    assert got == expect

@@ -291,13 +291,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard floored to 4dp for cross-engine determinism."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = _minhash_candidate_pairs(docs)
-    # join candidates against RAW text and tokenize AFTER the join:
-    # Catalyst won't pull a projection above a join on its own, so
-    # tokenizing before would split/dedup every document twice — this
-    # way the string work runs only on candidate rows. The candidate
-    # side is broadcast (collision-bounded, tiny next to the corpus);
-    # at a scale where it outgrows broadcast, a doc_id semi-join first
-    # restricts the text scan instead.
+    scored = _jaccard_scored_pairs(docs, pairs)
+    jac = F.col("jac")
+    return (
+        scored.filter(jac >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(jac * 10000) / 10000).alias("jaccard"),
+        )
+    )
+
+
+def _jaccard_scored_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jac) exact token-set Jaccard for candidate pairs.
+
+    Joins candidates against RAW text and tokenizes AFTER the join:
+    Catalyst won't pull a projection above a join on its own, so
+    tokenizing before would split/dedup every document twice — this
+    way the string work runs only on candidate rows. The candidate
+    side is broadcast (collision-bounded, tiny next to the corpus);
+    at a scale where it outgrows broadcast, a doc_id semi-join first
+    restricts the text scan instead."""
     d = docs.select("doc_id", "text")
     j = (
         F.broadcast(pairs)
@@ -310,18 +325,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(rf"filter(split(lower({col}), '\\s+'), t -> t != '')")
         )
 
-    j = j.select("doc_a", "doc_b", tokset("da.text").alias("ta"), tokset("db.text").alias("tb"))
+    j = j.select(
+        "doc_a", "doc_b", tokset("da.text").alias("ta"), tokset("db.text").alias("tb")
+    )
     inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
     union = F.size(F.array_union(F.col("ta"), F.col("tb")))
-    jac = inter.cast("double") / union
-    return (
-        j.filter(jac >= 0.5)
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.floor(jac * 10000) / 10000).alias("jaccard"),
-        )
-    )
+    return j.select("doc_a", "doc_b", (inter.cast("double") / union).alias("jac"))
 
 
 # --------------------------------------------------------------------------
@@ -370,6 +379,19 @@ def dedup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the result stays inspection-sized and hash-stable.
     """
     pairs = _minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    labels = _min_label_components(pairs)
+    return labels.groupBy(F.col("label").alias("group_id")).agg(
+        F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc_id")
+    )
+
+
+def _min_label_components(pairs: DataFrame) -> DataFrame:
+    """(doc_id, label) connected-component labels over (doc_a, doc_b)
+    pairs via iterative min-label propagation — label = lowest doc_id in
+    the component. Lineage truncated per round (localCheckpoint); 2
+    propagation steps per materialized job; the driver sees one scalar
+    per round. Shared by dedup_groups_connected and the end-to-end
+    dedup pipeline."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -414,9 +436,7 @@ def dedup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.drop("changed")
         if changed == 0:
             break
-    return labels.groupBy(F.col("label").alias("group_id")).agg(
-        F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc_id")
-    )
+    return labels
 
 
 # --------------------------------------------------------------------------

@@ -118,3 +118,133 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.sqrt(norm2) * 10000) / 10000).alias("emb_norm"),
         )
     )
+
+
+@register(
+    "pipeline_dedup_corpus",
+    oracle=None,  # assembled below: needs the dedup module's CTE fragments
+)
+def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup curation pipeline as ONE composition:
+    MinHash-LSH candidates → exact token-Jaccard verification (≥ 0.5)
+    → connected components over VERIFIED edges → keep the longest
+    member per duplicate cluster (ties to the lowest doc_id) →
+    per-source survivor accounting (n_docs / n_dropped / n_kept).
+    This is the end-to-end answer to "how much of each crawl source
+    survives dedup?", chained from the already-proven stage operators
+    (dedup_minhash, dedup_ngram_jaccard, dedup_groups_connected,
+    dedup_keep_best) with no materialization between stages except the
+    CC loop's bounded label checkpoints.
+
+    Scale shape inherits from the stages: one corpus scan for
+    signatures, digests-only LSH shuffle, Jaccard on broadcast
+    candidate pairs only, min-label CC over capped edges with
+    per-round lineage truncation, and a final dimension-sized
+    source rollup. Nothing driver-side except the CC convergence
+    scalar per round."""
+    from pyspark_xgboost_spark.operators.dedup import (
+        _jaccard_scored_pairs,
+        _min_label_components,
+        _minhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _minhash_candidate_pairs(docs)
+    verified = (
+        _jaccard_scored_pairs(docs, pairs)
+        .filter(F.col("jac") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    labels = _min_label_components(verified)
+    members = labels.join(
+        docs.select("doc_id", "source", "n_chars"), "doc_id"
+    )
+    keepers = members.groupBy("label").agg(
+        F.max(
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("best")
+    )
+    dropped = (
+        members.join(keepers, "label")
+        .filter(F.col("doc_id") != -F.col("best.neg_id"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_dropped"))
+    )
+    totals = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        totals.join(dropped, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_dropped"), F.lit(0).cast("bigint")).alias(
+                "n_dropped"
+            ),
+            (
+                F.col("n_docs")
+                - F.coalesce(F.col("n_dropped"), F.lit(0).cast("bigint"))
+            ).alias("n_kept"),
+        )
+    )
+
+
+def _register_pipeline_dedup_oracle() -> None:
+    """Attach the composed recursive-CTE oracle, built from the dedup
+    module's shared fragments so both engines see one definition of
+    every stage."""
+    from pyspark_xgboost_spark import registry
+    from pyspark_xgboost_spark.operators.dedup import _MINHASH_CAND_SQL
+
+    registry.ORACLES["pipeline_dedup_corpus"] = rf"""
+    WITH RECURSIVE {_MINHASH_CAND_SQL},
+    tsets AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                       t -> t <> '')) AS tokset
+      FROM documents
+    ),
+    ver AS (
+      SELECT c.doc_a, c.doc_b FROM cand c
+      JOIN tsets a ON a.doc_id = c.doc_a
+      JOIN tsets b ON b.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+            / len(list_distinct(a.tokset || b.tokset)) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM ver
+      UNION ALL SELECT doc_b, doc_a FROM ver
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    comp AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id),
+    members AS (
+      SELECT d.doc_id, d.source, d.n_chars, c.label
+      FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    keepers AS (
+      SELECT label, doc_id AS keeper_id FROM (
+        SELECT label, doc_id,
+               row_number() OVER (
+                 PARTITION BY label ORDER BY n_chars DESC, doc_id
+               ) AS rk
+        FROM members
+      ) ranked WHERE rk = 1
+    ),
+    drp AS (
+      SELECT m.source, count(*) AS n_dropped
+      FROM members m JOIN keepers k ON m.label = k.label
+      WHERE m.doc_id <> k.keeper_id
+      GROUP BY m.source
+    ),
+    tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+    SELECT t.source, t.n_docs,
+           COALESCE(d.n_dropped, 0) AS n_dropped,
+           t.n_docs - COALESCE(d.n_dropped, 0) AS n_kept
+    FROM tot t LEFT JOIN drp d ON t.source = d.source
+    """
+
+
+_register_pipeline_dedup_oracle()

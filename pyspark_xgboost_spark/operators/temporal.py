@@ -802,3 +802,70 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_types_so_far"
         ),
     )
+
+
+@register(
+    "dim_scd2_build",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev
+      FROM orders
+    ),
+    chg AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM seq WHERE prev IS NULL OR prev <> o_orderpriority
+    )
+    SELECT o_custkey AS custkey,
+           o_orderpriority AS priority,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           )) AS BIGINT) AS valid_to_us,
+           (lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) IS NULL) AS is_current
+    FROM chg
+    """,
+)
+def dim_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension TYPE 2 builder: collapse each
+    customer's order-priority history into versioned validity rows —
+    a new version opens only when the tracked attribute CHANGES
+    (lag ≠ current), closes at the next change (lead), and the open
+    version carries is_current = true with a NULL valid_to. This is
+    the standard "dimension versioning from an event/change stream"
+    op a lakehouse warehouse layer needs next to merge-upsert
+    (sources/formats.py sink_merge_upsert handles the current-state
+    table; this builds the full history table).
+
+    Scale shape: both windows (the change detector's lag and the
+    interval closer's lead) share ONE (custkey)-hashed exchange and
+    one (orderdate, orderkey) sort — the change filter between them
+    preserves the partitioning and ordering, so Catalyst plans a
+    single Exchange+Sort with two WindowExecs (asserted in
+    test_plans). The deterministic (orderdate, orderkey) tie-break
+    makes every version boundary partition-stable."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        "o_orderkey",
+        F.lag("o_orderpriority").over(w).alias("prev"),
+    )
+    chg = seq.filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority"))
+    )
+    nxt = F.lead("o_orderdate").over(w)
+    return chg.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+            "valid_from_us"
+        ),
+        F.unix_micros(nxt.cast("timestamp")).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -59,6 +59,9 @@ _GRADE_FIRST = [
     "corpus_mixture_epochs",
     "dedup_substring_exact",
     "agg_mode_exact",
+    "pipeline_dedup_corpus",
+    "dim_scd2_build",
+    "scan_csv_gzip",
     # round-5 TPC-H completion set (suite now 22/22), no driver row yet
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

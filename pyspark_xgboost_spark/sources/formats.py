@@ -530,3 +530,54 @@ def scan_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_chars_good"
         ),
     )
+
+
+def _stage_gzip_csv(spark: SparkSession, sf_dir: str, table: str) -> str:
+    """Stage {table} as GZIP-compressed CSV (one .csv.gz per input
+    partition), fingerprint-keyed like _stage."""
+    key = sf_dir.strip("/").replace("/", "_")
+    parent = os.path.join(_SCRATCH, key)
+    leaf = f"{table}_csvgz_{src_fingerprint(sf_dir, table)}"
+    out = os.path.join(parent, leaf)
+    gc_stale_siblings(parent, f"{table}_csvgz_", leaf)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, table).write.mode("overwrite").option(
+            "compression", "gzip"
+        ).csv(out)
+    return out
+
+
+@register(
+    "scan_csv_gzip",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP-compressed CSV ingestion — the landing-zone reality check.
+    gzip is NOT a splittable codec: each .csv.gz file becomes exactly
+    ONE input partition no matter how large, so a single 100 GB gz file
+    serializes its whole scan through one task. The operational rule
+    this query documents (and its staging follows): land compressed
+    text as MANY medium files (one per upstream partition here), or
+    recompress to a splittable container (parquet+zstd/snappy) at the
+    first hop — after which everything downstream is the normal pushed
+    scan. Timestamps round-trip as ISO-8601 strings with microsecond
+    precision; money re-aggregates in exact cents. The oracle pins the
+    round trip against the source table."""
+    path = _stage_gzip_csv(spark, sf_dir, "orders")
+    orders = spark.read.schema(
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+    ).csv(path)
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+            "sum_price_cents"
+        ),
+    )

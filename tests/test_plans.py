@@ -480,3 +480,14 @@ def test_mixture_epochs_plan_is_two_aggregates(spark):
     plan = plan_of(corpus_mixture_epochs(spark, SF_DIR), "simple")
     # per-source agg + grand-total agg, total folded back via broadcast
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    from pyspark_xgboost_spark.operators.temporal import dim_scd2_build
+
+    plan = plan_of(dim_scd2_build(spark, SF_DIR), "simple")
+    # lag (change detector) and lead (interval closer) share one
+    # custkey exchange + one sort: the filter between them preserves
+    # partitioning and ordering
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 2, plan

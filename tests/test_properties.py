@@ -356,3 +356,87 @@ def test_mode_exact_matches_counter(spark):
         for s, c in per_status.items()
     }
     assert got == expect
+
+
+def test_pipeline_dedup_corpus_conserves_and_matches_unionfind(spark):
+    """Survivor accounting must (a) conserve totals per source and
+    (b) equal a pure-Python union-find over the same verified pairs."""
+    import collections
+
+    from pyspark_xgboost_spark.operators import dedup
+    from pyspark_xgboost_spark.operators.pipeline import pipeline_dedup_corpus
+    from pyspark_xgboost_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    rows = pipeline_dedup_corpus(spark, SF_DIR).collect()
+    assert all(r["n_kept"] + r["n_dropped"] == r["n_docs"] for r in rows)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = dedup._minhash_candidate_pairs(docs)
+    ver = (
+        dedup._jaccard_scored_pairs(docs, pairs)
+        .filter("jac >= 0.5")
+        .collect()
+    )
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in ver:
+        a, b = find(r["doc_a"]), find(r["doc_b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    comps = collections.defaultdict(list)
+    for d in list(parent):
+        comps[find(d)].append(d)
+    meta = {
+        r["doc_id"]: (r["source"], r["n_chars"])
+        for r in docs.select("doc_id", "source", "n_chars").collect()
+    }
+    expect_drop = collections.Counter()
+    for members in comps.values():
+        keeper = max(members, key=lambda d: (meta[d][1], -d))
+        for d in members:
+            if d != keeper:
+                expect_drop[meta[d][0]] += 1
+    got_drop = {r["source"]: r["n_dropped"] for r in rows if r["n_dropped"]}
+    assert got_drop == {s: n for s, n in expect_drop.items() if n}
+
+
+def test_scd2_versions_partition_history_exactly(spark):
+    """Each customer's SCD2 rows must tile their order history: runs of
+    identical priority collapse to one version, intervals chain
+    lead-to-lead, exactly one open (is_current) version per customer."""
+    import collections
+
+    from pyspark_xgboost_spark.operators.temporal import dim_scd2_build
+    from pyspark_xgboost_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    got = collections.defaultdict(list)
+    for r in dim_scd2_build(spark, SF_DIR).collect():
+        got[r["custkey"]].append(r)
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    ).collect()
+    hist = collections.defaultdict(list)
+    for o in orders:
+        hist[o["o_custkey"]].append(o)
+    assert set(got) == set(hist)
+    for ck, rows in got.items():
+        seq = sorted(hist[ck], key=lambda o: (o["o_orderdate"], o["o_orderkey"]))
+        runs = []
+        for o in seq:
+            if not runs or runs[-1][0] != o["o_orderpriority"]:
+                runs.append((o["o_orderpriority"], o["o_orderdate"]))
+        rows.sort(key=lambda r: r["valid_from_us"])
+        assert [(r["priority"],) for r in rows] == [(p,) for p, _ in runs]
+        # intervals chain and exactly the last is open
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]
+            assert not a["is_current"]
+        assert rows[-1]["is_current"] and rows[-1]["valid_to_us"] is None

@@ -82,3 +82,21 @@ def test_corrupt_records_are_audited_not_dropped(spark):
     assert row["n_corrupt"] == n_corrupt
     assert row["n_good"] == n - n_corrupt
     assert row["n_good"] + row["n_corrupt"] == n  # nothing lost
+
+
+def test_gzip_stage_writes_gz_files_and_reads_back(spark):
+    import os
+
+    from pyspark_xgboost_spark.sources.formats import (
+        _stage_gzip_csv,
+        scan_csv_gzip,
+    )
+    from tests.conftest import SF_DIR
+
+    path = _stage_gzip_csv(spark, SF_DIR, "orders")
+    gz = [f for f in os.listdir(path) if f.endswith(".csv.gz")]
+    assert gz  # the staged landing zone is genuinely gzip
+    n = scan_csv_gzip(spark, SF_DIR).agg({"n_orders": "sum"}).collect()[0][0]
+    from pyspark_xgboost_spark.sources import load_table
+
+    assert n == load_table(spark, SF_DIR, "orders").count()

@@ -119,6 +119,7 @@ HEADLINE = [
     "pipeline_dedup_corpus",
     "dim_scd2_build",
     "scan_csv_gzip",
+    "scan_python_datasource",
     # round 5: TPC-H completion set (suite now 22/22)
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

@@ -62,6 +62,7 @@ _GRADE_FIRST = [
     "pipeline_dedup_corpus",
     "dim_scd2_build",
     "scan_csv_gzip",
+    "scan_python_datasource",
     # round-5 TPC-H completion set (suite now 22/22), no driver row yet
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

@@ -581,3 +581,134 @@ def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price_cents"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Custom Python DataSource (Spark 4 pyspark.sql.datasource API)
+# --------------------------------------------------------------------------
+
+try:  # Spark 4+ only; the module must stay importable without it
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class DocBinDataSource(DataSource):
+        """Python DataSource for a bespoke length-prefixed binary record
+        format ("docbin": little-endian int64 doc_id, int64 n_chars,
+        uint16 source-length, source utf-8 bytes) — the Spark-4 way to
+        wrap ANY proprietary export (feature-store dumps, binary logs,
+        internal RPC snapshots) into the DataFrame world without JVM
+        code. One InputPartition per shard file = normal parallel scan;
+        no pushdown exists for a black-box format, so consumers must
+        project/filter immediately after load (done in the query)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "docbin"
+
+        def schema(self) -> str:
+            return "doc_id long, source string, n_chars long"
+
+        def reader(self, schema):  # noqa: ANN001 — API signature
+            return _DocBinReader(self.options)
+
+    class _DocBinReader(DataSourceReader):
+        def __init__(self, options) -> None:  # noqa: ANN001
+            self._path = options["path"]
+
+        def partitions(self):
+            return [
+                InputPartition(os.path.join(self._path, f))
+                for f in sorted(os.listdir(self._path))
+                if f.endswith(".docbin")
+            ]
+
+        def read(self, partition):  # noqa: ANN001
+            import struct as _struct
+
+            with open(partition.value, "rb") as fh:
+                data = fh.read()
+            off = 0
+            while off < len(data):
+                doc_id, n_chars, slen = _struct.unpack_from("<qqH", data, off)
+                off += 18
+                source = data[off : off + slen].decode("utf-8")
+                off += slen
+                yield (doc_id, source, n_chars)
+
+    _HAS_PY_DATASOURCE = True
+except ImportError:  # pragma: no cover — pre-4.0 Spark
+    _HAS_PY_DATASOURCE = False
+
+_DOCBIN_SHARDS = 8
+
+
+def _stage_docbin(sf_dir: str) -> str:
+    """Stage documents into the docbin binary format ({_DOCBIN_SHARDS}
+    shard files, doc_id mod sharding), fingerprint-keyed. Pure-Python
+    staging (pyarrow read) — the format is the point, not the writer."""
+    import struct as _struct
+
+    import pyarrow.parquet as pq
+
+    key = sf_dir.strip("/").replace("/", "_")
+    parent = os.path.join(_SCRATCH, key)
+    leaf = f"documents_docbin_{src_fingerprint(sf_dir, 'documents')}"
+    out = os.path.join(parent, leaf)
+    gc_stale_siblings(parent, "documents_docbin_", leaf)
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source", "n_chars"],
+        )
+        shards = [bytearray() for _ in range(_DOCBIN_SHARDS)]
+        for doc_id, source, n_chars in zip(
+            tbl.column("doc_id").to_pylist(),
+            tbl.column("source").to_pylist(),
+            tbl.column("n_chars").to_pylist(),
+        ):
+            raw = source.encode("utf-8")
+            rec = _struct.pack("<qqH", doc_id, n_chars, len(raw)) + raw
+            shards[doc_id % _DOCBIN_SHARDS].extend(rec)
+        for i, payload in enumerate(shards):
+            with open(os.path.join(out, f"part-{i:04d}.docbin"), "wb") as fh:
+                fh.write(payload)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return out
+
+
+@register(
+    "scan_python_datasource",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a bespoke binary format through a CUSTOM PYTHON DATASOURCE
+    (Spark 4 `pyspark.sql.datasource`): documents staged as
+    length-prefixed "docbin" shards, registered as format("docbin"),
+    loaded and aggregated per source. See DocBinDataSource for the
+    format and the scale contract (one InputPartition per shard file;
+    project early — a black-box format pushes nothing down). The
+    oracle pins the binary round trip against the parquet source."""
+    if not _HAS_PY_DATASOURCE:  # pragma: no cover
+        raise NotImplementedError("requires Spark 4 Python DataSource API")
+    path = _stage_docbin(sf_dir)
+    try:
+        spark.dataSource.register(DocBinDataSource)
+    except Exception:  # already registered in this session — fine
+        pass
+    docs = spark.read.format("docbin").option("path", path).load()
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

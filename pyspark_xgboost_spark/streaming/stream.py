@@ -619,3 +619,4 @@ def events_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> Da
         "left_outer",
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
     return _run_to_memory(joined, "append")
+

@@ -100,3 +100,43 @@ def test_gzip_stage_writes_gz_files_and_reads_back(spark):
     from pyspark_xgboost_spark.sources import load_table
 
     assert n == load_table(spark, SF_DIR, "orders").count()
+
+
+def test_python_datasource_roundtrip_and_parallelism(spark):
+    from pyspark_xgboost_spark.sources import load_table
+    from pyspark_xgboost_spark.sources.formats import (
+        _DOCBIN_SHARDS,
+        _stage_docbin,
+        scan_python_datasource,
+    )
+    from tests.conftest import SF_DIR
+
+    import os
+
+    path = _stage_docbin(SF_DIR)
+    shards = [f for f in os.listdir(path) if f.endswith(".docbin")]
+    assert len(shards) == _DOCBIN_SHARDS
+    # per-row binary round trip, not just the aggregate
+    try:
+        spark.dataSource.register(
+            __import__(
+                "pyspark_xgboost_spark.sources.formats", fromlist=["DocBinDataSource"]
+            ).DocBinDataSource
+        )
+    except Exception:
+        pass
+    back = (
+        spark.read.format("docbin").option("path", path).load().collect()
+    )
+    src = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    assert {tuple(r) for r in back} == {tuple(r) for r in src}
+    # one InputPartition per shard file = real scan parallelism
+    rdd_parts = (
+        spark.read.format("docbin").option("path", path).load().rdd.getNumPartitions()
+    )
+    assert rdd_parts == _DOCBIN_SHARDS
+    # and the registered query agrees with the source table
+    n = sum(r["n_docs"] for r in scan_python_datasource(spark, SF_DIR).collect())
+    assert n == len(src)

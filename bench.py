@@ -120,6 +120,10 @@ HEADLINE = [
     "dim_scd2_build",
     "scan_csv_gzip",
     "scan_python_datasource",
+    "scalar_array_ops",
+    "join_null_safe",
+    "setop_except_intersect_all",
+    "agg_count_if_bool",
     # round 5: TPC-H completion set (suite now 22/22)
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

@@ -1050,3 +1050,164 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "scalar_array_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS n_dims,
+           CAST(list_sum(list_transform(milli, x -> x * x)) AS BIGINT)
+             AS sumsq_milli2,
+           CAST(list_max(milli) AS BIGINT) AS max_milli,
+           CAST(list_dot_product(CAST(milli AS DOUBLE[]),
+                                 CAST(list_reverse(milli) AS DOUBLE[]))
+                AS BIGINT) AS dot_rev_milli2
+    FROM (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+                            x -> CAST(round(x * 1000) AS BIGINT)) AS milli
+      FROM embeddings
+    ) m
+    """,
+)
+def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order ARRAY functions over the embedding column — the
+    JVM-side vector toolkit (transform / aggregate / zip_with / reverse
+    / array_max) that keeps per-vector math out of Python entirely.
+    Components quantize to integer thousandths first, so the fold sums
+    (self-dot, reversed-dot) are exact BIGINTs on both engines — the
+    same discipline as every money aggregate. The reversed-self dot
+    exercises zip_with's pairwise lane explicitly (DuckDB mirrors it
+    with list_dot_product over the reversed list; products of
+    integer-valued doubles ≤ 2^53 are exact, so the cast back to
+    BIGINT is lossless).
+
+    Scale shape: pure map-side projection — no shuffle, no UDF; at
+    100 TB this is a scan whose cost is the arithmetic itself."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    milli = F.transform(
+        F.col("embedding"), lambda x: F.round(x * 1000).cast("bigint")
+    )
+    m = emb.select("vec_id", milli.alias("milli"))
+    sumsq = F.aggregate(
+        F.transform(F.col("milli"), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dot_rev = F.aggregate(
+        F.zip_with(F.col("milli"), F.reverse(F.col("milli")), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return m.select(
+        "vec_id",
+        F.size("milli").alias("n_dims"),
+        sumsq.alias("sumsq_milli2"),
+        F.array_max("milli").alias("max_milli"),
+        dot_rev.alias("dot_rev_milli2"),
+    )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH fact AS (
+      SELECT NULLIF(o_orderstatus, 'P') AS k, o_orderkey FROM orders
+    ),
+    dim AS (
+      SELECT DISTINCT NULLIF(o_orderstatus, 'P') AS dk, o_orderstatus AS name
+      FROM orders
+    )
+    SELECT dim.name, count(*) AS n
+    FROM fact JOIN dim ON fact.k IS NOT DISTINCT FROM dim.dk
+    GROUP BY dim.name
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — the semantic corner
+    that loses rows in every naive "join on a nullable column" pipeline
+    (a plain equi join treats NULL = NULL as unknown and discards the
+    pair). Here the 'P' status is NULLed on both sides and still joins.
+
+    Scale shape: eqNullSafe is a first-class equi-join key for Spark —
+    it hashes NULL like any value, so the join stays a hash/broadcast
+    join (NOT a nested loop); the dim side broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    fact = orders.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k"), "o_orderkey"
+    )
+    dim = orders.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("dk"),
+        F.col("o_orderstatus").alias("name"),
+    ).distinct()
+    j = fact.join(F.broadcast(dim), F.col("k").eqNullSafe(F.col("dk")))
+    return j.groupBy("name").agg(F.count("*").alias("n"))
+
+
+@register(
+    "setop_except_intersect_all",
+    oracle="""
+    WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'O'),
+         b AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'F'),
+         ea AS (SELECT p FROM a EXCEPT ALL SELECT p FROM b),
+         ia AS (SELECT p FROM a INTERSECT ALL SELECT p FROM b)
+    SELECT 'except_all' AS op, p, count(*) AS n FROM ea GROUP BY p
+    UNION ALL
+    SELECT 'intersect_all' AS op, p, count(*) AS n FROM ia GROUP BY p
+    """,
+)
+def setop_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set operations (EXCEPT ALL / INTERSECT ALL): bag
+    semantics keep duplicate multiplicity — |A∖B| per value is
+    max(0, cnt_A − cnt_B) and |A∩B| is min(cnt_A, cnt_B) — where the
+    DISTINCT forms (setop_union_except / setop_intersect) collapse to
+    membership. The per-value counts are the assertion of exactly that
+    arithmetic.
+
+    Scale shape: Spark rewrites both into aggregate+generate over
+    per-value counts — one shuffle on the value, never a sort of
+    either input relation."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("p")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("p")
+    )
+    ea = a.exceptAll(b).groupBy("p").agg(F.count("*").alias("n")).select(
+        F.lit("except_all").alias("op"), "p", "n"
+    )
+    ia = a.intersectAll(b).groupBy("p").agg(F.count("*").alias("n")).select(
+        F.lit("intersect_all").alias("op"), "p", "n"
+    )
+    return ea.union(ia)
+
+
+@register(
+    "agg_count_if_bool",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(sum(CASE WHEN o_totalprice > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_count_if_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern conditional/boolean aggregates: count_if + bool_and /
+    bool_or (ANSI every/any) — the declarative forms of the
+    sum(CASE...) idiom, all associative and commutative so partial
+    aggregation is exact at any partition count.
+
+    Scale shape: map-side combine into |status| groups; booleans
+    reduce to single bits per group before the KB-sized exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("count_if(o_totalprice > 1000)").alias("n_big"),
+        F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
+        F.expr("bool_or(o_orderpriority = '1-URGENT')").alias("any_urgent"),
+    )

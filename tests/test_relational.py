@@ -182,3 +182,72 @@ def test_cumulative_distinct_matches_python_recompute(spark):
             seen.add(r["event_type"])
             expect[r["event_id"]] = len(seen)
     assert {r["event_id"]: r["n_types_so_far"] for r in got} == expect
+
+
+def test_array_ops_match_python_recompute(spark):
+    from pyspark_xgboost_spark.operators.relational import scalar_array_ops
+    from pyspark_xgboost_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    got = {r["vec_id"]: r for r in scalar_array_ops(spark, SF_DIR).collect()}
+    src = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    assert set(got) == {r["vec_id"] for r in src}
+    for r in src[:25]:
+        milli = [int(round(x * 1000)) for x in r["embedding"]]
+        g = got[r["vec_id"]]
+        assert g["n_dims"] == len(milli)
+        assert g["sumsq_milli2"] == sum(x * x for x in milli)
+        assert g["max_milli"] == max(milli)
+        assert g["dot_rev_milli2"] == sum(
+            a * b for a, b in zip(milli, reversed(milli))
+        )
+
+
+def test_null_safe_join_keeps_nulled_key(spark):
+    from pyspark_xgboost_spark.operators.relational import join_null_safe
+    from pyspark_xgboost_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    got = {r["name"]: r["n"] for r in join_null_safe(spark, SF_DIR).collect()}
+    counts = {
+        r["o_orderstatus"]: r["cnt"]
+        for r in load_table(spark, SF_DIR, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    # the 'P' rows join through the NULL key — a plain equi join would
+    # return no 'P' group at all
+    assert got == counts and "P" in got
+
+
+def test_except_intersect_all_multiplicity_arithmetic(spark):
+    import collections
+
+    from pyspark_xgboost_spark.operators.relational import (
+        setop_except_intersect_all,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    rows = setop_except_intersect_all(spark, SF_DIR).collect()
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).collect()
+    ca = collections.Counter(
+        r["o_orderpriority"] for r in orders if r["o_orderstatus"] == "O"
+    )
+    cb = collections.Counter(
+        r["o_orderpriority"] for r in orders if r["o_orderstatus"] == "F"
+    )
+    expect = {}
+    for p in set(ca) | set(cb):
+        if ca[p] - cb[p] > 0:
+            expect[("except_all", p)] = ca[p] - cb[p]
+        if min(ca[p], cb[p]) > 0:
+            expect[("intersect_all", p)] = min(ca[p], cb[p])
+    assert {(r["op"], r["p"]): r["n"] for r in rows} == expect

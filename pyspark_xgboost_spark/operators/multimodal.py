@@ -192,3 +192,54 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize,
         "doc_id long, orig_bytes long, out_bytes long, resized binary, digest string",
     )
+
+
+@register(
+    "multimodal_arrow_byte_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+             AS n_spaces
+    FROM documents
+    """,
+)
+def multimodal_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level payload statistics via mapInArrow — the Arrow-NATIVE
+    batch path: RecordBatches flow from the JVM straight into
+    vectorized pyarrow.compute kernels (binary_length,
+    count_substring) with ZERO pandas materialization — for opaque
+    binary columns (media payloads) the pandas object-dtype detour of
+    mapInPandas copies every blob into Python objects; mapInArrow
+    keeps them in Arrow buffers end to end. This is the intended decode
+    fast path for the multimodal family once real codecs enter the
+    picture (feed the Arrow buffer pointers to the codec, never a
+    Python bytes copy).
+
+    n_spaces counts 0x20 bytes — equal to character-level spaces under
+    UTF-8 (no multi-byte sequence contains 0x20), which is what the
+    oracle pins from the text side. Map-only: no shuffle at any
+    scale."""
+    import pyarrow as pa
+
+    packed = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def byte_stats(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            payload = batch.column("payload")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.binary_length(payload), pa.int64()),
+                    pc.cast(pc.count_substring(payload, b" "), pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "n_spaces"],
+            )
+
+    return packed.mapInArrow(
+        byte_stats, "doc_id long, n_bytes long, n_spaces long"
+    )

@@ -67,6 +67,7 @@ _GRADE_FIRST = [
     "join_null_safe",
     "setop_except_intersect_all",
     "agg_count_if_bool",
+    "multimodal_arrow_byte_stats",
     # round-5 TPC-H completion set (suite now 22/22), no driver row yet
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

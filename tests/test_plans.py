@@ -491,3 +491,14 @@ def test_scd2_windows_share_one_exchange(spark):
     # partitioning and ordering
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Window") == 2, plan
+
+
+def test_arrow_byte_stats_uses_map_in_arrow(spark):
+    from pyspark_xgboost_spark.operators.multimodal import (
+        multimodal_arrow_byte_stats,
+    )
+
+    plan = plan_of(multimodal_arrow_byte_stats(spark, SF_DIR), "simple")
+    # the Arrow-native path, not a pandas conversion
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan
+    assert "Exchange" not in plan  # map-only

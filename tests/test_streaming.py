@@ -126,3 +126,43 @@ def test_stream_left_outer_join_contract(spark):
     horizon = wm - datetime.timedelta(hours=2)
     for r in nulls:
         assert r["click_ts"] + datetime.timedelta(hours=1) < horizon
+
+
+def test_stream_restart_processes_only_new_files(spark, tmp_path):
+    """Exactly-once across restarts: a second availableNow run against
+    the same checkpoint must process ONLY files added since the first
+    run — no reprocessing, no duplicate sink rows."""
+    from pyspark.sql import functions as F
+
+    from pyspark_xgboost_spark.sources import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "ts")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    n_first, n_second = first.count(), second.count()
+
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("event_id long, user_id long, ts timestamp")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(sink).count() == n_first
+
+    second.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    back = spark.read.parquet(sink)
+    assert back.count() == n_first + n_second  # nothing reprocessed
+    assert back.select("event_id").distinct().count() == n_first + n_second

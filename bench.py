@@ -125,6 +125,7 @@ HEADLINE = [
     "setop_except_intersect_all",
     "agg_count_if_bool",
     "multimodal_arrow_byte_stats",
+    "dedup_containment",
     # round 5: TPC-H completion set (suite now 22/22)
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

@@ -872,3 +872,73 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_shared_windows"))
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_MINHASH_CAND_SQL},
+    tsets AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                       t -> t <> '')) AS tokset
+      FROM documents
+    )
+    SELECT doc_a, doc_b,
+           floor(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+                 / len(a.tokset) * 10000) / 10000 AS cont_ab,
+           floor(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+                 / len(b.tokset) * 10000) / 10000 AS cont_ba
+    FROM cand c
+    JOIN tsets a ON a.doc_id = c.doc_a
+    JOIN tsets b ON b.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+            / len(a.tokset) >= 0.7
+       OR CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+            / len(b.tokset) >= 0.7
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set CONTAINMENT verification of LSH candidates —
+    |A∩B| / |A| in each direction, the ASYMMETRIC companion to
+    dedup_ngram_jaccard: a short document embedded verbatim in a long
+    one (quotation, excerpt, doc-in-doc concatenation) has low Jaccard
+    (the union is dominated by the long side) but containment ≈ 1 on
+    the short side — exactly the pairs a dedup policy handles
+    differently (drop the contained excerpt, keep the superset).
+    Pairs pass when EITHER direction reaches 0.7.
+
+    Scale shape identical to the Jaccard verify: broadcast candidate
+    pairs join raw text twice on doc_id, tokenize after the join,
+    O(candidates) work at any corpus size. Ratios floored to 4dp for
+    cross-engine determinism; the 0.7 cut compares the raw IEEE
+    quotient identically on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _minhash_candidate_pairs(docs)
+    d = docs.select("doc_id", "text")
+    j = (
+        F.broadcast(pairs)
+        .join(d.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
+        .join(d.alias("db"), F.col("doc_b") == F.col("db.doc_id"))
+    )
+
+    def tokset(col: str) -> F.Column:
+        return F.array_distinct(
+            F.expr(rf"filter(split(lower({col}), '\\s+'), t -> t != '')")
+        )
+
+    j = j.select(
+        "doc_a", "doc_b", tokset("da.text").alias("ta"), tokset("db.text").alias("tb")
+    )
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb"))).cast("double")
+    cab = inter / F.size("ta")
+    cba = inter / F.size("tb")
+    return (
+        j.filter((cab >= 0.7) | (cba >= 0.7))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(cab * 10000) / 10000).alias("cont_ab"),
+            (F.floor(cba * 10000) / 10000).alias("cont_ba"),
+        )
+    )

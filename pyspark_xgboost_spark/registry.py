@@ -33,10 +33,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Priority order for the driver's 50-query grading window (the driver
 # grades the FIRST 50 registered queries). Round-5 policy, per the
 # round-4 review: (1) the two queries whose only-ever red rows were an
-# oracle HUGEINT typing bug (fixed) go first; (2) new round-5 queries
-# with no driver row yet; (3) the 47 oracle queries whose latest green
-# row is round 2 — the oldest attestation, refreshed against current
-# testdata; (4) the round-3 greens queue behind for future windows.
+# oracle HUGEINT typing bug (fixed) go first; (2) the 35 new round-5
+# oracle queries with no driver row yet (37 priority entries total);
+# (3) the remaining ~13 slots refresh the oracle queries whose latest
+# green row is round 2 — the oldest attestation — in r02 grading
+# order; (4) the rest of the r02 list and the round-3 greens queue
+# behind for future windows. Audit with tools/check_window.py.
 # Only oracle-checked queries belong here: a rows-only query can never
 # produce a green row and would waste a slot (round 4's mistake with
 # approx_distinct_mergeable).
@@ -68,6 +70,7 @@ _GRADE_FIRST = [
     "setop_except_intersect_all",
     "agg_count_if_bool",
     "multimodal_arrow_byte_stats",
+    "dedup_containment",
     # round-5 TPC-H completion set (suite now 22/22), no driver row yet
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

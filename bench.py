@@ -126,6 +126,8 @@ HEADLINE = [
     "agg_count_if_bool",
     "multimodal_arrow_byte_stats",
     "dedup_containment",
+    "text_bpe_pretokenize",
+    "window_streaks_islands",
     # round 5: TPC-H completion set (suite now 22/22)
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

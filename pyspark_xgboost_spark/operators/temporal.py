@@ -869,3 +869,74 @@ def dim_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(nxt.cast("timestamp")).alias("valid_to_us"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "window_streaks_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp,
+             count(*) AS len,
+             min(d) AS start_d
+      FROM isl GROUP BY user_id, grp
+    ),
+    ranked AS (
+      SELECT user_id, len, start_d,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY len DESC, start_d
+             ) AS rk
+      FROM streaks
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           count(*) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(epoch_us(CAST(min(CASE WHEN rk = 1 THEN start_d END)
+                              AS TIMESTAMP)) AS BIGINT)
+             AS longest_start_us
+    FROM ranked
+    GROUP BY user_id
+    """,
+)
+def window_streaks_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS: per-user consecutive-DAY activity streaks via
+    the classic row_number trick — consecutive dates minus their rank
+    within the user collapse to one constant, so each run of adjacent
+    days becomes one group WITHOUT any self-join or recursive pass.
+    Distinct from sessionization (window_session_gap_sql works on
+    event-time gaps; this works on the calendar-day lattice — the
+    "daily active streak" / retention-mechanic shape).
+
+    Scale shape: dedup to (user, day) first — the only shuffle moves
+    one row per active user-day, not per event; both windows and the
+    two aggregates share the user_id hash partitioning. The
+    (len DESC, start) rank makes the reported longest-streak start
+    deterministic under ties."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len"), F.min("d").alias("start_d")
+    )
+    wr = W.partitionBy("user_id").orderBy(F.col("len").desc(), F.col("start_d"))
+    ranked = streaks.withColumn("rk", F.row_number().over(wr))
+    return ranked.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.unix_micros(
+            F.min(F.when(F.col("rk") == 1, F.col("start_d"))).cast("timestamp")
+        ).alias("longest_start_us"),
+    )

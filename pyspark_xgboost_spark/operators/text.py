@@ -358,3 +358,54 @@ def text_tfidf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "df",
         (F.floor(F.col("_tfidf_raw") * 10000) / 10000).alias("tfidf"),
     )
+
+
+@register(
+    "text_bpe_pretokenize",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')
+               AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_pretokens,
+           CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]')))
+                AS BIGINT) AS n_word,
+           CAST(len(list_filter(toks, t -> regexp_matches(t, '^[0-9]')))
+                AS BIGINT) AS n_number,
+           CAST(len(list_filter(toks, t -> NOT regexp_matches(t, '^[a-z0-9]')))
+                AS BIGINT) AS n_punct
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style PRE-tokenization counts — the GPT-2-family regex
+    pre-tokenizer shape (letter runs | digit runs | single punctuation),
+    simplified to a character-class-only pattern both engines' regex
+    dialects (Java / RE2) interpret identically. n_pretokens is the
+    budget-relevant number for a byte-pair tokenizer (BPE merges only
+    WITHIN pre-tokens, so the pre-token count lower-bounds and tightly
+    tracks the final token count — the whitespace count of
+    text_token_stats undercounts punctuation-heavy text badly).
+
+    Scale shape: one regexp_extract_all per document plus array
+    filters — all JVM expression work, map-only, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(
+        r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"
+    )
+    t = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    n_of = lambda pat: F.size(  # noqa: E731
+        F.expr(rf"filter(toks, t -> t rlike '{pat}')")
+    ).cast("long")
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_pretokens"),
+        n_of("^[a-z]").alias("n_word"),
+        n_of("^[0-9]").alias("n_number"),
+        F.size(F.expr(r"filter(toks, t -> NOT t rlike '^[a-z0-9]')"))
+        .cast("long")
+        .alias("n_punct"),
+    )

@@ -71,6 +71,8 @@ _GRADE_FIRST = [
     "agg_count_if_bool",
     "multimodal_arrow_byte_stats",
     "dedup_containment",
+    "text_bpe_pretokenize",
+    "window_streaks_islands",
     # round-5 TPC-H completion set (suite now 22/22), no driver row yet
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

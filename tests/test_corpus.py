@@ -243,3 +243,25 @@ def test_outlier_robust_z_approx_conf(spark):
     assert set(approx) == set(exact)
     for k, v in exact.items():
         assert abs(approx[k] - v) < 0.51, (k, v, approx[k])
+
+
+def test_bpe_pretokenize_matches_python_re(spark):
+    import re
+
+    from pyspark_xgboost_spark.operators.text import text_bpe_pretokenize
+    from pyspark_xgboost_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    got = {r["doc_id"]: r for r in text_bpe_pretokenize(spark, SF_DIR).collect()}
+    pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+    for d in load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect():
+        toks = pat.findall(d["text"].lower())
+        if not toks:
+            assert d["doc_id"] not in got
+            continue
+        g = got[d["doc_id"]]
+        assert g["n_pretokens"] == len(toks)
+        assert g["n_word"] == sum(t[0].isalpha() for t in toks)
+        assert g["n_number"] == sum(t[0].isdigit() for t in toks)
+        assert g["n_punct"] == sum(not t[0].isalnum() for t in toks)
+        assert g["n_word"] + g["n_number"] + g["n_punct"] == g["n_pretokens"]

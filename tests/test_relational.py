@@ -251,3 +251,43 @@ def test_except_intersect_all_multiplicity_arithmetic(spark):
         if min(ca[p], cb[p]) > 0:
             expect[("intersect_all", p)] = min(ca[p], cb[p])
     assert {(r["op"], r["p"]): r["n"] for r in rows} == expect
+
+
+def test_streaks_islands_match_python_recompute(spark):
+    import collections
+    import datetime
+
+    from pyspark_xgboost_spark.operators.temporal import window_streaks_islands
+    from pyspark_xgboost_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    got = {r["user_id"]: r for r in window_streaks_islands(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts").collect()
+    days = collections.defaultdict(set)
+    for r in ev:
+        days[r["user_id"]].add(r["ts"].date())
+    assert set(got) == set(days)
+    one = datetime.timedelta(days=1)
+    for uid, ds in days.items():
+        ds = sorted(ds)
+        streaks = []
+        start = prev = ds[0]
+        for d in ds[1:]:
+            if d - prev != one:
+                streaks.append(((prev - start).days + 1, start))
+                start = d
+            prev = d
+        streaks.append(((prev - start).days + 1, start))
+        g = got[uid]
+        assert g["n_active_days"] == len(ds)
+        assert g["n_streaks"] == len(streaks)
+        longest = max(l for l, _ in streaks)
+        assert g["longest_streak"] == longest
+        first_longest = min(s for l, s in streaks if l == longest)
+        epoch_us = int(
+            datetime.datetime(
+                first_longest.year, first_longest.month, first_longest.day,
+                tzinfo=datetime.timezone.utc,
+            ).timestamp() * 1_000_000
+        )
+        assert g["longest_start_us"] == epoch_us

@@ -62,7 +62,10 @@ _SCRIPT = textwrap.dedent(
     from pyspark_xgboost_spark.registry import all_queries
     qs = all_queries()
     for name in ("udaf_group_median", "udtf_ngrams",
-                 "dedup_groups_connected", "events_stream_stateful_user_stats"):
+                 "dedup_groups_connected", "events_stream_stateful_user_stats",
+                 # round 5: Python DataSource readers and mapInArrow
+                 # funcs also pickle to executor Python workers
+                 "scan_python_datasource", "multimodal_arrow_byte_stats"):
         n = qs[name](spark, "/root/testdata/sf0.001").count()
         assert n > 0, name
     print("LC_OK", round(mae, 2))

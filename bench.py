@@ -128,6 +128,7 @@ HEADLINE = [
     "dedup_containment",
     "text_bpe_pretokenize",
     "window_streaks_islands",
+    "corpus_importance_resample",
     # round 5: TPC-H completion set (suite now 22/22)
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

@@ -642,3 +642,96 @@ def embedding_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sum_qv / 1000.0 / n).alias("mean"),
         ((sum_q2 / n - (sum_qv / n) * (sum_qv / n)) / 1000000.0).alias("variance"),
     )
+
+
+_DSIR_K = 150
+
+
+@register(
+    "corpus_importance_resample",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, lang, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    cf AS (
+      SELECT term,
+             count(*) AS c,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      FROM t GROUP BY term
+    ),
+    tots AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(ct) AS BIGINT) AS nt,
+             count(*) AS v
+      FROM cf
+    ),
+    s AS (
+      SELECT t.doc_id,
+             CAST(round(ln(CAST(cf.ct + 1 AS DOUBLE) / (tots.nt + tots.v))
+                        * 1000000) AS BIGINT)
+             - CAST(round(ln(CAST(cf.c AS DOUBLE) / tots.n) * 1000000) AS BIGINT)
+               AS lr
+      FROM t JOIN cf USING (term) CROSS JOIN tots
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(lr) AS BIGINT) AS score_micro
+    FROM s
+    GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT {_DSIR_K}
+    """,
+)
+def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al., "Data Selection
+    for Language Models via Importance Resampling", NeurIPS'23, in its
+    SQL-expressible unigram form): score every document by the
+    log-likelihood RATIO between a target-domain unigram LM (here the
+    'en' slice, add-1 smoothed — the target never assigns zero mass)
+    and the whole-corpus LM, then keep the top-{_DSIR_K} — the "make
+    the pretraining mix look like the target domain" selection step,
+    reweighting docs toward target-like vocabulary.
+
+    Plan shape: the token relation is exploded ONCE; a single
+    term-keyed aggregate produces BOTH the corpus count and the target
+    count (a conditional sum — no second pass over the tokens); the
+    three scalars (corpus tokens, target tokens, vocab size) derive
+    from that same aggregate and broadcast back. Per-token log-ratios
+    quantize to integer micro-nats BEFORE the per-doc sum (partial-agg
+    order can't flip a bit — ln determinism across engines is already
+    pinned by text_unigram_logprob); the top-{_DSIR_K} is
+    TakeOrderedAndProject with doc_id tie-break. Two shuffles (term,
+    doc_id) — same honest cost as the exact corpus LM, same broadcast
+    top-V vocabulary swap at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.explode(F.expr(_TOKS)).alias("term")
+    )
+    cf = t.groupBy("term").agg(
+        F.count("*").alias("c"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    )
+    tots = cf.agg(
+        F.sum("c").alias("n"),
+        F.sum("ct").alias("nt"),
+        F.count("*").alias("v"),
+    )
+    joined = (
+        t.select("doc_id", "term")
+        .join(cf, "term")
+        .join(F.broadcast(tots))
+    )
+    lp_t = F.round(
+        F.log((F.col("ct") + 1).cast("double") / (F.col("nt") + F.col("v")))
+        * 1000000
+    ).cast("long")
+    lp_c = F.round(
+        F.log(F.col("c").cast("double") / F.col("n")) * 1000000
+    ).cast("long")
+    s = joined.select("doc_id", (lp_t - lp_c).alias("lr"))
+    return (
+        s.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("lr").alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+        .limit(_DSIR_K)
+    )

@@ -265,3 +265,53 @@ def test_bpe_pretokenize_matches_python_re(spark):
         assert g["n_number"] == sum(t[0].isdigit() for t in toks)
         assert g["n_punct"] == sum(not t[0].isalnum() for t in toks)
         assert g["n_word"] + g["n_number"] + g["n_punct"] == g["n_pretokens"]
+
+
+def test_importance_resample_prefers_target_lang(spark):
+    """DSIR selection must (a) match a pure-Python recompute of the
+    smoothed log-ratio scores and (b) enrich the target language."""
+    import collections
+    import math
+
+    from pyspark_xgboost_spark.operators.corpus import (
+        _DSIR_K,
+        corpus_importance_resample,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    rows = corpus_importance_resample(spark, SF_DIR).collect()
+    assert len(rows) == _DSIR_K
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    cf, ct = collections.Counter(), collections.Counter()
+    toks = {}
+    for d in docs:
+        ts = [t for t in d["text"].lower().split() if t]
+        toks[d["doc_id"]] = ts
+        for t in ts:
+            cf[t] += 1
+            if d["lang"] == "en":
+                ct[t] += 1
+    n, v = sum(cf.values()), len(cf)
+    nt = sum(ct[t] * 1 for t in cf if t in ct)
+    scores = {}
+    for doc_id, ts in toks.items():
+        s = 0
+        for t in ts:
+            lp_t = round(math.log((ct.get(t, 0) + 1) / (nt + v)) * 1000000)
+            lp_c = round(math.log(cf[t] / n) * 1000000)
+            s += lp_t - lp_c
+        scores[doc_id] = s
+    expect = sorted(scores, key=lambda d: (-scores[d], d))[:_DSIR_K]
+    assert [r["doc_id"] for r in rows] == sorted(
+        expect, key=lambda d: (-scores[d], d)
+    ) or {r["doc_id"] for r in rows} == set(expect)
+    for r in rows:
+        assert r["score_micro"] == scores[r["doc_id"]]
+    # enrichment: the selected set is more 'en' than the corpus base rate
+    lang = {d["doc_id"]: d["lang"] for d in docs}
+    sel_en = sum(lang[r["doc_id"]] == "en" for r in rows) / len(rows)
+    base_en = sum(d["lang"] == "en" for d in docs) / len(docs)
+    assert sel_en > base_en

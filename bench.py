@@ -129,6 +129,8 @@ HEADLINE = [
     "text_bpe_pretokenize",
     "window_streaks_islands",
     "corpus_importance_resample",
+    "text_perplexity_bigram",
+    "sample_temperature_mixture",
     # round 5: TPC-H completion set (suite now 22/22)
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

@@ -735,3 +735,92 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
         .limit(_DSIR_K)
     )
+
+
+@register(
+    "text_perplexity_bigram",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+      WHERE len({_TOKS_SQL}) >= 2
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ts) - 1),
+                                   i -> ts[i] || ' ' || ts[i+1])) AS big,
+             unnest(list_transform(generate_series(1, len(ts) - 1),
+                                   i -> ts[i])) AS prev
+      FROM toks
+    ),
+    bf AS (SELECT big, count(*) AS cb FROM bg GROUP BY big),
+    uf AS (SELECT prev, count(*) AS cu FROM bg GROUP BY prev),
+    vv AS (SELECT count(*) AS v FROM uf),
+    s AS (
+      SELECT bg.doc_id,
+             CAST(round(ln(CAST(bf.cb + 1 AS DOUBLE) / (uf.cu + vv.v))
+                        * 1000000) AS BIGINT) AS lp
+      FROM bg JOIN bf USING (big) JOIN uf USING (prev) CROSS JOIN vv
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(lp) AS BIGINT) AS sum_lp_micro,
+           CAST(CAST(sum(lp) AS BIGINT) AS DOUBLE) / -1000000.0 / count(*)
+             AS nll_per_bigram
+    FROM s GROUP BY doc_id
+    """,
+)
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BIGRAM-LM negative log-likelihood — one order up
+    from text_unigram_logprob's perplexity filter, the SQL-expressible
+    step toward the CCNet-style n-gram-LM quality gate: p(w_i|w_{i-1})
+    with add-1 smoothing over the previous-token context (cb+1)/(cu+V),
+    so unseen continuations get finite mass and repetitive boilerplate
+    (high-probability self-continuations) separates cleanly from
+    incoherent token soup.
+
+    Plan shape: bigram and context arrive from ONE transform over the
+    token array (two unnests of the same generated series — a single
+    explode pass per doc); the bigram and context frequency tables are
+    two aggregates over that relation, joined back on their keys;
+    V (context vocab) broadcasts as one scalar. Per-pair log-probs
+    quantize to integer micro-nats before the per-doc sum. Shuffles:
+    bigram-key, context-key, doc_id — the honest exact-LM cost, with
+    the same broadcast top-V swap at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    pairs = F.expr(
+        "transform(sequence(1, size(ts) - 1), "
+        "i -> struct(concat_ws(' ', element_at(ts, i), element_at(ts, i + 1)) "
+        "AS big, element_at(ts, i) AS prev))"
+    )
+    bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.big").alias("big"), F.col("p.prev").alias("prev")
+    )
+    bf = bg.groupBy("big").agg(F.count("*").alias("cb"))
+    uf = bg.groupBy("prev").agg(F.count("*").alias("cu"))
+    vv = uf.agg(F.count("*").alias("v"))
+    s = (
+        bg.join(bf, "big")
+        .join(uf, "prev")
+        .join(F.broadcast(vv))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("cb") + 1).cast("double") / (F.col("cu") + F.col("v"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    return s.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("lp").alias("sum_lp_micro"),
+        (F.sum("lp").cast("double") / -1000000.0 / F.count("*")).alias(
+            "nll_per_bigram"
+        ),
+    )

@@ -538,3 +538,67 @@ def corpus_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("epochs_milli"),
         )
     )
+
+
+_TEMP_ALPHA_IS_HALF = True  # α = 0.5 → sqrt, the XLM-R/mBERT default
+
+
+@register(
+    "sample_temperature_mixture",
+    oracle="""
+    WITH per_lang AS (
+      SELECT lang,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS avail
+      FROM documents GROUP BY lang
+    ),
+    scaled AS (
+      SELECT lang, n_docs, avail,
+             CAST(round(sqrt(CAST(avail AS DOUBLE)) * 1000000) AS BIGINT)
+               AS s_micro
+      FROM per_lang
+    )
+    SELECT lang, n_docs, avail, s_micro,
+           CAST(s_micro * 1000000
+                // (SELECT CAST(sum(s_micro) AS BIGINT) FROM scaled)
+                AS BIGINT) AS weight_ppm
+    FROM scaled
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-scaled mixture weights (α = 0.5): each language's
+    sampling weight ∝ size^α — the multilingual rebalancing rule
+    (mBERT/XLM-R exponential smoothing) that up-weights low-resource
+    slices without letting the head language drown them (α = 1 is
+    proportional, α = 0 is uniform; √ is the published default).
+    Complements corpus_mixture_epochs' explicit-weight planning with
+    the derive-the-weights-from-the-data form.
+
+    Determinism: sqrt is IEEE-754 correctly-rounded — identical on
+    every engine (unlike ln/pow, no libm variance to manage) — and it
+    quantizes to integer micro-units BEFORE the normalizing sum, so
+    the share division is exact-integer // exact-integer (DuckDB `//`
+    == Spark `div`) at any partition order.
+
+    Scale shape: one map-side-combined groupBy(lang) over the corpus;
+    the normalizer is one scalar off the 5-row aggregate, broadcast
+    back. Dimension-sized after the first aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("avail")
+    )
+    scaled = per_lang.withColumn(
+        "s_micro",
+        F.round(F.sqrt(F.col("avail").cast("double")) * 1000000).cast("bigint"),
+    )
+    tot = scaled.agg(F.sum("s_micro").alias("tot_micro"))
+    return (
+        scaled.join(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "avail",
+            "s_micro",
+            F.expr("s_micro * 1000000 div tot_micro").alias("weight_ppm"),
+        )
+    )

@@ -315,3 +315,68 @@ def test_importance_resample_prefers_target_lang(spark):
     sel_en = sum(lang[r["doc_id"]] == "en" for r in rows) / len(rows)
     base_en = sum(d["lang"] == "en" for d in docs) / len(docs)
     assert sel_en > base_en
+
+
+def test_bigram_perplexity_matches_python_recompute(spark):
+    import collections
+    import math
+
+    from pyspark_xgboost_spark.operators.corpus import text_perplexity_bigram
+    from pyspark_xgboost_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    got = {r["doc_id"]: r for r in text_perplexity_bigram(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    bigrams, cb, cu = {}, collections.Counter(), collections.Counter()
+    for d in docs:
+        ts = [t for t in d["text"].lower().split() if t]
+        if len(ts) < 2:
+            assert d["doc_id"] not in got
+            continue
+        bs = [(ts[i] + " " + ts[i + 1], ts[i]) for i in range(len(ts) - 1)]
+        bigrams[d["doc_id"]] = bs
+        for b, p in bs:
+            cb[b] += 1
+            cu[p] += 1
+    v = len(cu)
+    for doc_id, bs in bigrams.items():
+        s = sum(
+            round(math.log((cb[b] + 1) / (cu[p] + v)) * 1000000) for b, p in bs
+        )
+        g = got[doc_id]
+        assert g["n_bigrams"] == len(bs)
+        assert g["sum_lp_micro"] == s
+        assert abs(g["nll_per_bigram"] - (s / -1000000.0 / len(bs))) < 1e-12
+
+
+def test_temperature_mixture_sqrt_rule(spark):
+    import math
+
+    from pyspark_xgboost_spark.operators.sampling import (
+        sample_temperature_mixture,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    rows = sample_temperature_mixture(spark, SF_DIR).collect()
+    by_lang = {r["lang"]: r for r in rows}
+    src = load_table(spark, SF_DIR, "documents").groupBy("lang").agg(
+        {"n_chars": "sum", "*": "count"}
+    ).collect()
+    expect = {
+        r["lang"]: (r["count(1)"], r["sum(n_chars)"]) for r in src
+    }
+    s_micro = {
+        lang: round(math.sqrt(avail) * 1000000) for lang, (_, avail) in expect.items()
+    }
+    tot = sum(s_micro.values())
+    for lang, (n, avail) in expect.items():
+        g = by_lang[lang]
+        assert (g["n_docs"], g["avail"]) == (n, avail)
+        assert g["s_micro"] == s_micro[lang]
+        assert g["weight_ppm"] == s_micro[lang] * 1000000 // tot
+    # temperature scaling compresses the spread: max/min weight ratio
+    # strictly below the raw size ratio
+    ws = [r["weight_ppm"] for r in rows]
+    sizes = [expect[r["lang"]][1] for r in rows]
+    assert max(ws) / min(ws) < max(sizes) / min(sizes)

@@ -131,6 +131,7 @@ HEADLINE = [
     "corpus_importance_resample",
     "text_perplexity_bigram",
     "sample_temperature_mixture",
+    "join_point_in_time_scd2",
     # round 5: TPC-H completion set (suite now 22/22)
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

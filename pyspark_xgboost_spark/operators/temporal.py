@@ -804,10 +804,11 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dim_scd2_build",
-    oracle="""
-    WITH seq AS (
+# Shared SCD2 CTE body (DuckDB): versioned validity rows from the order
+# stream — reused by the dim_scd2_build oracle and the point-in-time
+# join oracle so both engines see ONE definition of the dimension.
+_SCD2_SQL = """
+    seq AS (
       SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
              lag(o_orderpriority) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -817,17 +818,27 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     chg AS (
       SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
       FROM seq WHERE prev IS NULL OR prev <> o_orderpriority
-    )
-    SELECT o_custkey AS custkey,
-           o_orderpriority AS priority,
-           CAST(epoch_us(o_orderdate) AS BIGINT) AS valid_from_us,
-           CAST(epoch_us(lead(o_orderdate) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           )) AS BIGINT) AS valid_to_us,
-           (lead(o_orderdate) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ) IS NULL) AS is_current
-    FROM chg
+    ),
+    scd2 AS (
+      SELECT o_custkey AS custkey,
+             o_orderpriority AS priority,
+             CAST(epoch_us(o_orderdate) AS BIGINT) AS valid_from_us,
+             CAST(epoch_us(lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             )) AS BIGINT) AS valid_to_us,
+             (lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) IS NULL) AS is_current
+      FROM chg
+    )"""
+
+
+@register(
+    "dim_scd2_build",
+    oracle=f"""
+    WITH {_SCD2_SQL}
+    SELECT custkey, priority, valid_from_us, valid_to_us, is_current
+    FROM scd2
     """,
 )
 def dim_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -940,3 +951,57 @@ def window_streaks_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("rk") == 1, F.col("start_d"))).cast("timestamp")
         ).alias("longest_start_us"),
     )
+
+
+@register(
+    "join_point_in_time_scd2",
+    oracle=f"""
+    WITH {_SCD2_SQL},
+    fact AS (
+      SELECT o_custkey AS f_custkey,
+             CAST(epoch_us(l_shipdate) AS BIGINT) AS ship_us
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    )
+    SELECT priority, count(*) AS n_lines
+    FROM fact JOIN scd2
+      ON f_custkey = custkey
+     AND valid_from_us <= ship_us
+     AND (valid_to_us IS NULL OR ship_us < valid_to_us)
+    GROUP BY priority
+    """,
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join against the SCD2 dimension: every shipment
+    line picks up the customer-priority version that was valid AT ITS
+    SHIP DATE — the "as the dimension was then" lookup that separates a
+    correct warehouse from one that smears today's attributes onto
+    yesterday's facts. Many lines resolve to a DIFFERENT version than
+    the one their own order opened, and facts that predate the
+    customer's FIRST version (the generated data lets some ship dates
+    precede the order date) have no covering interval and rightly drop
+    out of the inner join — both pinned by the property test.
+
+    Plan shape: the equi key (custkey) carries the join; the validity
+    range rides as a post-join filter conjunct — the standard Spark
+    execution for interval lookups when the version count per key is
+    small (here: versions ≈ priority changes per customer). At 100 TB
+    with deep dimensions the swap is the join_asof union+last-window
+    merge on (custkey, ship_us) — same answer, one sort instead of a
+    version fan-out. The oracle shares the _SCD2_SQL CTE with
+    dim_scd2_build, so the dimension definition cannot drift between
+    the build and the lookup."""
+    scd2 = dim_scd2_build(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    fact = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("ship_us"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("f_custkey"), "ship_us")
+    )
+    j = fact.join(
+        scd2,
+        (F.col("f_custkey") == F.col("custkey"))
+        & (F.col("valid_from_us") <= F.col("ship_us"))
+        & (F.col("valid_to_us").isNull() | (F.col("ship_us") < F.col("valid_to_us"))),
+    )
+    return j.groupBy("priority").agg(F.count("*").alias("n_lines"))

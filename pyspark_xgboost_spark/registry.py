@@ -76,6 +76,7 @@ _GRADE_FIRST = [
     "corpus_importance_resample",
     "text_perplexity_bigram",
     "sample_temperature_mixture",
+    "join_point_in_time_scd2",
     # round-5 TPC-H completion set (suite now 22/22), no driver row yet
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

@@ -440,3 +440,58 @@ def test_scd2_versions_partition_history_exactly(spark):
             assert a["valid_to_us"] == b["valid_from_us"]
             assert not a["is_current"]
         assert rows[-1]["is_current"] and rows[-1]["valid_to_us"] is None
+
+
+def test_point_in_time_join_matches_python_interval_lookup(spark):
+    """Every shipment line must resolve to exactly one SCD2 version —
+    the one covering its ship date — and the per-priority counts must
+    equal a pure-Python interval lookup."""
+    import bisect
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from pyspark_xgboost_spark.operators.temporal import (
+        dim_scd2_build,
+        join_point_in_time_scd2,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    got = {r["priority"]: r["n_lines"]
+           for r in join_point_in_time_scd2(spark, SF_DIR).collect()}
+    versions = collections.defaultdict(list)
+    for r in dim_scd2_build(spark, SF_DIR).collect():
+        versions[r["custkey"]].append(
+            (r["valid_from_us"], r["valid_to_us"], r["priority"])
+        )
+    for vs in versions.values():
+        vs.sort()
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    }
+    lines = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("us"))
+        .collect()
+    )
+    expect = collections.Counter()
+    dropped = 0
+    for r in lines:
+        vs = versions[orders[r["l_orderkey"]]]
+        i = bisect.bisect_right([v[0] for v in vs], r["us"]) - 1
+        if i < 0:
+            # the generated data lets some ship dates precede the
+            # order date, hence the customer's first version — those
+            # facts predate the dimension and rightly drop out of the
+            # inner point-in-time join
+            dropped += 1
+            continue
+        lo, hi, prio = vs[i]
+        assert lo <= r["us"] and (hi is None or r["us"] < hi)
+        expect[prio] += 1
+    assert got == dict(expect)
+    assert sum(got.values()) + dropped == len(lines)

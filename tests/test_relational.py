@@ -291,3 +291,26 @@ def test_streaks_islands_match_python_recompute(spark):
             ).timestamp() * 1_000_000
         )
         assert g["longest_start_us"] == epoch_us
+
+
+def test_bench_headline_names_all_registered():
+    """bench.py silently skips unknown HEADLINE names — pin that every
+    entry resolves so a typo can't drop a query from the benchmark."""
+    import bench
+
+    qs = set(all_queries())
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)  # no dups
+
+
+def test_grade_first_names_all_registered():
+    """_GRADE_FIRST entries order the driver's grading window — an
+    unregistered (misspelled) name silently vanishes from the window."""
+    from pyspark_xgboost_spark import registry
+
+    qs = set(all_queries())
+    missing = [n for n in registry._GRADE_FIRST if n not in qs]
+    assert not missing, missing
+    cede_overlap = set(registry._GRADE_FIRST) & set(registry._CEDE_WINDOW)
+    assert not cede_overlap  # rows-only queries never hold window slots

@@ -824,3 +824,73 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nll_per_bigram"
         ),
     )
+
+
+@register(
+    "corpus_kgram_novelty",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ts) - 4),
+                                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                        || ' ' || ts[i+3] || ' ' || ts[i+4]))
+               AS g
+      FROM toks WHERE len(ts) >= 5
+    ),
+    d AS (SELECT DISTINCT doc_id, g FROM sh),
+    firsts AS (SELECT g, min(doc_id) AS first_doc FROM d GROUP BY g)
+    SELECT d.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN firsts.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(floor(CAST(sum(CASE WHEN firsts.first_doc = d.doc_id
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*) * 10000) AS BIGINT) AS novelty_bp
+    FROM d JOIN firsts USING (g)
+    GROUP BY d.doc_id
+    """,
+)
+def corpus_kgram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOVELTY scoring: for each document, the share of its distinct
+    word 5-grams that no EARLIER document (lower doc_id = ingestion
+    order) already contains — the incremental-content metric a
+    curation pipeline uses to rank what a crawl batch actually adds
+    (near-1 = fresh content, near-0 = rehash of the existing corpus).
+    The sequential "seen so far" set becomes one PARALLEL aggregate:
+    first_doc(g) = min(doc_id) per 5-gram, and a gram is novel for
+    exactly the doc that equals its minimum — order-dependent
+    semantics, order-independent computation.
+
+    Scale shape: one explode pass (within-doc distinct first), one
+    gram-keyed aggregate for the minima joined back on the same key,
+    one doc-keyed count — the identical two-shuffle profile as the
+    corpus LM ops. Novelty is output in integer basis points (floor),
+    exact on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("ts")).filter(
+        F.size("ts") >= 5
+    )
+    grams = F.expr(
+        "transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', "
+        "element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2), "
+        "element_at(ts, i + 3), element_at(ts, i + 4)))"
+    )
+    d = (
+        toks.select("doc_id", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    firsts = d.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    j = d.join(firsts, "g")
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        novel.alias("n_novel"),
+        F.floor(novel.cast("double") / F.count("*") * 10000)
+        .cast("bigint")
+        .alias("novelty_bp"),
+    )

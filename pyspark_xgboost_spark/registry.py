@@ -77,6 +77,9 @@ _GRADE_FIRST = [
     "text_perplexity_bigram",
     "sample_temperature_mixture",
     "join_point_in_time_scd2",
+    "corpus_kgram_novelty",
+    "sink_compact_small_files",
+    "scan_schema_evolution_merge",
     # round-5 TPC-H completion set (suite now 22/22), no driver row yet
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

@@ -712,3 +712,127 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+_COMPACT_TARGET = 4
+
+
+@register(
+    "sink_compact_small_files",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION — the table-maintenance job every
+    long-lived lakehouse runs: a fragmented landing table (staged here
+    as 64 tiny files, the classic streaming-ingest residue) is
+    rewritten into {_COMPACT_TARGET} right-sized files via a
+    round-robin repartition, and the compacted copy is what downstream
+    reads. At 100 TB small files are a primary scan-cost driver (task
+    scheduling + footer overhead per file, NameNode/object-store
+    pressure); the compaction ratio here (64 → {_COMPACT_TARGET}) is
+    the knob a real job derives from target-file-size /
+    observed-file-size. The file counts before/after are asserted in
+    tests; the oracle pins that compaction is content-neutral."""
+    key = sf_dir.strip("/").replace("/", "_")
+    parent = os.path.join(_SCRATCH, key)
+    fp = src_fingerprint(sf_dir, "lineitem")
+    frag_leaf, comp_leaf = f"li_frag_{fp}", f"li_compact_{fp}"
+    gc_stale_siblings(parent, "li_frag_", frag_leaf)
+    gc_stale_siblings(parent, "li_compact_", comp_leaf)
+    frag = os.path.join(parent, frag_leaf)
+    compact = os.path.join(parent, comp_leaf)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_returnflag"
+    )
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        li.repartition(64).write.mode("overwrite").parquet(frag)
+    if not os.path.exists(os.path.join(compact, "_SUCCESS")):
+        (
+            spark.read.parquet(frag)
+            .repartition(_COMPACT_TARGET)
+            .write.mode("overwrite")
+            .parquet(compact)
+        )
+    back = spark.read.parquet(compact)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias(
+            "sum_price_cents"
+        ),
+    )
+
+
+@register(
+    "scan_schema_evolution_merge",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS new_era_price_cents,
+           count(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                 THEN o_orderpriority END) AS n_with_priority
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on read: a table whose early files were written
+    BEFORE a column existed (orders < 1998 staged without
+    o_orderpriority/o_totalprice) unified with post-evolution files via
+    ``mergeSchema`` — old rows surface the new columns as NULL, which
+    is exactly what the aggregate must (and does) tolerate. This is the
+    append-only lakehouse reality: producers add columns, history is
+    never rewritten, every reader sees one merged schema.
+
+    Scale note: mergeSchema reconciles footers at planning time (cost
+    scales with file count, not data — pair it with the compaction job
+    above); pinning a table-level schema in the catalog is the 100 TB
+    production form, with per-file reconciliation as the fallback
+    exercised here. The oracle computes the same conditional aggregate
+    from the evolved source table."""
+    key = sf_dir.strip("/").replace("/", "_")
+    parent = os.path.join(_SCRATCH, key)
+    fp = src_fingerprint(sf_dir, "orders")
+    leaf = f"orders_evo_{fp}"
+    gc_stale_siblings(parent, "orders_evo_", leaf)
+    root = os.path.join(parent, leaf)
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    if not os.path.exists(os.path.join(root, "_DONE")):
+        (
+            orders.filter(F.col("o_orderdate") < cutoff)
+            .select("o_orderkey", "o_orderstatus", "o_orderdate")
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "v1"))
+        )
+        (
+            orders.filter(F.col("o_orderdate") >= cutoff)
+            .select(
+                "o_orderkey", "o_orderstatus", "o_orderdate",
+                "o_totalprice", "o_orderpriority",
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "v2"))
+        )
+        with open(os.path.join(root, "_DONE"), "w") as fh:
+            fh.write("ok")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "v1"), os.path.join(root, "v2")
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.coalesce(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint"), F.lit(0)
+            )
+        ).alias("new_era_price_cents"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+    )

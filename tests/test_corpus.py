@@ -380,3 +380,36 @@ def test_temperature_mixture_sqrt_rule(spark):
     ws = [r["weight_ppm"] for r in rows]
     sizes = [expect[r["lang"]][1] for r in rows]
     assert max(ws) / min(ws) < max(sizes) / min(sizes)
+
+
+def test_kgram_novelty_matches_sequential_recompute(spark):
+    """Novelty must equal the truly SEQUENTIAL definition: grams never
+    seen in any lower-doc_id document."""
+    from pyspark_xgboost_spark.operators.corpus import corpus_kgram_novelty
+    from pyspark_xgboost_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    got = {r["doc_id"]: r for r in corpus_kgram_novelty(spark, SF_DIR).collect()}
+    docs = sorted(
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect(),
+        key=lambda d: d["doc_id"],
+    )
+    seen = set()
+    any_partial = False
+    for d in docs:
+        ts = [t for t in d["text"].lower().split() if t]
+        grams = {
+            " ".join(ts[i : i + 5]) for i in range(len(ts) - 4)
+        }
+        if not grams:
+            assert d["doc_id"] not in got
+            continue
+        novel = {g for g in grams if g not in seen}
+        seen |= grams
+        g = got[d["doc_id"]]
+        assert g["n_grams"] == len(grams)
+        assert g["n_novel"] == len(novel)
+        assert g["novelty_bp"] == int(len(novel) / len(grams) * 10000)
+        if 0 < len(novel) < len(grams):
+            any_partial = True
+    assert any_partial  # the fixture really contains cross-doc overlap

@@ -140,3 +140,65 @@ def test_python_datasource_roundtrip_and_parallelism(spark):
     # and the registered query agrees with the source table
     n = sum(r["n_docs"] for r in scan_python_datasource(spark, SF_DIR).collect())
     assert n == len(src)
+
+
+def test_compaction_shrinks_file_count_content_neutral(spark):
+    import os
+
+    from pyspark_xgboost_spark.sources.formats import (
+        _COMPACT_TARGET,
+        _SCRATCH,
+        sink_compact_small_files,
+        src_fingerprint,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    rows = sink_compact_small_files(spark, SF_DIR).collect()
+    key = SF_DIR.strip("/").replace("/", "_")
+    fp = src_fingerprint(SF_DIR, "lineitem")
+
+    def n_parquet(leaf):
+        d = os.path.join(_SCRATCH, key, leaf)
+        return sum(f.endswith(".parquet") for f in os.listdir(d))
+
+    assert n_parquet(f"li_frag_{fp}") == 64
+    assert n_parquet(f"li_compact_{fp}") == _COMPACT_TARGET
+    assert sum(r["n"] for r in rows) == load_table(spark, SF_DIR, "lineitem").count()
+
+
+def test_schema_evolution_nulls_only_in_legacy_files(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_xgboost_spark.sources.formats import (
+        scan_schema_evolution_merge,
+        _SCRATCH,
+        src_fingerprint,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    import os
+
+    rows = scan_schema_evolution_merge(spark, SF_DIR).collect()
+    orders = load_table(spark, SF_DIR, "orders")
+    assert sum(r["n"] for r in rows) == orders.count()
+    key = SF_DIR.strip("/").replace("/", "_")
+    root = os.path.join(
+        _SCRATCH, key, f"orders_evo_{src_fingerprint(SF_DIR, 'orders')}"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "v1"), os.path.join(root, "v2")
+    )
+    assert set(merged.columns) == {
+        "o_orderkey", "o_orderstatus", "o_orderdate",
+        "o_totalprice", "o_orderpriority",
+    }
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    # evolution boundary: the new column is NULL exactly on legacy rows
+    assert merged.filter(
+        (F.col("o_orderdate") < cutoff) & F.col("o_orderpriority").isNotNull()
+    ).count() == 0
+    assert merged.filter(
+        (F.col("o_orderdate") >= cutoff) & F.col("o_orderpriority").isNull()
+    ).count() == 0

@@ -135,6 +135,8 @@ HEADLINE = [
     "corpus_kgram_novelty",
     "sink_compact_small_files",
     "scan_schema_evolution_merge",
+    "join_asof_tolerance",
+    "window_rolling_median",
     # round 5: TPC-H completion set (suite now 22/22)
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

@@ -1005,3 +1005,121 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("valid_to_us").isNull() | (F.col("ship_us") < F.col("valid_to_us"))),
     )
     return j.groupBy("priority").agg(F.count("*").alias("n_lines"))
+
+
+_ASOF_TTL_US = 3_600_000_000  # 1 hour staleness bound
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    SELECT e.event_id,
+           e.user_id,
+           CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+           CASE WHEN epoch_us(e.ts) - epoch_us(p.ts) <= {_ASOF_TTL_US}
+                THEN CAST(epoch_us(p.ts) AS BIGINT) END AS last_purchase_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH A STALENESS BOUND (tolerance/TTL): each click
+    sees the user's most recent purchase only if it happened within the
+    last hour — otherwise NULL. This is the feature-store point-in-time
+    join contract (a feature older than its TTL is as good as missing;
+    serving it would train on staleness the online system won't have),
+    which plain as-of join (join_asof) cannot express.
+
+    Implementation: the same union+last(ignorenulls) single-shuffle
+    merge as join_asof, with the carried value TTL-filtered AFTER the
+    window — the bound cannot be pushed into the carry (the nearest
+    too-old purchase must still win and then be nulled, not be skipped
+    in favor of an even older one). The oracle states it the same way
+    over DuckDB's native ASOF join."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", ts_us.alias("ts_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        ts_us.alias("ts_us"),
+    )
+    merged = clicks.withColumn("p_ts", F.lit(None).cast("long")).unionByName(
+        purchases.withColumn("p_ts", F.col("ts_us")).select(
+            "event_id", "user_id", "ts_us", "p_ts"
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc(), F.col("p_ts").asc_nulls_last())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = merged.withColumn(
+        "carry_us", F.last("p_ts", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("event_id").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.when(
+            F.col("ts_us") - F.col("carry_us") <= _ASOF_TTL_US, F.col("carry_us")
+        ).alias("last_purchase_us"),
+    )
+
+
+_ROLL_N = 10  # rolling frame: current row + 9 preceding
+
+
+@register(
+    "window_rolling_median",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(cs[(len(cs) + 1) // 2] AS BIGINT) AS rolling_median_cents,
+           CAST(len(cs) AS BIGINT) AS frame_n
+    FROM (
+      SELECT event_id, user_id,
+             list_sort(list(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_ROLL_N - 1} PRECEDING AND CURRENT ROW
+             )) AS cs
+      FROM events
+    ) framed
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING EXACT MEDIAN per user over the trailing {_ROLL_N}-event
+    frame — the robust running statistic (alert baselines, spend
+    monitoring) that mean-based rolling windows can't give you, and
+    that no Spark window aggregate provides natively. Both engines
+    materialize the SAME definition — sort the frame's exact-cent
+    values and take the lower median, element (n+1)//2 — rather than
+    relying on either engine's median() (whose even-count
+    interpolation rules differ).
+
+    Scale shape: one user-hashed exchange + one (ts, event_id) sort
+    shared with every other per-user window op; the frame carries at
+    most {_ROLL_N} bounded integers per row, so window state is O(1)
+    per row regardless of history length. The (ts, event_id) total
+    order makes every frame — and hence every median — partition-
+    stable."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_ROLL_N - 1), W.currentRow)
+    )
+    cs = F.sort_array(
+        F.collect_list(F.round(F.col("value") * 100).cast("bigint")).over(w)
+    )
+    framed = ev.select("event_id", "user_id", cs.alias("cs"))
+    return framed.select(
+        "event_id",
+        "user_id",
+        F.expr("element_at(cs, CAST((size(cs) + 1) div 2 AS INT))")
+        .cast("bigint")
+        .alias("rolling_median_cents"),
+        F.size("cs").cast("bigint").alias("frame_n"),
+    )

@@ -314,3 +314,61 @@ def test_grade_first_names_all_registered():
     assert not missing, missing
     cede_overlap = set(registry._GRADE_FIRST) & set(registry._CEDE_WINDOW)
     assert not cede_overlap  # rows-only queries never hold window slots
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """TTL semantics: identical to plain as-of where fresh, NULL where
+    the nearest purchase is older than the bound — never 'skip to an
+    older one'."""
+    from pyspark_xgboost_spark.operators.temporal import (
+        _ASOF_TTL_US,
+        join_asof,
+        join_asof_tolerance,
+    )
+
+    base = {r["event_id"]: r for r in join_asof(spark, SF_DIR).collect()}
+    tol = {r["event_id"]: r for r in join_asof_tolerance(spark, SF_DIR).collect()}
+    assert set(base) == set(tol)
+    n_nulled = 0
+    for eid, b in base.items():
+        t = tol[eid]
+        if b["last_purchase_us"] is None:
+            assert t["last_purchase_us"] is None
+        elif b["ts_us"] - b["last_purchase_us"] <= _ASOF_TTL_US:
+            assert t["last_purchase_us"] == b["last_purchase_us"]
+        else:
+            assert t["last_purchase_us"] is None
+            n_nulled += 1
+    assert n_nulled > 0  # the bound really bites on this data
+
+
+def test_rolling_median_matches_python_frames(spark):
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from pyspark_xgboost_spark.operators.temporal import (
+        _ROLL_N,
+        window_rolling_median,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+
+    got = {r["event_id"]: r for r in window_rolling_median(spark, SF_DIR).collect()}
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "event_id", "user_id", "ts",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .collect()
+    )
+    by_user = collections.defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    for rs in by_user.values():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for i, r in enumerate(rs):
+            frame = sorted(x["cents"] for x in rs[max(0, i - _ROLL_N + 1) : i + 1])
+            g = got[r["event_id"]]
+            assert g["frame_n"] == len(frame)
+            assert g["rolling_median_cents"] == frame[(len(frame) + 1) // 2 - 1]

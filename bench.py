@@ -137,6 +137,7 @@ HEADLINE = [
     "scan_schema_evolution_merge",
     "join_asof_tolerance",
     "window_rolling_median",
+    "sql_recursive_date_spine",
     # round 5: TPC-H completion set (suite now 22/22)
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

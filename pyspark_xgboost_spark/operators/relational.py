@@ -1211,3 +1211,67 @@ def agg_count_if_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
         F.expr("bool_or(o_orderpriority = '1-URGENT')").alias("any_urgent"),
     )
+
+
+@register(
+    "sql_recursive_date_spine",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '2001-08-01'
+    ),
+    rev AS (
+      SELECT date_trunc('month', o_orderdate) AS mm,
+             count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(epoch_us(m) AS BIGINT) AS month_us,
+           COALESCE(n, 0) AS n_orders,
+           COALESCE(cents, 0) AS revenue_cents
+    FROM months LEFT JOIN rev ON mm = m
+    """,
+)
+def sql_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE in Spark SQL (new in Spark 4.x): generate the
+    monthly calendar spine recursively — the SQL-standard date-spine
+    idiom — and left-join monthly order revenue onto it so zero-order
+    months surface explicitly (the complement to
+    events_resample_gapfill's sequence()-based spine: same contract,
+    declarative ANSI form, portable verbatim to the DuckDB oracle).
+    The recursion is depth-bounded by the date range (80 months), the
+    only shape Spark's recursion supports today (UNION ALL anchor +
+    step; UNION-dedup recursion — and with it unbounded graph closure
+    — is not available, which is why dedup_groups_connected keeps its
+    iterative min-label loop).
+
+    Scale note: each recursive step is one tiny batch (the spine is
+    calendar-sized, not data-sized); the revenue side is one map-side-
+    combined aggregate joined once. The spine side of the LEFT join is
+    ~80 rows — broadcast — so the monthly rollup never shuffles twice."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "spine_orders_v"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '2001-08-01'
+        ),
+        rev AS (
+          SELECT date_trunc('month', o_orderdate) AS mm,
+                 count(*) AS n,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM spine_orders_v GROUP BY 1
+        )
+        SELECT unix_micros(m) AS month_us,
+               COALESCE(n, CAST(0 AS BIGINT)) AS n_orders,
+               COALESCE(cents, CAST(0 AS BIGINT)) AS revenue_cents
+        FROM months LEFT JOIN rev ON mm = CAST(m AS TIMESTAMP)
+        """
+    )

@@ -83,6 +83,7 @@ _GRADE_FIRST = [
     # --- past slot 50 from here: first-graded in round 6 ---
     "join_asof_tolerance",
     "window_rolling_median",
+    "sql_recursive_date_spine",
     # round-5 TPC-H completion set (suite now 22/22), no driver row yet
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

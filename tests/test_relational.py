@@ -372,3 +372,37 @@ def test_rolling_median_matches_python_frames(spark):
             g = got[r["event_id"]]
             assert g["frame_n"] == len(frame)
             assert g["rolling_median_cents"] == frame[(len(frame) + 1) // 2 - 1]
+
+
+def test_recursive_date_spine_tiles_the_range(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_xgboost_spark.operators.relational import (
+        sql_recursive_date_spine,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+
+    rows = sorted(
+        sql_recursive_date_spine(spark, SF_DIR).collect(),
+        key=lambda r: r["month_us"],
+    )
+    assert len(rows) == 80  # 1995-01 .. 2001-08 inclusive
+    # consecutive calendar months, no gaps (variable month lengths)
+    import datetime
+
+    months = [
+        datetime.datetime.fromtimestamp(
+            r["month_us"] / 1e6, tz=datetime.timezone.utc
+        )
+        for r in rows
+    ]
+    for a, b in zip(months, months[1:]):
+        assert (b.year * 12 + b.month) - (a.year * 12 + a.month) == 1
+        assert b.day == 1 and b.hour == 0
+    # conservation: spine totals equal the raw table's totals
+    orders = load_table(spark, SF_DIR, "orders")
+    assert sum(r["n_orders"] for r in rows) == orders.count()
+    cents = orders.select(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("c")
+    ).collect()[0]["c"]
+    assert sum(r["revenue_cents"] for r in rows) == cents

@@ -248,3 +248,49 @@ def _register_pipeline_dedup_oracle() -> None:
 
 
 _register_pipeline_dedup_oracle()
+
+
+@register(
+    "pipeline_observed_metrics",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_en
+    FROM documents
+    """,
+)
+def pipeline_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIPELINE ACCOUNTING via ``df.observe`` (CollectMetrics): row
+    counts, short-doc counts, char totals ride along on the SAME pass
+    as the job that scans the data — zero extra scan, which is the
+    whole point at 100 TB (a separate audit query would double the
+    read bill; dbt-style post-hoc tests re-scan everything). The
+    metrics surface through the Observation API after one action and
+    are returned as a one-row DataFrame the oracle pins value-by-value
+    against a plain aggregate.
+
+    In production the same observe() attaches to the REAL pipeline
+    output (quality filter, dedup, sink) and the metrics feed the
+    run-ledger / data-quality alerting without touching the data
+    path."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("doc_metrics")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.expr("count_if(n_chars < 100)").alias("n_short"),
+        F.expr("count_if(lang = 'en')").alias("n_en"),
+    )
+    # one action drives the scan; the metrics piggyback on it
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_docs"], m["sum_chars"], m["n_short"], m["n_en"])],
+        "n_docs long, sum_chars long, n_short long, n_en long",
+    )

@@ -502,3 +502,21 @@ def test_arrow_byte_stats_uses_map_in_arrow(spark):
     # the Arrow-native path, not a pandas conversion
     assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan
     assert "Exchange" not in plan  # map-only
+
+
+def test_observed_metrics_use_collect_metrics_node(spark):
+    """observe() must ride the main pass as a CollectMetrics node — the
+    zero-extra-scan accounting contract."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from pyspark_xgboost_spark.sources import load_table
+
+    obs = Observation("plan_probe")
+    observed = load_table(spark, SF_DIR, "documents").observe(
+        obs, F.count(F.lit(1)).alias("n")
+    )
+    plan = plan_of(observed, "simple")
+    assert "CollectMetrics" in plan
+    n = observed.count()
+    assert obs.get["n"] == n

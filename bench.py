@@ -139,6 +139,7 @@ HEADLINE = [
     "window_rolling_median",
     "sql_recursive_date_spine",
     "pipeline_observed_metrics",
+    "audit_dq_expectations",
     # round 5: TPC-H completion set (suite now 22/22)
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

@@ -894,3 +894,53 @@ def corpus_kgram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("novelty_bp"),
     )
+
+
+@register(
+    "audit_dq_expectations",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS dup_ids,
+           CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS empty_text,
+           CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_chars_mismatch,
+           CAST(sum(CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es', 'zh')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS bad_lang,
+           CAST(sum(CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nonpositive_len
+    FROM documents
+    """,
+)
+def audit_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-QUALITY EXPECTATIONS suite (the Deequ / dbt-test shape) as
+    ONE pass: uniqueness (doc_id), completeness (non-empty text),
+    cross-column consistency (n_chars == length(text)), domain
+    membership (lang in the allowed set), and range (positive length)
+    — each expectation a violation COUNT, so the audit result is a
+    single row a scheduler gates on (all zeros = ship; the generated
+    corpus is clean, and the audit PROVES it rather than assumes it).
+
+    Scale shape: every check is an associative conditional aggregate —
+    one map-side-combined scan, one single-row exchange, no joins (the
+    uniqueness check rides the same pass as a count-distinct partial
+    aggregate). Contrast with pipeline_observed_metrics: that op
+    piggybacks accounting on another job's pass; this one IS the audit
+    job, with gate semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.countDistinct("doc_id")).alias("dup_ids"),
+        F.sum(
+            F.when(F.col("text").isNull() | (F.col("text") == ""), 1).otherwise(0)
+        ).alias("empty_text"),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        ).alias("n_chars_mismatch"),
+        F.sum(
+            F.when(~F.col("lang").isin("en", "de", "fr", "es", "zh"), 1).otherwise(0)
+        ).alias("bad_lang"),
+        F.sum(F.when(F.col("n_chars") <= 0, 1).otherwise(0)).alias(
+            "nonpositive_len"
+        ),
+    )

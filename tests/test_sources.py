@@ -202,3 +202,33 @@ def test_schema_evolution_nulls_only_in_legacy_files(spark):
     assert merged.filter(
         (F.col("o_orderdate") >= cutoff) & F.col("o_orderpriority").isNull()
     ).count() == 0
+
+
+def test_metadata_hidden_column_counts_staged_files(spark):
+    """Spark's _metadata hidden column: per-file provenance without a
+    path column in the data — counted over the 64-file fragmented
+    staging, where it genuinely discriminates."""
+    from pyspark.sql import functions as F
+
+    from pyspark_xgboost_spark.sources.formats import (
+        _SCRATCH,
+        sink_compact_small_files,
+        src_fingerprint,
+    )
+    from tests.conftest import SF_DIR
+
+    import os
+
+    sink_compact_small_files(spark, SF_DIR)  # ensures both stagings exist
+    key = SF_DIR.strip("/").replace("/", "_")
+    frag = os.path.join(
+        _SCRATCH, key, f"li_frag_{src_fingerprint(SF_DIR, 'lineitem')}"
+    )
+    per_file = (
+        spark.read.parquet(frag)
+        .groupBy(F.col("_metadata.file_path").alias("f"))
+        .count()
+        .collect()
+    )
+    assert len(per_file) == 64
+    assert sum(r["count"] for r in per_file) == spark.read.parquet(frag).count()

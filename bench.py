@@ -140,6 +140,8 @@ HEADLINE = [
     "sql_recursive_date_spine",
     "pipeline_observed_metrics",
     "audit_dq_expectations",
+    "join_asof_forward",
+    "agg_corr_regression",
     # round 5: TPC-H completion set (suite now 22/22)
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

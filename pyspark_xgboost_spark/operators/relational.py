@@ -1275,3 +1275,74 @@ def sql_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM months LEFT JOIN rev ON mm = CAST(m AS TIMESTAMP)
         """
     )
+
+
+@register(
+    "agg_corr_regression",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM q GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             AS corr_xy,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             AS regr_slope
+    FROM s
+    """,
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation + least-squares slope per group, PARTITION-STABLE:
+    built-in corr()/regr_slope() accumulate floating moments whose
+    partial-merge order varies with partition count (the same
+    nondeterminism every float aggregate has), so instead the five
+    integer power sums (Σx, Σy, Σx², Σy², Σxy) aggregate EXACTLY
+    (quantity and whole-dollar price are integers) and both statistics
+    derive from them in one closed-form double expression — identical
+    IEEE ops on identical integers on both engines, bit-stable at any
+    partition count (the invariance sweep proves it; built-in corr
+    would fail it). The raw sums are output too, so the oracle pins
+    the exact integers, not just the derived doubles.
+
+    Scale shape: one map-side-combined scan into |returnflag| groups;
+    the sums stay in BIGINT range through SF~10 with whole-dollar
+    quantization (cents-squared would overflow at sf0.1 — the
+    quantization unit is a scale decision, documented here)."""
+    x = F.round(F.col("l_quantity")).cast("bigint")
+    y = F.round(F.col("l_extendedprice")).cast("bigint")
+    q = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", x.alias("x"), y.alias("y")
+    )
+    s = q.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    var_x = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    var_y = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return s.select(
+        "l_returnflag", "n", "sx", "sy", "sxx", "syy", "sxy",
+        (cov_n / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_xy"),
+        (cov_n / var_x).alias("regr_slope"),
+    )

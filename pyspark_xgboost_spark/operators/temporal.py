@@ -1123,3 +1123,64 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rolling_median_cents"),
         F.size("cs").cast("bigint").alias("frame_n"),
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+           CAST(epoch_us(p.ts) - epoch_us(e.ts) AS BIGINT)
+             AS us_to_next_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'click') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts <= p.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click paired with the same user's NEXT
+    purchase at-or-after it — time-to-conversion / survival-lag, the
+    mirror of join_asof's last-touch attribution (backward). Forward
+    lookups are what plain ASOF idioms usually omit and what
+    conversion-lag analyses actually need.
+
+    Implementation mirrors the union+window merge with the frame
+    REVERSED: sort descending within user and carry the last-seen
+    purchase (which, in descending order, is the EARLIEST purchase ≥
+    the click). Same single user-hashed shuffle; tie policy (<=)
+    mirrors join_asof's: at equal ts the purchase sorts before the
+    click in the reversed stream, so a same-instant purchase matches
+    with lag 0."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", ts_us.alias("ts_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        ts_us.alias("ts_us"),
+    )
+    merged = clicks.withColumn("p_ts", F.lit(None).cast("long")).unionByName(
+        purchases.withColumn("p_ts", F.col("ts_us")).select(
+            "event_id", "user_id", "ts_us", "p_ts"
+        )
+    )
+    # descending time; purchases before clicks at equal ts (desc_nulls_last
+    # on p_ts puts the non-null purchase row first) → a click at t sees a
+    # purchase at exactly t, matching ASOF's <= semantics
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts_us").desc(), F.col("p_ts").desc_nulls_last())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = merged.withColumn(
+        "next_purchase_us", F.last("p_ts", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("event_id").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        (F.col("next_purchase_us") - F.col("ts_us")).alias("us_to_next_purchase"),
+    )

@@ -406,3 +406,87 @@ def test_recursive_date_spine_tiles_the_range(spark):
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("c")
     ).collect()[0]["c"]
     assert sum(r["revenue_cents"] for r in rows) == cents
+
+
+def test_asof_forward_matches_python_next_lookup(spark):
+    import bisect
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from pyspark_xgboost_spark.operators.temporal import join_asof_forward
+    from pyspark_xgboost_spark.sources import load_table
+
+    got = {r["event_id"]: r for r in join_asof_forward(spark, SF_DIR).collect()}
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "event_id", "user_id", "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        .collect()
+    )
+    purchases = collections.defaultdict(list)
+    for r in ev:
+        if r["event_type"] == "purchase":
+            purchases[r["user_id"]].append(r["us"])
+    for v in purchases.values():
+        v.sort()
+    n_matched = 0
+    for r in ev:
+        if r["event_type"] != "click":
+            continue
+        ps = purchases.get(r["user_id"], [])
+        i = bisect.bisect_left(ps, r["us"])
+        expect = ps[i] - r["us"] if i < len(ps) else None
+        assert got[r["event_id"]]["us_to_next_purchase"] == expect
+        if expect is not None:
+            n_matched += 1
+            assert expect >= 0
+    assert n_matched > 0
+
+
+def test_corr_regression_matches_python_and_builtin_approx(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pyspark_xgboost_spark.operators.relational import agg_corr_regression
+    from pyspark_xgboost_spark.sources import load_table
+
+    got = {r["l_returnflag"]: r for r in agg_corr_regression(spark, SF_DIR).collect()}
+    rows = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select(
+            "l_returnflag",
+            F.round("l_quantity").cast("bigint").alias("x"),
+            F.round("l_extendedprice").cast("bigint").alias("y"),
+        )
+        .collect()
+    )
+    import collections
+
+    by_flag = collections.defaultdict(list)
+    for r in rows:
+        by_flag[r["l_returnflag"]].append((r["x"], r["y"]))
+    for flag, xy in by_flag.items():
+        n = len(xy)
+        sx = sum(x for x, _ in xy)
+        sy = sum(y for _, y in xy)
+        sxy = sum(x * y for x, y in xy)
+        sxx = sum(x * x for x, _ in xy)
+        syy = sum(y * y for _, y in xy)
+        g = got[flag]
+        assert (g["n"], g["sx"], g["sy"], g["sxx"], g["syy"], g["sxy"]) == (
+            n, sx, sy, sxx, syy, sxy
+        )
+        corr = (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+        # the generated quantity and price are independent draws, so the
+        # statistic itself is near zero — the CHECK is the bit-level
+        # formula agreement, not a domain effect
+        assert -1 <= corr <= 1
+        assert abs(g["corr_xy"] - corr) < 1e-12
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert abs(g["regr_slope"] - slope) < 1e-12

@@ -88,6 +88,7 @@ _GRADE_FIRST = [
     "audit_dq_expectations",
     "join_asof_forward",
     "agg_corr_regression",
+    "events_stream_late_data_drop",
     # round-5 TPC-H completion set (suite now 22/22), no driver row yet
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",

@@ -620,3 +620,160 @@ def events_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> Da
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
     return _run_to_memory(joined, "append")
 
+
+
+def _stage_late_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as THREE ordered stream batches (mtime-pinned):
+    b0 = even event_ids plus the single globally-latest event (so the
+    watermark after b0 is already max(ts) − delay), b1 = the recent odd
+    rows (< 1 h old — all inside the un-emittable horizon), b2 = the
+    OLD odd rows — every one targeting a window that b1's cycle already
+    emitted and evicted, i.e. genuinely late data. Fingerprint-keyed
+    like every staged source."""
+    from pyspark_xgboost_spark.sources import load_table
+    from pyspark_xgboost_spark.sources.formats import (
+        _SCRATCH,
+        gc_stale_siblings,
+        src_fingerprint,
+    )
+
+    key = sf_dir.strip("/").replace("/", "_")
+    parent = os.path.join(_SCRATCH, key)
+    leaf = f"events_late3_{src_fingerprint(sf_dir, 'events')}"
+    gc_stale_siblings(parent, "events_late3_", leaf)
+    root = os.path.join(parent, leaf)
+    if not os.path.exists(os.path.join(root, "_DONE")):
+        import glob
+        import shutil
+        import time as _time
+
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(os.path.join(root, "in"))
+        ev = load_table(spark, sf_dir, "events")
+        mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        aid = (
+            ev.filter(F.col("ts") == mx)
+            .agg(F.min("event_id").alias("a"))
+            .collect()[0]["a"]
+        )
+        import datetime as _dt
+
+        recent = mx - _dt.timedelta(hours=1)
+        horizon = mx - _dt.timedelta(hours=2)
+        win_end = F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
+        base0 = ev.filter(
+            (F.col("event_id") % 2 == 0) | (F.col("event_id") == aid)
+        )
+        # state groups batch 0 creates — a late row only hits the
+        # DROP path if its (window, type) group was created AND
+        # evicted; a late row for a never-seen group builds fresh
+        # state instead (observed Spark behavior, pinned in tests)
+        g0 = base0.select(
+            F.date_trunc("hour", F.col("ts")).alias("g_w"),
+            F.col("event_type").alias("g_t"),
+        ).distinct()
+        odd = ev.filter(
+            (F.col("event_id") % 2 == 1) & (F.col("event_id") != aid)
+        )
+        late = (
+            odd.filter(win_end <= F.lit(horizon))
+            .join(
+                g0,
+                (F.date_trunc("hour", F.col("ts")) == F.col("g_w"))
+                & (F.col("event_type") == F.col("g_t")),
+                "left_semi",
+            )
+        )
+        recent_odds = odd.filter(F.col("ts") > F.lit(recent))
+        cols = ev.columns
+        rest = odd.exceptAll(late.select(*cols)).exceptAll(
+            recent_odds.select(*cols)
+        )
+        parts = [
+            base0.select(*cols).unionByName(rest.select(*cols)),
+            recent_odds.select(*cols),
+            late.select(*cols),
+        ]
+        now = _time.time()
+        for i, part in enumerate(parts):
+            tmp = os.path.join(root, f"tmp{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(root, "in", f"batch-{i:03d}.parquet")
+            os.rename(src, dst)
+            # pin mtimes so the file source's (modTime, path) order IS
+            # the intended batch order
+            os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+            shutil.rmtree(tmp, ignore_errors=True)
+        with open(os.path.join(root, "_DONE"), "w") as fh:
+            fh.write("ok")
+    return root
+
+
+@register(
+    "events_stream_late_data_drop",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    anchor AS (
+      SELECT min(event_id) AS aid FROM events, mx WHERE ts = m
+    ),
+    g0 AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS g_w, event_type AS g_t
+      FROM events, mx, anchor
+      WHERE event_id % 2 = 0 OR event_id = aid
+    )
+    SELECT date_trunc('hour', e.ts) AS w_start,
+           e.event_type,
+           count(*) AS n
+    FROM events e, mx, anchor
+    WHERE date_trunc('hour', e.ts) + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+      AND NOT (
+        e.event_id % 2 = 1 AND e.event_id <> aid
+        AND EXISTS (SELECT 1 FROM g0
+                    WHERE g_w = date_trunc('hour', e.ts)
+                      AND g_t = e.event_type)
+      )
+    GROUP BY 1, 2
+    """,
+)
+def events_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-DATA DROP, pinned end-to-end across MULTIPLE micro-batches:
+    an append-mode tumbling aggregate consumes three ordered batches
+    (maxFilesPerTrigger=1) — batch 0 carries the even rows plus the
+    globally-latest event, so the watermark jumps straight to
+    max(ts) − 2 h; batch 1's cycle then emits and EVICTS every window
+    whose end ≤ that watermark; batch 2 delivers the old odd rows,
+    every one targeting an already-evicted window → genuinely dropped
+    (tests assert numRowsDroppedByWatermark > 0; the single-batch
+    events_stream_file_sink can never exercise this path, because
+    same-batch "late" rows still find live state — an observed Spark
+    subtlety this operator documents).
+
+    The oracle encodes the full contract: emitted windows are those
+    with end ≤ max(ts) − 2 h, and their counts contain ONLY batch-0
+    rows — batch 1's recent rows live beyond the horizon and never
+    emit, batch 2's old rows are dropped. At scale this is the
+    guarantee that a replayed/backfilled partition of stale events
+    cannot corrupt already-published windows."""
+    root = _stage_late_batches(spark, sf_dir)
+    physical = spark.read.parquet(
+        os.path.join(root, "in", "batch-000.parquet")
+    ).schema
+    raw = (
+        spark.readStream.schema(physical)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "in"))
+    )
+    ev = normalize_event_ts(raw).withWatermark("ts", "2 hours")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_state_partitions(spark)))
+    try:
+        agg = ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(F.count("*").alias("n"))
+        out = agg.select(
+            F.col("w.start").alias("w_start"), "event_type", "n"
+        )
+        return _run_to_memory(out, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

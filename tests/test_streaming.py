@@ -166,3 +166,71 @@ def test_stream_restart_processes_only_new_files(spark, tmp_path):
     back = spark.read.parquet(sink)
     assert back.count() == n_first + n_second  # nothing reprocessed
     assert back.select("event_id").distinct().count() == n_first + n_second
+
+
+def test_late_data_drop_really_drops(spark, tmp_path):
+    """The third staged batch must be rejected BY THE WATERMARK — the
+    numRowsDroppedByWatermark metric proves the eviction path ran
+    (same-batch late rows never exercise it; see the operator doc)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_xgboost_spark.sources import normalize_event_ts
+    from pyspark_xgboost_spark.streaming.stream import (
+        _stage_late_batches,
+        _state_partitions,
+    )
+
+    root = _stage_late_batches(spark, SF_DIR)
+    physical = spark.read.parquet(
+        os.path.join(root, "in", "batch-000.parquet")
+    ).schema
+    raw = (
+        spark.readStream.schema(physical)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "in"))
+    )
+    ev = normalize_event_ts(raw).withWatermark("ts", "2 hours")
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_state_partitions(spark)))
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("late_drop_probe")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = sum(
+            so.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for so in p["stateOperators"]
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # dropped = exactly the old odd rows whose WINDOW was already
+    # emitted+evicted (end <= max(ts) - 2h); the handful landing in
+    # still-open windows are absorbed into live state instead (and
+    # never emitted, so the result is unaffected either way)
+    # batch 2 targets only already-evicted groups (window end <= wm,
+    # group present in batch 0). Observed: the vast majority hits the
+    # drop path; a handful is instead absorbed into fresh state that
+    # is NEVER emitted (the watermark no longer advances) — either
+    # fate is result-neutral, which the oracle gate pins. Here we
+    # assert the drop path genuinely ran and nothing re-emitted.
+    n_late = spark.read.parquet(
+        os.path.join(root, "in", "batch-002.parquet")
+    ).count()
+    assert n_late > 0
+    assert 0 < dropped <= n_late
+    sink = spark.sql(
+        "SELECT window.start AS ws, event_type FROM late_drop_probe"
+    ).collect()
+    keys = [(r["ws"], r["event_type"]) for r in sink]
+    assert len(keys) == len(set(keys))  # no window emitted twice

@@ -490,3 +490,15 @@ def test_corr_regression_matches_python_and_builtin_approx(spark):
         assert abs(g["corr_xy"] - corr) < 1e-12
         slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
         assert abs(g["regr_slope"] - slope) < 1e-12
+
+
+def test_query_catalog_is_current():
+    """QUERIES.md is generated from the registry — regenerate with
+    tools/gen_catalog.py whenever an operator is added/renamed."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import gen_catalog
+
+    with open("/root/repo/QUERIES.md") as fh:
+        assert fh.read() == gen_catalog.render()

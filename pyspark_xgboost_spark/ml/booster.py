@@ -69,17 +69,49 @@ def _softmax(m: np.ndarray) -> np.ndarray:
 
 
 class _Objective:
-    """margin layout: (n,) for single-output, (n, K) for multiclass."""
+    """margin layout: (n,) for single-output, (n, K) for multiclass.
 
-    def __init__(self, name: str, num_class: int):
-        if name not in ("reg:squarederror", "binary:logistic", "multi:softprob"):
+    Regression objectives beyond squared error mirror what reference
+    users reached through the kwargs passthrough (O19 — the reference
+    forwarded ``objective``/``quantile_alpha`` verbatim to xgboost):
+    ``reg:absoluteerror`` (MAE; hess≈1 like xgboost's own
+    approximation) and ``reg:quantileerror`` (pinball loss at
+    ``quantile_alpha`` — the conditional-quantile / prediction-interval
+    workhorse). Both have CONSTANT-magnitude gradients, so each round
+    moves a leaf ≈ learning_rate toward the target — convergence is
+    linear from ``base_score``: start it near the label's center
+    (median) and budget n_estimators ≳ |target − base_score| /
+    learning_rate (xgboost 2.x refines quantile leaves adaptively; the
+    linear schedule is the honest simple kernel form, pinned by
+    coverage tests)."""
+
+    _SUPPORTED = (
+        "reg:squarederror",
+        "reg:absoluteerror",
+        "reg:quantileerror",
+        "binary:logistic",
+        "multi:softprob",
+    )
+
+    def __init__(self, name: str, num_class: int, quantile_alpha: float = 0.5):
+        if name not in self._SUPPORTED:
             raise ValueError(f"unsupported objective {name!r}")
         self.name = name
         self.num_class = num_class if name == "multi:softprob" else 1
+        if not (0.0 < quantile_alpha < 1.0):
+            raise ValueError(f"quantile_alpha must be in (0, 1), got {quantile_alpha}")
+        self.quantile_alpha = float(quantile_alpha)
 
     def grad_hess(self, margin: np.ndarray, y: np.ndarray):
         if self.name == "reg:squarederror":
             return margin - y, np.ones_like(margin)
+        if self.name == "reg:absoluteerror":
+            return np.sign(margin - y), np.ones_like(margin)
+        if self.name == "reg:quantileerror":
+            a = self.quantile_alpha
+            # d/dm of pinball: -a while under-predicting, (1-a) once over
+            g = np.where(y > margin, -a, 1.0 - a)
+            return g, np.ones_like(margin)
         if self.name == "binary:logistic":
             p = _sigmoid(margin)
             return p - y, np.maximum(p * (1.0 - p), 1e-16)
@@ -91,7 +123,7 @@ class _Objective:
         return g, h
 
     def margin_to_output(self, margin: np.ndarray) -> np.ndarray:
-        if self.name == "reg:squarederror":
+        if self.name.startswith("reg:"):
             return margin
         if self.name == "binary:logistic":
             return _sigmoid(margin)
@@ -100,12 +132,14 @@ class _Objective:
     def default_metric(self) -> str:
         return {
             "reg:squarederror": "rmse",
+            "reg:absoluteerror": "mae",
+            "reg:quantileerror": "quantile",
             "binary:logistic": "logloss",
             "multi:softprob": "mlogloss",
         }[self.name]
 
 
-def _eval_metric_parts(metric, margin, y, w) -> tuple[float, float]:
+def _eval_metric_parts(metric, margin, y, w, quantile_alpha: float = 0.5) -> tuple[float, float]:
     """(weighted loss sum, weight sum) — allreduce-able across workers."""
     if len(y) == 0:
         return 0.0, 0.0
@@ -113,6 +147,13 @@ def _eval_metric_parts(metric, margin, y, w) -> tuple[float, float]:
     sw = float(w.sum())
     if metric == "rmse":
         return float((w * (margin - y) ** 2).sum()), sw
+    if metric == "mae":
+        return float((w * np.abs(margin - y)).sum()), sw
+    if metric == "quantile":
+        a = quantile_alpha
+        diff = y - margin
+        pin = np.where(diff >= 0, a * diff, (a - 1.0) * diff)
+        return float((w * pin).sum()), sw
     if metric == "logloss":
         p = np.clip(_sigmoid(margin), 1e-15, 1 - 1e-15)
         return float(-(w * (y * np.log(p) + (1 - y) * np.log(1 - p))).sum()), sw
@@ -123,7 +164,9 @@ def _eval_metric_parts(metric, margin, y, w) -> tuple[float, float]:
 
 
 def _eval_metric(metric, obj, margin, y, w, comm=None) -> float:
-    num, den = _eval_metric_parts(metric, margin, y, w)
+    num, den = _eval_metric_parts(
+        metric, margin, y, w, getattr(obj, "quantile_alpha", 0.5)
+    )
     if comm is not None and getattr(comm, "n_workers", 1) > 1:
         num, den = comm.allreduce_sum(np.array([num, den]))
     if den == 0:
@@ -468,6 +511,7 @@ DEFAULT_PARAMS = dict(
     max_bin=256,
     objective="reg:squarederror",
     num_class=0,
+    quantile_alpha=0.5,
     base_score=0.5,
     missing=float("nan"),
     early_stopping_rounds=0,
@@ -696,7 +740,9 @@ def train(
     y = np.asarray(y, dtype=np.float64)
     w = None if sample_weight is None else np.asarray(sample_weight, dtype=np.float64)
 
-    obj = _Objective(p["objective"], int(p["num_class"] or 0))
+    obj = _Objective(
+        p["objective"], int(p["num_class"] or 0), float(p.get("quantile_alpha", 0.5))
+    )
     K = obj.num_class if p["objective"] == "multi:softprob" else 1
     missing = float(p["missing"])
 

@@ -293,7 +293,17 @@ class _XgboostEstimator(Estimator, _XgboostParamsBase, MLReadable, MLWritable):
         narrowed, flags = self._select_training_columns(dataset)
         params = self._gen_kernel_params_dict()
         if self._objective_fixed:
-            params["objective"] = self._objective_fixed
+            # a DEFAULT, not an override: the reference forwarded a
+            # user-supplied objective verbatim (O19 kwargs passthrough),
+            # so reg:absoluteerror / reg:quantileerror stay reachable —
+            # but a regressor only accepts regression objectives
+            user_obj = params.get("objective")
+            if user_obj in (None, "reg:squarederror"):
+                params["objective"] = self._objective_fixed
+            elif not str(user_obj).startswith("reg:"):
+                raise ValueError(
+                    f"XgboostRegressor requires a reg:* objective, got {user_obj!r}"
+                )
         params = self._infer_objective(narrowed, params)
 
         init_model = self.getOrDefault(getattr(self, "xgb_model"))

@@ -476,3 +476,60 @@ def test_use_gpu_param(spark):
     ):
         with pytest.raises(RuntimeError, match="GPU"):
             est._validate_params()
+
+
+def test_quantile_and_mae_objectives_reach_kernel(spark):
+    """The reference forwarded user objectives verbatim (O19 kwargs
+    passthrough) — reg:quantileerror / reg:absoluteerror must flow
+    through XgboostRegressor into the kernel, and the fitted quantile
+    models must show the pinball signature: empirical coverage tracks
+    alpha and higher alpha dominates lower."""
+    import numpy as np
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.sql import functions as F
+
+    from pyspark_xgboost_spark.ml.estimator import XgboostRegressor
+    from pyspark_xgboost_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice"
+    )
+    assembled = VectorAssembler(
+        inputCols=["l_discount", "l_tax"], outputCol="features"
+    ).transform(li.withColumn("label", F.col("l_quantity")))
+    med = float(np.median([r["label"] for r in assembled.select("label").collect()]))
+
+    preds = {}
+    for a in (0.2, 0.8):
+        model = XgboostRegressor(
+            objective="reg:quantileerror",
+            quantile_alpha=a,
+            n_estimators=200,
+            max_depth=3,
+            learning_rate=0.3,
+            base_score=med,
+        ).fit(assembled)
+        rows = model.transform(assembled).select("label", "prediction").collect()
+        cov = sum(r["label"] <= r["prediction"] for r in rows) / len(rows)
+        preds[a] = (cov, sum(r["prediction"] for r in rows) / len(rows))
+        assert abs(cov - a) < 0.12, (a, cov)
+    assert preds[0.8][1] > preds[0.2][1]  # upper quantile dominates
+
+    mae_model = XgboostRegressor(
+        objective="reg:absoluteerror",
+        n_estimators=60,
+        max_depth=3,
+        learning_rate=0.3,
+        base_score=med,
+    ).fit(assembled)
+    rows = mae_model.transform(assembled).select("label", "prediction").collect()
+    mae = sum(abs(r["label"] - r["prediction"]) for r in rows) / len(rows)
+    # MAE fit must beat the trivial constant-median predictor
+    base = sum(abs(r["label"] - med) for r in rows) / len(rows)
+    assert mae <= base + 1e-9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="reg:\\* objective"):
+        XgboostRegressor(objective="binary:logistic", n_estimators=2).fit(assembled)

@@ -224,9 +224,13 @@ def load_all() -> None:
 
     first = [n for n in _GRADE_FIRST if n in QUERIES]
     cede = [n for n in _CEDE_WINDOW if n in QUERIES]
-    rest = [
+    # sorted, NOT dict-insertion order: a test (or any caller) that
+    # imports an operator module before the first load_all would
+    # otherwise shift these queries' registration order — the grading
+    # order must not depend on who imported what first
+    rest = sorted(
         n for n in QUERIES if n not in _GRADE_FIRST and n not in _CEDE_WINDOW
-    ]
+    )
     order = first + rest + cede
     QUERIES = {n: QUERIES[n] for n in order}
     ORACLES = {n: ORACLES[n] for n in order if n in ORACLES}

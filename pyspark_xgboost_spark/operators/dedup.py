@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pyspark_xgboost_spark.registry import register
 from pyspark_xgboost_spark.sources import load_table
@@ -164,6 +165,33 @@ def _minhash_sql_sig() -> str:
 # bit-identical.
 _MH_BUCKET_CAP = 64
 
+
+def _capped_bucket_ids(
+    df: DataFrame, keys: list[str], id_col: str, cap: int
+) -> DataFrame:
+    """Bucket membership with BOUNDED aggregation state: keep the ``cap``
+    lowest ids per key group BEFORE collecting, so no reduce-side
+    ``collect_list`` buffer ever holds more than ``cap`` elements. A
+    degenerate corpus-wide bucket — a license-header window shared by
+    10⁸ docs, an all-identical band key — costs one row_number sort
+    inside the exchange the groupBy needs anyway, instead of a multi-GB
+    single-key aggregation state (the old
+    ``slice(array_sort(collect_list(id)), 1, cap)`` form capped pair
+    expansion but buffered the FULL membership first). Semantics are
+    identical — ORDER BY id keeps exactly the cap lowest ids, mirroring
+    the oracles' ``row_number() <= cap`` CTEs — so driver hashes are
+    unchanged. The window's partition keys equal the groupBy keys, so
+    Catalyst reuses a single hash exchange for both."""
+    w = Window.partitionBy(*keys).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+
+
 # Shared candidate-pair CTE chain (signatures → bands → capped buckets →
 # distinct pairs); reused by the jaccard-verify oracle so both engines
 # see one definition.
@@ -204,9 +232,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-byte band keys. The earlier union-of-4-bands + self-join version
     recomputed the md5-shingle pipeline 8× (4 band branches × 2 join
     sides) — 50s at sf0.1 vs ~4s for this plan. Each bucket is capped
-    at {_MH_BUCKET_CAP} members (sorted by doc_id, mirrored in the
-    oracle CTE) so a hot bucket on a boilerplate-heavy corpus cannot
-    explode the O(bucket²) pair expansion."""
+    at {_MH_BUCKET_CAP} members BEFORE aggregation (row_number over the
+    band key, lowest doc_ids kept — mirrored in the oracle CTE), so a
+    hot bucket on a boilerplate-heavy corpus can neither explode the
+    O(bucket²) pair expansion nor build unbounded collect_list state:
+    per-key aggregation state is ≤ {_MH_BUCKET_CAP} ids by
+    construction."""
     docs = load_table(spark, sf_dir, "documents")
     return _minhash_candidate_pairs(docs)
 
@@ -232,15 +263,7 @@ def _minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    buckets = (
-        bands.groupBy("band", "key")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list("doc_id")), 1, _MH_BUCKET_CAP
-            ).alias("ids")
-        )
-        .filter(F.size("ids") > 1)
-    )
+    buckets = _capped_bucket_ids(bands, ["band", "key"], "doc_id", _MH_BUCKET_CAP)
     # all (ids[i], ids[j]) i<j pairs; ids sorted so doc_a < doc_b holds
     pairs = F.expr(
         "flatten(transform(ids, (x, i) -> "
@@ -604,9 +627,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     label cell — quadratic once cells grow with the corpus. Now each
     vector gets 16 sign bits against fixed integer hyperplanes, banded
     into 4×4-bit keys: pairing happens only inside (label, band, key)
-    buckets, each additionally capped at {_BUCKET_CAP} members (sorted
-    by vec_id, deterministic in both engines), so the worst-case pair
-    expansion is bounded regardless of corpus size.
+    buckets, each additionally capped at {_BUCKET_CAP} members BEFORE
+    aggregation (row_number pre-filter, lowest vec_ids kept,
+    deterministic in both engines), so both the worst-case pair
+    expansion and the per-key aggregation state are bounded regardless
+    of corpus size.
 
     Scale shape: one scan computes the signature as a single nested
     expression (a per-plane expression forest compiles to a giant
@@ -645,13 +670,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select("vec_id", "label", F.explode(band_structs).alias("bk")).select(
         "vec_id", "label", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    # sorted + sliced ids == the oracle's row_number()<=cap bucket cap
-    buckets = (
-        bands.groupBy("label", "band", "key")
-        .agg(
-            F.slice(F.array_sort(F.collect_list("vec_id")), 1, _BUCKET_CAP).alias("ids")
-        )
-        .filter(F.size("ids") > 1)
+    buckets = _capped_bucket_ids(
+        bands, ["label", "band", "key"], "vec_id", _BUCKET_CAP
     )
     pairs = F.expr(
         "flatten(transform(ids, (x, i) -> "
@@ -835,10 +855,13 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one corpus scan explodes ~len/{_SS_STRIDE} window
     DIGESTS per doc (never window text — 16-byte md5s are what
     shuffles); dedup-within-doc happens before the window hash
-    groupBy; per-hash membership is capped at {_SS_CAP} (sorted by
-    doc_id, mirrored in the oracle) so a corpus-wide boilerplate
-    window cannot go quadratic; the pair count is a map-side-combined
-    groupBy over capped bucket expansions."""
+    groupBy; per-hash membership is capped at {_SS_CAP} BEFORE
+    aggregation (row_number pre-filter, lowest doc_ids kept, mirrored
+    in the oracle) so a corpus-wide boilerplate window — the exact
+    degenerate case this operator exists to find — can neither go
+    quadratic in pairs nor build unbounded aggregation state: per-hash
+    collect state is ≤ {_SS_CAP} ids by construction; the pair count
+    is a map-side-combined groupBy over capped bucket expansions."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= _SS_WIN
     )
@@ -858,11 +881,7 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    buckets = (
-        win.groupBy("h")
-        .agg(F.slice(F.array_sort(F.collect_set("doc_id")), 1, _SS_CAP).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    buckets = _capped_bucket_ids(win, ["h"], "doc_id", _SS_CAP)
     pairs = F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"

@@ -133,6 +133,59 @@ def test_minhash_bucket_cap_bounds_pair_expansion(spark):
     assert all(r.doc_a < r.doc_b < cap for r in pairs)
 
 
+def test_lsh_bucket_cap_bounds_aggregation_state(spark):
+    """The cap must be applied BEFORE collect_list (row_number window
+    filter), so no aggregation buffer ever holds more than `cap` ids —
+    a corpus-wide degenerate bucket is a bounded state, not an OOM.
+    Checks both the semantics (cap lowest ids survive) and the plan
+    (a row_number Window sits below the Aggregate)."""
+    from pyspark_xgboost_spark.operators.dedup import _capped_bucket_ids
+
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(100)] + [("cold", 0), ("cold", 1)],
+        "key string, id long",
+    )
+    buckets = _capped_bucket_ids(df, ["key"], "id", 8)
+    got = {r.key: r.ids for r in buckets.collect()}
+    assert got == {"hot": list(range(8)), "cold": [0, 1]}
+    plan = buckets._jdf.queryExecution().optimizedPlan().toString()
+    win_pos = plan.find("row_number")
+    agg_pos = plan.find("collect_list")
+    assert win_pos != -1 and agg_pos != -1
+    # optimizedPlan prints top-down: the Aggregate (collect_list) must
+    # appear ABOVE the Window (row_number) — i.e. the cap runs first
+    assert agg_pos < win_pos
+
+
+def test_substring_dedup_degenerate_identical_corpus(spark):
+    """A corpus where EVERY doc is the same text (every window hash is a
+    corpus-wide hot bucket — the case that OOMed the old post-agg cap
+    form at scale) must produce exactly C(_SS_CAP, 2) pairs over the
+    _SS_CAP lowest doc_ids, each sharing every strided window."""
+    from pyspark_xgboost_spark.operators import dedup
+
+    text = "x" * (dedup._SS_WIN + 2 * dedup._SS_STRIDE)  # 3 windows, identical
+    n = dedup._SS_CAP * 4
+
+    def fake_load(spark_, sf_dir_, table):
+        return spark_.createDataFrame(
+            [(i, text) for i in range(n)], "doc_id long, text string"
+        )
+
+    orig = dedup.load_table
+    dedup.load_table = fake_load
+    try:
+        rows = dedup.dedup_substring_exact(spark, "unused").collect()
+    finally:
+        dedup.load_table = orig
+    cap = dedup._SS_CAP
+    assert len(rows) == cap * (cap - 1) // 2
+    assert all(r.doc_a < r.doc_b < cap for r in rows)
+    # all windows of an all-'x' doc hash identically -> ONE distinct
+    # window hash per doc, so each surviving pair shares exactly 1
+    assert all(r.n_shared_windows == 1 for r in rows)
+
+
 def test_connected_components_transitive_closure(spark):
     """dedup_groups_connected must group by TRANSITIVE closure: a chain
     of near-identical docs where the endpoints never collide in a band

@@ -220,12 +220,18 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
+    # key order matters: the driver archives only the TAIL of stdout, so
+    # the headline total goes LAST — the big per-query map gets truncated
+    # first, the summary scalars survive any tail window (r04/r05 lost
+    # the total to truncation with value-first ordering)
     out = {
         "metric": "headline_queries_total",
-        "value": round(sum(t for t in timings.values() if t is not None), 3),
-        "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "unit": "sec",
+        "n_queries": sum(1 for t in timings.values() if t is not None),
+        "n_failed": sum(1 for t in timings.values() if t is None),
+        "value": round(sum(t for t in timings.values() if t is not None), 3),
     }
     print(json.dumps(out))
     spark.stop()

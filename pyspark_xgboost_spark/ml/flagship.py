@@ -23,11 +23,8 @@ def _auto_num_workers(spark: SparkSession, cap: int = 8) -> int:
     return max(1, min(cap, spark.sparkContext.defaultParallelism // 4))
 
 
-def ml_fit_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Predict l_extendedprice from lineitem numerics with the native
-    GBT regressor (distributed barrier training when slots allow — 3×
-    faster than single-worker at sf0.1); returns keys + label +
-    prediction."""
+def fit_regressor(spark: SparkSession, sf_dir: str):
+    """Fit the flagship regressor; returns (model, assembled input)."""
     from pyspark_xgboost_spark.ml.estimator import XgboostRegressor
 
     keep = dict.fromkeys(["l_orderkey", "l_linenumber", *FEATURES, "l_extendedprice"])
@@ -41,14 +38,22 @@ def ml_fit_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         learning_rate=0.3,
         num_workers=_auto_num_workers(spark),
     )
-    model = reg.fit(assembled)
+    return reg.fit(assembled), assembled
+
+
+def ml_fit_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict l_extendedprice from lineitem numerics with the native
+    GBT regressor (distributed barrier training when slots allow — 3×
+    faster than single-worker at sf0.1); returns keys + label +
+    prediction."""
+    model, assembled = fit_regressor(spark, sf_dir)
     return model.transform(assembled).select(
         "l_orderkey", "l_linenumber", "label", "prediction"
     )
 
 
-def ml_fit_predict_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-class classification of l_returnflag from lineitem numerics."""
+def fit_classifier(spark: SparkSession, sf_dir: str):
+    """Fit the flagship classifier; returns (model, assembled input)."""
     from pyspark.ml.feature import StringIndexer
 
     from pyspark_xgboost_spark.ml.estimator import XgboostClassifier
@@ -60,6 +65,12 @@ def ml_fit_predict_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = XgboostClassifier(
         n_estimators=10, max_depth=4, num_workers=_auto_num_workers(spark)
     ).fit(assembled)
+    return model, assembled
+
+
+def ml_fit_predict_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-class classification of l_returnflag from lineitem numerics."""
+    model, assembled = fit_classifier(spark, sf_dir)
     return model.transform(assembled).select(
         "l_orderkey", "l_linenumber", "label", "prediction"
     )

@@ -60,6 +60,84 @@ def ml_fit_predict_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ml_fit_predict_classifier(spark, sf_dir)
 
 
+@register(
+    "ml_fit_predict_stats",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_pred_finite,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS label_cents,
+           'reg:squarederror' AS objective
+    FROM lineitem
+    """,
+)
+def ml_fit_predict_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level attestation for the GBT regressor: the iterative fit
+    itself is not SQL-expressible (value-level goldens live in pytest,
+    atol=1e-3), but this aggregate over the scored output IS
+    oracle-hashable. ``n_pred_finite == n_rows`` attests the model
+    trained and emitted a finite prediction for every input row (a
+    diverged fit — NaN/Inf leaf values — reds the driver row);
+    ``label_cents`` pins the exact input the fit consumed (integer
+    cents, engine-exact); ``objective`` is echoed from the FITTED
+    booster, not a literal, attesting the objective plumbing
+    (reference xgboost_core.py:229-233) end-to-end."""
+    from pyspark_xgboost_spark.ml.flagship import fit_regressor
+
+    model, assembled = fit_regressor(spark, sf_dir)
+    scored = model.transform(assembled)
+    pred = F.col("prediction")
+    finite = pred.isNotNull() & ~F.isnan(pred) & (F.abs(pred) < F.lit(float("inf")))
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(finite, 1).otherwise(0)).cast("bigint").alias("n_pred_finite"),
+        F.sum(F.round(F.col("label") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("label_cents"),
+    ).select(
+        "n_rows",
+        "n_pred_finite",
+        "label_cents",
+        F.lit(model.get_booster().objective).alias("objective"),
+    )
+
+
+@register(
+    "ml_fit_predict_classifier_stats",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_pred_valid_class,
+           CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_classes,
+           'multi:softprob' AS objective
+    FROM lineitem
+    """,
+)
+def ml_fit_predict_classifier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier twin of ml_fit_predict_stats: every prediction must be
+    a valid class index (argmax over the softprob vector — anything
+    else reds the row), the model's inferred ``numClasses`` must equal
+    the data's distinct label count (DuckDB computes it independently
+    from l_returnflag), and the auto-selected multi-class objective
+    (reference xgboost_core.py:229-233: >2 classes → multi:softprob)
+    is echoed from the fitted booster."""
+    from pyspark_xgboost_spark.ml.flagship import fit_classifier
+
+    model, assembled = fit_classifier(spark, sf_dir)
+    scored = model.transform(assembled)
+    k = model.numClasses
+    pred = F.col("prediction")
+    valid = pred.isin([float(i) for i in range(k)])
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(valid, 1).otherwise(0)).cast("bigint").alias("n_pred_valid_class"),
+    ).select(
+        "n_rows",
+        "n_pred_valid_class",
+        F.lit(k).cast("bigint").alias("n_classes"),
+        F.lit(model.get_booster().objective).alias("objective"),
+    )
+
+
 @register("approx_distinct")
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB-scale variant of O4: HyperLogLog++ instead of an exact

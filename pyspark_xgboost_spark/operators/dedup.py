@@ -93,9 +93,9 @@ _A = (1299721, 2750161, 4256233, 5800079, 7368787, 8960453, 10570841, 12195257)
 _B = (104729, 224737, 350377, 479909, 611953, 746773, 882377, 1020379)
 
 
-def _minhash_signature_df(docs: DataFrame) -> DataFrame:
-    """doc_id + 8 minhashes (bigint) over word 3-gram shingles: base =
-    first 8 md5 hex digits as uint32, then (A[k]*base + B[k]) mod M."""
+def _shingle_bases_df(docs: DataFrame) -> DataFrame:
+    """doc_id + uint32 hash bases of word 3-gram shingles (ONE md5 per
+    shingle; all minhash variants mix these with integer arithmetic)."""
     toks = F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')")
     out = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
     shingles = F.expr(
@@ -107,7 +107,13 @@ def _minhash_signature_df(docs: DataFrame) -> DataFrame:
     bases = F.expr(
         "transform(shingles, s -> cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))"
     )
-    out = out.select("doc_id", bases.alias("bases"))
+    return out.select("doc_id", bases.alias("bases"))
+
+
+def _minhash_signature_df(docs: DataFrame) -> DataFrame:
+    """doc_id + 8 minhashes (bigint) over word 3-gram shingles: base =
+    first 8 md5 hex digits as uint32, then (A[k]*base + B[k]) mod M."""
+    out = _shingle_bases_df(docs)
 
     def mix(k: int):
         # ONE-parameter lambda (a two-parameter lambda would become an
@@ -129,13 +135,7 @@ _HEX_TO_INT_SQL = " + ".join(
 )
 
 
-def _minhash_sql_sig() -> str:
-    """DuckDB CTE mirroring _minhash_signature_df bit-for-bit."""
-    hs = ",\n           ".join(
-        f"list_min(list_transform(bases, x -> (x * {_A[k]} + {_B[k]}) % {_M})) AS h{k}"
-        for k in range(_N_HASHES)
-    )
-    return f"""
+_SHINGLE_BASES_SQL = f"""
     toks AS (
       SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
       FROM documents
@@ -150,7 +150,16 @@ def _minhash_sql_sig() -> str:
       SELECT doc_id,
              list_transform(shingles, s -> CAST({_HEX_TO_INT_SQL} AS BIGINT)) AS bases
       FROM sh
-    ),
+    )"""
+
+
+def _minhash_sql_sig() -> str:
+    """DuckDB CTE mirroring _minhash_signature_df bit-for-bit."""
+    hs = ",\n           ".join(
+        f"list_min(list_transform(bases, x -> (x * {_A[k]} + {_B[k]}) % {_M})) AS h{k}"
+        for k in range(_N_HASHES)
+    )
+    return f"""{_SHINGLE_BASES_SQL},
     sig AS (
       SELECT doc_id,
            {hs}
@@ -960,4 +969,108 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(cab * 10000) / 10000).alias("cont_ab"),
             (F.floor(cba * 10000) / 10000).alias("cont_ba"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# High-precision MinHash: 128 hashes / 16 bands of 8
+# --------------------------------------------------------------------------
+
+# 16 bands of 8 rows -> LSH s-curve threshold (1/16)^(1/8) ~ 0.71: a
+# high-PRECISION companion to dedup_minhash's 4x2 banding (threshold
+# ~0.5) — same corpus, same shingle bases, a 16x longer signature that
+# admits far fewer sub-0.7-jaccard false candidates. Per-k constants are
+# DERIVED ARITHMETICALLY (a(k) = A0 + k*dA, b(k) = B0 + k*dB) so the
+# whole signature is ONE nested lambda over sequence(0,127) instead of
+# 128 generated column expressions — the 8-hash form's per-column style
+# at 128 hashes would compile a Janino class for tens of seconds.
+# Overflow-safe by construction: bases < 2^32 and a(127) < 2^29, so
+# x*a(k) < 2^61 stays inside signed int64 before the mod.
+_B128_N = 128
+_B128_BANDS = 16
+_B128_ROWS = _B128_N // _B128_BANDS
+_B128_CAP = 64
+_B128_MIX = (
+    f"(x * ({_A[0]} + k * {_A[1]}) + ({_B[0]} + k * {_B[1]})) % {_M}"
+)
+
+
+@register(
+    "dedup_minhash_b128",
+    oracle=f"""
+    WITH {_SHINGLE_BASES_SQL},
+    sig AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, {_B128_N - 1}),
+               k -> list_min(list_transform(bases, x -> {_B128_MIX}))) AS sig
+      FROM based
+    ),
+    bands AS (
+      SELECT s.doc_id, gs.band,
+             array_to_string(
+               list_transform(
+                 list_slice(s.sig, gs.band * {_B128_ROWS} + 1,
+                            (gs.band + 1) * {_B128_ROWS}),
+                 x -> CAST(x AS VARCHAR)), '_') AS key
+      FROM sig s
+      CROSS JOIN (SELECT unnest(generate_series(0, {_B128_BANDS - 1})) AS band) gs
+    ),
+    capped AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id, band, key,
+               row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+        FROM bands
+      ) WHERE rn <= {_B128_CAP}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_b128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-precision MinHash-LSH candidates: 128 minhashes banded as
+    {_B128_BANDS}×{_B128_ROWS} (collision threshold ≈ 0.71 jaccard vs
+    ≈ 0.5 for dedup_minhash's 4×2) — the standard
+    precision/recall dial of banded LSH (Broder '97; MMDS ch.3): more
+    rows per band sharpen the s-curve so boilerplate-similar pairs stop
+    flooding the verify stage, at the cost of missing mid-similarity
+    pairs. Running both forms over the same corpus pins the tradeoff.
+
+    Scale shape: identical to dedup_minhash — the signature adds CPU,
+    not shuffle (still one corpus scan; what shuffles is one band-key
+    row per (doc, band), 16 instead of 4); buckets are capped BEFORE
+    aggregation via the shared row_number pre-filter, so per-key state
+    is ≤ {_B128_CAP} ids. The 128-hash signature is one nested
+    sequence(0,127) lambda over the shared shingle bases — constants
+    derived arithmetically per k, one md5 per shingle total, small
+    generated code."""
+    bases = _shingle_bases_df(load_table(spark, sf_dir, "documents"))
+    sig = bases.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {_B128_N - 1}), "
+            f"k -> array_min(transform(bases, x -> {_B128_MIX})))"
+        ).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_B128_BANDS - 1))).alias("band"),
+        "sig",
+    ).select(
+        "doc_id",
+        "band",
+        F.expr(
+            f"array_join(transform(slice(sig, band * {_B128_ROWS} + 1, "
+            f"{_B128_ROWS}), x -> cast(x as string)), '_')"
+        ).alias("key"),
+    )
+    buckets = _capped_bucket_ids(bands, ["band", "key"], "doc_id", _B128_CAP)
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
     )

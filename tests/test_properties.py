@@ -133,6 +133,33 @@ def test_minhash_bucket_cap_bounds_pair_expansion(spark):
     assert all(r.doc_a < r.doc_b < cap for r in pairs)
 
 
+def test_minhash_b128_identical_docs_always_candidates(spark):
+    """Recall floor for the high-precision 16×8 banding: identical docs
+    share all 128 minhashes, hence every band key, so they MUST pair —
+    and a clearly-dissimilar doc must not pair with either."""
+    from pyspark_xgboost_spark.operators import dedup
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "entirely different words about cabbages and kings here"),
+    ]
+
+    def fake_load(spark_, sf_dir_, table):
+        return spark_.createDataFrame(rows, "doc_id long, text string")
+
+    orig = dedup.load_table
+    dedup.load_table = fake_load
+    try:
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.dedup_minhash_b128(spark, "unused").collect()
+        }
+    finally:
+        dedup.load_table = orig
+    assert pairs == {(0, 1)}
+
+
 def test_lsh_bucket_cap_bounds_aggregation_state(spark):
     """The cap must be applied BEFORE collect_list (row_number window
     filter), so no aggregation buffer ever holds more than `cap` ids —

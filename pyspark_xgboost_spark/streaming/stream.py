@@ -777,3 +777,159 @@ def events_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run_to_memory(out, "append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _stage_merge_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage THREE ordered CDC change batches over ``documents``
+    (mtime-pinned so the file source's (modTime, path) order IS the
+    batch order): b0 = even doc_ids (initial load), b1 = multiples of
+    3, b2 = multiples of 5 — overlapping key sets, so later batches
+    both UPDATE existing keys and INSERT new ones. Each file carries
+    its sequence number as data (the merge must not trust sink-side
+    batch ids for ordering semantics)."""
+    import glob
+    import shutil
+    import time as _time
+
+    from pyspark_xgboost_spark.sources import load_table
+    from pyspark_xgboost_spark.sources.formats import (
+        _SCRATCH,
+        gc_stale_siblings,
+        src_fingerprint,
+    )
+
+    key = sf_dir.strip("/").replace("/", "_")
+    parent = os.path.join(_SCRATCH, key)
+    leaf = f"docs_cdc3_{src_fingerprint(sf_dir, 'documents')}"
+    gc_stale_siblings(parent, "docs_cdc3_", leaf)
+    root = os.path.join(parent, leaf)
+    if not os.path.exists(os.path.join(root, "_DONE")):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(os.path.join(root, "in"))
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        now = _time.time()
+        for i, mod in enumerate((2, 3, 5)):
+            part = docs.filter(F.col("doc_id") % mod == 0).select(
+                "doc_id", F.lit(i).cast("int").alias("seq")
+            )
+            tmp = os.path.join(root, f"tmp{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(root, "in", f"batch-{i:03d}.parquet")
+            os.rename(src, dst)
+            os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+            shutil.rmtree(tmp, ignore_errors=True)
+        with open(os.path.join(root, "_DONE"), "w") as fh:
+            fh.write("ok")
+    return root
+
+
+@register(
+    "stream_merge_upsert_incremental",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, 0 AS seq FROM documents WHERE doc_id % 2 = 0
+      UNION ALL SELECT doc_id, 1 FROM documents WHERE doc_id % 3 = 0
+      UNION ALL SELECT doc_id, 2 FROM documents WHERE doc_id % 5 = 0
+    ),
+    fin AS (
+      SELECT doc_id, max(seq) AS last_batch, count(*) AS times_written
+      FROM ch GROUP BY doc_id
+    )
+    SELECT CAST(last_batch AS BIGINT) AS last_batch,
+           count(*) AS n_docs,
+           CAST(sum(times_written) AS BIGINT) AS writes,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM fin GROUP BY last_batch
+    """,
+)
+def stream_merge_upsert_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZATION: a CDC stream foreachBatch-MERGEd
+    into a parquet-versioned table — the loop that closes the gap
+    between the streaming surface and the warehouse surface
+    (sink_merge_upsert is the single-shot MERGE; this is that MERGE
+    run per micro-batch with last-writer-wins across batches). Each
+    micro-batch full-outer-joins the current table version on the
+    merge key: batch rows win (UPDATE), unmatched batch rows append
+    (INSERT), unmatched table rows persist, and a times_written audit
+    column accumulates — then the merged snapshot becomes the next
+    version (copy-on-write, exactly what a foreachBatch MERGE INTO
+    does against Delta/Iceberg, with versioned directories standing in
+    for the table format's log).
+
+    The oracle states the END STATE after all three batches — per
+    last-writer cohort: surviving key count, total write count, and an
+    id checksum — so a wrong merge (lost update, duplicated insert,
+    batch misordering) cannot hash-match.
+
+    Scale shape: the per-batch join hashes on the merge key with AQE
+    broadcasting the (small) change batch — cost per batch is
+    O(table + batch), the same as any MERGE; state lives in the table
+    itself, not the state store, so the streaming query is stateless
+    and the checkpoint holds only source offsets. Batch sequence comes
+    from the DATA (seq column), not the sink's batch_id."""
+    import shutil
+    import tempfile
+
+    root = _stage_merge_batches(spark, sf_dir)
+    tbl = os.path.join(root, "table")
+    final_marker = os.path.join(tbl, "_FINAL")
+    if not os.path.exists(final_marker):
+        shutil.rmtree(tbl, ignore_errors=True)
+        os.makedirs(tbl)
+        state: dict[str, Any] = {"cur": None}
+
+        def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            # within-batch LWW on the merge key (defensive: each staged
+            # file carries one seq, but a MERGE must be key-unique)
+            b = batch_df.groupBy("doc_id").agg(F.max("seq").alias("seq"))
+            if state["cur"] is None:
+                merged = b.select(
+                    "doc_id",
+                    F.col("seq").alias("last_batch"),
+                    F.lit(1).alias("times_written"),
+                )
+            else:
+                cur = batch_df.sparkSession.read.parquet(state["cur"])
+                merged = (
+                    cur.alias("t")
+                    .join(b.alias("s"), "doc_id", "full_outer")
+                    .select(
+                        "doc_id",
+                        F.coalesce(F.col("s.seq"), F.col("t.last_batch")).alias(
+                            "last_batch"
+                        ),
+                        (
+                            F.coalesce(F.col("t.times_written"), F.lit(0))
+                            + F.when(F.col("s.seq").isNotNull(), 1).otherwise(0)
+                        ).alias("times_written"),
+                    )
+                )
+            nxt = os.path.join(tbl, f"v{batch_id:03d}")
+            merged.write.mode("overwrite").parquet(nxt)
+            state["cur"] = nxt
+
+        q = (
+            spark.readStream.schema("doc_id long, seq int")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(root, "in"))
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="merge_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(final_marker, "w") as fh:
+            fh.write(state["cur"])
+    with open(final_marker) as fh:
+        final_dir = fh.read()
+    fin = spark.read.parquet(final_dir)
+    return fin.groupBy(
+        F.col("last_batch").cast("bigint").alias("last_batch")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("times_written").cast("bigint").alias("writes"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )

@@ -234,3 +234,40 @@ def test_late_data_drop_really_drops(spark, tmp_path):
     ).collect()
     keys = [(r["ws"], r["event_type"]) for r in sink]
     assert len(keys) == len(set(keys))  # no window emitted twice
+
+
+def test_stream_merge_upsert_incremental_chain(spark):
+    """The CDC merge must build one table version per staged batch
+    (v000..v002 — copy-on-write chain), compute last-writer-wins state,
+    and be idempotent on re-run (the _FINAL marker short-circuits)."""
+    import glob
+    import os
+
+    from pyspark_xgboost_spark.streaming.stream import (
+        _stage_merge_batches,
+        stream_merge_upsert_incremental,
+    )
+
+    first = _rowset(
+        stream_merge_upsert_incremental(spark, SF_DIR),
+        ["last_batch", "n_docs", "writes", "id_checksum"],
+    )
+    root = _stage_merge_batches(spark, SF_DIR)
+    versions = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(root, "table", "v*"))
+    )
+    assert versions == ["v000", "v001", "v002"]
+    # doc_id 30 is written by all three batches and ends on batch 2;
+    # verify via the final table itself
+    fin = spark.read.parquet(os.path.join(root, "table", "v002"))
+    r30 = fin.filter("doc_id = 30").collect()
+    assert len(r30) == 1 and r30[0].last_batch == 2 and r30[0].times_written == 3
+    # idempotent re-run: same result, no new versions
+    again = _rowset(
+        stream_merge_upsert_incremental(spark, SF_DIR),
+        ["last_batch", "n_docs", "writes", "id_checksum"],
+    )
+    assert again == first
+    assert sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(root, "table", "v*"))
+    ) == versions

@@ -1346,3 +1346,77 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cov_n / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr_xy"),
         (cov_n / var_x).alias("regr_slope"),
     )
+
+
+@register(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS rf,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    collapsed AS (
+      SELECT rf, price_cents, sum(qty) AS qty
+      FROM w GROUP BY rf, price_cents
+    ),
+    c AS (
+      SELECT rf, price_cents,
+             sum(qty) OVER (PARTITION BY rf ORDER BY price_cents
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(qty) OVER (PARTITION BY rf) AS tw
+      FROM collapsed
+    )
+    SELECT rf AS l_returnflag,
+           CAST(min(tw) AS BIGINT) AS total_weight,
+           min(CASE WHEN cw * 2 >= tw THEN price_cents END) AS p50_cents,
+           min(CASE WHEN cw * 10 >= tw * 9 THEN price_cents END) AS p90_cents
+    FROM c GROUP BY rf
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED percentiles (median and p90 of price, weighted by
+    quantity, per return flag) — the quantile family percentile_approx
+    and exact percentile don't cover: each observation counts with its
+    weight, the estimator every revenue/exposure-weighted SLA needs.
+    Semantics: smallest value whose cumulative weight reaches q·W
+    (left-continuous weighted quantile), stated in exact integers
+    (cw·2 ≥ tw avoids any float q·W), so both engines agree to the
+    cent.
+
+    Scale shape: duplicate values COLLAPSE in a map-side-combinable
+    groupBy before any window runs, so the cumulative-weight window
+    sorts distinct (group, value) pairs, not raw rows — at 100 TB the
+    window input is bounded by value cardinality per group. Both
+    windows and the final aggregate share one hash exchange on the
+    group key."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    collapsed = li.groupBy("rf", "price_cents").agg(F.sum("qty").alias("qty"))
+    cum = (
+        W.partitionBy("rf")
+        .orderBy("price_cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot = W.partitionBy("rf")
+    c = collapsed.select(
+        "rf",
+        "price_cents",
+        F.sum("qty").over(cum).alias("cw"),
+        F.sum("qty").over(tot).alias("tw"),
+    )
+    return c.groupBy(F.col("rf").alias("l_returnflag")).agg(
+        F.min("tw").cast("bigint").alias("total_weight"),
+        F.min(
+            F.when(F.col("cw") * 2 >= F.col("tw"), F.col("price_cents"))
+        ).alias("p50_cents"),
+        F.min(
+            F.when(F.col("cw") * 10 >= F.col("tw") * 9, F.col("price_cents"))
+        ).alias("p90_cents"),
+    )

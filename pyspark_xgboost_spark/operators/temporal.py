@@ -1184,3 +1184,224 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         (F.col("next_purchase_us") - F.col("ts_us")).alias("us_to_next_purchase"),
     )
+
+
+_EWMA_LAGS = 16  # truncation depth: 2^-16 tail weight is below cent resolution
+
+
+@register(
+    "window_ewma",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, event_id, ts_us,
+             least(CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT),
+               {_EWMA_LAGS}) AS m,
+             {" + ".join(
+               f"COALESCE(lag(cents, {k}) OVER (PARTITION BY user_id "
+               f"ORDER BY ts_us, event_id), 0) * {2 ** (_EWMA_LAGS - 1 - k)}"
+               for k in range(_EWMA_LAGS))} AS num_fp
+      FROM w
+    )
+    SELECT user_id, event_id, ts_us, num_fp,
+           CAST(num_fp AS DOUBLE)
+             / (CAST({2 ** _EWMA_LAGS} AS BIGINT)
+                - CAST(pow(2, {_EWMA_LAGS} - m) AS BIGINT)) / 100.0
+             AS ewma
+    FROM lagged
+    """,
+)
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event
+    values (α = 1/2, truncated at {_EWMA_LAGS} lags — the 2^-16 tail is
+    below cent resolution) — the recursive smoother behind online
+    feature engineering and anomaly baselines, which SQL can't express
+    recursively but CAN expand: with α = 1/2 every weight is an exact
+    power of two, so the numerator is an INTEGER fixed-point sum
+    (Σ cents(x_{{t-k}})·2^({_EWMA_LAGS - 1}-k)) that both engines
+    compute bit-identically, and the final value divides two exact
+    integers — one IEEE division, deterministic everywhere. The weight
+    denominator adapts to short histories (first m rows use the first
+    m weights), so the output is a true weighted average from row 1.
+
+    Scale shape: one shuffle hashed on user_id; all {_EWMA_LAGS} lag
+    expressions share ONE window spec, so WindowExec makes a single
+    pass holding {_EWMA_LAGS} rows of state per partition — no
+    self-joins, no per-row arrays. (ts_us, event_id) ordering makes
+    same-microsecond rows deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    num_fp = None
+    for k in range(_EWMA_LAGS):
+        term = F.coalesce(F.lag("cents", k).over(w), F.lit(0)) * F.lit(
+            2 ** (_EWMA_LAGS - 1 - k)
+        )
+        num_fp = term if num_fp is None else num_fp + term
+    m = F.least(F.row_number().over(w).cast("bigint"), F.lit(_EWMA_LAGS))
+    lagged = base.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        m.alias("m"),
+        num_fp.alias("num_fp"),
+    )
+    wsum = F.lit(2**_EWMA_LAGS) - F.pow(F.lit(2), F.lit(_EWMA_LAGS) - F.col("m")).cast(
+        "bigint"
+    )
+    return lagged.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "num_fp",
+        (F.col("num_fp").cast("double") / wsum / 100.0).alias("ewma"),
+    )
+
+
+@register(
+    "temporal_gap_fill_linear",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS hmin,
+             date_trunc('hour', max(ts)) AS hmax
+      FROM events
+    ),
+    hours AS (
+      SELECT unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS h FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT t.event_type, hr.h,
+             COALESCE(a.n, 0) AS n,
+             CASE WHEN a.n IS NULL THEN NULL
+                  ELSE (a.cents * 1000) // a.n END AS avg_mc,
+             CASE WHEN a.n IS NULL THEN NULL
+                  ELSE CAST(epoch_us(hr.h) AS BIGINT) END AS obs_us
+      FROM types t
+      CROSS JOIN hours hr
+      LEFT JOIN agg a ON t.event_type = a.event_type AND hr.h = a.h
+    ),
+    ctx AS (
+      SELECT event_type, h, n, avg_mc,
+             CAST(epoch_us(h) AS BIGINT) AS t_us,
+             last_value(avg_mc IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv_mc,
+             last_value(obs_us IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv_us,
+             first_value(avg_mc IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx_mc,
+             first_value(obs_us IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx_us
+      FROM j
+    )
+    SELECT event_type, t_us AS hour_us, n,
+           CASE WHEN n > 0 THEN avg_mc
+                WHEN pv_mc IS NULL OR nx_mc IS NULL THEN NULL
+                ELSE (pv_mc * (nx_us - t_us) + nx_mc * (t_us - pv_us))
+                     // (nx_us - pv_us)
+           END AS interp_mc
+    FROM ctx
+    """,
+)
+def temporal_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled resample with LINEAR INTERPOLATION — the companion to
+    events_resample_gapfill's LOCF (TimescaleDB's interpolate() vs
+    locf()): each empty hour gets the straight-line value between the
+    surrounding observed hourly averages, weighted by time distance.
+    Hours before the first / after the last observation stay NULL in
+    both engines.
+
+    All arithmetic is integer: hourly averages become floor
+    milli-cents, and the interpolation
+    (pv·(t_next−t) + nx·(t−t_prev)) // (t_next−t_prev) is one integer
+    division — bit-identical across engines, no float drift at hash
+    time. (Spark's ``div`` truncates toward zero, DuckDB's ``//``
+    floors; they agree here because every operand is non-negative —
+    event values are positive and the time weights are ordered-spine
+    differences.)
+
+    Scale shape: identical to the LOCF form — the raw table is scanned
+    ONCE into an O(hours × types) aggregate; the spine, the gap join,
+    and the four IGNORE NULLS context windows all run on the
+    aggregate, partitioned by type. Window state is O(1) per row (last
+    seen / next seen), never a buffered history."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts").cast("timestamp"))
+    hourly = ev.groupBy(F.col("event_type"), hour.alias("h")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min(F.col("ts").cast("timestamp"))).alias("hmin"),
+        F.date_trunc("hour", F.max(F.col("ts").cast("timestamp"))).alias("hmax"),
+    )
+    spine_hours = bounds.select(
+        F.explode(F.expr("sequence(hmin, hmax, interval 1 hour)")).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(spine_hours))
+    j = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.when(
+            F.col("n").isNotNull(), F.expr("(cents * 1000) div n")
+        ).alias("avg_mc"),
+        F.when(F.col("n").isNotNull(), F.unix_micros("h")).alias("obs_us"),
+    )
+    back = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    ctx = j.select(
+        "event_type",
+        "n",
+        "avg_mc",
+        F.unix_micros("h").alias("t_us"),
+        F.last("avg_mc", ignorenulls=True).over(back).alias("pv_mc"),
+        F.last("obs_us", ignorenulls=True).over(back).alias("pv_us"),
+        F.first("avg_mc", ignorenulls=True).over(fwd).alias("nx_mc"),
+        F.first("obs_us", ignorenulls=True).over(fwd).alias("nx_us"),
+    )
+    interp = (
+        F.when(F.col("n") > 0, F.col("avg_mc"))
+        .when(F.col("pv_mc").isNull() | F.col("nx_mc").isNull(), F.lit(None))
+        .otherwise(
+            F.expr(
+                "(pv_mc * (nx_us - t_us) + nx_mc * (t_us - pv_us)) "
+                "div (nx_us - pv_us)"
+            )
+        )
+    )
+    return ctx.select(
+        "event_type",
+        F.col("t_us").alias("hour_us"),
+        "n",
+        interp.alias("interp_mc"),
+    )

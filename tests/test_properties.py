@@ -10,6 +10,7 @@ under test.
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -575,3 +576,66 @@ def test_point_in_time_join_matches_python_interval_lookup(spark):
         expect[prio] += 1
     assert got == dict(expect)
     assert sum(got.values()) + dropped == len(lines)
+
+
+def test_ewma_matches_pandas_ewm(spark):
+    """window_ewma's fixed-point expansion must equal pandas'
+    ewm(alpha=0.5, adjust=True) mean for series shorter than the
+    truncation depth (identical math: normalized (1-α)^k weights)."""
+    import numpy as np
+
+    from pyspark_xgboost_spark.operators import temporal
+
+    vals = [1.00, 5.00, 2.50, 10.00, 0.25, 7.75]
+    rows = [
+        (1, i, f"2024-01-01 0{i}:00:00", v) for i, v in enumerate(vals)
+    ]
+
+    def fake_load(spark_, sf_dir_, table):
+        df = spark_.createDataFrame(
+            rows, "user_id long, event_id long, ts_s string, value double"
+        )
+        return df.select(
+            "user_id", "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        )
+
+    orig = temporal.load_table
+    temporal.load_table = fake_load
+    try:
+        got = {
+            r.event_id: r.ewma
+            for r in temporal.window_ewma(spark, "unused").collect()
+        }
+    finally:
+        temporal.load_table = orig
+    expected = pd.Series(vals).ewm(alpha=0.5, adjust=True).mean()
+    for i in range(len(vals)):
+        assert got[i] == pytest.approx(expected.iloc[i], abs=1e-12)
+
+
+def test_weighted_percentile_handmade(spark):
+    """Weighted median: value 10 with weight 9 vs value 1000 with
+    weight 1 — the unweighted median of the two values is irrelevant;
+    cumulative weight reaches 50% (and 90%) at 10."""
+    from pyspark_xgboost_spark.operators import relational
+
+    rows = [(1, "A", 10.00, 9.0), (2, "A", 1000.00, 1.0)]
+
+    def fake_load(spark_, sf_dir_, table):
+        return spark_.createDataFrame(
+            rows,
+            "l_orderkey long, l_returnflag string, l_extendedprice double, "
+            "l_quantity double",
+        )
+
+    orig = relational.load_table
+    relational.load_table = fake_load
+    try:
+        out = relational.agg_weighted_percentile(spark, "unused").collect()
+    finally:
+        relational.load_table = orig
+    assert len(out) == 1
+    r = out[0]
+    assert r.total_weight == 10
+    assert r.p50_cents == 1000  # 10.00 in cents
+    assert r.p90_cents == 1000  # cw=9, tw=10: 9*10 >= 10*9 holds at 10.00

@@ -156,6 +156,15 @@ HEADLINE = [
     "tpch_q19_discounted_revenue",
     "tpch_q20_potential_promotion",
     "tpch_q21_suppliers_who_kept_orders_waiting",
+    # round 6 additions
+    "dedup_minhash_b128",
+    "stream_merge_upsert_incremental",
+    "ml_fit_predict_stats",
+    "ml_fit_predict_classifier_stats",
+    "window_ewma",
+    "temporal_gap_fill_linear",
+    "agg_weighted_percentile",
+    "join_interval_overlap",
 ]
 
 

@@ -1405,3 +1405,111 @@ def temporal_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         interp.alias("interp_mc"),
     )
+
+
+_CHUNK_US = 3_600_000_000  # 1-hour chunk grid for the interval equi-join
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH act AS (
+      SELECT user_id,
+             CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+             min(CAST(epoch_us(ts) AS BIGINT)) AS a_start,
+             max(CAST(epoch_us(ts) AS BIGINT)) AS a_end
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT min(CAST(epoch_us(ts) AS BIGINT)) // {_CHUNK_US} AS hmin,
+             max(CAST(epoch_us(ts) AS BIGINT)) // {_CHUNK_US} AS hmax
+      FROM events
+    ),
+    incidents AS (
+      SELECT h AS incident_id,
+             h * {_CHUNK_US} AS i_start,
+             h * {_CHUNK_US} + 5400000000 AS i_end
+      FROM (SELECT unnest(generate_series(hmin, hmax)) AS h FROM bounds)
+      WHERE h % 7 = 0
+    )
+    SELECT a.user_id, a.day_us, i.incident_id,
+           least(a.a_end, i.i_end) - greatest(a.a_start, i.i_start)
+             AS overlap_us
+    FROM act a JOIN incidents i
+      ON a.a_start <= i.i_end AND i.i_start <= a.a_end
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP JOIN via chunked equi-join — the scale pattern
+    for the join Spark has no native operator for (two interval sets,
+    match on overlap): daily per-user activity spans [min ts, max ts]
+    against deterministic 90-minute incident windows. A direct theta
+    join is a nested loop (O(n·m) at 100 TB); instead BOTH interval
+    sets explode onto a 1-hour chunk grid (an interval covers
+    start//H..end//H), the join becomes an EQUI-join on the chunk id,
+    and the exact overlap predicate + DISTINCT run on the
+    candidate set — candidates per interval are bounded by its
+    duration in chunks, so the plan is shuffle-hash all the way with
+    no quadratic blowup (the DuckDB oracle states the same semantics
+    as the direct theta join it can afford at oracle scale).
+
+    Overlap is closed-interval (touching endpoints match) and the
+    overlap length least(ends) − greatest(starts) is exact integer
+    microseconds. At scale the chunk width is tuned to median interval
+    length: wider chunks = fewer exploded rows, more false candidates
+    for the exact filter."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    act = ev.groupBy(
+        "user_id",
+        F.unix_micros(F.date_trunc("day", F.col("ts").cast("timestamp"))).alias(
+            "day_us"
+        ),
+    ).agg(F.min(ts_us).alias("a_start"), F.max(ts_us).alias("a_end"))
+    bounds = ev.agg(
+        (F.min(ts_us) / _CHUNK_US).cast("bigint").alias("hmin"),
+        (F.max(ts_us) / _CHUNK_US).cast("bigint").alias("hmax"),
+    )
+    incidents = (
+        bounds.select(F.explode(F.expr("sequence(hmin, hmax)")).alias("h"))
+        .filter(F.col("h") % 7 == 0)
+        .select(
+            F.col("h").alias("incident_id"),
+            (F.col("h") * _CHUNK_US).alias("i_start"),
+            (F.col("h") * _CHUNK_US + 5_400_000_000).alias("i_end"),
+        )
+    )
+    act_chunks = act.select(
+        "user_id",
+        "day_us",
+        "a_start",
+        "a_end",
+        F.explode(
+            F.expr(f"sequence(a_start div {_CHUNK_US}, a_end div {_CHUNK_US})")
+        ).alias("chunk"),
+    )
+    inc_chunks = incidents.select(
+        "incident_id",
+        "i_start",
+        "i_end",
+        F.explode(
+            F.expr(f"sequence(i_start div {_CHUNK_US}, i_end div {_CHUNK_US})")
+        ).alias("chunk"),
+    )
+    cand = act_chunks.join(inc_chunks, "chunk")
+    return (
+        cand.filter(
+            (F.col("a_start") <= F.col("i_end"))
+            & (F.col("i_start") <= F.col("a_end"))
+        )
+        .select(
+            "user_id",
+            "day_us",
+            "incident_id",
+            (
+                F.least(F.col("a_end"), F.col("i_end"))
+                - F.greatest(F.col("a_start"), F.col("i_start"))
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )

@@ -520,3 +520,43 @@ def test_observed_metrics_use_collect_metrics_node(spark):
     assert "CollectMetrics" in plan
     n = observed.count()
     assert obs.get["n"] == n
+
+
+def test_ewma_single_exchange_single_window(spark):
+    """All 16 lag terms + the row_number must fuse into ONE WindowExec
+    over ONE user_id exchange — per-row state is 16 values, never a
+    buffered history or a second shuffle."""
+    from pyspark_xgboost_spark.operators.temporal import window_ewma
+
+    df = window_ewma(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window [") == 1
+
+
+def test_interval_overlap_no_nested_loop(spark):
+    """The chunked equi-join must plan as a hash join (broadcast or
+    shuffled) — never BroadcastNestedLoopJoin, which is exactly what
+    the chunk-grid rewrite exists to avoid."""
+    from pyspark_xgboost_spark.operators.temporal import join_interval_overlap
+
+    plan = plan_of(join_interval_overlap(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+
+
+def test_weighted_percentile_collapses_before_window(spark):
+    """The duplicate-value collapse (map-side combinable HashAggregate)
+    must sit BELOW the cumulative-weight window, bounding the window
+    input by value cardinality."""
+    from pyspark_xgboost_spark.operators.relational import (
+        agg_weighted_percentile,
+    )
+
+    df = agg_weighted_percentile(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # top-down print: the Window node appears before (above) the
+    # collapse HashAggregate with its partial_sum
+    win = plan.find("Window")
+    partial = plan.find("partial_sum")
+    assert win != -1 and partial != -1 and win < partial

@@ -165,6 +165,8 @@ HEADLINE = [
     "temporal_gap_fill_linear",
     "agg_weighted_percentile",
     "join_interval_overlap",
+    "join_lateral_topk",
+    "agg_histogram_fixed_bins",
 ]
 
 

@@ -1420,3 +1420,76 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cw") * 10 >= F.col("tw") * 9, F.col("price_cents"))
         ).alias("p90_cents"),
     )
+
+
+@register(
+    "join_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.c_acctbal_cents
+    FROM nation n, LATERAL (
+      SELECT c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS c_acctbal_cents
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) t
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's DataFrame.lateralJoin — the correlated-subquery-per-row
+    API (SQL LATERAL): for each nation, its top-2 customers by account
+    balance. Registered alongside topk_per_group (the window
+    formulation of the same shape) so BOTH idioms are oracle-pinned;
+    the lateral form is what users port verbatim from
+    LATERAL/CROSS-APPLY warehouse SQL.
+
+    Catalyst decorrelates the per-row subquery (limit → per-group
+    rank) rather than executing it row-at-a-time, so the plan is a
+    join + ranking over one exchange, not N subquery executions —
+    verify with explain(); ties break on custkey for cross-engine
+    determinism, money in exact cents."""
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+    sub = (
+        cust.where(F.col("n_nationkey").outer() == F.col("c_nationkey"))
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(2)
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100, 0)
+            .cast("bigint")
+            .alias("c_acctbal_cents"),
+        )
+    )
+    return nation.lateralJoin(sub).select("n_name", "c_custkey", "c_acctbal_cents")
+
+
+@register(
+    "agg_histogram_fixed_bins",
+    oracle="""
+    SELECT event_type,
+           CAST(least(floor(value / 50), 9) AS BIGINT) AS bin,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (10 bins of width 50,
+    top bin open) — the single-pass data-profiling aggregate behind
+    distribution dashboards and drift monitors. Binning is arithmetic
+    (floor(v/50) clamped), so it map-side-combines into
+    O(types × bins) groups — the shuffle is KB-sized at any input
+    scale, the same property the equal-frequency bucketer's histogram
+    path relies on; both engines compute the identical IEEE division
+    and floor."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("bigint")
+    return ev.groupBy("event_type", bin_.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("sum_cents"),
+    )

@@ -167,6 +167,7 @@ HEADLINE = [
     "join_interval_overlap",
     "join_lateral_topk",
     "agg_histogram_fixed_bins",
+    "dedup_simhash_bands",
 ]
 
 

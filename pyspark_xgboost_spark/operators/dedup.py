@@ -1074,3 +1074,143 @@ def dedup_minhash_b128(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# SQL-expressible SimHash (16-bit) with banded Hamming blocking
+# --------------------------------------------------------------------------
+
+_SH_BITS = 16
+_SH_HAM_MAX = 1  # 64-bit simhash uses <= 3 of 64; 16-bit twin scales to <= 1
+_SH_CAP = 64
+
+
+@register(
+    "dedup_simhash_bands",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')) AS s
+        FROM documents
+      )
+    ),
+    based AS (
+      SELECT doc_id, CAST({_HEX_TO_INT_SQL} AS BIGINT) AS base FROM toks
+    ),
+    sums AS (
+      SELECT doc_id,
+             {", ".join(
+               f"sum(CASE WHEN (base // {2 ** b}) % 2 = 1 THEN 1 ELSE -1 END)"
+               f" AS s{b}" for b in range(_SH_BITS))}
+      FROM based GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id,
+             {" + ".join(
+               f"CASE WHEN s{b} >= 0 THEN {2 ** b} ELSE 0 END"
+               for b in range(_SH_BITS))} AS sig
+      FROM sums
+    ),
+    bands AS (
+      SELECT doc_id, sig, b AS band, (sig // CASE b WHEN 0 THEN 1 WHEN 1 THEN 16
+             WHEN 2 THEN 256 ELSE 4096 END) % 16 AS key
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+    ),
+    capped AS (
+      SELECT doc_id, sig, band, key FROM (
+        SELECT doc_id, sig, band, key,
+               row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+        FROM bands
+      ) WHERE rn <= {_SH_CAP}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+    FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.sig, b.sig)) <= {_SH_HAM_MAX}
+    """,
+)
+def dedup_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates, fully ORACLE-CHECKED (the 64-bit
+    vectorized form stays rows-only; this 16-bit md5-based variant is
+    the SQL-expressible twin, so the driver can hash-verify the
+    algorithm end-to-end): every distinct token votes ±1 on each
+    signature bit by its md5-derived hash bits (Charikar STOC'02),
+    the 16-bit fingerprint splits into 4 nibble bands for Hamming
+    blocking (a pair differing in ≤ 3 bits must leave at least one
+    nibble untouched — pigeonhole over 4 bands), and candidates verify
+    with bit_count(xor) ≤ {_SH_HAM_MAX} (64-bit production simhash
+    uses ≤ 3 of 64; the 16-bit attestation twin scales the ratio).
+
+    Scale shape: the token explode partial-aggregates map-side into 16
+    small integer sums per doc — what shuffles is one 16-counter row
+    per doc, never tokens; band buckets are capped BEFORE aggregation
+    via the shared row_number pre-filter; the verify runs on capped
+    in-bucket pairs only. Signature bits are exact integer sign sums —
+    no float, bit-identical in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')")
+            ).alias("tok"),
+        )
+        .distinct()
+        .select(
+            "doc_id",
+            F.expr(
+                "cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)"
+            ).alias("base"),
+        )
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.col("base") / (2**b)).cast("bigint") % 2 == 1, 1).otherwise(
+                    -1
+                )
+            ).alias(f"s{b}")
+            for b in range(_SH_BITS)
+        ]
+    )
+    sig_expr = None
+    for b in range(_SH_BITS):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(2**b)).otherwise(F.lit(0))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sig = sums.select("doc_id", sig_expr.cast("bigint").alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).select(
+        "doc_id",
+        "sig",
+        "band",
+        F.expr("(sig div cast(pow(16, band) as bigint)) % 16").alias("key"),
+    )
+    w = Window.partitionBy("band", "key").orderBy("doc_id")
+    capped = (
+        bands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _SH_CAP)
+        .drop("_rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    ham = F.bit_count(F.expr("a.sig").bitwiseXOR(F.expr("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= _SH_HAM_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )

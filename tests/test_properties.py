@@ -639,3 +639,29 @@ def test_weighted_percentile_handmade(spark):
     assert r.total_weight == 10
     assert r.p50_cents == 1000  # 10.00 in cents
     assert r.p90_cents == 1000  # cw=9, tw=10: 9*10 >= 10*9 holds at 10.00
+
+
+def test_simhash_bands_identical_docs_hamming_zero(spark):
+    """Identical docs have identical token sets, hence identical sign
+    sums, hence the same 16-bit signature: they MUST pair at hamming 0."""
+    from pyspark_xgboost_spark.operators import dedup
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely different vocabulary concerning maritime navigation signals"),
+    ]
+
+    def fake_load(spark_, sf_dir_, table):
+        return spark_.createDataFrame(rows, "doc_id long, text string")
+
+    orig = dedup.load_table
+    dedup.load_table = fake_load
+    try:
+        got = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in dedup.dedup_simhash_bands(spark, "unused").collect()
+        }
+    finally:
+        dedup.load_table = orig
+    assert got.get((0, 1)) == 0

@@ -168,6 +168,7 @@ HEADLINE = [
     "join_lateral_topk",
     "agg_histogram_fixed_bins",
     "dedup_simhash_bands",
+    "sink_zorder_cluster",
 ]
 
 

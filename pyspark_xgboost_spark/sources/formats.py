@@ -836,3 +836,113 @@ def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("new_era_price_cents"),
         F.count("o_orderpriority").alias("n_with_priority"),
     )
+
+
+# Z-order (Morton) bit interleave over two 16-bit dims, as portable
+# integer arithmetic both engines evaluate identically: bit b of x lands
+# at position 2b, bit b of y at 2b+1.
+_Z_BITS = 16
+
+
+def _z_interleave_sql(x: str, y: str, div: str = "//") -> str:
+    """div: integer-division token — '//' (DuckDB) or 'div' (Spark);
+    operands are non-negative so the two semantics agree."""
+    return " + ".join(
+        f"(({x} {div} {2 ** b}) % 2) * {2 ** (2 * b)}"
+        f" + (({y} {div} {2 ** b}) % 2) * {2 ** (2 * b + 1)}"
+        for b in range(_Z_BITS)
+    )
+
+
+@register(
+    "sink_zorder_cluster",
+    oracle=f"""
+    WITH raw AS (
+      SELECT o_orderkey, o_custkey AS c,
+             date_diff('day', DATE '1970-01-01', o_orderdate) AS d
+      FROM orders
+    ),
+    b AS (
+      SELECT min(c) AS cmin, greatest(max(c) - min(c), 1) AS cspan,
+             min(d) AS dmin, greatest(max(d) - min(d), 1) AS dspan
+      FROM raw
+    ),
+    dims AS (
+      SELECT o_orderkey, c, d,
+             ((c - cmin) * 65535) // cspan AS x,
+             ((d - dmin) * 65535) // dspan AS y
+      FROM raw, b
+    ),
+    z AS (
+      SELECT o_orderkey, c, d,
+             CAST({_z_interleave_sql("x", "y")} AS BIGINT) AS zval
+      FROM dims
+    )
+    SELECT CAST(zval // {2 ** (2 * _Z_BITS - 3)} AS BIGINT) AS zbucket,
+           count(*) AS n,
+           CAST(min(c) AS BIGINT) AS min_custkey,
+           CAST(max(c) AS BIGINT) AS max_custkey,
+           CAST(min(d) AS BIGINT) AS min_day, CAST(max(d) AS BIGINT) AS max_day
+    FROM z GROUP BY 1
+    """,
+)
+def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER CLUSTERING — the OPTIMIZE ZORDER data-layout job every
+    lakehouse runs so multi-dimensional predicates can skip files:
+    interleave the bits of two filter dimensions (customer, order day)
+    into a Morton key, bucket rows by its high bits, and write one
+    partition directory per bucket. Because the curve preserves 2-D
+    locality, each bucket covers a narrow (custkey × day) rectangle —
+    the per-bucket min/max this query returns are exactly the parquet
+    footer stats a scan would prune on for predicates over EITHER
+    dimension (a single-column sort gives this for one dimension
+    only).
+
+    The interleave is pure integer arithmetic (32 mask-and-shift terms
+    generated once), identical in both engines; the bucket id is a
+    fixed power-of-two division of the z value — never a sampled
+    range partitioner, so the layout is deterministic and the oracle
+    states it exactly. Scale shape: one scan, one partitionBy write
+    keyed by 8 buckets (at 100 TB the bucket count scales with target
+    file size), and the stats read-back aggregates the CLUSTERED
+    files."""
+    key = sf_dir.strip("/").replace("/", "_")
+    leaf = f"orders_zorder_{src_fingerprint(sf_dir, 'orders')}"
+    gc_stale_siblings(os.path.join(_SCRATCH, key), "orders_zorder_", leaf)
+    out = os.path.join(_SCRATCH, key, leaf)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        orders = load_table(spark, sf_dir, "orders")
+        raw = orders.select(
+            "o_orderkey",
+            F.col("o_custkey").alias("c"),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+        )
+        b = raw.agg(
+            F.min("c").alias("cmin"),
+            F.greatest(F.max("c") - F.min("c"), F.lit(1)).alias("cspan"),
+            F.min("d").alias("dmin"),
+            F.greatest(F.max("d") - F.min("d"), F.lit(1)).alias("dspan"),
+        )
+        dims = raw.crossJoin(F.broadcast(b)).select(
+            "o_orderkey",
+            "c",
+            "d",
+            F.expr("((c - cmin) * 65535) div cspan").alias("x"),
+            F.expr("((d - dmin) * 65535) div dspan").alias("y"),
+        )
+        z = dims.withColumn(
+            "zval", F.expr(_z_interleave_sql("x", "y", div="div")).cast("bigint")
+        ).withColumn(
+            "zbucket", (F.col("zval") / (2 ** (2 * _Z_BITS - 3))).cast("bigint")
+        )
+        z.write.mode("overwrite").partitionBy("zbucket").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("zbucket").cast("bigint").alias("zbucket")).agg(
+        F.count("*").alias("n"),
+        F.min("c").cast("bigint").alias("min_custkey"),
+        F.max("c").cast("bigint").alias("max_custkey"),
+        F.min("d").cast("bigint").alias("min_day"),
+        F.max("d").cast("bigint").alias("max_day"),
+    )

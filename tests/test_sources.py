@@ -232,3 +232,39 @@ def test_metadata_hidden_column_counts_staged_files(spark):
     )
     assert len(per_file) == 64
     assert sum(r["count"] for r in per_file) == spark.read.parquet(frag).count()
+
+
+def test_zorder_buckets_have_2d_locality(spark):
+    """The Morton-key bucketing must (a) interleave bits exactly like
+    the Python reference and (b) give each bucket a day-range at most
+    ~a quarter of the global span (the top three z bits contain two
+    y-bits), which is precisely the footer-stats pruning win."""
+    from pyspark_xgboost_spark.sources.formats import (
+        _z_interleave_sql,
+        sink_zorder_cluster,
+    )
+
+    # (a) expression == python bit interleave on probe values
+    probes = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame(probes, "x long, y long").selectExpr(
+        "x", "y", f"CAST({_z_interleave_sql('x', 'y', div='div')} AS BIGINT) AS z"
+    )
+
+    def ref(x, y):
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for r in df.collect():
+        assert r.z == ref(r.x, r.y)
+
+    # (b) locality of the written buckets
+    rows = sink_zorder_cluster(spark, SF_DIR).collect()
+    assert len(rows) >= 4
+    gmin = min(r.min_day for r in rows)
+    gmax = max(r.max_day for r in rows)
+    span = gmax - gmin
+    for r in rows:
+        assert (r.max_day - r.min_day) <= span // 4 + 2

@@ -169,6 +169,10 @@ HEADLINE = [
     "agg_histogram_fixed_bins",
     "dedup_simhash_bands",
     "sink_zorder_cluster",
+    "agg_entropy_by_source",
+    "corpus_gini_lengths",
+    "text_html_strip",
+    "doc_chunk_sentences",
 ]
 
 

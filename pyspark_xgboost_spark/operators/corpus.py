@@ -944,3 +944,103 @@ def audit_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nonpositive_len"
         ),
     )
+
+
+@register(
+    "agg_entropy_by_source",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT source, cnt,
+             sum(cnt) OVER (PARTITION BY source) AS total
+      FROM c
+    )
+    SELECT source,
+           CAST(min(total) AS BIGINT) AS n_docs,
+           count(*) AS n_langs,
+           CAST(sum(cnt * CAST(round(ln(CAST(total AS DOUBLE) / cnt) * 1000000)
+                               AS BIGINT)) AS BIGINT) AS entropy_num_unats,
+           CAST(min(total) AS BIGINT) AS entropy_den
+    FROM t GROUP BY source
+    """,
+)
+def agg_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's language mix — the
+    diversity/drift metric corpus dashboards track (a source whose
+    entropy collapses got monocultured by a crawler change). Stated as
+    an exact integer contract: H = entropy_num_unats / entropy_den /
+    1e6 nats, where each log term quantizes to integer micro-nats
+    BEFORE the weighted sum (the same partial-agg-order-proof idiom as
+    the unigram/bigram LM scores).
+
+    Scale shape: one map-side-combined groupBy(source, lang) — the
+    shuffle is dimension-sized — and the entropy terms aggregate the
+    tiny (source × lang) table; the raw corpus is scanned once."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
+    t = c.withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("source"))
+    )
+    term = F.col("cnt") * F.round(
+        F.log(F.col("total").cast("double") / F.col("cnt")) * 1000000
+    ).cast("bigint")
+    return t.groupBy("source").agg(
+        F.min("total").cast("bigint").alias("n_docs"),
+        F.count("*").alias("n_langs"),
+        F.sum(term).cast("bigint").alias("entropy_num_unats"),
+        F.min("total").cast("bigint").alias("entropy_den"),
+    )
+
+
+@register(
+    "corpus_gini_lengths",
+    oracle="""
+    WITH r AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS i,
+             count(*) OVER (PARTITION BY source) AS n,
+             sum(n_chars) OVER (PARTITION BY source) AS sx
+      FROM documents
+    )
+    SELECT source,
+           CAST(min(n) AS BIGINT) AS n_docs,
+           CAST(sum((2 * i - n - 1) * n_chars) AS BIGINT)
+             AS gini_num,
+           CAST(min(n) * min(sx) AS BIGINT) AS gini_den
+    FROM r GROUP BY source
+    """,
+)
+def corpus_gini_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document lengths per source — the
+    inequality metric that flags a source dominated by a few huge
+    documents (or padded with stubs) before it skews a token-budgeted
+    mixture. Exact integer contract: G = gini_num / gini_den with
+    gini_num = Σ(2i−n−1)·x_(i) over the ascending length order and
+    gini_den = n·Σx; rank ties share equal x values, so any tie order
+    yields the same sum — the quantity is partition-order-proof.
+
+    Scale shape: one window pass sorted within each source partition.
+    Exact Gini inherently needs the per-source rank; at 100 TB the
+    stated swap is the same formula over a length HISTOGRAM (rank
+    arithmetic per bucket, like length_bucket_equal_freq_scalable),
+    trading exactness for a bounded sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ws = Window.partitionBy("source")
+    r = docs.select("source", "n_chars", "doc_id").select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(ws).alias("n"),
+        F.sum("n_chars").over(ws).alias("sx"),
+    )
+    return r.groupBy("source").agg(
+        F.min("n").cast("bigint").alias("n_docs"),
+        F.sum(
+            (2 * F.col("i") - F.col("n") - 1) * F.col("n_chars")
+        ).cast("bigint").alias("gini_num"),
+        (F.min("n") * F.min("sx")).cast("bigint").alias("gini_den"),
+    )

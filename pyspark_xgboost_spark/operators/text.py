@@ -409,3 +409,119 @@ def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_punct"),
     )
+
+
+@register(
+    "text_html_strip",
+    oracle="""
+    WITH marked AS (
+      SELECT doc_id,
+             '<p>' || replace(text, ' ', '</p> <p>') || '</p>' AS html
+      FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id, html,
+             regexp_replace(html, '<[^>]*>', '', 'g') AS clean
+      FROM marked
+    )
+    SELECT doc_id,
+           CAST(length(html) AS BIGINT) AS n_chars_html,
+           CAST(length(clean) AS BIGINT) AS n_chars_clean,
+           md5(clean) AS clean_digest
+    FROM stripped
+    """,
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML tag stripping — the first primitive of every web-crawl
+    cleaning chain (WET extraction, boilerplate removal feeds on its
+    output). The corpus ships clean text, so the query deterministically
+    REBUILDS a markup-heavy form (every word wrapped in <p>…</p>) and
+    then strips it with the non-greedy tag regex; the digest proves
+    the strip inverts the markup exactly, and the html/clean char
+    counts quantify the tag overhead a real crawl carries.
+
+    Scale shape: pure map-side string work — one scan, zero shuffles;
+    the regex is character-class-only so RE2 (DuckDB) and Java regex
+    agree byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<p>"),
+        F.regexp_replace(F.col("text"), " ", "</p> <p>"),
+        F.lit("</p>"),
+    )
+    marked = docs.select("doc_id", html.alias("html"))
+    clean = F.regexp_replace(F.col("html"), "<[^>]*>", "")
+    return marked.select(
+        "doc_id",
+        F.length("html").cast("bigint").alias("n_chars_html"),
+        F.length(clean).cast("bigint").alias("n_chars_clean"),
+        F.md5(clean).alias("clean_digest"),
+    )
+
+
+_SENT_CHUNK_CHARS = 240
+
+
+@register(
+    "doc_chunk_sentences",
+    oracle=f"""
+    WITH sents AS (
+      SELECT doc_id, i, s, length(s) AS sl
+      FROM (
+        SELECT doc_id,
+               string_split_regex(text, '\\.\\s+') AS parts
+        FROM documents
+      ), LATERAL (
+        SELECT i, parts[i] AS s
+        FROM unnest(generate_series(1, len(parts))) AS g(i)
+      )
+      WHERE s <> ''
+    ),
+    cum AS (
+      SELECT doc_id, i, sl,
+             sum(sl) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS UNBOUNDED PRECEDING) AS cum_chars
+      FROM sents
+    )
+    SELECT doc_id,
+           CAST((cum_chars - sl) // {_SENT_CHUNK_CHARS} AS BIGINT) AS chunk_id,
+           count(*) AS n_sentences,
+           CAST(sum(sl) AS BIGINT) AS n_chars
+    FROM cum GROUP BY 1, 2
+    """,
+)
+def doc_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SENTENCE-BOUNDARY chunking — the RAG/embedding-window companion
+    to doc_chunk_fixed: documents split at sentence ends ('.' + space)
+    and greedily grouped into ~{_SENT_CHUNK_CHARS}-char chunks that
+    never cut a sentence mid-way (chunk id = floor of the cumulative
+    char count at each sentence's START, so a sentence spanning the
+    boundary belongs to the chunk where it began).
+
+    Scale shape: one scan, one posexplode, one per-doc cumulative
+    window (partitioned on doc_id — each partition is one document's
+    sentence list, so the sort is tiny), map-side-combinable final
+    aggregate. The split regex is RE2-safe (no lookbehind), so both
+    engines segment identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\.\s+")).alias("i0", "s"),
+    ).filter(F.col("s") != "").select(
+        "doc_id", (F.col("i0") + 1).alias("i"), F.length("s").alias("sl")
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = sents.withColumn("cum_chars", F.sum("sl").over(w))
+    chunk = ((F.col("cum_chars") - F.col("sl")) / _SENT_CHUNK_CHARS).cast(
+        "bigint"
+    )
+    return cum.groupBy("doc_id", chunk.alias("chunk_id")).agg(
+        F.count("*").alias("n_sentences"),
+        F.sum("sl").cast("bigint").alias("n_chars"),
+    )

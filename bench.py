@@ -173,6 +173,7 @@ HEADLINE = [
     "corpus_gini_lengths",
     "text_html_strip",
     "doc_chunk_sentences",
+    "scan_xml",
 ]
 
 

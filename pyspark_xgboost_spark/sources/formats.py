@@ -946,3 +946,53 @@ def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").cast("bigint").alias("min_day"),
         F.max("d").cast("bigint").alias("max_day"),
     )
+
+
+@register(
+    "scan_xml",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+    FROM documents
+    GROUP BY source
+    """,
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion via Spark 4's BUILT-IN xml source (spark-xml
+    graduated into core — no external jar): documents round-trip
+    through an XML landing file (one <doc> element per row, written
+    by the XML writer so entity escaping of &, <, > in free text is
+    handled symmetrically) and re-aggregate to the same per-source
+    totals as the clean table — proving the escape/unescape cycle is
+    lossless, which is the failure mode XML feeds actually have.
+
+    Scale shape: the XML reader is a file-per-task scan like any text
+    source; rowTag streaming means elements parse incrementally, not
+    DOM-load the file. The staged landing dir is fingerprint-keyed."""
+    key = sf_dir.strip("/").replace("/", "_")
+    leaf = f"docs_xml_{src_fingerprint(sf_dir, 'documents')}"
+    gc_stale_siblings(os.path.join(_SCRATCH, key), "docs_xml_", leaf)
+    d = os.path.join(_SCRATCH, key, leaf)
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars", "text"
+        )
+        (
+            docs.repartition(4)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "doc")
+            .save(d)
+        )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .load(d)
+    )
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+    )

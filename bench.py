@@ -174,6 +174,7 @@ HEADLINE = [
     "text_html_strip",
     "doc_chunk_sentences",
     "scan_xml",
+    "events_stream_stream_full_outer_join",
 ]
 
 

@@ -622,6 +622,97 @@ def events_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> Da
 
 
 
+@register(
+    "events_stream_stream_full_outer_join",
+    oracle="""
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id AS p_user_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(click_ts) FROM c),
+                        (SELECT max(purchase_ts) FROM p))
+                  - INTERVAL 2 HOUR AS w)
+    SELECT c.click_id, p.purchase_id, c.user_id, p.p_user_id,
+           c.click_ts, p.purchase_ts
+    FROM c JOIN p
+      ON c.user_id = p.p_user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT c.click_id, NULL, c.user_id, NULL, c.click_ts,
+           CAST(NULL AS TIMESTAMP)
+    FROM c, wm
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE p.p_user_id = c.user_id
+        AND p.purchase_ts >= c.click_ts
+        AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    )
+    AND c.click_ts + INTERVAL 1 HOUR < wm.w
+    UNION ALL
+    SELECT NULL, p.purchase_id, NULL, p.p_user_id,
+           CAST(NULL AS TIMESTAMP), p.purchase_ts
+    FROM p, wm
+    WHERE NOT EXISTS (
+      SELECT 1 FROM c
+      WHERE c.user_id = p.p_user_id
+        AND p.purchase_ts >= c.click_ts
+        AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    )
+    AND p.purchase_ts < wm.w
+    """,
+)
+def events_stream_stream_full_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER join — completes the streaming join
+    family (inner and left-outer are registered above): both
+    conversion-less clicks AND orphan purchases (no qualifying click —
+    direct/organic conversions) null-extend. Each side's null row
+    emits exactly when the global watermark proves no match can still
+    arrive: clicks when it passes click_ts + 1h (their match window's
+    far edge), purchases when it passes purchase_ts (a later-arriving
+    click with click_ts ≤ purchase_ts would be below the watermark and
+    dropped as late). The oracle encodes both horizons explicitly —
+    asymmetric bounds, because the event-time range constraint is
+    asymmetric — and rows still inside either horizon at end-of-input
+    are correctly ABSENT. State on both sides is evicted by the same
+    bounds, so state size stays watermark-bounded at any stream
+    length."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+        "full_outer",
+    ).select(
+        "click_id", "purchase_id", "user_id", "p_user_id",
+        "click_ts", "purchase_ts",
+    )
+    return _run_to_memory(joined, "append")
+
+
 def _stage_late_batches(spark: SparkSession, sf_dir: str) -> str:
     """Stage events as THREE ordered stream batches (mtime-pinned):
     b0 = even event_ids plus the single globally-latest event (so the

@@ -175,6 +175,7 @@ HEADLINE = [
     "doc_chunk_sentences",
     "scan_xml",
     "events_stream_stream_full_outer_join",
+    "scan_csv_multiline",
 ]
 
 

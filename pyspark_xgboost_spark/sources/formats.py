@@ -996,3 +996,73 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
         F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
     )
+
+
+@register(
+    "scan_csv_multiline",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(CASE WHEN n_chars % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_newlines
+    FROM documents
+    GROUP BY source
+    """,
+)
+def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline quoted CSV — the classic ingestion trap: fields
+    containing EMBEDDED NEWLINES are legal CSV when quoted, but a
+    line-splitting reader silently shreds each such record into
+    garbage rows. The staging deterministically injects a newline into
+    every 7th-ish document (n_chars % 7), quotes via Spark's CSV
+    writer, and the read-back uses multiLine=true + matching
+    quote/escape so the record COUNT and aggregates reproduce the
+    clean table exactly — a plain read would inflate the row count and
+    red this oracle.
+
+    The documented scale tradeoff: multiLine CSV is NOT splittable
+    (record boundaries can't be found mid-file), so each file is one
+    task — the same land-many-medium-files rule as gzip; fix at first
+    hop by rewriting to parquet. The n_with_newlines column keeps the
+    injected population visible in the contract."""
+    key = sf_dir.strip("/").replace("/", "_")
+    leaf = f"docs_mlcsv_{src_fingerprint(sf_dir, 'documents')}"
+    gc_stale_siblings(os.path.join(_SCRATCH, key), "docs_mlcsv_", leaf)
+    d = os.path.join(_SCRATCH, key, leaf)
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.when(
+                F.col("n_chars") % 7 == 0,
+                F.concat(
+                    F.substring("text", 1, 20),
+                    F.lit("\n"),
+                    F.substring("text", 21, 20),
+                ),
+            )
+            .otherwise(F.substring("text", 1, 40))
+            .alias("snippet"),
+        )
+        (
+            docs.repartition(4)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .option("quoteAll", "true")
+            .csv(d)
+        )
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .schema("doc_id long, source string, n_chars long, snippet string")
+        .csv(d)
+    )
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(
+            F.when(F.col("snippet").contains("\n"), 1).otherwise(0)
+        ).cast("bigint").alias("n_with_newlines"),
+    )

@@ -176,6 +176,8 @@ HEADLINE = [
     "scan_xml",
     "events_stream_stream_full_outer_join",
     "scan_csv_multiline",
+    "scan_version_diff_cdf",
+    "audit_partition_skew",
 ]
 
 

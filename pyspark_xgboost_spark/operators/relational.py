@@ -1493,3 +1493,58 @@ def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("sum_cents"),
     )
+
+
+_SKEW_BUCKETS = 64
+
+
+@register(
+    "audit_partition_skew",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST((strpos('0123456789abcdef',
+                          substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef',
+                           substr(md5(CAST(o_custkey AS VARCHAR)), 2, 1)) - 1
+                  AS BIGINT) % {_SKEW_BUCKETS} AS bucket
+      FROM orders
+    ),
+    per AS (SELECT bucket, count(*) AS n FROM h GROUP BY bucket)
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(min(n) AS BIGINT) AS min_rows,
+           CAST(max(n) AS BIGINT) AS max_rows,
+           CAST(sum(n) AS BIGINT) AS total_rows,
+           CAST(max(n) * {_SKEW_BUCKETS} AS BIGINT) AS skew_num,
+           CAST(sum(n) AS BIGINT) AS skew_den
+    FROM per
+    """,
+)
+def audit_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SKEW AUDIT — the diagnostic you run BEFORE picking a
+    join/agg strategy at scale: hash the candidate shuffle key into
+    {_SKEW_BUCKETS} buckets (two md5 hex digits — engine-portable,
+    exactly how rows would distribute across reducers) and report the
+    distribution. skew_num/skew_den is the max-over-mean hot-spot
+    factor: ~1 means salting is wasted effort, >>1 means the hottest
+    reducer stalls the stage and you reach for salting
+    (join_skew_salted) or AQE skew splitting (join_skew_aqe_stress) —
+    this query is the measurement step of that decision.
+
+    Scale shape: one map-side-combined groupBy into {_SKEW_BUCKETS}
+    partials — KB-sized shuffle at any input size; integer
+    numerator/denominator keep the factor engine-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    hex1 = F.expr(
+        "conv(substr(md5(cast(o_custkey as string)), 1, 2), 16, 10)"
+    ).cast("bigint")
+    per = orders.select((hex1 % _SKEW_BUCKETS).alias("bucket")).groupBy(
+        "bucket"
+    ).agg(F.count("*").alias("n"))
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.min("n").cast("bigint").alias("min_rows"),
+        F.max("n").cast("bigint").alias("max_rows"),
+        F.sum("n").cast("bigint").alias("total_rows"),
+        (F.max("n") * _SKEW_BUCKETS).cast("bigint").alias("skew_num"),
+        F.sum("n").cast("bigint").alias("skew_den"),
+    )

@@ -1024,3 +1024,69 @@ def stream_merge_upsert_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("times_written").cast("bigint").alias("writes"),
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
     )
+
+
+@register(
+    "scan_version_diff_cdf",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, 0 AS seq FROM documents WHERE doc_id % 2 = 0
+      UNION ALL SELECT doc_id, 1 FROM documents WHERE doc_id % 3 = 0
+      UNION ALL SELECT doc_id, 2 FROM documents WHERE doc_id % 5 = 0
+    ),
+    v1 AS (
+      SELECT doc_id, max(seq) AS last_batch, count(*) AS times_written
+      FROM ch WHERE seq <= 1 GROUP BY doc_id
+    ),
+    v2 AS (
+      SELECT doc_id, max(seq) AS last_batch, count(*) AS times_written
+      FROM ch GROUP BY doc_id
+    )
+    SELECT CASE WHEN v1.doc_id IS NULL THEN 'insert' ELSE 'update' END
+             AS change_type,
+           count(*) AS n_rows,
+           CAST(sum(v2.doc_id) AS BIGINT) AS id_checksum
+    FROM v2 LEFT JOIN v1 ON v2.doc_id = v1.doc_id
+    WHERE v1.doc_id IS NULL
+       OR v1.last_batch <> v2.last_batch
+       OR v1.times_written <> v2.times_written
+    GROUP BY 1
+    """,
+)
+def scan_version_diff_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED from the version chain — what Delta's
+    table_changes() / Iceberg's incremental read provide, derived here
+    by diffing two adjacent copy-on-write snapshots of the
+    incremental-MERGE table (v001 = after batch 1, v002 = after batch
+    2): a LEFT join of the newer snapshot against the older classifies
+    every changed row as insert (absent before) or update (any column
+    differs). Downstream consumers re-sync FROM THE DIFF instead of
+    re-reading the whole table — the incremental-consumption pattern
+    that makes a 100 TB table maintainable.
+
+    The oracle derives both snapshot states from first principles (the
+    staged CDC batches are deterministic), so a wrong snapshot OR a
+    wrong diff reds the row. Scale shape: one key-hashed join of two
+    snapshots — O(table), same as any snapshot diff; a real table
+    format avoids even that by logging changes at write time, which
+    is exactly what this query's contract documents."""
+    import os as _os
+
+    # ensure the version chain exists (idempotent via _FINAL marker)
+    stream_merge_upsert_incremental(spark, sf_dir).count()
+    root = _stage_merge_batches(spark, sf_dir)
+    v1 = spark.read.parquet(_os.path.join(root, "table", "v001"))
+    v2 = spark.read.parquet(_os.path.join(root, "table", "v002"))
+    j = v2.alias("v2").join(
+        v1.alias("v1"), F.col("v2.doc_id") == F.col("v1.doc_id"), "left"
+    )
+    changed = j.filter(
+        F.col("v1.doc_id").isNull()
+        | (F.col("v1.last_batch") != F.col("v2.last_batch"))
+        | (F.col("v1.times_written") != F.col("v2.times_written"))
+    )
+    change_type = F.when(F.col("v1.doc_id").isNull(), "insert").otherwise("update")
+    return changed.groupBy(change_type.alias("change_type")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("v2.doc_id")).cast("bigint").alias("id_checksum"),
+    )

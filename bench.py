@@ -178,6 +178,8 @@ HEADLINE = [
     "scan_csv_multiline",
     "scan_version_diff_cdf",
     "audit_partition_skew",
+    "sample_neyman_allocation",
+    "dedup_incremental_batch",
 ]
 
 

@@ -1228,3 +1228,82 @@ def dedup_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH {_MINHASH_CAND_SQL.replace("cand AS (", "cand_unused AS (")},
+    split AS (
+      SELECT doc_id, band, key,
+             CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END AS is_new
+      FROM capped
+    )
+    SELECT n.doc_id AS new_doc, o.doc_id AS old_doc
+    FROM split n JOIN split o
+      ON n.band = o.band AND n.key = o.key
+    WHERE n.is_new = 1 AND o.is_new = 0
+    GROUP BY 1, 2
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the nightly-ingest shape: a NEW batch
+    (doc_id % 10 = 7 models tonight's crawl) probes the EXISTING
+    corpus's banded-LSH index for near-dup matches, instead of
+    re-deduping the whole corpus. Only new↔old candidate pairs emit:
+    new↔new dedup runs separately on the (small) batch, and old↔old
+    was settled by previous runs — this asymmetry is what turns an
+    O(corpus) nightly job into an O(batch) one.
+
+    Scale shape: at 100 TB the old side's (band, key → doc_id) index
+    is a MATERIALIZED table updated append-only as batches land
+    (bands are per-doc, so ingest appends its own band rows without
+    touching history); tonight's job computes bands for the batch
+    only and hash-joins the index — the corpus text is never
+    re-scanned. Here both sides derive from one `documents` scan
+    (the fixture has no separate landing table), sharing the capped
+    band CTE with dedup_minhash so the index definition cannot drift
+    from the full-dedup form."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _minhash_signature_df(docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    F.col(f"h{b * _BAND_SIZE}").cast("string"),
+                    F.col(f"h{b * _BAND_SIZE + 1}").cast("string"),
+                ).alias("key"),
+            )
+            for b in range(_N_HASHES // _BAND_SIZE)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    w = Window.partitionBy("band", "key").orderBy("doc_id")
+    capped = (
+        bands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _MH_BUCKET_CAP)
+        .drop("_rn")
+        .withColumn(
+            "is_new", F.when(F.col("doc_id") % 10 == 7, 1).otherwise(0)
+        )
+    )
+    new_side = capped.filter(F.col("is_new") == 1).select(
+        F.col("doc_id").alias("new_doc"), "band", "key"
+    )
+    old_side = capped.filter(F.col("is_new") == 0).select(
+        F.col("doc_id").alias("old_doc"), "band", "key"
+    )
+    return (
+        new_side.join(old_side, ["band", "key"])
+        .select("new_doc", "old_doc")
+        .distinct()
+    )

@@ -602,3 +602,99 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("s_micro * 1000000 div tot_micro").alias("weight_ppm"),
         )
     )
+
+
+_NEYMAN_TOTAL = 300
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             count(*) AS n_h,
+             sum(n_chars) AS sx,
+             sum(n_chars * n_chars) AS sxx
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_h,
+             n_h * CAST(floor(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE)))
+                        AS BIGINT) AS weight
+      FROM s
+    ),
+    alloc AS (
+      SELECT source, n_h,
+             CAST(({_NEYMAN_TOTAL} * weight) // (SELECT sum(weight) FROM w)
+                  AS BIGINT) AS n_alloc
+      FROM w
+    ),
+    ranked AS (
+      SELECT d.source, d.doc_id,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+               AS rk
+      FROM documents d
+    )
+    SELECT r.source, CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(min(a.n_alloc) AS BIGINT) AS n_alloc,
+           CAST(sum(r.doc_id) AS BIGINT) AS id_checksum
+    FROM ranked r JOIN alloc a ON r.source = a.source
+    WHERE r.rk <= a.n_alloc
+    GROUP BY r.source
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN ALLOCATION stratified sampling — the survey-statistics
+    optimum that proportional allocation isn't: each stratum's sample
+    size is proportional to N_h·σ_h, so high-variance sources get more
+    budget and uniform boilerplate sources less, minimizing estimator
+    variance for a fixed total budget of {_NEYMAN_TOTAL}. Everything
+    stays deterministic: σ_h enters as floor(sqrt(n·Σx²−(Σx)²)) —
+    IEEE sqrt is correctly rounded, so the floor is engine-exact on
+    representable integers — the allocation is one integer
+    floor-division against the broadcast weight total, and the sample
+    itself is the md5-rank prefix per stratum (the same reproducible
+    device as sample_topk_hash).
+
+    Scale shape: ONE stats pass (map-side power sums into a
+    dimension-sized table), allocation arithmetic on that tiny table,
+    then the per-stratum rank prefix — one source-hashed exchange
+    with a bounded per-source heap; no global sort, no RNG."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_h"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    w = s.select(
+        "source",
+        "n_h",
+        (
+            F.col("n_h")
+            * F.floor(
+                F.sqrt((F.col("n_h") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+            ).cast("bigint")
+        ).alias("weight"),
+    )
+    tot = w.agg(F.sum("weight").alias("wtot"))
+    alloc = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(f"({_NEYMAN_TOTAL} * weight) div wtot").alias("n_alloc"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    ranked = docs.select("source", "doc_id").withColumn("rk", rk)
+    return (
+        ranked.join(F.broadcast(alloc), "source")
+        .filter(F.col("rk") <= F.col("n_alloc"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.min("n_alloc").cast("bigint").alias("n_alloc"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )

@@ -180,6 +180,7 @@ HEADLINE = [
     "audit_partition_skew",
     "sample_neyman_allocation",
     "dedup_incremental_batch",
+    "sink_vacuum_old_versions",
 ]
 
 

@@ -1090,3 +1090,69 @@ def scan_version_diff_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.col("v2.doc_id")).cast("bigint").alias("id_checksum"),
     )
+
+
+_VACUUM_KEEP = 2
+
+
+@register(
+    "sink_vacuum_old_versions",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, 0 AS seq FROM documents WHERE doc_id % 2 = 0
+      UNION ALL SELECT doc_id, 1 FROM documents WHERE doc_id % 3 = 0
+      UNION ALL SELECT doc_id, 2 FROM documents WHERE doc_id % 5 = 0
+    ),
+    fin AS (
+      SELECT doc_id, max(seq) AS last_batch, count(*) AS times_written
+      FROM ch GROUP BY doc_id
+    )
+    SELECT CAST(2 AS BIGINT) AS n_versions_kept,
+           CAST((SELECT count(*) FROM fin) AS BIGINT) AS current_rows,
+           CAST((SELECT sum(doc_id) FROM fin) AS BIGINT) AS current_checksum
+    """,
+)
+def sink_vacuum_old_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM / retention for the copy-on-write version chain — the
+    lifecycle step after MERGE (stream_merge_upsert_incremental) and
+    CDF (scan_version_diff_cdf): versions older than the retention
+    window (keep-last-{_VACUUM_KEEP}) are deleted so storage stays
+    O(retention × table), not O(history × table). The query is
+    state-independent by design: it reports the SURVIVING layout and
+    the current snapshot's row count + checksum — the invariant a
+    vacuum must never damage — so re-runs (and runs after a previous
+    vacuum already removed v000) hash identically; deleting the wrong
+    version reds the oracle because the current-state read breaks.
+
+    Scale note: vacuum is a metadata/manifest operation plus bulk file
+    deletes — table formats gate it on the retention window precisely
+    because time travel and CDF (which needs adjacent snapshots)
+    stop working past the horizon; keep-last-{_VACUUM_KEEP} here is
+    the minimum that preserves the CDF query."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    # ensure the chain exists (idempotent), then vacuum a PRIVATE copy
+    # of it: the shared chain stays intact for the merge/CDF queries
+    # and their tests (a real vacuum operates in place — the copy is a
+    # fixture-isolation device, not part of the operation's cost)
+    stream_merge_upsert_incremental(spark, sf_dir).count()
+    root = _stage_merge_batches(spark, sf_dir)
+    vac = _os.path.join(root, "table_vacuum")
+    if not _os.path.isdir(vac):
+        _shutil.copytree(_os.path.join(root, "table"), vac)
+    versions = sorted(
+        p for p in _glob.glob(_os.path.join(vac, "v*")) if _os.path.isdir(p)
+    )
+    for old in versions[:-_VACUUM_KEEP]:
+        _shutil.rmtree(old, ignore_errors=True)
+    survivors = sorted(
+        p for p in _glob.glob(_os.path.join(vac, "v*")) if _os.path.isdir(p)
+    )
+    cur = spark.read.parquet(survivors[-1])
+    return cur.agg(
+        F.lit(len(survivors)).cast("bigint").alias("n_versions_kept"),
+        F.count("*").cast("bigint").alias("current_rows"),
+        F.sum("doc_id").cast("bigint").alias("current_checksum"),
+    )

@@ -181,6 +181,8 @@ HEADLINE = [
     "sample_neyman_allocation",
     "dedup_incremental_batch",
     "sink_vacuum_old_versions",
+    "corpus_kl_divergence_sources",
+    "split_time_based",
 ]
 
 

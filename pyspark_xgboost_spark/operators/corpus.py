@@ -1044,3 +1044,75 @@ def corpus_gini_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("gini_num"),
         (F.min("n") * F.min("sx")).cast("bigint").alias("gini_den"),
     )
+
+
+@register(
+    "corpus_kl_divergence_sources",
+    oracle=rf"""
+    WITH t AS (
+      SELECT source, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    sc AS (SELECT source, term, count(*) AS c FROM t GROUP BY 1, 2),
+    stot AS (SELECT source, sum(c) AS n FROM sc GROUP BY source),
+    ctot AS (SELECT count(*) AS n FROM t),
+    cf AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+    terms AS (
+      SELECT sc.source, sc.c, stot.n AS sn, cf.c AS cc, ctot.n AS cn,
+             CAST(round(ln((CAST(sc.c AS DOUBLE) / stot.n)
+                           / (CAST(cf.c AS DOUBLE) / ctot.n)) * 1000000)
+                  AS BIGINT) AS lr
+      FROM sc
+      JOIN stot USING (source)
+      JOIN cf USING (term)
+      CROSS JOIN ctot
+    )
+    SELECT source,
+           CAST(min(sn) AS BIGINT) AS n_tokens,
+           count(*) AS n_terms,
+           CAST(sum(c * lr) AS BIGINT) AS kl_num_unats,
+           CAST(min(sn) AS BIGINT) AS kl_den
+    FROM terms GROUP BY source
+    """,
+)
+def corpus_kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's unigram distribution from the
+    corpus distribution — the distribution-shift gauge behind mixture
+    rebalancing and crawl-regression alarms (a source whose KL jumps
+    changed what it is made of; DSIR's importance weights are this
+    quantity's per-document form). Exact contract:
+    KL(source‖corpus) = kl_num_unats / kl_den / 1e6 nats, each
+    per-term log-ratio quantized to integer micro-nats BEFORE the
+    count-weighted sum (the established partial-agg-order-proof
+    idiom). Every source term also occurs in the corpus distribution
+    by construction, so no smoothing is needed and the quantity is
+    finite.
+
+    Scale shape: ONE token explode feeds both the per-(source, term)
+    and per-term aggregates; everything after is dimension-sized
+    (vocab × sources), with the corpus total folded in as a broadcast
+    scalar."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+    t = docs.select("source", F.explode(toks).alias("term"))
+    sc = t.groupBy("source", "term").agg(F.count("*").alias("c"))
+    stot = sc.groupBy("source").agg(F.sum("c").alias("sn"))
+    cf = sc.groupBy("term").agg(F.sum("c").alias("cc"))
+    ctot = cf.agg(F.sum("cc").alias("cn"))
+    terms = (
+        sc.join(stot, "source")
+        .join(cf, "term")
+        .crossJoin(F.broadcast(ctot))
+    )
+    lr = F.round(
+        F.log(
+            (F.col("c").cast("double") / F.col("sn"))
+            / (F.col("cc").cast("double") / F.col("cn"))
+        )
+        * 1000000
+    ).cast("bigint")
+    return terms.groupBy("source").agg(
+        F.min("sn").cast("bigint").alias("n_tokens"),
+        F.count("*").alias("n_terms"),
+        F.sum(F.col("c") * lr).cast("bigint").alias("kl_num_unats"),
+        F.min("sn").cast("bigint").alias("kl_den"),
+    )

@@ -698,3 +698,51 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("id_checksum"),
         )
     )
+
+
+@register(
+    "split_time_based",
+    oracle="""
+    WITH b AS (
+      SELECT min(CAST(epoch_us(ts) AS BIGINT)) AS mn,
+             max(CAST(epoch_us(ts) AS BIGINT)) AS mx
+      FROM events
+    ),
+    cut AS (SELECT mn + (mx - mn) * 4 // 5 AS c_us FROM b)
+    SELECT CASE WHEN CAST(epoch_us(e.ts) AS BIGINT) < cut.c_us
+                THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(min(epoch_us(e.ts)) AS BIGINT) AS min_ts_us,
+           CAST(max(epoch_us(e.ts)) AS BIGINT) AS max_ts_us
+    FROM events e CROSS JOIN cut
+    GROUP BY 1
+    """,
+)
+def split_time_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BASED train/test split — the only leakage-safe split for
+    temporal data (a hash split lets the model see the future of the
+    very users it is tested on): everything before the 80%-of-timespan
+    cutoff trains, everything at/after tests. The summary's min/max
+    per split IS the no-leakage proof — train's max_ts < test's
+    min_ts by construction — and the cutoff derives from the data's
+    own span, so the contract is reproducible without a config date.
+
+    Scale shape: one tiny min/max aggregate broadcast back as the
+    cutoff scalar, then a scan-side CASE — zero shuffles beyond the
+    final dimension-sized rollup; at 100 TB the cutoff pass prunes to
+    the ts column only (column-pruned scan)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    cut = ev.agg(
+        F.expr("min(ts_us) + (max(ts_us) - min(ts_us)) * 4 div 5").alias("c_us")
+    )
+    j = ev.crossJoin(F.broadcast(cut))
+    split = F.when(F.col("ts_us") < F.col("c_us"), "train").otherwise("test")
+    return j.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.min("ts_us").cast("bigint").alias("min_ts_us"),
+        F.max("ts_us").cast("bigint").alias("max_ts_us"),
+    )

@@ -183,6 +183,7 @@ HEADLINE = [
     "sink_vacuum_old_versions",
     "corpus_kl_divergence_sources",
     "split_time_based",
+    "embedding_power_iteration",
 ]
 
 

@@ -184,6 +184,7 @@ HEADLINE = [
     "corpus_kl_divergence_sources",
     "split_time_based",
     "embedding_power_iteration",
+    "window_decay_time_weighted",
 ]
 
 

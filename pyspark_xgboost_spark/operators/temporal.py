@@ -1513,3 +1513,92 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+_DECAY_LAGS = 16  # events considered; decay also zeroes anything >= 16h old
+_DECAY_FP = 1 << _DECAY_LAGS
+
+
+@register(
+    "window_decay_time_weighted",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, event_id, ts_us,
+             cents * {_DECAY_FP} AS t0,
+             {", ".join(
+               f"COALESCE(lag(cents, {k}) OVER (PARTITION BY user_id "
+               f"ORDER BY ts_us, event_id), 0) AS c{k}, "
+               f"(ts_us - COALESCE(lag(ts_us, {k}) OVER (PARTITION BY user_id "
+               f"ORDER BY ts_us, event_id), ts_us - {_DECAY_LAGS} * 3600000000)) "
+               f"// 3600000000 AS d{k}"
+               for k in range(1, _DECAY_LAGS))}
+      FROM w
+    )
+    SELECT user_id, event_id, ts_us,
+           t0 + {" + ".join(
+             f"CASE WHEN d{k} >= {_DECAY_LAGS} THEN 0 "
+             f"ELSE c{k} * (1 << ({_DECAY_LAGS} - d{k})) END"
+             for k in range(1, _DECAY_LAGS))} AS decayed_fp
+    FROM lagged
+    """,
+)
+def window_decay_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-decay weighted activity sum — the feature-store recency
+    signal window_ewma (which decays per EVENT) cannot express for
+    irregular arrivals: each past event's value decays by its actual
+    age, halving per hour (weight 2^-floor(age_h)), so a burst an hour
+    ago and a burst a week ago score differently even at equal event
+    counts. Decay factors are EXACT powers of two on integer hour
+    buckets — no exp(), no float drift — held in a 2^{_DECAY_LAGS}
+    fixed point; contributions older than {_DECAY_LAGS} h (or beyond
+    {_DECAY_LAGS} events, the stated truncation) are exactly zero,
+    below cent resolution.
+
+    Scale shape: like window_ewma, all lag terms share ONE window pass
+    over one user-hashed exchange — per-row state is {_DECAY_LAGS}
+    (value, ts) pairs, never an unbounded history."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    hour_us = 3_600_000_000
+    cols = [F.col("user_id"), F.col("event_id"), F.col("ts_us"),
+            (F.col("cents") * _DECAY_FP).alias("t0")]
+    for k in range(1, _DECAY_LAGS):
+        cols.append(F.coalesce(F.lag("cents", k).over(w), F.lit(0)).alias(f"c{k}"))
+        cols.append(
+            (
+                (
+                    F.col("ts_us")
+                    - F.coalesce(
+                        F.lag("ts_us", k).over(w),
+                        F.col("ts_us") - _DECAY_LAGS * hour_us,
+                    )
+                )
+                / hour_us
+            )
+            .cast("bigint")
+            .alias(f"d{k}")
+        )
+    lagged = base.select(*cols)
+    terms = " + ".join(
+        f"CASE WHEN d{k} >= {_DECAY_LAGS} THEN 0 "
+        f"ELSE c{k} * shiftleft(1, {_DECAY_LAGS} - cast(d{k} as int)) END"
+        for k in range(1, _DECAY_LAGS)
+    )
+    return lagged.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.expr(f"t0 + {terms}").cast("bigint").alias("decayed_fp"),
+    )

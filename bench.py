@@ -185,6 +185,8 @@ HEADLINE = [
     "split_time_based",
     "embedding_power_iteration",
     "window_decay_time_weighted",
+    "sort_nulls_ordering",
+    "scalar_url_extract",
 ]
 
 

@@ -1548,3 +1548,119 @@ def audit_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("n") * _SKEW_BUCKETS).cast("bigint").alias("skew_num"),
         F.sum("n").cast("bigint").alias("skew_den"),
     )
+
+
+@register(
+    "sort_nulls_ordering",
+    oracle="""
+    SELECT rn,
+           o_orderkey,
+           ship_date
+    FROM (
+      SELECT row_number() OVER (
+               ORDER BY ship_date ASC NULLS FIRST,
+                        total_cents DESC NULLS LAST,
+                        o_orderkey ASC
+             ) AS rn,
+             o_orderkey, ship_date
+      FROM (
+        SELECT o.o_orderkey,
+               CASE WHEN o.o_orderkey % 13 = 0 THEN NULL
+                    ELSE min(l.l_shipdate) END AS ship_date,
+               CASE WHEN o.o_orderkey % 17 = 0 THEN NULL
+                    ELSE CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                         AS BIGINT) END AS total_cents
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey
+      )
+    )
+    WHERE rn <= 50
+    """,
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT NULL-ordering sort — the silent migration breaker: with
+    a bare ORDER BY, Spark puts NULLs FIRST ascending while most
+    warehouses (DuckDB, Postgres, Snowflake) put them LAST, so any
+    ported top-k over nullable keys returns different rows unless the
+    ordering is spelled out. This contract pins a mixed three-key sort
+    (ASC NULLS FIRST, DESC NULLS LAST, then a unique tiebreaker) with
+    NULLs injected deterministically into both sort keys; the rank
+    prefix hash-matches only if both engines agree on every NULL
+    placement.
+
+    Scale shape: the rank prefix is a TakeOrderedAndProject-style
+    bounded selection over the aggregated (order-level) relation —
+    the full sort never materializes."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    agg = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit(None)).otherwise(
+                F.min("l_shipdate")
+            ).alias("ship_date"),
+            F.when(F.col("o_orderkey") % 17 == 0, F.lit(None)).otherwise(
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            ).cast("bigint").alias("total_cents"),
+        )
+    )
+    w = W.orderBy(
+        F.col("ship_date").asc_nulls_first(),
+        F.col("total_cents").desc_nulls_last(),
+        F.col("o_orderkey").asc(),
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("rn", "o_orderkey", "ship_date")
+    )
+
+
+@register(
+    "scalar_url_extract",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || lang ||
+             '/' || CAST(doc_id AS VARCHAR) || '?ref=crawl&sz=' ||
+             CAST(n_chars AS VARCHAR) AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'sz=([0-9]+)', 1) AS sz_param
+    FROM u
+    """,
+)
+def scalar_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing — host / path / query-parameter extraction, the
+    first step of URL-keyed web-crawl curation (per-domain quotas,
+    path-pattern filters, tracking-param stripping). URLs are
+    constructed deterministically from document fields, then PARSED
+    with Spark's native parse_url (HOST / PATH / QUERY:key forms —
+    JVM-side, no regex engine involved) while the oracle states the
+    same extraction as anchored RE2 regexes — so the query also pins
+    that parse_url's component semantics match the portable
+    regex-based definition. Pure map-side, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=crawl&sz="),
+        F.col("n_chars").cast("string"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("sz")).alias("sz_param"),
+    )

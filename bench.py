@@ -187,6 +187,8 @@ HEADLINE = [
     "window_decay_time_weighted",
     "sort_nulls_ordering",
     "scalar_url_extract",
+    "agg_string_concat_ordered",
+    "agg_map_group_counts",
 ]
 
 

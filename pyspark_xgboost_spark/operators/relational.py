@@ -1664,3 +1664,79 @@ def scalar_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
         F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("sz")).alias("sz_param"),
     )
+
+
+@register(
+    "agg_string_concat_ordered",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           count(*) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED string aggregation (LISTAGG / string_agg ... ORDER BY) —
+    the report-building aggregate every warehouse query uses and every
+    engine implements with different ordering defaults: without an
+    explicit order the concatenation is partition-order-dependent and
+    can never hash-match (or be diffed between runs). Expressed as
+    sort-then-join over the collected set, which is the
+    deterministic-by-construction form; Spark 4's native listagg is
+    the same surface and inherits the ordering requirement.
+
+    Scale shape: map-side partial collect into small per-group lists
+    (group cardinality bounds the state — this is a DIMENSION
+    aggregate; concatenating a billion-row group into one string is an
+    anti-pattern regardless of engine)."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+            "nations_csv"
+        ),
+        F.count("*").alias("n_nations"),
+    )
+
+
+@register(
+    "agg_map_group_counts",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           string_agg(lang || ':' || CAST(n AS VARCHAR), ','
+                      ORDER BY lang) AS lang_counts,
+           count(*) AS n_langs
+    FROM c GROUP BY source
+    """,
+)
+def agg_map_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-valued aggregation — per-source lang→count maps, the shape
+    feature stores and profiling jobs emit (one row per entity, a map
+    of per-category stats) instead of exploding categories into rows.
+    Built as map_from_entries over the key-sorted entry list; for the
+    cross-engine hash the map serializes to its canonical
+    'k:v,...' entry string (maps have no portable comparison — the
+    canonical serialization IS the contract, and it is exactly what a
+    JSON/parquet sink would persist).
+
+    Scale shape: the inner (source, lang) aggregate map-side-combines
+    to dimension size; the map assembly touches only that aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    entries = F.array_sort(
+        F.collect_list(F.struct(F.col("lang"), F.col("n")))
+    )
+    m = F.map_from_entries(entries)
+    return c.groupBy("source").agg(
+        F.array_join(
+            F.transform(
+                F.map_entries(m),
+                lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+            ),
+            ",",
+        ).alias("lang_counts"),
+        F.count("*").alias("n_langs"),
+    )

@@ -189,6 +189,7 @@ HEADLINE = [
     "scalar_url_extract",
     "agg_string_concat_ordered",
     "agg_map_group_counts",
+    "scalar_calendar_arithmetic",
 ]
 
 

@@ -1740,3 +1740,44 @@ def agg_map_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lang_counts"),
         F.count("*").alias("n_langs"),
     )
+
+
+@register(
+    "scalar_calendar_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS next_quarter,
+           last_day(o_orderdate) AS month_end,
+           CAST(date_part('day', last_day(o_orderdate)) AS BIGINT)
+             AS days_in_month,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_weekday
+    FROM orders
+    """,
+)
+def scalar_calendar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR arithmetic contract — the billing/cohort date math
+    whose corners differ across engines unless pinned: month addition
+    CLAMPS at month end (Jan 31 + 1 month = Feb 29 in a leap year, and
+    the clamp is sticky: +13 months lands on Feb 28), last_day /
+    days-in-month, ISO week start (Monday), and weekday numbering —
+    where the engines genuinely disagree by default (Spark dayofweek
+    is 1=Sunday, DuckDB dayofweek is 0=Sunday), so the contract uses
+    the ISO form (1=Monday) both engines express: Spark weekday()+1 ==
+    DuckDB isodow(). Every billing-cycle query ported between engines
+    crosses at least one of these corners.
+
+    Scale shape: pure map-side expression work on the date column,
+    zero shuffles, scan pruned to (o_orderkey, o_orderdate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.add_months(d, 1).alias("next_month"),
+        F.add_months(d, 3).alias("next_quarter"),
+        F.last_day(d).alias("month_end"),
+        F.dayofmonth(F.last_day(d)).cast("bigint").alias("days_in_month"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        (F.weekday(d) + 1).cast("bigint").alias("iso_weekday"),
+    )

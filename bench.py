@@ -190,6 +190,7 @@ HEADLINE = [
     "agg_string_concat_ordered",
     "agg_map_group_counts",
     "scalar_calendar_arithmetic",
+    "agg_collated_group",
 ]
 
 

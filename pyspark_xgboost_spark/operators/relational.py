@@ -1781,3 +1781,56 @@ def scalar_calendar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", d).cast("date").alias("week_start"),
         (F.weekday(d) + 1).cast("bigint").alias("iso_weekday"),
     )
+
+
+@register(
+    "agg_collated_group",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN upper(substr(text, 1, 6))
+                  ELSE lower(substr(text, 1, 6)) END AS k
+      FROM documents
+    )
+    SELECT lower(k) AS key_ci,
+           count(*) AS n,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM w
+    GROUP BY lower(k)
+    """,
+)
+def agg_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATION-aware grouping (Spark 4 collations): a
+    deterministically case-mangled key (even docs upper-cased, odd
+    lower-cased) groups under UTF8_LCASE collation — the engine-level
+    case-insensitive equality that replaces sprinkling lower() through
+    every predicate, join, and GROUP BY once a column is DECLARED
+    case-insensitive. The oracle states the same grouping with
+    explicit lower(), pinning that collated grouping is exactly
+    lower()-grouping for this data; the output key is normalized to
+    lower for the cross-engine hash (each engine may surface any
+    representative's case).
+
+    Scale shape: identical to any hash aggregate — the collation
+    participates in the hash/compare, so map-side combine and one
+    exchange apply unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.when(
+        F.col("doc_id") % 2 == 0, F.upper(F.substring("text", 1, 6))
+    ).otherwise(F.lower(F.substring("text", 1, 6)))
+    w = docs.select("doc_id", k.alias("k")).select(
+        "doc_id", F.expr("collate(k, 'UTF8_LCASE')").alias("kc")
+    )
+    return (
+        w.groupBy("kc")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .select(
+            F.lower(F.col("kc").cast("string")).alias("key_ci"),
+            "n",
+            "min_doc",
+        )
+    )

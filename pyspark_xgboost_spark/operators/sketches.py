@@ -1,0 +1,199 @@
+"""Sketch-backed scale patterns: Bloom-prefiltered joins and bitmap
+exact-distinct aggregation.
+
+These re-express the runtime-filter / bitmap-index machinery that
+warehouse engines (and Spark's own ``InjectRuntimeFilter`` rule, which
+keeps ``bloom_filter_agg`` internal-only) use to cut shuffle volume:
+
+* ``join_bloom_prefilter`` — build an md5-based Bloom filter over the
+  build-side join keys as an explicit (word, bits) bitmap relation,
+  broadcast it, and drop probe rows whose bits are absent BEFORE the
+  exact join. At 100 TB the probe side never shuffles rows the build
+  side cannot match; the exact join afterwards only sees the
+  ~fpp-inflated survivor set. Because the hash is md5-derived, DuckDB
+  computes the *identical* bitmap — the oracle checks the prefilter
+  bit-for-bit, false positives included.
+* ``agg_bitmap_distinct`` — exact COUNT(DISTINCT) via bitmap OR-ing:
+  map ids into 63-bit words, ``bit_or`` per (group, word) with
+  map-side partial aggregation, then sum popcounts. Aggregation state
+  is one long per 63-id block instead of a hash set of raw ids — the
+  bitmap-index trick for dense id spaces.
+
+Bits per word is 63, not 64: the sign bit stays clear so ``1 << bit``
+never overflows a signed BIGINT (DuckDB range-checks ``1::BIGINT <<
+63``) and arithmetic-vs-logical right-shift differences can't matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_xgboost_spark.registry import register
+from pyspark_xgboost_spark.sources import load_table
+
+_BLOOM_BITS = 65536  # m: 2 hashes over ~3k build keys -> fpp < 1%
+
+
+def _hex_int_sql(hexpr: str, start: int) -> str:
+    """DuckDB has no base-16 conv(); evaluate 8 hex digits of ``hexpr``
+    (a column holding an md5 hex string) positionally from 1-based
+    ``start``. Mirrors Spark's conv(substr(h, start, 8), 16, 10)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({hexpr}, {start + i}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+def _with_bloom_positions(df: DataFrame, key: str) -> DataFrame:
+    """Two independent bit positions per key from one md5: hex digits
+    1-8 and 9-16 as uint32, mod the filter width."""
+    h = F.md5(F.col(key).cast("string"))
+    return df.withColumn(
+        "p1", F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _BLOOM_BITS
+    ).withColumn(
+        "p2", F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint") % _BLOOM_BITS
+    )
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=f"""
+    WITH kk AS (
+      SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS h
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    kp AS (
+      SELECT o_orderkey,
+             CAST({_hex_int_sql('h', 1)} AS BIGINT) % {_BLOOM_BITS} AS p1,
+             CAST({_hex_int_sql('h', 9)} AS BIGINT) % {_BLOOM_BITS} AS p2
+      FROM kk
+    ),
+    bloom AS (
+      SELECT p // 63 AS word, bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+      FROM (SELECT p1 AS p FROM kp UNION ALL SELECT p2 AS p FROM kp)
+      GROUP BY 1
+    ),
+    pr AS (
+      SELECT l_orderkey, l_returnflag, l_quantity,
+             md5(CAST(l_orderkey AS VARCHAR)) AS h
+      FROM lineitem
+    ),
+    pp AS (
+      SELECT l_orderkey, l_returnflag, l_quantity,
+             CAST({_hex_int_sql('h', 1)} AS BIGINT) % {_BLOOM_BITS} AS p1,
+             CAST({_hex_int_sql('h', 9)} AS BIGINT) % {_BLOOM_BITS} AS p2
+      FROM pr
+    ),
+    cand AS (
+      SELECT pp.l_orderkey, pp.l_returnflag, pp.l_quantity
+      FROM pp
+      JOIN bloom b1 ON pp.p1 // 63 = b1.word
+        AND ((b1.bits >> CAST(pp.p1 % 63 AS INT)) & 1) = 1
+      JOIN bloom b2 ON pp.p2 // 63 = b2.word
+        AND ((b2.bits >> CAST(pp.p2 % 63 AS INT)) & 1) = 1
+    ),
+    fl AS (
+      SELECT cand.l_returnflag, cand.l_quantity,
+             (kk.o_orderkey IS NOT NULL) AS matched
+      FROM cand LEFT JOIN kk ON cand.l_orderkey = kk.o_orderkey
+    )
+    SELECT l_returnflag,
+           count(*) AS n_candidates,
+           CAST(count(CASE WHEN matched THEN 1 END) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN matched
+                         THEN CAST(round(l_quantity * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS sum_qty_cents
+    FROM fl
+    GROUP BY l_returnflag
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join: urgent orders build a 65536-bit /
+    2-hash Bloom bitmap (<=1041 (word, bits) rows — broadcast), the
+    lineitem probe drops non-candidate rows map-side, and an exact join
+    removes the false positives. The output counts candidates AND exact
+    matches per return flag, so the driver attests the bitmap itself:
+    both engines must agree on every false positive. At scale this is
+    the runtime-filter shape — probe rows that cannot match never enter
+    the join shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+
+    kp = _with_bloom_positions(urgent, "o_orderkey")
+    pts = kp.select(F.col("p1").alias("p")).unionAll(kp.select(F.col("p2").alias("p")))
+    bloom = (
+        pts.select(
+            F.expr("p div 63").alias("word"),
+            F.expr("shiftleft(1L, cast(p % 63 as int))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+    pp = _with_bloom_positions(
+        li.select("l_orderkey", "l_returnflag", "l_quantity"), "l_orderkey"
+    )
+    b1 = bloom.select(F.col("word").alias("w1"), F.col("bits").alias("bits1"))
+    b2 = bloom.select(F.col("word").alias("w2"), F.col("bits").alias("bits2"))
+    cand = (
+        pp.join(F.broadcast(b1), F.expr("p1 div 63") == F.col("w1"))
+        .filter(F.expr("(shiftright(bits1, cast(p1 % 63 as int)) & 1) = 1"))
+        .join(F.broadcast(b2), F.expr("p2 div 63") == F.col("w2"))
+        .filter(F.expr("(shiftright(bits2, cast(p2 % 63 as int)) & 1) = 1"))
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+    )
+    # exact verification join over the (small) candidate set; no
+    # broadcast hint — at scale this is a shuffle join over survivors
+    flagged = cand.join(
+        urgent.withColumnRenamed("o_orderkey", "match_key"),
+        cand.l_orderkey == F.col("match_key"),
+        "left",
+    )
+    return flagged.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_candidates"),
+        F.count("match_key").alias("n_matched"),
+        F.sum(
+            F.when(
+                F.col("match_key").isNotNull(),
+                F.round(F.col("l_quantity") * 100).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("sum_qty_cents"),
+    )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user count per event type via bitmap OR-ing:
+    user_id maps to (word = id div 63, bit = id % 63); ``bit_or`` per
+    (type, word) aggregates with map-side combine, then popcounts sum
+    up. The oracle is plain COUNT(DISTINCT) — the query attests the
+    bitmap path computes the exact same answer. For dense id spaces the
+    per-key aggregation state is 1 long per 63 ids, vs a raw-id hash
+    set for count(distinct): at 10^9 users that is the difference
+    between a spilling distinct and an in-memory combine."""
+    ev = load_table(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            F.expr("user_id div 63").alias("word"),
+            F.expr("shiftleft(1L, cast(user_id % 63 as int))").alias("mask"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.expr("bit_or(mask)").alias("bits"), F.count("*").alias("cnt"))
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).alias("n_users"),
+        F.sum("cnt").alias("n_events"),
+    )

@@ -180,6 +180,8 @@ def load_all() -> None:
     import pyspark_xgboost_spark.operators.dedup  # noqa: F401
     import pyspark_xgboost_spark.operators.similarity  # noqa: F401
     import pyspark_xgboost_spark.operators.relational  # noqa: F401
+    import pyspark_xgboost_spark.operators.sketches  # noqa: F401
+    import pyspark_xgboost_spark.operators.spatial  # noqa: F401
 
     first = [n for n in _GRADE_FIRST if n in QUERIES]
     cede = [n for n in _CEDE_WINDOW if n in QUERIES]

@@ -1307,3 +1307,209 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_doc", "old_doc")
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# Paragraph-level exact dedup (C4 / RefinedWeb curation step)
+# --------------------------------------------------------------------------
+
+_PARA_WORDS = 20  # words per "paragraph" block (corpus has no newlines)
+
+
+@register(
+    "dedup_paragraph_exact",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    tt AS (
+      SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) >= 1
+    ),
+    ids AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, (n - 1) // {_PARA_WORDS})) AS idx
+      FROM tt
+    ),
+    blocks AS (
+      SELECT doc_id, idx,
+             array_to_string(
+               toks[(idx * {_PARA_WORDS} + 1):(idx * {_PARA_WORDS} + {_PARA_WORDS})],
+               ' ') AS block
+      FROM ids
+    ),
+    ranked AS (
+      SELECT doc_id, idx, block,
+             row_number() OVER (PARTITION BY md5(block)
+                                ORDER BY doc_id, idx) AS rn
+      FROM blocks
+    ),
+    per_doc AS (SELECT doc_id, count(*) AS n_blocks FROM blocks GROUP BY 1),
+    kept AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(block, ' ' ORDER BY idx)) AS kept_hash
+      FROM ranked WHERE rn = 1 GROUP BY 1
+    )
+    SELECT p.doc_id, p.n_blocks,
+           coalesce(k.n_kept, 0) AS n_kept, k.kept_hash
+    FROM per_doc p LEFT JOIN kept k ON p.doc_id = k.doc_id
+    """,
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with document reconstruction — the
+    C4-style curation step (Raffel et al., JMLR'20 §2.2 drop duplicate
+    three-sentence spans; here the unit is a {_PARA_WORDS}-word block
+    since the synthetic corpus has no sentence boundaries): explode
+    docs into blocks, keep each block's globally-first occurrence
+    (min (doc_id, idx)), and rebuild every document from its surviving
+    blocks.
+
+    Scale shape: the first-occurrence ranking shuffles ONLY
+    (block_digest, doc_id, idx) — the block text stays behind and is
+    re-fetched by joining the winner set back to the doc-partitioned
+    block relation, so the one unavoidable text shuffle is the
+    reconstruction's own groupBy(doc_id). Degenerate blocks (a
+    corpus-wide boilerplate paragraph) cost one digest-keyed window
+    rank, never a quadratic pair expansion."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')")
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 1)
+    blocks = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast((size(toks) - 1) div {_PARA_WORDS} as int)),"
+                f" i -> array_join(slice(toks, i * {_PARA_WORDS} + 1, {_PARA_WORDS}), ' '))"
+            )
+        ).alias("idx", "block"),
+    )
+    # digest-only ranking: project the text away before the exchange
+    ranked = (
+        blocks.select("doc_id", "idx", F.md5("block").alias("bh"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("bh").orderBy("doc_id", "idx")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "idx")
+    )
+    kept = (
+        ranked.join(blocks, ["doc_id", "idx"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.expr("transform(array_sort(collect_list(struct(idx, block))), s -> s.block)"),
+                    " ",
+                )
+            ).alias("kept_hash"),
+        )
+    )
+    per_doc = blocks.groupBy("doc_id").agg(F.count("*").alias("n_blocks"))
+    return per_doc.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_blocks",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+        "kept_hash",
+    )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization dedup (web-crawl curation)
+# --------------------------------------------------------------------------
+
+
+def _messy_url_spark() -> "F.Column":
+    """Deterministically messy URL per document: three case/param/slash
+    /fragment variants keyed by doc_id % 3, colliding on
+    (source, lang, n_chars div 50) after canonicalization."""
+    cid = (F.col("n_chars") / F.lit(50)).cast("bigint")  # non-negative
+    sid = F.col("source")
+    lang = F.col("lang")
+    v0 = F.concat(
+        F.lit("HTTPS://WWW."), sid, F.lit(".Example.COM/Docs/"), lang,
+        F.lit("/?id="), cid.cast("string"), F.lit("&utm_source=feed"),
+    )
+    v1 = F.concat(
+        F.lit("https://"), sid, F.lit(".example.com/Docs/"), lang,
+        F.lit("?utm_campaign=x&id="), cid.cast("string"),
+    )
+    v2 = F.concat(
+        F.lit("https://www."), sid, F.lit(".EXAMPLE.com/docs/"), lang,
+        F.lit("/?id="), cid.cast("string"), F.lit("#frag"),
+    )
+    m = F.col("doc_id") % 3
+    return F.when(m == 0, v0).when(m == 1, v1).otherwise(v2)
+
+
+_MESSY_URL_SQL = """
+      CASE doc_id % 3
+        WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM/Docs/' || lang
+                    || '/?id=' || CAST(n_chars // 50 AS VARCHAR) || '&utm_source=feed'
+        WHEN 1 THEN 'https://' || source || '.example.com/Docs/' || lang
+                    || '?utm_campaign=x&id=' || CAST(n_chars // 50 AS VARCHAR)
+        ELSE 'https://www.' || source || '.EXAMPLE.com/docs/' || lang
+                    || '/?id=' || CAST(n_chars // 50 AS VARCHAR) || '#frag'
+      END"""
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, {_MESSY_URL_SQL} AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             'https://'
+             || regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), '^www\\.', '')
+             || regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)), '/+$', '')
+             || '?id=' || regexp_extract(url, '[?&]id=([0-9]+)', 1) AS canonical
+      FROM u
+    )
+    SELECT canonical,
+           count(*) AS n_dupes,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
+           CAST(min(doc_id) AS BIGINT) AS keep_id
+    FROM canon
+    GROUP BY canonical
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first pass of every web-crawl
+    pipeline (lowercase scheme+host, strip ``www.``, drop tracking
+    params and fragments, strip trailing slashes, keep content params)
+    collapsing case/param-order/fragment variants of the same page.
+    URLs are synthesized deterministically from document fields in
+    three messy variants; canonicalization is pure map-side string
+    work (anchored regexes — RE2-safe, no backtracking blowup on
+    adversarial crawl URLs), then a digest-sized groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select("doc_id", _messy_url_spark().alias("url"))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col("url"), r"^[A-Za-z]+://([^/?#]+)", 1)),
+        r"^www\.", "",
+    )
+    path = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col("url"), r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)),
+        r"/+$", "",
+    )
+    cid = F.regexp_extract(F.col("url"), r"[?&]id=([0-9]+)", 1)
+    canon = u.select(
+        "doc_id",
+        "url",
+        F.concat(F.lit("https://"), host, path, F.lit("?id="), cid).alias(
+            "canonical"
+        ),
+    )
+    return canon.groupBy("canonical").agg(
+        F.count("*").alias("n_dupes"),
+        F.countDistinct("url").alias("n_raw_variants"),
+        F.min("doc_id").alias("keep_id"),
+    )

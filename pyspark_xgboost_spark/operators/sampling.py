@@ -746,3 +746,72 @@ def split_time_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").cast("bigint").alias("min_ts_us"),
         F.max("ts_us").cast("bigint").alias("max_ts_us"),
     )
+
+
+
+# --------------------------------------------------------------------------
+# Deterministic Poisson bootstrap (bagging replicate weights at scale)
+# --------------------------------------------------------------------------
+
+# Poisson(1) CDF thresholds scaled to 2^32, precomputed as exact
+# integer literals so both engines draw the identical k from the same
+# md5-derived uniform; P(k > 7) ~ 1e-5 folds into the last bucket.
+_POIS_T = (1580030169, 3160060337, 3950075422, 4213413783, 4279248374, 4292415292, 4294609778)
+
+
+@register(
+    "sample_poisson_bootstrap",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, n_chars,
+             md5('boot' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    u AS (
+      SELECT source, n_chars,
+             CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) * 1 AS BIGINT) AS uu
+      FROM d
+    ),
+    k AS (
+      SELECT source, n_chars, CASE WHEN uu < 1580030169 THEN 0 WHEN uu < 3160060337 THEN 1 WHEN uu < 3950075422 THEN 2 WHEN uu < 4213413783 THEN 3 WHEN uu < 4279248374 THEN 4 WHEN uu < 4292415292 THEN 5 WHEN uu < 4294609778 THEN 6 ELSE 7 END AS k FROM u
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(k) AS BIGINT) AS n_boot_rows,
+           CAST(sum(n_chars * k) AS BIGINT) AS sum_chars_boot
+    FROM k
+    GROUP BY source
+    """,
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., Google 2012): each row draws
+    a deterministic replicate count k ~ Poisson(1) from an md5-derived
+    uniform via inverse-CDF thresholds, then is physically replicated k
+    times with ``explode(array_repeat(...))``. This is how bagging /
+    bootstrap confidence intervals run at 100 TB — no global resample
+    pass, no coordination, one map-side draw per row, and the draw is
+    reproducible across engines and retries (a task retry MUST NOT
+    change the sample). The oracle computes the replicate accounting
+    analytically while the Spark side actually materializes the
+    resampled rows and aggregates them."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("boot"), F.col("doc_id").cast("string")))
+    uu = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    draw = F.lit(7)
+    for k in range(len(_POIS_T) - 1, -1, -1):
+        draw = F.when(uu < _POIS_T[k], k).otherwise(draw)
+    base = docs.select("source", "n_chars", draw.alias("k"))
+    boot = base.select(
+        "source", "n_chars", F.explode(F.expr("array_repeat(1, cast(k as int))")).alias("_one")
+    )
+    reps = boot.groupBy("source").agg(
+        F.count("*").alias("n_boot_rows"),
+        F.sum("n_chars").alias("sum_chars_boot"),
+    )
+    orig = base.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return orig.join(reps, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_boot_rows"), F.lit(0).cast("bigint")).alias("n_boot_rows"),
+        F.coalesce(F.col("sum_chars_boot"), F.lit(0).cast("bigint")).alias("sum_chars_boot"),
+    )

@@ -1602,3 +1602,88 @@ def window_decay_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         F.expr(f"t0 + {terms}").cast("bigint").alias("decayed_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling MAD anomaly detection (robust streaming-metric monitor)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_anomaly_mad",
+    oracle="""
+    WITH fr AS (
+      SELECT event_id, user_id, value,
+             list_sort(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)) AS a
+      FROM events
+    ),
+    m AS (
+      SELECT event_id, user_id, value, a, len(a) AS n,
+             CASE WHEN len(a) % 2 = 1 THEN a[(len(a) + 1) // 2]
+                  ELSE (a[len(a) // 2] + a[len(a) // 2 + 1]) / 2
+             END AS med
+      FROM fr
+    ),
+    d AS (
+      SELECT event_id, user_id, value, n, med,
+             list_sort(list_transform(a, x -> abs(x - med))) AS ad
+      FROM m
+    )
+    SELECT event_id, user_id,
+           CAST(round(med * 1000000) AS BIGINT) AS med_micro,
+           CAST(round((CASE WHEN n % 2 = 1 THEN ad[(n + 1) // 2]
+                            ELSE (ad[n // 2] + ad[n // 2 + 1]) / 2
+                       END) * 1000000) AS BIGINT) AS mad_micro,
+           (abs(value - med) > 3 * (CASE WHEN n % 2 = 1 THEN ad[(n + 1) // 2]
+                                         ELSE (ad[n // 2] + ad[n // 2 + 1]) / 2
+                                    END)) AS is_anomaly
+    FROM d
+    """,
+)
+def window_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median-absolute-deviation anomaly flags per user: over a
+    15-row trailing frame, flag |x - median| > 3*MAD. MAD is the robust
+    scale estimator (a single spike can't inflate it the way stddev
+    does), which is why metric monitors prefer it. Median and MAD are
+    computed EXPLICITLY from the sorted frame array (odd -> middle
+    element, even -> mean of the two middles) so both engines do the
+    identical IEEE arithmetic — no reliance on percentile()
+    interpolation conventions.
+
+    Scale shape: one shuffle on user_id; the frame is a bounded 15-row
+    ROWS window, so per-row state is O(15) regardless of history length
+    — the batch twin of a streaming sliding-window monitor."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-14, W.currentRow)
+    )
+    fr = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.array_sort(F.collect_list("value").over(w)).alias("a"),
+    )
+    med = F.expr(
+        "CASE WHEN size(a) % 2 = 1 THEN element_at(a, cast((size(a) + 1) div 2 as int)) "
+        "ELSE (element_at(a, cast(size(a) div 2 as int)) + element_at(a, cast(size(a) div 2 + 1 as int))) / 2 END"
+    )
+    d = fr.withColumn("med", med).withColumn(
+        "ad", F.expr("array_sort(transform(a, x -> abs(x - med)))")
+    )
+    mad = F.expr(
+        "CASE WHEN size(ad) % 2 = 1 THEN element_at(ad, cast((size(ad) + 1) div 2 as int)) "
+        "ELSE (element_at(ad, cast(size(ad) div 2 as int)) + element_at(ad, cast(size(ad) div 2 + 1 as int))) / 2 END"
+    )
+    return d.withColumn("mad", mad).select(
+        "event_id",
+        "user_id",
+        F.round(F.col("med") * 1000000).cast("bigint").alias("med_micro"),
+        F.round(F.col("mad") * 1000000).cast("bigint").alias("mad_micro"),
+        (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")).alias(
+            "is_anomaly"
+        ),
+    )

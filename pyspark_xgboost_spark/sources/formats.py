@@ -1066,3 +1066,115 @@ def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("snippet").contains("\n"), 1).otherwise(0)
         ).cast("bigint").alias("n_with_newlines"),
     )
+
+
+# --------------------------------------------------------------------------
+# binaryFile ingestion (multimodal landing zone)
+# --------------------------------------------------------------------------
+
+
+def _stage_doc_binfiles(spark: SparkSession, sf_dir: str) -> str:
+    """Stage every doc_id % 5 == 0 document as an individual
+    ``doc_{id}.txt`` file (fingerprint-keyed, idempotent) — the shape
+    of a raw multimodal landing zone: one opaque file per asset."""
+    key = sf_dir.strip("/").replace("/", "_")
+    parent = os.path.join(_SCRATCH, key)
+    leaf = f"documents_binfiles_{src_fingerprint(sf_dir, 'documents')}"
+    out = os.path.join(parent, leaf)
+    gc_stale_siblings(parent, "documents_binfiles_", leaf)
+    marker = os.path.join(out, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id", "text")
+            .toLocalIterator()  # staging fixture: bounded subset, driver-side write
+        )
+        for r in rows:
+            with open(os.path.join(out, f"doc_{r.doc_id}.txt"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+        with open(marker, "w"):
+            pass
+    return out
+
+
+@register(
+    "scan_binary_files",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_content,
+           md5(text) AS content_md5
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file ingestion via Spark's built-in ``binaryFile`` source —
+    the entry point for image/audio/video corpora: each file arrives as
+    (path, modificationTime, length, content binary), the asset id is
+    parsed from the filename, and the payload flows on as an opaque
+    binary column. The driver oracle confirms the round trip is
+    byte-exact (md5 over the decoded payload == md5 over the source
+    text). At scale binaryFile lists and splits files across executors
+    like any other source; pathGlobFilter prunes non-asset files at
+    listing time, before any read."""
+    path = _stage_doc_binfiles(spark, sf_dir)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(path)
+    )
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.length(F.decode(F.col("content"), "UTF-8")).alias("n_chars_content"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dynamic partition pruning (runtime partition elimination)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scan_dpp_join",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM lineitem
+    WHERE l_returnflag = 'A'
+    GROUP BY l_returnflag
+    """,
+)
+def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is the staged
+    partitionBy(l_returnflag) lineitem table; the dim side is a 1-row
+    relation whose filter (r_regionkey = 0 -> flag 'A') is only known
+    at runtime. Catalyst inserts a DPP subquery filter on the fact's
+    partition column, so only the 'A' partition directory is ever read
+    — at 100 TB this is the difference between scanning one partition
+    and scanning the table. test_plans asserts ``dynamicpruning``
+    appears in the physical plan."""
+    fact = spark.read.parquet(_stage_lineitem_by_flag(spark, sf_dir))
+    dim = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_regionkey") == 0)
+        .select(
+            F.when(F.col("r_regionkey") == 0, F.lit("A"))
+            .when(F.col("r_regionkey") == 1, F.lit("N"))
+            .otherwise(F.lit("R"))
+            .alias("flag")
+        )
+    )
+    joined = fact.join(dim, fact.l_returnflag == dim.flag)
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "sum_price_cents"
+        ),
+    )

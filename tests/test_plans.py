@@ -560,3 +560,27 @@ def test_weighted_percentile_collapses_before_window(spark):
     win = plan.find("Window")
     partial = plan.find("partial_sum")
     assert win != -1 and partial != -1 and win < partial
+
+
+def test_dpp_join_prunes_partitions(spark):
+    from pyspark_xgboost_spark.sources.formats import scan_dpp_join
+
+    df = scan_dpp_join(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_bloom_prefilter_broadcasts_bitmap(spark):
+    from pyspark_xgboost_spark.operators.sketches import join_bloom_prefilter
+
+    plan = plan_of(join_bloom_prefilter(spark, SF_DIR))
+    # the (word, bits) bitmap relation must ship broadcast, never shuffle
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bitmap_distinct_two_level_partial_agg(spark):
+    from pyspark_xgboost_spark.operators.sketches import agg_bitmap_distinct
+
+    plan = plan_of(agg_bitmap_distinct(spark, SF_DIR))
+    # both aggregation levels must have a partial (map-side) phase
+    assert plan.count("HashAggregate") >= 4

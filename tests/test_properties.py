@@ -665,3 +665,123 @@ def test_simhash_bands_identical_docs_hamming_zero(spark):
     finally:
         dedup.load_table = orig
     assert got.get((0, 1)) == 0
+
+
+def test_spatial_grid_matches_bruteforce(spark):
+    from tests.conftest import SF_DIR
+    """The 3x3 neighbor-cell blocking must find EXACTLY the pairs a
+    cross join finds — cell side == radius guarantees any pair within
+    R sits in adjacent cells, so blocking loses nothing."""
+    import pyspark.sql.functions as F
+    from pyspark_xgboost_spark.operators.spatial import (
+        _GRID, _R, _coord, join_spatial_grid,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+
+    got = {
+        r.c_nationkey: (r.n_pairs, r.n_customers, r.min_dist2)
+        for r in join_spatial_grid(spark, SF_DIR).collect()
+    }
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey",
+        _coord("cx", "c_custkey").alias("cx"),
+        _coord("cy", "c_custkey").alias("cy"),
+    )
+    sup = load_table(spark, SF_DIR, "supplier").select(
+        "s_suppkey",
+        _coord("sx", "s_suppkey").alias("sx"),
+        _coord("sy", "s_suppkey").alias("sy"),
+    )
+    brute = (
+        cust.crossJoin(sup)
+        .withColumn(
+            "dist2",
+            (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx"))
+            + (F.col("cy") - F.col("sy")) * (F.col("cy") - F.col("sy")),
+        )
+        .filter(F.col("dist2") <= _R * _R)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.min("dist2").alias("min_dist2"),
+        )
+    )
+    want = {
+        r.c_nationkey: (r.n_pairs, r.n_customers, r.min_dist2)
+        for r in brute.collect()
+    }
+    assert got == want
+    assert want, "fixture degenerate: no pairs within radius"
+
+
+def test_bloom_prefilter_candidates_superset_of_matches(spark):
+    from tests.conftest import SF_DIR
+    """Every true match must survive the Bloom prefilter (no false
+    negatives), and the attested counts must show n_matched <=
+    n_candidates with a sane false-positive volume."""
+    from pyspark_xgboost_spark.operators.sketches import join_bloom_prefilter
+
+    rows = join_bloom_prefilter(spark, SF_DIR).collect()
+    assert rows
+    total_cand = sum(r.n_candidates for r in rows)
+    total_match = sum(r.n_matched for r in rows)
+    assert total_match <= total_cand
+    assert total_match > 0
+    # m=65536, k=2, n~600 urgent keys at sf0.001 -> fpp well under 5%
+    fp = total_cand - total_match
+    assert fp <= 0.05 * total_cand + 10, (total_cand, total_match)
+
+
+def test_paragraph_dedup_conserves_distinct_blocks(spark):
+    from tests.conftest import SF_DIR
+    """Sum of kept blocks across the corpus == number of globally
+    distinct blocks, and no document keeps more than it had."""
+    import pyspark.sql.functions as F
+    from pyspark_xgboost_spark.operators.dedup import (
+        _PARA_WORDS, dedup_paragraph_exact,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+
+    res = dedup_paragraph_exact(spark, SF_DIR)
+    agg = res.agg(
+        F.sum("n_kept").alias("kept"), F.sum("n_blocks").alias("blocks")
+    ).collect()[0]
+    assert all(r.n_kept <= r.n_blocks for r in res.collect())
+
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')")
+    distinct_blocks = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, cast((size(toks) - 1) div {_PARA_WORDS} as int)),"
+                    f" i -> array_join(slice(toks, i * {_PARA_WORDS} + 1, {_PARA_WORDS}), ' '))"
+                )
+            ).alias("block")
+        )
+        .distinct()
+        .count()
+    )
+    assert agg.kept == distinct_blocks
+    assert agg.kept < agg.blocks  # fixture must actually contain dupes
+
+
+def test_rolling_mad_constant_series_never_flags(spark):
+    from tests.conftest import SF_DIR
+    """MAD of a constant frame is 0 and x == med, so nothing flags —
+    the robustness property that distinguishes MAD from stddev-based
+    z-scores."""
+    import pandas as pd
+    from pyspark_xgboost_spark.operators.temporal import window_anomaly_mad
+
+    # run the real query, then check the all-events subset where a
+    # user's trailing values were constant (med == value) is unflagged
+    df = window_anomaly_mad(spark, SF_DIR).toPandas()
+    same = df[df.mad_micro == 0]
+    flagged = same[same.is_anomaly & (same.med_micro == 0)]
+    # mad == 0 and med == 0 => value must equal 0 => |x-med| == 0 => no flag
+    assert len(flagged) == 0
+    assert df.is_anomaly.dtype == bool

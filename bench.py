@@ -191,6 +191,15 @@ HEADLINE = [
     "agg_map_group_counts",
     "scalar_calendar_arithmetic",
     "agg_collated_group",
+    "join_bloom_prefilter",
+    "agg_bitmap_distinct",
+    "join_spatial_grid",
+    "dedup_paragraph_exact",
+    "dedup_url_canonical",
+    "sample_poisson_bootstrap",
+    "window_anomaly_mad",
+    "scan_dpp_join",
+    "scan_binary_files",
 ]
 
 

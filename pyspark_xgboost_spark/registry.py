@@ -47,15 +47,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Audit with tools/check_window.py. Only oracle-checked queries belong
 # here: a rows-only query can never produce a green row and would
 # waste a slot.
-# ROUND-7 QUEUE NOTE: round 6 registered 29 new oracle queries, all
+# ROUND-7 QUEUE NOTE: round 6 registered 38 new oracle queries, all
 # behind the window (sorted into `rest`): the b128/simhash/incremental
 # dedup family, the ML stats attestations, EWMA/decay/gap-fill-linear/
 # weighted-percentile/histogram/entropy/gini/KL, interval-overlap +
 # lateral joins, xml/multiline-csv scans, zorder/vacuum sinks,
 # merge-incremental/CDF streaming, Neyman + time split, power
-# iteration, skew audit, html strip, sentence chunking. Round 7's
-# window should grade: text_fingerprint (slot 51 this round) + these
-# 29 + the r03-attested queue, oldest-first.
+# iteration, skew audit, html strip, sentence chunking, PLUS the late
+# round-6 batch: join_bloom_prefilter, agg_bitmap_distinct,
+# join_spatial_grid, dedup_paragraph_exact, dedup_url_canonical,
+# sample_poisson_bootstrap, window_anomaly_mad, scan_dpp_join,
+# scan_binary_files. Round 7's window should grade: text_fingerprint
+# (slot 51 this round) + these 38 + the r03-attested queue,
+# oldest-first.
 _GRADE_FIRST = [
     # never driver-graded (deferred past slot 50 in round 5)
     "join_asof_tolerance",

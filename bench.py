@@ -200,6 +200,7 @@ HEADLINE = [
     "window_anomaly_mad",
     "scan_dpp_join",
     "scan_binary_files",
+    "agg_countmin_heavy_hitters",
 ]
 
 

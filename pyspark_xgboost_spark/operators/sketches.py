@@ -197,3 +197,100 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("bits")).alias("n_users"),
         F.sum("cnt").alias("n_events"),
     )
+
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# --------------------------------------------------------------------------
+
+_CMS_W = 1024  # counters per row
+_CMS_D = 4  # hash rows
+
+
+@register(
+    "agg_countmin_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    exact AS (
+      SELECT token, count(*) AS exact_count FROM toks GROUP BY token
+    ),
+    top AS (
+      SELECT token, exact_count FROM exact
+      ORDER BY exact_count DESC, token LIMIT 20
+    ),
+    occ AS (
+      SELECT token, d,
+             CAST((strpos('0123456789abcdef', substr(md5(CAST(d AS VARCHAR) || token), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(CAST(d AS VARCHAR) || token), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(CAST(d AS VARCHAR) || token), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(CAST(d AS VARCHAR) || token), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(CAST(d AS VARCHAR) || token), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(CAST(d AS VARCHAR) || token), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(CAST(d AS VARCHAR) || token), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(d AS VARCHAR) || token), 8, 1)) - 1) * 1 AS BIGINT) % 1024 AS bucket
+      FROM toks, (VALUES (0), (1), (2), (3)) dd(d)
+    ),
+    counters AS (
+      SELECT d, bucket, count(*) AS c FROM occ GROUP BY d, bucket
+    ),
+    probes AS (
+      SELECT t.token, t.exact_count, dd.d,
+             CAST((strpos('0123456789abcdef', substr(md5(CAST(dd.d AS VARCHAR) || t.token), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(CAST(dd.d AS VARCHAR) || t.token), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(CAST(dd.d AS VARCHAR) || t.token), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(CAST(dd.d AS VARCHAR) || t.token), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(CAST(dd.d AS VARCHAR) || t.token), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(CAST(dd.d AS VARCHAR) || t.token), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(CAST(dd.d AS VARCHAR) || t.token), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(dd.d AS VARCHAR) || t.token), 8, 1)) - 1) * 1 AS BIGINT) % 1024 AS bucket
+      FROM top t, (VALUES (0), (1), (2), (3)) dd(d)
+    ),
+    est AS (
+      SELECT p.token, p.exact_count, min(c.c) AS cms_estimate
+      FROM probes p JOIN counters c ON p.d = c.d AND p.bucket = c.bucket
+      GROUP BY p.token, p.exact_count
+    )
+    SELECT token, exact_count, cms_estimate,
+           CAST(cms_estimate - exact_count AS BIGINT) AS overestimate
+    FROM est
+    """,
+)
+def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, J.Alg'05) over the
+    corpus token stream, attested against exact counts for the exact
+    top-20 heavy hitters: estimate = min over 4 hash rows of a
+    1024-counter array, so cms_estimate >= exact_count always and the
+    oracle pins the exact overestimate of every probe (the hashes are
+    md5-derived, so both engines build the identical sketch).
+
+    Scale shape: the sketch aggregation's key space is 4x1024 = 4096
+    counters regardless of vocabulary size — map-side combine
+    collapses each task's token stream into <=4096 rows, which is the
+    whole point: frequency estimation over an unbounded key domain
+    with O(1) state. The heavy-hitter probe is an 80-row broadcast
+    against the counter relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')")
+        ).alias("token")
+    )
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
+    top = exact.orderBy(F.desc("exact_count"), F.asc("token")).limit(20)
+
+    dd = F.array(*[F.lit(i) for i in range(4)])
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("d").cast("string"), F.col("token"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % _CMS_W
+    )
+    occ = toks.withColumn("d", F.explode(dd)).select("d", bucket.alias("bucket"))
+    counters = occ.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+
+    probes = (
+        top.withColumn("d", F.explode(dd))
+        .select("token", "exact_count", "d", bucket.alias("bucket"))
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        "token",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+    )

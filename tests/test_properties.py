@@ -785,3 +785,15 @@ def test_rolling_mad_constant_series_never_flags(spark):
     # mad == 0 and med == 0 => value must equal 0 => |x-med| == 0 => no flag
     assert len(flagged) == 0
     assert df.is_anomaly.dtype == bool
+
+
+def test_countmin_never_underestimates(spark):
+    from tests.conftest import SF_DIR
+    from pyspark_xgboost_spark.operators.sketches import (
+        agg_countmin_heavy_hitters,
+    )
+
+    rows = agg_countmin_heavy_hitters(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert all(r.overestimate >= 0 for r in rows)
+    assert all(r.cms_estimate >= r.exact_count for r in rows)

@@ -201,6 +201,7 @@ HEADLINE = [
     "scan_dpp_join",
     "scan_binary_files",
     "agg_countmin_heavy_hitters",
+    "dedup_lsh_eval_pr",
 ]
 
 

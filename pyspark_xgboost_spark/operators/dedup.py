@@ -1513,3 +1513,104 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("url").alias("n_raw_variants"),
         F.min("doc_id").alias("keep_id"),
     )
+
+# --------------------------------------------------------------------------
+# LSH quality evaluation (recall/precision vs exact ground truth)
+# --------------------------------------------------------------------------
+
+_EVAL_PANEL = 500  # fixed-size evaluation panel (doc_id < _EVAL_PANEL)
+
+
+@register(
+    "dedup_lsh_eval_pr",
+    oracle=f"""
+    WITH {_MINHASH_CAND_SQL},
+    psh AS (
+      SELECT doc_id, list_distinct(bases) AS bs
+      FROM based WHERE doc_id < {_EVAL_PANEL}
+    ),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM psh a JOIN psh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.bs, b.bs)) AS DOUBLE)
+            / len(list_distinct(a.bs || b.bs)) >= 0.5
+    ),
+    pred AS (
+      SELECT doc_a, doc_b FROM cand
+      WHERE doc_a < {_EVAL_PANEL} AND doc_b < {_EVAL_PANEL}
+    ),
+    j AS (
+      SELECT (t.doc_a IS NOT NULL) AS is_truth,
+             (pr.doc_a IS NOT NULL) AS is_pred
+      FROM truth t
+      FULL OUTER JOIN pred pr ON t.doc_a = pr.doc_a AND t.doc_b = pr.doc_b
+    )
+    SELECT CAST(count(CASE WHEN is_truth THEN 1 END) AS BIGINT) AS n_truth,
+           CAST(count(CASE WHEN is_pred THEN 1 END) AS BIGINT) AS n_candidates,
+           CAST(count(CASE WHEN is_truth AND is_pred THEN 1 END) AS BIGINT)
+             AS n_true_positives,
+           CAST(CASE WHEN count(CASE WHEN is_truth THEN 1 END) = 0 THEN -1
+                ELSE floor(count(CASE WHEN is_truth AND is_pred THEN 1 END)
+                           * 10000.0
+                           / count(CASE WHEN is_truth THEN 1 END)) END
+                AS BIGINT) AS recall_bp
+    FROM j
+    """,
+)
+def dedup_lsh_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality evaluation: recall of the 8-hash/4-band MinHash
+    candidate generator against EXACT shingle-set Jaccard >= 0.5 ground
+    truth on a FIXED-SIZE evaluation panel (doc_id < 500) — the
+    measure-your-dedup-pipeline harness a production curation run
+    needs: banding is a tuned probabilistic tradeoff (P(catch) =
+    1-(1-j^2)^4 for 4 bands of 2), and this query turns its realized
+    recall into a driver-attested number instead of a docstring claim.
+    Ground truth uses the SAME similarity domain the sketch
+    approximates (md5-hashed word 3-gram shingle sets), so a recall miss is a
+    banding/cap finding, not a definition mismatch.
+
+    Scale shape: exact ground truth is quadratic BY DESIGN, so it runs
+    on a constant-size panel — all-pairs cost is ~125k comparisons at
+    ANY corpus scale (the labeled-eval-set pattern; the panel does NOT
+    grow with sf). The candidate side reuses the production LSH plan
+    (one scan, one band-key shuffle) filtered to panel pairs; the
+    truth/pred reconciliation joins on id pairs only."""
+    docs = load_table(spark, sf_dir, "documents")
+    panel = docs.filter(F.col("doc_id") < _EVAL_PANEL).select("doc_id", "text")
+
+    # ground truth compares DISTINCT md5-hashed shingle sets (the same
+    # uint32 bases the sketch consumes): integer set intersection is
+    # far cheaper than string-array intersection over the panel's
+    # all-pairs, and Jaccard is identical up to md5 collisions
+    psh = _shingle_bases_df(panel).select(
+        "doc_id", F.array_distinct("bases").alias("bs")
+    )
+    a = psh.select(F.col("doc_id").alias("doc_a"), F.col("bs").alias("sa"))
+    b = psh.select(F.col("doc_id").alias("doc_b"), F.col("bs").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.array_union(F.col("sa"), F.col("sb")))
+    truth = (
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .filter((inter.cast("double") / union) >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    pred = _minhash_candidate_pairs(docs).filter(
+        (F.col("doc_a") < _EVAL_PANEL) & (F.col("doc_b") < _EVAL_PANEL)
+    )
+    j = truth.withColumn("is_truth", F.lit(True)).join(
+        pred.withColumn("is_pred", F.lit(True)),
+        ["doc_a", "doc_b"],
+        "full_outer",
+    )
+    is_t = F.col("is_truth").isNotNull()
+    is_p = F.col("is_pred").isNotNull()
+    n_truth = F.count(F.when(is_t, 1))
+    n_tp = F.count(F.when(is_t & is_p, 1))
+    return j.agg(
+        n_truth.cast("bigint").alias("n_truth"),
+        F.count(F.when(is_p, 1)).cast("bigint").alias("n_candidates"),
+        n_tp.cast("bigint").alias("n_true_positives"),
+        F.when(n_truth == 0, F.lit(-1).cast("bigint"))
+        .otherwise(F.floor(n_tp * 10000.0 / n_truth).cast("bigint"))
+        .alias("recall_bp"),
+    )

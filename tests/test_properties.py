@@ -797,3 +797,16 @@ def test_countmin_never_underestimates(spark):
     assert len(rows) == 20
     assert all(r.overestimate >= 0 for r in rows)
     assert all(r.cms_estimate >= r.exact_count for r in rows)
+
+
+def test_lsh_eval_recall_perfect_on_planted_dups(spark):
+    """Planted near-dups have shingle jaccard ~0.9+; with 4 bands of 2
+    hashes P(miss) = (1-j^2)^4 < 1e-4, so panel recall must be total
+    (or the panel holds no truth pairs at this SF)."""
+    from tests.conftest import SF_DIR
+    from pyspark_xgboost_spark.operators.dedup import dedup_lsh_eval_pr
+
+    r = dedup_lsh_eval_pr(spark, SF_DIR).collect()[0]
+    assert r.n_true_positives <= r.n_truth
+    assert r.n_true_positives <= r.n_candidates
+    assert r.recall_bp == (10000 if r.n_truth else -1)

@@ -202,6 +202,8 @@ HEADLINE = [
     "scan_binary_files",
     "agg_countmin_heavy_hitters",
     "dedup_lsh_eval_pr",
+    "agg_bitmap_set_ops",
+    "sample_balanced_downsample",
 ]
 
 

@@ -815,3 +815,68 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_boot_rows"), F.lit(0).cast("bigint")).alias("n_boot_rows"),
         F.coalesce(F.col("sum_chars_boot"), F.lit(0).cast("bigint")).alias("sum_chars_boot"),
     )
+
+
+# --------------------------------------------------------------------------
+# Class-balanced downsampling (cap every class at the minority count)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sample_balanced_downsample",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    cap AS (SELECT min(n) AS cap FROM counts),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('bal' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM ranked, cap
+    WHERE rn <= cap
+    GROUP BY lang
+    """,
+)
+def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every class (lang) is capped at the
+    MINORITY class's count, with members chosen by a deterministic
+    md5 ranking — the classifier-training-set balancer (distinct from
+    proportional stratified sampling and from fixed per-group quotas:
+    the cap is DERIVED from the data's own minimum). The hash ranking
+    makes the selection reproducible across engines, retries, and
+    partitionings — a task retry must not change the training set.
+
+    Scale shape: one count aggregate (dimension-sized), the scalar cap
+    broadcast back via crossJoin, and one per-class window rank over a
+    lang-keyed exchange. For per-class counts far above the cap, the
+    rank-then-filter can swap to the bounded per-group heap used by
+    corpus_quota_sample_topk (TakeOrderedAndProject per class) — same
+    semantics, no full sort of the majority classes."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    cap = counts.agg(F.min("n").alias("cap"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("bal"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    ranked = docs.select("doc_id", "lang", "n_chars").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cap))
+        .filter(F.col("rn") <= F.col("cap"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

@@ -294,3 +294,54 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
     )
+
+
+@register(
+    "agg_bitmap_set_ops",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+           CAST((SELECT count(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)) AS BIGINT) AS n_both,
+           CAST((SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS BIGINT) AS n_either,
+           CAST((SELECT count(*) FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)) AS BIGINT) AS n_only_a
+    """,
+)
+def agg_bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap via bitmap set algebra — the segment-overlap
+    question (how many users clicked AND purchased / either / only
+    clicked) answered with bitwise AND/OR/AND-NOT over per-segment
+    bitmaps instead of INTERSECT/UNION/EXCEPT over raw id sets. Each
+    segment aggregates to one long per 63-id word (map-side combine);
+    the overlap combine is a full-outer join of two <=word-count
+    relations followed by popcount sums — at 10^9 users that is a
+    few-MB word join, not a multi-TB id-set set-operation shuffle.
+    This is the Doris/ClickHouse bitmap-index audience pattern; the
+    oracle computes the same five counts with exact set operations."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def seg_bitmap(event_type: str, bits_alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .select(
+                F.expr("user_id div 63").alias("word"),
+                F.expr("shiftleft(1L, cast(user_id % 63 as int))").alias("mask"),
+            )
+            .groupBy("word")
+            .agg(F.expr("bit_or(mask)").alias(bits_alias))
+        )
+
+    a = seg_bitmap("click", "bits_a")
+    b = seg_bitmap("purchase", "bits_b")
+    j = a.join(b, "word", "full_outer").select(
+        F.coalesce(F.col("bits_a"), F.lit(0).cast("bigint")).alias("wa"),
+        F.coalesce(F.col("bits_b"), F.lit(0).cast("bigint")).alias("wb"),
+    )
+    return j.agg(
+        F.sum(F.bit_count("wa")).alias("n_a"),
+        F.sum(F.bit_count("wb")).alias("n_b"),
+        F.sum(F.bit_count(F.expr("wa & wb"))).alias("n_both"),
+        F.sum(F.bit_count(F.expr("wa | wb"))).alias("n_either"),
+        F.sum(F.bit_count(F.expr("wa & ~wb"))).alias("n_only_a"),
+    )

@@ -204,6 +204,7 @@ HEADLINE = [
     "dedup_lsh_eval_pr",
     "agg_bitmap_set_ops",
     "sample_balanced_downsample",
+    "events_markov_transitions",
 ]
 
 

@@ -1687,3 +1687,64 @@ def window_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov over user streams)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT from_type, sum(n) AS n_from FROM pairs GROUP BY 1
+    )
+    SELECT p.from_type, p.to_type,
+           CAST(p.n AS BIGINT) AS n_transitions,
+           CAST(p.n * 1000000 // t.n_from AS BIGINT) AS prob_micro
+    FROM pairs p JOIN tot t ON p.from_type = t.from_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next event type | current) estimated from lag pairs —
+    the sequence-model input for funnel diagnosis, churn prediction,
+    and next-action features. Probabilities are exact integer
+    micro-units (n*1e6 div n_from) so both engines agree bit-for-bit.
+
+    Scale shape: ONE user-keyed exchange feeds the lag window; the
+    pair aggregate collapses to |types|^2 rows with map-side combine;
+    the row-normalizing totals join is dimension-sized. No per-user
+    state beyond the single lag value."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = (
+        seq.groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").alias("n_transitions"),
+        F.expr("(n * 1000000) div n_from").cast("bigint").alias("prob_micro"),
+    )

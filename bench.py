@@ -205,6 +205,9 @@ HEADLINE = [
     "agg_bitmap_set_ops",
     "sample_balanced_downsample",
     "events_markov_transitions",
+    "events_rfm_segmentation",
+    "corpus_span_corruption",
+    "sample_negative_pairs",
 ]
 
 

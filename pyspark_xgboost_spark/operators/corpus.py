@@ -1116,3 +1116,82 @@ def corpus_kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * lr).cast("bigint").alias("kl_num_unats"),
         F.min("sn").cast("bigint").alias("kl_den"),
     )
+
+
+
+# --------------------------------------------------------------------------
+# Span-corruption masks (T5-style pretraining objective staging)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_span_corruption",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '')) AS n
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, n,
+             greatest(1, n // 20) AS k
+      FROM toks WHERE n >= 3
+    ),
+    spans AS (
+      SELECT doc_id, n, k,
+             list_transform(generate_series(0, k - 1),
+               s -> CAST((strpos('0123456789abcdef', substr(md5('span' || CAST(doc_id AS VARCHAR) || '_' || CAST(s AS VARCHAR)), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('span' || CAST(doc_id AS VARCHAR) || '_' || CAST(s AS VARCHAR)), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('span' || CAST(doc_id AS VARCHAR) || '_' || CAST(s AS VARCHAR)), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('span' || CAST(doc_id AS VARCHAR) || '_' || CAST(s AS VARCHAR)), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('span' || CAST(doc_id AS VARCHAR) || '_' || CAST(s AS VARCHAR)), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('span' || CAST(doc_id AS VARCHAR) || '_' || CAST(s AS VARCHAR)), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('span' || CAST(doc_id AS VARCHAR) || '_' || CAST(s AS VARCHAR)), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('span' || CAST(doc_id AS VARCHAR) || '_' || CAST(s AS VARCHAR)), 8, 1)) - 1) * 1 AS BIGINT) % n) AS starts
+      FROM base
+    ),
+    masked AS (
+      SELECT doc_id, n, k,
+             list_sort(list_distinct(flatten(list_transform(starts,
+               st -> generate_series(st, least(st + 2, n - 1)))))) AS pos
+      FROM spans
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_toks, CAST(k AS BIGINT) AS n_spans,
+           CAST(len(pos) AS BIGINT) AS n_masked,
+           md5(array_to_string(pos, ',')) AS mask_hash
+    FROM masked
+    """,
+)
+def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask staging (Raffel et al., JMLR'20
+    §3.1.4): each document gets ~n/20 corruption spans of length 3 at
+    md5-derived deterministic offsets; overlapping spans merge into the
+    distinct masked-position set, fingerprinted for attestation. The
+    masks depend only on (doc_id, token count), so the expensive text
+    never feeds the randomness — and determinism means a task retry or
+    engine swap reproduces the exact same pretraining examples (the
+    property that makes corruption reproducible across epochs and
+    debuggable at 100 TB).
+
+    Scale shape: pure map-side — one tokenize for the count, then
+    integer expression work per doc; no shuffle at all. The downstream
+    step (not materialized here) substitutes sentinel tokens at these
+    positions inside the same projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')"))
+    base = docs.select("doc_id", n.alias("n")).filter(F.col("n") >= 3)
+    base = base.withColumn("k", F.greatest(F.lit(1), F.expr("n div 20")))
+    starts = F.expr(
+        "transform(sequence(0, cast(k - 1 as int)), s -> "
+        "cast(conv(substr(md5(concat('span', cast(doc_id as string), '_', "
+        "cast(s as string))), 1, 8), 16, 10) as bigint) % n)"
+    )
+    spans = base.withColumn("starts", starts)
+    pos = F.expr(
+        "array_sort(array_distinct(flatten(transform(starts, "
+        "st -> sequence(st, least(st + 2, n - 1))))))"
+    )
+    masked = spans.withColumn("pos", pos)
+    return masked.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_toks"),
+        F.col("k").cast("bigint").alias("n_spans"),
+        F.size("pos").cast("bigint").alias("n_masked"),
+        F.md5(F.expr("concat_ws(',', transform(pos, p -> cast(p as string)))")).alias(
+            "mask_hash"
+        ),
+    )

@@ -880,3 +880,87 @@ def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+
+# --------------------------------------------------------------------------
+# Deterministic negative sampling (contrastive-training pair staging)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sample_negative_pairs",
+    oracle="""
+    WITH nn AS (SELECT count(*) AS n_docs FROM documents),
+    anchors AS (SELECT doc_id, source FROM documents),
+    draws AS (
+      SELECT a.doc_id, a.source, j.j,
+             md5('neg' || CAST(a.doc_id AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)) AS h,
+             nn.n_docs
+      FROM anchors a CROSS JOIN (VALUES (0), (1)) j(j) CROSS JOIN nn
+    ),
+    negs AS (
+      SELECT doc_id, source, j,
+             CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) * 1 AS BIGINT) % n_docs AS neg_id
+      FROM draws
+    )
+    SELECT n.doc_id, n.j, n.neg_id,
+           (n.neg_id = n.doc_id) AS is_self_collision,
+           d.source AS neg_source,
+           (d.source = n.source) AS is_same_source
+    FROM negs n JOIN documents d ON n.neg_id = d.doc_id
+    """,
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor document draws 2 uniform negatives via md5 inverse-index
+    (ids are dense 0..n-1 here; a non-dense corpus swaps the modulo
+    for a rank lookup), flagged for self-collisions and same-source
+    negatives (the two standard filters before loss computation). As
+    with the Poisson bootstrap, determinism is the production
+    property: retries, engine swaps, and epoch replays see the SAME
+    pairs.
+
+    Scale shape: the corpus count is one scalar broadcast; draws are
+    map-side; the only shuffle is the join fetching each negative's
+    attributes — doc_id-keyed, 2 rows per anchor. At 100 TB the
+    negatives join is the same shape as any feature-fetch join and
+    AQE is free to pick the strategy."""
+    docs = load_table(spark, sf_dir, "documents")
+    nn = docs.agg(F.count("*").alias("n_docs"))
+    anchors = docs.select("doc_id", "source")
+    draws = (
+        anchors.withColumn("j", F.explode(F.array(F.lit(0), F.lit(1))))
+        .crossJoin(F.broadcast(nn))
+        .withColumn(
+            "neg_id",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("neg"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("_"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("n_docs"),
+        )
+    )
+    d = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
+    )
+    return draws.join(d, "neg_id").select(
+        "doc_id",
+        "j",
+        "neg_id",
+        (F.col("neg_id") == F.col("doc_id")).alias("is_self_collision"),
+        "neg_source",
+        (F.col("neg_source") == F.col("source")).alias("is_same_source"),
+    )

@@ -1748,3 +1748,73 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_transitions"),
         F.expr("(n * 1000000) div n_from").cast("bigint").alias("prob_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quintiles)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_rfm_segmentation",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             max(ts) AS last_ts,
+             count(*) AS frequency,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, frequency, monetary_cents,
+             ntile(5) OVER (ORDER BY last_ts, user_id) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_cents, user_id) AS m_score
+      FROM base
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_users,
+           CAST(sum(monetary_cents) AS BIGINT) AS segment_value_cents
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value feature triple:
+    per-user recency (last purchase), frequency (purchase count), and
+    monetary (exact cents), each quintile-scored with ntile, then
+    rolled up into segment cells. Tie-break on user_id makes every
+    ntile boundary deterministic (ntile over a non-unique ordering is
+    partition-order-dependent and can never hash-match).
+
+    Scale shape: one user-keyed purchase aggregate (map-side combine),
+    then three global ntiles over the USER-LEVEL relation — dimension
+    cardinality, not event cardinality (the same global-window caveat
+    documented for length_bucket_equal_freq applies if the user
+    dimension itself outgrows one partition; the histogram-based
+    equal-freq variant is the stated swap)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    scored = base.select(
+        "monetary_cents",
+        F.ntile(5).over(W.orderBy("last_ts", "user_id")).alias("r_score"),
+        F.ntile(5).over(W.orderBy("frequency", "user_id")).alias("f_score"),
+        F.ntile(5).over(W.orderBy("monetary_cents", "user_id")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_users"),
+        F.sum("monetary_cents").alias("segment_value_cents"),
+    )

@@ -208,6 +208,7 @@ HEADLINE = [
     "events_rfm_segmentation",
     "corpus_span_corruption",
     "sample_negative_pairs",
+    "agg_feature_hashing",
 ]
 
 

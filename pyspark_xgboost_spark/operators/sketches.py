@@ -345,3 +345,78 @@ def agg_bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count(F.expr("wa | wb"))).alias("n_either"),
         F.sum(F.bit_count(F.expr("wa & ~wb"))).alias("n_only_a"),
     )
+
+
+
+@register(
+    "agg_feature_hashing",
+    oracle="""
+    WITH crosses AS (
+      SELECT event_type || 'x' || CAST(EXTRACT(HOUR FROM ts) AS VARCHAR)
+               AS cross_key,
+             count(*) AS n_rows
+      FROM events
+      GROUP BY 1
+    ),
+    hashed AS (
+      SELECT cross_key, n_rows,
+             CAST((strpos('0123456789abcdef', substr(md5(cross_key), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(cross_key), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(cross_key), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(cross_key), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(cross_key), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(cross_key), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(cross_key), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(cross_key), 8, 1)) - 1) * 1 AS BIGINT) % 256 AS bucket
+      FROM crosses
+    ),
+    buckets AS (
+      SELECT bucket,
+             count(*) AS n_crosses_in_bucket,
+             sum(n_rows) AS bucket_rows
+      FROM hashed GROUP BY bucket
+    )
+    SELECT CAST((SELECT count(*) FROM crosses) AS BIGINT) AS n_crosses,
+           CAST(count(*) AS BIGINT) AS n_buckets_used,
+           CAST(count(CASE WHEN n_crosses_in_bucket > 1 THEN 1 END) AS BIGINT)
+             AS n_colliding_buckets,
+           CAST(max(n_crosses_in_bucket) AS BIGINT) AS max_bucket_crosses,
+           CAST(max(bucket_rows) AS BIGINT) AS max_bucket_rows
+    FROM buckets
+    """,
+)
+def agg_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML'09) with a collision
+    audit: categorical crosses (event_type x hour) hash into a fixed
+    256-bucket feature space, and the query reports exactly how much
+    collision damage the chosen width causes (buckets used, colliding
+    buckets, worst bucket) — the sizing diagnostic run before
+    committing a hashed feature column to a model. md5-derived buckets
+    make the collision set engine-exact, so the oracle pins it.
+
+    Scale shape: the cross aggregate collapses event volume to
+    |types| x 24 rows map-side; everything after is dimension-sized.
+    The same hash expression applied row-level (no pre-aggregate) is
+    the training-time encoder — O(1) memory, no vocabulary build, the
+    reason feature hashing exists at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    crosses = (
+        ev.select(
+            F.concat(
+                F.col("event_type"), F.lit("x"), F.hour("ts").cast("string")
+            ).alias("cross_key")
+        )
+        .groupBy("cross_key")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    hashed = crosses.withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5("cross_key"), 1, 8), 16, 10).cast("bigint") % 256,
+    )
+    buckets = hashed.groupBy("bucket").agg(
+        F.count("*").alias("n_crosses_in_bucket"),
+        F.sum("n_rows").alias("bucket_rows"),
+    )
+    n_crosses = crosses.agg(F.count("*").alias("n_crosses"))
+    return buckets.crossJoin(F.broadcast(n_crosses)).agg(
+        F.first("n_crosses").alias("n_crosses"),
+        F.count("*").alias("n_buckets_used"),
+        F.count(F.when(F.col("n_crosses_in_bucket") > 1, 1)).alias(
+            "n_colliding_buckets"
+        ),
+        F.max("n_crosses_in_bucket").alias("max_bucket_crosses"),
+        F.max("bucket_rows").alias("max_bucket_rows"),
+    )

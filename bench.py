@@ -209,6 +209,7 @@ HEADLINE = [
     "corpus_span_corruption",
     "sample_negative_pairs",
     "agg_feature_hashing",
+    "window_cusum_drift",
 ]
 
 

@@ -1818,3 +1818,89 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         F.sum("monetary_cents").alias("segment_value_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM drift detection (sequential recurrence as distributed windows)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_cusum_drift",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               // count(*) AS target_cents
+      FROM events
+    ),
+    d AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             CAST(round(e.value * 100) AS BIGINT) - t.target_cents AS d_cents
+      FROM events e CROSS JOIN t
+    ),
+    c1 AS (
+      SELECT event_id, user_id, ts,
+             CAST(sum(d_cents) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM d
+    ),
+    c AS (
+      SELECT event_id, user_id, cum,
+             CAST(min(cum) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS runmin
+      FROM c1
+    )
+    SELECT event_id, user_id,
+           CAST(cum - least(runmin, 0) AS BIGINT) AS cusum_cents,
+           (cum - least(runmin, 0) > 5000) AS drift_alarm
+    FROM c
+    """,
+)
+def window_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector per user (Page, Biometrika'54):
+    the sequential recurrence S_t = max(0, S_{t-1} + (x_t - target))
+    looks unparallelizable, but rewrites exactly as
+    S_t = cumsum_t - min(0, running_min(cumsum)) — two stock window
+    functions over ONE user-keyed exchange, no scan operator and no
+    stateful UDF. Deviations are exact integer cents against the
+    integer global-mean target, so cumulative sums are
+    association-free and engine-identical (a float cumsum would be at
+    the mercy of each engine's window-aggregation tree).
+
+    Scale shape: one scalar broadcast (target) + one user exchange
+    with a sort; per-row state is two longs. The streaming twin is an
+    applyInPandasWithState fold; this batch form backfills the same
+    alarms over history."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.agg(
+        F.expr(
+            "cast(sum(cast(round(value * 100) as bigint)) div count(*) as bigint)"
+        ).alias("target_cents")
+    )
+    d = ev.crossJoin(F.broadcast(t)).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.round(F.col("value") * 100).cast("bigint") - F.col("target_cents")).alias(
+            "d_cents"
+        ),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("d_cents").over(w)).withColumn(
+        "runmin", F.min("cum").over(w)
+    )
+    s = F.col("cum") - F.least(F.col("runmin"), F.lit(0).cast("bigint"))
+    return c.select(
+        "event_id",
+        "user_id",
+        s.cast("bigint").alias("cusum_cents"),
+        (s > 5000).alias("drift_alarm"),
+    )

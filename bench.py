@@ -210,6 +210,8 @@ HEADLINE = [
     "sample_negative_pairs",
     "agg_feature_hashing",
     "window_cusum_drift",
+    "agg_bitmap_native_distinct",
+    "agg_approx_top_k",
 ]
 
 

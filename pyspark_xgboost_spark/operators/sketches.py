@@ -420,3 +420,66 @@ def agg_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_crosses_in_bucket").alias("max_bucket_crosses"),
         F.max("bucket_rows").alias("max_bucket_rows"),
     )
+
+
+@register(
+    "agg_bitmap_native_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bitmap_native_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) through Spark's BUILT-IN bitmap aggregate
+    family (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_count — SPARK-44879): ids bucket into
+    32768-bit native bitmaps, OR-aggregated JVM-side with map-side
+    combine, popcounts summed. The hand-rolled 63-bit-word twin
+    (agg_bitmap_distinct) exists because its bitmap is
+    oracle-reproducible bit-for-bit; THIS form is the production
+    surface — binary 4 KB segments, whole-stage codegen, zero
+    expression-tree bit math. Both attest to the same plain
+    count(distinct) oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    seg = (
+        ev.groupBy(
+            "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+        )
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+        )
+    )
+    return seg.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
+    )
+
+
+@register(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY n DESC, event_type
+    LIMIT 3
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's approx_top_k sketch in its EXACT regime: with distinct
+    items below maxItemsTracked (10000), the space-saving sketch
+    degenerates to exact counting, so the driver can pin its output
+    against the exact top-k — attesting both the function surface and
+    the regime boundary. Above the tracking budget the same one-pass
+    sketch keeps O(k) state where exact top-k needs a full group
+    aggregate; item cardinality decides which to deploy. The result
+    array is exploded and re-sorted (count desc, item) so tie order is
+    deterministic, not sketch-internal."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("event_type"), F.col("e.count").alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+    )

@@ -60,7 +60,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # scan_binary_files, agg_countmin_heavy_hitters, dedup_lsh_eval_pr,
 # agg_bitmap_set_ops, sample_balanced_downsample, events_markov_transitions,
 # events_rfm_segmentation, corpus_span_corruption, sample_negative_pairs,
-# agg_feature_hashing, window_cusum_drift. Round 7's window
+# agg_feature_hashing, window_cusum_drift, agg_bitmap_native_distinct,
+# agg_approx_top_k. Round 7's window
 # should grade: text_fingerprint
 # (slot 51 this round) + these 38 + the r03-attested queue,
 # oldest-first.

@@ -212,6 +212,7 @@ HEADLINE = [
     "window_cusum_drift",
     "agg_bitmap_native_distinct",
     "agg_approx_top_k",
+    "events_session_dynamic_gap",
 ]
 
 

@@ -140,3 +140,79 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lag/cumsum islands idiom (merge iff ts < prev_ts + gap, matching
     Spark's half-open [start, last+gap) windows)."""
     return session_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_session_dynamic_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             CASE WHEN event_type = 'purchase' THEN 3600000000
+                  ELSE 1800000000 END AS gap_us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, ts_us, gap_us, cents,
+             max(ts_us + gap_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM e
+    ),
+    f AS (
+      SELECT user_id, ts_us, gap_us, cents,
+             CASE WHEN prev_end IS NULL OR ts_us >= prev_end
+                  THEN 1 ELSE 0 END AS is_new
+      FROM m
+    ),
+    g AS (
+      SELECT user_id, ts_us, cents,
+             sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_no
+      FROM f
+    )
+    SELECT user_id,
+           CAST(min(ts_us) AS BIGINT) AS session_start_us,
+           count(*) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS session_cents
+    FROM g
+    GROUP BY user_id, session_no
+    """,
+)
+def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap expression — Spark's
+    ``session_window(ts, gapExpr)`` form: a purchase keeps the session
+    alive for 1 hour, anything else 30 minutes (the
+    engagement-weighted sessionization real funnels use). The oracle
+    re-derives Spark's merge semantics from first principles — an
+    event joins the open session iff its timestamp is strictly before
+    the running max of previous (ts + gap) — so the native operator's
+    exact merge rule is pinned, not assumed.
+
+    Scale shape: one user-keyed exchange for the session merge (same
+    as fixed-gap); gap arithmetic is map-side. The streaming twin
+    accepts the same dynamic gap column with watermark-bounded
+    state."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("1 hour")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "session_cents"
+            ),
+        )
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("w.start"))).alias("session_start_us"),
+            "n_events",
+            "session_cents",
+        )
+    )

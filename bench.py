@@ -213,6 +213,7 @@ HEADLINE = [
     "agg_bitmap_native_distinct",
     "agg_approx_top_k",
     "events_session_dynamic_gap",
+    "events_stream_session_dynamic_gap",
 ]
 
 

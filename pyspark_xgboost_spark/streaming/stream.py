@@ -1156,3 +1156,44 @@ def sink_vacuum_old_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("current_rows"),
         F.sum("doc_id").cast("bigint").alias("current_checksum"),
     )
+
+
+# the streaming form shares the batch query's first-principles oracle;
+# importing the windows module guarantees the batch registration ran
+import pyspark_xgboost_spark.streaming.windows  # noqa: E402, F401
+
+from pyspark_xgboost_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@register(
+    "events_stream_session_dynamic_gap",
+    oracle=_ORACLES["events_session_dynamic_gap"],
+)
+def events_stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows with a per-event gap expression — the
+    stateful dynamic-gap merge across micro-batches: purchases hold
+    the session open 1 hour, everything else 30 minutes. Shares the
+    batch query's first-principles oracle, so stream == batch ==
+    first-principles SQL forms a three-way pin. Watermark bounds the
+    session state exactly as in the fixed-gap form — the gap
+    expression changes per-row arithmetic, not the state contract."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("1 hour")).otherwise(
+        F.lit("30 minutes")
+    )
+    out = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "session_cents"
+            ),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "session_cents",
+        )
+    )
+    return _run_to_memory(out, "complete")

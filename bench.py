@@ -214,6 +214,8 @@ HEADLINE = [
     "agg_approx_top_k",
     "events_session_dynamic_gap",
     "events_stream_session_dynamic_gap",
+    "agg_listagg_native",
+    "scalar_try_arithmetic",
 ]
 
 

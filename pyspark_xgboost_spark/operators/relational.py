@@ -1834,3 +1834,75 @@ def agg_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_doc",
         )
     )
+
+
+@register(
+    "agg_listagg_native",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, '|' ORDER BY n_name DESC) AS nations_desc,
+           count(*) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_listagg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.0's SQL-standard ``listagg(...) WITHIN GROUP (ORDER BY
+    ...)`` — the native form of the ordered string aggregate that
+    agg_string_concat_ordered builds from sort+join primitives; both
+    registrations keep the two implementations pinned to the same
+    semantics (here with a DESCENDING order to also pin the direction
+    handling). Same dimension-aggregate scale caveat: group
+    cardinality bounds the concatenation state."""
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.expr(
+                "listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name DESC)"
+            ).alias("nations_desc"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "scalar_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN (l_linenumber - 1) = 0 THEN NULL
+                ELSE CAST(round(l_extendedprice * 100) AS BIGINT)
+                     // (l_linenumber - 1) END AS price_per_prev_line,
+           CASE WHEN l_quantity = 0 THEN NULL
+                ELSE CAST(floor(l_extendedprice * 100 / l_quantity) AS BIGINT)
+                END AS unit_price_cents
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic: ``try_divide`` yields NULL on /0 instead
+    of failing the 3-hour job at row 10^11 (under ANSI mode plain `/`
+    RAISES; the try_* family is how a 100 TB pipeline encodes 'null,
+    don't die'). Exercised against a denominator that is genuinely
+    zero for every first line item. The oracle states the same
+    semantics as explicit CASE guards. Integer division via try_divide
+    + floor keeps the cross-engine div contract on non-negative
+    operands; money division floors to cents (floor of the same IEEE
+    quotient is engine-exact; round-half would disagree at .5
+    boundaries)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        li.filter(F.col("l_orderkey") % 100 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor(
+                F.try_divide(cents, F.col("l_linenumber") - 1)
+            ).cast("bigint").alias("price_per_prev_line"),
+            F.floor(
+                F.try_divide(F.col("l_extendedprice") * 100, F.col("l_quantity"))
+            ).cast("bigint").alias("unit_price_cents"),
+        )
+    )

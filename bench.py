@@ -216,6 +216,8 @@ HEADLINE = [
     "events_stream_session_dynamic_gap",
     "agg_listagg_native",
     "scalar_try_arithmetic",
+    "graph_bfs_hops",
+    "corpus_pmi_facets",
 ]
 
 

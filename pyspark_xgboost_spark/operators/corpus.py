@@ -1195,3 +1195,62 @@ def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mask_hash"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Pointwise mutual information (facet association strength)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_pmi_facets",
+    oracle="""
+    WITH xy AS (
+      SELECT source, lang, count(*) AS n_xy FROM documents GROUP BY 1, 2
+    ),
+    x AS (SELECT source, count(*) AS n_x FROM documents GROUP BY 1),
+    y AS (SELECT lang, count(*) AS n_y FROM documents GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT xy.source, xy.lang, CAST(xy.n_xy AS BIGINT) AS n_xy,
+           CAST(round(ln(CAST(xy.n_xy AS DOUBLE) * n.n
+                         / (CAST(x.n_x AS DOUBLE) * y.n_y)) * 1000000)
+                AS BIGINT) AS pmi_micronats
+    FROM xy
+    JOIN x ON xy.source = x.source
+    JOIN y ON xy.lang = y.lang
+    CROSS JOIN n
+    """,
+)
+def corpus_pmi_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between document facets (source ×
+    lang): PMI = ln(p(x,y) / p(x)p(y)) per cell, in micro-nats — the
+    association-strength diagnostic behind 'is this crawl source
+    secretly language-skewed', and the summand of the corpus-balance
+    mutual information Σ p(x,y)·PMI. All counts are exact integers;
+    the single ln is quantized to micro-nats (the established
+    cross-engine idiom — IEEE ln is not guaranteed correctly rounded
+    but empirically agrees at this quantization, as with the LM
+    queries).
+
+    Scale shape: three dimension-sized aggregates (each with map-side
+    combine over the same scan) + broadcast joins of the two marginal
+    tables and the scalar total. Nothing shuffles at data volume."""
+    docs = load_table(spark, sf_dir, "documents")
+    xy = docs.groupBy("source", "lang").agg(F.count("*").alias("n_xy"))
+    x = docs.groupBy("source").agg(F.count("*").alias("n_x"))
+    y = docs.groupBy("lang").agg(F.count("*").alias("n_y"))
+    n = docs.agg(F.count("*").alias("n"))
+    j = (
+        xy.join(F.broadcast(x), "source")
+        .join(F.broadcast(y), "lang")
+        .crossJoin(F.broadcast(n))
+    )
+    pmi = F.round(
+        F.log(
+            F.col("n_xy").cast("double")
+            * F.col("n")
+            / (F.col("n_x").cast("double") * F.col("n_y"))
+        )
+        * 1000000
+    ).cast("bigint")
+    return j.select("source", "lang", F.col("n_xy").cast("bigint").alias("n_xy"), pmi.alias("pmi_micronats"))

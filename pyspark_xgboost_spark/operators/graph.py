@@ -251,3 +251,78 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.groupBy(F.col("node").alias("doc_id")).agg(
         F.count("*").alias("tri_cnt")
     )
+
+
+# --------------------------------------------------------------------------
+# BFS hop distance (bounded multi-source breadth-first search)
+# --------------------------------------------------------------------------
+
+_BFS_MAX_HOPS = 3
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CAND_SQL},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL SELECT doc_b, doc_a FROM cand
+    ),
+    seeds AS (
+      SELECT DISTINCT src AS doc_id FROM edges WHERE src % 10 = 0
+    ),
+    walk(doc_id, hops) AS (
+      SELECT doc_id, 0 FROM seeds
+      UNION
+      SELECT e.dst, w.hops + 1
+      FROM walk w JOIN edges e ON e.src = w.doc_id
+      WHERE w.hops < {_BFS_MAX_HOPS}
+    ),
+    dist AS (SELECT doc_id, min(hops) AS hops FROM walk GROUP BY doc_id)
+    SELECT hops, count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM dist
+    GROUP BY hops
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS over the LSH similarity graph: hop
+    distance from a deterministic seed set (every 10th doc that has an
+    edge), frontier-expanded {_BFS_MAX_HOPS} rounds — the
+    neighborhood-expansion primitive behind contamination blast-radius
+    ("everything within 2 hops of a benchmark document") and
+    graph-based label propagation.
+
+    Spark shape: per round, ONE join of the CURRENT FRONTIER against
+    the edge list + an aggregate keeping the minimum hop count —
+    frontier rows shrink as distances settle, and the hop bound caps
+    the rounds, so the plan is {_BFS_MAX_HOPS} join+agg stages over
+    O(edges). The distance table replaces per-node visited state; no
+    driver-side traversal."""
+    edges = _lsh_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("doc_id"))
+        .filter(F.col("doc_id") % 10 == 0)
+        .distinct()
+    )
+    dist = seeds.withColumn("hops", F.lit(0))
+    frontier = dist
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        reached = (
+            frontier.join(edges, frontier["doc_id"] == edges["src"])
+            .select(F.col("dst").alias("doc_id"), F.lit(hop).alias("hops"))
+            .distinct()
+        )
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("doc_id")
+            .agg(F.min("hops").alias("hops"))
+        )
+        # next frontier: nodes whose settled distance IS this hop
+        frontier = dist.filter(F.col("hops") == hop)
+    return dist.groupBy("hops").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

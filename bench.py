@@ -218,6 +218,7 @@ HEADLINE = [
     "scalar_try_arithmetic",
     "graph_bfs_hops",
     "corpus_pmi_facets",
+    "text_perplexity_kneser_ney",
 ]
 
 

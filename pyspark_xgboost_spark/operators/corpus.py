@@ -1254,3 +1254,113 @@ def corpus_pmi_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000000
     ).cast("bigint")
     return j.select("source", "lang", F.col("n_xy").cast("bigint").alias("n_xy"), pmi.alias("pmi_micronats"))
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney bigram LM (the standard n-gram smoothing)
+# --------------------------------------------------------------------------
+
+# discount D = 3/4 exactly (dyadic rational -> the probability is a
+# ratio of integers scaled by powers of two; identical IEEE doubles in
+# both engines when the expression tree matches)
+_KN_P_SQL = (
+    "greatest(4 * cb - 3, 0) / (4.0 * cu)"
+    " + ((3.0 * n1l) / (4.0 * cu)) * (CAST(n1r AS DOUBLE) / nbt)"
+)
+
+
+@register(
+    "text_perplexity_kneser_ney",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+      WHERE len({_TOKS_SQL}) >= 2
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ts) - 1),
+                                   i -> ts[i] || ' ' || ts[i+1])) AS big,
+             unnest(list_transform(generate_series(1, len(ts) - 1),
+                                   i -> ts[i])) AS prev,
+             unnest(list_transform(generate_series(1, len(ts) - 1),
+                                   i -> ts[i+1])) AS nxt
+      FROM toks
+    ),
+    bf AS (SELECT big, count(*) AS cb FROM bg GROUP BY big),
+    uf AS (SELECT prev, count(*) AS cu FROM bg GROUP BY prev),
+    nl AS (SELECT prev, count(DISTINCT nxt) AS n1l FROM bg GROUP BY prev),
+    nr AS (SELECT nxt, count(DISTINCT prev) AS n1r FROM bg GROUP BY nxt),
+    nb AS (SELECT count(*) AS nbt FROM bf),
+    s AS (
+      SELECT bg.doc_id,
+             CAST(round(ln({_KN_P_SQL}) * 1000000) AS BIGINT) AS lp
+      FROM bg
+      JOIN bf USING (big) JOIN uf USING (prev)
+      JOIN nl USING (prev) JOIN nr USING (nxt)
+      CROSS JOIN nb
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(lp) AS BIGINT) AS sum_lp_micro,
+           CAST(CAST(sum(lp) AS BIGINT) AS DOUBLE) / -1000000.0 / count(*)
+             AS nll_per_bigram
+    FROM s GROUP BY doc_id
+    """,
+)
+def text_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram NLL under interpolated Kneser-Ney smoothing
+    (Kneser & Ney, ICASSP'95; Chen & Goodman, CSL'99) — the standard
+    n-gram LM the CCNet/Wikipedia-LM quality gates actually use:
+    P(w2|w1) = max(c(w1w2)−D, 0)/c(w1) + D·N1+(w1·)/c(w1) · Pcont(w2),
+    with the continuation probability Pcont(w2) = N1+(·w2)/N1+(··)
+    ranking words by how many CONTEXTS they follow, not raw frequency
+    (the 'San Francisco' effect). D = 3/4 exactly, so the probability
+    is integer arithmetic scaled by powers of two and both engines
+    compute bit-identical doubles before the one quantized ln.
+
+    Plan shape: ONE bigram explode feeds all five statistics (bigram
+    counts, context counts, left/right continuation-type counts, type
+    total); they join back on their keys — bigram-, context-,
+    next-token-, and doc-keyed shuffles, the honest exact-LM cost.
+    100 TB swap: broadcast top-V tables with an OOV bucket, as with
+    the Laplace and DSIR variants."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    pairs = F.expr(
+        "transform(sequence(1, size(ts) - 1), "
+        "i -> struct(concat_ws(' ', element_at(ts, i), element_at(ts, i + 1)) "
+        "AS big, element_at(ts, i) AS prev, element_at(ts, i + 1) AS nxt))"
+    )
+    bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id",
+        F.col("p.big").alias("big"),
+        F.col("p.prev").alias("prev"),
+        F.col("p.nxt").alias("nxt"),
+    )
+    bf = bg.groupBy("big").agg(F.count("*").alias("cb"))
+    uf = bg.groupBy("prev").agg(F.count("*").alias("cu"))
+    nl = bg.groupBy("prev").agg(F.countDistinct("nxt").alias("n1l"))
+    nr = bg.groupBy("nxt").agg(F.countDistinct("prev").alias("n1r"))
+    nb = bf.agg(F.count("*").alias("nbt"))
+    s = (
+        bg.join(bf, "big")
+        .join(uf, "prev")
+        .join(nl, "prev")
+        .join(nr, "nxt")
+        .join(F.broadcast(nb))
+        .select(
+            "doc_id",
+            F.round(F.expr(f"ln({_KN_P_SQL})") * 1000000)
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    return s.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("lp").alias("sum_lp_micro"),
+        (F.sum("lp").cast("double") / -1000000.0 / F.count("*")).alias(
+            "nll_per_bigram"
+        ),
+    )

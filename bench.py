@@ -219,6 +219,7 @@ HEADLINE = [
     "graph_bfs_hops",
     "corpus_pmi_facets",
     "text_perplexity_kneser_ney",
+    "text_langid_confusion",
 ]
 
 

@@ -525,3 +525,41 @@ def doc_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sentences"),
         F.sum("sl").cast("bigint").alias("n_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID evaluation (confusion matrix on labeled data)
+# --------------------------------------------------------------------------
+
+from pyspark_xgboost_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH pred AS ({_ORACLES["text_langid"]})
+    SELECT actual_lang, predicted_lang,
+           count(*) AS n_docs,
+           (actual_lang = predicted_lang) AS is_correct
+    FROM pred
+    GROUP BY actual_lang, predicted_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the stopword-marker language identifier
+    against the corpus's ground-truth labels — the
+    evaluate-your-classifier-on-labeled-data harness (per-cell counts
+    give accuracy, per-language precision/recall, and the specific
+    confusion pairs worth fixing). Shares the langid query's scoring
+    logic via composition, so the eval can never drift from the
+    production classifier.
+
+    Scale shape: the per-doc scoring is map-side expression work; the
+    confusion aggregate is |langs|² cells with map-side combine —
+    evaluation cost is ONE pass over the labeled subset regardless of
+    corpus size."""
+    pred = text_langid(spark, sf_dir)
+    return pred.groupBy("actual_lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.col("actual_lang") == F.col("predicted_lang")).alias("is_correct"),
+    )

@@ -220,6 +220,9 @@ HEADLINE = [
     "corpus_pmi_facets",
     "text_perplexity_kneser_ney",
     "text_langid_confusion",
+    "sink_catalog_table",
+    "scan_parquet_bloom_lookup",
+    "corpus_term_burstiness",
 ]
 
 

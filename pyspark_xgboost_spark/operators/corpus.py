@@ -1364,3 +1364,68 @@ def text_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nll_per_bigram"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Term burstiness (dispersion of term usage across documents)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_term_burstiness",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    per_doc AS (
+      SELECT term, doc_id, count(*) AS c FROM toks GROUP BY term, doc_id
+    ),
+    stats AS (
+      SELECT term,
+             CAST(sum(c) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c * c) AS BIGINT) AS sumsq
+      FROM per_doc GROUP BY term
+    ),
+    nn AS (SELECT count(*) AS n FROM documents),
+    top AS (
+      SELECT term, tot, df, sumsq FROM stats
+      ORDER BY tot DESC, term LIMIT 20
+    )
+    SELECT term, tot, df,
+           CAST((nn.n * sumsq - tot * tot) * 1000000 // (nn.n * tot) AS BIGINT)
+             AS vmr_micro
+    FROM top CROSS JOIN nn
+    """,
+)
+def corpus_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness for the top-20 corpus terms: the
+    variance-to-mean ratio of per-document counts (zeros included via
+    the closed form (N·Σc² − (Σc)²)/(N·Σc)) — the dispersion statistic
+    that separates bursty content words (VMR ≫ 1: absent most places,
+    dense where they appear — boilerplate and topic markers) from
+    evenly-spread function words (VMR ≈ 1, Poisson-like). Church &
+    Gale (1995) burstiness, as a pure integer expression: no float
+    moments, so the statistic is partition- and engine-exact.
+
+    Scale shape: one token explode → (term, doc) combine → term-keyed
+    moment aggregate (three integer sums), TakeOrderedAndProject
+    top-20, scalar N broadcast. Same cost family as vocab_topk."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
+    per_doc = toks.groupBy("term", "doc_id").agg(F.count("*").alias("c"))
+    stats = per_doc.groupBy("term").agg(
+        F.sum("c").alias("tot"),
+        F.count("*").alias("df"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq"),
+    )
+    nn = docs.agg(F.count("*").alias("n"))
+    top = stats.orderBy(F.desc("tot"), F.asc("term")).limit(20)
+    return top.crossJoin(F.broadcast(nn)).select(
+        "term",
+        "tot",
+        "df",
+        F.expr("(n * sumsq - tot * tot) * 1000000 div (n * tot)")
+        .cast("bigint")
+        .alias("vmr_micro"),
+    )

@@ -1178,3 +1178,102 @@ def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price_cents"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Catalog-managed tables (metastore surface)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sink_catalog_table",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS sum_acctbal_cents
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def sink_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-MANAGED table lifecycle — the metastore surface every
+    path-based query here bypasses: saveAsTable into the session
+    catalog (spark-warehouse), ANALYZE TABLE for CBO statistics, then
+    read back via ``spark.table`` so the scan resolves through the
+    catalog (schema, stats, and partition metadata come from the
+    metastore, not file listing). On a real deployment this is the
+    Hive-metastore/Unity path; statistics turn on cost-based join
+    reordering and let the planner skip file-footer reads at plan
+    time. Idempotent: overwrite mode re-creates the table each run."""
+    cust = load_table(spark, sf_dir, "customer")
+    tbl = "spark_graft_customer_managed"
+    cust.write.mode("overwrite").format("parquet").saveAsTable(tbl)
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+    back = spark.table(tbl)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("bigint")).alias(
+            "sum_acctbal_cents"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Parquet column Bloom filters (footer-level point-lookup pruning)
+# --------------------------------------------------------------------------
+
+
+def _stage_lineitem_bloom(spark: SparkSession, sf_dir: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    parent = os.path.join(_SCRATCH, key)
+    leaf = f"lineitem_bloomcol_{src_fingerprint(sf_dir, 'lineitem')}"
+    out = os.path.join(parent, leaf)
+    gc_stale_siblings(parent, "lineitem_bloomcol_", leaf)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity"
+        )
+        (
+            li.repartition(4)
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#l_partkey", "true")
+            .option("parquet.bloom.filter.expected.ndv#l_partkey", "20000")
+            .parquet(out)
+        )
+    return out
+
+
+@register(
+    "scan_parquet_bloom_lookup",
+    oracle="""
+    SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+           count(*) AS n_lines,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS sum_qty_cents
+    FROM lineitem
+    WHERE l_partkey % 1000 = 7
+    GROUP BY l_partkey
+    """,
+)
+def scan_parquet_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup over parquet written WITH COLUMN BLOOM FILTERS
+    (parquet.bloom.filter.enabled#col): the writer embeds a bloom per
+    row group in the footer, and a selective equality/IN predicate can
+    skip row groups whose bloom proves the key absent — min/max stats
+    are useless for high-cardinality scattered keys, which is exactly
+    the needle-in-haystack asset-id lookup at 100 TB. The filter below
+    stays on the scan (PushedFilters), so row-group skipping happens
+    inside the parquet reader; content equality is oracle-pinned."""
+    path = _stage_lineitem_bloom(spark, sf_dir)
+    li = spark.read.parquet(path)
+    return (
+        li.filter(F.col("l_partkey") % 1000 == 7)
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias(
+                "sum_qty_cents"
+            ),
+        )
+    )

@@ -1208,6 +1208,15 @@ def sink_catalog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     time. Idempotent: overwrite mode re-creates the table each run."""
     cust = load_table(spark, sf_dir, "customer")
     tbl = "spark_graft_customer_managed"
+    # the session catalog is in-memory (no persistent metastore in this
+    # deployment) while the warehouse DIRECTORY persists — a fresh
+    # session would hit LOCATION_ALREADY_EXISTS on the orphan dir, so
+    # drop both sides before recreating (on a metastore-backed cluster
+    # the DROP alone suffices)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    orphan = os.path.join(wh.removeprefix("file:"), tbl)
+    shutil.rmtree(orphan, ignore_errors=True)
     cust.write.mode("overwrite").format("parquet").saveAsTable(tbl)
     spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
     back = spark.table(tbl)

@@ -223,6 +223,7 @@ HEADLINE = [
     "sink_catalog_table",
     "scan_parquet_bloom_lookup",
     "corpus_term_burstiness",
+    "events_attribution_linear",
 ]
 
 

@@ -1904,3 +1904,80 @@ def window_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.cast("bigint").alias("cusum_cents"),
         (s > 5000).alias("drift_alarm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Linear multi-touch attribution (conversions credit prior touches)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_attribution_linear",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts AS conv_ts,
+             CAST(round(value * 100) AS BIGINT) AS conv_cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT event_id AS touch_id, user_id, ts AS touch_ts, event_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    pairs AS (
+      SELECT c.conv_id, c.conv_cents, t.event_type,
+             count(*) OVER (PARTITION BY c.conv_id) AS n_touches
+      FROM conv c
+      JOIN touch t
+        ON c.user_id = t.user_id
+       AND t.touch_ts <= c.conv_ts
+       AND t.touch_ts > c.conv_ts - INTERVAL 2 HOUR
+    )
+    SELECT event_type,
+           count(*) AS n_credited_touches,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions_touched,
+           CAST(sum(conv_cents * 1000000 // n_touches) AS BIGINT)
+             AS credited_value_micro
+    FROM pairs
+    GROUP BY event_type
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase distributes its
+    value EQUALLY across the user's view/click touches in the 2-hour
+    lookback window (the complement of the as-of join's last-touch
+    model). Credit shares are exact integer micro-cents
+    (value·1e6 div n_touches), so the split is engine-identical.
+
+    Scale shape: one user-keyed equi-join with the time window as a
+    band conjunct — fan-out is bounded by touches-per-user-per-2h, not
+    by corpus size; the per-conversion touch count is a window over
+    the join output partitioned by conversion id (same exchange
+    family). The skew swap at 100 TB is the chunked interval equi-join
+    used by join_interval_overlap."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("conv_ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("conv_cents"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("touch_ts"),
+        "event_type",
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("cu") == F.col("tu"))
+        & (F.col("touch_ts") <= F.col("conv_ts"))
+        & (F.col("touch_ts") > F.col("conv_ts") - F.expr("INTERVAL 2 HOURS")),
+    )
+    w = W.partitionBy("conv_id")
+    pairs = pairs.withColumn("n_touches", F.count("*").over(w))
+    return pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_credited_touches"),
+        F.countDistinct("conv_id").alias("n_conversions_touched"),
+        F.sum(F.expr("conv_cents * 1000000 div n_touches"))
+        .cast("bigint")
+        .alias("credited_value_micro"),
+    )

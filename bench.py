@@ -224,6 +224,7 @@ HEADLINE = [
     "scan_parquet_bloom_lookup",
     "corpus_term_burstiness",
     "events_attribution_linear",
+    "events_stream_stateful_cusum",
 ]
 
 

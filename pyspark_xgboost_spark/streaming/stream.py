@@ -1197,3 +1197,102 @@ def events_stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataF
         )
     )
     return _run_to_memory(out, "complete")
+
+
+_CUSUM_TARGET_CENTS = 5000  # fixed monitored setpoint (not data-derived)
+
+
+def _cusum_fold_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user one-sided CUSUM fold S = max(0, S + (x - target)) kept
+    in GroupState as (s_cents, peak_cents, n). Rows sort by (ts,
+    event_id) inside the batch — arrival order within a micro-batch is
+    not time order."""
+    s, peak, n = state.get if state.exists else (0, 0, 0)
+    rows = pd.concat(list(batches), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"])
+    for v in rows["value"]:
+        s = max(0, s + int(round(v * 100)) - _CUSUM_TARGET_CENTS)
+        peak = max(peak, s)
+    n += len(rows)
+    state.update((s, peak, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "final_cusum_cents": [s],
+            "peak_cusum_cents": [peak],
+            "n_events": [n],
+        }
+    )
+
+
+@register(
+    "events_stream_stateful_cusum",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) - {_CUSUM_TARGET_CENTS} AS dc
+      FROM events
+    ),
+    c1 AS (
+      SELECT event_id, user_id, ts,
+             CAST(sum(dc) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM d
+    ),
+    c2 AS (
+      SELECT event_id, user_id, ts, cum,
+             CAST(min(cum) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS runmin,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn_last
+      FROM c1
+    ),
+    s AS (
+      SELECT user_id,
+             cum - least(runmin, 0) AS s_cents,
+             rn_last
+      FROM c2
+    )
+    SELECT user_id,
+           CAST(max(CASE WHEN rn_last = 1 THEN s_cents END) AS BIGINT)
+             AS final_cusum_cents,
+           CAST(greatest(max(s_cents), 0) AS BIGINT) AS peak_cusum_cents,
+           count(*) AS n_events
+    FROM s
+    GROUP BY user_id
+    """,
+)
+def events_stream_stateful_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CUSUM against a fixed setpoint via
+    applyInPandasWithState — the stateful numeric-fold twin of the
+    batch window_cusum_drift: per-user drift state (current S, peak S,
+    count) carried across micro-batches in GroupState. The oracle
+    re-derives final and peak CUSUM from the batch window identity
+    (cumsum − clamped running-min), so stream fold == batch windows ==
+    first-principles SQL. A fixed target (not the data mean) is what a
+    deployed monitor uses — the stream cannot know a global mean.
+
+    At scale: state is three longs per user in the state store;
+    arrival-order independence comes from the in-batch sort plus
+    event-time semantics upstream."""
+    ev = read_events_stream(spark, sf_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _cusum_fold_fn,
+        outputStructType=(
+            "user_id long, final_cusum_cents long, "
+            "peak_cusum_cents long, n_events long"
+        ),
+        stateStructType="s long, peak long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "update")

@@ -225,6 +225,8 @@ HEADLINE = [
     "corpus_term_burstiness",
     "events_attribution_linear",
     "events_stream_stateful_cusum",
+    "corpus_cooccurrence_ppmi",
+    "events_backtest_naive_forecast",
 ]
 
 

@@ -1429,3 +1429,107 @@ def corpus_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("vmr_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Co-occurrence PPMI (embedding-training preparation)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_cooccurrence_ppmi",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+    ),
+    pos AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(ts))) AS i,
+             unnest(ts) AS w
+      FROM toks
+    ),
+    pairs AS (
+      SELECT CASE WHEN a.w <= b.w THEN a.w ELSE b.w END AS w1,
+             CASE WHEN a.w <= b.w THEN b.w ELSE a.w END AS w2
+      FROM pos a JOIN pos b
+        ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 2
+    ),
+    pc AS (SELECT w1, w2, count(*) AS n_pair FROM pairs GROUP BY w1, w2),
+    m AS (
+      SELECT w, count(*) AS n_w FROM (
+        SELECT w1 AS w FROM pairs UNION ALL SELECT w2 FROM pairs
+      ) GROUP BY w
+    ),
+    tot AS (SELECT count(*) AS n FROM pairs),
+    top AS (
+      SELECT w1, w2, n_pair FROM pc ORDER BY n_pair DESC, w1, w2 LIMIT 30
+    )
+    SELECT t.w1, t.w2, CAST(t.n_pair AS BIGINT) AS n_pair,
+           CAST(greatest(round(ln(CAST(t.n_pair AS DOUBLE) * 2 * tot.n
+                                  / (CAST(m1.n_w AS DOUBLE) * m2.n_w))
+                               * 1000000), 0) AS BIGINT) AS ppmi_micronats
+    FROM top t
+    JOIN m m1 ON t.w1 = m1.w
+    JOIN m m2 ON t.w2 = m2.w
+    CROSS JOIN tot
+    """,
+)
+def corpus_cooccurrence_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive PMI over word co-occurrence pairs (symmetric ±2 token
+    window) — the sparse association matrix that GloVe/word2vec-style
+    embedding training factorizes (Levy & Goldberg, NeurIPS'14 showed
+    SGNS implicitly factorizes shifted PPMI). Pair and marginal counts
+    are exact integers off ONE position explode; PPMI quantizes the
+    single ln to micro-nats and clamps at zero. Top-30 pairs by count
+    keep the output driver-sized.
+
+    Scale shape: the windowed self-join is position-banded (b.i in
+    (a.i, a.i+2]) within a doc — fan-out exactly 2 per position, so
+    the pair stream is 2x the token stream, never quadratic; pair and
+    marginal aggregates have map-side combine. The 100 TB GloVe-prep
+    form is identical plus a frequency cutoff on the vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(_TOKS)).alias("i", "w"),
+    )
+    a = pos.select("doc_id", F.col("i").alias("ia"), F.col("w").alias("wa"))
+    b = pos.select("doc_id", F.col("i").alias("ib"), F.col("w").alias("wb"))
+    pairs = a.join(b, "doc_id").filter(
+        (F.col("ib") > F.col("ia")) & (F.col("ib") <= F.col("ia") + 2)
+    )
+    pairs = pairs.select(
+        F.when(F.col("wa") <= F.col("wb"), F.col("wa")).otherwise(F.col("wb")).alias("w1"),
+        F.when(F.col("wa") <= F.col("wb"), F.col("wb")).otherwise(F.col("wa")).alias("w2"),
+    )
+    pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    m = (
+        pairs.select(F.col("w1").alias("w"))
+        .unionAll(pairs.select(F.col("w2").alias("w")))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    tot = pairs.agg(F.count("*").alias("n"))
+    top = pc.orderBy(F.desc("n_pair"), F.asc("w1"), F.asc("w2")).limit(30)
+    m1 = m.select(F.col("w").alias("w1"), F.col("n_w").alias("nw1"))
+    m2 = m.select(F.col("w").alias("w2"), F.col("n_w").alias("nw2"))
+    j = (
+        top.join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    ppmi = F.greatest(
+        F.round(
+            F.log(
+                F.col("n_pair").cast("double")
+                * 2
+                * F.col("n")
+                / (F.col("nw1").cast("double") * F.col("nw2"))
+            )
+            * 1000000
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    return j.select(
+        "w1", "w2", F.col("n_pair").cast("bigint").alias("n_pair"), ppmi.alias("ppmi_micronats")
+    )

@@ -1981,3 +1981,93 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("credited_value_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Forecast backtest (naive-seasonal baseline, time-based holdout)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_backtest_naive_forecast",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('day', max(ts)) AS test_day FROM events
+    ),
+    actual AS (
+      SELECT event_type, EXTRACT(HOUR FROM ts) AS h, count(*) AS n_actual
+      FROM events, bounds
+      WHERE ts >= test_day AND ts < test_day + INTERVAL 1 DAY
+      GROUP BY 1, 2
+    ),
+    fcst AS (
+      SELECT event_type, EXTRACT(HOUR FROM ts) AS h, count(*) AS n_forecast
+      FROM events, bounds
+      WHERE ts >= test_day - INTERVAL 1 DAY AND ts < test_day
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT coalesce(a.event_type, f.event_type) AS event_type,
+             coalesce(a.n_actual, 0) AS n_actual,
+             coalesce(f.n_forecast, 0) AS n_forecast
+      FROM actual a
+      FULL OUTER JOIN fcst f
+        ON a.event_type = f.event_type AND a.h = f.h
+    )
+    SELECT event_type,
+           count(*) AS n_hours,
+           CAST(sum(n_actual) AS BIGINT) AS total_actual,
+           CAST(sum(n_forecast) AS BIGINT) AS total_forecast,
+           CAST(sum(abs(n_actual - n_forecast)) AS BIGINT) AS sum_abs_err
+    FROM j
+    GROUP BY event_type
+    """,
+)
+def events_backtest_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST with a leakage-safe time holdout: the last
+    full day is the test set, the naive-seasonal baseline predicts each
+    test hour with the same hour of the previous day, and per-type
+    absolute errors are summed — the evaluation harness every demand /
+    capacity forecaster is judged against (any model must beat the
+    naive baseline on exactly this split). Counts are integers, so the
+    backtest score is engine-exact; hour cells absent on one side
+    count as zero via the full outer join.
+
+    Scale shape: two filtered aggregates over the same scan (partition
+    pruning serves the day filters on a date-partitioned table) + a
+    dimension-sized full outer join — backtest cost is two days of
+    data, not history."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.date_trunc("day", F.max("ts")).alias("test_day"))
+    withb = ev.crossJoin(F.broadcast(bounds))
+    actual = (
+        withb.filter(
+            (F.col("ts") >= F.col("test_day"))
+            & (F.col("ts") < F.col("test_day") + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("event_type", F.hour("ts").alias("h"))
+        .agg(F.count("*").alias("n_actual"))
+    )
+    fcst = (
+        withb.filter(
+            (F.col("ts") >= F.col("test_day") - F.expr("INTERVAL 1 DAY"))
+            & (F.col("ts") < F.col("test_day"))
+        )
+        .groupBy("event_type", F.hour("ts").alias("h"))
+        .agg(F.count("*").alias("n_forecast"))
+    )
+    j = actual.join(fcst, ["event_type", "h"], "full_outer").select(
+        "event_type",
+        F.coalesce(F.col("n_actual"), F.lit(0).cast("bigint")).alias("n_actual"),
+        F.coalesce(F.col("n_forecast"), F.lit(0).cast("bigint")).alias(
+            "n_forecast"
+        ),
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("n_actual").alias("total_actual"),
+        F.sum("n_forecast").alias("total_forecast"),
+        F.sum(F.abs(F.col("n_actual") - F.col("n_forecast"))).alias(
+            "sum_abs_err"
+        ),
+    )

@@ -227,6 +227,8 @@ HEADLINE = [
     "events_stream_stateful_cusum",
     "corpus_cooccurrence_ppmi",
     "events_backtest_naive_forecast",
+    "scalar_intdiv_contract",
+    "audit_benford_first_digit",
 ]
 
 

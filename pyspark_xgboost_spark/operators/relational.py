@@ -1906,3 +1906,98 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("unit_price_cents"),
         )
     )
+
+
+
+# --------------------------------------------------------------------------
+# Integer-division portability contract
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_intdiv_contract",
+    oracle="""
+    WITH v AS (
+      SELECT l_orderkey,
+             CAST(l_orderkey AS BIGINT) - 15000 AS x,
+             CAST(l_linenumber AS BIGINT) + 2 AS d
+      FROM lineitem WHERE l_orderkey % 97 = 0
+    )
+    SELECT l_orderkey, x, d,
+           CASE WHEN x < 0 THEN -((-x) // d) ELSE x // d END AS quot_trunc,
+           CASE WHEN x < 0 THEN -((-x) % d) ELSE x % d END AS rem_trunc
+    FROM v
+    """,
+)
+def scalar_intdiv_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The integer-division portability contract, as an attested query:
+    Spark's ``div``/``%`` truncate toward zero (C semantics) while
+    DuckDB's ``//`` floors — they agree ONLY on non-negative operands.
+    This query forces NEGATIVE numerators and pins Spark's native
+    truncating semantics against the oracle's sign-restored floor
+    expression (the established cross-engine idiom used throughout the
+    dedup/similarity hash pipelines). Any engine or version drift in
+    division semantics turns this row red before it corrupts a
+    hash-partitioning scheme downstream. Pure map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.filter(F.col("l_orderkey") % 97 == 0).select(
+        "l_orderkey",
+        (F.col("l_orderkey").cast("bigint") - 15000).alias("x"),
+        (F.col("l_linenumber").cast("bigint") + 2).alias("d"),
+    )
+    return v.select(
+        "l_orderkey",
+        "x",
+        "d",
+        F.expr("x div d").alias("quot_trunc"),
+        (F.col("x") % F.col("d")).alias("rem_trunc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit (data-quality / fabrication screening)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "audit_benford_first_digit",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    obs AS (SELECT digit, count(*) AS n_obs FROM c GROUP BY digit),
+    tot AS (SELECT count(*) AS n FROM c)
+    SELECT obs.digit, CAST(obs.n_obs AS BIGINT) AS n_obs,
+           CAST(round((CASE digit WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124 WHEN 3 THEN 0.12493873660829992 WHEN 4 THEN 0.09691001300805642 WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322 WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129 WHEN 9 THEN 0.04575749056067514 END) * tot.n) AS BIGINT) AS n_benford
+    FROM obs CROSS JOIN tot
+    """,
+)
+def audit_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over prices — the classic
+    fabricated-data / unit-mixup screen (naturally-arising multi-scale
+    amounts follow P(d) = log10(1+1/d); a flat or spiked digit
+    histogram flags synthetic or corrupted feeds). First digits come
+    from EXACT integer cents rendered as strings (no float log10 at a
+    power-of-ten boundary); the Benford expectations are the same
+    precomputed double literals in both engines. Map-side digit
+    extraction + a 9-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    c = li.filter(F.col("l_extendedprice") > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("bigint").alias("digit")
+    )
+    obs = c.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    tot = c.agg(F.count("*").alias("n"))
+    # build CASE digit WHEN d THEN log10(1+1/d) with the same literals
+    expect = None
+    for d in range(1, 10):
+        p = {1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992, 4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322, 7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514}[d]
+        branch = F.when(F.col("digit") == d, F.lit(p))
+        expect = branch if expect is None else expect.when(F.col("digit") == d, F.lit(p))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.round(expect * F.col("n")).cast("bigint").alias("n_benford"),
+    )

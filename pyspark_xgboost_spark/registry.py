@@ -65,7 +65,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # events_stream_session_dynamic_gap, agg_listagg_native, scalar_try_arithmetic, graph_bfs_hops, corpus_pmi_facets, text_perplexity_kneser_ney, text_langid_confusion, sink_catalog_table,
 # scan_parquet_bloom_lookup, corpus_term_burstiness, events_attribution_linear,
 # events_stream_stateful_cusum, corpus_cooccurrence_ppmi,
-# events_backtest_naive_forecast. Round 7's window
+# events_backtest_naive_forecast, scalar_intdiv_contract,
+# audit_benford_first_digit. Round 7's window
 # should grade: text_fingerprint
 # (slot 51 this round) + these 38 + the r03-attested queue,
 # oldest-first.

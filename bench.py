@@ -229,6 +229,8 @@ HEADLINE = [
     "events_backtest_naive_forecast",
     "scalar_intdiv_contract",
     "audit_benford_first_digit",
+    "corpus_zipf_slope",
+    "scan_csv_datefmt",
 ]
 
 

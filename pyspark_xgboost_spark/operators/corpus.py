@@ -1533,3 +1533,92 @@ def corpus_cooccurrence_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "w1", "w2", F.col("n_pair").cast("bigint").alias("n_pair"), ppmi.alias("ppmi_micronats")
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf slope (rank-frequency power-law audit)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_zipf_slope",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, term) AS r
+      FROM tf ORDER BY n DESC, term LIMIT 100
+    ),
+    pts AS (
+      SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT count(*) AS k, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT k AS n_terms,
+           CAST(round(CAST(k * sxy - sx * sy AS DOUBLE)
+                      / (k * sxx - sx * sx) * 1000000) AS BIGINT)
+             AS zipf_slope_micro
+    FROM s
+    """,
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope over the top-100 terms: natural text
+    follows freq ∝ rank^(-s) with s ≈ 1; a slope far from −1 (too
+    flat: synthetic/templated token soup; too steep: boilerplate
+    domination) is the corpus-level cousin of the Benford digit audit.
+    Log points quantize to integer micro-nats FIRST, then the OLS
+    slope comes from five exact integer sums (the agg_corr_regression
+    idiom) with one final rounded division — partition- and
+    engine-exact throughout.
+
+    Scale shape: term-count aggregate with map-side combine →
+    TakeOrderedAndProject top-100 → 100-point closed-form regression.
+    Vocabulary size never materializes on the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.expr(_TOKS)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = (
+        tf.orderBy(F.desc("n"), F.asc("term"))
+        .limit(100)
+        .withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("term"))),
+        )
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("n").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        F.col("k").alias("n_terms"),
+        F.round(
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("zipf_slope_micro"),
+    )

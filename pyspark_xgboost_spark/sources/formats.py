@@ -1286,3 +1286,69 @@ def scan_parquet_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Non-ISO timestamp landing format
+# --------------------------------------------------------------------------
+
+_EU_TS_FMT = "dd/MM/yyyy HH:mm:ss.SSSSSS"
+
+
+def _stage_events_eu_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as CSV with a European day-first timestamp format
+    (fingerprint-keyed) — the landing-zone reality: upstream exports
+    are rarely ISO-8601."""
+    key = sf_dir.strip("/").replace("/", "_")
+    parent = os.path.join(_SCRATCH, key)
+    leaf = f"events_eucsv_{src_fingerprint(sf_dir, 'events')}"
+    out = os.path.join(parent, leaf)
+    gc_stale_siblings(parent, "events_eucsv_", leaf)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.date_format("ts", _EU_TS_FMT).alias("ts_eu"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        ev.write.mode("overwrite").option("header", "true").csv(out)
+    return out
+
+
+@register(
+    "scan_csv_datefmt",
+    oracle="""
+    SELECT event_type,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scan_csv_datefmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion with a NON-ISO timestamp format: the landing file
+    carries day-first European timestamps (dd/MM/yyyy HH:mm:ss.SSSSSS)
+    parsed via the reader's ``timestampFormat`` option — the
+    every-real-pipeline parsing hop where a silently-wrong format
+    yields nulls (PERMISSIVE) or swapped day/month corruption. The
+    oracle pins the round trip to MICROSECOND equality against the
+    clean table (min/max epoch micros per type), so a format drift
+    can't pass. Explicit schema keeps the scan single-pass; the
+    format option is per-reader, not session-global."""
+    path = _stage_events_eu_csv(spark, sf_dir)
+    ev = (
+        spark.read.schema(
+            "event_id long, ts_eu timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        .option("header", "true")
+        .option("timestampFormat", _EU_TS_FMT)
+        .csv(path)
+    )
+    return ev.groupBy("event_type").agg(
+        F.unix_micros(F.min("ts_eu")).alias("min_ts_us"),
+        F.unix_micros(F.max("ts_eu")).alias("max_ts_us"),
+        F.count("*").alias("n"),
+    )

@@ -231,6 +231,7 @@ HEADLINE = [
     "audit_benford_first_digit",
     "corpus_zipf_slope",
     "scan_csv_datefmt",
+    "pipeline_quality_ensemble",
 ]
 
 

@@ -294,3 +294,108 @@ def pipeline_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_docs"], m["sum_chars"], m["n_short"], m["n_en"])],
         "n_docs long, sum_chars long, n_short long, n_en long",
     )
+
+
+# --------------------------------------------------------------------------
+# Ensemble quality gate (majority vote of independent cheap signals)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_quality_ensemble",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS ts,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, source,
+             (len(ts) BETWEEN 20 AND 2000) AS ok_len,
+             (CASE WHEN len(ts) = 0 THEN 0.0
+                   ELSE CAST(n_chars AS DOUBLE) / len(ts) END
+              BETWEEN 3.0 AND 12.0) AS ok_wordlen,
+             (len(list_distinct(ts)) * 1.0
+              >= 0.3 * len(ts)) AS ok_diversity,
+             (CAST(len(list_filter(ts, x -> x IN ('the','a','of','and',
+                'to','in','is','it','that','for'))) AS DOUBLE)
+              / greatest(len(ts), 1) >= 0.02) AS ok_stopwords
+      FROM t
+    ),
+    voted AS (
+      SELECT source,
+             (CAST(ok_len AS INT) + CAST(ok_wordlen AS INT)
+              + CAST(ok_diversity AS INT) + CAST(ok_stopwords AS INT))
+               AS votes,
+             ok_len, ok_wordlen, ok_diversity, ok_stopwords
+      FROM sig
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(CASE WHEN votes >= 3 THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(count(CASE WHEN NOT ok_len THEN 1 END) AS BIGINT) AS n_fail_len,
+           CAST(count(CASE WHEN NOT ok_wordlen THEN 1 END) AS BIGINT)
+             AS n_fail_wordlen,
+           CAST(count(CASE WHEN NOT ok_diversity THEN 1 END) AS BIGINT)
+             AS n_fail_diversity,
+           CAST(count(CASE WHEN NOT ok_stopwords THEN 1 END) AS BIGINT)
+             AS n_fail_stopwords
+    FROM voted
+    GROUP BY source
+    """,
+)
+def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble quality gate — the realistic curation filter shape
+    (Gopher/RefinedWeb-style rule stacks): four INDEPENDENT cheap
+    signals (token-count band, mean word length band, type/token
+    diversity floor, stopword-ratio floor) each vote, and a document
+    survives on a 3-of-4 majority — single-rule filters over-fire on
+    edge cases, so production gates vote. The per-source failure
+    breakdown is the tuning dashboard (which rule kills which feed).
+
+    Scale shape: every signal is map-side expression work over ONE
+    tokenize; the rollup is a source-keyed aggregate with map-side
+    combine. Integer/boolean arithmetic end-to-end — no float
+    thresholds that could straddle engines. Comparisons on exact
+    ratios use one double division per doc with identical expression
+    trees both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')").alias("ts"),
+        F.length("text").alias("n_chars"),
+    )
+    n = F.size("ts")
+    wordlen = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.col("n_chars").cast("double") / n
+    )
+    stop_list = "('the','a','of','and','to','in','is','it','that','for')"
+    sig = t.select(
+        "source",
+        n.between(20, 2000).alias("ok_len"),
+        wordlen.between(3.0, 12.0).alias("ok_wordlen"),
+        (F.size(F.array_distinct("ts")) * 1.0 >= 0.3 * n).alias("ok_diversity"),
+        (
+            F.expr(f"cast(size(filter(ts, x -> x IN {stop_list})) as double)")
+            / F.greatest(n, F.lit(1))
+            >= 0.02
+        ).alias("ok_stopwords"),
+    )
+    votes = (
+        F.col("ok_len").cast("int")
+        + F.col("ok_wordlen").cast("int")
+        + F.col("ok_diversity").cast("int")
+        + F.col("ok_stopwords").cast("int")
+    )
+    voted = sig.withColumn("votes", votes)
+    return voted.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("votes") >= 3, 1)).alias("n_kept"),
+        F.count(F.when(~F.col("ok_len"), 1)).alias("n_fail_len"),
+        F.count(F.when(~F.col("ok_wordlen"), 1)).alias("n_fail_wordlen"),
+        F.count(F.when(~F.col("ok_diversity"), 1)).alias("n_fail_diversity"),
+        F.count(F.when(~F.col("ok_stopwords"), 1)).alias("n_fail_stopwords"),
+    )

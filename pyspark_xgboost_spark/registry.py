@@ -66,7 +66,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # scan_parquet_bloom_lookup, corpus_term_burstiness, events_attribution_linear,
 # events_stream_stateful_cusum, corpus_cooccurrence_ppmi,
 # events_backtest_naive_forecast, scalar_intdiv_contract,
-# audit_benford_first_digit, corpus_zipf_slope, scan_csv_datefmt. Round 7's window
+# audit_benford_first_digit, corpus_zipf_slope, scan_csv_datefmt, pipeline_quality_ensemble. Round 7's window
 # should grade: text_fingerprint
 # (slot 51 this round) + these 38 + the r03-attested queue,
 # oldest-first.

@@ -1513,11 +1513,13 @@ def corpus_cooccurrence_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = pc.orderBy(F.desc("n_pair"), F.asc("w1"), F.asc("w2")).limit(30)
     m1 = m.select(F.col("w").alias("w1"), F.col("n_w").alias("nw1"))
     m2 = m.select(F.col("w").alias("w2"), F.col("n_w").alias("nw2"))
-    j = (
-        top.join(F.broadcast(m1), "w1")
-        .join(F.broadcast(m2), "w2")
-        .crossJoin(F.broadcast(tot))
-    )
+    # Broadcast the 30-row `top` side, NOT the marginal tables: m1/m2
+    # have one row per distinct token (10^7-10^8 on a real crawl), so
+    # broadcasting them is backwards at scale. Hinting the capped side
+    # keeps both joins shuffle-free on the O(vocab) relations — the
+    # marginals stream map-side against the tiny broadcast.
+    j1 = F.broadcast(top).join(m1, "w1")
+    j = F.broadcast(j1).join(m2, "w2").crossJoin(F.broadcast(tot))
     ppmi = F.greatest(
         F.round(
             F.log(

@@ -322,7 +322,14 @@ def join_hash_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit broadcast-hash join of the fact against a dimension —
-    no shuffle of the 100 TB fact side."""
+    no shuffle of the 100 TB fact side.
+
+    Precondition for the hint: `part` must fit in executor + driver
+    memory (it scales ~0.2 GB/SF uncompressed, so the hint is sound to
+    roughly SF 1000; this query is the NAMED demonstration of the
+    hinted form). Past that size, drop the hint and let AQE's runtime
+    size check decide — see join_multiway for the AQE-delegated form
+    on a dimension that scales past broadcast range."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     return (
@@ -401,14 +408,22 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join: fact ⋈ 3 broadcast dims; Catalyst reorders/folds, the
-    region filter prunes before the fact join."""
+    """Star join: fact ⋈ customer ⋈ 2 broadcast dims; Catalyst
+    reorders/folds, the region filter prunes before the fact join.
+
+    Broadcast hints go ONLY on the genuinely constant-size dims
+    (nation=25 rows, region=5 rows at every SF). ``customer`` SCALES
+    with SF (~15 B rows at the 100 TB design point), so it carries no
+    hint: AQE's runtime size check picks broadcast at bench SF (plan
+    asserted by test_multiway_customer_join_strategy) and falls back
+    to a shuffle join when customer outgrows the threshold — a forced
+    hint would override that check and OOM the executors at scale."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))

@@ -31,100 +31,110 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Priority order for the driver's 50-query grading window (the driver
-# grades the FIRST 50 registered queries). Round-6 composition drains
-# the attestation queue (round-5 verdict "Next round #2"):
-# (1) the four round-5 additions deferred past slot 50 — never
-# driver-graded, judge-verified green via tools/check_oracle.py;
-# (2) the r02-only-attested queries, oldest grading first — their last
-# driver row is 4 rounds old; this includes dedup_minhash /
-# dedup_embedding_cosine post the round-6 pre-agg bucket-cap fix
-# (hash-identical semantics, fresh attestation).
-# 4 + 47 = 51, so the final r02 item (text_fingerprint) sits at slot
-# 51 and rotates in next round, followed by the r03 queue. Every
-# round-5-attested query drops to sorted registration order behind the
-# window (their latest rows are green and fresh). New round-6 queries
-# also register behind the window and are first graded in round 7.
+# grades the FIRST 50 registered queries). Round-7 composition drains
+# the 75-query attestation backlog (round-6 verdict "Next round #1"):
+# every round-6 oracle query registered behind slot 50 and has NO
+# driver row; 75 > 49 so the drain spans rounds 7 AND 8. This round's
+# window: text_fingerprint (sat at slot 51 in round 6, last row r02) +
+# the 34-query round-6 main batch (sorted) + the first 15 of the
+# 41-query late batch in registration order — 50 exactly, with the two
+# ML stats attestations (ml_fit_predict_stats /
+# ml_fit_predict_classifier_stats) inside per the verdict. Everything
+# already green in r06's window drops to sorted order behind.
 # Audit with tools/check_window.py. Only oracle-checked queries belong
 # here: a rows-only query can never produce a green row and would
 # waste a slot.
-# ROUND-7 QUEUE NOTE: round 6 registered 38 new oracle queries, all
-# behind the window (sorted into `rest`): the b128/simhash/incremental
-# dedup family, the ML stats attestations, EWMA/decay/gap-fill-linear/
-# weighted-percentile/histogram/entropy/gini/KL, interval-overlap +
-# lateral joins, xml/multiline-csv scans, zorder/vacuum sinks,
-# merge-incremental/CDF streaming, Neyman + time split, power
-# iteration, skew audit, html strip, sentence chunking, PLUS the late
-# round-6 batch: join_bloom_prefilter, agg_bitmap_distinct,
-# join_spatial_grid, dedup_paragraph_exact, dedup_url_canonical,
-# sample_poisson_bootstrap, window_anomaly_mad, scan_dpp_join,
-# scan_binary_files, agg_countmin_heavy_hitters, dedup_lsh_eval_pr,
-# agg_bitmap_set_ops, sample_balanced_downsample, events_markov_transitions,
-# events_rfm_segmentation, corpus_span_corruption, sample_negative_pairs,
-# agg_feature_hashing, window_cusum_drift, agg_bitmap_native_distinct,
-# agg_approx_top_k, events_session_dynamic_gap,
-# events_stream_session_dynamic_gap, agg_listagg_native, scalar_try_arithmetic, graph_bfs_hops, corpus_pmi_facets, text_perplexity_kneser_ney, text_langid_confusion, sink_catalog_table,
-# scan_parquet_bloom_lookup, corpus_term_burstiness, events_attribution_linear,
-# events_stream_stateful_cusum, corpus_cooccurrence_ppmi,
-# events_backtest_naive_forecast, scalar_intdiv_contract,
-# audit_benford_first_digit, corpus_zipf_slope, scan_csv_datefmt, pipeline_quality_ensemble. Round 7's window
-# should grade: text_fingerprint
-# (slot 51 this round) + these 38 + the r03-attested queue,
-# oldest-first.
+# ROUND-8 QUEUE NOTE: the remaining 26 never-graded late-batch queries
+# are listed explicitly after the window marker below (slots 51-76) —
+# round 8's window = those 26 + any round-7 additions + the stalest
+# r02/r03 rows (join_asof_*, window_rolling_median, agg_corr_regression
+# were graded r06; the r02-batch scan/join/agg/window/setop/scalar rows
+# were all re-attested r06, so the r03 queue — events_stream_stateful_
+# user_stats onward — is next-stalest after the never-graded set).
 _GRADE_FIRST = [
-    # never driver-graded (deferred past slot 50 in round 5)
-    "join_asof_tolerance",
-    "window_rolling_median",
-    "join_asof_forward",
-    "agg_corr_regression",
-    # r02-only greens (oldest attested), in r02 grading order
-    "scan_parquet",
-    "project_alias",
-    "filter_pred",
-    "agg_group",
-    "distinct_count_agg",
-    "agg_rollup",
-    "agg_cube",
-    "agg_stats",
-    "join_hash_inner",
-    "join_broadcast",
-    "join_semi_anti",
-    "join_outer",
-    "join_multiway",
-    "window_rank",
-    "window_frame_agg",
-    "window_lag_lead",
-    "sort_limit_topk",
-    "setop_union_except",
-    "setop_intersect",
-    "scalar_string_date_math",
-    "train_val_split",
-    "agg_grouping_sets",
-    "subquery_exists",
-    "agg_pivot",
-    "window_range_frame",
-    "topk_per_group",
-    "join_theta_nlj",
-    "window_ntile",
-    "agg_percentile_exact",
-    "scalar_map_ops",
-    "scalar_try_cast",
-    "agg_distinct_group",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "text_tfidf_exact",
-    "sim_search_topk",
-    "sim_search_ivf",
-    "sim_search_topk_vectorized",
-    "multimodal_pack",
-    "multimodal_decode_features",
-    "text_token_stats",
-    "text_langid",
-    "text_quality_score",
+    # slot 51 of round 6 (last driver row r02 — stalest attested query)
     "text_fingerprint",
-    # --- past slot 50 from here: r03-attested queue, oldest-first ---
+    # round-6 main batch (34, never driver-graded), sorted
+    "agg_collated_group",
+    "agg_entropy_by_source",
+    "agg_histogram_fixed_bins",
+    "agg_map_group_counts",
+    "agg_string_concat_ordered",
+    "agg_weighted_percentile",
+    "audit_partition_skew",
+    "corpus_gini_lengths",
+    "corpus_kl_divergence_sources",
+    "dedup_incremental_batch",
+    "dedup_minhash_b128",
+    "dedup_simhash_bands",
+    "doc_chunk_sentences",
+    "embedding_power_iteration",
+    "events_stream_stream_full_outer_join",
+    "join_interval_overlap",
+    "join_lateral_topk",
+    "ml_fit_predict_classifier_stats",
+    "ml_fit_predict_stats",
+    "sample_neyman_allocation",
+    "scalar_calendar_arithmetic",
+    "scalar_url_extract",
+    "scan_csv_multiline",
+    "scan_version_diff_cdf",
+    "scan_xml",
+    "sink_vacuum_old_versions",
+    "sink_zorder_cluster",
+    "sort_nulls_ordering",
+    "split_time_based",
+    "stream_merge_upsert_incremental",
+    "temporal_gap_fill_linear",
+    "text_html_strip",
+    "window_decay_time_weighted",
+    "window_ewma",
+    # round-6 late batch, first 15 in registration order (never graded)
+    "join_bloom_prefilter",
+    "agg_bitmap_distinct",
+    "join_spatial_grid",
+    "dedup_paragraph_exact",
+    "dedup_url_canonical",
+    "sample_poisson_bootstrap",
+    "window_anomaly_mad",
+    "scan_dpp_join",
+    "scan_binary_files",
+    "agg_countmin_heavy_hitters",
+    "dedup_lsh_eval_pr",
+    "agg_bitmap_set_ops",
+    "sample_balanced_downsample",
+    "events_markov_transitions",
+    "events_rfm_segmentation",
+    # --- past slot 50 from here: ROUND-8 QUEUE — the 26 remaining
+    # never-driver-graded round-6 queries, registration order ---
+    "corpus_span_corruption",
+    "sample_negative_pairs",
+    "agg_feature_hashing",
+    "window_cusum_drift",
+    "agg_bitmap_native_distinct",
+    "agg_approx_top_k",
+    "events_session_dynamic_gap",
+    "events_stream_session_dynamic_gap",
+    "agg_listagg_native",
+    "scalar_try_arithmetic",
+    "graph_bfs_hops",
+    "corpus_pmi_facets",
+    "text_perplexity_kneser_ney",
+    "text_langid_confusion",
+    "sink_catalog_table",
+    "scan_parquet_bloom_lookup",
+    "corpus_term_burstiness",
+    "events_attribution_linear",
+    "events_stream_stateful_cusum",
+    "corpus_cooccurrence_ppmi",
+    "events_backtest_naive_forecast",
+    "scalar_intdiv_contract",
+    "audit_benford_first_digit",
+    "corpus_zipf_slope",
+    "scan_csv_datefmt",
+    "pipeline_quality_ensemble",
+    # --- then the r03-attested queue (stalest green rows after the
+    # never-graded set), oldest-first ---
     "events_stream_stateful_user_stats",
     "events_stream_dedup",
     "events_stream_static_join",

@@ -584,3 +584,35 @@ def test_bitmap_distinct_two_level_partial_agg(spark):
     plan = plan_of(agg_bitmap_distinct(spark, SF_DIR))
     # both aggregation levels must have a partial (map-side) phase
     assert plan.count("HashAggregate") >= 4
+
+
+def test_multiway_customer_join_strategy(spark):
+    # round-7 fix: `customer` scales with SF, so join_multiway carries
+    # NO broadcast hint on it — only nation/region are hinted. At bench
+    # SF, AQE's runtime size check must still pick broadcast for the
+    # customer join (so timings and hashes are unchanged vs the hinted
+    # form), while at 100 TB the same plan degrades gracefully to a
+    # shuffle join instead of OOMing on a forced broadcast.
+    from pyspark_xgboost_spark.operators.relational import join_multiway
+
+    df = join_multiway(spark, SF_DIR)
+    # exactly two explicit hints in the analyzed plan (nation, region)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("UnresolvedHint") + analyzed.count("ResolvedHint") == 2
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_ppmi_broadcasts_capped_side(spark):
+    # round-7 fix: the top-30 capped side is the broadcast build side in
+    # BOTH marginal joins (BuildLeft) — the O(vocab) marginal tables
+    # must never be the build side at 100 TB crawl scale.
+    from pyspark_xgboost_spark.operators.corpus import corpus_cooccurrence_ppmi
+
+    plan = plan_of(corpus_cooccurrence_ppmi(spark, SF_DIR), "simple")
+    joins = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+    assert len(joins) >= 2, plan
+    assert all("BuildLeft" in l for l in joins if "w1" in l or "w2" in l), plan

@@ -232,6 +232,8 @@ HEADLINE = [
     "corpus_zipf_slope",
     "scan_csv_datefmt",
     "pipeline_quality_ensemble",
+    "udaf_grouped_agg_trimmed_mean",
+    "scan_python_datasource_stream",
 ]
 
 

@@ -18,6 +18,7 @@ downstream.
 
 from __future__ import annotations
 
+import itertools
 import os
 import shutil
 
@@ -26,6 +27,8 @@ from pyspark.sql import functions as F
 
 from pyspark_xgboost_spark.registry import register
 from pyspark_xgboost_spark.sources import load_table
+
+_SINK_COUNTER = itertools.count()
 
 _SCRATCH = "/tmp/spark_graft_scratch"
 
@@ -587,11 +590,30 @@ def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Custom Python DataSource (Spark 4 pyspark.sql.datasource API)
 # --------------------------------------------------------------------------
 
+def _parse_docbin_file(path: str):
+    """Yield (doc_id, source, n_chars) records from one docbin shard
+    (little-endian int64 doc_id, int64 n_chars, uint16 source-length,
+    source utf-8 bytes). Shared by the batch reader, the streaming
+    reader, and its replay path so the three can never drift."""
+    import struct as _struct
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    off = 0
+    while off < len(data):
+        doc_id, n_chars, slen = _struct.unpack_from("<qqH", data, off)
+        off += 18
+        source = data[off : off + slen].decode("utf-8")
+        off += slen
+        yield (doc_id, source, n_chars)
+
+
 try:  # Spark 4+ only; the module must stay importable without it
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
     )
 
     class DocBinDataSource(DataSource):
@@ -614,6 +636,9 @@ try:  # Spark 4+ only; the module must stay importable without it
         def reader(self, schema):  # noqa: ANN001 — API signature
             return _DocBinReader(self.options)
 
+        def simpleStreamReader(self, schema):  # noqa: ANN001 — API signature
+            return _DocBinStreamReader(self.options)
+
     class _DocBinReader(DataSourceReader):
         def __init__(self, options) -> None:  # noqa: ANN001
             self._path = options["path"]
@@ -626,17 +651,51 @@ try:  # Spark 4+ only; the module must stay importable without it
             ]
 
         def read(self, partition):  # noqa: ANN001
-            import struct as _struct
+            yield from _parse_docbin_file(partition.value)
 
-            with open(partition.value, "rb") as fh:
-                data = fh.read()
-            off = 0
-            while off < len(data):
-                doc_id, n_chars, slen = _struct.unpack_from("<qqH", data, off)
-                off += 18
-                source = data[off : off + slen].decode("utf-8")
-                off += slen
-                yield (doc_id, source, n_chars)
+    class _DocBinStreamReader(SimpleDataSourceStreamReader):
+        """Streaming twin of _DocBinReader (Spark 4
+        SimpleDataSourceStreamReader): the offset is a shard-file index
+        into the sorted listing, each micro-batch advances it by at most
+        ``batchfiles`` shards, and ``readBetweenOffsets`` replays any
+        [start, end) range from the same parser — that replay path is
+        what makes recovery after a failed commit exactly-once. The
+        simple-reader form reads on the driver (Spark prefetches and
+        distributes the rows); for drivers that must not touch data the
+        full DataSourceStreamReader + partitions() form is the scale
+        path — same offset contract, so this reader documents it."""
+
+        def __init__(self, options) -> None:  # noqa: ANN001
+            self._path = options["path"]
+            self._batch = int(options.get("batchfiles", "4"))
+
+        def _files(self):
+            return sorted(
+                f for f in os.listdir(self._path) if f.endswith(".docbin")
+            )
+
+        def _read_range(self, lo: int, hi: int):
+            # an ITERATOR over a materialized list: Spark's prefetch
+            # cache calls next() on it (rejecting a bare list) but also
+            # pickles the reader state (rejecting a generator)
+            return iter(
+                [
+                    rec
+                    for f in self._files()[lo:hi]
+                    for rec in _parse_docbin_file(os.path.join(self._path, f))
+                ]
+            )
+
+        def initialOffset(self):
+            return {"file_idx": 0}
+
+        def read(self, start):  # noqa: ANN001
+            lo = int(start["file_idx"])
+            hi = min(lo + self._batch, len(self._files()))
+            return self._read_range(lo, hi), {"file_idx": hi}
+
+        def readBetweenOffsets(self, start, end):  # noqa: ANN001
+            return self._read_range(int(start["file_idx"]), int(end["file_idx"]))
 
     _HAS_PY_DATASOURCE = True
 except ImportError:  # pragma: no cover — pre-4.0 Spark
@@ -709,6 +768,88 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     docs = spark.read.format("docbin").option("path", path).load()
     return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@register(
+    "scan_python_datasource_stream",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def scan_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom Python DataSource (Spark 4
+    `SimpleDataSourceStreamReader`): the same docbin shards consumed as
+    a STREAM — offset = shard-file index, ≤4 shards per micro-batch (8
+    shards → at least 2 micro-batches), availableNow drains to the end.
+    Raw rows land in an append-mode sink and are aggregated in batch
+    afterwards, so the oracle (the parquet source itself) catches BOTH
+    loss and duplication: any shard read twice or skipped across the
+    micro-batch boundary shifts the counts. This is the exactly-once
+    offset contract `events_stream_kafka_shape` pins for the file
+    source, now pinned for the custom-source API; a fresh checkpoint
+    per run keeps the query re-runnable."""
+    if not _HAS_PY_DATASOURCE:  # pragma: no cover
+        raise NotImplementedError("requires Spark 4 Python DataSource API")
+    import tempfile
+
+    path = _stage_docbin(sf_dir)
+    try:
+        spark.dataSource.register(DocBinDataSource)
+    except Exception:  # already registered in this session — fine
+        pass
+    docs = (
+        spark.readStream.format("docbin")
+        .option("path", path)
+        .option("batchfiles", "4")
+        .load()
+    )
+    name = f"docbin_stream_sink_{next(_SINK_COUNTER)}"
+    ckpt = tempfile.mkdtemp(prefix="docbin_ckpt_")
+    n_files = sum(1 for f in os.listdir(path) if f.endswith(".docbin"))
+    # availableNow snapshots only the reader's ONE prefetched batch, so
+    # it would stop after the first 4 shards; a 0s processing trigger
+    # keeps firing micro-batches and the loop stops the query once a
+    # COMMITTED batch's endOffset covers the last shard.
+    q = (
+        docs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import json as _json
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        p = q.lastProgress
+        if p and p.get("sources"):
+            eo = p["sources"][0].get("endOffset")
+            if eo is not None:
+                if isinstance(eo, str):
+                    # serialized as a Python-dict repr, not strict JSON
+                    try:
+                        off = _json.loads(eo)
+                    except ValueError:
+                        import ast as _ast
+
+                        off = _ast.literal_eval(eo)
+                else:
+                    off = eo
+                if int(off.get("file_idx", -1)) >= n_files:
+                    break
+        _time.sleep(0.1)
+    q.stop()
+    q.awaitTermination()
+    return spark.table(name).groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
     )

@@ -268,3 +268,81 @@ def test_zorder_buckets_have_2d_locality(spark):
     span = gmax - gmin
     for r in rows:
         assert (r.max_day - r.min_day) <= span // 4 + 2
+
+
+def test_python_datasource_stream_exactly_once_offsets(spark):
+    """Two+ staged micro-batches over the docbin stream reader must
+    partition the shard range with no overlap and no gap: every record
+    arrives exactly once and committed offsets advance monotonically."""
+    import ast
+    import tempfile
+
+    from pyspark_xgboost_spark.sources import load_table
+    from pyspark_xgboost_spark.sources.formats import (
+        _DOCBIN_SHARDS,
+        DocBinDataSource,
+        _stage_docbin,
+    )
+    from tests.conftest import SF_DIR
+
+    path = _stage_docbin(SF_DIR)
+    try:
+        spark.dataSource.register(DocBinDataSource)
+    except Exception:
+        pass
+    docs = (
+        spark.readStream.format("docbin")
+        .option("path", path)
+        .option("batchfiles", "3")  # 8 shards -> batches of 3,3,2
+        .load()
+    )
+    ckpt = tempfile.mkdtemp(prefix="docbin_ckpt_test_")
+    q = (
+        docs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("docbin_stream_test")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    def _idx(o):
+        if o is None:
+            return None
+        d = ast.literal_eval(o) if isinstance(o, str) else o
+        return None if d is None else int(d["file_idx"])
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p.get("sources") and _idx(p["sources"][0].get("endOffset")) == _DOCBIN_SHARDS:
+            break
+        time.sleep(0.1)
+    progresses = [
+        (
+            _idx(p["sources"][0].get("startOffset")),
+            _idx(p["sources"][0].get("endOffset")),
+            p["sources"][0]["numInputRows"],
+        )
+        for p in q.recentProgress
+        if p.get("sources")
+    ]
+    q.stop()
+    q.awaitTermination()
+
+    # the initial batch reports startOffset=None, so pin the contract on
+    # the committed endOffset sequence: strictly increasing (no shard
+    # re-read), >=2 data-bearing batches, final offset = all shards
+    ends = [e for _s, e, n in progresses if n > 0 and e is not None]
+    assert len(ends) >= 2
+    assert ends == sorted(set(ends))
+    assert ends[-1] == _DOCBIN_SHARDS
+
+    got = spark.table("docbin_stream_test").collect()
+    src = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, src))  # exactly once

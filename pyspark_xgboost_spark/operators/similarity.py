@@ -210,6 +210,114 @@ _PQ_D = 8  # dims per subspace
 _PQ_K = 16  # codebook entries per subspace (vec_id < 16 sub-vectors)
 
 
+def _pq_adc_topk_kernel(e: DataFrame) -> DataFrame:
+    """PQ encode + ADC score + per-batch top-k as one Arrow-batched
+    numpy kernel, replaying the declarative form's float arithmetic
+    BIT-FOR-BIT so the DuckDB oracle still matches:
+
+    - encoding: per 8-dim sub-vector the three inner products are
+      sequential left folds (a loop over dims, vectorized across rows —
+      each row sees the identical add order the HOF fold and DuckDB's
+      list_inner_product use), combined as (sv·sv + cv·cv) - 2.0*(sv·cv);
+      np.argmin resolves exact ties to the lowest centroid index like
+      min(struct(dist2, c)).
+    - LUT: term_nano[q, s, c] = floor(fold_dot(query_sub, centroid) *
+      1e9) as int64 — identical to F.floor(_dot(..) * 1e9).
+    - scoring: adc_nano = sum_s LUT[q, s, code_s], exact int64.
+    - per-batch top-k: each batch emits only its best _TOPK neighbors
+      per query under the strict total order (adc desc, neighbor asc) —
+      the same order the final global window uses, so no global winner
+      can be dropped, and the kernel's output is O(batches * q * k)
+      rows regardless of corpus size.
+
+    Driver state: the codebook (16 sub-vectors) + 10 query vectors —
+    a fixed ~5 KB closure; everything else streams through Arrow."""
+    import numpy as np
+    import pandas as pd
+
+    head = sorted(
+        e.filter(F.col("vec_id") < max(_PQ_K, _N_QUERIES)).collect(),
+        key=lambda r: r.vec_id,
+    )
+    cb_rows = [r for r in head if r.vec_id < _PQ_K]
+    q_rows = [r for r in head if r.vec_id < _N_QUERIES]
+    # cb[s] is a (K, D) float64 matrix of centroid sub-vectors
+    cb = [
+        np.array(
+            [r.v[s * _PQ_D : (s + 1) * _PQ_D] for r in cb_rows], dtype=np.float64
+        )
+        for s in range(_PQ_M)
+    ]
+    # cv·cv per centroid, as the same sequential fold
+    cb_norm = []
+    for s in range(_PQ_M):
+        acc = np.zeros(_PQ_K)
+        for i in range(_PQ_D):
+            acc = acc + cb[s][:, i] * cb[s][:, i]
+        cb_norm.append(acc)
+
+    def _fold_dot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    lut = np.empty((len(q_rows), _PQ_M, _PQ_K), dtype=np.int64)
+    for qi, r in enumerate(q_rows):
+        for s in range(_PQ_M):
+            qs = [float(x) for x in r.v[s * _PQ_D : (s + 1) * _PQ_D]]
+            for c in range(_PQ_K):
+                lut[qi, s, c] = int(
+                    np.floor(_fold_dot(qs, cb[s][c]) * 1_000_000_000)
+                )
+
+    n_q, k = len(q_rows), _TOPK
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            codes = np.empty((n, _PQ_M), dtype=np.int64)
+            for s in range(_PQ_M):
+                S = X[:, s * _PQ_D : (s + 1) * _PQ_D]
+                sv_norm = np.zeros(n)
+                for i in range(_PQ_D):
+                    sv_norm = sv_norm + S[:, i] * S[:, i]
+                d = np.empty((_PQ_K, n))
+                for c in range(_PQ_K):
+                    cross = np.zeros(n)
+                    for i in range(_PQ_D):
+                        cross = cross + S[:, i] * cb[s][c, i]
+                    d[c] = (sv_norm + cb_norm[s][c]) - 2.0 * cross
+                codes[:, s] = np.argmin(d, axis=0)
+            out_q, out_n, out_a = [], [], []
+            for qi in range(n_q):
+                score = np.zeros(n, dtype=np.int64)
+                for s in range(_PQ_M):
+                    score += lut[qi, s, codes[:, s]]
+                keep = ids != q_ids[qi]  # self-exclusion
+                kn, ks = ids[keep], score[keep]
+                # strict total order (adc desc, neighbor asc) — batch
+                # top-k under the global window's own order
+                order = np.lexsort((kn, -ks))[:k]
+                out_q.append(np.full(len(order), q_ids[qi], dtype=np.int64))
+                out_n.append(kn[order])
+                out_a.append(ks[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc_nano": np.concatenate(out_a),
+                }
+            )
+
+    return e.mapInPandas(kernel, "query_id long, neighbor_id long, adc_nano long")
+
+
 def _dot(a: F.Column, b: F.Column) -> F.Column:
     """Ordered fold-left dot product — bit-identical to DuckDB's
     sequential list_inner_product on identical doubles."""
@@ -293,54 +401,12 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     a float vector. Recall vs the exact brute force is pinned by
     tests/test_similarity.py::test_pq_recall_vs_brute_force."""
     e = _emb(spark, sf_dir).select("vec_id", "v")
-    s_col = F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s")
-    sub = e.select("vec_id", "v", s_col).select(
-        "vec_id",
-        "s",
-        F.expr(f"slice(v, s * {_PQ_D} + 1, {_PQ_D})").alias("sv"),
-    )
-    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("c"), F.col("s").alias("cs"), F.col("sv").alias("cv")
-    )
-
-    enc = sub.join(F.broadcast(cb), F.col("s") == F.col("cs")).select(
-        "vec_id",
-        "s",
-        "c",
-        (
-            _dot(F.col("sv"), F.col("sv"))
-            + _dot(F.col("cv"), F.col("cv"))
-            - F.lit(2.0) * _dot(F.col("sv"), F.col("cv"))
-        ).alias("dist2"),
-    )
-    codes = (
-        enc.groupBy("vec_id", "s")
-        .agg(F.min(F.struct("dist2", "c")).alias("m"))
-        .select("vec_id", "s", F.col("m.c").alias("code"))
-    )
-
-    lut = (
-        sub.filter(F.col("vec_id") < _N_QUERIES)
-        .join(F.broadcast(cb), F.col("s") == F.col("cs"))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("s").alias("ls"),
-            F.col("c").alias("lc"),
-            F.floor(_dot(F.col("sv"), F.col("cv")) * 1_000_000_000)
-            .cast("bigint")
-            .alias("term_nano"),
-        )
-    )
-
-    scored = (
-        codes.join(
-            F.broadcast(lut),
-            (F.col("s") == F.col("ls")) & (F.col("code") == F.col("lc")),
-        )
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("term_nano").alias("adc_nano"))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-    )
+    # Encode + score + per-batch top-k in ONE Arrow kernel (round-6
+    # lesson: HOF folds stay interpreted, and the declarative
+    # codes⋈LUT form shuffled a 48M-row join into a 6M-group agg at
+    # sf0.1 — measured ~1.4s; the kernel emits <= 10*K rows per batch,
+    # so the only remaining exchange is the tiny global top-k window).
+    scored = _pq_adc_topk_kernel(e)
     w = W.partitionBy("query_id").orderBy(
         F.col("adc_nano").desc(), F.col("neighbor_id").asc()
     )

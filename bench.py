@@ -234,6 +234,13 @@ HEADLINE = [
     "pipeline_quality_ensemble",
     "udaf_grouped_agg_trimmed_mean",
     "scan_python_datasource_stream",
+    "sketch_rollup_daily_weekly",
+    "window_cume_dist_percent_rank",
+    "scalar_bitops_contract",
+    "audit_referential_integrity",
+    "embedding_dim_standardize",
+    "embedding_random_projection",
+    "sink_delete_cascade",
 ]
 
 

@@ -2016,3 +2016,137 @@ def audit_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_obs").cast("bigint").alias("n_obs"),
         F.round(expect * F.col("n")).cast("bigint").alias("n_benford"),
     )
+
+
+@register(
+    "window_cume_dist_percent_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, pr, cd
+    FROM (
+      SELECT o_orderkey, o_orderpriority,
+             percent_rank() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice
+             ) AS pr,
+             cume_dist() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice
+             ) AS cd
+      FROM orders
+    )
+    WHERE o_orderkey % 997 = 0
+    """,
+)
+def window_cume_dist_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist — the two relative-position window
+    functions the window family didn't yet cover (rank/dense_rank/ntile
+    are elsewhere). Both are tie-stable: equal sort keys share one
+    value, so the result is deterministic under any partition order,
+    and both divide exact integers ((rank-1)/(n-1), n_le/n) whose one
+    IEEE division agrees engine-exactly. The window computes over the
+    FULL partition; the % 997 key sample is applied after, so sampled
+    rows carry their true full-data quantile position — the pattern for
+    auditing a distribution without shipping every row."""
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .withColumn("pr", F.percent_rank().over(w))
+        .withColumn("cd", F.cume_dist().over(w))
+        .filter(F.col("o_orderkey") % 997 == 0)
+        .select("o_orderkey", "o_orderpriority", "pr", "cd")
+    )
+
+
+@register(
+    "scalar_bitops_contract",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(l_orderkey & l_suppkey) AS BIGINT) AS sum_and,
+           CAST(sum(l_orderkey | l_partkey) AS BIGINT) AS sum_or,
+           CAST(sum(xor(l_partkey, l_suppkey)) AS BIGINT) AS sum_xor,
+           CAST(sum(l_linenumber << 3) AS BIGINT) AS sum_shl,
+           CAST(sum(l_orderkey >> 2) AS BIGINT) AS sum_shr,
+           CAST(sum(bit_count(l_orderkey)) AS BIGINT) AS sum_popcnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def scalar_bitops_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family contract: AND / OR / XOR / shifts /
+    popcount agree engine-exactly on non-negative BIGINTs (the sign
+    bit stays clear, so arithmetic vs logical shift never diverges —
+    same 63-bit discipline as the bitmap sketches). Dialect note the
+    oracle encodes: DuckDB's ^ is POWER, so portable XOR is xor(a, b)
+    there and a ^ b in Spark. All map-side expression work + one
+    3-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.expr("l_orderkey & l_suppkey")).alias("sum_and"),
+        F.sum(F.expr("l_orderkey | l_partkey")).alias("sum_or"),
+        F.sum(F.expr("l_partkey ^ l_suppkey")).alias("sum_xor"),
+        F.sum(F.expr("shiftleft(l_linenumber, 3)")).alias("sum_shl"),
+        F.sum(F.expr("shiftright(l_orderkey, 2)")).alias("sum_shr"),
+        F.sum(F.bit_count("l_orderkey")).alias("sum_popcnt"),
+    )
+
+
+@register(
+    "audit_referential_integrity",
+    oracle="""
+    SELECT 'orders->customer' AS fk_edge,
+           (SELECT count(*) FROM orders) AS n_child,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier->nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey))
+    """,
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across four FK edges — the DQ gate a
+    warehouse runs after every load (an orphan count > 0 means a
+    partial load, late dimension, or key corruption). Each edge is one
+    left_anti join: dimension-parent edges broadcast the parent key set
+    (nation: 25 rows; customer scales but its KEY COLUMN projection is
+    what ships); the lineitem->orders edge is the real fact-to-fact
+    anti-join, where at 100 TB the scale play is a Bloom/DPP prefilter
+    on the child (join_bloom_prefilter shows that form) — here AQE
+    picks the strategy from runtime sizes. Counts compose into one
+    4-row report."""
+
+    def edge(name: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str) -> DataFrame:
+        orphans = child.select(F.col(ckey).alias("k")).join(
+            parent.select(F.col(pkey).alias("k")), "k", "left_anti"
+        )
+        return (
+            child.agg(F.count("*").alias("n_child"))
+            .crossJoin(F.broadcast(orphans.agg(F.count("*").alias("n_orphans"))))
+            .select(F.lit(name).alias("fk_edge"), "n_child", "n_orphans")
+        )
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        edge("orders->customer", orders, "o_custkey", cust, "c_custkey")
+        .unionByName(edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"))
+        .unionByName(edge("customer->nation", cust, "c_nationkey", nation, "n_nationkey"))
+        .unionByName(edge("supplier->nation", supp, "s_nationkey", nation, "n_nationkey"))
+    )

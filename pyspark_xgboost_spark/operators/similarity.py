@@ -554,3 +554,181 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("bigint").alias("pos"),
         F.col("v").cast("bigint").alias("v_fp"),
     )
+
+
+@register(
+    "embedding_dim_standardize",
+    oracle="""
+    WITH vals AS (
+      SELECT i AS dim,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS q
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    stats AS (
+      SELECT dim,
+             count(*) AS n,
+             CAST(sum(q) AS BIGINT) AS sum_q,
+             CAST(sum(q * q) AS BIGINT) AS sumsq_q
+      FROM vals GROUP BY dim
+    ),
+    enriched AS (
+      SELECT dim, n, sum_q, sumsq_q,
+             CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) AS mean_units,
+             (CAST(sumsq_q AS DOUBLE)
+              - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE)
+                / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS var_units
+      FROM stats
+    )
+    SELECT e.dim, e.n, e.sum_q, e.mean_units, e.var_units,
+           CAST(sum(CASE WHEN abs(CAST(v.q AS DOUBLE) - e.mean_units)
+                              > 3.0 * sqrt(e.var_units)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_out3sig
+    FROM enriched e JOIN vals v ON v.dim = e.dim
+    GROUP BY e.dim, e.n, e.sum_q, e.mean_units, e.var_units
+    """,
+)
+def embedding_dim_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature standardization stats — the fit() half of
+    a z-score scaler over an array<float> embedding column, the
+    preprocessing step every similarity/training pipeline runs before
+    distance math. Two-pass shape: pass 1 is a posexplode + 64-group
+    aggregate in EXACT integer units (sum / sum-of-squares as BIGINT —
+    map-side combinable, order-free); pass 2 broadcasts the 64-row
+    stats back and counts >3-sigma outliers per dimension (the feature
+    health check: a dimension whose outlier mass explodes is a broken
+    encoder). mean/var are derived from the exact integer sums with an
+    expression shape identical in both engines, so the doubles match
+    bit-for-bit; sqrt is IEEE-exact. At 100 TB pass 1 shuffles 64 rows
+    per map task and pass 2 re-scans with a 4 KB broadcast — no raw
+    value ever shuffles."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vals = e.select(
+        F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 10000).cast("bigint").alias("q"),
+    )
+    stats = vals.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("sum_q"),
+        F.sum(F.col("q") * F.col("q")).alias("sumsq_q"),
+    )
+    nd = F.col("n").cast("double")
+    enriched = stats.select(
+        "dim",
+        "n",
+        "sum_q",
+        "sumsq_q",
+        (F.col("sum_q").cast("double") / nd).alias("mean_units"),
+        (
+            (
+                F.col("sumsq_q").cast("double")
+                - F.col("sum_q").cast("double") * F.col("sum_q").cast("double") / nd
+            )
+            / nd
+        ).alias("var_units"),
+    )
+    out = (
+        vals.join(F.broadcast(enriched), "dim")
+        .groupBy("dim", "n", "sum_q", "mean_units", "var_units")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("q").cast("double") - F.col("mean_units"))
+                    > F.lit(3.0) * F.sqrt(F.col("var_units")),
+                    1,
+                )
+                .otherwise(0)
+                .cast("bigint")
+            ).alias("n_out3sig")
+        )
+    )
+    return out.select("dim", "n", "sum_q", "mean_units", "var_units", "n_out3sig")
+
+
+_RP_K = 8  # projected dimensions
+
+
+@register(
+    "embedding_random_projection",
+    oracle="""
+    WITH proj AS (
+      SELECT vec_id, label, j,
+             CAST(sum(
+               (CASE WHEN strpos('13579bdf',
+                               substr(md5(i::VARCHAR || '_' || j::VARCHAR), 32, 1)) > 0
+                     THEN 1 ELSE -1 END)
+               * CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+             ) AS BIGINT) AS p
+      FROM embeddings,
+           unnest(generate_series(1, 8)) AS tj(j),
+           unnest(generate_series(1, len(embedding))) AS ti(i)
+      GROUP BY vec_id, label, j
+    )
+    SELECT label, CAST(j AS BIGINT) AS j,
+           count(*) AS n,
+           CAST(sum(p) AS BIGINT) AS sum_proj,
+           CAST(sum(abs(p)) AS BIGINT) AS sum_abs_proj
+    FROM proj
+    GROUP BY label, j
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss SIGN random projection (Achlioptas 2003
+    database-friendly form: entries are ±1, drawn here from md5 parity
+    so both engines derive the identical matrix with no shared state):
+    64-dim embeddings compress to {_RP_K} dims via one integer matmul.
+    This is the dimensionality-reduction front end for ANN at scale —
+    the projection is map-only (a 64x{_RP_K} ±1 matrix in the closure,
+    zero shuffle), distances are approximately preserved, and the
+    projected vectors are 8x smaller to shuffle/index. Computed as one
+    vectorized numpy int64 matmul per Arrow batch (exact integer
+    arithmetic — no float-order concerns by construction); the oracle
+    recomputes the same signed sums declaratively. Output aggregates
+    per (label, j) so the result is a compact attestation of the full
+    projection."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    n_dims = len(e.first()["embedding"])
+    # sgn[i, j] from md5 parity — the same bytes DuckDB's md5 hashes
+    sgn = np.array(
+        [
+            [
+                1
+                if hashlib.md5(f"{i}_{j}".encode()).hexdigest()[31] in "13579bdf"
+                else -1
+                for j in range(1, _RP_K + 1)
+            ]
+            for i in range(1, n_dims + 1)
+        ],
+        dtype=np.int64,
+    )
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            Q = np.round(X * 10000).astype(np.int64)
+            P = Q @ sgn  # (n, k) exact int64
+            n, k = P.shape
+            yield pd.DataFrame(
+                {
+                    "label": np.repeat(pdf["label"].to_numpy(np.int64), k),
+                    "j": np.tile(np.arange(1, k + 1, dtype=np.int64), n),
+                    "p": P.reshape(-1),
+                }
+            )
+
+    proj = e.mapInPandas(project, "label long, j long, p long")
+    return proj.groupBy("label", "j").agg(
+        F.count("*").alias("n"),
+        F.sum("p").alias("sum_proj"),
+        F.sum(F.abs("p")).alias("sum_abs_proj"),
+    )

@@ -483,3 +483,71 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("e.item").alias("event_type"), F.col("e.count").alias("n"))
         .orderBy(F.desc("n"), F.asc("event_type"))
     )
+
+
+@register(
+    "sketch_rollup_daily_weekly",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS du
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS users_weekly
+      FROM events GROUP BY 1
+    )
+    SELECT d.week,
+           count(*) AS n_days,
+           CAST(sum(d.du) AS BIGINT) AS sum_daily_users,
+           max(w.users_weekly) AS users_weekly
+    FROM d JOIN w ON d.week = w.week
+    GROUP BY d.week
+    """,
+)
+def sketch_rollup_daily_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-SKETCH TIME ROLLUP — the property that makes sketches
+    the right distinct-count representation for a metrics store: weekly
+    distinct users are computed by OR-merging the per-DAY bitmap
+    sketches, never rescanning raw events. The daily layer is what a
+    production pipeline materializes once per day (1 long per 63 ids of
+    agg state, map-side combinable); any coarser window (week here, or
+    month/quarter/rolling-28d) is then a re-aggregation of sketches
+    whose cost is O(days x words), independent of raw event volume —
+    at 100 TB that is the difference between a nightly scan and an
+    instant rollup. sum_daily_users > users_weekly quantifies
+    cross-day repeat visitors, the thing naive SUM-of-daily-distincts
+    silently gets wrong. The oracle recomputes both layers with exact
+    COUNT(DISTINCT), attesting the merged sketch is exact (63-bit words
+    keep both engines overflow-safe, see agg_bitmap_distinct)."""
+    ev = load_table(spark, sf_dir, "events")
+    day_words = (
+        ev.select(
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.expr("user_id div 63").alias("word"),
+            F.expr("shiftleft(1L, cast(user_id % 63 as int))").alias("mask"),
+        )
+        .groupBy("week", "day", "word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    daily = day_words.groupBy("week", "day").agg(
+        F.sum(F.bit_count("bits")).alias("du")
+    )
+    weekly = (
+        day_words.groupBy("week", "word")
+        .agg(F.expr("bit_or(bits)").alias("wbits"))  # sketch MERGE
+        .groupBy("week")
+        .agg(F.sum(F.bit_count("wbits")).alias("users_weekly"))
+    )
+    return (
+        daily.groupBy("week")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("du").alias("sum_daily_users"),
+        )
+        .join(weekly, "week")
+        .select("week", "n_days", "sum_daily_users", "users_weekly")
+    )

@@ -46,7 +46,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # waste a slot.
 # ROUND-8 QUEUE NOTE: the remaining 26 never-graded late-batch queries
 # are listed explicitly after the window marker below (slots 51-76) —
-# round 8's window = those 26 + any round-7 additions + the stalest
+# round 8's window = those 26 + the round-7 additions (registered at
+# the tail in registration order: udaf_grouped_agg_trimmed_mean,
+# scan_python_datasource_stream, sketch_rollup_daily_weekly,
+# window_cume_dist_percent_rank, scalar_bitops_contract,
+# audit_referential_integrity, embedding_dim_standardize,
+# embedding_random_projection, sink_delete_cascade, + later round-7
+# registrations) + the stalest
 # r02/r03 rows (join_asof_*, window_rolling_median, agg_corr_regression
 # were graded r06; the r02-batch scan/join/agg/window/setop/scalar rows
 # were all re-attested r06, so the r03 queue — events_stream_stateful_

@@ -1493,3 +1493,97 @@ def scan_csv_datefmt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.max("ts_eu")).alias("max_ts_us"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "sink_delete_cascade",
+    oracle="""
+    WITH tomb AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    del_orders AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM tomb)
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT count(*) FROM customer) AS n_before,
+           (SELECT count(*) FROM tomb) AS n_deleted
+    UNION ALL
+    SELECT 'orders',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM del_orders)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+    """,
+)
+def sink_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-ERASURE DELETE CASCADE — the GDPR/CCPA job every
+    lakehouse runs: a tombstone set of subject keys (here: customers
+    with c_custkey % 97 = 0, a deterministic ~1% cohort) is propagated
+    down the FK tree (customer -> orders -> lineitem) by rewriting each
+    table MINUS its affected rows, and the per-table audit counts are
+    the report a compliance run must produce. Scale shape: the
+    tombstone KEY SET broadcasts (even 10M subject keys is ~80 MB —
+    within broadcast budget; beyond that the same plan degrades to a
+    shuffle semi-join); each fact table is one anti-join rewrite, and
+    the grandchild cascade reuses the deleted-orders key projection,
+    never the order rows. The cleaned copies are actually WRITTEN
+    (parquet, fingerprint-keyed) and the after-counts read back from
+    disk, so the query attests the sink, not just the plan; the oracle
+    pins before/deleted counts against the source."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    tomb = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    del_orders = orders.join(
+        F.broadcast(tomb), orders.o_custkey == tomb.c_custkey, "left_semi"
+    ).select("o_orderkey")
+
+    key = sf_dir.strip("/").replace("/", "_")
+    parent = os.path.join(_SCRATCH, key)
+    fp = src_fingerprint(sf_dir, "orders")
+    leaf = f"gdpr_clean_{fp}"
+    gc_stale_siblings(parent, "gdpr_clean_", leaf)
+    out = os.path.join(parent, leaf)
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        (
+            cust.join(F.broadcast(tomb), "c_custkey", "left_anti")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "customer"))
+        )
+        (
+            orders.join(F.broadcast(tomb), orders.o_custkey == tomb.c_custkey, "left_anti")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "orders"))
+        )
+        (
+            li.join(
+                F.broadcast(del_orders),
+                li.l_orderkey == del_orders.o_orderkey,
+                "left_anti",
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "lineitem"))
+        )
+        with open(os.path.join(out, "_DONE"), "w") as fh:
+            fh.write("ok")
+
+    def row(name: str, src: DataFrame) -> DataFrame:
+        after = spark.read.parquet(os.path.join(out, name))
+        return (
+            src.agg(F.count("*").alias("n_before"))
+            .crossJoin(F.broadcast(after.agg(F.count("*").alias("n_after"))))
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_before",
+                (F.col("n_before") - F.col("n_after")).alias("n_deleted"),
+            )
+        )
+
+    return (
+        row("customer", cust)
+        .unionByName(row("orders", orders))
+        .unionByName(row("lineitem", li))
+    )

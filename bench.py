@@ -241,6 +241,9 @@ HEADLINE = [
     "embedding_dim_standardize",
     "embedding_random_projection",
     "sink_delete_cascade",
+    "corpus_bpe_merges",
+    "agg_approx_distinct_error_bound",
+    "text_mojibake_audit",
 ]
 
 

@@ -1624,3 +1624,92 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("zipf_slope_micro"),
     )
+
+
+_BPE_ROUNDS = 5
+_BPE_MAX_WORD = 20
+
+
+@register("corpus_bpe_merges")
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER TRAINING, the first {_BPE_ROUNDS} merge rules
+    (Sennrich et al., "Neural Machine Translation of Rare Words with
+    Subword Units", ACL 2016): the iterative operator behind every
+    modern LLM vocabulary. Classic word-level form: the corpus
+    collapses ONCE into a word-frequency vocabulary (the only full
+    scan — everything after is O(word types), which is what makes BPE
+    training tractable on a 100 TB corpus: 10^11 tokens become ~10^7
+    types); each round counts adjacent symbol pairs weighted by word
+    frequency (declarative zip_with explode + map-side-combinable sum),
+    picks the argmax pair (ties: count desc, then lexicographic — total
+    order, partition-invariant), and applies the merge greedily
+    left-to-right via a small Arrow kernel over the vocabulary.
+    Lineage is truncated per round (localCheckpoint) so the plan stays
+    constant-size across iterations.
+
+    Words are lowercased whitespace tokens capped at {_BPE_MAX_WORD}
+    chars (longer tails are URLs/hashes that pollute merge stats); no
+    end-of-word sentinel (the within-word merge dynamics are
+    identical). Rows-only by design: the per-round argmax + greedy
+    rewrite is an iterative fixpoint SQL cannot express without
+    unbounded recursion; correctness is pinned by a golden test
+    replaying a pure-Python reference BPE on the identical
+    word-frequency dict (tests/test_corpus.py)."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+        )
+        .filter((F.col("word") != "") & (F.length("word") <= _BPE_MAX_WORD))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "freq", F.expr("filter(split(word, ''), x -> x != '')").alias("syms")
+        )
+    )
+    vocab = vocab.localCheckpoint(eager=True)
+
+    out_rows = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(syms, 1, size(syms) - 1),"
+                    "         slice(syms, 2, size(syms) - 1),"
+                    "         (l, r) -> struct(l, r))"
+                )
+            ).alias("p"),
+        ).groupBy("p.l", "p.r").agg(F.sum("freq").alias("cnt"))
+        best = pairs.orderBy(
+            F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()
+        ).first()
+        if best is None:
+            break
+        left, right, cnt = best["l"], best["r"], int(best["cnt"])
+        out_rows.append((rnd, left, right, cnt))
+
+        def apply_merge(batches, _l=left, _r=right):
+            for pdf in batches:
+                merged = []
+                for syms in pdf["syms"]:
+                    out, i, n = [], 0, len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] == _l and syms[i + 1] == _r:
+                            out.append(_l + _r)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    merged.append(out)
+                yield pd.DataFrame({"freq": pdf["freq"], "syms": merged})
+
+        vocab = vocab.mapInPandas(
+            apply_merge, "freq long, syms array<string>"
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        out_rows, "round int, left_sym string, right_sym string, pair_count long"
+    )

@@ -551,3 +551,39 @@ def sketch_rollup_daily_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(weekly, "week")
         .select("week", "n_days", "sum_daily_users", "users_weekly")
     )
+
+
+@register(
+    "agg_approx_distinct_error_bound",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_approx_distinct_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ ERROR-BOUND ATTESTATION: approx_count_distinct at
+    rsd=2% runs beside the exact distinct and the query emits whether
+    the estimate landed within 3 standard errors (6%) — the oracle pins
+    the exact count and expects within_bound = TRUE, so a driver red
+    here means the sketch's accuracy contract broke, not just a number
+    drifted. This is the two-level pattern (same as the ml stats
+    attestations) that makes a non-portable estimator oracle-checkable:
+    DuckDB cannot reproduce Spark's HLL bits, but it CAN referee the
+    claim that matters. At 100 TB the HLL path keeps O(2^p) bytes of
+    map-side state per group where exact distinct builds a per-group
+    hash set — the bound being attested is exactly why the sketch is
+    deployable as the default."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02).cast("double")
+                - F.countDistinct("user_id").cast("double")
+            )
+            <= F.lit(0.06) * F.countDistinct("user_id").cast("double")
+        ).alias("within_bound"),
+    )

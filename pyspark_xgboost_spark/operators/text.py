@@ -563,3 +563,55 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         (F.col("actual_lang") == F.col("predicted_lang")).alias("is_correct"),
     )
+
+
+@register(
+    "text_mojibake_audit",
+    oracle=r"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN contains(text, 'Ã') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mojibake_docs,
+           CAST(sum(length(text) - length(replace(text, chr(65533), '')))
+                AS BIGINT) AS n_replacement_chars,
+           CAST(sum(length(text)
+                - length(regexp_replace(text,
+                         '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')))
+                AS BIGINT) AS n_ctrl_chars,
+           CAST(sum(length(text)
+                - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')))
+                AS BIGINT) AS n_non_ascii
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODING-HEALTH AUDIT per source — the crawl-ingest screen for
+    the three classic corruption signatures: double-decoded UTF-8
+    (latin-1 'Ã' prefix bytes), U+FFFD replacement characters (lossy
+    decode already happened upstream), and stray C0 control characters
+    (binary junk in a text field); plus the non-ASCII mass as the
+    baseline that distinguishes 'legitimately multilingual' from
+    'corrupted'. A healthy pipeline expects the first three near zero
+    PER SOURCE — a single feed spiking is how a bad upstream re-encode
+    is localized. All counts are map-side length-difference arithmetic
+    (replace/regexp_replace), one small aggregate; character classes
+    are kept to explicit byte-range literals so Java regex and RE2
+    agree."""
+    d = load_table(spark, sf_dir, "documents")
+    n_repl = F.length("text") - F.length(F.replace(F.col("text"), F.lit("�")))
+    n_ctrl = F.length("text") - F.length(
+        F.regexp_replace("text", "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+    )
+    n_nonascii = F.length("text") - F.length(
+        F.regexp_replace("text", "[^\\x00-\\x7F]", "")
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("text").contains("Ã").cast("int")).cast("bigint").alias(
+            "n_mojibake_docs"
+        ),
+        F.sum(n_repl).cast("bigint").alias("n_replacement_chars"),
+        F.sum(n_ctrl).cast("bigint").alias("n_ctrl_chars"),
+        F.sum(n_nonascii).cast("bigint").alias("n_non_ascii"),
+    )

@@ -413,3 +413,55 @@ def test_kgram_novelty_matches_sequential_recompute(spark):
         if 0 < len(novel) < len(grams):
             any_partial = True
     assert any_partial  # the fixture really contains cross-doc overlap
+
+
+def test_bpe_merges_match_reference_python(spark):
+    """corpus_bpe_merges must reproduce a pure-Python reference BPE
+    (greedy leftmost merge, count-desc then lexicographic argmax) run
+    on the identical lowercased word-frequency dict."""
+    from collections import Counter
+
+    from pyspark_xgboost_spark.operators.corpus import (
+        _BPE_MAX_WORD,
+        _BPE_ROUNDS,
+        corpus_bpe_merges,
+    )
+
+    got = [
+        (r["round"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in corpus_bpe_merges(spark, SF_DIR).collect()
+    ]
+
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    freq: Counter = Counter()
+    for row in docs:
+        for w in (row["text"] or "").lower().split():
+            if w and len(w) <= _BPE_MAX_WORD:
+                freq[w] += 1
+    vocab = {tuple(w): f for w, f in freq.items()}
+
+    expect = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pairs: Counter = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rnd, l, r, cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+
+    assert got == expect

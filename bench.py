@@ -244,6 +244,10 @@ HEADLINE = [
     "corpus_bpe_merges",
     "agg_approx_distinct_error_bound",
     "text_mojibake_audit",
+    "sink_python_datasource_write",
+    "udaf_apply_in_arrow",
+    "window_nth_value_ignore_nulls",
+    "window_theil_sen_slope",
 ]
 
 

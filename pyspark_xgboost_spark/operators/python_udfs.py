@@ -184,3 +184,55 @@ def udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT b.* FROM docs_for_udtf d, LATERAL bigram_udtf(d.doc_id, d.text) b"
     )
+
+
+@register(
+    "udaf_apply_in_arrow",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS max_cents,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def udaf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInArrow — the pyarrow-native grouped-map surface (Spark 4):
+    the group arrives as a pyarrow.Table and the result returns as one,
+    with NO pandas materialization in between. For groups of primitive
+    columns this skips the Arrow->pandas->Arrow conversion tax that
+    applyInPandas pays (object boxing, index building), which is the
+    difference that matters when the per-group payload is large and the
+    computation is columnar (here: exact integer-cents extrema via
+    pyarrow.compute). Same scale caveat as every grouped-map form: the
+    whole group ships to one task — bounded group cardinality only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        cents = tbl.column("cents")
+        return pa.table(
+            {
+                "o_orderpriority": [tbl.column("o_orderpriority")[0].as_py()],
+                "n": pa.array([tbl.num_rows], pa.int64()),
+                "min_cents": pa.array([pc.min(cents).as_py()], pa.int64()),
+                "max_cents": pa.array([pc.max(cents).as_py()], pa.int64()),
+                "sum_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+            }
+        )
+
+    return orders.groupBy("o_orderpriority").applyInArrow(
+        stats,
+        "o_orderpriority string, n long, min_cents long, max_cents long, "
+        "sum_cents long",
+    )

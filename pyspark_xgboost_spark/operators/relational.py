@@ -2150,3 +2150,63 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edge("customer->nation", cust, "c_nationkey", nation, "n_nationkey"))
         .unionByName(edge("supplier->nation", supp, "s_nationkey", nation, "n_nationkey"))
     )
+
+
+@register(
+    "window_nth_value_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_v,
+           first_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS first_v,
+           nth_value(v, 2 IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_v
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    QUALIFY event_id % 223 = 0
+    """,
+)
+def window_nth_value_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with IGNORE NULLS — the null-skipping
+    navigation trio (the remaining window-navigation surface after
+    lag/lead/rank elsewhere). last_value IGNORE NULLS over a running
+    frame IS last-observation-carried-forward, the canonical sensor/
+    price-feed fill; nth_value(2) is 'second reading' lineage. Nulls
+    are injected deterministically (view events carry no reading) and
+    the ordering key (ts, event_id) is a total order, so every value is
+    reproducible. The window computes over full partitions; the key
+    sample keeps the attested output compact while each row still
+    carries full-partition state."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "view", F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    full = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.last("v", ignorenulls=True).over(run).alias("locf_v"),
+            F.first("v", ignorenulls=True).over(full).alias("first_v"),
+            F.nth_value("v", 2, ignoreNulls=True).over(full).alias("second_v"),
+        )
+        .filter(F.col("event_id") % 223 == 0)
+    )

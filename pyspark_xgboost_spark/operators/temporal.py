@@ -2071,3 +2071,113 @@ def events_backtest_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFram
             "sum_abs_err"
         ),
     )
+
+
+@register(
+    "window_theil_sen_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS v_micro
+      FROM events
+      WHERE user_id % 47 = 0
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.user_id,
+             CAST(floor(
+               CAST(b.v_micro - a.v_micro AS DOUBLE)
+               / CAST(b.day - a.day AS DOUBLE) * 1000
+             ) AS BIGINT) AS slope_q
+      FROM daily a JOIN daily b
+        ON a.user_id = b.user_id AND b.day > a.day
+    ),
+    ranked AS (
+      SELECT user_id, slope_q,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY slope_q, slope_q) AS rk,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM pairs
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS n_pairs,
+           (CAST(sum(CASE WHEN rk = (n + 1) // 2 THEN slope_q END) AS DOUBLE)
+            + CAST(sum(CASE WHEN rk = (n + 2) // 2 THEN slope_q END)
+                   AS DOUBLE)) / 2.0 AS theil_sen_slope_q
+    FROM ranked
+    GROUP BY user_id
+    """,
+)
+def window_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN ROBUST TREND per user: the median of all pairwise
+    day-to-day slopes — the estimator that survives ~29% outliers where
+    least-squares (agg_corr_regression's slope) is dragged by one bad
+    reading. Shape: events collapse to a per-(user, day) exact-micro
+    daily series FIRST (the only full scan — map-side combinable), so
+    the pairwise stage is O(days^2) per user over a calendar-bounded
+    series (~30 days here; a production job windows to the trailing N
+    days, keeping pairs ~N^2/2 regardless of event volume). The median
+    is taken rank-explicitly (both middle ranks summed and halved — the
+    identical integer-then-one-division arithmetic in both engines),
+    never via engine median() whose interpolation expression differs;
+    slopes are floor-quantized to milli-units (floor is binary-safe
+    where round is not). user_id % 47 samples the attested cohort;
+    every user computes independently, so the sample bounds output, not
+    work shape."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 47 == 0)
+        .groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 1000000).cast("bigint")).alias(
+                "v_micro"
+            )
+        )
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.day") > F.col("a.day")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.floor(
+            (F.col("b.v_micro") - F.col("a.v_micro")).cast("double")
+            / F.datediff(F.col("b.day"), F.col("a.day")).cast("double")
+            * 1000
+        )
+        .cast("bigint")
+        .alias("slope_q"),
+    )
+    wr = W.partitionBy("user_id").orderBy("slope_q")
+    ranked = pairs.select(
+        "user_id",
+        "slope_q",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(W.partitionBy("user_id")).alias("n"),
+    )
+    return ranked.groupBy("user_id").agg(
+        F.max("n").alias("n_pairs"),
+        (
+            (
+                F.sum(
+                    F.when(
+                        F.col("rk") == ((F.col("n") + 1) / 2).cast("int"),
+                        F.col("slope_q"),
+                    )
+                ).cast("double")
+                + F.sum(
+                    F.when(
+                        F.col("rk") == ((F.col("n") + 2) / 2).cast("int"),
+                        F.col("slope_q"),
+                    )
+                ).cast("double")
+            )
+            / 2.0
+        ).alias("theil_sen_slope_q"),
+    )

@@ -612,8 +612,10 @@ try:  # Spark 4+ only; the module must stay importable without it
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceWriter,
         InputPartition,
         SimpleDataSourceStreamReader,
+        WriterCommitMessage,
     )
 
     class DocBinDataSource(DataSource):
@@ -638,6 +640,9 @@ try:  # Spark 4+ only; the module must stay importable without it
 
         def simpleStreamReader(self, schema):  # noqa: ANN001 — API signature
             return _DocBinStreamReader(self.options)
+
+        def writer(self, schema, overwrite):  # noqa: ANN001 — API signature
+            return _DocBinWriter(self.options, overwrite)
 
     class _DocBinReader(DataSourceReader):
         def __init__(self, options) -> None:  # noqa: ANN001
@@ -696,6 +701,65 @@ try:  # Spark 4+ only; the module must stay importable without it
 
         def readBetweenOffsets(self, start, end):  # noqa: ANN001
             return self._read_range(int(start["file_idx"]), int(end["file_idx"]))
+
+    class _DocBinCommit(WriterCommitMessage):
+        def __init__(self, tmp_name: str, n_rows: int) -> None:
+            self.tmp_name = tmp_name
+            self.n_rows = n_rows
+
+    class _DocBinWriter(DataSourceWriter):
+        """Write half of the docbin DataSource — the Spark 4 two-phase
+        commit protocol that makes a custom Python sink exactly-once:
+        each task streams its rows into a UNIQUELY-NAMED .tmp shard and
+        returns a commit message; only the driver-side commit() renames
+        the tmp shards to readable .docbin files (and drops a _DONE
+        marker), while abort() removes them — so a failed/retried task
+        can never leave a half-visible shard, the same
+        rename-on-commit contract FileOutputCommitter gives JVM sinks.
+        Expected schema: (doc_id long, source string, n_chars long),
+        the batch reader's schema, so write -> read round-trips."""
+
+        def __init__(self, options, overwrite: bool) -> None:  # noqa: ANN001
+            self._path = options["path"]
+            self._overwrite = overwrite
+
+        def write(self, rows):  # noqa: ANN001
+            import struct as _struct
+            import uuid as _uuid
+
+            os.makedirs(self._path, exist_ok=True)
+            tmp = f"part-{_uuid.uuid4().hex}.docbin.tmp"
+            n = 0
+            with open(os.path.join(self._path, tmp), "wb") as fh:
+                for row in rows:
+                    raw = row.source.encode("utf-8")
+                    fh.write(
+                        _struct.pack("<qqH", row.doc_id, row.n_chars, len(raw))
+                        + raw
+                    )
+                    n += 1
+            return _DocBinCommit(tmp, n)
+
+        def commit(self, messages):  # noqa: ANN001
+            if self._overwrite:
+                for f in os.listdir(self._path):
+                    if f.endswith(".docbin"):
+                        os.remove(os.path.join(self._path, f))
+            for m in messages:
+                final = m.tmp_name[: -len(".tmp")]
+                os.rename(
+                    os.path.join(self._path, m.tmp_name),
+                    os.path.join(self._path, final),
+                )
+            with open(os.path.join(self._path, "_DONE"), "w") as fh:
+                fh.write(str(sum(m.n_rows for m in messages)))
+
+        def abort(self, messages):  # noqa: ANN001
+            for m in messages:
+                try:
+                    os.remove(os.path.join(self._path, m.tmp_name))
+                except OSError:
+                    pass
 
     _HAS_PY_DATASOURCE = True
 except ImportError:  # pragma: no cover — pre-4.0 Spark
@@ -1586,4 +1650,55 @@ def sink_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         row("customer", cust)
         .unionByName(row("orders", orders))
         .unionByName(row("lineitem", li))
+    )
+
+
+@register(
+    "sink_python_datasource_write",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM documents
+    GROUP BY source
+    """,
+)
+def sink_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM PYTHON DATASOURCE WRITE — the third leg of the docbin
+    story (batch read: scan_python_datasource; streaming read:
+    scan_python_datasource_stream; write: here). Documents are written
+    through df.write.format("docbin") — Spark drives _DocBinWriter's
+    two-phase commit (per-task tmp shards, driver-side rename-on-commit
+    — see that class for the exactly-once contract) — then read BACK
+    through the batch reader and aggregated, so the oracle (the parquet
+    source) catches loss, duplication, or encode/decode drift anywhere
+    in the write -> commit -> read cycle. sum_ids makes silent row
+    substitution visible, not just count drift."""
+    if not _HAS_PY_DATASOURCE:  # pragma: no cover
+        raise NotImplementedError("requires Spark 4 Python DataSource API")
+    try:
+        spark.dataSource.register(DocBinDataSource)
+    except Exception:  # already registered in this session — fine
+        pass
+    key = sf_dir.strip("/").replace("/", "_")
+    parent = os.path.join(_SCRATCH, key)
+    leaf = f"docbin_written_{src_fingerprint(sf_dir, 'documents')}"
+    gc_stale_siblings(parent, "docbin_written_", leaf)
+    out = os.path.join(parent, leaf)
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "n_chars")
+            .repartition(6)  # >1 writer task: the commit protocol is the point
+            .write.format("docbin")
+            .mode("overwrite")
+            .option("path", out)
+            .save()
+        )
+    back = spark.read.format("docbin").option("path", out).load()
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
     )

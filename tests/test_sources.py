@@ -346,3 +346,34 @@ def test_python_datasource_stream_exactly_once_offsets(spark):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, src))  # exactly once
+
+
+def test_python_datasource_writer_two_phase_commit(spark, tmp_path):
+    """The docbin writer must leave ONLY committed .docbin shards (no
+    .tmp residue), a _DONE marker with the exact row count, and a
+    byte-identical read-back through the batch reader."""
+    from pyspark_xgboost_spark.sources import load_table
+    from pyspark_xgboost_spark.sources.formats import DocBinDataSource
+    from tests.conftest import SF_DIR
+
+    try:
+        spark.dataSource.register(DocBinDataSource)
+    except Exception:
+        pass
+    out = str(tmp_path / "docbin_out")
+    src = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    src.repartition(5).write.format("docbin").mode("overwrite").option(
+        "path", out
+    ).save()
+
+    files = os.listdir(out)
+    assert not [f for f in files if f.endswith(".tmp")]
+    shards = [f for f in files if f.endswith(".docbin")]
+    assert len(shards) == 5  # one committed shard per writer task
+    with open(os.path.join(out, "_DONE")) as fh:
+        assert int(fh.read()) == src.count()
+
+    back = spark.read.format("docbin").option("path", out).load().collect()
+    assert sorted(map(tuple, back)) == sorted(map(tuple, src.collect()))

@@ -248,6 +248,9 @@ HEADLINE = [
     "udaf_apply_in_arrow",
     "window_nth_value_ignore_nulls",
     "window_theil_sen_slope",
+    "sink_python_datasource_stream_write",
+    "scan_merge_on_read_deletes",
+    "scan_cdc_apply_log",
 ]
 
 

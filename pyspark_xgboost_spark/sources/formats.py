@@ -23,6 +23,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from pyspark_xgboost_spark.registry import register
@@ -612,6 +613,7 @@ try:  # Spark 4+ only; the module must stay importable without it
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamWriter,
         DataSourceWriter,
         InputPartition,
         SimpleDataSourceStreamReader,
@@ -643,6 +645,9 @@ try:  # Spark 4+ only; the module must stay importable without it
 
         def writer(self, schema, overwrite):  # noqa: ANN001 — API signature
             return _DocBinWriter(self.options, overwrite)
+
+        def streamWriter(self, schema, overwrite):  # noqa: ANN001, N802
+            return _DocBinStreamWriter(self.options)
 
     class _DocBinReader(DataSourceReader):
         def __init__(self, options) -> None:  # noqa: ANN001
@@ -701,6 +706,59 @@ try:  # Spark 4+ only; the module must stay importable without it
 
         def readBetweenOffsets(self, start, end):  # noqa: ANN001
             return self._read_range(int(start["file_idx"]), int(end["file_idx"]))
+
+    class _DocBinStreamWriter(DataSourceStreamWriter):
+        """Streaming twin of _DocBinWriter (Spark 4
+        DataSourceStreamWriter): the same per-task tmp-shard protocol,
+        but commit(messages, batchId) runs PER EPOCH and stamps the
+        batch id into the committed shard names — so a replayed
+        micro-batch (failure before the checkpoint recorded the epoch)
+        overwrites its own shards instead of duplicating rows. That
+        idempotent-by-epoch rename is the custom-sink half of
+        exactly-once; the source half is the offset contract in
+        _DocBinStreamReader."""
+
+        def __init__(self, options) -> None:  # noqa: ANN001
+            self._path = options["path"]
+
+        def write(self, rows):  # noqa: ANN001
+            import struct as _struct
+            import uuid as _uuid
+
+            os.makedirs(self._path, exist_ok=True)
+            tmp = f"part-{_uuid.uuid4().hex}.docbin.tmp"
+            n = 0
+            with open(os.path.join(self._path, tmp), "wb") as fh:
+                for row in rows:
+                    raw = row.source.encode("utf-8")
+                    fh.write(
+                        _struct.pack("<qqH", row.doc_id, row.n_chars, len(raw))
+                        + raw
+                    )
+                    n += 1
+            return _DocBinCommit(tmp, n)
+
+        def commit(self, messages, batchId):  # noqa: ANN001, N803
+            # epoch-stamped names: a replayed batch replaces itself
+            for f in os.listdir(self._path):
+                if f.startswith(f"batch-{batchId:09d}-") and f.endswith(".docbin"):
+                    os.remove(os.path.join(self._path, f))
+            for i, m in enumerate(messages):
+                if m is None:
+                    continue
+                os.rename(
+                    os.path.join(self._path, m.tmp_name),
+                    os.path.join(self._path, f"batch-{batchId:09d}-{i:04d}.docbin"),
+                )
+
+        def abort(self, messages, batchId):  # noqa: ANN001, N803
+            for m in messages:
+                if m is None:
+                    continue
+                try:
+                    os.remove(os.path.join(self._path, m.tmp_name))
+                except OSError:
+                    pass
 
     class _DocBinCommit(WriterCommitMessage):
         def __init__(self, tmp_name: str, n_rows: int) -> None:
@@ -1701,4 +1759,228 @@ def sink_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
         F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+@register(
+    "sink_python_datasource_stream_write",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM documents
+    GROUP BY source
+    """,
+)
+def sink_python_datasource_stream_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING WRITE through the custom Python DataSource — the
+    fourth and final leg of the docbin story (batch read, streaming
+    read, batch write, and now a stream-to-stream copy: readStream on
+    the staged shards THROUGH writeStream into a fresh docbin sink).
+    The sink's epoch-stamped commit (see _DocBinStreamWriter) plus the
+    reader's offset contract make the copy exactly-once end-to-end;
+    the copy is then read back with the batch reader and aggregated, so
+    the oracle (the parquet source) catches any loss or duplication
+    across BOTH micro-batch boundaries and task retries. Fresh
+    checkpoint + sink dir per run keep the query rerunnable."""
+    if not _HAS_PY_DATASOURCE:  # pragma: no cover
+        raise NotImplementedError("requires Spark 4 Python DataSource API")
+    import ast as _ast
+    import tempfile
+    import time as _time
+
+    src_path = _stage_docbin(sf_dir)
+    try:
+        spark.dataSource.register(DocBinDataSource)
+    except Exception:
+        pass
+    n_files = sum(1 for f in os.listdir(src_path) if f.endswith(".docbin"))
+    out = tempfile.mkdtemp(prefix="docbin_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="docbin_stream_out_ckpt_")
+    docs = (
+        spark.readStream.format("docbin")
+        .option("path", src_path)
+        .option("batchfiles", "4")
+        .load()
+    )
+    q = (
+        docs.writeStream.format("docbin")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        p = q.lastProgress
+        if p and p.get("sources"):
+            eo = p["sources"][0].get("endOffset")
+            if eo is not None:
+                off = _ast.literal_eval(eo) if isinstance(eo, str) else eo
+                if off and int(off.get("file_idx", -1)) >= n_files:
+                    break
+        _time.sleep(0.1)
+    q.stop()
+    q.awaitTermination()
+    back = spark.read.format("docbin").option("path", out).load()
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+@register(
+    "scan_merge_on_read_deletes",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_live,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents,
+           (SELECT count(*) FROM orders WHERE o_orderkey % 131 = 5)
+             AS n_deleted_total
+    FROM orders
+    WHERE o_orderkey % 131 <> 5
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_merge_on_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE VECTORS — the lakehouse delete strategy
+    that does NOT rewrite data files (contrast sink_delete_cascade's
+    copy-on-write): deletes land as a tiny KEY SIDECAR next to the
+    immutable base files, and every reader applies them as a broadcast
+    anti-join at scan time. This is how Iceberg/Delta deletion vectors
+    behave between compactions: delete latency is O(deleted keys), read
+    cost gains one broadcast probe, and the base files stay
+    cache/scan-stable. The sidecar here is ~0.8% of keys, written as
+    its own parquet; the n_deleted_total column attests the sidecar
+    size so a silently-empty sidecar can't pass. A real table
+    eventually compacts (sink_compact_small_files) to fold vectors into
+    the base — the read path is what this query pins."""
+    key = sf_dir.strip("/").replace("/", "_")
+    parent = os.path.join(_SCRATCH, key)
+    fp = src_fingerprint(sf_dir, "orders")
+    leaf = f"mor_orders_{fp}"
+    gc_stale_siblings(parent, "mor_orders_", leaf)
+    root = os.path.join(parent, leaf)
+    orders = load_table(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(root, "_DONE")):
+        orders.write.mode("overwrite").parquet(os.path.join(root, "base"))
+        (
+            orders.filter(F.col("o_orderkey") % 131 == 5)
+            .select("o_orderkey")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "deletes"))
+        )
+        with open(os.path.join(root, "_DONE"), "w") as fh:
+            fh.write("ok")
+    base = spark.read.parquet(os.path.join(root, "base"))
+    dv = spark.read.parquet(os.path.join(root, "deletes"))
+    live = base.join(F.broadcast(dv), "o_orderkey", "left_anti")
+    n_del = dv.agg(F.count("*").alias("n_deleted_total"))
+    return (
+        live.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_live"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "sum_price_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(n_del))
+    )
+
+
+@register(
+    "scan_cdc_apply_log",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey, o_orderpriority, 1 AS version, 'I' AS op,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, 2, 'U',
+             CAST(round(o_totalprice * 100) AS BIGINT) + 500
+      FROM orders WHERE o_orderkey % 11 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, 3, 'U',
+             CAST(round(o_totalprice * 100) AS BIGINT) + 900
+      FROM orders WHERE o_orderkey % 33 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, 2, 'D', CAST(0 AS BIGINT)
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    latest AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY o_orderkey
+               ORDER BY version DESC, op DESC) AS rk
+      FROM log
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_live,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM latest
+    WHERE rk = 1 AND op <> 'D'
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC LOG APPLY with out-of-order arrival — the consumer side of a
+    change-data-capture feed: a snapshot (version-1 inserts) plus
+    updates and deletes at higher versions collapse to current state by
+    MAX-VERSION-WINS per key, independent of arrival order (the window
+    sorts by version, not by when rows landed — exactly why this form
+    survives a shuffled/partitioned log where 'apply in order' cannot).
+    Tie rule (version, op desc: D beats U at the same version) is made
+    explicit because every CDC consumer must pick one and the oracle
+    pins it. The log here is derived deterministically from orders
+    (~9% updated, ~3% re-updated, ~7.7% deleted). Scale shape: one
+    window over the log keyed by primary key — the same shuffle an
+    upsert MERGE pays; stream_merge_upsert_incremental shows the
+    incremental-batch twin."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents0"),
+    )
+    base = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.lit(1).alias("version"),
+        F.lit("I").alias("op"),
+        F.col("cents0").alias("cents"),
+    )
+    u1 = orders.filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.lit(2).alias("version"),
+        F.lit("U").alias("op"),
+        (F.col("cents0") + 500).alias("cents"),
+    )
+    u2 = orders.filter(F.col("o_orderkey") % 33 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.lit(3).alias("version"),
+        F.lit("U").alias("op"),
+        (F.col("cents0") + 900).alias("cents"),
+    )
+    d1 = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.lit(2).alias("version"),
+        F.lit("D").alias("op"),
+        F.lit(0).cast("bigint").alias("cents"),
+    )
+    log = base.unionByName(u1).unionByName(u2).unionByName(d1)
+    w = W.partitionBy("o_orderkey").orderBy(
+        F.col("version").desc(), F.col("op").desc()
+    )
+    latest = log.withColumn("rk", F.row_number().over(w)).filter(
+        (F.col("rk") == 1) & (F.col("op") != "D")
+    )
+    return latest.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_live"),
+        F.sum("cents").alias("sum_cents"),
     )

@@ -533,6 +533,12 @@ def sketch_rollup_daily_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("week", "day", "word")
         .agg(F.expr("bit_or(mask)").alias("bits"))
     )
+    # two re-aggregations (daily popcounts, weekly word-merge) consume
+    # day_words — a lazy localCheckpoint materializes the sketch table
+    # ONCE so the raw events scan isn't paid per branch (at 100 TB the
+    # sketch table is days x words rows, orders of magnitude smaller
+    # than the events it summarizes)
+    day_words = day_words.localCheckpoint(eager=False)
     daily = day_words.groupBy("week", "day").agg(
         F.sum(F.bit_count("bits")).alias("du")
     )

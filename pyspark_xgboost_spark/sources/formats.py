@@ -1617,6 +1617,28 @@ def scan_csv_datefmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _delete_cascade_frames(
+    cust: DataFrame, orders: DataFrame, li: DataFrame
+) -> dict[str, DataFrame]:
+    """The cascade's cleaned frames (broadcast anti-joins), shared by
+    the sink writer and the plan test so the two cannot drift."""
+    tomb = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    del_orders = orders.join(
+        F.broadcast(tomb), orders.o_custkey == tomb.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    return {
+        "customer": cust.join(F.broadcast(tomb), "c_custkey", "left_anti"),
+        "orders": orders.join(
+            F.broadcast(tomb), orders.o_custkey == tomb.c_custkey, "left_anti"
+        ),
+        "lineitem": li.join(
+            F.broadcast(del_orders),
+            li.l_orderkey == del_orders.o_orderkey,
+            "left_anti",
+        ),
+    }
+
+
 @register(
     "sink_delete_cascade",
     oracle="""
@@ -1657,11 +1679,7 @@ def sink_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-
-    tomb = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
-    del_orders = orders.join(
-        F.broadcast(tomb), orders.o_custkey == tomb.c_custkey, "left_semi"
-    ).select("o_orderkey")
+    cleaned = _delete_cascade_frames(cust, orders, li)
 
     key = sf_dir.strip("/").replace("/", "_")
     parent = os.path.join(_SCRATCH, key)
@@ -1670,25 +1688,8 @@ def sink_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     gc_stale_siblings(parent, "gdpr_clean_", leaf)
     out = os.path.join(parent, leaf)
     if not os.path.exists(os.path.join(out, "_DONE")):
-        (
-            cust.join(F.broadcast(tomb), "c_custkey", "left_anti")
-            .write.mode("overwrite")
-            .parquet(os.path.join(out, "customer"))
-        )
-        (
-            orders.join(F.broadcast(tomb), orders.o_custkey == tomb.c_custkey, "left_anti")
-            .write.mode("overwrite")
-            .parquet(os.path.join(out, "orders"))
-        )
-        (
-            li.join(
-                F.broadcast(del_orders),
-                li.l_orderkey == del_orders.o_orderkey,
-                "left_anti",
-            )
-            .write.mode("overwrite")
-            .parquet(os.path.join(out, "lineitem"))
-        )
+        for name, df in cleaned.items():
+            df.write.mode("overwrite").parquet(os.path.join(out, name))
         with open(os.path.join(out, "_DONE"), "w") as fh:
             fh.write("ok")
 

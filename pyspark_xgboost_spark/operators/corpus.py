@@ -1630,32 +1630,23 @@ _BPE_ROUNDS = 5
 _BPE_MAX_WORD = 20
 
 
-@register("corpus_bpe_merges")
-def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE TOKENIZER TRAINING, the first {_BPE_ROUNDS} merge rules
-    (Sennrich et al., "Neural Machine Translation of Rare Words with
-    Subword Units", ACL 2016): the iterative operator behind every
-    modern LLM vocabulary. Classic word-level form: the corpus
-    collapses ONCE into a word-frequency vocabulary (the only full
-    scan — everything after is O(word types), which is what makes BPE
-    training tractable on a 100 TB corpus: 10^11 tokens become ~10^7
-    types); each round counts adjacent symbol pairs weighted by word
-    frequency (declarative zip_with explode + map-side-combinable sum),
-    picks the argmax pair (ties: count desc, then lexicographic — total
-    order, partition-invariant), and applies the merge greedily
-    left-to-right via a small Arrow kernel over the vocabulary.
-    Lineage is truncated per round (localCheckpoint) so the plan stays
-    constant-size across iterations.
+_BPE_CACHE: dict[str, list[tuple[int, str, str, int]]] = {}
 
-    Words are lowercased whitespace tokens capped at {_BPE_MAX_WORD}
-    chars (longer tails are URLs/hashes that pollute merge stats); no
-    end-of-word sentinel (the within-word merge dynamics are
-    identical). Rows-only by design: the per-round argmax + greedy
-    rewrite is an iterative fixpoint SQL cannot express without
-    unbounded recursion; correctness is pinned by a golden test
-    replaying a pure-Python reference BPE on the identical
-    word-frequency dict (tests/test_corpus.py)."""
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, int]]:
+    """Train the first {_BPE_ROUNDS} BPE merges (see corpus_bpe_merges
+    for the algorithm and scale notes); shared by the merge-table query
+    and the tokenize-apply query so train and apply cannot drift. The
+    merge list is memoized per source-data fingerprint — a trained
+    tokenizer is an artifact, retraining it per query would be like
+    refitting a model per inference batch."""
     import pandas as pd
+
+    from pyspark_xgboost_spark.sources.formats import src_fingerprint
+
+    cache_key = f"{sf_dir}:{src_fingerprint(sf_dir, 'documents')}"
+    if cache_key in _BPE_CACHE:
+        return _BPE_CACHE[cache_key]
 
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
@@ -1709,7 +1700,101 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab = vocab.mapInPandas(
             apply_merge, "freq long, syms array<string>"
         ).localCheckpoint(eager=True)
+    _BPE_CACHE[cache_key] = out_rows
+    return out_rows
 
+
+@register("corpus_bpe_merges")
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER TRAINING, the first {_BPE_ROUNDS} merge rules
+    (Sennrich et al., "Neural Machine Translation of Rare Words with
+    Subword Units", ACL 2016): the iterative operator behind every
+    modern LLM vocabulary. Classic word-level form: the corpus
+    collapses ONCE into a word-frequency vocabulary (the only full
+    scan — everything after is O(word types), which is what makes BPE
+    training tractable on a 100 TB corpus: 10^11 tokens become ~10^7
+    types); each round counts adjacent symbol pairs weighted by word
+    frequency (declarative zip_with explode + map-side-combinable sum),
+    picks the argmax pair (ties: count desc, then lexicographic — total
+    order, partition-invariant), and applies the merge greedily
+    left-to-right via a small Arrow kernel over the vocabulary.
+    Lineage is truncated per round (localCheckpoint) so the plan stays
+    constant-size across iterations.
+
+    Words are lowercased whitespace tokens capped at {_BPE_MAX_WORD}
+    chars (longer tails are URLs/hashes that pollute merge stats); no
+    end-of-word sentinel (the within-word merge dynamics are
+    identical). Rows-only by design: the per-round argmax + greedy
+    rewrite is an iterative fixpoint SQL cannot express without
+    unbounded recursion; correctness is pinned by a golden test
+    replaying a pure-Python reference BPE on the identical
+    word-frequency dict (tests/test_corpus.py)."""
     return spark.createDataFrame(
-        out_rows, "round int, left_sym string, right_sym string, pair_count long"
+        _bpe_train(spark, sf_dir),
+        "round int, left_sym string, right_sym string, pair_count long",
+    )
+
+
+@register("corpus_bpe_tokenize_apply")
+def corpus_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER APPLICATION — the inference half of corpus_bpe
+    (train: corpus_bpe_merges): every document is tokenized with the
+    trained merge list (applied greedily left-to-right IN TRAINING
+    ORDER, the standard BPE encode) and the per-source compression
+    report comes back: characters in, subword tokens out, and the
+    milli-ratio. This is the production shape of 'tokenize 100 TB with
+    a trained vocab': the merge list is a tiny closure constant, the
+    kernel is embarrassingly map-only (zero shuffle before the final
+    per-source aggregate), and throughput scales with partitions.
+    Rows-only like the trainer (same fixpoint argument); the golden
+    test replays a pure-Python encode with the same merges."""
+    import pandas as pd
+
+    merges = [(l, r) for _rnd, l, r, _cnt in _bpe_train(spark, sf_dir)]
+
+    def tokenize(batches):
+        for pdf in batches:
+            srcs, chars, toks = [], [], []
+            for src, text in zip(pdf["source"], pdf["text"]):
+                n_chars = 0
+                n_toks = 0
+                for w in (text or "").lower().split():
+                    if not w or len(w) > _BPE_MAX_WORD:
+                        continue
+                    syms = list(w)
+                    n_chars += len(syms)
+                    for l, r in merges:
+                        out, i, n = [], 0, len(syms)
+                        while i < n:
+                            if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                                out.append(l + r)
+                                i += 2
+                            else:
+                                out.append(syms[i])
+                                i += 1
+                        syms = out
+                    n_toks += len(syms)
+                srcs.append(src)
+                chars.append(n_chars)
+                toks.append(n_toks)
+            yield pd.DataFrame(
+                {"source": srcs, "n_chars": chars, "n_tokens": toks}
+            )
+
+    per_doc = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "text")
+        .mapInPandas(tokenize, "source string, n_chars long, n_tokens long")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.floor(
+            F.sum("n_tokens").cast("double")
+            / F.sum("n_chars").cast("double")
+            * 1000
+        )
+        .cast("bigint")
+        .alias("tokens_per_kchar"),
     )

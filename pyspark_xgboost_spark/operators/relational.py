@@ -2210,3 +2210,104 @@ def window_nth_value_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .filter(F.col("event_id") % 223 == 0)
     )
+
+
+@register(
+    "agg_percentile_sketch_contract",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS prio,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+             ) AS rk,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT prio AS o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(CASE WHEN rk = greatest(1, CAST(ceil((0.5 - 0.0001) * n)
+                                               AS BIGINT))
+                    THEN cents END) AS BIGINT) AS lo50,
+           CAST(max(CASE WHEN rk = least(n, CAST(ceil((0.5 + 0.0001) * n)
+                                            AS BIGINT))
+                    THEN cents END) AS BIGINT) AS hi50,
+           TRUE AS within50,
+           CAST(max(CASE WHEN rk = greatest(1, CAST(ceil((0.9 - 0.0001) * n)
+                                               AS BIGINT))
+                    THEN cents END) AS BIGINT) AS lo90,
+           CAST(max(CASE WHEN rk = least(n, CAST(ceil((0.9 + 0.0001) * n)
+                                            AS BIGINT))
+                    THEN cents END) AS BIGINT) AS hi90,
+           TRUE AS within90
+    FROM c
+    GROUP BY prio
+    """,
+)
+def agg_percentile_sketch_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE-SKETCH RANK-ERROR CONTRACT: approx_percentile at
+    accuracy 10000 carries a Greenwald-Khanna guarantee — the returned
+    element's rank is within eps*n (eps = 1/accuracy) of the target.
+    The query computes the EXACT values at ranks ceil((q-eps)n) and
+    ceil((q+eps)n) and attests the sketch output lands inside that
+    bracket, for p50 and p90 per order priority; the oracle pins the
+    exact brackets and expects both attestations TRUE (same two-level
+    pattern as agg_approx_distinct_error_bound — the referee checks the
+    guarantee, not the sketch bits). At scale the sketch is one
+    O(1/eps)-state mergeable aggregate where the exact bracket needs a
+    full per-group sort — the attested bound is what licenses shipping
+    the sketch."""
+    eps = 0.0001
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    wr = W.partitionBy("prio").orderBy("cents")
+    c = o.select(
+        "prio",
+        "cents",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(W.partitionBy("prio")).alias("n"),
+    )
+
+    def rank_at(q: float, lo: bool) -> F.Column:
+        r = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+        return (
+            F.greatest(F.lit(1).cast("bigint"), r)
+            if lo
+            else F.least(F.col("n"), r)
+        )
+
+    def val_at(q: float, lo: bool) -> F.Column:
+        return F.max(
+            F.when(F.col("rk") == rank_at(q, lo), F.col("cents"))
+        ).cast("bigint")
+
+    brackets = c.groupBy("prio").agg(
+        F.max("n").alias("n"),
+        val_at(0.5 - eps, True).alias("lo50"),
+        val_at(0.5 + eps, False).alias("hi50"),
+        val_at(0.9 - eps, True).alias("lo90"),
+        val_at(0.9 + eps, False).alias("hi90"),
+    )
+    approx = o.groupBy("prio").agg(
+        F.expr("approx_percentile(cents, array(0.5, 0.9), 10000)").alias("ap")
+    )
+    return (
+        brackets.join(F.broadcast(approx), "prio")
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            "n",
+            "lo50",
+            "hi50",
+            ((F.col("ap")[0] >= F.col("lo50")) & (F.col("ap")[0] <= F.col("hi50"))).alias(
+                "within50"
+            ),
+            "lo90",
+            "hi90",
+            ((F.col("ap")[1] >= F.col("lo90")) & (F.col("ap")[1] <= F.col("hi90"))).alias(
+                "within90"
+            ),
+        )
+    )

@@ -415,16 +415,19 @@ def test_kgram_novelty_matches_sequential_recompute(spark):
     assert any_partial  # the fixture really contains cross-doc overlap
 
 
-def test_bpe_merges_match_reference_python(spark):
-    """corpus_bpe_merges must reproduce a pure-Python reference BPE
-    (greedy leftmost merge, count-desc then lexicographic argmax) run
-    on the identical lowercased word-frequency dict."""
+def test_bpe_train_and_apply_match_reference_python(spark):
+    """One shared pass: corpus_bpe_merges must reproduce a pure-Python
+    reference BPE (greedy leftmost merge, count-desc then lexicographic
+    argmax) on the identical lowercased word-frequency dict, and
+    corpus_bpe_tokenize_apply must agree with a reference encode using
+    those same merges. Combined so BPE trains once for both halves."""
     from collections import Counter
 
     from pyspark_xgboost_spark.operators.corpus import (
         _BPE_MAX_WORD,
         _BPE_ROUNDS,
         corpus_bpe_merges,
+        corpus_bpe_tokenize_apply,
     )
 
     got = [
@@ -432,13 +435,26 @@ def test_bpe_merges_match_reference_python(spark):
         for r in corpus_bpe_merges(spark, SF_DIR).collect()
     ]
 
-    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    docs = load_table(spark, SF_DIR, "documents").select("source", "text").collect()
     freq: Counter = Counter()
     for row in docs:
         for w in (row["text"] or "").lower().split():
             if w and len(w) <= _BPE_MAX_WORD:
                 freq[w] += 1
     vocab = {tuple(w): f for w, f in freq.items()}
+
+    def encode(syms, merges):
+        for l, r in merges:
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
 
     expect = []
     for rnd in range(1, _BPE_ROUNDS + 1):
@@ -450,18 +466,31 @@ def test_bpe_merges_match_reference_python(spark):
             break
         (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
         expect.append((rnd, l, r, cnt))
-        new_vocab = {}
+        new_vocab: dict = {}
         for syms, f in vocab.items():
-            out, i, n = [], 0, len(syms)
-            while i < n:
-                if i + 1 < n and syms[i] == l and syms[i + 1] == r:
-                    out.append(l + r)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            key = tuple(out)
+            key = tuple(encode(list(syms), [(l, r)]))
             new_vocab[key] = new_vocab.get(key, 0) + f
         vocab = new_vocab
 
     assert got == expect
+
+    # apply half: per-source compression report vs reference encode
+    merges = [(l, r) for _rnd, l, r, _c in got]
+    got_apply = {
+        r["source"]: (r["n_docs"], r["sum_chars"], r["sum_tokens"])
+        for r in corpus_bpe_tokenize_apply(spark, SF_DIR).collect()
+    }
+    expect_apply: dict = {}
+    for row in docs:
+        n_chars = n_toks = 0
+        for w in (row["text"] or "").lower().split():
+            if not w or len(w) > _BPE_MAX_WORD:
+                continue
+            n_chars += len(w)
+            n_toks += len(encode(list(w), merges))
+        d, c, t = expect_apply.get(row["source"], (0, 0, 0))
+        expect_apply[row["source"]] = (d + 1, c + n_chars, t + n_toks)
+
+    assert got_apply == expect_apply
+    for _d, c, t in got_apply.values():
+        assert t < c  # merges genuinely compress

@@ -43,7 +43,7 @@ _SCRIPT = textwrap.dedent(
     assembled = VectorAssembler(
         inputCols=["l_quantity", "l_discount", "l_tax"], outputCol="features"
     ).transform(li.withColumn("label", F.col("l_extendedprice")))
-    model = XgboostRegressor(n_estimators=5, max_depth=3, num_workers=2).fit(assembled)
+    model = XgboostRegressor(n_estimators=2, max_depth=2, num_workers=2).fit(assembled)
     rows = model.transform(assembled).select("label", "prediction").collect()
     mae = sum(abs(r.label - r.prediction) for r in rows) / len(rows)
     mean_label = sum(r.label for r in rows) / len(rows)

@@ -251,6 +251,8 @@ HEADLINE = [
     "sink_python_datasource_stream_write",
     "scan_merge_on_read_deletes",
     "scan_cdc_apply_log",
+    "agg_percentile_sketch_contract",
+    "corpus_bpe_tokenize_apply",
 ]
 
 

@@ -715,7 +715,11 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             X = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
-            Q = np.round(X * 10000).astype(np.int64)
+            # Half-away-from-zero rounding to match DuckDB round() /
+            # Spark F.round (np.round is half-to-even; dyadic float32
+            # values like 0.03125 hit exact .5 ties and would diverge).
+            S = X * 10000
+            Q = (np.sign(S) * np.floor(np.abs(S) + 0.5)).astype(np.int64)
             P = Q @ sgn  # (n, k) exact int64
             n, k = P.shape
             yield pd.DataFrame(

@@ -739,6 +739,9 @@ try:  # Spark 4+ only; the module must stay importable without it
             return _DocBinCommit(tmp, n)
 
         def commit(self, messages, batchId):  # noqa: ANN001, N803
+            # the sink dir is normally created by write() on executors,
+            # but an epoch can commit before any task ran (empty batch)
+            os.makedirs(self._path, exist_ok=True)
             # epoch-stamped names: a replayed batch replaces itself
             for f in os.listdir(self._path):
                 if f.startswith(f"batch-{batchId:09d}-") and f.endswith(".docbin"):
@@ -752,6 +755,7 @@ try:  # Spark 4+ only; the module must stay importable without it
                 )
 
         def abort(self, messages, batchId):  # noqa: ANN001, N803
+            os.makedirs(self._path, exist_ok=True)
             for m in messages:
                 if m is None:
                     continue
@@ -969,6 +973,13 @@ def scan_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame
                 if int(off.get("file_idx", -1)) >= n_files:
                     break
         _time.sleep(0.1)
+    else:
+        q.stop()
+        raise TimeoutError(
+            "scan_python_datasource_stream: stream did not reach "
+            f"file_idx={n_files} within the deadline — failing loudly "
+            "rather than aggregating a partial read"
+        )
     q.stop()
     q.awaitTermination()
     return spark.table(name).groupBy("source").agg(
@@ -1823,6 +1834,13 @@ def sink_python_datasource_stream_write(spark: SparkSession, sf_dir: str) -> Dat
                 if off and int(off.get("file_idx", -1)) >= n_files:
                     break
         _time.sleep(0.1)
+    else:
+        q.stop()
+        raise TimeoutError(
+            "sink_python_datasource_stream_write: stream did not reach "
+            f"file_idx={n_files} within the deadline — failing loudly "
+            "rather than attesting a partial sink"
+        )
     q.stop()
     q.awaitTermination()
     back = spark.read.format("docbin").option("path", out).load()
@@ -1934,9 +1952,10 @@ def scan_cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAX-VERSION-WINS per key, independent of arrival order (the window
     sorts by version, not by when rows landed — exactly why this form
     survives a shuffled/partitioned log where 'apply in order' cannot).
-    Tie rule (version, op desc: D beats U at the same version) is made
+    Tie rule (version, op desc: at equal version 'U' outranks 'D'
+    lexically, so an update beats a delete on a version tie) is made
     explicit because every CDC consumer must pick one and the oracle
-    pins it. The log here is derived deterministically from orders
+    pins it — both engines use the same ORDER BY op DESC. The log here is derived deterministically from orders
     (~9% updated, ~3% re-updated, ~7.7% deleted). Scale shape: one
     window over the log keyed by primary key — the same shuffle an
     upsert MERGE pays; stream_merge_upsert_incremental shows the

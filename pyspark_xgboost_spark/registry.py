@@ -31,88 +31,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # Priority order for the driver's 50-query grading window (the driver
-# grades the FIRST 50 registered queries). Round-7 composition drains
-# the 75-query attestation backlog (round-6 verdict "Next round #1"):
-# every round-6 oracle query registered behind slot 50 and has NO
-# driver row; 75 > 49 so the drain spans rounds 7 AND 8. This round's
-# window: text_fingerprint (sat at slot 51 in round 6, last row r02) +
-# the 34-query round-6 main batch (sorted) + the first 15 of the
-# 41-query late batch in registration order — 50 exactly, with the two
-# ML stats attestations (ml_fit_predict_stats /
-# ml_fit_predict_classifier_stats) inside per the verdict. Everything
-# already green in r06's window drops to sorted order behind.
-# Audit with tools/check_window.py. Only oracle-checked queries belong
-# here: a rows-only query can never produce a green row and would
-# waste a slot.
-# ROUND-8 QUEUE NOTE: the remaining 26 never-graded late-batch queries
-# are listed explicitly after the window marker below (slots 51-76) —
-# round 8's window = those 26 + the round-7 additions (registered at
-# the tail in registration order: udaf_grouped_agg_trimmed_mean,
-# scan_python_datasource_stream, sketch_rollup_daily_weekly,
-# window_cume_dist_percent_rank, scalar_bitops_contract,
-# audit_referential_integrity, embedding_dim_standardize,
-# embedding_random_projection, sink_delete_cascade, + later round-7
-# registrations) + the stalest
-# r02/r03 rows (join_asof_*, window_rolling_median, agg_corr_regression
-# were graded r06; the r02-batch scan/join/agg/window/setop/scalar rows
-# were all re-attested r06, so the r03 queue — events_stream_stateful_
-# user_stats onward — is next-stalest after the never-graded set).
+# grades the FIRST 50 registered queries). Recomposed each round:
+# never-graded queries first, then this round's new registrations,
+# then the stalest attested rows. See the window comment inside.
 _GRADE_FIRST = [
-    # slot 51 of round 6 (last driver row r02 — stalest attested query)
-    "text_fingerprint",
-    # round-6 main batch (34, never driver-graded), sorted
-    "agg_collated_group",
-    "agg_entropy_by_source",
-    "agg_histogram_fixed_bins",
-    "agg_map_group_counts",
-    "agg_string_concat_ordered",
-    "agg_weighted_percentile",
-    "audit_partition_skew",
-    "corpus_gini_lengths",
-    "corpus_kl_divergence_sources",
-    "dedup_incremental_batch",
-    "dedup_minhash_b128",
-    "dedup_simhash_bands",
-    "doc_chunk_sentences",
-    "embedding_power_iteration",
-    "events_stream_stream_full_outer_join",
-    "join_interval_overlap",
-    "join_lateral_topk",
-    "ml_fit_predict_classifier_stats",
-    "ml_fit_predict_stats",
-    "sample_neyman_allocation",
-    "scalar_calendar_arithmetic",
-    "scalar_url_extract",
-    "scan_csv_multiline",
-    "scan_version_diff_cdf",
-    "scan_xml",
-    "sink_vacuum_old_versions",
-    "sink_zorder_cluster",
-    "sort_nulls_ordering",
-    "split_time_based",
-    "stream_merge_upsert_incremental",
-    "temporal_gap_fill_linear",
-    "text_html_strip",
-    "window_decay_time_weighted",
-    "window_ewma",
-    # round-6 late batch, first 15 in registration order (never graded)
-    "join_bloom_prefilter",
-    "agg_bitmap_distinct",
-    "join_spatial_grid",
-    "dedup_paragraph_exact",
-    "dedup_url_canonical",
-    "sample_poisson_bootstrap",
-    "window_anomaly_mad",
-    "scan_dpp_join",
-    "scan_binary_files",
-    "agg_countmin_heavy_hitters",
-    "dedup_lsh_eval_pr",
-    "agg_bitmap_set_ops",
-    "sample_balanced_downsample",
-    "events_markov_transitions",
-    "events_rfm_segmentation",
-    # --- past slot 50 from here: ROUND-8 QUEUE — the 26 remaining
-    # never-driver-graded round-6 queries, registration order ---
+    # ROUND-8 WINDOW (slots 1-50): drains the attestation backlog to
+    # zero (round-7 verdict "Next round #2"). Composition: the 26
+    # remaining never-driver-graded round-6 late-batch queries
+    # (registration order) + the 21 round-7 additions (sorted) = 47,
+    # then 3 slots for this round's new registrations so they are
+    # graded the round they land instead of joining a queue. All 47
+    # were verified green by the round-7 judge sweep, so any red here
+    # is a regression signal. Audit with tools/check_window.py.
+    # -- round-6 late batch, final 26 --
     "corpus_span_corruption",
     "sample_negative_pairs",
     "agg_feature_hashing",
@@ -139,8 +70,34 @@ _GRADE_FIRST = [
     "corpus_zipf_slope",
     "scan_csv_datefmt",
     "pipeline_quality_ensemble",
-    # --- then the r03-attested queue (stalest green rows after the
-    # never-graded set), oldest-first ---
+    # -- round-7 additions, all 21 --
+    "agg_approx_distinct_error_bound",
+    "agg_percentile_sketch_contract",
+    "audit_referential_integrity",
+    "corpus_bpe_merges",
+    "corpus_bpe_tokenize_apply",
+    "embedding_dim_standardize",
+    "embedding_random_projection",
+    "scalar_bitops_contract",
+    "scan_cdc_apply_log",
+    "scan_merge_on_read_deletes",
+    "scan_python_datasource_stream",
+    "sink_delete_cascade",
+    "sink_python_datasource_stream_write",
+    "sink_python_datasource_write",
+    "sketch_rollup_daily_weekly",
+    "text_mojibake_audit",
+    "udaf_apply_in_arrow",
+    "udaf_grouped_agg_trimmed_mean",
+    "window_cume_dist_percent_rank",
+    "window_nth_value_ignore_nulls",
+    "window_theil_sen_slope",
+    # -- round-8 new registrations (slots 48-50) --
+    # (names appended here as the queries land this round)
+    # --- past slot 50 from here: extra round-8 registrations beyond
+    # the 3 window slots queue first for round 9, then the stalest
+    # attested rows (r03 queue, oldest-first; the r06/r07-attested
+    # batches follow in sorted order behind) ---
     "events_stream_stateful_user_stats",
     "events_stream_dedup",
     "events_stream_static_join",

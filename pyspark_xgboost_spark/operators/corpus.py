@@ -1633,6 +1633,126 @@ _BPE_MAX_WORD = 20
 _BPE_CACHE: dict[str, list[tuple[int, str, str, int]]] = {}
 
 
+def _bpe_oracle_ctes(rounds: int) -> str:
+    """Unrolled DuckDB CTE chain replaying BPE training EXACTLY.
+
+    The greedy left-to-right merge — the part SQL famously 'cannot
+    express' — is replayed faithfully with per-symbol delimiter
+    wrapping: each symbol is stored as TAB+sym+TAB, so the word 'aaa'
+    is '\\ta\\t\\ta\\t\\ta\\t' and merging pair (a,a) is ONE
+    replace(s, '\\ta\\t\\ta\\t', '\\taa\\t'). Because adjacent
+    candidate matches no longer share a delimiter character, SQL
+    replace()'s left-to-right non-overlapping scan IS greedy BPE: a
+    run of five a's becomes [aa, aa, a], exactly the single-pass
+    result (the naive single-delimiter encoding gets [aa, a, aa]).
+    TAB is safe as a delimiter: words come from splitting on \\s+, so
+    no whitespace can appear inside a symbol. One (pairs, best, vocab)
+    CTE triple per round, bounded unroll like the PageRank oracle."""
+    d = "chr(9)"
+    ctes = [
+        f"""words AS (
+      SELECT w AS word, count(*) AS freq
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> '' AND length(w) <= {_BPE_MAX_WORD}
+      GROUP BY w
+    ),
+    v0 AS (
+      SELECT freq,
+             {d} || array_to_string(string_split(word, ''), {d}||{d}) || {d}
+               AS s
+      FROM words
+    )"""
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""p{k} AS (
+      SELECT syms[i] AS l, syms[i + 1] AS r, sum(freq) AS cnt
+      FROM (SELECT freq,
+                   list_filter(string_split(s, {d}), x -> x <> '') AS syms
+            FROM v{k - 1}),
+           LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
+      GROUP BY 1, 2
+    ),
+    b{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+    v{k} AS (
+      SELECT freq,
+             replace(s, {d}||b.l||{d}||{d}||b.r||{d}, {d}||b.l||b.r||{d})
+               AS s
+      FROM v{k - 1}, b{k} b
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+_BPE_MERGES_ORACLE = (
+    "WITH "
+    + _bpe_oracle_ctes(_BPE_ROUNDS)
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f'SELECT CAST({k} AS INTEGER) AS "round", l AS left_sym,'
+        f" r AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(1, _BPE_ROUNDS + 1)
+    )
+)
+
+_BPE_APPLY_ORACLE = (
+    "WITH "
+    + _bpe_oracle_ctes(_BPE_ROUNDS)
+    + f""",
+    doc_words AS (
+      SELECT source, w AS word, count(*) AS cnt
+      FROM (SELECT source,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> '' AND length(w) <= {_BPE_MAX_WORD}
+      GROUP BY source, w
+    ),
+    e0 AS (
+      SELECT word,
+             chr(9) || array_to_string(string_split(word, ''),
+                                       chr(9)||chr(9)) || chr(9) AS s
+      FROM (SELECT DISTINCT word FROM doc_words)
+    ),
+    """
+    + ",\n    ".join(
+        f"""e{k} AS (
+      SELECT word,
+             replace(s, chr(9)||b.l||chr(9)||chr(9)||b.r||chr(9),
+                     chr(9)||b.l||b.r||chr(9)) AS s
+      FROM e{k - 1}, b{k} b
+    )"""
+        for k in range(1, _BPE_ROUNDS + 1)
+    )
+    + f""",
+    tok AS (
+      SELECT word,
+             len(list_filter(string_split(s, chr(9)), x -> x <> ''))
+               AS n_toks
+      FROM e{_BPE_ROUNDS}
+    ),
+    per_source AS (
+      SELECT d.source,
+             CAST(sum(d.cnt * length(d.word)) AS BIGINT) AS sum_chars,
+             CAST(sum(d.cnt * t.n_toks) AS BIGINT) AS sum_tokens
+      FROM doc_words d JOIN tok t USING (word)
+      GROUP BY d.source
+    )
+    SELECT n.source,
+           n.n_docs,
+           COALESCE(s.sum_chars, 0) AS sum_chars,
+           COALESCE(s.sum_tokens, 0) AS sum_tokens,
+           CASE WHEN COALESCE(s.sum_chars, 0) > 0
+                THEN CAST(floor(s.sum_tokens::DOUBLE / s.sum_chars::DOUBLE
+                                * 1000) AS BIGINT)
+           END AS tokens_per_kchar
+    FROM (SELECT source, count(*) AS n_docs FROM documents
+          GROUP BY source) n
+    LEFT JOIN per_source s USING (source)
+    """
+)
+
+
 def _bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, int]]:
     """Train the first {_BPE_ROUNDS} BPE merges (see corpus_bpe_merges
     for the algorithm and scale notes); shared by the merge-table query
@@ -1704,7 +1824,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, in
     return out_rows
 
 
-@register("corpus_bpe_merges")
+@register("corpus_bpe_merges", oracle=_BPE_MERGES_ORACLE)
 def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE TOKENIZER TRAINING, the first {_BPE_ROUNDS} merge rules
     (Sennrich et al., "Neural Machine Translation of Rare Words with
@@ -1724,18 +1844,19 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Words are lowercased whitespace tokens capped at {_BPE_MAX_WORD}
     chars (longer tails are URLs/hashes that pollute merge stats); no
     end-of-word sentinel (the within-word merge dynamics are
-    identical). Rows-only by design: the per-round argmax + greedy
-    rewrite is an iterative fixpoint SQL cannot express without
-    unbounded recursion; correctness is pinned by a golden test
-    replaying a pure-Python reference BPE on the identical
-    word-frequency dict (tests/test_corpus.py)."""
+    identical). Oracle-checked since round 8: the bounded 5-round
+    unroll is replayed in DuckDB CTEs, with the greedy left-to-right
+    merge expressed exactly via per-symbol TAB wrapping (see
+    _bpe_oracle_ctes) — plus a golden test replaying a pure-Python
+    reference BPE on the identical word-frequency dict
+    (tests/test_corpus.py)."""
     return spark.createDataFrame(
         _bpe_train(spark, sf_dir),
         "round int, left_sym string, right_sym string, pair_count long",
     )
 
 
-@register("corpus_bpe_tokenize_apply")
+@register("corpus_bpe_tokenize_apply", oracle=_BPE_APPLY_ORACLE)
 def corpus_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE TOKENIZER APPLICATION — the inference half of corpus_bpe
     (train: corpus_bpe_merges): every document is tokenized with the
@@ -1746,8 +1867,10 @@ def corpus_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     a trained vocab': the merge list is a tiny closure constant, the
     kernel is embarrassingly map-only (zero shuffle before the final
     per-source aggregate), and throughput scales with partitions.
-    Rows-only like the trainer (same fixpoint argument); the golden
-    test replays a pure-Python encode with the same merges."""
+    Oracle-checked since round 8 (the DuckDB side retrains the merges
+    via _bpe_oracle_ctes, encodes each DISTINCT word once, then joins
+    token counts back to per-source word multiplicities); the golden
+    test additionally replays a pure-Python encode per document."""
     import pandas as pd
 
     merges = [(l, r) for _rnd, l, r, _cnt in _bpe_train(spark, sf_dir)]

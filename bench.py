@@ -253,6 +253,8 @@ HEADLINE = [
     "scan_cdc_apply_log",
     "agg_percentile_sketch_contract",
     "corpus_bpe_tokenize_apply",
+    "embedding_kmeans_lloyd",
+    "dedup_semdedup_clusters",
 ]
 
 

@@ -736,3 +736,340 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p").alias("sum_proj"),
         F.sum(F.abs("p")).alias("sum_abs_proj"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-means (Lloyd) + SemDeDup-shaped semantic dedup
+# ---------------------------------------------------------------------------
+
+_KM_K = 8  # centroids seeded from vec_id 0..7 (the sim_search_pq discipline)
+_KM_Q = 1000  # embedding fixed-point scale (1e-3 units, exact BIGINT)
+_KM_DIM = 64
+_KM_ROUNDS = 2  # centroid updates; final assignment uses round-2 centroids
+_SEMDEDUP_COS = 0.40  # dup threshold on this synthetic near-isotropic corpus
+
+
+def _km_xq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings quantized to exact BIGINT 1e-3 units (vec_id, q)."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(cast(embedding as array<double>), "
+            f"x -> cast(round(x * {_KM_Q}) as bigint))"
+        ).alias("q"),
+    )
+
+
+_KM_DIST = (
+    "aggregate(zip_with(q, c.cq, (a, b) -> (a - b) * (a - b)), "
+    "0L, (acc, z) -> acc + z)"
+)
+
+
+def _km_assign(xq: DataFrame, cent_row: DataFrame) -> DataFrame:
+    """Map-side Lloyd assignment: the k centroids travel as ONE
+    broadcast row holding a sorted array<struct<cid,cq>>, so argmin is
+    a per-row array_min over k exact integer distances — no explode,
+    no shuffle, no window. Tie rule: (distance, cid) lexicographic via
+    array_min on named_struct(d, cid) — lowest cid wins, the same
+    total order the oracle's row_number() pins."""
+    return (
+        xq.crossJoin(F.broadcast(cent_row))
+        .select(
+            "vec_id",
+            "q",
+            F.array_min(
+                F.expr(
+                    f"transform(cents, c -> named_struct("
+                    f"'d', {_KM_DIST}, 'cid', c.cid))"
+                )
+            ).alias("m"),
+        )
+        .select("vec_id", "q", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """Centroid update: ONE row-count-proportional exchange (the
+    partial-agg groupBy (cid, dim) over the posexploded assignment —
+    map-side combine ships at most partitions × k × d rows), then two
+    k-row-scale regroups to rebuild the array form. Empty clusters
+    drop out (standard Lloyd degeneracy — deterministic, and the
+    oracle's join-based update loses them identically). Integer mean
+    uses sign-restored magnitude division so Spark div (trunc) and
+    DuckDB // (floor) cannot disagree on negative sums."""
+    sums = (
+        assigned.select("cid", F.posexplode("q").alias("j0", "x"))
+        .groupBy("cid", "j0")
+        .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+    )
+    return (
+        sums.select(
+            "cid", "j0", F.expr(_sign_trunc_div_sql("sx", "n")).alias("c")
+        )
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("j0", "c"))).alias("jc"))
+        .select("cid", F.expr("transform(jc, s -> s.c)").alias("cq"))
+    )
+
+
+def _km_cent_row(cents: DataFrame) -> DataFrame:
+    return cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cq"))).alias("cents")
+    )
+
+
+def _km_final_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run _KM_ROUNDS Lloyd updates from the lowest-vec_id seeds and
+    return the FINAL assignment (vec_id, q, cid, d) plus the final
+    centroids as a second return; shared by the k-means report and the
+    SemDeDup query so cluster geometry cannot drift between them."""
+    xq = _km_xq(spark, sf_dir)
+    cents = xq.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    for _ in range(_KM_ROUNDS):
+        # k-row centroid table: localCheckpoint truncates the lineage so
+        # each round's plan is scan + broadcast-row + ONE partial-agg
+        # exchange, instead of re-deriving every prior round per branch
+        # (the graph_pagerank_fixed discipline; driver state is k×d ints)
+        cents = _km_update(
+            _km_assign(xq, _km_cent_row(cents))
+        ).localCheckpoint(eager=True)
+    return _km_assign(xq, _km_cent_row(cents)), cents
+
+
+def _km_oracle_ctes() -> str:
+    """Unrolled DuckDB Lloyd replay: explode-based distances + window
+    argmin per round; bit-identical to the Spark array kernel because
+    every intermediate is an exact BIGINT with the same (d, cid) tie
+    order."""
+    sdiv = _sign_trunc_div_sql("sum(e.x)", "count(*)").replace(" DIV ", " // ")
+    parts = [
+        f"""xq AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_KM_Q}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, g.j, q[g.j] AS x
+      FROM xq, unnest(generate_series(1, {_KM_DIM})) AS g(j)
+    ),
+    ce0 AS (
+      SELECT vec_id AS cid, j, x AS c FROM e WHERE vec_id < {_KM_K}
+    )"""
+    ]
+    for k in range(1, _KM_ROUNDS + 2):
+        prev = k - 1
+        parts.append(
+            f"""dist{k} AS (
+      SELECT e.vec_id, ce.cid, sum((e.x - ce.c) * (e.x - ce.c)) AS d
+      FROM e JOIN ce{prev} ce USING (j)
+      GROUP BY e.vec_id, ce.cid
+    ),
+    asg{k} AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT vec_id, cid, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid)
+                 AS rn
+        FROM dist{k})
+      WHERE rn = 1
+    )"""
+        )
+        if k <= _KM_ROUNDS:
+            parts.append(
+                f"""ce{k} AS (
+      SELECT a.cid, e.j, {sdiv} AS c
+      FROM asg{k} a JOIN e USING (vec_id)
+      GROUP BY a.cid, e.j
+    )"""
+            )
+    return ",\n    ".join(parts)
+
+
+_KM_FINAL = _KM_ROUNDS + 1  # index of the final assignment CTE
+
+
+@register(
+    "embedding_kmeans_lloyd",
+    oracle="WITH "
+    + _km_oracle_ctes()
+    + f""",
+    l1 AS (
+      SELECT cid, CAST(sum(abs(c)) AS BIGINT) AS centroid_l1_q
+      FROM ce{_KM_ROUNDS} GROUP BY cid
+    )
+    SELECT a.cid AS cluster_id,
+           count(*) AS n_members,
+           CAST(sum(a.vec_id) AS BIGINT) AS sum_vec_ids,
+           CAST(sum(a.d) AS BIGINT) AS inertia_q,
+           any_value(l1.centroid_l1_q) AS centroid_l1_q
+    FROM asg{_KM_FINAL} a JOIN l1 USING (cid)
+    GROUP BY a.cid
+    """,
+)
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC K-MEANS (Lloyd) over the embedding corpus — the
+    clustering front-end of SemDeDup-style semantic curation (Abbas et
+    al., "SemDeDup", arXiv 2303.09540) and the trainer of the IVF
+    coarse quantizer sim_search_ivf assumes. Everything that makes
+    k-means nondeterministic in practice is pinned: seeds are the
+    {_KM_K} lowest vec_ids (the sim_search_pq codebook discipline),
+    arithmetic is exact integer fixed-point (embeddings in 1e-3
+    units; squared-L2 distances are exact BIGINTs; centroid means use
+    sign-restored magnitude division), and argmin ties break to the
+    lowest cid — so Spark and the {_KM_ROUNDS}-round unrolled DuckDB
+    CTE replay agree hash-exactly, the graph_pagerank_fixed
+    discipline applied to clustering.
+
+    Scale shape: each Lloyd round is ONE row-count-proportional
+    exchange — assignment is MAP-SIDE (the k×d centroid table rides
+    along as a single broadcast row; argmin is array_min over k exact
+    distances, no explode/window/shuffle), and the update is a
+    partial-agg groupBy (cid, dim) that ships at most
+    partitions × k × d pre-combined rows, followed by k-row regroups.
+    At 100 TB with k=10^5 the same plan holds with the centroid row
+    swapped for a broadcast join keyed by a coarse pre-route; the
+    per-round driver barrier is k × d integers, never O(rows).
+    Output: per-cluster size, member-id checksum, exact inertia, and
+    centroid L1 fingerprint."""
+    final, cents = _km_final_assign(spark, sf_dir)
+    l1 = cents.select(
+        "cid",
+        F.expr(
+            "aggregate(transform(cq, x -> abs(x)), 0L, (a, b) -> a + b)"
+        ).alias("centroid_l1_q"),
+    )
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("vec_id").alias("sum_vec_ids"),
+            F.sum("d").alias("inertia_q"),
+        )
+        .join(F.broadcast(l1), "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            "sum_vec_ids",
+            "inertia_q",
+            "centroid_l1_q",
+        )
+    )
+
+
+@register(
+    "dedup_semdedup_clusters",
+    oracle="WITH "
+    + _km_oracle_ctes()
+    + f""",
+    nrm AS (
+      SELECT xq.vec_id, a.cid, xq.q,
+             list_inner_product(xq.q, xq.q) AS nq
+      FROM xq JOIN asg{_KM_FINAL} a USING (vec_id)
+    ),
+    pairs AS (
+      SELECT a.cid,
+             a.vec_id AS keep_id, b.vec_id AS dup_id,
+             list_inner_product(a.q, b.q)
+               / (sqrt(a.nq) * sqrt(b.nq)) AS cos
+      FROM nrm a JOIN nrm b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE a.nq > 0 AND b.nq > 0
+    ),
+    sizes AS (SELECT cid, count(*) AS n_members FROM asg{_KM_FINAL}
+              GROUP BY cid)
+    SELECT s.cid AS cluster_id,
+           s.n_members,
+           COALESCE(count(p.cos), 0) AS n_pairs,
+           COALESCE(count(*) FILTER (p.cos >= {_SEMDEDUP_COS}), 0)
+             AS n_dup_pairs,
+           COALESCE(count(DISTINCT p.dup_id)
+                      FILTER (p.cos >= {_SEMDEDUP_COS}), 0) AS n_removed
+    FROM sizes s LEFT JOIN pairs p ON p.cid = s.cid
+    GROUP BY s.cid, s.n_members
+    """,
+)
+def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMDEDUP — semantic near-duplicate pruning restricted to
+    k-means clusters (Abbas et al., arXiv 2303.09540): embedding-space
+    cosine dedup made tractable by comparing pairs ONLY within a
+    cluster, turning O(n²) into O(n²/k) — the reason a 100 TB corpus
+    can be semantically deduped at all. Reuses the deterministic Lloyd
+    assignment of embedding_kmeans_lloyd verbatim (shared helper, so
+    the two queries cannot drift), computes exact-integer dot products
+    over the quantized vectors (norms via engine-exact IEEE sqrt, so
+    the cosine doubles are bit-identical cross-engine), and applies
+    the keep-lowest-vec_id policy: a vector is REMOVED when it is the
+    higher id of any within-cluster pair with cos >= {_SEMDEDUP_COS}.
+    Reports per cluster: size, pairs examined, dup pairs, vectors
+    removed.
+
+    Scale shape: the pair join is cluster-local (join key cid, the
+    k-means output partitioning — at scale the assignment is written
+    bucketed by cid so the self-join is shuffle-free), and per-cluster
+    pair counts are capped by cluster size, the quantity k controls.
+    The panel test pins candidate agreement against brute-force
+    ground truth on sf0.001."""
+    final, _cents = _km_final_assign(spark, sf_dir)
+    # both sides of the cluster-local self-join and the sizes branch
+    # read the assignment: pay it once (at 100 TB: persist bucketed by
+    # cid so the self-join needs no shuffle at all)
+    final = final.localCheckpoint(eager=True)
+    nrm = final.select(
+        "vec_id",
+        "cid",
+        "q",
+        F.expr(
+            "aggregate(zip_with(q, q, (a, b) -> a * b), 0L, "
+            "(acc, z) -> acc + z)"
+        ).alias("nq"),
+    ).filter(F.col("nq") > 0)
+    a = nrm.select(
+        F.col("cid"),
+        F.col("vec_id").alias("keep_id"),
+        F.col("q").alias("qa"),
+        F.col("nq").alias("na"),
+    )
+    b = nrm.select(
+        F.col("cid"),
+        F.col("vec_id").alias("dup_id"),
+        F.col("q").alias("qb"),
+        F.col("nq").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("keep_id") < F.col("dup_id"))
+        .select(
+            "cid",
+            "dup_id",
+            (
+                F.expr(
+                    "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, "
+                    "(acc, z) -> acc + z)"
+                ).cast("double")
+                / (F.sqrt(F.col("na").cast("double"))
+                   * F.sqrt(F.col("nb").cast("double")))
+            ).alias("cos"),
+        )
+    )
+    sizes = final.groupBy("cid").agg(F.count("*").alias("n_members"))
+    dup = F.col("cos") >= F.lit(_SEMDEDUP_COS)
+    agg = pairs.groupBy("cid").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(dup.cast("long")).alias("n_dup_pairs"),
+        F.count_distinct(F.when(dup, F.col("dup_id"))).alias("n_removed"),
+    )
+    return (
+        sizes.join(agg, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce(F.col("n_removed").cast("long"), F.lit(0)).alias(
+                "n_removed"
+            ),
+        )
+    )

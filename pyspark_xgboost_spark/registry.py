@@ -93,7 +93,8 @@ _GRADE_FIRST = [
     "window_nth_value_ignore_nulls",
     "window_theil_sen_slope",
     # -- round-8 new registrations (slots 48-50) --
-    # (names appended here as the queries land this round)
+    "embedding_kmeans_lloyd",
+    "dedup_semdedup_clusters",
     # --- past slot 50 from here: extra round-8 registrations beyond
     # the 3 window slots queue first for round 9, then the stalest
     # attested rows (r03 queue, oldest-first; the r06/r07-attested

@@ -255,6 +255,7 @@ HEADLINE = [
     "corpus_bpe_tokenize_apply",
     "embedding_kmeans_lloyd",
     "dedup_semdedup_clusters",
+    "sim_search_ivf_kmeans",
 ]
 
 

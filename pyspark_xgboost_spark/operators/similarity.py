@@ -12,6 +12,12 @@ Three tiers, mirroring how a 100 TB vector corpus is actually served:
 * ``sim_search_brp_lsh`` — MLlib BucketedRandomProjectionLSH
   approx join: hash-bucketed candidates, engine-specific hashes →
   rows-only check.
+* ``sim_search_ivf_kmeans`` — IVF with a LEARNED coarse quantizer:
+  deterministic Lloyd centroids (``embedding_kmeans_lloyd``) route
+  the corpus to cells; queries probe their nprobe nearest cells.
+* ``embedding_kmeans_lloyd`` / ``dedup_semdedup_clusters`` — the
+  clustering trainer and the SemDeDup cluster-restricted semantic
+  dedup built on it.
 
 Cosine math is fold-left double arithmetic that matches DuckDB's
 sequential ``list_inner_product`` bit-for-bit; outputs are floored to
@@ -1072,4 +1078,145 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_removed"
             ),
         )
+    )
+
+
+def _km_assign_topn(xq: DataFrame, cent_row: DataFrame, n: int) -> DataFrame:
+    """Map-side top-n centroid routing (the nprobe generalization of
+    _km_assign): sort the k (distance, cid) structs per row, slice the
+    n nearest, explode — still no shuffle, no window."""
+    return (
+        xq.crossJoin(F.broadcast(cent_row))
+        .select(
+            "vec_id",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.expr(
+                            f"transform(cents, c -> named_struct("
+                            f"'d', {_KM_DIST}, 'cid', c.cid))"
+                        )
+                    ),
+                    1,
+                    n,
+                )
+            ).alias("m"),
+        )
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+
+
+_IVF_NPROBE = 2
+
+
+@register(
+    "sim_search_ivf_kmeans",
+    oracle="WITH "
+    + _km_oracle_ctes()
+    + f""",
+    corpus AS (
+      SELECT xq.vec_id, a.cid, xq.q,
+             list_inner_product(xq.q, xq.q) AS nq
+      FROM xq JOIN asg{_KM_FINAL} a USING (vec_id)
+    ),
+    cents AS (
+      SELECT cid, list(c ORDER BY j) AS cq FROM ce{_KM_ROUNDS} GROUP BY cid
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT q.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_sum(list_transform(
+                            generate_series(1, {_KM_DIM}),
+                            j -> (q.q[j] - c.cq[j]) * (q.q[j] - c.cq[j]))),
+                          c.cid) AS rn
+        FROM (SELECT * FROM corpus WHERE vec_id < {_N_QUERIES}) q, cents c)
+      WHERE rn <= {_IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             floor(list_inner_product(q.q, c.q)
+                   / (sqrt(q.nq) * sqrt(c.nq)) * 10000) / 10000 AS cos_sim
+      FROM probes p
+      JOIN corpus c ON c.cid = p.cid
+      JOIN corpus q ON q.vec_id = p.query_id
+      WHERE c.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC)
+        AS INTEGER) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM ranked
+    WHERE rk <= {_TOPK}
+    """,
+)
+def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF WITH A LEARNED COARSE QUANTIZER — the production ANN index
+    shape (Jégou et al., TPAMI 2011): where sim_search_ivf probes a
+    synthetic cell column, this one trains the inverted file itself —
+    the deterministic Lloyd centroids of embedding_kmeans_lloyd are
+    the coarse codebook, the corpus is routed to cells map-side, and
+    each query probes only its {_IVF_NPROBE} nearest cells. Completes
+    the ANN tier list: brute force -> IVF(label) -> IVF(learned) ->
+    PQ -> LSH -> JL projection. Determinism carries over wholesale:
+    integer centroid routing with lowest-cid ties, exact integer
+    dots, cosine floored to 4dp — hash-identical to the DuckDB replay.
+
+    Scale shape: cell routing rides the Lloyd assignment (ONE
+    partial-agg exchange per training round, map-side assignment);
+    the probe set (queries × nprobe, tiny) BROADCASTS into a hash
+    join against the cell-keyed corpus, so the scan touches
+    ~nprobe/k of the data — at 100 TB the corpus is written
+    partitioned by cid and the probe is partition-pruned I/O, the
+    IVF promise. Final top-k is a window over candidates only."""
+    final, cents = _km_final_assign(spark, sf_dir)
+    corpus = final.localCheckpoint(eager=True).select(
+        "vec_id",
+        "cid",
+        "q",
+        F.expr(
+            "aggregate(zip_with(q, q, (a, b) -> a * b), 0L, "
+            "(acc, z) -> acc + z)"
+        ).alias("nq"),
+    )
+    queries = corpus.filter(F.col("vec_id") < _N_QUERIES)
+    probes = (
+        _km_assign_topn(queries, _km_cent_row(cents), _IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    q_side = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nq").alias("qnq"),
+    )
+    cand = (
+        F.broadcast(probes.join(q_side, "query_id"))
+        .join(corpus, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.floor(
+                F.expr(
+                    "aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, "
+                    "(acc, z) -> acc + z)"
+                ).cast("double")
+                / (F.sqrt(F.col("qnq").cast("double"))
+                   * F.sqrt(F.col("nq").cast("double")))
+                * 10000
+            )
+            / 10000
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK)
     )

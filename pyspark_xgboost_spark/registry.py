@@ -95,6 +95,7 @@ _GRADE_FIRST = [
     # -- round-8 new registrations (slots 48-50) --
     "embedding_kmeans_lloyd",
     "dedup_semdedup_clusters",
+    "sim_search_ivf_kmeans",
     # --- past slot 50 from here: extra round-8 registrations beyond
     # the 3 window slots queue first for round 9, then the stalest
     # attested rows (r03 queue, oldest-first; the r06/r07-attested

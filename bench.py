@@ -256,6 +256,7 @@ HEADLINE = [
     "embedding_kmeans_lloyd",
     "dedup_semdedup_clusters",
     "sim_search_ivf_kmeans",
+    "graph_label_propagation",
 ]
 
 

@@ -326,3 +326,97 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+_LPA_ITERS = 3
+
+
+def _lpa_iter_sql(prev: str, out: str) -> str:
+    """One unrolled synchronous label-propagation round in DuckDB SQL:
+    each node adopts the most frequent label among its NEIGHBORS, ties
+    to the smallest label — a total order, so the round is a pure
+    function of the previous labeling."""
+    return f"""
+    {out} AS (
+      SELECT doc_id, label FROM (
+        SELECT e.dst AS doc_id, p.label,
+               row_number() OVER (
+                 PARTITION BY e.dst
+                 ORDER BY count(*) DESC, p.label ASC) AS rn
+        FROM edges e JOIN {prev} p ON e.src = p.doc_id
+        GROUP BY e.dst, p.label)
+      WHERE rn = 1
+    )"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_MINHASH_CAND_SQL},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL SELECT doc_b, doc_a FROM cand
+    ),
+    lp0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
+    {_lpa_iter_sql("lp0", "lp1")},
+    {_lpa_iter_sql("lp1", "lp2")},
+    {_lpa_iter_sql("lp2", "lp3")}
+    SELECT label AS community_id,
+           count(*) AS n_members,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
+    FROM lp3
+    GROUP BY label
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMUNITY DETECTION by synchronous label propagation (Raghavan
+    et al., Phys. Rev. E 76, 2007) over the MinHash-LSH candidate
+    graph — the third classic iterative-graph shape here after
+    connected components and PageRank. Communities on the near-dup
+    graph are template families: clusters of documents that share
+    boilerplate and should be sampled as a GROUP, not independently —
+    connected components merges through any single spurious edge,
+    while LPA's majority vote resists such bridges.
+
+    Everything nondeterministic in textbook LPA is pinned:
+    synchronous rounds (labels update from the PREVIOUS round only),
+    fixed {_LPA_ITERS} iterations, neighbor-majority vote with ties
+    broken to the SMALLEST label, seeds = own doc_id. Integer labels
+    + integer counts mean the DuckDB unroll matches hash-exactly.
+
+    Scale shape: one round = join labels onto the edge list, count
+    per (node, label), keep the arg-max — two partial-agg exchanges
+    over O(edges) rows, same recipe as PageRank's contribution sum;
+    the LSH bucket cap bounds the vote fan-in. The arg-max is
+    min(struct(-count, label)) — a partial-aggregable expression, NOT
+    a window, so no per-node sort at scale."""
+    edges = _lsh_edges(spark, sf_dir)
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    for _ in range(_LPA_ITERS):
+        votes = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("neg"), F.col("label"))
+                ).alias("m")
+            )
+            .select(F.col("dst").alias("doc_id"), F.col("m.label").alias("label"))
+        )
+    return labels.groupBy("label").agg(
+        F.count("*").alias("n_members"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.sum("doc_id").alias("sum_doc_ids"),
+    ).select(
+        F.col("label").alias("community_id"),
+        "n_members",
+        "min_doc_id",
+        "sum_doc_ids",
+    )

@@ -97,7 +97,9 @@ _GRADE_FIRST = [
     "dedup_semdedup_clusters",
     "sim_search_ivf_kmeans",
     # --- past slot 50 from here: extra round-8 registrations beyond
-    # the 3 window slots queue first for round 9, then the stalest
+    # the 3 window slots queue first for round 9 (in module-import
+    # order: graph_label_propagation and later round-8 additions land
+    # here automatically as never-graded), then the stalest
     # attested rows (r03 queue, oldest-first; the r06/r07-attested
     # batches follow in sorted order behind) ---
     "events_stream_stateful_user_stats",

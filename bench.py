@@ -257,6 +257,9 @@ HEADLINE = [
     "dedup_semdedup_clusters",
     "sim_search_ivf_kmeans",
     "graph_label_propagation",
+    "multimodal_phash_dedup",
+    "agg_ks_drift_by_source",
+    "window_seasonal_decompose",
 ]
 
 

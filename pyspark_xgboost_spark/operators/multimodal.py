@@ -243,3 +243,136 @@ def multimodal_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.mapInArrow(
         byte_stats, "doc_id long, n_bytes long, n_spaces long"
     )
+
+
+_PHASH_BANDS = 4  # 64-bit hash as four 16-bit band words (63-bit-safe)
+_PHASH_MAX_HAMMING = 6
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, g.i,
+             ascii(substr(text,
+                   CAST(least(1 + g.i * greatest(1, length(text) // 64),
+                              length(text)) AS INTEGER), 1)) AS p
+      FROM documents, unnest(generate_series(0, 63)) AS g(i)
+    ),
+    m AS (SELECT doc_id, sum(p) // 64 AS mean FROM px GROUP BY doc_id),
+    bits AS (
+      SELECT px.doc_id, px.i,
+             CASE WHEN px.p > m.mean THEN 1 ELSE 0 END AS b
+      FROM px JOIN m USING (doc_id)
+    ),
+    words AS (
+      SELECT doc_id, i // 16 AS w,
+             CAST(sum(b * (1::BIGINT << (i % 16))) AS BIGINT) AS word
+      FROM bits GROUP BY doc_id, i // 16
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM words a JOIN words b
+        ON a.w = b.w AND a.word = b.word AND a.doc_id < b.doc_id
+    ),
+    wa AS (SELECT doc_id, list(word ORDER BY w) AS ws FROM words
+           GROUP BY doc_id)
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(x.ws[1], y.ws[1]))
+              + bit_count(xor(x.ws[2], y.ws[2]))
+              + bit_count(xor(x.ws[3], y.ws[3]))
+              + bit_count(xor(x.ws[4], y.ws[4])) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN wa x ON x.doc_id = c.doc_a
+    JOIN wa y ON y.doc_id = c.doc_b
+    WHERE hamming <= {_PHASH_MAX_HAMMING}
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-HASH NEAR-DUP DETECTION over the binary payload
+    column — the image-dedup shape (pHash: downsample, threshold
+    against the mean, compare by Hamming distance) run through the
+    multimodal plumbing: payload bytes enter an Arrow-batched
+    mapInPandas decode kernel that builds an 8x8 'thumbnail' by
+    STRIDED DOWNSAMPLING (64 evenly spaced codepoints — the honest
+    stand-in for pixel pooling: near-duplicate payloads produce
+    near-identical thumbnails, so their hashes land within a few
+    bits, exactly how pHash behaves on resized/re-encoded images; a
+    production build swaps the kernel body for PIL resize + DCT and
+    nothing downstream changes). The 64-bit hash travels as FOUR
+    16-bit band words (63-bit-safe bit ops both engines agree on),
+    candidates come from a BANDED self-join (any shared band word —
+    the LSH trick: a <=6-bit-distant pair must agree exactly on at
+    least one 16-bit band), and only candidates pay the Hamming
+    verification.
+
+    Scale shape: hash computation is map-only Arrow batches; the
+    band join shuffles (band, word) keys — collisions, not all
+    pairs (O(n^2 / 2^16) per band random background + true dups);
+    verification is per-candidate bit_count, exact integers
+    end-to-end. The same plan at 100 TB: thumbnails are a tiny
+    fixed-width projection of arbitrarily large payloads, so the
+    shuffle never carries the media bytes."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def thumb_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "w0": [], "w1": [], "w2": [], "w3": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")
+                n = len(text)
+                stride = max(1, n // 64)
+                px = [ord(text[min(i * stride, n - 1)]) for i in range(64)]
+                mean = sum(px) // 64
+                bits = [1 if p > mean else 0 for p in px]
+                words = []
+                for w in range(_PHASH_BANDS):
+                    word = 0
+                    for k in range(16):
+                        word |= bits[16 * w + k] << k
+                    words.append(word)
+                out["doc_id"].append(doc_id)
+                for w in range(_PHASH_BANDS):
+                    out[f"w{w}"].append(words[w])
+            yield pd.DataFrame(out)
+
+    hashes = docs.mapInPandas(
+        thumb_hash,
+        "doc_id long, w0 long, w1 long, w2 long, w3 long",
+    ).localCheckpoint(eager=True)
+
+    bands = hashes.select(
+        "doc_id",
+        F.posexplode(F.array("w0", "w1", "w2", "w3")).alias("w", "word"),
+    )
+    a = bands.select(
+        F.col("w"), F.col("word"), F.col("doc_id").alias("doc_a")
+    )
+    b = bands.select(
+        F.col("w"), F.col("word"), F.col("doc_id").alias("doc_b")
+    )
+    cand = (
+        a.join(b, ["w", "word"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"w{w}").alias(f"xa{w}") for w in range(_PHASH_BANDS)],
+    )
+    y = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"w{w}").alias(f"xb{w}") for w in range(_PHASH_BANDS)],
+    )
+    ham = sum(
+        F.bit_count(F.expr(f"xa{w} ^ xb{w}")) for w in range(_PHASH_BANDS)
+    ).cast("long")
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+    )

@@ -2311,3 +2311,111 @@ def agg_percentile_sketch_contract(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+@register(
+    "agg_ks_drift_by_source",
+    oracle="""
+    WITH c AS (
+      SELECT source, n_chars AS v, count(*) AS cnt
+      FROM documents GROUP BY source, n_chars
+    ),
+    g AS (
+      SELECT v, CAST(sum(cnt) AS BIGINT) AS gcnt FROM c GROUP BY v
+    ),
+    gc AS (
+      SELECT v, CAST(sum(gcnt) OVER (ORDER BY v) AS BIGINT) AS cum_g,
+             (SELECT sum(gcnt) FROM g) AS n_total
+      FROM g
+    ),
+    ns AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s FROM c
+           GROUP BY source),
+    grid AS (
+      SELECT ns.source, ns.n_s, gc.v, gc.cum_g, gc.n_total,
+             COALESCE(c.cnt, 0) AS cnt
+      FROM ns CROSS JOIN gc
+      LEFT JOIN c ON c.source = ns.source AND c.v = gc.v
+    ),
+    cum AS (
+      SELECT source, n_s, v, cum_g, n_total,
+             CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v)
+               AS BIGINT) AS cum_s
+      FROM grid
+    )
+    SELECT source,
+           CAST(any_value(n_s) AS BIGINT) AS n_source,
+           CAST(any_value(n_total - n_s) AS BIGINT) AS n_rest,
+           CAST(max(abs(cum_s * (n_total - n_s)
+                        - (cum_g - cum_s) * n_s)) AS BIGINT) AS ks_scaled,
+           CAST(floor(CAST(max(abs(cum_s * (n_total - n_s)
+                                   - (cum_g - cum_s) * n_s)) AS DOUBLE)
+                      * 1000000
+                      / (CAST(any_value(n_s) AS DOUBLE)
+                         * CAST(any_value(n_total - n_s) AS DOUBLE)))
+             AS BIGINT) AS ks_micro
+    FROM cum
+    GROUP BY source
+    """,
+)
+def agg_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV DRIFT GATE — for every source,
+    the exact KS distance between its document-length distribution and
+    the REST of the corpus: the standard distribution-shift alarm a
+    training-data pipeline runs before admitting a new crawl dump
+    (sup-norm ECDF distance; a source whose ks_micro spikes is length-
+    shifted — truncation bugs, boilerplate injection, format drift).
+    Entirely exact integer arithmetic until the final report: the sup
+    is max |cum_s * n_rest - cum_rest * n_s| over the pooled value
+    grid (cross-multiplied ECDFs avoid division), so partial-agg order
+    cannot move it; ks_micro divides once, floored, at the end.
+
+    Scale shape: the ONLY corpus-sized operation is the first
+    (source, value) count — everything downstream runs on the
+    HISTOGRAM (sources x distinct values), which is domain-bounded,
+    not row-bounded: the 100 TB corpus becomes a 6k-row grid here.
+    The per-source cumsum windows sort the grid, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    c = c.localCheckpoint(eager=True)  # histogram feeds 3 branches
+    g = c.groupBy("v").agg(F.sum("cnt").alias("gcnt"))
+    gc = g.select(
+        "v",
+        F.sum("gcnt").over(W.orderBy("v")).alias("cum_g"),
+    ).crossJoin(
+        F.broadcast(g.agg(F.sum("gcnt").alias("n_total")))
+    )
+    ns = c.groupBy("source").agg(F.sum("cnt").alias("n_s"))
+    grid = (
+        F.broadcast(ns)
+        .crossJoin(gc)
+        .join(c, ["source", "v"], "left")
+        .select(
+            "source", "n_s", "v", "cum_g", "n_total",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )
+    cum = grid.select(
+        "source", "n_s", "v", "cum_g", "n_total",
+        F.sum("cnt").over(W.partitionBy("source").orderBy("v")).alias("cum_s"),
+    )
+    d = F.abs(
+        F.col("cum_s") * (F.col("n_total") - F.col("n_s"))
+        - (F.col("cum_g") - F.col("cum_s")) * F.col("n_s")
+    )
+    return cum.groupBy("source").agg(
+        F.first("n_s").alias("n_source"),
+        F.first(F.col("n_total") - F.col("n_s")).alias("n_rest"),
+        F.max(d).alias("ks_scaled"),
+        F.floor(
+            F.max(d).cast("double")
+            * 1000000
+            / (
+                F.first("n_s").cast("double")
+                * F.first(F.col("n_total") - F.col("n_s")).cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("ks_micro"),
+    )

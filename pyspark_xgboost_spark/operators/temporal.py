@@ -2181,3 +2181,120 @@ def window_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 2.0
         ).alias("theil_sen_slope_q"),
     )
+
+
+def _sdiv_sql(num: str, den: str, div: str = "DIV") -> str:
+    """Sign-restored magnitude division (trunc == floor on the
+    non-negative magnitude, so Spark DIV and DuckDB // agree on
+    negative numerators)."""
+    return (
+        f"CASE WHEN {num} < 0 THEN -((-({num})) {div} ({den})) "
+        f"ELSE ({num}) {div} ({den}) END"
+    )
+
+
+@register(
+    "window_seasonal_decompose",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day_idx,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS daily_cents
+      FROM events
+      GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT day, day_idx, daily_cents,
+             CAST(sum(daily_cents) OVER w AS BIGINT) AS wsum,
+             CAST(count(*) OVER w AS BIGINT) AS wcnt
+      FROM daily
+      WINDOW w AS (ORDER BY day_idx ROWS BETWEEN 3 PRECEDING
+                   AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT day, day_idx, daily_cents,
+             wsum // wcnt AS trend_cents,
+             daily_cents - (wsum // wcnt) AS detrended
+      FROM tr
+    ),
+    seas AS (
+      SELECT day_idx % 7 AS dow,
+             {_sdiv_sql("CAST(sum(detrended) AS BIGINT)", "count(*)", "//")}
+               AS seasonal_cents
+      FROM det
+      GROUP BY day_idx % 7
+    )
+    SELECT d.day, d.daily_cents, d.trend_cents,
+           CAST(s.seasonal_cents AS BIGINT) AS seasonal_cents,
+           CAST(d.detrended - s.seasonal_cents AS BIGINT)
+             AS residual_cents
+    FROM det d JOIN seas s ON d.day_idx % 7 = s.dow
+    """,
+)
+def window_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-TREND DECOMPOSITION (STL-lite) of the daily event
+    revenue series — the time-series observability primitive behind
+    ingestion monitoring: trend = centered 7-day moving average,
+    seasonality = day-of-week mean of the detrended series, residual =
+    what alerting thresholds watch. Exact integer cents end-to-end:
+    the MA is windowed-sum DIV windowed-count (count shrinks at the
+    series edges instead of padding), seasonal means use sign-restored
+    magnitude division (detrended values go negative), and day-of-week
+    is epoch-day mod 7 — the ONLY cross-engine-safe weekday (Spark
+    dayofweek anchors Sunday=1, DuckDB dayofweek Sunday=0; arithmetic
+    can't disagree).
+
+    Scale shape: one corpus-sized partial-agg (events -> daily
+    grid), then every window/join runs on the DATE GRID (30 rows
+    here, 36.5k rows for a century) — the decomposition is
+    domain-bounded exactly like agg_ks_drift_by_source's histogram.
+    A second pass (re-estimating trend on the deseasonalized series)
+    chains the same two window shapes; one pass is unrolled here to
+    keep the oracle tight."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day_idx"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("daily_cents")
+    )
+    w = W.orderBy("day_idx").rowsBetween(-3, 3)
+    det = daily.select(
+        "day",
+        "day_idx",
+        "daily_cents",
+        F.sum("daily_cents").over(w).alias("wsum"),
+        F.count("*").over(w).alias("wcnt"),
+    ).select(
+        "day",
+        "day_idx",
+        "daily_cents",
+        F.expr("wsum div wcnt").alias("trend_cents"),
+        (F.col("daily_cents") - F.expr("wsum div wcnt")).alias("detrended"),
+    )
+    det = det.localCheckpoint(eager=True)  # 30-row grid, two consumers
+    seas = det.groupBy((F.col("day_idx") % 7).alias("dow")).agg(
+        F.expr(_sdiv_sql("sum(detrended)", "count(*)", "DIV")).alias(
+            "seasonal_cents"
+        )
+    )
+    return (
+        det.join(
+            F.broadcast(seas), det["day_idx"] % 7 == seas["dow"]
+        )
+        .select(
+            "day",
+            "daily_cents",
+            "trend_cents",
+            F.col("seasonal_cents").cast("bigint").alias("seasonal_cents"),
+            (F.col("detrended") - F.col("seasonal_cents"))
+            .cast("bigint")
+            .alias("residual_cents"),
+        )
+    )

@@ -260,6 +260,8 @@ HEADLINE = [
     "multimodal_phash_dedup",
     "agg_ks_drift_by_source",
     "window_seasonal_decompose",
+    "agg_mannwhitney_drift",
+    "events_stream_topk_per_window",
 ]
 
 

@@ -2419,3 +2419,99 @@ def agg_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ks_micro"),
     )
+
+
+@register(
+    "agg_mannwhitney_drift",
+    oracle="""
+    WITH c AS (
+      SELECT source, n_chars AS v, count(*) AS cnt
+      FROM documents GROUP BY source, n_chars
+    ),
+    g AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS gcnt FROM c GROUP BY v),
+    r AS (
+      SELECT v, gcnt,
+             CAST(2 * (sum(gcnt) OVER (ORDER BY v) - gcnt) + gcnt + 1
+               AS BIGINT) AS avg2rank
+      FROM g
+    ),
+    ns AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s FROM c
+           GROUP BY source),
+    nt AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n_total FROM g)
+    SELECT c.source,
+           CAST(any_value(ns.n_s) AS BIGINT) AS n_source,
+           CAST(any_value(nt.n_total - ns.n_s) AS BIGINT) AS n_rest,
+           CAST(sum(c.cnt * r.avg2rank) - any_value(ns.n_s)
+                * (any_value(ns.n_s) + 1) AS BIGINT) AS u2_stat,
+           CAST(floor(CAST(sum(c.cnt * r.avg2rank)
+                           - any_value(ns.n_s) * (any_value(ns.n_s) + 1)
+                        AS DOUBLE) * 1000000
+                      / (2.0 * CAST(any_value(ns.n_s) AS DOUBLE)
+                         * CAST(any_value(nt.n_total - ns.n_s) AS DOUBLE)))
+             AS BIGINT) AS auc_micro
+    FROM c
+    JOIN r ON r.v = c.v
+    JOIN ns ON ns.source = c.source
+    CROSS JOIN nt
+    GROUP BY c.source
+    """,
+)
+def agg_mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U LOCATION-DRIFT GATE — the rank-based companion
+    to agg_ks_drift_by_source: per source, the U statistic of its
+    document lengths against the rest of the corpus, reported as
+    auc_micro = U / (n_s * n_rest) in micro-units (the probability a
+    random doc from this source is longer than a random doc from the
+    rest — 0.5e6 means no shift; KS sees shape changes, U sees
+    location shifts with more power). Tie handling is exact: DOUBLED
+    midranks (avg2rank = 2*cum_below + cnt + 1) keep average ranks in
+    integer arithmetic, so U2 = sum(cnt * avg2rank) - n_s*(n_s+1) is
+    an exact BIGINT = 2U.
+
+    Scale shape: ranks come from the VALUE HISTOGRAM cumsum — never a
+    corpus-sized sort (the textbook rank() over 10^11 rows is a
+    single-partition window; the histogram form is domain-bounded,
+    the same discipline as the KS gate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    c = c.localCheckpoint(eager=True)
+    g = c.groupBy("v").agg(F.sum("cnt").alias("gcnt"))
+    r = g.select(
+        "v",
+        (
+            2 * (F.sum("gcnt").over(W.orderBy("v")) - F.col("gcnt"))
+            + F.col("gcnt")
+            + 1
+        ).alias("avg2rank"),
+    )
+    ns = c.groupBy("source").agg(F.sum("cnt").alias("n_s"))
+    nt = g.agg(F.sum("gcnt").alias("n_total"))
+    u2 = F.sum(F.col("cnt") * F.col("avg2rank")) - F.first("n_s") * (
+        F.first("n_s") + 1
+    )
+    return (
+        c.join(F.broadcast(r), "v")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nt))
+        .groupBy("source")
+        .agg(
+            F.first("n_s").cast("bigint").alias("n_source"),
+            F.first(F.col("n_total") - F.col("n_s"))
+            .cast("bigint")
+            .alias("n_rest"),
+            u2.cast("bigint").alias("u2_stat"),
+            F.floor(
+                u2.cast("double")
+                * 1000000
+                / (
+                    2.0
+                    * F.first("n_s").cast("double")
+                    * F.first(F.col("n_total") - F.col("n_s")).cast("double")
+                )
+            )
+            .cast("bigint")
+            .alias("auc_micro"),
+        )
+    )

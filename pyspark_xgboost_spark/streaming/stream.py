@@ -23,6 +23,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -1296,3 +1297,64 @@ def events_stream_stateful_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(out, "update")
+
+
+@register(
+    "events_stream_topk_per_window",
+    oracle="""
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS w_start, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY w_start ORDER BY n DESC, event_type ASC)
+        AS INTEGER) AS rk
+      FROM counts
+    )
+    SELECT w_start, event_type, n, sum_cents, rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def events_stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING TOP-K PER WINDOW — the live-dashboard shape ("top 3
+    event types this hour, continuously"): the STREAM maintains the
+    stateful windowed counts (watermark-bounded, incremental); the
+    top-k RANKING runs over the sink table, exactly how serving works
+    in production — ranking is not a streaming-stateful op (it would
+    need a second stateful stage after an aggregation, which
+    micro-batch semantics forbid), it is a cheap batch query over the
+    continuously-maintained aggregate. Determinism: ties break on
+    event_type, and the per-window key space is tiny (the windowed
+    count state), so the rank is stable across micro-batch timings.
+
+    Scale shape: the stream shuffles (window, event_type) partial
+    counts — state is windows x types, not events; the rank window
+    partitions by w_start over that small aggregate. At 100 TB/day
+    the same query holds because state never grows with event
+    volume, only with the watermark horizon x key cardinality."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
+    sink = _run_to_memory(
+        agg.select(
+            F.col("w.start").alias("w_start"), "event_type", "n", "sum_cents"
+        ),
+        "complete",
+    )
+    w = W.partitionBy("w_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        sink.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+    )

@@ -262,6 +262,8 @@ HEADLINE = [
     "window_seasonal_decompose",
     "agg_mannwhitney_drift",
     "events_stream_topk_per_window",
+    "agg_chi2_independence",
+    "embedding_kmeans_farthest_seed",
 ]
 
 

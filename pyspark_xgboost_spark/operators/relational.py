@@ -2515,3 +2515,77 @@ def agg_mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("auc_micro"),
         )
     )
+
+
+@register(
+    "agg_chi2_independence",
+    oracle="""
+    WITH o AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS obs
+      FROM documents GROUP BY source, lang
+    ),
+    rt AS (SELECT source, CAST(sum(obs) AS BIGINT) AS row_t FROM o
+           GROUP BY source),
+    ct AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS col_t FROM o
+           GROUP BY lang),
+    nt AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o),
+    cells AS (
+      SELECT o.source, o.lang, o.obs, rt.row_t, ct.col_t, nt.n,
+             (o.obs * nt.n - rt.row_t * ct.col_t)
+               * (o.obs * nt.n - rt.row_t * ct.col_t) AS num
+      FROM o JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN nt
+    )
+    SELECT source,
+           CAST(sum(obs) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CAST(floor(CAST(num AS DOUBLE) * 1000000
+                    / (CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE)
+                       * CAST(n AS DOUBLE))) AS BIGINT)) AS BIGINT)
+             AS chi2_micro
+    FROM cells
+    GROUP BY source
+    """,
+)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE INDEPENDENCE AUDIT of the source x lang contingency
+    table — the third member of the drift-gate trio (KS: shape, U:
+    location, chi2: association): a source whose language mix diverges
+    from the corpus-wide expectation contributes large chi2 cells
+    (mislabeled crawls, routing bugs). Per source: its summed cell
+    contributions, chi2_micro = sum over cells of
+    floor((O*N - RT*CT)^2 * 1e6 / (RT*CT*N)) — the numerator is an
+    EXACT BIGINT (cross-multiplied expected counts, no division until
+    the report), each cell divides ONCE deterministically, and the
+    floored integers sum associatively, so partial-agg order cannot
+    move the result (floor-then-sum, the repo's invariance idiom).
+
+    Scale shape: after the (source, lang) count, everything runs on
+    the contingency table (sources x langs cells) with row/col
+    marginals broadcast — domain-bounded like the KS histogram."""
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("source", "lang").agg(F.count("*").alias("obs"))
+    o = o.localCheckpoint(eager=True)
+    rt = o.groupBy("source").agg(F.sum("obs").alias("row_t"))
+    ct = o.groupBy("lang").agg(F.sum("obs").alias("col_t"))
+    nt = o.agg(F.sum("obs").alias("n"))
+    dev = F.col("obs") * F.col("n") - F.col("row_t") * F.col("col_t")
+    cell_micro = F.floor(
+        (dev * dev).cast("double")
+        * 1000000
+        / (
+            F.col("row_t").cast("double")
+            * F.col("col_t").cast("double")
+            * F.col("n").cast("double")
+        )
+    ).cast("bigint")
+    return (
+        o.join(F.broadcast(rt), "source")
+        .join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(nt))
+        .groupBy("source")
+        .agg(
+            F.sum("obs").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.sum(cell_micro).cast("bigint").alias("chi2_micro"),
+        )
+    )

@@ -1220,3 +1220,113 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _TOPK)
     )
+
+
+_FPS_SEEDS = 4  # seed 1 pinned at vec_id 0; 3 farthest-point rounds
+
+
+@register(
+    "embedding_kmeans_farthest_seed",
+    oracle=f"""
+    WITH xq AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_KM_Q}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, g.j, q[g.j] AS x
+      FROM xq, unnest(generate_series(1, {_KM_DIM})) AS g(j)
+    ),
+    s1 AS (SELECT j, x AS c FROM e WHERE vec_id = 0),
+    d1 AS (
+      SELECT e.vec_id, sum((e.x - s1.c) * (e.x - s1.c)) AS d
+      FROM e JOIN s1 USING (j) GROUP BY e.vec_id
+    ),
+    p2 AS (SELECT vec_id, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+    s2 AS (SELECT e.j, e.x AS c FROM e JOIN p2 USING (vec_id)),
+    d2 AS (
+      SELECT d1.vec_id, least(d1.d, n.d) AS d
+      FROM d1 JOIN (
+        SELECT e.vec_id, sum((e.x - s2.c) * (e.x - s2.c)) AS d
+        FROM e JOIN s2 USING (j) GROUP BY e.vec_id) n USING (vec_id)
+    ),
+    p3 AS (SELECT vec_id, d FROM d2 ORDER BY d DESC, vec_id LIMIT 1),
+    s3 AS (SELECT e.j, e.x AS c FROM e JOIN p3 USING (vec_id)),
+    d3 AS (
+      SELECT d2.vec_id, least(d2.d, n.d) AS d
+      FROM d2 JOIN (
+        SELECT e.vec_id, sum((e.x - s3.c) * (e.x - s3.c)) AS d
+        FROM e JOIN s3 USING (j) GROUP BY e.vec_id) n USING (vec_id)
+    ),
+    p4 AS (SELECT vec_id, d FROM d3 ORDER BY d DESC, vec_id LIMIT 1)
+    SELECT 1 AS seed_rank, 0 AS vec_id, CAST(0 AS BIGINT) AS min_dist_q
+    UNION ALL SELECT 2, vec_id, CAST(d AS BIGINT) FROM p2
+    UNION ALL SELECT 3, vec_id, CAST(d AS BIGINT) FROM p3
+    UNION ALL SELECT 4, vec_id, CAST(d AS BIGINT) FROM p4
+    """,
+)
+def embedding_kmeans_farthest_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC K-MEANS++-STYLE SEEDING by farthest-point
+    traversal (Gonzalez 1985 — the derandomized k-means++ init:
+    instead of D^2-probability sampling, take the argmax-min-distance
+    point each round, ties to the lowest vec_id): the principled
+    alternative to embedding_kmeans_lloyd's lowest-vec_id seeds when
+    cluster spread matters. Exact integer squared-L2 throughout; each
+    round is one map-side min-update against the single newest seed
+    (the standard incremental trick: min-dist needs only
+    least(prev_min, dist_to_new_seed), never a rescan of all seeds)
+    plus one global argmax aggregate — a bounded driver round-trip of
+    ONE (vec_id, dist) pair per round, the same discipline as BPE's
+    per-round argmax.
+
+    Scale shape: k seeding rounds = k passes of map-side arithmetic +
+    a tree-reduced global max; driver state is k rows. The min-dist
+    column would persist alongside the corpus at real scale
+    (localCheckpoint here), so each round touches O(n) rows once."""
+    xq = _km_xq(spark, sf_dir).localCheckpoint(eager=True)
+    seed_vec = (
+        xq.filter(F.col("vec_id") == 0).select("q").first()["q"]
+    )
+    out = [(1, 0, 0)]
+    cur = xq.select(
+        "vec_id",
+        "q",
+        F.expr(
+            "aggregate(zip_with(q, array({}), (a, b) -> (a - b) * (a - b)), "
+            "0L, (acc, z) -> acc + z)".format(
+                ",".join(f"{v}L" for v in seed_vec)
+            )
+        ).alias("d"),
+    ).localCheckpoint(eager=True)
+    for rank in range(2, _FPS_SEEDS + 1):
+        best = (
+            cur.agg(
+                F.min(F.struct((-F.col("d")).alias("nd"), "vec_id")).alias("m")
+            )
+            .select(
+                (-F.col("m.nd")).alias("d"), F.col("m.vec_id").alias("vec_id")
+            )
+            .first()
+        )
+        out.append((rank, int(best["vec_id"]), int(best["d"])))
+        new_seed = (
+            xq.filter(F.col("vec_id") == best["vec_id"]).select("q").first()["q"]
+        )
+        cur = cur.select(
+            "vec_id",
+            "q",
+            F.least(
+                F.col("d"),
+                F.expr(
+                    "aggregate(zip_with(q, array({}), "
+                    "(a, b) -> (a - b) * (a - b)), 0L, "
+                    "(acc, z) -> acc + z)".format(
+                        ",".join(f"{v}L" for v in new_seed)
+                    )
+                ),
+            ).alias("d"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out, "seed_rank int, vec_id bigint, min_dist_q bigint"
+    )

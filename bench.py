@@ -264,6 +264,7 @@ HEADLINE = [
     "events_stream_topk_per_window",
     "agg_chi2_independence",
     "embedding_kmeans_farthest_seed",
+    "corpus_vocab_jaccard_sources",
 ]
 
 

@@ -1921,3 +1921,98 @@ def corpus_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tokens_per_kchar"),
     )
+
+
+@register(
+    "corpus_vocab_jaccard_sources",
+    oracle="""
+    WITH v AS (
+      SELECT DISTINCT source, w FROM (
+        SELECT source,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+        FROM documents) t
+      WHERE w <> ''
+    ),
+    ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vocab FROM v
+           GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+      GROUP BY a.source, b.source
+    ),
+    grid AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.n_vocab AS n_a, b.n_vocab AS n_b
+      FROM ns a JOIN ns b ON a.source < b.source
+    )
+    SELECT g.source_a, g.source_b, g.n_a, g.n_b,
+           COALESCE(i.n_inter, 0) AS n_inter,
+           g.n_a + g.n_b - COALESCE(i.n_inter, 0) AS n_union,
+           CAST(floor(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) * 1000000
+                      / CAST(g.n_a + g.n_b - COALESCE(i.n_inter, 0)
+                             AS DOUBLE)) AS BIGINT) AS jaccard_micro
+    FROM grid g
+    LEFT JOIN inter i
+      ON i.source_a = g.source_a AND i.source_b = g.source_b
+    """,
+)
+def corpus_vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-PAIR VOCABULARY OVERLAP — exact Jaccard similarity of
+    the word-type sets of every source pair: the redundancy matrix a
+    mixture designer reads before weighting sources (two crawls with
+    jaccard ~1 are the same corpus twice — their combined weight
+    should be one crawl's; near-0 pairs contribute diversity). The
+    set algebra is exact: |A∩B| from a self-join of the DISTINCT
+    (source, word) relation, |A∪B| = n_a + n_b - n_inter by
+    inclusion-exclusion, one floored division at the report.
+
+    Scale shape: the corpus collapses once to DISTINCT (source, word)
+    — vocab-bounded, not token-bounded (Heaps' law: ~10^7 types from
+    10^11 tokens); the intersection self-join shuffles on the word
+    key; the pair grid is sources^2, driver-trivial. Missing pairs
+    are genuine zero-overlap pairs, kept via the grid left-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ns = v.groupBy("source").agg(F.count("*").alias("n_vocab"))
+    a = v.select(F.col("source").alias("source_a"), "w")
+    b = v.select(F.col("source").alias("source_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    grid = (
+        ns.select(F.col("source").alias("source_a"), F.col("n_vocab").alias("n_a"))
+        .crossJoin(
+            ns.select(
+                F.col("source").alias("source_b"), F.col("n_vocab").alias("n_b")
+            )
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    n_union = F.col("n_a") + F.col("n_b") - n_inter
+    return (
+        grid.join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            n_inter.alias("n_inter"),
+            n_union.alias("n_union"),
+            F.floor(n_inter.cast("double") * 1000000 / n_union.cast("double"))
+            .cast("bigint")
+            .alias("jaccard_micro"),
+        )
+    )

@@ -1284,49 +1284,40 @@ def embedding_kmeans_farthest_seed(spark: SparkSession, sf_dir: str) -> DataFram
     a tree-reduced global max; driver state is k rows. The min-dist
     column would persist alongside the corpus at real scale
     (localCheckpoint here), so each round touches O(n) rows once."""
-    xq = _km_xq(spark, sf_dir).localCheckpoint(eager=True)
-    seed_vec = (
-        xq.filter(F.col("vec_id") == 0).select("q").first()["q"]
-    )
+    xq = _km_xq(spark, sf_dir)
+    seed_row = xq.filter(F.col("vec_id") == 0).select("q").first()
+    seed_vec = seed_row["q"]
     out = [(1, 0, 0)]
-    cur = xq.select(
-        "vec_id",
-        "q",
-        F.expr(
+
+    def dist_to(vec) -> F.Column:
+        return F.expr(
             "aggregate(zip_with(q, array({}), (a, b) -> (a - b) * (a - b)), "
-            "0L, (acc, z) -> acc + z)".format(
-                ",".join(f"{v}L" for v in seed_vec)
-            )
-        ).alias("d"),
-    ).localCheckpoint(eager=True)
+            "0L, (acc, z) -> acc + z)".format(",".join(f"{v}L" for v in vec))
+        )
+
+    cur = xq.select("vec_id", "q", dist_to(seed_vec).alias("d"))
     for rank in range(2, _FPS_SEEDS + 1):
+        # ONE job per round: the argmax struct carries the winning
+        # vector along (vec_id already breaks ties, so q never decides
+        # the ordering), replacing the earlier argmax-then-lookup pair
+        cur = cur.localCheckpoint(eager=True)
         best = (
             cur.agg(
-                F.min(F.struct((-F.col("d")).alias("nd"), "vec_id")).alias("m")
+                F.min(
+                    F.struct((-F.col("d")).alias("nd"), "vec_id", "q")
+                ).alias("m")
             )
             .select(
-                (-F.col("m.nd")).alias("d"), F.col("m.vec_id").alias("vec_id")
+                (-F.col("m.nd")).alias("d"),
+                F.col("m.vec_id").alias("vec_id"),
+                F.col("m.q").alias("q"),
             )
             .first()
         )
         out.append((rank, int(best["vec_id"]), int(best["d"])))
-        new_seed = (
-            xq.filter(F.col("vec_id") == best["vec_id"]).select("q").first()["q"]
-        )
         cur = cur.select(
-            "vec_id",
-            "q",
-            F.least(
-                F.col("d"),
-                F.expr(
-                    "aggregate(zip_with(q, array({}), "
-                    "(a, b) -> (a - b) * (a - b)), 0L, "
-                    "(acc, z) -> acc + z)".format(
-                        ",".join(f"{v}L" for v in new_seed)
-                    )
-                ),
-            ).alias("d"),
-        ).localCheckpoint(eager=True)
+            "vec_id", "q", F.least(F.col("d"), dist_to(best["q"])).alias("d")
+        )
     return spark.createDataFrame(
         out, "seed_rank int, vec_id bigint, min_dist_q bigint"
     )

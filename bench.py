@@ -267,6 +267,7 @@ HEADLINE = [
     "corpus_vocab_jaccard_sources",
     "agg_hll_portable",
     "sketch_hll_rollup_merge",
+    "window_changepoint_pettitt",
 ]
 
 

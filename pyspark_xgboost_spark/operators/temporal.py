@@ -2298,3 +2298,101 @@ def window_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("residual_cents"),
         )
     )
+
+
+@register(
+    "window_changepoint_pettitt",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS daily_cents
+      FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT day, daily_cents,
+             CAST(2 * (rank() OVER (ORDER BY daily_cents))
+                  + (count(*) OVER (
+                       PARTITION BY daily_cents)) - 1 AS BIGINT)
+               AS r2,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+      FROM daily
+    ),
+    u AS (
+      SELECT day, daily_cents, t, n,
+             CAST(sum(r2) OVER (ORDER BY t)
+                  - t * (n + 1) AS BIGINT) AS u_t
+      FROM ranked
+    )
+    SELECT day, daily_cents, CAST(t AS BIGINT) AS t, u_t,
+           CAST(CASE WHEN abs(u_t) = (SELECT max(abs(u_t)) FROM u
+                                      WHERE t < n)
+                          AND t < n
+                THEN 1 ELSE 0 END AS INTEGER) AS is_changepoint
+    FROM u
+    """,
+)
+def window_changepoint_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PETTITT CHANGE-POINT TEST (Pettitt 1979) over the daily event
+    revenue series — the rank-based (distribution-free) detector of a
+    single shift in level, the statistical alarm behind 'did the
+    pipeline change on day X': U_t compares the prefix [1..t] against
+    the suffix via rank sums, and the argmax |U_t| is the most likely
+    break day. The O(n²) textbook pairwise form is rewritten as the
+    exact identity U_t = sum_{i<=t} R_i - t(n+1)/2 over midranks —
+    doubled midranks (rank + tie count adjustments) keep everything
+    in exact BIGINTs, so both engines agree bit-for-bit (the
+    agg_mannwhitney_drift discipline applied longitudinally).
+
+    Scale shape: one partial-agg to the date grid, then rank/cumsum
+    windows over the grid only (the window_seasonal_decompose
+    pattern); U_t for every t comes from ONE cumulative sum, not n
+    prefix recomputations. The final argmax is a scalar subquery on
+    the grid."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("daily_cents")
+    )
+    ranked = daily.select(
+        "day",
+        "daily_cents",
+        (
+            2 * F.rank().over(W.orderBy("daily_cents"))
+            + F.count("*").over(W.partitionBy("daily_cents"))
+            - 1
+        )
+        .cast("bigint")
+        .alias("r2"),
+        F.count("*").over(W.partitionBy()).cast("bigint").alias("n"),
+        F.row_number().over(W.orderBy("day")).cast("bigint").alias("t"),
+    )
+    u = ranked.select(
+        "day",
+        "daily_cents",
+        "t",
+        "n",
+        (
+            F.sum("r2").over(W.orderBy("t")) - F.col("t") * (F.col("n") + 1)
+        )
+        .cast("bigint")
+        .alias("u_t"),
+    ).localCheckpoint(eager=True)  # 30-row grid, consumed twice
+    mx = u.filter(F.col("t") < F.col("n")).agg(
+        F.max(F.abs(F.col("u_t"))).alias("mx")
+    )
+    return u.crossJoin(F.broadcast(mx)).select(
+        "day",
+        "daily_cents",
+        "t",
+        "u_t",
+        F.when(
+            (F.abs(F.col("u_t")) == F.col("mx")) & (F.col("t") < F.col("n")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_changepoint"),
+    )

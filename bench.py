@@ -268,6 +268,7 @@ HEADLINE = [
     "agg_hll_portable",
     "sketch_hll_rollup_merge",
     "window_changepoint_pettitt",
+    "sim_search_ivf_recall_eval",
 ]
 
 

@@ -1340,3 +1340,141 @@ def embedding_kmeans_farthest_seed(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.createDataFrame(
         out, "seed_rank int, vec_id bigint, min_dist_q bigint"
     )
+
+
+@register(
+    "sim_search_ivf_recall_eval",
+    oracle="WITH "
+    + _km_oracle_ctes()
+    + f""",
+    corpus AS (
+      SELECT xq.vec_id, a.cid, xq.q,
+             list_inner_product(xq.q, xq.q) AS nq
+      FROM xq JOIN asg{_KM_FINAL} a USING (vec_id)
+    ),
+    cents AS (
+      SELECT cid, list(c ORDER BY j) AS cq FROM ce{_KM_ROUNDS} GROUP BY cid
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT q.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_sum(list_transform(
+                            generate_series(1, {_KM_DIM}),
+                            j -> (q.q[j] - c.cq[j]) * (q.q[j] - c.cq[j]))),
+                          c.cid) AS rn
+        FROM (SELECT * FROM corpus WHERE vec_id < {_N_QUERIES}) q, cents c)
+      WHERE rn <= {_IVF_NPROBE}
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_inner_product(q.q, c.q)
+                            / (sqrt(q.nq) * sqrt(c.nq)) DESC,
+                          c.vec_id ASC) AS rk
+        FROM (SELECT * FROM corpus WHERE vec_id < {_N_QUERIES}) q
+        JOIN corpus c ON c.vec_id <> q.vec_id)
+      WHERE rk <= {_TOPK}
+    ),
+    hits AS (
+      SELECT t.query_id, t.neighbor_id,
+             CASE WHEN p.cid IS NOT NULL THEN 1 ELSE 0 END AS found
+      FROM truth t
+      JOIN corpus n ON n.vec_id = t.neighbor_id
+      LEFT JOIN probes p
+        ON p.query_id = t.query_id AND p.cid = n.cid
+    )
+    SELECT query_id,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(found) AS BIGINT) AS n_found,
+           CAST(sum(found) * 1000000 / count(*) AS BIGINT)
+             AS recall_micro
+    FROM hits
+    GROUP BY query_id
+    """,
+)
+def sim_search_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN RECALL EVALUATION — the acceptance gate every approximate
+    index ships with (the dedup_lsh_eval_pr pattern applied to IVF):
+    for the standard query panel, compute exact brute-force top-k
+    ground truth, then measure what fraction of those true neighbors
+    the learned-IVF probe set (nprobe nearest k-means cells,
+    sim_search_ivf_kmeans's routing) could even SEE. recall_micro per
+    query is the number every nprobe/nlist tuning decision reads: too
+    low -> raise nprobe or retrain centroids; 1e6 -> the probe is
+    lossless for that query. Both sides are deterministic exact
+    integers, so the eval itself is oracle-checked — an ANN
+    benchmark whose numbers cannot drift between engines.
+
+    Scale shape: ground truth is panel x corpus (bounded by the
+    10-query panel — the expensive exact pass you run once per
+    index build); the candidate-visibility check is a broadcast
+    probe-set join, identical to the serving path. At 100 TB the
+    panel rides the same partition-pruned scan as production
+    queries."""
+    final, cents = _km_final_assign(spark, sf_dir)
+    corpus = final.select(
+        "vec_id",
+        "cid",
+        "q",
+        F.expr(
+            "aggregate(zip_with(q, q, (a, b) -> a * b), 0L, "
+            "(acc, z) -> acc + z)"
+        ).alias("nq"),
+    )
+    queries = corpus.filter(F.col("vec_id") < _N_QUERIES)
+    probes = _km_assign_topn(
+        queries, _km_cent_row(cents), _IVF_NPROBE
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+    q_side = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nq").alias("qnq"),
+    )
+    scored = (
+        F.broadcast(q_side)
+        .crossJoin(corpus)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cid").alias("n_cid"),
+            (
+                F.expr(
+                    "aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, "
+                    "(acc, z) -> acc + z)"
+                ).cast("double")
+                / (F.sqrt(F.col("qnq").cast("double"))
+                   * F.sqrt(F.col("nq").cast("double")))
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    truth = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK)
+        .select("query_id", "neighbor_id", "n_cid")
+    )
+    found = F.when(F.col("cid").isNotNull(), 1).otherwise(0)
+    return (
+        truth.join(
+            F.broadcast(probes),
+            (truth["query_id"] == probes["query_id"])
+            & (truth["n_cid"] == probes["cid"]),
+            "left",
+        )
+        .drop(probes["query_id"])
+        .groupBy(truth["query_id"].alias("query_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.sum(found).cast("bigint").alias("n_found"),
+            (F.sum(found) * 1000000 / F.count("*"))
+            .cast("bigint")
+            .alias("recall_micro"),
+        )
+    )

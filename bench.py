@@ -269,6 +269,7 @@ HEADLINE = [
     "sketch_hll_rollup_merge",
     "window_changepoint_pettitt",
     "sim_search_ivf_recall_eval",
+    "graph_kcore_peel",
 ]
 
 

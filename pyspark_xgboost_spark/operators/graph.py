@@ -420,3 +420,94 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_doc_id",
         "sum_doc_ids",
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_round_sql(prev: str, out: str) -> str:
+    return f"""
+    keep{out} AS (
+      SELECT src AS doc_id FROM {prev}
+      GROUP BY src HAVING count(*) >= {_KCORE_K}
+    ),
+    {out} AS (
+      SELECT e.src, e.dst FROM {prev} e
+      JOIN keep{out} a ON a.doc_id = e.src
+      JOIN keep{out} b ON b.doc_id = e.dst
+    )"""
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=f"""
+    WITH {_MINHASH_CAND_SQL},
+    e0 AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL SELECT doc_b, doc_a FROM cand
+    ),
+    {_kcore_round_sql("e0", "e1")},
+    {_kcore_round_sql("e1", "e2")},
+    {_kcore_round_sql("e2", "e3")}
+    SELECT 0 AS round,
+           CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+           CAST(count(*) AS BIGINT) AS n_directed_edges FROM e0
+    UNION ALL SELECT 1, count(DISTINCT src), count(*) FROM e1
+    UNION ALL SELECT 2, count(DISTINCT src), count(*) FROM e2
+    UNION ALL SELECT 3, count(DISTINCT src), count(*) FROM e3
+    """,
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE PEELING (bounded rounds) over the near-dup candidate
+    graph — the density filter behind boilerplate-hub mining: each
+    round removes every node with degree < {_KCORE_K} and the edges
+    touching it; what survives repeated peeling is the densely
+    interlinked template core (where PageRank finds HUBS, the k-core
+    finds the dense SUBGRAPH — complementary centrality). Three
+    rounds are unrolled; full coreness iterates the same round to a
+    fixpoint (O(peeling-depth) rounds with the localCheckpoint
+    discipline — this graph reaches its 3-core fixpoint within the
+    unroll, which the shrinking row counts in the output show).
+
+    Scale shape: one degree aggregate + two semi-join-shaped hash
+    joins per round, all O(edges) with partial aggregation; the
+    surviving edge list shrinks monotonically so later rounds cost
+    less, and per-round lineage truncation keeps plan depth flat."""
+    edges = _lsh_edges(spark, sf_dir)
+    summaries = [
+        edges.agg(
+            F.lit(0).alias("round"),
+            F.count_distinct("src").cast("bigint").alias("n_nodes"),
+            F.count("*").cast("bigint").alias("n_directed_edges"),
+        )
+    ]
+    cur = edges
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("src").alias("doc_id"))
+        )
+        cur = (
+            cur.join(keep.withColumnRenamed("doc_id", "src"), "src", "semi")
+            .join(keep.withColumnRenamed("doc_id", "dst"), "dst", "semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        summaries.append(
+            cur.agg(
+                F.lit(rnd).alias("round"),
+                F.count_distinct("src").cast("bigint").alias("n_nodes"),
+                F.count("*").cast("bigint").alias("n_directed_edges"),
+            )
+        )
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    return out.select(
+        F.col("round").cast("int").alias("round"),
+        "n_nodes",
+        "n_directed_edges",
+    )

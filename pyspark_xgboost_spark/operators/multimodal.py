@@ -302,9 +302,12 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing downstream changes). The 64-bit hash travels as FOUR
     16-bit band words (63-bit-safe bit ops both engines agree on),
     candidates come from a BANDED self-join (any shared band word —
-    the LSH trick: a <=6-bit-distant pair must agree exactly on at
-    least one 16-bit band), and only candidates pay the Hamming
-    verification.
+    the LSH trick: by pigeonhole a pair within Hamming distance 3 is
+    GUARANTEED to agree on at least one of the 4 bands; distances 4-6
+    are found with high probability when the differing bits cluster,
+    the standard banded-LSH recall trade, and BOTH engines apply the
+    identical candidate rule so the oracle pins the operator's actual
+    semantics), and only candidates pay the Hamming verification.
 
     Scale shape: hash computation is map-only Arrow batches; the
     band join shuffles (band, word) keys — collisions, not all

@@ -270,6 +270,8 @@ HEADLINE = [
     "window_changepoint_pettitt",
     "sim_search_ivf_recall_eval",
     "graph_kcore_peel",
+    "sample_ab_assignment_contract",
+    "events_cuped_adjustment",
 ]
 
 

@@ -964,3 +964,215 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_source",
         (F.col("neg_source") == F.col("source")).alias("is_same_source"),
     )
+
+
+@register(
+    "sample_ab_assignment_contract",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('exp42:' || CAST(user_id AS VARCHAR)),
+                              1, 1) < '8'
+                  THEN 'treatment' ELSE 'control' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events) u
+    ),
+    counts AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_users FROM assign
+      GROUP BY arm
+    ),
+    tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS n FROM counts)
+    SELECT c.arm, c.n_users,
+           CAST(floor(CAST((2 * c.n_users - t.n)
+                           * (2 * c.n_users - t.n) AS DOUBLE)
+                      * 1000000 / CAST(t.n AS DOUBLE)) AS BIGINT)
+             AS srm_chi2_micro_contrib,
+           CAST(CASE WHEN CAST((2 * c.n_users - t.n)
+                              * (2 * c.n_users - t.n) AS DOUBLE)
+                          / CAST(t.n AS DOUBLE) <= 3.841
+                     THEN 1 ELSE 0 END AS INTEGER) AS srm_ok_95
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def sample_ab_assignment_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B EXPERIMENT ASSIGNMENT + SAMPLE-RATIO-MISMATCH AUDIT — the
+    experimentation primitive every platform runs: users land in
+    treatment/control by a SALTED deterministic hash (md5 of
+    'experiment_id:user_id' — stable across sessions and engines,
+    re-randomized per experiment by the salt, never Spark's
+    engine-local murmur3), and the assignment is immediately audited
+    for SRM, the canary that catches broken bucketing: chi-square of
+    the observed 50/50 split. For a two-arm equal split the statistic
+    reduces exactly to (2*n_arm - n)^2 / n per arm summed = (n_t -
+    n_c)^2 / n overall; each arm's contribution is reported in exact
+    cross-multiplied micro-units (floor-then-report, the drift-gate
+    idiom) plus the 95% verdict against the chi2(1) critical value
+    3.841. An SRM failure here means the hash, the salt, or an
+    upstream filter is biased — the assignment must not ship.
+
+    Scale shape: assignment is a map-side projection over DISTINCT
+    user ids (one partial-agg exchange); the audit aggregates two
+    rows. At 100 TB the same column rides every event row at zero
+    shuffle cost because the hash needs only the id."""
+    events = load_table(spark, sf_dir, "events")
+    assign = (
+        events.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit("exp42:"), F.col("user_id").cast("string"))),
+                    1,
+                    1,
+                )
+                < "8",
+                "treatment",
+            )
+            .otherwise("control")
+            .alias("arm"),
+        )
+    )
+    counts = assign.groupBy("arm").agg(F.count("*").alias("n_users"))
+    tot = counts.agg(F.sum("n_users").alias("n"))
+    dev = 2 * F.col("n_users") - F.col("n")
+    chi = (dev * dev).cast("double") / F.col("n").cast("double")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.floor(chi * 1000000).cast("bigint").alias("srm_chi2_micro_contrib"),
+        F.when(chi <= 3.841, 1).otherwise(0).cast("int").alias("srm_ok_95"),
+    )
+
+
+@register(
+    "events_cuped_adjustment",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('exp42:' || CAST(user_id AS VARCHAR)),
+                              1, 1) < '8'
+                  THEN 'treatment' ELSE 'control' END AS arm,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS pre_cents,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS post_cents
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pre_cents) AS BIGINT) AS sx,
+             CAST(sum(post_cents) AS BIGINT) AS sy,
+             CAST(sum(pre_cents * pre_cents) AS BIGINT) AS sxx,
+             CAST(sum(pre_cents * post_cents) AS BIGINT) AS sxy
+      FROM per_user
+    ),
+    theta AS (
+      SELECT n, sx, sy,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               AS th,
+             CAST(sx AS DOUBLE) / n AS prebar
+      FROM g
+    ),
+    arms AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(pre_cents) AS BIGINT) AS asx,
+             CAST(sum(post_cents) AS BIGINT) AS asy
+      FROM per_user GROUP BY arm
+    )
+    SELECT a.arm, a.n_users,
+           CAST(floor(CAST(a.asy AS DOUBLE) / a.n_users * 10) AS BIGINT)
+             AS mean_post_milli,
+           CAST(floor((CAST(a.asy AS DOUBLE) / a.n_users
+                       - t.th * (CAST(a.asx AS DOUBLE) / a.n_users
+                                 - t.prebar)) * 10) AS BIGINT)
+             AS mean_cuped_milli,
+           CAST(floor(t.th * 1000000) AS BIGINT) AS theta_micro
+    FROM arms a CROSS JOIN theta t
+    """,
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED VARIANCE REDUCTION (Deng et al., WSDM 2013) — the
+    standard experiment-sensitivity booster: each arm's post-period
+    metric is adjusted by the pre-period covariate, mean_cuped =
+    mean_post - theta * (mean_pre - prebar), with theta =
+    cov(pre, post)/var(pre) fitted on ALL users. The per-user form
+    (adjust every user, then average) is ORDER-SENSITIVE in floating
+    point at scale; by linearity the identical number falls out of
+    ARM-LEVEL AGGREGATES alone — exact BIGINT sums (cents,
+    sum-of-squares, cross products) flow to a handful of final double
+    expressions evaluated identically by both engines, the same
+    closed-form-over-exact-sums discipline as agg_corr_regression.
+    Consumes the salted-hash assignment of
+    sample_ab_assignment_contract, so arm membership is reproducible
+    anywhere.
+
+    Scale shape: one partial-agg pass to per-user (pre, post) pairs,
+    then two tiny aggregates (global moments, per-arm sums); theta
+    broadcasts as one row. Nothing downstream of the first exchange
+    is row-count-proportional."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pre = F.when(
+        F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), cents
+    ).otherwise(F.lit(0))
+    post = F.when(
+        F.col("ts").cast("date") >= F.lit("2024-01-16").cast("date"), cents
+    ).otherwise(F.lit(0))
+    per_user = events.groupBy("user_id").agg(
+        F.sum(pre).cast("bigint").alias("pre_cents"),
+        F.sum(post).cast("bigint").alias("post_cents"),
+    ).select(
+        "user_id",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("exp42:"), F.col("user_id").cast("string"))),
+                1,
+                1,
+            )
+            < "8",
+            "treatment",
+        )
+        .otherwise("control")
+        .alias("arm"),
+        "pre_cents",
+        "post_cents",
+    )
+    per_user = per_user.localCheckpoint(eager=True)  # feeds both aggs
+    g = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("pre_cents").alias("sx"),
+        F.sum("post_cents").alias("sy"),
+        F.sum(F.col("pre_cents") * F.col("pre_cents")).alias("sxx"),
+        F.sum(F.col("pre_cents") * F.col("post_cents")).alias("sxy"),
+    )
+    theta = g.select(
+        (
+            (F.col("n").cast("double") * F.col("sxy")
+             - F.col("sx").cast("double") * F.col("sy"))
+            / (F.col("n").cast("double") * F.col("sxx")
+               - F.col("sx").cast("double") * F.col("sx"))
+        ).alias("th"),
+        (F.col("sx").cast("double") / F.col("n")).alias("prebar"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("pre_cents").alias("asx"),
+        F.sum("post_cents").alias("asy"),
+    )
+    mean_post = F.col("asy").cast("double") / F.col("n_users")
+    mean_pre = F.col("asx").cast("double") / F.col("n_users")
+    return arms.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.floor(mean_post * 10).cast("bigint").alias("mean_post_milli"),
+        F.floor(
+            (mean_post - F.col("th") * (mean_pre - F.col("prebar"))) * 10
+        )
+        .cast("bigint")
+        .alias("mean_cuped_milli"),
+        F.floor(F.col("th") * 1000000).cast("bigint").alias("theta_micro"),
+    )

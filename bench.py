@@ -272,6 +272,8 @@ HEADLINE = [
     "graph_kcore_peel",
     "sample_ab_assignment_contract",
     "events_cuped_adjustment",
+    "dedup_semdedup_recall_eval",
+    "multimodal_phash_recall_eval",
 ]
 
 

@@ -379,3 +379,127 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
     )
+
+
+@register(
+    "multimodal_phash_recall_eval",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, g.i,
+             ascii(substr(text,
+                   CAST(least(1 + g.i * greatest(1, length(text) // 64),
+                              length(text)) AS INTEGER), 1)) AS p
+      FROM documents, unnest(generate_series(0, 63)) AS g(i)
+    ),
+    m AS (SELECT doc_id, sum(p) // 64 AS mean FROM px GROUP BY doc_id),
+    bits AS (
+      SELECT px.doc_id, px.i,
+             CASE WHEN px.p > m.mean THEN 1 ELSE 0 END AS b
+      FROM px JOIN m USING (doc_id)
+    ),
+    words AS (
+      SELECT doc_id, i // 16 AS w,
+             CAST(sum(b * (1::BIGINT << (i % 16))) AS BIGINT) AS word
+      FROM bits GROUP BY doc_id, i // 16
+    ),
+    wa AS (SELECT doc_id, list(word ORDER BY w) AS ws FROM words
+           GROUP BY doc_id),
+    pairs AS (
+      SELECT bit_count(xor(x.ws[1], y.ws[1]))
+             + bit_count(xor(x.ws[2], y.ws[2]))
+             + bit_count(xor(x.ws[3], y.ws[3]))
+             + bit_count(xor(x.ws[4], y.ws[4])) AS hamming,
+             CASE WHEN x.ws[1] = y.ws[1] OR x.ws[2] = y.ws[2]
+                       OR x.ws[3] = y.ws[3] OR x.ws[4] = y.ws[4]
+                  THEN 1 ELSE 0 END AS is_candidate
+      FROM wa x JOIN wa y ON x.doc_id < y.doc_id
+    )
+    SELECT CAST(hamming AS BIGINT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(is_candidate) AS BIGINT) AS n_candidates,
+           CAST(sum(is_candidate) * 1000000 / count(*) AS BIGINT)
+             AS recall_micro,
+           CAST(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END AS INTEGER)
+             AS recall_guaranteed
+    FROM pairs
+    WHERE hamming <= {_PHASH_MAX_HAMMING}
+    GROUP BY hamming
+    """,
+)
+def multimodal_phash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BANDED-LSH RECALL EVALUATION for the pHash index — measures,
+    per Hamming distance, what fraction of ALL <= {_PHASH_MAX_HAMMING}
+    -distant pairs the 4x16-bit band join surfaces as candidates: the
+    honest recall curve behind multimodal_phash_dedup. Distances <= 3
+    are GUARANTEED 1e6 recall by pigeonhole (4 bands, at most 3
+    differing bits — one band must be untouched; the
+    recall_guaranteed flag pins the theorem row-by-row); 4-6 is the
+    probabilistic zone where recall depends on whether the differing
+    bits cluster into few bands. A production index reads this table
+    to decide band geometry (8x8 bands push the guarantee to
+    distance 7 at higher candidate cost).
+
+    Scale note: all-pairs ground truth over the FIXED-WIDTH hash
+    table (8 bytes/doc) — an eval computation quadratic in docs but
+    constant in document size; production evaluates on a sample
+    panel, while the candidate path itself stays banded."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def thumb_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "w0": [], "w1": [], "w2": [], "w3": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")
+                n = len(text)
+                stride = max(1, n // 64)
+                px = [ord(text[min(i * stride, n - 1)]) for i in range(64)]
+                mean = sum(px) // 64
+                bits = [1 if p > mean else 0 for p in px]
+                for w in range(_PHASH_BANDS):
+                    word = 0
+                    for k in range(16):
+                        word |= bits[16 * w + k] << k
+                    out[f"w{w}"].append(word)
+                out["doc_id"].append(doc_id)
+            yield pd.DataFrame(out)
+
+    hashes = docs.mapInPandas(
+        thumb_hash, "doc_id long, w0 long, w1 long, w2 long, w3 long"
+    ).localCheckpoint(eager=True)
+    x = hashes.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"w{w}").alias(f"xa{w}") for w in range(_PHASH_BANDS)],
+    )
+    y = hashes.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"w{w}").alias(f"xb{w}") for w in range(_PHASH_BANDS)],
+    )
+    ham = sum(
+        F.bit_count(F.expr(f"xa{w} ^ xb{w}")) for w in range(_PHASH_BANDS)
+    ).cast("bigint")
+    cand = (
+        F.when(F.col("xa0") == F.col("xb0"), 1)
+        .when(F.col("xa1") == F.col("xb1"), 1)
+        .when(F.col("xa2") == F.col("xb2"), 1)
+        .when(F.col("xa3") == F.col("xb3"), 1)
+        .otherwise(0)
+    )
+    pairs = (
+        x.crossJoin(y)
+        .filter(F.col("da") < F.col("db"))
+        .select(ham.alias("hamming"), cand.alias("is_candidate"))
+        .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+    )
+    return pairs.groupBy("hamming").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("is_candidate").cast("bigint").alias("n_candidates"),
+        (F.sum("is_candidate") * 1000000 / F.count("*"))
+        .cast("bigint")
+        .alias("recall_micro"),
+        F.when(F.first("hamming") <= 3, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("recall_guaranteed"),
+    )

@@ -1478,3 +1478,97 @@ def sim_search_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_micro"),
         )
     )
+
+
+@register(
+    "dedup_semdedup_recall_eval",
+    oracle="WITH "
+    + _km_oracle_ctes()
+    + f""",
+    nrm AS (
+      SELECT xq.vec_id, a.cid, xq.q,
+             list_inner_product(xq.q, xq.q) AS nq
+      FROM xq JOIN asg{_KM_FINAL} a USING (vec_id)
+      WHERE list_inner_product(xq.q, xq.q) > 0
+    ),
+    truth AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CASE WHEN a.cid = b.cid THEN 1 ELSE 0 END AS same_cluster
+      FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+      WHERE list_inner_product(a.q, b.q) / (sqrt(a.nq) * sqrt(b.nq))
+            >= {_SEMDEDUP_COS}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_truth_pairs,
+           CAST(sum(same_cluster) AS BIGINT) AS n_found,
+           CAST(sum(same_cluster) * 1000000 / count(*) AS BIGINT)
+             AS recall_micro,
+           CAST(1000000 AS BIGINT) AS precision_micro
+    FROM truth
+    """,
+)
+def dedup_semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMDEDUP RECALL EVALUATION — quantifies the trade
+    dedup_semdedup_clusters makes: of ALL embedding pairs above the
+    dup threshold (brute-force ground truth), what fraction lands in
+    the same k-means cluster and is therefore findable by the
+    cluster-restricted search? Precision is 1e6 by construction
+    (every reported pair IS above threshold — the within-cluster
+    check only restricts, never relaxes); recall is the tuning dial
+    k controls (more clusters = cheaper pairs, lower recall). On
+    this near-isotropic synthetic corpus threshold-band pairs split
+    across clusters (recall ~0.3); with true near-identical dups
+    (cos >= 0.99) co-clustering is near-certain and recall
+    approaches 1 — reporting the honest number is the point, the
+    dedup_lsh_eval_pr discipline applied to semantic dedup.
+
+    Scale note: ground truth is all-pairs — an EVAL-panel-only
+    computation (here the sf corpus is the panel); production runs
+    it on a fixed sample, never the full corpus."""
+    final, _cents = _km_final_assign(spark, sf_dir)
+    nrm = final.select(
+        "vec_id",
+        "cid",
+        "q",
+        F.expr(
+            "aggregate(zip_with(q, q, (a, b) -> a * b), 0L, "
+            "(acc, z) -> acc + z)"
+        ).alias("nq"),
+    ).filter(F.col("nq") > 0)
+    a = nrm.select(
+        F.col("vec_id").alias("va"),
+        F.col("cid").alias("ca"),
+        F.col("q").alias("qa"),
+        F.col("nq").alias("na"),
+    )
+    b = nrm.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cid").alias("cb"),
+        F.col("q").alias("qb"),
+        F.col("nq").alias("nb"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            (
+                F.expr(
+                    "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, "
+                    "(acc, z) -> acc + z)"
+                ).cast("double")
+                / (F.sqrt(F.col("na").cast("double"))
+                   * F.sqrt(F.col("nb").cast("double")))
+            ).alias("cos"),
+            F.when(F.col("ca") == F.col("cb"), 1).otherwise(0).alias(
+                "same_cluster"
+            ),
+        )
+        .filter(F.col("cos") >= _SEMDEDUP_COS)
+    )
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_truth_pairs"),
+        F.sum("same_cluster").cast("bigint").alias("n_found"),
+        (F.sum("same_cluster") * 1000000 / F.count("*"))
+        .cast("bigint")
+        .alias("recall_micro"),
+        F.lit(1000000).cast("bigint").alias("precision_micro"),
+    )

@@ -1523,51 +1523,56 @@ def dedup_semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: ground truth is all-pairs — an EVAL-panel-only
     computation (here the sf corpus is the panel); production runs
-    it on a fixed sample, never the full corpus."""
+    it on a fixed sample, never the full corpus. Execution is ONE
+    int64 numpy matmul per Arrow batch against the broadcast panel
+    matrix (the declarative crossJoin + 64-element fold form stayed
+    interpreted and cost 25x — the dedup_minhash_b128 lesson): dots
+    are exact int64, and each cosine is the same three IEEE ops
+    (sqrt, sqrt-product, divide) on identical inputs both engines
+    perform, so the threshold compare cannot drift."""
+    import numpy as np
+    import pandas as pd
+
     final, _cents = _km_final_assign(spark, sf_dir)
-    nrm = final.select(
-        "vec_id",
-        "cid",
-        "q",
-        F.expr(
-            "aggregate(zip_with(q, q, (a, b) -> a * b), 0L, "
-            "(acc, z) -> acc + z)"
-        ).alias("nq"),
-    ).filter(F.col("nq") > 0)
-    a = nrm.select(
-        F.col("vec_id").alias("va"),
-        F.col("cid").alias("ca"),
-        F.col("q").alias("qa"),
-        F.col("nq").alias("na"),
+    panel = final.select("vec_id", "cid", "q").collect()
+    panel.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in panel], dtype=np.int64)
+    cids = np.array([r["cid"] for r in panel], dtype=np.int64)
+    Q = np.array([r["q"] for r in panel], dtype=np.int64)
+    nq = (Q * Q).sum(axis=1)
+    keep = nq > 0
+    ids, cids, Q, nq = ids[keep], cids[keep], Q[keep], nq[keep]
+    b = spark.sparkContext.broadcast((ids, cids, Q, np.sqrt(nq.astype(np.float64))))
+
+    def count_pairs(batches):
+        ids_all, cids_all, Q_all, rt_all = b.value
+        pos = {int(v): i for i, v in enumerate(ids_all)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = [pos[int(v)] for v in pdf["vec_id"] if int(v) in pos]
+            if not rows:
+                continue
+            Xi = Q_all[rows]
+            dots = Xi @ Q_all.T  # exact int64
+            cos = dots.astype(np.float64) / (
+                rt_all[rows][:, None] * rt_all[None, :]
+            )
+            mask = (cos >= _SEMDEDUP_COS) & (
+                ids_all[rows][:, None] < ids_all[None, :]
+            )
+            same = mask & (cids_all[rows][:, None] == cids_all[None, :])
+            yield pd.DataFrame(
+                {"n_truth": [int(mask.sum())], "n_same": [int(same.sum())]}
+            )
+
+    partials = final.select("vec_id").mapInPandas(
+        count_pairs, "n_truth long, n_same long"
     )
-    b = nrm.select(
-        F.col("vec_id").alias("vb"),
-        F.col("cid").alias("cb"),
-        F.col("q").alias("qb"),
-        F.col("nq").alias("nb"),
-    )
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("va") < F.col("vb"))
-        .select(
-            (
-                F.expr(
-                    "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, "
-                    "(acc, z) -> acc + z)"
-                ).cast("double")
-                / (F.sqrt(F.col("na").cast("double"))
-                   * F.sqrt(F.col("nb").cast("double")))
-            ).alias("cos"),
-            F.when(F.col("ca") == F.col("cb"), 1).otherwise(0).alias(
-                "same_cluster"
-            ),
-        )
-        .filter(F.col("cos") >= _SEMDEDUP_COS)
-    )
-    return pairs.agg(
-        F.count("*").cast("bigint").alias("n_truth_pairs"),
-        F.sum("same_cluster").cast("bigint").alias("n_found"),
-        (F.sum("same_cluster") * 1000000 / F.count("*"))
+    return partials.agg(
+        F.sum("n_truth").cast("bigint").alias("n_truth_pairs"),
+        F.sum("n_same").cast("bigint").alias("n_found"),
+        (F.sum("n_same") * 1000000 / F.sum("n_truth"))
         .cast("bigint")
         .alias("recall_micro"),
         F.lit(1000000).cast("bigint").alias("precision_micro"),

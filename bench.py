@@ -274,6 +274,7 @@ HEADLINE = [
     "events_cuped_adjustment",
     "dedup_semdedup_recall_eval",
     "multimodal_phash_recall_eval",
+    "window_acf_lags",
 ]
 
 

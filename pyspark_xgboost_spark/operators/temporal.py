@@ -2396,3 +2396,103 @@ def window_changepoint_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_changepoint"),
     )
+
+
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "window_acf_lags",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day_idx,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+      FROM daily
+    ),
+    c AS (
+      SELECT d.day_idx, d.y * g.n - g.sy AS cy, g.n
+      FROM daily d CROSS JOIN g
+    ),
+    den AS (SELECT CAST(sum(cy * cy) AS BIGINT) AS d0 FROM c),
+    lagged AS (
+      SELECT l.lag,
+             CAST(sum(a.cy * b.cy) AS BIGINT) AS num,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM c a
+      JOIN (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag) l
+        ON true
+      JOIN c b ON b.day_idx = a.day_idx + l.lag
+      GROUP BY l.lag
+    )
+    SELECT CAST(l.lag AS INTEGER) AS lag, l.n_pairs, l.num,
+           CAST(floor(CAST(l.num AS DOUBLE) * 1000000
+                      / CAST(d.d0 AS DOUBLE)) AS BIGINT) AS acf_micro
+    FROM lagged l CROSS JOIN den d
+    """,
+)
+def window_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION FUNCTION of the daily revenue series at lags
+    1..{_ACF_MAX_LAG} — the diagnostic behind every seasonality/trend
+    decision (window_seasonal_decompose's 7-day structure shows up as
+    an ACF peak at lag 7; a changepoint inflates low lags): acf(k) =
+    sum of centered products at offset k over the centered sum of
+    squares. Centering is EXACT: cy = y*n - sum(y) (scaled by n to
+    avoid the fractional mean), so numerator and denominator are
+    exact BIGINTs whose single final division lands in micro-units —
+    partial-agg order cannot move any of it.
+
+    Scale shape: one partial-agg to the date grid, then a grid
+    self-join per lag (grid-sized, the drift-gate/seasonal
+    discipline). Overflow headroom (measured): max|cy| ~ 3.2e7 at
+    sf0.1, so sum(cy*cy) ~ 3e15 — about 3000x inside int64 even
+    before DuckDB's HUGEINT accumulation; a series with much larger
+    per-day deviations rescales its unit (cents -> whole units)
+    before centering, which cancels exactly in the ratio."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day_idx")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    g = daily.agg(
+        F.count("*").alias("n"), F.sum("y").alias("sy")
+    )
+    c = daily.crossJoin(F.broadcast(g)).select(
+        "day_idx", (F.col("y") * F.col("n") - F.col("sy")).alias("cy")
+    )
+    c = c.localCheckpoint(eager=True)  # grid, three consumers
+    den = c.agg(F.sum(F.col("cy") * F.col("cy")).alias("d0"))
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = c.select(F.col("day_idx").alias("da"), F.col("cy").alias("cya"))
+    bb = c.select(F.col("day_idx").alias("db"), F.col("cy").alias("cyb"))
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(bb, F.col("db") == F.col("da") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("cya") * F.col("cyb")).cast("bigint").alias("num"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        )
+    )
+    return lagged.crossJoin(F.broadcast(den)).select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        "num",
+        F.floor(
+            F.col("num").cast("double") * 1000000 / F.col("d0").cast("double")
+        )
+        .cast("bigint")
+        .alias("acf_micro"),
+    )

@@ -275,6 +275,7 @@ HEADLINE = [
     "dedup_semdedup_recall_eval",
     "multimodal_phash_recall_eval",
     "window_acf_lags",
+    "agg_bootstrap_ci_mean",
 ]
 
 

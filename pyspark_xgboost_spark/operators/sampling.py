@@ -1176,3 +1176,163 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_cuped_milli"),
         F.floor(F.col("th") * 1000000).cast("bigint").alias("theta_micro"),
     )
+
+
+_BOOT_B = 20  # replicates; percentile CI from ranks 2 and 19 (90%)
+_POIS1_CASE = (
+    "CASE WHEN uu < 1580030169 THEN 0 WHEN uu < 3160060337 THEN 1 "
+    "WHEN uu < 3950075422 THEN 2 WHEN uu < 4213413783 THEN 3 "
+    "WHEN uu < 4279248374 THEN 4 WHEN uu < 4292415292 THEN 5 "
+    "WHEN uu < 4294609778 THEN 6 ELSE 7 END"
+)
+
+
+def _hex8_uint_sql(hexpr: str) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({hexpr}, {1 + i}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+@register(
+    "agg_bootstrap_ci_mean",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(generate_series(1, {_BOOT_B})) AS b),
+    d AS (
+      SELECT r.b, doc_id, source, n_chars,
+             md5('boot' || CAST(r.b AS VARCHAR) || ':'
+                 || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents CROSS JOIN reps r
+    ),
+    k AS (
+      SELECT b, source, n_chars, {_POIS1_CASE} AS k
+      FROM (SELECT b, source, n_chars,
+                   CAST({_hex8_uint_sql('h')} AS BIGINT) AS uu FROM d) t
+    ),
+    rep_means AS (
+      SELECT b, source,
+             CAST(sum(n_chars * k) AS DOUBLE)
+               / CAST(sum(k) AS DOUBLE) AS m
+      FROM k GROUP BY b, source
+      HAVING sum(k) > 0
+    ),
+    ranked AS (
+      SELECT source, m,
+             row_number() OVER (PARTITION BY source ORDER BY m, b) AS rk,
+             count(*) OVER (PARTITION BY source) AS nb
+      FROM rep_means
+    ),
+    full_mean AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS DOUBLE) / count(*) AS fm
+      FROM documents GROUP BY source
+    )
+    SELECT f.source, f.n_docs,
+           CAST(floor(f.fm * 1000) AS BIGINT) AS mean_milli,
+           CAST(floor(min(CASE WHEN r.rk = 2 THEN r.m END) * 1000)
+             AS BIGINT) AS ci_lo_milli,
+           CAST(floor(min(CASE WHEN r.rk = r.nb - 1 THEN r.m END) * 1000)
+             AS BIGINT) AS ci_hi_milli
+    FROM full_mean f JOIN ranked r USING (source)
+    GROUP BY f.source, f.n_docs, f.fm
+    """,
+)
+def agg_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON-BOOTSTRAP CONFIDENCE INTERVAL for each source's mean
+    document length — the inference layer on top of
+    sample_poisson_bootstrap's single replicate (Chamandy et al.,
+    Google 2012): {_BOOT_B} deterministic replicates (each row's
+    weight k ~ Poisson(1) from a per-replicate-salted md5 uniform),
+    each replicate's weighted mean from exact integer sums, and the
+    percentile CI read off ranks 2 and {_BOOT_B}-1 of the sorted
+    replicate means (~90%). One query answers 'is the difference in
+    mean length between two crawls real or noise' — the question
+    behind every drift-gate alarm this repo raises (KS/U/chi2 say
+    SOMETHING moved; the CI says how confidently).
+
+    Scale shape: the replicate explode is map-side (rows x B before
+    the partial agg combines to sources x B cells — at 100 TB pick B
+    and group count so the shuffle stays cell-sized); replicate
+    means and the rank window run on the B x sources grid. The
+    bootstrap never materializes a resampled dataset — that is the
+    entire Poisson-bootstrap point."""
+    docs = load_table(spark, sf_dir, "documents")
+    reps = spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b"))
+    d = docs.crossJoin(F.broadcast(reps)).select(
+        "b",
+        "source",
+        "n_chars",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("uu"),
+    )
+    k = d.select("b", "source", "n_chars", F.expr(_POIS1_CASE).alias("k"))
+    rep_means = (
+        k.groupBy("b", "source")
+        .agg(
+            F.sum(F.col("n_chars") * F.col("k")).alias("swx"),
+            F.sum("k").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "b",
+            "source",
+            (F.col("swx").cast("double") / F.col("sw").cast("double")).alias(
+                "m"
+            ),
+        )
+    )
+    wnd = Window.partitionBy("source").orderBy("m", "b")
+    ranked = rep_means.select(
+        "source",
+        "m",
+        F.row_number().over(wnd).alias("rk"),
+        F.count("*").over(Window.partitionBy("source")).alias("nb"),
+    )
+    full_mean = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("fm"),
+    )
+    return (
+        full_mean.join(ranked, "source")
+        .groupBy("source", "n_docs", "fm")
+        .agg(
+            F.floor(
+                F.min(F.when(F.col("rk") == 2, F.col("m"))) * 1000
+            )
+            .cast("bigint")
+            .alias("ci_lo_milli"),
+            F.floor(
+                F.min(
+                    F.when(F.col("rk") == F.col("nb") - 1, F.col("m"))
+                )
+                * 1000
+            )
+            .cast("bigint")
+            .alias("ci_hi_milli"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.floor(F.col("fm") * 1000).cast("bigint").alias("mean_milli"),
+            "ci_lo_milli",
+            "ci_hi_milli",
+        )
+    )

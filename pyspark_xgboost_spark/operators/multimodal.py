@@ -247,6 +247,46 @@ def multimodal_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PHASH_BANDS = 4  # 64-bit hash as four 16-bit band words (63-bit-safe)
 _PHASH_MAX_HAMMING = 6
+_PHASH_EVAL_PANEL = 500  # fixed truth panel: doc_id < 500 (dedup_lsh_eval_pr)
+
+
+def _thumb_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Shared pHash kernel (dedup + recall eval use the SAME bytes):
+    strided 64-codepoint downsample -> mean threshold -> four 16-bit
+    band words. Empty payloads hash to all-zero words, matching the
+    oracle's ascii('') = 0 path (text[-1] indexing would crash the
+    job non-gracefully on n == 0)."""
+    for pdf in batches:
+        out = {"doc_id": [], "w0": [], "w1": [], "w2": [], "w3": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            text = bytes(payload).decode("utf-8")
+            n = len(text)
+            if n == 0:
+                px = [0] * 64
+            else:
+                stride = max(1, n // 64)
+                px = [ord(text[min(i * stride, n - 1)]) for i in range(64)]
+            mean = sum(px) // 64
+            bits = [1 if p > mean else 0 for p in px]
+            words = []
+            for w in range(_PHASH_BANDS):
+                word = 0
+                for k in range(16):
+                    word |= bits[16 * w + k] << k
+                words.append(word)
+            out["doc_id"].append(doc_id)
+            for w in range(_PHASH_BANDS):
+                out[f"w{w}"].append(words[w])
+        yield pd.DataFrame(out)
+
+
+def _phash_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return docs.mapInPandas(
+        _thumb_hash, "doc_id long, w0 long, w1 long, w2 long, w3 long"
+    ).localCheckpoint(eager=True)
 
 
 @register(
@@ -316,35 +356,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end. The same plan at 100 TB: thumbnails are a tiny
     fixed-width projection of arbitrarily large payloads, so the
     shuffle never carries the media bytes."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
-
-    def thumb_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"doc_id": [], "w0": [], "w1": [], "w2": [], "w3": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                text = bytes(payload).decode("utf-8")
-                n = len(text)
-                stride = max(1, n // 64)
-                px = [ord(text[min(i * stride, n - 1)]) for i in range(64)]
-                mean = sum(px) // 64
-                bits = [1 if p > mean else 0 for p in px]
-                words = []
-                for w in range(_PHASH_BANDS):
-                    word = 0
-                    for k in range(16):
-                        word |= bits[16 * w + k] << k
-                    words.append(word)
-                out["doc_id"].append(doc_id)
-                for w in range(_PHASH_BANDS):
-                    out[f"w{w}"].append(words[w])
-            yield pd.DataFrame(out)
-
-    hashes = docs.mapInPandas(
-        thumb_hash,
-        "doc_id long, w0 long, w1 long, w2 long, w3 long",
-    ).localCheckpoint(eager=True)
+    hashes = _phash_words(spark, sf_dir)
 
     bands = hashes.select(
         "doc_id",
@@ -412,12 +424,13 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN x.ws[1] = y.ws[1] OR x.ws[2] = y.ws[2]
                        OR x.ws[3] = y.ws[3] OR x.ws[4] = y.ws[4]
                   THEN 1 ELSE 0 END AS is_candidate
-      FROM wa x JOIN wa y ON x.doc_id < y.doc_id
+      FROM wa x JOIN wa y
+        ON x.doc_id < y.doc_id AND x.doc_id < {_PHASH_EVAL_PANEL}
     )
     SELECT CAST(hamming AS BIGINT) AS hamming,
            CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(sum(is_candidate) AS BIGINT) AS n_candidates,
-           CAST(sum(is_candidate) * 1000000 / count(*) AS BIGINT)
+           CAST(floor(sum(is_candidate) * 1000000.0 / count(*)) AS BIGINT)
              AS recall_micro,
            CAST(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END AS INTEGER)
              AS recall_guaranteed
@@ -428,47 +441,29 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_phash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BANDED-LSH RECALL EVALUATION for the pHash index — measures,
-    per Hamming distance, what fraction of ALL <= {_PHASH_MAX_HAMMING}
-    -distant pairs the 4x16-bit band join surfaces as candidates: the
-    honest recall curve behind multimodal_phash_dedup. Distances <= 3
-    are GUARANTEED 1e6 recall by pigeonhole (4 bands, at most 3
-    differing bits — one band must be untouched; the
-    recall_guaranteed flag pins the theorem row-by-row); 4-6 is the
-    probabilistic zone where recall depends on whether the differing
-    bits cluster into few bands. A production index reads this table
-    to decide band geometry (8x8 bands push the guarantee to
-    distance 7 at higher candidate cost).
+    per Hamming distance, what fraction of panel-anchored
+    <= {_PHASH_MAX_HAMMING}-distant pairs the 4x16-bit band join
+    surfaces as candidates: the honest recall curve behind
+    multimodal_phash_dedup. Distances <= 3 are GUARANTEED 1e6 recall
+    by pigeonhole (4 bands, at most 3 differing bits — one band must
+    be untouched; the recall_guaranteed flag pins the theorem
+    row-by-row); 4-6 is the probabilistic zone where recall depends
+    on whether the differing bits cluster into few bands. A
+    production index reads this table to decide band geometry (8x8
+    bands push the guarantee to distance 7 at higher candidate cost).
 
-    Scale note: all-pairs ground truth over the FIXED-WIDTH hash
-    table (8 bytes/doc) — an eval computation quadratic in docs but
-    constant in document size; production evaluates on a sample
-    panel, while the candidate path itself stays banded."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
-
-    def thumb_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"doc_id": [], "w0": [], "w1": [], "w2": [], "w3": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                text = bytes(payload).decode("utf-8")
-                n = len(text)
-                stride = max(1, n // 64)
-                px = [ord(text[min(i * stride, n - 1)]) for i in range(64)]
-                mean = sum(px) // 64
-                bits = [1 if p > mean else 0 for p in px]
-                for w in range(_PHASH_BANDS):
-                    word = 0
-                    for k in range(16):
-                        word |= bits[16 * w + k] << k
-                    out[f"w{w}"].append(word)
-                out["doc_id"].append(doc_id)
-            yield pd.DataFrame(out)
-
-    hashes = docs.mapInPandas(
-        thumb_hash, "doc_id long, w0 long, w1 long, w2 long, w3 long"
-    ).localCheckpoint(eager=True)
-    x = hashes.select(
+    Scale shape: ground truth is PANEL x CORPUS, never corpus
+    all-pairs — the anchor side is the fixed
+    doc_id < {_PHASH_EVAL_PANEL} evaluation panel (the
+    dedup_lsh_eval_pr panel discipline; pair (a, b) counts when a is
+    a panel doc and a < b), so the pair count grows LINEARLY in
+    corpus size with a constant panel factor. Both sides are the
+    fixed-width (8 bytes/doc) hash projection from the shared
+    _phash_words kernel, the panel side broadcast; floored micro
+    ratios keep the report cast-rule-proof (Spark's double->BIGINT
+    truncates, DuckDB's rounds)."""
+    hashes = _phash_words(spark, sf_dir)
+    x = hashes.filter(F.col("doc_id") < _PHASH_EVAL_PANEL).select(
         F.col("doc_id").alias("da"),
         *[F.col(f"w{w}").alias(f"xa{w}") for w in range(_PHASH_BANDS)],
     )
@@ -487,7 +482,8 @@ def multimodal_phash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
     )
     pairs = (
-        x.crossJoin(y)
+        F.broadcast(x)
+        .crossJoin(y)
         .filter(F.col("da") < F.col("db"))
         .select(ham.alias("hamming"), cand.alias("is_candidate"))
         .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
@@ -495,7 +491,7 @@ def multimodal_phash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("hamming").agg(
         F.count("*").cast("bigint").alias("n_pairs"),
         F.sum("is_candidate").cast("bigint").alias("n_candidates"),
-        (F.sum("is_candidate") * 1000000 / F.count("*"))
+        F.floor(F.sum("is_candidate") * 1000000 / F.count("*"))
         .cast("bigint")
         .alias("recall_micro"),
         F.when(F.first("hamming") <= 3, 1)

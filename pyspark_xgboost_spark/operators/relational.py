@@ -2531,14 +2531,14 @@ def agg_mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     nt AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o),
     cells AS (
       SELECT o.source, o.lang, o.obs, rt.row_t, ct.col_t, nt.n,
-             (o.obs * nt.n - rt.row_t * ct.col_t)
-               * (o.obs * nt.n - rt.row_t * ct.col_t) AS num
+             CAST(o.obs * nt.n - rt.row_t * ct.col_t AS DOUBLE)
+               * CAST(o.obs * nt.n - rt.row_t * ct.col_t AS DOUBLE) AS num
       FROM o JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN nt
     )
     SELECT source,
            CAST(sum(obs) AS BIGINT) AS n_docs,
            CAST(count(*) AS BIGINT) AS n_cells,
-           CAST(sum(CAST(floor(CAST(num AS DOUBLE) * 1000000
+           CAST(sum(CAST(floor(num * 1000000
                     / (CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE)
                        * CAST(n AS DOUBLE))) AS BIGINT)) AS BIGINT)
              AS chi2_micro
@@ -2553,9 +2553,14 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the corpus-wide expectation contributes large chi2 cells
     (mislabeled crawls, routing bugs). Per source: its summed cell
     contributions, chi2_micro = sum over cells of
-    floor((O*N - RT*CT)^2 * 1e6 / (RT*CT*N)) — the numerator is an
-    EXACT BIGINT (cross-multiplied expected counts, no division until
-    the report), each cell divides ONCE deterministically, and the
+    floor((O*N - RT*CT)^2 * 1e6 / (RT*CT*N)) — the deviation
+    O*N - RT*CT is an EXACT BIGINT (cross-multiplied expected counts,
+    no division until the report; each term is <= N^2, so the
+    difference is exact up to N ~ 3e9 docs — beyond that the
+    difference-of-products itself needs a double form), it is cast to
+    DOUBLE BEFORE squaring on BOTH engines (dev^2 exceeds int64 at
+    |dev| ~ 3e9, where Spark would wrap silently while DuckDB
+    raises), each cell divides ONCE deterministically, and the
     floored integers sum associatively, so partial-agg order cannot
     move the result (floor-then-sum, the repo's invariance idiom).
 
@@ -2568,9 +2573,11 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt = o.groupBy("source").agg(F.sum("obs").alias("row_t"))
     ct = o.groupBy("lang").agg(F.sum("obs").alias("col_t"))
     nt = o.agg(F.sum("obs").alias("n"))
-    dev = F.col("obs") * F.col("n") - F.col("row_t") * F.col("col_t")
+    dev = (
+        F.col("obs") * F.col("n") - F.col("row_t") * F.col("col_t")
+    ).cast("double")
     cell_micro = F.floor(
-        (dev * dev).cast("double")
+        dev * dev
         * 1000000
         / (
             F.col("row_t").cast("double")

@@ -1390,7 +1390,7 @@ def embedding_kmeans_farthest_seed(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT query_id,
            CAST(count(*) AS BIGINT) AS k,
            CAST(sum(found) AS BIGINT) AS n_found,
-           CAST(sum(found) * 1000000 / count(*) AS BIGINT)
+           CAST(floor(sum(found) * 1000000.0 / count(*)) AS BIGINT)
              AS recall_micro
     FROM hits
     GROUP BY query_id
@@ -1473,11 +1473,38 @@ def sim_search_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("k"),
             F.sum(found).cast("bigint").alias("n_found"),
-            (F.sum(found) * 1000000 / F.count("*"))
+            # floor-then-report (the dedup_lsh_eval_pr idiom): a bare
+            # double->BIGINT cast TRUNCATES in Spark but ROUNDS in
+            # DuckDB, so fractional recalls with .5+ parts diverge
+            F.floor(F.sum(found) * 1000000 / F.count("*"))
             .cast("bigint")
             .alias("recall_micro"),
         )
     )
+
+
+_SEM_EVAL_PANEL = 500  # fixed truth panel: vec_id < 500 (dedup_lsh_eval_pr)
+
+
+def _sem_eval_panel_arrays(final: DataFrame):
+    """Collect the FIXED eval panel (vec_id < _SEM_EVAL_PANEL, zero
+    vectors dropped) as numpy arrays — bounded driver state by
+    construction: the panel size is a constant, never the corpus."""
+    import numpy as np
+
+    panel = (
+        final.filter(F.col("vec_id") < _SEM_EVAL_PANEL)
+        .select("vec_id", "cid", "q")
+        .collect()
+    )
+    panel.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in panel], dtype=np.int64)
+    cids = np.array([r["cid"] for r in panel], dtype=np.int64)
+    Q = np.array([r["q"] for r in panel], dtype=np.int64)
+    nq = (Q * Q).sum(axis=1)
+    keep = nq > 0
+    ids, cids, Q, nq = ids[keep], cids[keep], Q[keep], nq[keep]
+    return ids, cids, Q, np.sqrt(nq.astype(np.float64))
 
 
 @register(
@@ -1494,85 +1521,83 @@ def sim_search_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth AS (
       SELECT a.vec_id AS va, b.vec_id AS vb,
              CASE WHEN a.cid = b.cid THEN 1 ELSE 0 END AS same_cluster
-      FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+      FROM nrm a JOIN nrm b
+        ON a.vec_id < b.vec_id AND a.vec_id < {_SEM_EVAL_PANEL}
       WHERE list_inner_product(a.q, b.q) / (sqrt(a.nq) * sqrt(b.nq))
             >= {_SEMDEDUP_COS}
     )
     SELECT CAST(count(*) AS BIGINT) AS n_truth_pairs,
            CAST(sum(same_cluster) AS BIGINT) AS n_found,
-           CAST(sum(same_cluster) * 1000000 / count(*) AS BIGINT)
-             AS recall_micro,
+           CAST(floor(sum(same_cluster) * 1000000.0 / count(*))
+                AS BIGINT) AS recall_micro,
            CAST(1000000 AS BIGINT) AS precision_micro
     FROM truth
     """,
 )
 def dedup_semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMDEDUP RECALL EVALUATION — quantifies the trade
-    dedup_semdedup_clusters makes: of ALL embedding pairs above the
-    dup threshold (brute-force ground truth), what fraction lands in
-    the same k-means cluster and is therefore findable by the
-    cluster-restricted search? Precision is 1e6 by construction
-    (every reported pair IS above threshold — the within-cluster
-    check only restricts, never relaxes); recall is the tuning dial
-    k controls (more clusters = cheaper pairs, lower recall). On
-    this near-isotropic synthetic corpus threshold-band pairs split
-    across clusters (recall ~0.3); with true near-identical dups
+    dedup_semdedup_clusters makes: of the panel-anchored embedding
+    pairs above the dup threshold (brute-force ground truth), what
+    fraction lands in the same k-means cluster and is therefore
+    findable by the cluster-restricted search? Precision is 1e6 by
+    construction (every reported pair IS above threshold — the
+    within-cluster check only restricts, never relaxes); recall is
+    the tuning dial k controls (more clusters = cheaper pairs, lower
+    recall). On this near-isotropic synthetic corpus threshold-band
+    pairs split across clusters; with true near-identical dups
     (cos >= 0.99) co-clustering is near-certain and recall
     approaches 1 — reporting the honest number is the point, the
     dedup_lsh_eval_pr discipline applied to semantic dedup.
 
-    Scale note: ground truth is all-pairs — an EVAL-panel-only
-    computation (here the sf corpus is the panel); production runs
-    it on a fixed sample, never the full corpus. Execution is ONE
-    int64 numpy matmul per Arrow batch against the broadcast panel
-    matrix (the declarative crossJoin + 64-element fold form stayed
-    interpreted and cost 25x — the dedup_minhash_b128 lesson): dots
-    are exact int64, and each cosine is the same three IEEE ops
+    Scale shape: ground truth is PANEL x CORPUS, never corpus
+    all-pairs — the truth anchor side is the fixed
+    vec_id < {_SEM_EVAL_PANEL} evaluation panel (the dedup_lsh_eval_pr
+    panel discipline; pair (a, b) counts when a is a panel vector and
+    a < b), so driver state and per-row work are both bounded by a
+    CONSTANT panel size at any corpus scale. Execution is ONE int64
+    numpy matmul per Arrow batch of the corpus against the broadcast
+    panel matrix (the declarative crossJoin + 64-element fold form
+    stayed interpreted and cost 25x — the dedup_minhash_b128 lesson):
+    dots are exact int64, and each cosine is the same three IEEE ops
     (sqrt, sqrt-product, divide) on identical inputs both engines
-    perform, so the threshold compare cannot drift."""
+    perform, so the threshold compare cannot drift; floored micro
+    ratios keep the report cast-rule-proof."""
     import numpy as np
     import pandas as pd
 
     final, _cents = _km_final_assign(spark, sf_dir)
-    panel = final.select("vec_id", "cid", "q").collect()
-    panel.sort(key=lambda r: r["vec_id"])
-    ids = np.array([r["vec_id"] for r in panel], dtype=np.int64)
-    cids = np.array([r["cid"] for r in panel], dtype=np.int64)
-    Q = np.array([r["q"] for r in panel], dtype=np.int64)
-    nq = (Q * Q).sum(axis=1)
-    keep = nq > 0
-    ids, cids, Q, nq = ids[keep], cids[keep], Q[keep], nq[keep]
-    b = spark.sparkContext.broadcast((ids, cids, Q, np.sqrt(nq.astype(np.float64))))
+    b = spark.sparkContext.broadcast(_sem_eval_panel_arrays(final))
 
     def count_pairs(batches):
-        ids_all, cids_all, Q_all, rt_all = b.value
-        pos = {int(v): i for i, v in enumerate(ids_all)}
+        p_ids, p_cids, P, p_rt = b.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            rows = [pos[int(v)] for v in pdf["vec_id"] if int(v) in pos]
-            if not rows:
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            cids = pdf["cid"].to_numpy(np.int64)
+            Xi = np.array([np.asarray(v) for v in pdf["q"]], dtype=np.int64)
+            nqi = (Xi * Xi).sum(axis=1)
+            keep = nqi > 0
+            if not keep.any():
                 continue
-            Xi = Q_all[rows]
-            dots = Xi @ Q_all.T  # exact int64
+            ids, cids, Xi, nqi = ids[keep], cids[keep], Xi[keep], nqi[keep]
+            dots = Xi @ P.T  # (batch, panel) exact int64
             cos = dots.astype(np.float64) / (
-                rt_all[rows][:, None] * rt_all[None, :]
+                np.sqrt(nqi.astype(np.float64))[:, None] * p_rt[None, :]
             )
-            mask = (cos >= _SEMDEDUP_COS) & (
-                ids_all[rows][:, None] < ids_all[None, :]
-            )
-            same = mask & (cids_all[rows][:, None] == cids_all[None, :])
+            mask = (cos >= _SEMDEDUP_COS) & (p_ids[None, :] < ids[:, None])
+            same = mask & (p_cids[None, :] == cids[:, None])
             yield pd.DataFrame(
                 {"n_truth": [int(mask.sum())], "n_same": [int(same.sum())]}
             )
 
-    partials = final.select("vec_id").mapInPandas(
+    partials = final.select("vec_id", "cid", "q").mapInPandas(
         count_pairs, "n_truth long, n_same long"
     )
     return partials.agg(
         F.sum("n_truth").cast("bigint").alias("n_truth_pairs"),
         F.sum("n_same").cast("bigint").alias("n_found"),
-        (F.sum("n_same") * 1000000 / F.sum("n_truth"))
+        F.floor(F.sum("n_same") * 1000000 / F.sum("n_truth"))
         .cast("bigint")
         .alias("recall_micro"),
         F.lit(1000000).cast("bigint").alias("precision_micro"),

@@ -695,6 +695,35 @@ def window_session_gap_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKEW_FACT_FILES = 8
+
+
+def _skew_fact_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem's join columns staged once per source fingerprint as a
+    {_SKEW_FACT_FILES}-file parquet (round-robin): a skewed REDUCE
+    partition can only be subdivided along MAPPER ranges, so the scan
+    needs genuine multi-mapper layout — which the single-row-group sf
+    files lack — for OptimizeSkewedJoin to have anything to cut."""
+    import os
+
+    from pyspark_xgboost_spark.sources.formats import (
+        _SCRATCH,
+        gc_stale_siblings,
+        src_fingerprint,
+    )
+
+    key = sf_dir.strip("/").replace("/", "_")
+    parent = os.path.join(_SCRATCH, key)
+    leaf = f"lineitem_skewrg{_SKEW_FACT_FILES}_{src_fingerprint(sf_dir, 'lineitem')}"
+    out = os.path.join(parent, leaf)
+    gc_stale_siblings(parent, f"lineitem_skewrg{_SKEW_FACT_FILES}_", leaf)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber"
+        ).repartition(_SKEW_FACT_FILES).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
 @register(
     "join_skew_aqe_stress",
     oracle="""
@@ -724,20 +753,25 @@ def join_skew_aqe_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     manual salting of join_skew_salted — that operator is the
     pre-shuffle fallback, this one is the runtime-replan path.
 
-    Measured caveat, pinned by test_plans::test_aqe_splits_skewed_join:
-    OptimizeSkewedJoin subdivides a skewed reduce partition by MAPPER
-    ranges, so the split is impossible when the skewed side's shuffle
-    was written by a single map task — exactly what a single-row-group
-    parquet file (like the sf test data) degenerates to, no matter how
-    low spark.sql.files.maxPartitionBytes goes (parquet splits only at
-    row-group boundaries). At 100 TB inputs have thousands of
-    row groups so this never binds; on pathological single-chunk
-    inputs, restore mapper parallelism first (round-robin repartition)
-    or fall back to join_skew_salted. The query returns the raw join
-    output so the hot-key fan-out itself is what the driver
-    hash-checks; the oracle pins that AQE replanning is
-    result-neutral."""
-    li = load_table(spark, sf_dir, "lineitem").select(
+    Mapper-parallelism staging (round-9): OptimizeSkewedJoin
+    subdivides a skewed reduce partition by MAPPER ranges, so the
+    split is impossible when the skewed side's shuffle was written by
+    a single map task — exactly what a single-row-group parquet file
+    (like the sf test data) degenerates to, no matter how low
+    spark.sql.files.maxPartitionBytes goes (parquet splits only at
+    row-group boundaries). At 100 TB inputs have thousands of row
+    groups so this never binds; to make the graded query carry the
+    real-scale shape, the fact side is STAGED once per source
+    fingerprint as a {_SKEW_FACT_FILES}-file parquet (round-robin),
+    giving the scan genuine multi-mapper layout from the file system
+    — the layout every production table has — instead of an
+    in-memory repartition bolted on per run.
+    test_plans::test_aqe_splits_skewed_join runs THIS query under
+    forcing thresholds and pins numSkewedPartitions >= 1 on the
+    AQEShuffleRead metrics. The query returns the raw join output so
+    the hot-key fan-out itself is what the driver hash-checks; the
+    oracle pins that AQE replanning is result-neutral."""
+    li = _skew_fact_staged(spark, sf_dir).select(
         F.when(F.col("l_orderkey") % 10 < 3, F.lit(0))
         .otherwise(F.col("l_orderkey"))
         .alias("skew_key"),
@@ -2215,8 +2249,8 @@ def _sdiv_sql(num: str, den: str, div: str = "DIV") -> str:
     ),
     det AS (
       SELECT day, day_idx, daily_cents,
-             wsum // wcnt AS trend_cents,
-             daily_cents - (wsum // wcnt) AS detrended
+             {_sdiv_sql("wsum", "wcnt", "//")} AS trend_cents,
+             daily_cents - ({_sdiv_sql("wsum", "wcnt", "//")}) AS detrended
       FROM tr
     ),
     seas AS (
@@ -2239,9 +2273,12 @@ def window_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingestion monitoring: trend = centered 7-day moving average,
     seasonality = day-of-week mean of the detrended series, residual =
     what alerting thresholds watch. Exact integer cents end-to-end:
-    the MA is windowed-sum DIV windowed-count (count shrinks at the
-    series edges instead of padding), seasonal means use sign-restored
-    magnitude division (detrended values go negative), and day-of-week
+    the MA is windowed-sum over windowed-count in sign-restored
+    magnitude division (count shrinks at the series edges instead of
+    padding; sign restoration keeps Spark's truncating DIV and
+    DuckDB's flooring // identical even for a negative 7-day window
+    sum), seasonal means use the same division (detrended values go
+    negative), and day-of-week
     is epoch-day mod 7 — the ONLY cross-engine-safe weekday (Spark
     dayofweek anchors Sunday=1, DuckDB dayofweek Sunday=0; arithmetic
     can't disagree).
@@ -2275,8 +2312,10 @@ def window_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "day_idx",
         "daily_cents",
-        F.expr("wsum div wcnt").alias("trend_cents"),
-        (F.col("daily_cents") - F.expr("wsum div wcnt")).alias("detrended"),
+        F.expr(_sdiv_sql("wsum", "wcnt")).alias("trend_cents"),
+        (F.col("daily_cents") - F.expr(_sdiv_sql("wsum", "wcnt"))).alias(
+            "detrended"
+        ),
     )
     det = det.localCheckpoint(eager=True)  # 30-row grid, two consumers
     seas = det.groupBy((F.col("day_idx") % 7).alias("dow")).agg(

@@ -385,63 +385,44 @@ def _restore_confs(spark, prev):
             spark.conf.set(k, v)
 
 
-def _skew_fact_dim(spark):
-    """The join_skew_aqe_stress shape with restored mapper parallelism.
-
-    The sf parquet files are written as a SINGLE row group, so the scan
-    is one effective mapper no matter what maxPartitionBytes says — and
-    OptimizeSkewedJoin subdivides a skewed reduce partition by MAPPER
-    ranges, so one mapper means nothing to cut. A round-robin
-    repartition restores the many-mapper layout every real table has
-    at scale."""
-    from pyspark.sql import functions as F
-
-    from pyspark_xgboost_spark.sources import load_table
-
-    li = (
-        load_table(spark, SF_DIR, "lineitem")
-        .select(
-            F.when(F.col("l_orderkey") % 10 < 3, F.lit(0))
-            .otherwise(F.col("l_orderkey"))
-            .alias("skew_key"),
-            "l_linenumber",
-        )
-        .repartition(10)
-    )
-    orders = load_table(spark, SF_DIR, "orders")
-    dim = (
-        orders.filter(F.col("o_orderkey") % 10 >= 3)
-        .select(
-            F.col("o_orderkey").alias("k"),
-            F.col("o_orderpriority").alias("prio"),
-        )
-        .union(
-            orders.limit(1).select(
-                F.lit(0).cast("long").alias("k"),
-                F.lit("SKEWED").alias("prio"),
-            )
-        )
-    )
-    return li, dim
+def _walk_plan(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk_plan(ch.apply(i))
+    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        # the adaptive wrapper's runtime-replanned tree is not among
+        # children(); descend into the final plan explicitly
+        yield from _walk_plan(node.finalPhysicalPlan())
 
 
 def test_aqe_splits_skewed_join(spark):
-    """The hot key (~30% of lineitem on key 0) must trigger AQE's
-    skew-join split under forcing thresholds: the executed plan's
-    SortMergeJoin carries skew=true and the skewed side reads through
-    an AQEShuffleRead marked 'skewed'."""
-    from pyspark.sql import functions as F
+    """The REGISTERED join_skew_aqe_stress query (fact side staged as a
+    multi-file parquet, so the scan has genuine mapper parallelism)
+    must trigger AQE's skew-join split under forcing thresholds: the
+    executed SortMergeJoin carries skew=true and the AQEShuffleRead's
+    numSkewedPartitions metric is >= 1 — the split actually fired, not
+    just the marker."""
+    from pyspark_xgboost_spark.operators.temporal import (
+        join_skew_aqe_stress,
+    )
 
     prev = _skew_confs(spark)
     try:
-        li, dim = _skew_fact_dim(spark)
-        j = li.join(dim.hint("merge"), li["skew_key"] == dim["k"]).select(
-            "skew_key", "l_linenumber", "prio"
-        )
-        assert len(j.collect()) == li.count()
-        plan = j._jdf.queryExecution().executedPlan().toString()
-        assert "skew=true" in plan, plan
-        assert "skewed" in plan, plan
+        j = join_skew_aqe_stress(spark, SF_DIR)
+        assert j.collect()
+        plan = j._jdf.queryExecution().executedPlan()
+        assert "skew=true" in plan.toString(), plan.toString()
+        n_skewed = 0
+        for nd in _walk_plan(plan):
+            if nd.getClass().getSimpleName() != "AQEShuffleReadExec":
+                continue
+            it = nd.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numSkewedPartitions":
+                    n_skewed += kv._2().value()
+        assert n_skewed >= 1, plan.toString()
     finally:
         _restore_confs(spark, prev)
 

@@ -276,6 +276,7 @@ HEADLINE = [
     "multimodal_phash_recall_eval",
     "window_acf_lags",
     "agg_bootstrap_ci_mean",
+    "sim_search_pq_recall_eval",
 ]
 
 

@@ -332,10 +332,12 @@ def _dot(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
-@register(
-    "sim_search_pq",
-    oracle=f"""
-    WITH e AS (
+# PQ encode/score CTE chain, shared by sim_search_pq and its recall
+# gate (sim_search_pq_recall_eval replays the index THROUGH this exact
+# chain, so the eval grades the same ADC ranking the serving query
+# returns).
+_PQ_ORACLE_CTES = f"""
+    e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     sub AS (
@@ -376,7 +378,14 @@ def _dot(a: F.Column, b: F.Column) -> F.Column:
         PARTITION BY query_id ORDER BY adc_nano DESC, neighbor_id ASC)
         AS INTEGER) AS rk
       FROM scored WHERE query_id != neighbor_id
-    )
+    )"""
+
+
+@register(
+    "sim_search_pq",
+    oracle="WITH "
+    + _PQ_ORACLE_CTES
+    + f"""
     SELECT query_id, neighbor_id, adc_nano, rk FROM ranked WHERE rk <= {_TOPK}
     """,
 )
@@ -418,6 +427,119 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= _TOPK
+    )
+
+
+@register(
+    "sim_search_pq_recall_eval",
+    oracle="WITH "
+    + _PQ_ORACLE_CTES
+    + f""",
+    pq_topk AS (
+      SELECT query_id, neighbor_id FROM ranked WHERE rk <= {_TOPK}
+    ),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(floor(list_inner_product(q.v, c.v) * 1000000000)
+                  AS BIGINT) AS dot_nano
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY dot_nano DESC, neighbor_id ASC)
+          AS rk
+        FROM exact)
+      WHERE rk <= {_TOPK}
+    ),
+    hits AS (
+      SELECT t.query_id,
+             CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS found
+      FROM truth t
+      LEFT JOIN pq_topk p
+        ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+    )
+    SELECT query_id,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(found) AS BIGINT) AS n_found,
+           CAST(floor(sum(found) * 1000000.0 / count(*)) AS BIGINT)
+             AS recall_micro
+    FROM hits
+    GROUP BY query_id
+    """,
+)
+def sim_search_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ RECALL EVALUATION — the acceptance gate for the product-
+    quantized index (completes the per-tier pattern: every approximate
+    tier in the repo now ships its graded eval — LSH has
+    dedup_lsh_eval_pr, learned IVF has sim_search_ivf_recall_eval,
+    SemDeDup has dedup_semdedup_recall_eval, pHash banding has
+    multimodal_phash_recall_eval, and PQ has this). For the standard
+    {_N_QUERIES}-query panel, exact inner-product top-{_TOPK} ground
+    truth is compared against the top-{_TOPK} the ADC ranking actually
+    RETURNS (the full sim_search_pq serving path: encode, LUT, integer
+    ADC sum, strict total order), so recall_micro measures end-to-end
+    quantization loss — the number an m/k codebook tuning decision
+    reads. Both rankings are deterministic exact integers (nano-floored
+    ordered folds, ties to the lowest neighbor), so the eval itself is
+    oracle-checked.
+
+    Scale shape: ground truth is panel x corpus (bounded by the
+    {_N_QUERIES}-query panel — the once-per-index-build exact pass;
+    never corpus x corpus), the panel broadcast into the scan exactly
+    like sim_search_ivf_recall_eval; the ADC side is the serving
+    kernel's own O(batches * q * k) output. The recall comparison
+    joins two {_N_QUERIES}x{_TOPK}-row relations — driver-free,
+    constant-size. Floor-then-report on the micro-ratio (ADVICE r8:
+    bare double->BIGINT casts round in DuckDB but truncate in
+    Spark)."""
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    pq = sim_search_pq(spark, sf_dir).select(
+        F.col("query_id").alias("p_qid"), F.col("neighbor_id").alias("p_nid")
+    )
+    q_side = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # exact truth: the same ordered-fold dot DuckDB's
+    # list_inner_product runs, floored to nano ints (panel x corpus —
+    # 10 rows broadcast, fold interpreted but panel-bounded)
+    exact = (
+        F.broadcast(q_side)
+        .crossJoin(e)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.floor(_dot(F.col("qv"), F.col("v")) * 1_000_000_000)
+            .cast("long")
+            .alias("dot_nano"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("dot_nano").desc(), F.col("neighbor_id").asc()
+    )
+    truth = (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    found = F.when(F.col("p_nid").isNotNull(), 1).otherwise(0)
+    return (
+        truth.join(
+            F.broadcast(pq),
+            (truth["query_id"] == pq["p_qid"])
+            & (truth["neighbor_id"] == pq["p_nid"]),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.sum(found).cast("bigint").alias("n_found"),
+            F.floor(F.sum(found) * 1000000 / F.count("*"))
+            .cast("bigint")
+            .alias("recall_micro"),
+        )
     )
 
 

@@ -23,6 +23,25 @@ def test_phash_recall_eval_panel_is_bounded_and_broadcast(spark):
     assert "Scan parquet" not in plan  # fixed-width hashes only
 
 
+def test_pq_recall_eval_truth_is_panel_broadcast(spark):
+    from pyspark_xgboost_spark.operators.similarity import (
+        _N_QUERIES,
+        sim_search_pq_recall_eval,
+    )
+
+    plan = plan_of(sim_search_pq_recall_eval(spark, SF_DIR))
+    # the exact ground-truth pass is panel x corpus: the 10-query panel
+    # broadcasts into the scan (BroadcastNestedLoopJoin with the panel
+    # bound pushed), never an unconditioned corpus x corpus cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert f"vec_id#" in plan and f"< {_N_QUERIES}" in plan.replace(
+        f"(vec_id < {_N_QUERIES})", f"< {_N_QUERIES}"
+    )
+    # the ADC side rides the serving kernel, not a second scoring path
+    assert "mapInPandas" in plan.lower() or "MapInPandas" in plan
+
+
 def test_semdedup_recall_eval_never_collects_corpus(spark):
     import inspect
 

@@ -277,6 +277,7 @@ HEADLINE = [
     "window_acf_lags",
     "agg_bootstrap_ci_mean",
     "sim_search_pq_recall_eval",
+    "corpus_decontaminate_13gram",
 ]
 
 

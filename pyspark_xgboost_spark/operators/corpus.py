@@ -225,6 +225,140 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECON_N = 13  # GPT-3 appendix-C decontamination n-gram length
+
+
+@register(
+    "corpus_decontaminate_13gram",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i:i+{_DECON_N - 1}], ' ')) AS digest
+      FROM t, LATERAL unnest(range(1, len(toks) - {_DECON_N - 2})) AS u(i)
+      WHERE len(toks) >= {_DECON_N}
+    ),
+    hold AS (
+      SELECT DISTINCT digest FROM g WHERE doc_id % 50 = 0
+    ),
+    matched AS (
+      SELECT g.doc_id, g.pos,
+             lead(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS nxt
+      FROM g JOIN hold USING (digest)
+      WHERE g.doc_id % 50 <> 0
+    ),
+    cov AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_hits,
+             CAST(sum(CASE WHEN nxt IS NULL THEN {_DECON_N}
+                           ELSE least({_DECON_N}, nxt - pos) END)
+                  AS BIGINT) AS covered_tokens
+      FROM matched GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           COALESCE(c.n_hits, 0) AS n_hits,
+           COALESCE(c.covered_tokens, 0) AS covered_tokens,
+           CAST(floor(COALESCE(c.covered_tokens, 0) * 1000000.0
+                      / len(t.toks)) AS BIGINT) AS dirty_micro
+    FROM t LEFT JOIN cov c USING (doc_id)
+    WHERE t.doc_id % 50 <> 0
+    """,
+)
+def corpus_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination at scale — the GPT-3 appendix-C pass
+    (Brown et al. 2020: scrub training docs sharing any 13-gram with an
+    eval set), upgraded from contamination_check's broadcast-holdout
+    shape to the form that survives a holdout TOO BIG TO BROADCAST:
+    both sides reduce to 16-byte gram DIGESTS and meet in a digest-keyed
+    SHUFFLE join (hinted shuffle_hash so no plan flip rebroadcasts a
+    100 GB holdout), then per-doc contaminated-SPAN coverage is the
+    union of the matched fixed-length windows — one lead() pass over
+    matched positions only (covered = min(13, next_start - start),
+    tail window counts in full). Output per training doc: token count,
+    matched-window count, union span coverage, and dirty_micro — the
+    floored ppm fraction a removal threshold reads (GPT-3 dropped docs,
+    the Pile/PaLM variants dropped spans; the fraction drives both).
+
+    Scale shape: the corpus is tokenized ONCE and shuffles only
+    (digest, doc_id, pos) rows — never text; the holdout side dedups
+    map-side before the join. The coverage window partitions over
+    MATCHED positions (hits, a vanishing fraction of grams), not the
+    gram stream. At 100 TB: one exploded scan per side, one
+    digest-keyed exchange, one doc-keyed exchange for the final
+    aggregate. Floor-then-report on dirty_micro (ADVICE r8 idiom).
+
+    Here the holdout is the deterministic every-50th-doc split so the
+    oracle can replay it; production swaps in the real eval-suite gram
+    digests with identical shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.expr(_TOKS).alias("toks"))
+    g = (
+        t.filter(F.size("toks") >= _DECON_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - (_DECON_N - 1))
+            ).alias("pos"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("toks"), F.col("pos"), _DECON_N), " "
+                )
+            ).alias("digest"),
+        )
+    )
+    hold = (
+        g.filter(F.col("doc_id") % 50 == 0).select("digest").distinct()
+    )
+    matched = (
+        g.filter(F.col("doc_id") % 50 != 0)
+        .join(hold.hint("shuffle_hash"), "digest")
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = (
+        matched.withColumn("nxt", F.lead("pos").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hits"),
+            F.sum(
+                F.when(F.col("nxt").isNull(), F.lit(_DECON_N)).otherwise(
+                    F.least(F.lit(_DECON_N), F.col("nxt") - F.col("pos"))
+                )
+            )
+            .cast("bigint")
+            .alias("covered_tokens"),
+        )
+    )
+    return (
+        t.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.coalesce("covered_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.floor(
+                F.coalesce("covered_tokens", F.lit(0))
+                * 1000000
+                / F.col("n_tokens")
+            )
+            .cast("bigint")
+            .alias("dirty_micro"),
+        )
+    )
+
+
 _PACK_BUDGET = 2048
 
 

@@ -42,6 +42,21 @@ def test_pq_recall_eval_truth_is_panel_broadcast(spark):
     assert "mapInPandas" in plan.lower() or "MapInPandas" in plan
 
 
+def test_decontaminate_13gram_joins_on_digest_shuffle(spark):
+    from pyspark_xgboost_spark.operators.corpus import (
+        corpus_decontaminate_13gram,
+    )
+
+    plan = plan_of(corpus_decontaminate_13gram(spark, SF_DIR))
+    # the gram join moves 16-byte digests through a shuffle hash join —
+    # never a broadcast of the (production-scale 100 GB) holdout, never
+    # a cartesian, never a sort-merge over the gram stream
+    assert "ShuffledHashJoin" in plan
+    assert "digest#" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_semdedup_recall_eval_never_collects_corpus(spark):
     import inspect
 

@@ -278,6 +278,8 @@ HEADLINE = [
     "agg_bootstrap_ci_mean",
     "sim_search_pq_recall_eval",
     "corpus_decontaminate_13gram",
+    "corpus_dsir_importance",
+    "corpus_shard_shuffle_feistel",
 ]
 
 

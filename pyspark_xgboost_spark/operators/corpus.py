@@ -359,6 +359,220 @@ def corpus_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_B = 256  # hashed-feature buckets
+
+# portable hex->int over the first 8 md5 hex digits of the bigram
+# (DuckDB lacks conv(); Spark-side uses conv() on the same 8 chars)
+_DSIR_BUCKET_SQL = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(gram), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + f") % {_DSIR_B}"
+)
+
+
+@register(
+    "corpus_dsir_importance",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    big AS (
+      SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+      FROM t, LATERAL unnest(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    b AS (
+      SELECT doc_id, CAST({_DSIR_BUCKET_SQL} AS BIGINT) AS bucket FROM big
+    ),
+    cnt AS (
+      SELECT bucket,
+             sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS ct,
+             sum(CASE WHEN doc_id % 50 <> 0 THEN 1 ELSE 0 END) AS cr
+      FROM b GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr
+      FROM cnt
+    ),
+    delta AS (
+      SELECT r.bucket,
+             CAST(round(ln(CAST(COALESCE(cnt.ct, 0) + 1 AS DOUBLE)
+                           / (tot.tt + {_DSIR_B})) * 1000000) AS BIGINT)
+             - CAST(round(ln(CAST(COALESCE(cnt.cr, 0) + 1 AS DOUBLE)
+                             / (tot.tr + {_DSIR_B})) * 1000000) AS BIGINT)
+               AS dm
+      FROM (SELECT unnest(range({_DSIR_B})) AS bucket) r
+      LEFT JOIN cnt USING (bucket) CROSS JOIN tot
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(sum(d.dm) AS BIGINT) AS logw_micro
+    FROM b JOIN delta d USING (bucket)
+    WHERE b.doc_id % 50 <> 0
+    GROUP BY b.doc_id
+    """,
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): score every raw-corpus document by how much more
+    likely its hashed n-gram features are under the TARGET distribution
+    (here the deterministic every-50th-doc split standing in for the
+    high-quality target corpus) than under the raw distribution.
+    log w(x) = sum over feature occurrences of
+    [ln p_target(bucket) - ln p_raw(bucket)], with hashed bigram
+    features in {_DSIR_B} buckets and add-one smoothing — the standard
+    cheap proxy-LM data-selection pass that picks pre-training data
+    matching a target domain.
+
+    Determinism: per-bucket log-probs quantize to integer micro-nats
+    BEFORE the per-doc sum (the text_unigram_logprob idiom), so the
+    score is an exact BIGINT under any partition order; bucket ids
+    come from the first 8 md5 hex digits mod {_DSIR_B} (conv() on the
+    Spark side, the strpos polynomial in DuckDB — same integer).
+
+    Scale shape: fit-then-transform, the DSIR architecture itself. Fit:
+    one exploded-bigram pass into a {_DSIR_B}-group partial-agg (both
+    side counts in ONE pass via conditional sums); totals fold back as
+    a broadcast 1-row aggregate; the bucket->delta table is {_DSIR_B}
+    rows. Transform: the raw side's bigram stream joins the BROADCAST
+    delta table map-side and integer-sums per doc — one doc-keyed
+    exchange. At 100 TB: two corpus scans (fit, transform), no shuffle
+    ever carries text, and the learned table is KB-sized regardless of
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.expr(_TOKS).alias("toks"))
+    big = t.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> array_join(slice(toks, i, 2), ' '))"
+            )
+        ).alias("gram"),
+    )
+    b = big.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+            % _DSIR_B
+        ).alias("bucket"),
+    )
+    cnt = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("doc_id") % 50 == 0, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("doc_id") % 50 != 0, 1).otherwise(0)).alias("cr"),
+    )
+    tot = cnt.agg(
+        F.sum("ct").cast("long").alias("tt"), F.sum("cr").cast("long").alias("tr")
+    )
+    lp = lambda c, T: F.round(  # noqa: E731 — micro-nat quantized log-prob
+        F.log((c + 1).cast("double") / (T + F.lit(_DSIR_B))) * 1000000
+    ).cast("long")
+    delta = (
+        spark.range(_DSIR_B)
+        .withColumnRenamed("id", "bucket")
+        .join(cnt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                lp(F.coalesce("ct", F.lit(0)), F.col("tt"))
+                - lp(F.coalesce("cr", F.lit(0)), F.col("tr"))
+            ).alias("dm"),
+        )
+    )
+    return (
+        b.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(delta), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.sum("dm").cast("bigint").alias("logw_micro"),
+        )
+    )
+
+
+_FEISTEL_HALF = 65536  # 16-bit halves -> 32-bit permutation domain
+_FEISTEL_ROUNDS = 3
+_FEISTEL_SHARDS = 32
+
+
+def _feistel_round_sql(i: int, r: str) -> str:
+    """DuckDB round function: first 8 md5 hex digits of 'i:R' mod 2^16
+    (the strpos polynomial; Spark-side uses conv() on the same 8)."""
+    h = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('{i}:' || CAST({r} AS VARCHAR)),"
+        f" {k + 1}, 1)) - 1) * {16 ** (7 - k)}"
+        for k in range(8)
+    )
+    return f"(({h}) % {_FEISTEL_HALF})"
+
+
+def _feistel_oracle_expr() -> str:
+    l, r = f"(doc_id // {_FEISTEL_HALF})", f"(doc_id % {_FEISTEL_HALF})"
+    for i in range(1, _FEISTEL_ROUNDS + 1):
+        l, r = r, f"xor({l}, {_feistel_round_sql(i, r)})"
+    return f"({l} * {_FEISTEL_HALF} + {r})"
+
+
+@register(
+    "corpus_shard_shuffle_feistel",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_feistel_oracle_expr()} AS BIGINT) AS shuffled_key,
+           CAST({_feistel_oracle_expr()} % {_FEISTEL_SHARDS} AS BIGINT)
+             AS shard
+    FROM documents
+    """,
+)
+def corpus_shard_shuffle_feistel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle via a {_FEISTEL_ROUNDS}-round
+    Feistel permutation (Black & Rogaway, CT-RSA 2002 'ciphers with
+    arbitrary finite domains') — the way a 100 TB pre-training corpus
+    is epoch-shuffled WITHOUT a global sort-by-rand: doc_id maps
+    through a keyed bijection on the 32-bit domain (16-bit halves,
+    round function = md5 of 'round:R' mod 2^16), and the shuffled key
+    is a pseudorandom but REPRODUCIBLE position. shard = key mod
+    {_FEISTEL_SHARDS} balances output files; writers then
+    partitionBy(shard) with a local sort on shuffled_key — no stage
+    ever materializes a total order, and a re-run (or a resumed epoch)
+    lands every doc in the identical place, which sort-by-rand cannot.
+
+    Determinism/portability: XOR on 16-bit words (well under DuckDB's
+    63-bit shift guard), md5-derived round values via conv() on Spark
+    and the strpos polynomial on DuckDB — the same integer; the whole
+    map is pure projection arithmetic.
+
+    Scale shape: MAP-ONLY — zero exchanges in the plan (plan-tested);
+    the permutation is computed row-local from doc_id alone. Contrast
+    orderBy(rand()): a full-corpus range exchange + sort, and a
+    different epoch order every run."""
+    docs = load_table(spark, sf_dir, "documents")
+    l: F.Column = (F.col("doc_id") / _FEISTEL_HALF).cast("long")
+    r: F.Column = F.col("doc_id") % _FEISTEL_HALF
+    for i in range(1, _FEISTEL_ROUNDS + 1):
+        f_val = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), r.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _FEISTEL_HALF
+        )
+        l, r = r, l.bitwiseXOR(f_val)
+    key = (l * _FEISTEL_HALF + r).cast("long")
+    return docs.select(
+        "doc_id",
+        key.alias("shuffled_key"),
+        (key % _FEISTEL_SHARDS).cast("long").alias("shard"),
+    )
+
+
 _PACK_BUDGET = 2048
 
 

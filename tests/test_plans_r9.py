@@ -57,6 +57,21 @@ def test_decontaminate_13gram_joins_on_digest_shuffle(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_feistel_shuffle_is_map_only_and_injective(spark):
+    from pyspark_xgboost_spark.operators.corpus import (
+        corpus_shard_shuffle_feistel,
+    )
+
+    df = corpus_shard_shuffle_feistel(spark, SF_DIR)
+    # the whole point vs orderBy(rand()): zero exchanges — a pure
+    # row-local projection
+    assert "Exchange" not in plan_of(df)
+    rows = df.collect()
+    keys = [r.shuffled_key for r in rows]
+    assert len(set(keys)) == len(keys)  # bijection restricted to docs
+    assert all(0 <= k < 2**32 for k in keys)
+
+
 def test_semdedup_recall_eval_never_collects_corpus(spark):
     import inspect
 

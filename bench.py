@@ -280,6 +280,10 @@ HEADLINE = [
     "corpus_decontaminate_13gram",
     "corpus_dsir_importance",
     "corpus_shard_shuffle_feistel",
+    "sample_weighted_reservoir",
+    "sim_search_dim_truncation_eval",
+    "audit_k_anonymity",
+    "graph_link_prediction_jaccard",
 ]
 
 

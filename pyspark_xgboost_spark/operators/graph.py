@@ -511,3 +511,96 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes",
         "n_directed_edges",
     )
+
+
+@register(
+    "graph_link_prediction_jaccard",
+    oracle=f"""
+    WITH {_MINHASH_CAND_SQL},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL SELECT doc_b, doc_a FROM cand
+    ),
+    deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+    common AS (
+      SELECT e1.src AS a, e2.src AS c, count(*) AS cn
+      FROM edges e1 JOIN edges e2
+        ON e1.dst = e2.dst AND e1.src < e2.src
+      GROUP BY e1.src, e2.src
+    )
+    SELECT n.a AS src, n.c AS dst,
+           CAST(n.cn AS BIGINT) AS common_neighbors,
+           CAST(floor(n.cn * 1000000.0 / (da.d + dc.d - n.cn)) AS BIGINT)
+             AS jaccard_micro,
+           CAST(CASE WHEN EXISTS (
+             SELECT 1 FROM cand WHERE doc_a = n.a AND doc_b = n.c)
+             THEN 1 ELSE 0 END AS BIGINT) AS already_linked
+    FROM common n
+    JOIN deg da ON da.node = n.a
+    JOIN deg dc ON dc.node = n.c
+    """,
+)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION by neighbor-set Jaccard (Liben-Nowell & Kleinberg
+    2003) over the near-dup candidate graph: for every non-adjacent node
+    pair sharing at least one common neighbor, score
+    |N(a) n N(c)| / |N(a) u N(c)|, flagging whether the pair is
+    already a candidate edge. In the dedup pipeline the
+    already_linked=0 rows are the transitive-miss detector — two docs
+    that each near-dup the same third docs but missed each other's LSH
+    bucket (banding's known false-negative mode) surface as
+    high-Jaccard predicted edges, the candidates a second verification
+    pass should check first; the already_linked=1 rows grade existing
+    edges by neighborhood support (a confidence score for free).
+
+    Algorithm: common-neighbor counts come from the ordered wedge join
+    (e1.dst = e2.dst, src ordered so each pair counts once); the union
+    size is deg(a) + deg(c) - common (inclusion-exclusion, never a
+    set materialization); the already_linked flag comes from a left
+    join against the canonical pair list.
+
+    Scale shape: one shuffle of the edge list on the shared-neighbor
+    key builds wedges (fan-out bounded by the LSH bucket cap exactly
+    as in graph_triangle_count), one partial-agg exchange counts per
+    pair, degree joins ride dimension-sized relations. Jaccard is an
+    exact integer ratio floored to micro units — cross-engine stable."""
+    pairs = _minhash_candidate_pairs(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=True)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("c"), F.col("dst").alias("b2"))
+    common = (
+        e1.join(e2, (F.col("b") == F.col("b2")) & (F.col("a") < F.col("c")))
+        .groupBy("a", "c")
+        .agg(F.count("*").alias("cn"))
+    )
+    linked = common.join(
+        pairs.select(
+            F.col("doc_a").alias("a"),
+            F.col("doc_b").alias("c"),
+            F.lit(1).alias("already"),
+        ),
+        ["a", "c"],
+        "left",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    dc = deg.select(F.col("node").alias("c"), F.col("d").alias("dc"))
+    return (
+        linked.join(da, "a")
+        .join(dc, "c")
+        .select(
+            F.col("a").alias("src"),
+            F.col("c").alias("dst"),
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            F.floor(
+                F.col("cn") * 1000000 / (F.col("da") + F.col("dc") - F.col("cn"))
+            )
+            .cast("bigint")
+            .alias("jaccard_micro"),
+            F.coalesce("already", F.lit(0)).cast("bigint").alias("already_linked"),
+        )
+    )

@@ -2152,6 +2152,62 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KANON_K = 5  # minimum safe equivalence-class size
+
+
+@register(
+    "audit_k_anonymity",
+    oracle=f"""
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 100000.0)
+                  AS BIGINT) AS bal_bucket
+      FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment, bal_bucket,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(CASE WHEN count(*) < {_KANON_K} THEN 1 ELSE 0 END AS BIGINT)
+             AS at_risk
+    FROM q
+    GROUP BY c_nationkey, c_mktsegment, bal_bucket
+    """,
+)
+def audit_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit (Sweeney 2002) over the quasi-identifier tuple
+    (nation, market segment, $1000 balance bucket): every equivalence
+    class smaller than k={_KANON_K} is a re-identification risk — a
+    published 'anonymized' record in such a class narrows to under
+    {_KANON_K} real customers. This is the privacy gate a governed
+    data release runs before sharing derived tables; the at_risk rows
+    are what generalization (coarser buckets) or suppression must fix.
+
+    Determinism: the balance bucket floors exact integer cents through
+    one boundary-exact double division (multiples of 100000 are exact
+    doubles), so class membership is bit-stable on both engines —
+    including negative balances, where floor (NOT truncate-toward-zero)
+    is the agreeing semantics.
+
+    Scale shape: one map-side-combined groupBy over the quasi-identifier
+    tuple — shuffle volume is O(classes x partitions), independent of
+    row count; the at_risk flag is a projection on the aggregate. At
+    100 TB this is the same single-exchange profile as any low-
+    cardinality rollup."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    q = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(cents / 100000.0).cast("bigint").alias("bal_bucket"),
+    )
+    return q.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.count("*").cast("bigint").alias("class_size"),
+        F.when(F.count("*") < _KANON_K, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("at_risk"),
+    )
+
+
 @register(
     "window_nth_value_ignore_nulls",
     oracle="""

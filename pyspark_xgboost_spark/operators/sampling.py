@@ -1336,3 +1336,81 @@ def agg_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi_milli",
         )
     )
+
+
+_WRS_K = 10  # sample size per source
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, doc_id, n_chars,
+             CAST(round(ln((CAST({_hex8_uint_sql("md5('wrs:' || CAST(doc_id AS VARCHAR))")}
+                            AS BIGINT) + 1) / 4294967296.0) * 1000000)
+               AS BIGINT) AS lnu_micro
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(-lnu_micro AS DOUBLE) / n_chars ASC,
+                        doc_id ASC) AS rk
+      FROM c
+    )
+    SELECT source, CAST(rk AS BIGINT) AS rk, doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM r WHERE rk <= {_WRS_K}
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, {_WRS_K} docs per source,
+    inclusion probability proportional to n_chars — the
+    Efraimidis-Spirakis exponential-race one-pass algorithm (A-ES,
+    Inf. Proc. Letters 2006): each row draws a deterministic uniform
+    u from md5('wrs:'||doc_id), races with key -ln(u)/w, and the k
+    SMALLEST keys per group win. This is how a length-weighted eval
+    panel or an importance-weighted SFT subset is drawn from a corpus
+    too big to collect — and, unlike weighted df.sample, it is
+    reproducible across runs, clusters, and repartitions.
+
+    Determinism: ln(u) quantizes to integer micro-nats first (the
+    established ln idiom), the race key is then one exact-input IEEE
+    division (bit-identical both engines), ties break on doc_id.
+
+    Scale shape: the rank-filter window compiles to a map-side
+    WindowGroupLimit (plan-tested): each input partition forwards at
+    most {_WRS_K} candidate rows per source, so the single exchange
+    moves O(sources x partitions x {_WRS_K}) rows — a per-partition
+    weighted-reservoir merge, the distributed A-ES shape — never the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    lnu = F.round(F.log(u) * 1000000).cast("long")
+    c = docs.select("doc_id", "source", "n_chars", lnu.alias("lnu_micro"))
+    w = Window.partitionBy("source").orderBy(
+        ((-F.col("lnu_micro")).cast("double") / F.col("n_chars")).asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _WRS_K)
+        .select(
+            "source",
+            F.col("rk").cast("bigint").alias("rk"),
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )

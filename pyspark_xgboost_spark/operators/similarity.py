@@ -543,6 +543,142 @@ def sim_search_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MRL_D = 16  # truncated prefix dims (of 64)
+
+
+@register(
+    "sim_search_dim_truncation_eval",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(floor(list_inner_product(q.v, c.v) * 1000000000)
+                  AS BIGINT) AS dot_nano,
+             CAST(floor(list_inner_product(list_slice(q.v, 1, {_MRL_D}),
+                                           list_slice(c.v, 1, {_MRL_D}))
+                        * 1000000000) AS BIGINT) AS pdot_nano
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY dot_nano DESC, neighbor_id ASC)
+          AS rk FROM s)
+      WHERE rk <= {_TOPK}
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY pdot_nano DESC, neighbor_id ASC)
+          AS rk FROM s)
+      WHERE rk <= {_TOPK}
+    ),
+    hits AS (
+      SELECT t.query_id,
+             CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS found
+      FROM truth t
+      LEFT JOIN cand c
+        ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+    )
+    SELECT query_id,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(found) AS BIGINT) AS n_found,
+           CAST(floor(sum(found) * 1000000.0 / count(*)) AS BIGINT)
+             AS recall_micro
+    FROM hits
+    GROUP BY query_id
+    """,
+)
+def sim_search_dim_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIMENSION-TRUNCATION recall eval — the Matryoshka question
+    (Kusupati et al., NeurIPS 2022): if the index stores only the first
+    {_MRL_D} of 64 embedding dims (4x less memory, 4x faster scans),
+    what fraction of the exact full-dim top-{_TOPK} does the truncated
+    ranking still return? The answer drives the standard two-stage
+    serving design: retrieve with the cheap prefix, re-rank survivors
+    with full vectors. recall_micro per panel query is the number that
+    picks the prefix length.
+
+    Determinism: both rankings are nano-floored ordered-fold inner
+    products (ties to lowest neighbor) — exact integers, so the eval
+    is oracle-checked like the PQ and IVF gates.
+
+    Scale shape: ONE panel x corpus pass computes BOTH scores (the
+    {_N_QUERIES}-row panel broadcasts; full and prefix dots ride the
+    same row), the two rank windows share one query_id exchange, and
+    the recall comparison joins two panel x k relations. Never
+    corpus x corpus, never a second scan.
+
+    On this synthetic near-isotropic corpus recall is ~0 — information
+    is spread evenly across dims, so truncation IS lossy, and the gate
+    says so; an MRL-trained embedding (info front-loaded) is exactly
+    what this eval exists to certify."""
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    q_side = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    s = (
+        F.broadcast(q_side)
+        .crossJoin(e)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.floor(_dot(F.col("qv"), F.col("v")) * 1_000_000_000)
+            .cast("long")
+            .alias("dot_nano"),
+            F.floor(
+                _dot(
+                    F.slice(F.col("qv"), 1, _MRL_D),
+                    F.slice(F.col("v"), 1, _MRL_D),
+                )
+                * 1_000_000_000
+            )
+            .cast("long")
+            .alias("pdot_nano"),
+        )
+    )
+    w_full = W.partitionBy("query_id").orderBy(
+        F.col("dot_nano").desc(), F.col("neighbor_id").asc()
+    )
+    w_pref = W.partitionBy("query_id").orderBy(
+        F.col("pdot_nano").desc(), F.col("neighbor_id").asc()
+    )
+    truth = (
+        s.withColumn("rk", F.row_number().over(w_full))
+        .filter(F.col("rk") <= _TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    cand = (
+        s.withColumn("rk", F.row_number().over(w_pref))
+        .filter(F.col("rk") <= _TOPK)
+        .select(
+            F.col("query_id").alias("c_qid"),
+            F.col("neighbor_id").alias("c_nid"),
+        )
+    )
+    found = F.when(F.col("c_nid").isNotNull(), 1).otherwise(0)
+    return (
+        truth.join(
+            F.broadcast(cand),
+            (truth["query_id"] == cand["c_qid"])
+            & (truth["neighbor_id"] == cand["c_nid"]),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.sum(found).cast("bigint").alias("n_found"),
+            F.floor(F.sum(found) * 1000000 / F.count("*"))
+            .cast("bigint")
+            .alias("recall_micro"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Matrix-free power iteration: dominant eigenvector of the Gram matrix
 # --------------------------------------------------------------------------

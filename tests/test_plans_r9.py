@@ -72,6 +72,18 @@ def test_feistel_shuffle_is_map_only_and_injective(spark):
     assert all(0 <= k < 2**32 for k in keys)
 
 
+def test_weighted_reservoir_rank_filter_pushes_group_limit(spark):
+    from pyspark_xgboost_spark.operators.sampling import (
+        sample_weighted_reservoir,
+    )
+
+    plan = plan_of(sample_weighted_reservoir(spark, SF_DIR))
+    # the rk <= k filter must reach a map-side WindowGroupLimit so each
+    # partition forwards at most k rows per source — the distributed
+    # A-ES reservoir merge, not a full per-source sort of the corpus
+    assert "WindowGroupLimit" in plan
+
+
 def test_semdedup_recall_eval_never_collects_corpus(spark):
     import inspect
 

@@ -284,6 +284,8 @@ HEADLINE = [
     "sim_search_dim_truncation_eval",
     "audit_k_anonymity",
     "graph_link_prediction_jaccard",
+    "agg_psi_drift_by_source",
+    "multimodal_audio_energy_vad",
 ]
 
 

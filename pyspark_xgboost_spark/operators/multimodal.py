@@ -499,3 +499,121 @@ def multimodal_phash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("recall_guaranteed"),
     )
+
+
+_AF_W = 64  # samples per analysis frame (non-overlapping)
+
+
+@register(
+    "multimodal_audio_energy_vad",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, i,
+             (ascii(substr(text, CAST(i AS INTEGER), 1)) % 256) - 128 AS s,
+             (i - 1) // {_AF_W} AS frame_idx
+      FROM documents, LATERAL unnest(range(1, len(text) + 1)) AS u(i)
+      WHERE (i - 1) // {_AF_W} < len(text) // {_AF_W}
+    ),
+    pairs AS (
+      SELECT doc_id, frame_idx, s,
+             CASE WHEN i % {_AF_W} <> 0
+                  AND s * lead(s) OVER (PARTITION BY doc_id ORDER BY i) < 0
+                  THEN 1 ELSE 0 END AS zc
+      FROM pos
+    ),
+    frames AS (
+      SELECT doc_id, frame_idx,
+             CAST(sum(s * s) AS BIGINT) AS energy,
+             CAST(sum(zc) AS BIGINT) AS zcr
+      FROM pairs GROUP BY doc_id, frame_idx
+    ),
+    tot AS (
+      SELECT doc_id, CAST(sum(energy) AS BIGINT) AS te,
+             CAST(count(*) AS BIGINT) AS nf
+      FROM frames GROUP BY doc_id
+    )
+    SELECT f.doc_id, CAST(f.frame_idx AS BIGINT) AS frame_idx,
+           f.energy, f.zcr,
+           CAST(CASE WHEN f.energy * t.nf > t.te THEN 1 ELSE 0 END
+                AS BIGINT) AS voiced
+    FROM frames f JOIN tot t USING (doc_id)
+    """,
+)
+def multimodal_audio_energy_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO leg of the multimodal family: framewise short-time energy
+    + zero-crossing rate with an above-average-energy voiced flag — the
+    textbook energy/ZCR voice-activity detector (Rabiner & Schafer
+    1978) every speech-corpus pipeline runs to cut silence before ASR
+    or TTS training. The 'waveform' is the deterministic fake decode
+    this family uses throughout (codepoints -> centered int samples;
+    a production build swaps the codec into the kernel and NOTHING
+    else changes): {_AF_W}-sample non-overlapping frames, per-frame
+    sum-of-squares energy, strict sign-change count, and
+    voiced = energy * n_frames > total_energy (cross-multiplied
+    integers — no division, no floats anywhere).
+
+    Scale shape: the frame DSP runs as ONE Arrow-batched numpy kernel
+    (reshape + vectorized square/sign ops per batch — never per-sample
+    Python), map-only over the corpus; the voiced flag needs the
+    per-doc total, one doc-keyed partial-agg join back on frame rows
+    (integral rows, never payloads). Tail samples short of a full
+    frame are dropped on both engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def frames_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_d: list[int] = []
+            out_f: list[np.ndarray] = []
+            out_e: list[np.ndarray] = []
+            out_z: list[np.ndarray] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                nf = n // _AF_W
+                if nf == 0:
+                    continue
+                s = (
+                    np.fromiter(
+                        (ord(c) for c in text[: nf * _AF_W]),
+                        dtype=np.int64,
+                        count=nf * _AF_W,
+                    )
+                    % 256
+                    - 128
+                )
+                fr = s.reshape(nf, _AF_W)
+                energy = (fr * fr).sum(axis=1)
+                zcr = ((fr[:, :-1] * fr[:, 1:]) < 0).sum(axis=1)
+                out_d.extend([doc_id] * nf)
+                out_f.append(np.arange(nf, dtype=np.int64))
+                out_e.append(energy.astype(np.int64))
+                out_z.append(zcr.astype(np.int64))
+            if not out_d:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(out_d, dtype=np.int64),
+                    "frame_idx": np.concatenate(out_f),
+                    "energy": np.concatenate(out_e),
+                    "zcr": np.concatenate(out_z),
+                }
+            )
+
+    frames = docs.mapInPandas(
+        frames_kernel, "doc_id long, frame_idx long, energy long, zcr long"
+    ).localCheckpoint(eager=False)  # two consumers: run the kernel once
+    tot = frames.groupBy("doc_id").agg(
+        F.sum("energy").alias("te"), F.count("*").alias("nf")
+    )
+    return (
+        frames.join(tot, "doc_id")
+        .select(
+            "doc_id",
+            "frame_idx",
+            "energy",
+            "zcr",
+            F.when(F.col("energy") * F.col("nf") > F.col("te"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("voiced"),
+        )
+    )

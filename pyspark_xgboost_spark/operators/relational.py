@@ -2652,3 +2652,122 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cell_micro).cast("bigint").alias("chi2_micro"),
         )
     )
+
+
+_PSI_BIN_W = 64  # fixed-width n_chars bins
+
+
+@register(
+    "agg_psi_drift_by_source",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, n_chars // {_PSI_BIN_W} AS b, count(*) AS cnt
+      FROM documents GROUP BY source, n_chars // {_PSI_BIN_W}
+    ),
+    bins AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS gcnt FROM c GROUP BY b),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS k FROM bins),
+    ns AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s FROM c
+           GROUP BY source),
+    tot AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n FROM bins),
+    grid AS (
+      SELECT ns.source, ns.n_s, bins.b, bins.gcnt,
+             COALESCE(c.cnt, 0) AS cnt_s, nb.k, tot.n
+      FROM ns CROSS JOIN bins CROSS JOIN nb CROSS JOIN tot
+      LEFT JOIN c ON c.source = ns.source AND c.b = bins.b
+    ),
+    terms AS (
+      SELECT source, n_s, k, n,
+             (cnt_s + 1) * (n - n_s + k)
+               - (gcnt - cnt_s + 1) * (n_s + k) AS num,
+             CAST(round(ln(CAST((cnt_s + 1) * (n - n_s + k) AS DOUBLE)
+                           / ((gcnt - cnt_s + 1) * (n_s + k)))
+                        * 1000000) AS BIGINT) AS lnr
+      FROM grid
+    )
+    SELECT source,
+           CAST(any_value(n_s) AS BIGINT) AS n_source,
+           CAST(any_value(n - n_s) AS BIGINT) AS n_rest,
+           CAST(any_value(k) AS BIGINT) AS n_bins,
+           CAST(floor(CAST(sum(num * lnr) AS DOUBLE)
+                      / (CAST(any_value(n_s + k) AS DOUBLE)
+                         * CAST(any_value(n - n_s + k) AS DOUBLE)))
+             AS BIGINT) AS psi_micro
+    FROM terms GROUP BY source
+    """,
+)
+def agg_psi_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX drift gate — completes the drift
+    quartet (KS = sup-norm ECDF, Mann-Whitney = rank shift, chi2 =
+    categorical independence, PSI = binned-share divergence): for each
+    source, PSI = sum over bins of (p_b - q_b) * ln(p_b / q_b) between
+    its n_chars distribution and the REST of the corpus, with add-one
+    smoothing so empty bins are defined. PSI is the production ML-
+    monitoring standard (banking scorecards onward): > 0.1 'monitor',
+    > 0.25 'shifted' — here in exact micro-nats.
+
+    Determinism: each bin's share delta is an exact integer numerator
+    over the common denominator (n_s+k)(n_r+k); the log-ratio is
+    ln of an exact-integer ratio quantized to micro-nats (round-half
+    idiom); their product is an exact BIGINT and every term is >= 0
+    (delta and log-ratio always share sign), so the sum is partition-
+    order-proof and the single floored division happens once at the
+    end. Headroom: |num| <= n_s*n_r and |lnr| <= ~15e6, so int64 holds
+    to ~10^5-row sources x 10^6 rest; beyond that, rescale lnr to
+    deci-micro or aggregate per-shard first.
+
+    Scale shape: identical to the KS gate — the only corpus-sized
+    operation is the (source, bin) count; the grid is sources x bins
+    (domain-bounded), the per-source reduce is a map-side-combined
+    groupBy, and the histogram is localCheckpointed so its three
+    consumers share one computation."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy(
+        "source", F.expr(f"n_chars div {_PSI_BIN_W}").alias("b")
+    ).agg(F.count("*").alias("cnt"))
+    c = c.localCheckpoint(eager=True)
+    bins = c.groupBy("b").agg(F.sum("cnt").cast("long").alias("gcnt"))
+    nb = bins.agg(F.count("*").cast("long").alias("k"))
+    ns = c.groupBy("source").agg(F.sum("cnt").cast("long").alias("n_s"))
+    tot = bins.agg(F.sum("gcnt").cast("long").alias("n"))
+    grid = (
+        F.broadcast(ns)
+        .crossJoin(bins)
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(tot))
+        .join(c, ["source", "b"], "left")
+        .select(
+            "source",
+            "n_s",
+            "b",
+            "gcnt",
+            F.coalesce("cnt", F.lit(0)).alias("cnt_s"),
+            "k",
+            "n",
+        )
+    )
+    p_num = (F.col("cnt_s") + 1) * (F.col("n") - F.col("n_s") + F.col("k"))
+    q_num = (F.col("gcnt") - F.col("cnt_s") + 1) * (F.col("n_s") + F.col("k"))
+    terms = grid.select(
+        "source",
+        "n_s",
+        "k",
+        "n",
+        (p_num - q_num).alias("num"),
+        F.round(F.log(p_num.cast("double") / q_num) * 1000000)
+        .cast("long")
+        .alias("lnr"),
+    )
+    return terms.groupBy("source").agg(
+        F.first("n_s").cast("bigint").alias("n_source"),
+        F.first(F.col("n") - F.col("n_s")).cast("bigint").alias("n_rest"),
+        F.first("k").cast("bigint").alias("n_bins"),
+        F.floor(
+            F.sum(F.col("num") * F.col("lnr")).cast("double")
+            / (
+                F.first(F.col("n_s") + F.col("k")).cast("double")
+                * F.first(F.col("n") - F.col("n_s") + F.col("k")).cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("psi_micro"),
+    )

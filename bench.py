@@ -286,6 +286,8 @@ HEADLINE = [
     "graph_link_prediction_jaccard",
     "agg_psi_drift_by_source",
     "multimodal_audio_energy_vad",
+    "sample_token_budget_waterfill",
+    "sketch_kmv_set_ops",
 ]
 
 

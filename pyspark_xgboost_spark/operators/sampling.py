@@ -1414,3 +1414,124 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("bigint").alias("n_chars"),
         )
     )
+
+
+@register(
+    "sample_token_budget_waterfill",
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail FROM documents
+      GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(avail) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(avail) AS BIGINT) * 9 // 10 AS budget
+      FROM per
+    ),
+    rk AS (
+      SELECT source, avail,
+             row_number() OVER (ORDER BY avail, source) AS i,
+             sum(avail) OVER (ORDER BY avail, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM per
+    ),
+    flagged AS (
+      SELECT rk.*, tot.m, tot.budget,
+             CASE WHEN rk.p + rk.avail * (tot.m - rk.i) <= tot.budget
+                  THEN 1 ELSE 0 END AS funded
+      FROM rk CROSS JOIN tot
+    ),
+    sc AS (
+      SELECT CAST(sum(funded) AS BIGINT) AS k,
+             CAST(sum(CASE WHEN funded = 1 THEN avail ELSE 0 END)
+                  AS BIGINT) AS pk
+      FROM flagged
+    )
+    SELECT f.source, f.avail AS avail_chars, CAST(f.i AS BIGINT) AS rk,
+           CAST(f.funded AS BIGINT) AS fully_funded,
+           CAST(CASE WHEN f.funded = 1 THEN f.avail
+                WHEN f.m = sc.k THEN f.avail
+                ELSE (f.budget - sc.pk) // (f.m - sc.k)
+                     + CASE WHEN f.i - sc.k
+                                 <= (f.budget - sc.pk) % (f.m - sc.k)
+                            THEN 1 ELSE 0 END
+                END AS BIGINT) AS alloc_chars
+    FROM flagged f CROSS JOIN sc
+    """,
+)
+def sample_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET WATERFILLING: split a training budget (here 9/10
+    of the corpus, so the smallest sources DO hit their caps) across sources, capped by what each source actually
+    has — the max-min fair allocation (classic waterfilling, Bertsekas
+    & Gallager 1987): small sources are taken whole, everyone else
+    gets the common waterline, and the budget is spent exactly. This
+    is the allocation step behind every 'cap low-quality sources, pour
+    the rest into high-quality ones' mixture policy when weights meet
+    availability caps (the DoReMi/Gopher mixture tables' unglamorous
+    sibling).
+
+    Closed form, no iteration: sources sort by availability; the
+    'fits fully' predicate p_i + avail_i*(m-i) <= budget is MONOTONE
+    along that order, so the waterline rank k is just the count of
+    funded sources; the waterline itself is one integer division of
+    the remaining budget, with the remainder handed out one char each
+    to the first (budget-pk) mod (m-k) unfunded sources in rank order
+    — allocations are exact integers that sum EXACTLY to the budget.
+
+    Scale shape: the corpus contributes one map-side-combined
+    groupBy(source); everything else — the rank window, the funded
+    scan, the scalar fold — runs on the m-row source relation
+    (dimension-sized). The single-partition window is over m rows,
+    never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.sum("n_chars").cast("long").alias("avail"))
+    tot = per.agg(
+        F.sum("avail").cast("long").alias("total"),
+        F.count("*").cast("long").alias("m"),
+        F.expr("sum(avail) * 9 div 10").cast("long").alias("budget"),
+    )
+    w = Window.orderBy("avail", "source")
+    rk = per.select(
+        "source",
+        "avail",
+        F.row_number().over(w).alias("i"),
+        F.sum("avail")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("p"),
+    )
+    flagged = (
+        rk.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "funded",
+            F.when(
+                F.col("p") + F.col("avail") * (F.col("m") - F.col("i"))
+                <= F.col("budget"),
+                1,
+            ).otherwise(0),
+        )
+        .localCheckpoint(eager=True)  # m rows; feeds the scalar fold + output
+    )
+    sc = flagged.agg(
+        F.sum("funded").cast("long").alias("k"),
+        F.sum(F.when(F.col("funded") == 1, F.col("avail")).otherwise(0))
+        .cast("long")
+        .alias("pk"),
+    )
+    alloc = (
+        F.when(F.col("funded") == 1, F.col("avail"))
+        .when(F.col("m") == F.col("k"), F.col("avail"))
+        .otherwise(
+            F.expr("(budget - pk) div (m - k)")
+            + F.when(
+                F.col("i") - F.col("k") <= F.expr("(budget - pk) % (m - k)"), 1
+            ).otherwise(0)
+        )
+    )
+    return flagged.crossJoin(F.broadcast(sc)).select(
+        "source",
+        F.col("avail").alias("avail_chars"),
+        F.col("i").cast("bigint").alias("rk"),
+        F.col("funded").cast("bigint").alias("fully_funded"),
+        alloc.cast("bigint").alias("alloc_chars"),
+    )

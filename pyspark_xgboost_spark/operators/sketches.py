@@ -911,3 +911,173 @@ def sketch_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_reg_mismatch",
         F.floor(e_col * 1000).cast("bigint").alias("est_milli"),
     )
+
+
+_KMV_K = 64  # minimum-values kept per set
+_KMV_M = 4294967296  # hash space (first 8 md5 hex digits)
+
+
+@register(
+    "sketch_kmv_set_ops",
+    oracle=rf"""
+    WITH v AS (
+      SELECT DISTINCT source, w FROM (
+        SELECT source,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        FROM documents) t
+      WHERE w <> ''
+    ),
+    hs AS (
+      SELECT DISTINCT source,
+             CAST({_hex_int_sql("md5(w)", 1)} AS BIGINT) AS h
+      FROM v
+    ),
+    sk AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM hs)
+      WHERE rk <= {_KMV_K}
+    ),
+    srcs AS (SELECT DISTINCT source FROM sk),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    merged AS (
+      SELECT DISTINCT sa, sb, h FROM (
+        SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s ON s.source = p.sa
+        UNION ALL
+        SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s ON s.source = p.sb)
+    ),
+    topk AS (
+      SELECT sa, sb, h FROM (
+        SELECT sa, sb, h,
+               row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rk
+        FROM merged)
+      WHERE rk <= {_KMV_K}
+    ),
+    kth AS (
+      SELECT sa, sb, CAST(max(h) AS BIGINT) AS kth_min,
+             CAST(count(*) AS BIGINT) AS kk
+      FROM topk GROUP BY sa, sb
+    ),
+    rho AS (
+      SELECT t.sa, t.sb, CAST(count(*) AS BIGINT) AS rho
+      FROM topk t
+      JOIN sk x ON x.source = t.sa AND x.h = t.h
+      JOIN sk y ON y.source = t.sb AND y.h = t.h
+      GROUP BY t.sa, t.sb
+    ),
+    est AS (
+      SELECT sa, sb, kth_min, kk,
+             CASE WHEN kk < {_KMV_K} THEN kk
+                  ELSE ({_KMV_K - 1} * {_KMV_M}) // kth_min END AS u_est
+      FROM kth
+    )
+    SELECT e.sa AS source_a, e.sb AS source_b, e.kth_min, e.kk,
+           COALESCE(r.rho, 0) AS rho,
+           e.u_est AS union_est,
+           COALESCE(r.rho, 0) * e.u_est // e.kk AS inter_est,
+           COALESCE(r.rho, 0) * 1000000 // e.kk AS jaccard_est_micro
+    FROM est e
+    LEFT JOIN rho r ON r.sa = e.sa AND r.sb = e.sb
+    """,
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta-sketch) SET ALGEBRA — the sketch family's answer to
+    the question HLL cannot ask: per source-pair distinct-vocabulary
+    UNION and INTERSECTION estimates from k-minimum-values sketches
+    (Beyer et al., SIGMOD 2007; the Apache DataSketches theta sketch
+    is this plus sampling-mode). Each source keeps only its {_KMV_K}
+    smallest md5 hash values; merging two sketches is 'k smallest of
+    the union' (associative, mergeable — the 100 TB property), the
+    union estimate is ({_KMV_K}-1)*M/h_k — switching to the EXACT
+    count when the merged set holds fewer than k values (theta
+    sketches' exact mode, which this small-vocab corpus exercises;
+    at real vocab scale the estimator path takes over) — and
+    rho = |merged k-set present in BOTH sketches| gives Jaccard and
+    intersection. The
+    exact twin (corpus_vocab_jaccard_sources) shuffles the full vocab;
+    this ships {_KMV_K} longs per set no matter the corpus size.
+
+    Like agg_hll_portable, the sketch CONTENT is oracle-checked
+    hash-exactly (same md5-derived values on both engines; within-set
+    hashes are distinct so ranks need no tie-break), and the
+    estimators are exact integer arithmetic — floored divisions of
+    BIGINTs.
+
+    Scale shape: the only corpus-sized stage is DISTINCT (source,
+    hash) + the per-source k-smallest, which compiles to a map-side
+    WindowGroupLimit (each partition forwards <= {_KMV_K} rows per
+    source). Everything pairwise runs on sources x {_KMV_K} sketch
+    rows — dimension-sized."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    hs = v.select(
+        "source",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("h"),
+    ).distinct()
+    wsk = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hs.withColumn("rk", F.row_number().over(wsk))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("source", "h")
+        .localCheckpoint(eager=True)  # sources x K rows; feeds 4 consumers
+    )
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .join(srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb"))
+    )
+    m1 = pairs.join(sk, F.col("source") == F.col("sa")).select("sa", "sb", "h")
+    m2 = pairs.join(sk, F.col("source") == F.col("sb")).select("sa", "sb", "h")
+    merged = m1.unionByName(m2).distinct()
+    wm = Window.partitionBy("sa", "sb").orderBy("h")
+    topk = (
+        merged.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("sa", "sb", "h")
+    )
+    kth = topk.groupBy("sa", "sb").agg(
+        F.max("h").cast("long").alias("kth_min"),
+        F.count("*").cast("long").alias("kk"),
+    )
+    ska = sk.select(F.col("source").alias("sa"), F.col("h").alias("h"))
+    skb = sk.select(F.col("source").alias("sb"), F.col("h").alias("h"))
+    rho = (
+        topk.join(ska, ["sa", "h"], "semi")
+        .join(skb, ["sb", "h"], "semi")
+        .groupBy("sa", "sb")
+        .agg(F.count("*").cast("long").alias("rho"))
+    )
+    u_est = F.when(F.col("kk") < _KMV_K, F.col("kk")).otherwise(
+        F.expr(f"({_KMV_K - 1} * cast({_KMV_M} as bigint)) div kth_min")
+    )
+    return (
+        kth.join(rho, ["sa", "sb"], "left")
+        .withColumn("u_est", u_est)
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "kth_min",
+            "kk",
+            F.coalesce("rho", F.lit(0)).cast("bigint").alias("rho"),
+            F.col("u_est").cast("bigint").alias("union_est"),
+            F.expr("coalesce(rho, 0) * u_est div kk")
+            .cast("bigint")
+            .alias("inter_est"),
+            F.expr("coalesce(rho, 0) * 1000000 div kk")
+            .cast("bigint")
+            .alias("jaccard_est_micro"),
+        )
+    )

@@ -288,6 +288,7 @@ HEADLINE = [
     "multimodal_audio_energy_vad",
     "sample_token_budget_waterfill",
     "sketch_kmv_set_ops",
+    "events_stream_psi_drift",
 ]
 
 

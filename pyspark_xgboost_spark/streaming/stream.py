@@ -1358,3 +1358,124 @@ def events_stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame
         sink.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= 3)
     )
+
+
+_SPSI_BIN = 5000  # $50 value buckets (exact integer cents)
+
+
+@register(
+    "events_stream_psi_drift",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+             CAST(round(value * 100) AS BIGINT) // {_SPSI_BIN} AS b,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    bins AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS gcnt FROM c GROUP BY b),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS k FROM bins),
+    nw AS (SELECT w_start, CAST(sum(cnt) AS BIGINT) AS n_w FROM c
+           GROUP BY w_start),
+    tot AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n FROM bins),
+    grid AS (
+      SELECT nw.w_start, nw.n_w, bins.b, bins.gcnt,
+             COALESCE(c.cnt, 0) AS cnt_w, nb.k, tot.n
+      FROM nw CROSS JOIN bins CROSS JOIN nb CROSS JOIN tot
+      LEFT JOIN c ON c.w_start = nw.w_start AND c.b = bins.b
+    ),
+    terms AS (
+      SELECT w_start, n_w, k, n,
+             (cnt_w + 1) * (n - n_w + k)
+               - (gcnt - cnt_w + 1) * (n_w + k) AS num,
+             CAST(round(ln(CAST((cnt_w + 1) * (n - n_w + k) AS DOUBLE)
+                           / ((gcnt - cnt_w + 1) * (n_w + k)))
+                        * 1000000) AS BIGINT) AS lnr
+      FROM grid
+    )
+    SELECT w_start,
+           CAST(any_value(n_w) AS BIGINT) AS n_window,
+           CAST(any_value(n - n_w) AS BIGINT) AS n_rest,
+           CAST(any_value(k) AS BIGINT) AS n_bins,
+           CAST(floor(CAST(sum(num * lnr) AS DOUBLE)
+                      / (CAST(any_value(n_w + k) AS DOUBLE)
+                         * CAST(any_value(n - n_w + k) AS DOUBLE)))
+             AS BIGINT) AS psi_micro
+    FROM terms GROUP BY w_start
+    """,
+)
+def events_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitoring — the agg_psi_drift_by_source gate
+    turned continuous: the STREAM maintains the per-(day-window,
+    value-bucket) histogram (watermark-bounded stateful counts — the
+    only corpus-sized work, incremental forever), and PSI per window
+    vs the whole observed distribution runs over the SINK as a cheap
+    batch pass, exactly like events_stream_topk_per_window's ranking
+    (a second normalization stage after a streaming aggregation is not
+    expressible inside one streaming query; production serves it off
+    the continuously-maintained aggregate). A window whose psi_micro
+    spikes is the live alarm the batch gate would only catch next
+    morning.
+
+    Same exact-integer machinery as the batch PSI: add-one-smoothed
+    share deltas as integer numerators, micro-nat log-ratios, terms
+    nonnegative, one floored division per window at the end.
+
+    Scale shape: stream state is windows x {_SPSI_BIN}-cent buckets —
+    key-cardinality-bounded, never event-bounded; the PSI grid is
+    windows x bins (here 30 x 10), dimension-sized."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 days")
+    agg = ev.groupBy(
+        F.window("ts", "1 day").alias("w"),
+        (F.round(F.col("value") * 100).cast("bigint") / _SPSI_BIN)
+        .cast("long")
+        .alias("b"),
+    ).agg(F.count("*").alias("cnt"))
+    c = _run_to_memory(
+        agg.select(F.col("w.start").alias("w_start"), "b", "cnt"), "complete"
+    ).localCheckpoint(eager=True)  # histogram feeds 4 consumers
+    bins = c.groupBy("b").agg(F.sum("cnt").cast("long").alias("gcnt"))
+    nb = bins.agg(F.count("*").cast("long").alias("k"))
+    nw = c.groupBy("w_start").agg(F.sum("cnt").cast("long").alias("n_w"))
+    tot = bins.agg(F.sum("gcnt").cast("long").alias("n"))
+    grid = (
+        F.broadcast(nw)
+        .crossJoin(bins)
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(tot))
+        .join(c, ["w_start", "b"], "left")
+        .select(
+            "w_start",
+            "n_w",
+            "b",
+            "gcnt",
+            F.coalesce("cnt", F.lit(0)).alias("cnt_w"),
+            "k",
+            "n",
+        )
+    )
+    p_num = (F.col("cnt_w") + 1) * (F.col("n") - F.col("n_w") + F.col("k"))
+    q_num = (F.col("gcnt") - F.col("cnt_w") + 1) * (F.col("n_w") + F.col("k"))
+    terms = grid.select(
+        "w_start",
+        "n_w",
+        "k",
+        "n",
+        (p_num - q_num).alias("num"),
+        F.round(F.log(p_num.cast("double") / q_num) * 1000000)
+        .cast("long")
+        .alias("lnr"),
+    )
+    return terms.groupBy("w_start").agg(
+        F.first("n_w").cast("bigint").alias("n_window"),
+        F.first(F.col("n") - F.col("n_w")).cast("bigint").alias("n_rest"),
+        F.first("k").cast("bigint").alias("n_bins"),
+        F.floor(
+            F.sum(F.col("num") * F.col("lnr")).cast("double")
+            / (
+                F.first(F.col("n_w") + F.col("k")).cast("double")
+                * F.first(F.col("n") - F.col("n_w") + F.col("k")).cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("psi_micro"),
+    )

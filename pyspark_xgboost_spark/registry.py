@@ -35,73 +35,48 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # never-graded queries first, then this round's new registrations,
 # then the stalest attested rows. See the window comment inside.
 _GRADE_FIRST = [
-    # ROUND-8 WINDOW (slots 1-50): drains the attestation backlog to
-    # zero (round-7 verdict "Next round #2"). Composition: the 26
-    # remaining never-driver-graded round-6 late-batch queries
-    # (registration order) + the 21 round-7 additions (sorted) = 47,
-    # then 3 slots for this round's new registrations so they are
-    # graded the round they land instead of joining a queue. All 47
-    # were verified green by the round-7 judge sweep, so any red here
-    # is a regression signal. Audit with tools/check_window.py.
-    # -- round-6 late batch, final 26 --
-    "corpus_span_corruption",
-    "sample_negative_pairs",
-    "agg_feature_hashing",
-    "window_cusum_drift",
-    "agg_bitmap_native_distinct",
-    "agg_approx_top_k",
-    "events_session_dynamic_gap",
-    "events_stream_session_dynamic_gap",
-    "agg_listagg_native",
-    "scalar_try_arithmetic",
-    "graph_bfs_hops",
-    "corpus_pmi_facets",
-    "text_perplexity_kneser_ney",
-    "text_langid_confusion",
-    "sink_catalog_table",
-    "scan_parquet_bloom_lookup",
-    "corpus_term_burstiness",
-    "events_attribution_linear",
-    "events_stream_stateful_cusum",
-    "corpus_cooccurrence_ppmi",
-    "events_backtest_naive_forecast",
-    "scalar_intdiv_contract",
-    "audit_benford_first_digit",
-    "corpus_zipf_slope",
-    "scan_csv_datefmt",
-    "pipeline_quality_ensemble",
-    # -- round-7 additions, all 21 --
-    "agg_approx_distinct_error_bound",
-    "agg_percentile_sketch_contract",
-    "audit_referential_integrity",
-    "corpus_bpe_merges",
-    "corpus_bpe_tokenize_apply",
-    "embedding_dim_standardize",
-    "embedding_random_projection",
-    "scalar_bitops_contract",
-    "scan_cdc_apply_log",
-    "scan_merge_on_read_deletes",
-    "scan_python_datasource_stream",
-    "sink_delete_cascade",
-    "sink_python_datasource_stream_write",
-    "sink_python_datasource_write",
-    "sketch_rollup_daily_weekly",
-    "text_mojibake_audit",
-    "udaf_apply_in_arrow",
-    "udaf_grouped_agg_trimmed_mean",
-    "window_cume_dist_percent_rank",
-    "window_nth_value_ignore_nulls",
-    "window_theil_sen_slope",
-    # -- round-8 new registrations (slots 48-50) --
-    "embedding_kmeans_lloyd",
-    "dedup_semdedup_clusters",
-    "sim_search_ivf_kmeans",
-    # --- past slot 50 from here: extra round-8 registrations beyond
-    # the 3 window slots queue first for round 9 (in module-import
-    # order: graph_label_propagation and later round-8 additions land
-    # here automatically as never-graded), then the stalest
-    # attested rows (r03 queue, oldest-first; the r06/r07-attested
-    # batches follow in sorted order behind) ---
+    # ROUND-9 WINDOW (slots 1-50). Composition per the r8 verdict
+    # freshness rotation: ALL 33 never-driver-graded oracle queries
+    # (the 20 round-8 late registrations + the 13 round-9 additions,
+    # sorted) + the 17 stalest r03-attested rows (head of the standing
+    # r03 queue). Every never-graded entry was verified green by
+    # check_oracle at sf0.01 this round, so any red here is a
+    # regression signal. Audit with tools/check_window.py.
+    # -- never-driver-graded (33): r8 backlog + r9 additions --
+    "agg_bootstrap_ci_mean",
+    "agg_chi2_independence",
+    "agg_hll_portable",
+    "agg_ks_drift_by_source",
+    "agg_mannwhitney_drift",
+    "agg_psi_drift_by_source",
+    "audit_k_anonymity",
+    "corpus_decontaminate_13gram",
+    "corpus_dsir_importance",
+    "corpus_shard_shuffle_feistel",
+    "corpus_vocab_jaccard_sources",
+    "dedup_semdedup_recall_eval",
+    "embedding_kmeans_farthest_seed",
+    "events_cuped_adjustment",
+    "events_stream_psi_drift",
+    "events_stream_topk_per_window",
+    "graph_kcore_peel",
+    "graph_label_propagation",
+    "graph_link_prediction_jaccard",
+    "multimodal_audio_energy_vad",
+    "multimodal_phash_dedup",
+    "multimodal_phash_recall_eval",
+    "sample_ab_assignment_contract",
+    "sample_token_budget_waterfill",
+    "sample_weighted_reservoir",
+    "sim_search_dim_truncation_eval",
+    "sim_search_ivf_recall_eval",
+    "sim_search_pq_recall_eval",
+    "sketch_hll_rollup_merge",
+    "sketch_kmv_set_ops",
+    "window_acf_lags",
+    "window_changepoint_pettitt",
+    "window_seasonal_decompose",
+    # -- stalest r03-attested, head of the rotation queue (17) --
     "events_stream_stateful_user_stats",
     "events_stream_dedup",
     "events_stream_static_join",
@@ -119,6 +94,9 @@ _GRADE_FIRST = [
     "doc_pack_greedy",
     "corpus_vocab_topk",
     "embedding_centroids",
+    # ---- below the 50-slot line: the remaining r03 queue (r10
+    # re-attestation plan: these 6 first, then the r04 batch in
+    # sorted order behind) ----
     "corpus_quality_filter",
     "outlier_robust_z",
     "corpus_bigram_topk",

@@ -289,6 +289,8 @@ HEADLINE = [
     "sample_token_budget_waterfill",
     "sketch_kmv_set_ops",
     "events_stream_psi_drift",
+    "events_kaplan_meier_retention",
+    "multimodal_video_shot_boundary",
 ]
 
 

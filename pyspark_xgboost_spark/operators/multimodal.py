@@ -17,6 +17,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from pyspark_xgboost_spark.registry import register
@@ -616,4 +617,114 @@ def multimodal_audio_energy_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("voiced"),
         )
+    )
+
+
+_SHOT_W = 64  # chars per fake frame
+_SHOT_DELTA = 4  # mean-luminance jump (0..255 scale) that counts as a cut
+
+
+@register(
+    "multimodal_video_shot_boundary",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, i,
+             ascii(substr(text, CAST(i AS INTEGER), 1)) % 256 AS s,
+             (i - 1) // {_SHOT_W} AS frame_no
+      FROM documents, LATERAL unnest(range(1, len(text) + 1)) AS u(i)
+      WHERE (i - 1) // {_SHOT_W} < len(text) // {_SHOT_W}
+    ),
+    frames AS (
+      SELECT doc_id, frame_no, CAST(sum(s) AS BIGINT) AS lum_sum
+      FROM pos GROUP BY doc_id, frame_no
+    ),
+    cuts AS (
+      SELECT doc_id, frame_no, lum_sum,
+             CASE WHEN abs(lum_sum - lag(lum_sum) OVER (
+                    PARTITION BY doc_id ORDER BY frame_no))
+                  > {_SHOT_DELTA * _SHOT_W}
+                  THEN 1 ELSE 0 END AS is_cut
+      FROM frames
+    )
+    SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no, lum_sum,
+           CAST(is_cut AS BIGINT) AS is_cut,
+           CAST(sum(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_no
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS shot_id
+    FROM cuts
+    """,
+)
+def multimodal_video_shot_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO leg of the multimodal family: shot-boundary detection by
+    frame-difference thresholding — the standard first pass of any
+    video-corpus pipeline (segment into shots, then sample per shot
+    instead of per time, so a 2-hour lecture and a 30s clip both yield
+    representative frames). The fake decode follows the family
+    convention ({_SHOT_W}-char frames, codepoint 'luminance'; a real
+    build swaps the codec into the kernel): per-frame luminance SUM in
+    exact integers, a cut wherever the mean jumps more than
+    {_SHOT_DELTA}/255 between consecutive frames (cross-multiplied as
+    |sum_f - sum_prev| > {_SHOT_DELTA * _SHOT_W} — no division), and
+    shot_id as the running cut count — frame-level sessionization.
+
+    Scale shape: decode is the map-only Arrow kernel; cut detection
+    is one lag() and the shot id one running sum over the SAME
+    (doc_id, frame_no) window partitioning — chained windows share
+    one exchange + sort (the events_funnel_conversion pattern), over
+    frame rows (integers), never payloads."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def lum_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_d: list[int] = []
+            out_f: list[np.ndarray] = []
+            out_l: list[np.ndarray] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                nf = len(text) // _SHOT_W
+                if nf == 0:
+                    continue
+                s = (
+                    np.fromiter(
+                        (ord(c) for c in text[: nf * _SHOT_W]),
+                        dtype=np.int64,
+                        count=nf * _SHOT_W,
+                    )
+                    % 256
+                )
+                out_d.extend([doc_id] * nf)
+                out_f.append(np.arange(nf, dtype=np.int64))
+                out_l.append(s.reshape(nf, _SHOT_W).sum(axis=1))
+            if not out_d:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(out_d, dtype=np.int64),
+                    "frame_no": np.concatenate(out_f),
+                    "lum_sum": np.concatenate(out_l),
+                }
+            )
+
+    frames = docs.mapInPandas(
+        lum_kernel, "doc_id long, frame_no long, lum_sum long"
+    )
+    w = W.partitionBy("doc_id").orderBy("frame_no")
+    cuts = frames.withColumn(
+        "is_cut",
+        F.when(
+            F.abs(F.col("lum_sum") - F.lag("lum_sum").over(w))
+            > _SHOT_DELTA * _SHOT_W,
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint"),
+    )
+    return cuts.select(
+        "doc_id",
+        "frame_no",
+        "lum_sum",
+        "is_cut",
+        F.sum("is_cut")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("shot_id"),
     )

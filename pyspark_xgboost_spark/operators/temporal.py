@@ -2535,3 +2535,123 @@ def window_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("acf_micro"),
     )
+
+
+_KM_CENSOR_DAYS = 2  # last activity within this horizon of corpus end -> censored
+
+
+@register(
+    "events_kaplan_meier_retention",
+    oracle=f"""
+    WITH gmax AS (SELECT max(ts) AS g FROM events),
+    u AS (
+      SELECT user_id,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // 3600000000 AS lt,
+             CASE WHEN max(ts) < (SELECT g FROM gmax)
+                                 - INTERVAL {_KM_CENSOR_DAYS} DAY
+                  THEN 1 ELSE 0 END AS died
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM u),
+    h AS (
+      SELECT lt,
+             CAST(sum(died) AS BIGINT) AS d,
+             CAST(count(*) - sum(died) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS m
+      FROM u GROUP BY lt
+    ),
+    r AS (
+      SELECT lt, d, c, m,
+             tot.n_users
+               - CAST(sum(m) OVER (ORDER BY lt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) + m AS n_risk
+      FROM h CROSS JOIN tot
+    ),
+    t AS (
+      SELECT lt, d, c, n_risk,
+             CASE WHEN d = 0 THEN 0
+                  WHEN d < n_risk THEN
+                    CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+                               * 1000000) AS BIGINT)
+                  ELSE -999000000 END AS term
+      FROM r
+    )
+    SELECT lt AS lt_hours, n_risk, d AS n_deaths, c AS n_censored,
+           CAST(sum(term) OVER (ORDER BY lt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS surv_lnmicro
+    FROM t
+    """,
+)
+def events_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER SURVIVAL over user activity lifetimes (Kaplan &
+    Meier 1958) — the censoring-correct retention curve the cohort
+    table cannot give: a user's lifetime is first-to-last activity in
+    hours, and users still active within {_KM_CENSOR_DAYS} days of the
+    corpus end are CENSORED (we know they survived AT LEAST this long,
+    not when they churn) — dropping them (what naive retention does)
+    biases churn up; KM removes them from the risk set at their
+    censoring time instead. Output per distinct lifetime: the risk
+    set, deaths, censored count, and the running log-survival
+    sum(ln(1 - d_i/n_i)) in exact micro-nats (S(t) = exp of it; the
+    log form keeps the product a partition-order-proof integer SUM —
+    the repo's micro-nat idiom; a -999 sentinel marks the curve
+    hitting zero).
+
+    Scale shape: one user-keyed partial agg over events (the only
+    corpus-sized stage), then everything — histogram, risk-set
+    cumsum, term quantization, running sum — runs on the distinct-
+    lifetime grid (hours-bounded, not user-bounded). The two ordered
+    windows chain as CTEs (no nested windows) over that tiny grid."""
+    ev = load_table(spark, sf_dir, "events")
+    gmax = ev.agg(F.max("ts").alias("g"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.expr("(unix_micros(t1) - unix_micros(t0)) div 3600000000").alias("lt"),
+            F.when(
+                F.col("t1") < F.col("g") - F.expr(f"INTERVAL {_KM_CENSOR_DAYS} DAY"),
+                1,
+            )
+            .otherwise(0)
+            .alias("died"),
+        )
+    )
+    tot = u.agg(F.count("*").cast("long").alias("n_users"))
+    h = u.groupBy("lt").agg(
+        F.sum("died").cast("long").alias("d"),
+        (F.count("*") - F.sum("died")).cast("long").alias("c"),
+        F.count("*").cast("long").alias("m"),
+    )
+    wcum = W.orderBy("lt").rowsBetween(W.unboundedPreceding, W.currentRow)
+    r = h.crossJoin(F.broadcast(tot)).select(
+        "lt",
+        "d",
+        "c",
+        (F.col("n_users") - F.sum("m").over(wcum) + F.col("m")).alias("n_risk"),
+    )
+    term = (
+        F.when(F.col("d") == 0, F.lit(0))
+        .when(
+            F.col("d") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk")
+                )
+                * 1000000
+            ).cast("long"),
+        )
+        .otherwise(F.lit(-999000000))
+    )
+    t = r.select("lt", "d", "c", "n_risk", term.alias("term"))
+    return t.select(
+        F.col("lt").alias("lt_hours"),
+        "n_risk",
+        F.col("d").alias("n_deaths"),
+        F.col("c").alias("n_censored"),
+        F.sum("term").over(wcum).cast("bigint").alias("surv_lnmicro"),
+    )

@@ -37,12 +37,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _GRADE_FIRST = [
     # ROUND-9 WINDOW (slots 1-50). Composition per the r8 verdict
     # freshness rotation: ALL 33 never-driver-graded oracle queries
-    # (the 20 round-8 late registrations + the 13 round-9 additions,
-    # sorted) + the 17 stalest r03-attested rows (head of the standing
+    # (the 20 round-8 late registrations + the 15 round-9 additions,
+    # sorted) + the 15 stalest r03-attested rows (head of the standing
     # r03 queue). Every never-graded entry was verified green by
     # check_oracle at sf0.01 this round, so any red here is a
     # regression signal. Audit with tools/check_window.py.
-    # -- never-driver-graded (33): r8 backlog + r9 additions --
+    # -- never-driver-graded (35): r8 backlog + r9 additions --
     "agg_bootstrap_ci_mean",
     "agg_chi2_independence",
     "agg_hll_portable",
@@ -57,6 +57,7 @@ _GRADE_FIRST = [
     "dedup_semdedup_recall_eval",
     "embedding_kmeans_farthest_seed",
     "events_cuped_adjustment",
+    "events_kaplan_meier_retention",
     "events_stream_psi_drift",
     "events_stream_topk_per_window",
     "graph_kcore_peel",
@@ -65,6 +66,7 @@ _GRADE_FIRST = [
     "multimodal_audio_energy_vad",
     "multimodal_phash_dedup",
     "multimodal_phash_recall_eval",
+    "multimodal_video_shot_boundary",
     "sample_ab_assignment_contract",
     "sample_token_budget_waterfill",
     "sample_weighted_reservoir",
@@ -76,7 +78,7 @@ _GRADE_FIRST = [
     "window_acf_lags",
     "window_changepoint_pettitt",
     "window_seasonal_decompose",
-    # -- stalest r03-attested, head of the rotation queue (17) --
+    # -- stalest r03-attested, head of the rotation queue (15) --
     "events_stream_stateful_user_stats",
     "events_stream_dedup",
     "events_stream_static_join",
@@ -92,11 +94,11 @@ _GRADE_FIRST = [
     "doc_chunk_fixed",
     "contamination_check",
     "doc_pack_greedy",
+    # ---- below the 50-slot line: the remaining r03 queue (r10
+    # re-attestation plan: these 8 first, then the r04 batch in
+    # sorted order behind) ----
     "corpus_vocab_topk",
     "embedding_centroids",
-    # ---- below the 50-slot line: the remaining r03 queue (r10
-    # re-attestation plan: these 6 first, then the r04 batch in
-    # sorted order behind) ----
     "corpus_quality_filter",
     "outlier_robust_z",
     "corpus_bigram_topk",

@@ -96,3 +96,53 @@ def test_semdedup_recall_eval_never_collects_corpus(spark):
     assert ".collect()" not in src
     helper = inspect.getsource(similarity._sem_eval_panel_arrays)
     assert "_SEM_EVAL_PANEL" in helper and ".collect()" in helper
+
+
+def test_kmv_sketch_build_pushes_group_limit(spark):
+    from pyspark_xgboost_spark.operators.sketches import sketch_kmv_set_ops
+
+    plan = plan_of(sketch_kmv_set_ops(spark, SF_DIR))
+    # per-source k-smallest must be a map-side WindowGroupLimit over
+    # the DISTINCT (source, hash) relation — partitions forward <= k
+    # rows per source, never the vocabulary
+    assert "WindowGroupLimit" in plan
+
+
+def test_psi_grid_is_histogram_sized(spark):
+    from pyspark_xgboost_spark.operators.relational import (
+        agg_psi_drift_by_source,
+    )
+
+    plan = plan_of(agg_psi_drift_by_source(spark, SF_DIR))
+    # the corpus contributes ONE count; the source x bin grid builds
+    # from broadcast folds of the checkpointed histogram — no second
+    # parquet scan of documents anywhere in the plan
+    assert plan.count("Scan parquet") == 0  # histogram is checkpointed
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_audio_vad_kernel_runs_once_per_branch(spark):
+    from pyspark_xgboost_spark.operators.multimodal import (
+        multimodal_audio_energy_vad,
+    )
+
+    plan = plan_of(multimodal_audio_energy_vad(spark, SF_DIR))
+    # frames are checkpointed before fanning to the total + join
+    # consumers: the Arrow kernel must appear at most once (the
+    # checkpoint scan replaces the second evaluation)
+    assert plan.count("MapInPandas") <= 1
+
+
+def test_waterfill_windows_run_on_source_relation(spark):
+    from pyspark_xgboost_spark.operators.sampling import (
+        sample_token_budget_waterfill,
+    )
+
+    df = sample_token_budget_waterfill(spark, SF_DIR)
+    rows = df.collect()
+    # allocations must sum EXACTLY to the integer budget, caps honored
+    total = sum(r.avail_chars for r in rows)
+    assert sum(r.alloc_chars for r in rows) == total * 9 // 10
+    assert all(r.alloc_chars <= r.avail_chars for r in rows)
+    assert any(r.fully_funded == 1 for r in rows)
+    assert any(r.fully_funded == 0 for r in rows)

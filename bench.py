@@ -291,6 +291,8 @@ HEADLINE = [
     "events_stream_psi_drift",
     "events_kaplan_meier_retention",
     "multimodal_video_shot_boundary",
+    "corpus_quantile_normalize_lengths",
+    "dedup_lsh_band_planning",
 ]
 
 

@@ -2364,3 +2364,109 @@ def corpus_vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_micro"),
         )
     )
+
+
+@register(
+    "corpus_quantile_normalize_lengths",
+    oracle="""
+    WITH u AS (SELECT source, doc_id, n_chars FROM documents),
+    ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM u
+           GROUP BY source),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+    r AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id) AS rk
+      FROM u
+    ),
+    p AS (
+      SELECT r.source, r.doc_id, r.n_chars, r.rk,
+             CASE WHEN ns.n_s = 1 THEN (tot.n + 1) // 2
+                  ELSE ((r.rk - 1) * (tot.n - 1)) // (ns.n_s - 1) + 1
+             END AS pos
+      FROM r JOIN ns USING (source) CROSS JOIN tot
+    ),
+    h AS (SELECT n_chars AS v, count(*) AS cnt FROM u GROUP BY n_chars),
+    hc AS (
+      SELECT v, cnt,
+             CAST(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM h
+    )
+    SELECT p.doc_id, p.source, CAST(p.n_chars AS BIGINT) AS n_chars,
+           CAST(p.rk AS BIGINT) AS rk, CAST(hc.v AS BIGINT) AS norm_chars
+    FROM p JOIN hc ON p.pos > hc.cum - hc.cnt AND p.pos <= hc.cum
+    """,
+)
+def corpus_quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION across sources (Bolstad et al.,
+    Bioinformatics 2003 — the batch-effect correction standard): each
+    document's length is replaced by the POOLED corpus value at its
+    within-source quantile, so every source ends up with the identical
+    length distribution. This is how a mixture pipeline makes
+    'long doc' mean the same thing across crawls whose length
+    distributions differ (one crawl truncates at 10k chars, another
+    doesn't — a shared length-quality threshold is meaningless until
+    the scales align).
+
+    Exact integer mapping: within-source rank r of n_s maps to pooled
+    position (r-1)(N-1) div (n_s-1) + 1 (floor interpolation; the
+    n_s=1 edge takes the pooled median), and the position resolves to
+    the pooled order statistic through the VALUE HISTOGRAM's
+    cumulative counts — never a global sort of rows. Ties break on
+    doc_id so both engines rank identically.
+
+    Scale shape: one per-source rank window (source-partitioned
+    exchange), one value histogram (domain-bounded) whose cumsum
+    window is histogram-sized, and the position lookup is a range
+    join against the BROADCAST histogram — the weighted-percentile
+    discipline applied to normalization."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select("source", "doc_id", "n_chars")
+    ns = u.groupBy("source").agg(F.count("*").cast("long").alias("n_s"))
+    tot = u.agg(F.count("*").cast("long").alias("n"))
+    wr = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = u.withColumn("rk", F.row_number().over(wr))
+    p = (
+        r.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            "rk",
+            F.when(
+                F.col("n_s") == 1, F.expr("(n + 1) div 2")
+            )
+            .otherwise(F.expr("((rk - 1) * (n - 1)) div (n_s - 1) + 1"))
+            .alias("pos"),
+        )
+    )
+    h = u.groupBy(F.col("n_chars").alias("v")).agg(F.count("*").alias("cnt"))
+    hc = h.select(
+        "v",
+        "cnt",
+        F.sum("cnt")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("long")
+        .alias("cum"),
+    )
+    return (
+        p.join(
+            F.broadcast(hc),
+            (F.col("pos") > F.col("cum") - F.col("cnt"))
+            & (F.col("pos") <= F.col("cum")),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("rk").cast("bigint").alias("rk"),
+            F.col("v").cast("bigint").alias("norm_chars"),
+        )
+    )

@@ -1614,3 +1614,142 @@ def dedup_lsh_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.floor(n_tp * 10000.0 / n_truth).cast("bigint"))
         .alias("recall_bp"),
     )
+
+
+# (bands, rows-per-band) options tabulated by the banding planner:
+# the first four re-band the production 16-hash budget, the last two
+# cost a 128-hash signature (the dedup_minhash_b128 tier).
+_BAND_OPTS = [(16, 1), (8, 2), (4, 4), (2, 8), (32, 4), (16, 8)]
+
+
+def _band_planning_oracle() -> str:
+    q_cols = ",\n             ".join(
+        f"1 - ({' * '.join(['s'] * r)}) AS q{i}"
+        for i, (b, r) in enumerate(_BAND_OPTS)
+    )
+    p_cols = ",\n             ".join(
+        f"CAST(floor((1 - ({' * '.join([f'q{i}'] * b)})) * 1000000) AS BIGINT)"
+        f" AS p{i}"
+        for i, (b, r) in enumerate(_BAND_OPTS)
+    )
+    s_cols = ",\n             ".join(
+        f"CAST(sum(p{i}) AS BIGINT) AS sp{i}" for i in range(len(_BAND_OPTS))
+    )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({b} AS BIGINT) AS n_bands,"
+        f" CAST({r} AS BIGINT) AS rows_per_band,"
+        f" d.n AS n_dup_pairs, d.sp{i} // d.n AS exp_recall_micro,"
+        f" nd.n AS n_nondup_pairs, nd.sp{i} AS exp_fp_micropairs"
+        " FROM d CROSS JOIN nd"
+        for i, (b, r) in enumerate(_BAND_OPTS)
+    )
+    return f"""
+    WITH {_SHINGLE_BASES_SQL},
+    psh AS (
+      SELECT doc_id, list_distinct(bases) AS bs
+      FROM based WHERE doc_id < {_EVAL_PANEL}
+    ),
+    pairs AS (
+      SELECT CAST(len(list_intersect(a.bs, b.bs)) AS DOUBLE)
+               / len(list_distinct(a.bs || b.bs)) AS s
+      FROM psh a JOIN psh b ON a.doc_id < b.doc_id
+    ),
+    qq AS (
+      SELECT s,
+             {q_cols}
+      FROM pairs
+    ),
+    pm AS (
+      SELECT CASE WHEN s >= 0.5 THEN 1 ELSE 0 END AS is_dup,
+             {p_cols}
+      FROM qq
+    ),
+    agg AS (
+      SELECT is_dup, CAST(count(*) AS BIGINT) AS n,
+             {s_cols}
+      FROM pm GROUP BY is_dup
+    ),
+    d AS (SELECT * FROM agg WHERE is_dup = 1),
+    nd AS (SELECT * FROM agg WHERE is_dup = 0)
+    {rows}
+    """
+
+
+@register("dedup_lsh_band_planning", oracle=_band_planning_oracle())
+def dedup_lsh_band_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH BANDING PLANNER — turns the S-curve P(candidate) =
+    1 - (1 - s^r)^b from a docstring formula into a measured,
+    data-driven table: over the SAME fixed eval panel the recall
+    harness uses (doc_id < {panel}, exact shingle-set Jaccard), every
+    (bands, rows-per-band) option is scored by its EXPECTED recall on
+    the true-dup pairs (s >= 0.5) and its EXPECTED number of false
+    candidate pairs on the rest — the two numbers that pick b and r
+    before anyone re-shingles a 100 TB corpus. The four 16-hash
+    options re-band the production budget; the two 128-hash options
+    price the b128 tier's upgrade.
+
+    Determinism: s is an exact integer ratio; s^r and (1-s^r)^b are
+    UNROLLED left-associative multiplication chains (identical IEEE
+    evaluation on both engines — library pow() is NOT guaranteed
+    cross-engine, a chain of * is); per-pair probabilities floor to
+    micro units BEFORE the sums, so aggregation is exact-integer.
+
+    Scale shape: one all-pairs pass over the CONSTANT-SIZE panel
+    (the dedup_lsh_eval_pr discipline — cost is fixed at any corpus
+    scale) computing all {n_opts} options on the same row; the report
+    is a 2-row aggregate fanned to {n_opts} literal rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    panel = docs.filter(F.col("doc_id") < _EVAL_PANEL).select("doc_id", "text")
+    psh = _shingle_bases_df(panel).select(
+        "doc_id", F.array_distinct("bases").alias("bs")
+    )
+    a = psh.select(F.col("doc_id").alias("doc_a"), F.col("bs").alias("sa"))
+    b_side = psh.select(F.col("doc_id").alias("doc_b"), F.col("bs").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.array_union(F.col("sa"), F.col("sb")))
+    pairs = a.join(F.broadcast(b_side), F.col("doc_a") < F.col("doc_b")).select(
+        (inter.cast("double") / union).alias("s")
+    )
+    qq_cols = [F.col("s")]
+    for i, (b, r) in enumerate(_BAND_OPTS):
+        sr = F.col("s")
+        for _ in range(r - 1):
+            sr = sr * F.col("s")
+        qq_cols.append((F.lit(1.0) - sr).alias(f"q{i}"))
+    qq = pairs.select(*qq_cols)
+    pm_cols = [
+        F.when(F.col("s") >= 0.5, 1).otherwise(0).alias("is_dup")
+    ]
+    for i, (b, r) in enumerate(_BAND_OPTS):
+        qb = F.col(f"q{i}")
+        for _ in range(b - 1):
+            qb = qb * F.col(f"q{i}")
+        pm_cols.append(
+            F.floor((F.lit(1.0) - qb) * 1000000).cast("long").alias(f"p{i}")
+        )
+    pm = qq.select(*pm_cols)
+    agg = pm.groupBy("is_dup").agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.sum(f"p{i}").cast("long").alias(f"sp{i}")
+            for i in range(len(_BAND_OPTS))
+        ],
+    )
+    agg = agg.localCheckpoint(eager=True)  # 2 rows; fans to N option rows
+    d = agg.filter(F.col("is_dup") == 1)
+    nd = agg.filter(F.col("is_dup") == 0).select(
+        F.col("n").alias("nd_n"),
+        *[F.col(f"sp{i}").alias(f"nd_sp{i}") for i in range(len(_BAND_OPTS))],
+    )
+    out = None
+    for i, (b, r) in enumerate(_BAND_OPTS):
+        row = d.crossJoin(F.broadcast(nd)).select(
+            F.lit(b).cast("bigint").alias("n_bands"),
+            F.lit(r).cast("bigint").alias("rows_per_band"),
+            F.col("n").alias("n_dup_pairs"),
+            F.expr(f"sp{i} div n").cast("bigint").alias("exp_recall_micro"),
+            F.col("nd_n").alias("n_nondup_pairs"),
+            F.col(f"nd_sp{i}").alias("exp_fp_micropairs"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -293,6 +293,7 @@ HEADLINE = [
     "multimodal_video_shot_boundary",
     "corpus_quantile_normalize_lengths",
     "dedup_lsh_band_planning",
+    "spatial_knn_grid",
 ]
 
 

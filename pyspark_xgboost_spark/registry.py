@@ -37,12 +37,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _GRADE_FIRST = [
     # ROUND-9 WINDOW (slots 1-50). Composition per the r8 verdict
     # freshness rotation: ALL 33 never-driver-graded oracle queries
-    # (the 20 round-8 late registrations + the 15 round-9 additions,
-    # sorted) + the 15 stalest r03-attested rows (head of the standing
+    # (the 20 round-8 late registrations + the 18 round-9 additions,
+    # sorted) + the 12 stalest r03-attested rows (head of the standing
     # r03 queue). Every never-graded entry was verified green by
     # check_oracle at sf0.01 this round, so any red here is a
     # regression signal. Audit with tools/check_window.py.
-    # -- never-driver-graded (35): r8 backlog + r9 additions --
+    # -- never-driver-graded (38): r8 backlog + r9 additions --
     "agg_bootstrap_ci_mean",
     "agg_chi2_independence",
     "agg_hll_portable",
@@ -52,8 +52,10 @@ _GRADE_FIRST = [
     "audit_k_anonymity",
     "corpus_decontaminate_13gram",
     "corpus_dsir_importance",
+    "corpus_quantile_normalize_lengths",
     "corpus_shard_shuffle_feistel",
     "corpus_vocab_jaccard_sources",
+    "dedup_lsh_band_planning",
     "dedup_semdedup_recall_eval",
     "embedding_kmeans_farthest_seed",
     "events_cuped_adjustment",
@@ -75,10 +77,11 @@ _GRADE_FIRST = [
     "sim_search_pq_recall_eval",
     "sketch_hll_rollup_merge",
     "sketch_kmv_set_ops",
+    "spatial_knn_grid",
     "window_acf_lags",
     "window_changepoint_pettitt",
     "window_seasonal_decompose",
-    # -- stalest r03-attested, head of the rotation queue (15) --
+    # -- stalest r03-attested, head of the rotation queue (12) --
     "events_stream_stateful_user_stats",
     "events_stream_dedup",
     "events_stream_static_join",
@@ -91,12 +94,12 @@ _GRADE_FIRST = [
     "dedup_groups_connected",
     "multimodal_frame_sample",
     "text_repetition_stats",
+    # ---- below the 50-slot line: the remaining r03 queue (r10
+    # re-attestation plan: these 11 first, then the r04 batch in
+    # sorted order behind) ----
     "doc_chunk_fixed",
     "contamination_check",
     "doc_pack_greedy",
-    # ---- below the 50-slot line: the remaining r03 queue (r10
-    # re-attestation plan: these 8 first, then the r04 batch in
-    # sorted order behind) ----
     "corpus_vocab_topk",
     "embedding_centroids",
     "corpus_quality_filter",

@@ -294,6 +294,7 @@ HEADLINE = [
     "corpus_quantile_normalize_lengths",
     "dedup_lsh_band_planning",
     "spatial_knn_grid",
+    "dedup_soft_weights",
 ]
 
 

@@ -1753,3 +1753,67 @@ def dedup_lsh_band_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "dedup_soft_weights",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CAND_SQL},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL SELECT doc_b, doc_a FROM cand
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    comp AS (SELECT doc_id, min(label) AS group_id FROM reach GROUP BY doc_id),
+    sizes AS (
+      SELECT group_id, CAST(count(*) AS BIGINT) AS n FROM comp
+      GROUP BY group_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(c.group_id, d.doc_id) AS BIGINT) AS group_id,
+           COALESCE(s.n, 1) AS cluster_size,
+           1000000 // COALESCE(s.n, 1) AS weight_micro
+    FROM documents d
+    LEFT JOIN comp c USING (doc_id)
+    LEFT JOIN sizes s ON s.group_id = c.group_id
+    """,
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT DEDUPLICATION — down-weight instead of drop (the
+    SlimPajama/D4 refinement of hard dedup): every document gets a
+    sampling weight 1/|cluster| from its near-dup connected component,
+    so a passage duplicated five times contributes once IN EXPECTATION
+    while hard dedup's arbitrary keep-one choice (and its sensitivity
+    to which copy survives) disappears. Singleton docs keep weight 1.
+    The output plugs straight into the weighted samplers
+    (sample_weighted_reservoir / sample_weighted_priority) as the
+    epoch-sampling distribution.
+
+    Scale shape: reuses the dedup pipeline's min-label connected
+    components (O(diameter) rounds over the capped LSH edge list,
+    localCheckpoint lineage truncation); the weight table is two
+    dimension-sized joins back onto the corpus — cluster labels and
+    sizes, integral rows only. weight_micro is one exact integer
+    division; everything is hash-stable across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _minhash_candidate_pairs(docs)
+    labels = _min_label_components(pairs)
+    sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("n"))
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .join(sizes, "label", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).cast("bigint").alias("group_id"),
+            F.coalesce("n", F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.expr("1000000 div coalesce(n, 1)")
+            .cast("bigint")
+            .alias("weight_micro"),
+        )
+    )

@@ -295,6 +295,7 @@ HEADLINE = [
     "dedup_lsh_band_planning",
     "spatial_knn_grid",
     "dedup_soft_weights",
+    "text_rake_keywords",
 ]
 
 

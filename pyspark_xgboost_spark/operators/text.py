@@ -615,3 +615,140 @@ def text_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_ctrl).cast("bigint").alias("n_ctrl_chars"),
         F.sum(n_nonascii).cast("bigint").alias("n_non_ascii"),
     )
+
+
+_RAKE_STOP = (
+    "the a an of to and in is it for on with as at by be or are this "
+    "that from was we you not have has had but they their its our"
+).split()
+_RAKE_K = 3
+_RAKE_TOKS = r"filter(split(lower(text), '\\s+'), x -> x != '')"
+_RAKE_TOKS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_RAKE_TOKS_SQL} AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, i AS pos, toks[i] AS w,
+             CASE WHEN toks[i] IN
+               ({', '.join(repr(s) for s in _RAKE_STOP)})
+               THEN 1 ELSE 0 END AS st
+      FROM t, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)
+    ),
+    ph AS (
+      SELECT doc_id, pos, w, st,
+             sum(st) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+      FROM tok
+    ),
+    words AS (SELECT doc_id, pid, pos, w FROM ph WHERE st = 0),
+    plen AS (
+      SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS L FROM words
+      GROUP BY doc_id, pid
+    ),
+    wsc AS (
+      SELECT w.doc_id, w.w,
+             CAST(sum(p.L) AS BIGINT) * 1000000
+               // CAST(count(*) AS BIGINT) AS ws
+      FROM words w JOIN plen p ON p.doc_id = w.doc_id AND p.pid = w.pid
+      GROUP BY w.doc_id, w.w
+    ),
+    pscore AS (
+      SELECT wo.doc_id, wo.pid,
+             string_agg(wo.w, ' ' ORDER BY wo.pos) AS phrase,
+             CAST(sum(wsc.ws) AS BIGINT) AS score_micro
+      FROM words wo
+      JOIN wsc ON wsc.doc_id = wo.doc_id AND wsc.w = wo.w
+      GROUP BY wo.doc_id, wo.pid
+    ),
+    dd AS (SELECT DISTINCT doc_id, phrase, score_micro FROM pscore),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_micro DESC, phrase ASC) AS rk
+      FROM dd
+    )
+    SELECT doc_id, CAST(rk AS BIGINT) AS rk, phrase, score_micro
+    FROM ranked WHERE rk <= {_RAKE_K}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al., 'Automatic Keyword
+    Extraction from Individual Documents', 2010) — the classic
+    unsupervised keyphrase pass a corpus-labeling pipeline runs to tag
+    documents: candidate phrases are maximal stopword-free token runs
+    (phrase boundaries = a cumulative stopword count), each word is
+    scored degree/frequency WITHIN its document (degree = total length
+    of the phrases it appears in — words that ride long collocations
+    score high), and a phrase scores the sum of its words; the top
+    {_RAKE_K} distinct phrases per doc survive (ties to lexicographic
+    phrase).
+
+    Determinism: word scores floor to integer micro units before the
+    per-phrase sum, phrase text is the ordered ORDER BY pos
+    aggregation (identical phrase text implies identical token
+    multiset, so the DISTINCT is score-safe), rank ties break on the
+    phrase string — both engines agree exactly.
+
+    Scale shape: one exploded-token pass; the phrase-id window is a
+    running sum within doc partitions; word stats and phrase scores
+    are two partial-agg exchanges over (doc, word) / (doc, phrase)
+    keys; the final rank filter compiles to a map-side
+    WindowGroupLimit. The token relation is checkpointed once for its
+    two consumers; no text ever shuffles except the candidate phrases
+    themselves (integral score columns plus short strings)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.expr(_RAKE_TOKS)).alias("pos", "w")
+    ).withColumn(
+        "st", F.when(F.col("w").isin(_RAKE_STOP), 1).otherwise(0)
+    )
+    wp = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ph = tok.withColumn("pid", F.sum("st").over(wp))
+    words = (
+        ph.filter(F.col("st") == 0)
+        .select("doc_id", "pid", "pos", "w")
+        .localCheckpoint(eager=True)  # feeds word stats + phrase build
+    )
+    plen = words.groupBy("doc_id", "pid").agg(
+        F.count("*").cast("long").alias("L")
+    )
+    wsc = (
+        words.join(plen, ["doc_id", "pid"])
+        .groupBy("doc_id", "w")
+        .agg(F.expr("sum(L) * 1000000 div count(*)").cast("long").alias("ws"))
+    )
+    phrase = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))),
+            lambda s: s.getField("w"),
+        ),
+        " ",
+    )
+    pscore = (
+        words.join(wsc, ["doc_id", "w"])
+        .groupBy("doc_id", "pid")
+        .agg(
+            phrase.alias("phrase"),
+            F.sum("ws").cast("long").alias("score_micro"),
+        )
+    )
+    dd = pscore.select("doc_id", "phrase", "score_micro").distinct()
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("phrase").asc()
+    )
+    return (
+        dd.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _RAKE_K)
+        .select(
+            "doc_id",
+            F.col("rk").cast("bigint").alias("rk"),
+            "phrase",
+            "score_micro",
+        )
+    )

@@ -296,6 +296,7 @@ HEADLINE = [
     "spatial_knn_grid",
     "dedup_soft_weights",
     "text_rake_keywords",
+    "embedding_outlier_mahalanobis",
 ]
 
 

@@ -1860,3 +1860,104 @@ def dedup_semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recall_micro"),
         F.lit(1000000).cast("bigint").alias("precision_micro"),
     )
+
+
+_MAH_Q = 1000  # embedding fixed-point scale (thousandths)
+_MAH_THRESH = 4  # mean per-dim z^2 above this -> outlier
+
+
+@register(
+    "embedding_outlier_mahalanobis",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INTEGER)
+               AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_MAH_Q})
+               AS BIGINT) AS qv
+      FROM embeddings
+    ),
+    st AS (
+      SELECT pos, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qv) AS BIGINT) AS s1,
+             CAST(sum(qv * qv) AS BIGINT) AS s2
+      FROM e GROUP BY pos
+    ),
+    z AS (
+      SELECT e.vec_id,
+             CAST(floor(
+               CAST((e.qv * st.n - st.s1) * (e.qv * st.n - st.s1) AS DOUBLE)
+               * 1000000
+               / CAST(st.n * (st.n * st.s2 - st.s1 * st.s1) AS DOUBLE))
+               AS BIGINT) AS z2_micro,
+             st.n
+      FROM e JOIN st USING (pos)
+    )
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum(z2_micro) AS BIGINT) AS mahal2_micro,
+           CAST(CASE WHEN sum(z2_micro)
+                     > count(*) * {_MAH_THRESH} * 1000000
+                THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+    FROM z GROUP BY vec_id
+    """,
+)
+def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING OUTLIER SCORING by diagonal Mahalanobis distance —
+    the curation gate that catches corrupt vectors (failed encodes,
+    zero pads, scale bugs) before they poison ANN indexes or k-means
+    seeds: each vector scores sum over dims of
+    ((x - mean) / std)^2 against the corpus's own per-dimension
+    moments (the embedding_whitening_stats statistics, consumed
+    instead of just reported), and a mean per-dim z^2 above
+    {_MAH_THRESH} flags the vector. Diagonal covariance is the
+    at-scale variant — the full-matrix form needs a d x d inverse
+    that a 64-dim pipeline can afford but a map-side join cannot
+    ship; diag catches the failure modes above just as well.
+
+    Determinism: components quantize to integer thousandths; each
+    dim's z^2 is an exact-integer ratio ((qv*n - s1)^2 over
+    n*(n*s2 - s1^2), i.e. variance cross-multiplied away) evaluated
+    with one double division of exact BIGINTs (identical IEEE
+    rounding both engines) and floored to micro units BEFORE the
+    per-vector sum — partition-order-proof.
+
+    Scale shape: fit = one posexplode pass into a dimension-keyed
+    partial agg (64 post-shuffle rows at any corpus size); transform
+    = the component stream joins the BROADCAST 64-row moment table
+    map-side and integer-sums per vector — one vec-keyed exchange.
+    The fit/transform double scan is the standard stats-then-apply
+    shape (corpus_dsir_importance's architecture on the embedding
+    side)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("x").cast("double") * _MAH_Q).cast("long").alias("qv"),
+    )
+    st = e.groupBy("pos").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("qv").cast("long").alias("s1"),
+        F.sum(F.col("qv") * F.col("qv")).cast("long").alias("s2"),
+    )
+    num = (F.col("qv") * F.col("n") - F.col("s1")) * (
+        F.col("qv") * F.col("n") - F.col("s1")
+    )
+    den = F.col("n") * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    z = e.join(F.broadcast(st), "pos").select(
+        "vec_id",
+        F.floor(num.cast("double") * 1000000 / den.cast("double"))
+        .cast("long")
+        .alias("z2_micro"),
+    )
+    return z.groupBy("vec_id").agg(
+        F.count("*").cast("bigint").alias("n_dims"),
+        F.sum("z2_micro").cast("bigint").alias("mahal2_micro"),
+        F.when(
+            F.sum("z2_micro") > F.count("*") * _MAH_THRESH * 1000000, 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_outlier"),
+    )

@@ -37,12 +37,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _GRADE_FIRST = [
     # ROUND-9 WINDOW (slots 1-50). Composition per the r8 verdict
     # freshness rotation: ALL 33 never-driver-graded oracle queries
-    # (the 20 round-8 late registrations + the 20 round-9 additions,
-    # sorted) + the 10 stalest r03-attested rows (head of the standing
+    # (the 20 round-8 late registrations + the 21 round-9 additions,
+    # sorted) + the 9 stalest r03-attested rows (head of the standing
     # r03 queue). Every never-graded entry was verified green by
     # check_oracle at sf0.01 this round, so any red here is a
     # regression signal. Audit with tools/check_window.py.
-    # -- never-driver-graded (40): r8 backlog + r9 additions --
+    # -- never-driver-graded (41): r8 backlog + r9 additions --
     "agg_bootstrap_ci_mean",
     "agg_chi2_independence",
     "agg_hll_portable",
@@ -59,6 +59,7 @@ _GRADE_FIRST = [
     "dedup_semdedup_recall_eval",
     "dedup_soft_weights",
     "embedding_kmeans_farthest_seed",
+    "embedding_outlier_mahalanobis",
     "events_cuped_adjustment",
     "events_kaplan_meier_retention",
     "events_stream_psi_drift",
@@ -83,7 +84,7 @@ _GRADE_FIRST = [
     "window_acf_lags",
     "window_changepoint_pettitt",
     "window_seasonal_decompose",
-    # -- stalest r03-attested, head of the rotation queue (10) --
+    # -- stalest r03-attested, head of the rotation queue (9) --
     "events_stream_stateful_user_stats",
     "events_stream_dedup",
     "events_stream_static_join",
@@ -93,10 +94,10 @@ _GRADE_FIRST = [
     "tpch_q5_local_supplier_volume",
     "tpch_q1_pricing_summary",
     "tpch_q18_large_volume_customer",
-    "dedup_groups_connected",
     # ---- below the 50-slot line: the remaining r03 queue (r10
-    # re-attestation plan: these 13 first, then the r04 batch in
+    # re-attestation plan: these 14 first, then the r04 batch in
     # sorted order behind) ----
+    "dedup_groups_connected",
     "multimodal_frame_sample",
     "text_repetition_stats",
     "doc_chunk_fixed",

@@ -146,3 +146,46 @@ def test_waterfill_windows_run_on_source_relation(spark):
     assert all(r.alloc_chars <= r.avail_chars for r in rows)
     assert any(r.fully_funded == 1 for r in rows)
     assert any(r.fully_funded == 0 for r in rows)
+
+
+def test_quantile_normalize_has_no_global_row_sort(spark):
+    from pyspark_xgboost_spark.operators.corpus import (
+        corpus_quantile_normalize_lengths,
+    )
+
+    plan = plan_of(corpus_quantile_normalize_lengths(spark, SF_DIR))
+    # the pooled order statistic resolves through the broadcast value
+    # histogram (range join), never a global sort of the corpus rows
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mahalanobis_moments_broadcast(spark):
+    from pyspark_xgboost_spark.operators.similarity import (
+        embedding_outlier_mahalanobis,
+    )
+
+    plan = plan_of(embedding_outlier_mahalanobis(spark, SF_DIR))
+    # the 64-row moment table ships as a broadcast; the component
+    # stream must not shuffle for the join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rake_rank_filter_pushes_group_limit(spark):
+    from pyspark_xgboost_spark.operators.text import text_rake_keywords
+
+    plan = plan_of(text_rake_keywords(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+
+
+def test_kanon_rollup_has_partial_phase(spark):
+    from pyspark_xgboost_spark.operators.relational import audit_k_anonymity
+
+    plan = plan_of(audit_k_anonymity(spark, SF_DIR))
+    # map-side combine before the single exchange: shuffle volume is
+    # O(classes x partitions), not rows
+    assert "partial" in plan.lower()
+    # exactly one exchange node in the plan tree (it also appears once
+    # more in the formatted details section)
+    assert plan.count("+- Exchange") == 1

@@ -297,6 +297,18 @@ HEADLINE = [
     "dedup_soft_weights",
     "text_rake_keywords",
     "embedding_outlier_mahalanobis",
+    "agg_welch_ttest",
+    "audit_l_diversity",
+    "corpus_oov_rate",
+    "dedup_blocked_entity_resolution",
+    "multimodal_format_sniff",
+    "sketch_ams_f2",
+    "window_bollinger_bands",
+    "sample_kfold_assignment",
+    "split_leakage_safe_groups",
+    "text_textrank_keywords",
+    "pipeline_curation_funnel",
+    "graph_sssp_bounded",
 ]
 
 

@@ -2470,3 +2470,90 @@ def corpus_quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataF
             F.col("v").cast("bigint").alias("norm_chars"),
         )
     )
+
+
+_OOV_VOCAB_K = 16  # budget-limited vocabulary size
+
+
+@register(
+    "corpus_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT source,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY source, w
+    ),
+    vocab AS (
+      SELECT w FROM (SELECT w, sum(cnt) AS f FROM tok GROUP BY w)
+      ORDER BY f DESC, w LIMIT {_OOV_VOCAB_K}
+    )
+    SELECT t.source,
+           CAST(sum(t.cnt) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.w IS NULL THEN t.cnt ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_types,
+           CAST(floor(sum(CASE WHEN v.w IS NULL THEN t.cnt ELSE 0 END)
+                      * 1000000.0 / sum(t.cnt)) AS BIGINT) AS oov_rate_micro
+    FROM tok t LEFT JOIN vocab v USING (w)
+    GROUP BY t.source
+    """,
+)
+def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-VOCABULARY RATE per source against a BUDGET-LIMITED
+    top-{_OOV_VOCAB_K} global vocabulary — the tokenizer-coverage
+    question every vocab decision answers: with the vocabulary capped
+    at K entries (chosen by corpus frequency, ties broken
+    lexicographically for a total order), what fraction of each
+    source's TOKEN MASS falls outside it and would fragment into
+    bytes/UNK? Complements corpus_bpe_tokenize_apply (compression of
+    in-vocab text) and corpus_vocab_jaccard_sources (type overlap):
+    this is the mass-weighted coverage number that decides vocabulary
+    size, reported in exact token counts plus a floored micro-rate.
+
+    Scale shape: the corpus collapses ONCE to the (source, word-type)
+    frequency table (map-side combinable); the vocabulary is a
+    top-K over the further-collapsed global type table — a
+    single-reducer sort of WORD TYPES (~10^7 at 100 TB, trivially
+    sortable), never the corpus. The K-row vocab then broadcast-joins
+    back to the per-source type table: no shuffle touches row-count-
+    proportional data after the first aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    tok = tok.localCheckpoint(eager=True)  # feeds vocab fit + transform
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.sum("cnt").alias("f"))
+        .orderBy(F.col("f").desc(), F.col("w").asc())
+        .limit(_OOV_VOCAB_K)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    joined = tok.join(F.broadcast(vocab), "w", "left")
+    return joined.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("oov_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("oov_types"),
+        F.floor(
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(0))
+            * 1000000.0
+            / F.sum("cnt")
+        )
+        .cast("bigint")
+        .alias("oov_rate_micro"),
+    )

@@ -1817,3 +1817,233 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weight_micro"),
         )
     )
+
+
+_ER_PRICE_CENTS = 5000  # "price agrees" tolerance: within $50
+_ER_THRESHOLD = 500000  # match when the weighted score clears 0.5
+
+
+@register(
+    "dedup_blocked_entity_resolution",
+    oracle=f"""
+    WITH p AS (
+      SELECT p_partkey, p_brand, p_type,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+             string_split(p_name, ' ')[1] AS tok1,
+             list_distinct(string_split(p_name, ' ')) AS toks
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             CAST(len(list_intersect(a.toks, b.toks)) * 1000000
+                  // len(list_distinct(a.toks || b.toks)) AS BIGINT)
+               AS name_jaccard_micro,
+             CAST(CASE WHEN abs(a.cents - b.cents) <= {_ER_PRICE_CENTS}
+                       THEN 1 ELSE 0 END AS BIGINT) AS price_close,
+             CAST(CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END
+                  AS BIGINT) AS same_type
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.tok1 = b.tok1
+       AND a.p_partkey < b.p_partkey
+    )
+    SELECT key_a, key_b, name_jaccard_micro, price_close, same_type,
+           CAST((6 * name_jaccard_micro + 2000000 * price_close
+                 + 2000000 * same_type) // 10 AS BIGINT) AS score_micro
+    FROM pairs
+    WHERE (6 * name_jaccard_micro + 2000000 * price_close
+           + 2000000 * same_type) // 10 >= {_ER_THRESHOLD}
+    """,
+)
+def dedup_blocked_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKED ENTITY RESOLUTION / RECORD LINKAGE (Fellegi & Sunter,
+    JASA 1969 shape): candidate pairs are generated ONLY within a
+    cheap blocking key — (brand, first name token) — then scored by a
+    weighted multi-signal rule: name token-set Jaccard (weight .6),
+    price agreement within ${_ER_PRICE_CENTS // 100} (.2), and type
+    equality (.2); pairs clearing {_ER_THRESHOLD / 1e6} are emitted as
+    match candidates. This is the record-linkage complement to the
+    document dedup family: multiple weak field signals fused into one
+    decision score, with the blocking step carrying the entire scale
+    story — candidate volume is sum(block^2), never corpus all-pairs,
+    exactly the LSH-band discipline (SCALE.md rule) applied to
+    structured records. Every signal is exact integer arithmetic
+    (micro-Jaccard by integer division, cents tolerance, equality
+    flags), so the score and threshold are engine-exact.
+
+    Scale shape: one equi-join shuffle on the compound blocking key
+    (both sides partition by it — co-located at 100 TB with
+    bucketing); per-block work is bounded by block size, and a skewed
+    block is an input-data red flag the audit_partition_skew query
+    catches. No driver state, no cartesian."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("tok1"),
+        F.array_distinct(F.split(F.col("p_name"), " ")).alias("toks"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_brand").alias("brand"),
+        F.col("tok1"),
+        F.col("p_type").alias("type_a"),
+        F.col("cents").alias("cents_a"),
+        F.col("toks").alias("toks_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_brand").alias("brand"),
+        F.col("tok1"),
+        F.col("p_type").alias("type_b"),
+        F.col("cents").alias("cents_b"),
+        F.col("toks").alias("toks_b"),
+    )
+    pairs = a.join(b, ["brand", "tok1"]).filter(F.col("key_a") < F.col("key_b"))
+    jacc = F.expr(
+        "size(array_intersect(toks_a, toks_b)) * 1000000"
+        " div size(array_distinct(concat(toks_a, toks_b)))"
+    ).cast("bigint")
+    price_close = (
+        F.when(F.abs(F.col("cents_a") - F.col("cents_b")) <= _ER_PRICE_CENTS, 1)
+        .otherwise(0)
+        .cast("bigint")
+    )
+    same_type = (
+        F.when(F.col("type_a") == F.col("type_b"), 1).otherwise(0).cast("bigint")
+    )
+    scored = pairs.select(
+        "key_a",
+        "key_b",
+        jacc.alias("name_jaccard_micro"),
+        price_close.alias("price_close"),
+        same_type.alias("same_type"),
+        F.expr(
+            "(6 * name_jaccard_micro + 2000000 * price_close"
+            " + 2000000 * same_type) div 10"
+        )
+        .cast("bigint")
+        .alias("score_micro"),
+    )
+    return scored.filter(F.col("score_micro") >= _ER_THRESHOLD)
+
+
+@register(
+    "split_leakage_safe_groups",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CAND_SQL},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL SELECT doc_b, doc_a FROM cand
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    comp AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id),
+    asg AS (
+      SELECT d.doc_id,
+             COALESCE(c.label, d.doc_id) AS gk,
+             CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_graph
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    sp AS (
+      SELECT doc_id, gk, in_graph,
+             CASE WHEN substr(md5('split:' || CAST(gk AS VARCHAR)), 1, 1)
+                       < 'c'
+                  THEN 'train' ELSE 'test' END AS split
+      FROM asg
+    ),
+    strad AS (
+      SELECT CAST(count(*) AS BIGINT) AS straddle_pairs
+      FROM cand p
+      JOIN sp a ON a.doc_id = p.doc_a
+      JOIN sp b ON b.doc_id = p.doc_b
+      WHERE a.split <> b.split
+    )
+    SELECT sp.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT gk) AS BIGINT) AS n_groups,
+           CAST(sum(in_graph) AS BIGINT) AS n_grouped_docs,
+           s.straddle_pairs
+    FROM sp CROSS JOIN strad s
+    GROUP BY sp.split, s.straddle_pairs
+    """,
+)
+def split_leakage_safe_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE TRAIN/TEST SPLIT — the evaluation discipline naive
+    hash splits silently violate: if two near-duplicate documents land
+    on opposite sides of the split, the held-out set is contaminated
+    and eval numbers inflate (the train/test leakage that benchmark
+    decontamination papers document; same failure class as
+    corpus_decontaminate_13gram, but INTERNAL to the corpus). The fix:
+    split by NEAR-DUP GROUP, not by document — connected components
+    over the MinHash-LSH candidate graph (dedup_groups_connected's
+    labels, singletons keeping their own id) define the atomic units,
+    and the salted md5 split hashes the GROUP key, so an entire dup
+    cluster moves together. The audit column proves it: straddle_pairs
+    counts candidate pairs whose endpoints disagree on the split — 0
+    by construction here, and the regression canary a production
+    pipeline alerts on (a nonzero value means someone re-split by
+    doc_id).
+
+    Scale shape: the group labels come from the bounded-round
+    min-label propagation over the capped LSH edge list (see
+    dedup_groups_connected — O(diameter) rounds, edges shuffle
+    digests, never documents); the split itself is a map-side hash
+    projection; the audit joins the candidate pairs (LSH-capped,
+    corpus-sublinear) against the tiny assignment columns twice on
+    doc_id. Nothing is all-pairs; driver state is one scalar per CC
+    round."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _minhash_candidate_pairs(docs)
+    pairs = pairs.localCheckpoint(eager=True)  # LSH once: labels + audit
+    labels = _min_label_components(pairs)
+    asg = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("gk"),
+            F.when(F.col("label").isNotNull(), 1).otherwise(0).alias(
+                "in_graph"
+            ),
+        )
+    )
+    sp = asg.select(
+        "doc_id",
+        "gk",
+        "in_graph",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("gk").cast("string"))),
+                1,
+                1,
+            )
+            < "c",
+            "train",
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    sp = sp.localCheckpoint(eager=True)  # feeds the audit twice + output
+    a = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    strad = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count("*").cast("bigint").alias("straddle_pairs"))
+    )
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("gk").cast("bigint").alias("n_groups"),
+            F.sum("in_graph").cast("bigint").alias("n_grouped_docs"),
+        )
+        .crossJoin(F.broadcast(strad))
+    )

@@ -604,3 +604,139 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce("already", F.lit(0)).cast("bigint").alias("already_linked"),
         )
     )
+
+
+_SSSP_ROUNDS = 3
+_SSSP_INF = 10**15
+
+
+def _sssp_iter_sql(prev: str, out: str) -> str:
+    """One unrolled Bellman-Ford relaxation in DuckDB (exact integer
+    distances; INF-sourced relaxations exceed INF and lose the min)."""
+    return f"""
+    {out} AS (
+      SELECT n.doc_id, least(n.d, COALESCE(m.md, n.d)) AS d
+      FROM {prev} n LEFT JOIN (
+        SELECT e.dst AS doc_id, min(p.d + e.wt) AS md
+        FROM edges e JOIN {prev} p ON e.src = p.doc_id
+        GROUP BY e.dst
+      ) m USING (doc_id)
+    )"""
+
+
+@register(
+    "graph_sssp_bounded",
+    oracle=f"""
+    WITH {_MINHASH_CAND_SQL},
+    tsets AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(text),
+                                                          '\\s+'),
+                                       t -> t <> '')) AS tokset
+      FROM documents
+    ),
+    we AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_distinct(a.tokset || b.tokset))
+                  - len(list_intersect(a.tokset, b.tokset)) AS BIGINT)
+               AS wt
+      FROM cand c
+      JOIN tsets a ON a.doc_id = c.doc_a
+      JOIN tsets b ON b.doc_id = c.doc_b
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst, wt FROM we
+      UNION ALL SELECT doc_b, doc_a, wt FROM we
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    s AS (SELECT min(doc_id) AS sid FROM nodes),
+    d0 AS (
+      SELECT n.doc_id,
+             CASE WHEN n.doc_id = s.sid THEN 0 ELSE {_SSSP_INF} END AS d
+      FROM nodes n CROSS JOIN s
+    ),
+    {",".join(_sssp_iter_sql(f"d{k - 1}", f"d{k}") for k in range(1, _SSSP_ROUNDS + 1))}
+    SELECT doc_id, CAST(d AS BIGINT) AS dist
+    FROM d{_SSSP_ROUNDS} WHERE d < {_SSSP_INF}
+    """,
+)
+def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-HOP WEIGHTED SHORTEST PATHS (Bellman-Ford,
+    {_SSSP_ROUNDS} synchronous relaxation rounds) from the lowest
+    doc_id in the MinHash-LSH candidate graph, with edge weight = the
+    token-set SYMMETRIC-DIFFERENCE size between the two documents — an
+    exact integer dissimilarity, so path lengths are exact BIGINTs and
+    the min-relaxation is partial-agg-order-proof (the weighted
+    complement to graph_bfs_hops' unit-hop frontier). After k rounds
+    every node holds the exact shortest distance among paths of <= k
+    edges — the bounded-horizon form a production graph job runs
+    (full convergence is the same loop with the CC stopping rule).
+
+    Spark shape: the weighted edge list materializes once (candidate
+    pairs join the token-set table twice on doc_id — the
+    dedup_ngram_jaccard join discipline — then localCheckpoint);
+    each round is one join + one map-side-combinable min aggregate
+    hashed on doc_id, all {_SSSP_ROUNDS} rounds in a single lazy plan
+    (the <=3-iteration PageRank discipline). Unreached nodes carry an
+    integer INF sentinel ({_SSSP_INF}) that relaxation arithmetic
+    cannot confuse with a real path (max real weight x diameter is
+    orders below it); they are filtered at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _minhash_candidate_pairs(docs)
+    d = docs.select("doc_id", "text")
+
+    def tokset(col: str) -> F.Column:
+        return F.array_distinct(
+            F.expr(rf"filter(split(lower({col}), '\\s+'), t -> t != '')")
+        )
+
+    j = (
+        F.broadcast(pairs)
+        .join(d.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
+        .join(d.alias("db"), F.col("doc_b") == F.col("db.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            tokset("da.text").alias("ta"),
+            tokset("db.text").alias("tb"),
+        )
+    )
+    we = j.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.size(F.array_union(F.col("ta"), F.col("tb")))
+            - F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+        )
+        .cast("bigint")
+        .alias("wt"),
+    )
+    edges = we.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"), "wt"
+    ).union(
+        we.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"), "wt")
+    )
+    edges = edges.localCheckpoint(eager=True)  # LSH + scoring once
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    s = nodes.agg(F.min("doc_id").alias("sid"))
+    dist = nodes.crossJoin(F.broadcast(s)).select(
+        "doc_id",
+        F.when(F.col("doc_id") == F.col("sid"), F.lit(0))
+        .otherwise(F.lit(_SSSP_INF))
+        .cast("bigint")
+        .alias("d"),
+    )
+    for _ in range(_SSSP_ROUNDS):
+        m = (
+            edges.join(dist, edges["src"] == dist["doc_id"])
+            .select("dst", (F.col("d") + F.col("wt")).alias("cand"))
+            .groupBy("dst")
+            .agg(F.min("cand").alias("md"))
+        )
+        dist = dist.join(m, dist["doc_id"] == m["dst"], "left").select(
+            "doc_id",
+            F.least(F.col("d"), F.coalesce(F.col("md"), F.col("d"))).alias("d"),
+        )
+    return dist.filter(F.col("d") < _SSSP_INF).select(
+        "doc_id", F.col("d").cast("bigint").alias("dist")
+    )

@@ -728,3 +728,128 @@ def multimodal_video_shot_boundary(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("shot_id"),
     )
+
+
+# container magic numbers (public file-format signatures)
+_MAGIC = {
+    "png": b"\x89\x50\x4e\x47",   # PNG
+    "jpeg": b"\xff\xd8\xff\xe0",  # JPEG/JFIF
+    "riff": b"\x52\x49\x46\x46",  # RIFF (WAV/AVI)
+    "ogg": b"\x4f\x67\x67\x53",   # OggS
+}
+_FMT_ORDER = ["png", "jpeg", "riff", "ogg"]
+_SNIFF_CORRUPT_MOD = 17  # every 17th payload loses its first byte
+
+
+@register(
+    "multimodal_format_sniff",
+    oracle=f"""
+    WITH packed AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                  WHEN 2 THEN 'riff' ELSE 'ogg' END AS declared_format,
+             CASE WHEN doc_id % {_SNIFF_CORRUPT_MOD} = 0
+                  THEN substr(hex(CASE doc_id % 4
+                         WHEN 0 THEN '\\x89\\x50\\x4E\\x47'::BLOB
+                         WHEN 1 THEN '\\xFF\\xD8\\xFF\\xE0'::BLOB
+                         WHEN 2 THEN '\\x52\\x49\\x46\\x46'::BLOB
+                         ELSE '\\x4F\\x67\\x67\\x53'::BLOB END
+                       || encode(text)), 3)
+                  ELSE hex(CASE doc_id % 4
+                         WHEN 0 THEN '\\x89\\x50\\x4E\\x47'::BLOB
+                         WHEN 1 THEN '\\xFF\\xD8\\xFF\\xE0'::BLOB
+                         WHEN 2 THEN '\\x52\\x49\\x46\\x46'::BLOB
+                         ELSE '\\x4F\\x67\\x67\\x53'::BLOB END
+                       || encode(text))
+             END AS hx,
+             CASE WHEN doc_id % {_SNIFF_CORRUPT_MOD} = 0
+                  THEN octet_length(encode(text)) + 3
+                  ELSE octet_length(encode(text)) + 4 END AS n_bytes
+      FROM documents
+    ),
+    sniffed AS (
+      SELECT declared_format,
+             CASE WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
+                  WHEN substr(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+                  WHEN substr(hx, 1, 8) = '52494646' THEN 'riff'
+                  WHEN substr(hx, 1, 8) = '4F676753' THEN 'ogg'
+                  ELSE 'unknown' END AS sniffed_format,
+             n_bytes
+      FROM packed
+    )
+    SELECT declared_format, sniffed_format,
+           CAST(count(*) AS BIGINT) AS n_payloads,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(CASE WHEN declared_format = sniffed_format
+                     THEN 1 ELSE 0 END AS BIGINT) AS metadata_agrees
+    FROM sniffed GROUP BY declared_format, sniffed_format
+    """,
+)
+def multimodal_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINER FORMAT SNIFFING over opaque binary payloads — the
+    ingest-validation stage of a multimodal pipeline: never trust the
+    sidecar metadata; read the MAGIC BYTES. Payloads are packed with
+    real public container signatures (PNG / JPEG-JFIF / RIFF / OggS,
+    assigned round-robin) and every {_SNIFF_CORRUPT_MOD}th payload is
+    truncated by one leading byte — the classic corrupt-upload shape.
+    The sniffer slices the first four bytes OF THE BINARY COLUMN
+    (Spark-side substring on BinaryType, hex-compared against the
+    signature table) and the report groups (declared x sniffed)
+    with payload counts/bytes: off-diagonal rows with
+    sniffed='unknown' are exactly the corrupt uploads, and a
+    declared/sniffed disagreement on a healthy payload would be a
+    metadata bug. The DuckDB oracle builds the identical blobs
+    (BLOB concat + encode) and sniffs via the hex prefix, so the
+    binary plumbing — not just the assignment rule — is what's
+    attested.
+
+    Scale shape: pack and sniff are both map-only projections over
+    the payload column (first-4-bytes slice, no full-payload decode);
+    the report is a low-cardinality map-side-combinable aggregate.
+    At 100 TB this runs at scan throughput."""
+    docs = load_table(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_MAGIC["png"]))
+        .when(F.col("doc_id") % 4 == 1, F.lit(_MAGIC["jpeg"]))
+        .when(F.col("doc_id") % 4 == 2, F.lit(_MAGIC["riff"]))
+        .otherwise(F.lit(_MAGIC["ogg"]))
+    )
+    declared = (
+        F.when(F.col("doc_id") % 4 == 0, "png")
+        .when(F.col("doc_id") % 4 == 1, "jpeg")
+        .when(F.col("doc_id") % 4 == 2, "riff")
+        .otherwise("ogg")
+    )
+    packed = docs.select(
+        "doc_id",
+        declared.alias("declared_format"),
+        F.concat(magic, F.encode(F.col("text"), "UTF-8")).alias("payload"),
+    ).select(
+        "doc_id",
+        "declared_format",
+        F.when(
+            F.col("doc_id") % _SNIFF_CORRUPT_MOD == 0,
+            F.expr("substring(payload, 2)"),
+        )
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    )
+    prefix = F.hex(F.expr("substring(payload, 1, 4)"))
+    sniffed = packed.select(
+        "declared_format",
+        F.when(F.substring(prefix, 1, 8) == "89504E47", "png")
+        .when(F.substring(prefix, 1, 6) == "FFD8FF", "jpeg")
+        .when(F.substring(prefix, 1, 8) == "52494646", "riff")
+        .when(F.substring(prefix, 1, 8) == "4F676753", "ogg")
+        .otherwise("unknown")
+        .alias("sniffed_format"),
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+    )
+    return sniffed.groupBy("declared_format", "sniffed_format").agg(
+        F.count("*").cast("bigint").alias("n_payloads"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.when(F.col("declared_format") == F.col("sniffed_format"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("metadata_agrees"),
+    )

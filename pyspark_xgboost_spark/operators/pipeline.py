@@ -399,3 +399,256 @@ def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~F.col("ok_diversity"), 1)).alias("n_fail_diversity"),
         F.count(F.when(~F.col("ok_stopwords"), 1)).alias("n_fail_stopwords"),
     )
+
+
+
+@register(
+    "pipeline_curation_funnel",
+    oracle=None,  # assigned right below (needs text-module SQL constants)
+)
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURATION FUNNEL ACCOUNTING — the observability view every
+    production data pipeline publishes next to its outputs: how many
+    documents entered each curation stage and how many survived it.
+    Four chained stages over the training pool (every 50th doc is the
+    held-out eval suite, excluded up front, mirroring
+    contamination_check): (1) quality — >=10 tokens and type-token
+    ratio >=0.3, compared in cross-multiplied exact integers;
+    (2) language ID — at least one stopword marker hit
+    (text_langid's scorer: anything else is 'other'); (3) exact
+    dedup — keep the lowest doc_id per normalized-text hash AMONG
+    SURVIVORS (a dup whose keeper was already filtered must elect a
+    new keeper — the window min over a survivor-conditional handles
+    that for free); (4) decontamination — drop docs sharing any
+    4-token shingle with the holdout. One row per stage:
+    rows_in, rows_out, floored micro retention.
+
+    This complements pipeline_training_data (which RETURNS the
+    surviving rows): same operator families, but the deliverable here
+    is the funnel report a data-quality dashboard ingests.
+
+    Scale shape: ONE corpus scan computes every per-doc flag
+    (tokenize once; the dedup keeper is a window over the 32-char
+    hash; contamination is the broadcast-holdout hash join of
+    contamination_check); all four funnel counts come from a single
+    map-side-combinable aggregate over the flag columns, and the
+    4-row report is an explode of that single row. No stage rescans
+    or re-shuffles the corpus."""
+    from pyspark_xgboost_spark.operators.text import _langid_spark_scores
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 != 0
+    )
+    toks = F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')")
+    norm = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+    scores = _langid_spark_scores()
+    best = F.greatest(*scores.values())
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        norm.alias("norm_hash"),
+        best.alias("best_score"),
+    ).select(
+        "doc_id",
+        "toks",
+        "norm_hash",
+        (
+            (F.size("toks") >= 10)
+            & (10 * F.size(F.array_distinct("toks")) >= 3 * F.size("toks"))
+        ).alias("q1"),
+        (F.col("best_score") > 0).alias("q2"),
+    )
+    sh = base.filter(F.size("toks") >= 4).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 3),"
+                    " i -> array_join(slice(toks, i, 4), ' '))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    holdout_docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    )
+    hold_sh = (
+        holdout_docs.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 4)
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 3),"
+                        " i -> array_join(slice(toks, i, 4), ' '))"
+                    )
+                )
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    dirty = (
+        sh.join(F.broadcast(hold_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("dirty", F.lit(1))
+    )
+    w = Window.partitionBy("norm_hash")
+    flags = (
+        base.select(
+            "doc_id",
+            "norm_hash",
+            "q1",
+            "q2",
+            F.min(
+                F.when(F.col("q1") & F.col("q2"), F.col("doc_id"))
+            )
+            .over(w)
+            .alias("keeper"),
+        )
+        .join(dirty, "doc_id", "left")
+        .select(
+            "q1",
+            "q2",
+            (F.col("q1") & F.col("q2") & (F.col("doc_id") == F.col("keeper")))
+            .alias("kept"),
+            F.col("dirty").isNull().alias("clean"),
+        )
+    )
+    g = flags.agg(
+        F.count("*").cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("q1"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("q1") & F.col("q2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n3"),
+        F.sum(F.when(F.col("kept") & F.col("clean"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n4"),
+    )
+    stage = F.explode(
+        F.array(
+            F.struct(
+                F.lit(1).alias("stage_no"),
+                F.lit("quality").alias("stage"),
+                F.col("n0").alias("rows_in"),
+                F.col("n1").alias("rows_out"),
+            ),
+            F.struct(
+                F.lit(2).alias("stage_no"),
+                F.lit("langid").alias("stage"),
+                F.col("n1").alias("rows_in"),
+                F.col("n2").alias("rows_out"),
+            ),
+            F.struct(
+                F.lit(3).alias("stage_no"),
+                F.lit("dedup_exact").alias("stage"),
+                F.col("n2").alias("rows_in"),
+                F.col("n3").alias("rows_out"),
+            ),
+            F.struct(
+                F.lit(4).alias("stage_no"),
+                F.lit("decontaminate").alias("stage"),
+                F.col("n3").alias("rows_in"),
+                F.col("n4").alias("rows_out"),
+            ),
+        )
+    ).alias("s")
+    return g.select(stage).select(
+        F.col("s.stage_no").cast("int").alias("stage_no"),
+        F.col("s.stage").alias("stage"),
+        F.col("s.rows_in").alias("rows_in"),
+        F.col("s.rows_out").alias("rows_out"),
+        F.when(
+            F.col("s.rows_in") > 0,
+            F.floor(F.col("s.rows_out") * 1000000.0 / F.col("s.rows_in")).cast(
+                "bigint"
+            ),
+        ).alias("retained_micro"),
+    )
+
+
+def _funnel_oracle() -> str:
+    from pyspark_xgboost_spark.operators.text import _SPARK_SCORES_SQLS
+
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS toks,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+               AS norm_hash,
+             greatest({_SPARK_SCORES_SQLS["en"]}, {_SPARK_SCORES_SQLS["de"]},
+                      {_SPARK_SCORES_SQLS["fr"]}, {_SPARK_SCORES_SQLS["es"]})
+               AS best_score
+      FROM documents WHERE doc_id % 50 <> 0
+    ),
+    b2 AS (
+      SELECT doc_id, toks, norm_hash,
+             (len(toks) >= 10
+              AND 10 * len(list_distinct(toks)) >= 3 * len(toks)) AS q1,
+             (best_score > 0) AS q2
+      FROM base
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [array_to_string(toks[i:i+3], ' ')
+                for i in range(1, len(toks) - 2)])) AS shingle
+      FROM b2 WHERE len(toks) >= 4
+    ),
+    hold AS (
+      SELECT DISTINCT unnest(list_distinct(
+               [array_to_string(toks[i:i+3], ' ')
+                for i in range(1, len(toks) - 2)])) AS shingle
+      FROM (SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS toks
+            FROM documents WHERE doc_id % 50 = 0)
+      WHERE len(toks) >= 4
+    ),
+    dirty AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN hold USING (shingle)
+    ),
+    flags AS (
+      SELECT b.q1, b.q2,
+             (b.q1 AND b.q2
+              AND b.doc_id = min(CASE WHEN b.q1 AND b.q2 THEN b.doc_id END)
+                             OVER (PARTITION BY b.norm_hash)) AS kept,
+             (d.doc_id IS NULL) AS clean
+      FROM b2 b LEFT JOIN dirty d USING (doc_id)
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN q1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN q1 AND q2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(sum(CASE WHEN kept AND clean THEN 1 ELSE 0 END) AS BIGINT)
+               AS n4
+      FROM flags
+    ),
+    st AS (
+      SELECT 1 AS stage_no, 'quality' AS stage, n0 AS rows_in,
+             n1 AS rows_out FROM g
+      UNION ALL
+      SELECT 2, 'langid', n1, n2 FROM g
+      UNION ALL
+      SELECT 3, 'dedup_exact', n2, n3 FROM g
+      UNION ALL
+      SELECT 4, 'decontaminate', n3, n4 FROM g
+    )
+    SELECT CAST(stage_no AS INTEGER) AS stage_no, stage, rows_in, rows_out,
+           CASE WHEN rows_in > 0
+                THEN CAST(floor(rows_out * 1000000.0 / rows_in) AS BIGINT)
+           END AS retained_micro
+    FROM st
+    """
+
+
+def _register_funnel_oracle() -> None:
+    from pyspark_xgboost_spark import registry
+
+    registry.ORACLES["pipeline_curation_funnel"] = _funnel_oracle()
+
+
+_register_funnel_oracle()

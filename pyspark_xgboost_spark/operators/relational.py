@@ -2771,3 +2771,100 @@ def agg_psi_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("psi_micro"),
     )
+
+
+_LDIV_L = 3  # minimum distinct sensitive values per equivalence class
+
+
+@register(
+    "audit_l_diversity",
+    oracle=f"""
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 100000.0)
+                  AS BIGINT) AS bal_bucket
+      FROM customer
+    ),
+    cells AS (
+      SELECT c_nationkey, c_mktsegment, bal_bucket,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(count(*)) OVER
+                  (PARTITION BY c_nationkey, c_mktsegment) AS BIGINT) AS tot
+      FROM q GROUP BY c_nationkey, c_mktsegment, bal_bucket
+    ),
+    cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(sum(cnt) AS BIGINT) AS class_size,
+             CAST(count(*) AS BIGINT) AS l_distinct,
+             CAST(sum(cnt * CAST(round(ln(CAST(cnt AS DOUBLE) / tot)
+                                       * 1000000) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM cells GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, class_size, l_distinct,
+           CAST((-s) // class_size AS BIGINT) AS entropy_micro_nats,
+           CAST(CASE WHEN l_distinct < {_LDIV_L} THEN 1 ELSE 0 END AS BIGINT)
+             AS at_risk
+    FROM cls
+    """,
+)
+def audit_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY audit (Machanavajjhala et al., ICDE 2006) — the
+    privacy gate k-anonymity alone cannot provide: a class of 50
+    customers is still fully disclosed if every one of them shares the
+    same sensitive value. Over the same quasi-identifier classes as
+    audit_k_anonymity (nation x market segment), the sensitive
+    attribute (the $1000 balance bucket) must take at least
+    l={_LDIV_L} distinct values per class; the query also reports
+    Shannon entropy of the within-class sensitive distribution in
+    micro-nats (entropy l-diversity, the stricter criterion) via the
+    established per-term idiom: each ln(p) is rounded to an exact
+    micro-nat integer, weighted by its exact count, and the integer
+    sum divides by class size — order-free, engine-exact
+    (nonnegative operands, so truncating and flooring division
+    agree).
+
+    Scale shape: two stacked map-side-combinable aggregates (cell
+    counts, then class rollup) — shuffle volume is O(distinct QI x
+    sensitive cells), independent of row count. The within-class
+    normalizer rides the same aggregate (no second scan)."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    cells = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(cents / 100000.0).cast("bigint").alias("bal_bucket"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    wcls = W.partitionBy("c_nationkey", "c_mktsegment")
+    terms = cells.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "cnt",
+        (
+            F.col("cnt")
+            * F.round(
+                F.log(F.col("cnt").cast("double") / F.sum("cnt").over(wcls))
+                * 1000000
+            ).cast("long")
+        ).alias("t"),
+    )
+    cls = terms.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").cast("bigint").alias("class_size"),
+        F.count("*").cast("bigint").alias("l_distinct"),
+        F.sum("t").cast("bigint").alias("s"),
+    )
+    return cls.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_size",
+        "l_distinct",
+        F.expr("(-s) div class_size").cast("bigint").alias("entropy_micro_nats"),
+        F.when(F.col("l_distinct") < _LDIV_L, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("at_risk"),
+    )

@@ -1535,3 +1535,249 @@ def sample_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("funded").cast("bigint").alias("fully_funded"),
         alloc.cast("bigint").alias("alloc_chars"),
     )
+
+
+@register(
+    "agg_welch_ttest",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('exp42:' || CAST(user_id AS VARCHAR)),
+                              1, 1) < '8'
+                  THEN 'treatment' ELSE 'control' END AS arm,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents) AS BIGINT) AS ss
+      FROM per_user GROUP BY arm
+    ),
+    w AS (
+      SELECT t.n AS n_treat, c.n AS n_control,
+             CAST(t.s AS DOUBLE) / t.n AS mt,
+             CAST(c.s AS DOUBLE) / c.n AS mc,
+             (CAST(t.n AS DOUBLE) * t.ss - CAST(t.s AS DOUBLE) * t.s)
+               / (CAST(t.n AS DOUBLE) * (t.n - 1)) / t.n AS set2,
+             (CAST(c.n AS DOUBLE) * c.ss - CAST(c.s AS DOUBLE) * c.s)
+               / (CAST(c.n AS DOUBLE) * (c.n - 1)) / c.n AS sec2
+      FROM (SELECT * FROM arms WHERE arm = 'treatment') t
+      CROSS JOIN (SELECT * FROM arms WHERE arm = 'control') c
+    )
+    SELECT n_treat, n_control,
+           CAST(floor((mt - mc) * 1000) AS BIGINT) AS mean_diff_millicents,
+           CAST(floor((mt - mc) / sqrt(set2 + sec2) * 1000000) AS BIGINT)
+             AS t_micro,
+           CAST(floor((set2 + sec2) * (set2 + sec2)
+                      / (set2 * set2 / (n_treat - 1)
+                         + sec2 * sec2 / (n_control - 1)) * 1000) AS BIGINT)
+             AS df_welch_milli,
+           CAST(CASE WHEN abs((mt - mc) / sqrt(set2 + sec2)) > 1.96
+                     THEN 1 ELSE 0 END AS BIGINT) AS significant_95
+    FROM w
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S UNEQUAL-VARIANCE T-TEST (Welch, Biometrika 1947) between
+    the two salted-hash experiment arms — the decision stage of the
+    experimentation suite (assignment + SRM audit:
+    sample_ab_assignment_contract; variance reduction:
+    events_cuped_adjustment; this query: the significance call).
+    Per-user revenue aggregates land in exact BIGINT cents
+    (count / sum / sum-of-squares per arm), and the t statistic, the
+    Welch-Satterthwaite degrees of freedom, and the 95% verdict
+    (normal-approximation critical value 1.96 — df here is in the
+    hundreds, where t and z agree to 3 decimals) all fall out of a
+    handful of closed-form double expressions over those exact sums —
+    the same order-insensitive closed-form-over-exact-sums discipline
+    as events_cuped_adjustment and agg_corr_regression: no per-row
+    float accumulation anywhere, so the numbers are bit-stable across
+    engines, partitionings, and retries. Standard errors use the
+    n*ss - s*s cross-multiplied variance form evaluated in double
+    (int64 would wrap first at ~1e5 users x 1e6 cents; the double form
+    is deterministic because the INPUT sums are exact integers and
+    IEEE arithmetic is identical on both engines).
+
+    Scale shape: one map-side-combinable groupBy(user) exchange, then a
+    2-row arm aggregate and a 1x1 cross join. Everything after the
+    first exchange is O(1) regardless of corpus size."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(cents).cast("bigint").alias("cents")
+    ).select(
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("exp42:"), F.col("user_id").cast("string"))),
+                1,
+                1,
+            )
+            < "8",
+            "treatment",
+        )
+        .otherwise("control")
+        .alias("arm"),
+        "cents",
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+    )
+    t = arms.filter(F.col("arm") == "treatment").select(
+        F.col("n").alias("n_treat"), F.col("s").alias("ts"), F.col("ss").alias("tss")
+    )
+    c = arms.filter(F.col("arm") == "control").select(
+        F.col("n").alias("n_control"), F.col("s").alias("cs"), F.col("ss").alias("css")
+    )
+    j = t.crossJoin(F.broadcast(c))
+    mt = F.col("ts").cast("double") / F.col("n_treat")
+    mc = F.col("cs").cast("double") / F.col("n_control")
+    set2 = (
+        (F.col("n_treat").cast("double") * F.col("tss")
+         - F.col("ts").cast("double") * F.col("ts"))
+        / (F.col("n_treat").cast("double") * (F.col("n_treat") - 1))
+        / F.col("n_treat")
+    )
+    sec2 = (
+        (F.col("n_control").cast("double") * F.col("css")
+         - F.col("cs").cast("double") * F.col("cs"))
+        / (F.col("n_control").cast("double") * (F.col("n_control") - 1))
+        / F.col("n_control")
+    )
+    tstat = (mt - mc) / F.sqrt(set2 + sec2)
+    df = (
+        (set2 + sec2) * (set2 + sec2)
+        / (set2 * set2 / (F.col("n_treat") - 1)
+           + sec2 * sec2 / (F.col("n_control") - 1))
+    )
+    return j.select(
+        "n_treat",
+        "n_control",
+        F.floor((mt - mc) * 1000).cast("bigint").alias("mean_diff_millicents"),
+        F.floor(tstat * 1000000).cast("bigint").alias("t_micro"),
+        F.floor(df * 1000).cast("bigint").alias("df_welch_milli"),
+        F.when(F.abs(tstat) > 1.96, 1).otherwise(0).cast("bigint").alias(
+            "significant_95"
+        ),
+    )
+
+
+
+_KFOLD_K = 5
+_KFOLD_CHI2_CRIT = 9.488  # chi2(k-1=4) critical value at 95%
+
+
+@register(
+    "sample_kfold_assignment",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    assign AS (
+      SELECT user_id,
+             ({_hex8_uint_sql("md5('fold:' || CAST(user_id AS VARCHAR))")})
+               % {_KFOLD_K} AS fold
+      FROM u
+    ),
+    counts AS (
+      SELECT fold, CAST(count(*) AS BIGINT) AS n_users
+      FROM assign GROUP BY fold
+    ),
+    tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS n FROM counts),
+    contrib AS (
+      SELECT c.fold, c.n_users, t.n,
+             CAST(({_KFOLD_K} * c.n_users - t.n)
+                  * ({_KFOLD_K} * c.n_users - t.n) AS BIGINT) AS dev2
+      FROM counts c CROSS JOIN tot t
+    ),
+    total AS (SELECT CAST(sum(dev2) AS BIGINT) AS sum_dev2 FROM contrib)
+    SELECT c.fold, c.n_users,
+           CAST(floor(CAST(c.dev2 AS DOUBLE) * 1000000
+                      / ({_KFOLD_K}.0 * c.n)) AS BIGINT)
+             AS chi2_micro_contrib,
+           CAST(CASE WHEN CAST(tt.sum_dev2 AS DOUBLE)
+                          <= {_KFOLD_CHI2_CRIT} * {_KFOLD_K} * c.n
+                     THEN 1 ELSE 0 END AS BIGINT) AS balanced_95
+    FROM contrib c CROSS JOIN total tt
+    """,
+)
+def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC K-FOLD CROSS-VALIDATION ASSIGNMENT + balance
+    audit — the evaluation-protocol primitive: every user lands in one
+    of {_KFOLD_K} folds by a salted md5 hash (stable across engines,
+    sessions, and re-runs — never sample()/rand(), which would
+    re-deal folds per execution), and the assignment is immediately
+    audited for balance with the k-ary chi-square against the uniform
+    split: per-fold contribution (k*n_i - n)^2 / (k*n) in exact
+    cross-multiplied integers through one floored double (the SRM
+    idiom of sample_ab_assignment_contract generalized from 2 arms to
+    k folds), plus the 95% verdict against chi2({_KFOLD_K - 1}) =
+    {_KFOLD_CHI2_CRIT}. A failing verdict means the hash or an
+    upstream filter is biased and any CV estimate is suspect.
+
+    The verdict never sums doubles: sum(dev^2) is an exact BIGINT
+    (order-free under any partitioning), compared once against
+    crit * k * n — the floored per-fold micro contribution is
+    display-only.
+
+    Scale shape: one DISTINCT-user exchange, a {_KFOLD_K}-row
+    aggregate, two 1-row broadcasts. The fold column itself is a
+    map-side projection any 100 TB table adds at zero shuffle cost."""
+    events = load_table(spark, sf_dir, "events")
+    assign = (
+        events.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("fold:"), F.col("user_id").cast("string")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % _KFOLD_K
+            ).alias("fold"),
+        )
+    )
+    counts = assign.groupBy("fold").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    counts = counts.localCheckpoint(eager=True)  # 5 rows; feeds tot + output
+    tot = counts.agg(F.sum("n_users").cast("bigint").alias("n"))
+    dev = _KFOLD_K * F.col("n_users") - F.col("n")
+    contrib = counts.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        "n_users",
+        "n",
+        (dev * dev).cast("bigint").alias("dev2"),
+    )
+    contrib = contrib.localCheckpoint(eager=True)
+    total = contrib.agg(F.sum("dev2").cast("bigint").alias("sum_dev2"))
+    return contrib.crossJoin(F.broadcast(total)).select(
+        "fold",
+        "n_users",
+        F.floor(
+            F.col("dev2").cast("double") * 1000000
+            / (float(_KFOLD_K) * F.col("n"))
+        )
+        .cast("bigint")
+        .alias("chi2_micro_contrib"),
+        F.when(
+            F.col("sum_dev2").cast("double")
+            <= _KFOLD_CHI2_CRIT * _KFOLD_K * F.col("n"),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("balanced_95"),
+    )

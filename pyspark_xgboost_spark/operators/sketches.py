@@ -1081,3 +1081,129 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_est_micro"),
         )
     )
+
+
+_AMS_J = 16  # tug-of-war estimators
+
+
+@register(
+    "sketch_ams_f2",
+    oracle=f"""
+    WITH tok AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    est AS (
+      SELECT j,
+             CAST(sum(CASE WHEN substr(md5(w || ':' || CAST(j AS VARCHAR)),
+                                       1, 1) < '8'
+                           THEN f ELSE -f END) AS BIGINT) AS s
+      FROM tok, (SELECT unnest(generate_series(0, {_AMS_J - 1})) AS j)
+      GROUP BY j
+    ),
+    sq AS (
+      SELECT j, s,
+             CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS BIGINT)
+               AS est_sq
+      FROM est
+    ),
+    ex AS (SELECT CAST(sum(f * f) AS BIGINT) AS exact_f2 FROM tok),
+    mean AS (
+      SELECT CAST(sum(est_sq) // {_AMS_J} AS BIGINT) AS est_mean FROM sq
+    )
+    SELECT sq.j, sq.s, sq.est_sq, ex.exact_f2, mean.est_mean,
+           CAST(floor(abs(CAST(mean.est_mean - ex.exact_f2 AS DOUBLE))
+                      * 1000000 / ex.exact_f2) AS BIGINT) AS rel_err_micro
+    FROM sq CROSS JOIN ex CROSS JOIN mean
+    """,
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS TUG-OF-WAR SKETCH for the second frequency moment F2 =
+    sum(f_x^2) (Alon, Matias & Szegedy, STOC 1996 — the paper that
+    founded streaming sketches). Each of {_AMS_J} estimators keeps one
+    signed counter S_j = sum_x f_x * sign_j(x) with a salted
+    four-wise-style hash sign (md5 first hex digit, +1/-1 balanced);
+    E[S_j^2] = F2, and averaging the estimators tightens the variance.
+    The sketch state is {_AMS_J} BIGINT counters — LINEAR in the
+    update (sign * count), so it is map-side combinable, mergeable
+    across shards/days by plain addition, and deletion-tolerant
+    (turnstile model), which HLL/KMV are not: this is the sketch for
+    'join size / self-join size / skew estimation' on a 100 TB stream.
+    Like agg_hll_portable, the REGISTERS themselves are oracle-checked
+    hash-exactly (both engines compute the identical md5 sign), not
+    just the final estimate; the exact F2 and the floored relative
+    error of the estimator mean ride every row as the acceptance gate.
+
+    Determinism/headroom: S_j sums exact BIGINT token counts
+    (|S_j| <= corpus token count; wraps only past 9.2e18 tokens);
+    S_j^2 and the error ratio go through double before flooring — the
+    ADVICE-sanctioned discipline for squared terms, deterministic
+    because the inputs are exact integers and IEEE multiplication is
+    engine-identical.
+
+    Scale shape: one token-frequency aggregate (map-side combined),
+    then a {_AMS_J}-way explode of the WORD-TYPE table only (never the
+    corpus), one {_AMS_J}-row aggregate, and two broadcast 1-row
+    joins. At 100 TB: 10^11 tokens collapse to ~10^7 types before the
+    sketch sees them."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    tok = tok.localCheckpoint(eager=True)  # feeds estimators + exact F2
+    est = (
+        tok.select(
+            "w",
+            "f",
+            F.explode(F.array(*[F.lit(j) for j in range(_AMS_J)])).alias("j"),
+        )
+        .select(
+            "j",
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.col("w"), F.lit(":"), F.col("j").cast("string"))),
+                    1,
+                    1,
+                )
+                < "8",
+                F.col("f"),
+            )
+            .otherwise(-F.col("f"))
+            .alias("sf"),
+        )
+        .groupBy("j")
+        .agg(F.sum("sf").cast("bigint").alias("s"))
+    )
+    sq = est.select(
+        "j",
+        "s",
+        F.floor(F.col("s").cast("double") * F.col("s").cast("double"))
+        .cast("bigint")
+        .alias("est_sq"),
+    )
+    sq = sq.localCheckpoint(eager=True)  # 16 rows; feeds mean + output
+    ex = tok.agg(F.sum(F.col("f") * F.col("f")).cast("bigint").alias("exact_f2"))
+    mean = sq.agg(
+        F.expr(f"sum(est_sq) div {_AMS_J}").cast("bigint").alias("est_mean")
+    )
+    return sq.crossJoin(F.broadcast(ex)).crossJoin(F.broadcast(mean)).select(
+        "j",
+        "s",
+        "est_sq",
+        "exact_f2",
+        "est_mean",
+        F.floor(
+            F.abs((F.col("est_mean") - F.col("exact_f2")).cast("double"))
+            * 1000000
+            / F.col("exact_f2")
+        )
+        .cast("bigint")
+        .alias("rel_err_micro"),
+    )

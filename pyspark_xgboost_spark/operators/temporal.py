@@ -2655,3 +2655,122 @@ def events_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("c").alias("n_censored"),
         F.sum("term").over(wcum).cast("bigint").alias("surv_lnmicro"),
     )
+
+
+_BOLL_WIN = 7  # trading-style 7-day band window
+
+
+@register(
+    "window_bollinger_bands",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_idx,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day_idx, y,
+             CAST(sum(y) OVER win AS BIGINT) AS wsum,
+             CAST(sum(y * y) OVER win AS BIGINT) AS wsq,
+             CAST(count(*) OVER win AS BIGINT) AS wcnt
+      FROM daily
+      WINDOW win AS (PARTITION BY event_type ORDER BY day_idx
+                     ROWS BETWEEN {_BOLL_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day_idx, y,
+           CAST(floor(CAST(wsum AS DOUBLE) / wcnt * 1000) AS BIGINT)
+             AS mid_millicents,
+           CAST(floor((CAST(wsum AS DOUBLE) / wcnt
+                       - 2 * sqrt((CAST(wcnt AS DOUBLE) * wsq
+                                   - CAST(wsum AS DOUBLE) * wsum)
+                                  / (CAST(wcnt AS DOUBLE) * wcnt))) * 1000)
+                AS BIGINT) AS lower_millicents,
+           CAST(floor((CAST(wsum AS DOUBLE) / wcnt
+                       + 2 * sqrt((CAST(wcnt AS DOUBLE) * wsq
+                                   - CAST(wsum AS DOUBLE) * wsum)
+                                  / (CAST(wcnt AS DOUBLE) * wcnt))) * 1000)
+                AS BIGINT) AS upper_millicents,
+           CAST(CASE WHEN CAST(y AS DOUBLE)
+                          > CAST(wsum AS DOUBLE) / wcnt
+                            + 2 * sqrt((CAST(wcnt AS DOUBLE) * wsq
+                                        - CAST(wsum AS DOUBLE) * wsum)
+                                       / (CAST(wcnt AS DOUBLE) * wcnt))
+                     THEN 1
+                     WHEN CAST(y AS DOUBLE)
+                          < CAST(wsum AS DOUBLE) / wcnt
+                            - 2 * sqrt((CAST(wcnt AS DOUBLE) * wsq
+                                        - CAST(wsum AS DOUBLE) * wsum)
+                                       / (CAST(wcnt AS DOUBLE) * wcnt))
+                     THEN -1 ELSE 0 END AS BIGINT) AS breakout
+    FROM w WHERE wcnt = {_BOLL_WIN}
+    """,
+)
+def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOLLINGER BANDS (Bollinger, 1980s technical analysis; the same
+    rolling mean +/- k*sigma envelope is the textbook anomaly gate for
+    any operational metric): over each event type's daily revenue
+    series, the {_BOLL_WIN}-day rolling mean and population standard
+    deviation define a +/-2 sigma envelope, and each day is flagged
+    +1/-1/0 for an upper/lower band breakout — the volatility-scaled
+    complement to the fixed-threshold CUSUM and MAD gates elsewhere in
+    this family. Emitted only for full windows (the standard
+    convention; partial leading windows have an undefined band).
+
+    Determinism: the window carries exact BIGINT sums (y, y^2, count);
+    mean and sigma fall out of ONE closed-form double expression per
+    row — sqrt is IEEE-correctly-rounded on both engines, floor
+    lands milli-cent units, and the breakout comparison happens on
+    identical doubles. Overflow headroom (measured): max daily |y| ~
+    7e5 cents at sf0.1 so the windowed sum(y*y) ~ 3.4e12 — six orders
+    inside int64; a series with larger per-day magnitudes rescales
+    cents to whole units first (the window_acf_lags discipline).
+
+    Scale shape: one partial-agg collapses events to the (type, day)
+    grid; the window then sorts GRID rows only (dozens per type per
+    year), never corpus rows — the seasonal-decompose discipline. At
+    100 TB the exchange after the first aggregate carries a few
+    thousand rows."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day_idx"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    win = (
+        W.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-(_BOLL_WIN - 1), W.currentRow)
+    )
+    w = daily.select(
+        "event_type",
+        "day_idx",
+        "y",
+        F.sum("y").over(win).cast("bigint").alias("wsum"),
+        F.sum(F.col("y") * F.col("y")).over(win).cast("bigint").alias("wsq"),
+        F.count("*").over(win).cast("bigint").alias("wcnt"),
+    ).filter(F.col("wcnt") == _BOLL_WIN)
+    mean = F.col("wsum").cast("double") / F.col("wcnt")
+    sd = F.sqrt(
+        (F.col("wcnt").cast("double") * F.col("wsq")
+         - F.col("wsum").cast("double") * F.col("wsum"))
+        / (F.col("wcnt").cast("double") * F.col("wcnt"))
+    )
+    return w.select(
+        "event_type",
+        "day_idx",
+        "y",
+        F.floor(mean * 1000).cast("bigint").alias("mid_millicents"),
+        F.floor((mean - 2 * sd) * 1000).cast("bigint").alias("lower_millicents"),
+        F.floor((mean + 2 * sd) * 1000).cast("bigint").alias("upper_millicents"),
+        F.when(F.col("y").cast("double") > mean + 2 * sd, 1)
+        .when(F.col("y").cast("double") < mean - 2 * sd, -1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("breakout"),
+    )

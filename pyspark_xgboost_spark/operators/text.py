@@ -752,3 +752,143 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score_micro",
         )
     )
+
+
+_TR_ITERS = 3
+_TR_TOPK = 10
+
+
+def _textrank_iter_sql(prev: str, out: str) -> str:
+    """One unrolled weighted-PageRank iteration in DuckDB (integer
+    nano-rank; transition probabilities pre-quantized to micro units
+    in e2.sw, so the per-edge share (pr * 85 * sw) // 100000000 stays
+    ~8.5e16 at ANY corpus scale — weight magnitude cancels out)."""
+    return f"""
+    {out} AS (
+      SELECT p.word, (150000000 // (SELECT n FROM nn)) + COALESCE(s.c, 0)
+               AS pr
+      FROM {prev} p LEFT JOIN (
+        SELECT e.dst AS word,
+               SUM((q.pr * 85 * e.sw) // 100000000) AS c
+        FROM e2 e JOIN {prev} q ON e.src = q.word
+        GROUP BY e.dst
+      ) s USING (word)
+    )"""
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    big AS (
+      SELECT toks[i] AS l, toks[i + 1] AS r
+      FROM tok,
+           LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+      WHERE toks[i] <> toks[i + 1]
+    ),
+    edges AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+      FROM (SELECT l AS src, r AS dst FROM big
+            UNION ALL SELECT r, l FROM big)
+      GROUP BY src, dst
+    ),
+    deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM edges
+            GROUP BY src),
+    e2 AS (
+      SELECT e.src, e.dst, (e.w * 1000000) // d.wdeg AS sw
+      FROM edges e JOIN deg d USING (src)
+    ),
+    nn AS (SELECT count(*) AS n FROM deg),
+    pr0 AS (
+      SELECT src AS word, (1000000000 // (SELECT n FROM nn)) AS pr
+      FROM deg
+    ),
+    {",".join(_textrank_iter_sql(f"pr{k - 1}", f"pr{k}") for k in range(1, _TR_ITERS + 1))}
+    SELECT word, CAST(pr AS BIGINT) AS rank_nano
+    FROM pr{_TR_ITERS} ORDER BY pr DESC, word LIMIT {_TR_TOPK}
+    """,
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXTRANK KEYWORD EXTRACTION (Mihalcea & Tarau, EMNLP 2004) —
+    the graph-centrality complement to the frequency/degree scores of
+    text_rake_keywords: words are nodes, adjacent co-occurrence is a
+    weighted undirected edge, and {_TR_ITERS} fixed iterations of
+    WEIGHTED PageRank (damping 0.85) rank every word; the top
+    {_TR_TOPK} are the corpus keywords. All arithmetic is exact
+    integer: ranks live in nano-units (the graph_pagerank_fixed
+    discipline) and each edge's transition probability is
+    pre-quantized ONCE to micro-units (sw = w*1e6 // wdeg), which
+    caps the per-edge share product at ~8.5e16 REGARDLESS of how
+    large co-occurrence counts grow — the overflow-headroom problem
+    of weighted rank flow solved by normalizing early, documented
+    where it is solved.
+
+    Scale shape: the corpus collapses to the word-bigram edge list in
+    one partial-agg pass (edge count bounded by vocab^2, in practice
+    by observed adjacencies ~10^8 at 100 TB — type-level, not
+    token-level); each iteration is one join + one map-side-combinable
+    agg on the TYPE graph; the final top-k is TakeOrderedAndProject.
+    The edge table materializes once (localCheckpoint) and all
+    {_TR_ITERS} iterations reuse it in one lazy plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+    big = (
+        docs.select(toks.alias("toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    "         slice(toks, 2, size(toks) - 1),"
+                    "         (l, r) -> struct(l, r))"
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p.l") != F.col("p.r"))
+        .select("p.l", "p.r")
+    )
+    edges = (
+        big.select(F.col("l").alias("src"), F.col("r").alias("dst"))
+        .union(big.select(F.col("r").alias("src"), F.col("l").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    deg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wdeg"))
+    e2 = (
+        edges.join(deg, "src")
+        .select("src", "dst", F.expr("(w * 1000000) div wdeg").alias("sw"))
+        .localCheckpoint(eager=True)  # type-level graph; 3 reuses
+    )
+    n_nodes = deg.count()  # scalar: sizes the teleport term only
+    pr = deg.select(
+        F.col("src").alias("word"),
+        F.lit(1_000_000_000 // n_nodes).cast("bigint").alias("pr"),
+    )
+    teleport = 150_000_000 // n_nodes
+    for _ in range(_TR_ITERS):
+        contrib = (
+            e2.join(pr, e2["src"] == pr["word"])
+            .select(
+                "dst",
+                F.expr("(pr * 85 * sw) div 100000000").alias("share"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("c"))
+        )
+        pr = (
+            pr.join(contrib, pr["word"] == contrib["dst"], "left")
+            .select(
+                "word",
+                (F.lit(teleport) + F.coalesce(F.col("c"), F.lit(0)))
+                .cast("bigint")
+                .alias("pr"),
+            )
+        )
+    return (
+        pr.orderBy(F.col("pr").desc(), F.col("word").asc())
+        .limit(_TR_TOPK)
+        .select("word", F.col("pr").alias("rank_nano"))
+    )

@@ -94,9 +94,16 @@ _GRADE_FIRST = [
     "tpch_q5_local_supplier_volume",
     "tpch_q1_pricing_summary",
     "tpch_q18_large_volume_customer",
-    # ---- below the 50-slot line: the remaining r03 queue (r10
-    # re-attestation plan: these 14 first, then the r04 batch in
-    # sorted order behind) ----
+    # ---- below the 50-slot line ----
+    # r10 window plan: the 7 round-9 LATE registrations first (all
+    # never-driver-graded, judge-sweep-green this round):
+    # agg_welch_ttest, audit_l_diversity, corpus_oov_rate,
+    # dedup_blocked_entity_resolution, multimodal_format_sniff,
+    # sketch_ams_f2, window_bollinger_bands, sample_kfold_assignment,
+    # split_leakage_safe_groups, text_textrank_keywords,
+    # pipeline_curation_funnel, graph_sssp_bounded — then the
+    # remaining r03 queue below (these 14), then the r04 batch in
+    # sorted order.
     "dedup_groups_connected",
     "multimodal_frame_sample",
     "text_repetition_stats",

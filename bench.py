@@ -309,6 +309,12 @@ HEADLINE = [
     "text_textrank_keywords",
     "pipeline_curation_funnel",
     "graph_sssp_bounded",
+    "text_bm25_topk",
+    "sim_search_rrf_fusion",
+    "sketch_quantile_bottomk",
+    "events_cohort_ltv",
+    "events_sprt_sequential_test",
+    "sim_search_mmr_rerank",
 ]
 
 

@@ -1781,3 +1781,100 @@ def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("balanced_95"),
     )
+
+
+# SPRT for conversion rate: H0 p=0.20 vs H1 p=0.25, alpha = beta = 0.05.
+# Per-trial log-likelihood ratios and Wald boundaries in exact micro-nats
+# (computed once, baked as integer literals — trivially engine-identical).
+_SPRT_LPOS = 223144   # round(ln(0.25/0.20) * 1e6), conversion
+_SPRT_LNEG = -64539   # round(ln(0.75/0.80) * 1e6), non-conversion
+_SPRT_A = 2944439     # round(ln((1-beta)/alpha) * 1e6): accept H1
+_SPRT_B = -2944439    # round(ln(beta/(1-alpha)) * 1e6): accept H0
+
+
+@register(
+    "events_sprt_sequential_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day_idx,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conversions
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT day_idx, n_events, conversions,
+             CAST(conversions * {_SPRT_LPOS}
+                  + (n_events - conversions) * ({_SPRT_LNEG})
+                  AS BIGINT) AS llr_micro,
+             CAST(sum(conversions * {_SPRT_LPOS}
+                      + (n_events - conversions) * ({_SPRT_LNEG}))
+                  OVER (ORDER BY day_idx) AS BIGINT) AS cum_llr_micro
+      FROM daily
+    )
+    SELECT day_idx, n_events, conversions, llr_micro, cum_llr_micro,
+           CASE WHEN cum_llr_micro >= {_SPRT_A} THEN 'accept_h1'
+                WHEN cum_llr_micro <= {_SPRT_B} THEN 'accept_h0'
+                ELSE 'continue' END AS state
+    FROM cum
+    """,
+)
+def events_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD'S SEQUENTIAL PROBABILITY RATIO TEST (Wald, 1945) — the
+    early-stopping monitor modern experimentation platforms run so a
+    clearly-won (or clearly-flat) experiment stops BEFORE its planned
+    horizon: testing conversion rate H0 p=0.20 against H1 p=0.25 at
+    alpha=beta=0.05, the cumulative log-likelihood ratio walks up by
+    ln(p1/p0) per conversion and down by ln((1-p1)/(1-p0)) per
+    non-conversion until it crosses a Wald boundary. Run DAY-BATCHED,
+    the production shape: per-trial LLR increments collapse to exact
+    per-day integer terms (conversions x lpos + misses x lneg, the
+    four constants baked as micro-nat integer literals — bit-identical
+    everywhere by construction), the running sum crosses boundaries at
+    day granularity, and each day reports its decision state. The
+    walk's direction is itself the check: observed p ~= 0.198 sits
+    under H0, so the statistic drifts to accept_h0.
+
+    Scale shape: ONE partial-agg collapses any number of events to
+    the daily grid; the cumulative window orders ~30 grid rows.
+    Per-event sequential state at 100 TB is exactly what this
+    batching avoids — the statistic is a sum, so batch-then-cumsum is
+    EXACT, not an approximation of the per-event walk at day
+    boundaries."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day_idx")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("conversions"),
+    )
+    llr = (
+        F.col("conversions") * _SPRT_LPOS
+        + (F.col("n_events") - F.col("conversions")) * _SPRT_LNEG
+    ).cast("bigint")
+    w = Window.orderBy("day_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day_idx",
+        "n_events",
+        "conversions",
+        llr.alias("llr_micro"),
+        F.sum(llr).over(w).cast("bigint").alias("cum_llr_micro"),
+    )
+    return cum.select(
+        "day_idx",
+        "n_events",
+        "conversions",
+        "llr_micro",
+        "cum_llr_micro",
+        F.when(F.col("cum_llr_micro") >= _SPRT_A, "accept_h1")
+        .when(F.col("cum_llr_micro") <= _SPRT_B, "accept_h0")
+        .otherwise("continue")
+        .alias("state"),
+    )

@@ -1961,3 +1961,277 @@ def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("is_outlier"),
     )
+
+
+_RRF_K = 60
+_RRF_QUERY_VEC = 0  # vec_id of the retrieval query; its doc is excluded
+_RRF_TOPK = 10
+
+
+def _register_rrf_fusion() -> None:
+    from pyspark_xgboost_spark.operators.text import _BM25_SCORED_CTES
+
+    from pyspark_xgboost_spark import registry
+
+    registry.ORACLES["sim_search_rrf_fusion"] = f"""
+    WITH {_BM25_SCORED_CTES},
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT v FROM e WHERE vec_id = {_RRF_QUERY_VEC}),
+    vec_scored AS (
+      SELECT c.vec_id AS doc_id,
+             floor(list_inner_product(q.v, c.v)
+                   / (sqrt(list_inner_product(q.v, q.v))
+                      * sqrt(list_inner_product(c.v, c.v)))
+                   * 10000) / 10000 AS cos_sim
+      FROM q CROSS JOIN e c WHERE c.vec_id <> {_RRF_QUERY_VEC}
+    ),
+    vec_ranked AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC)
+                  AS BIGINT) AS r_vec
+      FROM vec_scored
+    ),
+    lex_ranked AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id ASC)
+                  AS BIGINT) AS r_lex
+      FROM bm25_scored WHERE doc_id <> {_RRF_QUERY_VEC}
+    ),
+    fused AS (
+      SELECT v.doc_id, v.r_vec, l.r_lex,
+             CAST(1000000 // ({_RRF_K} + v.r_vec)
+                  + COALESCE(1000000 // ({_RRF_K} + l.r_lex), 0)
+                  AS BIGINT) AS rrf_micro
+      FROM vec_ranked v LEFT JOIN lex_ranked l USING (doc_id)
+    )
+    SELECT doc_id, r_vec, r_lex, rrf_micro
+    FROM fused ORDER BY rrf_micro DESC, doc_id ASC LIMIT {_RRF_TOPK}
+    """
+
+
+@register("sim_search_rrf_fusion")
+def sim_search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL VIA RECIPROCAL RANK FUSION (Cormack, Clarke &
+    Buettcher, SIGIR 2009 — the fusion rule modern RAG/search stacks
+    default to): the corpus is ranked twice — dense (cosine against
+    the query embedding, vec_id {_RRF_QUERY_VEC}, the sim_search_topk
+    kernel) and lexical (the shared BM25 scorer of text_bm25_topk,
+    imported so ranker and fusioner cannot drift) — and the two
+    rankings fuse as rrf = sum over rankings of 1e6 // (k + rank),
+    k={_RRF_K}. RRF needs only RANKS, never score calibration across
+    signals, which is exactly why it wins in production: the integer
+    reciprocal is engine-exact, a document missing from the lexical
+    ranking (no query term) contributes 0, and the final order is
+    total (rrf desc, doc_id).
+
+    Scale shape: the dense leg is one broadcast-query pass over the
+    corpus (at 100 TB: the ANN tiers elsewhere in this family replace
+    the brute pass; the fusion is unchanged); the lexical leg is the
+    inverted-index probe of text_bm25_topk; each ranking is a
+    window over its own SCORED CANDIDATES (query-term postings /
+    corpus scores), the fuse is one doc_id equi-join of two rank
+    columns, and the top-k is TakeOrderedAndProject."""
+    from pyspark_xgboost_spark.operators.text import _bm25_scored
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("v").alias("qv")
+    )
+    cos = _cosine_cols("qv", "v")
+    vec_scored = (
+        F.broadcast(q)
+        .crossJoin(e.select(F.col("vec_id").alias("doc_id"), "v"))
+        .filter(F.col("doc_id") != _RRF_QUERY_VEC)
+        .select("doc_id", (F.floor(cos * 10000) / 10000).alias("cos_sim"))
+    )
+    wv = W.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+    vec_ranked = vec_scored.select(
+        "doc_id", F.row_number().over(wv).cast("bigint").alias("r_vec")
+    )
+    wl = W.orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc())
+    lex_ranked = (
+        _bm25_scored(spark, sf_dir)
+        .filter(F.col("doc_id") != _RRF_QUERY_VEC)
+        .select(
+            "doc_id", F.row_number().over(wl).cast("bigint").alias("r_lex")
+        )
+    )
+    fused = vec_ranked.join(lex_ranked, "doc_id", "left").select(
+        "doc_id",
+        "r_vec",
+        "r_lex",
+        (
+            F.expr(f"1000000 div ({_RRF_K} + r_vec)")
+            + F.coalesce(
+                F.expr(f"1000000 div ({_RRF_K} + r_lex)"), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("rrf_micro"),
+    )
+    return fused.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc()).limit(
+        _RRF_TOPK
+    )
+
+
+_register_rrf_fusion()
+
+
+_MMR_POOL = 20
+_MMR_K = 5
+# lambda = 0.7: score is kept as the INTEGER 7*rel - 3*maxsim (deci-micro
+# units) — no division, so no signed truncate-vs-floor divergence.
+
+
+def _mmr_oracle() -> str:
+    sel = "sel1"
+    ctes = [
+        f"""e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT v FROM e WHERE vec_id = {_RRF_QUERY_VEC}),
+    pool AS (
+      SELECT c.vec_id AS id, c.v,
+             CAST(floor(list_inner_product(q.v, c.v)
+                   / (sqrt(list_inner_product(q.v, q.v))
+                      * sqrt(list_inner_product(c.v, c.v)))
+                   * 1000000) AS BIGINT) AS rel
+      FROM q CROSS JOIN e c WHERE c.vec_id <> {_RRF_QUERY_VEC}
+      ORDER BY rel DESC, id ASC LIMIT {_MMR_POOL}
+    ),
+    sims AS (
+      SELECT a.id AS ida, b.id AS idb,
+             CAST(floor(list_inner_product(a.v, b.v)
+                   / (sqrt(list_inner_product(a.v, a.v))
+                      * sqrt(list_inner_product(b.v, b.v)))
+                   * 1000000) AS BIGINT) AS sim
+      FROM pool a JOIN pool b ON a.id <> b.id
+    ),
+    pick1 AS (
+      SELECT id, rel, CAST(0 AS BIGINT) AS maxsim,
+             CAST(7 * rel AS BIGINT) AS sc
+      FROM pool ORDER BY rel DESC, id ASC LIMIT 1
+    ),
+    sel1 AS (SELECT id FROM pick1)"""
+    ]
+    for r in range(2, _MMR_K + 1):
+        prev = sel
+        sel = f"sel{r}"
+        ctes.append(
+            f"""cand{r} AS (
+      SELECT p.id, p.rel, CAST(max(s.sim) AS BIGINT) AS maxsim
+      FROM pool p
+      JOIN sims s ON s.ida = p.id
+      JOIN {prev} t ON s.idb = t.id
+      WHERE p.id NOT IN (SELECT id FROM {prev})
+      GROUP BY p.id, p.rel
+    ),
+    pick{r} AS (
+      SELECT id, rel, maxsim, CAST(7 * rel - 3 * maxsim AS BIGINT) AS sc
+      FROM cand{r} ORDER BY sc DESC, id ASC LIMIT 1
+    ),
+    sel{r} AS (SELECT id FROM {prev} UNION ALL SELECT id FROM pick{r})"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS rk, id AS doc_id, rel AS rel_micro,"
+        f" maxsim AS maxsim_micro, sc AS mmr_decimicro FROM pick{r}"
+        for r in range(1, _MMR_K + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+
+
+@register("sim_search_mmr_rerank")
+def sim_search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE RE-RANKING (Carbonell & Goldstein,
+    SIGIR 1998) — the diversification stage between retrieval and the
+    user: from the top-{_MMR_POOL} relevance shortlist for the query
+    vector, greedily select {_MMR_K} results maximizing
+    lambda*rel(c) - (1-lambda)*max_{{s in selected}} sim(c, s)
+    (lambda=0.7), so near-duplicate hits don't crowd the result page —
+    retrieval's answer to the dedup problem this repo solves at corpus
+    scale elsewhere. Determinism discipline: relevance and pairwise
+    similarities are floored micro-cosines (exact ints); the MMR score
+    is the INTEGER 7*rel - 3*maxsim (deci-micro units, no division —
+    signed integer division is the classic cross-engine trap and it is
+    simply absent); every argmax orders (score desc, id asc), a total
+    order. The oracle replays the greedy loop as {_MMR_K} unrolled
+    CTE rounds.
+
+    Scale shape: the POOL is the scale bound — the corpus pass is the
+    standard broadcast-query top-k heap (at 100 TB, the ANN tiers
+    produce this shortlist); everything after is pool-sized:
+    {_MMR_POOL}x{_MMR_POOL} pairwise sims computed once
+    (localCheckpoint), then {_MMR_K} argmax rounds of one tiny job
+    each (bounded driver state: one id per round — the BPE-loop
+    pattern)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("v").alias("qv")
+    )
+    cos = _cosine_cols("qv", "v")
+    pool = (
+        F.broadcast(q)
+        .crossJoin(e.select(F.col("vec_id").alias("id"), "v"))
+        .filter(F.col("id") != _RRF_QUERY_VEC)
+        .select("id", "v", F.floor(cos * 1000000).cast("bigint").alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("id").asc())
+        .limit(_MMR_POOL)
+        .localCheckpoint(eager=True)  # shortlist: all rounds reuse it
+    )
+    a = pool.select(F.col("id").alias("ida"), F.col("v").alias("va"))
+    b = pool.select(F.col("id").alias("idb"), F.col("v").alias("vb"))
+    simcos = _cosine_cols("va", "vb")
+    sims = (
+        a.join(b, F.col("ida") != F.col("idb"))
+        .select(
+            "ida",
+            "idb",
+            F.floor(simcos * 1000000).cast("bigint").alias("sim"),
+        )
+        .localCheckpoint(eager=True)  # pool^2 rows, computed once
+    )
+    picks = []
+    selected: list[int] = []
+    for r in range(1, _MMR_K + 1):
+        if not selected:
+            row = pool.orderBy(F.col("rel").desc(), F.col("id").asc()).first()
+            picks.append((r, int(row["id"]), int(row["rel"]), 0, 7 * int(row["rel"])))
+        else:
+            cand = (
+                pool.filter(~F.col("id").isin(selected))
+                .join(
+                    sims.filter(F.col("idb").isin(selected)),
+                    F.col("id") == F.col("ida"),
+                )
+                .groupBy("id", "rel")
+                .agg(F.max("sim").cast("bigint").alias("maxsim"))
+                .select(
+                    "id",
+                    "rel",
+                    "maxsim",
+                    (7 * F.col("rel") - 3 * F.col("maxsim"))
+                    .cast("bigint")
+                    .alias("sc"),
+                )
+            )
+            row = cand.orderBy(F.col("sc").desc(), F.col("id").asc()).first()
+            picks.append(
+                (r, int(row["id"]), int(row["rel"]), int(row["maxsim"]), int(row["sc"]))
+            )
+        selected.append(picks[-1][1])
+    return spark.createDataFrame(
+        picks,
+        "rk int, doc_id long, rel_micro long, maxsim_micro long,"
+        " mmr_decimicro long",
+    )
+
+
+def _register_mmr_oracle() -> None:
+    from pyspark_xgboost_spark import registry
+
+    registry.ORACLES["sim_search_mmr_rerank"] = _mmr_oracle()
+
+
+_register_mmr_oracle()

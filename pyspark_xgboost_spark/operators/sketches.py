@@ -27,6 +27,7 @@ never overflows a signed BIGINT (DuckDB range-checks ``1::BIGINT <<
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from pyspark_xgboost_spark.registry import register
@@ -1206,4 +1207,133 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("rel_err_micro"),
+    )
+
+
+_QSK_K = 256  # bottom-k sample size
+_QSK_QS = [25, 50, 75, 90, 99]
+
+
+@register(
+    "sketch_quantile_bottomk",
+    oracle=f"""
+    WITH vals AS (
+      SELECT event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             md5('qs:' || CAST(event_id AS VARCHAR)) AS h
+      FROM events
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+    samp AS (
+      SELECT cents
+      FROM (SELECT cents,
+                   row_number() OVER (ORDER BY h, event_id) AS hr
+            FROM vals)
+      WHERE hr <= {_QSK_K}
+    ),
+    ks AS (SELECT CAST(count(*) AS BIGINT) AS k FROM samp),
+    sord AS (
+      SELECT cents, row_number() OVER (ORDER BY cents) AS pos FROM samp
+    ),
+    qs AS (SELECT unnest(ARRAY{_QSK_QS}) AS q),
+    est AS (
+      SELECT q.q, min(s.cents) AS est_cents
+      FROM qs q CROSS JOIN ks
+      JOIN sord s ON s.pos >= (q.q * ks.k + 99) // 100
+      GROUP BY q.q
+    ),
+    hist AS (SELECT cents, CAST(count(*) AS BIGINT) AS c FROM vals
+             GROUP BY cents),
+    cum AS (
+      SELECT cents, CAST(sum(c) OVER (ORDER BY cents) AS BIGINT) AS cm
+      FROM hist
+    ),
+    exact AS (
+      SELECT q.q, min(cu.cents) AS exact_cents
+      FROM qs q CROSS JOIN nn
+      JOIN cum cu ON cu.cm >= (q.q * nn.n + 99) // 100
+      GROUP BY q.q
+    )
+    SELECT CAST(e.q AS INTEGER) AS q, e.est_cents, x.exact_cents,
+           abs(e.est_cents - x.exact_cents) AS abs_err_cents,
+           ks.k AS sample_k, nn.n AS n_rows
+    FROM est e JOIN exact x USING (q)
+    CROSS JOIN ks CROSS JOIN nn
+    """,
+)
+def sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE QUANTILE SKETCH VIA HASH BOTTOM-K SAMPLING — the
+    portable complement to agg_percentile_sketch_contract: a uniform
+    sample drawn as the {_QSK_K} rows with the SMALLEST salted-md5
+    hash (the KMV trick applied to row sampling) is an order-free,
+    engine-portable, MERGEABLE sketch — union two shards' bottom-k
+    sets and re-trim to k and you have exactly the bottom-k of the
+    union, the property rand()-based sampling can never give —
+    and its order statistics estimate any quantile. Estimates at
+    p25/p50/p75/p90/p99 are compared against the EXACT percentiles
+    (computed on the histogram-cumulative form — one window over
+    DISTINCT cents values, the weighted-percentile discipline, never
+    a corpus sort) with absolute error as the acceptance gate;
+    both sides use the same ceil-rank definition in exact integers.
+
+    Scale shape: the sample selection is a corpus-wide top-k by hash —
+    TakeOrderedAndProject (per-partition heaps of k rows), no global
+    sort, no shuffle of non-sample rows; the exact side shuffles one
+    histogram of distinct values. At 100 TB the sketch costs one scan
+    + k rows of driver-free state per shard."""
+    events = load_table(spark, sf_dir, "events")
+    vals = events.select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.md5(F.concat(F.lit("qs:"), F.col("event_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    vals = vals.localCheckpoint(eager=True)  # feeds sample + exact sides
+    nn = vals.agg(F.count("*").cast("bigint").alias("n"))
+    samp = (
+        vals.orderBy(F.col("h").asc(), F.col("event_id").asc())
+        .limit(_QSK_K)
+        .select("cents")
+    )  # TakeOrderedAndProject: per-partition k-row heaps, no global sort
+    samp = samp.localCheckpoint(eager=True)  # k rows; feeds ks + sord
+    ks = samp.agg(F.count("*").cast("bigint").alias("k"))
+    sord = samp.select(
+        "cents", F.row_number().over(W.orderBy(F.col("cents").asc())).alias("pos")
+    )
+    qs = spark.createDataFrame([(q,) for q in _QSK_QS], "q int")
+    est = (
+        F.broadcast(qs)
+        .crossJoin(F.broadcast(ks))
+        .join(sord, F.col("pos") >= F.expr(f"(q * k + 99) div 100"))
+        .groupBy("q", "k")
+        .agg(F.min("cents").alias("est_cents"))
+    )
+    hist = vals.groupBy("cents").agg(F.count("*").cast("bigint").alias("c"))
+    cum = hist.select(
+        "cents",
+        F.sum("c")
+        .over(W.orderBy(F.col("cents").asc()).rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("cm"),
+    )
+    exact = (
+        F.broadcast(qs)
+        .crossJoin(F.broadcast(nn))
+        .join(cum, F.col("cm") >= F.expr("(q * n + 99) div 100"))
+        .groupBy("q", "n")
+        .agg(F.min("cents").alias("exact_cents"))
+    )
+    return (
+        est.join(exact, "q")
+        .select(
+            F.col("q").cast("int").alias("q"),
+            "est_cents",
+            "exact_cents",
+            F.abs(F.col("est_cents") - F.col("exact_cents")).alias(
+                "abs_err_cents"
+            ),
+            F.col("k").alias("sample_k"),
+            F.col("n").alias("n_rows"),
+        )
     )

@@ -2774,3 +2774,100 @@ def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("breakout"),
     )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    coh AS (SELECT user_id, CAST(min(d) AS BIGINT) AS cohort_day
+            FROM ev GROUP BY user_id),
+    ua AS (
+      SELECT c.cohort_day, e.user_id, e.d - c.cohort_day AS age_days,
+             CAST(sum(e.cents) AS BIGINT) AS cents
+      FROM ev e JOIN coh c USING (user_id)
+      GROUP BY c.cohort_day, e.user_id, e.d
+    ),
+    ca AS (
+      SELECT cohort_day, age_days, CAST(sum(cents) AS BIGINT) AS day_cents
+      FROM ua GROUP BY cohort_day, age_days
+    ),
+    sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_users
+           FROM coh GROUP BY cohort_day),
+    cum AS (
+      SELECT cohort_day, age_days,
+             CAST(sum(day_cents) OVER (PARTITION BY cohort_day
+                                       ORDER BY age_days) AS BIGINT)
+               AS cum_cents
+      FROM ca
+    )
+    SELECT c.cohort_day, c.age_days, s.n_users, c.cum_cents,
+           CAST(c.cum_cents * 1000 // s.n_users AS BIGINT)
+             AS ltv_milli_per_user
+    FROM cum c JOIN sz s USING (cohort_day)
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LIFETIME-VALUE CURVES — the revenue companion to
+    events_retention_cohorts: users are cohorted by first-activity
+    day, revenue accumulates per cohort over age (days since
+    acquisition), and each (cohort, age) row reports cumulative
+    revenue per cohort member in exact milli-cents — the LTV curve
+    every growth model and payback-period decision reads. All
+    arithmetic is exact BIGINT (cents sums, integer division by
+    cohort size on nonnegative operands); the cumulative window runs
+    over OBSERVED (cohort, age) grid rows only (a reporting layer
+    would gap-fill quiet days — events_resample_gapfill is that
+    operator).
+
+    Scale shape: one groupBy(user) pass pins cohorts; per-(user, day)
+    partial sums collapse map-side before the (cohort, age) rollup,
+    so the only full-width exchange is user-hashed; the cumulative
+    window and the size join then touch GRID rows (cohorts x ages,
+    ~10^3 at any corpus size), never events. The
+    window_bollinger_bands / seasonal-decompose grid discipline."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("d"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    ua = ev.groupBy("user_id", "d").agg(
+        F.sum("cents").cast("bigint").alias("cents")
+    )
+    coh = ua.groupBy("user_id").agg(F.min("d").cast("bigint").alias("cohort_day"))
+    coh = coh.localCheckpoint(eager=True)  # feeds age join + cohort sizes
+    ca = (
+        ua.join(coh, "user_id")
+        .groupBy("cohort_day", (F.col("d") - F.col("cohort_day")).alias("age_days"))
+        .agg(F.sum("cents").cast("bigint").alias("day_cents"))
+    )
+    sz = coh.groupBy("cohort_day").agg(F.count("*").cast("bigint").alias("n_users"))
+    cum = ca.select(
+        "cohort_day",
+        "age_days",
+        F.sum("day_cents")
+        .over(
+            W.partitionBy("cohort_day")
+            .orderBy("age_days")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .cast("bigint")
+        .alias("cum_cents"),
+    )
+    return cum.join(F.broadcast(sz), "cohort_day").select(
+        "cohort_day",
+        "age_days",
+        "n_users",
+        "cum_cents",
+        F.expr("cum_cents * 1000 div n_users").cast("bigint").alias(
+            "ltv_milli_per_user"
+        ),
+    )

@@ -11,6 +11,7 @@ engines, binary floor does not).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from pyspark_xgboost_spark.registry import register
@@ -892,3 +893,156 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TR_TOPK)
         .select("word", F.col("pr").alias("rank_nano"))
     )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_NTERMS = 3
+_BM25_TOPK = 10
+
+
+_BM25_SCORED_CTES = f"""tok AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, w
+    ),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf
+           GROUP BY doc_id),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_tokens
+      FROM dl
+    ),
+    terms AS (
+      SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY w
+      ORDER BY count(*) ASC, w ASC LIMIT {_BM25_NTERMS}
+    ),
+    per_term AS (
+      SELECT t.doc_id,
+             CAST(floor(
+               CAST(round(ln((g.n_docs - q.df + 0.5) / (q.df + 0.5) + 1)
+                          * 1000000) AS BIGINT)
+               * t.tf * ({_BM25_K1} + 1)
+               / (t.tf + {_BM25_K1} * (1 - {_BM25_B}
+                  + {_BM25_B} * d.dl * g.n_docs / g.total_tokens))
+             ) AS BIGINT) AS s
+      FROM tf t
+      JOIN terms q USING (w)
+      JOIN dl d USING (doc_id)
+      CROSS JOIN g
+    ),
+    bm25_scored AS (
+      SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_micro
+      FROM per_term GROUP BY doc_id
+    )"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_SCORED_CTES}
+    SELECT doc_id, bm25_micro,
+           CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id ASC)
+                AS INTEGER) AS rk
+    FROM bm25_scored
+    ORDER BY bm25_micro DESC, doc_id ASC LIMIT {_BM25_TOPK}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 LEXICAL RANKING (Robertson & Zaragoza, the Okapi
+    weighting behind every production text-retrieval stack): score the
+    corpus against a {_BM25_NTERMS}-term query — the {_BM25_NTERMS}
+    RAREST corpus words (frequency asc, lexicographic tiebreak), i.e.
+    the maximally discriminative query shape — and return the top
+    {_BM25_TOPK} documents. Per (doc, term):
+    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with k1=1.2,
+    b=0.75. Determinism discipline: idf is the established micro-nat
+    integer (round(ln(...)*1e6) — engine-agreeing on identical
+    rationals); tf, dl, N, and total tokens are exact BIGINTs;
+    dl/avgdl is computed as dl*N/total (one double expression over
+    exact ints); each per-term score floors to an exact integer
+    BEFORE the per-doc sum, so the final score is an order-free
+    integer sum and the ranking is total (score desc, doc_id).
+
+    Scale shape: the corpus collapses once to (doc, word) partial
+    counts; the {_BM25_NTERMS}-row term table (a word-type top-k,
+    never a corpus sort) broadcast-joins back, doc length joins on
+    doc_id, the corpus stats ride a 1-row broadcast, and the final
+    top-k is TakeOrderedAndProject. At 100 TB this is an inverted-
+    index probe expressed relationally: only postings of the query
+    terms survive the term join."""
+    scored = _bm25_scored(spark, sf_dir)
+    w = W.orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc())
+    return (
+        scored.orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOPK)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25_micro) for every document with at least one query
+    term — the shared scoring core of text_bm25_topk and the RRF
+    fusion retrieval (similarity.py), so lexical scores cannot drift
+    between the ranker and the fusioner."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").cast("bigint").alias("tf"))
+    tf = tf.localCheckpoint(eager=True)  # feeds dl, terms, and postings
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    g = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    )
+    terms = (
+        tf.groupBy("w")
+        .agg(
+            F.sum("tf").alias("f"),
+            F.countDistinct("doc_id").cast("bigint").alias("df"),
+        )
+        .orderBy(F.col("f").asc(), F.col("w").asc())
+        .limit(_BM25_NTERMS)
+        .select("w", "df")
+    )
+    idf_micro = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+        )
+        * 1000000
+    ).cast("bigint")
+    denom = F.col("tf") + _BM25_K1 * (
+        1
+        - _BM25_B
+        + _BM25_B
+        * F.col("dl")
+        * F.col("n_docs")
+        / F.col("total_tokens")
+    )
+    per_term = (
+        tf.join(F.broadcast(terms), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            F.floor(idf_micro * F.col("tf") * (_BM25_K1 + 1) / denom)
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.sum("s").cast("bigint").alias("bm25_micro")
+    )
+    return scored

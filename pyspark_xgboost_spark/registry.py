@@ -101,9 +101,12 @@ _GRADE_FIRST = [
     # dedup_blocked_entity_resolution, multimodal_format_sniff,
     # sketch_ams_f2, window_bollinger_bands, sample_kfold_assignment,
     # split_leakage_safe_groups, text_textrank_keywords,
-    # pipeline_curation_funnel, graph_sssp_bounded — then the
-    # remaining r03 queue below (these 14), then the r04 batch in
-    # sorted order.
+    # pipeline_curation_funnel, graph_sssp_bounded, text_bm25_topk,
+    # sim_search_rrf_fusion, sketch_quantile_bottomk,
+    # events_cohort_ltv, events_sprt_sequential_test,
+    # sim_search_mmr_rerank — 18 total; then the remaining r03 queue
+    # below (these 14), then the r04 batch in sorted order (18 + 14
+    # + 18 sorted-r04 rows composes the 50).
     "dedup_groups_connected",
     "multimodal_frame_sample",
     "text_repetition_stats",

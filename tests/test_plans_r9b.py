@@ -1,5 +1,5 @@
 """Physical-plan assertions for the round-9 LATE registrations (the
-seven queries queued for the r10 grading window): every one keeps the
+eighteen queries queued for the r10 grading window): every one keeps the
 repo's scale disciplines — closed-form-over-exact-sums stats collapse
 to tiny aggregates, sketches explode the TYPE table never the corpus,
 blocking/broadcast keeps every join off the cartesian path, and
@@ -157,3 +157,82 @@ def test_sssp_edges_checkpoint_feeds_all_rounds(spark):
     assert "ExistingRDD" in plan
     assert "Scan parquet" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_is_an_inverted_index_probe(spark):
+    from pyspark_xgboost_spark.operators.text import text_bm25_topk
+
+    plan = plan_of(text_bm25_topk(spark, SF_DIR))
+    # the 3-row term table broadcasts into the postings; the final
+    # top-k is a heap, never a global sort of scored docs
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_fuses_ranks_on_an_equijoin(spark):
+    from pyspark_xgboost_spark.operators.similarity import (
+        sim_search_rrf_fusion,
+    )
+
+    plan = plan_of(sim_search_rrf_fusion(spark, SF_DIR))
+    # the dense leg broadcasts the single query vector; fusion is a
+    # doc_id join of two rank columns; top-k is a heap
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_sample_is_a_heap_not_a_sort(spark):
+    from pyspark_xgboost_spark.operators.sketches import (
+        sketch_quantile_bottomk,
+    )
+
+    # the bottom-k selection runs at checkpoint time as
+    # TakeOrderedAndProject; the live plan must not re-sort the corpus
+    # (only the 256-row sample and the DISTINCT-cents histogram carry
+    # single-partition windows — both bounded relations)
+    df = sketch_quantile_bottomk(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "ExistingRDD" in plan  # checkpointed vals + sample
+    assert "CartesianProduct" not in plan
+
+
+def test_cohort_ltv_windows_the_grid(spark):
+    from pyspark_xgboost_spark.operators.temporal import events_cohort_ltv
+
+    plan = plan_of(events_cohort_ltv(spark, SF_DIR))
+    # cohort sizes broadcast; the cumulative window partitions by
+    # cohort_day over grid rows only
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sprt_cumsum_rides_the_daily_grid(spark):
+    from pyspark_xgboost_spark.operators.sampling import (
+        events_sprt_sequential_test,
+    )
+
+    plan = plan_of(events_sprt_sequential_test(spark, SF_DIR))
+    # one partial-agg collapses events to days BEFORE the (tiny,
+    # single-partition-by-design) cumulative window
+    assert "Window" in plan
+    assert "HashAggregate" in plan
+    assert plan.index("HashAggregate") > plan.index("Window")
+    assert "Join" not in plan
+
+
+def test_mmr_rounds_are_pool_bounded(spark):
+    from pyspark_xgboost_spark.operators.similarity import (
+        sim_search_mmr_rerank,
+    )
+
+    df = sim_search_mmr_rerank(spark, SF_DIR)
+    rows = df.collect()
+    # 5 picks, distinct ids, first pick is pure relevance (maxsim 0),
+    # every later score is exactly 7*rel - 3*maxsim
+    assert [r["rk"] for r in rows] == [1, 2, 3, 4, 5]
+    assert len({r["doc_id"] for r in rows}) == 5
+    assert rows[0]["maxsim_micro"] == 0
+    for r in rows:
+        assert r["mmr_decimicro"] == 7 * r["rel_micro"] - 3 * r["maxsim_micro"]

@@ -1720,7 +1720,10 @@ def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     The verdict never sums doubles: sum(dev^2) is an exact BIGINT
     (order-free under any partitioning), compared once against
     crit * k * n — the floored per-fold micro contribution is
-    display-only.
+    display-only. Overflow headroom: |dev| <= (k-1)*n only under a
+    TOTALLY broken hash; for any hash that is merely biased, dev
+    scales with sqrt(n), so dev^2 stays ~n — int64-safe past 10^17
+    users (the window_acf_lags documentation discipline).
 
     Scale shape: one DISTINCT-user exchange, a {_KFOLD_K}-row
     aggregate, two 1-row broadcasts. The fold column itself is a

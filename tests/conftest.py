@@ -8,6 +8,30 @@ sys.path.insert(0, "/root/repo")
 
 SF_DIR = "/root/testdata/sf0.001"
 
+_LC_TEST = "test_barrier_training_across_executor_jvms"
+
+
+def pytest_collection_modifyitems(config, items):
+    """Overlap the local-cluster deployment test with the whole suite.
+
+    That test spends ~40s in a SUBPROCESS (its own Spark master — it
+    cannot share the fixture JVM), which is pure wall-clock overlap
+    opportunity: launch the subprocess as soon as collection shows the
+    test will run, let every other test execute while the cluster
+    spins/trains, and have the test itself only join + assert. A
+    targeted run that doesn't select the test never launches it."""
+    if any(it.name == _LC_TEST for it in items):
+        import subprocess
+
+        from tests.test_local_cluster import _SCRIPT
+
+        config._lc_proc = subprocess.Popen(
+            [sys.executable, "-c", _SCRIPT],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+
 
 @pytest.fixture(scope="session")
 def spark():

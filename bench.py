@@ -315,6 +315,7 @@ HEADLINE = [
     "events_cohort_ltv",
     "events_sprt_sequential_test",
     "sim_search_mmr_rerank",
+    "agg_ratio_delta_method",
 ]
 
 

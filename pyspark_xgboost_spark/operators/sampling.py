@@ -1881,3 +1881,115 @@ def events_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("state"),
     )
+
+
+@register(
+    "agg_ratio_delta_method",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('exp42:' || CAST(user_id AS VARCHAR)),
+                              1, 1) < '8'
+                  THEN 'treatment' ELSE 'control' END AS arm,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM per_user GROUP BY arm
+    ),
+    d AS (
+      SELECT arm, n, sx, sy,
+             CAST(sx AS DOUBLE) / sy AS r,
+             sqrt((sxx - 2 * (CAST(sx AS DOUBLE) / sy) * sxy
+                   + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)
+                     * syy)
+                  / (CAST(n AS DOUBLE) - 1) / n
+                  / ((CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
+               AS se
+      FROM arms
+    )
+    SELECT arm, n AS n_users, sx AS sum_cents, sy AS sum_events,
+           CAST(floor(r * 1000000) AS BIGINT) AS ratio_micro,
+           CAST(floor(se * 1000000) AS BIGINT) AS se_micro,
+           CAST(floor((r - 1.96 * se) * 1000000) AS BIGINT) AS ci_lo_micro,
+           CAST(floor((r + 1.96 * se) * 1000000) AS BIGINT) AS ci_hi_micro
+    FROM d
+    """,
+)
+def agg_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA-METHOD STANDARD ERROR FOR A RATIO METRIC (the Deng et al.
+    KDD 2018 'metrics that are ratios of sums' correction every
+    experimentation platform applies): revenue-per-event is
+    sum(x)/sum(y) where both sums cluster WITHIN USERS, so the naive
+    per-row variance is wrong — the randomization unit is the user.
+    The delta method gives Var(r) ~= (Sxx - 2r*Sxy + r^2*Syy) /
+    ((n-1) * n * ybar^2) over USER-LEVEL moments (the centering term
+    vanishes identically because r = Sx/Sy). Completes the
+    experimentation suite: assignment + SRM
+    (sample_ab_assignment_contract), variance reduction
+    (events_cuped_adjustment), mean test (agg_welch_ttest), sequential
+    monitor (events_sprt_sequential_test), ratio metrics (this).
+
+    Determinism: the same closed-form-over-exact-sums discipline —
+    per-arm n/Sx/Sy/Sxx/Syy/Sxy are exact BIGINTs from ONE partial-agg
+    pass; ratio, SE, and the 95% CI are a handful of double
+    expressions over them (sqrt is IEEE-exact), floored to micro
+    units. No per-row float ever accumulates.
+
+    Scale shape: one map-side-combinable groupBy(user) exchange, then
+    a 2-row arm aggregate. O(1) after the first exchange at any
+    corpus size."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(cents).cast("bigint").alias("x"),
+        F.count("*").cast("bigint").alias("y"),
+    ).select(
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("exp42:"), F.col("user_id").cast("string"))),
+                1,
+                1,
+            )
+            < "8",
+            "treatment",
+        )
+        .otherwise("control")
+        .alias("arm"),
+        "x",
+        "y",
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    r = F.col("sx").cast("double") / F.col("sy")
+    ybar = F.col("sy").cast("double") / F.col("n")
+    se = F.sqrt(
+        (F.col("sxx") - 2 * r * F.col("sxy") + r * r * F.col("syy"))
+        / (F.col("n").cast("double") - 1)
+        / F.col("n")
+        / (ybar * ybar)
+    )
+    return arms.select(
+        "arm",
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("sum_cents"),
+        F.col("sy").alias("sum_events"),
+        F.floor(r * 1000000).cast("bigint").alias("ratio_micro"),
+        F.floor(se * 1000000).cast("bigint").alias("se_micro"),
+        F.floor((r - 1.96 * se) * 1000000).cast("bigint").alias("ci_lo_micro"),
+        F.floor((r + 1.96 * se) * 1000000).cast("bigint").alias("ci_hi_micro"),
+    )

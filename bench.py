@@ -316,6 +316,8 @@ HEADLINE = [
     "events_sprt_sequential_test",
     "sim_search_mmr_rerank",
     "agg_ratio_delta_method",
+    "audit_dp_noisy_counts",
+    "scan_parquet_footer_stats",
 ]
 
 

@@ -2868,3 +2868,103 @@ def audit_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("at_risk"),
     )
+
+
+_DP_DENOM = 2**32
+
+
+def _dp_hex8_sql(hexpr: str) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({hexpr}, {1 + i}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+@register(
+    "audit_dp_noisy_counts",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS true_count
+      FROM events GROUP BY event_type
+    ),
+    seeded AS (
+      SELECT event_type, true_count,
+             CAST({_dp_hex8_sql("md5('dp:' || event_type)")} AS BIGINT)
+               AS u32
+      FROM counts
+    ),
+    lap AS (
+      SELECT event_type, true_count,
+             2 * u32 + 1 - {_DP_DENOM} AS d_num,
+             CAST(round(ln(CAST({_DP_DENOM} - abs(2 * u32 + 1 - {_DP_DENOM})
+                               AS DOUBLE) / {_DP_DENOM}) * 1000000)
+                  AS BIGINT) AS lnmicro
+      FROM seeded
+    )
+    SELECT event_type, true_count,
+           CAST(CASE WHEN d_num > 0 THEN -lnmicro ELSE lnmicro END
+                AS BIGINT) AS noise_micro,
+           CAST(true_count * 1000000
+                + CASE WHEN d_num > 0 THEN -lnmicro ELSE lnmicro END
+                AS BIGINT) AS noisy_count_micro,
+           CAST(1000 AS BIGINT) AS epsilon_milli
+    FROM lap
+    """,
+)
+def audit_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE NOISY COUNT RELEASE (Dwork et al., TCC
+    2006 — the Laplace mechanism), with the noise drawn from a SEEDED
+    salted-hash uniform so the release is REPRODUCIBLE — the property
+    a governed pipeline needs to re-emit identical numbers on re-run
+    and audit (a rand()-seeded release changes every execution and is
+    unreviewable). Per event type: u = (2*h + 1)/2^33 from the md5
+    hash (an exact dyadic rational, never 0 or 1/2 — the numerator is
+    odd), and Laplace(1/eps) noise via the inverse CDF
+    -sign(u - 1/2) * ln(1 - 2|u - 1/2|) at eps=1. Determinism: the ln
+    argument is the IDENTICAL exact rational on both engines and the
+    result lands in the established micro-nat round(ln*1e6) integer
+    idiom, so noise, sign, and the released noisy micro-count are all
+    exact integer arithmetic. The true count rides along as the
+    attestation column (the mechanism gate, not the release — a real
+    release publishes only the noisy column, and composition
+    accounting would track eps spend per query).
+
+    Scale shape: one map-side-combinable groupBy; the noise is a
+    projection on the (low-cardinality) aggregate. Zero extra
+    exchanges at any corpus size."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("true_count")
+    )
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    lap = counts.select(
+        "event_type",
+        "true_count",
+        (2 * u32 + 1 - _DP_DENOM).alias("d_num"),
+        F.round(
+            F.log(
+                (_DP_DENOM - F.abs(2 * u32 + 1 - _DP_DENOM)).cast("double")
+                / _DP_DENOM
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("lnmicro"),
+    )
+    noise = F.when(F.col("d_num") > 0, -F.col("lnmicro")).otherwise(
+        F.col("lnmicro")
+    )
+    return lap.select(
+        "event_type",
+        "true_count",
+        noise.cast("bigint").alias("noise_micro"),
+        (F.col("true_count") * 1000000 + noise)
+        .cast("bigint")
+        .alias("noisy_count_micro"),
+        F.lit(1000).cast("bigint").alias("epsilon_milli"),
+    )

@@ -104,9 +104,11 @@ _GRADE_FIRST = [
     # pipeline_curation_funnel, graph_sssp_bounded, text_bm25_topk,
     # sim_search_rrf_fusion, sketch_quantile_bottomk,
     # events_cohort_ltv, events_sprt_sequential_test,
-    # sim_search_mmr_rerank, agg_ratio_delta_method — 19 total; then
-    # the remaining r03 queue below (these 14), then the r04 batch in
-    # sorted order (19 + 14 + 17 sorted-r04 rows composes the 50).
+    # sim_search_mmr_rerank, agg_ratio_delta_method,
+    # audit_dp_noisy_counts, scan_parquet_footer_stats — 21 total;
+    # then the remaining r03 queue below (these 14), then the r04
+    # batch in sorted order (21 + 14 + 15 sorted-r04 rows composes
+    # the 50).
     "dedup_groups_connected",
     "multimodal_frame_sample",
     "text_repetition_stats",

@@ -2009,3 +2009,62 @@ def scan_cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_live"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+_FOOTER_COLS = 6  # survey a prefix of lineitem's columns, stable across SFs
+
+
+@register(
+    "scan_parquet_footer_stats",
+    oracle=f"""
+    SELECT CAST(row_group_id AS BIGINT) AS row_group_id,
+           path_in_schema AS column_name,
+           CAST(num_values AS BIGINT) AS num_values,
+           CAST(stats_null_count AS BIGINT) AS null_count,
+           CAST(total_compressed_size AS BIGINT) AS compressed_bytes
+    FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+    WHERE column_id < {_FOOTER_COLS}
+    """,
+)
+def scan_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARQUET FOOTER STATISTICS AUDIT — the metadata that makes every
+    pruning claim in this repo real: row-group value counts, null
+    counts, and compressed chunk sizes straight from the file footer
+    (read driver-side via pyarrow — footers are KBs regardless of data
+    size, the canonical bounded-driver-state read; a 100 TB layout
+    audit distributes the same read over the FILE LISTING with
+    mapInPandas, one footer per task). This is the query a storage
+    health check runs to verify that min/max/null stats exist for the
+    predicate-pushdown and bloom/zorder queries to prune on, and that
+    row groups are sized sanely (a 100 TB table with 10 MB row groups
+    is a seek storm; with 10 GB ones, no parallelism). The DuckDB
+    oracle reads the IDENTICAL footer through parquet_metadata(); the
+    attestation crosses two independent parquet implementations. The
+    oracle names the sf0.01 file literally (DuckDB 1.0 has no session
+    variables and the driver grades at sf0.01); tools/check_oracle.py
+    substitutes the directory when checking other SFs.
+
+    Scale shape: zero Spark jobs on the data path — the footer read
+    never touches row data."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata
+    rows = []
+    for rg_id in range(md.num_row_groups):
+        rg = md.row_group(rg_id)
+        for col_id in range(min(_FOOTER_COLS, rg.num_columns)):
+            c = rg.column(col_id)
+            rows.append(
+                (
+                    rg_id,
+                    c.path_in_schema,
+                    c.num_values,
+                    c.statistics.null_count if c.statistics else None,
+                    c.total_compressed_size,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "row_group_id long, column_name string, num_values long,"
+        " null_count long, compressed_bytes long",
+    )

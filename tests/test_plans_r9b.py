@@ -1,5 +1,5 @@
 """Physical-plan assertions for the round-9 LATE registrations (the
-eighteen queries queued for the r10 grading window): every one keeps the
+twenty-one queries queued for the r10 grading window): every one keeps the
 repo's scale disciplines — closed-form-over-exact-sums stats collapse
 to tiny aggregates, sketches explode the TYPE table never the corpus,
 blocking/broadcast keeps every join off the cartesian path, and
@@ -236,3 +236,38 @@ def test_mmr_rounds_are_pool_bounded(spark):
     assert rows[0]["maxsim_micro"] == 0
     for r in rows:
         assert r["mmr_decimicro"] == 7 * r["rel_micro"] - 3 * r["maxsim_micro"]
+
+
+def test_dp_noise_is_a_projection_on_the_aggregate(spark):
+    from pyspark_xgboost_spark.operators.relational import (
+        audit_dp_noisy_counts,
+    )
+
+    plan = plan_of(audit_dp_noisy_counts(spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # one partial-agg pair
+    # reproducibility: two runs emit identical noise
+    a = sorted(map(tuple, audit_dp_noisy_counts(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, audit_dp_noisy_counts(spark, SF_DIR).collect()))
+    assert a == b
+
+
+def test_footer_stats_never_scan_row_data(spark):
+    from pyspark_xgboost_spark.sources.formats import (
+        scan_parquet_footer_stats,
+    )
+
+    df = scan_parquet_footer_stats(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Scan parquet" not in plan  # driver-side footer read only
+    rows = df.collect()
+    assert rows and all(r["num_values"] > 0 for r in rows)
+    # footer agrees with the actual table row count
+    from pyspark_xgboost_spark.sources import load_table
+
+    n = load_table(spark, SF_DIR, "lineitem").count()
+    per_col = {}
+    for r in rows:
+        per_col.setdefault(r["column_name"], 0)
+        per_col[r["column_name"]] += r["num_values"]
+    assert all(v == n for v in per_col.values()), per_col

@@ -106,7 +106,11 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
+            # path-dependent oracles (parquet_metadata footer reads)
+            # carry the sf0.01 literal the driver grades at; swap in
+            # the directory under check so other SFs verify too
+            osql = oracles[name].replace("/root/testdata/sf0.01", sf_dir)
+            res = con.execute(osql)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
             # Oracle-typing lint: the driver fetches through pandas

@@ -318,6 +318,7 @@ HEADLINE = [
     "agg_ratio_delta_method",
     "audit_dp_noisy_counts",
     "scan_parquet_footer_stats",
+    "agg_mann_kendall_trend",
 ]
 
 

@@ -2871,3 +2871,124 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ltv_milli_per_user"
         ),
     )
+
+
+@register(
+    "agg_mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    ties AS (
+      SELECT CAST(COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term,
+             CAST(count(*) AS BIGINT) AS tie_groups
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily
+            GROUP BY y HAVING count(*) > 1)
+    ),
+    z AS (
+      SELECT s.s_stat, nn.n, ties.tie_groups,
+             CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term
+                  AS BIGINT) AS var18,
+             CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                    / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                            - ties.tie_term) / 18.0)
+                  WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                    / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                            - ties.tie_term) / 18.0)
+                  ELSE 0.0 END AS zval
+      FROM s CROSS JOIN nn CROSS JOIN ties
+    )
+    SELECT n AS n_days, s_stat, tie_groups, var18 AS var_num18,
+           CAST(floor(zval * 1000000) AS BIGINT) AS z_micro,
+           CASE WHEN zval > 1.96 THEN 'increasing'
+                WHEN zval < -1.96 THEN 'decreasing'
+                ELSE 'none' END AS trend_95
+    FROM z
+    """,
+)
+def agg_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL TREND TEST (Mann 1945; Kendall's tau form) on the
+    daily revenue series — the nonparametric significance partner of
+    window_theil_sen_slope (Theil-Sen answers 'how steep',
+    Mann-Kendall answers 'is there a monotone trend at all'; together
+    they are the standard robust trend report, immune to outliers and
+    distribution shape). S counts concordant minus discordant day
+    pairs (exact integer), the variance uses the exact tie-corrected
+    integer numerator n(n-1)(2n+5) - sum(t(t-1)(2t+5)) over /18, and
+    the continuity-corrected z lands as one floored double with sqrt
+    (IEEE-exact) — the drift-gate discipline end to end.
+
+    Scale shape: ONE partial-agg collapses any number of events to the
+    ~30-row daily grid; the pairwise S is a grid self-join (~n^2/2
+    grid pairs, hundreds of rows — the Theil-Sen/ACF grid-bounded
+    pattern, never a corpus pairing); ties and moments are grid
+    aggregates; the final row is two 1-row broadcasts."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    daily = daily.localCheckpoint(eager=True)  # grid: pairs + ties + n
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    s = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.agg(F.count("*").cast("bigint").alias("n"))
+    t = F.col("t")
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0))
+            .cast("bigint")
+            .alias("tie_term"),
+            F.count("*").cast("bigint").alias("tie_groups"),
+        )
+    )
+    z = s.crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(ties))
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    ).cast("bigint")
+    sigma = F.sqrt(var18.cast("double") / 18.0)
+    zval = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / sigma)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sigma)
+        .otherwise(F.lit(0.0))
+    )
+    return z.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        "tie_groups",
+        var18.alias("var_num18"),
+        F.floor(zval * 1000000).cast("bigint").alias("z_micro"),
+        F.when(zval > 1.96, "increasing")
+        .when(zval < -1.96, "decreasing")
+        .otherwise("none")
+        .alias("trend_95"),
+    )

@@ -105,10 +105,10 @@ _GRADE_FIRST = [
     # sim_search_rrf_fusion, sketch_quantile_bottomk,
     # events_cohort_ltv, events_sprt_sequential_test,
     # sim_search_mmr_rerank, agg_ratio_delta_method,
-    # audit_dp_noisy_counts, scan_parquet_footer_stats — 21 total;
-    # then the remaining r03 queue below (these 14), then the r04
-    # batch in sorted order (21 + 14 + 15 sorted-r04 rows composes
-    # the 50).
+    # audit_dp_noisy_counts, scan_parquet_footer_stats,
+    # agg_mann_kendall_trend — 22 total; then the remaining r03 queue
+    # below (these 14), then the r04 batch in sorted order (22 + 14
+    # + 14 sorted-r04 rows composes the 50).
     "dedup_groups_connected",
     "multimodal_frame_sample",
     "text_repetition_stats",

@@ -1,5 +1,5 @@
 """Physical-plan assertions for the round-9 LATE registrations (the
-twenty-one queries queued for the r10 grading window): every one keeps the
+twenty-two queries queued for the r10 grading window): every one keeps the
 repo's scale disciplines — closed-form-over-exact-sums stats collapse
 to tiny aggregates, sketches explode the TYPE table never the corpus,
 blocking/broadcast keeps every join off the cartesian path, and
@@ -271,3 +271,18 @@ def test_footer_stats_never_scan_row_data(spark):
         per_col.setdefault(r["column_name"], 0)
         per_col[r["column_name"]] += r["num_values"]
     assert all(v == n for v in per_col.values()), per_col
+
+
+def test_mann_kendall_pairs_the_grid_only(spark):
+    from pyspark_xgboost_spark.operators.temporal import (
+        agg_mann_kendall_trend,
+    )
+
+    plan = plan_of(agg_mann_kendall_trend(spark, SF_DIR))
+    # the pairwise S joins the CHECKPOINTED ~30-row grid against
+    # itself — never corpus rows
+    assert "ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    row = agg_mann_kendall_trend(spark, SF_DIR).collect()[0]
+    assert row["n_days"] >= 5
+    assert abs(row["s_stat"]) <= row["n_days"] * (row["n_days"] - 1) // 2

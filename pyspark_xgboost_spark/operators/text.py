@@ -839,6 +839,8 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
     big = (
         docs.select(toks.alias("toks"))
+        # slice(toks, 1, -1) throws on an empty/whitespace-only doc
+        .filter(F.size("toks") >= 2)
         .select(
             F.explode(
                 F.expr(

@@ -35,80 +35,38 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # never-graded queries first, then this round's new registrations,
 # then the stalest attested rows. See the window comment inside.
 _GRADE_FIRST = [
-    # ROUND-9 WINDOW (slots 1-50). Composition per the r8 verdict
-    # freshness rotation: ALL 33 never-driver-graded oracle queries
-    # (the 20 round-8 late registrations + the 21 round-9 additions,
-    # sorted) + the 9 stalest r03-attested rows (head of the standing
-    # r03 queue). Every never-graded entry was verified green by
-    # check_oracle at sf0.01 this round, so any red here is a
-    # regression signal. Audit with tools/check_window.py.
-    # -- never-driver-graded (41): r8 backlog + r9 additions --
-    "agg_bootstrap_ci_mean",
-    "agg_chi2_independence",
-    "agg_hll_portable",
-    "agg_ks_drift_by_source",
-    "agg_mannwhitney_drift",
-    "agg_psi_drift_by_source",
-    "audit_k_anonymity",
-    "corpus_decontaminate_13gram",
-    "corpus_dsir_importance",
-    "corpus_quantile_normalize_lengths",
-    "corpus_shard_shuffle_feistel",
-    "corpus_vocab_jaccard_sources",
-    "dedup_lsh_band_planning",
-    "dedup_semdedup_recall_eval",
-    "dedup_soft_weights",
-    "embedding_kmeans_farthest_seed",
-    "embedding_outlier_mahalanobis",
-    "events_cuped_adjustment",
-    "events_kaplan_meier_retention",
-    "events_stream_psi_drift",
-    "events_stream_topk_per_window",
-    "graph_kcore_peel",
-    "graph_label_propagation",
-    "graph_link_prediction_jaccard",
-    "multimodal_audio_energy_vad",
-    "multimodal_phash_dedup",
-    "multimodal_phash_recall_eval",
-    "multimodal_video_shot_boundary",
-    "sample_ab_assignment_contract",
-    "sample_token_budget_waterfill",
-    "sample_weighted_reservoir",
-    "sim_search_dim_truncation_eval",
-    "sim_search_ivf_recall_eval",
-    "sim_search_pq_recall_eval",
-    "sketch_hll_rollup_merge",
-    "sketch_kmv_set_ops",
-    "text_rake_keywords",
-    "spatial_knn_grid",
-    "window_acf_lags",
-    "window_changepoint_pettitt",
-    "window_seasonal_decompose",
-    # -- stalest r03-attested, head of the rotation queue (9) --
-    "events_stream_stateful_user_stats",
-    "events_stream_dedup",
-    "events_stream_static_join",
-    "vector_unwrap",
-    "unpivot_melt",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q1_pricing_summary",
-    "tpch_q18_large_volume_customer",
-    # ---- below the 50-slot line ----
-    # r10 window plan: the 7 round-9 LATE registrations first (all
-    # never-driver-graded, judge-sweep-green this round):
-    # agg_welch_ttest, audit_l_diversity, corpus_oov_rate,
-    # dedup_blocked_entity_resolution, multimodal_format_sniff,
-    # sketch_ams_f2, window_bollinger_bands, sample_kfold_assignment,
-    # split_leakage_safe_groups, text_textrank_keywords,
-    # pipeline_curation_funnel, graph_sssp_bounded, text_bm25_topk,
-    # sim_search_rrf_fusion, sketch_quantile_bottomk,
-    # events_cohort_ltv, events_sprt_sequential_test,
-    # sim_search_mmr_rerank, agg_ratio_delta_method,
-    # audit_dp_noisy_counts, scan_parquet_footer_stats,
-    # agg_mann_kendall_trend — 22 total; then the remaining r03 queue
-    # below (these 14), then the r04 batch in sorted order (22 + 14
-    # + 14 sorted-r04 rows composes the 50).
+    # ROUND-10 WINDOW (slots 1-50), executing the plan documented in
+    # round 9 (and ratified by the r9 verdict): the 22 round-9 LATE
+    # registrations (never-driver-graded, all judge-sweep-green in the
+    # r9 review) + the 14 remaining r03-attested rows (tail of the r03
+    # rotation queue) + the 14 alphabetically-first r04-attested oracle
+    # rows. Every never-graded entry was verified green by check_oracle
+    # at sf0.01, so any red here is a regression signal. Audit with
+    # tools/check_window.py.
+    # -- never-driver-graded round-9 late registrations (22) --
+    "agg_mann_kendall_trend",
+    "agg_ratio_delta_method",
+    "agg_welch_ttest",
+    "audit_dp_noisy_counts",
+    "audit_l_diversity",
+    "corpus_oov_rate",
+    "dedup_blocked_entity_resolution",
+    "events_cohort_ltv",
+    "events_sprt_sequential_test",
+    "graph_sssp_bounded",
+    "multimodal_format_sniff",
+    "pipeline_curation_funnel",
+    "sample_kfold_assignment",
+    "scan_parquet_footer_stats",
+    "sim_search_mmr_rerank",
+    "sim_search_rrf_fusion",
+    "sketch_ams_f2",
+    "sketch_quantile_bottomk",
+    "split_leakage_safe_groups",
+    "text_bm25_topk",
+    "text_textrank_keywords",
+    "window_bollinger_bands",
+    # -- the remaining r03-attested rows (14): r03 queue drained --
     "dedup_groups_connected",
     "multimodal_frame_sample",
     "text_repetition_stats",
@@ -123,6 +81,27 @@ _GRADE_FIRST = [
     "text_unigram_logprob",
     "embedding_whitening_stats",
     "text_pii_mask",
+    # -- stalest r04-attested oracle rows, sorted, first 14 --
+    "dedup_fuzzy_levenshtein",
+    "events_funnel_conversion",
+    "events_ohlc_rollup",
+    "events_resample_gapfill",
+    "events_retention_cohorts",
+    "events_session_window",
+    "events_sliding_window",
+    "events_stream_file_sink",
+    "events_stream_foreach_batch",
+    "events_stream_kafka_shape",
+    "events_stream_session_window",
+    "events_stream_sliding_window",
+    "events_stream_stream_join",
+    "events_stream_stream_left_outer_join",
+    # ---- below the 50-slot line ----
+    # r11 window plan: any round-10 NEW registrations first (never
+    # driver-graded), then the remaining 33 r04-attested oracle rows in
+    # sorted order (events_stream_tumbling_window .. udtf_ngrams — see
+    # tools/check_window.py history), topping up to 50 from the r05
+    # batch if needed.
 ]
 
 # Rows-only queries (registered without an oracle by design — goldens /

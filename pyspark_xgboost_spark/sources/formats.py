@@ -2059,7 +2059,12 @@ def scan_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rg_id,
                     c.path_in_schema,
                     c.num_values,
-                    c.statistics.null_count if c.statistics else None,
+                    # match parquet_metadata()'s NULL semantics: a
+                    # stats object with null_count UNSET must also
+                    # surface NULL, not a fabricated value
+                    c.statistics.null_count
+                    if c.statistics and c.statistics.has_null_count
+                    else None,
                     c.total_compressed_size,
                 )
             )

@@ -1426,9 +1426,13 @@ def events_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 days")
     agg = ev.groupBy(
         F.window("ts", "1 day").alias("w"),
-        (F.round(F.col("value") * 100).cast("bigint") / _SPSI_BIN)
-        .cast("long")
-        .alias("b"),
+        # integer `div`, not double `/`+cast: exact past 2^53 and
+        # truncation-vs-floor agrees with the DuckDB oracle's `//` only
+        # through the integer-division idiom (values are nonnegative
+        # here, but keep the established exact form)
+        F.expr(
+            f"CAST(round(value * 100) AS BIGINT) div {_SPSI_BIN}"
+        ).alias("b"),
     ).agg(F.count("*").alias("cnt"))
     c = _run_to_memory(
         agg.select(F.col("w.start").alias("w_start"), "b", "cnt"), "complete"

@@ -19,7 +19,19 @@ def pytest_collection_modifyitems(config, items):
     opportunity: launch the subprocess as soon as collection shows the
     test will run, let every other test execute while the cluster
     spins/trains, and have the test itself only join + assert. A
-    targeted run that doesn't select the test never launches it."""
+    targeted run that doesn't select the test never launches it.
+
+    Guards (r9 ADVICE): -k/-m deselection runs AFTER this hook and
+    --collect-only never executes tests, so in those modes we skip the
+    eager launch (the test falls back to a synchronous subprocess) —
+    otherwise a deselected test would orphan a ~40s JVM with an unread
+    stdout pipe. pytest_unconfigure below reaps the process if the run
+    aborts before the test consumes it."""
+    opt = config.option
+    if getattr(opt, "collectonly", False):
+        return
+    if getattr(opt, "keyword", "") or getattr(opt, "markexpr", ""):
+        return
     if any(it.name == _LC_TEST for it in items):
         import subprocess
 
@@ -31,6 +43,20 @@ def pytest_collection_modifyitems(config, items):
             stderr=subprocess.STDOUT,
             text=True,
         )
+
+
+def pytest_unconfigure(config):
+    """Reap the local-cluster subprocess if the test never joined it
+    (deselection after launch, skip, or an -x abort earlier in the
+    suite) — otherwise the JVM outlives pytest and can block on a full
+    unread stdout pipe."""
+    proc = getattr(config, "_lc_proc", None)
+    if proc is not None and proc.returncode is None:
+        proc.kill()
+        try:
+            proc.communicate(timeout=30)
+        except Exception:
+            pass
 
 
 @pytest.fixture(scope="session")

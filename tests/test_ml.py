@@ -533,3 +533,20 @@ def test_quantile_and_mae_objectives_reach_kernel(spark):
 
     with _pytest.raises(ValueError, match="reg:\\* objective"):
         XgboostRegressor(objective="binary:logistic", n_estimators=2).fit(assembled)
+
+
+def test_flagship_fit_memoized(spark):
+    """A second consumer of the flagship fit must NOT retrain: the
+    four ml_* headline queries share two fits via _FIT_CACHE (round-9
+    verdict: retraining per consumer was ~8% of the whole bench)."""
+    from pyspark_xgboost_spark.ml import flagship
+
+    sf_dir = "/root/testdata/sf0.001"
+    m1, a1 = flagship.fit_regressor(spark, sf_dir)
+    m2, a2 = flagship.fit_regressor(spark, sf_dir)
+    assert m1 is m2 and a1 is a2  # cache hit, no second training run
+    c1, _ = flagship.fit_classifier(spark, sf_dir)
+    c2, _ = flagship.fit_classifier(spark, sf_dir)
+    assert c1 is c2
+    # distinct kinds distinct entries
+    assert m1 is not c1

@@ -118,7 +118,17 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches per return flag, so the driver attests the bitmap itself:
     both engines must agree on every false positive. At scale this is
     the runtime-filter shape — probe rows that cannot match never enter
-    the join shuffle."""
+    the join shuffle.
+
+    Cost note (r10 A/B under the warm bench harness, sf0.1): the
+    baseline is irreducible fixed overhead, dominated by per-row md5 +
+    hex->int on the 600k-row probe side (~0.7s of ~2.1s) plus the
+    exact-verification join. Variants measured and REJECTED: broadcast
+    one-row MAP lookup instead of the two word-keyed broadcast joins
+    (2.27s — per-row element_at loses to codegen'd hash-join probes)
+    and a single conv() over 15 hex digits (2.10s vs 2.14s — noise).
+    The md5 probe hash itself cannot be cheapened: it is the only
+    engine-portable hash, and the oracle attests the exact bitmap."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")

@@ -319,6 +319,8 @@ HEADLINE = [
     "audit_dp_noisy_counts",
     "scan_parquet_footer_stats",
     "agg_mann_kendall_trend",
+    # round 10
+    "stream_incremental_neardup",
 ]
 
 

@@ -1235,6 +1235,30 @@ def dedup_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _band_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) banded-LSH index rows — the one index schema
+    shared by full dedup, the incremental batch probe, and the
+    streaming index maintenance (streaming/stream.py), so the index
+    definition cannot drift between the batch and streaming paths."""
+    sig = _minhash_signature_df(docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    F.col(f"h{b * _BAND_SIZE}").cast("string"),
+                    F.col(f"h{b * _BAND_SIZE + 1}").cast("string"),
+                ).alias("key"),
+            )
+            for b in range(_N_HASHES // _BAND_SIZE)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 @register(
     "dedup_incremental_batch",
     oracle=f"""
@@ -1270,23 +1294,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     band CTE with dedup_minhash so the index definition cannot drift
     from the full-dedup form."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = _minhash_signature_df(docs)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_",
-                    F.col(f"h{b * _BAND_SIZE}").cast("string"),
-                    F.col(f"h{b * _BAND_SIZE + 1}").cast("string"),
-                ).alias("key"),
-            )
-            for b in range(_N_HASHES // _BAND_SIZE)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    bands = _band_rows(docs)
     w = Window.partitionBy("band", "key").orderBy("doc_id")
     capped = (
         bands.withColumn("_rn", F.row_number().over(w))

@@ -1483,3 +1483,187 @@ def events_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("psi_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental near-dup maintenance: streaming batches probe + update a
+# persisted banded-LSH index (r9 verdict task #4 — closes the
+# streaming <-> dedup loop)
+# --------------------------------------------------------------------------
+
+
+def _stage_neardup_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage THREE ordered ingest batches over ``documents`` (doc_id %
+    3 = seq — disjoint: every doc arrives exactly once), mtime-pinned
+    so the file source's (modTime, path) order IS the arrival order.
+    Each file carries its sequence number as data."""
+    import glob
+    import shutil
+    import time as _time
+
+    from pyspark_xgboost_spark.sources import load_table
+    from pyspark_xgboost_spark.sources.formats import (
+        _SCRATCH,
+        gc_stale_siblings,
+        src_fingerprint,
+    )
+
+    key = sf_dir.strip("/").replace("/", "_")
+    parent = os.path.join(_SCRATCH, key)
+    leaf = f"docs_nd3_{src_fingerprint(sf_dir, 'documents')}"
+    gc_stale_siblings(parent, "docs_nd3_", leaf)
+    root = os.path.join(parent, leaf)
+    if not os.path.exists(os.path.join(root, "_DONE")):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(os.path.join(root, "in"))
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        now = _time.time()
+        for seq in range(3):
+            part = docs.filter(F.col("doc_id") % 3 == seq).select(
+                "doc_id", "text", F.lit(seq).cast("int").alias("seq")
+            )
+            tmp = os.path.join(root, f"tmp{seq}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(root, "in", f"batch-{seq:03d}.parquet")
+            os.rename(src, dst)
+            os.utime(dst, (now - 300 + seq * 100, now - 300 + seq * 100))
+            shutil.rmtree(tmp, ignore_errors=True)
+        with open(os.path.join(root, "_DONE"), "w") as fh:
+            fh.write("ok")
+    return root
+
+
+@register(
+    "stream_incremental_neardup",
+    oracle=None,  # set below — needs the dedup module's CTE builders
+)
+def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup maintenance — the ingest-time dedup loop: each
+    micro-batch of new documents (1) computes its banded-MinHash rows,
+    (2) PROBES the persisted (band, key -> doc_id) LSH index for
+    near-dup candidates against everything already ingested, emitting
+    only new<->old pairs, then (3) APPENDS its own band rows to the
+    index (bucket membership capped at {_MH_BUCKET_CAP} in arrival
+    order, so a hot boilerplate bucket cannot grow unboundedly). The
+    index schema and banding are shared with the batch dedup path
+    (dedup._band_rows) so streaming and batch dedup cannot drift.
+
+    The oracle replays the whole arrival history in SQL: index
+    membership = first-{_MH_BUCKET_CAP}-per-bucket in (seq, doc_id)
+    order, pairs = probe rows joined to strictly-earlier index entries
+    — the established stream==batch==SQL three-way pin.
+
+    Scale shape: at 100 TB the index is a materialized table keyed by
+    (band, key); per micro-batch cost is O(batch bands + matched
+    buckets) — a digest equi-join against the index, never a corpus
+    re-scan — and the append writes only the batch's own band rows.
+    State lives in the index table, not the state store: the streaming
+    query itself is stateless (checkpoint holds source offsets only).
+    Probe-before-append gives strictly-earlier semantics; new<->new
+    pairs within a batch are the batch's own (small) dedup problem,
+    settled separately, exactly like dedup_incremental_batch."""
+    import shutil
+    import tempfile
+
+    from pyspark_xgboost_spark.operators.dedup import _MH_BUCKET_CAP, _band_rows
+
+    root = _stage_neardup_batches(spark, sf_dir)
+    idx_dir = os.path.join(root, "index")
+    pairs_dir = os.path.join(root, "pairs")
+    final_marker = os.path.join(root, "_ND_FINAL")
+    if not os.path.exists(final_marker):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(pairs_dir, ignore_errors=True)
+        state: dict[str, Any] = {"has_index": False, "has_pairs": False}
+
+        def probe_and_update(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            sess = batch_df.sparkSession
+            bands = _band_rows(batch_df.select("doc_id", "text")).join(
+                batch_df.select("doc_id", "seq"), "doc_id"
+            )
+            # band rows feed a probe AND an append: materialize once
+            bands = bands.localCheckpoint(eager=True)
+            if state["has_index"]:
+                idx = sess.read.parquet(idx_dir)
+                pairs = (
+                    bands.select(F.col("doc_id").alias("new_doc"), "band", "key")
+                    .join(idx.select(F.col("doc_id").alias("old_doc"), "band", "key"),
+                          ["band", "key"])
+                    .select("new_doc", "old_doc")
+                    .distinct()
+                )
+                pairs.write.mode("append").parquet(pairs_dir)
+                state["has_pairs"] = True
+                counts = sess.read.parquet(idx_dir).groupBy("band", "key").agg(
+                    F.count("*").alias("n0")
+                )
+            else:
+                counts = None
+            w = W.partitionBy("band", "key").orderBy("doc_id")
+            ranked = bands.withColumn("_rn", F.row_number().over(w))
+            if counts is None:
+                keep = ranked.filter(F.col("_rn") <= _MH_BUCKET_CAP)
+            else:
+                keep = ranked.join(counts, ["band", "key"], "left").filter(
+                    F.col("_rn") + F.coalesce(F.col("n0"), F.lit(0))
+                    <= _MH_BUCKET_CAP
+                )
+            keep.select("doc_id", "band", "key", "seq").write.mode(
+                "append"
+            ).parquet(idx_dir)
+            state["has_index"] = True
+
+        q = (
+            spark.readStream.schema("doc_id long, text string, seq int")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(root, "in"))
+            .writeStream.foreachBatch(probe_and_update)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="nd_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(final_marker, "w") as fh:
+            fh.write("pairs" if state["has_pairs"] else "empty")
+    with open(final_marker) as fh:
+        has_pairs = fh.read() == "pairs"
+    if not has_pairs:
+        return spark.createDataFrame([], "new_doc long, old_doc long")
+    return spark.read.parquet(pairs_dir).select("new_doc", "old_doc").distinct()
+
+
+def _neardup_oracle() -> str:
+    from pyspark_xgboost_spark.operators.dedup import (
+        _MH_BUCKET_CAP,
+        _minhash_sql_sig,
+    )
+
+    return f"""
+    WITH {_minhash_sql_sig()},
+    bands AS (
+      SELECT doc_id, 0 AS band, h0::VARCHAR || '_' || h1::VARCHAR AS key FROM sig
+      UNION ALL SELECT doc_id, 1, h2::VARCHAR || '_' || h3::VARCHAR FROM sig
+      UNION ALL SELECT doc_id, 2, h4::VARCHAR || '_' || h5::VARCHAR FROM sig
+      UNION ALL SELECT doc_id, 3, h6::VARCHAR || '_' || h7::VARCHAR FROM sig
+    ),
+    arrivals AS (
+      SELECT doc_id, band, key, doc_id % 3 AS seq,
+             row_number() OVER (PARTITION BY band, key
+                                ORDER BY doc_id % 3, doc_id) AS rn
+      FROM bands
+    ),
+    idx AS (
+      SELECT doc_id, band, key, seq FROM arrivals WHERE rn <= {_MH_BUCKET_CAP}
+    )
+    SELECT DISTINCT a.doc_id AS new_doc, i.doc_id AS old_doc
+    FROM arrivals a
+    JOIN idx i ON a.band = i.band AND a.key = i.key AND a.seq > i.seq
+    """
+
+
+from pyspark_xgboost_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["stream_incremental_neardup"] = _neardup_oracle()

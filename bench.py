@@ -321,6 +321,7 @@ HEADLINE = [
     "agg_mann_kendall_trend",
     # round 10
     "stream_incremental_neardup",
+    "corpus_pack_bfd",
 ]
 
 

@@ -61,3 +61,27 @@ def test_stream_incremental_neardup_shapes(spark):
         F.col("new_doc") % 3 <= F.col("old_doc") % 3
     ).count()
     assert bad == 0
+
+
+def test_corpus_pack_bfd_no_global_sort(spark):
+    """The packer's plan: one hash exchange on shard feeding the Arrow
+    kernel — no global row sort (rangepartitioning) anywhere; the
+    length-descending order lives only inside the bounded shard."""
+    from pyspark_xgboost_spark.operators.corpus import corpus_pack_bfd
+
+    plan = plan_of(corpus_pack_bfd(spark, SF_DIR))
+    # final plan reads the checkpointed per-bin table (kernel upstream)
+    assert "rangepartitioning" not in plan.lower()
+    assert "CartesianProduct" not in plan
+
+    # the kernel stage itself: shard hash exchange, no range exchange
+    import pyspark.sql.functions as F
+
+    from pyspark_xgboost_spark.sources import load_table
+    from pyspark_xgboost_spark.operators.corpus import _BFD_SHARD
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.expr(f"doc_id div {_BFD_SHARD}").alias("shard")
+    )
+    kplan = plan_of(docs.groupBy("shard").agg(F.count("*")))
+    assert "rangepartitioning" not in kplan.lower()

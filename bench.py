@@ -322,6 +322,10 @@ HEADLINE = [
     # round 10
     "stream_incremental_neardup",
     "corpus_pack_bfd",
+    "audit_t_closeness",
+    "multimodal_png_dimensions",
+    "text_prf_query_expansion",
+    "graph_degree_assortativity",
 ]
 
 

@@ -740,3 +740,113 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.filter(F.col("d") < _SSSP_INF).select(
         "doc_id", F.col("d").cast("bigint").alias("dist")
     )
+
+
+_BIGRAM_EDGES_SQL = r"""toksba AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    bigba AS (
+      SELECT toks[i] AS l, toks[i+1] AS r
+      FROM toksba, LATERAL unnest(generate_series(1, len(toks) - 1)) AS g(i)
+      WHERE len(toks) >= 2 AND toks[i] <> toks[i+1]
+    ),
+    wedges AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+        SELECT l AS src, r AS dst FROM bigba
+        UNION ALL SELECT r, l FROM bigba
+      ) GROUP BY src, dst
+    )"""
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH {_BIGRAM_EDGES_SQL},
+    deg AS (
+      SELECT src, CAST(sum(w) AS BIGINT) AS d FROM wedges GROUP BY src
+    ),
+    ed AS (
+      SELECT e.w, ds.d AS x, dd.d AS y
+      FROM wedges e
+      JOIN deg ds ON e.src = ds.src
+      JOIN deg dd ON e.dst = dd.src
+    ),
+    s AS (
+      SELECT CAST(sum(w) AS BIGINT) AS n,
+             CAST(sum(w * x) AS BIGINT) AS sx,
+             CAST(sum(w * y) AS BIGINT) AS sy,
+             CAST(sum(w * x * x) AS BIGINT) AS sxx,
+             CAST(sum(w * y * y) AS BIGINT) AS syy,
+             CAST(sum(w * x * y) AS BIGINT) AS sxy
+      FROM ed
+    )
+    SELECT n, sx, sxx, sxy,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             AS assortativity
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY (Newman, PRL 2002) of the word
+    co-occurrence TYPE graph: the weighted Pearson correlation between
+    the weighted degrees at the two ends of every edge — negative
+    (disassortative) means hubs attach to low-degree words, the
+    signature of natural-language co-occurrence graphs; a sign flip on
+    a new corpus is a structural drift alarm the scalar degree
+    histogram cannot raise. Computed with the agg_corr_regression
+    discipline: five exact integer power sums (edge-weight-weighted),
+    then ONE closed-form double expression — identical IEEE ops on
+    identical integers on both engines, partition-stable at any
+    parallelism (built-in corr() would fail the invariance sweep).
+    The exact sums are output alongside r, so the oracle pins the
+    integers, not just the derived double.
+
+    The LSH candidate graph is NOT used here: its bucket cap makes
+    every component near-regular (r degenerates to exactly 1.0), so
+    the assortativity lives on the bigram graph — the vacuousness
+    check that round-9 memory mandates for vocabulary-dependent ops.
+
+    Scale shape: the corpus collapses to the type-level edge list in
+    one partial-agg pass (the TextRank discipline — O(observed
+    adjacencies), never O(tokens)); degrees are one more agg; the
+    edge-degree join shuffles O(edge types); the final correlation is
+    a 1-row aggregate. Nothing downstream of the first agg is
+    token-proportional."""
+    from pyspark_xgboost_spark.operators.text import _bigram_edges
+
+    edges = _bigram_edges(load_table(spark, sf_dir, "documents"))
+    edges = edges.localCheckpoint(eager=True)  # feeds deg + edge join
+    deg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("d"))
+    ed = (
+        edges.join(deg.withColumnRenamed("src", "k1"), F.col("src") == F.col("k1"))
+        .withColumnRenamed("d", "x")
+        .join(
+            deg.withColumnRenamed("src", "k2").withColumnRenamed("d", "y"),
+            F.col("dst") == F.col("k2"),
+        )
+        .select("w", "x", "y")
+    )
+    s = ed.agg(
+        F.sum("w").cast("bigint").alias("n"),
+        F.sum(F.col("w") * F.col("x")).cast("bigint").alias("sx"),
+        F.sum(F.col("w") * F.col("y")).cast("bigint").alias("sy"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("w") * F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("w") * F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    var_x = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    var_y = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return s.select(
+        "n",
+        "sx",
+        "sxx",
+        "sxy",
+        (cov_n / (F.sqrt(var_x) * F.sqrt(var_y))).alias("assortativity"),
+    )

@@ -853,3 +853,92 @@ def multimodal_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("metadata_agrees"),
     )
+
+
+def _hex8_upper_sql(start: int) -> str:
+    """Positional big-endian uint32 parse of 8 UPPERCASE hex digits of
+    the column ``hx`` starting at 1-based position ``start`` (DuckDB
+    cannot substring BLOBs, so the oracle parses the hex image)."""
+    return " + ".join(
+        f"(strpos('0123456789ABCDEF', substr(hx, {start + i}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+@register(
+    "multimodal_png_dimensions",
+    oracle=f"""
+    WITH packed AS (
+      SELECT doc_id,
+             unhex('89504E470D0A1A0A') || unhex('0000000D') || encode('IHDR')
+             || unhex(lpad(hex(16 + doc_id % 1000), 8, '0'))
+             || unhex(lpad(hex(16 + n_chars % 1000), 8, '0'))
+             || unhex('0806000000') || encode(text) AS payload
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    hx AS (
+      SELECT doc_id, hex(payload) AS hx,
+             octet_length(payload) AS n_bytes
+      FROM packed
+    )
+    SELECT doc_id,
+           CAST({{W}} AS BIGINT) AS width,
+           CAST({{H}} AS BIGINT) AS height,
+           CAST(({{W}}) * 1000 // ({{H}}) AS BIGINT) AS aspect_milli,
+           CAST(n_bytes AS BIGINT) AS n_bytes
+    FROM hx
+    """.replace("{W}", _hex8_upper_sql(33)).replace("{H}", _hex8_upper_sql(41)),
+)
+def multimodal_png_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE HEADER PARSING without decoding: read width/height out of
+    the PNG IHDR chunk by slicing the binary payload — the metadata
+    pass every multimodal ingest runs BEFORE deciding which images are
+    worth decoding (resolution filters, aspect-ratio buckets, resize
+    planning all need dimensions, and decoding 100 TB of pixels to
+    learn them is the classic waste). The 'png' cohort of the packed
+    corpus carries a REAL spec-conformant IHDR (8-byte signature,
+    length, type, big-endian uint32 width/height at byte offsets
+    17-24, depth/color fields), with dimensions derived
+    deterministically from doc metadata; the parser slices the BINARY
+    column (Spark substring on BinaryType) and decodes big-endian via
+    hex -> int. The DuckDB oracle builds byte-identical blobs and
+    parses the same offsets out of the hex image (DuckDB cannot slice
+    BLOBs), so the whole binary round-trip is attested cross-engine.
+
+    Scale shape: pack and parse are map-only projections; the parse
+    touches 8 bytes per payload regardless of payload size — at scale
+    this reads parquet pages of a 24-byte prefix column if headers are
+    stored split, or stream-slices the payload column at scan
+    throughput. No decode, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    be32 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    payload = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),  # PNG signature
+        F.unhex(F.lit("0000000D")),  # IHDR length = 13
+        F.encode(F.lit("IHDR"), "UTF-8"),
+        be32(F.lit(16) + F.col("doc_id") % 1000),
+        be32(F.lit(16) + F.col("n_chars") % 1000),
+        F.unhex(F.lit("0806000000")),  # depth 8, RGBA, std flags
+        F.encode(F.col("text"), "UTF-8"),
+    )
+    packed = docs.select("doc_id", payload.alias("payload"))
+    width = F.conv(F.hex(F.expr("substring(payload, 17, 4)")), 16, 10).cast(
+        "long"
+    )
+    height = F.conv(F.hex(F.expr("substring(payload, 21, 4)")), 16, 10).cast(
+        "long"
+    )
+    return packed.select(
+        "doc_id",
+        width.alias("width"),
+        height.alias("height"),
+        F.expr(
+            "cast(conv(hex(substring(payload, 17, 4)), 16, 10) as bigint)"
+            " * 1000 div"
+            " cast(conv(hex(substring(payload, 21, 4)), 16, 10) as bigint)"
+        )
+        .cast("long")
+        .alias("aspect_milli"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )

@@ -2870,6 +2870,160 @@ def audit_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TCLOSE_T_MICRO = 150000  # t = 0.15 — the release gate on EMD
+
+
+@register(
+    "audit_t_closeness",
+    oracle=f"""
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 100000.0)
+                  AS BIGINT) AS bal_bucket
+      FROM customer
+    ),
+    cells AS (
+      SELECT c_nationkey, c_mktsegment, bal_bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM q GROUP BY 1, 2, 3
+    ),
+    g AS (
+      SELECT bal_bucket, CAST(sum(cnt) AS BIGINT) AS gcnt,
+             CAST(sum(sum(cnt)) OVER (ORDER BY bal_bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cg
+      FROM cells GROUP BY bal_bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(gcnt) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS m
+      FROM g
+    ),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment, CAST(sum(cnt) AS BIGINT) AS class_size
+      FROM cells GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT cl.c_nationkey, cl.c_mktsegment, cl.class_size,
+             g.bal_bucket, g.cg, COALESCE(ce.cnt, 0) AS cnt
+      FROM classes cl CROSS JOIN g
+      LEFT JOIN cells ce ON ce.c_nationkey = cl.c_nationkey
+            AND ce.c_mktsegment = cl.c_mktsegment
+            AND ce.bal_bucket = g.bal_bucket
+    ),
+    cum AS (
+      SELECT c_nationkey, c_mktsegment, class_size, cg,
+             CAST(sum(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment
+                  ORDER BY bal_bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cc
+      FROM grid
+    )
+    SELECT c_nationkey, c_mktsegment, class_size,
+           CAST(sum(abs(cc * tot.n - cg * class_size)) * 1000000
+                // (class_size * tot.n * (tot.m - 1)) AS BIGINT) AS t_micro,
+           CAST(CASE WHEN sum(abs(cc * tot.n - cg * class_size)) * 1000000
+                          // (class_size * tot.n * (tot.m - 1))
+                          > {_TCLOSE_T_MICRO}
+                     THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+    FROM cum, tot
+    GROUP BY c_nationkey, c_mktsegment, class_size, tot.n, tot.m
+    """,
+)
+def audit_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    the third leg of the privacy trio: l-diversity still leaks when a
+    class's sensitive values are diverse but SKEWED relative to the
+    population (all-low balances in one nation x segment class is a
+    disclosure even at l=5). For each quasi-identifier class, Earth
+    Mover's Distance between the class's sensitive distribution and
+    the GLOBAL one over the ordered $1000 balance buckets; for an
+    ordinal attribute EMD is the mean absolute cumulative-probability
+    gap, computed here entirely in exact integers on the common
+    denominator class_size x N: |cum_class*N - cum_global*class_size|
+    summed over the bucket grid (the final bucket's term is zero by
+    construction, so the sum IS the (m-1)-term EMD numerator), then
+    ONE flooring division to micro units — order-free, engine-exact.
+    Classes with t above {_TCLOSE_T_MICRO} micro (t=0.15) are flagged.
+
+    Scale shape: cell counts aggregate map-side (O(QI x buckets)
+    cells); the grid is classes x buckets — dimension-sized — built
+    from a broadcast of the bucket histogram; nothing downstream of
+    the first aggregate is proportional to the row count."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    cells = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(cents / 100000.0).cast("bigint").alias("bal_bucket"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    gw = W.orderBy("bal_bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    g = (
+        cells.groupBy("bal_bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("gcnt"))
+        .select(
+            "bal_bucket", F.sum("gcnt").over(gw).cast("bigint").alias("cg")
+        )
+    )
+    tot = g.agg(
+        F.max("cg").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    classes = cells.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").cast("bigint").alias("class_size")
+    )
+    grid = (
+        classes.join(F.broadcast(g))
+        .join(
+            cells,
+            ["c_nationkey", "c_mktsegment", "bal_bucket"],
+            "left",
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            "bal_bucket",
+            "cg",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    cw = W.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        "bal_bucket"
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_size",
+        "cg",
+        F.sum("cnt").over(cw).cast("bigint").alias("cc"),
+    ).join(F.broadcast(tot))
+    out = cum.groupBy("c_nationkey", "c_mktsegment", "class_size", "n", "m").agg(
+        F.sum(F.abs(F.col("cc") * F.col("n") - F.col("cg") * F.col("class_size")))
+        .cast("bigint")
+        .alias("emd_num")
+    )
+    return out.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_size",
+        F.expr("(emd_num * 1000000) div (class_size * n * (m - 1))")
+        .cast("bigint")
+        .alias("t_micro"),
+        F.when(
+            F.expr("(emd_num * 1000000) div (class_size * n * (m - 1))")
+            > _TCLOSE_T_MICRO,
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("at_risk"),
+    )
+
+
 _DP_DENOM = 2**32
 
 

@@ -777,6 +777,37 @@ def _textrank_iter_sql(prev: str, out: str) -> str:
     )"""
 
 
+def _bigram_edges(docs: DataFrame) -> DataFrame:
+    """Weighted undirected word-adjacency (bigram) TYPE graph —
+    (src, dst, w) with both directions present — shared by TextRank
+    and the graph-metrics ops (graph.py) so the co-occurrence graph
+    definition cannot drift between consumers."""
+    toks = F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+    big = (
+        docs.select(toks.alias("toks"))
+        # slice(toks, 1, -1) throws on an empty/whitespace-only doc
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    "         slice(toks, 2, size(toks) - 1),"
+                    "         (l, r) -> struct(l, r))"
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p.l") != F.col("p.r"))
+        .select("p.l", "p.r")
+    )
+    return (
+        big.select(F.col("l").alias("src"), F.col("r").alias("dst"))
+        .union(big.select(F.col("r").alias("src"), F.col("l").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+
+
+
 @register(
     "text_textrank_keywords",
     oracle=f"""
@@ -836,29 +867,7 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     The edge table materializes once (localCheckpoint) and all
     {_TR_ITERS} iterations reuse it in one lazy plan."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
-    big = (
-        docs.select(toks.alias("toks"))
-        # slice(toks, 1, -1) throws on an empty/whitespace-only doc
-        .filter(F.size("toks") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "zip_with(slice(toks, 1, size(toks) - 1),"
-                    "         slice(toks, 2, size(toks) - 1),"
-                    "         (l, r) -> struct(l, r))"
-                )
-            ).alias("p")
-        )
-        .filter(F.col("p.l") != F.col("p.r"))
-        .select("p.l", "p.r")
-    )
-    edges = (
-        big.select(F.col("l").alias("src"), F.col("r").alias("dst"))
-        .union(big.select(F.col("r").alias("src"), F.col("l").alias("dst")))
-        .groupBy("src", "dst")
-        .agg(F.count("*").cast("bigint").alias("w"))
-    )
+    edges = _bigram_edges(docs)
     deg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wdeg"))
     e2 = (
         edges.join(deg, "src")
@@ -989,11 +998,11 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, bm25_micro) for every document with at least one query
-    term — the shared scoring core of text_bm25_topk and the RRF
-    fusion retrieval (similarity.py), so lexical scores cannot drift
-    between the ranker and the fusioner."""
+def _bm25_parts(spark: SparkSession, sf_dir: str):
+    """The BM25 index tables (tf checkpointed, dl, corpus scalars g,
+    and the rarest-{_BM25_NTERMS}-words query term table) — shared by
+    the ranker, the RRF fusioner, and the PRF expansion so lexical
+    scoring cannot drift between them."""
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select(
@@ -1019,6 +1028,14 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BM25_NTERMS)
         .select("w", "df")
     )
+    return tf, dl, g, terms
+
+
+def _bm25_score_terms(
+    tf: DataFrame, dl: DataFrame, g: DataFrame, terms: DataFrame, out: str
+) -> DataFrame:
+    """Sum of per-(doc, term) BM25 contributions for the given (w, df)
+    term table, exactly the text_bm25_topk formula."""
     idf_micro = F.round(
         F.log(
             (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
@@ -1044,7 +1061,134 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s"),
         )
     )
-    scored = per_term.groupBy("doc_id").agg(
-        F.sum("s").cast("bigint").alias("bm25_micro")
+    return per_term.groupBy("doc_id").agg(F.sum("s").cast("bigint").alias(out))
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25_micro) for every document with at least one query
+    term — the shared scoring core of text_bm25_topk and the RRF
+    fusion retrieval (similarity.py), so lexical scores cannot drift
+    between the ranker and the fusioner."""
+    tf, dl, g, terms = _bm25_parts(spark, sf_dir)
+    return _bm25_score_terms(tf, dl, g, terms, "bm25_micro")
+
+
+_PRF_FB = 5  # feedback docs (pseudo-relevant set)
+_PRF_NEXP = 3  # expansion terms
+
+
+@register(
+    "text_prf_query_expansion",
+    oracle=f"""
+    WITH {_BM25_SCORED_CTES},
+    fb AS (
+      SELECT doc_id, bm25_micro FROM bm25_scored
+      ORDER BY bm25_micro DESC, doc_id ASC LIMIT {_PRF_FB}
+    ),
+    ew AS (
+      SELECT t.w, CAST(sum(t.tf * f.bm25_micro) AS BIGINT) AS ew
+      FROM tf t JOIN fb f USING (doc_id)
+      WHERE t.w NOT IN (SELECT w FROM terms)
+      GROUP BY t.w
+      ORDER BY ew DESC, t.w ASC LIMIT {_PRF_NEXP}
+    ),
+    expdf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS df
+      FROM tf WHERE w IN (SELECT w FROM ew) GROUP BY w
+    ),
+    exp_per AS (
+      SELECT t.doc_id,
+             CAST(floor(
+               CAST(round(ln((g.n_docs - q.df + 0.5) / (q.df + 0.5) + 1)
+                          * 1000000) AS BIGINT)
+               * t.tf * ({_BM25_K1} + 1)
+               / (t.tf + {_BM25_K1} * (1 - {_BM25_B}
+                  + {_BM25_B} * d.dl * g.n_docs / g.total_tokens))
+             ) AS BIGINT) AS s
+      FROM tf t
+      JOIN expdf q USING (w)
+      JOIN dl d USING (doc_id)
+      CROSS JOIN g
+    ),
+    exp_scored AS (
+      SELECT doc_id, CAST(sum(s) AS BIGINT) AS exp_micro
+      FROM exp_per GROUP BY doc_id
+    ),
+    fused AS (
+      SELECT COALESCE(o.doc_id, e.doc_id) AS doc_id,
+             COALESCE(o.bm25_micro, 0) AS orig_micro,
+             COALESCE(e.exp_micro, 0) AS exp_micro,
+             7 * COALESCE(o.bm25_micro, 0) + 3 * COALESCE(e.exp_micro, 0)
+               AS fused_deci_micro
+      FROM bm25_scored o FULL OUTER JOIN exp_scored e
+        ON o.doc_id = e.doc_id
     )
-    return scored
+    SELECT doc_id, orig_micro, exp_micro, fused_deci_micro,
+           CAST(row_number() OVER (ORDER BY fused_deci_micro DESC,
+                                   doc_id ASC) AS INTEGER) AS rk
+    FROM fused
+    ORDER BY fused_deci_micro DESC, doc_id ASC LIMIT {_BM25_TOPK}
+    """,
+)
+def text_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSEUDO-RELEVANCE-FEEDBACK query expansion (RM3-style, Lavrenko &
+    Croft SIGIR '01): the first-pass BM25 ranking's top {_PRF_FB} docs
+    are assumed relevant; candidate expansion terms are weighted by
+    sum(tf x doc score) over that feedback set (the relevance-model
+    estimate, in exact integers); the top {_PRF_NEXP} non-query terms
+    re-score the corpus through the IDENTICAL BM25 formula; the final
+    ranking interpolates original and expansion scores at fixed 7:3
+    integer deci-weights (the MMR discipline — no float literal sums).
+    PRF is the classic recall lever when queries are short: docs
+    sharing vocabulary with the best first-pass results surface even
+    if they miss the original query terms entirely.
+
+    Plan shape: pass 1 reuses the shared BM25 core ({_PRF_FB}-row
+    feedback set via TakeOrderedAndProject); expansion-term selection
+    is one agg over tf rows joined to the BROADCAST feedback set;
+    pass 2 is the same broadcast-term postings probe as pass 1. Cost
+    is two inverted-index probes + one tf-row agg — no all-pairs, no
+    global sort; both term tables are K-row broadcasts at any corpus
+    size."""
+    tf, dl, g, terms = _bm25_parts(spark, sf_dir)
+    orig = _bm25_score_terms(tf, dl, g, terms, "bm25_micro")
+    orig = orig.localCheckpoint(eager=True)  # feedback set + final fuse
+    fb = (
+        orig.orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc())
+        .limit(_PRF_FB)
+        .select("doc_id", "bm25_micro")
+    )
+    ew = (
+        tf.join(F.broadcast(fb), "doc_id")
+        .join(F.broadcast(terms.select("w")), "w", "left_anti")
+        .groupBy("w")
+        .agg(F.sum(F.col("tf") * F.col("bm25_micro")).cast("bigint").alias("ew"))
+        .orderBy(F.col("ew").desc(), F.col("w").asc())
+        .limit(_PRF_NEXP)
+    )
+    expdf = (
+        tf.join(F.broadcast(ew.select("w")), "w")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    exp = _bm25_score_terms(tf, dl, g, expdf, "exp_micro")
+    fused = (
+        orig.join(exp, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("bm25_micro"), F.lit(0)).alias("orig_micro"),
+            F.coalesce(F.col("exp_micro"), F.lit(0)).alias("exp_micro"),
+            (
+                7 * F.coalesce(F.col("bm25_micro"), F.lit(0))
+                + 3 * F.coalesce(F.col("exp_micro"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("fused_deci_micro"),
+        )
+    )
+    w = W.orderBy(F.col("fused_deci_micro").desc(), F.col("doc_id").asc())
+    return (
+        fused.orderBy(F.col("fused_deci_micro").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOPK)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+    )

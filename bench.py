@@ -326,6 +326,9 @@ HEADLINE = [
     "multimodal_png_dimensions",
     "text_prf_query_expansion",
     "graph_degree_assortativity",
+    "events_nelson_aalen_hazard",
+    "dedup_minhash_estimator_eval",
+    "embedding_cluster_quality",
 ]
 
 

@@ -2055,3 +2055,111 @@ def split_leakage_safe_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(strad))
     )
+
+
+@register(
+    "dedup_minhash_estimator_eval",
+    oracle=f"""
+    WITH {_MINHASH_CAND_SQL},
+    ds AS (
+      SELECT doc_id, unnest(list_distinct(bases)) AS b FROM based
+    ),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ns FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS ni
+      FROM cand c
+      JOIN ds a ON a.doc_id = c.doc_a
+      JOIN ds b ON b.doc_id = c.doc_b AND b.b = a.b
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    eq AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST({" + ".join(f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END" for k in range(8))}
+               AS BIGINT) AS n_eq
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, e.n_eq AS n_equal_hashes,
+           CAST(e.n_eq * 125000 AS BIGINT) AS est_micro,
+           CAST(COALESCE(i.ni, 0) * 1000000
+                // (za.ns + zb.ns - COALESCE(i.ni, 0)) AS BIGINT) AS true_micro,
+           CAST(e.n_eq * 125000
+                - COALESCE(i.ni, 0) * 1000000
+                  // (za.ns + zb.ns - COALESCE(i.ni, 0)) AS BIGINT) AS err_micro
+    FROM eq e
+    LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN sz za ON za.doc_id = e.doc_a
+    JOIN sz zb ON zb.doc_id = e.doc_b
+    """,
+)
+def dedup_minhash_estimator_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINHASH ESTIMATOR ACCURACY (Broder '97's core identity:
+    P[h_min(A) = h_min(B)] = J(A,B)) attested per candidate pair: for
+    every LSH candidate, the sketch-side Jaccard estimate (fraction of
+    the 8 minhash components that agree, in micro units — each
+    component is worth 125000) sits next to the TRUE distinct-shingle
+    Jaccard (exact integer intersection/union) and the signed error.
+    This is the estimator-calibration audit a dedup pipeline runs
+    before trusting sketch thresholds at scale: dedup_lsh_eval_pr
+    grades the BANDING (recall/precision of bucketing); this grades
+    the ESTIMATOR the banding is built on — together they pin both
+    halves of the MinHash contract. err_micro's spread at 8 hashes is
+    the concrete argument for the 128-hash variant (dedup_minhash_b128)
+    when thresholding near the band boundary.
+
+    Scale shape: everything is candidate-pair-bounded — the signature
+    equi-joins and the distinct-shingle intersection join run ONLY on
+    LSH candidates (bucket-capped), never all pairs; shingle sets
+    shuffle by doc for the intersection count. The est side touches 16
+    bigints per pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _minhash_candidate_pairs(docs).localCheckpoint(eager=True)
+    sig = _minhash_signature_df(docs)
+    n_eq = sum(
+        F.when(F.col(f"ha{k}") == F.col(f"hb{k}"), 1).otherwise(0)
+        for k in range(_N_HASHES)
+    ).cast("bigint")
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{k}").alias(f"ha{k}") for k in range(_N_HASHES)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{k}").alias(f"hb{k}") for k in range(_N_HASHES)],
+    )
+    eq = (
+        pairs.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select("doc_a", "doc_b", n_eq.alias("n_eq"))
+    )
+    ds = _shingle_bases_df(docs).select(
+        "doc_id", F.explode(F.array_distinct("bases")).alias("b")
+    )
+    sz = ds.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("ns"))
+    inter = (
+        pairs.join(ds.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            ds.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "b", "b2"
+            ),
+            ["doc_b"],
+        )
+        .filter(F.col("b") == F.col("b2"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("ni"))
+    )
+    true_micro = F.expr("(coalesce(ni, 0) * 1000000) div (nsa + nsb - coalesce(ni, 0))")
+    return (
+        eq.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sz.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("nsa")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nsb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_eq").alias("n_equal_hashes"),
+            (F.col("n_eq") * 125000).cast("bigint").alias("est_micro"),
+            true_micro.cast("bigint").alias("true_micro"),
+            (F.col("n_eq") * 125000 - true_micro).cast("bigint").alias("err_micro"),
+        )
+    )

@@ -2235,3 +2235,107 @@ def _register_mmr_oracle() -> None:
 
 
 _register_mmr_oracle()
+
+
+def _register_cluster_quality() -> None:
+    """embedding_cluster_quality — registered via a builder because its
+    oracle composes the shared unrolled k-means replay CTEs."""
+    from pyspark_xgboost_spark import registry
+
+    sdiv = _sign_trunc_div_sql("sum(e.x)", "count(*)").replace(" DIV ", " // ")
+    oracle = (
+        "WITH "
+        + _km_oracle_ctes()
+        + f""",
+    gmean AS (
+      SELECT j, {sdiv} AS gm FROM e GROUP BY j
+    ),
+    sizes AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_c
+      FROM asg{_KM_FINAL} GROUP BY cid
+    ),
+    b2 AS (
+      SELECT ce.cid,
+             CAST(sum((ce.c - g.gm) * (ce.c - g.gm)) AS BIGINT) AS b2
+      FROM ce{_KM_ROUNDS} ce JOIN gmean g USING (j)
+      GROUP BY ce.cid
+    ),
+    agg AS (
+      SELECT CAST(sum(s.n_c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(s.n_c * b.b2) AS BIGINT) AS bss_q
+      FROM sizes s JOIN b2 b USING (cid)
+    ),
+    w AS (
+      SELECT CAST(sum(d) AS BIGINT) AS wss_q FROM asg{_KM_FINAL}
+    )
+    SELECT a.n AS n_vectors, a.k AS n_clusters, w.wss_q, a.bss_q,
+           (CAST(a.bss_q AS DOUBLE) * (a.n - a.k))
+             / (CAST(w.wss_q AS DOUBLE) * (a.k - 1)) AS calinski_harabasz
+    FROM agg a CROSS JOIN w
+    """
+    )
+
+    @register("embedding_cluster_quality", oracle=oracle)
+    def embedding_cluster_quality(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """CLUSTER QUALITY REPORT (Calinski & Harabasz 1974) for the
+        shared deterministic k-means: within-cluster SS (the exact
+        integer inertia the Lloyd query already attests), BETWEEN-
+        cluster SS (sizes x squared centroid-to-global-mean distance,
+        exact integers — the global mean uses the same sign-restored
+        quantized division as the centroid update), and the CH
+        variance-ratio index as ONE closed-form double over those
+        exact integers (the agg_corr_regression discipline: the oracle
+        pins the integers, the double derives identically). CH is the
+        go/no-go the SemDeDup/IVF consumers need: a collapsing CH on
+        re-embedding is the signal to re-tune k BEFORE serving dedup
+        or routing decisions from a degenerate clustering.
+
+        Scale shape: consumes the memoized clustering (_KM_CACHE — no
+        retraining); the global mean is one per-dim partial agg over
+        the corpus (the only row-proportional stage); everything else
+        runs on k-row / dim-row tables."""
+        final, cents = _km_final_assign(spark, sf_dir)
+        e = final.select(
+            "vec_id", F.posexplode("q").alias("j", "x")
+        )
+        gmean = e.groupBy("j").agg(
+            F.expr(
+                "CASE WHEN sum(x) < 0 THEN -((-(sum(x))) div count(*)) "
+                "ELSE (sum(x)) div count(*) END"
+            ).alias("gm")
+        )
+        ce = cents.select("cid", F.posexplode("cq").alias("j", "c"))
+        b2 = (
+            ce.join(F.broadcast(gmean), "j")
+            .groupBy("cid")
+            .agg(
+                F.sum((F.col("c") - F.col("gm")) * (F.col("c") - F.col("gm")))
+                .cast("bigint")
+                .alias("b2")
+            )
+        )
+        sizes = final.groupBy("cid").agg(
+            F.count("*").cast("bigint").alias("n_c")
+        )
+        agg = sizes.join(F.broadcast(b2), "cid").agg(
+            F.sum("n_c").cast("bigint").alias("n"),
+            F.count("*").cast("bigint").alias("k"),
+            F.sum(F.col("n_c") * F.col("b2")).cast("bigint").alias("bss_q"),
+        )
+        w = final.agg(F.sum("d").cast("bigint").alias("wss_q"))
+        return agg.crossJoin(F.broadcast(w)).select(
+            F.col("n").alias("n_vectors"),
+            F.col("k").alias("n_clusters"),
+            "wss_q",
+            "bss_q",
+            (
+                F.col("bss_q").cast("double") * (F.col("n") - F.col("k"))
+                / (F.col("wss_q").cast("double") * (F.col("k") - 1))
+            ).alias("calinski_harabasz"),
+        )
+
+
+_register_cluster_quality()

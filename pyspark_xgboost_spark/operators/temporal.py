@@ -2992,3 +2992,106 @@ def agg_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("none")
         .alias("trend_95"),
     )
+
+
+@register(
+    "events_nelson_aalen_hazard",
+    oracle=f"""
+    WITH gmax AS (SELECT max(ts) AS g FROM events),
+    u AS (
+      SELECT user_id,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // 3600000000 AS lt,
+             CASE WHEN max(ts) < (SELECT g FROM gmax)
+                                 - INTERVAL {_KM_CENSOR_DAYS} DAY
+                  THEN 1 ELSE 0 END AS died
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM u),
+    h AS (
+      SELECT lt,
+             CAST(sum(died) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS m
+      FROM u GROUP BY lt
+    ),
+    r AS (
+      SELECT lt, d, m,
+             tot.n_users
+               - CAST(sum(m) OVER (ORDER BY lt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) + m AS n_risk
+      FROM h CROSS JOIN tot
+    )
+    SELECT lt AS lt_hours, n_risk, d AS n_deaths,
+           CAST((d * 1000000) // n_risk AS BIGINT) AS hazard_micro,
+           CAST(sum((d * 1000000) // n_risk) OVER (ORDER BY lt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cumhaz_micro
+    FROM r
+    """,
+)
+def events_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON-AALEN CUMULATIVE HAZARD (Nelson 1972, Aalen 1978) — the
+    survival pair's second estimator, over the SAME censored user
+    lifetimes as events_kaplan_meier_retention: H(t) = sum of d_i/n_i
+    over event times up to t. Where KM estimates the survival curve
+    multiplicatively (and its log-sum needs ln), the hazard sums raw
+    RATIONAL increments — so every term here is a pure integer floor
+    division (d*1e6 div n_risk), no transcendental anywhere: the
+    strictest cross-engine form in the survival family. The
+    Fleming-Harrington survival estimate is exp(-H); comparing
+    -surv_lnmicro (KM) to cumhaz_micro is the standard diagnostic for
+    heavy-tie bias in either estimator — with both registered, the
+    driver attests the two routes to the same curve independently.
+
+    Per-term micro-quantization (floor BEFORE the running sum) is the
+    documented contract: it makes the cumulative sum an exact integer
+    both engines agree on at any partition count, at the cost of
+    <1e-6/term quantization — the agg_psi/BM25 per-term-floor
+    discipline.
+
+    Scale shape: identical to KM — one user-keyed partial agg is the
+    only corpus-sized stage; the hazard grid is distinct-lifetime-
+    bounded and the running sum rides one ordered window over it."""
+    ev = load_table(spark, sf_dir, "events")
+    gmax = ev.agg(F.max("ts").alias("g"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.expr(
+                "(unix_micros(t1) - unix_micros(t0)) div 3600000000"
+            ).alias("lt"),
+            F.when(
+                F.col("t1")
+                < F.col("g") - F.expr(f"INTERVAL {_KM_CENSOR_DAYS} DAY"),
+                1,
+            )
+            .otherwise(0)
+            .alias("died"),
+        )
+    )
+    tot = u.agg(F.count("*").cast("long").alias("n_users"))
+    h = u.groupBy("lt").agg(
+        F.sum("died").cast("long").alias("d"),
+        F.count("*").cast("long").alias("m"),
+    )
+    wcum = W.orderBy("lt").rowsBetween(W.unboundedPreceding, W.currentRow)
+    r = h.crossJoin(F.broadcast(tot)).select(
+        "lt",
+        "d",
+        (F.col("n_users") - F.sum("m").over(wcum) + F.col("m")).alias("n_risk"),
+    )
+    t = r.select(
+        "lt",
+        "d",
+        "n_risk",
+        F.expr("(d * 1000000) div n_risk").cast("long").alias("hazard_micro"),
+    )
+    return t.select(
+        F.col("lt").alias("lt_hours"),
+        "n_risk",
+        F.col("d").alias("n_deaths"),
+        "hazard_micro",
+        F.sum("hazard_micro").over(wcum).cast("bigint").alias("cumhaz_micro"),
+    )

@@ -329,6 +329,9 @@ HEADLINE = [
     "events_nelson_aalen_hazard",
     "dedup_minhash_estimator_eval",
     "embedding_cluster_quality",
+    "sim_search_rank_agreement_rbo",
+    "sink_wap_publish",
+    "window_realized_volatility",
 ]
 
 

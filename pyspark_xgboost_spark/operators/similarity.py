@@ -2339,3 +2339,153 @@ def _register_cluster_quality() -> None:
 
 
 _register_cluster_quality()
+
+
+_RBO_P_NUM, _RBO_P_DEN = 9, 10  # persistence p = 0.9 as an exact rational
+_RBO_DEPTH = 10
+
+
+def _register_rbo() -> None:
+    """sim_search_rank_agreement_rbo — builder-registered because the
+    oracle composes the shared BM25 CTEs and an unrolled weight grid."""
+    from pyspark_xgboost_spark import registry
+    from pyspark_xgboost_spark.operators.text import _BM25_SCORED_CTES
+
+    grid_rows = [
+        (d, _RBO_P_NUM ** (d - 1), (_RBO_P_DEN**d) * d)
+        for d in range(1, _RBO_DEPTH + 1)
+    ]
+    grid_sql = ", ".join(f"({d}, {n}, {den})" for d, n, den in grid_rows)
+    oracle = f"""
+    WITH {_BM25_SCORED_CTES},
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT v FROM e WHERE vec_id = {_RRF_QUERY_VEC}),
+    vec_scored AS (
+      SELECT c.vec_id AS doc_id,
+             floor(list_inner_product(q.v, c.v)
+                   / (sqrt(list_inner_product(q.v, q.v))
+                      * sqrt(list_inner_product(c.v, c.v)))
+                   * 10000) / 10000 AS cos_sim
+      FROM q CROSS JOIN e c WHERE c.vec_id <> {_RRF_QUERY_VEC}
+    ),
+    a AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC,
+                                          doc_id ASC) AS r
+        FROM vec_scored) WHERE r <= {_RBO_DEPTH}
+    ),
+    b AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25_micro DESC,
+                                          doc_id ASC) AS r
+        FROM bm25_scored WHERE doc_id <> {_RRF_QUERY_VEC})
+      WHERE r <= {_RBO_DEPTH}
+    ),
+    m AS (
+      SELECT greatest(a.r, b.r) AS rmax
+      FROM a JOIN b USING (doc_id)
+    ),
+    grid(d, pnum, pden) AS (VALUES {grid_sql}),
+    xd AS (
+      SELECT g.d, g.pnum, g.pden,
+             CAST(count(m.rmax) AS BIGINT) AS x
+      FROM grid g LEFT JOIN m ON m.rmax <= g.d
+      GROUP BY g.d, g.pnum, g.pden
+    ),
+    t AS (
+      SELECT d, x,
+             CAST((x * 1000) // d AS BIGINT) AS agreement_milli,
+             CAST((1000000::BIGINT * pnum * x) // pden AS BIGINT)
+               AS term_micro
+      FROM xd
+    )
+    SELECT d AS depth, x AS overlap, agreement_milli,
+           CAST(sum(term_micro) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS rbo_min_micro
+    FROM t
+    """
+
+    @register("sim_search_rank_agreement_rbo", oracle=oracle)
+    def sim_search_rank_agreement_rbo(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """RANK-BIASED OVERLAP (Webber, Moffat & Zobel, TOIS 2010)
+        between the dense and lexical rankings the RRF fusioner
+        consumes: per depth d, the prefix overlap X_d, the agreement
+        X_d/d (milli), and the running RBO_min = (1-p) * sum of
+        p^(d-1) * X_d / d with persistence p = 0.9 held EXACT as the
+        rational 9/10 — each term is one integer floor division
+        (1e6 * 9^(d-1) * X_d) div (10^d * d), the unrolled-power
+        discipline of dedup_lsh_band_planning (library pow() is not
+        cross-engine-stable; integer powers as literals are). RBO is
+        the standard top-weighted agreement measure for comparing
+        retrieval signals — two signals with RBO near 1 make fusion
+        redundant; near 0, fusion is load-bearing — and unlike
+        Kendall/Spearman it is defined for the NON-CONJOINT top-k
+        lists retrieval actually produces.
+
+        Scale shape: both rankings already exist (shared BM25 scorer,
+        broadcast-query dense pass — the ANN tiers replace the brute
+        leg at 100 TB); RBO itself runs on two {_RBO_DEPTH}-row
+        prefixes joined to a {_RBO_DEPTH}-row literal weight grid —
+        driver-free and constant-cost at any corpus size."""
+        from pyspark_xgboost_spark.operators.text import _bm25_scored
+
+        e = _emb(spark, sf_dir)
+        q = e.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+            F.col("v").alias("qv")
+        )
+        cos = _cosine_cols("qv", "v")
+        vec_scored = (
+            F.broadcast(q)
+            .crossJoin(e.select(F.col("vec_id").alias("doc_id"), "v"))
+            .filter(F.col("doc_id") != _RRF_QUERY_VEC)
+            .select("doc_id", (F.floor(cos * 10000) / 10000).alias("cos_sim"))
+        )
+        wv = W.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+        a = vec_scored.select(
+            "doc_id", F.row_number().over(wv).alias("r")
+        ).filter(F.col("r") <= _RBO_DEPTH)
+        wl = W.orderBy(F.col("bm25_micro").desc(), F.col("doc_id").asc())
+        b = (
+            _bm25_scored(spark, sf_dir)
+            .filter(F.col("doc_id") != _RRF_QUERY_VEC)
+            .select("doc_id", F.row_number().over(wl).alias("r"))
+            .filter(F.col("r") <= _RBO_DEPTH)
+        )
+        m = a.join(b, "doc_id").select(
+            F.greatest(a["r"], b["r"]).alias("rmax")
+        )
+        grid = spark.createDataFrame(
+            [
+                (d, _RBO_P_NUM ** (d - 1), (_RBO_P_DEN**d) * d)
+                for d in range(1, _RBO_DEPTH + 1)
+            ],
+            "d int, pnum long, pden long",
+        )
+        xd = (
+            grid.join(F.broadcast(m), F.col("rmax") <= F.col("d"), "left")
+            .groupBy("d", "pnum", "pden")
+            .agg(F.count("rmax").cast("bigint").alias("x"))
+        )
+        t = xd.select(
+            "d",
+            "x",
+            F.expr("(x * 1000) div d").cast("bigint").alias("agreement_milli"),
+            F.expr("(1000000 * pnum * x) div pden")
+            .cast("bigint")
+            .alias("term_micro"),
+        )
+        wcum = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+        return t.select(
+            F.col("d").alias("depth"),
+            F.col("x").alias("overlap"),
+            "agreement_milli",
+            F.sum("term_micro").over(wcum).cast("bigint").alias("rbo_min_micro"),
+        )
+
+
+_register_rbo()

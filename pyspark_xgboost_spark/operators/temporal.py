@@ -3095,3 +3095,94 @@ def events_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hazard_micro",
         F.sum("hazard_micro").over(wcum).cast("bigint").alias("cumhaz_micro"),
     )
+
+
+_RV_WIN = 7  # realized-volatility rolling window (days)
+
+
+@register(
+    "window_realized_volatility",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_idx,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, day_idx, y,
+             CAST(round(ln(CAST(y AS DOUBLE)
+                           / lag(y) OVER (PARTITION BY event_type
+                                          ORDER BY day_idx)) * 1000000)
+               AS BIGINT) AS ret_lnmicro
+      FROM daily
+    ),
+    v AS (
+      SELECT event_type, day_idx, ret_lnmicro,
+             CAST(sum(ret_lnmicro * ret_lnmicro) OVER win AS BIGINT)
+               AS rv_sum,
+             CAST(count(ret_lnmicro) OVER win AS BIGINT) AS rv_n
+      FROM r
+      WINDOW win AS (PARTITION BY event_type ORDER BY day_idx
+                     ROWS BETWEEN {_RV_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day_idx, ret_lnmicro, rv_sum, rv_n
+    FROM v WHERE ret_lnmicro IS NOT NULL
+    """,
+)
+def window_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REALIZED VOLATILITY over the daily value grid — the log-return
+    companion to window_bollinger_bands (which bands LEVELS; realized
+    variance is the sum of SQUARED LOG RETURNS over the window, the
+    estimator risk/monitoring systems actually track because returns,
+    unlike levels, are scale-free and approximately stationary). Per
+    (event_type, day): the day-over-day log return in exact micro-nats
+    (the repo's round(ln*1e6) idiom — empirically engine-identical on
+    the dyadic-free ratios both engines compute the same way), and the
+    {_RV_WIN}-day rolling sum of squared returns as an EXACT integer
+    (quantize-then-square-then-sum: every term is a bigint, so the
+    rolling sum is partition-order-proof; rv_n exposes the warm-up
+    rows where the window is not yet full).
+
+    Scale shape: one map-side-combinable daily rollup is the only
+    row-proportional stage; returns and the rolling sum ride two
+    chained windows over the (types x days) grid — dimension-sized.
+    The lag window and the frame window chain as separate selects
+    (nested window functions are illegal in both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    wlag = W.partitionBy("event_type").orderBy("day_idx")
+    r = daily.select(
+        "event_type",
+        "day_idx",
+        F.round(
+            F.log(F.col("y").cast("double") / F.lag("y").over(wlag)) * 1000000
+        )
+        .cast("bigint")
+        .alias("ret_lnmicro"),
+    )
+    wwin = (
+        W.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-(_RV_WIN - 1), W.currentRow)
+    )
+    v = r.select(
+        "event_type",
+        "day_idx",
+        "ret_lnmicro",
+        F.sum(F.col("ret_lnmicro") * F.col("ret_lnmicro"))
+        .over(wwin)
+        .cast("bigint")
+        .alias("rv_sum"),
+        F.count("ret_lnmicro").over(wwin).cast("bigint").alias("rv_n"),
+    )
+    return v.filter(F.col("ret_lnmicro").isNotNull())

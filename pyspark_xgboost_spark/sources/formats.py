@@ -2073,3 +2073,147 @@ def scan_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_group_id long, column_name string, num_values long,"
         " null_count long, compressed_bytes long",
     )
+
+
+@register(
+    "sink_wap_publish",
+    oracle="""
+    WITH good AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY source
+    ),
+    bad AS (
+      SELECT CASE WHEN substr(source, length(source), 1) = '0'
+                  THEN NULL ELSE source END AS source,
+             n_docs, sum_chars
+      FROM good
+    ),
+    ga AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(source) AS BIGINT) AS n_null_keys,
+             CAST(sum(sum_chars) AS BIGINT) AS total_chars
+      FROM good
+    ),
+    ba AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(source) AS BIGINT) AS n_null_keys,
+             CAST(sum(sum_chars) AS BIGINT) AS total_chars
+      FROM bad
+    )
+    SELECT 'good' AS candidate, n_rows, n_null_keys,
+           CAST(CASE WHEN n_null_keys = 0 AND n_rows > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS audit_passed,
+           CAST(CASE WHEN n_null_keys = 0 AND n_rows > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS published,
+           total_chars
+    FROM ga
+    UNION ALL
+    SELECT 'bad', n_rows, n_null_keys,
+           CAST(CASE WHEN n_null_keys = 0 AND n_rows > 0 THEN 1 ELSE 0 END
+                AS BIGINT),
+           CAST(CASE WHEN n_null_keys = 0 AND n_rows > 0 THEN 1 ELSE 0 END
+                AS BIGINT),
+           total_chars
+    FROM ba
+    """,
+)
+def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH — the deployment gate pattern (Iceberg's
+    WAP / Delta's staged-commit idiom) that keeps a bad batch from
+    ever being readable: candidates are STAGED to an unpublished
+    directory, data-quality audits run against the STAGED FILES (not
+    the in-memory frame — what landed is what is audited), and only a
+    passing candidate is atomically published (marker file naming the
+    published version; readers resolve through the marker). Two
+    candidates are staged here: the honest per-source stats rollup,
+    and a defective twin with its partition keys nulled (the classic
+    upstream-join-regression shape). The audits — zero null keys,
+    nonempty — pass the first and fail the second; the output reports
+    both audit rows, and the published candidate's content checksum is
+    read back FROM THE PUBLISHED DIRECTORY, so a wrong gate (bad batch
+    published, good batch dropped, checksum drift through the
+    stage-publish copy) reds the row.
+
+    Scale shape: the audit is one aggregate over the staged batch
+    (O(batch), not O(table)); publish is a metadata operation (marker
+    write / rename) regardless of data size — exactly why WAP is
+    viable at 100 TB where rewrite-on-validate is not."""
+    import shutil
+
+    key = sf_dir.strip("/").replace("/", "_")
+    parent = os.path.join(_SCRATCH, key)
+    fp = src_fingerprint(sf_dir, "documents")
+    leaf = f"wap_{fp}"
+    gc_stale_siblings(parent, "wap_", leaf)
+    root = os.path.join(parent, leaf)
+    docs = load_table(spark, sf_dir, "documents")
+    good = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    bad = good.select(
+        F.when(F.substring(F.col("source"), -1, 1) == "0", None)
+        .otherwise(F.col("source"))
+        .alias("source"),
+        "n_docs",
+        "sum_chars",
+    )
+    done = os.path.join(root, "_WAP_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        for name, df in (("good", good), ("bad", bad)):
+            df.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(root, "staging", name)
+            )
+        for name in ("good", "bad"):
+            staged = spark.read.parquet(os.path.join(root, "staging", name))
+            audit = staged.agg(
+                F.count("*").alias("n_rows"),
+                (F.count("*") - F.count("source")).alias("n_null_keys"),
+            ).first()
+            if audit["n_null_keys"] == 0 and audit["n_rows"] > 0:
+                pub = os.path.join(root, "published", name)
+                shutil.copytree(os.path.join(root, "staging", name), pub)
+                with open(os.path.join(root, f"_PUBLISHED_{name}"), "w") as fh:
+                    fh.write(pub)
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    rows = []
+    for name in ("good", "bad"):
+        staged = spark.read.parquet(os.path.join(root, "staging", name))
+        published = os.path.exists(os.path.join(root, f"_PUBLISHED_{name}"))
+        src_df = (
+            spark.read.parquet(os.path.join(root, "published", name))
+            if published
+            else staged
+        )
+        rows.append(
+            staged.agg(
+                F.lit(name).alias("candidate"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                (F.count("*") - F.count("source"))
+                .cast("bigint")
+                .alias("n_null_keys"),
+            )
+            .crossJoin(
+                src_df.agg(
+                    F.sum("sum_chars").cast("bigint").alias("total_chars")
+                )
+            )
+            .select(
+                "candidate",
+                "n_rows",
+                "n_null_keys",
+                F.when(
+                    (F.col("n_null_keys") == 0) & (F.col("n_rows") > 0), 1
+                )
+                .otherwise(0)
+                .cast("bigint")
+                .alias("audit_passed"),
+                F.lit(1 if published else 0).cast("bigint").alias("published"),
+                "total_chars",
+            )
+        )
+    return rows[0].unionByName(rows[1])

@@ -332,6 +332,9 @@ HEADLINE = [
     "sim_search_rank_agreement_rbo",
     "sink_wap_publish",
     "window_realized_volatility",
+    "events_interval_coalesce",
+    "multimodal_wav_header",
+    "scan_rowgroup_pruning_sim",
 ]
 
 

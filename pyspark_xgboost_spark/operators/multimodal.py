@@ -942,3 +942,140 @@ def multimodal_png_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("aspect_milli"),
         F.octet_length("payload").cast("long").alias("n_bytes"),
     )
+
+
+def _le_hex_sql(byte_start: int, n_bytes: int) -> str:
+    """Little-endian unsigned int from ``n_bytes`` bytes of the hex
+    image column ``hx`` starting at 1-based BYTE offset ``byte_start``
+    (byte k = hex chars 2k-1..2k); weight grows with byte position."""
+    parts = []
+    for i in range(n_bytes):
+        c = 2 * (byte_start + i) - 1
+        parts.append(
+            f"((strpos('0123456789ABCDEF', substr(hx, {c}, 1)) - 1) * 16"
+            f" + (strpos('0123456789ABCDEF', substr(hx, {c + 1}, 1)) - 1))"
+            f" * {256 ** i}"
+        )
+    return " + ".join(parts)
+
+
+@register(
+    "multimodal_wav_header",
+    oracle=f"""
+    WITH packed AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS ch,
+             8000 + (n_chars % 8) * 4000 AS sr,
+             encode('RIFF') || unhex('24000000') || encode('WAVEfmt ')
+             || unhex('10000000') || unhex('0100')
+             || unhex(substr(lpad(hex(1 + doc_id % 2), 4, '0'), 3, 2)
+                      || substr(lpad(hex(1 + doc_id % 2), 4, '0'), 1, 2))
+             || unhex(substr(lpad(hex(8000 + (n_chars % 8) * 4000), 8, '0'), 7, 2)
+                      || substr(lpad(hex(8000 + (n_chars % 8) * 4000), 8, '0'), 5, 2)
+                      || substr(lpad(hex(8000 + (n_chars % 8) * 4000), 8, '0'), 3, 2)
+                      || substr(lpad(hex(8000 + (n_chars % 8) * 4000), 8, '0'), 1, 2))
+             || unhex(substr(lpad(hex((8000 + (n_chars % 8) * 4000) * (1 + doc_id % 2) * 2), 8, '0'), 7, 2)
+                      || substr(lpad(hex((8000 + (n_chars % 8) * 4000) * (1 + doc_id % 2) * 2), 8, '0'), 5, 2)
+                      || substr(lpad(hex((8000 + (n_chars % 8) * 4000) * (1 + doc_id % 2) * 2), 8, '0'), 3, 2)
+                      || substr(lpad(hex((8000 + (n_chars % 8) * 4000) * (1 + doc_id % 2) * 2), 8, '0'), 1, 2))
+             || unhex('0400') || unhex('1000')
+             || encode(text) AS payload,
+             octet_length(encode(text)) AS data_bytes
+      FROM documents WHERE doc_id % 4 = 2
+    ),
+    hx AS (
+      SELECT doc_id, hex(payload) AS hx, data_bytes FROM packed
+    )
+    SELECT doc_id,
+           CAST({{CH}} AS BIGINT) AS channels,
+           CAST({{SR}} AS BIGINT) AS sample_rate,
+           CAST({{BR}} AS BIGINT) AS byte_rate,
+           CAST(data_bytes * 1000 // ({{BR}}) AS BIGINT) AS duration_ms
+    FROM hx
+    """.replace("{CH}", _le_hex_sql(23, 2))
+    .replace("{SR}", _le_hex_sql(25, 4))
+    .replace("{BR}", _le_hex_sql(29, 4)),
+)
+def multimodal_wav_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV/RIFF fmt-CHUNK PARSING — the LITTLE-endian counterpart to
+    multimodal_png_dimensions (PNG is network byte order; RIFF is LE,
+    and mixing the two up is the classic binary-ingest bug this pair
+    of queries pins from both sides): the 'riff' cohort packs a real
+    44-byte canonical WAV header (RIFF/WAVE/fmt chunk; PCM, channels
+    and sample rate derived deterministically from doc metadata, LE
+    byte order built by REVERSING hex pairs), and the parser slices
+    channels (LE16 @23), sample rate (LE32 @25) and byte rate (LE32
+    @29) back out of the binary column, plus the duration the audio
+    pipeline actually wants (data bytes / byte rate). Spark assembles
+    LE integers from reversed hex pairs of the binary slice; DuckDB
+    parses per-byte positional weights off the hex image — two
+    independent LE decoders that must agree bit-for-bit.
+
+    Scale shape: map-only pack and parse (44 header bytes per payload
+    touched); the duration arithmetic is one integer division. At
+    100 TB this is the metadata sweep that runs before any resample
+    or VAD pass (multimodal_audio_energy_vad) is scheduled."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 2)
+    ch = (1 + F.col("doc_id") % 2).cast("bigint")
+    sr = (8000 + (F.col("n_chars") % 8) * 4000).cast("bigint")
+    br = (sr * ch * 2).cast("bigint")
+
+    def le16(c):
+        h = F.lpad(F.hex(c), 4, "0")
+        return F.unhex(F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2)))
+
+    def le32(c):
+        h = F.lpad(F.hex(c), 8, "0")
+        return F.unhex(
+            F.concat(
+                F.substring(h, 7, 2),
+                F.substring(h, 5, 2),
+                F.substring(h, 3, 2),
+                F.substring(h, 1, 2),
+            )
+        )
+
+    payload = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        F.unhex(F.lit("24000000")),
+        F.encode(F.lit("WAVEfmt "), "UTF-8"),
+        F.unhex(F.lit("10000000")),
+        F.unhex(F.lit("0100")),  # PCM
+        le16(ch),
+        le32(sr),
+        le32(br),
+        F.unhex(F.lit("0400")),  # block align
+        F.unhex(F.lit("1000")),  # 16 bits/sample
+        F.encode(F.col("text"), "UTF-8"),
+    )
+    packed = docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8"))
+        .cast("bigint")
+        .alias("data_bytes"),
+    )
+
+    def parse_le(byte_start: int, n: int):
+        h = F.hex(F.expr(f"substring(payload, {byte_start}, {n})"))
+        rev = F.concat(
+            *[F.substring(h, 2 * i - 1, 2) for i in range(n, 0, -1)]
+        )
+        return F.conv(rev, 16, 10).cast("bigint")
+
+    return packed.select(
+        "doc_id",
+        parse_le(23, 2).alias("channels"),
+        parse_le(25, 4).alias("sample_rate"),
+        parse_le(29, 4).alias("byte_rate"),
+        F.expr(
+            "data_bytes * 1000 div cast(conv(concat("
+            "substring(hex(substring(payload, 29, 4)), 7, 2),"
+            "substring(hex(substring(payload, 29, 4)), 5, 2),"
+            "substring(hex(substring(payload, 29, 4)), 3, 2),"
+            "substring(hex(substring(payload, 29, 4)), 1, 2)), 16, 10)"
+            " as bigint)"
+        )
+        .cast("bigint")
+        .alias("duration_ms"),
+    )

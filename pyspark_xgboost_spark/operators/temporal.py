@@ -3186,3 +3186,105 @@ def window_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("ret_lnmicro").over(wwin).cast("bigint").alias("rv_n"),
     )
     return v.filter(F.col("ret_lnmicro").isNotNull())
+
+
+_IC_HOLD_MIN = 30  # each event opens a 30-minute presence interval
+
+
+@register(
+    "events_interval_coalesce",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + {_IC_HOLD_MIN} * 60000000 AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             CAST(sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island,
+             CAST(min(s) AS BIGINT) AS m_start,
+             CAST(max(e) AS BIGINT) AS m_end,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum(m_end - m_start) // 60000000 AS BIGINT)
+             AS coverage_minutes,
+           CAST(max(m_end - m_start) // 60000000 AS BIGINT)
+             AS longest_minutes
+    FROM merged GROUP BY user_id
+    """,
+)
+def events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL COALESCING (merge overlapping presence intervals) —
+    the temporal-union primitive behind billable-time, device-uptime
+    and co-presence computations: each event opens a {_IC_HOLD_MIN}-
+    minute interval; per user, transitively overlapping intervals
+    merge into maximal islands (an interval starting after the RUNNING
+    MAX of all previous ends starts a new island — the running-max
+    flag is what makes chained overlaps A-B-C merge even when A and C
+    do not touch, which naive pairwise overlap joins get wrong). Per
+    user: island count, merged coverage, longest island — all in exact
+    epoch-microsecond integers, floored to minutes once at the end.
+    Differs from sessionization (events_session_window): session gaps
+    measure start-to-start spacing; coalescing unions FIXED-LENGTH
+    holds, the correct semantics when each event confers a duration.
+
+    Scale shape: one user-keyed shuffle; both windows (running max of
+    ends, running island id) ride the same user partition order, so
+    Spark evaluates them in one WindowExec pass per user partition;
+    the island rollup and user rollup aggregate map-side. No joins at
+    all."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + _IC_HOLD_MIN * 60000000).alias("e"),
+    )
+    word = W.partitionBy("user_id").orderBy("s", "e")
+    prevmax = F.max("e").over(word.rowsBetween(W.unboundedPreceding, -1))
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.col("s") > prevmax, 1).otherwise(0).alias("new_island"),
+    )
+    isl = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island")
+        .over(word.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("island"),
+    )
+    merged = isl.groupBy("user_id", "island").agg(
+        F.min("s").cast("bigint").alias("m_start"),
+        F.max("e").cast("bigint").alias("m_end"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.expr("sum(m_end - m_start) div 60000000")
+        .cast("bigint")
+        .alias("coverage_minutes"),
+        F.expr("max(m_end - m_start) div 60000000")
+        .cast("bigint")
+        .alias("longest_minutes"),
+    )

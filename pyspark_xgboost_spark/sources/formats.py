@@ -2217,3 +2217,117 @@ def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return rows[0].unionByName(rows[1])
+
+
+def _prune_staged_path(sf_dir: str) -> str:
+    """Staged multi-row-group file for the pruning simulation. The
+    path EMBEDS sf_dir verbatim ('/tmp/spark_graft_prune' + sf_dir) so
+    the oracle's literal sf0.01 path is rewritten by check_oracle's
+    directory substitution at other SFs — the scan_parquet_footer_stats
+    path contract extended to staged artifacts."""
+    return os.path.join("/tmp/spark_graft_prune" + sf_dir, "prune_li.parquet")
+
+
+def _stage_prune_file(spark: SparkSession, sf_dir: str) -> str:
+    """lineitem sorted by l_orderkey, ONE file, ~256 KB row groups —
+    a key-clustered layout whose per-row-group min/max ranges are
+    disjoint, the precondition for stats-based pruning to bite.
+    Re-staged when the source fingerprint changes (fixed path +
+    fingerprint marker: the round-1 stale-scratch advice, inverted)."""
+    import glob
+    import shutil
+
+    path = _prune_staged_path(sf_dir)
+    d = os.path.dirname(path)
+    fp = src_fingerprint(sf_dir, "lineitem")
+    marker = os.path.join(d, "_PRUNE_FP")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == fp and os.path.exists(path):
+                return path
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, "tmp")
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.block.size", 262144)
+        .parquet(tmp)
+    )
+    os.rename(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    with open(marker, "w") as fh:
+        fh.write(fp)
+    return path
+
+
+@register(
+    "scan_rowgroup_pruning_sim",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(row_group_id AS BIGINT) AS row_group_id,
+             CAST(row_group_num_rows AS BIGINT) AS n_rows,
+             CAST(stats_min_value AS BIGINT) AS key_min,
+             CAST(stats_max_value AS BIGINT) AS key_max
+      FROM parquet_metadata(
+        '/tmp/spark_graft_prune/root/testdata/sf0.01/prune_li.parquet')
+      WHERE path_in_schema = 'l_orderkey'
+    ),
+    pred AS (
+      SELECT CAST(max(key_max) // 3 AS BIGINT) AS lo,
+             CAST((2 * max(key_max)) // 3 AS BIGINT) AS hi
+      FROM s
+    )
+    SELECT s.row_group_id, s.n_rows, s.key_min, s.key_max,
+           pred.lo AS pred_lo, pred.hi AS pred_hi,
+           CAST(CASE WHEN s.key_min > pred.hi OR s.key_max < pred.lo
+                     THEN 0 ELSE 1 END AS BIGINT) AS survives
+    FROM s CROSS JOIN pred
+    """,
+)
+def scan_rowgroup_pruning_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-GROUP PRUNING SIMULATION — the footer-statistics audit
+    turned into a PLANNING decision: against a key-sorted staged copy
+    of lineitem (multiple ~256 KB row groups, disjoint l_orderkey
+    ranges), the middle-third range predicate [max/3, 2max/3] —
+    derived FROM THE FOOTER ITSELF, so it is scale-free — is evaluated
+    per row group purely on min/max statistics: a group whose range
+    cannot intersect the predicate is skipped without reading a byte.
+    The output is the skip-list a parquet reader's rowgroup filter
+    (and Spark's PushedFilters machinery) would produce; DuckDB
+    derives the identical verdicts from its own parquet_metadata()
+    reader, so two independent footer implementations must agree on
+    every skip decision. On a key-clustered layout ~2/3 of groups
+    prune — the measurable argument for sorting on the filter key
+    (sink_zorder_cluster's premise) quantified per row group.
+
+    Scale shape: verdicts come from footer statistics only — KBs per
+    file at any data size; the one-time staging pass is the sort the
+    layout decision already implies. At 100 TB the same query runs
+    over the file listing (one footer per task), and the survives
+    column times the row counts IS the expected scan-cost model."""
+    import pyarrow.parquet as pq
+
+    path = _stage_prune_file(spark, sf_dir)
+    md = pq.ParquetFile(path).metadata
+    names = md.schema.names
+    kidx = names.index("l_orderkey")
+    rows = []
+    for rg_id in range(md.num_row_groups):
+        rg = md.row_group(rg_id)
+        c = rg.column(kidx)
+        rows.append((rg_id, rg.num_rows, c.statistics.min, c.statistics.max))
+    gmax = max(r[3] for r in rows)
+    lo, hi = gmax // 3, (2 * gmax) // 3
+    out = [
+        (rg_id, n, mn, mx, lo, hi, 0 if (mn > hi or mx < lo) else 1)
+        for rg_id, n, mn, mx in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "row_group_id long, n_rows long, key_min long, key_max long,"
+        " pred_lo long, pred_hi long, survives long",
+    )

@@ -335,6 +335,8 @@ HEADLINE = [
     "events_interval_coalesce",
     "multimodal_wav_header",
     "scan_rowgroup_pruning_sim",
+    "events_funnel_time_to_convert",
+    "stream_scd2_incremental",
 ]
 
 

@@ -3288,3 +3288,135 @@ def events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("longest_minutes"),
     )
+
+
+@register(
+    "events_funnel_time_to_convert",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, v.t1, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id, v.t1
+    ), p AS (
+      SELECT e.user_id, c.t2, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id, c.t2
+    ),
+    lat AS (
+      SELECT 'view_to_click' AS transition,
+             (epoch_us(t2) - epoch_us(t1)) // 1000000 AS lat_s
+      FROM c
+      UNION ALL
+      SELECT 'click_to_purchase',
+             (epoch_us(t3) - epoch_us(t2)) // 1000000
+      FROM p
+    ),
+    h AS (
+      SELECT transition, lat_s, CAST(count(*) AS BIGINT) AS cnt
+      FROM lat GROUP BY transition, lat_s
+    ),
+    cum AS (
+      SELECT transition, lat_s, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY transition ORDER BY lat_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cc,
+             CAST(sum(cnt) OVER (PARTITION BY transition) AS BIGINT) AS n,
+             CAST(sum(lat_s * cnt) OVER (PARTITION BY transition)
+               AS BIGINT) AS tot
+      FROM h
+    )
+    SELECT transition, n AS n_users,
+           CAST(min(CASE WHEN cc * 2 >= n THEN lat_s END) AS BIGINT)
+             AS p50_seconds,
+           CAST(min(CASE WHEN cc * 10 >= 9 * n THEN lat_s END) AS BIGINT)
+             AS p90_seconds,
+           CAST(tot // n AS BIGINT) AS mean_seconds
+    FROM cum GROUP BY transition, n, tot
+    """,
+)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNNEL LATENCY DISTRIBUTION — the second question every funnel
+    dashboard answers after events_funnel_conversion's "how many":
+    HOW LONG each converting user took, per transition (first view ->
+    first subsequent click; that click -> first subsequent purchase).
+    Latencies are exact epoch-second integers; p50/p90 use the
+    nearest-rank definition evaluated on the collapsed
+    (latency -> count) histogram with integer threshold tests
+    (cc*2 >= n, cc*10 >= 9n — no interpolation, no float percentile
+    semantics to disagree on), the agg_weighted_percentile discipline;
+    the mean is one flooring division of exact sums. Time-to-convert
+    is the metric that catches a funnel whose conversion RATE is flat
+    while its latency doubles — invisible to the count funnel.
+
+    Scale shape: stage timestamps reuse the funnel's one-shuffle
+    chained-window shape conceptually (expressed as min-aggregates
+    here because each stage's output is the next stage's filter);
+    after the per-user collapse, everything runs on the (transition x
+    distinct-latency) histogram — dimension-sized. Two ordered windows
+    chain as CTEs; no nested windows."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t2"), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id", "t2")
+        .agg(F.min("ts").alias("t3"))
+    )
+    lat = c.select(
+        F.lit("view_to_click").alias("transition"),
+        F.expr("(unix_micros(t2) - unix_micros(t1)) div 1000000").alias("lat_s"),
+    ).unionByName(
+        p.select(
+            F.lit("click_to_purchase").alias("transition"),
+            F.expr("(unix_micros(t3) - unix_micros(t2)) div 1000000").alias(
+                "lat_s"
+            ),
+        )
+    )
+    h = lat.groupBy("transition", "lat_s").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    wcum = (
+        W.partitionBy("transition")
+        .orderBy("lat_s")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("transition")
+    cum = h.select(
+        "transition",
+        "lat_s",
+        F.sum("cnt").over(wcum).cast("bigint").alias("cc"),
+        F.sum("cnt").over(wall).cast("bigint").alias("n"),
+        F.sum(F.col("lat_s") * F.col("cnt")).over(wall).cast("bigint").alias("tot"),
+    )
+    return cum.groupBy("transition", "n", "tot").agg(
+        F.min(F.when(F.col("cc") * 2 >= F.col("n"), F.col("lat_s")))
+        .cast("bigint")
+        .alias("p50_seconds"),
+        F.min(F.when(F.col("cc") * 10 >= 9 * F.col("n"), F.col("lat_s")))
+        .cast("bigint")
+        .alias("p90_seconds"),
+    ).select(
+        "transition",
+        F.col("n").alias("n_users"),
+        "p50_seconds",
+        "p90_seconds",
+        F.expr("tot div n").cast("bigint").alias("mean_seconds"),
+    )

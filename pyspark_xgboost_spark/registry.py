@@ -97,11 +97,21 @@ _GRADE_FIRST = [
     "events_stream_stream_join",
     "events_stream_stream_left_outer_join",
     # ---- below the 50-slot line ----
-    # r11 window plan: any round-10 NEW registrations first (never
-    # driver-graded), then the remaining 33 r04-attested oracle rows in
-    # sorted order (events_stream_tumbling_window .. udtf_ngrams — see
-    # tools/check_window.py history), topping up to 50 from the r05
-    # batch if needed.
+    # r11 window plan (composes EXACTLY 50): the 17 round-10 NEW
+    # registrations, sorted (audit_t_closeness, corpus_pack_bfd,
+    # dedup_minhash_estimator_eval, embedding_cluster_quality,
+    # events_funnel_time_to_convert, events_interval_coalesce,
+    # events_nelson_aalen_hazard, graph_degree_assortativity,
+    # multimodal_png_dimensions, multimodal_wav_header,
+    # scan_rowgroup_pruning_sim, sim_search_rank_agreement_rbo,
+    # sink_wap_publish, stream_incremental_neardup,
+    # stream_scd2_incremental, text_prf_query_expansion,
+    # window_realized_volatility — all judge-sweep-green at 3 SFs this
+    # round), then the remaining 33 r04-attested oracle rows in sorted
+    # order (events_stream_tumbling_window .. udtf_ngrams — see
+    # tools/check_window.py history). 17 + 33 = 50; registration
+    # stopped for the round once the window filled (the round-9
+    # criterion).
 ]
 
 # Rows-only queries (registered without an oracle by design — goldens /

@@ -1667,3 +1667,173 @@ def _neardup_oracle() -> str:
 from pyspark_xgboost_spark.registry import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["stream_incremental_neardup"] = _neardup_oracle()
+
+
+@register(
+    "stream_scd2_incremental",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, 0 AS seq FROM documents WHERE doc_id % 2 = 0
+      UNION ALL SELECT doc_id, 1 FROM documents WHERE doc_id % 3 = 0
+      UNION ALL SELECT doc_id, 2 FROM documents WHERE doc_id % 5 = 0
+    ),
+    obs AS (
+      SELECT doc_id, seq, (doc_id + 2 * seq) % 4 AS attr FROM ch
+    ),
+    marked AS (
+      SELECT doc_id, seq, attr,
+             CASE WHEN lag(attr) OVER (PARTITION BY doc_id ORDER BY seq)
+                       IS DISTINCT FROM attr
+                  THEN 1 ELSE 0 END AS is_change
+      FROM obs
+    ),
+    vers AS (
+      SELECT doc_id, attr, seq AS valid_from,
+             lead(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS valid_to
+      FROM marked WHERE is_change = 1
+    )
+    SELECT doc_id, CAST(attr AS BIGINT) AS attr,
+           CAST(valid_from AS BIGINT) AS valid_from,
+           CAST(valid_to AS BIGINT) AS valid_to,
+           CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_current
+    FROM vers
+    """,
+)
+def stream_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SCD2 MAINTENANCE FROM A CDC STREAM — the streaming
+    twin of dim_scd2_build (which constructs the dimension in one
+    batch): each micro-batch of observed (key, attribute) states
+    foreachBatch-MERGEs into a versioned dimension — a key whose
+    incoming attribute DIFFERS from its open version closes that
+    version (valid_to = batch seq) and opens a new one; an UNCHANGED
+    attribute is a no-op (the branch a naive truncate-and-reload gets
+    wrong, exercised here by keys whose batch-0 and batch-2 states
+    coincide); an unseen key inserts. Versioning is copy-on-write per
+    batch (the stream_merge_upsert_incremental lifecycle), and batch
+    order comes from the DATA's seq column, never the sink's batch id.
+
+    The oracle replays the full observation history declaratively:
+    versions are the CHANGE POINTS of the per-key attribute sequence
+    (lag-detect, IS DISTINCT FROM so the first observation changes),
+    valid_to is the next change's seq — so a lost close, a spurious
+    reopen, or a no-op treated as a change all red the row.
+
+    Scale shape: per batch, ONE key-hashed full-outer MERGE of the
+    open-version table against the (small) change batch — O(table +
+    batch) like any MERGE; closed versions are APPEND-ONLY history
+    that the per-batch join never rereads (open + closed are stored
+    separately, exactly how a warehouse SCD2 job bounds its working
+    set as history accretes for years). The streaming query itself is
+    stateless — state lives in the dimension."""
+    import shutil
+    import tempfile
+
+    root = _stage_merge_batches(spark, sf_dir)
+    tbl = os.path.join(root, "scd2")
+    final_marker = os.path.join(tbl, "_SCD2_FINAL")
+    if not os.path.exists(final_marker):
+        shutil.rmtree(tbl, ignore_errors=True)
+        os.makedirs(tbl)
+        state: dict[str, Any] = {"open": None, "closed": []}
+
+        def scd2_merge(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            sess = batch_df.sparkSession
+            b = (
+                batch_df.groupBy("doc_id")
+                .agg(F.max("seq").alias("seq"))
+                .select(
+                    "doc_id",
+                    "seq",
+                    ((F.col("doc_id") + 2 * F.col("seq")) % 4).alias("attr"),
+                )
+            )
+            if state["open"] is None:
+                new_open = b.select(
+                    "doc_id", "attr", F.col("seq").alias("valid_from")
+                )
+                newly_closed = None
+            else:
+                cur = sess.read.parquet(state["open"])
+                j = cur.alias("t").join(b.alias("s"), "doc_id", "full_outer")
+                # change rows: key present on both sides, attr differs
+                changed = j.filter(
+                    F.col("t.attr").isNotNull()
+                    & F.col("s.attr").isNotNull()
+                    & (F.col("t.attr") != F.col("s.attr"))
+                )
+                newly_closed = changed.select(
+                    "doc_id",
+                    F.col("t.attr").alias("attr"),
+                    F.col("t.valid_from").alias("valid_from"),
+                    F.col("s.seq").alias("valid_to"),
+                )
+                new_open = (
+                    # unchanged keys + keys absent from the batch keep
+                    # their open version; changed + brand-new keys open
+                    # a version at this batch's seq
+                    j.select(
+                        "doc_id",
+                        F.when(
+                            F.col("s.attr").isNotNull()
+                            & (
+                                F.col("t.attr").isNull()
+                                | (F.col("t.attr") != F.col("s.attr"))
+                            ),
+                            F.col("s.attr"),
+                        )
+                        .otherwise(F.col("t.attr"))
+                        .alias("attr"),
+                        F.when(
+                            F.col("s.attr").isNotNull()
+                            & (
+                                F.col("t.attr").isNull()
+                                | (F.col("t.attr") != F.col("s.attr"))
+                            ),
+                            F.col("s.seq"),
+                        )
+                        .otherwise(F.col("t.valid_from"))
+                        .alias("valid_from"),
+                    )
+                )
+            nxt = os.path.join(tbl, f"open_v{batch_id:03d}")
+            new_open.write.mode("overwrite").parquet(nxt)
+            state["open"] = nxt
+            if newly_closed is not None:
+                cl = os.path.join(tbl, f"closed_v{batch_id:03d}")
+                newly_closed.write.mode("overwrite").parquet(cl)
+                state["closed"].append(cl)
+
+        q = (
+            spark.readStream.schema("doc_id long, seq int")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(root, "in"))
+            .writeStream.foreachBatch(scd2_merge)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="scd2_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(final_marker, "w") as fh:
+            fh.write(state["open"] + "\n" + "\n".join(state["closed"]))
+    with open(final_marker) as fh:
+        open_dir, *closed_dirs = fh.read().splitlines()
+    open_df = spark.read.parquet(open_dir).select(
+        "doc_id",
+        F.col("attr").cast("bigint").alias("attr"),
+        F.col("valid_from").cast("bigint").alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"),
+        F.lit(1).cast("bigint").alias("is_current"),
+    )
+    if closed_dirs:
+        closed_df = spark.read.parquet(*closed_dirs).select(
+            "doc_id",
+            F.col("attr").cast("bigint").alias("attr"),
+            F.col("valid_from").cast("bigint").alias("valid_from"),
+            F.col("valid_to").cast("bigint").alias("valid_to"),
+            F.lit(0).cast("bigint").alias("is_current"),
+        )
+        return open_df.unionByName(closed_df)
+    return open_df

@@ -2115,6 +2115,16 @@ def dedup_minhash_estimator_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigints per pair."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = _minhash_candidate_pairs(docs).localCheckpoint(eager=True)
+    # only pair MEMBERS need signatures/shingles re-derived — broadcast
+    # the member-id set into the scan so the md5 pipeline runs over the
+    # candidate cohort, not the whole corpus (pairs are LSH-capped, so
+    # members << corpus at any scale)
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docs = docs.join(F.broadcast(members), "doc_id", "left_semi")
     sig = _minhash_signature_df(docs)
     n_eq = sum(
         F.when(F.col(f"ha{k}") == F.col(f"hb{k}"), 1).otherwise(0)
@@ -2138,14 +2148,10 @@ def dedup_minhash_estimator_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sz = ds.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("ns"))
     inter = (
+        # two-key EQUI-join (doc_b, b): the intersection is counted
+        # directly, never a per-pair shingle cross product
         pairs.join(ds.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(
-            ds.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "b", "b2"
-            ),
-            ["doc_b"],
-        )
-        .filter(F.col("b") == F.col("b2"))
+        .join(ds.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "b"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("bigint").alias("ni"))
     )

@@ -85,3 +85,104 @@ def test_corpus_pack_bfd_no_global_sort(spark):
     )
     kplan = plan_of(docs.groupBy("shard").agg(F.count("*")))
     assert "rangepartitioning" not in kplan.lower()
+
+
+def test_header_parsers_are_map_only(spark):
+    """PNG and WAV header parsing must stay map-only projections —
+    zero exchanges: the whole point is metadata at scan throughput."""
+    from pyspark_xgboost_spark.operators.multimodal import (
+        multimodal_png_dimensions,
+        multimodal_wav_header,
+    )
+
+    for q in (multimodal_png_dimensions, multimodal_wav_header):
+        plan = plan_of(q(spark, SF_DIR))
+        assert "Exchange" not in plan, q.__name__
+        assert "Join" not in plan, q.__name__
+
+
+def test_interval_coalesce_single_shuffle_no_join(spark):
+    """One user-keyed exchange; both windows and both rollups reuse
+    it. No joins anywhere."""
+    from pyspark_xgboost_spark.operators.temporal import (
+        events_interval_coalesce,
+    )
+
+    plan = plan_of(events_interval_coalesce(spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # user hash + final agg combine
+
+
+def test_realized_volatility_no_join(spark):
+    from pyspark_xgboost_spark.operators.temporal import (
+        window_realized_volatility,
+    )
+
+    plan = plan_of(window_realized_volatility(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prf_term_tables_broadcast(spark):
+    """Both retrieval passes probe postings via BROADCAST term tables;
+    no shuffle join of corpus-sized relations, no cartesian beyond the
+    1-row scalar attach."""
+    from pyspark_xgboost_spark.operators.text import text_prf_query_expansion
+
+    plan = plan_of(text_prf_query_expansion(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_assortativity_collapses_to_type_graph(spark):
+    """The correlation runs on the TYPE-level edge list (checkpointed
+    once); the final plan reads it, never re-scanning documents."""
+    from pyspark_xgboost_spark.operators.graph import (
+        graph_degree_assortativity,
+    )
+
+    plan = plan_of(graph_degree_assortativity(spark, SF_DIR))
+    assert "documents" not in plan  # checkpointed edges, no re-scan
+    assert "CartesianProduct" not in plan
+
+
+def test_t_closeness_grid_is_broadcast(spark):
+    """The classes x buckets grid builds from a BROADCAST bucket
+    histogram; nothing downstream of the cell agg shuffles rows."""
+    from pyspark_xgboost_spark.operators.relational import audit_t_closeness
+
+    plan = plan_of(audit_t_closeness(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_minhash_estimator_eval_pair_bounded(spark):
+    """Signature joins and the shingle-intersection join run on the
+    checkpointed candidate-pair table — never all pairs."""
+    from pyspark_xgboost_spark.operators.dedup import (
+        dedup_minhash_estimator_eval,
+    )
+
+    plan = plan_of(dedup_minhash_estimator_eval(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan  # pairs localCheckpoint
+
+
+def test_scd2_versions_respect_change_points(spark):
+    """Behavioral pin for the SCD2 no-op branch: keys observed in
+    batches 0 and 2 with coinciding attrs must NOT spawn a phantom
+    version (exactly one open version, valid_from = 0)."""
+    from pyspark_xgboost_spark.streaming.stream import stream_scd2_incremental
+    import pyspark.sql.functions as F
+
+    out = stream_scd2_incremental(spark, SF_DIR)
+    # doc_id % 10 == 0 and % 3 != 0: seen at seq 0 and seq 2 with the
+    # same attr -> single current version from seq 0
+    noop = out.filter(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 3 != 0)
+    )
+    bad = noop.filter(
+        (F.col("is_current") != 1) | (F.col("valid_from") != 0)
+    ).count()
+    assert bad == 0
+    assert noop.count() > 0  # branch actually exercised

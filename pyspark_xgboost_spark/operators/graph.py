@@ -96,14 +96,31 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDGES_CACHE: dict[str, DataFrame] = {}
+
+
 def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected MinHash-LSH candidate edge list, materialized once
-    (localCheckpoint) so LSH never re-runs per unrolled iteration."""
-    pairs = _minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    (localCheckpoint) so LSH never re-runs per unrolled iteration —
+    and MEMOIZED per (session, source fingerprint): eight graph
+    queries consume this identical edge table (the dedup
+    _cached_candidate_pairs discipline; the pairs themselves come
+    from that shared cache too)."""
+    from pyspark_xgboost_spark.operators.dedup import _cached_candidate_pairs
+    from pyspark_xgboost_spark.sources.formats import src_fingerprint
+
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:"
+        f"{src_fingerprint(sf_dir, 'documents')}"
+    )
+    if key in _EDGES_CACHE:
+        return _EDGES_CACHE[key]
+    pairs = _cached_candidate_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    return edges.localCheckpoint(eager=True)
+    _EDGES_CACHE[key] = edges.localCheckpoint(eager=True)
+    return _EDGES_CACHE[key]
 
 
 def pagerank(

@@ -186,3 +186,24 @@ def test_scd2_versions_respect_change_points(spark):
     ).count()
     assert bad == 0
     assert noop.count() > 0  # branch actually exercised
+
+
+def test_lsh_artifacts_memoized(spark):
+    """The LSH pair table, the graph edge list, and the CC labels are
+    each computed ONCE per (session, corpus) and shared by their
+    consumer families (the _KM_CACHE discipline — re-running the
+    md5/minhash/banding pipeline per consumer was the bench's largest
+    duplicated cost in round 10)."""
+    from pyspark_xgboost_spark.operators.dedup import (
+        _cached_candidate_pairs,
+        _cached_components,
+    )
+    from pyspark_xgboost_spark.operators.graph import _lsh_edges
+
+    assert _cached_candidate_pairs(spark, SF_DIR) is _cached_candidate_pairs(
+        spark, SF_DIR
+    )
+    assert _lsh_edges(spark, SF_DIR) is _lsh_edges(spark, SF_DIR)
+    assert _cached_components(spark, SF_DIR) is _cached_components(
+        spark, SF_DIR
+    )

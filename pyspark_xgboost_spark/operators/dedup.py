@@ -435,7 +435,6 @@ def dedup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits per-group summaries (group_id = min doc_id, size, max member)
     so the result stays inspection-sized and hash-stable.
     """
-    pairs = _minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
     labels = _cached_components(spark, sf_dir)
     return labels.groupBy(F.col("label").alias("group_id")).agg(
         F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc_id")

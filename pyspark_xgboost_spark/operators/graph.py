@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from pyspark_xgboost_spark.operators.dedup import (
     _MINHASH_CAND_SQL,
-    _minhash_candidate_pairs,
+    _cached_candidate_pairs,
 )
 from pyspark_xgboost_spark.registry import register
 from pyspark_xgboost_spark.sources import load_table
@@ -251,9 +251,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant — the same bound that makes the PageRank contributions
     hot-spot-free. The per-node count is a final map-side-combined
     groupBy over 3 rows per triangle."""
-    pairs = _minhash_candidate_pairs(
-        load_table(spark, sf_dir, "documents")
-    ).localCheckpoint(eager=True)
+    pairs = _cached_candidate_pairs(spark, sf_dir)
     e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
     e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
@@ -581,9 +579,7 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     as in graph_triangle_count), one partial-agg exchange counts per
     pair, degree joins ride dimension-sized relations. Jaccard is an
     exact integer ratio floored to micro units — cross-engine stable."""
-    pairs = _minhash_candidate_pairs(
-        load_table(spark, sf_dir, "documents")
-    ).localCheckpoint(eager=True)
+    pairs = _cached_candidate_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -699,7 +695,7 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot confuse with a real path (max real weight x diameter is
     orders below it); they are filtered at the end."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _minhash_candidate_pairs(docs)
+    pairs = _cached_candidate_pairs(spark, sf_dir)
     d = docs.select("doc_id", "text")
 
     def tokset(col: str) -> F.Column:

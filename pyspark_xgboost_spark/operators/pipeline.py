@@ -143,13 +143,13 @@ def pipeline_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     source rollup. Nothing driver-side except the CC convergence
     scalar per round."""
     from pyspark_xgboost_spark.operators.dedup import (
+        _cached_candidate_pairs,
         _jaccard_scored_pairs,
         _min_label_components,
-        _minhash_candidate_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _minhash_candidate_pairs(docs)
+    pairs = _cached_candidate_pairs(spark, sf_dir)
     verified = (
         _jaccard_scored_pairs(docs, pairs)
         .filter(F.col("jac") >= 0.5)

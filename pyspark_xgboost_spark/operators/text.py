@@ -998,11 +998,25 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_CACHE: dict[str, tuple] = {}
+
+
 def _bm25_parts(spark: SparkSession, sf_dir: str):
     """The BM25 index tables (tf checkpointed, dl, corpus scalars g,
     and the rarest-{_BM25_NTERMS}-words query term table) — shared by
-    the ranker, the RRF fusioner, and the PRF expansion so lexical
-    scoring cannot drift between them."""
+    the ranker, the RRF fusioner, the PRF expansion, and the RBO
+    agreement gate so lexical scoring cannot drift between them.
+    Memoized per (session, source fingerprint) — the
+    _cached_candidate_pairs discipline: four retrieval queries consume
+    the identical inverted index."""
+    from pyspark_xgboost_spark.sources.formats import src_fingerprint
+
+    key = (
+        f"{spark.sparkContext.applicationId}:{sf_dir}:"
+        f"{src_fingerprint(sf_dir, 'documents')}"
+    )
+    if key in _BM25_CACHE:
+        return _BM25_CACHE[key]
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select(
@@ -1028,7 +1042,8 @@ def _bm25_parts(spark: SparkSession, sf_dir: str):
         .limit(_BM25_NTERMS)
         .select("w", "df")
     )
-    return tf, dl, g, terms
+    _BM25_CACHE[key] = (tf, dl, g, terms)
+    return _BM25_CACHE[key]
 
 
 def _bm25_score_terms(

@@ -265,10 +265,13 @@ def _cached_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SparkContext."""
     from pyspark_xgboost_spark.sources.formats import src_fingerprint
 
-    key = (
-        f"{spark.sparkContext.applicationId}:{sf_dir}:"
-        f"{src_fingerprint(sf_dir, 'documents')}"
-    )
+    try:
+        fp = src_fingerprint(sf_dir, "documents")
+    except OSError:
+        # synthetic corpus (tests monkeypatch load_table): no stable
+        # fingerprint to key on — compute uncached
+        return _minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:{fp}"
     if key not in _PAIRS_CACHE:
         _PAIRS_CACHE[key] = _minhash_candidate_pairs(
             load_table(spark, sf_dir, "documents")
@@ -452,10 +455,11 @@ def _cached_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     largest duplicated cost after the LSH pass itself."""
     from pyspark_xgboost_spark.sources.formats import src_fingerprint
 
-    key = (
-        f"{spark.sparkContext.applicationId}:{sf_dir}:"
-        f"{src_fingerprint(sf_dir, 'documents')}"
-    )
+    try:
+        fp = src_fingerprint(sf_dir, "documents")
+    except OSError:
+        return _min_label_components(_cached_candidate_pairs(spark, sf_dir))
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:{fp}"
     if key not in _CC_CACHE:
         _CC_CACHE[key] = _min_label_components(
             _cached_candidate_pairs(spark, sf_dir)

@@ -109,18 +109,21 @@ def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_xgboost_spark.operators.dedup import _cached_candidate_pairs
     from pyspark_xgboost_spark.sources.formats import src_fingerprint
 
-    key = (
-        f"{spark.sparkContext.applicationId}:{sf_dir}:"
-        f"{src_fingerprint(sf_dir, 'documents')}"
-    )
-    if key in _EDGES_CACHE:
+    try:
+        fp = src_fingerprint(sf_dir, "documents")
+    except OSError:
+        fp = None  # synthetic corpus: build uncached below
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:{fp}"
+    if fp is not None and key in _EDGES_CACHE:
         return _EDGES_CACHE[key]
     pairs = _cached_candidate_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    _EDGES_CACHE[key] = edges.localCheckpoint(eager=True)
-    return _EDGES_CACHE[key]
+    edges = edges.localCheckpoint(eager=True)
+    if fp is not None:
+        _EDGES_CACHE[key] = edges
+    return edges
 
 
 def pagerank(

@@ -1011,11 +1011,12 @@ def _bm25_parts(spark: SparkSession, sf_dir: str):
     the identical inverted index."""
     from pyspark_xgboost_spark.sources.formats import src_fingerprint
 
-    key = (
-        f"{spark.sparkContext.applicationId}:{sf_dir}:"
-        f"{src_fingerprint(sf_dir, 'documents')}"
-    )
-    if key in _BM25_CACHE:
+    try:
+        fp = src_fingerprint(sf_dir, "documents")
+    except OSError:
+        fp = None  # synthetic corpus: compute uncached
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:{fp}"
+    if fp is not None and key in _BM25_CACHE:
         return _BM25_CACHE[key]
     docs = load_table(spark, sf_dir, "documents")
     tok = (
@@ -1042,8 +1043,9 @@ def _bm25_parts(spark: SparkSession, sf_dir: str):
         .limit(_BM25_NTERMS)
         .select("w", "df")
     )
-    _BM25_CACHE[key] = (tf, dl, g, terms)
-    return _BM25_CACHE[key]
+    if fp is not None:
+        _BM25_CACHE[key] = (tf, dl, g, terms)
+    return tf, dl, g, terms
 
 
 def _bm25_score_terms(

@@ -192,7 +192,10 @@ def test_ngram_jaccard_is_candidate_driven(spark):
     from pyspark_xgboost_spark.operators.dedup import dedup_ngram_jaccard
 
     plan = plan_of(dedup_ngram_jaccard(spark, SF_DIR), "extended")
-    assert "collect_list" in plan
+    # the bucket pipeline (collect_list) is visible when pairs derive
+    # lazily; after the round-10 pair cache it runs upstream of the
+    # localCheckpoint and the plan reads the materialized pair table
+    assert "collect_list" in plan or "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
     # no block self-join: lang/source never appear as join keys
     join_lines = [l for l in plan.splitlines() if "Join" in l]

@@ -1579,6 +1579,44 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVAL_PANEL = 500  # fixed-size evaluation panel (doc_id < _EVAL_PANEL)
 
 
+_PANEL_SIM_CACHE: dict[str, DataFrame] = {}
+
+
+def _cached_panel_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exact shingle Jaccard over the fixed evaluation panel
+    (doc_a < doc_b < _EVAL_PANEL, column s = double ratio), memoized
+    per (session, source fingerprint): the recall gate and the banding
+    planner grade against the identical ground truth, and the panel
+    all-pairs pass (constant ~125k comparisons at any corpus scale)
+    was computed once per consumer."""
+    from pyspark_xgboost_spark.sources.formats import src_fingerprint
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        panel = docs.filter(F.col("doc_id") < _EVAL_PANEL).select(
+            "doc_id", "text"
+        )
+        psh = _shingle_bases_df(panel).select(
+            "doc_id", F.array_distinct("bases").alias("bs")
+        )
+        a = psh.select(F.col("doc_id").alias("doc_a"), F.col("bs").alias("sa"))
+        b = psh.select(F.col("doc_id").alias("doc_b"), F.col("bs").alias("sb"))
+        inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+        union = F.size(F.array_union(F.col("sa"), F.col("sb")))
+        return a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b", (inter.cast("double") / union).alias("s")
+        )
+
+    try:
+        fp = src_fingerprint(sf_dir, "documents")
+    except OSError:
+        return build()
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:{fp}"
+    if key not in _PANEL_SIM_CACHE:
+        _PANEL_SIM_CACHE[key] = build().localCheckpoint(eager=True)
+    return _PANEL_SIM_CACHE[key]
+
+
 @register(
     "dedup_lsh_eval_pr",
     oracle=f"""
@@ -1633,23 +1671,12 @@ def dedup_lsh_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     grow with sf). The candidate side reuses the production LSH plan
     (one scan, one band-key shuffle) filtered to panel pairs; the
     truth/pred reconciliation joins on id pairs only."""
-    docs = load_table(spark, sf_dir, "documents")
-    panel = docs.filter(F.col("doc_id") < _EVAL_PANEL).select("doc_id", "text")
-
-    # ground truth compares DISTINCT md5-hashed shingle sets (the same
-    # uint32 bases the sketch consumes): integer set intersection is
-    # far cheaper than string-array intersection over the panel's
-    # all-pairs, and Jaccard is identical up to md5 collisions
-    psh = _shingle_bases_df(panel).select(
-        "doc_id", F.array_distinct("bases").alias("bs")
-    )
-    a = psh.select(F.col("doc_id").alias("doc_a"), F.col("bs").alias("sa"))
-    b = psh.select(F.col("doc_id").alias("doc_b"), F.col("bs").alias("sb"))
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    union = F.size(F.array_union(F.col("sa"), F.col("sb")))
+    # ground truth: the shared memoized panel all-pairs Jaccard
+    # (distinct md5-hashed shingle sets — identical up to md5
+    # collisions; integer set ops, not string arrays)
     truth = (
-        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
-        .filter((inter.cast("double") / union) >= 0.5)
+        _cached_panel_jaccard(spark, sf_dir)
+        .filter(F.col("s") >= 0.5)
         .select("doc_a", "doc_b")
     )
     pred = _cached_candidate_pairs(spark, sf_dir).filter(
@@ -1756,18 +1783,7 @@ def dedup_lsh_band_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the dedup_lsh_eval_pr discipline — cost is fixed at any corpus
     scale) computing all {n_opts} options on the same row; the report
     is a 2-row aggregate fanned to {n_opts} literal rows."""
-    docs = load_table(spark, sf_dir, "documents")
-    panel = docs.filter(F.col("doc_id") < _EVAL_PANEL).select("doc_id", "text")
-    psh = _shingle_bases_df(panel).select(
-        "doc_id", F.array_distinct("bases").alias("bs")
-    )
-    a = psh.select(F.col("doc_id").alias("doc_a"), F.col("bs").alias("sa"))
-    b_side = psh.select(F.col("doc_id").alias("doc_b"), F.col("bs").alias("sb"))
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    union = F.size(F.array_union(F.col("sa"), F.col("sb")))
-    pairs = a.join(F.broadcast(b_side), F.col("doc_a") < F.col("doc_b")).select(
-        (inter.cast("double") / union).alias("s")
-    )
+    pairs = _cached_panel_jaccard(spark, sf_dir).select("s")
     qq_cols = [F.col("s")]
     for i, (b, r) in enumerate(_BAND_OPTS):
         sr = F.col("s")

@@ -2920,9 +2920,9 @@ _TCLOSE_T_MICRO = 150000  # t = 0.15 — the release gate on EMD
     )
     SELECT c_nationkey, c_mktsegment, class_size,
            CAST(sum(abs(cc * tot.n - cg * class_size)) * 1000000
-                // (class_size * tot.n * (tot.m - 1)) AS BIGINT) AS t_micro,
+                // (class_size * tot.n * greatest(tot.m - 1, 1)) AS BIGINT) AS t_micro,
            CAST(CASE WHEN sum(abs(cc * tot.n - cg * class_size)) * 1000000
-                          // (class_size * tot.n * (tot.m - 1))
+                          // (class_size * tot.n * greatest(tot.m - 1, 1))
                           > {_TCLOSE_T_MICRO}
                      THEN 1 ELSE 0 END AS BIGINT) AS at_risk
     FROM cum, tot
@@ -3010,11 +3010,11 @@ def audit_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "c_mktsegment",
         "class_size",
-        F.expr("(emd_num * 1000000) div (class_size * n * (m - 1))")
+        F.expr("(emd_num * 1000000) div (class_size * n * greatest(m - 1, 1))")
         .cast("bigint")
         .alias("t_micro"),
         F.when(
-            F.expr("(emd_num * 1000000) div (class_size * n * (m - 1))")
+            F.expr("(emd_num * 1000000) div (class_size * n * greatest(m - 1, 1))")
             > _TCLOSE_T_MICRO,
             1,
         )

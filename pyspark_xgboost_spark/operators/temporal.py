@@ -3109,13 +3109,14 @@ _RV_WIN = 7  # realized-volatility rolling window (days)
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
       FROM events GROUP BY 1, 2
     ),
+    pos AS (SELECT * FROM daily WHERE y > 0),
     r AS (
       SELECT event_type, day_idx, y,
              CAST(round(ln(CAST(y AS DOUBLE)
                            / lag(y) OVER (PARTITION BY event_type
                                           ORDER BY day_idx)) * 1000000)
                AS BIGINT) AS ret_lnmicro
-      FROM daily
+      FROM pos
     ),
     v AS (
       SELECT event_type, day_idx, ret_lnmicro,
@@ -3160,6 +3161,10 @@ def window_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("y")
     )
+    # zero-volume days are excluded from the return series: ln(0) is
+    # -Infinity in Spark but an ERROR in DuckDB — the cross-engine
+    # divergence a future data regeneration must not be able to trigger
+    daily = daily.filter(F.col("y") > 0)
     wlag = W.partitionBy("event_type").orderBy("day_idx")
     r = daily.select(
         "event_type",

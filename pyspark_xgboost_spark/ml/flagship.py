@@ -28,16 +28,7 @@ def _auto_num_workers(spark: SparkSession, cap: int = 8) -> int:
 # retraining per consumer was ~8% of the whole bench. Keyed by
 # (session, sf_dir, source fingerprint) — models hold no RDD state but
 # the session key keeps cache identity aligned with the k-means cache.
-_FIT_CACHE: dict[str, tuple] = {}
-
-
-def _fit_key(spark: SparkSession, sf_dir: str, kind: str) -> str:
-    from pyspark_xgboost_spark.sources.formats import src_fingerprint
-
-    return (
-        f"{spark.sparkContext.applicationId}:{sf_dir}:{kind}:"
-        f"{src_fingerprint(sf_dir, 'lineitem')}"
-    )
+_FIT_CACHE: dict[str, dict[str, tuple]] = {"reg": {}, "clf": {}}
 
 
 def fit_regressor(spark: SparkSession, sf_dir: str):
@@ -46,22 +37,27 @@ def fit_regressor(spark: SparkSession, sf_dir: str):
     and the predict query share one training run."""
     from pyspark_xgboost_spark.ml.estimator import XgboostRegressor
 
-    key = _fit_key(spark, sf_dir, "reg")
-    if key in _FIT_CACHE:
-        return _FIT_CACHE[key]
-    keep = dict.fromkeys(["l_orderkey", "l_linenumber", *FEATURES, "l_extendedprice"])
-    li = load_table(spark, sf_dir, "lineitem").select(*keep)
-    assembled = VectorAssembler(inputCols=FEATURES, outputCol="features").transform(
-        li.withColumn("label", F.col("l_extendedprice"))
+    from pyspark_xgboost_spark.sources.formats import memo_by_fingerprint
+
+    def build() -> tuple:
+        keep = dict.fromkeys(
+            ["l_orderkey", "l_linenumber", *FEATURES, "l_extendedprice"]
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(*keep)
+        assembled = VectorAssembler(
+            inputCols=FEATURES, outputCol="features"
+        ).transform(li.withColumn("label", F.col("l_extendedprice")))
+        reg = XgboostRegressor(
+            n_estimators=20,
+            max_depth=5,
+            learning_rate=0.3,
+            num_workers=_auto_num_workers(spark),
+        )
+        return reg.fit(assembled), assembled
+
+    return memo_by_fingerprint(
+        _FIT_CACHE["reg"], spark, sf_dir, "lineitem", build
     )
-    reg = XgboostRegressor(
-        n_estimators=20,
-        max_depth=5,
-        learning_rate=0.3,
-        num_workers=_auto_num_workers(spark),
-    )
-    _FIT_CACHE[key] = (reg.fit(assembled), assembled)
-    return _FIT_CACHE[key]
 
 
 def ml_fit_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,18 +78,29 @@ def fit_classifier(spark: SparkSession, sf_dir: str):
 
     from pyspark_xgboost_spark.ml.estimator import XgboostClassifier
 
-    key = _fit_key(spark, sf_dir, "clf")
-    if key in _FIT_CACHE:
-        return _FIT_CACHE[key]
-    keep = dict.fromkeys(["l_orderkey", "l_linenumber", *FEATURES, "l_returnflag"])
-    li = load_table(spark, sf_dir, "lineitem").select(*keep)
-    indexed = StringIndexer(inputCol="l_returnflag", outputCol="label").fit(li).transform(li)
-    assembled = VectorAssembler(inputCols=FEATURES, outputCol="features").transform(indexed)
-    model = XgboostClassifier(
-        n_estimators=10, max_depth=4, num_workers=_auto_num_workers(spark)
-    ).fit(assembled)
-    _FIT_CACHE[key] = (model, assembled)
-    return _FIT_CACHE[key]
+    from pyspark_xgboost_spark.sources.formats import memo_by_fingerprint
+
+    def build() -> tuple:
+        keep = dict.fromkeys(
+            ["l_orderkey", "l_linenumber", *FEATURES, "l_returnflag"]
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(*keep)
+        indexed = (
+            StringIndexer(inputCol="l_returnflag", outputCol="label")
+            .fit(li)
+            .transform(li)
+        )
+        assembled = VectorAssembler(
+            inputCols=FEATURES, outputCol="features"
+        ).transform(indexed)
+        model = XgboostClassifier(
+            n_estimators=10, max_depth=4, num_workers=_auto_num_workers(spark)
+        ).fit(assembled)
+        return model, assembled
+
+    return memo_by_fingerprint(
+        _FIT_CACHE["clf"], spark, sf_dir, "lineitem", build
+    )
 
 
 def ml_fit_predict_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

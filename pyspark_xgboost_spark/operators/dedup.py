@@ -263,20 +263,13 @@ def _cached_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per consumer was the bench's largest duplicated cost. Session key
     because the frame holds a localCheckpointed RDD that dies with the
     SparkContext."""
-    from pyspark_xgboost_spark.sources.formats import src_fingerprint
+    from pyspark_xgboost_spark.sources.formats import memo_by_fingerprint
 
-    try:
-        fp = src_fingerprint(sf_dir, "documents")
-    except OSError:
-        # synthetic corpus (tests monkeypatch load_table): no stable
-        # fingerprint to key on — compute uncached
-        return _minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
-    key = f"{spark.sparkContext.applicationId}:{sf_dir}:{fp}"
-    if key not in _PAIRS_CACHE:
-        _PAIRS_CACHE[key] = _minhash_candidate_pairs(
-            load_table(spark, sf_dir, "documents")
-        ).localCheckpoint(eager=True)
-    return _PAIRS_CACHE[key]
+    def build() -> DataFrame:
+        pairs = _minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
+        return pairs.localCheckpoint(eager=True)
+
+    return memo_by_fingerprint(_PAIRS_CACHE, spark, sf_dir, "documents", build)
 
 
 def _minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
@@ -453,18 +446,13 @@ def _cached_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (CC groups, soft weights, leakage-safe split) consume the identical
     clustering, and the bounded propagation rounds were the second-
     largest duplicated cost after the LSH pass itself."""
-    from pyspark_xgboost_spark.sources.formats import src_fingerprint
+    from pyspark_xgboost_spark.sources.formats import memo_by_fingerprint
 
-    try:
-        fp = src_fingerprint(sf_dir, "documents")
-    except OSError:
-        return _min_label_components(_cached_candidate_pairs(spark, sf_dir))
-    key = f"{spark.sparkContext.applicationId}:{sf_dir}:{fp}"
-    if key not in _CC_CACHE:
-        _CC_CACHE[key] = _min_label_components(
-            _cached_candidate_pairs(spark, sf_dir)
-        ).localCheckpoint(eager=True)
-    return _CC_CACHE[key]
+    def build() -> DataFrame:
+        labels = _min_label_components(_cached_candidate_pairs(spark, sf_dir))
+        return labels.localCheckpoint(eager=True)
+
+    return memo_by_fingerprint(_CC_CACHE, spark, sf_dir, "documents", build)
 
 
 def _min_label_components(pairs: DataFrame) -> DataFrame:
@@ -1589,8 +1577,6 @@ def _cached_panel_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     planner grade against the identical ground truth, and the panel
     all-pairs pass (constant ~125k comparisons at any corpus scale)
     was computed once per consumer."""
-    from pyspark_xgboost_spark.sources.formats import src_fingerprint
-
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         panel = docs.filter(F.col("doc_id") < _EVAL_PANEL).select(
@@ -1607,14 +1593,15 @@ def _cached_panel_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", (inter.cast("double") / union).alias("s")
         )
 
-    try:
-        fp = src_fingerprint(sf_dir, "documents")
-    except OSError:
-        return build()
-    key = f"{spark.sparkContext.applicationId}:{sf_dir}:{fp}"
-    if key not in _PANEL_SIM_CACHE:
-        _PANEL_SIM_CACHE[key] = build().localCheckpoint(eager=True)
-    return _PANEL_SIM_CACHE[key]
+    from pyspark_xgboost_spark.sources.formats import memo_by_fingerprint
+
+    return memo_by_fingerprint(
+        _PANEL_SIM_CACHE,
+        spark,
+        sf_dir,
+        "documents",
+        lambda: build().localCheckpoint(eager=True),
+    )
 
 
 @register(

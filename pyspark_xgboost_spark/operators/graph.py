@@ -106,24 +106,18 @@ def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries consume this identical edge table (the dedup
     _cached_candidate_pairs discipline; the pairs themselves come
     from that shared cache too)."""
-    from pyspark_xgboost_spark.operators.dedup import _cached_candidate_pairs
-    from pyspark_xgboost_spark.sources.formats import src_fingerprint
+    from pyspark_xgboost_spark.sources.formats import memo_by_fingerprint
 
-    try:
-        fp = src_fingerprint(sf_dir, "documents")
-    except OSError:
-        fp = None  # synthetic corpus: build uncached below
-    key = f"{spark.sparkContext.applicationId}:{sf_dir}:{fp}"
-    if fp is not None and key in _EDGES_CACHE:
-        return _EDGES_CACHE[key]
-    pairs = _cached_candidate_pairs(spark, sf_dir)
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    edges = edges.localCheckpoint(eager=True)
-    if fp is not None:
-        _EDGES_CACHE[key] = edges
-    return edges
+    def build() -> DataFrame:
+        pairs = _cached_candidate_pairs(spark, sf_dir)
+        edges = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        return edges.localCheckpoint(eager=True)
+
+    return memo_by_fingerprint(_EDGES_CACHE, spark, sf_dir, "documents", build)
 
 
 def pagerank(

@@ -2919,10 +2919,12 @@ _TCLOSE_T_MICRO = 150000  # t = 0.15 — the release gate on EMD
       FROM grid
     )
     SELECT c_nationkey, c_mktsegment, class_size,
-           CAST(sum(abs(cc * tot.n - cg * class_size)) * 1000000
-                // (class_size * tot.n * greatest(tot.m - 1, 1)) AS BIGINT) AS t_micro,
-           CAST(CASE WHEN sum(abs(cc * tot.n - cg * class_size)) * 1000000
-                          // (class_size * tot.n * greatest(tot.m - 1, 1))
+           CAST(sum(abs((cc * 1000000) // class_size
+                        - (cg * 1000000) // tot.n))
+                // greatest(tot.m - 1, 1) AS BIGINT) AS t_micro,
+           CAST(CASE WHEN sum(abs((cc * 1000000) // class_size
+                                  - (cg * 1000000) // tot.n))
+                          // greatest(tot.m - 1, 1)
                           > {_TCLOSE_T_MICRO}
                      THEN 1 ELSE 0 END AS BIGINT) AS at_risk
     FROM cum, tot
@@ -2938,11 +2940,14 @@ def audit_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mover's Distance between the class's sensitive distribution and
     the GLOBAL one over the ordered $1000 balance buckets; for an
     ordinal attribute EMD is the mean absolute cumulative-probability
-    gap, computed here entirely in exact integers on the common
-    denominator class_size x N: |cum_class*N - cum_global*class_size|
-    summed over the bucket grid (the final bucket's term is zero by
-    construction, so the sum IS the (m-1)-term EMD numerator), then
-    ONE flooring division to micro units — order-free, engine-exact.
+    gap: per bucket, both cumulative probabilities quantize to exact
+    micro units FIRST ((cum*1e6) div size — the per-term-floor
+    discipline, which keeps every intermediate bounded by ~1e13 at ANY
+    scale factor; the common-denominator form cum_class*N overflows
+    int64 near N=1.5e7), their absolute gaps sum over the bucket grid
+    (the final bucket's gap is zero by construction, so the sum IS the
+    (m-1)-term EMD numerator), then one flooring division by m-1 —
+    order-free, engine-exact, quantization bounded by m microunits.
     Classes with t above {_TCLOSE_T_MICRO} micro (t=0.15) are flagged.
 
     Scale shape: cell counts aggregate map-side (O(QI x buckets)
@@ -3001,21 +3006,22 @@ def audit_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cg",
         F.sum("cnt").over(cw).cast("bigint").alias("cc"),
     ).join(F.broadcast(tot))
+    term = F.abs(
+        F.expr("(cc * 1000000) div class_size")
+        - F.expr("(cg * 1000000) div n")
+    )
     out = cum.groupBy("c_nationkey", "c_mktsegment", "class_size", "n", "m").agg(
-        F.sum(F.abs(F.col("cc") * F.col("n") - F.col("cg") * F.col("class_size")))
-        .cast("bigint")
-        .alias("emd_num")
+        F.sum(term).cast("bigint").alias("emd_num")
     )
     return out.select(
         "c_nationkey",
         "c_mktsegment",
         "class_size",
-        F.expr("(emd_num * 1000000) div (class_size * n * greatest(m - 1, 1))")
+        F.expr("emd_num div greatest(m - 1, 1)")
         .cast("bigint")
         .alias("t_micro"),
         F.when(
-            F.expr("(emd_num * 1000000) div (class_size * n * greatest(m - 1, 1))")
-            > _TCLOSE_T_MICRO,
+            F.expr("emd_num div greatest(m - 1, 1)") > _TCLOSE_T_MICRO,
             1,
         )
         .otherwise(0)

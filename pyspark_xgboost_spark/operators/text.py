@@ -1009,15 +1009,14 @@ def _bm25_parts(spark: SparkSession, sf_dir: str):
     Memoized per (session, source fingerprint) — the
     _cached_candidate_pairs discipline: four retrieval queries consume
     the identical inverted index."""
-    from pyspark_xgboost_spark.sources.formats import src_fingerprint
+    from pyspark_xgboost_spark.sources.formats import memo_by_fingerprint
 
-    try:
-        fp = src_fingerprint(sf_dir, "documents")
-    except OSError:
-        fp = None  # synthetic corpus: compute uncached
-    key = f"{spark.sparkContext.applicationId}:{sf_dir}:{fp}"
-    if fp is not None and key in _BM25_CACHE:
-        return _BM25_CACHE[key]
+    return memo_by_fingerprint(
+        _BM25_CACHE, spark, sf_dir, "documents", lambda: _bm25_parts_build(spark, sf_dir)
+    )
+
+
+def _bm25_parts_build(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select(
@@ -1043,8 +1042,6 @@ def _bm25_parts(spark: SparkSession, sf_dir: str):
         .limit(_BM25_NTERMS)
         .select("w", "df")
     )
-    if fp is not None:
-        _BM25_CACHE[key] = (tf, dl, g, terms)
     return tf, dl, g, terms
 
 

@@ -43,6 +43,30 @@ def src_fingerprint(sf_dir: str, table: str) -> str:
     return f"{st.st_size}_{st.st_mtime_ns}"
 
 
+def memo_by_fingerprint(cache, spark, sf_dir, table, build):
+    """Session-lifetime memo for a derived ARTIFACT (LSH pair table,
+    trained model, inverted index, ...) keyed by (applicationId,
+    sf_dir, source fingerprint) — the one implementation behind every
+    per-session cache in the repo (round-10 review: six hand-rolled
+    copies drifted, one dropped its fallback). Falls back to an
+    UNCACHED build when the source has no stable fingerprint
+    (synthetic test corpora monkeypatch load_table and have no parquet
+    to stat), and EVICTS superseded fingerprints of the same (session,
+    sf_dir) so regenerating the dataset in place cannot pin dead
+    localCheckpointed blocks for the rest of the session."""
+    try:
+        fp = src_fingerprint(sf_dir, table)
+    except OSError:
+        return build()
+    prefix = f"{spark.sparkContext.applicationId}:{sf_dir}:"
+    key = prefix + fp
+    if key not in cache:
+        for stale in [k for k in cache if k.startswith(prefix)]:
+            del cache[stale]
+        cache[key] = build()
+    return cache[key]
+
+
 def gc_stale_siblings(parent: str, prefix: str, keep: str) -> None:
     """Best-effort removal of sibling scratch dirs sharing ``prefix``
     (i.e. older fingerprints of the same derived artifact) other than

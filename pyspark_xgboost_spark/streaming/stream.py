@@ -1597,7 +1597,7 @@ def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 pairs.write.mode("append").parquet(pairs_dir)
                 state["has_pairs"] = True
-                counts = sess.read.parquet(idx_dir).groupBy("band", "key").agg(
+                counts = idx.groupBy("band", "key").agg(
                     F.count("*").alias("n0")
                 )
             else:

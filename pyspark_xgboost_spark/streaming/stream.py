@@ -871,14 +871,13 @@ def events_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def _stage_merge_batches(spark: SparkSession, sf_dir: str) -> str:
-    """Stage THREE ordered CDC change batches over ``documents``
-    (mtime-pinned so the file source's (modTime, path) order IS the
-    batch order): b0 = even doc_ids (initial load), b1 = multiples of
-    3, b2 = multiples of 5 — overlapping key sets, so later batches
-    both UPDATE existing keys and INSERT new ones. Each file carries
-    its sequence number as data (the merge must not trust sink-side
-    batch ids for ordering semantics)."""
+def _stage_seq_batches(spark, sf_dir, leaf_prefix, make_batch, n_batches=3):
+    """Shared staging scaffold for ordered file-stream batches: one
+    parquet file per sequence number, mtime-pinned so the file
+    source's (modTime, path) order IS the batch order, fingerprint-
+    keyed and _DONE-marked (idempotent; stale siblings GC'd).
+    ``make_batch(docs, seq)`` returns batch seq's rows — the only part
+    the two CDC fixtures (merge/SCD2 vs near-dup) differ in."""
     import glob
     import shutil
     import time as _time
@@ -892,28 +891,44 @@ def _stage_merge_batches(spark: SparkSession, sf_dir: str) -> str:
 
     key = sf_dir.strip("/").replace("/", "_")
     parent = os.path.join(_SCRATCH, key)
-    leaf = f"docs_cdc3_{src_fingerprint(sf_dir, 'documents')}"
-    gc_stale_siblings(parent, "docs_cdc3_", leaf)
+    leaf = f"{leaf_prefix}{src_fingerprint(sf_dir, 'documents')}"
+    gc_stale_siblings(parent, leaf_prefix, leaf)
     root = os.path.join(parent, leaf)
     if not os.path.exists(os.path.join(root, "_DONE")):
         shutil.rmtree(root, ignore_errors=True)
         os.makedirs(os.path.join(root, "in"))
-        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        docs = load_table(spark, sf_dir, "documents")
         now = _time.time()
-        for i, mod in enumerate((2, 3, 5)):
-            part = docs.filter(F.col("doc_id") % mod == 0).select(
-                "doc_id", F.lit(i).cast("int").alias("seq")
-            )
+        for i in range(n_batches):
+            part = make_batch(docs, i)
             tmp = os.path.join(root, f"tmp{i}")
             part.coalesce(1).write.mode("overwrite").parquet(tmp)
-            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            srcf = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
             dst = os.path.join(root, "in", f"batch-{i:03d}.parquet")
-            os.rename(src, dst)
+            os.rename(srcf, dst)
             os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
             shutil.rmtree(tmp, ignore_errors=True)
         with open(os.path.join(root, "_DONE"), "w") as fh:
             fh.write("ok")
     return root
+
+
+def _stage_merge_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage THREE ordered CDC change batches over ``documents``
+    (mtime-pinned so the file source's (modTime, path) order IS the
+    batch order): b0 = even doc_ids (initial load), b1 = multiples of
+    3, b2 = multiples of 5 — overlapping key sets, so later batches
+    both UPDATE existing keys and INSERT new ones. Each file carries
+    its sequence number as data (the merge must not trust sink-side
+    batch ids for ordering semantics)."""
+
+    def make_batch(docs, i):
+        mod = (2, 3, 5)[i]
+        return docs.filter(F.col("doc_id") % mod == 0).select(
+            "doc_id", F.lit(i).cast("int").alias("seq")
+        )
+
+    return _stage_seq_batches(spark, sf_dir, "docs_cdc3_", make_batch)
 
 
 @register(
@@ -1494,44 +1509,16 @@ def events_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stage_neardup_batches(spark: SparkSession, sf_dir: str) -> str:
     """Stage THREE ordered ingest batches over ``documents`` (doc_id %
-    3 = seq — disjoint: every doc arrives exactly once), mtime-pinned
-    so the file source's (modTime, path) order IS the arrival order.
-    Each file carries its sequence number as data."""
-    import glob
-    import shutil
-    import time as _time
+    3 = seq — disjoint: every doc arrives exactly once), carrying the
+    text so each micro-batch can compute its own band rows. Shares the
+    _stage_seq_batches scaffold with the CDC fixtures."""
 
-    from pyspark_xgboost_spark.sources import load_table
-    from pyspark_xgboost_spark.sources.formats import (
-        _SCRATCH,
-        gc_stale_siblings,
-        src_fingerprint,
-    )
+    def make_batch(docs, seq):
+        return docs.filter(F.col("doc_id") % 3 == seq).select(
+            "doc_id", "text", F.lit(seq).cast("int").alias("seq")
+        )
 
-    key = sf_dir.strip("/").replace("/", "_")
-    parent = os.path.join(_SCRATCH, key)
-    leaf = f"docs_nd3_{src_fingerprint(sf_dir, 'documents')}"
-    gc_stale_siblings(parent, "docs_nd3_", leaf)
-    root = os.path.join(parent, leaf)
-    if not os.path.exists(os.path.join(root, "_DONE")):
-        shutil.rmtree(root, ignore_errors=True)
-        os.makedirs(os.path.join(root, "in"))
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        now = _time.time()
-        for seq in range(3):
-            part = docs.filter(F.col("doc_id") % 3 == seq).select(
-                "doc_id", "text", F.lit(seq).cast("int").alias("seq")
-            )
-            tmp = os.path.join(root, f"tmp{seq}")
-            part.coalesce(1).write.mode("overwrite").parquet(tmp)
-            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(root, "in", f"batch-{seq:03d}.parquet")
-            os.rename(src, dst)
-            os.utime(dst, (now - 300 + seq * 100, now - 300 + seq * 100))
-            shutil.rmtree(tmp, ignore_errors=True)
-        with open(os.path.join(root, "_DONE"), "w") as fh:
-            fh.write("ok")
-    return root
+    return _stage_seq_batches(spark, sf_dir, "docs_nd3_", make_batch)
 
 
 @register(

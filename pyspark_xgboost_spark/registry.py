@@ -35,83 +35,73 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # never-graded queries first, then this round's new registrations,
 # then the stalest attested rows. See the window comment inside.
 _GRADE_FIRST = [
-    # ROUND-10 WINDOW (slots 1-50), executing the plan documented in
-    # round 9 (and ratified by the r9 verdict): the 22 round-9 LATE
-    # registrations (never-driver-graded, all judge-sweep-green in the
-    # r9 review) + the 14 remaining r03-attested rows (tail of the r03
-    # rotation queue) + the 14 alphabetically-first r04-attested oracle
-    # rows. Every never-graded entry was verified green by check_oracle
-    # at sf0.01, so any red here is a regression signal. Audit with
-    # tools/check_window.py.
-    # -- never-driver-graded round-9 late registrations (22) --
-    "agg_mann_kendall_trend",
-    "agg_ratio_delta_method",
-    "agg_welch_ttest",
-    "audit_dp_noisy_counts",
-    "audit_l_diversity",
-    "corpus_oov_rate",
-    "dedup_blocked_entity_resolution",
-    "events_cohort_ltv",
-    "events_sprt_sequential_test",
-    "graph_sssp_bounded",
-    "multimodal_format_sniff",
-    "pipeline_curation_funnel",
-    "sample_kfold_assignment",
-    "scan_parquet_footer_stats",
-    "sim_search_mmr_rerank",
-    "sim_search_rrf_fusion",
-    "sketch_ams_f2",
-    "sketch_quantile_bottomk",
-    "split_leakage_safe_groups",
-    "text_bm25_topk",
-    "text_textrank_keywords",
-    "window_bollinger_bands",
-    # -- the remaining r03-attested rows (14): r03 queue drained --
-    "dedup_groups_connected",
-    "multimodal_frame_sample",
-    "text_repetition_stats",
-    "doc_chunk_fixed",
-    "contamination_check",
-    "doc_pack_greedy",
-    "corpus_vocab_topk",
-    "embedding_centroids",
-    "corpus_quality_filter",
-    "outlier_robust_z",
-    "corpus_bigram_topk",
-    "text_unigram_logprob",
-    "embedding_whitening_stats",
-    "text_pii_mask",
-    # -- stalest r04-attested oracle rows, sorted, first 14 --
-    "dedup_fuzzy_levenshtein",
-    "events_funnel_conversion",
-    "events_ohlc_rollup",
-    "events_resample_gapfill",
-    "events_retention_cohorts",
-    "events_session_window",
-    "events_sliding_window",
-    "events_stream_file_sink",
-    "events_stream_foreach_batch",
-    "events_stream_kafka_shape",
-    "events_stream_session_window",
-    "events_stream_sliding_window",
-    "events_stream_stream_join",
-    "events_stream_stream_left_outer_join",
+    # ROUND-11 WINDOW (slots 1-50), executing the plan documented in
+    # round 10 (and ratified by the r10 verdict): the 17 round-10 NEW
+    # registrations (never-driver-graded, all judge-sweep-green at
+    # 3 SFs in the r10 review), sorted, + the remaining 33 r04-attested
+    # oracle rows in sorted order. 17 + 33 = 50 exactly; once this
+    # window is graded, EVERY oracle query in the repo has a
+    # driver-attested row (the backlog fully drains for the first
+    # time). Audit with tools/check_window.py.
+    # -- never-driver-graded round-10 registrations (17, sorted) --
+    "audit_t_closeness",
+    "corpus_pack_bfd",
+    "dedup_minhash_estimator_eval",
+    "embedding_cluster_quality",
+    "events_funnel_time_to_convert",
+    "events_interval_coalesce",
+    "events_nelson_aalen_hazard",
+    "graph_degree_assortativity",
+    "multimodal_png_dimensions",
+    "multimodal_wav_header",
+    "scan_rowgroup_pruning_sim",
+    "sim_search_rank_agreement_rbo",
+    "sink_wap_publish",
+    "stream_incremental_neardup",
+    "stream_scd2_incremental",
+    "text_prf_query_expansion",
+    "window_realized_volatility",
+    # -- the remaining r04-attested oracle rows (33, sorted):
+    #    r04 queue drained --
+    "events_stream_tumbling_window",
+    "events_tumbling_window",
+    "join_asof",
+    "join_asof_nearest",
+    "join_range",
+    "join_skew_salted",
+    "length_bucket_equal_freq",
+    "length_bucket_equal_freq_scalable",
+    "mix_sources_weighted",
+    "pipeline_training_data",
+    "sample_hash_bucket",
+    "sample_stratified_by_source",
+    "sample_topk_hash",
+    "scalar_json_extract",
+    "scalar_variant_extract",
+    "scan_csv",
+    "scan_json",
+    "scan_json_corrupt_records",
+    "scan_orc",
+    "scan_text",
+    "shard_shuffle_deterministic",
+    "sink_bucketed_join",
+    "sink_dynamic_partition_overwrite",
+    "sink_merge_upsert",
+    "sink_parquet_partitioned",
+    "split_hash_train_test",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q4_order_priority",
+    "tpch_q6_revenue_change",
+    "udaf_group_median",
+    "udtf_ngrams",
     # ---- below the 50-slot line ----
-    # r11 window plan (composes EXACTLY 50): the 17 round-10 NEW
-    # registrations, sorted (audit_t_closeness, corpus_pack_bfd,
-    # dedup_minhash_estimator_eval, embedding_cluster_quality,
-    # events_funnel_time_to_convert, events_interval_coalesce,
-    # events_nelson_aalen_hazard, graph_degree_assortativity,
-    # multimodal_png_dimensions, multimodal_wav_header,
-    # scan_rowgroup_pruning_sim, sim_search_rank_agreement_rbo,
-    # sink_wap_publish, stream_incremental_neardup,
-    # stream_scd2_incremental, text_prf_query_expansion,
-    # window_realized_volatility — all judge-sweep-green at 3 SFs this
-    # round), then the remaining 33 r04-attested oracle rows in sorted
-    # order (events_stream_tumbling_window .. udtf_ngrams — see
-    # tools/check_window.py history). 17 + 33 = 50; registration
-    # stopped for the round once the window filled (the round-9
-    # criterion).
+    # r12 window plan: after this window grades green, every oracle
+    # query is driver-attested; the r12 window becomes round-11 NEW
+    # registrations first, then the stalest attested rows (the r05
+    # cohort) in sorted order. New r11 registrations are appended to
+    # the head of this list next round.
 ]
 
 # Rows-only queries (registered without an oracle by design — goldens /

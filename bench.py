@@ -418,18 +418,26 @@ def main() -> None:
     # per-query map kept shrinking out of BENCH_r{N}.json (9 of 300
     # queries visible by r9) — persist the complete artifact in-repo so
     # cross-round and vs-baseline diffs can cover every query (r9
-    # verdict task #3). N = the round being built = 1 + the latest
-    # driver-archived round.
+    # verdict task #3). N = the round being built: SPARK_GRAFT_ROUND
+    # when set (a rerun AFTER the driver archives BENCH_rNN.json would
+    # otherwise mint the NEXT round's name — r10 advice: judges/reruns
+    # pass the round explicitly), else 1 + the latest driver-archived
+    # round.
     try:
         import glob as _glob
         import re as _re
 
-        rounds = [
-            int(m.group(1))
-            for p in _glob.glob("/root/repo/BENCH_r*.json")
-            if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
-        ]
-        full_path = f"/root/repo/BENCH_full_r{max(rounds, default=0) + 1:02d}.json"
+        env_round = os.environ.get("SPARK_GRAFT_ROUND")
+        if env_round:
+            n = int(env_round)
+        else:
+            rounds = [
+                int(m.group(1))
+                for p in _glob.glob("/root/repo/BENCH_r*.json")
+                if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+            ]
+            n = max(rounds, default=0) + 1
+        full_path = f"/root/repo/BENCH_full_r{n:02d}.json"
         with open(full_path, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
         print(f"# full per-query artifact: {full_path}", file=sys.stderr)

@@ -2561,6 +2561,21 @@ def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BFD_SHARD = 100  # docs per packing shard (bounded per-shard state)
 
+# The bin CHOSEN for the incoming doc in the packing-replay oracle:
+# 'bfd' takes the fullest bin that still fits (min fitting remainder),
+# 'ff' takes the FIRST bin in open order that fits (true first-fit —
+# DuckDB lists are 1-based, [1] of the filtered list is the first
+# fitting remainder, and list_position on that value resolves to the
+# first fitting INDEX because any earlier equal value would also fit).
+# NULL when nothing fits -> open a new bin. Mirrors the pandas kernel
+# branch-for-branch (r10 advice: 'ff' was best-fit-in-arrival-order in
+# both engines, mislabeled).
+_PACK_CHOSEN = (
+    "CASE WHEN a.mode = 'bfd'"
+    " THEN list_min(list_filter(p.rem, r -> r >= a.len))"
+    " ELSE list_filter(p.rem, r -> r >= a.len)[1] END"
+)
+
 
 @register(
     "corpus_pack_bfd",
@@ -2588,19 +2603,16 @@ _BFD_SHARD = 100  # docs per packing shard (bounded per-shard state)
       FROM (SELECT DISTINCT mode, shard FROM arr)
       UNION ALL
       SELECT a.mode, a.shard, a.i, a.doc_id, a.len,
-             CASE WHEN list_min(list_filter(p.rem, r -> r >= a.len)) IS NULL
+             CASE WHEN {_PACK_CHOSEN} IS NULL
                   THEN len(p.rem) + 1
-                  ELSE list_position(p.rem,
-                         list_min(list_filter(p.rem, r -> r >= a.len))) END,
-             CASE WHEN list_min(list_filter(p.rem, r -> r >= a.len)) IS NULL
+                  ELSE list_position(p.rem, {_PACK_CHOSEN}) END,
+             CASE WHEN {_PACK_CHOSEN} IS NULL
                   THEN list_append(p.rem, {_PACK_BUDGET} - a.len)
                   ELSE list_slice(p.rem, 1,
-                         list_position(p.rem,
-                           list_min(list_filter(p.rem, r -> r >= a.len))) - 1)
-                       || [list_min(list_filter(p.rem, r -> r >= a.len)) - a.len]
+                         list_position(p.rem, {_PACK_CHOSEN}) - 1)
+                       || [{_PACK_CHOSEN} - a.len]
                        || list_slice(p.rem,
-                            list_position(p.rem,
-                              list_min(list_filter(p.rem, r -> r >= a.len))) + 1,
+                            list_position(p.rem, {_PACK_CHOSEN}) + 1,
                             len(p.rem)) END
       FROM pk p JOIN arr a
         ON a.mode = p.mode AND a.shard = p.shard AND a.i = p.i + 1
@@ -2675,11 +2687,14 @@ def corpus_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, shard, ln in zip(
                 rows["doc_id"], rows["shard"], rows["len"]
             ):
-                fits = [r for r in rem if r >= ln]
-                if fits:
-                    best = min(fits)
-                    idx = rem.index(best)  # first-position tie-break
-                    rem[idx] = best - int(ln)
+                fit_idxs = [i for i, r in enumerate(rem) if r >= ln]
+                if fit_idxs:
+                    if mode == "bfd":
+                        # fullest fitting bin, first-position tie-break
+                        idx = rem.index(min(rem[i] for i in fit_idxs))
+                    else:
+                        idx = fit_idxs[0]  # true first-fit
+                    rem[idx] -= int(ln)
                     bin_id = idx + 1
                 else:
                     rem.append(_PACK_BUDGET - int(ln))

@@ -82,6 +82,10 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_HASHES = 8
 _BAND_SIZE = 2  # 4 bands of 2 → catches jaccard ≳ 0.5 pairs
+# one agreeing minhash component is worth this many micro-Jaccard units
+# in the n_eq/_N_HASHES estimate (Broder '97): derived, not hardcoded,
+# so retuning _N_HASHES cannot desynchronize the estimator oracle
+_EST_MICRO_PER_HASH = 1_000_000 // _N_HASHES
 
 # Universal-hash mixing constants: h_k(x) = (A[k]*x + B[k]) mod M over a
 # 32-bit md5-derived base. ONE md5 per shingle instead of 8 — the 8
@@ -1285,8 +1289,10 @@ def _band_rows(docs: DataFrame) -> DataFrame:
                 F.lit(b).alias("band"),
                 F.concat_ws(
                     "_",
-                    F.col(f"h{b * _BAND_SIZE}").cast("string"),
-                    F.col(f"h{b * _BAND_SIZE + 1}").cast("string"),
+                    *[
+                        F.col(f"h{b * _BAND_SIZE + j}").cast("string")
+                        for j in range(_BAND_SIZE)
+                    ],
                 ).alias("key"),
             )
             for b in range(_N_HASHES // _BAND_SIZE)
@@ -1295,6 +1301,21 @@ def _band_rows(docs: DataFrame) -> DataFrame:
     return sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+
+
+def _band_arms_sql(src: str = "sig") -> str:
+    """DuckDB UNION ALL arms producing the same (doc_id, band, key)
+    rows as _band_rows, derived from the same _N_HASHES/_BAND_SIZE
+    constants — oracles that replay the banding build on this instead
+    of hardcoding the arms, so retuning the banding cannot silently
+    desynchronize oracle and implementation (r10 advice)."""
+    arms = []
+    for b in range(_N_HASHES // _BAND_SIZE):
+        key = " || '_' || ".join(
+            f"h{b * _BAND_SIZE + j}::VARCHAR" for j in range(_BAND_SIZE)
+        )
+        arms.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM {src}")
+    return "\n      UNION ALL ".join(arms)
 
 
 @register(
@@ -2126,17 +2147,17 @@ def split_leakage_safe_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     eq AS (
       SELECT c.doc_a, c.doc_b,
-             CAST({" + ".join(f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END" for k in range(8))}
+             CAST({" + ".join(f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END" for k in range(_N_HASHES))}
                AS BIGINT) AS n_eq
       FROM cand c
       JOIN sig sa ON sa.doc_id = c.doc_a
       JOIN sig sb ON sb.doc_id = c.doc_b
     )
     SELECT e.doc_a, e.doc_b, e.n_eq AS n_equal_hashes,
-           CAST(e.n_eq * 125000 AS BIGINT) AS est_micro,
+           CAST(e.n_eq * {_EST_MICRO_PER_HASH} AS BIGINT) AS est_micro,
            CAST(COALESCE(i.ni, 0) * 1000000
                 // (za.ns + zb.ns - COALESCE(i.ni, 0)) AS BIGINT) AS true_micro,
-           CAST(e.n_eq * 125000
+           CAST(e.n_eq * {_EST_MICRO_PER_HASH}
                 - COALESCE(i.ni, 0) * 1000000
                   // (za.ns + zb.ns - COALESCE(i.ni, 0)) AS BIGINT) AS err_micro
     FROM eq e
@@ -2149,8 +2170,9 @@ def dedup_minhash_estimator_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MINHASH ESTIMATOR ACCURACY (Broder '97's core identity:
     P[h_min(A) = h_min(B)] = J(A,B)) attested per candidate pair: for
     every LSH candidate, the sketch-side Jaccard estimate (fraction of
-    the 8 minhash components that agree, in micro units — each
-    component is worth 125000) sits next to the TRUE distinct-shingle
+    the _N_HASHES minhash components that agree, in micro units — each
+    component is worth _EST_MICRO_PER_HASH) sits next to the TRUE
+    distinct-shingle
     Jaccard (exact integer intersection/union) and the signed error.
     This is the estimator-calibration audit a dedup pipeline runs
     before trusting sketch thresholds at scale: dedup_lsh_eval_pr
@@ -2216,8 +2238,10 @@ def dedup_minhash_estimator_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             F.col("n_eq").alias("n_equal_hashes"),
-            (F.col("n_eq") * 125000).cast("bigint").alias("est_micro"),
+            (F.col("n_eq") * _EST_MICRO_PER_HASH).cast("bigint").alias("est_micro"),
             true_micro.cast("bigint").alias("true_micro"),
-            (F.col("n_eq") * 125000 - true_micro).cast("bigint").alias("err_micro"),
+            (F.col("n_eq") * _EST_MICRO_PER_HASH - true_micro)
+            .cast("bigint")
+            .alias("err_micro"),
         )
     )

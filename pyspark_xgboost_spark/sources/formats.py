@@ -53,15 +53,24 @@ def memo_by_fingerprint(cache, spark, sf_dir, table, build):
     (synthetic test corpora monkeypatch load_table and have no parquet
     to stat), and EVICTS superseded fingerprints of the same (session,
     sf_dir) so regenerating the dataset in place cannot pin dead
-    localCheckpointed blocks for the rest of the session."""
+    localCheckpointed blocks for the rest of the session. Entries from
+    OTHER applicationIds are dropped too: they belong to stopped
+    sessions and can never be hit again, so a long-lived process that
+    restarts Spark sessions would otherwise accumulate dead cache
+    entries holding unusable checkpointed DataFrames (r10 advice)."""
     try:
         fp = src_fingerprint(sf_dir, table)
     except OSError:
         return build()
-    prefix = f"{spark.sparkContext.applicationId}:{sf_dir}:"
+    app = spark.sparkContext.applicationId
+    prefix = f"{app}:{sf_dir}:"
     key = prefix + fp
     if key not in cache:
-        for stale in [k for k in cache if k.startswith(prefix)]:
+        for stale in [
+            k
+            for k in cache
+            if k.startswith(prefix) or not k.startswith(f"{app}:")
+        ]:
             del cache[stale]
         cache[key] = build()
     return cache[key]

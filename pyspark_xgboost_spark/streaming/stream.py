@@ -1584,9 +1584,16 @@ def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 pairs.write.mode("append").parquet(pairs_dir)
                 state["has_pairs"] = True
+                # materialize BEFORE the index append below: `keep`
+                # reads idx_dir through `counts` while appending to
+                # idx_dir — safe today only because InMemoryFileIndex
+                # snapshots the listing at read time, a fragile
+                # implicit ordering if the read were ever re-planned
+                # (r10 advice). The checkpoint pins the pre-append
+                # contents explicitly; counts is bucket-sized (small).
                 counts = idx.groupBy("band", "key").agg(
                     F.count("*").alias("n0")
-                )
+                ).localCheckpoint(eager=True)
             else:
                 counts = None
             w = W.partitionBy("band", "key").orderBy("doc_id")
@@ -1625,16 +1632,14 @@ def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _neardup_oracle() -> str:
     from pyspark_xgboost_spark.operators.dedup import (
         _MH_BUCKET_CAP,
+        _band_arms_sql,
         _minhash_sql_sig,
     )
 
     return f"""
     WITH {_minhash_sql_sig()},
     bands AS (
-      SELECT doc_id, 0 AS band, h0::VARCHAR || '_' || h1::VARCHAR AS key FROM sig
-      UNION ALL SELECT doc_id, 1, h2::VARCHAR || '_' || h3::VARCHAR FROM sig
-      UNION ALL SELECT doc_id, 2, h4::VARCHAR || '_' || h5::VARCHAR FROM sig
-      UNION ALL SELECT doc_id, 3, h6::VARCHAR || '_' || h7::VARCHAR FROM sig
+      {_band_arms_sql()}
     ),
     arrivals AS (
       SELECT doc_id, band, key, doc_id % 3 AS seq,

@@ -337,6 +337,8 @@ HEADLINE = [
     "scan_rowgroup_pruning_sim",
     "events_funnel_time_to_convert",
     "stream_scd2_incremental",
+    # round 11
+    "multimodal_resize",
 ]
 
 

@@ -158,14 +158,30 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RESIZE_TARGET = 256
 
 
-@register("multimodal_resize")
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+           CAST(least(octet_length(encode(text)), {_RESIZE_TARGET}) AS BIGINT)
+             AS out_bytes,
+           substr(hex(encode(text)), 1, {2 * _RESIZE_TARGET}) AS resized_hex,
+           md5(substr(hex(encode(text)), 1, {2 * _RESIZE_TARGET})) AS digest
+    FROM documents
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Resize' the binary payload to a bounded size (crop-style stub:
-    first 256 bytes; production swaps in PIL thumbnail/resample) —
-    binary in, binary out through Arrow-batched mapInPandas with the
-    metadata struct updated alongside. Rows-only: DuckDB cannot slice
-    BLOBs, so the byte-exact goldens live in tests/test_relational.py
-    (digest of resized payload vs hashlib on the raw bytes).
+    first {_RESIZE_TARGET} bytes; production swaps in PIL
+    thumbnail/resample) — binary in, binary transformed through an
+    Arrow-batched mapInPandas kernel with the metadata updated
+    alongside. Oracle-attested POSITIONALLY (r10 verdict task): DuckDB
+    1.0 cannot slice or md5 BLOBs, so the resized payload crosses the
+    engine boundary as its uppercase hex encoding — byte-exact, since
+    substr(hex(payload), 1, 2k) IS the first k bytes — and the digest
+    is md5 over that hex string (VARCHAR md5 exists in both engines).
+    The byte-level goldens in tests/test_relational.py additionally pin
+    the hex back to the raw payload bytes via bytes.fromhex.
 
     Scale shape: narrow op, no shuffle; output bytes are bounded so a
     downstream cache/broadcast of thumbnails is safely sized."""
@@ -184,15 +200,14 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "orig_bytes": [len(bytes(p)) for p in pdf["payload"]],
                     "out_bytes": [len(r) for r in resized],
-                    "resized": resized,
-                    "digest": [hashlib.md5(r).hexdigest() for r in resized],
+                    "resized_hex": [r.hex().upper() for r in resized],
                 }
             )
 
     return packed.mapInPandas(
         resize,
-        "doc_id long, orig_bytes long, out_bytes long, resized binary, digest string",
-    )
+        "doc_id long, orig_bytes long, out_bytes long, resized_hex string",
+    ).withColumn("digest", F.md5(F.col("resized_hex")))
 
 
 @register(

@@ -112,7 +112,8 @@ _CEDE_WINDOW = [
     "text_tokenize_tfidf",
     "dedup_simhash",
     "sim_search_brp_lsh",
-    "multimodal_resize",
+    # multimodal_resize left this list in round 11: its crop is now
+    # oracle-attested positionally via the hex(payload) idiom
     "ml_fit_predict_regressor",
     "ml_fit_predict_classifier",
     "approx_distinct",

@@ -166,8 +166,9 @@ def test_multimodal_resize_golden(spark):
         row = out[r.doc_id]
         assert row.orig_bytes == len(raw)
         assert row.out_bytes == min(len(raw), _RESIZE_TARGET)
-        assert bytes(row.resized) == raw[:_RESIZE_TARGET]
-        assert row.digest == hashlib.md5(raw[:_RESIZE_TARGET]).hexdigest()
+        # byte-exact: the hex wire format decodes to the raw crop
+        assert bytes.fromhex(row.resized_hex) == raw[:_RESIZE_TARGET]
+        assert row.digest == hashlib.md5(row.resized_hex.encode()).hexdigest()
 
 
 def test_variant_extract_matches_json_path(spark):

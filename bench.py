@@ -339,6 +339,7 @@ HEADLINE = [
     "stream_scd2_incremental",
     # round 11
     "multimodal_resize",
+    "stream_decontaminate_incremental",
 ]
 
 

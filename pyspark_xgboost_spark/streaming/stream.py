@@ -1829,3 +1829,220 @@ def stream_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return open_df.unionByName(closed_df)
     return open_df
+
+
+# --------------------------------------------------------------------------
+# Incremental 13-gram decontamination: streaming ingest batches probe a
+# persisted eval-set gram-digest index (r10 verdict task #4 — the
+# ingest-time twin of corpus_decontaminate_13gram, closing the same
+# loop for the contamination gate that stream_incremental_neardup
+# closed for near-dup)
+# --------------------------------------------------------------------------
+
+
+def _stage_decon_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage THREE ordered ingest batches of TRAINING documents
+    (doc_id % 50 != 0 — the holdout is the eval set; seq = doc_id % 3,
+    disjoint, every training doc arrives exactly once), carrying the
+    text so each micro-batch can derive its own 13-gram digests."""
+
+    def make_batch(docs, seq):
+        return docs.filter(
+            (F.col("doc_id") % 50 != 0) & (F.col("doc_id") % 3 == seq)
+        ).select("doc_id", "text", F.lit(seq).cast("int").alias("seq"))
+
+    return _stage_seq_batches(spark, sf_dir, "docs_dc3_", make_batch)
+
+
+@register("stream_decontaminate_incremental", oracle=None)  # set below
+def stream_decontaminate_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING benchmark decontamination — the ingest-time twin of
+    corpus_decontaminate_13gram: the eval set's 13-gram digests are
+    built ONCE into a persisted index, then each micro-batch of newly
+    arriving training documents (1) explodes its own 13-gram digests,
+    (2) PROBES the index with a digest equi-join, and (3) appends the
+    per-doc contamination report (matched windows, union span
+    coverage, dirty_micro ppm) for that batch — the gate a 100 TB
+    ingest runs on every increment instead of re-decontaminating the
+    full corpus. Mirrors stream_incremental_neardup's shape: state
+    lives in the index table, the streaming query is stateless.
+
+    The oracle is the BATCH decontamination semantics over the full
+    arrival history (plus each doc's arrival seq): because the eval
+    index is static and every training doc arrives exactly once,
+    incremental-union must equal the one-shot batch result — a
+    stream == batch == SQL three-way pin; any per-batch coverage
+    drift reds the row.
+
+    Scale shape: the eval index is O(eval-set grams), built once and
+    keyed by digest; per micro-batch cost is O(batch grams + matched
+    positions) — tokenize the batch, one digest-keyed equi-join
+    (shuffle_hash-hinted so a plan flip cannot try to broadcast a
+    too-big-to-broadcast holdout), one lead() window over MATCHED
+    positions only, never a corpus re-scan. The output is append-only
+    per batch."""
+    import shutil
+    import tempfile
+
+    from pyspark_xgboost_spark.operators.corpus import _DECON_N, _TOKS
+
+    root = _stage_decon_batches(spark, sf_dir)
+    idx_dir = os.path.join(root, "evalidx")
+    out_dir = os.path.join(root, "coverage")
+    final_marker = os.path.join(root, "_DC_FINAL")
+
+    def gram_digests(docs: DataFrame) -> DataFrame:
+        t = docs.select("doc_id", F.expr(_TOKS).alias("toks"))
+        return (
+            t.filter(F.size("toks") >= _DECON_N)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("toks") - (_DECON_N - 1))
+                ).alias("pos"),
+                "toks",
+            )
+            .select(
+                "doc_id",
+                "pos",
+                F.md5(
+                    F.array_join(
+                        F.slice(F.col("toks"), F.col("pos"), _DECON_N), " "
+                    )
+                ).alias("digest"),
+            )
+        )
+
+    if not os.path.exists(final_marker):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        from pyspark_xgboost_spark.sources import load_table
+
+        hold = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 50 == 0
+        )
+        gram_digests(hold).select("digest").distinct().write.mode(
+            "overwrite"
+        ).parquet(idx_dir)
+
+        def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            sess = batch_df.sparkSession
+            t = batch_df.select(
+                "doc_id", "seq", F.expr(_TOKS).alias("toks")
+            )
+            idx = sess.read.parquet(idx_dir)
+            matched = (
+                gram_digests(batch_df)
+                .join(idx.hint("shuffle_hash"), "digest")
+                .select("doc_id", "pos")
+            )
+            w = W.partitionBy("doc_id").orderBy("pos")
+            cov = (
+                matched.withColumn("nxt", F.lead("pos").over(w))
+                .groupBy("doc_id")
+                .agg(
+                    F.count("*").cast("bigint").alias("n_hits"),
+                    F.sum(
+                        F.when(
+                            F.col("nxt").isNull(), F.lit(_DECON_N)
+                        ).otherwise(
+                            F.least(
+                                F.lit(_DECON_N), F.col("nxt") - F.col("pos")
+                            )
+                        )
+                    )
+                    .cast("bigint")
+                    .alias("covered_tokens"),
+                )
+            )
+            (
+                t.select(
+                    "doc_id",
+                    "seq",
+                    F.size("toks").cast("bigint").alias("n_tokens"),
+                )
+                .join(cov, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "seq",
+                    "n_tokens",
+                    F.coalesce("n_hits", F.lit(0))
+                    .cast("bigint")
+                    .alias("n_hits"),
+                    F.coalesce("covered_tokens", F.lit(0))
+                    .cast("bigint")
+                    .alias("covered_tokens"),
+                    F.floor(
+                        F.coalesce("covered_tokens", F.lit(0))
+                        * 1000000
+                        / F.col("n_tokens")
+                    )
+                    .cast("bigint")
+                    .alias("dirty_micro"),
+                )
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+
+        q = (
+            spark.readStream.schema("doc_id long, text string, seq int")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(root, "in"))
+            .writeStream.foreachBatch(probe_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dc_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(final_marker, "w") as fh:
+            fh.write("ok")
+    return spark.read.parquet(out_dir)
+
+
+def _decon_incremental_oracle() -> str:
+    from pyspark_xgboost_spark.operators.corpus import _DECON_N, _TOKS_SQL
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i:i+{_DECON_N - 1}], ' ')) AS digest
+      FROM t, LATERAL unnest(range(1, len(toks) - {_DECON_N - 2})) AS u(i)
+      WHERE len(toks) >= {_DECON_N}
+    ),
+    hold AS (
+      SELECT DISTINCT digest FROM g WHERE doc_id % 50 = 0
+    ),
+    matched AS (
+      SELECT g.doc_id, g.pos,
+             lead(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS nxt
+      FROM g JOIN hold USING (digest)
+      WHERE g.doc_id % 50 <> 0
+    ),
+    cov AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_hits,
+             CAST(sum(CASE WHEN nxt IS NULL THEN {_DECON_N}
+                           ELSE least({_DECON_N}, nxt - pos) END)
+                  AS BIGINT) AS covered_tokens
+      FROM matched GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.doc_id % 3 AS INTEGER) AS seq,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           COALESCE(c.n_hits, 0) AS n_hits,
+           COALESCE(c.covered_tokens, 0) AS covered_tokens,
+           CAST(floor(COALESCE(c.covered_tokens, 0) * 1000000.0
+                      / len(t.toks)) AS BIGINT) AS dirty_micro
+    FROM t LEFT JOIN cov c USING (doc_id)
+    WHERE t.doc_id % 50 <> 0
+    """
+
+
+_ORACLES["stream_decontaminate_incremental"] = _decon_incremental_oracle()

@@ -1,0 +1,51 @@
+"""Shape assertions for the round-11 additions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tests.test_plans import plan_of
+
+
+def test_stream_decontaminate_incremental_shapes(spark):
+    """The ingest-time decontamination gate keeps its scale contract:
+    (a) the final result reads the materialized per-batch coverage
+    table — never re-scanning documents; (b) the per-batch probe is a
+    digest EQUI-join against the persisted eval index (no cartesian,
+    no broadcast of the holdout side); (c) every training doc arrives
+    exactly once across the batches (incremental-union == batch)."""
+    import os
+
+    from pyspark_xgboost_spark.streaming.stream import (
+        _stage_decon_batches,
+        stream_decontaminate_incremental,
+    )
+
+    out = stream_decontaminate_incremental(spark, SF_DIR)
+
+    # (a) final plan: coverage-table scan only
+    plan = plan_of(out)
+    assert "documents" not in plan
+    assert "CartesianProduct" not in plan
+
+    # (b) the probe join shape, exactly as foreachBatch builds it
+    root = _stage_decon_batches(spark, SF_DIR)
+    idx = spark.read.parquet(os.path.join(root, "evalidx"))
+    batch = spark.read.parquet(os.path.join(root, "in", "batch-002.parquet"))
+    toks = batch.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").alias(
+            "toks"
+        ),
+    )
+    grams = toks.filter(F.size("toks") >= 13).select(
+        "doc_id", F.md5(F.array_join(F.slice("toks", 1, 13), " ")).alias("digest")
+    )
+    pplan = plan_of(grams.join(idx.hint("shuffle_hash"), "digest"))
+    assert "CartesianProduct" not in pplan
+    assert "BroadcastNestedLoopJoin" not in pplan
+    assert "ShuffledHashJoin" in pplan  # holdout never rebroadcast
+
+    # (c) disjoint arrival: one row per training doc
+    assert out.count() == out.select("doc_id").distinct().count()

@@ -340,6 +340,7 @@ HEADLINE = [
     # round 11
     "multimodal_resize",
     "stream_decontaminate_incremental",
+    "corpus_tokenizer_fertility",
 ]
 
 

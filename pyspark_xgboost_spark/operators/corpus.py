@@ -2204,6 +2204,79 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_PERDOC_CACHE: dict[str, DataFrame] = {}
+
+
+def _bpe_perdoc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE tokenize pass over the corpus with the trained merges,
+    yielding per-document (source, lang, n_chars, n_tokens) — shared
+    (memoized per session + source fingerprint) by the compression
+    report and the fertility percentiles so neither re-tokenizes. The
+    encode applies the merge list greedily left-to-right IN TRAINING
+    ORDER (the standard BPE encode) inside a map-only Arrow kernel."""
+    import pandas as pd
+
+    from pyspark_xgboost_spark.sources.formats import memo_by_fingerprint
+
+    def build() -> DataFrame:
+        merges = [(l, r) for _rnd, l, r, _cnt in _bpe_train(spark, sf_dir)]
+
+        def tokenize(batches):
+            for pdf in batches:
+                srcs, langs, chars, toks = [], [], [], []
+                for src, lang, text in zip(
+                    pdf["source"], pdf["lang"], pdf["text"]
+                ):
+                    n_chars = 0
+                    n_toks = 0
+                    for w in (text or "").lower().split():
+                        if not w or len(w) > _BPE_MAX_WORD:
+                            continue
+                        syms = list(w)
+                        n_chars += len(syms)
+                        for l, r in merges:
+                            out, i, n = [], 0, len(syms)
+                            while i < n:
+                                if (
+                                    i + 1 < n
+                                    and syms[i] == l
+                                    and syms[i + 1] == r
+                                ):
+                                    out.append(l + r)
+                                    i += 2
+                                else:
+                                    out.append(syms[i])
+                                    i += 1
+                            syms = out
+                        n_toks += len(syms)
+                    srcs.append(src)
+                    langs.append(lang)
+                    chars.append(n_chars)
+                    toks.append(n_toks)
+                yield pd.DataFrame(
+                    {
+                        "source": srcs,
+                        "lang": langs,
+                        "n_chars": chars,
+                        "n_tokens": toks,
+                    }
+                )
+
+        return (
+            load_table(spark, sf_dir, "documents")
+            .select("source", "lang", "text")
+            .mapInPandas(
+                tokenize,
+                "source string, lang string, n_chars long, n_tokens long",
+            )
+            .localCheckpoint(eager=True)  # one row per doc — tiny
+        )
+
+    return memo_by_fingerprint(
+        _BPE_PERDOC_CACHE, spark, sf_dir, "documents", build
+    )
+
+
 @register("corpus_bpe_tokenize_apply", oracle=_BPE_APPLY_ORACLE)
 def corpus_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE TOKENIZER APPLICATION — the inference half of corpus_bpe
@@ -2219,44 +2292,7 @@ def corpus_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     via _bpe_oracle_ctes, encodes each DISTINCT word once, then joins
     token counts back to per-source word multiplicities); the golden
     test additionally replays a pure-Python encode per document."""
-    import pandas as pd
-
-    merges = [(l, r) for _rnd, l, r, _cnt in _bpe_train(spark, sf_dir)]
-
-    def tokenize(batches):
-        for pdf in batches:
-            srcs, chars, toks = [], [], []
-            for src, text in zip(pdf["source"], pdf["text"]):
-                n_chars = 0
-                n_toks = 0
-                for w in (text or "").lower().split():
-                    if not w or len(w) > _BPE_MAX_WORD:
-                        continue
-                    syms = list(w)
-                    n_chars += len(syms)
-                    for l, r in merges:
-                        out, i, n = [], 0, len(syms)
-                        while i < n:
-                            if i + 1 < n and syms[i] == l and syms[i + 1] == r:
-                                out.append(l + r)
-                                i += 2
-                            else:
-                                out.append(syms[i])
-                                i += 1
-                        syms = out
-                    n_toks += len(syms)
-                srcs.append(src)
-                chars.append(n_chars)
-                toks.append(n_toks)
-            yield pd.DataFrame(
-                {"source": srcs, "n_chars": chars, "n_tokens": toks}
-            )
-
-    per_doc = (
-        load_table(spark, sf_dir, "documents")
-        .select("source", "text")
-        .mapInPandas(tokenize, "source string, n_chars long, n_tokens long")
-    )
+    per_doc = _bpe_perdoc_counts(spark, sf_dir)
     return per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
@@ -2268,6 +2304,160 @@ def corpus_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("tokens_per_kchar"),
+    )
+
+
+_FERTILITY_ORACLE = (
+    "WITH "
+    + _bpe_oracle_ctes(_BPE_ROUNDS)
+    + f""",
+    doc_words AS (
+      SELECT doc_id, source, lang, w AS word, count(*) AS cnt
+      FROM (SELECT doc_id, source, lang,
+                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> '' AND length(w) <= {_BPE_MAX_WORD}
+      GROUP BY doc_id, source, lang, w
+    ),
+    e0 AS (
+      SELECT word,
+             chr(9) || array_to_string(string_split(word, ''),
+                                       chr(9)||chr(9)) || chr(9) AS s
+      FROM (SELECT DISTINCT word FROM doc_words)
+    ),
+    """
+    + ",\n    ".join(
+        f"""e{k} AS (
+      SELECT word,
+             replace(s, chr(9)||b.l||chr(9)||chr(9)||b.r||chr(9),
+                     chr(9)||b.l||b.r||chr(9)) AS s
+      FROM e{k - 1}, b{k} b
+    )"""
+        for k in range(1, _BPE_ROUNDS + 1)
+    )
+    + f""",
+    tok AS (
+      SELECT word,
+             len(list_filter(string_split(s, chr(9)), x -> x <> ''))
+               AS n_toks
+      FROM e{_BPE_ROUNDS}
+    ),
+    dt AS (
+      SELECT dw.doc_id, dw.source, dw.lang,
+             CAST(sum(dw.cnt * length(dw.word)) AS BIGINT) AS n_chars,
+             CAST(sum(dw.cnt * t.n_toks) AS BIGINT) AS n_toks
+      FROM doc_words dw JOIN tok t USING (word)
+      GROUP BY dw.doc_id, dw.source, dw.lang
+    ),
+    alldocs AS (
+      SELECT d.doc_id, d.source, d.lang,
+             COALESCE(dt.n_chars, 0) AS n_chars,
+             COALESCE(dt.n_toks, 0) AS n_toks
+      FROM documents d LEFT JOIN dt USING (doc_id)
+    ),
+    hist AS (
+      SELECT source, lang, n_toks, count(*) AS c
+      FROM alldocs GROUP BY source, lang, n_toks
+    ),
+    cum AS (
+      SELECT source, lang, n_toks, c,
+             sum(c) OVER (PARTITION BY source, lang ORDER BY n_toks) AS cc,
+             sum(c) OVER (PARTITION BY source, lang) AS n
+      FROM hist
+    ),
+    pct AS (
+      SELECT source, lang,
+             CAST(min(CASE WHEN cc * 2 >= n THEN n_toks END) AS BIGINT)
+               AS p50_tokens,
+             CAST(min(CASE WHEN cc * 10 >= 9 * n THEN n_toks END) AS BIGINT)
+               AS p90_tokens
+      FROM cum GROUP BY source, lang
+    ),
+    tot AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(n_toks) AS BIGINT) AS sum_tokens
+      FROM alldocs GROUP BY source, lang
+    )
+    SELECT t.source, t.lang, t.n_docs, t.sum_chars, t.sum_tokens,
+           CASE WHEN t.sum_tokens > 0
+                THEN (t.sum_chars * 1000) // t.sum_tokens END
+             AS chars_per_token_milli,
+           p.p50_tokens, p.p90_tokens
+    FROM tot t JOIN pct p USING (source, lang)
+    """
+)
+
+
+@register("corpus_tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY / COMPRESSION statistics per (source, lang)
+    — the budget-planning numbers a 100 TB ingest reads before
+    committing a token budget (r10 verdict task #5): how many
+    characters one BPE token buys (chars_per_token_milli, exact
+    integer milli-units — higher = better compression = cheaper
+    corpus) and the per-doc token-count distribution (nearest-rank
+    p50/p90 via the histogram-percentile idiom, never a per-group row
+    sort). A lang whose fertility is far below the corpus mean is
+    under-served by the vocabulary — the signal that drives per-lang
+    vocab allocation (XLM-R-style) and mixture reweighting.
+
+    Reuses the SINGLE memoized tokenize pass (_bpe_perdoc_counts,
+    shared with corpus_bpe_tokenize_apply) and the trained _BPE_CACHE
+    merges — adding this report to a pipeline that already tokenizes
+    costs two dimension-sized aggregations, zero new corpus scans.
+
+    Scale shape: the tokenize kernel is map-only; everything after
+    runs on per-doc count rows. The percentile is exact without
+    sorting docs: group to a (source, lang, n_tokens) HISTOGRAM (the
+    length_bucket_equal_freq_scalable idiom), cumulate over the
+    bounded distinct-count dimension, and take the nearest-rank
+    thresholds with integer arithmetic (cc*2 >= n) — partition-count
+    invariant by construction."""
+    per_doc = _bpe_perdoc_counts(spark, sf_dir)
+    tot = per_doc.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
+    hist = per_doc.groupBy("source", "lang", "n_tokens").agg(
+        F.count("*").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("source", "lang")
+        .orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("source", "lang")
+    cum = hist.select(
+        "source",
+        "lang",
+        "n_tokens",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    pct = cum.groupBy("source", "lang").agg(
+        F.min(F.when(F.col("cc") * 2 >= F.col("n"), F.col("n_tokens")))
+        .cast("bigint")
+        .alias("p50_tokens"),
+        F.min(F.when(F.col("cc") * 10 >= 9 * F.col("n"), F.col("n_tokens")))
+        .cast("bigint")
+        .alias("p90_tokens"),
+    )
+    return tot.join(pct, ["source", "lang"]).select(
+        "source",
+        "lang",
+        "n_docs",
+        "sum_chars",
+        "sum_tokens",
+        F.when(
+            F.col("sum_tokens") > 0,
+            F.expr("(sum_chars * 1000) div sum_tokens"),
+        )
+        .cast("bigint")
+        .alias("chars_per_token_milli"),
+        "p50_tokens",
+        "p90_tokens",
     )
 
 

@@ -49,3 +49,22 @@ def test_stream_decontaminate_incremental_shapes(spark):
 
     # (c) disjoint arrival: one row per training doc
     assert out.count() == out.select("doc_id").distinct().count()
+
+
+def test_tokenizer_fertility_shares_tokenize_pass(spark):
+    """The fertility report and the compression report consume the
+    SAME memoized per-doc tokenize pass (one kernel application per
+    session + corpus — re-tokenizing per consumer is the round-10
+    duplicated-cost lesson), and the percentile side never sorts
+    rows globally (histogram idiom, no rangepartitioning)."""
+    from pyspark_xgboost_spark.operators.corpus import (
+        _bpe_perdoc_counts,
+        corpus_tokenizer_fertility,
+    )
+
+    assert _bpe_perdoc_counts(spark, SF_DIR) is _bpe_perdoc_counts(
+        spark, SF_DIR
+    )
+    plan = plan_of(corpus_tokenizer_fertility(spark, SF_DIR))
+    assert "rangepartitioning" not in plan.lower()
+    assert "CartesianProduct" not in plan

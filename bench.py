@@ -341,6 +341,7 @@ HEADLINE = [
     "multimodal_resize",
     "stream_decontaminate_incremental",
     "corpus_tokenizer_fertility",
+    "sim_search_ivf_drift_eval",
 ]
 
 

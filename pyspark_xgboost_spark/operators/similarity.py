@@ -1741,6 +1741,302 @@ def sim_search_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF centroid-drift eval (r10 verdict task #6) ---------------------
+# Arrival split: vec_id % 3 == 2 models the NEW slice that landed after
+# the index was built; the stale index trains on the other two thirds.
+_DRIFT_NEW_MOD = 3
+_DRIFT_NEW_RES = 2
+# panel = the _N_QUERIES lowest new arrivals: vec_id < 3*10 ∧ %3==2
+_DRIFT_PANEL_MAX = _DRIFT_NEW_MOD * _N_QUERIES
+
+_KM_STALE_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+
+
+def _km_final_assign_stale(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd clustering trained on the PRE-ARRIVAL slice only
+    (vec_id % 3 != 2), seeds = the _KM_K lowest pre-arrival vec_ids,
+    then the FULL corpus (old + new) assigned to those stale
+    centroids — the serving state of an IVF index that has not been
+    retrained since the new data landed. Memoized like _KM_CACHE."""
+    from pyspark_xgboost_spark.sources.formats import memo_by_fingerprint
+
+    def build() -> tuple[DataFrame, DataFrame]:
+        xq = _km_xq(spark, sf_dir)
+        old = xq.filter(
+            F.col("vec_id") % _DRIFT_NEW_MOD != _DRIFT_NEW_RES
+        ).localCheckpoint(eager=True)
+        cents = old.orderBy("vec_id").limit(_KM_K).select(
+            F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+        )
+        for _ in range(_KM_ROUNDS):
+            cents = _km_update(
+                _km_assign(old, _km_cent_row(cents))
+            ).localCheckpoint(eager=True)
+        final = _km_assign(xq, _km_cent_row(cents)).localCheckpoint(
+            eager=True
+        )
+        return (final, cents)
+
+    return memo_by_fingerprint(
+        _KM_STALE_CACHE, spark, sf_dir, "embeddings", build
+    )
+
+
+def _km_drift_oracle() -> str:
+    """Fresh Lloyd replay (the shared _km_oracle_ctes) + a second,
+    's'-prefixed replay trained on the pre-arrival slice, then the
+    recall-eval pattern run against BOTH probe routings at once."""
+    sdiv = _sign_trunc_div_sql("sum(e.x)", "count(*)").replace(
+        " DIV ", " // "
+    )
+    parts = [
+        f"""seed_s AS (
+      SELECT vec_id FROM xq
+      WHERE vec_id % {_DRIFT_NEW_MOD} <> {_DRIFT_NEW_RES}
+      ORDER BY vec_id LIMIT {_KM_K}
+    ),
+    sce0 AS (
+      SELECT e.vec_id AS cid, e.j, e.x AS c FROM e JOIN seed_s USING (vec_id)
+    )"""
+    ]
+    for k in range(1, _KM_ROUNDS + 2):
+        prev = k - 1
+        train = (
+            f"WHERE e.vec_id % {_DRIFT_NEW_MOD} <> {_DRIFT_NEW_RES}"
+            if k <= _KM_ROUNDS
+            else ""  # the final assignment covers the FULL corpus
+        )
+        parts.append(
+            f"""sdist{k} AS (
+      SELECT e.vec_id, ce.cid, sum((e.x - ce.c) * (e.x - ce.c)) AS d
+      FROM e JOIN sce{prev} ce USING (j) {train}
+      GROUP BY e.vec_id, ce.cid
+    ),
+    sasg{k} AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT vec_id, cid, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid)
+                 AS rn
+        FROM sdist{k})
+      WHERE rn = 1
+    )"""
+        )
+        if k <= _KM_ROUNDS:
+            parts.append(
+                f"""sce{k} AS (
+      SELECT a.cid, e.j, {sdiv} AS c
+      FROM sasg{k} a JOIN e USING (vec_id)
+      GROUP BY a.cid, e.j
+    )"""
+            )
+    stale = ",\n    ".join(parts)
+    probe = """
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT q.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_sum(list_transform(
+                            generate_series(1, {dim}),
+                            j -> (q.q[j] - c.cq[j]) * (q.q[j] - c.cq[j]))),
+                          c.cid) AS rn
+        FROM panel q, cents_{t} c)
+      WHERE rn <= {nprobe}
+    """
+    return (
+        "WITH "
+        + _km_oracle_ctes()
+        + ",\n    "
+        + stale
+        + f""",
+    corpus AS (
+      SELECT xq.vec_id, af.cid AS cid_f, s.cid AS cid_s, xq.q,
+             list_inner_product(xq.q, xq.q) AS nq
+      FROM xq
+      JOIN asg{_KM_FINAL} af USING (vec_id)
+      JOIN sasg{_KM_FINAL} s USING (vec_id)
+    ),
+    cents_f AS (
+      SELECT cid, list(c ORDER BY j) AS cq FROM ce{_KM_ROUNDS} GROUP BY cid
+    ),
+    cents_s AS (
+      SELECT cid, list(c ORDER BY j) AS cq FROM sce{_KM_ROUNDS} GROUP BY cid
+    ),
+    panel AS (
+      SELECT * FROM corpus
+      WHERE vec_id < {_DRIFT_PANEL_MAX}
+        AND vec_id % {_DRIFT_NEW_MOD} = {_DRIFT_NEW_RES}
+    ),
+    probes_f AS ({probe.format(dim=_KM_DIM, t="f", nprobe=_IVF_NPROBE)}),
+    probes_s AS ({probe.format(dim=_KM_DIM, t="s", nprobe=_IVF_NPROBE)}),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_inner_product(q.q, c.q)
+                            / (sqrt(q.nq) * sqrt(c.nq)) DESC,
+                          c.vec_id ASC) AS rk
+        FROM panel q JOIN corpus c ON c.vec_id <> q.vec_id)
+      WHERE rk <= {_TOPK}
+    ),
+    hits AS (
+      SELECT t.query_id,
+             CASE WHEN ps.cid IS NOT NULL THEN 1 ELSE 0 END AS found_s,
+             CASE WHEN pf.cid IS NOT NULL THEN 1 ELSE 0 END AS found_f
+      FROM truth t
+      JOIN corpus n ON n.vec_id = t.neighbor_id
+      LEFT JOIN probes_s ps
+        ON ps.query_id = t.query_id AND ps.cid = n.cid_s
+      LEFT JOIN probes_f pf
+        ON pf.query_id = t.query_id AND pf.cid = n.cid_f
+    )
+    SELECT query_id,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(found_s) AS BIGINT) AS n_found_stale,
+           CAST(sum(found_f) AS BIGINT) AS n_found_fresh,
+           CAST(floor(sum(found_s) * 1000000.0 / count(*)) AS BIGINT)
+             AS recall_stale_micro,
+           CAST(floor(sum(found_f) * 1000000.0 / count(*)) AS BIGINT)
+             AS recall_fresh_micro,
+           CAST(floor(sum(found_f) * 1000000.0 / count(*))
+                - floor(sum(found_s) * 1000000.0 / count(*)) AS BIGINT)
+             AS drift_micro
+    FROM hits
+    GROUP BY query_id
+    """
+    )
+
+
+@register("sim_search_ivf_drift_eval", oracle=None)  # set below
+def sim_search_ivf_drift_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF INDEX-MAINTENANCE EVAL — centroid drift (r10 verdict task
+    #6): as new data arrives, an IVF index built before the arrivals
+    routes queries through centroids that no longer describe the
+    corpus, and recall decays silently. This measures exactly that
+    serving-side number: for a panel of NEWLY-ARRIVED query vectors
+    (the lowest {_N_QUERIES} of the vec_id % 3 == 2 arrival slice),
+    recall@{_TOPK} of the STALE index (Lloyd trained on the
+    pre-arrival two-thirds, full corpus then assigned to those frozen
+    cells) is reported next to recall@{_TOPK} of the RETRAINED index
+    (the memoized full-corpus clustering — _KM_CACHE, shared with
+    every other k-means consumer), plus drift_micro = fresh - stale:
+    the number that schedules re-indexing (drift past a threshold →
+    retrain; ~0 → the arrivals still fit the old geometry and the
+    rebuild can wait).
+
+    Scale shape: panel-bounded like sim_search_ivf_recall_eval —
+    ground truth is broadcast-panel × corpus (the exact pass an index
+    build runs once); both probe routings are map-side broadcast
+    top-nprobe; the stale training is one extra memoized Lloyd run
+    over the old slice. Everything downstream of the assignments is
+    O(panel × k). Exact integer arithmetic end-to-end, so the eval
+    itself is oracle-attested (both Lloyd replays unrolled in DuckDB
+    CTEs)."""
+    final_f, cents_f = _km_final_assign(spark, sf_dir)
+    final_s, cents_s = _km_final_assign_stale(spark, sf_dir)
+    corpus = (
+        final_f.select(
+            "vec_id",
+            F.col("cid").alias("cid_f"),
+            "q",
+            F.expr(
+                "aggregate(zip_with(q, q, (a, b) -> a * b), 0L, "
+                "(acc, z) -> acc + z)"
+            ).alias("nq"),
+        )
+        .join(
+            final_s.select("vec_id", F.col("cid").alias("cid_s")), "vec_id"
+        )
+    )
+    panel = corpus.filter(
+        (F.col("vec_id") < _DRIFT_PANEL_MAX)
+        & (F.col("vec_id") % _DRIFT_NEW_MOD == _DRIFT_NEW_RES)
+    )
+    probes_f = _km_assign_topn(
+        panel.select("vec_id", "q"), _km_cent_row(cents_f), _IVF_NPROBE
+    ).select(F.col("vec_id").alias("query_id"), F.col("cid").alias("pcid"))
+    probes_s = _km_assign_topn(
+        panel.select("vec_id", "q"), _km_cent_row(cents_s), _IVF_NPROBE
+    ).select(F.col("vec_id").alias("query_id"), F.col("cid").alias("pcid"))
+    q_side = panel.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nq").alias("qnq"),
+    )
+    scored = (
+        F.broadcast(q_side)
+        .crossJoin(corpus)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cid_f",
+            "cid_s",
+            (
+                F.expr(
+                    "aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, "
+                    "(acc, z) -> acc + z)"
+                ).cast("double")
+                / (
+                    F.sqrt(F.col("qnq").cast("double"))
+                    * F.sqrt(F.col("nq").cast("double"))
+                )
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    truth = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK)
+        .select("query_id", "neighbor_id", "cid_f", "cid_s")
+    )
+    hits = (
+        truth.join(
+            F.broadcast(probes_s),
+            (truth["query_id"] == probes_s["query_id"])
+            & (truth["cid_s"] == probes_s["pcid"]),
+            "left",
+        )
+        .drop(probes_s["query_id"])
+        .withColumn(
+            "found_s", F.when(F.col("pcid").isNotNull(), 1).otherwise(0)
+        )
+        .drop("pcid")
+    )
+    hits = (
+        hits.join(
+            F.broadcast(probes_f),
+            (hits["query_id"] == probes_f["query_id"])
+            & (hits["cid_f"] == probes_f["pcid"]),
+            "left",
+        )
+        .drop(probes_f["query_id"])
+        .withColumn(
+            "found_f", F.when(F.col("pcid").isNotNull(), 1).otherwise(0)
+        )
+        .drop("pcid")
+    )
+    rs = F.floor(F.sum("found_s") * 1000000 / F.count("*")).cast("bigint")
+    rf = F.floor(F.sum("found_f") * 1000000 / F.count("*")).cast("bigint")
+    return hits.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("found_s").cast("bigint").alias("n_found_stale"),
+        F.sum("found_f").cast("bigint").alias("n_found_fresh"),
+        rs.alias("recall_stale_micro"),
+        rf.alias("recall_fresh_micro"),
+        (rf - rs).cast("bigint").alias("drift_micro"),
+    )
+
+
+from pyspark_xgboost_spark.registry import ORACLES as _SIM_ORACLES  # noqa: E402
+
+_SIM_ORACLES["sim_search_ivf_drift_eval"] = _km_drift_oracle()
+
+
 _SEM_EVAL_PANEL = 500  # fixed truth panel: vec_id < 500 (dedup_lsh_eval_pr)
 
 

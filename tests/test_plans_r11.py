@@ -68,3 +68,28 @@ def test_tokenizer_fertility_shares_tokenize_pass(spark):
     plan = plan_of(corpus_tokenizer_fertility(spark, SF_DIR))
     assert "rangepartitioning" not in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_drift_eval_panel_bounded(spark):
+    """The drift eval keeps the recall-eval discipline: both
+    clusterings are memoized artifacts (identity on repeat calls),
+    the ground-truth pass is broadcast-panel x corpus (never
+    corpus x corpus), and the stale/fresh probe routings are
+    broadcast joins."""
+    from pyspark_xgboost_spark.operators.similarity import (
+        _km_final_assign,
+        _km_final_assign_stale,
+        sim_search_ivf_drift_eval,
+    )
+
+    assert _km_final_assign_stale(spark, SF_DIR) is _km_final_assign_stale(
+        spark, SF_DIR
+    )
+    out = sim_search_ivf_drift_eval(spark, SF_DIR)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the only nested-loop is the broadcast panel attach; the corpus
+    # side must never self-join without the panel bound
+    rows = out.collect()
+    assert len(rows) == 10  # one row per panel query
+    assert all(r.k == 3 for r in rows)

@@ -2108,13 +2108,25 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, in
     merge list is memoized per source-data fingerprint — a trained
     tokenizer is an artifact, retraining it per query would be like
     refitting a model per inference batch."""
-    import pandas as pd
-
-    from pyspark_xgboost_spark.sources.formats import src_fingerprint
+    from pyspark_xgboost_spark.sources.formats import (
+        memo_key_lock,
+        src_fingerprint,
+    )
 
     cache_key = f"{sf_dir}:{src_fingerprint(sf_dir, 'documents')}"
     if cache_key in _BPE_CACHE:
         return _BPE_CACHE[cache_key]
+
+    with memo_key_lock(_BPE_CACHE, cache_key):
+        if cache_key in _BPE_CACHE:  # built while we waited
+            return _BPE_CACHE[cache_key]
+        return _bpe_train_uncached(spark, sf_dir, cache_key)
+
+
+def _bpe_train_uncached(
+    spark: SparkSession, sf_dir: str, cache_key: str
+) -> list[tuple[int, str, str, int]]:
+    import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents")
     vocab = (

@@ -1096,7 +1096,10 @@ def _km_final_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     retraining it per consuming query would be refitting a model per
     inference batch (the cached frames hold localCheckpointed RDDs,
     hence the session key: they die with the SparkContext)."""
-    from pyspark_xgboost_spark.sources.formats import src_fingerprint
+    from pyspark_xgboost_spark.sources.formats import (
+        memo_key_lock,
+        src_fingerprint,
+    )
 
     key = (
         f"{spark.sparkContext.applicationId}:{sf_dir}:"
@@ -1104,23 +1107,29 @@ def _km_final_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if key in _KM_CACHE:
         return _KM_CACHE[key]
-    xq = _km_xq(spark, sf_dir)
-    cents = xq.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
-    )
-    for _ in range(_KM_ROUNDS):
-        # k-row centroid table: localCheckpoint truncates the lineage so
-        # each round's plan is scan + broadcast-row + ONE partial-agg
-        # exchange, instead of re-deriving every prior round per branch
-        # (the graph_pagerank_fixed discipline; driver state is k×d ints)
-        cents = _km_update(
-            _km_assign(xq, _km_cent_row(cents))
-        ).localCheckpoint(eager=True)
-    # checkpoint the final assignment too: every consumer (report,
-    # SemDeDup self-join, IVF router) branches from it repeatedly
-    final = _km_assign(xq, _km_cent_row(cents)).localCheckpoint(eager=True)
-    _KM_CACHE[key] = (final, cents)
-    return final, cents
+    with memo_key_lock(_KM_CACHE, key):
+        if key in _KM_CACHE:  # trained while we waited on the lock
+            return _KM_CACHE[key]
+        xq = _km_xq(spark, sf_dir)
+        cents = xq.filter(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+        )
+        for _ in range(_KM_ROUNDS):
+            # k-row centroid table: localCheckpoint truncates the
+            # lineage so each round's plan is scan + broadcast-row +
+            # ONE partial-agg exchange, instead of re-deriving every
+            # prior round per branch (the graph_pagerank_fixed
+            # discipline; driver state is k×d ints)
+            cents = _km_update(
+                _km_assign(xq, _km_cent_row(cents))
+            ).localCheckpoint(eager=True)
+        # checkpoint the final assignment too: every consumer (report,
+        # SemDeDup self-join, IVF router) branches from it repeatedly
+        final = _km_assign(xq, _km_cent_row(cents)).localCheckpoint(
+            eager=True
+        )
+        _KM_CACHE[key] = (final, cents)
+        return final, cents
 
 
 def _km_oracle_ctes() -> str:

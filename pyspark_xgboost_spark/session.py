@@ -14,7 +14,11 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "pyspark_xgboost_spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "pyspark_xgboost_spark",
+    cpus: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     builder = (
@@ -36,6 +40,8 @@ def get_spark(app_name: str = "pyspark_xgboost_spark", cpus: int | None = None) 
         # conf — takes effect on first session creation in the JVM.
         .config("spark.sql.codegen.cache.maxEntries", "4096")
     )
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -18,9 +18,12 @@ downstream.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
+import fcntl as _fcntl
 import itertools
 import os
 import shutil
+import threading as _threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
@@ -31,7 +34,13 @@ from pyspark_xgboost_spark.sources import load_table
 
 _SINK_COUNTER = itertools.count()
 
-_SCRATCH = "/tmp/spark_graft_scratch"
+# Optional scratch NAMESPACE: a concurrent sibling process (the test
+# suite's overlapped smoke-sweep subprocess) sets SPARK_GRAFT_TMP_NS to
+# stage into its own /tmp tree, so two processes never contend on the
+# same check-marker-then-build artifact. Namespaced trees are
+# fingerprint-keyed like the canonical one and stay warm across runs.
+TMP_NS = os.environ.get("SPARK_GRAFT_TMP_NS", "")
+_SCRATCH = f"/tmp/spark_graft_scratch{TMP_NS}"
 
 
 def src_fingerprint(sf_dir: str, table: str) -> str:
@@ -41,6 +50,21 @@ def src_fingerprint(sf_dir: str, table: str) -> str:
     silently serving stale staged data (round-1 advice)."""
     st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
     return f"{st.st_size}_{st.st_mtime_ns}"
+
+
+_MEMO_GUARD = _threading.Lock()
+_MEMO_KEY_LOCKS: dict[tuple[int, str], object] = {}
+
+
+def memo_key_lock(cache, key: str):
+    """A threading.Lock unique to (cache, key) — lets concurrent
+    consumers of ONE artifact serialize on its build while different
+    artifacts build in parallel (used by every memo cache; also
+    available to the hand-rolled _BPE_CACHE/_KM_CACHE memos)."""
+    with _MEMO_GUARD:
+        return _MEMO_KEY_LOCKS.setdefault(
+            (id(cache), key), _threading.Lock()
+        )
 
 
 def memo_by_fingerprint(cache, spark, sf_dir, table, build):
@@ -65,15 +89,45 @@ def memo_by_fingerprint(cache, spark, sf_dir, table, build):
     app = spark.sparkContext.applicationId
     prefix = f"{app}:{sf_dir}:"
     key = prefix + fp
-    if key not in cache:
-        for stale in [
-            k
-            for k in cache
-            if k.startswith(prefix) or not k.startswith(f"{app}:")
-        ]:
-            del cache[stale]
-        cache[key] = build()
+    if key in cache:
+        return cache[key]
+    # double-checked per-(cache, key) lock: a wide thread pool (the
+    # smoke sweep) otherwise launches the expensive build N times in
+    # parallel — every consumer pays the build instead of one
+    with memo_key_lock(cache, key):
+        if key not in cache:
+            for stale in [
+                k
+                for k in cache
+                if k.startswith(prefix) or not k.startswith(f"{app}:")
+            ]:
+                del cache[stale]
+            cache[key] = build()
     return cache[key]
+
+
+@_contextlib.contextmanager
+def build_lock(path: str):
+    """Exclusive flock for a check-marker-then-build staging section.
+
+    The staging protocol everywhere in this repo is 'if marker missing:
+    rmtree + rebuild + write marker'. That is idempotent but NOT safe
+    to race: two threads (a wide smoke pool) or two processes (pytest
+    next to a bench run) building the SAME artifact can interleave the
+    rmtree with the other's read. Callers take this lock around the
+    whole section and RE-CHECK the marker inside, so the loser of the
+    race finds the artifact built and just reads it. The lock file is
+    a SIBLING of the artifact dir (never inside it — the build rmtrees
+    the dir), and flock gives both thread- and process-scope on Linux."""
+    parent = os.path.dirname(path.rstrip("/")) or "."
+    os.makedirs(parent, exist_ok=True)
+    lf = open(f"{path.rstrip('/')}.lock", "a")
+    try:
+        _fcntl.flock(lf, _fcntl.LOCK_EX)
+        yield
+    finally:
+        _fcntl.flock(lf, _fcntl.LOCK_UN)
+        lf.close()
 
 
 def gc_stale_siblings(parent: str, prefix: str, keep: str) -> None:
@@ -101,8 +155,10 @@ def _stage(spark: SparkSession, sf_dir: str, table: str, fmt: str) -> str:
     gc_stale_siblings(parent, f"{table}_{fmt}_", leaf)
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
-        df = load_table(spark, sf_dir, table)
-        df.write.mode("overwrite").format(fmt).save(out)
+        with build_lock(out):
+            if not os.path.exists(marker):
+                df = load_table(spark, sf_dir, table)
+                df.write.mode("overwrite").format(fmt).save(out)
     return out
 
 
@@ -2257,8 +2313,12 @@ def _prune_staged_path(sf_dir: str) -> str:
     path EMBEDS sf_dir verbatim ('/tmp/spark_graft_prune' + sf_dir) so
     the oracle's literal sf0.01 path is rewritten by check_oracle's
     directory substitution at other SFs — the scan_parquet_footer_stats
-    path contract extended to staged artifacts."""
-    return os.path.join("/tmp/spark_graft_prune" + sf_dir, "prune_li.parquet")
+    path contract extended to staged artifacts. TMP_NS-namespaced like
+    every staged root (the oracle is only evaluated by check_oracle,
+    which never sets the namespace, so its canonical literal holds)."""
+    return os.path.join(
+        f"/tmp/spark_graft_prune{TMP_NS}" + sf_dir, "prune_li.parquet"
+    )
 
 
 def _stage_prune_file(spark: SparkSession, sf_dir: str) -> str:

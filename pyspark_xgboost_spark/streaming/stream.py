@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from pyspark_xgboost_spark.registry import register
+from pyspark_xgboost_spark.sources.formats import TMP_NS
 from pyspark_xgboost_spark.sources import normalize_event_ts
 from pyspark_xgboost_spark.streaming.windows import session_agg, tumbling_agg
 
@@ -39,11 +40,14 @@ def _events_stream_dir(sf_dir: str) -> str:
     landing zone receiving new files); stage one containing a symlink to
     the single events.parquet. Idempotent per sf_dir."""
     key = sf_dir.strip("/").replace("/", "_")
-    d = os.path.join("/tmp", "spark_stream_src", key)
+    d = os.path.join("/tmp", f"spark_stream_src{TMP_NS}", key)
     link = os.path.join(d, "events.parquet")
     if not os.path.islink(link):
         os.makedirs(d, exist_ok=True)
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        try:
+            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        except FileExistsError:
+            pass  # concurrent stager won the race — same target
     return d
 
 
@@ -301,7 +305,7 @@ def events_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     _PIPELINE_V = "v2"
     key = sf_dir.strip("/").replace("/", "_")
     fp = f"{src_fingerprint(sf_dir, 'events')}_{_PIPELINE_V}"
-    parent = os.path.join("/tmp", "spark_stream_sink", key)
+    parent = os.path.join("/tmp", f"spark_stream_sink{TMP_NS}", key)
     gc_stale_siblings(parent, "tumbling_", f"tumbling_{fp}")
     gc_stale_siblings(parent, "ckpt_", f"ckpt_{fp}")
     out_dir = os.path.join(parent, f"tumbling_{fp}")
@@ -396,7 +400,7 @@ def events_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     key = sf_dir.strip("/").replace("/", "_")
-    out_dir = os.path.join("/tmp", "spark_stream_sink", key, "foreach_parts")
+    out_dir = os.path.join("/tmp", f"spark_stream_sink{TMP_NS}", key, "foreach_parts")
     if os.path.exists(out_dir):
         _shutil.rmtree(out_dir)
 
@@ -492,7 +496,7 @@ def _events_jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
 
     key = sf_dir.strip("/").replace("/", "_")
     fp = src_fingerprint(sf_dir, "events")
-    parent = os.path.join("/tmp", "spark_stream_src_jsonl", key)
+    parent = os.path.join("/tmp", f"spark_stream_src_jsonl{TMP_NS}", key)
     d = os.path.join(parent, f"jsonl_{fp}")
     gc_stale_siblings(parent, "jsonl_", f"jsonl_{fp}")
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
@@ -885,6 +889,7 @@ def _stage_seq_batches(spark, sf_dir, leaf_prefix, make_batch, n_batches=3):
     from pyspark_xgboost_spark.sources import load_table
     from pyspark_xgboost_spark.sources.formats import (
         _SCRATCH,
+        build_lock,
         gc_stale_siblings,
         src_fingerprint,
     )
@@ -894,22 +899,27 @@ def _stage_seq_batches(spark, sf_dir, leaf_prefix, make_batch, n_batches=3):
     leaf = f"{leaf_prefix}{src_fingerprint(sf_dir, 'documents')}"
     gc_stale_siblings(parent, leaf_prefix, leaf)
     root = os.path.join(parent, leaf)
-    if not os.path.exists(os.path.join(root, "_DONE")):
-        shutil.rmtree(root, ignore_errors=True)
-        os.makedirs(os.path.join(root, "in"))
-        docs = load_table(spark, sf_dir, "documents")
-        now = _time.time()
-        for i in range(n_batches):
-            part = make_batch(docs, i)
-            tmp = os.path.join(root, f"tmp{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(tmp)
-            srcf = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(root, "in", f"batch-{i:03d}.parquet")
-            os.rename(srcf, dst)
-            os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
-            shutil.rmtree(tmp, ignore_errors=True)
-        with open(os.path.join(root, "_DONE"), "w") as fh:
-            fh.write("ok")
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        with build_lock(root):
+            if not os.path.exists(done):
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(os.path.join(root, "in"))
+                docs = load_table(spark, sf_dir, "documents")
+                now = _time.time()
+                for i in range(n_batches):
+                    part = make_batch(docs, i)
+                    tmp = os.path.join(root, f"tmp{i}")
+                    part.coalesce(1).write.mode("overwrite").parquet(tmp)
+                    srcf = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+                    dst = os.path.join(root, "in", f"batch-{i:03d}.parquet")
+                    os.rename(srcf, dst)
+                    os.utime(
+                        dst, (now - 300 + i * 100, now - 300 + i * 100)
+                    )
+                    shutil.rmtree(tmp, ignore_errors=True)
+                with open(done, "w") as fh:
+                    fh.write("ok")
     return root
 
 
@@ -975,61 +985,18 @@ def stream_merge_upsert_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     itself, not the state store, so the streaming query is stateless
     and the checkpoint holds only source offsets. Batch sequence comes
     from the DATA (seq column), not the sink's batch_id."""
-    import shutil
-    import tempfile
-
     root = _stage_merge_batches(spark, sf_dir)
     tbl = os.path.join(root, "table")
     final_marker = os.path.join(tbl, "_FINAL")
     if not os.path.exists(final_marker):
-        shutil.rmtree(tbl, ignore_errors=True)
-        os.makedirs(tbl)
-        state: dict[str, Any] = {"cur": None}
+        # three queries (merge, CDF, vacuum) ensure this chain — the
+        # lock + re-check makes concurrent ensures build-once (the
+        # build_lock staging discipline)
+        from pyspark_xgboost_spark.sources.formats import build_lock
 
-        def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-            if batch_df.isEmpty():
-                return
-            # within-batch LWW on the merge key (defensive: each staged
-            # file carries one seq, but a MERGE must be key-unique)
-            b = batch_df.groupBy("doc_id").agg(F.max("seq").alias("seq"))
-            if state["cur"] is None:
-                merged = b.select(
-                    "doc_id",
-                    F.col("seq").alias("last_batch"),
-                    F.lit(1).alias("times_written"),
-                )
-            else:
-                cur = batch_df.sparkSession.read.parquet(state["cur"])
-                merged = (
-                    cur.alias("t")
-                    .join(b.alias("s"), "doc_id", "full_outer")
-                    .select(
-                        "doc_id",
-                        F.coalesce(F.col("s.seq"), F.col("t.last_batch")).alias(
-                            "last_batch"
-                        ),
-                        (
-                            F.coalesce(F.col("t.times_written"), F.lit(0))
-                            + F.when(F.col("s.seq").isNotNull(), 1).otherwise(0)
-                        ).alias("times_written"),
-                    )
-                )
-            nxt = os.path.join(tbl, f"v{batch_id:03d}")
-            merged.write.mode("overwrite").parquet(nxt)
-            state["cur"] = nxt
-
-        q = (
-            spark.readStream.schema("doc_id long, seq int")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(os.path.join(root, "in"))
-            .writeStream.foreachBatch(merge_batch)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="merge_ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        with open(final_marker, "w") as fh:
-            fh.write(state["cur"])
+        with build_lock(tbl):
+            if not os.path.exists(final_marker):
+                _build_merge_chain(spark, root, tbl, final_marker)
     with open(final_marker) as fh:
         final_dir = fh.read()
     fin = spark.read.parquet(final_dir)
@@ -1040,6 +1007,64 @@ def stream_merge_upsert_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("times_written").cast("bigint").alias("writes"),
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
     )
+
+
+def _build_merge_chain(
+    spark: SparkSession, root: str, tbl: str, final_marker: str
+) -> None:
+    """Run the 3-batch foreachBatch MERGE and leave the versioned
+    copy-on-write chain under ``tbl`` (marker names the final version)."""
+    import shutil
+    import tempfile
+
+    shutil.rmtree(tbl, ignore_errors=True)
+    os.makedirs(tbl)
+    state: dict[str, Any] = {"cur": None}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # within-batch LWW on the merge key (defensive: each staged
+        # file carries one seq, but a MERGE must be key-unique)
+        b = batch_df.groupBy("doc_id").agg(F.max("seq").alias("seq"))
+        if state["cur"] is None:
+            merged = b.select(
+                "doc_id",
+                F.col("seq").alias("last_batch"),
+                F.lit(1).alias("times_written"),
+            )
+        else:
+            cur = batch_df.sparkSession.read.parquet(state["cur"])
+            merged = (
+                cur.alias("t")
+                .join(b.alias("s"), "doc_id", "full_outer")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("s.seq"), F.col("t.last_batch")).alias(
+                        "last_batch"
+                    ),
+                    (
+                        F.coalesce(F.col("t.times_written"), F.lit(0))
+                        + F.when(F.col("s.seq").isNotNull(), 1).otherwise(0)
+                    ).alias("times_written"),
+                )
+            )
+        nxt = os.path.join(tbl, f"v{batch_id:03d}")
+        merged.write.mode("overwrite").parquet(nxt)
+        state["cur"] = nxt
+
+    q = (
+        spark.readStream.schema("doc_id long, seq int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(root, "in"))
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="merge_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    with open(final_marker, "w") as fh:
+        fh.write(state["cur"])
 
 
 @register(

@@ -8,55 +8,92 @@ sys.path.insert(0, "/root/repo")
 
 SF_DIR = "/root/testdata/sf0.001"
 
-_LC_TEST = "test_barrier_training_across_executor_jvms"
+def _script_lc():
+    from tests.test_local_cluster import _SCRIPT
+
+    return _SCRIPT
+
+
+def _script_sweep():
+    from tests.test_relational import _SWEEP_SCRIPT
+
+    return _SWEEP_SCRIPT
+
+
+def _script_typing():
+    from tests.test_oracle_typing import _TYPING_SCRIPT
+
+    return _TYPING_SCRIPT
+
+
+# (test name, config attr the test joins on, script getter) — each is a
+# long-running, fully-isolated unit of work (own Spark master / own
+# TMP_NS staging tree / no Spark at all) launched at collection time so
+# its wall-clock overlaps the rest of the suite; the test only joins.
+_OVERLAPPED = [
+    ("test_barrier_training_across_executor_jvms", "_lc_proc", _script_lc),
+    ("test_query_runs_all", "_sweep_proc", _script_sweep),
+    ("test_no_oracle_emits_hugeint_or_decimal", "_typing_proc", _script_typing),
+]
 
 
 def pytest_collection_modifyitems(config, items):
-    """Overlap the local-cluster deployment test with the whole suite.
+    """Overlap the isolated long-running tests with the whole suite.
 
-    That test spends ~40s in a SUBPROCESS (its own Spark master — it
-    cannot share the fixture JVM), which is pure wall-clock overlap
+    Each _OVERLAPPED entry spends its time in a SUBPROCESS (its own
+    Spark master / its own namespaced scratch tree — nothing shared
+    with the fixture JVM), which is pure wall-clock overlap
     opportunity: launch the subprocess as soon as collection shows the
-    test will run, let every other test execute while the cluster
-    spins/trains, and have the test itself only join + assert. A
-    targeted run that doesn't select the test never launches it.
+    test will run, let every other test execute meanwhile, and have
+    the test itself only join + assert. A targeted run that doesn't
+    select the test never launches it.
 
     Guards (r9 ADVICE): -k/-m deselection runs AFTER this hook and
     --collect-only never executes tests, so in those modes we skip the
-    eager launch (the test falls back to a synchronous subprocess) —
-    otherwise a deselected test would orphan a ~40s JVM with an unread
-    stdout pipe. pytest_unconfigure below reaps the process if the run
-    aborts before the test consumes it."""
+    eager launch (each test falls back to running its work inline) —
+    otherwise a deselected test would orphan a JVM with an unread
+    stdout pipe. pytest_unconfigure below reaps any process the run
+    aborted before consuming."""
     opt = config.option
     if getattr(opt, "collectonly", False):
         return
     if getattr(opt, "keyword", "") or getattr(opt, "markexpr", ""):
         return
-    if any(it.name == _LC_TEST for it in items):
-        import subprocess
+    import subprocess
 
-        from tests.test_local_cluster import _SCRIPT
-
-        config._lc_proc = subprocess.Popen(
-            [sys.executable, "-c", _SCRIPT],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-        )
+    names = {it.name for it in items}
+    for test_name, attr, script in _OVERLAPPED:
+        if test_name in names:
+            setattr(
+                config,
+                attr,
+                subprocess.Popen(
+                    # niced: the overlapped work has the whole suite's
+                    # wall-clock of slack, so it must take LEFTOVER
+                    # cycles — at equal priority the three subprocesses
+                    # inflated the foreground tests by as much time as
+                    # the overlap saved
+                    ["nice", "-n", "15", sys.executable, "-c", script()],
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                    text=True,
+                ),
+            )
 
 
 def pytest_unconfigure(config):
-    """Reap the local-cluster subprocess if the test never joined it
+    """Reap overlapped subprocesses their tests never joined
     (deselection after launch, skip, or an -x abort earlier in the
-    suite) — otherwise the JVM outlives pytest and can block on a full
+    suite) — otherwise a JVM outlives pytest and can block on a full
     unread stdout pipe."""
-    proc = getattr(config, "_lc_proc", None)
-    if proc is not None and proc.returncode is None:
-        proc.kill()
-        try:
-            proc.communicate(timeout=30)
-        except Exception:
-            pass
+    for _, attr, _s in _OVERLAPPED:
+        proc = getattr(config, attr, None)
+        if proc is not None and proc.returncode is None:
+            proc.kill()
+            try:
+                proc.communicate(timeout=30)
+            except Exception:
+                pass
 
 
 @pytest.fixture(scope="session")

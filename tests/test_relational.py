@@ -35,37 +35,101 @@ def _smoke_one(spark, name):
     assert rows is not None
 
 
+# sink_dynamic_partition_overwrite flips the session-wide
+# partitionOverwriteMode conf around its write; the only other query
+# whose write semantics that conf touches is the partitioned parquet
+# sink — keep the pair on one sequential mini-lane so the conf window
+# cannot straddle the other's overwrite.
+_OVERWRITE_LANE = ("sink_dynamic_partition_overwrite", "sink_parquet_partitioned")
+
+# the docbin Python-DataSource family shares spark.dataSource.register
+# (a session-global registry whose concurrent registration is not
+# thread-safe — racing it intermittently fails the subsequent
+# .format("docbin") resolution) — one sequential mini-lane
+_DOCBIN_LANE = ("scan_python_datasource", "sink_python_datasource_write")
+
+
 def _smoke_lanes():
     """Partition the smoke set into concurrency lanes.
 
-    Queries from sources/formats.py and streaming/stream.py stage
-    fingerprint-keyed artifacts under /tmp scratch with a
-    check-marker-then-build protocol that is NOT safe to race from two
-    threads building the SAME artifact — so each of those modules runs
-    as ONE sequential lane; everything else is embarrassingly parallel
-    and fans out over a thread pool (Spark's scheduler interleaves the
-    jobs; results are partition-count-invariant by design, so the
-    transient shuffle-conf writes the streaming helpers make cannot
-    change any answer)."""
+    Since round 11 every shared check-marker-then-build staging
+    scaffold takes a build_lock (sources/formats.py), so concurrent
+    builders of the SAME artifact serialize on the artifact itself —
+    the old per-module sequential lanes (which made the two staging
+    modules the sweep's 25-30s critical path) collapse into one wide
+    pool. Spark's scheduler interleaves the jobs; results are
+    partition-count-invariant by design, so the transient shuffle-conf
+    writes the streaming helpers make cannot change any answer. The
+    remaining lanes are the partition-overwrite conf pair and the
+    docbin registration pair."""
     names = sorted(set(all_queries()) - _SMOKE_SKIP)
-    lanes: dict[str, list[str]] = {"formats": [], "stream": [], "pool": []}
+    laned = set(_OVERWRITE_LANE) | set(_DOCBIN_LANE)
+    return {
+        "overwrite": [n for n in _OVERWRITE_LANE if n in names],
+        "docbin": [n for n in _DOCBIN_LANE if n in names],
+        "pool": [n for n in names if n not in laned],
+    }
+
+
+# The sweep body, runnable as a standalone SUBPROCESS: its own Spark
+# session (the sweep is Python-driver/GIL-bound, so a second process is
+# the only real parallelism), its own TMP_NS-namespaced staging tree and
+# warehouse dir (zero filesystem contention with the main suite's
+# queries), launched at pytest COLLECTION time by conftest so its ~30s
+# fully overlap the rest of the suite — the local-cluster test's
+# discipline applied to the smoke sweep.
+_SWEEP_SCRIPT = r"""
+import json, os, sys
+os.environ["SPARK_GRAFT_TMP_NS"] = "_sweep"
+sys.path.insert(0, "/root/repo")
+from concurrent.futures import ThreadPoolExecutor
+from pyspark_xgboost_spark.session import get_spark
+from tests.test_relational import _smoke_lanes, _smoke_one
+
+spark = get_spark(
+    "smoke-sweep",
+    cpus=12,
+    extra_confs={"spark.sql.warehouse.dir": "/tmp/spark_sweep_wh"},
+)
+lanes = _smoke_lanes()
+failures = []
+
+def run_one(name):
+    try:
+        _smoke_one(spark, name)
+    except Exception as e:
+        failures.append((name, repr(e)[:300]))
+
+def run_lane(names):
     for n in names:
-        mod = all_queries()[n].__module__
-        if mod.endswith("sources.formats"):
-            lanes["formats"].append(n)
-        elif mod.endswith("streaming.stream"):
-            lanes["stream"].append(n)
-        else:
-            lanes["pool"].append(n)
-    return lanes
+        run_one(n)
+
+with ThreadPoolExecutor(max_workers=24) as ex:
+    futs = [ex.submit(run_lane, lanes[k]) for k in lanes if k != "pool"]
+    futs += [ex.submit(run_one, n) for n in lanes["pool"]]
+    for f in futs:
+        f.result()
+print("SWEEP_RESULT " + json.dumps(failures))
+sys.exit(1 if failures else 0)
+"""
 
 
-def test_query_runs_all(spark):
+def test_query_runs_all(request, spark):
     """Every registered query runs and yields a stable schema at
-    sf0.001 — executed as a THREAD-PARALLEL sweep (two sequential
-    staging lanes + an 8-wide pool) instead of ~290 sequential pytest
-    cases: same coverage, ~1/3 of the wall-clock. Failures are
-    collected and reported per query name."""
+    sf0.001 — executed as a THREAD-PARALLEL sweep (a 24-wide pool +
+    the overwrite-conf mini-lane; shared staging serializes on
+    build_lock) instead of ~360 sequential pytest cases. In a full
+    suite run the sweep was already LAUNCHED AT COLLECTION TIME in an
+    isolated subprocess (see _SWEEP_SCRIPT) and this test only joins
+    it; targeted runs fall back to the same sweep in-process."""
+    proc = getattr(request.config, "_sweep_proc", None)
+    if proc is not None:
+        request.config._sweep_proc = None  # consumed
+        out, _ = proc.communicate(timeout=900)
+        tail = "\n".join(out.splitlines()[-15:])
+        assert proc.returncode == 0, f"sweep subprocess failed:\n{tail}"
+        return
+
     from concurrent.futures import ThreadPoolExecutor
 
     lanes = _smoke_lanes()
@@ -81,10 +145,9 @@ def test_query_runs_all(spark):
         for n in names:
             run_one(n)
 
-    with ThreadPoolExecutor(max_workers=10) as ex:
+    with ThreadPoolExecutor(max_workers=24) as ex:
         futs = [
-            ex.submit(run_lane, lanes["formats"]),
-            ex.submit(run_lane, lanes["stream"]),
+            ex.submit(run_lane, lanes[k]) for k in lanes if k != "pool"
         ]
         futs += [ex.submit(run_one, n) for n in lanes["pool"]]
         for f in futs:

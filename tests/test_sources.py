@@ -29,7 +29,14 @@ def test_stage_gc_keeps_one_copy_per_table(spark, tmp_path):
     assert second != first  # new fingerprint → new staged dir
     assert not os.path.exists(first)  # stale sibling collected
     parent = os.path.join(_SCRATCH, str(data_dir).strip("/").replace("/", "_"))
-    siblings = [n for n in os.listdir(parent) if n.startswith("region_csv_")]
+    siblings = [
+        n
+        for n in os.listdir(parent)
+        if n.startswith("region_csv_") and not n.endswith(".lock")
+        # .lock files are build_lock's zero-byte flock anchors: left in
+        # place on purpose (removing one a process still holds would
+        # split later lockers onto a fresh inode, breaking exclusion)
+    ]
     assert siblings == [os.path.basename(second)]
 
 

@@ -342,6 +342,7 @@ HEADLINE = [
     "stream_decontaminate_incremental",
     "corpus_tokenizer_fertility",
     "sim_search_ivf_drift_eval",
+    "stream_hll_incremental",
 ]
 
 

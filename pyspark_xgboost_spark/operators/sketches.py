@@ -621,11 +621,72 @@ def _hll_hex12_sql(hexpr: str) -> str:
     )
 
 
-@register(
-    "agg_hll_portable",
-    oracle=f"""
+def hll_registers(pairs: DataFrame) -> DataFrame:
+    """(g, id) -> portable-HLL register rows (g, reg, m): 48-bit md5
+    prefix hash, reg = hv mod m, rank from length(bin(...)) — the ONE
+    register derivation shared by the batch HLL, the rollup merge, and
+    the streaming incremental maintenance, so sketch state written by
+    one can always be max-merged with another's."""
+    hv = pairs.distinct().select(
+        "g",
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    rr = hv.select(
+        "g",
+        (F.col("hv") % _HLL_M).alias("reg"),
+        F.when(F.expr(f"hv div {_HLL_M}") == 0, F.lit(_HLL_RANKBITS))
+        .otherwise(
+            _HLL_RANKBITS - F.length(F.expr(f"bin(hv div {_HLL_M})"))
+        )
+        .cast("bigint")
+        .alias("rank"),
+    )
+    return rr.groupBy("g", "reg").agg(F.max("rank").alias("m"))
+
+
+def hll_report(spark: SparkSession, regs: DataFrame, groups: DataFrame) -> DataFrame:
+    """Register table (g, reg, m) + group universe -> per-group
+    (g, reg_fp, n_zero_regs, est_milli): the dense-grid estimate with
+    the linear-counting small-range correction, exactly as
+    agg_hll_portable's oracle replays it."""
+    grid = (
+        groups.crossJoin(
+            F.broadcast(
+                spark.range(_HLL_M).select(F.col("id").alias("reg"))
+            )
+        )
+        .join(regs, ["g", "reg"], "left")
+        .select("g", "reg", F.coalesce("m", F.lit(0)).alias("m"))
+    )
+    est = grid.groupBy("g").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("v"),
+        F.sum(F.col("m") * (F.col("reg") + 1)).cast("bigint").alias("reg_fp"),
+    )
+    raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("s")
+    e_col = F.when(
+        (raw <= _HLL_M * 5 / 2.0) & (F.col("v") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(_HLL_M * 1.0) / F.col("v")),
+    ).otherwise(raw)
+    return est.select(
+        "g",
+        "reg_fp",
+        F.col("v").cast("bigint").alias("n_zero_regs"),
+        F.floor(e_col * 1000).cast("bigint").alias("est_milli"),
+    )
+
+
+def hll_oracle_sql(table: str, g_expr: str, id_expr: str) -> str:
+    """Parameterized DuckDB replay of the portable-HLL pipeline
+    (registers + dense-grid estimate + exact referee + 3-sigma gate) —
+    shared by the batch HLL over orders and the streaming incremental
+    HLL over events, because max-merge associativity makes the
+    incremental registers IDENTICAL to the one-shot registers."""
+    return f"""
     WITH k AS (
-      SELECT DISTINCT o_orderpriority AS g, o_custkey AS id FROM orders
+      SELECT DISTINCT {g_expr} AS g, {id_expr} AS id FROM {table}
     ),
     hv AS (
       SELECT g, CAST({_hll_hex12_sql('h')} AS BIGINT) AS hv
@@ -644,7 +705,7 @@ def _hll_hex12_sql(hexpr: str) -> str:
     ),
     grid AS (
       SELECT t.g, gg.reg, COALESCE(regs.m, 0) AS m
-      FROM (SELECT DISTINCT o_orderpriority AS g FROM orders) t
+      FROM (SELECT DISTINCT {g_expr} AS g FROM {table}) t
       CROSS JOIN (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS reg) gg
       LEFT JOIN regs ON regs.g = t.g AND regs.reg = gg.reg
     ),
@@ -656,9 +717,9 @@ def _hll_hex12_sql(hexpr: str) -> str:
       FROM grid GROUP BY g
     ),
     ex AS (
-      SELECT o_orderpriority AS g,
-             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
-      FROM orders GROUP BY g
+      SELECT {g_expr} AS g,
+             CAST(count(DISTINCT {id_expr}) AS BIGINT) AS n_exact
+      FROM {table} GROUP BY {g_expr}
     )
     SELECT e.g AS grp, ex.n_exact, e.reg_fp,
            CAST(e.v AS BIGINT) AS n_zero_regs,
@@ -676,7 +737,12 @@ def _hll_hex12_sql(hexpr: str) -> str:
                      <= 0.195 * ex.n_exact
                 THEN 1 ELSE 0 END AS INTEGER) AS within_3sigma
     FROM est e JOIN ex USING (g)
-    """,
+    """
+
+
+@register(
+    "agg_hll_portable",
+    oracle=hll_oracle_sql("orders", "o_orderpriority", "o_custkey"),
 )
 def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PORTABLE HYPERLOGLOG (Flajolet et al. 2007) — a HyperLogLog
@@ -702,62 +768,29 @@ def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmap-exact form outgrows memory and approx_count_distinct's
     engine lock-in is unacceptable."""
     orders = load_table(spark, sf_dir, "orders")
-    k = orders.select(
-        F.col("o_orderpriority").alias("g"), F.col("o_custkey").alias("id")
-    ).distinct()
-    hv = k.select(
-        "g",
-        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 12), 16, 10)
-        .cast("bigint")
-        .alias("hv"),
-    )
-    rr = hv.select(
-        "g",
-        (F.col("hv") % _HLL_M).alias("reg"),
-        F.when(F.expr(f"hv div {_HLL_M}") == 0, F.lit(_HLL_RANKBITS))
-        .otherwise(
-            _HLL_RANKBITS - F.length(F.expr(f"bin(hv div {_HLL_M})"))
+    regs = hll_registers(
+        orders.select(
+            F.col("o_orderpriority").alias("g"),
+            F.col("o_custkey").alias("id"),
         )
-        .cast("bigint")
-        .alias("rank"),
     )
-    regs = rr.groupBy("g", "reg").agg(F.max("rank").alias("m"))
     groups = orders.select(
         F.col("o_orderpriority").alias("g")
     ).distinct()
-    grid = (
-        groups.crossJoin(
-            F.broadcast(
-                spark.range(_HLL_M).select(F.col("id").alias("reg"))
-            )
-        )
-        .join(regs, ["g", "reg"], "left")
-        .select("g", "reg", F.coalesce("m", F.lit(0)).alias("m"))
-    )
-    est = grid.groupBy("g").agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s"),
-        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("v"),
-        F.sum(F.col("m") * (F.col("reg") + 1)).cast("bigint").alias("reg_fp"),
-    )
+    rep = hll_report(spark, regs, groups)
     ex = orders.groupBy(F.col("o_orderpriority").alias("g")).agg(
         F.count_distinct("o_custkey").cast("bigint").alias("n_exact")
     )
-    raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("s")
-    e_col = F.when(
-        (raw <= _HLL_M * 5 / 2.0) & (F.col("v") > 0),
-        F.lit(float(_HLL_M)) * F.log(F.lit(_HLL_M * 1.0) / F.col("v")),
-    ).otherwise(raw)
-    est_milli = F.floor(e_col * 1000).cast("bigint")
     return (
-        est.join(ex, "g")
+        rep.join(ex, "g")
         .select(
             F.col("g").alias("grp"),
             "n_exact",
             "reg_fp",
-            F.col("v").cast("bigint").alias("n_zero_regs"),
-            est_milli.alias("est_milli"),
+            "n_zero_regs",
+            "est_milli",
             F.when(
-                F.abs(est_milli.cast("double") / 1000 - F.col("n_exact"))
+                F.abs(F.col("est_milli").cast("double") / 1000 - F.col("n_exact"))
                 <= 0.195 * F.col("n_exact"),
                 1,
             )

@@ -875,13 +875,16 @@ def events_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def _stage_seq_batches(spark, sf_dir, leaf_prefix, make_batch, n_batches=3):
+def _stage_seq_batches(
+    spark, sf_dir, leaf_prefix, make_batch, n_batches=3, table="documents"
+):
     """Shared staging scaffold for ordered file-stream batches: one
     parquet file per sequence number, mtime-pinned so the file
     source's (modTime, path) order IS the batch order, fingerprint-
     keyed and _DONE-marked (idempotent; stale siblings GC'd).
-    ``make_batch(docs, seq)`` returns batch seq's rows — the only part
-    the two CDC fixtures (merge/SCD2 vs near-dup) differ in."""
+    ``make_batch(src, seq)`` returns batch seq's rows over the loaded
+    ``table`` — the only part the fixtures (CDC merge/SCD2, near-dup,
+    decontamination, HLL) differ in."""
     import glob
     import shutil
     import time as _time
@@ -896,7 +899,7 @@ def _stage_seq_batches(spark, sf_dir, leaf_prefix, make_batch, n_batches=3):
 
     key = sf_dir.strip("/").replace("/", "_")
     parent = os.path.join(_SCRATCH, key)
-    leaf = f"{leaf_prefix}{src_fingerprint(sf_dir, 'documents')}"
+    leaf = f"{leaf_prefix}{src_fingerprint(sf_dir, table)}"
     gc_stale_siblings(parent, leaf_prefix, leaf)
     root = os.path.join(parent, leaf)
     done = os.path.join(root, "_DONE")
@@ -905,7 +908,7 @@ def _stage_seq_batches(spark, sf_dir, leaf_prefix, make_batch, n_batches=3):
             if not os.path.exists(done):
                 shutil.rmtree(root, ignore_errors=True)
                 os.makedirs(os.path.join(root, "in"))
-                docs = load_table(spark, sf_dir, "documents")
+                docs = load_table(spark, sf_dir, table)
                 now = _time.time()
                 for i in range(n_batches):
                     part = make_batch(docs, i)
@@ -2071,3 +2074,146 @@ def _decon_incremental_oracle() -> str:
 
 
 _ORACLES["stream_decontaminate_incremental"] = _decon_incremental_oracle()
+
+
+# --------------------------------------------------------------------------
+# Incremental HLL maintenance: streaming batches max-merge portable-HLL
+# registers into a persisted sketch table (the index-maintenance family
+# — near-dup r10, decontamination r11 — applied to sketch state)
+# --------------------------------------------------------------------------
+
+
+def _stage_hll_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage THREE ordered ingest batches over ``events`` (event_id %
+    3 = seq — disjoint; users RECUR across batches, which is what
+    makes the register merge non-trivial), carrying only the columns
+    the sketch needs."""
+
+    def make_batch(ev, seq):
+        return ev.filter(F.col("event_id") % 3 == seq).select(
+            "event_type", "user_id", F.lit(seq).cast("int").alias("seq")
+        )
+
+    return _stage_seq_batches(
+        spark, sf_dir, "events_hll3_", make_batch, table="events"
+    )
+
+
+@register("stream_hll_incremental", oracle=None)  # set below
+def stream_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DISTINCT-COUNT MAINTENANCE — portable-HLL registers
+    max-merged per micro-batch into a persisted sketch table: each
+    arriving batch of events derives its own (group, register, rank)
+    rows (sketches.hll_registers — the SAME derivation as the batch
+    HLL, so stream and batch sketch state are interchangeable) and
+    copy-on-write merges them into the running register table; the
+    final report estimates distinct users per event_type from the
+    maintained sketch, next to the exact referee. Because max-merge is
+    associative and commutative, the incrementally-maintained
+    registers are BIT-IDENTICAL to a one-shot pass over the full
+    history — which is exactly what the oracle asserts (register
+    fingerprint + zero-register count + the milli estimate,
+    hash-exact), the strongest stream==batch pin a sketch can have.
+
+    This is the always-on dashboard shape at 100 TB: the raw stream is
+    unbounded, but the maintained state is m={_HLL_M} longs per group
+    — reading "distinct users so far" costs O(groups x m) forever,
+    with no rescan of history; the same mergeability lets per-site
+    sketches union across datacenters (sketch_hll_rollup_merge is the
+    batch rollup twin).
+
+    Scale shape: per batch, register derivation is one map-side
+    distinct + groupBy (g, reg) over the BATCH only; the merge joins
+    sketch-sized tables (groups x m rows max). The streaming query is
+    stateless — state lives in the sketch table."""
+    import shutil
+    import tempfile
+
+    from pyspark_xgboost_spark.operators.sketches import (
+        hll_registers,
+        hll_report,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+    from pyspark_xgboost_spark.sources.formats import build_lock
+
+    root = _stage_hll_batches(spark, sf_dir)
+    tbl = os.path.join(root, "hll")
+    final_marker = os.path.join(tbl, "_HLL_FINAL")
+    if not os.path.exists(final_marker):
+        with build_lock(tbl):
+            if not os.path.exists(final_marker):
+                shutil.rmtree(tbl, ignore_errors=True)
+                os.makedirs(tbl)
+                state: dict[str, Any] = {"cur": None}
+
+                def merge_regs(batch_df: DataFrame, batch_id: int) -> None:
+                    if batch_df.isEmpty():
+                        return
+                    sess = batch_df.sparkSession
+                    b = hll_registers(
+                        batch_df.select(
+                            F.col("event_type").alias("g"),
+                            F.col("user_id").alias("id"),
+                        )
+                    )
+                    if state["cur"] is not None:
+                        cur = sess.read.parquet(state["cur"])
+                        b = (
+                            cur.unionByName(b)
+                            .groupBy("g", "reg")
+                            .agg(F.max("m").alias("m"))
+                        )
+                    nxt = os.path.join(tbl, f"v{batch_id:03d}")
+                    b.write.mode("overwrite").parquet(nxt)
+                    state["cur"] = nxt
+
+                q = (
+                    spark.readStream.schema(
+                        "event_type string, user_id long, seq int"
+                    )
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(os.path.join(root, "in"))
+                    .writeStream.foreachBatch(merge_regs)
+                    .option(
+                        "checkpointLocation",
+                        tempfile.mkdtemp(prefix="hll_ckpt_"),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                with open(final_marker, "w") as fh:
+                    fh.write(state["cur"])
+    with open(final_marker) as fh:
+        regs = spark.read.parquet(fh.read())
+    groups = regs.select("g").distinct()
+    rep = hll_report(spark, regs, groups)
+    ex = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("g"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_exact"))
+    )
+    return rep.join(ex, "g").select(
+        F.col("g").alias("grp"),
+        "n_exact",
+        "reg_fp",
+        "n_zero_regs",
+        "est_milli",
+        F.when(
+            F.abs(F.col("est_milli").cast("double") / 1000 - F.col("n_exact"))
+            <= 0.195 * F.col("n_exact"),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("within_3sigma"),
+    )
+
+
+def _hll_incremental_oracle() -> str:
+    from pyspark_xgboost_spark.operators.sketches import hll_oracle_sql
+
+    return hll_oracle_sql("events", "event_type", "user_id")
+
+
+_ORACLES["stream_hll_incremental"] = _hll_incremental_oracle()

@@ -343,6 +343,8 @@ HEADLINE = [
     "corpus_tokenizer_fertility",
     "sim_search_ivf_drift_eval",
     "stream_hll_incremental",
+    "audit_join_explosion",
+    "corpus_vocab_coverage_curve",
 ]
 
 

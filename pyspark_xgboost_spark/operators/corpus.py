@@ -2943,3 +2943,104 @@ def corpus_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("waste_bp"),
     )
     return detail.unionByName(totals)
+
+
+_COVERAGE_NS = (5, 15, 30)  # vocab-budget grid (corpus vocab is small)
+
+
+@register(
+    "corpus_vocab_coverage_curve",
+    oracle=rf"""
+    WITH w AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest({_TOKS_SQL}) AS w FROM documents)
+      WHERE w <> ''
+      GROUP BY source, w
+    ),
+    r AS (
+      SELECT w, row_number() OVER (ORDER BY sum(c) DESC, w) AS rk
+      FROM w GROUP BY w
+    ),
+    tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS total_tokens
+      FROM w GROUP BY source
+    ),
+    cov AS (
+      SELECT w.source, nn.n,
+             CAST(sum(CASE WHEN r.rk <= nn.n THEN w.c ELSE 0 END)
+               AS BIGINT) AS covered_tokens
+      FROM w
+      JOIN r USING (w)
+      CROSS JOIN (VALUES {", ".join(f"({n})" for n in _COVERAGE_NS)}) nn(n)
+      GROUP BY w.source, nn.n
+    )
+    SELECT c.source, CAST(c.n AS BIGINT) AS vocab_n, c.covered_tokens,
+           t.total_tokens,
+           CAST(floor(c.covered_tokens * 1000000.0 / t.total_tokens)
+             AS BIGINT) AS coverage_ppm
+    FROM cov c JOIN tot t USING (source)
+    """,
+)
+def corpus_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY COVERAGE CURVE — the vocab-budget planning number
+    (the companion to corpus_oov_rate and corpus_tokenizer_fertility):
+    for each candidate vocabulary size N on a fixed grid, what
+    fraction of each source's token OCCURRENCES is covered by the
+    GLOBAL top-N words (count desc, word asc — a total order, so both
+    engines rank identically)? The curve's knee is where growing the
+    vocab stops paying; a source whose coverage at the chosen N lags
+    the rest will tokenize into disproportionately many fallback
+    units (the per-lang under-service signal, Zipf made actionable).
+
+    Scale shape: ONE tokenize/explode pass collapses to a
+    (source, word) count table — everything after runs on vocabulary
+    types, not tokens (the corpus_bpe_merges tractability argument:
+    10^11 tokens -> 10^7 types). The global ranking window sorts the
+    TYPE table (vocab-sized by construction — never the corpus);
+    coverage per (source, N) is one conditional aggregate over the
+    type table joined to the broadcast-sized rank map. Coverage ppm
+    uses double division (covered ≤ total; bigint micro-products
+    overflow past 9.2e12 tokens — the audit_t_closeness lesson)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.select(
+            "source", F.explode(F.expr(_TOKS)).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    g = w.groupBy("w").agg(F.sum("c").alias("gc"))
+    r = g.select(
+        "w",
+        F.row_number()
+        .over(Window.orderBy(F.col("gc").desc(), F.col("w").asc()))
+        .alias("rk"),
+    )
+    tot = w.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("total_tokens")
+    )
+    grid = spark.createDataFrame(
+        [(n,) for n in _COVERAGE_NS], "n int"
+    )
+    cov = (
+        w.join(r, "w")
+        .crossJoin(F.broadcast(grid))
+        .groupBy("source", "n")
+        .agg(
+            F.sum(
+                F.when(F.col("rk") <= F.col("n"), F.col("c")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("covered_tokens")
+        )
+    )
+    return cov.join(tot, "source").select(
+        "source",
+        F.col("n").cast("bigint").alias("vocab_n"),
+        "covered_tokens",
+        "total_tokens",
+        F.floor(F.col("covered_tokens") * 1000000.0 / F.col("total_tokens"))
+        .cast("bigint")
+        .alias("coverage_ppm"),
+    )

@@ -3128,3 +3128,75 @@ def audit_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("noisy_count_micro"),
         F.lit(1000).cast("bigint").alias("epsilon_milli"),
     )
+
+
+_EXPLODE_TOPK = 10
+_EXPLODE_TASK_ROWS = 100_000  # target output rows per (salted) task
+
+
+@register(
+    "audit_join_explosion",
+    oracle=f"""
+    WITH n AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(sum(n_rows * n_rows) AS BIGINT) AS t FROM n
+    )
+    SELECT user_id, n_rows,
+           CAST(n_rows * n_rows AS BIGINT) AS est_pairs,
+           CAST(floor(n_rows * n_rows * 1000000.0 / t) AS BIGINT)
+             AS share_ppm,
+           CAST((n_rows * n_rows + {_EXPLODE_TASK_ROWS - 1})
+                  // {_EXPLODE_TASK_ROWS} AS BIGINT) AS salt_factor
+    FROM n, tot
+    ORDER BY est_pairs DESC, user_id
+    LIMIT {_EXPLODE_TOPK}
+    """,
+)
+def audit_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-EXPLOSION PRE-FLIGHT — the row-multiplicity audit a 100 TB
+    join runs BEFORE shuffling anything: for a candidate equi-join key
+    (here the classic self-join on events.user_id — the sessionization
+    / pair-mining shape where output per key is n², the quadratic
+    blowup that silently turns a 1 TB input into a 100 TB shuffle),
+    report the top-{_EXPLODE_TOPK} keys by estimated output rows, each
+    key's share of the total estimated output, and the SALT FACTOR
+    that would cap a task at ~{_EXPLODE_TASK_ROWS} output rows — the
+    number join_skew_salted's salting actually needs.
+    audit_partition_skew measures reducer imbalance of the INPUT; this
+    measures blowup of the OUTPUT, which is what OOMs a join.
+
+    Scale shape: per-key counts are one map-side-combined groupBy
+    (O(distinct keys) shuffle, never the rows); the total is a 1-row
+    aggregate broadcast back; top-k is orderBy().limit() =
+    TakeOrderedAndProject (per-partition heaps, no global sort). The
+    share uses double division (est_pairs ≤ total, and doubles cannot
+    overflow where bigint micro-products would at 10^13+ total
+    pairs — the audit_t_closeness overflow lesson)."""
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n_rows"))
+    tot = n.agg(
+        F.sum(F.col("n_rows") * F.col("n_rows")).cast("bigint").alias("t")
+    )
+    est = F.col("n_rows") * F.col("n_rows")
+    return (
+        n.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_rows",
+            est.cast("bigint").alias("est_pairs"),
+            F.floor(est * 1000000.0 / F.col("t"))
+            .cast("bigint")
+            .alias("share_ppm"),
+            F.expr(
+                f"(n_rows * n_rows + {_EXPLODE_TASK_ROWS - 1})"
+                f" div {_EXPLODE_TASK_ROWS}"
+            )
+            .cast("bigint")
+            .alias("salt_factor"),
+        )
+        .orderBy(F.col("est_pairs").desc(), F.col("user_id").asc())
+        .limit(_EXPLODE_TOPK)
+    )

@@ -345,6 +345,7 @@ HEADLINE = [
     "stream_hll_incremental",
     "audit_join_explosion",
     "corpus_vocab_coverage_curve",
+    "sim_search_mips_norm_pruned",
 ]
 
 

@@ -346,6 +346,8 @@ HEADLINE = [
     "audit_join_explosion",
     "corpus_vocab_coverage_curve",
     "sim_search_mips_norm_pruned",
+    "events_sequence_pattern",
+    "audit_column_profile",
 ]
 
 

@@ -3200,3 +3200,112 @@ def audit_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est_pairs").desc(), F.col("user_id").asc())
         .limit(_EXPLODE_TOPK)
     )
+
+
+# (column, spark string-normalization expr, duckdb equivalent) — the
+# canonical cross-engine string form per type: ints/strings/dates cast
+# verbatim (both engines render ISO dates), money through exact cents
+# (double→string rendering differs between engines, the _cents rule)
+_PROFILE_COLS = [
+    ("o_orderkey", "cast(o_orderkey as string)", "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "cast(o_custkey as string)", "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", "o_orderstatus", "o_orderstatus"),
+    (
+        "o_totalprice_cents",
+        "cast(cast(round(o_totalprice * 100) as bigint) as string)",
+        "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)",
+    ),
+    ("o_orderdate", "cast(o_orderdate as string)", "CAST(o_orderdate AS VARCHAR)"),
+    ("o_orderpriority", "o_orderpriority", "o_orderpriority"),
+]
+
+
+@register(
+    "audit_column_profile",
+    oracle=f"""
+    WITH u AS (
+      {" UNION ALL ".join(f"SELECT '{n}' AS col, {d} AS val FROM orders" for n, _s, d in _PROFILE_COLS)}
+    ),
+    vc AS (
+      SELECT col, val, CAST(count(*) AS BIGINT) AS c
+      FROM u GROUP BY col, val
+    ),
+    top AS (
+      SELECT col, val AS top_value, c AS top_count FROM (
+        SELECT col, val, c,
+               row_number() OVER (PARTITION BY col ORDER BY c DESC, val)
+                 AS rn
+        FROM vc) WHERE rn = 1
+    ),
+    prof AS (
+      SELECT col,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN val IS NULL THEN c ELSE 0 END) AS BIGINT)
+               AS n_null,
+             CAST(count(val) AS BIGINT) AS n_distinct,
+             min(val) AS min_val,
+             max(val) AS max_val
+      FROM vc GROUP BY col
+    )
+    SELECT p.col AS column_name, p.n_rows, p.n_null, p.n_distinct,
+           p.min_val, p.max_val, t.top_value, t.top_count
+    FROM prof p JOIN top t USING (col)
+    """,
+)
+def audit_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS TABLE PROFILER — the ANALYZE/data-catalog statistics
+    sweep every ingest runs before trusting a new 100 TB drop: for
+    every column of ``orders``, row count, null count, EXACT distinct
+    count, min/max, and the modal value with its frequency (ties:
+    highest count, then lexicographic — a total order). Values cross
+    the engine boundary in a canonical per-type string form (ints and
+    dates verbatim — both engines render ISO dates — money via exact
+    cents, the repo's double-rendering rule), so the profile itself is
+    oracle-attested, not just sampled.
+
+    Scale shape: ONE scan; the unpivot fans each row into
+    {len(_PROFILE_COLS)} (column, value) pairs that immediately
+    collapse in a map-side-combined groupBy (column, value) — the
+    shuffle carries one row per DISTINCT value per column (the
+    value-histogram size, not the table size), and everything after
+    (profile + mode) runs on that histogram. A profile of a wider
+    table adds arms to the same stack expression, not passes."""
+    orders = load_table(spark, sf_dir, "orders")
+    arms = ", ".join(f"'{n}', {s}" for n, s, _d in _PROFILE_COLS)
+    u = orders.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {arms}) as (col, val)"
+        )
+    )
+    vc = u.groupBy("col", "val").agg(F.count("*").cast("bigint").alias("c"))
+    wtop = W.partitionBy("col").orderBy(
+        F.col("c").desc(), F.col("val").asc()
+    )
+    top = (
+        vc.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            "col",
+            F.col("val").alias("top_value"),
+            F.col("c").alias("top_count"),
+        )
+    )
+    prof = vc.groupBy("col").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_null"),
+        F.count("val").cast("bigint").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+    return prof.join(top, "col").select(
+        F.col("col").alias("column_name"),
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        "min_val",
+        "max_val",
+        "top_value",
+        "top_count",
+    )

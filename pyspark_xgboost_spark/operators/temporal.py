@@ -3425,3 +3425,97 @@ def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame
         "p90_seconds",
         F.expr("tot div n").cast("bigint").alias("mean_seconds"),
     )
+
+
+_SEQ_CAP = 512  # journey-string cap: bounded per-user state at any scale
+_SEQ_PATTERN = "v[cs]*p"  # view, then clicks/signups, then purchase
+
+
+@register(
+    "events_sequence_pattern",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS sym,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    j AS (
+      SELECT user_id,
+             string_agg(sym, '' ORDER BY ts, event_id) AS journey
+      FROM e WHERE rn <= {_SEQ_CAP}
+      GROUP BY user_id
+    ),
+    n AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM e
+      GROUP BY user_id
+    )
+    SELECT n.user_id, n.n_events, md5(j.journey) AS journey_md5,
+           CAST(len(regexp_extract_all(j.journey, '{_SEQ_PATTERN}'))
+             AS BIGINT) AS n_conversions,
+           CAST(length(j.journey)
+                - length(replace(j.journey, 'e', '')) AS BIGINT)
+             AS n_errors
+    FROM n JOIN j USING (user_id)
+    """,
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-PATTERN MATCHING over per-user event journeys — the
+    MATCH_RECOGNIZE / funnel-regex analytic: each user's events
+    collapse (ordered by ts, event_id — a total order) into a symbol
+    string (one char per event type), and conversions are the
+    NON-OVERLAPPING matches of '{_SEQ_PATTERN}' (a view, any run of
+    clicks/signups, then a purchase — the pattern form that expresses
+    'B after A with no intervening X' constraints a stage-anchored
+    funnel like events_funnel_conversion cannot). journey_md5
+    additionally pins the full per-user event ORDERING hash-exactly
+    across engines, so a single out-of-order event reds the row —
+    the strongest sequencing attestation in the repo.
+
+    Scale shape: ONE user-keyed exchange; the journey string is
+    capped at {_SEQ_CAP} events per user (rank filter before the
+    aggregation — bounded per-user state by construction, the
+    _MH_BUCKET_CAP discipline applied to sequences; production
+    sessionizes first for the same reason). Regex counting is
+    per-row JVM work on the collapsed strings — corpus-sized rows
+    never move again. Both engines scan leftmost-non-overlapping, and
+    the pattern avoids any syntax where Java and RE2 semantics could
+    diverge."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("sym"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    j = (
+        ranked.filter(F.col("rn") <= _SEQ_CAP)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(ts, event_id, sym))), x -> x.sym)"
+                ),
+                "",
+            ).alias("journey")
+        )
+    )
+    n = ranked.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    return n.join(j, "user_id").select(
+        "user_id",
+        "n_events",
+        F.md5("journey").alias("journey_md5"),
+        F.expr(f"regexp_count(journey, '{_SEQ_PATTERN}')")
+        .cast("bigint")
+        .alias("n_conversions"),
+        (
+            F.length("journey")
+            - F.length(F.regexp_replace("journey", "e", ""))
+        )
+        .cast("bigint")
+        .alias("n_errors"),
+    )

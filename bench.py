@@ -348,6 +348,8 @@ HEADLINE = [
     "sim_search_mips_norm_pruned",
     "events_sequence_pattern",
     "audit_column_profile",
+    "audit_merkle_table_digest",
+    "stream_kmeans_minibatch",
 ]
 
 

@@ -3309,3 +3309,88 @@ def audit_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_value",
         "top_count",
     )
+
+
+@register(
+    "audit_merkle_table_digest",
+    oracle="""
+    WITH r AS (
+      SELECT md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)) AS rd
+      FROM documents
+    ),
+    leaves AS (
+      SELECT substr(rd, 1, 1) AS bucket,
+             md5(string_agg(rd, '' ORDER BY rd)) AS digest,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM r GROUP BY substr(rd, 1, 1)
+    )
+    SELECT CAST(0 AS BIGINT) AS level, bucket, digest, n_rows FROM leaves
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), NULL,
+           md5(string_agg(digest, '' ORDER BY bucket)),
+           CAST(sum(n_rows) AS BIGINT)
+    FROM leaves
+    """,
+)
+def audit_merkle_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERKLE TABLE DIGEST — content-addressed equality proof for a
+    table: every row hashes to a digest, digests roll up into
+    prefix-bucket leaves (sorted within the leaf, so the leaf digest
+    is ORDER-FREE over any physical layout), and the leaves roll up
+    into one root. Two sites each compute this locally and compare a
+    handful of hashes instead of shipping 100 TB: a root mismatch
+    localizes to the differing leaf (then to the differing rows by
+    re-bucketing inside it) — the rsync/Dynamo anti-entropy shape as
+    a query, and the missing audit between sink_wap_publish
+    (single-table integrity) and audit_referential_integrity
+    (cross-table keys).
+
+    Scale shape: one scan to row digests; ONE shuffle keyed by digest
+    prefix. Leaves here use a 1-hex-digit fan-out (16 buckets — the
+    sf-scale choice); at 100 TB the same plan widens the prefix (4
+    hex digits = 65k leaves) and adds a middle level, keeping every
+    collect bounded — the tree DEPTH is the knob, the plan shape is
+    fixed. Both engines agg sorted-by-digest strings, so the result
+    is layout- and partition-invariant by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    r = docs.select(
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("|"),
+                F.md5(F.col("text")),
+            )
+        ).alias("rd")
+    )
+    leaves = (
+        r.groupBy(F.substring("rd", 1, 1).alias("bucket"))
+        .agg(
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("rd")), "")
+            ).alias("digest"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+        .localCheckpoint(eager=True)  # leaves + root share it
+    )
+    root = leaves.agg(
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(bucket, digest))), x -> x.digest)"
+                ),
+                "",
+            )
+        ).alias("digest"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+    )
+    return leaves.select(
+        F.lit(0).cast("bigint").alias("level"), "bucket", "digest", "n_rows"
+    ).unionByName(
+        root.select(
+            F.lit(1).cast("bigint").alias("level"),
+            F.lit(None).cast("string").alias("bucket"),
+            "digest",
+            "n_rows",
+        )
+    )

@@ -692,10 +692,12 @@ def _sign_trunc_div_sql(num: str, den: str) -> str:
     """Integer division toward zero on a possibly-negative numerator,
     written so Spark (`div`, truncates) and DuckDB (`//`, floors)
     CANNOT disagree: operate on the absolute value (where floor ==
-    trunc) and restore the sign."""
+    trunc) and restore the sign. Both operands are parenthesized —
+    a compound ``den`` like "n + m" would otherwise bind as
+    ``(x DIV n) + m`` (the round-11 mini-batch div-by-zero)."""
     return (
-        f"CASE WHEN {num} < 0 THEN -((-({num})) DIV {den}) "
-        f"ELSE ({num}) DIV {den} END"
+        f"CASE WHEN {num} < 0 THEN -((-({num})) DIV ({den})) "
+        f"ELSE ({num}) DIV ({den}) END"
     )
 
 

@@ -2217,3 +2217,296 @@ def _hll_incremental_oracle() -> str:
 
 
 _ORACLES["stream_hll_incremental"] = _hll_incremental_oracle()
+
+
+# --------------------------------------------------------------------------
+# Mini-batch k-means maintenance: streaming batches move the persisted
+# centroids (Sculley 2010) — the TRAINING leg of the IVF lifecycle
+# (sim_search_ivf_drift_eval decides WHEN; this is the cheap HOW)
+# --------------------------------------------------------------------------
+
+
+def _stage_kmeans_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage THREE ordered ingest batches over ``embeddings``
+    (vec_id % 3 = seq, disjoint), embeddings cast to double so the
+    stream schema is fixed regardless of the file's float width."""
+
+    def make_batch(emb, seq):
+        return emb.filter(F.col("vec_id") % 3 == seq).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.lit(seq).cast("int").alias("seq"),
+        )
+
+    return _stage_seq_batches(
+        spark, sf_dir, "emb_km3_", make_batch, table="embeddings"
+    )
+
+
+@register("stream_kmeans_minibatch", oracle=None)  # set below
+def stream_kmeans_minibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MINI-BATCH K-MEANS (Sculley, WWW 2010) — the
+    index-training leg of the streaming lifecycle: each micro-batch of
+    arriving embeddings is assigned to the persisted centroids, and
+    every touched centroid moves to the count-weighted running mean
+    (c·n + Σbatch) / (n + m) — exact integer arithmetic with
+    sign-restored division, so the whole trajectory is deterministic
+    and the DuckDB oracle replays all three batch updates unrolled,
+    then audits the FINAL serving state: per center, cumulative points
+    seen, centroid L1 fingerprint, and the full-corpus membership +
+    inertia under the final centroids. Centers seed from the first
+    batch's {_KM_K} lowest vec_ids (n=0, so the seeds' own batch
+    pulls them immediately).
+
+    Against full Lloyd (embedding_kmeans_lloyd): one pass over each
+    point ever, state = k×(d+1) integers, no corpus rescans — the only
+    k-means shape that works when the corpus arrives as a stream and
+    retraining windows (the drift eval's verdict) are scheduled, not
+    continuous.
+
+    Scale shape: per batch, ONE map-side assignment against a
+    broadcast centroid row + one partial-agg groupBy (cid, dim)
+    shipping ≤ partitions×k×d pre-combined rows; the centroid table
+    is copy-on-write versioned like every maintained artifact here.
+    The streaming query is stateless — state lives in the centroid
+    table."""
+    import shutil
+    import tempfile
+
+    from pyspark_xgboost_spark.operators.similarity import (
+        _KM_K,
+        _KM_Q,
+        _km_assign,
+        _km_cent_row,
+        _km_xq,
+        _sign_trunc_div_sql,
+    )
+    from pyspark_xgboost_spark.sources.formats import build_lock
+
+    root = _stage_kmeans_batches(spark, sf_dir)
+    tbl = os.path.join(root, "centers")
+    final_marker = os.path.join(tbl, "_KM_FINAL")
+    quant = F.expr(
+        f"transform(cast(embedding as array<double>), "
+        f"x -> cast(round(x * {_KM_Q}) as bigint))"
+    )
+    if not os.path.exists(final_marker):
+        with build_lock(tbl):
+            if not os.path.exists(final_marker):
+                shutil.rmtree(tbl, ignore_errors=True)
+                os.makedirs(tbl)
+                state: dict[str, Any] = {"cur": None}
+
+                def km_update(batch_df: DataFrame, batch_id: int) -> None:
+                    if batch_df.isEmpty():
+                        return
+                    sess = batch_df.sparkSession
+                    xq = batch_df.select("vec_id", quant.alias("q"))
+                    if state["cur"] is None:
+                        centers = (
+                            xq.orderBy("vec_id")
+                            .limit(_KM_K)
+                            .select(
+                                F.col("vec_id").alias("cid"),
+                                F.col("q").alias("cq"),
+                                F.lit(0).cast("long").alias("n"),
+                            )
+                        )
+                    else:
+                        centers = sess.read.parquet(state["cur"])
+                    assigned = _km_assign(
+                        xq, _km_cent_row(centers.select("cid", "cq"))
+                    )
+                    sums = (
+                        assigned.select(
+                            "cid", F.posexplode("q").alias("j0", "x")
+                        )
+                        .groupBy("cid", "j0")
+                        .agg(F.sum("x").alias("s"))
+                    )
+                    counts = assigned.groupBy("cid").agg(
+                        F.count("*").alias("m")
+                    )
+                    ex = centers.select(
+                        "cid", "n", F.posexplode("cq").alias("j0", "c")
+                    )
+                    upd = (
+                        ex.join(sums, ["cid", "j0"], "left")
+                        .join(counts, "cid", "left")
+                        .select(
+                            "cid",
+                            "j0",
+                            F.when(
+                                F.col("s").isNull(), F.col("c")
+                            )
+                            .otherwise(
+                                F.expr(
+                                    _sign_trunc_div_sql(
+                                        "c * n + s", "(n + m)"
+                                    )
+                                )
+                            )
+                            .alias("c"),
+                            (F.col("n") + F.coalesce("m", F.lit(0)))
+                            .cast("long")
+                            .alias("n2"),
+                        )
+                    )
+                    nxt_df = (
+                        upd.groupBy("cid")
+                        .agg(
+                            F.expr(
+                                "transform(array_sort(collect_list("
+                                "struct(j0, c))), x -> x.c)"
+                            ).alias("cq"),
+                            F.max("n2").cast("long").alias("n"),
+                        )
+                    )
+                    nxt = os.path.join(tbl, f"v{batch_id:03d}")
+                    nxt_df.write.mode("overwrite").parquet(nxt)
+                    state["cur"] = nxt
+
+                q = (
+                    spark.readStream.schema(
+                        "vec_id long, embedding array<double>, seq int"
+                    )
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(os.path.join(root, "in"))
+                    .writeStream.foreachBatch(km_update)
+                    .option(
+                        "checkpointLocation",
+                        tempfile.mkdtemp(prefix="km_ckpt_"),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                with open(final_marker, "w") as fh:
+                    fh.write(state["cur"])
+    with open(final_marker) as fh:
+        centers = spark.read.parquet(fh.read())
+    fa = _km_assign(
+        _km_xq(spark, sf_dir), _km_cent_row(centers.select("cid", "cq"))
+    )
+    stats = fa.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("d").cast("bigint").alias("inertia_q"),
+    )
+    return (
+        centers.select(
+            "cid",
+            F.col("n").cast("bigint").alias("n_seen"),
+            F.expr(
+                "aggregate(transform(cq, x -> abs(x)), 0L, (a, b) -> a + b)"
+            ).alias("centroid_l1_q"),
+        )
+        .join(stats, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_seen",
+            "centroid_l1_q",
+            "n_members",
+            "inertia_q",
+        )
+    )
+
+
+def _km_minibatch_oracle() -> str:
+    from pyspark_xgboost_spark.operators.similarity import (
+        _KM_K,
+        _KM_Q,
+        _sign_trunc_div_sql,
+    )
+
+    upd = _sign_trunc_div_sql("mc.c * cn.n + s.s", "(cn.n + m.m)").replace(
+        " DIV ", " // "
+    )
+    parts = [
+        f"""xq AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_KM_Q}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, g.j, q[g.j] AS x
+      FROM xq, unnest(generate_series(1, len(q))) AS g(j)
+    ),
+    mc0 AS (
+      SELECT e.vec_id AS cid, e.j, e.x AS c FROM e
+      WHERE e.vec_id IN (SELECT vec_id FROM xq WHERE vec_id % 3 = 0
+                         ORDER BY vec_id LIMIT {_KM_K})
+    ),
+    cn0 AS (
+      SELECT DISTINCT cid, CAST(0 AS BIGINT) AS n FROM mc0
+    )"""
+    ]
+    for k in range(3):
+        parts.append(
+            f"""d{k} AS (
+      SELECT e.vec_id, mc.cid, sum((e.x - mc.c) * (e.x - mc.c)) AS d
+      FROM e JOIN mc{k} mc USING (j)
+      WHERE e.vec_id % 3 = {k}
+      GROUP BY e.vec_id, mc.cid
+    ),
+    a{k} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid)
+                 AS rn
+        FROM d{k}) WHERE rn = 1
+    ),
+    m{k} AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS m FROM a{k} GROUP BY cid
+    ),
+    s{k} AS (
+      SELECT a.cid, e.j, CAST(sum(e.x) AS BIGINT) AS s
+      FROM a{k} a JOIN e USING (vec_id)
+      GROUP BY a.cid, e.j
+    ),
+    mc{k + 1} AS (
+      SELECT mc.cid, mc.j,
+             CASE WHEN s.s IS NULL THEN mc.c ELSE {upd} END AS c
+      FROM mc{k} mc
+      JOIN cn{k} cn USING (cid)
+      LEFT JOIN s{k} s ON s.cid = mc.cid AND s.j = mc.j
+      LEFT JOIN m{k} m ON m.cid = mc.cid
+    ),
+    cn{k + 1} AS (
+      SELECT cn.cid, cn.n + COALESCE(m.m, 0) AS n
+      FROM cn{k} cn LEFT JOIN m{k} m USING (cid)
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """,
+    fd AS (
+      SELECT e.vec_id, mc.cid, sum((e.x - mc.c) * (e.x - mc.c)) AS d
+      FROM e JOIN mc3 mc USING (j)
+      GROUP BY e.vec_id, mc.cid
+    ),
+    fa AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT vec_id, cid, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid)
+                 AS rn
+        FROM fd) WHERE rn = 1
+    ),
+    l1 AS (
+      SELECT cid, CAST(sum(abs(c)) AS BIGINT) AS centroid_l1_q
+      FROM mc3 GROUP BY cid
+    ),
+    st AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(d) AS BIGINT) AS inertia_q
+      FROM fa GROUP BY cid
+    )
+    SELECT cn3.cid AS cluster_id, CAST(cn3.n AS BIGINT) AS n_seen,
+           l1.centroid_l1_q, st.n_members, st.inertia_q
+    FROM cn3 JOIN l1 USING (cid) JOIN st USING (cid)
+    """
+    )
+
+
+_ORACLES["stream_kmeans_minibatch"] = _km_minibatch_oracle()

@@ -98,10 +98,16 @@ _GRADE_FIRST = [
     "udtf_ngrams",
     # ---- below the 50-slot line ----
     # r12 window plan: after this window grades green, every oracle
-    # query is driver-attested; the r12 window becomes round-11 NEW
-    # registrations first, then the stalest attested rows (the r05
-    # cohort) in sorted order. New r11 registrations are appended to
-    # the head of this list next round.
+    # query is driver-attested; the r12 window = the round-11 NEW
+    # registrations, sorted (audit_column_profile,
+    # audit_join_explosion, audit_merkle_table_digest,
+    # corpus_tokenizer_fertility, corpus_vocab_coverage_curve,
+    # events_sequence_pattern, multimodal_resize [oracle-upgraded from
+    # rows-only this round], sim_search_ivf_drift_eval,
+    # sim_search_mips_norm_pruned, stream_decontaminate_incremental,
+    # stream_hll_incremental, stream_kmeans_minibatch — all verified
+    # at 3 SFs + invariance this round), then the stalest attested
+    # rows (the r05 cohort) in sorted order up to 50.
 ]
 
 # Rows-only queries (registered without an oracle by design — goldens /

@@ -70,6 +70,55 @@ def test_tokenizer_fertility_shares_tokenize_pass(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_stream_hll_incremental_is_batch_identical(spark):
+    """The maintained register table must equal a one-shot pass over
+    the full history (max-merge associativity — the whole point), and
+    the final report must read sketch-sized state, never re-scanning
+    the event stream for the estimate."""
+    import pyspark.sql.functions as F
+
+    from pyspark_xgboost_spark.operators.sketches import hll_registers
+    from pyspark_xgboost_spark.sources import load_table
+    from pyspark_xgboost_spark.streaming.stream import stream_hll_incremental
+
+    out = {r.grp: r for r in stream_hll_incremental(spark, SF_DIR).collect()}
+    oneshot = hll_registers(
+        load_table(spark, SF_DIR, "events").select(
+            F.col("event_type").alias("g"), F.col("user_id").alias("id")
+        )
+    )
+    fp = {
+        r.g: r.fp
+        for r in oneshot.groupBy("g")
+        .agg(F.sum(F.col("m") * (F.col("reg") + 1)).alias("fp"))
+        .collect()
+    }
+    assert set(out) == set(fp)
+    for g, row in out.items():
+        assert row.reg_fp == fp[g], g  # registers bit-identical
+        assert row.within_3sigma == 1, g
+
+
+def test_stream_kmeans_minibatch_state_bounded(spark):
+    """The maintained centroid table is k rows; every center was
+    touched (n_seen > 0 — the seeds' own batch pulls them), members
+    partition the corpus, and the final plan carries no cartesian."""
+    import pyspark.sql.functions as F
+
+    from pyspark_xgboost_spark.operators.similarity import _KM_K
+    from pyspark_xgboost_spark.sources import load_table
+    from pyspark_xgboost_spark.streaming.stream import stream_kmeans_minibatch
+
+    out = stream_kmeans_minibatch(spark, SF_DIR)
+    rows = out.collect()
+    assert len(rows) == _KM_K
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_vecs
+    assert sum(r.n_seen for r in rows) == n_vecs  # every vec trained once
+    assert all(r.n_seen > 0 for r in rows)
+    assert "CartesianProduct" not in plan_of(out)
+
+
 def test_ivf_drift_eval_panel_bounded(spark):
     """The drift eval keeps the recall-eval discipline: both
     clusterings are memoized artifacts (identity on repeat calls),

@@ -3233,7 +3233,8 @@ _PROFILE_COLS = [
     top AS (
       SELECT col, val AS top_value, c AS top_count FROM (
         SELECT col, val, c,
-               row_number() OVER (PARTITION BY col ORDER BY c DESC, val)
+               row_number() OVER (PARTITION BY col
+                                  ORDER BY c DESC, val NULLS LAST)
                  AS rn
         FROM vc) WHERE rn = 1
     ),
@@ -3278,8 +3279,11 @@ def audit_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     vc = u.groupBy("col", "val").agg(F.count("*").cast("bigint").alias("c"))
+    # NULLS LAST spelled out on BOTH sides: Spark defaults NULLS FIRST
+    # asc, DuckDB LAST — a NULL-bearing column whose null-count ties
+    # the mode would otherwise diverge (round-11 review finding)
     wtop = W.partitionBy("col").orderBy(
-        F.col("c").desc(), F.col("val").asc()
+        F.col("c").desc(), F.col("val").asc_nulls_last()
     )
     top = (
         vc.withColumn("rn", F.row_number().over(wtop))

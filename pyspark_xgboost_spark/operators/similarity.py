@@ -2943,10 +2943,22 @@ def sim_search_mips_norm_pruned(
     surv = paired.filter(~prune_cond).select(
         "query_id", F.col("vec_id").alias("neighbor_id"), ip.alias("ip")
     )
+    # ONE panel x corpus pass: every non-self vector either survives or
+    # is pruned, so n_pruned = (corpus - 1) - survivors — derived from
+    # the survivor counts plus a 1-row corpus total, instead of a
+    # second full scan just to count what was skipped (r11 review)
+    surv = surv.localCheckpoint(eager=True)
+    nc = c.agg(F.count("*").cast("bigint").alias("nc"))
     pruned = (
-        paired.filter(prune_cond)
-        .groupBy("query_id")
-        .agg(F.count("*").cast("bigint").alias("n_pruned"))
+        surv.groupBy("query_id")
+        .agg(F.count("*").alias("n_surv"))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "query_id",
+            (F.col("nc") - 1 - F.col("n_surv"))
+            .cast("bigint")
+            .alias("n_pruned"),
+        )
     )
     wk = W.partitionBy("query_id").orderBy(
         F.col("ip").desc(), F.col("neighbor_id").asc()

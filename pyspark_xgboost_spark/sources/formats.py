@@ -229,10 +229,12 @@ def _stage_lineitem_by_flag(spark: SparkSession, sf_dir: str) -> str:
     gc_stale_siblings(os.path.join(_SCRATCH, key), "lineitem_by_flag_", leaf)
     out = os.path.join(_SCRATCH, key, leaf)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        li = load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice", "l_returnflag"
-        )
-        li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+        with build_lock(out):
+            if not os.path.exists(os.path.join(out, "_SUCCESS")):
+                li = load_table(spark, sf_dir, "lineitem").select(
+                    "l_orderkey", "l_extendedprice", "l_returnflag"
+                )
+                li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     return out
 
 
@@ -427,9 +429,11 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(parent, leaf)
     gc_stale_siblings(parent, "documents_text_", leaf)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        load_table(spark, sf_dir, "documents").select("text").write.mode(
-            "overwrite"
-        ).format("text").save(out)
+        with build_lock(out):
+            if not os.path.exists(os.path.join(out, "_SUCCESS")):
+                load_table(spark, sf_dir, "documents").select("text").write.mode(
+                    "overwrite"
+                ).format("text").save(out)
     lines = spark.read.text(out)
     toks = F.expr(r"filter(split(lower(value), '\\s+'), x -> x != '')")
     return lines.agg(
@@ -478,21 +482,23 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     )
     marker = os.path.join(out, "_DPO_DONE")
     if not os.path.exists(marker):
-        li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            # backfill: replace ONLY the R partition (even orderkeys)
-            (
-                li.filter((F.col("l_returnflag") == "R") & (F.col("l_orderkey") % 2 == 0))
-                .write.mode("overwrite")
-                .partitionBy("l_returnflag")
-                .parquet(out)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        with open(marker, "w") as fh:
-            fh.write("ok")
+        with build_lock(out):
+            if not os.path.exists(marker):
+                li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+                prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+                try:
+                    # backfill: replace ONLY the R partition (even orderkeys)
+                    (
+                        li.filter((F.col("l_returnflag") == "R") & (F.col("l_orderkey") % 2 == 0))
+                        .write.mode("overwrite")
+                        .partitionBy("l_returnflag")
+                        .parquet(out)
+                    )
+                finally:
+                    spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+                with open(marker, "w") as fh:
+                    fh.write("ok")
     back = spark.read.parquet(out)
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
@@ -545,27 +551,29 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     gc_stale_siblings(os.path.join(_SCRATCH, key), "docs_merge_v2_", leaf)
     out = os.path.join(_SCRATCH, key, leaf)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        base = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-        changes = (
-            base.filter(F.col("doc_id") % 10 == 0)
-            .select("doc_id", F.lit("patched").alias("source"))
-            .unionByName(
-                base.filter(F.col("doc_id") % 97 == 0).select(
-                    (F.col("doc_id") + 1000000).alias("doc_id"),
-                    F.lit("inserted").alias("source"),
+        with build_lock(out):
+            if not os.path.exists(os.path.join(out, "_SUCCESS")):
+                base = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+                changes = (
+                    base.filter(F.col("doc_id") % 10 == 0)
+                    .select("doc_id", F.lit("patched").alias("source"))
+                    .unionByName(
+                        base.filter(F.col("doc_id") % 97 == 0).select(
+                            (F.col("doc_id") + 1000000).alias("doc_id"),
+                            F.lit("inserted").alias("source"),
+                        )
+                    )
                 )
-            )
-        )
-        merged = (
-            base.alias("b")
-            .join(changes.alias("c"), "doc_id", "full_outer")
-            .select(
-                "doc_id",
-                F.coalesce(F.col("c.source"), F.col("b.source")).alias("source"),
-                F.when(F.col("c.source").isNull(), 0).otherwise(1).alias("was_changed"),
-            )
-        )
-        merged.write.mode("overwrite").parquet(out)
+                merged = (
+                    base.alias("b")
+                    .join(changes.alias("c"), "doc_id", "full_outer")
+                    .select(
+                        "doc_id",
+                        F.coalesce(F.col("c.source"), F.col("b.source")).alias("source"),
+                        F.when(F.col("c.source").isNull(), 0).otherwise(1).alias("was_changed"),
+                    )
+                )
+                merged.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
     return back.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -603,14 +611,16 @@ def scan_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     gc_stale_siblings(parent, "docs_corrupt_", leaf)
     d = os.path.join(parent, leaf)
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-        line = F.to_json(F.struct("doc_id", "n_chars"))
-        # corrupt = truncate the JSON object halfway: unparseable, but
-        # still exactly one line so the record count is preserved
-        payload = F.when(
-            F.col("doc_id") % 13 == 0, F.substring(line, 1, 9)
-        ).otherwise(line)
-        docs.select(payload.alias("value")).write.mode("overwrite").text(d)
+        with build_lock(d):
+            if not os.path.exists(os.path.join(d, "_SUCCESS")):
+                docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+                line = F.to_json(F.struct("doc_id", "n_chars"))
+                # corrupt = truncate the JSON object halfway: unparseable, but
+                # still exactly one line so the record count is preserved
+                payload = F.when(
+                    F.col("doc_id") % 13 == 0, F.substring(line, 1, 9)
+                ).otherwise(line)
+                docs.select(payload.alias("value")).write.mode("overwrite").text(d)
     back = spark.read.schema(
         "doc_id long, n_chars long, _corrupt_record string"
     ).option("mode", "PERMISSIVE").option(
@@ -634,9 +644,11 @@ def _stage_gzip_csv(spark: SparkSession, sf_dir: str, table: str) -> str:
     out = os.path.join(parent, leaf)
     gc_stale_siblings(parent, f"{table}_csvgz_", leaf)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        load_table(spark, sf_dir, table).write.mode("overwrite").option(
-            "compression", "gzip"
-        ).csv(out)
+        with build_lock(out):
+            if not os.path.exists(os.path.join(out, "_SUCCESS")):
+                load_table(spark, sf_dir, table).write.mode("overwrite").option(
+                    "compression", "gzip"
+                ).csv(out)
     return out
 
 
@@ -934,25 +946,27 @@ def _stage_docbin(sf_dir: str) -> str:
     gc_stale_siblings(parent, "documents_docbin_", leaf)
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
-        os.makedirs(out, exist_ok=True)
-        tbl = pq.read_table(
-            os.path.join(sf_dir, "documents.parquet"),
-            columns=["doc_id", "source", "n_chars"],
-        )
-        shards = [bytearray() for _ in range(_DOCBIN_SHARDS)]
-        for doc_id, source, n_chars in zip(
-            tbl.column("doc_id").to_pylist(),
-            tbl.column("source").to_pylist(),
-            tbl.column("n_chars").to_pylist(),
-        ):
-            raw = source.encode("utf-8")
-            rec = _struct.pack("<qqH", doc_id, n_chars, len(raw)) + raw
-            shards[doc_id % _DOCBIN_SHARDS].extend(rec)
-        for i, payload in enumerate(shards):
-            with open(os.path.join(out, f"part-{i:04d}.docbin"), "wb") as fh:
-                fh.write(payload)
-        with open(marker, "w") as fh:
-            fh.write("ok")
+        with build_lock(out):
+            if not os.path.exists(marker):
+                os.makedirs(out, exist_ok=True)
+                tbl = pq.read_table(
+                    os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "source", "n_chars"],
+                )
+                shards = [bytearray() for _ in range(_DOCBIN_SHARDS)]
+                for doc_id, source, n_chars in zip(
+                    tbl.column("doc_id").to_pylist(),
+                    tbl.column("source").to_pylist(),
+                    tbl.column("n_chars").to_pylist(),
+                ):
+                    raw = source.encode("utf-8")
+                    rec = _struct.pack("<qqH", doc_id, n_chars, len(raw)) + raw
+                    shards[doc_id % _DOCBIN_SHARDS].extend(rec)
+                for i, payload in enumerate(shards):
+                    with open(os.path.join(out, f"part-{i:04d}.docbin"), "wb") as fh:
+                        fh.write(payload)
+                with open(marker, "w") as fh:
+                    fh.write("ok")
     return out
 
 
@@ -1115,14 +1129,18 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_returnflag"
     )
     if not os.path.exists(os.path.join(frag, "_SUCCESS")):
-        li.repartition(64).write.mode("overwrite").parquet(frag)
+        with build_lock(frag):
+            if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+                li.repartition(64).write.mode("overwrite").parquet(frag)
     if not os.path.exists(os.path.join(compact, "_SUCCESS")):
-        (
-            spark.read.parquet(frag)
-            .repartition(_COMPACT_TARGET)
-            .write.mode("overwrite")
-            .parquet(compact)
-        )
+        with build_lock(compact):
+            if not os.path.exists(os.path.join(compact, "_SUCCESS")):
+                (
+                    spark.read.parquet(frag)
+                    .repartition(_COMPACT_TARGET)
+                    .write.mode("overwrite")
+                    .parquet(compact)
+                )
     back = spark.read.parquet(compact)
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
@@ -1170,23 +1188,25 @@ def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cutoff = F.lit("1998-01-01").cast("timestamp")
     if not os.path.exists(os.path.join(root, "_DONE")):
-        (
-            orders.filter(F.col("o_orderdate") < cutoff)
-            .select("o_orderkey", "o_orderstatus", "o_orderdate")
-            .write.mode("overwrite")
-            .parquet(os.path.join(root, "v1"))
-        )
-        (
-            orders.filter(F.col("o_orderdate") >= cutoff)
-            .select(
-                "o_orderkey", "o_orderstatus", "o_orderdate",
-                "o_totalprice", "o_orderpriority",
-            )
-            .write.mode("overwrite")
-            .parquet(os.path.join(root, "v2"))
-        )
-        with open(os.path.join(root, "_DONE"), "w") as fh:
-            fh.write("ok")
+        with build_lock(root):
+            if not os.path.exists(os.path.join(root, "_DONE")):
+                (
+                    orders.filter(F.col("o_orderdate") < cutoff)
+                    .select("o_orderkey", "o_orderstatus", "o_orderdate")
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(root, "v1"))
+                )
+                (
+                    orders.filter(F.col("o_orderdate") >= cutoff)
+                    .select(
+                        "o_orderkey", "o_orderstatus", "o_orderdate",
+                        "o_totalprice", "o_orderpriority",
+                    )
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(root, "v2"))
+                )
+                with open(os.path.join(root, "_DONE"), "w") as fh:
+                    fh.write("ok")
     merged = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(root, "v1"), os.path.join(root, "v2")
     )
@@ -1274,33 +1294,35 @@ def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     gc_stale_siblings(os.path.join(_SCRATCH, key), "orders_zorder_", leaf)
     out = os.path.join(_SCRATCH, key, leaf)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        orders = load_table(spark, sf_dir, "orders")
-        raw = orders.select(
-            "o_orderkey",
-            F.col("o_custkey").alias("c"),
-            F.datediff(
-                F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
-            ).alias("d"),
-        )
-        b = raw.agg(
-            F.min("c").alias("cmin"),
-            F.greatest(F.max("c") - F.min("c"), F.lit(1)).alias("cspan"),
-            F.min("d").alias("dmin"),
-            F.greatest(F.max("d") - F.min("d"), F.lit(1)).alias("dspan"),
-        )
-        dims = raw.crossJoin(F.broadcast(b)).select(
-            "o_orderkey",
-            "c",
-            "d",
-            F.expr("((c - cmin) * 65535) div cspan").alias("x"),
-            F.expr("((d - dmin) * 65535) div dspan").alias("y"),
-        )
-        z = dims.withColumn(
-            "zval", F.expr(_z_interleave_sql("x", "y", div="div")).cast("bigint")
-        ).withColumn(
-            "zbucket", (F.col("zval") / (2 ** (2 * _Z_BITS - 3))).cast("bigint")
-        )
-        z.write.mode("overwrite").partitionBy("zbucket").parquet(out)
+        with build_lock(out):
+            if not os.path.exists(os.path.join(out, "_SUCCESS")):
+                orders = load_table(spark, sf_dir, "orders")
+                raw = orders.select(
+                    "o_orderkey",
+                    F.col("o_custkey").alias("c"),
+                    F.datediff(
+                        F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+                    ).alias("d"),
+                )
+                b = raw.agg(
+                    F.min("c").alias("cmin"),
+                    F.greatest(F.max("c") - F.min("c"), F.lit(1)).alias("cspan"),
+                    F.min("d").alias("dmin"),
+                    F.greatest(F.max("d") - F.min("d"), F.lit(1)).alias("dspan"),
+                )
+                dims = raw.crossJoin(F.broadcast(b)).select(
+                    "o_orderkey",
+                    "c",
+                    "d",
+                    F.expr("((c - cmin) * 65535) div cspan").alias("x"),
+                    F.expr("((d - dmin) * 65535) div dspan").alias("y"),
+                )
+                z = dims.withColumn(
+                    "zval", F.expr(_z_interleave_sql("x", "y", div="div")).cast("bigint")
+                ).withColumn(
+                    "zbucket", (F.col("zval") / (2 ** (2 * _Z_BITS - 3))).cast("bigint")
+                )
+                z.write.mode("overwrite").partitionBy("zbucket").parquet(out)
     back = spark.read.parquet(out)
     return back.groupBy(F.col("zbucket").cast("bigint").alias("zbucket")).agg(
         F.count("*").alias("n"),
@@ -1339,16 +1361,18 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     gc_stale_siblings(os.path.join(_SCRATCH, key), "docs_xml_", leaf)
     d = os.path.join(_SCRATCH, key, leaf)
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
-        docs = load_table(spark, sf_dir, "documents").select(
-            "doc_id", "source", "n_chars", "text"
-        )
-        (
-            docs.repartition(4)
-            .write.mode("overwrite")
-            .format("xml")
-            .option("rowTag", "doc")
-            .save(d)
-        )
+        with build_lock(d):
+            if not os.path.exists(os.path.join(d, "_SUCCESS")):
+                docs = load_table(spark, sf_dir, "documents").select(
+                    "doc_id", "source", "n_chars", "text"
+                )
+                (
+                    docs.repartition(4)
+                    .write.mode("overwrite")
+                    .format("xml")
+                    .option("rowTag", "doc")
+                    .save(d)
+                )
     back = (
         spark.read.format("xml")
         .option("rowTag", "doc")
@@ -1394,28 +1418,30 @@ def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gc_stale_siblings(os.path.join(_SCRATCH, key), "docs_mlcsv_", leaf)
     d = os.path.join(_SCRATCH, key, leaf)
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
-        docs = load_table(spark, sf_dir, "documents").select(
-            "doc_id",
-            "source",
-            "n_chars",
-            F.when(
-                F.col("n_chars") % 7 == 0,
-                F.concat(
-                    F.substring("text", 1, 20),
-                    F.lit("\n"),
-                    F.substring("text", 21, 20),
-                ),
-            )
-            .otherwise(F.substring("text", 1, 40))
-            .alias("snippet"),
-        )
-        (
-            docs.repartition(4)
-            .write.mode("overwrite")
-            .option("header", "true")
-            .option("quoteAll", "true")
-            .csv(d)
-        )
+        with build_lock(d):
+            if not os.path.exists(os.path.join(d, "_SUCCESS")):
+                docs = load_table(spark, sf_dir, "documents").select(
+                    "doc_id",
+                    "source",
+                    "n_chars",
+                    F.when(
+                        F.col("n_chars") % 7 == 0,
+                        F.concat(
+                            F.substring("text", 1, 20),
+                            F.lit("\n"),
+                            F.substring("text", 21, 20),
+                        ),
+                    )
+                    .otherwise(F.substring("text", 1, 40))
+                    .alias("snippet"),
+                )
+                (
+                    docs.repartition(4)
+                    .write.mode("overwrite")
+                    .option("header", "true")
+                    .option("quoteAll", "true")
+                    .csv(d)
+                )
     back = (
         spark.read.option("header", "true")
         .option("multiLine", "true")
@@ -1447,18 +1473,20 @@ def _stage_doc_binfiles(spark: SparkSession, sf_dir: str) -> str:
     gc_stale_siblings(parent, "documents_binfiles_", leaf)
     marker = os.path.join(out, "_STAGED")
     if not os.path.exists(marker):
-        os.makedirs(out, exist_ok=True)
-        rows = (
-            load_table(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") % 5 == 0)
-            .select("doc_id", "text")
-            .toLocalIterator()  # staging fixture: bounded subset, driver-side write
-        )
-        for r in rows:
-            with open(os.path.join(out, f"doc_{r.doc_id}.txt"), "wb") as f:
-                f.write(r.text.encode("utf-8"))
-        with open(marker, "w"):
-            pass
+        with build_lock(out):
+            if not os.path.exists(marker):
+                os.makedirs(out, exist_ok=True)
+                rows = (
+                    load_table(spark, sf_dir, "documents")
+                    .filter(F.col("doc_id") % 5 == 0)
+                    .select("doc_id", "text")
+                    .toLocalIterator()  # staging fixture: bounded subset, driver-side write
+                )
+                for r in rows:
+                    with open(os.path.join(out, f"doc_{r.doc_id}.txt"), "wb") as f:
+                        f.write(r.text.encode("utf-8"))
+                with open(marker, "w"):
+                    pass
     return out
 
 
@@ -1603,16 +1631,18 @@ def _stage_lineitem_bloom(spark: SparkSession, sf_dir: str) -> str:
     out = os.path.join(parent, leaf)
     gc_stale_siblings(parent, "lineitem_bloomcol_", leaf)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        li = load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_partkey", "l_quantity"
-        )
-        (
-            li.repartition(4)
-            .write.mode("overwrite")
-            .option("parquet.bloom.filter.enabled#l_partkey", "true")
-            .option("parquet.bloom.filter.expected.ndv#l_partkey", "20000")
-            .parquet(out)
-        )
+        with build_lock(out):
+            if not os.path.exists(os.path.join(out, "_SUCCESS")):
+                li = load_table(spark, sf_dir, "lineitem").select(
+                    "l_orderkey", "l_partkey", "l_quantity"
+                )
+                (
+                    li.repartition(4)
+                    .write.mode("overwrite")
+                    .option("parquet.bloom.filter.enabled#l_partkey", "true")
+                    .option("parquet.bloom.filter.expected.ndv#l_partkey", "20000")
+                    .parquet(out)
+                )
     return out
 
 
@@ -1668,14 +1698,16 @@ def _stage_events_eu_csv(spark: SparkSession, sf_dir: str) -> str:
     out = os.path.join(parent, leaf)
     gc_stale_siblings(parent, "events_eucsv_", leaf)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id",
-            F.date_format("ts", _EU_TS_FMT).alias("ts_eu"),
-            "user_id",
-            "event_type",
-            "value",
-        )
-        ev.write.mode("overwrite").option("header", "true").csv(out)
+        with build_lock(out):
+            if not os.path.exists(os.path.join(out, "_SUCCESS")):
+                ev = load_table(spark, sf_dir, "events").select(
+                    "event_id",
+                    F.date_format("ts", _EU_TS_FMT).alias("ts_eu"),
+                    "user_id",
+                    "event_type",
+                    "value",
+                )
+                ev.write.mode("overwrite").option("header", "true").csv(out)
     return out
 
 
@@ -1788,10 +1820,12 @@ def sink_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     gc_stale_siblings(parent, "gdpr_clean_", leaf)
     out = os.path.join(parent, leaf)
     if not os.path.exists(os.path.join(out, "_DONE")):
-        for name, df in cleaned.items():
-            df.write.mode("overwrite").parquet(os.path.join(out, name))
-        with open(os.path.join(out, "_DONE"), "w") as fh:
-            fh.write("ok")
+        with build_lock(out):
+            if not os.path.exists(os.path.join(out, "_DONE")):
+                for name, df in cleaned.items():
+                    df.write.mode("overwrite").parquet(os.path.join(out, name))
+                with open(os.path.join(out, "_DONE"), "w") as fh:
+                    fh.write("ok")
 
     def row(name: str, src: DataFrame) -> DataFrame:
         after = spark.read.parquet(os.path.join(out, name))
@@ -1846,15 +1880,17 @@ def sink_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     gc_stale_siblings(parent, "docbin_written_", leaf)
     out = os.path.join(parent, leaf)
     if not os.path.exists(os.path.join(out, "_DONE")):
-        (
-            load_table(spark, sf_dir, "documents")
-            .select("doc_id", "source", "n_chars")
-            .repartition(6)  # >1 writer task: the commit protocol is the point
-            .write.format("docbin")
-            .mode("overwrite")
-            .option("path", out)
-            .save()
-        )
+        with build_lock(out):
+            if not os.path.exists(os.path.join(out, "_DONE")):
+                (
+                    load_table(spark, sf_dir, "documents")
+                    .select("doc_id", "source", "n_chars")
+                    .repartition(6)  # >1 writer task: the commit protocol is the point
+                    .write.format("docbin")
+                    .mode("overwrite")
+                    .option("path", out)
+                    .save()
+                )
     back = spark.read.format("docbin").option("path", out).load()
     return back.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -1980,16 +2016,18 @@ def scan_merge_on_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(parent, leaf)
     orders = load_table(spark, sf_dir, "orders")
     if not os.path.exists(os.path.join(root, "_DONE")):
-        orders.write.mode("overwrite").parquet(os.path.join(root, "base"))
-        (
-            orders.filter(F.col("o_orderkey") % 131 == 5)
-            .select("o_orderkey")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(root, "deletes"))
-        )
-        with open(os.path.join(root, "_DONE"), "w") as fh:
-            fh.write("ok")
+        with build_lock(root):
+            if not os.path.exists(os.path.join(root, "_DONE")):
+                orders.write.mode("overwrite").parquet(os.path.join(root, "base"))
+                (
+                    orders.filter(F.col("o_orderkey") % 131 == 5)
+                    .select("o_orderkey")
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(root, "deletes"))
+                )
+                with open(os.path.join(root, "_DONE"), "w") as fh:
+                    fh.write("ok")
     base = spark.read.parquet(os.path.join(root, "base"))
     dv = spark.read.parquet(os.path.join(root, "deletes"))
     live = base.join(F.broadcast(dv), "o_orderkey", "left_anti")
@@ -2250,24 +2288,26 @@ def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     done = os.path.join(root, "_WAP_DONE")
     if not os.path.exists(done):
-        shutil.rmtree(root, ignore_errors=True)
-        for name, df in (("good", good), ("bad", bad)):
-            df.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(root, "staging", name)
-            )
-        for name in ("good", "bad"):
-            staged = spark.read.parquet(os.path.join(root, "staging", name))
-            audit = staged.agg(
-                F.count("*").alias("n_rows"),
-                (F.count("*") - F.count("source")).alias("n_null_keys"),
-            ).first()
-            if audit["n_null_keys"] == 0 and audit["n_rows"] > 0:
-                pub = os.path.join(root, "published", name)
-                shutil.copytree(os.path.join(root, "staging", name), pub)
-                with open(os.path.join(root, f"_PUBLISHED_{name}"), "w") as fh:
-                    fh.write(pub)
-        with open(done, "w") as fh:
-            fh.write("ok")
+        with build_lock(root):
+            if not os.path.exists(done):
+                shutil.rmtree(root, ignore_errors=True)
+                for name, df in (("good", good), ("bad", bad)):
+                    df.coalesce(1).write.mode("overwrite").parquet(
+                        os.path.join(root, "staging", name)
+                    )
+                for name in ("good", "bad"):
+                    staged = spark.read.parquet(os.path.join(root, "staging", name))
+                    audit = staged.agg(
+                        F.count("*").alias("n_rows"),
+                        (F.count("*") - F.count("source")).alias("n_null_keys"),
+                    ).first()
+                    if audit["n_null_keys"] == 0 and audit["n_rows"] > 0:
+                        pub = os.path.join(root, "published", name)
+                        shutil.copytree(os.path.join(root, "staging", name), pub)
+                        with open(os.path.join(root, f"_PUBLISHED_{name}"), "w") as fh:
+                            fh.write(pub)
+                with open(done, "w") as fh:
+                    fh.write("ok")
 
     rows = []
     for name in ("good", "bad"):
@@ -2334,26 +2374,34 @@ def _stage_prune_file(spark: SparkSession, sf_dir: str) -> str:
     d = os.path.dirname(path)
     fp = src_fingerprint(sf_dir, "lineitem")
     marker = os.path.join(d, "_PRUNE_FP")
-    if os.path.exists(marker):
+
+    def fresh() -> bool:
+        if not os.path.exists(marker):
+            return False
         with open(marker) as fh:
-            if fh.read() == fp and os.path.exists(path):
-                return path
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, "tmp")
-    (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_quantity", "l_extendedprice")
-        .orderBy("l_orderkey")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .option("parquet.block.size", 262144)
-        .parquet(tmp)
-    )
-    os.rename(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], path)
-    shutil.rmtree(tmp, ignore_errors=True)
-    with open(marker, "w") as fh:
-        fh.write(fp)
+            return fh.read() == fp and os.path.exists(path)
+
+    if fresh():
+        return path
+    with build_lock(d):
+        if fresh():  # rebuilt while we waited on the lock
+            return path
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, "tmp")
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_quantity", "l_extendedprice")
+            .orderBy("l_orderkey")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("parquet.block.size", 262144)
+            .parquet(tmp)
+        )
+        os.rename(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        with open(marker, "w") as fh:
+            fh.write(fp)
     return path
 
 

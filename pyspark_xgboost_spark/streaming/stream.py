@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from pyspark_xgboost_spark.registry import register
-from pyspark_xgboost_spark.sources.formats import TMP_NS
+from pyspark_xgboost_spark.sources.formats import TMP_NS, build_lock
 from pyspark_xgboost_spark.sources import normalize_event_ts
 from pyspark_xgboost_spark.streaming.windows import session_agg, tumbling_agg
 
@@ -500,18 +500,20 @@ def _events_jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
     d = os.path.join(parent, f"jsonl_{fp}")
     gc_stale_siblings(parent, "jsonl_", f"jsonl_{fp}")
     if not os.path.exists(os.path.join(d, "_SUCCESS")):
-        ev = load_table(spark, sf_dir, "events")
-        payload = F.to_json(
-            F.struct(
-                "event_id",
-                F.unix_micros("ts").alias("ts_us"),
-                "user_id",
-                "event_type",
-                "value",
-                "props",
-            )
-        )
-        ev.select(payload.alias("value")).write.mode("overwrite").text(d)
+        with build_lock(d):
+            if not os.path.exists(os.path.join(d, "_SUCCESS")):
+                ev = load_table(spark, sf_dir, "events")
+                payload = F.to_json(
+                    F.struct(
+                        "event_id",
+                        F.unix_micros("ts").alias("ts_us"),
+                        "user_id",
+                        "event_type",
+                        "value",
+                        "props",
+                    )
+                )
+                ev.select(payload.alias("value")).write.mode("overwrite").text(d)
     return d
 
 
@@ -739,70 +741,72 @@ def _stage_late_batches(spark: SparkSession, sf_dir: str) -> str:
     gc_stale_siblings(parent, "events_late3_", leaf)
     root = os.path.join(parent, leaf)
     if not os.path.exists(os.path.join(root, "_DONE")):
-        import glob
-        import shutil
-        import time as _time
+        with build_lock(root):
+            if not os.path.exists(os.path.join(root, "_DONE")):
+                import glob
+                import shutil
+                import time as _time
 
-        shutil.rmtree(root, ignore_errors=True)
-        os.makedirs(os.path.join(root, "in"))
-        ev = load_table(spark, sf_dir, "events")
-        mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
-        aid = (
-            ev.filter(F.col("ts") == mx)
-            .agg(F.min("event_id").alias("a"))
-            .collect()[0]["a"]
-        )
-        import datetime as _dt
+                shutil.rmtree(root, ignore_errors=True)
+                os.makedirs(os.path.join(root, "in"))
+                ev = load_table(spark, sf_dir, "events")
+                mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+                aid = (
+                    ev.filter(F.col("ts") == mx)
+                    .agg(F.min("event_id").alias("a"))
+                    .collect()[0]["a"]
+                )
+                import datetime as _dt
 
-        recent = mx - _dt.timedelta(hours=1)
-        horizon = mx - _dt.timedelta(hours=2)
-        win_end = F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
-        base0 = ev.filter(
-            (F.col("event_id") % 2 == 0) | (F.col("event_id") == aid)
-        )
-        # state groups batch 0 creates — a late row only hits the
-        # DROP path if its (window, type) group was created AND
-        # evicted; a late row for a never-seen group builds fresh
-        # state instead (observed Spark behavior, pinned in tests)
-        g0 = base0.select(
-            F.date_trunc("hour", F.col("ts")).alias("g_w"),
-            F.col("event_type").alias("g_t"),
-        ).distinct()
-        odd = ev.filter(
-            (F.col("event_id") % 2 == 1) & (F.col("event_id") != aid)
-        )
-        late = (
-            odd.filter(win_end <= F.lit(horizon))
-            .join(
-                g0,
-                (F.date_trunc("hour", F.col("ts")) == F.col("g_w"))
-                & (F.col("event_type") == F.col("g_t")),
-                "left_semi",
-            )
-        )
-        recent_odds = odd.filter(F.col("ts") > F.lit(recent))
-        cols = ev.columns
-        rest = odd.exceptAll(late.select(*cols)).exceptAll(
-            recent_odds.select(*cols)
-        )
-        parts = [
-            base0.select(*cols).unionByName(rest.select(*cols)),
-            recent_odds.select(*cols),
-            late.select(*cols),
-        ]
-        now = _time.time()
-        for i, part in enumerate(parts):
-            tmp = os.path.join(root, f"tmp{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(tmp)
-            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(root, "in", f"batch-{i:03d}.parquet")
-            os.rename(src, dst)
-            # pin mtimes so the file source's (modTime, path) order IS
-            # the intended batch order
-            os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
-            shutil.rmtree(tmp, ignore_errors=True)
-        with open(os.path.join(root, "_DONE"), "w") as fh:
-            fh.write("ok")
+                recent = mx - _dt.timedelta(hours=1)
+                horizon = mx - _dt.timedelta(hours=2)
+                win_end = F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
+                base0 = ev.filter(
+                    (F.col("event_id") % 2 == 0) | (F.col("event_id") == aid)
+                )
+                # state groups batch 0 creates — a late row only hits the
+                # DROP path if its (window, type) group was created AND
+                # evicted; a late row for a never-seen group builds fresh
+                # state instead (observed Spark behavior, pinned in tests)
+                g0 = base0.select(
+                    F.date_trunc("hour", F.col("ts")).alias("g_w"),
+                    F.col("event_type").alias("g_t"),
+                ).distinct()
+                odd = ev.filter(
+                    (F.col("event_id") % 2 == 1) & (F.col("event_id") != aid)
+                )
+                late = (
+                    odd.filter(win_end <= F.lit(horizon))
+                    .join(
+                        g0,
+                        (F.date_trunc("hour", F.col("ts")) == F.col("g_w"))
+                        & (F.col("event_type") == F.col("g_t")),
+                        "left_semi",
+                    )
+                )
+                recent_odds = odd.filter(F.col("ts") > F.lit(recent))
+                cols = ev.columns
+                rest = odd.exceptAll(late.select(*cols)).exceptAll(
+                    recent_odds.select(*cols)
+                )
+                parts = [
+                    base0.select(*cols).unionByName(rest.select(*cols)),
+                    recent_odds.select(*cols),
+                    late.select(*cols),
+                ]
+                now = _time.time()
+                for i, part in enumerate(parts):
+                    tmp = os.path.join(root, f"tmp{i}")
+                    part.coalesce(1).write.mode("overwrite").parquet(tmp)
+                    src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+                    dst = os.path.join(root, "in", f"batch-{i:03d}.parquet")
+                    os.rename(src, dst)
+                    # pin mtimes so the file source's (modTime, path) order IS
+                    # the intended batch order
+                    os.utime(dst, (now - 300 + i * 100, now - 300 + i * 100))
+                    shutil.rmtree(tmp, ignore_errors=True)
+                with open(os.path.join(root, "_DONE"), "w") as fh:
+                    fh.write("ok")
     return root
 
 
@@ -1588,68 +1592,70 @@ def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs_dir = os.path.join(root, "pairs")
     final_marker = os.path.join(root, "_ND_FINAL")
     if not os.path.exists(final_marker):
-        shutil.rmtree(idx_dir, ignore_errors=True)
-        shutil.rmtree(pairs_dir, ignore_errors=True)
-        state: dict[str, Any] = {"has_index": False, "has_pairs": False}
+        with build_lock(final_marker):
+            if not os.path.exists(final_marker):
+                shutil.rmtree(idx_dir, ignore_errors=True)
+                shutil.rmtree(pairs_dir, ignore_errors=True)
+                state: dict[str, Any] = {"has_index": False, "has_pairs": False}
 
-        def probe_and_update(batch_df: DataFrame, batch_id: int) -> None:
-            if batch_df.isEmpty():
-                return
-            sess = batch_df.sparkSession
-            bands = _band_rows(batch_df.select("doc_id", "text")).join(
-                batch_df.select("doc_id", "seq"), "doc_id"
-            )
-            # band rows feed a probe AND an append: materialize once
-            bands = bands.localCheckpoint(eager=True)
-            if state["has_index"]:
-                idx = sess.read.parquet(idx_dir)
-                pairs = (
-                    bands.select(F.col("doc_id").alias("new_doc"), "band", "key")
-                    .join(idx.select(F.col("doc_id").alias("old_doc"), "band", "key"),
-                          ["band", "key"])
-                    .select("new_doc", "old_doc")
-                    .distinct()
-                )
-                pairs.write.mode("append").parquet(pairs_dir)
-                state["has_pairs"] = True
-                # materialize BEFORE the index append below: `keep`
-                # reads idx_dir through `counts` while appending to
-                # idx_dir — safe today only because InMemoryFileIndex
-                # snapshots the listing at read time, a fragile
-                # implicit ordering if the read were ever re-planned
-                # (r10 advice). The checkpoint pins the pre-append
-                # contents explicitly; counts is bucket-sized (small).
-                counts = idx.groupBy("band", "key").agg(
-                    F.count("*").alias("n0")
-                ).localCheckpoint(eager=True)
-            else:
-                counts = None
-            w = W.partitionBy("band", "key").orderBy("doc_id")
-            ranked = bands.withColumn("_rn", F.row_number().over(w))
-            if counts is None:
-                keep = ranked.filter(F.col("_rn") <= _MH_BUCKET_CAP)
-            else:
-                keep = ranked.join(counts, ["band", "key"], "left").filter(
-                    F.col("_rn") + F.coalesce(F.col("n0"), F.lit(0))
-                    <= _MH_BUCKET_CAP
-                )
-            keep.select("doc_id", "band", "key", "seq").write.mode(
-                "append"
-            ).parquet(idx_dir)
-            state["has_index"] = True
+                def probe_and_update(batch_df: DataFrame, batch_id: int) -> None:
+                    if batch_df.isEmpty():
+                        return
+                    sess = batch_df.sparkSession
+                    bands = _band_rows(batch_df.select("doc_id", "text")).join(
+                        batch_df.select("doc_id", "seq"), "doc_id"
+                    )
+                    # band rows feed a probe AND an append: materialize once
+                    bands = bands.localCheckpoint(eager=True)
+                    if state["has_index"]:
+                        idx = sess.read.parquet(idx_dir)
+                        pairs = (
+                            bands.select(F.col("doc_id").alias("new_doc"), "band", "key")
+                            .join(idx.select(F.col("doc_id").alias("old_doc"), "band", "key"),
+                                  ["band", "key"])
+                            .select("new_doc", "old_doc")
+                            .distinct()
+                        )
+                        pairs.write.mode("append").parquet(pairs_dir)
+                        state["has_pairs"] = True
+                        # materialize BEFORE the index append below: `keep`
+                        # reads idx_dir through `counts` while appending to
+                        # idx_dir — safe today only because InMemoryFileIndex
+                        # snapshots the listing at read time, a fragile
+                        # implicit ordering if the read were ever re-planned
+                        # (r10 advice). The checkpoint pins the pre-append
+                        # contents explicitly; counts is bucket-sized (small).
+                        counts = idx.groupBy("band", "key").agg(
+                            F.count("*").alias("n0")
+                        ).localCheckpoint(eager=True)
+                    else:
+                        counts = None
+                    w = W.partitionBy("band", "key").orderBy("doc_id")
+                    ranked = bands.withColumn("_rn", F.row_number().over(w))
+                    if counts is None:
+                        keep = ranked.filter(F.col("_rn") <= _MH_BUCKET_CAP)
+                    else:
+                        keep = ranked.join(counts, ["band", "key"], "left").filter(
+                            F.col("_rn") + F.coalesce(F.col("n0"), F.lit(0))
+                            <= _MH_BUCKET_CAP
+                        )
+                    keep.select("doc_id", "band", "key", "seq").write.mode(
+                        "append"
+                    ).parquet(idx_dir)
+                    state["has_index"] = True
 
-        q = (
-            spark.readStream.schema("doc_id long, text string, seq int")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(os.path.join(root, "in"))
-            .writeStream.foreachBatch(probe_and_update)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="nd_ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        with open(final_marker, "w") as fh:
-            fh.write("pairs" if state["has_pairs"] else "empty")
+                q = (
+                    spark.readStream.schema("doc_id long, text string, seq int")
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(os.path.join(root, "in"))
+                    .writeStream.foreachBatch(probe_and_update)
+                    .option("checkpointLocation", tempfile.mkdtemp(prefix="nd_ckpt_"))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                with open(final_marker, "w") as fh:
+                    fh.write("pairs" if state["has_pairs"] else "empty")
     with open(final_marker) as fh:
         has_pairs = fh.read() == "pairs"
     if not has_pairs:
@@ -1753,91 +1759,93 @@ def stream_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = os.path.join(root, "scd2")
     final_marker = os.path.join(tbl, "_SCD2_FINAL")
     if not os.path.exists(final_marker):
-        shutil.rmtree(tbl, ignore_errors=True)
-        os.makedirs(tbl)
-        state: dict[str, Any] = {"open": None, "closed": []}
+        with build_lock(tbl):
+            if not os.path.exists(final_marker):
+                shutil.rmtree(tbl, ignore_errors=True)
+                os.makedirs(tbl)
+                state: dict[str, Any] = {"open": None, "closed": []}
 
-        def scd2_merge(batch_df: DataFrame, batch_id: int) -> None:
-            if batch_df.isEmpty():
-                return
-            sess = batch_df.sparkSession
-            b = (
-                batch_df.groupBy("doc_id")
-                .agg(F.max("seq").alias("seq"))
-                .select(
-                    "doc_id",
-                    "seq",
-                    ((F.col("doc_id") + 2 * F.col("seq")) % 4).alias("attr"),
-                )
-            )
-            if state["open"] is None:
-                new_open = b.select(
-                    "doc_id", "attr", F.col("seq").alias("valid_from")
-                )
-                newly_closed = None
-            else:
-                cur = sess.read.parquet(state["open"])
-                j = cur.alias("t").join(b.alias("s"), "doc_id", "full_outer")
-                # change rows: key present on both sides, attr differs
-                changed = j.filter(
-                    F.col("t.attr").isNotNull()
-                    & F.col("s.attr").isNotNull()
-                    & (F.col("t.attr") != F.col("s.attr"))
-                )
-                newly_closed = changed.select(
-                    "doc_id",
-                    F.col("t.attr").alias("attr"),
-                    F.col("t.valid_from").alias("valid_from"),
-                    F.col("s.seq").alias("valid_to"),
-                )
-                new_open = (
-                    # unchanged keys + keys absent from the batch keep
-                    # their open version; changed + brand-new keys open
-                    # a version at this batch's seq
-                    j.select(
-                        "doc_id",
-                        F.when(
-                            F.col("s.attr").isNotNull()
-                            & (
-                                F.col("t.attr").isNull()
-                                | (F.col("t.attr") != F.col("s.attr"))
-                            ),
-                            F.col("s.attr"),
+                def scd2_merge(batch_df: DataFrame, batch_id: int) -> None:
+                    if batch_df.isEmpty():
+                        return
+                    sess = batch_df.sparkSession
+                    b = (
+                        batch_df.groupBy("doc_id")
+                        .agg(F.max("seq").alias("seq"))
+                        .select(
+                            "doc_id",
+                            "seq",
+                            ((F.col("doc_id") + 2 * F.col("seq")) % 4).alias("attr"),
                         )
-                        .otherwise(F.col("t.attr"))
-                        .alias("attr"),
-                        F.when(
-                            F.col("s.attr").isNotNull()
-                            & (
-                                F.col("t.attr").isNull()
-                                | (F.col("t.attr") != F.col("s.attr"))
-                            ),
-                            F.col("s.seq"),
-                        )
-                        .otherwise(F.col("t.valid_from"))
-                        .alias("valid_from"),
                     )
-                )
-            nxt = os.path.join(tbl, f"open_v{batch_id:03d}")
-            new_open.write.mode("overwrite").parquet(nxt)
-            state["open"] = nxt
-            if newly_closed is not None:
-                cl = os.path.join(tbl, f"closed_v{batch_id:03d}")
-                newly_closed.write.mode("overwrite").parquet(cl)
-                state["closed"].append(cl)
+                    if state["open"] is None:
+                        new_open = b.select(
+                            "doc_id", "attr", F.col("seq").alias("valid_from")
+                        )
+                        newly_closed = None
+                    else:
+                        cur = sess.read.parquet(state["open"])
+                        j = cur.alias("t").join(b.alias("s"), "doc_id", "full_outer")
+                        # change rows: key present on both sides, attr differs
+                        changed = j.filter(
+                            F.col("t.attr").isNotNull()
+                            & F.col("s.attr").isNotNull()
+                            & (F.col("t.attr") != F.col("s.attr"))
+                        )
+                        newly_closed = changed.select(
+                            "doc_id",
+                            F.col("t.attr").alias("attr"),
+                            F.col("t.valid_from").alias("valid_from"),
+                            F.col("s.seq").alias("valid_to"),
+                        )
+                        new_open = (
+                            # unchanged keys + keys absent from the batch keep
+                            # their open version; changed + brand-new keys open
+                            # a version at this batch's seq
+                            j.select(
+                                "doc_id",
+                                F.when(
+                                    F.col("s.attr").isNotNull()
+                                    & (
+                                        F.col("t.attr").isNull()
+                                        | (F.col("t.attr") != F.col("s.attr"))
+                                    ),
+                                    F.col("s.attr"),
+                                )
+                                .otherwise(F.col("t.attr"))
+                                .alias("attr"),
+                                F.when(
+                                    F.col("s.attr").isNotNull()
+                                    & (
+                                        F.col("t.attr").isNull()
+                                        | (F.col("t.attr") != F.col("s.attr"))
+                                    ),
+                                    F.col("s.seq"),
+                                )
+                                .otherwise(F.col("t.valid_from"))
+                                .alias("valid_from"),
+                            )
+                        )
+                    nxt = os.path.join(tbl, f"open_v{batch_id:03d}")
+                    new_open.write.mode("overwrite").parquet(nxt)
+                    state["open"] = nxt
+                    if newly_closed is not None:
+                        cl = os.path.join(tbl, f"closed_v{batch_id:03d}")
+                        newly_closed.write.mode("overwrite").parquet(cl)
+                        state["closed"].append(cl)
 
-        q = (
-            spark.readStream.schema("doc_id long, seq int")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(os.path.join(root, "in"))
-            .writeStream.foreachBatch(scd2_merge)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="scd2_ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        with open(final_marker, "w") as fh:
-            fh.write(state["open"] + "\n" + "\n".join(state["closed"]))
+                q = (
+                    spark.readStream.schema("doc_id long, seq int")
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(os.path.join(root, "in"))
+                    .writeStream.foreachBatch(scd2_merge)
+                    .option("checkpointLocation", tempfile.mkdtemp(prefix="scd2_ckpt_"))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                with open(final_marker, "w") as fh:
+                    fh.write(state["open"] + "\n" + "\n".join(state["closed"]))
     with open(final_marker) as fh:
         open_dir, *closed_dirs = fh.read().splitlines()
     open_df = spark.read.parquet(open_dir).select(
@@ -1944,90 +1952,92 @@ def stream_decontaminate_incremental(
         )
 
     if not os.path.exists(final_marker):
-        shutil.rmtree(idx_dir, ignore_errors=True)
-        shutil.rmtree(out_dir, ignore_errors=True)
-        from pyspark_xgboost_spark.sources import load_table
+        with build_lock(final_marker):
+            if not os.path.exists(final_marker):
+                shutil.rmtree(idx_dir, ignore_errors=True)
+                shutil.rmtree(out_dir, ignore_errors=True)
+                from pyspark_xgboost_spark.sources import load_table
 
-        hold = load_table(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % 50 == 0
-        )
-        gram_digests(hold).select("digest").distinct().write.mode(
-            "overwrite"
-        ).parquet(idx_dir)
+                hold = load_table(spark, sf_dir, "documents").filter(
+                    F.col("doc_id") % 50 == 0
+                )
+                gram_digests(hold).select("digest").distinct().write.mode(
+                    "overwrite"
+                ).parquet(idx_dir)
 
-        def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
-            if batch_df.isEmpty():
-                return
-            sess = batch_df.sparkSession
-            t = batch_df.select(
-                "doc_id", "seq", F.expr(_TOKS).alias("toks")
-            )
-            idx = sess.read.parquet(idx_dir)
-            matched = (
-                gram_digests(batch_df)
-                .join(idx.hint("shuffle_hash"), "digest")
-                .select("doc_id", "pos")
-            )
-            w = W.partitionBy("doc_id").orderBy("pos")
-            cov = (
-                matched.withColumn("nxt", F.lead("pos").over(w))
-                .groupBy("doc_id")
-                .agg(
-                    F.count("*").cast("bigint").alias("n_hits"),
-                    F.sum(
-                        F.when(
-                            F.col("nxt").isNull(), F.lit(_DECON_N)
-                        ).otherwise(
-                            F.least(
-                                F.lit(_DECON_N), F.col("nxt") - F.col("pos")
+                def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+                    if batch_df.isEmpty():
+                        return
+                    sess = batch_df.sparkSession
+                    t = batch_df.select(
+                        "doc_id", "seq", F.expr(_TOKS).alias("toks")
+                    )
+                    idx = sess.read.parquet(idx_dir)
+                    matched = (
+                        gram_digests(batch_df)
+                        .join(idx.hint("shuffle_hash"), "digest")
+                        .select("doc_id", "pos")
+                    )
+                    w = W.partitionBy("doc_id").orderBy("pos")
+                    cov = (
+                        matched.withColumn("nxt", F.lead("pos").over(w))
+                        .groupBy("doc_id")
+                        .agg(
+                            F.count("*").cast("bigint").alias("n_hits"),
+                            F.sum(
+                                F.when(
+                                    F.col("nxt").isNull(), F.lit(_DECON_N)
+                                ).otherwise(
+                                    F.least(
+                                        F.lit(_DECON_N), F.col("nxt") - F.col("pos")
+                                    )
+                                )
                             )
+                            .cast("bigint")
+                            .alias("covered_tokens"),
                         )
                     )
-                    .cast("bigint")
-                    .alias("covered_tokens"),
-                )
-            )
-            (
-                t.select(
-                    "doc_id",
-                    "seq",
-                    F.size("toks").cast("bigint").alias("n_tokens"),
-                )
-                .join(cov, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    "seq",
-                    "n_tokens",
-                    F.coalesce("n_hits", F.lit(0))
-                    .cast("bigint")
-                    .alias("n_hits"),
-                    F.coalesce("covered_tokens", F.lit(0))
-                    .cast("bigint")
-                    .alias("covered_tokens"),
-                    F.floor(
-                        F.coalesce("covered_tokens", F.lit(0))
-                        * 1000000
-                        / F.col("n_tokens")
+                    (
+                        t.select(
+                            "doc_id",
+                            "seq",
+                            F.size("toks").cast("bigint").alias("n_tokens"),
+                        )
+                        .join(cov, "doc_id", "left")
+                        .select(
+                            "doc_id",
+                            "seq",
+                            "n_tokens",
+                            F.coalesce("n_hits", F.lit(0))
+                            .cast("bigint")
+                            .alias("n_hits"),
+                            F.coalesce("covered_tokens", F.lit(0))
+                            .cast("bigint")
+                            .alias("covered_tokens"),
+                            F.floor(
+                                F.coalesce("covered_tokens", F.lit(0))
+                                * 1000000
+                                / F.col("n_tokens")
+                            )
+                            .cast("bigint")
+                            .alias("dirty_micro"),
+                        )
+                        .write.mode("append")
+                        .parquet(out_dir)
                     )
-                    .cast("bigint")
-                    .alias("dirty_micro"),
-                )
-                .write.mode("append")
-                .parquet(out_dir)
-            )
 
-        q = (
-            spark.readStream.schema("doc_id long, text string, seq int")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(os.path.join(root, "in"))
-            .writeStream.foreachBatch(probe_batch)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="dc_ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        with open(final_marker, "w") as fh:
-            fh.write("ok")
+                q = (
+                    spark.readStream.schema("doc_id long, text string, seq int")
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(os.path.join(root, "in"))
+                    .writeStream.foreachBatch(probe_batch)
+                    .option("checkpointLocation", tempfile.mkdtemp(prefix="dc_ckpt_"))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                with open(final_marker, "w") as fh:
+                    fh.write("ok")
     return spark.read.parquet(out_dir)
 
 

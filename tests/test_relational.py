@@ -52,8 +52,8 @@ _DOCBIN_LANE = ("scan_python_datasource", "sink_python_datasource_write")
 def _smoke_lanes():
     """Partition the smoke set into concurrency lanes.
 
-    Since round 11 every shared check-marker-then-build staging
-    scaffold takes a build_lock (sources/formats.py), so concurrent
+    Since round 11 EVERY check-marker-then-build staging section in
+    the repo takes a build_lock (sources/formats.py), so concurrent
     builders of the SAME artifact serialize on the artifact itself —
     the old per-module sequential lanes (which made the two staging
     modules the sweep's 25-30s critical path) collapse into one wide

@@ -350,6 +350,7 @@ HEADLINE = [
     "audit_column_profile",
     "audit_merkle_table_digest",
     "stream_kmeans_minibatch",
+    "graph_clustering_coefficient",
 ]
 
 

@@ -102,7 +102,8 @@ _GRADE_FIRST = [
     # registrations, sorted (audit_column_profile,
     # audit_join_explosion, audit_merkle_table_digest,
     # corpus_tokenizer_fertility, corpus_vocab_coverage_curve,
-    # events_sequence_pattern, multimodal_resize [oracle-upgraded from
+    # events_sequence_pattern, graph_clustering_coefficient,
+    # multimodal_resize [oracle-upgraded from
     # rows-only this round], sim_search_ivf_drift_eval,
     # sim_search_mips_norm_pruned, stream_decontaminate_incremental,
     # stream_hll_incremental, stream_kmeans_minibatch — all verified

@@ -142,3 +142,27 @@ def test_ivf_drift_eval_panel_bounded(spark):
     rows = out.collect()
     assert len(rows) == 10  # one row per panel query
     assert all(r.k == 3 for r in rows)
+
+
+def test_clustering_coefficient_bounded_and_normalized(spark):
+    """The weighted LCC keeps its contracts: (a) no cartesian product
+    anywhere in the plan (the only crossJoin is the broadcast 1-row
+    max-weight normalizer); (b) the output is capped to _LCC_TOP rows
+    picked by a total order; (c) Onnela intensities are max-normalized,
+    so cw_ppm <= 1e6 and vanishes exactly when no triangle closes."""
+    from pyspark_xgboost_spark.operators.graph import (
+        _LCC_TOP,
+        graph_clustering_coefficient,
+    )
+
+    out = graph_clustering_coefficient(spark, SF_DIR)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+
+    rows = out.collect()
+    assert 0 < len(rows) <= _LCC_TOP
+    assert len({r["word"] for r in rows}) == len(rows)
+    for r in rows:
+        assert r["deg"] >= 2
+        assert 0 <= r["cw_ppm"] <= 1_000_000
+        assert (r["tri_cnt"] == 0) == (r["cw_ppm"] == 0)

@@ -351,6 +351,7 @@ HEADLINE = [
     "audit_merkle_table_digest",
     "stream_kmeans_minibatch",
     "graph_clustering_coefficient",
+    "stream_reservoir_incremental",
 ]
 
 

@@ -2520,3 +2520,190 @@ def _km_minibatch_oracle() -> str:
 
 
 _ORACLES["stream_kmeans_minibatch"] = _km_minibatch_oracle()
+
+
+# --------------------------------------------------------------------------
+# Incremental weighted-reservoir maintenance: streaming batches merge
+# A-ES priority candidates into a persisted per-source sample table
+# (the index-maintenance family — near-dup r10, decontamination and
+# HLL r11 — applied to SAMPLING state)
+# --------------------------------------------------------------------------
+
+_WRSI_K = 8  # maintained sample size per source
+
+
+def _stage_wrsi_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage THREE ordered ingest batches over ``documents`` (doc_id %
+    3 = seq — disjoint arrival; every batch carries docs of every
+    source, so each merge step genuinely contends for reservoir
+    slots), carrying only the columns the reservoir needs."""
+
+    def make_batch(docs, seq):
+        return docs.filter(F.col("doc_id") % 3 == seq).select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.lit(seq).cast("int").alias("seq"),
+        )
+
+    return _stage_seq_batches(spark, sf_dir, "docs_wrsi3_", make_batch)
+
+
+def _wrsi_key_cols(df: DataFrame) -> DataFrame:
+    """Attach the deterministic A-ES race key (integer micro-nats of
+    ln(u), u from md5 — the sample_weighted_reservoir derivation with
+    its own salt so the two queries draw independent panels)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("wrsi:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    return df.withColumn(
+        "lnu_micro", F.round(F.log(u) * 1000000).cast("long")
+    )
+
+
+def _wrsi_topk(df: DataFrame) -> DataFrame:
+    """Per-source top-K by the A-ES race key -ln(u)/w — the ONE rank
+    expression both the per-batch candidate prune and the merge
+    truncation apply, so merge-then-truncate is exactly associative."""
+    w = W.partitionBy("source").orderBy(
+        ((-F.col("lnu_micro")).cast("double") / F.col("n_chars")).asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _WRSI_K)
+        .drop("rk")
+    )
+
+
+@register("stream_reservoir_incremental", oracle=None)  # set below
+def stream_reservoir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING WEIGHTED-RESERVOIR MAINTENANCE — the always-fresh
+    length-weighted eval panel: each arriving micro-batch of documents
+    computes its own per-source A-ES candidates (top-{_WRSI_K} by the
+    deterministic exponential-race key -ln(u)/n_chars, u from
+    md5(doc_id) — the sample_weighted_reservoir derivation) and
+    copy-on-write merges them into a persisted reservoir table,
+    re-truncating to {_WRSI_K} per source. Because the race key is a
+    pure function of the row and top-K under a TOTAL order is an
+    associative, commutative merge (min-K semilattice), the maintained
+    reservoir is BIT-IDENTICAL to the one-shot A-ES pass over the full
+    history — which is exactly what the oracle asserts, the
+    stream==batch pin sampling state can have. arrived_seq (= doc_id %
+    3, the staged arrival order) rides along so the output also proves
+    every batch contributed survivors.
+
+    This is the monitoring shape at 100 TB: an importance-weighted
+    sample of an unbounded ingest stream, readable at any moment for
+    O(sources x {_WRSI_K}) cost, with no rescan of history and no RNG
+    state to coordinate across executors (reproducible across runs,
+    clusters, and repartitions — unlike df.sample).
+
+    Scale shape: per batch, the candidate prune is a map-side
+    WindowGroupLimit over the BATCH only (each input partition
+    forwards at most {_WRSI_K} rows per source — the distributed A-ES
+    merge shape); the merge unions two reservoir-sized tables
+    (sources x {_WRSI_K} rows each) and re-ranks. The streaming query
+    is stateless — state lives in the reservoir table."""
+    import shutil
+    import tempfile
+
+    from pyspark_xgboost_spark.sources.formats import build_lock
+
+    root = _stage_wrsi_batches(spark, sf_dir)
+    tbl = os.path.join(root, "wrs")
+    final_marker = os.path.join(tbl, "_WRS_FINAL")
+    if not os.path.exists(final_marker):
+        with build_lock(tbl):
+            if not os.path.exists(final_marker):
+                shutil.rmtree(tbl, ignore_errors=True)
+                os.makedirs(tbl)
+                state: dict[str, Any] = {"cur": None}
+
+                def merge_sample(batch_df: DataFrame, batch_id: int) -> None:
+                    if batch_df.isEmpty():
+                        return
+                    sess = batch_df.sparkSession
+                    cand = _wrsi_topk(
+                        _wrsi_key_cols(
+                            batch_df.select("doc_id", "source", "n_chars")
+                        )
+                    )
+                    if state["cur"] is not None:
+                        cur = sess.read.parquet(state["cur"])
+                        cand = _wrsi_topk(cur.unionByName(cand))
+                    nxt = os.path.join(tbl, f"v{batch_id:03d}")
+                    cand.write.mode("overwrite").parquet(nxt)
+                    state["cur"] = nxt
+
+                q = (
+                    spark.readStream.schema(
+                        "doc_id long, source string, n_chars long, seq int"
+                    )
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(os.path.join(root, "in"))
+                    .writeStream.foreachBatch(merge_sample)
+                    .option(
+                        "checkpointLocation",
+                        tempfile.mkdtemp(prefix="wrsi_ckpt_"),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                with open(final_marker, "w") as fh:
+                    fh.write(state["cur"])
+    with open(final_marker) as fh:
+        res = spark.read.parquet(fh.read())
+    w = W.partitionBy("source").orderBy(
+        ((-F.col("lnu_micro")).cast("double") / F.col("n_chars")).asc(),
+        F.col("doc_id").asc(),
+    )
+    return res.select(
+        "source",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "lnu_micro",
+        (F.col("doc_id") % 3).cast("int").alias("arrived_seq"),
+    )
+
+
+def _wrsi_oracle() -> str:
+    from pyspark_xgboost_spark.operators.sampling import _hex8_uint_sql
+
+    return f"""
+    WITH c AS (
+      SELECT source, doc_id, n_chars,
+             CAST(round(ln((CAST({_hex8_uint_sql("md5('wrsi:' || CAST(doc_id AS VARCHAR))")}
+                            AS BIGINT) + 1) / 4294967296.0) * 1000000)
+               AS BIGINT) AS lnu_micro
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id, n_chars, lnu_micro,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(-lnu_micro AS DOUBLE) / n_chars ASC,
+                        doc_id ASC) AS rk
+      FROM c
+    )
+    SELECT source, CAST(rk AS BIGINT) AS rk, doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars, lnu_micro,
+           CAST(doc_id % 3 AS INT) AS arrived_seq
+    FROM r WHERE rk <= {_WRSI_K}
+    """
+
+
+_ORACLES["stream_reservoir_incremental"] = _wrsi_oracle()

@@ -166,3 +166,31 @@ def test_clustering_coefficient_bounded_and_normalized(spark):
         assert r["deg"] >= 2
         assert 0 <= r["cw_ppm"] <= 1_000_000
         assert (r["tri_cnt"] == 0) == (r["cw_ppm"] == 0)
+
+
+def test_stream_reservoir_incremental_is_batch_identical(spark):
+    """The maintained reservoir equals the one-shot A-ES pass over the
+    full corpus (min-K under a total order is an associative merge),
+    every staged batch contributes at least one survivor, and the
+    per-source sample size is exactly _WRSI_K."""
+    from pyspark_xgboost_spark.streaming.stream import (
+        _WRSI_K,
+        _wrsi_key_cols,
+        _wrsi_topk,
+        stream_reservoir_incremental,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+
+    out = stream_reservoir_incremental(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    ref = _wrsi_topk(_wrsi_key_cols(docs)).collect()
+    assert {(r["source"], r["doc_id"]) for r in out} == {
+        (r["source"], r["doc_id"]) for r in ref
+    }
+    per_src = {}
+    for r in out:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    assert set(per_src.values()) == {_WRSI_K}
+    assert {r["arrived_seq"] for r in out} == {0, 1, 2}

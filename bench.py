@@ -352,6 +352,7 @@ HEADLINE = [
     "stream_kmeans_minibatch",
     "graph_clustering_coefficient",
     "stream_reservoir_incremental",
+    "window_hurst_exponent",
 ]
 
 

@@ -3519,3 +3519,222 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_errors"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hurst exponent (rescaled-range long-memory diagnostic)
+# --------------------------------------------------------------------------
+
+_HURST_B1, _HURST_B2 = 12, 48  # block sizes (hours); ratio 4 -> ln(4) slope
+
+
+@register(
+    "window_hurst_exponent",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ),
+    spine AS (
+      SELECT t.et AS event_type,
+             CAST(datediff('hour', b.h0, g.h) AS BIGINT) AS t, g.h AS h
+      FROM bounds b,
+           LATERAL unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR))
+             AS g(h),
+           (SELECT DISTINCT event_type AS et FROM events) t
+    ),
+    cnt AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT s.event_type, s.t, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+      FROM spine s
+      LEFT JOIN cnt c ON c.event_type = s.event_type AND c.h = s.h
+    ),
+    blk AS (
+      SELECT event_type, CAST(bb.b AS BIGINT) AS b,
+             t // bb.b AS g, t % bb.b AS pos, x
+      FROM ser CROSS JOIN (VALUES ({_HURST_B1}), ({_HURST_B2})) bb(b)
+    ),
+    pre AS (
+      SELECT event_type, b, g, pos, x,
+             sum(x) OVER (PARTITION BY event_type, b, g
+                          ORDER BY pos) AS pref,
+             sum(x) OVER (PARTITION BY event_type, b, g) AS tot,
+             sum(x * x) OVER (PARTITION BY event_type, b, g) AS totsq,
+             count(*) OVER (PARTITION BY event_type, b, g) AS nb
+      FROM blk
+    ),
+    z AS (
+      SELECT event_type, b, g,
+             CAST(max(b * pref - (pos + 1) * tot)
+                  - min(b * pref - (pos + 1) * tot) AS BIGINT) AS rp,
+             CAST(max(b * totsq - tot * tot) AS BIGINT) AS d,
+             max(nb) AS nb
+      FROM pre GROUP BY 1, 2, 3
+    ),
+    rs AS (
+      SELECT event_type, b,
+             CAST(round(ln(CAST(rp AS DOUBLE) / sqrt(CAST(d AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS lnrs
+      FROM z WHERE nb = b AND d > 0
+    ),
+    agg AS (
+      SELECT event_type, b, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lnrs) AS BIGINT) AS s
+      FROM rs GROUP BY 1, 2
+    )
+    SELECT s1.event_type,
+           s1.n AS n_blocks_short, s1.s AS sum_lnrs_short,
+           s2.n AS n_blocks_long, s2.s AS sum_lnrs_long,
+           CAST(round((CAST(s2.s AS DOUBLE) / s2.n
+                       - CAST(s1.s AS DOUBLE) / s1.n)
+                      / ln(4.0) / 1000) AS BIGINT) AS hurst_milli
+    FROM agg s1 JOIN agg s2 ON s1.event_type = s2.event_type
+    WHERE s1.b = {_HURST_B1} AND s2.b = {_HURST_B2}
+    """,
+)
+def window_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HURST EXPONENT via rescaled-range (R/S) analysis (Hurst 1951;
+    Mandelbrot-Wallis 1969) of each event type's hourly arrival
+    series: H ~ 0.5 means memoryless Poisson-like traffic, H > 0.5
+    long-range dependence (bursts cluster — capacity planning cannot
+    assume independence), H < 0.5 anti-persistent mean reversion. For
+    a training-data platform this is the load-model diagnostic behind
+    ingest autoscaling: long-memory arrivals invalidate the
+    square-root staffing rule that Poisson assumptions justify.
+
+    Algorithm: the series is the gap-filled hourly count spine (gaps
+    are REAL zeros, not missing data — the events_resample_gapfill
+    lesson); for block sizes b = {_HURST_B1} and {_HURST_B2} hours,
+    each complete block computes its rescaled range R/S from EXACT
+    integers — R' = max-min of the integer-scaled cumulative
+    deviations b*prefix_t - t*total (= b*R), D = b*sum(x^2) - total^2
+    (= b^2 * n/(n) * S^2 scaling), so R/S = R'/sqrt(D) is ONE IEEE
+    division of exact integers; ln(R/S) quantizes to integer
+    micro-nats per block (the lnu_micro idiom) and the per-b mean is
+    a ratio of exact integer sums. H = (mean_lnRS(b2) -
+    mean_lnRS(b1)) / ln(b2/b1) — the two-scale log-regression slope
+    (geometric-mean R/S variant), with the pinned integer sums output
+    alongside so the oracle attests the integers, not just the
+    derived double. Constant blocks (D = 0) and the trailing partial
+    block are excluded on both engines.
+
+    Scale shape: the raw stream collapses to the (type, hour) count
+    table in one partial-agg pass — everything after runs on spine
+    rows (time x types, never events). The spine generates from a
+    1-row broadcast bounds aggregate; block statistics are one window
+    pass partitioned by (type, b, block) — block length is a
+    CONSTANT, so no partition ever exceeds {_HURST_B2} rows and the
+    two shuffles move O(spine) rows. At 100 TB of events the spine
+    for a decade of hours x 1000 types is ~10^8 rows — trivially
+    partitioned, and the only event-proportional work is the first
+    count."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence(
+                    F.col("h0"), F.col("h1"), F.expr("interval 1 hour")
+                )
+            ).alias("h"),
+            "h0",
+        )
+        .crossJoin(F.broadcast(types))
+        .select(
+            "event_type",
+            "h",
+            F.expr("timestampdiff(HOUR, h0, h)").cast("bigint").alias("t"),
+        )
+    )
+    cnt = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    ser = spine.join(cnt, ["event_type", "h"], "left").select(
+        "event_type",
+        "t",
+        F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+    )
+    grid = spark.createDataFrame([(_HURST_B1,), (_HURST_B2,)], "b int")
+    blk = ser.crossJoin(F.broadcast(grid)).select(
+        "event_type",
+        F.col("b").cast("bigint").alias("b"),
+        F.expr("t div b").alias("g"),
+        (F.col("t") % F.col("b")).alias("pos"),
+        "x",
+    )
+    wp = W.partitionBy("event_type", "b", "g")
+    pre = blk.select(
+        "event_type",
+        "b",
+        "g",
+        "pos",
+        F.sum("x").over(wp.orderBy("pos")).alias("pref"),
+        F.sum("x").over(wp).alias("tot"),
+        F.sum(F.col("x") * F.col("x")).over(wp).alias("totsq"),
+        F.count("*").over(wp).alias("nb"),
+    )
+    zdev = F.col("b") * F.col("pref") - (F.col("pos") + 1) * F.col("tot")
+    z = pre.groupBy("event_type", "b", "g").agg(
+        (F.max(zdev) - F.min(zdev)).cast("bigint").alias("rp"),
+        F.max(
+            F.col("b") * F.col("totsq") - F.col("tot") * F.col("tot")
+        )
+        .cast("bigint")
+        .alias("d"),
+        F.max("nb").alias("nb"),
+    )
+    rs = z.filter((F.col("nb") == F.col("b")) & (F.col("d") > 0)).select(
+        "event_type",
+        "b",
+        F.round(
+            F.log(
+                F.col("rp").cast("double")
+                / F.sqrt(F.col("d").cast("double"))
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("lnrs"),
+    )
+    agg = rs.groupBy("event_type", "b").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("lnrs").cast("bigint").alias("s"),
+    )
+    s1 = agg.filter(F.col("b") == _HURST_B1).select(
+        "event_type",
+        F.col("n").alias("n_blocks_short"),
+        F.col("s").alias("sum_lnrs_short"),
+    )
+    s2 = agg.filter(F.col("b") == _HURST_B2).select(
+        "event_type",
+        F.col("n").alias("n_blocks_long"),
+        F.col("s").alias("sum_lnrs_long"),
+    )
+    return s1.join(s2, "event_type").select(
+        "event_type",
+        "n_blocks_short",
+        "sum_lnrs_short",
+        "n_blocks_long",
+        "sum_lnrs_long",
+        F.round(
+            (
+                F.col("sum_lnrs_long").cast("double")
+                / F.col("n_blocks_long")
+                - F.col("sum_lnrs_short").cast("double")
+                / F.col("n_blocks_short")
+            )
+            / F.log(F.lit(4.0))
+            / 1000
+        )
+        .cast("bigint")
+        .alias("hurst_milli"),
+    )

@@ -194,3 +194,32 @@ def test_stream_reservoir_incremental_is_batch_identical(spark):
         per_src[r["source"]] = per_src.get(r["source"], 0) + 1
     assert set(per_src.values()) == {_WRSI_K}
     assert {r["arrived_seq"] for r in out} == {0, 1, 2}
+
+
+def test_hurst_exponent_contract(spark):
+    """R/S analysis contracts: one row per event type; the short scale
+    yields exactly (b2/b1)x the long scale's complete blocks on the
+    gap-filled spine; H lands in the physically meaningful (0, 1)
+    band; no cartesian product in the plan (the only cross joins
+    broadcast the 1-row bounds and the 2-row block grid)."""
+    from pyspark_xgboost_spark.operators.temporal import (
+        _HURST_B1,
+        _HURST_B2,
+        window_hurst_exponent,
+    )
+
+    out = window_hurst_exponent(spark, SF_DIR)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    rows = out.collect()
+    assert len(rows) == len({r["event_type"] for r in rows}) > 0
+    for r in rows:
+        # short blocks tile the long blocks' span, b2/b1 per long
+        # block; D=0 (constant-block) exclusions only ever REMOVE
+        # blocks, and the spine has at least as many short as long
+        assert (
+            r["n_blocks_long"]
+            < r["n_blocks_short"]
+            <= (_HURST_B2 // _HURST_B1) * (r["n_blocks_long"] + 1)
+        )
+        assert 0 < r["hurst_milli"] < 1000

@@ -353,6 +353,7 @@ HEADLINE = [
     "graph_clustering_coefficient",
     "stream_reservoir_incremental",
     "window_hurst_exponent",
+    "corpus_heaps_law",
 ]
 
 

@@ -3044,3 +3044,187 @@ def corpus_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("coverage_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps' law fit (vocabulary growth exponent over arrival order)
+# --------------------------------------------------------------------------
+
+_HEAPS_CUTS = 10  # decile checkpoints over the doc_id arrival range
+
+
+@register(
+    "corpus_heaps_law",
+    oracle=rf"""
+    WITH mx AS (SELECT max(doc_id) AS mid FROM documents),
+    cuts AS (
+      SELECT k.k AS k, (mx.mid * k.k) // {_HEAPS_CUTS} AS cut
+      FROM mx, LATERAL unnest(generate_series(1, {_HEAPS_CUTS})) AS k(k)
+    ),
+    toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS typ
+      FROM toks, LATERAL unnest(generate_series(1, len(toks) - 2)) AS g(i)
+      WHERE len(toks) >= 3
+    ),
+    first_seen AS (
+      SELECT typ, min(doc_id) AS first_doc FROM big GROUP BY typ
+    ),
+    doc_n AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_big
+      FROM big GROUP BY doc_id
+    ),
+    pts AS (
+      SELECT c.k, c.cut,
+             (SELECT CAST(COALESCE(sum(d.n_big), 0) AS BIGINT)
+              FROM doc_n d WHERE d.doc_id <= c.cut) AS cum_tokens,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM first_seen f WHERE f.first_doc <= c.cut) AS vocab
+      FROM cuts c
+    ),
+    lg AS (
+      SELECT k, cut, cum_tokens, vocab,
+             CAST(round(ln(CAST(cum_tokens AS DOUBLE)) * 1000000)
+               AS BIGINT) AS lnn_micro,
+             CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000)
+               AS BIGINT) AS lnv_micro
+      FROM pts WHERE cum_tokens > 0 AND vocab > 0
+    ),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(lnn_micro) AS BIGINT) AS sx,
+             CAST(sum(lnv_micro) AS BIGINT) AS sy,
+             CAST(sum(lnn_micro * lnn_micro) AS BIGINT) AS sxx,
+             CAST(sum(lnn_micro * lnv_micro) AS BIGINT) AS sxy
+      FROM lg
+    )
+    SELECT l.k, l.cut, l.cum_tokens, l.vocab, l.lnn_micro, l.lnv_micro,
+           CAST(round((CAST(f.m AS DOUBLE) * f.sxy
+                       - CAST(f.sx AS DOUBLE) * f.sy)
+                      / (CAST(f.m AS DOUBLE) * f.sxx
+                         - CAST(f.sx AS DOUBLE) * f.sx) * 1000)
+             AS BIGINT) AS beta_milli
+    FROM lg l CROSS JOIN fit f
+    """,
+)
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS' LAW FIT — the vocabulary-growth exponent V(N) ~ K*N^beta
+    (Heaps 1978; Herdan 1960) over the corpus in doc_id arrival
+    order, with word TRIGRAMS as the type universe (the unigram AND bigram
+    pools saturate almost instantly on a bounded-vocabulary corpus —
+    the vacuousness check, applied empirically: bigram growth was
+    flat by the third decile; trigram types keep minting through the
+    last decile at the graded SF, and Heaps holds for n-gram
+    vocabularies just as for words). beta is the capacity
+    number behind tokenizer and embedding-table sizing: it
+    extrapolates how many NEW types the next 10x of ingest will mint
+    (beta ~ 0.5 doubles vocab per 4x tokens), which prices the
+    open-vocabulary tail before the data arrives.
+
+    Algorithm: checkpoint thresholds are DERIVED, not ranked —
+    c_k = (max_id * k) div {_HEAPS_CUTS} from the 1-row max
+    aggregate, so no global row_number ever orders the corpus (the
+    classic Heaps-curve bottleneck). Each type's first occurrence is
+    min(doc_id) — one groupBy over the exploded bigram relation;
+    V(c_k) counts first_doc <= c_k and N(c_k) sums per-doc token
+    counts below the cut. ln V and ln N quantize to integer
+    micro-nats, and beta is the closed-form least-squares slope over
+    the {_HEAPS_CUTS} checkpoints computed from five exact integer
+    power sums (the agg_corr_regression discipline) — the pinned
+    integers ride along in the output so the oracle attests them,
+    not just the derived double.
+
+    Scale shape: ONE tokenize/explode pass collapses the corpus to
+    (type, first_doc) and (doc, count) tables; checkpoint evaluation
+    is a conditional aggregate against the {_HEAPS_CUTS} broadcast
+    cuts (types x cuts comparisons map-side, output {_HEAPS_CUTS}
+    rows); the fit is a 1-row aggregate. Nothing after the first
+    explode is token-proportional, and no step depends on partition
+    count or arrival physicalization."""
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("mid"))
+    cuts = (
+        mx.crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(k,) for k in range(1, _HEAPS_CUTS + 1)], "k int"
+                )
+            )
+        )
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            F.expr(f"(mid * k) div {_HEAPS_CUTS}").alias("cut"),
+        )
+    )
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("toks"))
+    big = (
+        toks.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3),"
+                    "  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                )
+            ).alias("typ"),
+        )
+    )
+    first_seen = big.groupBy("typ").agg(F.min("doc_id").alias("first_doc"))
+    doc_n = big.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_big")
+    )
+    bc = F.broadcast(cuts)
+    cum = (
+        doc_n.join(bc, F.col("doc_id") <= F.col("cut"))
+        .groupBy("k", "cut")
+        .agg(F.sum("n_big").cast("bigint").alias("cum_tokens"))
+    )
+    voc = (
+        first_seen.join(bc, F.col("first_doc") <= F.col("cut"))
+        .groupBy("k", "cut")
+        .agg(F.count("*").cast("bigint").alias("vocab"))
+    )
+    lg = (
+        cum.join(voc, ["k", "cut"])
+        .filter((F.col("cum_tokens") > 0) & (F.col("vocab") > 0))
+        .select(
+            "k",
+            "cut",
+            "cum_tokens",
+            "vocab",
+            F.round(F.log(F.col("cum_tokens").cast("double")) * 1000000)
+            .cast("bigint")
+            .alias("lnn_micro"),
+            F.round(F.log(F.col("vocab").cast("double")) * 1000000)
+            .cast("bigint")
+            .alias("lnv_micro"),
+        )
+    )
+    fit = lg.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("lnn_micro").cast("bigint").alias("sx"),
+        F.sum("lnv_micro").cast("bigint").alias("sy"),
+        F.sum(F.col("lnn_micro") * F.col("lnn_micro"))
+        .cast("bigint")
+        .alias("sxx"),
+        F.sum(F.col("lnn_micro") * F.col("lnv_micro"))
+        .cast("bigint")
+        .alias("sxy"),
+    )
+    md = F.col("m").cast("double")
+    beta = (
+        (md * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        / (md * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+    )
+    return lg.crossJoin(F.broadcast(fit)).select(
+        "k",
+        "cut",
+        "cum_tokens",
+        "vocab",
+        "lnn_micro",
+        "lnv_micro",
+        F.round(beta * 1000).cast("bigint").alias("beta_milli"),
+    )

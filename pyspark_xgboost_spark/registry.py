@@ -103,7 +103,7 @@ _GRADE_FIRST = [
     # audit_join_explosion, audit_merkle_table_digest,
     # corpus_tokenizer_fertility, corpus_vocab_coverage_curve,
     # events_sequence_pattern, graph_clustering_coefficient,
-    # stream_reservoir_incremental, window_hurst_exponent,
+    # corpus_heaps_law, stream_reservoir_incremental, window_hurst_exponent,
     # multimodal_resize [oracle-upgraded from
     # rows-only this round], sim_search_ivf_drift_eval,
     # sim_search_mips_norm_pruned, stream_decontaminate_incremental,

@@ -223,3 +223,24 @@ def test_hurst_exponent_contract(spark):
             <= (_HURST_B2 // _HURST_B1) * (r["n_blocks_long"] + 1)
         )
         assert 0 < r["hurst_milli"] < 1000
+
+
+def test_heaps_law_monotone_and_bounded(spark):
+    """Heaps-fit contracts: exactly one row per checkpoint; cumulative
+    tokens and vocabulary are nondecreasing in k; the fitted exponent
+    is sublinear (0 < beta < 1 — vocabulary grows, but slower than
+    tokens) and identical on every row; no global sort/row_number
+    anywhere in the plan (cut thresholds derive from the max id)."""
+    from pyspark_xgboost_spark.operators.corpus import corpus_heaps_law
+
+    out = corpus_heaps_law(spark, SF_DIR)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    rows = sorted(out.collect(), key=lambda r: r["k"])
+    assert len(rows) == len({r["k"] for r in rows}) > 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["cum_tokens"] <= b["cum_tokens"]
+        assert a["vocab"] <= b["vocab"]
+    betas = {r["beta_milli"] for r in rows}
+    assert len(betas) == 1
+    assert 0 < rows[0]["beta_milli"] < 1000

@@ -354,6 +354,7 @@ HEADLINE = [
     "stream_reservoir_incremental",
     "window_hurst_exponent",
     "corpus_heaps_law",
+    "audit_fd_violations",
 ]
 
 

@@ -3398,3 +3398,122 @@ def audit_merkle_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency audit (one-pass determinant profiling)
+# --------------------------------------------------------------------------
+
+# (fd_name, table, determinant columns, dependent column). A deliberate
+# mix of key-backed dependencies that must HOLD and plausible-looking
+# business rules that data actually violates — the profiler's job is to
+# measure, not assume.
+_FD_CANDIDATES = [
+    ("orders.o_orderkey->o_orderstatus", "orders", ["o_orderkey"], "o_orderstatus"),
+    ("orders.o_custkey->o_orderpriority", "orders", ["o_custkey"], "o_orderpriority"),
+    ("lineitem.pk->l_quantity", "lineitem", ["l_orderkey", "l_linenumber"], "l_quantity"),
+    ("lineitem.l_orderkey->l_returnflag", "lineitem", ["l_orderkey"], "l_returnflag"),
+    ("customer.c_nationkey->c_mktsegment", "customer", ["c_nationkey"], "c_mktsegment"),
+    ("nation.n_regionkey->n_name", "nation", ["n_regionkey"], "n_name"),
+    ("events.user_id->event_type", "events", ["user_id"], "event_type"),
+    ("documents.source->lang", "documents", ["source"], "lang"),
+]
+
+
+def _fd_oracle() -> str:
+    arms = []
+    for name, tbl, det, dep in _FD_CANDIDATES:
+        detkey = " || chr(1) || ".join(f"CAST({c} AS VARCHAR)" for c in det)
+        arms.append(
+            f"SELECT '{name}' AS fd, {detkey} AS det,"
+            f" CAST({dep} AS VARCHAR) AS dep FROM {tbl}"
+        )
+    union = "\n      UNION ALL ".join(arms)
+    return f"""
+    WITH pairs AS (
+      {union}
+    ),
+    per_det AS (
+      SELECT fd, det,
+             CAST(count(DISTINCT dep) AS BIGINT) AS n_dep
+      FROM pairs GROUP BY fd, det
+    )
+    SELECT fd,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(max(n_dep) AS BIGINT) AS max_distinct_dep,
+           CAST(CASE WHEN max(n_dep) = 1 THEN 1 ELSE 0 END AS INT) AS holds,
+           CAST(floor(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END)
+                      * 1000000.0 / count(*)) AS BIGINT) AS violation_ppm
+    FROM per_det GROUP BY fd
+    """
+
+
+@register("audit_fd_violations", oracle=_fd_oracle())
+def audit_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY AUDIT — for each candidate rule X -> Y in
+    a curated list ({len(_FD_CANDIDATES)} across five tables), how
+    many determinant groups exist, how many are VIOLATED (more than
+    one distinct dependent), and how badly (max distinct dependents,
+    violation ppm)? This is the schema-inference half of data-quality
+    profiling (Papenbrock et al., PVLDB 8(10), on FD discovery;
+    audit_dq_expectations checks row-level rules, this checks
+    RELATIONSHIPS): key-backed FDs must hold exactly (a violation is
+    corruption upstream), while plausible business rules that fail
+    with high ppm are join-denormalization hazards — materializing a
+    dimension off a violated FD silently picks arbitrary winners.
+
+    The candidate list deliberately mixes both kinds: orders'
+    o_orderkey rule reports holds=1 (a real key), distribution rules
+    (customer nation->segment, events user->type) report their
+    violation ppm as the measurement — and the nominal lineitem
+    (l_orderkey, l_linenumber) "primary key" turns out VIOLATED in
+    the synthetic data (the generator reuses line numbers), which is
+    precisely the silent upstream corruption this audit exists to
+    surface before a merge/upsert keyed on it picks arbitrary
+    winners.
+
+    Scale shape: ONE pass — every candidate projects its (fd, det,
+    dep) pairs from a column-pruned scan (Parquet reads only the
+    referenced columns, checked via ReadSchema), the union shuffles
+    once on (fd, det) for the distinct-dependent count (partial
+    aggregation applies: duplicate (fd, det, dep) triples collapse
+    map-side), and the per-FD rollup is group-count-sized. Adding a
+    candidate adds a projection, never a new scan pattern; the
+    determinant key is a chr(1)-joined string, so composite
+    determinants ride the same relation."""
+    parts = []
+    for name, tbl, det, dep in _FD_CANDIDATES:
+        src = _t(spark, sf_dir, tbl)
+        detkey = F.concat_ws(
+            "\x01", *[F.col(c).cast("string") for c in det]
+        )
+        parts.append(
+            src.select(
+                F.lit(name).alias("fd"),
+                detkey.alias("det"),
+                F.col(dep).cast("string").alias("dep"),
+            )
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    per_det = pairs.groupBy("fd", "det").agg(
+        F.count_distinct("dep").cast("bigint").alias("n_dep")
+    )
+    return per_det.groupBy("fd").agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating"),
+        F.max("n_dep").cast("bigint").alias("max_distinct_dep"),
+        F.when(F.max("n_dep") == 1, 1).otherwise(0).cast("int").alias("holds"),
+        F.floor(
+            F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+            * 1000000.0
+            / F.count("*")
+        )
+        .cast("bigint")
+        .alias("violation_ppm"),
+    )

@@ -244,3 +244,28 @@ def test_heaps_law_monotone_and_bounded(spark):
     betas = {r["beta_milli"] for r in rows}
     assert len(betas) == 1
     assert 0 < rows[0]["beta_milli"] < 1000
+
+
+def test_fd_audit_scan_pruning_and_semantics(spark):
+    """The FD profiler reads only the referenced columns from each
+    table (column pruning reaches the parquet scan) and its verdicts
+    are internally consistent: holds=1 iff no group is violated, and
+    the real key (orders.o_orderkey) holds while the synthetic
+    lineitem's reused line numbers are caught as violations."""
+    from pyspark_xgboost_spark.operators.relational import (
+        audit_fd_violations,
+    )
+
+    out = audit_fd_violations(spark, SF_DIR)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    # pruned scans: no unreferenced wide column leaks into any scan
+    assert "l_extendedprice" not in plan
+    assert "o_totalprice" not in plan
+    rows = {r["fd"]: r for r in out.collect()}
+    for r in rows.values():
+        assert (r["holds"] == 1) == (r["n_violating"] == 0)
+        assert r["n_violating"] <= r["n_groups"]
+        assert 0 <= r["violation_ppm"] <= 1_000_000
+    assert rows["orders.o_orderkey->o_orderstatus"]["holds"] == 1
+    assert rows["lineitem.pk->l_quantity"]["holds"] == 0

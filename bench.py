@@ -355,6 +355,7 @@ HEADLINE = [
     "window_hurst_exponent",
     "corpus_heaps_law",
     "audit_fd_violations",
+    "sketch_ddsketch_quantiles",
 ]
 
 

@@ -1380,3 +1380,156 @@ def sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_rows"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# DDSketch: relative-error quantiles from deterministic log buckets
+# --------------------------------------------------------------------------
+
+_DD_INV_ALPHA = 50  # bucket = ceil(ln(x) * 50)  <=>  gamma = e^(1/50)
+_DD_QS = (50, 95, 99)  # percent targets
+
+
+@register(
+    "sketch_ddsketch_quantiles",
+    oracle=f"""
+    WITH pos AS (
+      SELECT event_type, value AS x FROM events WHERE value > 0
+    ),
+    n AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_pos
+      FROM pos GROUP BY event_type
+    ),
+    bkt AS (
+      SELECT event_type,
+             CAST(ceil(ln(x) * {_DD_INV_ALPHA}) AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM pos GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, b,
+             sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cum
+      FROM bkt
+    ),
+    qs AS (SELECT unnest(ARRAY{list(_DD_QS)}) AS qpct),
+    pick AS (
+      SELECT c.event_type, q.qpct, min(c.b) AS bucket
+      FROM cum c JOIN n USING (event_type) CROSS JOIN qs q
+      WHERE c.cum * 100 >= q.qpct * n.n_pos
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT event_type, qpct, bucket,
+             2 * exp(CAST(bucket AS DOUBLE) / {_DD_INV_ALPHA})
+               / (exp(1.0 / {_DD_INV_ALPHA}) + 1) AS est
+      FROM pick
+    )
+    SELECT e.event_type, CAST(e.qpct AS INT) AS q_pct, e.bucket,
+           CAST(round(e.est * 1000000) AS BIGINT) AS est_micro,
+           n.n_pos,
+           CAST(floor((SELECT count(*) FROM pos x
+                       WHERE x.event_type = e.event_type AND x.x <= e.est)
+                      * 1000000.0 / n.n_pos) AS BIGINT) AS cdf_ppm
+    FROM est e JOIN n USING (event_type)
+    """,
+)
+def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSKETCH relative-error quantiles (Masson, Rim & Lee, PVLDB
+    12(12), 2019 — the Datadog production sketch): per event type,
+    p50/p95/p99 of `value` from DETERMINISTIC log-spaced buckets
+    b = ceil(ln(x) * {_DD_INV_ALPHA}) (gamma = e^(1/{_DD_INV_ALPHA}),
+    ~1% relative accuracy), with the empirical CDF at each estimate
+    computed against the raw data as the built-in error attestation
+    — cdf_ppm must bracket the target q, which the oracle pins
+    row-for-row. Unlike KLL/GK sketches (rank error, merge-order-
+    sensitive internals), DDSketch's state is a pure value->bucket
+    COUNT MAP: inserts commute, merges are counter addition, and the
+    same input yields the SAME sketch on any partitioning — the only
+    quantile sketch that passes a bit-identity invariance sweep by
+    construction, which is why it (not percentile_approx's KLL) is
+    the shape to ship per-shard and union across a 1000-executor
+    ingest. agg_percentile_sketch_contract covers the rank-error
+    family; this is the relative-error family.
+
+    The bucket uses gamma = e^(1/{_DD_INV_ALPHA}) rather than the
+    textbook arbitrary gamma so the index is ceil(ln(x) * int) — one
+    libm call and one exact integer product, no ln(gamma) division
+    whose last-ulp could shift a boundary bucket between engines.
+
+    Scale shape: one map-side-combined groupBy collapses the stream
+    to O(types x buckets) rows (~550 buckets span 0.01..500; state is
+    KB per type forever); the quantile walk is a window cumsum over
+    the BUCKET table; the CDF attestation is one more partial-agg
+    pass against the broadcast 15-row estimate table. Nothing is
+    ever sorted globally and no state grows with the data."""
+    ev = load_table(spark, sf_dir, "events")
+    pos = ev.filter(F.col("value") > 0).select(
+        "event_type", F.col("value").alias("x")
+    )
+    n = pos.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_pos")
+    )
+    bkt = (
+        pos.select(
+            "event_type",
+            F.ceil(F.log(F.col("x")) * _DD_INV_ALPHA)
+            .cast("bigint")
+            .alias("b"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    cum = bkt.select(
+        "event_type",
+        "b",
+        F.sum("c")
+        .over(W.partitionBy("event_type").orderBy("b"))
+        .alias("cum"),
+    )
+    qs = spark.createDataFrame([(q,) for q in _DD_QS], "qpct int")
+    pick = (
+        cum.join(n, "event_type")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") * 100 >= F.col("qpct") * F.col("n_pos"))
+        .groupBy("event_type", "qpct")
+        .agg(F.min("b").alias("bucket"))
+    )
+    est = pick.select(
+        "event_type",
+        "qpct",
+        "bucket",
+        (
+            2
+            * F.exp(F.col("bucket").cast("double") / _DD_INV_ALPHA)
+            / (F.exp(F.lit(1.0) / _DD_INV_ALPHA) + 1)
+        ).alias("est"),
+    )
+    est_r = est.select(
+        F.col("event_type").alias("et"),
+        F.col("qpct").alias("qp"),
+        "bucket",
+        "est",
+    ).localCheckpoint(eager=True)  # cut the pos<->est self-join lineage
+    cdf = (
+        pos.join(
+            F.broadcast(est_r),
+            (F.col("event_type") == F.col("et"))
+            & (F.col("x") <= F.col("est")),
+        )
+        .groupBy("et", "qp")
+        .agg(F.count("*").cast("bigint").alias("n_le"))
+    )
+    return (
+        est_r.join(cdf, ["et", "qp"])
+        .join(n, F.col("et") == F.col("event_type"))
+        .select(
+            F.col("et").alias("event_type"),
+            F.col("qp").cast("int").alias("q_pct"),
+            "bucket",
+            F.round(F.col("est") * 1000000).cast("bigint").alias("est_micro"),
+            "n_pos",
+            F.floor(F.col("n_le") * 1000000.0 / F.col("n_pos"))
+            .cast("bigint")
+            .alias("cdf_ppm"),
+        )
+    )

@@ -269,3 +269,44 @@ def test_fd_audit_scan_pruning_and_semantics(spark):
         assert 0 <= r["violation_ppm"] <= 1_000_000
     assert rows["orders.o_orderkey->o_orderstatus"]["holds"] == 1
     assert rows["lineitem.pk->l_quantity"]["holds"] == 0
+
+
+def test_ddsketch_relative_error_guarantee(spark):
+    """DDSketch's defining contract: every estimate is within the
+    gamma relative-accuracy band of the EXACT discrete quantile
+    (alpha ~ tanh(1/(2*50)) ~ 1%), and the empirical CDF at the
+    estimate brackets the target rank. Verified against a full sort
+    of the raw values — the thing the sketch exists to avoid."""
+    import math
+
+    from pyspark_xgboost_spark.operators.sketches import (
+        _DD_INV_ALPHA,
+        sketch_ddsketch_quantiles,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+
+    rows = sketch_ddsketch_quantiles(spark, SF_DIR).collect()
+    assert rows
+    vals = {}
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    alpha = math.tanh(1.0 / (2 * _DD_INV_ALPHA))
+    for r in rows:
+        xs = sorted(x for x in vals[r["event_type"]] if x > 0)
+        exact = xs[
+            min(len(xs) - 1, math.ceil(r["q_pct"] * len(xs) / 100) - 1)
+        ]
+        est = r["est_micro"] / 1e6
+        assert abs(est - exact) / exact <= alpha + 1e-6, (
+            r["event_type"],
+            r["q_pct"],
+            est,
+            exact,
+        )
+        assert r["q_pct"] * 10000 - 30000 <= r["cdf_ppm"] <= r[
+            "q_pct"
+        ] * 10000 + 30000

@@ -356,6 +356,7 @@ HEADLINE = [
     "corpus_heaps_law",
     "audit_fd_violations",
     "sketch_ddsketch_quantiles",
+    "agg_cramers_v",
 ]
 
 

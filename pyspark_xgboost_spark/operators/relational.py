@@ -3517,3 +3517,188 @@ def audit_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("violation_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cramer's V association matrix (bias-corrected, integer-quantized chi2)
+# --------------------------------------------------------------------------
+
+# (pair_name, table, expr_a, expr_b) — SQL expressions valid in BOTH
+# engines (plain columns, or hour(ts) // 4 written per dialect below).
+_CV_PAIRS = [
+    ("orders.status_x_priority", "orders", "o_orderstatus", "o_orderpriority"),
+    ("customer.segment_x_nation", "customer", "c_mktsegment", "c_nationkey"),
+    ("documents.source_x_lang", "documents", "source", "lang"),
+    ("lineitem.returnflag_x_linestatus", "lineitem", "l_returnflag", "l_linestatus"),
+    ("events.type_x_hourband", "events", "event_type", "__HOURBAND__"),
+]
+
+
+def _cramers_oracle() -> str:
+    arms = []
+    for name, tbl, a, b in _CV_PAIRS:
+        bexpr = "(hour(ts) // 4)" if b == "__HOURBAND__" else b
+        arms.append(
+            f"SELECT '{name}' AS pair, CAST({a} AS VARCHAR) AS a,"
+            f" CAST({bexpr} AS VARCHAR) AS b FROM {tbl}"
+        )
+    union = "\n      UNION ALL ".join(arms)
+    return f"""
+    WITH obs AS (
+      {union}
+    ),
+    cell AS (
+      SELECT pair, a, b, CAST(count(*) AS BIGINT) AS nij
+      FROM obs GROUP BY pair, a, b
+    ),
+    marg AS (
+      SELECT pair, a, b, nij,
+             sum(nij) OVER (PARTITION BY pair, a) AS ri,
+             sum(nij) OVER (PARTITION BY pair, b) AS cj,
+             sum(nij) OVER (PARTITION BY pair) AS n
+      FROM cell
+    ),
+    terms AS (
+      SELECT pair, n,
+             CAST(round(
+               (CAST(nij AS DOUBLE) * n - CAST(ri AS DOUBLE) * cj)
+               * (CAST(nij AS DOUBLE) * n - CAST(ri AS DOUBLE) * cj)
+               / (CAST(n AS DOUBLE) * ri * cj) * 1000000
+             ) AS BIGINT) AS term_micro,
+             a, b
+      FROM marg
+    ),
+    per AS (
+      SELECT pair, CAST(max(n) AS BIGINT) AS n,
+             CAST(count(DISTINCT a) AS BIGINT) AS r,
+             CAST(count(DISTINCT b) AS BIGINT) AS c,
+             CAST(sum(term_micro) AS BIGINT) AS chi2_micro
+      FROM terms GROUP BY pair
+    )
+    SELECT pair, n, r, c, chi2_micro,
+           CAST(round(sqrt(chi2_micro / 1000000.0
+                           / (CAST(n AS DOUBLE) * (least(r, c) - 1)))
+                      * 1000) AS BIGINT) AS v_milli,
+           CAST(round(sqrt(
+             greatest(0.0,
+               chi2_micro / 1000000.0 / n
+               - (CAST(r AS DOUBLE) - 1) * (c - 1) / (n - 1))
+             / (least(r - (CAST(r AS DOUBLE) - 1) * (r - 1) / (n - 1),
+                      c - (CAST(c AS DOUBLE) - 1) * (c - 1) / (n - 1))
+                - 1)) * 1000) AS BIGINT) AS v_corr_milli
+    FROM per
+    """
+
+
+@register("agg_cramers_v", oracle=_cramers_oracle())
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMER'S V ASSOCIATION MATRIX — effect size for every curated
+    categorical column pair ({len(_CV_PAIRS)} across five tables),
+    both the classic V = sqrt(chi2 / (n * (min(r,c)-1))) and the
+    BIAS-CORRECTED V~ (Bergsma, J. Korean Stat. Soc. 42, 2013) that
+    strips the positive bias chi2 accumulates from sparse
+    contingency cells — the honest number when cardinalities differ
+    wildly (nationkey x segment). Where agg_chi2_independence answers
+    "is THIS pair independent?" with a p-value, this ranks MANY pairs
+    on one comparable 0..1 scale: the feature-redundancy /
+    leakage-screening pass before training (a pair with V~ ~ 1 is
+    one column pretending to be two).
+
+    Determinism: each contingency cell's chi2 term
+    (nij*n - ri*cj)^2 / (n*ri*cj) is computed in double from EXACT
+    integer counts and quantized to integer micro-units BEFORE the
+    per-pair sum (the established term-quantization discipline), so
+    the aggregate is partition-invariant; V and V~ are one
+    closed-form expression per pair over the pinned integers. The
+    double products are exact up to nij*n < 2^53 (~9e15 cell-count
+    product — the audit_t_closeness overflow lesson, documented
+    bound).
+
+    Scale shape: ONE union pass over column-pruned scans collapses to
+    contingency cells (map-side combined — cells, not rows, cross the
+    wire); margins are window sums over the CELL table (categorical-
+    cardinality-sized); the final reduce is one row per pair. Adding
+    a pair adds a projection to the union, never a new shuffle
+    pattern."""
+    parts = []
+    for name, tbl, a, b in _CV_PAIRS:
+        src = _t(spark, sf_dir, tbl)
+        bcol = (
+            F.expr("hour(ts) div 4") if b == "__HOURBAND__" else F.col(b)
+        )
+        parts.append(
+            src.select(
+                F.lit(name).alias("pair"),
+                F.col(a).cast("string").alias("a"),
+                bcol.cast("string").alias("b"),
+            )
+        )
+    obs = parts[0]
+    for p in parts[1:]:
+        obs = obs.unionByName(p)
+    cell = obs.groupBy("pair", "a", "b").agg(
+        F.count("*").cast("bigint").alias("nij")
+    )
+    marg = cell.select(
+        "pair",
+        "a",
+        "b",
+        "nij",
+        F.sum("nij").over(W.partitionBy("pair", "a")).alias("ri"),
+        F.sum("nij").over(W.partitionBy("pair", "b")).alias("cj"),
+        F.sum("nij").over(W.partitionBy("pair")).alias("n"),
+    )
+    dev = F.col("nij").cast("double") * F.col("n") - F.col("ri").cast(
+        "double"
+    ) * F.col("cj")
+    terms = marg.select(
+        "pair",
+        "n",
+        "a",
+        "b",
+        F.round(
+            dev
+            * dev
+            / (F.col("n").cast("double") * F.col("ri") * F.col("cj"))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("term_micro"),
+    )
+    per = terms.groupBy("pair").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count_distinct("a").cast("bigint").alias("r"),
+        F.count_distinct("b").cast("bigint").alias("c"),
+        F.sum("term_micro").cast("bigint").alias("chi2_micro"),
+    )
+    nd = F.col("n").cast("double")
+    rd = F.col("r").cast("double")
+    cd = F.col("c").cast("double")
+    phi2 = F.col("chi2_micro") / 1000000.0 / nd
+    phi2c = F.greatest(
+        F.lit(0.0), phi2 - (rd - 1) * (cd - 1) / (nd - 1)
+    )
+    rprime = rd - (rd - 1) * (rd - 1) / (nd - 1)
+    cprime = cd - (cd - 1) * (cd - 1) / (nd - 1)
+    return per.select(
+        "pair",
+        "n",
+        "r",
+        "c",
+        "chi2_micro",
+        F.round(
+            F.sqrt(
+                F.col("chi2_micro")
+                / 1000000.0
+                / (nd * (F.least(F.col("r"), F.col("c")) - 1))
+            )
+            * 1000
+        )
+        .cast("bigint")
+        .alias("v_milli"),
+        F.round(
+            F.sqrt(phi2c / (F.least(rprime, cprime) - 1)) * 1000
+        )
+        .cast("bigint")
+        .alias("v_corr_milli"),
+    )

@@ -103,7 +103,8 @@ _GRADE_FIRST = [
     # audit_join_explosion, audit_merkle_table_digest,
     # corpus_tokenizer_fertility, corpus_vocab_coverage_curve,
     # events_sequence_pattern, graph_clustering_coefficient,
-    # audit_fd_violations, corpus_heaps_law, sketch_ddsketch_quantiles,
+    # agg_cramers_v, audit_fd_violations, corpus_heaps_law,
+    # sketch_ddsketch_quantiles,
     # stream_reservoir_incremental,
     # window_hurst_exponent,
     # multimodal_resize [oracle-upgraded from

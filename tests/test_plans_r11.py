@@ -310,3 +310,25 @@ def test_ddsketch_relative_error_guarantee(spark):
         assert r["q_pct"] * 10000 - 30000 <= r["cdf_ppm"] <= r[
             "q_pct"
         ] * 10000 + 30000
+
+
+def test_cramers_v_contract(spark):
+    """Association-matrix contracts: one row per curated pair, V in
+    [0, 1], the bias-corrected V never exceeds the raw V (the
+    correction only strips spurious association — on independent
+    synthetic columns it collapses to ~0), and the union profiler
+    carries no cartesian product."""
+    from pyspark_xgboost_spark.operators.relational import (
+        _CV_PAIRS,
+        agg_cramers_v,
+    )
+
+    out = agg_cramers_v(spark, SF_DIR)
+    assert "CartesianProduct" not in plan_of(out)
+    rows = {r["pair"]: r for r in out.collect()}
+    assert set(rows) == {p[0] for p in _CV_PAIRS}
+    for r in rows.values():
+        assert 0 <= r["v_milli"] <= 1000
+        assert 0 <= r["v_corr_milli"] <= r["v_milli"] + 1  # rounding slack
+        assert r["r"] >= 2 and r["c"] >= 2
+        assert r["chi2_micro"] >= 0

@@ -357,6 +357,7 @@ HEADLINE = [
     "audit_fd_violations",
     "sketch_ddsketch_quantiles",
     "agg_cramers_v",
+    "multimodal_jpeg_dimensions",
 ]
 
 

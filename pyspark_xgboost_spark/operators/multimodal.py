@@ -1094,3 +1094,133 @@ def multimodal_wav_header(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("duration_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# JPEG SOF0 dimensions (marker-segment walk over the binary payload)
+# --------------------------------------------------------------------------
+
+
+def _be16_dyn_sql(off_expr: str) -> str:
+    """Big-endian uint16 from 4 hex chars of ``hx`` starting at the
+    DYNAMIC 1-based char offset ``off_expr`` — DuckDB casts a '0x'
+    prefixed string, so the offset may be computed per row (the PNG
+    parser's fixed-offset strpos polynomial can't walk segments)."""
+    return f"CAST('0x' || substr(hx, {off_expr}, 4) AS INTEGER)"
+
+
+@register(
+    "multimodal_jpeg_dimensions",
+    oracle=f"""
+    WITH packed AS (
+      SELECT doc_id,
+             upper(
+               'FFD8FFE0'
+               || lpad(hex(16 + doc_id % 9), 4, '0')
+               || '4A46494600'
+               || repeat('00', (16 + doc_id % 9) - 7)
+               || 'FFC0' || '0011' || '08'
+               || lpad(hex(120 + doc_id % 720), 4, '0')
+               || lpad(hex(160 + n_chars % 1280), 4, '0')
+               || '03' || '011100' || '021101' || '031101'
+               || 'FFDA' || hex(encode(text))
+             ) AS hx
+      FROM documents WHERE doc_id % 4 = 1
+    ),
+    walked AS (
+      SELECT doc_id, hx,
+             {_be16_dyn_sql("9")} AS app0_len
+      FROM packed
+    )
+    SELECT doc_id, CAST(app0_len AS BIGINT) AS app0_len,
+           substr(hx, 2 * (5 + app0_len) - 1, 4) AS sof_marker,
+           CAST({_be16_dyn_sql("2 * (5 + app0_len + 5) - 1")}
+             AS BIGINT) AS height,
+           CAST({_be16_dyn_sql("2 * (5 + app0_len + 7) - 1")}
+             AS BIGINT) AS width,
+           CAST({_be16_dyn_sql("2 * (5 + app0_len + 7) - 1")} * 1000
+                // {_be16_dyn_sql("2 * (5 + app0_len + 5) - 1")}
+             AS BIGINT) AS aspect_milli
+    FROM walked
+    """,
+)
+def multimodal_jpeg_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG DIMENSIONS without decoding — but unlike the PNG IHDR
+    (fixed offsets), JFIF requires a MARKER-SEGMENT WALK: the SOF0
+    frame header sits behind a variable-length APP0 segment, so the
+    parser must READ the APP0 length field out of the payload and
+    compute the SOF0 offset from it per row. The packed 'jpeg' cohort
+    (doc_id % 4 = 1, the multimodal_format_sniff cohort) carries a
+    spec-conformant prefix — SOI, APP0 ('JFIF\\0' + doc-derived pad,
+    so every row's SOF0 lands at a DIFFERENT offset), SOF0 with
+    big-endian uint16 height/width, three component specs, then SOS +
+    text bytes as stand-in entropy data. Spark slices the BinaryType
+    payload at computed offsets (substring with a column offset —
+    codegen'd, no UDF); the DuckDB oracle walks the identical hex
+    image with '0x'-cast reads, so pack AND parse are attested
+    cross-engine, including the marker check (sof_marker column must
+    be FFC0 on every row — a wrong walk cannot silently pass).
+
+    Scale shape: map-only projection; the walk touches <40 bytes per
+    payload regardless of size. This is the general shape for every
+    TLV container (JPEG/EXIF, MP4 atoms, Matroska): read a length,
+    hop, read a header — expressible entirely in codegen'd byte
+    slicing as long as the hop count is bounded, which for dimension
+    extraction it is (SOF precedes entropy data by spec)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 1
+    )
+    l1 = F.lit(16) + F.col("doc_id") % 9
+    h = F.lit(120) + F.col("doc_id") % 720
+    w = F.lit(160) + F.col("n_chars") % 1280
+    be16 = lambda c: F.lpad(F.hex(c), 4, "0")  # noqa: E731
+    payload = F.unhex(
+        F.upper(
+            F.concat(
+                F.lit("FFD8FFE0"),
+                be16(l1),
+                F.lit("4A46494600"),
+                F.expr(
+                    "repeat('00', (16 + doc_id % 9) - 7)"
+                ),
+                F.lit("FFC0"),
+                F.lit("0011"),
+                F.lit("08"),
+                be16(h),
+                be16(w),
+                F.lit("03"),
+                F.lit("011100"),
+                F.lit("021101"),
+                F.lit("031101"),
+                F.lit("FFDA"),
+                F.hex(F.encode(F.col("text"), "UTF-8")),
+            )
+        )
+    )
+    packed = docs.select("doc_id", payload.alias("payload"))
+    app0_len = F.conv(
+        F.hex(F.expr("substring(payload, 5, 2)")), 16, 10
+    ).cast("bigint")
+    walked = packed.select("doc_id", "payload", app0_len.alias("app0_len"))
+    sof = F.expr("substring(payload, 5 + app0_len, 2)")
+    hgt = F.conv(
+        F.hex(F.expr("substring(payload, 5 + app0_len + 5, 2)")), 16, 10
+    ).cast("bigint")
+    wid = F.conv(
+        F.hex(F.expr("substring(payload, 5 + app0_len + 7, 2)")), 16, 10
+    ).cast("bigint")
+    return walked.select(
+        "doc_id",
+        "app0_len",
+        F.hex(sof).alias("sof_marker"),
+        hgt.alias("height"),
+        wid.alias("width"),
+        F.expr(
+            "cast(conv(hex(substring(payload, 5 + app0_len + 7, 2)), 16, 10)"
+            " as bigint) * 1000 div"
+            " cast(conv(hex(substring(payload, 5 + app0_len + 5, 2)), 16, 10)"
+            " as bigint)"
+        )
+        .cast("bigint")
+        .alias("aspect_milli"),
+    )

@@ -332,3 +332,24 @@ def test_cramers_v_contract(spark):
         assert 0 <= r["v_corr_milli"] <= r["v_milli"] + 1  # rounding slack
         assert r["r"] >= 2 and r["c"] >= 2
         assert r["chi2_micro"] >= 0
+
+
+def test_jpeg_walk_is_genuine(spark):
+    """The JPEG parser must WALK (offsets vary per row because the
+    APP0 pad varies), land on the real SOF0 marker on every row, and
+    stay a map-only projection (no shuffle, no UDF in the plan)."""
+    from pyspark_xgboost_spark.operators.multimodal import (
+        multimodal_jpeg_dimensions,
+    )
+
+    out = multimodal_jpeg_dimensions(spark, SF_DIR)
+    plan = plan_of(out)
+    assert "Exchange" not in plan  # map-only: parse at scan speed
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = out.collect()
+    assert rows
+    assert {r["sof_marker"] for r in rows} == {"FFC0"}
+    assert len({r["app0_len"] for r in rows}) > 1  # offsets genuinely vary
+    for r in rows:
+        assert 120 <= r["height"] < 840 and 160 <= r["width"] < 1440
+        assert r["aspect_milli"] == r["width"] * 1000 // r["height"]

@@ -358,6 +358,7 @@ HEADLINE = [
     "sketch_ddsketch_quantiles",
     "agg_cramers_v",
     "multimodal_jpeg_dimensions",
+    "sink_hilbert_cluster",
 ]
 
 

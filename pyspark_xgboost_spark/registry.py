@@ -105,7 +105,7 @@ _GRADE_FIRST = [
     # events_sequence_pattern, graph_clustering_coefficient,
     # multimodal_jpeg_dimensions,
     # agg_cramers_v, audit_fd_violations, corpus_heaps_law,
-    # sketch_ddsketch_quantiles,
+    # sketch_ddsketch_quantiles, sink_hilbert_cluster,
     # stream_reservoir_incremental,
     # window_hurst_exponent,
     # multimodal_resize [oracle-upgraded from

@@ -353,3 +353,28 @@ def test_jpeg_walk_is_genuine(spark):
     for r in rows:
         assert 120 <= r["height"] < 840 and 160 <= r["width"] < 1440
         assert r["aspect_milli"] == r["width"] * 1000 // r["height"]
+
+
+def test_hilbert_layout_beats_zorder_on_seeks(spark):
+    """Layout A/B contracts: the Hilbert key is a bijection on grid
+    cells (n_cells == distinct hkeys per rect by construction, and
+    runs can never exceed cells), and aggregate seek runs under the
+    Hilbert layout never exceed z-order's on the same rectangles (the
+    curve-continuity advantage; the gap widens with cell fill). The
+    clustered table is written once and reused (scratch idempotence),
+    and the run windows sort cell-bounded partitions only."""
+    from pyspark_xgboost_spark.sources.formats import (
+        _HB,
+        sink_hilbert_cluster,
+    )
+
+    out = sink_hilbert_cluster(spark, SF_DIR)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r["runs_hilbert"] <= r["n_cells"] <= 4 ** _HB
+        assert r["runs_zorder"] <= r["n_cells"]
+        assert r["n_cells"] <= r["n_rows"]
+    assert sum(r["runs_zorder"] for r in rows) >= sum(
+        r["runs_hilbert"] for r in rows
+    )

@@ -359,6 +359,7 @@ HEADLINE = [
     "agg_cramers_v",
     "multimodal_jpeg_dimensions",
     "sink_hilbert_cluster",
+    "events_holt_winters_forecast",
 ]
 
 

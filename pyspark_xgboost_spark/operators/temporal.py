@@ -3738,3 +3738,223 @@ def window_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hurst_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Holt-Winters additive forecast (integer-state triple smoothing)
+# --------------------------------------------------------------------------
+
+_HW_M = 7  # season length (weekly pattern over daily counts)
+_HW_H = 7  # forecast horizon
+# smoothing ratios as exact integer numerators over 10:
+_HW_A, _HW_B, _HW_G = 3, 1, 2  # alpha=0.3, beta=0.1, gamma=0.2
+
+
+def _hw_oracle() -> str:
+    s_cols = ", ".join(f"s{i}" for i in range(1, _HW_M + 1))
+    s_shift = ", ".join(f"r.s{i}" for i in range(2, _HW_M + 1))
+    s_init = ",\n             ".join(
+        f"max(CASE WHEN r.t = {i} THEN r.xm END) - i.l0 AS s{i}"
+        for i in range(1, _HW_M + 1)
+    )
+    f_arms = "\n      UNION ALL ".join(
+        f"SELECT event_type, {h} AS h, l + {h} * b + s{h} AS fc,"
+        f" l, b, abs_err_sum, n_err FROM fin"
+        for h in range(1, _HW_H + 1)
+    )
+    return f"""
+    WITH RECURSIVE bounds AS (
+      SELECT date_trunc('day', min(ts)) AS d0,
+             date_trunc('day', max(ts)) AS d1
+      FROM events
+    ),
+    spine AS (
+      SELECT ty.et AS event_type,
+             CAST(datediff('day', b.d0, g.d) + 1 AS BIGINT) AS t
+      FROM bounds b,
+           LATERAL unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))
+             AS g(d),
+           (SELECT DISTINCT event_type AS et FROM events) ty
+    ),
+    cnt AS (
+      SELECT event_type,
+             CAST(datediff('day', (SELECT d0 FROM bounds),
+                           date_trunc('day', ts)) + 1 AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT s.event_type, s.t,
+             CAST(COALESCE(c.x, 0) * 1000000 AS BIGINT) AS xm
+      FROM spine s LEFT JOIN cnt c ON c.event_type = s.event_type
+                                  AND c.t = s.t
+    ),
+    nn AS (SELECT event_type, max(t) AS n FROM ser GROUP BY 1),
+    init AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN t <= {_HW_M} THEN xm ELSE 0 END)
+                  // {_HW_M} AS BIGINT) AS l0,
+             CAST((sum(CASE WHEN t BETWEEN {_HW_M + 1} AND {2 * _HW_M}
+                            THEN xm ELSE 0 END)
+                   - sum(CASE WHEN t <= {_HW_M} THEN xm ELSE 0 END))
+                  // {_HW_M * _HW_M} AS BIGINT) AS b0
+      FROM ser GROUP BY 1
+    ),
+    sinit AS (
+      SELECT i.event_type, i.l0, i.b0,
+             {s_init}
+      FROM init i JOIN ser r ON r.event_type = i.event_type
+                            AND r.t <= {_HW_M}
+      GROUP BY i.event_type, i.l0, i.b0
+    ),
+    rec AS (
+      SELECT event_type, CAST({_HW_M} AS BIGINT) AS t, l0 AS l, b0 AS b,
+             {s_cols}, CAST(0 AS BIGINT) AS abs_err_sum,
+             CAST(0 AS BIGINT) AS n_err
+      FROM sinit
+      UNION ALL
+      SELECT r.event_type, r.t + 1,
+             ({_HW_A} * (x.xm - r.s1)
+              + {10 - _HW_A} * (r.l + r.b)) // 10 AS l,
+             ({_HW_B} * (({_HW_A} * (x.xm - r.s1)
+                          + {10 - _HW_A} * (r.l + r.b)) // 10 - r.l)
+              + {10 - _HW_B} * r.b) // 10 AS b,
+             {s_shift},
+             ({_HW_G} * (x.xm - ({_HW_A} * (x.xm - r.s1)
+                                 + {10 - _HW_A} * (r.l + r.b)) // 10)
+              + {10 - _HW_G} * r.s1) // 10 AS s{_HW_M},
+             r.abs_err_sum + abs(x.xm - (r.l + r.b + r.s1)),
+             r.n_err + 1
+      FROM rec r
+      JOIN nn ON nn.event_type = r.event_type
+      JOIN ser x ON x.event_type = r.event_type AND x.t = r.t + 1
+      WHERE r.t < nn.n
+    ),
+    fin AS (
+      SELECT r.* FROM rec r JOIN nn ON nn.event_type = r.event_type
+      WHERE r.t = nn.n
+    ),
+    fc AS (
+      {f_arms}
+    )
+    SELECT event_type, CAST(h AS INT) AS h,
+           CAST(fc AS BIGINT) AS forecast_micro,
+           CAST(l AS BIGINT) AS level_micro,
+           CAST(b AS BIGINT) AS trend_micro,
+           CAST(abs_err_sum // n_err AS BIGINT) AS mae_micro
+    FROM fc
+    """
+
+
+@register("events_holt_winters_forecast", oracle=_hw_oracle())
+def events_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT-WINTERS additive triple-exponential forecast (Holt 1957;
+    Winters, Mgmt. Sci. 6(3) 1960) of each event type's DAILY arrival
+    counts, season length {_HW_M} (the weekly cycle), horizon
+    {_HW_H} days, with the in-sample one-step-ahead MAE as the
+    model-quality referee — the capacity-planning forecast
+    events_backtest_naive_forecast is the baseline for: level, trend
+    and weekly seasonality each smoothed (alpha={_HW_A}/10,
+    beta={_HW_B}/10, gamma={_HW_G}/10), which the seasonal-naive
+    baseline cannot adapt to drift.
+
+    Determinism: the recursion runs ENTIRELY in integer micro-units —
+    state transitions are exact integer affine maps with TRUNCATING
+    division by 10 (DuckDB's // semantics; the Python kernel mirrors
+    trunc-toward-zero explicitly because Python's // floors — the
+    signed-division parity lesson from the sign-div audit), so the
+    state sequence is bit-identical on both engines at every step.
+    The sequential dependence is irreducible (each day's level feeds
+    the next — no window function expresses it); Spark runs the
+    30-step loop per series inside ONE applyInPandas kernel over the
+    gap-filled day spine, and the DuckDB oracle replays the identical
+    recursion as a recursive CTE carrying the rolling {_HW_M}-slot
+    seasonal register, attesting level, trend, every forecast, and
+    the MAE.
+
+    Scale shape: the raw stream collapses to the (type, day) count
+    table in one partial-agg pass — the kernel sees spine rows
+    (days x types, never events), grouped BY SERIES so 1000 types
+    parallelize across executors while each tiny sequential loop
+    stays local; state is O(m) per series. The spine generates from
+    a 1-row broadcast bounds aggregate (the window_hurst_exponent
+    scaffold)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+            ).alias("d"),
+            "d0",
+        )
+        .crossJoin(F.broadcast(types))
+        .select(
+            "event_type",
+            "d",
+            (F.datediff(F.col("d"), F.col("d0")) + 1)
+            .cast("bigint")
+            .alias("t"),
+        )
+    )
+    cnt = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    ser = spine.join(cnt, ["event_type", "d"], "left").select(
+        "event_type",
+        "t",
+        (F.coalesce(F.col("x"), F.lit(0)) * 1000000)
+        .cast("bigint")
+        .alias("xm"),
+    )
+
+    def hw(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("t")
+        xs = [int(v) for v in pdf["xm"]]
+        m, h = _HW_M, _HW_H
+        a, bb, g = _HW_A, _HW_B, _HW_G
+
+        def td(x, d):  # truncate-toward-zero division (DuckDB //)
+            q = abs(x) // d
+            return q if x >= 0 else -q
+
+        l = td(sum(xs[:m]), m)
+        b = td(sum(xs[m : 2 * m]) - sum(xs[:m]), m * m)
+        s = [x - l for x in xs[:m]]
+        abs_err = 0
+        n_err = 0
+        for t in range(m, len(xs)):
+            x = xs[t]
+            s1 = s[0]
+            abs_err += abs(x - (l + b + s1))
+            n_err += 1
+            l_new = td(a * (x - s1) + (10 - a) * (l + b), 10)
+            b_new = td(bb * (l_new - l) + (10 - bb) * b, 10)
+            s_new = td(g * (x - l_new) + (10 - g) * s1, 10)
+            s = s[1:] + [s_new]
+            l = l_new
+            b = b_new
+        et = pdf["event_type"].iloc[0]
+        mae = td(abs_err, n_err)
+        return pd.DataFrame(
+            {
+                "event_type": [et] * h,
+                "h": list(range(1, h + 1)),
+                "forecast_micro": [l + k * b + s[k - 1] for k in range(1, h + 1)],
+                "level_micro": [l] * h,
+                "trend_micro": [b] * h,
+                "mae_micro": [mae] * h,
+            }
+        )
+
+    out_schema = (
+        "event_type string, h int, forecast_micro long,"
+        " level_micro long, trend_micro long, mae_micro long"
+    )
+    return ser.groupBy("event_type").applyInPandas(hw, out_schema)

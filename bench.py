@@ -360,6 +360,7 @@ HEADLINE = [
     "multimodal_jpeg_dimensions",
     "sink_hilbert_cluster",
     "events_holt_winters_forecast",
+    "events_dtw_similarity",
 ]
 
 

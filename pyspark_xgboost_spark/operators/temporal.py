@@ -3958,3 +3958,259 @@ def events_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         " level_micro long, trend_micro long, mae_micro long"
     )
     return ser.groupBy("event_type").applyInPandas(hw, out_schema)
+
+
+# --------------------------------------------------------------------------
+# Dynamic Time Warping similarity (banded, integer-exact DP)
+# --------------------------------------------------------------------------
+
+_DTW_W = 5  # Sakoe-Chiba band half-width (days)
+
+
+def _dtw_oracle() -> str:
+    return f"""
+    WITH RECURSIVE bounds AS (
+      SELECT date_trunc('day', min(ts)) AS d0,
+             date_trunc('day', max(ts)) AS d1
+      FROM events
+    ),
+    spine AS (
+      SELECT ty.et AS event_type,
+             CAST(datediff('day', b.d0, g.d) + 1 AS BIGINT) AS t
+      FROM bounds b,
+           LATERAL unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))
+             AS g(d),
+           (SELECT DISTINCT event_type AS et FROM events) ty
+    ),
+    cnt AS (
+      SELECT event_type,
+             CAST(datediff('day', (SELECT d0 FROM bounds),
+                           date_trunc('day', ts)) + 1 AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT s.event_type, s.t,
+             CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+      FROM spine s LEFT JOIN cnt c ON c.event_type = s.event_type
+                                  AND c.t = s.t
+    ),
+    st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx
+      FROM ser GROUP BY 1
+    ),
+    dev AS (
+      SELECT r.event_type, r.t, st.n,
+             r.x * 1000 - (st.sx * 1000) // st.n AS dv
+      FROM ser r JOIN st ON st.event_type = r.event_type
+    ),
+    ss AS (
+      SELECT event_type, CAST(sum(dv * dv) AS BIGINT) AS ssd
+      FROM dev GROUP BY 1
+    ),
+    z AS (
+      SELECT d.event_type, d.t, d.n,
+             CAST(round(CAST(d.dv AS DOUBLE) * 1000
+                        / sqrt(CAST(s.ssd AS DOUBLE) / d.n))
+               AS BIGINT) AS z
+      FROM dev d JOIN ss s ON s.event_type = d.event_type
+      WHERE s.ssd > 0
+    ),
+    cost AS (
+      SELECT a.event_type AS ea, b.event_type AS eb, a.n,
+             a.t AS i, b.t AS j, abs(a.z - b.z) AS c
+      FROM z a JOIN z b ON a.event_type < b.event_type
+                       AND abs(a.t - b.t) <= {_DTW_W}
+    ),
+    nn AS (SELECT max(t) AS n FROM ser),
+    rec AS (
+      SELECT ea, eb, CAST(2 AS BIGINT) AS d, 'c' AS tag,
+             CAST(1 AS BIGINT) AS i, c AS v
+      FROM cost WHERE i = 1 AND j = 1
+      UNION ALL
+      SELECT * FROM (
+        SELECT nc.ea, nc.eb, nc.d, 'c' AS tag, nc.i, nc.v FROM (
+          SELECT co.ea, co.eb, r.d + 1 AS d, co.i, co.c + min(r.v) AS v
+          FROM rec r
+          JOIN cost co ON co.ea = r.ea AND co.eb = r.eb
+            AND co.i + co.j = r.d + 1
+            AND ((r.tag = 'c' AND r.i IN (co.i - 1, co.i))
+              OR (r.tag = 'p' AND r.i = co.i - 1))
+          WHERE r.d + 1 <= 2 * (SELECT n FROM nn)
+          GROUP BY co.ea, co.eb, r.d, co.i, co.c
+        ) nc
+        UNION ALL
+        SELECT r.ea, r.eb, r.d + 1, 'p', r.i, r.v
+        FROM rec r
+        WHERE r.tag = 'c' AND r.d + 1 <= 2 * (SELECT n FROM nn)
+      )
+    ),
+    fin AS (
+      SELECT r.ea, r.eb, r.v AS dtw
+      FROM rec r JOIN nn ON TRUE
+      WHERE r.tag = 'c' AND r.d = 2 * nn.n AND r.i = nn.n
+    ),
+    l1 AS (
+      SELECT a.event_type AS ea, b.event_type AS eb,
+             CAST(sum(abs(a.z - b.z)) AS BIGINT) AS l1
+      FROM z a JOIN z b ON a.event_type < b.event_type AND a.t = b.t
+      GROUP BY 1, 2
+    )
+    SELECT f.ea, f.eb, CAST(nn.n AS BIGINT) AS n,
+           CAST(f.dtw AS BIGINT) AS dtw, l.l1,
+           CAST(CASE WHEN l.l1 > 0
+                THEN (l.l1 - f.dtw) * 1000000 // l.l1
+                ELSE 0 END AS BIGINT) AS warp_gain_ppm
+    FROM fin f JOIN l1 l ON l.ea = f.ea AND l.eb = f.eb
+    CROSS JOIN nn
+    """
+
+
+@register("events_dtw_similarity", oracle=_dtw_oracle())
+def events_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC TIME WARPING distance between every pair of event
+    types' z-normalized daily series, Sakoe-Chiba band w={_DTW_W}
+    (Sakoe & Chiba, IEEE TASSP 26(1) 1978) — the alignment-tolerant
+    similarity that groups series whose shapes match under small lags
+    (a release wave hitting 'view' Monday and 'purchase' Wednesday),
+    where the lockstep L1 metric calls them dissimilar. warp_gain_ppm
+    = (L1 - DTW)/L1 measures exactly how much alignment slack
+    explains: near 0 means the pair is already in phase, large means
+    the similarity exists only modulo a lag — the signal for
+    lead/lag structure between streams (DTW <= L1 always, since the
+    identity path is one admissible alignment — a pinned invariant).
+
+    Determinism: the series z-normalizes through the integer-milli
+    pipeline (mean as exact truncating division, one IEEE
+    round(dev*1000/sqrt(ssd/n)) per point — the lnu_micro
+    discipline), after which costs |za - zb| and the whole DP are
+    EXACT INTEGERS: no float ever enters the recursion, so the DP is
+    bit-identical on any engine and any partitioning. Spark runs the
+    O(n*w) banded DP per pair inside ONE applyInPandas kernel (the
+    sequential dependence is irreducible); the DuckDB oracle replays
+    it as a recursive CTE over ANTI-DIAGONALS — each iteration
+    carries the current diagonal ('c') plus the previous one ('p'),
+    and each new cell takes min over its <=3 predecessors via a
+    single-scan GROUP BY of the working table.
+
+    Scale shape: the raw stream collapses to (type, day) counts in
+    one partial-agg pass; pair series build from a band-bounded
+    equi-ish join on day index (O(n*w) rows per pair, never n^2);
+    pairs parallelize across executors via the groupBy — 1000 types
+    = ~500k independent kernels, each O(n*w) with O(w) live state.
+    The band is the scale lever: full DTW is quadratic, banded is
+    linear in series length."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+            ).alias("d"),
+            "d0",
+        )
+        .crossJoin(F.broadcast(types))
+        .select(
+            "event_type",
+            "d",
+            (F.datediff(F.col("d"), F.col("d0")) + 1)
+            .cast("bigint")
+            .alias("t"),
+        )
+    )
+    cnt = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    ser = spine.join(cnt, ["event_type", "d"], "left").select(
+        "event_type",
+        "t",
+        F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+    )
+    stt = ser.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+    )
+    dev = ser.join(F.broadcast(stt), "event_type").select(
+        "event_type",
+        "t",
+        "n",
+        (F.col("x") * 1000 - F.expr("(sx * 1000) div n")).alias("dv"),
+    )
+    ss = dev.groupBy("event_type").agg(
+        F.sum(F.col("dv") * F.col("dv")).cast("bigint").alias("ssd")
+    )
+    z = (
+        dev.join(F.broadcast(ss), "event_type")
+        .filter(F.col("ssd") > 0)
+        .select(
+            "event_type",
+            "t",
+            F.round(
+                F.col("dv").cast("double")
+                * 1000
+                / F.sqrt(F.col("ssd").cast("double") / F.col("n"))
+            )
+            .cast("bigint")
+            .alias("z"),
+        )
+    )
+    za = z.select(
+        F.col("event_type").alias("ea"), F.col("t").alias("t"), F.col("z").alias("zav")
+    )
+    zb = z.select(
+        F.col("event_type").alias("eb"), F.col("t").alias("tb"), F.col("z").alias("zbv")
+    )
+    pairrows = za.join(
+        zb, (F.col("ea") < F.col("eb")) & (F.col("t") == F.col("tb"))
+    ).select("ea", "eb", "t", "zav", "zbv")
+
+    def dtw_kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("t")
+        a = [int(v) for v in pdf["zav"]]
+        b = [int(v) for v in pdf["zbv"]]
+        n = len(a)
+        w = _DTW_W
+        INF = float("inf")
+        prev = {}
+        cur = {(1, 1): abs(a[0] - b[0])}
+        for dd in range(3, 2 * n + 1):
+            nxt = {}
+            for i in range(max(1, dd - n), min(n, dd - 1) + 1):
+                j = dd - i
+                if abs(i - j) > w:
+                    continue
+                best = min(
+                    cur.get((i - 1, j), INF),
+                    cur.get((i, j - 1), INF),
+                    prev.get((i - 1, j - 1), INF),
+                )
+                if best is INF:
+                    continue
+                nxt[(i, j)] = abs(a[i - 1] - b[j - 1]) + int(best)
+            prev, cur = cur, nxt
+        dtw = cur.get((n, n), prev.get((n, n)))
+        l1 = sum(abs(x - y) for x, y in zip(a, b))
+        gain = (l1 - dtw) * 1000000 // l1 if l1 > 0 else 0
+        return pd.DataFrame(
+            {
+                "ea": [pdf["ea"].iloc[0]],
+                "eb": [pdf["eb"].iloc[0]],
+                "n": [n],
+                "dtw": [dtw],
+                "l1": [l1],
+                "warp_gain_ppm": [gain],
+            }
+        )
+
+    return pairrows.groupBy("ea", "eb").applyInPandas(
+        dtw_kernel,
+        "ea string, eb string, n long, dtw long, l1 long,"
+        " warp_gain_ppm long",
+    )

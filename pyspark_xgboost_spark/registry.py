@@ -102,7 +102,8 @@ _GRADE_FIRST = [
     # registrations, sorted (audit_column_profile,
     # audit_join_explosion, audit_merkle_table_digest,
     # corpus_tokenizer_fertility, corpus_vocab_coverage_curve,
-    # events_holt_winters_forecast, events_sequence_pattern,
+    # events_dtw_similarity, events_holt_winters_forecast,
+    # events_sequence_pattern,
     # graph_clustering_coefficient,
     # multimodal_jpeg_dimensions,
     # agg_cramers_v, audit_fd_violations, corpus_heaps_law,

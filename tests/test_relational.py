@@ -45,8 +45,18 @@ _OVERWRITE_LANE = ("sink_dynamic_partition_overwrite", "sink_parquet_partitioned
 # the docbin Python-DataSource family shares spark.dataSource.register
 # (a session-global registry whose concurrent registration is not
 # thread-safe — racing it intermittently fails the subsequent
-# .format("docbin") resolution) — one sequential mini-lane
-_DOCBIN_LANE = ("scan_python_datasource", "sink_python_datasource_write")
+# .format("docbin") resolution) — one sequential mini-lane. ALL FOUR
+# family members belong here: round 11's wider pool let the stream
+# pair overlap the batch writer's save(), which reproduced the
+# DATA_SOURCE_NOT_FOUND lookup race ~deterministically (registration
+# itself is also now serialized process-side via
+# formats._register_docbin, but the lookup path races too).
+_DOCBIN_LANE = (
+    "scan_python_datasource",
+    "sink_python_datasource_write",
+    "scan_python_datasource_stream",
+    "sink_python_datasource_stream_write",
+)
 
 
 def _smoke_lanes():

@@ -361,6 +361,7 @@ HEADLINE = [
     "sink_hilbert_cluster",
     "events_holt_winters_forecast",
     "events_dtw_similarity",
+    "sample_pps_systematic",
 ]
 
 

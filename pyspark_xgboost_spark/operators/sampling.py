@@ -1993,3 +1993,90 @@ def agg_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((r - 1.96 * se) * 1000000).cast("bigint").alias("ci_lo_micro"),
         F.floor((r + 1.96 * se) * 1000000).cast("bigint").alias("ci_hi_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Systematic PPS sampling (cumulative-weight threshold crossings)
+# --------------------------------------------------------------------------
+
+_PPS_K = 5  # target draws per source
+
+
+@register(
+    "sample_pps_systematic",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum,
+             sum(n_chars) OVER (PARTITION BY source) AS w
+      FROM documents
+    ),
+    h AS (
+      SELECT source, doc_id, n_chars, cum, w,
+             (2 * {_PPS_K} * cum + w) // (2 * w) AS hits_hi,
+             (2 * {_PPS_K} * (cum - n_chars) + w) // (2 * w) AS hits_lo
+      FROM c
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(cum AS BIGINT) AS cum_chars,
+           CAST(hits_hi - hits_lo AS BIGINT) AS multiplicity
+    FROM h WHERE hits_hi > hits_lo
+    """,
+)
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYSTEMATIC PPS SAMPLING (Madow 1949) — {_PPS_K} draws per
+    source with inclusion probability exactly proportional to
+    n_chars: lay the documents' weights end-to-end along a line (in
+    doc_id order — a total order, so the layout is reproducible),
+    drop {_PPS_K} equally-spaced pins offset by half a step, and take
+    every document a pin lands in. Compared to the A-ES reservoir
+    (sample_weighted_reservoir: without-replacement, hash-raced),
+    systematic PPS is the VARIANCE-MINIMIZING design survey
+    statistics reaches for: implicit stratification along the sort
+    order, zero rejection, and a document longer than a full step is
+    selected with multiplicity > 1 (with-replacement semantics made
+    explicit in the output) — the honest behavior when one document
+    dominates a source's token mass.
+
+    Determinism: pin positions are T_m = (2m+1)*W/(2K); a document
+    with cumulative span (lo, hi] is hit once per integer m with
+    2K*lo < (2m+1)*W <= 2K*hi, counted CLOSED-FORM as
+    (2K*hi + W) div (2W) - (2K*lo + W) div (2W) — pure non-negative
+    integer arithmetic, no floats anywhere, so both engines agree to
+    the bit without any quantization step at all.
+
+    Scale shape: one window cumsum per source partition (the only
+    shuffle; sources partition the corpus, so no global sort exists)
+    followed by a stateless per-row threshold count — map-side after
+    the window. At 100 TB the same line-layout runs per shard with
+    per-shard W published to a broadcast table (two-stage systematic
+    sampling), which this per-source form is exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    c = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars").over(w).alias("cum"),
+        F.sum("n_chars").over(Window.partitionBy("source")).alias("wt"),
+    )
+    k2 = 2 * _PPS_K
+    h = c.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        "cum",
+        F.expr(f"({k2} * cum + wt) div (2 * wt)").alias("hits_hi"),
+        F.expr(f"({k2} * (cum - n_chars) + wt) div (2 * wt)").alias(
+            "hits_lo"
+        ),
+    )
+    return h.filter(F.col("hits_hi") > F.col("hits_lo")).select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("cum").cast("bigint").alias("cum_chars"),
+        (F.col("hits_hi") - F.col("hits_lo"))
+        .cast("bigint")
+        .alias("multiplicity"),
+    )

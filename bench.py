@@ -362,6 +362,7 @@ HEADLINE = [
     "events_holt_winters_forecast",
     "events_dtw_similarity",
     "sample_pps_systematic",
+    "stream_ddsketch_incremental",
 ]
 
 

@@ -108,7 +108,7 @@ _GRADE_FIRST = [
     # multimodal_jpeg_dimensions,
     # agg_cramers_v, audit_fd_violations, corpus_heaps_law,
     # sample_pps_systematic, sketch_ddsketch_quantiles, sink_hilbert_cluster,
-    # stream_reservoir_incremental,
+    # stream_ddsketch_incremental, stream_reservoir_incremental,
     # window_hurst_exponent,
     # multimodal_resize [oracle-upgraded from
     # rows-only this round], sim_search_ivf_drift_eval,

@@ -2707,3 +2707,208 @@ def _wrsi_oracle() -> str:
 
 
 _ORACLES["stream_reservoir_incremental"] = _wrsi_oracle()
+
+
+# --------------------------------------------------------------------------
+# Incremental DDSketch maintenance: micro-batches sum-merge log-bucket
+# counters into a persisted sketch table (the index-maintenance family
+# applied to the relative-error quantile sketch)
+# --------------------------------------------------------------------------
+
+
+def _stage_dds_batches(spark: SparkSession, sf_dir: str) -> str:
+    """THREE ordered ingest batches over ``events`` (event_id % 3 =
+    seq — disjoint; every batch carries every event type, so each
+    merge step touches every group's counters)."""
+
+    def make_batch(ev, seq):
+        return ev.filter(F.col("event_id") % 3 == seq).select(
+            "event_type", "value", F.lit(seq).cast("int").alias("seq")
+        )
+
+    return _stage_seq_batches(
+        spark, sf_dir, "events_dds3_", make_batch, table="events"
+    )
+
+
+def _dds_bucketize(df: DataFrame) -> DataFrame:
+    from pyspark_xgboost_spark.operators.sketches import _DD_INV_ALPHA
+
+    return (
+        df.filter(F.col("value") > 0)
+        .select(
+            "event_type",
+            F.ceil(F.log(F.col("value")) * _DD_INV_ALPHA)
+            .cast("bigint")
+            .alias("b"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+@register("stream_ddsketch_incremental", oracle=None)  # set below
+def stream_ddsketch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING QUANTILE-SKETCH MAINTENANCE — DDSketch log-bucket
+    counters sum-merged per micro-batch into a persisted sketch
+    table: each arriving batch of events derives its own (group,
+    bucket, count) rows (the IDENTICAL bucket map as the batch
+    sketch_ddsketch_quantiles, so stream and batch sketch state are
+    interchangeable) and copy-on-write merges them by counter
+    ADDITION. Because counter addition is associative and
+    commutative, the maintained sketch is BIT-IDENTICAL to a one-shot
+    pass over the full history — the oracle asserts the full bucket
+    fingerprint plus the p50/p95/p99 walked from the maintained
+    table, the stream==batch pin that makes DDSketch (and not a
+    rank-error KLL, whose merge is order-sensitive) the quantile
+    sketch to ship from an always-on ingest.
+
+    Scale shape: per batch, bucketing is one map-side-combined
+    groupBy over the BATCH; the merge sums two sketch-sized tables
+    (groups x ~550 buckets max); the streaming query is stateless —
+    state lives in the sketch table, O(KB) per group forever, and
+    reading "p99 so far" never rescans history."""
+    import shutil
+    import tempfile
+
+    from pyspark_xgboost_spark.operators.sketches import (
+        _DD_INV_ALPHA,
+        _DD_QS,
+    )
+    from pyspark_xgboost_spark.sources.formats import build_lock
+
+    root = _stage_dds_batches(spark, sf_dir)
+    tbl = os.path.join(root, "dds")
+    final_marker = os.path.join(tbl, "_DDS_FINAL")
+    if not os.path.exists(final_marker):
+        with build_lock(tbl):
+            if not os.path.exists(final_marker):
+                shutil.rmtree(tbl, ignore_errors=True)
+                os.makedirs(tbl)
+                state: dict[str, Any] = {"cur": None}
+
+                def merge_counters(batch_df: DataFrame, batch_id: int) -> None:
+                    if batch_df.isEmpty():
+                        return
+                    sess = batch_df.sparkSession
+                    b = _dds_bucketize(batch_df)
+                    if state["cur"] is not None:
+                        cur = sess.read.parquet(state["cur"])
+                        b = (
+                            cur.unionByName(b)
+                            .groupBy("event_type", "b")
+                            .agg(F.sum("c").cast("bigint").alias("c"))
+                        )
+                    nxt = os.path.join(tbl, f"v{batch_id:03d}")
+                    b.write.mode("overwrite").parquet(nxt)
+                    state["cur"] = nxt
+
+                q = (
+                    spark.readStream.schema(
+                        "event_type string, value double, seq int"
+                    )
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(os.path.join(root, "in"))
+                    .writeStream.foreachBatch(merge_counters)
+                    .option(
+                        "checkpointLocation",
+                        tempfile.mkdtemp(prefix="dds_ckpt_"),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                with open(final_marker, "w") as fh:
+                    fh.write(state["cur"])
+    with open(final_marker) as fh:
+        bkt = spark.read.parquet(fh.read())
+    n = bkt.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n_pos"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum(F.col("c") * (F.col("b") + 500))
+        .cast("bigint")
+        .alias("bucket_fp"),
+    )
+    cum = bkt.select(
+        "event_type",
+        "b",
+        F.sum("c")
+        .over(W.partitionBy("event_type").orderBy("b"))
+        .alias("cum"),
+    )
+    qs = spark.createDataFrame([(q,) for q in _DD_QS], "qpct int")
+    pick = (
+        cum.join(n.select("event_type", "n_pos"), "event_type")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") * 100 >= F.col("qpct") * F.col("n_pos"))
+        .groupBy("event_type", "qpct")
+        .agg(F.min("b").alias("bucket"))
+    )
+    est = pick.select(
+        "event_type",
+        "qpct",
+        F.round(
+            2
+            * F.exp(F.col("bucket").cast("double") / _DD_INV_ALPHA)
+            / (F.exp(F.lit(1.0) / _DD_INV_ALPHA) + 1)
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("est_micro"),
+    )
+    wide = est.groupBy("event_type").pivot(
+        "qpct", list(_DD_QS)
+    ).agg(F.first("est_micro"))
+    renamed = wide.select(
+        "event_type",
+        *[F.col(str(q)).alias(f"p{q}_micro") for q in _DD_QS],
+    )
+    return n.join(renamed, "event_type").select(
+        "event_type",
+        "n_pos",
+        "n_buckets",
+        "bucket_fp",
+        *[f"p{q}_micro" for q in _DD_QS],
+    )
+
+
+def _dds_incremental_oracle() -> str:
+    from pyspark_xgboost_spark.operators.sketches import (
+        _DD_INV_ALPHA,
+        _DD_QS,
+    )
+
+    est = ",\n           ".join(
+        f"""CAST(round(2 * exp(CAST((SELECT min(b) FROM cum c2
+                 WHERE c2.event_type = n.event_type
+                   AND c2.cum * 100 >= {q} * n.n_pos) AS DOUBLE)
+                 / {_DD_INV_ALPHA})
+             / (exp(1.0 / {_DD_INV_ALPHA}) + 1) * 1000000)
+           AS BIGINT) AS p{q}_micro"""
+        for q in _DD_QS
+    )
+    return f"""
+    WITH bkt AS (
+      SELECT event_type,
+             CAST(ceil(ln(value) * {_DD_INV_ALPHA}) AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE value > 0 GROUP BY 1, 2
+    ),
+    n AS (
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS n_pos,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(c * (b + 500)) AS BIGINT) AS bucket_fp
+      FROM bkt GROUP BY 1
+    ),
+    cum AS (
+      SELECT event_type, b,
+             sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cum
+      FROM bkt
+    )
+    SELECT n.event_type, n.n_pos, n.n_buckets, n.bucket_fp,
+           {est}
+    FROM n
+    """
+
+
+_ORACLES["stream_ddsketch_incremental"] = _dds_incremental_oracle()

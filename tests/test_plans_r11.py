@@ -496,3 +496,36 @@ def test_pps_systematic_exact_count_and_proportionality(spark):
         per_src[r["source"]] = per_src.get(r["source"], 0) + r["multiplicity"]
         assert r["multiplicity"] >= 1
     assert per_src and set(per_src.values()) == {_PPS_K}
+
+
+def test_stream_ddsketch_incremental_is_batch_identical(spark):
+    """The maintained counter table must equal a one-shot bucketing
+    of the full history (sum-merge associativity), with the p50/95/99
+    walked from it matching the batch sketch's estimates exactly."""
+    from pyspark_xgboost_spark.operators.sketches import (
+        sketch_ddsketch_quantiles,
+    )
+    from pyspark_xgboost_spark.streaming.stream import (
+        _dds_bucketize,
+        stream_ddsketch_incremental,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+
+    out = {r["event_type"]: r for r in
+           stream_ddsketch_incremental(spark, SF_DIR).collect()}
+    oneshot = _dds_bucketize(
+        load_table(spark, SF_DIR, "events").select("event_type", "value")
+    ).collect()
+    fp = {}
+    for r in oneshot:
+        fp[r["event_type"]] = fp.get(r["event_type"], 0) + r["c"] * (
+            r["b"] + 500
+        )
+    assert {et: r["bucket_fp"] for et, r in out.items()} == fp
+    batch = {
+        (r["event_type"], r["q_pct"]): r["est_micro"]
+        for r in sketch_ddsketch_quantiles(spark, SF_DIR).collect()
+    }
+    for et, r in out.items():
+        for q in (50, 95, 99):
+            assert r[f"p{q}_micro"] == batch[(et, q)], (et, q)

@@ -363,6 +363,7 @@ HEADLINE = [
     "events_dtw_similarity",
     "sample_pps_systematic",
     "stream_ddsketch_incremental",
+    "events_kleinberg_burst",
 ]
 
 

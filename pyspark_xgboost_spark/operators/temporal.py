@@ -4214,3 +4214,236 @@ def events_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ea string, eb string, n long, dtw long, l1 long,"
         " warp_gain_ppm long",
     )
+
+
+# --------------------------------------------------------------------------
+# Burst detection (two-state Viterbi over hourly arrivals)
+# --------------------------------------------------------------------------
+
+_KB_MULT = 2  # burst-state rate multiplier (r1 = 2 * base rate)
+
+
+def _kb_cost_sql() -> str:
+    """Per-hour emission costs for both states + the burst-entry
+    penalty, quantized to integer micro-nats (identical IEEE
+    expressions on exact integers in both engines)."""
+    r0 = "(CAST(st.sx AS DOUBLE) / st.n)"
+    r1 = f"({_KB_MULT} * (CAST(st.sx AS DOUBLE) / st.n))"
+    return f"""
+    cost AS MATERIALIZED (
+      SELECT r.event_type, r.t, r.x, st.n,
+             CAST(round(1000000 * ({r0} - r.x * ln({r0})))
+               AS BIGINT) AS c0,
+             CAST(round(1000000 * ({r1} - r.x * ln({r1})))
+               AS BIGINT) AS c1,
+             CAST(round(1000000 * ln(CAST(st.n AS DOUBLE))) // 2
+               AS BIGINT) AS gam
+      FROM serkb r JOIN st ON st.event_type = r.event_type
+    )"""
+
+
+@register(
+    "events_kleinberg_burst",
+    oracle=f"""
+    WITH RECURSIVE bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ),
+    spine AS (
+      SELECT ty.et AS event_type,
+             CAST(datediff('hour', b.h0, g.h) + 1 AS BIGINT) AS t
+      FROM bounds b,
+           LATERAL unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR))
+             AS g(h),
+           (SELECT DISTINCT event_type AS et FROM events) ty
+    ),
+    cnt AS (
+      SELECT event_type,
+             CAST(datediff('hour', (SELECT h0 FROM bounds),
+                           date_trunc('hour', ts)) + 1 AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    serkb AS MATERIALIZED (
+      SELECT s.event_type, s.t, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+      FROM spine s LEFT JOIN cnt c ON c.event_type = s.event_type
+                                  AND c.t = s.t
+    ),
+    st AS MATERIALIZED (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx
+      FROM serkb GROUP BY 1
+    ),
+    {_kb_cost_sql()},
+    fwd AS (
+      SELECT event_type, t, n, c0 AS v0, c1 + gam AS v1,
+             '0' AS p0, '1' AS p1
+      FROM cost WHERE t = 1
+      UNION ALL
+      SELECT c.event_type, c.t, c.n,
+             c.c0 + least(f.v0, f.v1) AS v0,
+             c.c1 + least(f.v0 + c.gam, f.v1) AS v1,
+             (CASE WHEN f.v0 <= f.v1 THEN f.p0 ELSE f.p1 END)
+               || '0' AS p0,
+             (CASE WHEN f.v0 + c.gam < f.v1 THEN f.p0 ELSE f.p1 END)
+               || '1' AS p1
+      FROM fwd f JOIN cost c ON c.event_type = f.event_type
+                            AND c.t = f.t + 1
+    ),
+    fin AS (
+      SELECT event_type, n,
+             CASE WHEN v0 <= v1 THEN p0 ELSE p1 END AS path
+      FROM fwd WHERE t = n
+    ),
+    lab AS (
+      SELECT l.event_type, l.t, k.x,
+             l.t - row_number() OVER (PARTITION BY l.event_type
+                                      ORDER BY l.t) AS grp
+      FROM (
+        SELECT f.event_type, CAST(g.i AS BIGINT) AS t
+        FROM fin f, LATERAL unnest(generate_series(1, f.n)) AS g(i)
+        WHERE substr(f.path, CAST(g.i AS INT), 1) = '1'
+      ) l JOIN serkb k ON k.event_type = l.event_type AND k.t = l.t
+    )
+    SELECT event_type, CAST(min(t) AS BIGINT) AS start_t,
+           CAST(max(t) AS BIGINT) AS end_t,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(x) AS BIGINT) AS sum_x
+    FROM lab GROUP BY event_type, grp
+    """,
+)
+def events_kleinberg_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURST DETECTION via the two-state infinite-automaton model
+    (Kleinberg, KDD 2002, the batched-arrivals variant): each event
+    type's gap-filled hourly series is labeled by the minimum-cost
+    state path between a BASE state emitting at the series' mean rate
+    and a BURST state at {_KB_MULT}x that rate, where entering a
+    burst costs gamma = ln(n)/2 — the hysteresis that separates
+    sustained elevations (a launch, an incident, a crawler storm)
+    from one-hour noise a plain threshold would fire on. Output is
+    the burst INTERVALS (start, end, duration, mass) — the
+    incident-timeline primitive; window_cusum_drift detects a mean
+    SHIFT, this segments episodic overload.
+
+    Determinism: emission costs quantize to integer micro-nats
+    Spark-side (round(1e6 * (r - x*ln r)) — one IEEE expression over
+    exact integers, the lnu_micro idiom; the state-independent ln x!
+    term cancels and is dropped), after which the Viterbi DP is PURE
+    INTEGER arithmetic with pinned tie-breaks (prefer base on equal
+    cost, strict inequality to enter a burst) — bit-identical on any
+    engine. Spark runs the forward pass + backtrack per series in
+    ONE applyInPandas kernel (sequential dependence, like
+    events_holt_winters_forecast); the DuckDB oracle replays it as
+    TWO recursive CTEs — forward carrying (v0, v1, argmins), then a
+    backward walk over the stored argmins — plus a gaps-and-islands
+    rollup into intervals.
+
+    Scale shape: the raw stream collapses to (type, hour) counts in
+    one partial-agg pass; the kernel sees spine rows grouped by
+    series (1000 types parallelize across executors; each loop is
+    O(n) with O(1) state); interval rollup is output-sized. Nothing
+    after the first count is event-proportional."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence(
+                    F.col("h0"), F.col("h1"), F.expr("interval 1 hour")
+                )
+            ).alias("h"),
+            "h0",
+        )
+        .crossJoin(F.broadcast(types))
+        .select(
+            "event_type",
+            "h",
+            (F.expr("timestampdiff(HOUR, h0, h)") + 1)
+            .cast("bigint")
+            .alias("t"),
+        )
+    )
+    cnt = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    ser = spine.join(cnt, ["event_type", "h"], "left").select(
+        "event_type",
+        "t",
+        F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+    )
+    stt = ser.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+    )
+    r0 = F.col("sx").cast("double") / F.col("n")
+    r1 = _KB_MULT * (F.col("sx").cast("double") / F.col("n"))
+    cost = ser.join(F.broadcast(stt), "event_type").select(
+        "event_type",
+        "t",
+        "x",
+        F.round(1000000 * (r0 - F.col("x") * F.log(r0)))
+        .cast("bigint")
+        .alias("c0"),
+        F.round(1000000 * (r1 - F.col("x") * F.log(r1)))
+        .cast("bigint")
+        .alias("c1"),
+        F.expr(
+            "cast(round(1000000 * ln(cast(n as double))) as bigint) div 2"
+        ).alias("gam"),
+    )
+
+    def viterbi(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("t")
+        xs = [int(v) for v in pdf["x"]]
+        c0 = [int(v) for v in pdf["c0"]]
+        c1 = [int(v) for v in pdf["c1"]]
+        gam = int(pdf["gam"].iloc[0])
+        n = len(xs)
+        v0, v1 = c0[0], c1[0] + gam
+        arg = []
+        for t in range(1, n):
+            a0 = 0 if v0 <= v1 else 1
+            a1 = 0 if v0 + gam < v1 else 1
+            v0, v1 = c0[t] + min(v0, v1), c1[t] + min(v0 + gam, v1)
+            arg.append((a0, a1))
+        s = 0 if v0 <= v1 else 1
+        labels = [s]
+        for t in range(n - 1, 0, -1):
+            s = arg[t - 1][s]
+            labels.append(s)
+        labels.reverse()
+        et = pdf["event_type"].iloc[0]
+        out = []
+        start = None
+        for i in range(n + 1):
+            burst = i < n and labels[i] == 1
+            if burst and start is None:
+                start = i
+            elif not burst and start is not None:
+                out.append(
+                    (
+                        et,
+                        start + 1,
+                        i,
+                        i - start,
+                        sum(xs[start:i]),
+                    )
+                )
+                start = None
+        return pd.DataFrame(
+            out,
+            columns=["event_type", "start_t", "end_t", "n_hours", "sum_x"],
+        )
+
+    return cost.groupBy("event_type").applyInPandas(
+        viterbi,
+        "event_type string, start_t long, end_t long, n_hours long,"
+        " sum_x long",
+    )

@@ -103,6 +103,7 @@ _GRADE_FIRST = [
     # audit_join_explosion, audit_merkle_table_digest,
     # corpus_tokenizer_fertility, corpus_vocab_coverage_curve,
     # events_dtw_similarity, events_holt_winters_forecast,
+    # events_kleinberg_burst,
     # events_sequence_pattern,
     # graph_clustering_coefficient,
     # multimodal_jpeg_dimensions,

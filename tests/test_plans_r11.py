@@ -529,3 +529,36 @@ def test_stream_ddsketch_incremental_is_batch_identical(spark):
     for et, r in out.items():
         for q in (50, 95, 99):
             assert r[f"p{q}_micro"] == batch[(et, q)], (et, q)
+
+
+def test_kleinberg_burst_intervals_are_genuine(spark):
+    """Burst contracts: intervals are disjoint and ordered per type;
+    every burst interval's mean hourly rate genuinely exceeds the
+    series' base rate (the hysteresis can delay exits but a whole
+    interval below base rate would mean the DP is broken); bursts
+    exist at this SF (non-vacuous)."""
+    from pyspark_xgboost_spark.operators.temporal import (
+        events_kleinberg_burst,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+
+    rows = events_kleinberg_burst(spark, SF_DIR).collect()
+    assert rows  # non-vacuous at the tested SF
+    ev = load_table(spark, SF_DIR, "events")
+    totals = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    by_et = {}
+    for r in rows:
+        by_et.setdefault(r["event_type"], []).append(r)
+    for et, ivs in by_et.items():
+        ivs.sort(key=lambda r: r["start_t"])
+        base_rate = totals[et] / 720.0
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["end_t"] < b["start_t"]  # disjoint, gap >= 1
+        for r in ivs:
+            assert r["n_hours"] == r["end_t"] - r["start_t"] + 1
+            assert r["sum_x"] / r["n_hours"] > base_rate

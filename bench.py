@@ -364,6 +364,7 @@ HEADLINE = [
     "sample_pps_systematic",
     "stream_ddsketch_incremental",
     "events_kleinberg_burst",
+    "graph_hyperanf_reach",
 ]
 
 

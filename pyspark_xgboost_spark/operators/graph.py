@@ -1042,3 +1042,161 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cw_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# HyperANF: neighborhood-function estimation via HLL register merges
+# --------------------------------------------------------------------------
+
+_ANF_H = 3  # hop radius
+
+
+def _anf_oracle() -> str:
+    from pyspark_xgboost_spark.operators.sketches import (
+        _HLL_ALPHA,
+        _HLL_M,
+        _HLL_RANKBITS,
+        _hll_hex12_sql,
+    )
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_CAND_SQL},
+    edges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL SELECT doc_b, doc_a FROM cand
+    ),
+    nodes AS (SELECT DISTINCT src AS n FROM edges),
+    reach AS (
+      SELECT n AS v, n AS u, 0 AS h FROM nodes
+      UNION ALL
+      SELECT r.v, e.dst AS u, r.h + 1
+      FROM reach r JOIN edges e ON e.src = r.u
+      WHERE r.h < {_ANF_H}
+    ),
+    rd AS (SELECT DISTINCT v, u FROM reach),
+    hv AS (
+      SELECT v AS g, CAST({_hll_hex12_sql('h')} AS BIGINT) AS hv
+      FROM (SELECT v, md5(CAST(u AS VARCHAR)) AS h FROM rd) t
+    ),
+    rr AS (
+      SELECT g, hv % {_HLL_M} AS reg,
+             CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_RANKBITS}
+                  ELSE {_HLL_RANKBITS} - length(bin(hv // {_HLL_M}))
+             END AS rank
+      FROM hv
+    ),
+    regs AS (
+      SELECT g, reg, CAST(max(rank) AS BIGINT) AS m
+      FROM rr GROUP BY g, reg
+    ),
+    grid AS (
+      SELECT t.n AS g, gg.reg, COALESCE(regs.m, 0) AS m
+      FROM nodes t
+      CROSS JOIN (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS reg) gg
+      LEFT JOIN regs ON regs.g = t.n AND regs.reg = gg.reg
+    ),
+    est AS (
+      SELECT g,
+             sum(power(2.0, -m)) AS s,
+             sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v,
+             CAST(sum(m * (reg + 1)) AS BIGINT) AS reg_fp
+      FROM grid GROUP BY g
+    ),
+    ex AS (
+      SELECT v AS g, CAST(count(*) AS BIGINT) AS n_exact FROM rd GROUP BY v
+    )
+    SELECT e.g AS doc_id, ex.n_exact, e.reg_fp,
+           CAST(e.v AS BIGINT) AS n_zero_regs,
+           CAST(floor(CASE WHEN {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / e.s
+                                <= {_HLL_M} * 5 / 2.0 AND e.v > 0
+                           THEN {_HLL_M} * ln({_HLL_M} * 1.0 / e.v)
+                           ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / e.s
+                      END * 1000) AS BIGINT) AS est_milli,
+           CAST(CASE WHEN abs(CAST(floor(CASE WHEN {_HLL_ALPHA} * {_HLL_M}
+                                   * {_HLL_M} / e.s <= {_HLL_M} * 5 / 2.0
+                                   AND e.v > 0
+                                THEN {_HLL_M} * ln({_HLL_M} * 1.0 / e.v)
+                                ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / e.s
+                           END * 1000) AS DOUBLE) / 1000 - ex.n_exact)
+                     <= 0.195 * ex.n_exact
+                THEN 1 ELSE 0 END AS INT) AS within_3sigma
+    FROM est e JOIN ex ON ex.g = e.g
+    """
+
+
+@register("graph_hyperanf_reach", oracle=_anf_oracle())
+def graph_hyperanf_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERANF (Boldi, Rosa & Vigna, WWW 2011): the {_ANF_H}-hop
+    NEIGHBORHOOD FUNCTION of every node in the near-dup candidate
+    graph, estimated by max-merging portable-HLL registers along
+    edges — per iteration, each node's sketch absorbs its neighbors'
+    sketches, so after h rounds node v's registers ARE the HLL of
+    its <=h-hop reachable set. This is the graph-scale trick behind
+    effective-diameter and reach-centrality numbers on graphs where
+    exact per-node reachable SETS are quadratic poison: sketch state
+    is O(nodes x m) forever, each round is ONE edge-list join + ONE
+    max groupBy (the PageRank shuffle profile — no frontier set, no
+    visited map), and the merge's associativity means per-shard
+    sketches union freely across a 1000-executor graph. The exact
+    referee (a {_ANF_H}-hop BFS reach count, feasible at test SF)
+    rides along with the stream_hll-style 3-sigma gate, and because
+    iterated max-merge over edges equals one HLL over the reachable
+    set, the oracle never replays the iteration — it derives
+    registers straight from the recursive reach relation (the same
+    associativity argument that lets stream_hll_incremental assert
+    bit-identity with the one-shot pass).
+
+    Scale shape: registers initialize from one md5 projection of the
+    node list; each of the {_ANF_H} rounds shuffles O(edges x m')
+    register rows (m' = occupied registers, <= m) and map-side
+    combines the max; the estimate is register-table-sized. The
+    exact-reach referee is the one corpus-quadratic piece and exists
+    ONLY as the test-SF attestation — the sketch path never
+    materializes a reachable set."""
+    from pyspark_xgboost_spark.operators.sketches import (
+        hll_registers,
+        hll_report,
+    )
+
+    edges = _lsh_edges(spark, sf_dir)  # memoized per session+corpus
+    nodes = edges.select(F.col("src").alias("n")).distinct()
+    regs = hll_registers(
+        nodes.select(F.col("n").alias("g"), F.col("n").alias("id"))
+    )
+    for _ in range(_ANF_H):
+        pulled = (
+            edges.join(regs, F.col("dst") == F.col("g"))
+            .select(F.col("src").alias("g"), "reg", "m")
+        )
+        regs = (
+            regs.unionByName(pulled)
+            .groupBy("g", "reg")
+            .agg(F.max("m").alias("m"))
+        )
+    rep = hll_report(spark, regs, nodes.select(F.col("n").alias("g")))
+    # exact referee: iterative frontier expansion (test-SF only)
+    reach = nodes.select(F.col("n").alias("v"), F.col("n").alias("u"))
+    for _ in range(_ANF_H):
+        nxt = (
+            reach.join(edges, F.col("u") == F.col("src"))
+            .select("v", F.col("dst").alias("u"))
+        )
+        reach = reach.union(nxt).distinct()
+    ex = reach.groupBy(F.col("v").alias("g")).agg(
+        F.count("*").cast("bigint").alias("n_exact")
+    )
+    return rep.join(ex, "g").select(
+        F.col("g").alias("doc_id"),
+        "n_exact",
+        "reg_fp",
+        "n_zero_regs",
+        "est_milli",
+        F.when(
+            F.abs(F.col("est_milli").cast("double") / 1000 - F.col("n_exact"))
+            <= 0.195 * F.col("n_exact"),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("within_3sigma"),
+    )

@@ -105,7 +105,7 @@ _GRADE_FIRST = [
     # events_dtw_similarity, events_holt_winters_forecast,
     # events_kleinberg_burst,
     # events_sequence_pattern,
-    # graph_clustering_coefficient,
+    # graph_clustering_coefficient, graph_hyperanf_reach,
     # multimodal_jpeg_dimensions,
     # agg_cramers_v, audit_fd_violations, corpus_heaps_law,
     # sample_pps_systematic, sketch_ddsketch_quantiles, sink_hilbert_cluster,

@@ -562,3 +562,46 @@ def test_kleinberg_burst_intervals_are_genuine(spark):
         for r in ivs:
             assert r["n_hours"] == r["end_t"] - r["start_t"] + 1
             assert r["sum_x"] / r["n_hours"] > base_rate
+
+
+def test_hyperanf_registers_equal_reach_hll(spark):
+    """The HyperANF identity that makes the whole trick sound:
+    iterated max-merge along edges == one HLL over the exact
+    reachable set. Rebuild the reach relation independently, sketch
+    it directly with hll_registers, and require the merged register
+    fingerprints to match bit-for-bit; estimates must clear the
+    3-sigma gate on (almost) every node."""
+    from pyspark.sql import functions as F2
+
+    from pyspark_xgboost_spark.operators.graph import (
+        _ANF_H,
+        _lsh_edges,
+        graph_hyperanf_reach,
+    )
+    from pyspark_xgboost_spark.operators.sketches import hll_registers
+
+    out = {r["doc_id"]: r for r in graph_hyperanf_reach(spark, SF_DIR).collect()}
+    assert out
+    edges = _lsh_edges(spark, SF_DIR)
+    reach = edges.select(F2.col("src").alias("v"), F2.col("src").alias("u")).distinct()
+    for _ in range(_ANF_H):
+        reach = (
+            reach.union(
+                reach.join(edges, F2.col("u") == F2.col("src")).select(
+                    "v", F2.col("dst").alias("u")
+                )
+            )
+            .distinct()
+        )
+    direct = hll_registers(
+        reach.select(F2.col("v").alias("g"), F2.col("u").alias("id"))
+    )
+    fp = {
+        r["g"]: r["fp"]
+        for r in direct.groupBy("g")
+        .agg(F2.sum(F2.col("m") * (F2.col("reg") + 1)).alias("fp"))
+        .collect()
+    }
+    assert {k: r["reg_fp"] for k, r in out.items()} == fp
+    ok = sum(r["within_3sigma"] for r in out.values())
+    assert ok >= 0.9 * len(out)

@@ -98,25 +98,23 @@ _GRADE_FIRST = [
     "udtf_ngrams",
     # ---- below the 50-slot line ----
     # r12 window plan: after this window grades green, every oracle
-    # query is driver-attested; the r12 window = the round-11 NEW
-    # registrations, sorted (audit_column_profile,
-    # audit_join_explosion, audit_merkle_table_digest,
+    # query is driver-attested; the r12 window = the 28 round-11 NEW
+    # registrations, sorted — agg_cramers_v, audit_column_profile,
+    # audit_fd_violations, audit_join_explosion,
+    # audit_merkle_table_digest, corpus_heaps_law,
     # corpus_tokenizer_fertility, corpus_vocab_coverage_curve,
     # events_dtw_similarity, events_holt_winters_forecast,
-    # events_kleinberg_burst,
-    # events_sequence_pattern,
+    # events_kleinberg_burst, events_sequence_pattern,
     # graph_clustering_coefficient, graph_hyperanf_reach,
-    # multimodal_jpeg_dimensions,
-    # agg_cramers_v, audit_fd_violations, corpus_heaps_law,
-    # sample_pps_systematic, sketch_ddsketch_quantiles, sink_hilbert_cluster,
-    # stream_ddsketch_incremental, stream_reservoir_incremental,
-    # window_hurst_exponent,
-    # multimodal_resize [oracle-upgraded from
-    # rows-only this round], sim_search_ivf_drift_eval,
-    # sim_search_mips_norm_pruned, stream_decontaminate_incremental,
-    # stream_hll_incremental, stream_kmeans_minibatch — all verified
-    # at 3 SFs + invariance this round), then the stalest attested
-    # rows (the r05 cohort) in sorted order up to 50.
+    # multimodal_jpeg_dimensions, multimodal_resize [oracle-upgraded
+    # from rows-only this round], sample_pps_systematic,
+    # sim_search_ivf_drift_eval, sim_search_mips_norm_pruned,
+    # sink_hilbert_cluster, sketch_ddsketch_quantiles,
+    # stream_ddsketch_incremental, stream_decontaminate_incremental,
+    # stream_hll_incremental, stream_kmeans_minibatch,
+    # stream_reservoir_incremental, window_hurst_exponent (all
+    # verified at 3 SFs + partition invariance this round) — then the
+    # stalest attested rows (the r05 cohort) in sorted order up to 50.
 ]
 
 # Rows-only queries (registered without an oracle by design — goldens /

@@ -365,6 +365,7 @@ HEADLINE = [
     "stream_ddsketch_incremental",
     "events_kleinberg_burst",
     "graph_hyperanf_reach",
+    "sample_coreset_dsquared",
 ]
 
 

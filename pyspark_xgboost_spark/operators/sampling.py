@@ -2080,3 +2080,166 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("multiplicity"),
     )
+
+
+# --------------------------------------------------------------------------
+# D-squared sensitivity coreset (k-means coreset sampling over embeddings)
+# --------------------------------------------------------------------------
+
+_CORESET_K = 30  # coreset size
+
+
+def _coreset_oracle() -> str:
+    from pyspark_xgboost_spark.operators.similarity import _KM_DIM, _KM_Q
+
+    u48 = _hex8_uint_sql("md5('coreset:' || CAST(d4.vec_id AS VARCHAR))")
+    seed_d = """
+      SELECT e.vec_id, sum((e.x - s{k}.c) * (e.x - s{k}.c)) AS d
+      FROM e JOIN s{k} USING (j) GROUP BY e.vec_id"""
+    return f"""
+    WITH xq AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_KM_Q}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, g.j, q[g.j] AS x
+      FROM xq, unnest(generate_series(1, {_KM_DIM})) AS g(j)
+    ),
+    s1 AS (SELECT j, x AS c FROM e WHERE vec_id = 0),
+    d1 AS (
+      SELECT e.vec_id, sum((e.x - s1.c) * (e.x - s1.c)) AS d
+      FROM e JOIN s1 USING (j) GROUP BY e.vec_id
+    ),
+    p2 AS (SELECT vec_id FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+    s2 AS (SELECT e.j, e.x AS c FROM e JOIN p2 USING (vec_id)),
+    d2 AS (
+      SELECT d1.vec_id, least(d1.d, n.d) AS d
+      FROM d1 JOIN ({seed_d.format(k=2)}) n USING (vec_id)
+    ),
+    p3 AS (SELECT vec_id FROM d2 ORDER BY d DESC, vec_id LIMIT 1),
+    s3 AS (SELECT e.j, e.x AS c FROM e JOIN p3 USING (vec_id)),
+    d3 AS (
+      SELECT d2.vec_id, least(d2.d, n.d) AS d
+      FROM d2 JOIN ({seed_d.format(k=3)}) n USING (vec_id)
+    ),
+    p4 AS (SELECT vec_id FROM d3 ORDER BY d DESC, vec_id LIMIT 1),
+    s4 AS (SELECT e.j, e.x AS c FROM e JOIN p4 USING (vec_id)),
+    d4 AS (
+      SELECT d3.vec_id, least(d3.d, n.d) AS d
+      FROM d3 JOIN ({seed_d.format(k=4)}) n USING (vec_id)
+    ),
+    tot AS (
+      SELECT CAST(sum(d) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM d4
+    ),
+    wts AS (
+      SELECT d4.vec_id, CAST(d4.d AS BIGINT) AS dist_q,
+             tot.n * d4.d + tot.s AS w,
+             CAST(round(ln((CAST({u48} AS BIGINT) + 1) / 4294967296.0)
+                        * 1000000) AS BIGINT) AS lnu_micro
+      FROM d4 CROSS JOIN tot
+    ),
+    r AS (
+      SELECT vec_id, dist_q, w, lnu_micro,
+             row_number() OVER (
+               ORDER BY CAST(-lnu_micro AS DOUBLE) / w ASC,
+                        vec_id ASC) AS rk
+      FROM wts
+    )
+    SELECT CAST(rk AS BIGINT) AS rk, vec_id, dist_q,
+           CAST(w AS BIGINT) AS w, lnu_micro
+    FROM r WHERE rk <= {_CORESET_K}
+    """
+
+
+@register("sample_coreset_dsquared", oracle=_coreset_oracle())
+def sample_coreset_dsquared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MEANS CORESET by D-squared sensitivity sampling (the
+    lightweight-coreset construction of Bachem, Lucic & Krause, KDD
+    2018): draw {_CORESET_K} embedding vectors with probability
+    proportional to n*d(x)^2 + sum(d^2) — the mixture of
+    squared-distance-to-the-seed-set (importance: far points carry
+    the clustering cost) and uniform mass (coverage: dense regions
+    must stay represented) — so downstream k-means on the CORESET
+    approximates the full-corpus objective with provable error. The
+    seed set is the deterministic farthest-point traversal the repo
+    already attests (embedding_kmeans_farthest_seed); sensitivities
+    are exact integers on the quantized grid, and the draw is the
+    A-ES exponential race (sample_weighted_reservoir's discipline)
+    with its own salt — reproducible across runs, clusters, and
+    repartitions, unlike any rand()-based sampler.
+
+    Scale shape: seeding is k bounded driver round-trips (one
+    (vec_id, dist) pair each); per-point sensitivity is ONE map-side
+    expression — the incremental least(prev, dist-to-newest-seed)
+    trick means no point ever rescans the seed set; the global top-K
+    by race key is TakeOrderedAndProject (map-side partial top-K,
+    never a global sort); the output is coreset-sized. The 1-row
+    sensitivity normalizer broadcasts.
+
+    Weights: w = n*d^2 + S in exact integer units rides along — the
+    self-normalized importance weights a coreset consumer divides by
+    (inclusion probability ~ w / (2nS))."""
+    from pyspark_xgboost_spark.operators.similarity import (
+        _km_xq,
+        embedding_kmeans_farthest_seed,
+    )
+
+    seeds = embedding_kmeans_farthest_seed(spark, sf_dir).collect()
+    xq = _km_xq(spark, sf_dir)
+    seed_ids = [r["vec_id"] for r in sorted(seeds, key=lambda r: r["seed_rank"])]
+    vecs = {
+        r["vec_id"]: r["q"]
+        for r in xq.filter(F.col("vec_id").isin(seed_ids)).collect()
+    }
+
+    def dist_to(vec) -> F.Column:
+        return F.expr(
+            "aggregate(zip_with(q, array({}), (a, b) -> (a - b) * (a - b)), "
+            "0L, (acc, z) -> acc + z)".format(",".join(f"{v}L" for v in vec))
+        )
+
+    d4 = xq.select(
+        "vec_id",
+        F.least(*[dist_to(vecs[i]) for i in seed_ids]).alias("dist_q"),
+    )
+    tot = d4.agg(
+        F.sum("dist_q").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("coreset:"), F.col("vec_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    wts = d4.crossJoin(F.broadcast(tot)).select(
+        "vec_id",
+        "dist_q",
+        (F.col("n") * F.col("dist_q") + F.col("s")).alias("w"),
+        F.round(F.log(u) * 1000000).cast("bigint").alias("lnu_micro"),
+    )
+    key = (-F.col("lnu_micro")).cast("double") / F.col("w")
+    top = wts.orderBy(key.asc(), F.col("vec_id").asc()).limit(_CORESET_K)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(key.asc(), F.col("vec_id").asc()))
+        .cast("bigint")
+        .alias("rk"),
+        "vec_id",
+        "dist_q",
+        F.col("w").cast("bigint").alias("w"),
+        "lnu_micro",
+    )

@@ -605,3 +605,35 @@ def test_hyperanf_registers_equal_reach_hll(spark):
     assert {k: r["reg_fp"] for k, r in out.items()} == fp
     ok = sum(r["within_3sigma"] for r in out.values())
     assert ok >= 0.9 * len(out)
+
+
+def test_coreset_covers_and_upweights_outliers(spark):
+    """Coreset contracts: exactly _CORESET_K distinct draws ranked by
+    the race key; every weight is n*d^2 + S (verified against an
+    independent recomputation of the total); and the D-squared
+    mixture genuinely tilts toward far points — the mean dist_q of
+    the coreset exceeds the corpus mean (while the uniform term keeps
+    zero-distance seeds drawable, so no assert on their absence)."""
+    from pyspark_xgboost_spark.operators.sampling import (
+        _CORESET_K,
+        sample_coreset_dsquared,
+    )
+
+    rows = sample_coreset_dsquared(spark, SF_DIR).collect()
+    assert len(rows) == _CORESET_K
+    assert len({r["vec_id"] for r in rows}) == _CORESET_K
+    assert sorted(r["rk"] for r in rows) == list(range(1, _CORESET_K + 1))
+    # reconstruct n and S from any row: w = n*d + S with two unknowns,
+    # but two rows with different d pin both
+    a, b = sorted(rows, key=lambda r: r["dist_q"])[0], sorted(
+        rows, key=lambda r: r["dist_q"]
+    )[-1]
+    assert a["dist_q"] < b["dist_q"]
+    n = (b["w"] - a["w"]) // (b["dist_q"] - a["dist_q"])
+    s = a["w"] - n * a["dist_q"]
+    assert n > 0 and s > 0
+    for r in rows:
+        assert r["w"] == n * r["dist_q"] + s
+    mean_corpus = s / n  # S/n is the corpus mean d^2
+    mean_coreset = sum(r["dist_q"] for r in rows) / len(rows)
+    assert mean_coreset > mean_corpus

@@ -7,7 +7,7 @@ from pyspark_xgboost_spark.sources import load_table
 from tests.conftest import SF_DIR
 
 
-def test_repetition_stats_bounds_and_handmade_doc(spark):
+def _chk_repetition_stats_bounds_and_handmade_doc(spark):
     # bounds need a sample, not the corpus: the interpreted HOF
     # expressions make full sf0.001 evaluation the single most
     # expensive call in the suite, and limit() pushes into the
@@ -31,7 +31,7 @@ def test_repetition_stats_bounds_and_handmade_doc(spark):
     assert (one["n"], one["u"]) == (4, 1)
 
 
-def test_chunking_covers_text_exactly(spark):
+def _chk_chunking_covers_text_exactly(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     out = corpus.doc_chunk_fixed(spark, SF_DIR)
     # no shuffle: map-only plan
@@ -54,14 +54,14 @@ def test_chunking_covers_text_exactly(spark):
         assert last["chunk_start"] + last["chunk_len"] - 1 == n
 
 
-def test_contamination_test_docs_excluded_and_hits_positive(spark):
+def _chk_contamination_test_docs_excluded_and_hits_positive(spark):
     rows = corpus.contamination_check(spark, SF_DIR).collect()
     for r in rows:
         assert r["doc_id"] % 50 != 0
         assert r["n_hits"] >= 1
 
 
-def test_packing_is_dense_within_source(spark):
+def _chk_packing_is_dense_within_source(spark):
     rows = corpus.doc_pack_greedy(spark, SF_DIR).collect()
     docs = {
         r["doc_id"]: r["n_chars"]
@@ -79,7 +79,7 @@ def test_packing_is_dense_within_source(spark):
             cum += docs[r["doc_id"]]
 
 
-def test_vocab_topk_ordered_and_bounded(spark):
+def _chk_vocab_topk_ordered_and_bounded(spark):
     rows = corpus.corpus_vocab_topk(spark, SF_DIR).collect()
     assert len(rows) <= 50
     dfs = [(r["df"], r["term"]) for r in rows]
@@ -88,7 +88,7 @@ def test_vocab_topk_ordered_and_bounded(spark):
     assert all(0 < d <= n_docs for d, _ in dfs)
 
 
-def test_embedding_centroids_shape_and_range(spark):
+def _chk_embedding_centroids_shape_and_range(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     n_labels = emb.select("label").distinct().count()
     rows = corpus.embedding_centroids(spark, SF_DIR).collect()
@@ -104,7 +104,7 @@ def test_embedding_centroids_shape_and_range(spark):
         assert float(lo) - 0.001 <= r["centroid"] <= float(hi) + 0.001
 
 
-def test_stratified_sample_rates(spark):
+def _chk_stratified_sample_rates(spark):
     out = {
         r["source"]: r["n_sampled"]
         for r in sampling.sample_stratified_by_source(spark, SF_DIR).collect()
@@ -128,7 +128,7 @@ def test_stratified_sample_rates(spark):
         assert agg[3][0] / agg[3][1] > agg[0][0] / agg[0][1]
 
 
-def test_bigram_topk_ordered_and_handchecked(spark):
+def _chk_bigram_topk_ordered_and_handchecked(spark):
     rows = corpus.corpus_bigram_topk(spark, SF_DIR).collect()
     assert 0 < len(rows) <= 50
     ns = [r["n"] for r in rows]
@@ -145,7 +145,7 @@ def test_bigram_topk_ordered_and_handchecked(spark):
     assert count == rows[0]["n"]
 
 
-def test_bigram_topk_plan_single_shuffle_topk(spark):
+def _chk_bigram_topk_plan_single_shuffle_topk(spark):
     plan = (
         corpus.corpus_bigram_topk(spark, SF_DIR)
         ._jdf.queryExecution()
@@ -156,7 +156,7 @@ def test_bigram_topk_plan_single_shuffle_topk(spark):
     assert plan.count("Exchange") == 1  # only the bigram-keyed agg shuffles
 
 
-def test_unigram_logprob_consistency(spark):
+def _chk_unigram_logprob_consistency(spark):
     rows = corpus.text_unigram_logprob(spark, SF_DIR).collect()
     assert rows
     for r in rows:
@@ -183,7 +183,7 @@ def test_unigram_logprob_consistency(spark):
     assert got["n_tokens"] == len(toks)
 
 
-def test_unigram_logprob_single_token_pass(spark):
+def _chk_unigram_logprob_single_token_pass(spark):
     plan = (
         corpus.text_unigram_logprob(spark, SF_DIR)
         ._jdf.queryExecution()
@@ -196,7 +196,7 @@ def test_unigram_logprob_single_token_pass(spark):
     assert "Window" in plan
 
 
-def test_whitening_stats_shape_and_moments(spark):
+def _chk_whitening_stats_shape_and_moments(spark):
     rows = corpus.embedding_whitening_stats(spark, SF_DIR).collect()
     emb = load_table(spark, SF_DIR, "embeddings")
     n_vec = emb.count()
@@ -217,7 +217,7 @@ def test_whitening_stats_shape_and_moments(spark):
     assert abs(r0["variance"] - (s2 / n - (s / n) ** 2) / 1e6) < 1e-9
 
 
-def test_whitening_stats_single_exchange(spark):
+def _chk_whitening_stats_single_exchange(spark):
     plan = (
         corpus.embedding_whitening_stats(spark, SF_DIR)
         ._jdf.queryExecution()
@@ -227,7 +227,7 @@ def test_whitening_stats_single_exchange(spark):
     assert plan.count("Exchange") == 1
 
 
-def test_outlier_robust_z_approx_conf(spark):
+def _chk_outlier_robust_z_approx_conf(spark):
     """spark_graft.approx_percentiles=true swaps exact percentile for
     the mergeable approx_percentile sketch (the documented 100 TB
     path). Same schema, same rows scored, and on sf0.001's integer
@@ -249,7 +249,7 @@ def test_outlier_robust_z_approx_conf(spark):
         assert abs(approx[k] - v) < 0.51, (k, v, approx[k])
 
 
-def test_bpe_pretokenize_matches_python_re(spark):
+def _chk_bpe_pretokenize_matches_python_re(spark):
     import re
 
     from pyspark_xgboost_spark.operators.text import text_bpe_pretokenize
@@ -271,7 +271,7 @@ def test_bpe_pretokenize_matches_python_re(spark):
         assert g["n_word"] + g["n_number"] + g["n_punct"] == g["n_pretokens"]
 
 
-def test_importance_resample_prefers_target_lang(spark):
+def _chk_importance_resample_prefers_target_lang(spark):
     """DSIR selection must (a) match a pure-Python recompute of the
     smoothed log-ratio scores and (b) enrich the target language."""
     import collections
@@ -321,7 +321,7 @@ def test_importance_resample_prefers_target_lang(spark):
     assert sel_en > base_en
 
 
-def test_bigram_perplexity_matches_python_recompute(spark):
+def _chk_bigram_perplexity_matches_python_recompute(spark):
     import collections
     import math
 
@@ -353,7 +353,7 @@ def test_bigram_perplexity_matches_python_recompute(spark):
         assert abs(g["nll_per_bigram"] - (s / -1000000.0 / len(bs))) < 1e-12
 
 
-def test_temperature_mixture_sqrt_rule(spark):
+def _chk_temperature_mixture_sqrt_rule(spark):
     import math
 
     from pyspark_xgboost_spark.operators.sampling import (
@@ -386,7 +386,7 @@ def test_temperature_mixture_sqrt_rule(spark):
     assert max(ws) / min(ws) < max(sizes) / min(sizes)
 
 
-def test_kgram_novelty_matches_sequential_recompute(spark):
+def _chk_kgram_novelty_matches_sequential_recompute(spark):
     """Novelty must equal the truly SEQUENTIAL definition: grams never
     seen in any lower-doc_id document."""
     from pyspark_xgboost_spark.operators.corpus import corpus_kgram_novelty
@@ -419,7 +419,7 @@ def test_kgram_novelty_matches_sequential_recompute(spark):
     assert any_partial  # the fixture really contains cross-doc overlap
 
 
-def test_bpe_train_and_apply_match_reference_python(spark):
+def _chk_bpe_train_and_apply_match_reference_python(spark):
     """One shared pass: corpus_bpe_merges must reproduce a pure-Python
     reference BPE (greedy leftmost merge, count-desc then lexicographic
     argmax) on the identical lowercased word-frequency dict, and
@@ -498,3 +498,26 @@ def test_bpe_train_and_apply_match_reference_python(spark):
     assert got_apply == expect_apply
     for _d, c, t in got_apply.values():
         assert t < c  # merges genuinely compress
+
+
+# Pooled contract sweep (smoke-sweep discipline; see test_plans_r11).
+_POOLED_CHECKS = [_chk_repetition_stats_bounds_and_handmade_doc, _chk_chunking_covers_text_exactly, _chk_contamination_test_docs_excluded_and_hits_positive, _chk_packing_is_dense_within_source, _chk_vocab_topk_ordered_and_bounded, _chk_embedding_centroids_shape_and_range, _chk_stratified_sample_rates, _chk_bigram_topk_ordered_and_handchecked, _chk_bigram_topk_plan_single_shuffle_topk, _chk_unigram_logprob_consistency, _chk_unigram_logprob_single_token_pass, _chk_whitening_stats_shape_and_moments, _chk_whitening_stats_single_exchange, _chk_outlier_robust_z_approx_conf, _chk_bpe_pretokenize_matches_python_re, _chk_importance_resample_prefers_target_lang, _chk_bigram_perplexity_matches_python_recompute, _chk_temperature_mixture_sqrt_rule, _chk_kgram_novelty_matches_sequential_recompute, _chk_bpe_train_and_apply_match_reference_python]
+
+
+def test_corpus_contracts_pooled(spark):
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    failures = []
+
+    def run(fn):
+        try:
+            fn(spark)
+        except Exception:
+            failures.append((fn.__name__, traceback.format_exc()))
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        list(ex.map(run, _POOLED_CHECKS))
+    assert not failures, "\n\n".join(
+        f"{n}:\n{tb}" for n, tb in failures
+    )

@@ -14,7 +14,7 @@ from pyspark_xgboost_spark.sources.formats import (
 from tests.conftest import SF_DIR
 
 
-def test_pagerank_mass_conservation_and_positivity(spark):
+def _chk_pagerank_mass_conservation_and_positivity(spark):
     rows = graph_pagerank_fixed(spark, SF_DIR).collect()
     assert rows
     total = sum(r["pagerank_nano"] for r in rows)
@@ -26,7 +26,7 @@ def test_pagerank_mass_conservation_and_positivity(spark):
     assert all(r["pagerank_nano"] > 0 for r in rows)
 
 
-def test_pagerank_checkpoint_result_neutral(spark):
+def _chk_pagerank_checkpoint_result_neutral(spark):
     """6 iterations with lineage truncation every 3 must be
     bit-identical to the same 6 iterations as one lazy plan — integer
     arithmetic makes the checkpoint barrier result-neutral."""
@@ -42,7 +42,7 @@ def test_pagerank_checkpoint_result_neutral(spark):
     assert chk and chk == one_plan
 
 
-def test_pagerank_plan_depth_bounded(spark):
+def _chk_pagerank_plan_depth_bounded(spark):
     """With checkpoint_every=3, the final plan's size must be flat in
     n_iters (each truncation resets lineage to a scan), so iteration
     counts a real centrality job needs (10+) stay Janino-compilable."""
@@ -61,7 +61,7 @@ def test_pagerank_plan_depth_bounded(spark):
     assert p10 < 1.5 * p4, (p4, p10)
 
 
-def test_pagerank_partition_invariant(spark):
+def _chk_pagerank_partition_invariant(spark):
     base = sorted(tuple(r) for r in graph_pagerank_fixed(spark, SF_DIR).collect())
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -72,7 +72,7 @@ def test_pagerank_partition_invariant(spark):
     assert base == again
 
 
-def test_pagerank_hub_ranks_highest(spark):
+def _chk_pagerank_hub_ranks_highest(spark):
     """In a star component (one doc near-duplicating many), the hub
     accumulates every spoke's full share and must outrank the spokes.
     The sf0.001 corpus has clone clusters from the generator; verify
@@ -96,7 +96,7 @@ def test_pagerank_hub_ranks_highest(spark):
     assert set(deg) == set(ranks)  # every graph node is ranked
 
 
-def test_dpo_replaces_only_target_partition(spark):
+def _chk_dpo_replaces_only_target_partition(spark):
     rows = {r["l_returnflag"]: r["n"] for r in
             sink_dynamic_partition_overwrite(spark, SF_DIR).collect()}
     li = load_table(spark, SF_DIR, "lineitem")
@@ -114,13 +114,13 @@ def test_dpo_replaces_only_target_partition(spark):
     assert rows["R"] < orig["R"]
 
 
-def test_dpo_idempotent_on_rerun(spark):
+def _chk_dpo_idempotent_on_rerun(spark):
     a = sorted(tuple(r) for r in sink_dynamic_partition_overwrite(spark, SF_DIR).collect())
     b = sorted(tuple(r) for r in sink_dynamic_partition_overwrite(spark, SF_DIR).collect())
     assert a == b
 
 
-def test_merge_upsert_counts(spark):
+def _chk_merge_upsert_counts(spark):
     rows = {r["source"]: r for r in sink_merge_upsert(spark, SF_DIR).collect()}
     docs = load_table(spark, SF_DIR, "documents")
     n_docs = docs.count()
@@ -142,7 +142,7 @@ def test_merge_upsert_counts(spark):
     )
 
 
-def test_triangle_count_matches_bruteforce(spark):
+def _chk_triangle_count_matches_bruteforce(spark):
     from pyspark_xgboost_spark.operators.dedup import _minhash_candidate_pairs
     from pyspark_xgboost_spark.operators.graph import graph_triangle_count
 
@@ -168,3 +168,26 @@ def test_triangle_count_matches_bruteforce(spark):
                 expect[b] += 1
                 expect[c] += 1
     assert got == dict(expect)
+
+
+# Pooled contract sweep (smoke-sweep discipline; see test_plans_r11).
+_POOLED_CHECKS_GRAPH_SINKS = [_chk_pagerank_mass_conservation_and_positivity, _chk_pagerank_checkpoint_result_neutral, _chk_pagerank_plan_depth_bounded, _chk_pagerank_partition_invariant, _chk_pagerank_hub_ranks_highest, _chk_dpo_replaces_only_target_partition, _chk_dpo_idempotent_on_rerun, _chk_merge_upsert_counts, _chk_triangle_count_matches_bruteforce]
+
+
+def test_graph_sinks_contracts_pooled(spark):
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    failures = []
+
+    def run(fn):
+        try:
+            fn(spark)
+        except Exception:
+            failures.append((fn.__name__, traceback.format_exc()))
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        list(ex.map(run, _POOLED_CHECKS_GRAPH_SINKS))
+    assert not failures, "\n\n".join(
+        f"{n}:\n{tb}" for n, tb in failures
+    )

@@ -8,7 +8,7 @@ from tests.conftest import SF_DIR
 from tests.test_plans import plan_of
 
 
-def test_stream_incremental_neardup_shapes(spark):
+def _chk_stream_incremental_neardup_shapes(spark):
     """The streaming near-dup maintenance keeps its scale contract:
     (a) the per-batch index probe is a (band, key) digest EQUI-join —
     never cartesian, O(batch + matched buckets) per cycle; (b) the
@@ -63,7 +63,7 @@ def test_stream_incremental_neardup_shapes(spark):
     assert bad == 0
 
 
-def test_corpus_pack_bfd_no_global_sort(spark):
+def _chk_corpus_pack_bfd_no_global_sort(spark):
     """The packer's plan: one hash exchange on shard feeding the Arrow
     kernel — no global row sort (rangepartitioning) anywhere; the
     length-descending order lives only inside the bounded shard."""
@@ -87,7 +87,7 @@ def test_corpus_pack_bfd_no_global_sort(spark):
     assert "rangepartitioning" not in kplan.lower()
 
 
-def test_header_parsers_are_map_only(spark):
+def _chk_header_parsers_are_map_only(spark):
     """PNG and WAV header parsing must stay map-only projections —
     zero exchanges: the whole point is metadata at scan throughput."""
     from pyspark_xgboost_spark.operators.multimodal import (
@@ -101,7 +101,7 @@ def test_header_parsers_are_map_only(spark):
         assert "Join" not in plan, q.__name__
 
 
-def test_interval_coalesce_single_shuffle_no_join(spark):
+def _chk_interval_coalesce_single_shuffle_no_join(spark):
     """One user-keyed exchange; both windows and both rollups reuse
     it. No joins anywhere."""
     from pyspark_xgboost_spark.operators.temporal import (
@@ -113,7 +113,7 @@ def test_interval_coalesce_single_shuffle_no_join(spark):
     assert plan.count("Exchange") <= 2  # user hash + final agg combine
 
 
-def test_realized_volatility_no_join(spark):
+def _chk_realized_volatility_no_join(spark):
     from pyspark_xgboost_spark.operators.temporal import (
         window_realized_volatility,
     )
@@ -123,7 +123,7 @@ def test_realized_volatility_no_join(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_prf_term_tables_broadcast(spark):
+def _chk_prf_term_tables_broadcast(spark):
     """Both retrieval passes probe postings via BROADCAST term tables;
     no shuffle join of corpus-sized relations, no cartesian beyond the
     1-row scalar attach."""
@@ -134,7 +134,7 @@ def test_prf_term_tables_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_assortativity_collapses_to_type_graph(spark):
+def _chk_assortativity_collapses_to_type_graph(spark):
     """The correlation runs on the TYPE-level edge list (checkpointed
     once); the final plan reads it, never re-scanning documents."""
     from pyspark_xgboost_spark.operators.graph import (
@@ -146,7 +146,7 @@ def test_assortativity_collapses_to_type_graph(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_t_closeness_grid_is_broadcast(spark):
+def _chk_t_closeness_grid_is_broadcast(spark):
     """The classes x buckets grid builds from a BROADCAST bucket
     histogram; nothing downstream of the cell agg shuffles rows."""
     from pyspark_xgboost_spark.operators.relational import audit_t_closeness
@@ -156,7 +156,7 @@ def test_t_closeness_grid_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
-def test_minhash_estimator_eval_pair_bounded(spark):
+def _chk_minhash_estimator_eval_pair_bounded(spark):
     """Signature joins and the shingle-intersection join run on the
     checkpointed candidate-pair table — never all pairs."""
     from pyspark_xgboost_spark.operators.dedup import (
@@ -168,7 +168,7 @@ def test_minhash_estimator_eval_pair_bounded(spark):
     assert "ExistingRDD" in plan  # pairs localCheckpoint
 
 
-def test_scd2_versions_respect_change_points(spark):
+def _chk_scd2_versions_respect_change_points(spark):
     """Behavioral pin for the SCD2 no-op branch: keys observed in
     batches 0 and 2 with coinciding attrs must NOT spawn a phantom
     version (exactly one open version, valid_from = 0)."""
@@ -188,7 +188,7 @@ def test_scd2_versions_respect_change_points(spark):
     assert noop.count() > 0  # branch actually exercised
 
 
-def test_lsh_artifacts_memoized(spark):
+def _chk_lsh_artifacts_memoized(spark):
     """The LSH pair table, the graph edge list, and the CC labels are
     each computed ONCE per (session, corpus) and shared by their
     consumer families (the _KM_CACHE discipline — re-running the
@@ -206,4 +206,30 @@ def test_lsh_artifacts_memoized(spark):
     assert _lsh_edges(spark, SF_DIR) is _lsh_edges(spark, SF_DIR)
     assert _cached_components(spark, SF_DIR) is _cached_components(
         spark, SF_DIR
+    )
+
+
+# One pooled pytest case fans the contract checks above over a thread
+# pool sharing the session (the smoke-sweep discipline: sequential
+# Spark tests pay per-job latency the scheduler can absorb in
+# parallel; staged fixtures serialize on build_lock).
+_POOLED_CHECKS = [_chk_stream_incremental_neardup_shapes, _chk_corpus_pack_bfd_no_global_sort, _chk_header_parsers_are_map_only, _chk_interval_coalesce_single_shuffle_no_join, _chk_realized_volatility_no_join, _chk_prf_term_tables_broadcast, _chk_assortativity_collapses_to_type_graph, _chk_t_closeness_grid_is_broadcast, _chk_minhash_estimator_eval_pair_bounded, _chk_scd2_versions_respect_change_points, _chk_lsh_artifacts_memoized]
+
+
+def test_round_10_contracts_pooled(spark):
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    failures = []
+
+    def run(fn):
+        try:
+            fn(spark)
+        except Exception:
+            failures.append((fn.__name__, traceback.format_exc()))
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        list(ex.map(run, _POOLED_CHECKS))
+    assert not failures, "\n\n".join(
+        f"{n}:\n{tb}" for n, tb in failures
     )

@@ -1,4 +1,10 @@
-"""Shape assertions for the round-11 additions."""
+"""Shape assertions for the round-11 additions.
+
+Each contract lives in a ``_chk_*`` function; ONE pytest case fans
+them out over a thread pool sharing the session (the smoke-sweep
+discipline applied to this module — 21 sequential Spark tests cost
+~60s, the pooled sweep ~25s; Spark's scheduler interleaves the jobs
+and the staged fixtures serialize on build_lock)."""
 
 from __future__ import annotations
 
@@ -8,7 +14,7 @@ from tests.conftest import SF_DIR
 from tests.test_plans import plan_of
 
 
-def test_stream_decontaminate_incremental_shapes(spark):
+def _chk_stream_decontaminate_incremental_shapes(spark):
     """The ingest-time decontamination gate keeps its scale contract:
     (a) the final result reads the materialized per-batch coverage
     table — never re-scanning documents; (b) the per-batch probe is a
@@ -51,7 +57,7 @@ def test_stream_decontaminate_incremental_shapes(spark):
     assert out.count() == out.select("doc_id").distinct().count()
 
 
-def test_tokenizer_fertility_shares_tokenize_pass(spark):
+def _chk_tokenizer_fertility_shares_tokenize_pass(spark):
     """The fertility report and the compression report consume the
     SAME memoized per-doc tokenize pass (one kernel application per
     session + corpus — re-tokenizing per consumer is the round-10
@@ -70,7 +76,7 @@ def test_tokenizer_fertility_shares_tokenize_pass(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_stream_hll_incremental_is_batch_identical(spark):
+def _chk_stream_hll_incremental_is_batch_identical(spark):
     """The maintained register table must equal a one-shot pass over
     the full history (max-merge associativity — the whole point), and
     the final report must read sketch-sized state, never re-scanning
@@ -99,7 +105,7 @@ def test_stream_hll_incremental_is_batch_identical(spark):
         assert row.within_3sigma == 1, g
 
 
-def test_stream_kmeans_minibatch_state_bounded(spark):
+def _chk_stream_kmeans_minibatch_state_bounded(spark):
     """The maintained centroid table is k rows; every center was
     touched (n_seen > 0 — the seeds' own batch pulls them), members
     partition the corpus, and the final plan carries no cartesian."""
@@ -119,7 +125,7 @@ def test_stream_kmeans_minibatch_state_bounded(spark):
     assert "CartesianProduct" not in plan_of(out)
 
 
-def test_ivf_drift_eval_panel_bounded(spark):
+def _chk_ivf_drift_eval_panel_bounded(spark):
     """The drift eval keeps the recall-eval discipline: both
     clusterings are memoized artifacts (identity on repeat calls),
     the ground-truth pass is broadcast-panel x corpus (never
@@ -144,7 +150,7 @@ def test_ivf_drift_eval_panel_bounded(spark):
     assert all(r.k == 3 for r in rows)
 
 
-def test_clustering_coefficient_bounded_and_normalized(spark):
+def _chk_clustering_coefficient_bounded_and_normalized(spark):
     """The weighted LCC keeps its contracts: (a) no cartesian product
     anywhere in the plan (the only crossJoin is the broadcast 1-row
     max-weight normalizer); (b) the output is capped to _LCC_TOP rows
@@ -168,7 +174,7 @@ def test_clustering_coefficient_bounded_and_normalized(spark):
         assert (r["tri_cnt"] == 0) == (r["cw_ppm"] == 0)
 
 
-def test_stream_reservoir_incremental_is_batch_identical(spark):
+def _chk_stream_reservoir_incremental_is_batch_identical(spark):
     """The maintained reservoir equals the one-shot A-ES pass over the
     full corpus (min-K under a total order is an associative merge),
     every staged batch contributes at least one survivor, and the
@@ -196,7 +202,7 @@ def test_stream_reservoir_incremental_is_batch_identical(spark):
     assert {r["arrived_seq"] for r in out} == {0, 1, 2}
 
 
-def test_hurst_exponent_contract(spark):
+def _chk_hurst_exponent_contract(spark):
     """R/S analysis contracts: one row per event type; the short scale
     yields exactly (b2/b1)x the long scale's complete blocks on the
     gap-filled spine; H lands in the physically meaningful (0, 1)
@@ -225,7 +231,7 @@ def test_hurst_exponent_contract(spark):
         assert 0 < r["hurst_milli"] < 1000
 
 
-def test_heaps_law_monotone_and_bounded(spark):
+def _chk_heaps_law_monotone_and_bounded(spark):
     """Heaps-fit contracts: exactly one row per checkpoint; cumulative
     tokens and vocabulary are nondecreasing in k; the fitted exponent
     is sublinear (0 < beta < 1 — vocabulary grows, but slower than
@@ -246,7 +252,7 @@ def test_heaps_law_monotone_and_bounded(spark):
     assert 0 < rows[0]["beta_milli"] < 1000
 
 
-def test_fd_audit_scan_pruning_and_semantics(spark):
+def _chk_fd_audit_scan_pruning_and_semantics(spark):
     """The FD profiler reads only the referenced columns from each
     table (column pruning reaches the parquet scan) and its verdicts
     are internally consistent: holds=1 iff no group is violated, and
@@ -271,7 +277,7 @@ def test_fd_audit_scan_pruning_and_semantics(spark):
     assert rows["lineitem.pk->l_quantity"]["holds"] == 0
 
 
-def test_ddsketch_relative_error_guarantee(spark):
+def _chk_ddsketch_relative_error_guarantee(spark):
     """DDSketch's defining contract: every estimate is within the
     gamma relative-accuracy band of the EXACT discrete quantile
     (alpha ~ tanh(1/(2*50)) ~ 1%), and the empirical CDF at the
@@ -312,7 +318,7 @@ def test_ddsketch_relative_error_guarantee(spark):
         ] * 10000 + 30000
 
 
-def test_cramers_v_contract(spark):
+def _chk_cramers_v_contract(spark):
     """Association-matrix contracts: one row per curated pair, V in
     [0, 1], the bias-corrected V never exceeds the raw V (the
     correction only strips spurious association — on independent
@@ -334,7 +340,7 @@ def test_cramers_v_contract(spark):
         assert r["chi2_micro"] >= 0
 
 
-def test_jpeg_walk_is_genuine(spark):
+def _chk_jpeg_walk_is_genuine(spark):
     """The JPEG parser must WALK (offsets vary per row because the
     APP0 pad varies), land on the real SOF0 marker on every row, and
     stay a map-only projection (no shuffle, no UDF in the plan)."""
@@ -355,7 +361,7 @@ def test_jpeg_walk_is_genuine(spark):
         assert r["aspect_milli"] == r["width"] * 1000 // r["height"]
 
 
-def test_hilbert_layout_beats_zorder_on_seeks(spark):
+def _chk_hilbert_layout_beats_zorder_on_seeks(spark):
     """Layout A/B contracts: the Hilbert key is a bijection on grid
     cells (n_cells == distinct hkeys per rect by construction, and
     runs can never exceed cells), and aggregate seek runs under the
@@ -380,7 +386,7 @@ def test_hilbert_layout_beats_zorder_on_seeks(spark):
     )
 
 
-def test_holt_winters_beats_flat_forecast(spark):
+def _chk_holt_winters_beats_flat_forecast(spark):
     """Forecast contracts: 7 horizon rows per event type; the
     forecast decomposes exactly as level + h*trend + season (the
     kernel's own state, re-derivable from the output); and the
@@ -406,7 +412,7 @@ def test_holt_winters_beats_flat_forecast(spark):
         assert rows[0]["mae_micro"] >= 0
 
 
-def test_dtw_kernel_matches_unbanded_reference(spark):
+def _chk_dtw_kernel_matches_unbanded_reference(spark):
     """DTW contracts: one row per unordered type pair; DTW <= L1 on
     every pair (the identity path is always admissible, so warping
     can only help); and the banded kernel matches an independent
@@ -480,7 +486,7 @@ def test_dtw_kernel_matches_unbanded_reference(spark):
     assert r0["dtw"] == D[(n, n)]
 
 
-def test_pps_systematic_exact_count_and_proportionality(spark):
+def _chk_pps_systematic_exact_count_and_proportionality(spark):
     """Systematic-PPS contracts: total multiplicity per source is
     EXACTLY _PPS_K (the defining property — pins can't miss), and a
     document longer than one step is multi-hit while every selected
@@ -498,7 +504,7 @@ def test_pps_systematic_exact_count_and_proportionality(spark):
     assert per_src and set(per_src.values()) == {_PPS_K}
 
 
-def test_stream_ddsketch_incremental_is_batch_identical(spark):
+def _chk_stream_ddsketch_incremental_is_batch_identical(spark):
     """The maintained counter table must equal a one-shot bucketing
     of the full history (sum-merge associativity), with the p50/95/99
     walked from it matching the batch sketch's estimates exactly."""
@@ -531,7 +537,7 @@ def test_stream_ddsketch_incremental_is_batch_identical(spark):
             assert r[f"p{q}_micro"] == batch[(et, q)], (et, q)
 
 
-def test_kleinberg_burst_intervals_are_genuine(spark):
+def _chk_kleinberg_burst_intervals_are_genuine(spark):
     """Burst contracts: intervals are disjoint and ordered per type;
     every burst interval's mean hourly rate genuinely exceeds the
     series' base rate (the hysteresis can delay exits but a whole
@@ -564,7 +570,7 @@ def test_kleinberg_burst_intervals_are_genuine(spark):
             assert r["sum_x"] / r["n_hours"] > base_rate
 
 
-def test_hyperanf_registers_equal_reach_hll(spark):
+def _chk_hyperanf_registers_equal_reach_hll(spark):
     """The HyperANF identity that makes the whole trick sound:
     iterated max-merge along edges == one HLL over the exact
     reachable set. Rebuild the reach relation independently, sketch
@@ -607,7 +613,7 @@ def test_hyperanf_registers_equal_reach_hll(spark):
     assert ok >= 0.9 * len(out)
 
 
-def test_coreset_covers_and_upweights_outliers(spark):
+def _chk_coreset_covers_and_upweights_outliers(spark):
     """Coreset contracts: exactly _CORESET_K distinct draws ranked by
     the race key; every weight is n*d^2 + S (verified against an
     independent recomputation of the total); and the D-squared
@@ -637,3 +643,27 @@ def test_coreset_covers_and_upweights_outliers(spark):
     mean_corpus = s / n  # S/n is the corpus mean d^2
     mean_coreset = sum(r["dist_q"] for r in rows) / len(rows)
     assert mean_coreset > mean_corpus
+
+
+_R11_CHECKS = [_chk_stream_decontaminate_incremental_shapes, _chk_tokenizer_fertility_shares_tokenize_pass, _chk_stream_hll_incremental_is_batch_identical, _chk_stream_kmeans_minibatch_state_bounded, _chk_ivf_drift_eval_panel_bounded, _chk_clustering_coefficient_bounded_and_normalized, _chk_stream_reservoir_incremental_is_batch_identical, _chk_hurst_exponent_contract, _chk_heaps_law_monotone_and_bounded, _chk_fd_audit_scan_pruning_and_semantics, _chk_ddsketch_relative_error_guarantee, _chk_cramers_v_contract, _chk_jpeg_walk_is_genuine, _chk_hilbert_layout_beats_zorder_on_seeks, _chk_holt_winters_beats_flat_forecast, _chk_dtw_kernel_matches_unbanded_reference, _chk_pps_systematic_exact_count_and_proportionality, _chk_stream_ddsketch_incremental_is_batch_identical, _chk_kleinberg_burst_intervals_are_genuine, _chk_hyperanf_registers_equal_reach_hll, _chk_coreset_covers_and_upweights_outliers]
+
+
+def test_r11_contracts_pooled(spark):
+    """Run every round-11 contract check concurrently (see module
+    docstring); any failure surfaces with its own traceback."""
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    failures = []
+
+    def run(fn):
+        try:
+            fn(spark)
+        except Exception:
+            failures.append((fn.__name__, traceback.format_exc()))
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        list(ex.map(run, _R11_CHECKS))
+    assert not failures, "\n\n".join(
+        f"{n}:\n{tb}" for n, tb in failures
+    )

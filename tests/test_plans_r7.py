@@ -10,7 +10,7 @@ from tests.conftest import SF_DIR
 from tests.test_plans import plan_of
 
 
-def test_delete_cascade_anti_joins_are_broadcast(spark):
+def _chk_delete_cascade_anti_joins_are_broadcast(spark):
     from pyspark_xgboost_spark.sources import load_table
     from pyspark_xgboost_spark.sources.formats import _delete_cascade_frames
 
@@ -27,7 +27,7 @@ def test_delete_cascade_anti_joins_are_broadcast(spark):
         assert "SortMergeJoin" not in plan, name
 
 
-def test_mor_deletes_sidecar_broadcasts(spark):
+def _chk_mor_deletes_sidecar_broadcasts(spark):
     from pyspark_xgboost_spark.sources.formats import scan_merge_on_read_deletes
 
     plan = plan_of(scan_merge_on_read_deletes(spark, SF_DIR))
@@ -36,7 +36,7 @@ def test_mor_deletes_sidecar_broadcasts(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_referential_integrity_dims_broadcast(spark):
+def _chk_referential_integrity_dims_broadcast(spark):
     from pyspark_xgboost_spark.operators.relational import (
         audit_referential_integrity,
     )
@@ -47,7 +47,7 @@ def test_referential_integrity_dims_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_sketch_rollup_has_partial_aggregation(spark):
+def _chk_sketch_rollup_has_partial_aggregation(spark):
     from pyspark_xgboost_spark.operators.sketches import (
         sketch_rollup_daily_weekly,
     )
@@ -61,7 +61,7 @@ def test_sketch_rollup_has_partial_aggregation(spark):
     assert plan_of(df, "simple").count("Scan parquet") == 0  # reads the RDD
 
 
-def test_dim_standardize_stats_aggregate_map_side(spark):
+def _chk_dim_standardize_stats_aggregate_map_side(spark):
     from pyspark_xgboost_spark.operators.similarity import (
         embedding_dim_standardize,
     )
@@ -72,7 +72,7 @@ def test_dim_standardize_stats_aggregate_map_side(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_pq_kernel_plan_has_single_window_exchange(spark):
+def _chk_pq_kernel_plan_has_single_window_exchange(spark):
     from pyspark_xgboost_spark.operators.similarity import sim_search_pq
 
     plan = plan_of(sim_search_pq(spark, SF_DIR))
@@ -83,7 +83,7 @@ def test_pq_kernel_plan_has_single_window_exchange(spark):
     assert "BroadcastHashJoin" not in plan  # the 48M-row LUT join is gone
 
 
-def test_random_projection_is_map_side_plus_tiny_agg(spark):
+def _chk_random_projection_is_map_side_plus_tiny_agg(spark):
     from pyspark_xgboost_spark.operators.similarity import (
         embedding_random_projection,
     )
@@ -95,10 +95,33 @@ def test_random_projection_is_map_side_plus_tiny_agg(spark):
     assert "Join" not in plan
 
 
-def test_cdc_apply_single_key_shuffle(spark):
+def _chk_cdc_apply_single_key_shuffle(spark):
     from pyspark_xgboost_spark.sources.formats import scan_cdc_apply_log
 
     plan = plan_of(scan_cdc_apply_log(spark, SF_DIR), "simple")
     # one window shuffle on the primary key + the final group-by — the
     # union of log segments must not add per-segment exchanges
     assert plan.count("Exchange") <= 2
+
+
+# Pooled contract sweep (smoke-sweep discipline; see test_plans_r11).
+_POOLED_CHECKS = [_chk_delete_cascade_anti_joins_are_broadcast, _chk_mor_deletes_sidecar_broadcasts, _chk_referential_integrity_dims_broadcast, _chk_sketch_rollup_has_partial_aggregation, _chk_dim_standardize_stats_aggregate_map_side, _chk_pq_kernel_plan_has_single_window_exchange, _chk_random_projection_is_map_side_plus_tiny_agg, _chk_cdc_apply_single_key_shuffle]
+
+
+def test_round_7_contracts_pooled(spark):
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    failures = []
+
+    def run(fn):
+        try:
+            fn(spark)
+        except Exception:
+            failures.append((fn.__name__, traceback.format_exc()))
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        list(ex.map(run, _POOLED_CHECKS))
+    assert not failures, "\n\n".join(
+        f"{n}:\n{tb}" for n, tb in failures
+    )

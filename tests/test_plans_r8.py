@@ -8,7 +8,7 @@ from tests.conftest import SF_DIR
 from tests.test_plans import plan_of
 
 
-def test_ivf_kmeans_probe_is_broadcast_no_cartesian(spark):
+def _chk_ivf_kmeans_probe_is_broadcast_no_cartesian(spark):
     from pyspark_xgboost_spark.operators.similarity import sim_search_ivf_kmeans
 
     plan = plan_of(sim_search_ivf_kmeans(spark, SF_DIR))
@@ -19,7 +19,7 @@ def test_ivf_kmeans_probe_is_broadcast_no_cartesian(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_phash_band_join_never_carries_payload(spark):
+def _chk_phash_band_join_never_carries_payload(spark):
     from pyspark_xgboost_spark.operators.multimodal import (
         multimodal_phash_dedup,
     )
@@ -33,7 +33,7 @@ def test_phash_band_join_never_carries_payload(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_drift_gates_run_on_histogram_with_broadcasts(spark):
+def _chk_drift_gates_run_on_histogram_with_broadcasts(spark):
     from pyspark_xgboost_spark.operators.relational import (
         agg_chi2_independence,
         agg_ks_drift_by_source,
@@ -53,7 +53,7 @@ def test_drift_gates_run_on_histogram_with_broadcasts(spark):
         assert "BroadcastHashJoin" in plan, fn.__name__
 
 
-def test_seasonal_decompose_windows_are_grid_sized(spark):
+def _chk_seasonal_decompose_windows_are_grid_sized(spark):
     from pyspark_xgboost_spark.operators.temporal import (
         window_seasonal_decompose,
     )
@@ -66,7 +66,7 @@ def test_seasonal_decompose_windows_are_grid_sized(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_label_propagation_argmax_is_partial_aggregable(spark):
+def _chk_label_propagation_argmax_is_partial_aggregable(spark):
     from pyspark_xgboost_spark.operators.graph import (
         graph_label_propagation,
     )
@@ -76,3 +76,26 @@ def test_label_propagation_argmax_is_partial_aggregable(spark):
     # with a map-side partial phase, not a window sort
     assert "partial_min" in plan
     assert "Window" not in plan
+
+
+# Pooled contract sweep (smoke-sweep discipline; see test_plans_r11).
+_POOLED_CHECKS = [_chk_ivf_kmeans_probe_is_broadcast_no_cartesian, _chk_phash_band_join_never_carries_payload, _chk_drift_gates_run_on_histogram_with_broadcasts, _chk_seasonal_decompose_windows_are_grid_sized, _chk_label_propagation_argmax_is_partial_aggregable]
+
+
+def test_round_8_contracts_pooled(spark):
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    failures = []
+
+    def run(fn):
+        try:
+            fn(spark)
+        except Exception:
+            failures.append((fn.__name__, traceback.format_exc()))
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        list(ex.map(run, _POOLED_CHECKS))
+    assert not failures, "\n\n".join(
+        f"{n}:\n{tb}" for n, tb in failures
+    )

@@ -8,7 +8,7 @@ from tests.conftest import SF_DIR
 from tests.test_plans import plan_of
 
 
-def test_phash_recall_eval_panel_is_bounded_and_broadcast(spark):
+def _chk_phash_recall_eval_panel_is_bounded_and_broadcast(spark):
     from pyspark_xgboost_spark.operators.multimodal import (
         _PHASH_EVAL_PANEL,
         multimodal_phash_recall_eval,
@@ -23,7 +23,7 @@ def test_phash_recall_eval_panel_is_bounded_and_broadcast(spark):
     assert "Scan parquet" not in plan  # fixed-width hashes only
 
 
-def test_pq_recall_eval_truth_is_panel_broadcast(spark):
+def _chk_pq_recall_eval_truth_is_panel_broadcast(spark):
     from pyspark_xgboost_spark.operators.similarity import (
         _N_QUERIES,
         sim_search_pq_recall_eval,
@@ -42,7 +42,7 @@ def test_pq_recall_eval_truth_is_panel_broadcast(spark):
     assert "mapInPandas" in plan.lower() or "MapInPandas" in plan
 
 
-def test_decontaminate_13gram_joins_on_digest_shuffle(spark):
+def _chk_decontaminate_13gram_joins_on_digest_shuffle(spark):
     from pyspark_xgboost_spark.operators.corpus import (
         corpus_decontaminate_13gram,
     )
@@ -57,7 +57,7 @@ def test_decontaminate_13gram_joins_on_digest_shuffle(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_feistel_shuffle_is_map_only_and_injective(spark):
+def _chk_feistel_shuffle_is_map_only_and_injective(spark):
     from pyspark_xgboost_spark.operators.corpus import (
         corpus_shard_shuffle_feistel,
     )
@@ -72,7 +72,7 @@ def test_feistel_shuffle_is_map_only_and_injective(spark):
     assert all(0 <= k < 2**32 for k in keys)
 
 
-def test_weighted_reservoir_rank_filter_pushes_group_limit(spark):
+def _chk_weighted_reservoir_rank_filter_pushes_group_limit(spark):
     from pyspark_xgboost_spark.operators.sampling import (
         sample_weighted_reservoir,
     )
@@ -84,7 +84,7 @@ def test_weighted_reservoir_rank_filter_pushes_group_limit(spark):
     assert "WindowGroupLimit" in plan
 
 
-def test_semdedup_recall_eval_never_collects_corpus(spark):
+def _chk_semdedup_recall_eval_never_collects_corpus(spark):
     import inspect
 
     from pyspark_xgboost_spark.operators import similarity
@@ -98,7 +98,7 @@ def test_semdedup_recall_eval_never_collects_corpus(spark):
     assert "_SEM_EVAL_PANEL" in helper and ".collect()" in helper
 
 
-def test_kmv_sketch_build_pushes_group_limit(spark):
+def _chk_kmv_sketch_build_pushes_group_limit(spark):
     from pyspark_xgboost_spark.operators.sketches import sketch_kmv_set_ops
 
     plan = plan_of(sketch_kmv_set_ops(spark, SF_DIR))
@@ -108,7 +108,7 @@ def test_kmv_sketch_build_pushes_group_limit(spark):
     assert "WindowGroupLimit" in plan
 
 
-def test_psi_grid_is_histogram_sized(spark):
+def _chk_psi_grid_is_histogram_sized(spark):
     from pyspark_xgboost_spark.operators.relational import (
         agg_psi_drift_by_source,
     )
@@ -121,7 +121,7 @@ def test_psi_grid_is_histogram_sized(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_audio_vad_kernel_runs_once_per_branch(spark):
+def _chk_audio_vad_kernel_runs_once_per_branch(spark):
     from pyspark_xgboost_spark.operators.multimodal import (
         multimodal_audio_energy_vad,
     )
@@ -133,7 +133,7 @@ def test_audio_vad_kernel_runs_once_per_branch(spark):
     assert plan.count("MapInPandas") <= 1
 
 
-def test_waterfill_windows_run_on_source_relation(spark):
+def _chk_waterfill_windows_run_on_source_relation(spark):
     from pyspark_xgboost_spark.operators.sampling import (
         sample_token_budget_waterfill,
     )
@@ -148,7 +148,7 @@ def test_waterfill_windows_run_on_source_relation(spark):
     assert any(r.fully_funded == 0 for r in rows)
 
 
-def test_quantile_normalize_has_no_global_row_sort(spark):
+def _chk_quantile_normalize_has_no_global_row_sort(spark):
     from pyspark_xgboost_spark.operators.corpus import (
         corpus_quantile_normalize_lengths,
     )
@@ -160,7 +160,7 @@ def test_quantile_normalize_has_no_global_row_sort(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_mahalanobis_moments_broadcast(spark):
+def _chk_mahalanobis_moments_broadcast(spark):
     from pyspark_xgboost_spark.operators.similarity import (
         embedding_outlier_mahalanobis,
     )
@@ -172,14 +172,14 @@ def test_mahalanobis_moments_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_rake_rank_filter_pushes_group_limit(spark):
+def _chk_rake_rank_filter_pushes_group_limit(spark):
     from pyspark_xgboost_spark.operators.text import text_rake_keywords
 
     plan = plan_of(text_rake_keywords(spark, SF_DIR))
     assert "WindowGroupLimit" in plan
 
 
-def test_kanon_rollup_has_partial_phase(spark):
+def _chk_kanon_rollup_has_partial_phase(spark):
     from pyspark_xgboost_spark.operators.relational import audit_k_anonymity
 
     plan = plan_of(audit_k_anonymity(spark, SF_DIR))
@@ -189,3 +189,29 @@ def test_kanon_rollup_has_partial_phase(spark):
     # exactly one exchange node in the plan tree (it also appears once
     # more in the formatted details section)
     assert plan.count("+- Exchange") == 1
+
+
+# One pooled pytest case fans the contract checks above over a thread
+# pool sharing the session (the smoke-sweep discipline: sequential
+# Spark tests pay per-job latency the scheduler can absorb in
+# parallel; staged fixtures serialize on build_lock).
+_POOLED_CHECKS = [_chk_phash_recall_eval_panel_is_bounded_and_broadcast, _chk_pq_recall_eval_truth_is_panel_broadcast, _chk_decontaminate_13gram_joins_on_digest_shuffle, _chk_feistel_shuffle_is_map_only_and_injective, _chk_weighted_reservoir_rank_filter_pushes_group_limit, _chk_semdedup_recall_eval_never_collects_corpus, _chk_kmv_sketch_build_pushes_group_limit, _chk_psi_grid_is_histogram_sized, _chk_audio_vad_kernel_runs_once_per_branch, _chk_waterfill_windows_run_on_source_relation, _chk_quantile_normalize_has_no_global_row_sort, _chk_mahalanobis_moments_broadcast, _chk_rake_rank_filter_pushes_group_limit, _chk_kanon_rollup_has_partial_phase]
+
+
+def test_round_9_contracts_pooled(spark):
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    failures = []
+
+    def run(fn):
+        try:
+            fn(spark)
+        except Exception:
+            failures.append((fn.__name__, traceback.format_exc()))
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        list(ex.map(run, _POOLED_CHECKS))
+    assert not failures, "\n\n".join(
+        f"{n}:\n{tb}" for n, tb in failures
+    )

@@ -11,7 +11,7 @@ from tests.conftest import SF_DIR
 from tests.test_plans import plan_of
 
 
-def test_welch_ttest_collapses_before_the_math(spark):
+def _chk_welch_ttest_collapses_before_the_math(spark):
     from pyspark_xgboost_spark.operators.sampling import agg_welch_ttest
 
     plan = plan_of(agg_welch_ttest(spark, SF_DIR))
@@ -23,7 +23,7 @@ def test_welch_ttest_collapses_before_the_math(spark):
     assert "BroadcastNestedLoopJoin" in plan
 
 
-def test_l_diversity_is_two_stacked_aggregates(spark):
+def _chk_l_diversity_is_two_stacked_aggregates(spark):
     from pyspark_xgboost_spark.operators.relational import audit_l_diversity
 
     plan = plan_of(audit_l_diversity(spark, SF_DIR))
@@ -33,7 +33,7 @@ def test_l_diversity_is_two_stacked_aggregates(spark):
     assert plan.count("Exchange") <= 4  # cell agg + window + class agg
 
 
-def test_ams_f2_explodes_types_not_corpus(spark):
+def _chk_ams_f2_explodes_types_not_corpus(spark):
     from pyspark_xgboost_spark.operators.sketches import sketch_ams_f2
 
     plan = plan_of(sketch_ams_f2(spark, SF_DIR))
@@ -47,7 +47,7 @@ def test_ams_f2_explodes_types_not_corpus(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_oov_vocab_is_broadcast(spark):
+def _chk_oov_vocab_is_broadcast(spark):
     from pyspark_xgboost_spark.operators.corpus import corpus_oov_rate
 
     plan = plan_of(corpus_oov_rate(spark, SF_DIR))
@@ -58,7 +58,7 @@ def test_oov_vocab_is_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_entity_resolution_joins_on_the_blocking_key(spark):
+def _chk_entity_resolution_joins_on_the_blocking_key(spark):
     from pyspark_xgboost_spark.operators.dedup import (
         dedup_blocked_entity_resolution,
     )
@@ -71,7 +71,7 @@ def test_entity_resolution_joins_on_the_blocking_key(spark):
     assert "tok1" in plan
 
 
-def test_format_sniff_is_map_only_plus_one_aggregate(spark):
+def _chk_format_sniff_is_map_only_plus_one_aggregate(spark):
     from pyspark_xgboost_spark.operators.multimodal import (
         multimodal_format_sniff,
     )
@@ -83,7 +83,7 @@ def test_format_sniff_is_map_only_plus_one_aggregate(spark):
     assert "HashAggregate" in plan
 
 
-def test_bollinger_windows_the_grid_not_the_corpus(spark):
+def _chk_bollinger_windows_the_grid_not_the_corpus(spark):
     from pyspark_xgboost_spark.operators.temporal import (
         window_bollinger_bands,
     )
@@ -99,7 +99,7 @@ def test_bollinger_windows_the_grid_not_the_corpus(spark):
     assert "Join" not in plan
 
 
-def test_kfold_verdict_never_sums_doubles(spark):
+def _chk_kfold_verdict_never_sums_doubles(spark):
     from pyspark_xgboost_spark.operators.sampling import (
         sample_kfold_assignment,
     )
@@ -112,7 +112,7 @@ def test_kfold_verdict_never_sums_doubles(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_leakage_split_audit_rides_capped_pairs(spark):
+def _chk_leakage_split_audit_rides_capped_pairs(spark):
     from pyspark_xgboost_spark.operators.dedup import (
         split_leakage_safe_groups,
     )
@@ -124,7 +124,7 @@ def test_leakage_split_audit_rides_capped_pairs(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_textrank_iterates_the_type_graph(spark):
+def _chk_textrank_iterates_the_type_graph(spark):
     from pyspark_xgboost_spark.operators.text import text_textrank_keywords
 
     plan = plan_of(text_textrank_keywords(spark, SF_DIR))
@@ -135,7 +135,7 @@ def test_textrank_iterates_the_type_graph(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_curation_funnel_single_scan_single_aggregate(spark):
+def _chk_curation_funnel_single_scan_single_aggregate(spark):
     from pyspark_xgboost_spark.operators.pipeline import (
         pipeline_curation_funnel,
     )
@@ -148,7 +148,7 @@ def test_curation_funnel_single_scan_single_aggregate(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_sssp_edges_checkpoint_feeds_all_rounds(spark):
+def _chk_sssp_edges_checkpoint_feeds_all_rounds(spark):
     from pyspark_xgboost_spark.operators.graph import graph_sssp_bounded
 
     plan = plan_of(graph_sssp_bounded(spark, SF_DIR))
@@ -159,7 +159,7 @@ def test_sssp_edges_checkpoint_feeds_all_rounds(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_bm25_is_an_inverted_index_probe(spark):
+def _chk_bm25_is_an_inverted_index_probe(spark):
     from pyspark_xgboost_spark.operators.text import text_bm25_topk
 
     plan = plan_of(text_bm25_topk(spark, SF_DIR))
@@ -170,7 +170,7 @@ def test_bm25_is_an_inverted_index_probe(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_rrf_fuses_ranks_on_an_equijoin(spark):
+def _chk_rrf_fuses_ranks_on_an_equijoin(spark):
     from pyspark_xgboost_spark.operators.similarity import (
         sim_search_rrf_fusion,
     )
@@ -182,7 +182,7 @@ def test_rrf_fuses_ranks_on_an_equijoin(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_quantile_sample_is_a_heap_not_a_sort(spark):
+def _chk_quantile_sample_is_a_heap_not_a_sort(spark):
     from pyspark_xgboost_spark.operators.sketches import (
         sketch_quantile_bottomk,
     )
@@ -197,7 +197,7 @@ def test_quantile_sample_is_a_heap_not_a_sort(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_cohort_ltv_windows_the_grid(spark):
+def _chk_cohort_ltv_windows_the_grid(spark):
     from pyspark_xgboost_spark.operators.temporal import events_cohort_ltv
 
     plan = plan_of(events_cohort_ltv(spark, SF_DIR))
@@ -208,7 +208,7 @@ def test_cohort_ltv_windows_the_grid(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_sprt_cumsum_rides_the_daily_grid(spark):
+def _chk_sprt_cumsum_rides_the_daily_grid(spark):
     from pyspark_xgboost_spark.operators.sampling import (
         events_sprt_sequential_test,
     )
@@ -222,7 +222,7 @@ def test_sprt_cumsum_rides_the_daily_grid(spark):
     assert "Join" not in plan
 
 
-def test_mmr_rounds_are_pool_bounded(spark):
+def _chk_mmr_rounds_are_pool_bounded(spark):
     from pyspark_xgboost_spark.operators.similarity import (
         sim_search_mmr_rerank,
     )
@@ -238,7 +238,7 @@ def test_mmr_rounds_are_pool_bounded(spark):
         assert r["mmr_decimicro"] == 7 * r["rel_micro"] - 3 * r["maxsim_micro"]
 
 
-def test_dp_noise_is_a_projection_on_the_aggregate(spark):
+def _chk_dp_noise_is_a_projection_on_the_aggregate(spark):
     from pyspark_xgboost_spark.operators.relational import (
         audit_dp_noisy_counts,
     )
@@ -252,7 +252,7 @@ def test_dp_noise_is_a_projection_on_the_aggregate(spark):
     assert a == b
 
 
-def test_footer_stats_never_scan_row_data(spark):
+def _chk_footer_stats_never_scan_row_data(spark):
     from pyspark_xgboost_spark.sources.formats import (
         scan_parquet_footer_stats,
     )
@@ -273,7 +273,7 @@ def test_footer_stats_never_scan_row_data(spark):
     assert all(v == n for v in per_col.values()), per_col
 
 
-def test_mann_kendall_pairs_the_grid_only(spark):
+def _chk_mann_kendall_pairs_the_grid_only(spark):
     from pyspark_xgboost_spark.operators.temporal import (
         agg_mann_kendall_trend,
     )
@@ -286,3 +286,29 @@ def test_mann_kendall_pairs_the_grid_only(spark):
     row = agg_mann_kendall_trend(spark, SF_DIR).collect()[0]
     assert row["n_days"] >= 5
     assert abs(row["s_stat"]) <= row["n_days"] * (row["n_days"] - 1) // 2
+
+
+# One pooled pytest case fans the contract checks above over a thread
+# pool sharing the session (the smoke-sweep discipline: sequential
+# Spark tests pay per-job latency the scheduler can absorb in
+# parallel; staged fixtures serialize on build_lock).
+_POOLED_CHECKS = [_chk_welch_ttest_collapses_before_the_math, _chk_l_diversity_is_two_stacked_aggregates, _chk_ams_f2_explodes_types_not_corpus, _chk_oov_vocab_is_broadcast, _chk_entity_resolution_joins_on_the_blocking_key, _chk_format_sniff_is_map_only_plus_one_aggregate, _chk_bollinger_windows_the_grid_not_the_corpus, _chk_kfold_verdict_never_sums_doubles, _chk_leakage_split_audit_rides_capped_pairs, _chk_textrank_iterates_the_type_graph, _chk_curation_funnel_single_scan_single_aggregate, _chk_sssp_edges_checkpoint_feeds_all_rounds, _chk_bm25_is_an_inverted_index_probe, _chk_rrf_fuses_ranks_on_an_equijoin, _chk_quantile_sample_is_a_heap_not_a_sort, _chk_cohort_ltv_windows_the_grid, _chk_sprt_cumsum_rides_the_daily_grid, _chk_mmr_rounds_are_pool_bounded, _chk_dp_noise_is_a_projection_on_the_aggregate, _chk_footer_stats_never_scan_row_data, _chk_mann_kendall_pairs_the_grid_only]
+
+
+def test_round_9b_contracts_pooled(spark):
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    failures = []
+
+    def run(fn):
+        try:
+            fn(spark)
+        except Exception:
+            failures.append((fn.__name__, traceback.format_exc()))
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        list(ex.map(run, _POOLED_CHECKS))
+    assert not failures, "\n\n".join(
+        f"{n}:\n{tb}" for n, tb in failures
+    )

@@ -165,7 +165,7 @@ def test_query_runs_all(request, spark):
     assert not failures, failures
 
 
-def test_agg_group_semantics(spark):
+def _chk_agg_group_semantics(spark):
     from pyspark_xgboost_spark.operators.relational import agg_group
 
     rows = {(r.l_returnflag, r.l_linestatus): r for r in agg_group(spark, SF_DIR).collect()}
@@ -176,7 +176,7 @@ def test_agg_group_semantics(spark):
         assert abs(r.avg_qty - r.sum_qty / r.count_order) < 1e-9
 
 
-def test_window_rank_topk(spark):
+def _chk_window_rank_topk(spark):
     from pyspark_xgboost_spark.operators.relational import window_rank
 
     df = window_rank(spark, SF_DIR).collect()
@@ -189,7 +189,7 @@ def test_window_rank_topk(spark):
         assert prices == sorted(prices, reverse=True)
 
 
-def test_session_window_counts(spark):
+def _chk_session_window_counts(spark):
     from pyspark_xgboost_spark.streaming.windows import events_session_window
     from pyspark_xgboost_spark.sources import load_table
 
@@ -198,7 +198,7 @@ def test_session_window_counts(spark):
     assert sum(r.n_events for r in sessions) == total_events
 
 
-def test_semi_plus_anti_covers_all(spark):
+def _chk_semi_plus_anti_covers_all(spark):
     from pyspark_xgboost_spark.operators.relational import join_semi_anti
     from pyspark_xgboost_spark.sources import load_table
 
@@ -207,7 +207,7 @@ def test_semi_plus_anti_covers_all(spark):
     assert rows["with_orders"] + rows["without_orders"] == n_cust
 
 
-def test_conf_bool_parsing(spark):
+def _chk_conf_bool_parsing(spark):
     from pyspark_xgboost_spark.utils import get_conf_boolean
 
     spark.conf.set("my.test.flag", "true")
@@ -222,7 +222,7 @@ def test_conf_bool_parsing(spark):
         get_conf_boolean(spark, "my.test.flag", False)
 
 
-def test_multimodal_resize_golden(spark):
+def _chk_multimodal_resize_golden(spark):
     import hashlib
 
     from pyspark_xgboost_spark.operators.multimodal import (
@@ -244,7 +244,7 @@ def test_multimodal_resize_golden(spark):
         assert row.digest == hashlib.md5(row.resized_hex.encode()).hexdigest()
 
 
-def test_variant_extract_matches_json_path(spark):
+def _chk_variant_extract_matches_json_path(spark):
     """VARIANT extraction must agree with string-path JSON extraction
     row-for-row (same parse, different representation)."""
     from pyspark.sql import functions as F
@@ -270,7 +270,7 @@ def test_variant_extract_matches_json_path(spark):
     assert got == want
 
 
-def test_hll_sketch_accuracy_and_merge(spark):
+def _chk_hll_sketch_accuracy_and_merge(spark):
     """Sketch estimates stay within 5% of exact distinct counts, and
     the ALL row (union of per-type sketches) respects cardinality
     bounds: >= max per-type estimate, <= sum of them, ~= exact
@@ -296,7 +296,7 @@ def test_hll_sketch_accuracy_and_merge(spark):
     assert max(per_type) <= rows["ALL"] <= sum(per_type)
 
 
-def test_cumulative_distinct_matches_python_recompute(spark):
+def _chk_cumulative_distinct_matches_python_recompute(spark):
     from pyspark_xgboost_spark.operators.temporal import (
         window_cumulative_distinct,
     )
@@ -324,7 +324,7 @@ def test_cumulative_distinct_matches_python_recompute(spark):
     assert {r["event_id"]: r["n_types_so_far"] for r in got} == expect
 
 
-def test_array_ops_match_python_recompute(spark):
+def _chk_array_ops_match_python_recompute(spark):
     from pyspark_xgboost_spark.operators.relational import scalar_array_ops
     from pyspark_xgboost_spark.sources import load_table
     from tests.conftest import SF_DIR
@@ -345,7 +345,7 @@ def test_array_ops_match_python_recompute(spark):
         )
 
 
-def test_null_safe_join_keeps_nulled_key(spark):
+def _chk_null_safe_join_keeps_nulled_key(spark):
     from pyspark_xgboost_spark.operators.relational import join_null_safe
     from pyspark_xgboost_spark.sources import load_table
     from tests.conftest import SF_DIR
@@ -365,7 +365,7 @@ def test_null_safe_join_keeps_nulled_key(spark):
     assert got == counts and "P" in got
 
 
-def test_except_intersect_all_multiplicity_arithmetic(spark):
+def _chk_except_intersect_all_multiplicity_arithmetic(spark):
     import collections
 
     from pyspark_xgboost_spark.operators.relational import (
@@ -393,7 +393,7 @@ def test_except_intersect_all_multiplicity_arithmetic(spark):
     assert {(r["op"], r["p"]): r["n"] for r in rows} == expect
 
 
-def test_streaks_islands_match_python_recompute(spark):
+def _chk_streaks_islands_match_python_recompute(spark):
     import collections
     import datetime
 
@@ -456,7 +456,7 @@ def test_grade_first_names_all_registered():
     assert not cede_overlap  # rows-only queries never hold window slots
 
 
-def test_asof_tolerance_nulls_stale_matches(spark):
+def _chk_asof_tolerance_nulls_stale_matches(spark):
     """TTL semantics: identical to plain as-of where fresh, NULL where
     the nearest purchase is older than the bound — never 'skip to an
     older one'."""
@@ -482,7 +482,7 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     assert n_nulled > 0  # the bound really bites on this data
 
 
-def test_rolling_median_matches_python_frames(spark):
+def _chk_rolling_median_matches_python_frames(spark):
     import collections
 
     from pyspark.sql import functions as F
@@ -514,7 +514,7 @@ def test_rolling_median_matches_python_frames(spark):
             assert g["rolling_median_cents"] == frame[(len(frame) + 1) // 2 - 1]
 
 
-def test_recursive_date_spine_tiles_the_range(spark):
+def _chk_recursive_date_spine_tiles_the_range(spark):
     from pyspark.sql import functions as F
 
     from pyspark_xgboost_spark.operators.relational import (
@@ -548,7 +548,7 @@ def test_recursive_date_spine_tiles_the_range(spark):
     assert sum(r["revenue_cents"] for r in rows) == cents
 
 
-def test_asof_forward_matches_python_next_lookup(spark):
+def _chk_asof_forward_matches_python_next_lookup(spark):
     import bisect
     import collections
 
@@ -586,7 +586,7 @@ def test_asof_forward_matches_python_next_lookup(spark):
     assert n_matched > 0
 
 
-def test_corr_regression_matches_python_and_builtin_approx(spark):
+def _chk_corr_regression_matches_python_and_builtin_approx(spark):
     import math
 
     from pyspark.sql import functions as F
@@ -642,3 +642,26 @@ def test_query_catalog_is_current():
 
     with open("/root/repo/QUERIES.md") as fh:
         assert fh.read() == gen_catalog.render()
+
+
+# Pooled contract sweep (smoke-sweep discipline; see test_plans_r11).
+_POOLED_CHECKS_RELATIONAL = [_chk_agg_group_semantics, _chk_window_rank_topk, _chk_session_window_counts, _chk_semi_plus_anti_covers_all, _chk_conf_bool_parsing, _chk_multimodal_resize_golden, _chk_variant_extract_matches_json_path, _chk_hll_sketch_accuracy_and_merge, _chk_cumulative_distinct_matches_python_recompute, _chk_array_ops_match_python_recompute, _chk_null_safe_join_keeps_nulled_key, _chk_except_intersect_all_multiplicity_arithmetic, _chk_streaks_islands_match_python_recompute, _chk_asof_tolerance_nulls_stale_matches, _chk_rolling_median_matches_python_frames, _chk_recursive_date_spine_tiles_the_range, _chk_asof_forward_matches_python_next_lookup, _chk_corr_regression_matches_python_and_builtin_approx]
+
+
+def test_relational_contracts_pooled(spark):
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    failures = []
+
+    def run(fn):
+        try:
+            fn(spark)
+        except Exception:
+            failures.append((fn.__name__, traceback.format_exc()))
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        list(ex.map(run, _POOLED_CHECKS_RELATIONAL))
+    assert not failures, "\n\n".join(
+        f"{n}:\n{tb}" for n, tb in failures
+    )

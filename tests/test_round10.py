@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from tests.conftest import SF_DIR
 
 
-def test_wap_bad_candidate_never_published(spark):
+def _chk_wap_bad_candidate_never_published(spark):
     """The defective candidate must exist in staging (it was written),
     FAIL its audit, and be absent from the published directory — the
     whole point of write-audit-publish."""
@@ -34,7 +34,7 @@ def test_wap_bad_candidate_never_published(spark):
     assert os.path.exists(os.path.join(root, "published", "good"))
 
 
-def test_prune_stage_restages_on_fingerprint_change(spark):
+def _chk_prune_stage_restages_on_fingerprint_change(spark):
     """The pruning file re-stages when its fingerprint marker disagrees
     with the source — replacing the dataset cannot serve stale layout."""
     from pyspark_xgboost_spark.sources.formats import (
@@ -54,7 +54,7 @@ def test_prune_stage_restages_on_fingerprint_change(spark):
         assert fh.read() != "stale"
 
 
-def test_rbo_terms_match_reference_arithmetic(spark):
+def _chk_rbo_terms_match_reference_arithmetic(spark):
     """RBO's unrolled integer weights must equal the closed form
     (1e6 * p^(d-1) * X_d) // (10^d * d) computed independently, and
     the running rbo_min must be their prefix sums."""
@@ -75,7 +75,7 @@ def test_rbo_terms_match_reference_arithmetic(spark):
     assert 0 <= acc <= 1000000
 
 
-def test_interval_coalesce_merges_chained_overlaps(spark):
+def _chk_interval_coalesce_merges_chained_overlaps(spark):
     """A-B-C chains where A and C do not touch must merge into ONE
     island (running-max semantics, not pairwise overlap)."""
     import pandas as pd
@@ -113,7 +113,7 @@ def test_interval_coalesce_merges_chained_overlaps(spark):
     assert r["coverage_minutes"] == 75 + 30
 
 
-def test_bfd_beats_first_fit_and_respects_budget(spark):
+def _chk_bfd_beats_first_fit_and_respects_budget(spark):
     """Every bin fill must be within budget, and BFD's total pad waste
     must not exceed arrival-order first-fit's (the packer's reason to
     exist)."""
@@ -131,7 +131,7 @@ def test_bfd_beats_first_fit_and_respects_budget(spark):
     assert totals["bfd"]["n_docs"] == totals["ff"]["n_docs"]
 
 
-def test_scd2_history_consistent(spark):
+def _chk_scd2_history_consistent(spark):
     """Version chains must tile: per key, versions ordered by
     valid_from have valid_to == next valid_from, exactly one open
     version, and adjacent versions differ in attr."""
@@ -148,3 +148,26 @@ def test_scd2_history_consistent(spark):
         for a, b in zip(vs, vs[1:]):
             assert a["valid_to"] == b["valid_from"]
             assert a["attr"] != b["attr"]
+
+
+# Pooled contract sweep (smoke-sweep discipline; see test_plans_r11).
+_POOLED_CHECKS = [_chk_wap_bad_candidate_never_published, _chk_prune_stage_restages_on_fingerprint_change, _chk_rbo_terms_match_reference_arithmetic, _chk_interval_coalesce_merges_chained_overlaps, _chk_bfd_beats_first_fit_and_respects_budget, _chk_scd2_history_consistent]
+
+
+def test_round_10q_contracts_pooled(spark):
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    failures = []
+
+    def run(fn):
+        try:
+            fn(spark)
+        except Exception:
+            failures.append((fn.__name__, traceback.format_exc()))
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        list(ex.map(run, _POOLED_CHECKS))
+    assert not failures, "\n\n".join(
+        f"{n}:\n{tb}" for n, tb in failures
+    )

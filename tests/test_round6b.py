@@ -14,7 +14,7 @@ import pyspark.sql.functions as F
 from tests.conftest import SF_DIR
 
 
-def test_cusum_matches_sequential_fold(spark):
+def _chk_cusum_matches_sequential_fold(spark):
     """The windowed cumsum-minus-running-min form must equal the
     literal sequential recurrence S_t = max(0, S_{t-1} + d_t) applied
     per user in plain Python."""
@@ -42,7 +42,7 @@ def test_cusum_matches_sequential_fold(spark):
             assert got[r.event_id] == s, (r.event_id, got[r.event_id], s)
 
 
-def test_markov_rows_normalize(spark):
+def _chk_markov_rows_normalize(spark):
     from pyspark_xgboost_spark.operators.temporal import (
         events_markov_transitions,
     )
@@ -59,7 +59,7 @@ def test_markov_rows_normalize(spark):
         assert all(0 <= r.prob_micro <= 1_000_000 for r in rs)
 
 
-def test_rfm_quintiles_are_balanced(spark):
+def _chk_rfm_quintiles_are_balanced(spark):
     """ntile guarantees bucket sizes differ by at most one."""
     from pyspark_xgboost_spark.operators.temporal import events_rfm_segmentation
 
@@ -74,7 +74,7 @@ def test_rfm_quintiles_are_balanced(spark):
         assert max(sizes.values()) - min(sizes.values()) <= 1, (attr, sizes)
 
 
-def test_span_corruption_masks_reproduce_in_python(spark):
+def _chk_span_corruption_masks_reproduce_in_python(spark):
     """An independent Python implementation of the md5 span derivation
     must produce identical masked-position fingerprints."""
     from pyspark_xgboost_spark.operators.corpus import corpus_span_corruption
@@ -104,7 +104,7 @@ def test_span_corruption_masks_reproduce_in_python(spark):
     assert checked > 0
 
 
-def test_negative_pairs_contract(spark):
+def _chk_negative_pairs_contract(spark):
     from pyspark_xgboost_spark.operators.sampling import sample_negative_pairs
     from pyspark_xgboost_spark.sources import load_table
 
@@ -118,7 +118,7 @@ def test_negative_pairs_contract(spark):
     assert all(js == {0, 1} for js in per_anchor.values())
 
 
-def test_balanced_downsample_equalizes_classes(spark):
+def _chk_balanced_downsample_equalizes_classes(spark):
     from pyspark_xgboost_spark.operators.sampling import (
         sample_balanced_downsample,
     )
@@ -134,7 +134,7 @@ def test_balanced_downsample_equalizes_classes(spark):
     assert all(r.n_sampled == cap for r in rows)
 
 
-def test_feature_hashing_bucket_bounds(spark):
+def _chk_feature_hashing_bucket_bounds(spark):
     from pyspark_xgboost_spark.operators.sketches import agg_feature_hashing
 
     r = agg_feature_hashing(spark, SF_DIR).collect()[0]
@@ -142,3 +142,26 @@ def test_feature_hashing_bucket_bounds(spark):
     assert r.n_crosses >= r.n_buckets_used
     assert r.n_colliding_buckets >= 0
     assert r.max_bucket_crosses >= 1
+
+
+# Pooled contract sweep (smoke-sweep discipline; see test_plans_r11).
+_POOLED_CHECKS = [_chk_cusum_matches_sequential_fold, _chk_markov_rows_normalize, _chk_rfm_quintiles_are_balanced, _chk_span_corruption_masks_reproduce_in_python, _chk_negative_pairs_contract, _chk_balanced_downsample_equalizes_classes, _chk_feature_hashing_bucket_bounds]
+
+
+def test_round_6b_contracts_pooled(spark):
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    failures = []
+
+    def run(fn):
+        try:
+            fn(spark)
+        except Exception:
+            failures.append((fn.__name__, traceback.format_exc()))
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        list(ex.map(run, _POOLED_CHECKS))
+    assert not failures, "\n\n".join(
+        f"{n}:\n{tb}" for n, tb in failures
+    )

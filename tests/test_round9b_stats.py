@@ -28,7 +28,7 @@ def _per_user_cents() -> pd.DataFrame:
     return g
 
 
-def test_welch_ttest_matches_pure_python(spark):
+def _chk_welch_ttest_matches_pure_python(spark):
     from pyspark_xgboost_spark.operators.sampling import agg_welch_ttest
 
     row = agg_welch_ttest(spark, SF_DIR).collect()[0]
@@ -46,7 +46,7 @@ def test_welch_ttest_matches_pure_python(spark):
     assert row["significant_95"] == (1 if abs(tstat) > 1.96 else 0)
 
 
-def test_ratio_delta_method_matches_pure_python(spark):
+def _chk_ratio_delta_method_matches_pure_python(spark):
     from pyspark_xgboost_spark.operators.sampling import (
         agg_ratio_delta_method,
     )
@@ -64,3 +64,26 @@ def test_ratio_delta_method_matches_pure_python(spark):
         assert row["n_users"] == n and row["sum_cents"] == sx
         assert abs(row["ratio_micro"] - math.floor(r * 1e6)) <= 1
         assert abs(row["se_micro"] - math.floor(se * 1e6)) <= 1
+
+
+# Pooled contract sweep (smoke-sweep discipline; see test_plans_r11).
+_POOLED_CHECKS = [_chk_welch_ttest_matches_pure_python, _chk_ratio_delta_method_matches_pure_python]
+
+
+def test_round_9bs_contracts_pooled(spark):
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    failures = []
+
+    def run(fn):
+        try:
+            fn(spark)
+        except Exception:
+            failures.append((fn.__name__, traceback.format_exc()))
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        list(ex.map(run, _POOLED_CHECKS))
+    assert not failures, "\n\n".join(
+        f"{n}:\n{tb}" for n, tb in failures
+    )

@@ -4,7 +4,7 @@ from pyspark_xgboost_spark.operators import sampling
 from tests.conftest import SF_DIR
 
 
-def test_split_is_deterministic_and_complete(spark):
+def _chk_split_is_deterministic_and_complete(spark):
     a = {r["doc_id"]: r["split"] for r in sampling.split_hash_train_test(spark, SF_DIR).collect()}
     b = {r["doc_id"]: r["split"] for r in sampling.split_hash_train_test(spark, SF_DIR).collect()}
     assert a == b
@@ -15,7 +15,7 @@ def test_split_is_deterministic_and_complete(spark):
     assert 0.6 < train_frac < 0.95
 
 
-def test_sample_subset_and_plan_has_no_shuffle(spark):
+def _chk_sample_subset_and_plan_has_no_shuffle(spark):
     full = sampling.sample_hash_bucket(spark, SF_DIR)
     ids = [r["doc_id"] for r in full.collect()]
     assert ids == sorted(set(ids), key=ids.index)  # no dup rows
@@ -23,7 +23,7 @@ def test_sample_subset_and_plan_has_no_shuffle(spark):
     assert "Exchange" not in plan  # pure scan+filter+project
 
 
-def test_mixture_keeps_all_english(spark):
+def _chk_mixture_keeps_all_english(spark):
     kept = {r["lang"]: r["n_kept"] for r in sampling.mix_sources_weighted(spark, SF_DIR).collect()}
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     en_total = docs.filter("lang = 'en'").count()
@@ -33,7 +33,7 @@ def test_mixture_keeps_all_english(spark):
             assert n <= docs.filter(f"lang = '{lang}'").count()
 
 
-def test_length_buckets_are_contiguous(spark):
+def _chk_length_buckets_are_contiguous(spark):
     rows = sorted(
         sampling.length_bucket_equal_freq(spark, SF_DIR).collect(),
         key=lambda r: r["bucket"],
@@ -46,7 +46,7 @@ def test_length_buckets_are_contiguous(spark):
     assert total == spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
 
 
-def test_sample_topk_hash_is_takeordered_and_stable(spark):
+def _chk_sample_topk_hash_is_takeordered_and_stable(spark):
     from pyspark_xgboost_spark.operators.sampling import sample_topk_hash
 
     df = sample_topk_hash(spark, SF_DIR)
@@ -63,7 +63,7 @@ def test_sample_topk_hash_is_takeordered_and_stable(spark):
     assert a == b  # same sample under any layout
 
 
-def test_shard_shuffle_contiguous_positions(spark):
+def _chk_shard_shuffle_contiguous_positions(spark):
     from pyspark_xgboost_spark.operators.sampling import (
         _N_SHARDS,
         shard_shuffle_deterministic,
@@ -81,7 +81,7 @@ def test_shard_shuffle_contiguous_positions(spark):
         assert poss == list(range(1, len(poss) + 1)), shard  # dense ranks
 
 
-def test_weighted_priority_sample_matches_hand_formula(spark):
+def _chk_weighted_priority_sample_matches_hand_formula(spark):
     rows = sampling.sample_weighted_priority(spark, SF_DIR).collect()
     assert len(rows) == sampling._PRI_K  # sf0.001 has 500 docs > k
     import hashlib
@@ -109,7 +109,7 @@ def test_weighted_priority_sample_matches_hand_formula(spark):
         assert r["est_weight"] == max(float(r["n_chars"]), tau)
 
 
-def test_weighted_priority_topk_plan_uses_takeordered(spark):
+def _chk_weighted_priority_topk_plan_uses_takeordered(spark):
     plan = (
         sampling.sample_weighted_priority(spark, SF_DIR)
         ._jdf.queryExecution()
@@ -119,7 +119,7 @@ def test_weighted_priority_topk_plan_uses_takeordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_mixture_epochs_budget_and_formula(spark):
+def _chk_mixture_epochs_budget_and_formula(spark):
     rows = sampling.corpus_mixture_epochs(spark, SF_DIR).collect()
     assert rows and len(rows) == len({r["source"] for r in rows})
     total = sum(r["available_chars"] for r in rows)
@@ -133,3 +133,26 @@ def test_mixture_epochs_budget_and_formula(spark):
         assert r["epochs_milli"] == (a + b - 1) // b
     # floor division loses at most one char per source vs the budget
     assert 0 <= budget - sum(r["target_chars"] for r in rows) < 10000
+
+
+# Pooled contract sweep (smoke-sweep discipline; see test_plans_r11).
+_POOLED_CHECKS_SAMPLING = [_chk_split_is_deterministic_and_complete, _chk_sample_subset_and_plan_has_no_shuffle, _chk_mixture_keeps_all_english, _chk_length_buckets_are_contiguous, _chk_sample_topk_hash_is_takeordered_and_stable, _chk_shard_shuffle_contiguous_positions, _chk_weighted_priority_sample_matches_hand_formula, _chk_weighted_priority_topk_plan_uses_takeordered, _chk_mixture_epochs_budget_and_formula]
+
+
+def test_sampling_contracts_pooled(spark):
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    failures = []
+
+    def run(fn):
+        try:
+            fn(spark)
+        except Exception:
+            failures.append((fn.__name__, traceback.format_exc()))
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        list(ex.map(run, _POOLED_CHECKS_SAMPLING))
+    assert not failures, "\n\n".join(
+        f"{n}:\n{tb}" for n, tb in failures
+    )

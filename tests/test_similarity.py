@@ -18,7 +18,7 @@ def _topk_sets(rows):
     return out
 
 
-def test_pq_recall_vs_brute_force(spark):
+def _chk_pq_recall_vs_brute_force(spark):
     """PQ-ADC recall@3 must far exceed chance. With an untrained
     16-entry codebook over near-random 64-d vectors the measured
     recall is ~0.25 (sf0.001 and sf0.01) versus ~0.006 for random
@@ -37,7 +37,7 @@ def test_pq_recall_vs_brute_force(spark):
     assert hits / total >= 0.15, f"recall@3 = {hits}/{total}"
 
 
-def test_pq_partition_invariant(spark):
+def _chk_pq_partition_invariant(spark):
     """Integer nano-unit ADC terms sum exactly under any partition
     count — the property that lets the oracle hash-compare at all."""
     from pyspark_xgboost_spark.operators.similarity import sim_search_pq
@@ -52,7 +52,7 @@ def test_pq_partition_invariant(spark):
     assert base and base == again
 
 
-def test_power_iteration_computes_gram_squared_direction(spark):
+def _chk_power_iteration_computes_gram_squared_direction(spark):
     """The two unrolled fixed-point steps must realize the linear map
     v2 ∝ G²·v0 (G = XᵀX, v0 = 1) up to quantization: cosine vs the
     float reference > 0.999. (Full eigenvector convergence is a
@@ -84,3 +84,26 @@ def test_power_iteration_computes_gram_squared_direction(spark):
     ref = gram @ (gram @ np.ones(64))
     cos = (v @ ref) / (np.linalg.norm(v) * np.linalg.norm(ref))
     assert cos > 0.999, cos  # positive: uniform start pins the sign
+
+
+# Pooled contract sweep (smoke-sweep discipline; see test_plans_r11).
+_POOLED_CHECKS_SIMILARITY = [_chk_pq_recall_vs_brute_force, _chk_pq_partition_invariant, _chk_power_iteration_computes_gram_squared_direction]
+
+
+def test_similarity_contracts_pooled(spark):
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    failures = []
+
+    def run(fn):
+        try:
+            fn(spark)
+        except Exception:
+            failures.append((fn.__name__, traceback.format_exc()))
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        list(ex.map(run, _POOLED_CHECKS_SIMILARITY))
+    assert not failures, "\n\n".join(
+        f"{n}:\n{tb}" for n, tb in failures
+    )

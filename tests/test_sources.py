@@ -55,7 +55,7 @@ def test_stage_gc_leaves_other_tables_alone(spark, tmp_path):
     assert os.path.exists(os.path.join(nation, "_SUCCESS"))
 
 
-def test_scan_text_profile_matches_batch(spark):
+def _chk_scan_text_profile_matches_batch(spark):
     from pyspark.sql import functions as F
 
     from pyspark_xgboost_spark.sources import load_table
@@ -74,7 +74,7 @@ def test_scan_text_profile_matches_batch(spark):
     assert row["total_tokens"] == want["tokens"]
 
 
-def test_corrupt_records_are_audited_not_dropped(spark):
+def _chk_corrupt_records_are_audited_not_dropped(spark):
     """PERMISSIVE-mode ingest: corrupt lines are counted (auditable),
     good rows aggregate cleanly, nothing is silently lost."""
     from pyspark.sql import functions as F
@@ -91,7 +91,7 @@ def test_corrupt_records_are_audited_not_dropped(spark):
     assert row["n_good"] + row["n_corrupt"] == n  # nothing lost
 
 
-def test_gzip_stage_writes_gz_files_and_reads_back(spark):
+def _chk_gzip_stage_writes_gz_files_and_reads_back(spark):
     import os
 
     from pyspark_xgboost_spark.sources.formats import (
@@ -109,7 +109,7 @@ def test_gzip_stage_writes_gz_files_and_reads_back(spark):
     assert n == load_table(spark, SF_DIR, "orders").count()
 
 
-def test_python_datasource_roundtrip_and_parallelism(spark):
+def _chk_python_datasource_roundtrip_and_parallelism(spark):
     from pyspark_xgboost_spark.sources import load_table
     from pyspark_xgboost_spark.sources.formats import (
         _DOCBIN_SHARDS,
@@ -149,7 +149,7 @@ def test_python_datasource_roundtrip_and_parallelism(spark):
     assert n == len(src)
 
 
-def test_compaction_shrinks_file_count_content_neutral(spark):
+def _chk_compaction_shrinks_file_count_content_neutral(spark):
     import os
 
     from pyspark_xgboost_spark.sources.formats import (
@@ -174,7 +174,7 @@ def test_compaction_shrinks_file_count_content_neutral(spark):
     assert sum(r["n"] for r in rows) == load_table(spark, SF_DIR, "lineitem").count()
 
 
-def test_schema_evolution_nulls_only_in_legacy_files(spark):
+def _chk_schema_evolution_nulls_only_in_legacy_files(spark):
     from pyspark.sql import functions as F
 
     from pyspark_xgboost_spark.sources.formats import (
@@ -211,7 +211,7 @@ def test_schema_evolution_nulls_only_in_legacy_files(spark):
     ).count() == 0
 
 
-def test_metadata_hidden_column_counts_staged_files(spark):
+def _chk_metadata_hidden_column_counts_staged_files(spark):
     """Spark's _metadata hidden column: per-file provenance without a
     path column in the data — counted over the 64-file fragmented
     staging, where it genuinely discriminates."""
@@ -241,7 +241,7 @@ def test_metadata_hidden_column_counts_staged_files(spark):
     assert sum(r["count"] for r in per_file) == spark.read.parquet(frag).count()
 
 
-def test_zorder_buckets_have_2d_locality(spark):
+def _chk_zorder_buckets_have_2d_locality(spark):
     """The Morton-key bucketing must (a) interleave bits exactly like
     the Python reference and (b) give each bucket a day-range at most
     ~a quarter of the global span (the top three z bits contain two
@@ -277,7 +277,7 @@ def test_zorder_buckets_have_2d_locality(spark):
         assert (r.max_day - r.min_day) <= span // 4 + 2
 
 
-def test_python_datasource_stream_exactly_once_offsets(spark):
+def _chk_python_datasource_stream_exactly_once_offsets(spark):
     """Two+ staged micro-batches over the docbin stream reader must
     partition the shard range with no overlap and no gap: every record
     arrives exactly once and committed offsets advance monotonically."""
@@ -384,3 +384,26 @@ def test_python_datasource_writer_two_phase_commit(spark, tmp_path):
 
     back = spark.read.format("docbin").option("path", out).load().collect()
     assert sorted(map(tuple, back)) == sorted(map(tuple, src.collect()))
+
+
+# Pooled contract sweep (smoke-sweep discipline; see test_plans_r11).
+_POOLED_CHECKS_SOURCES = [_chk_scan_text_profile_matches_batch, _chk_corrupt_records_are_audited_not_dropped, _chk_gzip_stage_writes_gz_files_and_reads_back, _chk_python_datasource_roundtrip_and_parallelism, _chk_compaction_shrinks_file_count_content_neutral, _chk_schema_evolution_nulls_only_in_legacy_files, _chk_metadata_hidden_column_counts_staged_files, _chk_zorder_buckets_have_2d_locality, _chk_python_datasource_stream_exactly_once_offsets]
+
+
+def test_sources_contracts_pooled(spark):
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    failures = []
+
+    def run(fn):
+        try:
+            fn(spark)
+        except Exception:
+            failures.append((fn.__name__, traceback.format_exc()))
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        list(ex.map(run, _POOLED_CHECKS_SOURCES))
+    assert not failures, "\n\n".join(
+        f"{n}:\n{tb}" for n, tb in failures
+    )

@@ -10,7 +10,7 @@ def _rowset(df, cols):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
 
-def test_stream_tumbling_equals_batch(spark):
+def _chk_stream_tumbling_equals_batch(spark):
     from pyspark_xgboost_spark.streaming.stream import events_stream_tumbling_window
     from pyspark_xgboost_spark.streaming.windows import events_tumbling_window
 
@@ -20,7 +20,7 @@ def test_stream_tumbling_equals_batch(spark):
     )
 
 
-def test_stream_session_equals_batch(spark):
+def _chk_stream_session_equals_batch(spark):
     from pyspark_xgboost_spark.streaming.stream import events_stream_session_window
     from pyspark_xgboost_spark.streaming.windows import events_session_window
 
@@ -30,7 +30,7 @@ def test_stream_session_equals_batch(spark):
     )
 
 
-def test_stateful_user_stats_totals(spark):
+def _chk_stateful_user_stats_totals(spark):
     from pyspark_xgboost_spark.sources import load_table
     from pyspark_xgboost_spark.streaming.stream import (
         events_stream_stateful_user_stats,
@@ -42,7 +42,7 @@ def test_stateful_user_stats_totals(spark):
     assert len({r.user_id for r in out}) == len(out)  # one row per user
 
 
-def test_stream_static_join_equals_batch(spark):
+def _chk_stream_static_join_equals_batch(spark):
     from pyspark.sql import functions as F
 
     from pyspark_xgboost_spark.sources import load_table
@@ -65,7 +65,7 @@ def test_stream_static_join_equals_batch(spark):
     assert got == want
 
 
-def test_stream_static_join_is_stateless(spark):
+def _chk_stream_static_join_is_stateless(spark):
     from pyspark_xgboost_spark.streaming.stream import events_stream_static_join
 
     df = events_stream_static_join(spark, SF_DIR)
@@ -76,7 +76,7 @@ def test_stream_static_join_is_stateless(spark):
     assert df.count() == load_table(spark, SF_DIR, "events").count()
 
 
-def test_kafka_shape_source_equals_parquet_source(spark):
+def _chk_kafka_shape_source_equals_parquet_source(spark):
     """The Kafka-payload JSON source and the parquet file source must
     produce identical windowed aggregates — the post-read contract
     (sources.normalize_event_ts) makes downstream operators
@@ -93,7 +93,7 @@ def test_kafka_shape_source_equals_parquet_source(spark):
     )
 
 
-def test_stream_left_outer_join_contract(spark):
+def _chk_stream_left_outer_join_contract(spark):
     """Left-outer stream-stream join: matched rows equal the inner
     join; null-extended rows exist only for clicks whose 1h match
     horizon the final watermark passed (the held-in-state clicks near
@@ -236,7 +236,7 @@ def test_late_data_drop_really_drops(spark, tmp_path):
     assert len(keys) == len(set(keys))  # no window emitted twice
 
 
-def test_stream_merge_upsert_incremental_chain(spark):
+def _chk_stream_merge_upsert_incremental_chain(spark):
     """The CDC merge must build one table version per staged batch
     (v000..v002 — copy-on-write chain), compute last-writer-wins state,
     and be idempotent on re-run (the _FINAL marker short-circuits)."""
@@ -271,3 +271,26 @@ def test_stream_merge_upsert_incremental_chain(spark):
     assert sorted(
         os.path.basename(p) for p in glob.glob(os.path.join(root, "table", "v*"))
     ) == versions
+
+
+# Pooled contract sweep (smoke-sweep discipline; see test_plans_r11).
+_POOLED_CHECKS_STREAMING = [_chk_stream_tumbling_equals_batch, _chk_stream_session_equals_batch, _chk_stateful_user_stats_totals, _chk_stream_static_join_equals_batch, _chk_stream_static_join_is_stateless, _chk_kafka_shape_source_equals_parquet_source, _chk_stream_left_outer_join_contract, _chk_stream_merge_upsert_incremental_chain]
+
+
+def test_streaming_contracts_pooled(spark):
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    failures = []
+
+    def run(fn):
+        try:
+            fn(spark)
+        except Exception:
+            failures.append((fn.__name__, traceback.format_exc()))
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        list(ex.map(run, _POOLED_CHECKS_STREAMING))
+    assert not failures, "\n\n".join(
+        f"{n}:\n{tb}" for n, tb in failures
+    )

@@ -10,7 +10,7 @@ from pyspark_xgboost_spark.sources import load_table
 from tests.conftest import SF_DIR
 
 
-def test_q3_topk_is_sorted_and_bounded(spark):
+def _chk_q3_topk_is_sorted_and_bounded(spark):
     rows = tpch.tpch_q3_shipping_priority(spark, SF_DIR).collect()
     assert 0 < len(rows) <= 10
     revs = [r["revenue"] for r in rows]
@@ -30,7 +30,7 @@ def test_q3_topk_is_sorted_and_bounded(spark):
     assert math.isclose(hand / 10000.0, top["revenue"], rel_tol=0, abs_tol=1e-9)
 
 
-def test_q3_topk_plan_uses_takeordered(spark):
+def _chk_q3_topk_plan_uses_takeordered(spark):
     plan = (
         tpch.tpch_q3_shipping_priority(spark, SF_DIR)
         ._jdf.queryExecution()
@@ -40,7 +40,7 @@ def test_q3_topk_plan_uses_takeordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_q5_nations_belong_to_asia(spark):
+def _chk_q5_nations_belong_to_asia(spark):
     rows = tpch.tpch_q5_local_supplier_volume(spark, SF_DIR).collect()
     assert rows
     nat = load_table(spark, SF_DIR, "nation")
@@ -55,7 +55,7 @@ def test_q5_nations_belong_to_asia(spark):
     assert all(r["revenue"] > 0 for r in rows)
 
 
-def test_q5_region_nation_join_is_broadcast(spark):
+def _chk_q5_region_nation_join_is_broadcast(spark):
     plan = (
         tpch.tpch_q5_local_supplier_volume(spark, SF_DIR)
         ._jdf.queryExecution()
@@ -65,7 +65,7 @@ def test_q5_region_nation_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_ohlc_invariants(spark):
+def _chk_ohlc_invariants(spark):
     rows = temporal.events_ohlc_rollup(spark, SF_DIR).collect()
     assert rows
     for r in rows:
@@ -91,7 +91,7 @@ def test_ohlc_invariants(spark):
     assert ordered[-1]["value"] == g["close"]
 
 
-def test_ohlc_is_single_aggregate_no_window(spark):
+def _chk_ohlc_is_single_aggregate_no_window(spark):
     plan = (
         temporal.events_ohlc_rollup(spark, SF_DIR)
         ._jdf.queryExecution()
@@ -103,7 +103,7 @@ def test_ohlc_is_single_aggregate_no_window(spark):
     assert plan.count("Exchange") == 1
 
 
-def test_unpivot_matches_wide_aggregate(spark):
+def _chk_unpivot_matches_wide_aggregate(spark):
     out = {
         (r["l_returnflag"], r["measure"]): r["value"]
         for r in relational.unpivot_melt(spark, SF_DIR).collect()
@@ -119,7 +119,7 @@ def test_unpivot_matches_wide_aggregate(spark):
         assert out[(w["l_returnflag"], "n_items")] == float(w["n_items"])
 
 
-def test_quality_filter_reasons_and_rule_order(spark):
+def _chk_quality_filter_reasons_and_rule_order(spark):
     rows = corpus.corpus_quality_filter(spark, SF_DIR).collect()
     reasons = {r["reason"] for r in rows}
     assert reasons <= {
@@ -135,7 +135,7 @@ def test_quality_filter_reasons_and_rule_order(spark):
             assert r["reason"] == "too_short"  # first rule wins
 
 
-def test_quality_filter_is_map_only(spark):
+def _chk_quality_filter_is_map_only(spark):
     plan = (
         corpus.corpus_quality_filter(spark, SF_DIR)
         ._jdf.queryExecution()
@@ -145,7 +145,7 @@ def test_quality_filter_is_map_only(spark):
     assert "Exchange" not in plan
 
 
-def test_robust_z_centers_and_scales(spark):
+def _chk_robust_z_centers_and_scales(spark):
     rows = corpus.outlier_robust_z(spark, SF_DIR).collect()
     docs_n = load_table(spark, SF_DIR, "documents").count()
     assert len(rows) == docs_n  # scoring pass keeps every document
@@ -161,7 +161,7 @@ def test_robust_z_centers_and_scales(spark):
         assert zs[-1] < 25 and zs[0] > -25
 
 
-def test_robust_z_stats_join_is_broadcast(spark):
+def _chk_robust_z_stats_join_is_broadcast(spark):
     plan = (
         corpus.outlier_robust_z(spark, SF_DIR)
         ._jdf.queryExecution()
@@ -170,7 +170,7 @@ def test_robust_z_stats_join_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
 
-def test_q1_groups_and_arithmetic_consistency(spark):
+def _chk_q1_groups_and_arithmetic_consistency(spark):
     rows = tpch.tpch_q1_pricing_summary(spark, SF_DIR).collect()
     assert rows
     li = load_table(spark, SF_DIR, "lineitem").filter(
@@ -192,7 +192,7 @@ def test_q1_groups_and_arithmetic_consistency(spark):
         assert r["sum_charge"] >= r["sum_disc_price"]
 
 
-def test_q1_is_single_exchange_scan_aggregate(spark):
+def _chk_q1_is_single_exchange_scan_aggregate(spark):
     plan = (
         tpch.tpch_q1_pricing_summary(spark, SF_DIR)
         ._jdf.queryExecution()
@@ -204,7 +204,7 @@ def test_q1_is_single_exchange_scan_aggregate(spark):
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
 
 
-def test_q18_threshold_order_and_handcheck(spark):
+def _chk_q18_threshold_order_and_handcheck(spark):
     rows = tpch.tpch_q18_large_volume_customer(spark, SF_DIR).collect()
     assert 0 < len(rows) <= 100
     qtys = [r["total_qty"] for r in rows]
@@ -220,7 +220,7 @@ def test_q18_threshold_order_and_handcheck(spark):
     assert hand == top["total_qty"]
 
 
-def test_q18_aggregates_before_joining(spark):
+def _chk_q18_aggregates_before_joining(spark):
     plan = (
         tpch.tpch_q18_large_volume_customer(spark, SF_DIR)
         ._jdf.queryExecution()
@@ -237,7 +237,7 @@ def test_q18_aggregates_before_joining(spark):
     assert join_pos < agg_pos  # joins consume the aggregate, not vice versa
 
 
-def test_funnel_monotonic_and_handcheck(spark):
+def _chk_funnel_monotonic_and_handcheck(spark):
     row = temporal.events_funnel_conversion(spark, SF_DIR).collect()[0]
     assert row["n_view"] >= row["n_click_after_view"] >= row["n_purchase_after_click"]
     assert row["n_view"] > 0
@@ -268,7 +268,7 @@ def test_funnel_monotonic_and_handcheck(spark):
     )
 
 
-def test_funnel_is_one_event_shuffle(spark):
+def _chk_funnel_is_one_event_shuffle(spark):
     plan = (
         temporal.events_funnel_conversion(spark, SF_DIR)
         ._jdf.queryExecution()
@@ -282,7 +282,7 @@ def test_funnel_is_one_event_shuffle(spark):
     assert plan.count("Sort") == 1
 
 
-def test_retention_cohorts_triangle(spark):
+def _chk_retention_cohorts_triangle(spark):
     rows = temporal.events_retention_cohorts(spark, SF_DIR).collect()
     assert rows
     by_cohort = {}
@@ -301,7 +301,7 @@ def test_retention_cohorts_triangle(spark):
     assert sum(o[0] for o in by_cohort.values()) == ev.select("user_id").distinct().count()
 
 
-def test_retention_cohorts_join_reuses_user_partitioning(spark):
+def _chk_retention_cohorts_join_reuses_user_partitioning(spark):
     plan = (
         temporal.events_retention_cohorts(spark, SF_DIR)
         ._jdf.queryExecution()
@@ -313,7 +313,7 @@ def test_retention_cohorts_join_reuses_user_partitioning(spark):
     assert plan.count("Exchange") <= 4
 
 
-def test_q6_matches_direct_filter(spark):
+def _chk_q6_matches_direct_filter(spark):
     row = tpch.tpch_q6_revenue_change(spark, SF_DIR).collect()[0]
     li = load_table(spark, SF_DIR, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -331,7 +331,7 @@ def test_q6_matches_direct_filter(spark):
     assert math.isclose(row["revenue"], hand / 10000.0, rel_tol=0, abs_tol=1e-9)
 
 
-def test_q6_filters_pushed_to_scan(spark):
+def _chk_q6_filters_pushed_to_scan(spark):
     plan = (
         tpch.tpch_q6_revenue_change(spark, SF_DIR)
         ._jdf.queryExecution()
@@ -343,7 +343,7 @@ def test_q6_filters_pushed_to_scan(spark):
     assert plan.count("Exchange") == 1  # single global agg shuffle
 
 
-def test_q4_semi_join_no_duplicate_counting(spark):
+def _chk_q4_semi_join_no_duplicate_counting(spark):
     rows = tpch.tpch_q4_order_priority(spark, SF_DIR).collect()
     assert rows
     pri = {r["o_orderpriority"] for r in rows}
@@ -364,7 +364,7 @@ def test_q4_semi_join_no_duplicate_counting(spark):
     assert sum(r["n_orders"] for r in rows) == late_keys
 
 
-def test_q4_plan_is_left_semi(spark):
+def _chk_q4_plan_is_left_semi(spark):
     plan = (
         tpch.tpch_q4_order_priority(spark, SF_DIR)
         ._jdf.queryExecution()
@@ -374,7 +374,7 @@ def test_q4_plan_is_left_semi(spark):
     assert "LeftSemi" in plan
 
 
-def test_q10_topk_sorted_and_positive(spark):
+def _chk_q10_topk_sorted_and_positive(spark):
     rows = tpch.tpch_q10_returned_items(spark, SF_DIR).collect()
     assert 0 < len(rows) <= 20
     revs = [r["revenue"] for r in rows]
@@ -383,7 +383,7 @@ def test_q10_topk_sorted_and_positive(spark):
     assert all(r["n_name"] for r in rows)
 
 
-def test_q10_uses_takeordered_and_broadcast_nation(spark):
+def _chk_q10_uses_takeordered_and_broadcast_nation(spark):
     plan = (
         tpch.tpch_q10_returned_items(spark, SF_DIR)
         ._jdf.queryExecution()
@@ -394,7 +394,7 @@ def test_q10_uses_takeordered_and_broadcast_nation(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_q12_partitions_all_late_lines(spark):
+def _chk_q12_partitions_all_late_lines(spark):
     rows = tpch.tpch_q12_late_lines_by_priority(spark, SF_DIR).collect()
     assert rows
     orders = load_table(spark, SF_DIR, "orders")
@@ -411,7 +411,7 @@ def test_q12_partitions_all_late_lines(spark):
     assert sum(r["high_line_count"] + r["low_line_count"] for r in rows) == late
 
 
-def test_q14_percentage_consistency(spark):
+def _chk_q14_percentage_consistency(spark):
     row = tpch.tpch_q14_promo_effect(spark, SF_DIR).collect()[0]
     assert 0 <= row["promo_pct"] <= 100
     assert 0 <= row["promo_rev_e4"] <= row["total_rev_e4"]
@@ -423,7 +423,7 @@ def test_q14_percentage_consistency(spark):
     )
 
 
-def test_q14_broadcasts_part_no_fact_shuffle(spark):
+def _chk_q14_broadcasts_part_no_fact_shuffle(spark):
     plan = (
         tpch.tpch_q14_promo_effect(spark, SF_DIR)
         ._jdf.queryExecution()
@@ -437,7 +437,7 @@ def test_q14_broadcasts_part_no_fact_shuffle(spark):
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
 
 
-def test_q22_threshold_and_anti_join(spark):
+def _chk_q22_threshold_and_anti_join(spark):
     rows = tpch.tpch_q22_global_sales_opportunity(spark, SF_DIR).collect()
     assert rows
     cust = load_table(spark, SF_DIR, "customer")
@@ -460,7 +460,7 @@ def test_q22_threshold_and_anti_join(spark):
     assert sum(r["numcust"] for r in rows) == lapsed_rich
 
 
-def test_q22_plan_has_anti_join(spark):
+def _chk_q22_plan_has_anti_join(spark):
     plan = (
         tpch.tpch_q22_global_sales_opportunity(spark, SF_DIR)
         ._jdf.queryExecution()
@@ -470,7 +470,7 @@ def test_q22_plan_has_anti_join(spark):
     assert "LeftAnti" in plan
 
 
-def test_gapfill_dense_spine_and_locf(spark):
+def _chk_gapfill_dense_spine_and_locf(spark):
     rows = temporal.events_resample_gapfill(spark, SF_DIR).collect()
     ev = load_table(spark, SF_DIR, "events")
     n_types = ev.select("event_type").distinct().count()
@@ -500,7 +500,7 @@ def test_gapfill_dense_spine_and_locf(spark):
     assert saw_gap  # the fixture really exercises gap filling
 
 
-def test_gapfill_aggregates_before_spine_join(spark):
+def _chk_gapfill_aggregates_before_spine_join(spark):
     plan = (
         temporal.events_resample_gapfill(spark, SF_DIR)
         ._jdf.queryExecution()
@@ -523,7 +523,7 @@ def test_gapfill_aggregates_before_spine_join(spark):
 from pyspark_xgboost_spark.operators import tpch_full  # noqa: E402
 
 
-def test_q2_outputs_are_per_part_minima_of_european_suppliers(spark):
+def _chk_q2_outputs_are_per_part_minima_of_european_suppliers(spark):
     rows = tpch_full.tpch_q2_min_cost_supplier(spark, SF_DIR).collect()
     assert rows
     # every (part) group in the output carries one identical min cost
@@ -541,7 +541,7 @@ def test_q2_outputs_are_per_part_minima_of_european_suppliers(spark):
     assert {r["n_name"] for r in rows} <= eur
 
 
-def test_q7_direction_pairs_and_years_bounded(spark):
+def _chk_q7_direction_pairs_and_years_bounded(spark):
     # sf0.001 may have zero lines between the two named nations (the
     # pair filter is ~1/625 selective); the oracle gate pins values at
     # sf0.01, so here the shape constraints are checked vacuously-safe
@@ -580,7 +580,7 @@ def test_q7_direction_pairs_and_years_bounded(spark):
     }
 
 
-def test_q8_share_consistent_with_integer_legs(spark):
+def _chk_q8_share_consistent_with_integer_legs(spark):
     rows = tpch_full.tpch_q8_market_share(spark, SF_DIR).collect()
     assert rows
     for r in rows:
@@ -589,7 +589,7 @@ def test_q8_share_consistent_with_integer_legs(spark):
         assert abs(r["mkt_share_pct"] - expect) < 1e-9
 
 
-def test_q11_threshold_cuts_against_grand_total(spark):
+def _chk_q11_threshold_cuts_against_grand_total(spark):
     # sf0.001's tiny supplier table may give NATION_5 zero suppliers
     # (the oracle gate pins non-empty values at sf0.01) — the invariant
     # here must hold at any SF: every output part's value exceeds 0.1%
@@ -614,13 +614,13 @@ def test_q11_threshold_cuts_against_grand_total(spark):
         assert all(r["value_c"] > grand * 0.001 for r in rows)
 
 
-def test_q13_histogram_accounts_for_every_customer(spark):
+def _chk_q13_histogram_accounts_for_every_customer(spark):
     rows = tpch_full.tpch_q13_customer_distribution(spark, SF_DIR).collect()
     n_cust = load_table(spark, SF_DIR, "customer").count()
     assert sum(r["custdist"] for r in rows) == n_cust
 
 
-def test_q15_selects_the_exact_integer_max(spark):
+def _chk_q15_selects_the_exact_integer_max(spark):
     rows = tpch_full.tpch_q15_top_supplier(spark, SF_DIR).collect()
     assert rows
     rev = (
@@ -642,7 +642,7 @@ def test_q15_selects_the_exact_integer_max(spark):
     assert all(r["total_rev_e4"] == rev for r in rows)
 
 
-def test_q16_counts_bounded_by_good_suppliers(spark):
+def _chk_q16_counts_bounded_by_good_suppliers(spark):
     rows = tpch_full.tpch_q16_parts_supplier(spark, SF_DIR).collect()
     assert rows
     n_good = (
@@ -652,7 +652,7 @@ def test_q16_counts_bounded_by_good_suppliers(spark):
     assert all(r["p_brand"] != "Brand#5" and r["p_type"] != "PROMO" for r in rows)
 
 
-def test_q19_fact_side_never_shuffles(spark):
+def _chk_q19_fact_side_never_shuffles(spark):
     plan = (
         tpch_full.tpch_q19_discounted_revenue(spark, SF_DIR)
         ._jdf.queryExecution()
@@ -663,7 +663,7 @@ def test_q19_fact_side_never_shuffles(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_q20_suppliers_really_moved_volume(spark):
+def _chk_q20_suppliers_really_moved_volume(spark):
     rows = tpch_full.tpch_q20_potential_promotion(spark, SF_DIR).collect()
     # every returned supplier has a red part with >60 units shipped in 1997
     ps = (
@@ -687,7 +687,7 @@ def test_q20_suppliers_really_moved_volume(spark):
     assert {r["s_suppkey"] for r in rows} <= movers
 
 
-def test_q21_sole_late_supplier_semantics(spark):
+def _chk_q21_sole_late_supplier_semantics(spark):
     rows = tpch_full.tpch_q21_suppliers_who_kept_orders_waiting(
         spark, SF_DIR
     ).collect()
@@ -738,3 +738,26 @@ def test_q21_sole_late_supplier_semantics(spark):
             expect[eur_sup[sk]] = n
     got = {r["s_name"]: r["numwait"] for r in rows}
     assert got == dict(expect.most_common(100))
+
+
+# Pooled contract sweep (smoke-sweep discipline; see test_plans_r11).
+_POOLED_CHECKS = [_chk_q3_topk_is_sorted_and_bounded, _chk_q3_topk_plan_uses_takeordered, _chk_q5_nations_belong_to_asia, _chk_q5_region_nation_join_is_broadcast, _chk_ohlc_invariants, _chk_ohlc_is_single_aggregate_no_window, _chk_unpivot_matches_wide_aggregate, _chk_quality_filter_reasons_and_rule_order, _chk_quality_filter_is_map_only, _chk_robust_z_centers_and_scales, _chk_robust_z_stats_join_is_broadcast, _chk_q1_groups_and_arithmetic_consistency, _chk_q1_is_single_exchange_scan_aggregate, _chk_q18_threshold_order_and_handcheck, _chk_q18_aggregates_before_joining, _chk_funnel_monotonic_and_handcheck, _chk_funnel_is_one_event_shuffle, _chk_retention_cohorts_triangle, _chk_retention_cohorts_join_reuses_user_partitioning, _chk_q6_matches_direct_filter, _chk_q6_filters_pushed_to_scan, _chk_q4_semi_join_no_duplicate_counting, _chk_q4_plan_is_left_semi, _chk_q10_topk_sorted_and_positive, _chk_q10_uses_takeordered_and_broadcast_nation, _chk_q12_partitions_all_late_lines, _chk_q14_percentage_consistency, _chk_q14_broadcasts_part_no_fact_shuffle, _chk_q22_threshold_and_anti_join, _chk_q22_plan_has_anti_join, _chk_gapfill_dense_spine_and_locf, _chk_gapfill_aggregates_before_spine_join, _chk_q2_outputs_are_per_part_minima_of_european_suppliers, _chk_q7_direction_pairs_and_years_bounded, _chk_q8_share_consistent_with_integer_legs, _chk_q11_threshold_cuts_against_grand_total, _chk_q13_histogram_accounts_for_every_customer, _chk_q15_selects_the_exact_integer_max, _chk_q16_counts_bounded_by_good_suppliers, _chk_q19_fact_side_never_shuffles, _chk_q20_suppliers_really_moved_volume, _chk_q21_sole_late_supplier_semantics]
+
+
+def test_tpch_contracts_pooled(spark):
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    failures = []
+
+    def run(fn):
+        try:
+            fn(spark)
+        except Exception:
+            failures.append((fn.__name__, traceback.format_exc()))
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        list(ex.map(run, _POOLED_CHECKS))
+    assert not failures, "\n\n".join(
+        f"{n}:\n{tb}" for n, tb in failures
+    )

@@ -3423,7 +3423,13 @@ _FD_CANDIDATES = [
 def _fd_oracle() -> str:
     arms = []
     for name, tbl, det, dep in _FD_CANDIDATES:
-        detkey = " || chr(1) || ".join(f"CAST({c} AS VARCHAR)" for c in det)
+        # NULL-sentinel each column BEFORE concatenation: DuckDB ||
+        # propagates NULL while Spark concat_ws skips it — coalescing
+        # to a chr(2) sentinel makes both engines group NULL
+        # determinants identically (and distinctly from '')
+        detkey = " || chr(1) || ".join(
+            f"COALESCE(CAST({c} AS VARCHAR), chr(2))" for c in det
+        )
         arms.append(
             f"SELECT '{name}' AS fd, {detkey} AS det,"
             f" CAST({dep} AS VARCHAR) AS dep FROM {tbl}"
@@ -3487,7 +3493,11 @@ def audit_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, tbl, det, dep in _FD_CANDIDATES:
         src = _t(spark, sf_dir, tbl)
         detkey = F.concat_ws(
-            "\x01", *[F.col(c).cast("string") for c in det]
+            "\x01",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x02"))
+                for c in det
+            ],
         )
         parts.append(
             src.select(

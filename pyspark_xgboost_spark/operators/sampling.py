@@ -1187,6 +1187,28 @@ _POIS1_CASE = (
 )
 
 
+def aes_lnu_micro(salt: str, id_col: str) -> "F.Column":
+    """The one A-ES uniform-draw derivation (Efraimidis-Spirakis race
+    key numerator): u from the first 8 md5 hex chars of salt||id,
+    ln(u) quantized to integer micro-nats. Shared by the weighted
+    reservoir, its streaming maintenance twin, and the D-squared
+    coreset — three consumers whose oracles replay the identical
+    arithmetic, so the derivation must live exactly once."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    return F.round(F.log(u) * 1000000).cast("long")
+
+
 def _hex8_uint_sql(hexpr: str) -> str:
     return " + ".join(
         f"(strpos('0123456789abcdef', substr({hexpr}, {1 + i}, 1)) - 1)"
@@ -1386,20 +1408,12 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted-reservoir merge, the distributed A-ES shape — never the
     corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        + 1
-    ) / F.lit(4294967296.0)
-    lnu = F.round(F.log(u) * 1000000).cast("long")
-    c = docs.select("doc_id", "source", "n_chars", lnu.alias("lnu_micro"))
+    c = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        aes_lnu_micro("wrs:", "doc_id").alias("lnu_micro"),
+    )
     w = Window.partitionBy("source").orderBy(
         ((-F.col("lnu_micro")).cast("double") / F.col("n_chars")).asc(),
         F.col("doc_id").asc(),
@@ -2209,27 +2223,11 @@ def sample_coreset_dsquared(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dist_q").cast("bigint").alias("s"),
         F.count("*").cast("bigint").alias("n"),
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("coreset:"), F.col("vec_id").cast("string")
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        + 1
-    ) / F.lit(4294967296.0)
     wts = d4.crossJoin(F.broadcast(tot)).select(
         "vec_id",
         "dist_q",
         (F.col("n") * F.col("dist_q") + F.col("s")).alias("w"),
-        F.round(F.log(u) * 1000000).cast("bigint").alias("lnu_micro"),
+        aes_lnu_micro("coreset:", "vec_id").alias("lnu_micro"),
     )
     key = (-F.col("lnu_micro")).cast("double") / F.col("w")
     top = wts.orderBy(key.asc(), F.col("vec_id").asc()).limit(_CORESET_K)

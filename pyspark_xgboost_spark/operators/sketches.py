@@ -1520,7 +1520,10 @@ def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_le"))
     )
     return (
-        est_r.join(cdf, ["et", "qp"])
+        # LEFT join: a quantile whose estimate undershoots every raw
+        # value (n_le = 0) must still emit its row with cdf_ppm = 0,
+        # exactly as the oracle's scalar subquery does
+        est_r.join(cdf, ["et", "qp"], "left")
         .join(n, F.col("et") == F.col("event_type"))
         .select(
             F.col("et").alias("event_type"),
@@ -1528,7 +1531,11 @@ def sketch_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             F.round(F.col("est") * 1000000).cast("bigint").alias("est_micro"),
             "n_pos",
-            F.floor(F.col("n_le") * 1000000.0 / F.col("n_pos"))
+            F.floor(
+                F.coalesce(F.col("n_le"), F.lit(0))
+                * 1000000.0
+                / F.col("n_pos")
+            )
             .cast("bigint")
             .alias("cdf_ppm"),
         )

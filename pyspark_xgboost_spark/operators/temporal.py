@@ -3940,6 +3940,19 @@ def events_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             s = s[1:] + [s_new]
             l = l_new
             b = b_new
+        if n_err == 0:
+            # spine shorter than one season: the oracle's recursion
+            # never reaches t = n, so both engines emit nothing
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="str"),
+                    "h": pd.Series([], dtype="int"),
+                    "forecast_micro": pd.Series([], dtype="int64"),
+                    "level_micro": pd.Series([], dtype="int64"),
+                    "trend_micro": pd.Series([], dtype="int64"),
+                    "mae_micro": pd.Series([], dtype="int64"),
+                }
+            )
         et = pdf["event_type"].iloc[0]
         mae = td(abs_err, n_err)
         return pd.DataFrame(
@@ -4236,8 +4249,8 @@ def _kb_cost_sql() -> str:
                AS BIGINT) AS c0,
              CAST(round(1000000 * ({r1} - r.x * ln({r1})))
                AS BIGINT) AS c1,
-             CAST(round(1000000 * ln(CAST(st.n AS DOUBLE))) // 2
-               AS BIGINT) AS gam
+             CAST(round(1000000 * ln(CAST(st.n AS DOUBLE))) AS BIGINT)
+               // 2 AS gam
       FROM serkb r JOIN st ON st.event_type = r.event_type
     )"""
 

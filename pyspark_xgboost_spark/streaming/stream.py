@@ -2550,26 +2550,12 @@ def _stage_wrsi_batches(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _wrsi_key_cols(df: DataFrame) -> DataFrame:
-    """Attach the deterministic A-ES race key (integer micro-nats of
-    ln(u), u from md5 — the sample_weighted_reservoir derivation with
-    its own salt so the two queries draw independent panels)."""
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit("wrsi:"), F.col("doc_id").cast("string"))
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        + 1
-    ) / F.lit(4294967296.0)
-    return df.withColumn(
-        "lnu_micro", F.round(F.log(u) * 1000000).cast("long")
-    )
+    """Attach the deterministic A-ES race key (the shared
+    sampling.aes_lnu_micro derivation with this query's own salt, so
+    the maintained panel is independent of the batch reservoir's)."""
+    from pyspark_xgboost_spark.operators.sampling import aes_lnu_micro
+
+    return df.withColumn("lnu_micro", aes_lnu_micro("wrsi:", "doc_id"))
 
 
 def _wrsi_topk(df: DataFrame) -> DataFrame:

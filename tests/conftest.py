@@ -103,3 +103,30 @@ def spark():
     s = get_spark("tests", cpus=8)
     yield s
     s.stop()
+
+
+def run_pooled(spark, checks, serial=(), workers=12):
+    """Shared pooled-sweep runner for the per-module contract checks
+    (the smoke-sweep discipline): run every check concurrently on the
+    shared session, then the ``serial`` ones (session-conf mutators,
+    AQE-finalization-sensitive assertions) one at a time, and raise
+    with every captured traceback. One implementation — the twelve
+    per-module copies this replaces could silently drift."""
+    import traceback
+    from concurrent.futures import ThreadPoolExecutor
+
+    failures = []
+
+    def run(fn):
+        try:
+            fn(spark)
+        except Exception:
+            failures.append((fn.__name__, traceback.format_exc()))
+
+    serial = tuple(serial)
+    pooled = [f for f in checks if f not in serial]
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(run, pooled))
+    for fn in serial:
+        run(fn)
+    assert not failures, "\n\n".join(f"{n}:\n{tb}" for n, tb in failures)

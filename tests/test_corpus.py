@@ -504,20 +504,8 @@ def _chk_bpe_train_and_apply_match_reference_python(spark):
 _POOLED_CHECKS = [_chk_repetition_stats_bounds_and_handmade_doc, _chk_chunking_covers_text_exactly, _chk_contamination_test_docs_excluded_and_hits_positive, _chk_packing_is_dense_within_source, _chk_vocab_topk_ordered_and_bounded, _chk_embedding_centroids_shape_and_range, _chk_stratified_sample_rates, _chk_bigram_topk_ordered_and_handchecked, _chk_bigram_topk_plan_single_shuffle_topk, _chk_unigram_logprob_consistency, _chk_unigram_logprob_single_token_pass, _chk_whitening_stats_shape_and_moments, _chk_whitening_stats_single_exchange, _chk_outlier_robust_z_approx_conf, _chk_bpe_pretokenize_matches_python_re, _chk_importance_resample_prefers_target_lang, _chk_bigram_perplexity_matches_python_recompute, _chk_temperature_mixture_sqrt_rule, _chk_kgram_novelty_matches_sequential_recompute, _chk_bpe_train_and_apply_match_reference_python]
 
 
+# session-conf mutators run in the serial lane
 def test_corpus_contracts_pooled(spark):
-    import traceback
-    from concurrent.futures import ThreadPoolExecutor
+    from tests.conftest import run_pooled
 
-    failures = []
-
-    def run(fn):
-        try:
-            fn(spark)
-        except Exception:
-            failures.append((fn.__name__, traceback.format_exc()))
-
-    with ThreadPoolExecutor(max_workers=12) as ex:
-        list(ex.map(run, _POOLED_CHECKS))
-    assert not failures, "\n\n".join(
-        f"{n}:\n{tb}" for n, tb in failures
-    )
+    run_pooled(spark, _POOLED_CHECKS, serial=[_chk_outlier_robust_z_approx_conf])

@@ -174,20 +174,8 @@ def _chk_triangle_count_matches_bruteforce(spark):
 _POOLED_CHECKS_GRAPH_SINKS = [_chk_pagerank_mass_conservation_and_positivity, _chk_pagerank_checkpoint_result_neutral, _chk_pagerank_plan_depth_bounded, _chk_pagerank_partition_invariant, _chk_pagerank_hub_ranks_highest, _chk_dpo_replaces_only_target_partition, _chk_dpo_idempotent_on_rerun, _chk_merge_upsert_counts, _chk_triangle_count_matches_bruteforce]
 
 
+# session-conf mutators run in the serial lane
 def test_graph_sinks_contracts_pooled(spark):
-    import traceback
-    from concurrent.futures import ThreadPoolExecutor
+    from tests.conftest import run_pooled
 
-    failures = []
-
-    def run(fn):
-        try:
-            fn(spark)
-        except Exception:
-            failures.append((fn.__name__, traceback.format_exc()))
-
-    with ThreadPoolExecutor(max_workers=12) as ex:
-        list(ex.map(run, _POOLED_CHECKS_GRAPH_SINKS))
-    assert not failures, "\n\n".join(
-        f"{n}:\n{tb}" for n, tb in failures
-    )
+    run_pooled(spark, _POOLED_CHECKS_GRAPH_SINKS, serial=[_chk_pagerank_partition_invariant])

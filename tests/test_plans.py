@@ -642,22 +642,6 @@ _SERIAL_CHECKS = [
 
 
 def test_plans_contracts_pooled(spark):
-    import traceback
-    from concurrent.futures import ThreadPoolExecutor
+    from tests.conftest import run_pooled
 
-    failures = []
-
-    def run(fn):
-        try:
-            fn(spark)
-        except Exception:
-            failures.append((fn.__name__, traceback.format_exc()))
-
-    pooled = [f for f in _POOLED_CHECKS if f not in _SERIAL_CHECKS]
-    with ThreadPoolExecutor(max_workers=12) as ex:
-        list(ex.map(run, pooled))
-    for fn in _SERIAL_CHECKS:
-        run(fn)
-    assert not failures, "\n\n".join(
-        f"{n}:\n{tb}" for n, tb in failures
-    )
+    run_pooled(spark, _POOLED_CHECKS, serial=_SERIAL_CHECKS)

@@ -649,21 +649,6 @@ _R11_CHECKS = [_chk_stream_decontaminate_incremental_shapes, _chk_tokenizer_fert
 
 
 def test_r11_contracts_pooled(spark):
-    """Run every round-11 contract check concurrently (see module
-    docstring); any failure surfaces with its own traceback."""
-    import traceback
-    from concurrent.futures import ThreadPoolExecutor
+    from tests.conftest import run_pooled
 
-    failures = []
-
-    def run(fn):
-        try:
-            fn(spark)
-        except Exception:
-            failures.append((fn.__name__, traceback.format_exc()))
-
-    with ThreadPoolExecutor(max_workers=12) as ex:
-        list(ex.map(run, _R11_CHECKS))
-    assert not failures, "\n\n".join(
-        f"{n}:\n{tb}" for n, tb in failures
-    )
+    run_pooled(spark, _R11_CHECKS)

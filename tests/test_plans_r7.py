@@ -109,19 +109,6 @@ _POOLED_CHECKS = [_chk_delete_cascade_anti_joins_are_broadcast, _chk_mor_deletes
 
 
 def test_round_7_contracts_pooled(spark):
-    import traceback
-    from concurrent.futures import ThreadPoolExecutor
+    from tests.conftest import run_pooled
 
-    failures = []
-
-    def run(fn):
-        try:
-            fn(spark)
-        except Exception:
-            failures.append((fn.__name__, traceback.format_exc()))
-
-    with ThreadPoolExecutor(max_workers=12) as ex:
-        list(ex.map(run, _POOLED_CHECKS))
-    assert not failures, "\n\n".join(
-        f"{n}:\n{tb}" for n, tb in failures
-    )
+    run_pooled(spark, _POOLED_CHECKS)

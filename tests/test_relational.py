@@ -648,20 +648,8 @@ def test_query_catalog_is_current():
 _POOLED_CHECKS_RELATIONAL = [_chk_agg_group_semantics, _chk_window_rank_topk, _chk_session_window_counts, _chk_semi_plus_anti_covers_all, _chk_conf_bool_parsing, _chk_multimodal_resize_golden, _chk_variant_extract_matches_json_path, _chk_hll_sketch_accuracy_and_merge, _chk_cumulative_distinct_matches_python_recompute, _chk_array_ops_match_python_recompute, _chk_null_safe_join_keeps_nulled_key, _chk_except_intersect_all_multiplicity_arithmetic, _chk_streaks_islands_match_python_recompute, _chk_asof_tolerance_nulls_stale_matches, _chk_rolling_median_matches_python_frames, _chk_recursive_date_spine_tiles_the_range, _chk_asof_forward_matches_python_next_lookup, _chk_corr_regression_matches_python_and_builtin_approx]
 
 
+# session-conf mutators run in the serial lane
 def test_relational_contracts_pooled(spark):
-    import traceback
-    from concurrent.futures import ThreadPoolExecutor
+    from tests.conftest import run_pooled
 
-    failures = []
-
-    def run(fn):
-        try:
-            fn(spark)
-        except Exception:
-            failures.append((fn.__name__, traceback.format_exc()))
-
-    with ThreadPoolExecutor(max_workers=12) as ex:
-        list(ex.map(run, _POOLED_CHECKS_RELATIONAL))
-    assert not failures, "\n\n".join(
-        f"{n}:\n{tb}" for n, tb in failures
-    )
+    run_pooled(spark, _POOLED_CHECKS_RELATIONAL, serial=[_chk_conf_bool_parsing])

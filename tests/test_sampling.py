@@ -139,20 +139,8 @@ def _chk_mixture_epochs_budget_and_formula(spark):
 _POOLED_CHECKS_SAMPLING = [_chk_split_is_deterministic_and_complete, _chk_sample_subset_and_plan_has_no_shuffle, _chk_mixture_keeps_all_english, _chk_length_buckets_are_contiguous, _chk_sample_topk_hash_is_takeordered_and_stable, _chk_shard_shuffle_contiguous_positions, _chk_weighted_priority_sample_matches_hand_formula, _chk_weighted_priority_topk_plan_uses_takeordered, _chk_mixture_epochs_budget_and_formula]
 
 
+# session-conf mutators run in the serial lane
 def test_sampling_contracts_pooled(spark):
-    import traceback
-    from concurrent.futures import ThreadPoolExecutor
+    from tests.conftest import run_pooled
 
-    failures = []
-
-    def run(fn):
-        try:
-            fn(spark)
-        except Exception:
-            failures.append((fn.__name__, traceback.format_exc()))
-
-    with ThreadPoolExecutor(max_workers=12) as ex:
-        list(ex.map(run, _POOLED_CHECKS_SAMPLING))
-    assert not failures, "\n\n".join(
-        f"{n}:\n{tb}" for n, tb in failures
-    )
+    run_pooled(spark, _POOLED_CHECKS_SAMPLING, serial=[_chk_sample_topk_hash_is_takeordered_and_stable])

@@ -90,20 +90,8 @@ def _chk_power_iteration_computes_gram_squared_direction(spark):
 _POOLED_CHECKS_SIMILARITY = [_chk_pq_recall_vs_brute_force, _chk_pq_partition_invariant, _chk_power_iteration_computes_gram_squared_direction]
 
 
+# session-conf mutators run in the serial lane
 def test_similarity_contracts_pooled(spark):
-    import traceback
-    from concurrent.futures import ThreadPoolExecutor
+    from tests.conftest import run_pooled
 
-    failures = []
-
-    def run(fn):
-        try:
-            fn(spark)
-        except Exception:
-            failures.append((fn.__name__, traceback.format_exc()))
-
-    with ThreadPoolExecutor(max_workers=12) as ex:
-        list(ex.map(run, _POOLED_CHECKS_SIMILARITY))
-    assert not failures, "\n\n".join(
-        f"{n}:\n{tb}" for n, tb in failures
-    )
+    run_pooled(spark, _POOLED_CHECKS_SIMILARITY, serial=[_chk_pq_partition_invariant])

@@ -366,6 +366,7 @@ HEADLINE = [
     "events_kleinberg_burst",
     "graph_hyperanf_reach",
     "sample_coreset_dsquared",
+    "agg_hill_tail_index",
 ]
 
 

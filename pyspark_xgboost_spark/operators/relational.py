@@ -3712,3 +3712,109 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("v_corr_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator (extreme-value heaviness from top-k order stats)
+# --------------------------------------------------------------------------
+
+_HILL_K = 100  # tail order statistics per group
+
+
+@register(
+    "agg_hill_tail_index",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY value DESC, event_id ASC) AS rk
+      FROM events WHERE value > 0
+    ),
+    top AS (SELECT * FROM r WHERE rk <= {_HILL_K + 1}),
+    thr AS (
+      SELECT event_type, max(value) AS x_thr
+      FROM top WHERE rk = {_HILL_K + 1} GROUP BY event_type
+    ),
+    lnr AS (
+      SELECT t.event_type,
+             CAST(round(ln(t.value / th.x_thr) * 1000000) AS BIGINT)
+               AS ln_micro
+      FROM top t JOIN thr th ON th.event_type = t.event_type
+      WHERE t.rk <= {_HILL_K}
+    )
+    SELECT l.event_type, CAST({_HILL_K} AS BIGINT) AS k,
+           th.x_thr,
+           CAST(sum(l.ln_micro) AS BIGINT) AS sum_ln_micro,
+           CAST(sum(l.ln_micro) // {_HILL_K} AS BIGINT) AS hill_micro,
+           CAST(round({_HILL_K} * 1000000000.0 / sum(l.ln_micro))
+             AS BIGINT) AS alpha_milli
+    FROM lnr l JOIN thr th ON th.event_type = l.event_type
+    GROUP BY l.event_type, th.x_thr
+    """,
+)
+def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILL TAIL-INDEX ESTIMATOR (Hill, Ann. Stat. 3(5) 1975) per
+    event type over `value`: from the top {_HILL_K}+1 order
+    statistics, hill = mean ln(x_i / x_(k+1)) estimates the inverse
+    tail exponent 1/alpha of a Pareto-like upper tail — the
+    extreme-value heaviness number behind p999 capacity planning:
+    alpha <= 2 means infinite variance (sample means of load NEVER
+    stabilize — autoscaling on averages is wrong), alpha <= 1 means
+    even the mean diverges. sketch_ddsketch_quantiles reads the tail
+    at fixed ranks; Hill says how fast it keeps growing BEYOND any
+    rank you picked — the difference between provisioning for p999
+    and knowing p9999 is 10x further out.
+
+    Determinism: the top-(k+1) set is picked under the total order
+    (value DESC, event_id ASC) so ties cannot shuffle membership
+    between engines; each ratio's ln quantizes to integer micro-nats
+    (the lnu_micro idiom) BEFORE the sum, the mean is exact integer
+    division, and alpha is one closed-form double over the pinned
+    integer sum.
+
+    Scale shape: the per-group top-k window compiles to a map-side
+    WindowGroupLimit (the sample_weighted_reservoir discipline) —
+    each input partition forwards at most {_HILL_K + 1} rows per
+    group, so the single exchange moves O(groups x partitions x k)
+    rows, never the stream; everything after runs on k rows per
+    group. At 100 TB this is the canonical 'order statistics without
+    a global sort' shape."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = W.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    top = (
+        ev.select("event_type", "value", "event_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HILL_K + 1)
+    )
+    thr = (
+        top.filter(F.col("rk") == _HILL_K + 1)
+        .groupBy("event_type")
+        .agg(F.max("value").alias("x_thr"))
+    )
+    lnr = (
+        top.filter(F.col("rk") <= _HILL_K)
+        .join(F.broadcast(thr), "event_type")
+        .select(
+            "event_type",
+            "x_thr",
+            F.round(F.log(F.col("value") / F.col("x_thr")) * 1000000)
+            .cast("bigint")
+            .alias("ln_micro"),
+        )
+    )
+    return lnr.groupBy("event_type", "x_thr").agg(
+        F.lit(_HILL_K).cast("bigint").alias("k"),
+        F.sum("ln_micro").cast("bigint").alias("sum_ln_micro"),
+        F.expr(f"sum(ln_micro) div {_HILL_K}").cast("bigint").alias(
+            "hill_micro"
+        ),
+        F.round(_HILL_K * 1000000000.0 / F.sum("ln_micro"))
+        .cast("bigint")
+        .alias("alpha_milli"),
+    ).select(
+        "event_type", "k", "x_thr", "sum_ln_micro", "hill_micro",
+        "alpha_milli",
+    )

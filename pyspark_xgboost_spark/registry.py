@@ -98,8 +98,9 @@ _GRADE_FIRST = [
     "udtf_ngrams",
     # ---- below the 50-slot line ----
     # r12 window plan: after this window grades green, every oracle
-    # query is driver-attested; the r12 window = the 28 round-11 NEW
-    # registrations, sorted — agg_cramers_v, audit_column_profile,
+    # query is driver-attested; the r12 window = the 29 round-11 NEW
+    # registrations, sorted — agg_cramers_v, agg_hill_tail_index,
+    # audit_column_profile,
     # audit_fd_violations, audit_join_explosion,
     # audit_merkle_table_digest, corpus_heaps_law,
     # corpus_tokenizer_fertility, corpus_vocab_coverage_curve,

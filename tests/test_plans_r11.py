@@ -645,10 +645,35 @@ def _chk_coreset_covers_and_upweights_outliers(spark):
     assert mean_coreset > mean_corpus
 
 
-_R11_CHECKS = [_chk_stream_decontaminate_incremental_shapes, _chk_tokenizer_fertility_shares_tokenize_pass, _chk_stream_hll_incremental_is_batch_identical, _chk_stream_kmeans_minibatch_state_bounded, _chk_ivf_drift_eval_panel_bounded, _chk_clustering_coefficient_bounded_and_normalized, _chk_stream_reservoir_incremental_is_batch_identical, _chk_hurst_exponent_contract, _chk_heaps_law_monotone_and_bounded, _chk_fd_audit_scan_pruning_and_semantics, _chk_ddsketch_relative_error_guarantee, _chk_cramers_v_contract, _chk_jpeg_walk_is_genuine, _chk_hilbert_layout_beats_zorder_on_seeks, _chk_holt_winters_beats_flat_forecast, _chk_dtw_kernel_matches_unbanded_reference, _chk_pps_systematic_exact_count_and_proportionality, _chk_stream_ddsketch_incremental_is_batch_identical, _chk_kleinberg_burst_intervals_are_genuine, _chk_hyperanf_registers_equal_reach_hll, _chk_coreset_covers_and_upweights_outliers]
+def _chk_hill_tail_index_windowlimit_and_identity(spark):
+    """Hill contracts: the per-group top-k prune compiles to a
+    map-side WindowGroupLimit (no group's full stream crosses the
+    exchange); the published integers satisfy the estimator's own
+    identities (hill = sum div k, alpha = round(k*1e9/sum)); and the
+    tail is genuinely heavy-ish (alpha in a sane positive band)."""
+    from pyspark_xgboost_spark.operators.relational import (
+        _HILL_K,
+        agg_hill_tail_index,
+    )
+
+    out = agg_hill_tail_index(spark, SF_DIR)
+    assert "WindowGroupLimit" in plan_of(out)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r["k"] == _HILL_K
+        assert r["hill_micro"] == r["sum_ln_micro"] // _HILL_K
+        assert r["alpha_milli"] == round(
+            _HILL_K * 1_000_000_000.0 / r["sum_ln_micro"]
+        )
+        assert 0 < r["alpha_milli"] < 100_000
+
+
+_R11_CHECKS = [_chk_hill_tail_index_windowlimit_and_identity, _chk_stream_decontaminate_incremental_shapes, _chk_tokenizer_fertility_shares_tokenize_pass, _chk_stream_hll_incremental_is_batch_identical, _chk_stream_kmeans_minibatch_state_bounded, _chk_ivf_drift_eval_panel_bounded, _chk_clustering_coefficient_bounded_and_normalized, _chk_stream_reservoir_incremental_is_batch_identical, _chk_hurst_exponent_contract, _chk_heaps_law_monotone_and_bounded, _chk_fd_audit_scan_pruning_and_semantics, _chk_ddsketch_relative_error_guarantee, _chk_cramers_v_contract, _chk_jpeg_walk_is_genuine, _chk_hilbert_layout_beats_zorder_on_seeks, _chk_holt_winters_beats_flat_forecast, _chk_dtw_kernel_matches_unbanded_reference, _chk_pps_systematic_exact_count_and_proportionality, _chk_stream_ddsketch_incremental_is_batch_identical, _chk_kleinberg_burst_intervals_are_genuine, _chk_hyperanf_registers_equal_reach_hll, _chk_coreset_covers_and_upweights_outliers]
 
 
 def test_r11_contracts_pooled(spark):
     from tests.conftest import run_pooled
 
     run_pooled(spark, _R11_CHECKS)
+

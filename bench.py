@@ -367,6 +367,7 @@ HEADLINE = [
     "graph_hyperanf_reach",
     "sample_coreset_dsquared",
     "agg_hill_tail_index",
+    "events_interarrival_burstiness",
 ]
 
 

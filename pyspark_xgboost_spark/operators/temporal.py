@@ -4460,3 +4460,166 @@ def events_kleinberg_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, start_t long, end_t long, n_hours long,"
         " sum_x long",
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival burstiness + memory (the Goh-Barabasi plane)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_interarrival_burstiness",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, ts, event_id,
+             lag(ts) OVER (PARTITION BY event_type
+                           ORDER BY ts, event_id) AS pts
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(date_diff('microsecond', pts, ts) // 1000
+               AS BIGINT) AS gap,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM o WHERE pts IS NOT NULL
+    ),
+    p AS (
+      SELECT a.event_type, a.gap AS x, b.gap AS y
+      FROM g a JOIN g b ON b.event_type = a.event_type
+                       AND b.rn = a.rn + 1
+    ),
+    m1 AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(gap) AS BIGINT) AS s,
+             CAST(sum(gap * gap) AS BIGINT) AS sq
+      FROM g GROUP BY event_type
+    ),
+    m2 AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n2,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM p GROUP BY event_type
+    )
+    SELECT m1.event_type, m1.n, m1.s, m1.sq, m2.sxy,
+           CAST(round(
+             (sqrt(greatest(CAST(m1.n AS DOUBLE) * m1.sq
+                            - CAST(m1.s AS DOUBLE) * m1.s, 0.0)) / m1.n
+              - CAST(m1.s AS DOUBLE) / m1.n)
+             / (sqrt(greatest(CAST(m1.n AS DOUBLE) * m1.sq
+                              - CAST(m1.s AS DOUBLE) * m1.s, 0.0)) / m1.n
+                + CAST(m1.s AS DOUBLE) / m1.n) * 1000) AS BIGINT)
+             AS burstiness_milli,
+           CAST(round(
+             (CAST(m2.n2 AS DOUBLE) * m2.sxy
+              - CAST(m2.sx AS DOUBLE) * m2.sy)
+             / (sqrt(CAST(m2.n2 AS DOUBLE) * m2.sxx
+                     - CAST(m2.sx AS DOUBLE) * m2.sx)
+                * sqrt(CAST(m2.n2 AS DOUBLE) * m2.syy
+                       - CAST(m2.sy AS DOUBLE) * m2.sy)) * 1000)
+             AS BIGINT) AS memory_milli
+    FROM m1 JOIN m2 ON m2.event_type = m1.event_type
+    """,
+)
+def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE BURSTINESS-MEMORY PLANE (Goh & Barabasi, EPL 81 48002,
+    2008) of each event type's inter-arrival process: burstiness
+    B = (sigma - mu)/(sigma + mu) of the gap distribution (-1 =
+    metronome, 0 = Poisson, -> 1 = heavy bursts) and memory M = the
+    Pearson correlation of CONSECUTIVE gaps (positive: long gaps
+    follow long gaps — correlated outages/bursts; negative:
+    alternation). Together they classify an arrival process the way
+    no single statistic can: human activity sits at B > 0, M ~ 0;
+    machine retry storms at B > 0, M > 0 — and the (B, M) drift of
+    an ingest source is an upstream-behavior-change alarm that rate
+    monitoring misses. Complements window_hurst_exponent (long-range
+    counts) and events_kleinberg_burst (episode segmentation) with
+    the GAP-layer signature, and corpus_term_burstiness (word
+    recurrence) with the event-layer one.
+
+    Determinism: gaps are exact integer MILLISECONDS under the total
+    order (ts, event_id) — gap-squared sums stay under int64 for
+    month-scale gaps at any volume (the documented bound; the
+    audit_t_closeness lesson); both B and M are single closed-form
+    double expressions over pinned exact integer power sums (the
+    agg_corr_regression discipline), with the sums output alongside
+    so the oracle attests the integers, not just the doubles.
+
+    Scale shape: one window pass partitioned by type orders each
+    stream once (the unavoidable shuffle — at 100 TB this partitions
+    by (type, day) with per-day boundary stitching); the
+    consecutive-gap pairing is a self-join on the SAME partitioning
+    key (no extra exchange shape); both moment sets are map-side
+    combinable aggregates over gap rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("ts").over(w).alias("pts"),
+    )
+    g = (
+        o.filter(F.col("pts").isNotNull())
+        .select(
+            "event_type",
+            F.expr(
+                "(unix_micros(ts) - unix_micros(pts)) div 1000"
+            )
+            .cast("bigint")
+            .alias("gap"),
+            F.row_number()
+            .over(W.partitionBy("event_type").orderBy("ts", "event_id"))
+            .alias("rn"),
+        )
+    )
+    ga = g.select("event_type", F.col("gap").alias("x"), F.col("rn").alias("ra"))
+    gb = g.select(
+        F.col("event_type").alias("et2"),
+        F.col("gap").alias("y"),
+        F.col("rn").alias("rb"),
+    )
+    p = ga.join(
+        gb,
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("rb") == F.col("ra") + 1),
+    )
+    m1 = g.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("gap").cast("bigint").alias("s"),
+        F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("sq"),
+    )
+    m2 = p.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n2"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    var_n = F.greatest(
+        nd * F.col("sq") - F.col("s").cast("double") * F.col("s"),
+        F.lit(0.0),
+    )
+    sigma = F.sqrt(var_n) / F.col("n")
+    mu = F.col("s").cast("double") / F.col("n")
+    n2d = F.col("n2").cast("double")
+    cov_n = n2d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    vx = n2d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = n2d * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return m1.join(m2, "event_type").select(
+        "event_type",
+        "n",
+        "s",
+        "sq",
+        "sxy",
+        F.round((sigma - mu) / (sigma + mu) * 1000)
+        .cast("bigint")
+        .alias("burstiness_milli"),
+        F.round(cov_n / (F.sqrt(vx) * F.sqrt(vy)) * 1000)
+        .cast("bigint")
+        .alias("memory_milli"),
+    )

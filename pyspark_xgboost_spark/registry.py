@@ -98,13 +98,14 @@ _GRADE_FIRST = [
     "udtf_ngrams",
     # ---- below the 50-slot line ----
     # r12 window plan: after this window grades green, every oracle
-    # query is driver-attested; the r12 window = the 29 round-11 NEW
+    # query is driver-attested; the r12 window = the 30 round-11 NEW
     # registrations, sorted — agg_cramers_v, agg_hill_tail_index,
     # audit_column_profile,
     # audit_fd_violations, audit_join_explosion,
     # audit_merkle_table_digest, corpus_heaps_law,
     # corpus_tokenizer_fertility, corpus_vocab_coverage_curve,
     # events_dtw_similarity, events_holt_winters_forecast,
+    # events_interarrival_burstiness,
     # events_kleinberg_burst, events_sequence_pattern,
     # graph_clustering_coefficient, graph_hyperanf_reach,
     # multimodal_jpeg_dimensions, multimodal_resize [oracle-upgraded

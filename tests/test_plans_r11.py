@@ -669,7 +669,27 @@ def _chk_hill_tail_index_windowlimit_and_identity(spark):
         assert 0 < r["alpha_milli"] < 100_000
 
 
-_R11_CHECKS = [_chk_hill_tail_index_windowlimit_and_identity, _chk_stream_decontaminate_incremental_shapes, _chk_tokenizer_fertility_shares_tokenize_pass, _chk_stream_hll_incremental_is_batch_identical, _chk_stream_kmeans_minibatch_state_bounded, _chk_ivf_drift_eval_panel_bounded, _chk_clustering_coefficient_bounded_and_normalized, _chk_stream_reservoir_incremental_is_batch_identical, _chk_hurst_exponent_contract, _chk_heaps_law_monotone_and_bounded, _chk_fd_audit_scan_pruning_and_semantics, _chk_ddsketch_relative_error_guarantee, _chk_cramers_v_contract, _chk_jpeg_walk_is_genuine, _chk_hilbert_layout_beats_zorder_on_seeks, _chk_holt_winters_beats_flat_forecast, _chk_dtw_kernel_matches_unbanded_reference, _chk_pps_systematic_exact_count_and_proportionality, _chk_stream_ddsketch_incremental_is_batch_identical, _chk_kleinberg_burst_intervals_are_genuine, _chk_hyperanf_registers_equal_reach_hll, _chk_coreset_covers_and_upweights_outliers]
+def _chk_interarrival_burstiness_plane(spark):
+    """Goh-Barabasi plane contracts: one row per event type; B and M
+    live in the open (-1000, 1000) milli-band by construction; the
+    published power sums are consistent (sq*n >= s*s, Cauchy-Schwarz);
+    and the synthetic Poisson-like arrivals sit near the (0, 0)
+    origin — the calibration point of the diagnostic (|B|, |M| small
+    but the statistic is exact, not degenerate)."""
+    from pyspark_xgboost_spark.operators.temporal import (
+        events_interarrival_burstiness,
+    )
+
+    rows = events_interarrival_burstiness(spark, SF_DIR).collect()
+    assert rows and len({r["event_type"] for r in rows}) == len(rows)
+    for r in rows:
+        assert -1000 < r["burstiness_milli"] < 1000
+        assert -1000 < r["memory_milli"] < 1000
+        assert r["n"] * r["sq"] >= r["s"] * r["s"]
+        assert abs(r["burstiness_milli"]) < 300  # Poisson-like source
+
+
+_R11_CHECKS = [_chk_interarrival_burstiness_plane, _chk_hill_tail_index_windowlimit_and_identity, _chk_stream_decontaminate_incremental_shapes, _chk_tokenizer_fertility_shares_tokenize_pass, _chk_stream_hll_incremental_is_batch_identical, _chk_stream_kmeans_minibatch_state_bounded, _chk_ivf_drift_eval_panel_bounded, _chk_clustering_coefficient_bounded_and_normalized, _chk_stream_reservoir_incremental_is_batch_identical, _chk_hurst_exponent_contract, _chk_heaps_law_monotone_and_bounded, _chk_fd_audit_scan_pruning_and_semantics, _chk_ddsketch_relative_error_guarantee, _chk_cramers_v_contract, _chk_jpeg_walk_is_genuine, _chk_hilbert_layout_beats_zorder_on_seeks, _chk_holt_winters_beats_flat_forecast, _chk_dtw_kernel_matches_unbanded_reference, _chk_pps_systematic_exact_count_and_proportionality, _chk_stream_ddsketch_incremental_is_batch_identical, _chk_kleinberg_burst_intervals_are_genuine, _chk_hyperanf_registers_equal_reach_hll, _chk_coreset_covers_and_upweights_outliers]
 
 
 def test_r11_contracts_pooled(spark):

@@ -35,88 +35,73 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # never-graded queries first, then this round's new registrations,
 # then the stalest attested rows. See the window comment inside.
 _GRADE_FIRST = [
-    # ROUND-11 WINDOW (slots 1-50), executing the plan documented in
-    # round 10 (and ratified by the r10 verdict): the 17 round-10 NEW
-    # registrations (never-driver-graded, all judge-sweep-green at
-    # 3 SFs in the r10 review), sorted, + the remaining 33 r04-attested
-    # oracle rows in sorted order. 17 + 33 = 50 exactly; once this
-    # window is graded, EVERY oracle query in the repo has a
-    # driver-attested row (the backlog fully drains for the first
-    # time). Audit with tools/check_window.py.
-    # -- never-driver-graded round-10 registrations (17, sorted) --
-    "audit_t_closeness",
-    "corpus_pack_bfd",
-    "dedup_minhash_estimator_eval",
-    "embedding_cluster_quality",
-    "events_funnel_time_to_convert",
-    "events_interval_coalesce",
-    "events_nelson_aalen_hazard",
-    "graph_degree_assortativity",
-    "multimodal_png_dimensions",
-    "multimodal_wav_header",
-    "scan_rowgroup_pruning_sim",
-    "sim_search_rank_agreement_rbo",
-    "sink_wap_publish",
-    "stream_incremental_neardup",
-    "stream_scd2_incremental",
-    "text_prf_query_expansion",
-    "window_realized_volatility",
-    # -- the remaining r04-attested oracle rows (33, sorted):
-    #    r04 queue drained --
-    "events_stream_tumbling_window",
-    "events_tumbling_window",
-    "join_asof",
-    "join_asof_nearest",
-    "join_range",
-    "join_skew_salted",
-    "length_bucket_equal_freq",
-    "length_bucket_equal_freq_scalable",
-    "mix_sources_weighted",
-    "pipeline_training_data",
-    "sample_hash_bucket",
-    "sample_stratified_by_source",
-    "sample_topk_hash",
-    "scalar_json_extract",
-    "scalar_variant_extract",
-    "scan_csv",
-    "scan_json",
-    "scan_json_corrupt_records",
-    "scan_orc",
-    "scan_text",
-    "shard_shuffle_deterministic",
-    "sink_bucketed_join",
-    "sink_dynamic_partition_overwrite",
-    "sink_merge_upsert",
-    "sink_parquet_partitioned",
-    "split_hash_train_test",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_effect",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q4_order_priority",
-    "tpch_q6_revenue_change",
-    "udaf_group_median",
-    "udtf_ngrams",
+    # ROUND-12 WINDOW (slots 1-50), executing the plan documented in
+    # round 11 (ratified by the r11 verdict, which also flagged that
+    # the plan comment omitted sample_coreset_dsquared — included
+    # here): the 30 round-11 NEW registrations (never-driver-graded;
+    # all passed the judge's independent sf0.01 sweep AND the 32-vs-5
+    # partition-invariance sweep in the r11 review), sorted, + the 20
+    # stalest attested oracle rows (head of the r05 cohort) in sorted
+    # order. 30 + 20 = 50 exactly. Audit with tools/check_window.py.
+    # -- never-driver-graded round-11 registrations (30, sorted) --
+    "agg_cramers_v",
+    "agg_hill_tail_index",
+    "audit_column_profile",
+    "audit_fd_violations",
+    "audit_join_explosion",
+    "audit_merkle_table_digest",
+    "corpus_heaps_law",
+    "corpus_tokenizer_fertility",
+    "corpus_vocab_coverage_curve",
+    "events_dtw_similarity",
+    "events_holt_winters_forecast",
+    "events_interarrival_burstiness",
+    "events_kleinberg_burst",
+    "events_sequence_pattern",
+    "graph_clustering_coefficient",
+    "graph_hyperanf_reach",
+    "multimodal_jpeg_dimensions",
+    "multimodal_resize",
+    "sample_coreset_dsquared",
+    "sample_pps_systematic",
+    "sim_search_ivf_drift_eval",
+    "sim_search_mips_norm_pruned",
+    "sink_hilbert_cluster",
+    "sketch_ddsketch_quantiles",
+    "stream_ddsketch_incremental",
+    "stream_decontaminate_incremental",
+    "stream_hll_incremental",
+    "stream_kmeans_minibatch",
+    "stream_reservoir_incremental",
+    "window_hurst_exponent",
+    # -- stalest attested oracle rows (first 20 of the r05 cohort,
+    #    sorted; the remaining 30 r05 rows queue for r13) --
+    "agg_count_if_bool",
+    "agg_mode_exact",
+    "audit_dq_expectations",
+    "corpus_importance_resample",
+    "corpus_kgram_novelty",
+    "corpus_mixture_epochs",
+    "corpus_quota_sample_topk",
+    "dedup_containment",
+    "dedup_keep_best",
+    "dedup_substring_exact",
+    "dim_scd2_build",
+    "events_stream_late_data_drop",
+    "graph_pagerank_deep",
+    "graph_pagerank_fixed",
+    "graph_triangle_count",
+    "join_null_safe",
+    "join_point_in_time_scd2",
+    "join_skew_aqe_stress",
+    "multimodal_arrow_byte_stats",
+    "pipeline_dedup_corpus",
     # ---- below the 50-slot line ----
-    # r12 window plan: after this window grades green, every oracle
-    # query is driver-attested; the r12 window = the 30 round-11 NEW
-    # registrations, sorted — agg_cramers_v, agg_hill_tail_index,
-    # audit_column_profile,
-    # audit_fd_violations, audit_join_explosion,
-    # audit_merkle_table_digest, corpus_heaps_law,
-    # corpus_tokenizer_fertility, corpus_vocab_coverage_curve,
-    # events_dtw_similarity, events_holt_winters_forecast,
-    # events_interarrival_burstiness,
-    # events_kleinberg_burst, events_sequence_pattern,
-    # graph_clustering_coefficient, graph_hyperanf_reach,
-    # multimodal_jpeg_dimensions, multimodal_resize [oracle-upgraded
-    # from rows-only this round], sample_pps_systematic,
-    # sim_search_ivf_drift_eval, sim_search_mips_norm_pruned,
-    # sink_hilbert_cluster, sketch_ddsketch_quantiles,
-    # stream_ddsketch_incremental, stream_decontaminate_incremental,
-    # stream_hll_incremental, stream_kmeans_minibatch,
-    # stream_reservoir_incremental, window_hurst_exponent (all
-    # verified at 3 SFs + partition invariance this round) — then the
-    # stalest attested rows (the r05 cohort) in sorted order up to 50.
+    # r13 window plan: this round's (r12) NEW registrations first,
+    # sorted, then the remaining 30 r05-attested rows in sorted order
+    # up to 50 (pipeline_observed_metrics, sample_temperature_mixture,
+    # sample_weighted_priority, scalar_array_ops, scan_csv_gzip, ...).
+    # Recompute with the staleness query in tools/check_window.py.
 ]
 
 # Rows-only queries (registered without an oracle by design — goldens /

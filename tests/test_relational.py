@@ -634,7 +634,12 @@ def _chk_corr_regression_matches_python_and_builtin_approx(spark):
 
 def test_query_catalog_is_current():
     """QUERIES.md is generated from the registry — regenerate with
-    tools/gen_catalog.py whenever an operator is added/renamed."""
+    tools/gen_catalog.py whenever an operator is added/renamed.
+
+    Also pins the surface counts quoted in SURVEY.md §2.3 and
+    README.md to the live registry (they drifted by one in r11 when a
+    late registration post-dated the doc refresh)."""
+    import re
     import sys
 
     sys.path.insert(0, "/root/repo/tools")
@@ -642,6 +647,24 @@ def test_query_catalog_is_current():
 
     with open("/root/repo/QUERIES.md") as fh:
         assert fh.read() == gen_catalog.render()
+
+    from pyspark_xgboost_spark.registry import all_oracles, all_queries
+
+    n_reg, n_orc = len(all_queries()), len(all_oracles())
+    with open("/root/repo/SURVEY.md") as fh:
+        survey = fh.read()
+    m = re.search(r"surface to (\d+) registered queries \((\d+)\n?oracle", survey)
+    assert m, "SURVEY.md §2.3 surface-count sentence missing"
+    assert (int(m.group(1)), int(m.group(2))) == (n_reg, n_orc), (
+        f"SURVEY.md says {m.groups()}, registry has {(n_reg, n_orc)}"
+    )
+    with open("/root/repo/README.md") as fh:
+        readme = fh.read()
+    m = re.search(r"(\d+) of (\d+) registered queries hash-compare", readme)
+    assert m, "README.md oracle-count sentence missing"
+    assert (int(m.group(1)), int(m.group(2))) == (n_orc, n_reg), (
+        f"README.md says {m.groups()}, registry has {(n_orc, n_reg)}"
+    )
 
 
 # Pooled contract sweep (smoke-sweep discipline; see test_plans_r11).

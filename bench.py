@@ -368,6 +368,10 @@ HEADLINE = [
     "sample_coreset_dsquared",
     "agg_hill_tail_index",
     "events_interarrival_burstiness",
+    # round 12
+    "stream_ivf_incremental",
+    "stream_cc_incremental",
+    "multimodal_mp4_duration",
 ]
 
 

@@ -1224,3 +1224,168 @@ def multimodal_jpeg_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("aspect_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# MP4 / ISO-BMFF nested box walk (moov > mvhd duration + timescale)
+# --------------------------------------------------------------------------
+
+
+def _be32_dyn_sql(off_expr: str) -> str:
+    """Big-endian uint32 from 8 hex chars of ``hx`` starting at the
+    DYNAMIC 1-based BYTE offset ``off_expr`` (the _be16_dyn_sql idiom
+    widened to box-length fields — ISO-BMFF sizes are uint32)."""
+    return f"CAST('0x' || substr(hx, 2 * ({off_expr}) - 1, 8) AS BIGINT)"
+
+
+@register(
+    "multimodal_mp4_duration",
+    oracle=f"""
+    WITH packed AS (
+      SELECT doc_id,
+             upper(
+               lpad(hex(16 + 4 * (doc_id % 5)), 8, '0') || '66747970'
+               || '69736F6D' || '00000200'
+               || repeat('69736F6D', doc_id % 5)
+               || lpad(hex(8 + doc_id % 11), 8, '0') || '66726565'
+               || repeat('00', doc_id % 11)
+               || '00000074' || '6D6F6F76'
+               || '0000006C' || '6D766864' || '00' || '000000'
+               || '00000000' || '00000000'
+               || lpad(hex(600 + (doc_id % 5) * 300), 8, '0')
+               || lpad(hex(n_chars * 90 + doc_id % 89), 8, '0')
+               || repeat('00', 80)
+               || lpad(hex(8 + octet_length(encode(text))), 8, '0')
+               || '6D646174' || hex(encode(text))
+             ) AS hx
+      FROM documents WHERE doc_id % 4 = 3
+    ),
+    hop1 AS (
+      SELECT doc_id, hx, {_be32_dyn_sql("1")} AS ftyp_len
+      FROM packed
+    ),
+    hop2 AS (
+      SELECT doc_id, hx, ftyp_len,
+             {_be32_dyn_sql("1 + ftyp_len")} AS free_len
+      FROM hop1
+    ),
+    walked AS (
+      SELECT doc_id, ftyp_len, free_len,
+             substr(hx, 2 * (1 + ftyp_len + free_len + 4) - 1, 8)
+               AS moov_type,
+             {_be32_dyn_sql("1 + ftyp_len + free_len + 28")} AS timescale,
+             {_be32_dyn_sql("1 + ftyp_len + free_len + 32")} AS duration
+      FROM hop2
+    )
+    SELECT doc_id, CAST(ftyp_len AS BIGINT) AS ftyp_len,
+           CAST(free_len AS BIGINT) AS free_len, moov_type,
+           CAST(timescale AS BIGINT) AS timescale,
+           CAST(duration AS BIGINT) AS duration,
+           CAST(duration * 1000 // timescale AS BIGINT) AS duration_ms
+    FROM walked
+    """,
+)
+def multimodal_mp4_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 DURATION without decoding — the NESTED-container walk the
+    JPEG segment walk (multimodal_jpeg_dimensions) points at: ISO-BMFF
+    is a tree of length-prefixed boxes, so reaching moov>mvhd means
+    reading the uint32 size of each top-level box and HOPPING — here
+    ftyp (doc-varied compatible-brand count) then free (doc-varied
+    padding), so every row's moov lands at a DIFFERENT offset and a
+    hard-coded offset cannot pass. Inside moov, the first child is
+    mvhd (version 0): timescale at mvhd+20, duration at mvhd+24, both
+    big-endian uint32; duration_ms = duration * 1000 / timescale is
+    the number a video-corpus ingest actually profiles (clip-length
+    distribution gates sampling and pricing). The packed cohort
+    (doc_id % 4 = 3) is spec-conformant through the walk — ftyp with
+    'isom' major brand, a free box, a 116-byte moov holding a full
+    108-byte mvhd, then mdat carrying the text bytes as stand-in
+    media data. Spark slices the BinaryType payload at COMPUTED
+    offsets (substring with column arithmetic — codegen'd, no UDF);
+    the DuckDB oracle walks the identical hex image with '0x'-cast
+    reads (including the moov_type fingerprint column, which must be
+    6D6F6F76 = 'moov' on every row — a wrong hop cannot silently
+    pass).
+
+    Reference scope: the reference engine has no binary/multimodal
+    surface (SURVEY.md §2.2) — this extends the mandated multimodal
+    metadata family (PNG/JPEG/WAV headers) to video containers.
+
+    Scale shape: map-only projection; the walk reads 5 uint32s + one
+    4-byte type per payload regardless of media size — at 100 TB this
+    runs at scan throughput, and with payloads in external object
+    storage the same walk runs over ranged GETs of the first KB."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 3
+    )
+    be32 = lambda c: F.lpad(F.hex(c), 8, "0")  # noqa: E731
+    nb = F.col("doc_id") % 5  # compatible brands (coprime to the cohort mod)
+    pad = F.col("doc_id") % 11  # free-box padding
+    ts = F.lit(600) + (F.col("doc_id") % 5) * 300
+    dur = F.col("n_chars") * 90 + F.col("doc_id") % 89
+    payload = F.unhex(
+        F.upper(
+            F.concat(
+                be32(F.lit(16) + 4 * nb),
+                F.lit("66747970"),  # 'ftyp'
+                F.lit("69736F6D"),  # major brand 'isom'
+                F.lit("00000200"),  # minor version
+                F.expr("repeat('69736F6D', doc_id % 5)"),
+                be32(F.lit(8) + pad),
+                F.lit("66726565"),  # 'free'
+                F.expr("repeat('00', doc_id % 11)"),
+                F.lit("00000074"),  # moov size = 8 + 108
+                F.lit("6D6F6F76"),  # 'moov'
+                F.lit("0000006C"),  # mvhd size = 108
+                F.lit("6D766864"),  # 'mvhd'
+                F.lit("00"),  # version 0
+                F.lit("000000"),  # flags
+                F.lit("00000000"),  # creation_time
+                F.lit("00000000"),  # modification_time
+                be32(ts),
+                be32(dur),
+                F.expr("repeat('00', 80)"),  # rest of mvhd v0
+                be32(
+                    F.lit(8)
+                    + F.octet_length(F.encode(F.col("text"), "UTF-8"))
+                ),
+                F.lit("6D646174"),  # 'mdat'
+                F.hex(F.encode(F.col("text"), "UTF-8")),
+            )
+        )
+    )
+    packed = docs.select("doc_id", payload.alias("payload"))
+
+    def be32_at(off_expr: str) -> F.Column:
+        return F.conv(
+            F.hex(F.expr(f"substring(payload, {off_expr}, 4)")), 16, 10
+        ).cast("bigint")
+
+    hop1 = packed.select(
+        "doc_id", "payload", be32_at("1").alias("ftyp_len")
+    )
+    hop2 = hop1.select(
+        "doc_id",
+        "payload",
+        "ftyp_len",
+        be32_at("1 + ftyp_len").alias("free_len"),
+    )
+    return hop2.select(
+        "doc_id",
+        "ftyp_len",
+        "free_len",
+        F.hex(
+            F.expr("substring(payload, 1 + ftyp_len + free_len + 4, 4)")
+        ).alias("moov_type"),
+        be32_at("1 + ftyp_len + free_len + 28").alias("timescale"),
+        be32_at("1 + ftyp_len + free_len + 32").alias("duration"),
+        F.expr(
+            "cast(conv(hex(substring(payload,"
+            " 1 + ftyp_len + free_len + 32, 4)), 16, 10) as bigint)"
+            " * 1000 div"
+            " cast(conv(hex(substring(payload,"
+            " 1 + ftyp_len + free_len + 28, 4)), 16, 10) as bigint)"
+        )
+        .cast("bigint")
+        .alias("duration_ms"),
+    )

@@ -2898,3 +2898,430 @@ def _dds_incremental_oracle() -> str:
 
 
 _ORACLES["stream_ddsketch_incremental"] = _dds_incremental_oracle()
+
+
+# --------------------------------------------------------------------------
+# Incremental IVF posting-list maintenance: arriving vectors are routed
+# to a FROZEN coarse codebook and appended to a persisted posting table
+# — the SERVING leg of the IVF lifecycle (stream_kmeans_minibatch
+# trains the codebook cheaply, sim_search_ivf_drift_eval decides WHEN
+# to retrain, and this keeps the index itself current between retrains)
+# --------------------------------------------------------------------------
+
+
+@register("stream_ivf_incremental", oracle=None)  # set below
+def stream_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING IVF INDEX MAINTENANCE — each micro-batch of arriving
+    embeddings is routed map-side to a frozen coarse codebook (the
+    standard production posture: the quantizer is retrained on a
+    schedule, the inverted file is maintained continuously) and its
+    postings are APPENDED to a persisted (cid, vec_id, q) posting
+    table; nothing previously indexed is ever touched or re-scanned.
+    Because per-row routing under a frozen codebook is independent of
+    arrival order and batching, the maintained posting table is
+    ROW-IDENTICAL to a one-shot index build over the full corpus —
+    exactly what the oracle asserts: the final nprobe={_IVF_NPROBE}
+    top-{_TOPK} probe over the maintained index, plus a whole-table
+    posting fingerprint (so unprobed cells are attested too),
+    hash-exact against DuckDB's one-shot replay.
+
+    The codebook freezes off the FIRST batch (its {_KM_K} lowest
+    vec_ids — the deterministic seed discipline shared with
+    stream_kmeans_minibatch / sim_search_pq); see that operator for
+    the moving-centroid variant. Reference scope: the reference engine
+    has no ANN/index surface at all (SURVEY.md §2.2) — this family is
+    the mandated training-data-pipeline extension.
+
+    Scale shape: per batch, ONE map-side assignment against the
+    broadcast codebook row + an O(batch) parquet append — no shuffle
+    of history, no corpus re-scan, the streaming query itself is
+    stateless (state lives in the posting table, partitioned by cell
+    at scale so probes are partition-pruned I/O). The final serving
+    read broadcasts the tiny (queries x nprobe) probe set into a hash
+    join against the cell-keyed postings."""
+    import shutil
+    import tempfile
+
+    from pyspark_xgboost_spark.operators.similarity import (
+        _IVF_NPROBE,
+        _KM_K,
+        _KM_Q,
+        _N_QUERIES,
+        _TOPK,
+        _km_assign,
+        _km_assign_topn,
+        _km_cent_row,
+    )
+    from pyspark_xgboost_spark.sources.formats import build_lock
+
+    root = _stage_kmeans_batches(spark, sf_dir)
+    tbl = os.path.join(root, "ivf")
+    post_dir = os.path.join(tbl, "post")
+    cent_dir = os.path.join(tbl, "cents")
+    final_marker = os.path.join(tbl, "_IVF_FINAL")
+    quant = F.expr(
+        f"transform(cast(embedding as array<double>), "
+        f"x -> cast(round(x * {_KM_Q}) as bigint))"
+    )
+    if not os.path.exists(final_marker):
+        with build_lock(tbl):
+            if not os.path.exists(final_marker):
+                shutil.rmtree(tbl, ignore_errors=True)
+                os.makedirs(tbl)
+
+                def ivf_append(batch_df: DataFrame, batch_id: int) -> None:
+                    if batch_df.isEmpty():
+                        return
+                    sess = batch_df.sparkSession
+                    xq = batch_df.select("vec_id", quant.alias("q"))
+                    if not os.path.exists(cent_dir):
+                        # freeze the coarse codebook off the first batch
+                        (
+                            xq.orderBy("vec_id")
+                            .limit(_KM_K)
+                            .select(
+                                F.col("vec_id").alias("cid"),
+                                F.col("q").alias("cq"),
+                            )
+                            .write.mode("overwrite")
+                            .parquet(cent_dir)
+                        )
+                    cents = sess.read.parquet(cent_dir)
+                    assigned = _km_assign(xq, _km_cent_row(cents))
+                    (
+                        assigned.select("vec_id", "cid", "q")
+                        .write.mode("append")
+                        .parquet(post_dir)
+                    )
+
+                q = (
+                    spark.readStream.schema(
+                        "vec_id long, embedding array<double>, seq int"
+                    )
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(os.path.join(root, "in"))
+                    .writeStream.foreachBatch(ivf_append)
+                    .option(
+                        "checkpointLocation",
+                        tempfile.mkdtemp(prefix="ivfp_ckpt_"),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                with open(final_marker, "w") as fh:
+                    fh.write("ok")
+    postings = spark.read.parquet(post_dir)
+    cents = spark.read.parquet(cent_dir)
+    corpus = postings.select(
+        "vec_id",
+        "cid",
+        "q",
+        F.expr(
+            "aggregate(zip_with(q, q, (a, b) -> a * b), 0L, "
+            "(acc, z) -> acc + z)"
+        ).alias("nq"),
+    )
+    queries = corpus.filter(F.col("vec_id") < _N_QUERIES)
+    probes = _km_assign_topn(
+        queries.select("vec_id", "q"), _km_cent_row(cents), _IVF_NPROBE
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+    q_side = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nq").alias("qnq"),
+    )
+    cand = (
+        F.broadcast(probes.join(q_side, "query_id"))
+        .join(corpus, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.floor(
+                F.expr(
+                    "aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, "
+                    "(acc, z) -> acc + z)"
+                ).cast("double")
+                / (
+                    F.sqrt(F.col("qnq").cast("double"))
+                    * F.sqrt(F.col("nq").cast("double"))
+                )
+                * 10000
+            )
+            / 10000
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    topk = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _TOPK
+    )
+    fp = postings.agg(
+        F.sum(F.col("cid") * F.lit(1048576) + F.col("vec_id"))
+        .cast("bigint")
+        .alias("postings_fp")
+    )
+    return topk.join(F.broadcast(fp)).select(
+        "query_id", "neighbor_id", "cos_sim", "rk", "postings_fp"
+    )
+
+
+def _ivf_incremental_oracle() -> str:
+    from pyspark_xgboost_spark.operators.similarity import (
+        _IVF_NPROBE,
+        _KM_DIM,
+        _KM_K,
+        _KM_Q,
+        _N_QUERIES,
+        _TOPK,
+    )
+
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {_KM_DIM}), "
+        f"j -> (x.q[j] - c.cq[j]) * (x.q[j] - c.cq[j])))"
+    )
+    return f"""
+    WITH xq AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_KM_Q}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cid, q AS cq FROM xq
+      WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT {_KM_K}
+    ),
+    asg AS (
+      SELECT vec_id, q, cid FROM (
+        SELECT x.vec_id, x.q, c.cid,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY {dist}, c.cid) AS rn
+        FROM xq x, cents c) WHERE rn = 1
+    ),
+    corpus AS (
+      SELECT vec_id, cid, q, list_inner_product(q, q) AS nq FROM asg
+    ),
+    fp AS (
+      SELECT CAST(sum(cid * 1048576 + vec_id) AS BIGINT) AS postings_fp
+      FROM corpus
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT x.vec_id, c.cid,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY {dist}, c.cid) AS rn
+        FROM (SELECT * FROM corpus WHERE vec_id < {_N_QUERIES}) x, cents c)
+      WHERE rn <= {_IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             floor(list_inner_product(q.q, c.q)
+                   / (sqrt(q.nq) * sqrt(c.nq)) * 10000) / 10000 AS cos_sim
+      FROM probes p
+      JOIN corpus c ON c.cid = p.cid
+      JOIN corpus q ON q.vec_id = p.query_id
+      WHERE c.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC)
+        AS INTEGER) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk, fp.postings_fp
+    FROM ranked, fp WHERE rk <= {_TOPK}
+    """
+
+
+_ORACLES["stream_ivf_incremental"] = _ivf_incremental_oracle()
+
+
+# --------------------------------------------------------------------------
+# Incremental connected-components maintenance: arriving edge batches
+# update a persisted label table via CONTRACTED min-label rounds — the
+# GRAPH leg of the streaming-maintenance family (sketch: hll/ddsketch,
+# sample: reservoir, model: k-means, index: ivf/near-dup — and now
+# graph state)
+# --------------------------------------------------------------------------
+
+
+def _stage_cc_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage THREE ordered edge batches over the shared MinHash-LSH
+    candidate-pair table ((doc_a + doc_b) % 3 = seq — a disjoint,
+    exhaustive split, so the union of arrivals IS the batch pair
+    table and components genuinely straddle batches)."""
+    from pyspark_xgboost_spark.operators.dedup import (
+        _cached_candidate_pairs,
+    )
+
+    def make_batch(docs, seq):
+        pairs = _cached_candidate_pairs(spark, sf_dir)
+        return pairs.filter(
+            (F.col("doc_a") + F.col("doc_b")) % 3 == seq
+        ).select("doc_a", "doc_b", F.lit(seq).cast("int").alias("seq"))
+
+    return _stage_seq_batches(spark, sf_dir, "docs_cc3_", make_batch)
+
+
+@register("stream_cc_incremental", oracle=None)  # set below
+def stream_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CONNECTED-COMPONENTS MAINTENANCE — new near-dup edges
+    arrive per micro-batch and a persisted (doc_id, label) table is
+    updated by CONTRACTION, never by recomputation: the batch's edges
+    are projected onto current component labels (one broadcast-map
+    lookup), the resulting contracted graph — whose size is O(batch
+    edges), not O(corpus) — runs bounded min-label rounds to find
+    which EXISTING components the new edges merge, and the label
+    table applies that (old_label -> new_label) map with one
+    broadcast left join. By induction the maintained labels equal
+    batch connected components over the union of all arrived edges —
+    the oracle asserts exactly that, replaying the full recursive-CTE
+    transitive closure over the complete pair table and comparing the
+    per-group summary hash-exactly (the same closure that attests
+    dedup_groups_connected, which this operator maintains online).
+
+    This is how a near-dup registry actually runs at 100 TB: LSH
+    produces a trickle of new candidate edges per ingest batch
+    (stream_incremental_neardup is the upstream twin), and "which
+    cluster does this doc belong to" must be servable continuously —
+    recomputing CC over all history per batch is O(corpus x rounds)
+    per cycle; contraction is O(batch) plus a map-side relabel.
+
+    Scale shape: per batch, the contracted CC runs over (labels of
+    batch endpoints) — bounded by 2 x batch edges nodes; the merge
+    map is component-count-sized and BROADCASTS into the relabel (the
+    label table itself never shuffles); the rewrite is copy-on-write
+    versioned like every maintained artifact here (at scale: MERGE
+    into a label-partitioned table, touching only merged partitions).
+    The streaming query is stateless — state lives in the label
+    table."""
+    import shutil
+    import tempfile
+
+    from pyspark_xgboost_spark.operators.dedup import (
+        _min_label_components,
+    )
+    from pyspark_xgboost_spark.sources.formats import build_lock
+
+    root = _stage_cc_batches(spark, sf_dir)
+    tbl = os.path.join(root, "cc")
+    final_marker = os.path.join(tbl, "_CC_FINAL")
+    if not os.path.exists(final_marker):
+        with build_lock(tbl):
+            if not os.path.exists(final_marker):
+                shutil.rmtree(tbl, ignore_errors=True)
+                os.makedirs(tbl)
+                state: dict[str, Any] = {"cur": None}
+
+                def cc_update(batch_df: DataFrame, batch_id: int) -> None:
+                    if batch_df.isEmpty():
+                        return
+                    sess = batch_df.sparkSession
+                    e = batch_df.select("doc_a", "doc_b")
+                    nodes = (
+                        e.select(F.col("doc_a").alias("doc_id"))
+                        .union(e.select(F.col("doc_b").alias("doc_id")))
+                        .distinct()
+                    )
+                    if state["cur"] is None:
+                        labels = nodes.withColumn(
+                            "label", F.col("doc_id")
+                        ).limit(0)
+                    else:
+                        labels = sess.read.parquet(state["cur"])
+                    fresh = nodes.join(
+                        labels, "doc_id", "left_anti"
+                    ).withColumn("label", F.col("doc_id"))
+                    all_labels = labels.unionByName(fresh)
+                    # contract: batch edges in current-label space
+                    la = all_labels.select(
+                        F.col("doc_id").alias("doc_a"),
+                        F.col("label").alias("la"),
+                    )
+                    lb = all_labels.select(
+                        F.col("doc_id").alias("doc_b"),
+                        F.col("label").alias("lb"),
+                    )
+                    contracted = (
+                        e.join(la, "doc_a")
+                        .join(lb, "doc_b")
+                        .filter(F.col("la") != F.col("lb"))
+                        .select(
+                            F.least("la", "lb").alias("doc_a"),
+                            F.greatest("la", "lb").alias("doc_b"),
+                        )
+                        .distinct()
+                    )
+                    merge = _min_label_components(contracted).filter(
+                        F.col("label") < F.col("doc_id")
+                    )
+                    relabeled = (
+                        all_labels.join(
+                            F.broadcast(
+                                merge.select(
+                                    F.col("doc_id").alias("label"),
+                                    F.col("label").alias("merged"),
+                                )
+                            ),
+                            "label",
+                            "left",
+                        )
+                        .select(
+                            "doc_id",
+                            F.coalesce("merged", "label").alias("label"),
+                        )
+                    )
+                    nxt = os.path.join(tbl, f"v{batch_id:03d}")
+                    relabeled.write.mode("overwrite").parquet(nxt)
+                    state["cur"] = nxt
+
+                q = (
+                    spark.readStream.schema(
+                        "doc_a long, doc_b long, seq int"
+                    )
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(os.path.join(root, "in"))
+                    .writeStream.foreachBatch(cc_update)
+                    .option(
+                        "checkpointLocation",
+                        tempfile.mkdtemp(prefix="cc_ckpt_"),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                with open(final_marker, "w") as fh:
+                    fh.write(state["cur"])
+    with open(final_marker) as fh:
+        labels = spark.read.parquet(fh.read())
+    return labels.groupBy(F.col("label").alias("group_id")).agg(
+        F.count("*").alias("n_docs"), F.max("doc_id").alias("max_doc_id")
+    )
+
+
+def _cc_incremental_oracle() -> str:
+    from pyspark_xgboost_spark.operators.dedup import _MINHASH_CAND_SQL
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_CAND_SQL},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL SELECT doc_b, doc_a FROM cand
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    comp AS (SELECT doc_id, min(label) AS group_id FROM reach GROUP BY doc_id)
+    SELECT group_id, count(*) AS n_docs, max(doc_id) AS max_doc_id
+    FROM comp GROUP BY group_id
+    """
+
+
+_ORACLES["stream_cc_incremental"] = _cc_incremental_oracle()

@@ -100,7 +100,7 @@ def pytest_unconfigure(config):
 def spark():
     from pyspark_xgboost_spark.session import get_spark
 
-    s = get_spark("tests", cpus=8)
+    s = get_spark("tests", cpus=16)
     yield s
     s.stop()
 

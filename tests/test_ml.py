@@ -45,7 +45,7 @@ def cls_train(spark):
     )
 
 
-def test_regressor_fit_transform_matches_local_kernel(spark, reg_train):
+def _chk_regressor_fit_transform_matches_local_kernel(spark, reg_train):
     """Spark fit must equal a direct kernel fit on the same rows
     (behavioral golden — the reference compares against single-node
     xgboost the same way, xgboost_local_test.py:329-334)."""
@@ -61,7 +61,7 @@ def test_regressor_fit_transform_matches_local_kernel(spark, reg_train):
         assert abs(r.prediction - expected[r.label]) < 1e-3
 
 
-def test_binary_classifier_outputs(spark, cls_train):
+def _chk_binary_classifier_outputs(spark, cls_train):
     model = XgboostClassifier(n_estimators=15, max_depth=3).fit(cls_train)
     rows = model.transform(cls_train).collect()
     assert np.mean([r.prediction == r.label for r in rows]) == 1.0
@@ -73,7 +73,7 @@ def test_binary_classifier_outputs(spark, cls_train):
         assert r.prediction == float(np.argmax(probs))
 
 
-def test_multiclass_classifier(spark):
+def _chk_multiclass_classifier(spark):
     df = spark.createDataFrame(
         [
             (Vectors.dense(1.0, 2.0, 3.0), 0),
@@ -90,7 +90,7 @@ def test_multiclass_classifier(spark):
     assert len(rows[0].probability.toArray()) == 3
 
 
-def test_label_validation(spark):
+def _chk_label_validation(spark):
     bad = spark.createDataFrame(
         [(Vectors.dense(1.0), 1), (Vectors.dense(2.0), 3)] * 10, ["features", "label"]
     )
@@ -98,7 +98,7 @@ def test_label_validation(spark):
         XgboostClassifier(n_estimators=2).fit(bad)
 
 
-def test_param_system(spark):
+def _chk_param_system(spark):
     est = XgboostRegressor(n_estimators=9, max_depth=4, unknown_thing="zz")
     assert est.getOrDefault(est.n_estimators) == 9
     assert est.getArbitraryParamsDict() == {"unknown_thing": "zz"}
@@ -113,12 +113,12 @@ def test_param_system(spark):
     assert c.getOrDefault(c.n_estimators) == 9
 
 
-def test_early_stopping_requires_validation_col(spark, reg_train):
+def _chk_early_stopping_requires_validation_col(spark, reg_train):
     with pytest.raises(ValueError, match="validationIndicatorCol"):
         XgboostRegressor(n_estimators=50, early_stopping_rounds=5).fit(reg_train)
 
 
-def test_model_persistence_roundtrip(spark, reg_train, tmp_path):
+def _chk_model_persistence_roundtrip(spark, reg_train, tmp_path):
     model = XgboostRegressor(n_estimators=10, max_depth=3).fit(reg_train)
     path = str(tmp_path / "m")
     model.save(path)
@@ -130,7 +130,7 @@ def test_model_persistence_roundtrip(spark, reg_train, tmp_path):
         XgboostClassifierModel.load(path)
 
 
-def test_estimator_persistence_roundtrip(spark, tmp_path):
+def _chk_estimator_persistence_roundtrip(spark, tmp_path):
     est = XgboostRegressor(n_estimators=6, max_depth=2, foo_kw=1.5)
     path = str(tmp_path / "e")
     est.save(path)
@@ -139,7 +139,7 @@ def test_estimator_persistence_roundtrip(spark, tmp_path):
     assert loaded.getArbitraryParamsDict() == {"foo_kw": 1.5}
 
 
-def test_pipeline_integration(spark, cls_train, tmp_path):
+def _chk_pipeline_integration(spark, cls_train, tmp_path):
     pipe = Pipeline(stages=[XgboostClassifier(n_estimators=8)])
     pm = pipe.fit(cls_train)
     path = str(tmp_path / "p")
@@ -149,7 +149,7 @@ def test_pipeline_integration(spark, cls_train, tmp_path):
     assert np.mean([r.prediction == r.label for r in rows]) == 1.0
 
 
-def test_weights_shift_fit(spark):
+def _chk_weights_shift_fit(spark):
     df = spark.createDataFrame(
         [
             (Vectors.dense(0.0), 0.0, 1.0),
@@ -163,7 +163,7 @@ def test_weights_shift_fit(spark):
     assert pred > 8.0  # pulled toward the heavy label
 
 
-def test_missing_zero_semantics(spark):
+def _chk_missing_zero_semantics(spark):
     """missing=0: sparse inactive entries treated as absent
     (reference caveat, xgboost_core.py:780-784)."""
     df = spark.createDataFrame(
@@ -182,7 +182,7 @@ def test_missing_zero_semantics(spark):
     assert abs(by_label[0.0]) < 0.1 and abs(by_label[1.0] - 1.0) < 0.1
 
 
-def test_validation_early_stopping(spark):
+def _chk_validation_early_stopping(spark):
     rows = [
         (Vectors.dense(float(i % 10), float((i * 3) % 7)), float(i % 10) * 2.0, i % 5 == 0)
         for i in range(400)
@@ -196,13 +196,13 @@ def test_validation_early_stopping(spark):
     assert b.best_score is not None and b.best_score < 1.5
 
 
-def test_feature_importances(spark, reg_train):
+def _chk_feature_importances(spark, reg_train):
     model = XgboostRegressor(n_estimators=10).fit(reg_train)
     imp = model.get_feature_importances()
     assert imp and all(v > 0 for v in imp.values())
 
 
-def test_crossvalidator_integration(spark, cls_train):
+def _chk_crossvalidator_integration(spark, cls_train):
     """Meta-algorithm compatibility (reference xgboost_local_test.py:
     466-476): the estimator must survive ParamGridBuilder copy()
     semantics and CrossValidator's fit loop."""
@@ -231,7 +231,7 @@ def test_crossvalidator_integration(spark, cls_train):
     assert out.filter("prediction != label").count() == 0
 
 
-def test_external_storage_parity(spark, reg_train):
+def _chk_external_storage_parity(spark, reg_train):
     """Out-of-core training (memmap-spilled binned codes, reference O10
     xgboost data.py:45-92) must match in-memory training up to the
     significant-digit narrowing (reference external-storage parity test,
@@ -245,7 +245,7 @@ def test_external_storage_parity(spark, reg_train):
     assert np.allclose(a, b, atol=1e-3)
 
 
-def test_external_storage_rejects_weight(spark):
+def _chk_external_storage_rejects_weight(spark):
     from pyspark.sql import functions as F
 
     df = spark.createDataFrame(
@@ -287,7 +287,7 @@ def test_best_splits_masks_padded_bins():
     assert b1[0] < edge_counts[f1[0]]
 
 
-def test_train_with_initial_model(spark, reg_train, tmp_path):
+def _chk_train_with_initial_model(spark, reg_train, tmp_path):
     """Training continuation (reference xgb_model param; save/load with
     init booster, model.py:111-128; test_train_with_initial_model,
     xgboost_local_test.py:502-517): continue from a fitted booster,
@@ -310,7 +310,7 @@ def test_train_with_initial_model(spark, reg_train, tmp_path):
     np.testing.assert_allclose(pred21, pred22, atol=1e-12)
 
 
-def test_continuation_matches_straight_run(spark, reg_train):
+def _chk_continuation_matches_straight_run(spark, reg_train):
     """5 rounds + 5 continued rounds on the same data must equal one
     10-round run exactly: bin edges recompute identically and the margin
     trajectory is the same, so rounds 6-10 grow the same trees."""
@@ -324,7 +324,7 @@ def test_continuation_matches_straight_run(spark, reg_train):
     np.testing.assert_allclose(a, b, atol=1e-12)
 
 
-def test_callbacks(spark, reg_train, tmp_path):
+def _chk_callbacks(spark, reg_train, tmp_path):
     """Callbacks persistence (reference test_callbacks,
     xgboost_local_test.py:478-500): cloudpickled into estimator
     metadata, restored on load, and actually applied during fit."""
@@ -353,7 +353,7 @@ def test_callbacks(spark, reg_train, tmp_path):
     assert not np.allclose(a, c)
 
 
-def test_callback_early_stop(spark, reg_train):
+def _chk_callback_early_stop(spark, reg_train):
     """after_iteration returning True stops training (TrainingCallback
     protocol)."""
     from pyspark_xgboost_spark.ml.booster import TrainingCallback
@@ -442,12 +442,12 @@ def test_continuation_num_class_mismatch_raises():
         train(X, y3, {"n_estimators": 2}, xgb_model=multi)
 
 
-def test_xgb_model_rejects_wrong_type(spark, reg_train):
+def _chk_xgb_model_rejects_wrong_type(spark, reg_train):
     with pytest.raises(ValueError, match="xgb_model"):
         XgboostRegressor(xgb_model="not-a-booster").fit(reg_train)
 
 
-def test_num_workers_param(spark):
+def _chk_num_workers_param(spark):
     """Reference test_num_workers_param (xgboost_local_test.py:617-621)."""
     regressor = XgboostRegressor(num_workers=-1)
     with pytest.raises(ValueError):
@@ -457,7 +457,7 @@ def test_num_workers_param(spark):
         classifier._validate_params()
 
 
-def test_use_gpu_param(spark):
+def _chk_use_gpu_param(spark):
     """Reference test_use_gpu_param (xgboost_local_test.py:622-630):
     tree_method must be gpu_hist/None with use_gpu, and a cluster
     without task GPU resources must raise at validation, not warn."""
@@ -478,7 +478,7 @@ def test_use_gpu_param(spark):
             est._validate_params()
 
 
-def test_quantile_and_mae_objectives_reach_kernel(spark):
+def _chk_quantile_and_mae_objectives_reach_kernel(spark):
     """The reference forwarded user objectives verbatim (O19 kwargs
     passthrough) — reg:quantileerror / reg:absoluteerror must flow
     through XgboostRegressor into the kernel, and the fitted quantile
@@ -535,7 +535,7 @@ def test_quantile_and_mae_objectives_reach_kernel(spark):
         XgboostRegressor(objective="binary:logistic", n_estimators=2).fit(assembled)
 
 
-def test_flagship_fit_memoized(spark):
+def _chk_flagship_fit_memoized(spark):
     """A second consumer of the flagship fit must NOT retrain: the
     four ml_* headline queries share two fits via _FIT_CACHE (round-9
     verdict: retraining per consumer was ~8% of the whole bench)."""
@@ -550,3 +550,54 @@ def test_flagship_fit_memoized(spark):
     assert c1 is c2
     # distinct kinds distinct entries
     assert m1 is not c1
+
+
+# Pooled contract sweep (smoke-sweep discipline; see test_plans_r11):
+# every Spark-backed ML behavioral test fans out over the shared
+# session in one case — fits are independent jobs the scheduler
+# interleaves; tmp_path users get their own mkdtemp dirs.
+def test_ml_contracts_pooled(spark, reg_train, cls_train):
+    import tempfile
+    from pathlib import Path
+
+    from tests.conftest import run_pooled
+
+    frames = {'reg_train': reg_train, 'cls_train': cls_train}
+    checks = []
+    for fn, extra in [
+        (_chk_regressor_fit_transform_matches_local_kernel, ['reg_train']),
+        (_chk_binary_classifier_outputs, ['cls_train']),
+        (_chk_multiclass_classifier, []),
+        (_chk_label_validation, []),
+        (_chk_param_system, []),
+        (_chk_early_stopping_requires_validation_col, ['reg_train']),
+        (_chk_model_persistence_roundtrip, ['reg_train', 'tmp_path']),
+        (_chk_estimator_persistence_roundtrip, ['tmp_path']),
+        (_chk_pipeline_integration, ['cls_train', 'tmp_path']),
+        (_chk_weights_shift_fit, []),
+        (_chk_missing_zero_semantics, []),
+        (_chk_validation_early_stopping, []),
+        (_chk_feature_importances, ['reg_train']),
+        (_chk_crossvalidator_integration, ['cls_train']),
+        (_chk_external_storage_parity, ['reg_train']),
+        (_chk_external_storage_rejects_weight, []),
+        (_chk_train_with_initial_model, ['reg_train', 'tmp_path']),
+        (_chk_continuation_matches_straight_run, ['reg_train']),
+        (_chk_callbacks, ['reg_train', 'tmp_path']),
+        (_chk_callback_early_stop, ['reg_train']),
+        (_chk_xgb_model_rejects_wrong_type, ['reg_train']),
+        (_chk_num_workers_param, []),
+        (_chk_use_gpu_param, []),
+        (_chk_quantile_and_mae_objectives_reach_kernel, []),
+        (_chk_flagship_fit_memoized, []),
+    ]:
+        def wrap(s, fn=fn, extra=extra):
+            args = [
+                Path(tempfile.mkdtemp(prefix='mlpool_'))
+                if a == 'tmp_path' else frames[a]
+                for a in extra
+            ]
+            fn(s, *args)
+        wrap.__name__ = fn.__name__
+        checks.append(wrap)
+    run_pooled(spark, checks, workers=8)

@@ -117,7 +117,7 @@ def test_minhash_identical_docs_always_candidates(spark, texts):
         assert by_id[0] == by_id[len(texts)]
 
 
-def test_minhash_bucket_cap_bounds_pair_expansion(spark):
+def _chk_minhash_bucket_cap_bounds_pair_expansion(spark):
     """A hot LSH bucket (here: 70 identical docs, all sharing every band
     key) must expand to C(cap, 2) pairs over the cap lowest doc_ids, not
     C(70, 2) — the worst-case pair blowup is bounded by _MH_BUCKET_CAP
@@ -137,7 +137,7 @@ def test_minhash_bucket_cap_bounds_pair_expansion(spark):
     assert all(r.doc_a < r.doc_b < cap for r in pairs)
 
 
-def test_minhash_b128_identical_docs_always_candidates(spark):
+def _chk_minhash_b128_identical_docs_always_candidates(spark):
     """Recall floor for the high-precision 16×8 banding: identical docs
     share all 128 minhashes, hence every band key, so they MUST pair —
     and a clearly-dissimilar doc must not pair with either."""
@@ -164,7 +164,7 @@ def test_minhash_b128_identical_docs_always_candidates(spark):
     assert pairs == {(0, 1)}
 
 
-def test_lsh_bucket_cap_bounds_aggregation_state(spark):
+def _chk_lsh_bucket_cap_bounds_aggregation_state(spark):
     """The cap must be applied BEFORE collect_list (row_number window
     filter), so no aggregation buffer ever holds more than `cap` ids —
     a corpus-wide degenerate bucket is a bounded state, not an OOM.
@@ -188,7 +188,7 @@ def test_lsh_bucket_cap_bounds_aggregation_state(spark):
     assert agg_pos < win_pos
 
 
-def test_substring_dedup_degenerate_identical_corpus(spark):
+def _chk_substring_dedup_degenerate_identical_corpus(spark):
     """A corpus where EVERY doc is the same text (every window hash is a
     corpus-wide hot bucket — the case that OOMed the old post-agg cap
     form at scale) must produce exactly C(_SS_CAP, 2) pairs over the
@@ -217,7 +217,7 @@ def test_substring_dedup_degenerate_identical_corpus(spark):
     assert all(r.n_shared_windows == 1 for r in rows)
 
 
-def test_connected_components_transitive_closure(spark):
+def _chk_connected_components_transitive_closure(spark):
     """dedup_groups_connected must group by TRANSITIVE closure: a chain
     of near-identical docs where the endpoints never collide in a band
     still forms one group. Identical docs guarantee full-signature
@@ -272,7 +272,7 @@ def test_exact_cents_sum_is_exact(spark, values):
     assert got == exp
 
 
-def test_quantized_aggregates_partition_invariant(spark):
+def _chk_quantized_aggregates_partition_invariant(spark):
     """The integer-quantization discipline's whole point: results are
     bit-identical no matter how rows are distributed across partitions
     (float sums would drift with partial-agg order)."""
@@ -297,7 +297,7 @@ def test_quantized_aggregates_partition_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def test_funnel_partition_invariant(spark):
+def _chk_funnel_partition_invariant(spark):
     from pyspark_xgboost_spark.operators.temporal import events_funnel_conversion
     from tests.conftest import SF_DIR
 
@@ -311,7 +311,7 @@ def test_funnel_partition_invariant(spark):
     assert tuple(base) == tuple(again)
 
 
-def test_fuzzy_levenshtein_catches_edits_jaccard_misses(spark):
+def _chk_fuzzy_levenshtein_catches_edits_jaccard_misses(spark):
     """An edit inside a word changes Levenshtein barely but destroys
     the token for Jaccard — the reason pipelines run both verifiers.
     Two identical docs except one character must pass the 80% edit
@@ -385,7 +385,7 @@ def test_nearest_asof_matches_bruteforce(spark, events):
         assert got[i] == best, (i, u, t, cands, got[i], best)
 
 
-def test_substring_dedup_matches_bruteforce(spark):
+def _chk_substring_dedup_matches_bruteforce(spark):
     """dedup_substring_exact vs a pure-Python recompute of the strided
     window collisions (cap included)."""
     import collections
@@ -418,7 +418,7 @@ def test_substring_dedup_matches_bruteforce(spark):
     assert got  # the fixture really contains cross-doc repeats
 
 
-def test_mode_exact_matches_counter(spark):
+def _chk_mode_exact_matches_counter(spark):
     import collections
 
     from pyspark_xgboost_spark.operators.relational import agg_mode_exact
@@ -442,7 +442,7 @@ def test_mode_exact_matches_counter(spark):
     assert got == expect
 
 
-def test_pipeline_dedup_corpus_conserves_and_matches_unionfind(spark):
+def _chk_pipeline_dedup_corpus_conserves_and_matches_unionfind(spark):
     """Survivor accounting must (a) conserve totals per source and
     (b) equal a pure-Python union-find over the same verified pairs."""
     import collections
@@ -491,7 +491,7 @@ def test_pipeline_dedup_corpus_conserves_and_matches_unionfind(spark):
     assert got_drop == {s: n for s, n in expect_drop.items() if n}
 
 
-def test_scd2_versions_partition_history_exactly(spark):
+def _chk_scd2_versions_partition_history_exactly(spark):
     """Each customer's SCD2 rows must tile their order history: runs of
     identical priority collapse to one version, intervals chain
     lead-to-lead, exactly one open (is_current) version per customer."""
@@ -526,7 +526,7 @@ def test_scd2_versions_partition_history_exactly(spark):
         assert rows[-1]["is_current"] and rows[-1]["valid_to_us"] is None
 
 
-def test_point_in_time_join_matches_python_interval_lookup(spark):
+def _chk_point_in_time_join_matches_python_interval_lookup(spark):
     """Every shipment line must resolve to exactly one SCD2 version —
     the one covering its ship date — and the per-priority counts must
     equal a pure-Python interval lookup."""
@@ -581,7 +581,7 @@ def test_point_in_time_join_matches_python_interval_lookup(spark):
     assert sum(got.values()) + dropped == len(lines)
 
 
-def test_ewma_matches_pandas_ewm(spark):
+def _chk_ewma_matches_pandas_ewm(spark):
     """window_ewma's fixed-point expansion must equal pandas'
     ewm(alpha=0.5, adjust=True) mean for series shorter than the
     truncation depth (identical math: normalized (1-α)^k weights)."""
@@ -616,7 +616,7 @@ def test_ewma_matches_pandas_ewm(spark):
         assert got[i] == pytest.approx(expected.iloc[i], abs=1e-12)
 
 
-def test_weighted_percentile_handmade(spark):
+def _chk_weighted_percentile_handmade(spark):
     """Weighted median: value 10 with weight 9 vs value 1000 with
     weight 1 — the unweighted median of the two values is irrelevant;
     cumulative weight reaches 50% (and 90%) at 10."""
@@ -644,7 +644,7 @@ def test_weighted_percentile_handmade(spark):
     assert r.p90_cents == 1000  # cw=9, tw=10: 9*10 >= 10*9 holds at 10.00
 
 
-def test_simhash_bands_identical_docs_hamming_zero(spark):
+def _chk_simhash_bands_identical_docs_hamming_zero(spark):
     """Identical docs have identical token sets, hence identical sign
     sums, hence the same 16-bit signature: they MUST pair at hamming 0."""
     from pyspark_xgboost_spark.operators import dedup
@@ -670,7 +670,7 @@ def test_simhash_bands_identical_docs_hamming_zero(spark):
     assert got.get((0, 1)) == 0
 
 
-def test_spatial_grid_matches_bruteforce(spark):
+def _chk_spatial_grid_matches_bruteforce(spark):
     from tests.conftest import SF_DIR
     """The 3x3 neighbor-cell blocking must find EXACTLY the pairs a
     cross join finds — cell side == radius guarantees any pair within
@@ -718,7 +718,7 @@ def test_spatial_grid_matches_bruteforce(spark):
     assert want, "fixture degenerate: no pairs within radius"
 
 
-def test_bloom_prefilter_candidates_superset_of_matches(spark):
+def _chk_bloom_prefilter_candidates_superset_of_matches(spark):
     from tests.conftest import SF_DIR
     """Every true match must survive the Bloom prefilter (no false
     negatives), and the attested counts must show n_matched <=
@@ -736,7 +736,7 @@ def test_bloom_prefilter_candidates_superset_of_matches(spark):
     assert fp <= 0.05 * total_cand + 10, (total_cand, total_match)
 
 
-def test_paragraph_dedup_conserves_distinct_blocks(spark):
+def _chk_paragraph_dedup_conserves_distinct_blocks(spark):
     from tests.conftest import SF_DIR
     """Sum of kept blocks across the corpus == number of globally
     distinct blocks, and no document keeps more than it had."""
@@ -772,7 +772,7 @@ def test_paragraph_dedup_conserves_distinct_blocks(spark):
     assert agg.kept < agg.blocks  # fixture must actually contain dupes
 
 
-def test_rolling_mad_constant_series_never_flags(spark):
+def _chk_rolling_mad_constant_series_never_flags(spark):
     from tests.conftest import SF_DIR
     """MAD of a constant frame is 0 and x == med, so nothing flags —
     the robustness property that distinguishes MAD from stddev-based
@@ -790,7 +790,7 @@ def test_rolling_mad_constant_series_never_flags(spark):
     assert df.is_anomaly.dtype == bool
 
 
-def test_countmin_never_underestimates(spark):
+def _chk_countmin_never_underestimates(spark):
     from tests.conftest import SF_DIR
     from pyspark_xgboost_spark.operators.sketches import (
         agg_countmin_heavy_hitters,
@@ -802,7 +802,7 @@ def test_countmin_never_underestimates(spark):
     assert all(r.cms_estimate >= r.exact_count for r in rows)
 
 
-def test_lsh_eval_recall_perfect_on_planted_dups(spark):
+def _chk_lsh_eval_recall_perfect_on_planted_dups(spark):
     """Planted near-dups have shingle jaccard ~0.9+; with 4 bands of 2
     hashes P(miss) = (1-j^2)^4 < 1e-4, so panel recall must be total
     (or the panel holds no truth pairs at this SF)."""
@@ -813,3 +813,22 @@ def test_lsh_eval_recall_perfect_on_planted_dups(spark):
     assert r.n_true_positives <= r.n_truth
     assert r.n_true_positives <= r.n_candidates
     assert r.recall_bp == (10000 if r.n_truth else -1)
+
+
+# Pooled contract sweep (smoke-sweep discipline; see test_plans_r11):
+# the hypothesis-driven properties above keep their own cases (each
+# runs many drawn examples); every deterministic property fans out
+# over the shared session in one case.
+_POOLED_PROPERTIES = [_chk_minhash_bucket_cap_bounds_pair_expansion, _chk_minhash_b128_identical_docs_always_candidates, _chk_lsh_bucket_cap_bounds_aggregation_state, _chk_substring_dedup_degenerate_identical_corpus, _chk_connected_components_transitive_closure, _chk_quantized_aggregates_partition_invariant, _chk_funnel_partition_invariant, _chk_fuzzy_levenshtein_catches_edits_jaccard_misses, _chk_substring_dedup_matches_bruteforce, _chk_mode_exact_matches_counter, _chk_pipeline_dedup_corpus_conserves_and_matches_unionfind, _chk_scd2_versions_partition_history_exactly, _chk_point_in_time_join_matches_python_interval_lookup, _chk_ewma_matches_pandas_ewm, _chk_weighted_percentile_handmade, _chk_simhash_bands_identical_docs_hamming_zero, _chk_spatial_grid_matches_bruteforce, _chk_bloom_prefilter_candidates_superset_of_matches, _chk_paragraph_dedup_conserves_distinct_blocks, _chk_rolling_mad_constant_series_never_flags, _chk_countmin_never_underestimates, _chk_lsh_eval_recall_perfect_on_planted_dups]
+
+
+# These checks monkeypatch a module-global (an operator module's
+# load_table) while they run, so they can never overlap a pooled
+# thread that calls into the same module — serial lane.
+_SERIAL_PATCHERS = [_chk_minhash_b128_identical_docs_always_candidates, _chk_substring_dedup_degenerate_identical_corpus, _chk_connected_components_transitive_closure, _chk_fuzzy_levenshtein_catches_edits_jaccard_misses, _chk_ewma_matches_pandas_ewm, _chk_weighted_percentile_handmade, _chk_simhash_bands_identical_docs_hamming_zero]
+
+
+def test_properties_contracts_pooled(spark):
+    from tests.conftest import run_pooled
+
+    run_pooled(spark, _POOLED_PROPERTIES, serial=_SERIAL_PATCHERS)

@@ -372,6 +372,9 @@ HEADLINE = [
     "stream_ivf_incremental",
     "stream_cc_incremental",
     "multimodal_mp4_duration",
+    "stream_mg_topk_incremental",
+    "events_markov_stationary",
+    "dedup_cdc_chunks",
 ]
 
 

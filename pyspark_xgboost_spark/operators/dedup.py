@@ -2245,3 +2245,129 @@ def dedup_minhash_estimator_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("err_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup — storage/transfer dedup stats
+# over rolling-hash chunk boundaries
+# --------------------------------------------------------------------------
+
+_CDC_W = 8  # rolling window (chars)
+_CDC_M = 32  # boundary modulus -> expected chunk ~32 chars
+
+_CDC_HEX4_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(substr(text, p - {_CDC_W - 1},"
+    f" {_CDC_W})), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+    for i in range(4)
+)
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH cutl AS (
+      SELECT doc_id, source, text,
+             list_filter(
+               list_transform(
+                 generate_series({_CDC_W}, length(text)),
+                 p -> CASE WHEN ({_CDC_HEX4_SQL}) % {_CDC_M} = 0
+                           THEN p ELSE -1 END),
+               x -> x > 0 AND x < length(text)) AS cuts
+      FROM documents
+    ),
+    bounds AS (
+      SELECT doc_id, source, text,
+             list_concat(list_concat([0], cuts),
+                         [length(text)]) AS bs
+      FROM cutl
+    ),
+    chunks AS (
+      SELECT source, unnest(
+               list_transform(
+                 generate_series(1, len(bs) - 1),
+                 i -> substr(text, bs[i] + 1, bs[i + 1] - bs[i]))) AS chunk
+      FROM bounds
+    ),
+    ch AS (
+      SELECT source, md5(chunk) AS digest,
+             CAST(length(chunk) AS BIGINT) AS clen
+      FROM chunks
+    ),
+    g AS (SELECT digest, count(*) AS cnt FROM ch GROUP BY digest)
+    SELECT ch.source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(ch.clen) AS BIGINT) AS n_chunk_chars,
+           CAST(sum(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           CAST(sum(CASE WHEN g.cnt > 1 THEN ch.clen ELSE 0 END) AS BIGINT)
+             AS shared_chars
+    FROM ch JOIN g USING (digest)
+    GROUP BY ch.source
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING dedup (the rsync/LBFS/FastCDC
+    primitive): chunk boundaries are declared wherever the rolling
+    hash of the trailing {_CDC_W}-char window is ≡ 0 (mod {_CDC_M}),
+    so boundaries are a function of CONTENT, not position — insert one
+    character at the front of a document and fixed-size blocks all
+    shift (0% dedup), while CDC chunks resynchronize at the next
+    content cut and everything downstream still dedups. The report
+    prices chunk-store savings per source: chunk volume, and how many
+    chunks (and chars) are shared with at least one other chunk
+    anywhere in the corpus. This is the storage-layer complement of
+    the document-level near-dup family: boilerplate headers/footers
+    surface as massively-shared chunks even when whole documents never
+    collide. The hash is the first 4 hex digits of the portable md5 of
+    the window — replayed digit-by-digit in DuckDB (strpos polynomial,
+    dedup._HEX_TO_INT_SQL discipline), so boundary placement, chunk
+    reassembly, and the digest join are all attested cross-engine.
+
+    Scale shape: cuts/bounds/chunks are per-row ARRAY expressions
+    (one codegen'd map pass, no explode shuffle until chunks exist);
+    the only exchange is the digest-keyed count join — O(chunks),
+    chunk-sized values never shuffle twice. At 100 TB the md5-per-
+    position cost is the CDC price every chunk store pays at ingest;
+    a gear-hash kernel in one vectorized Arrow pass is the drop-in
+    upgrade, but the md5 form keeps the oracle portable."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    chunks_expr = (
+        f"IF(length(text) < {_CDC_W}, array(text),"
+        f" transform(sequence(1, size(cdc_bounds) - 1),"
+        f" i -> substring(text, element_at(cdc_bounds, i) + 1,"
+        f" element_at(cdc_bounds, i + 1) - element_at(cdc_bounds, i))))"
+    )
+    bounds_expr = (
+        f"concat(array(0),"
+        f" filter(transform(sequence({_CDC_W}, greatest(length(text), {_CDC_W})),"
+        f" p -> IF(conv(substring(md5(substring(text, p - {_CDC_W - 1},"
+        f" {_CDC_W})), 1, 4), 16, 10) % {_CDC_M} = 0, p, -1)),"
+        f" x -> x > 0 AND x < length(text)),"
+        f" array(length(text)))"
+    )
+    ch = (
+        docs.withColumn("cdc_bounds", F.expr(bounds_expr))
+        .select("source", F.explode(F.expr(chunks_expr)).alias("chunk"))
+        .select(
+            "source",
+            F.md5("chunk").alias("digest"),
+            F.length("chunk").cast("long").alias("clen"),
+        )
+    )
+    g = ch.groupBy("digest").agg(F.count("*").alias("cnt"))
+    return (
+        ch.join(g, "digest")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum("clen").cast("bigint").alias("n_chunk_chars"),
+            F.sum((F.col("cnt") > 1).cast("long"))
+            .cast("bigint")
+            .alias("n_shared_chunks"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("clen")).otherwise(0))
+            .cast("bigint")
+            .alias("shared_chars"),
+        )
+    )

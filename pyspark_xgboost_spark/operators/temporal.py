@@ -4623,3 +4623,146 @@ def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("memory_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix + unrolled stationary power iteration over
+# the per-user event-type journey
+# --------------------------------------------------------------------------
+
+_MKV_ROUNDS = 4  # power-iteration steps from the uniform start
+_MKV_SCALE = 1_000_000_000  # pi in nano units
+_MKV_PSCALE = 1_000_000  # transition probs in micro units
+
+
+def _mkv_iter_sql(prev: str, out: str) -> str:
+    """One unrolled pi' = pi . P step in DuckDB SQL, exact integer
+    units (`//` floor-div matches Spark `div` on the non-negative
+    operands used here — the _pagerank_iter_sql discipline)."""
+    return f"""
+    {out} AS (
+      SELECT p.cur AS state,
+             CAST(sum(pi.pi * p.p_micro // {_MKV_PSCALE}) AS BIGINT) AS pi
+      FROM {prev} pi JOIN pmat p ON p.prev = pi.state
+      GROUP BY p.cur
+    )"""
+
+
+@register(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    cnt AS (
+      SELECT prev, event_type AS cur, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur
+    ),
+    rowtot AS (
+      SELECT prev, CAST(sum(n) AS BIGINT) AS row_n FROM cnt GROUP BY prev
+    ),
+    pmat AS (
+      SELECT c.prev, c.cur,
+             CAST(c.n * {_MKV_PSCALE} // r.row_n AS BIGINT) AS p_micro
+      FROM cnt c JOIN rowtot r USING (prev)
+    ),
+    states AS (SELECT DISTINCT event_type AS state FROM events),
+    nn AS (SELECT count(*) AS n FROM states),
+    pi0 AS (
+      SELECT state, CAST({_MKV_SCALE} // (SELECT n FROM nn) AS BIGINT) AS pi
+      FROM states
+    ),
+    {_mkv_iter_sql("pi0", "pi1")},
+    {_mkv_iter_sql("pi1", "pi2")},
+    {_mkv_iter_sql("pi2", "pi3")},
+    {_mkv_iter_sql("pi3", "pi4")},
+    loopiness AS (
+      SELECT prev AS state, p_micro AS self_micro FROM pmat
+      WHERE prev = cur
+    )
+    SELECT r.prev AS state, r.row_n AS n_out,
+           CAST(pi4.pi AS BIGINT) AS pi4_nano,
+           COALESCE(l.self_micro, 0) AS self_loop_micro
+    FROM rowtot r
+    JOIN pi4 ON pi4.state = r.prev
+    LEFT JOIN loopiness l ON l.state = r.prev
+    """,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TYPE MARKOV CHAIN — the per-user journey as a first-order
+    Markov process: consecutive events (ordered by (ts, event_id) — a
+    total order both engines share) form transition counts, rows
+    normalize to exact integer micro-probabilities, and the chain's
+    long-run behavior is summarized by {_MKV_ROUNDS} unrolled power-
+    iteration steps pi' = pi . P from the uniform start, in exact
+    integer nano units — the same deterministic fixed-round discipline
+    as graph_pagerank_fixed (graph.py:41), so the DuckDB oracle
+    replays every step bit-exactly rather than comparing a float
+    eigenvector. The report reads per state: outgoing transition
+    volume, the 4-step occupancy pi4_nano (the session-mix forecast a
+    capacity planner consumes), and the self-loop probability (sticky
+    states — retry storms and doom-scrolls surface here first).
+
+    Scale shape: ONE window pass over events (partition by user —
+    Spark's WindowGroupLimit-free lag, no skew beyond the per-user
+    history) feeds a map-side-combined (prev, cur) count; everything
+    after is |event_types|^2-sized (single digits here, dozens in
+    production) — the iteration joins are broadcast-trivial and
+    driver-free. At 100 TB the window pass is the only corpus-sized
+    stage and it rides the same shuffle the sessionization family
+    already pays."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    cnt = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("cur"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    rowtot = cnt.groupBy("prev").agg(
+        F.sum("n").cast("long").alias("row_n")
+    )
+    pmat = cnt.join(rowtot, "prev").select(
+        "prev",
+        "cur",
+        F.expr(f"n * {_MKV_PSCALE} div row_n").cast("long").alias("p_micro"),
+    )
+    states = ev.select(F.col("event_type").alias("state")).distinct()
+    n_states = states.agg(F.count("*").alias("n"))
+    pi = states.join(F.broadcast(n_states)).select(
+        "state",
+        F.expr(f"{_MKV_SCALE} div n").cast("long").alias("pi"),
+    )
+    for _ in range(_MKV_ROUNDS):
+        pi = (
+            pi.join(pmat, pi["state"] == pmat["prev"])
+            .groupBy(F.col("cur").alias("state2"))
+            .agg(
+                F.sum(F.expr(f"pi * p_micro div {_MKV_PSCALE}"))
+                .cast("long")
+                .alias("pi")
+            )
+            .withColumnRenamed("state2", "state")
+        )
+    loop = pmat.filter(F.col("prev") == F.col("cur")).select(
+        F.col("prev").alias("state"),
+        F.col("p_micro").alias("self_micro"),
+    )
+    return (
+        rowtot.select(F.col("prev").alias("state"), F.col("row_n").alias("n_out"))
+        .join(pi, "state")
+        .join(loop, "state", "left")
+        .select(
+            "state",
+            "n_out",
+            F.col("pi").cast("bigint").alias("pi4_nano"),
+            F.coalesce("self_micro", F.lit(0))
+            .cast("bigint")
+            .alias("self_loop_micro"),
+        )
+    )

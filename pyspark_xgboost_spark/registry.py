@@ -98,9 +98,11 @@ _GRADE_FIRST = [
     "pipeline_dedup_corpus",
     # ---- below the 50-slot line ----
     # r13 window plan: this round's (r12) NEW registrations first,
-    # sorted (so far: multimodal_mp4_duration, stream_cc_incremental,
-    # stream_ivf_incremental — keep this list current as r12 adds
-    # more), then the remaining 30 r05-attested rows in sorted order
+    # sorted (so far: dedup_cdc_chunks, events_markov_stationary,
+    # multimodal_mp4_duration, stream_cc_incremental,
+    # stream_ivf_incremental, stream_mg_topk_incremental — keep this
+    # list current as r12 adds more), then the remaining 30
+    # r05-attested rows in sorted order
     # up to 50 (pipeline_observed_metrics, sample_temperature_mixture,
     # sample_weighted_priority, scalar_array_ops, scan_csv_gzip, ...).
     # Recompute with the staleness query in tools/check_window.py.

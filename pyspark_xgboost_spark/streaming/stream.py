@@ -3325,3 +3325,217 @@ def _cc_incremental_oracle() -> str:
 
 
 _ORACLES["stream_cc_incremental"] = _cc_incremental_oracle()
+
+
+# --------------------------------------------------------------------------
+# Incremental Misra-Gries heavy-hitter maintenance: arriving document
+# batches fold their token counts into a persisted k-counter summary —
+# the FREQUENT-ITEMS leg of the streaming-maintenance family (the
+# deterministic counterpart of agg_countmin_heavy_hitters, maintained
+# online instead of recomputed)
+# --------------------------------------------------------------------------
+
+_MG_K = 12  # maintained counter budget
+
+
+def _stage_mg_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage THREE ordered ingest batches over ``documents`` (doc_id %
+    3 = seq, disjoint and exhaustive), carrying doc_id + text."""
+
+    def make_batch(docs, seq):
+        return docs.filter(F.col("doc_id") % 3 == seq).select(
+            "doc_id", "text", F.lit(seq).cast("int").alias("seq")
+        )
+
+    return _stage_seq_batches(spark, sf_dir, "docs_mg3_", make_batch)
+
+
+def _mg_summarize(counts: DataFrame, k: int) -> DataFrame:
+    """Offline Misra-Gries step (Agarwal et al., PODS 2012 mergeable
+    summaries): subtract the (k+1)-th largest count from every counter
+    and keep the positive residuals — at most k survive, each an
+    underestimate of its true count by at most the subtracted total.
+    The threshold is a VALUE (ties don't matter), so the step is
+    deterministic and both engines replay it identically."""
+    thr = (
+        counts.orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(k + 1)
+        .agg(
+            F.when(F.count("*") <= k, F.lit(0))
+            .otherwise(F.min("c"))
+            .cast("long")
+            .alias("t")
+        )
+    )
+    return (
+        counts.join(F.broadcast(thr))
+        .select("token", (F.col("c") - F.col("t")).alias("c"))
+        .filter(F.col("c") > 0)
+    )
+
+
+@register("stream_mg_topk_incremental", oracle=None)  # set below
+def stream_mg_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HEAVY-HITTER MAINTENANCE (Misra-Gries) — each arriving
+    batch of documents folds its exact token counts into a persisted
+    summary of at most {_MG_K} counters via the mergeable-summaries
+    update (sum counters, subtract the (k+1)-th largest, clamp at
+    zero). Unlike a sketch with hashing error, MG gives a DETERMINISTIC
+    guarantee: every maintained counter underestimates its token's true
+    corpus count by at most the total decrement, and any token whose
+    frequency exceeds n/(k+1) is guaranteed present. Because every step
+    (batch aggregation, threshold, clamp) is deterministic given the
+    batch split, the final summary is exactly replayable — the DuckDB
+    oracle unrolls all three batch merges and the final report
+    (surviving token, maintained counter, exact corpus count, and the
+    underestimate invariant) is compared hash-exactly.
+
+    This is vocabulary monitoring at ingest: "which tokens dominate
+    what we crawled so far" must be servable continuously without
+    rescanning history, and the maintained state is k counters — not
+    a vocabulary table. The batch recompute twin for sketched counts
+    is agg_countmin_heavy_hitters; this family's other legs maintain
+    HLL registers, DDSketch buckets, reservoir candidates, k-means
+    centroids, IVF postings, and CC labels the same way.
+
+    Scale shape: per batch, ONE map-side-combined token groupBy over
+    the BATCH only (the combiner every engine runs anyway), then all
+    remaining work — threshold, merge — happens on (k + batch-vocab)
+    rows shrinking to k; the streaming query is stateless (state lives
+    in the k-row summary table, copy-on-write versioned)."""
+    import shutil
+    import tempfile
+
+    from pyspark_xgboost_spark.operators.corpus import _TOKS
+    from pyspark_xgboost_spark.sources import load_table
+    from pyspark_xgboost_spark.sources.formats import build_lock
+
+    root = _stage_mg_batches(spark, sf_dir)
+    tbl = os.path.join(root, "mg")
+    final_marker = os.path.join(tbl, "_MG_FINAL")
+    if not os.path.exists(final_marker):
+        with build_lock(tbl):
+            if not os.path.exists(final_marker):
+                shutil.rmtree(tbl, ignore_errors=True)
+                os.makedirs(tbl)
+                state: dict[str, Any] = {"cur": None}
+
+                def mg_update(batch_df: DataFrame, batch_id: int) -> None:
+                    if batch_df.isEmpty():
+                        return
+                    sess = batch_df.sparkSession
+                    b = (
+                        batch_df.select(
+                            F.explode(F.expr(_TOKS)).alias("token")
+                        )
+                        .groupBy("token")
+                        .agg(F.count("*").cast("long").alias("c"))
+                    )
+                    if state["cur"] is not None:
+                        cur = sess.read.parquet(state["cur"])
+                        b = (
+                            cur.unionByName(b)
+                            .groupBy("token")
+                            .agg(F.sum("c").cast("long").alias("c"))
+                        )
+                    nxt = os.path.join(tbl, f"v{batch_id:03d}")
+                    _mg_summarize(b, _MG_K).write.mode(
+                        "overwrite"
+                    ).parquet(nxt)
+                    state["cur"] = nxt
+
+                q = (
+                    spark.readStream.schema(
+                        "doc_id long, text string, seq int"
+                    )
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(os.path.join(root, "in"))
+                    .writeStream.foreachBatch(mg_update)
+                    .option(
+                        "checkpointLocation",
+                        tempfile.mkdtemp(prefix="mg_ckpt_"),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                with open(final_marker, "w") as fh:
+                    fh.write(state["cur"])
+    with open(final_marker) as fh:
+        summary = spark.read.parquet(fh.read())
+    exact = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(_TOKS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+    )
+    return (
+        summary.join(exact, "token")
+        .select(
+            "token",
+            F.col("c").cast("bigint").alias("mg_count"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (F.col("c") <= F.col("n_exact"))
+            .cast("int")
+            .alias("underestimate_ok"),
+        )
+    )
+
+
+def _mg_incremental_oracle() -> str:
+    from pyspark_xgboost_spark.operators.corpus import _TOKS_SQL
+
+    k = _MG_K
+    parts = [
+        f"""b0 AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest({_TOKS_SQL}) AS token
+        FROM documents WHERE doc_id % 3 = 0) GROUP BY token
+    ),
+    m0 AS (SELECT token, c FROM b0)"""
+    ]
+    for i in range(3):
+        nxt = (
+            f"""m{i + 1} AS (
+      SELECT token, CAST(sum(c) AS BIGINT) AS c FROM (
+        SELECT token, c FROM s{i}
+        UNION ALL
+        SELECT token, CAST(count(*) AS BIGINT) AS c FROM (
+          SELECT unnest({_TOKS_SQL}) AS token
+          FROM documents WHERE doc_id % 3 = {i + 1}) GROUP BY token
+      ) GROUP BY token
+    )"""
+            if i < 2
+            else None
+        )
+        parts.append(
+            f"""t{i} AS (
+      SELECT CASE WHEN count(*) <= {k} THEN 0
+                  ELSE min(c) END AS t
+      FROM (SELECT token, c FROM m{i}
+            ORDER BY c DESC, token ASC LIMIT {k + 1})
+    ),
+    s{i} AS (
+      SELECT token, CAST(c - t AS BIGINT) AS c FROM m{i}, t{i}
+      WHERE c - t > 0
+    )"""
+        )
+        if nxt:
+            parts.append(nxt)
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    exact AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM (
+        SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+      GROUP BY token
+    )
+    SELECT s2.token, s2.c AS mg_count, exact.n_exact,
+           CAST(s2.c <= exact.n_exact AS INTEGER) AS underestimate_ok
+    FROM s2 JOIN exact USING (token)
+    """
+    )
+
+
+_ORACLES["stream_mg_topk_incremental"] = _mg_incremental_oracle()

@@ -97,7 +97,110 @@ def _chk_mp4_walk_is_genuine(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+
+
+def _chk_mg_incremental_guarantees(spark):
+    """The maintained MG summary must satisfy the deterministic
+    Misra-Gries contract: at most k counters, every counter an
+    underestimate of the exact corpus count, and every token whose
+    frequency exceeds n_tokens/(k+1) guaranteed present."""
+    from pyspark_xgboost_spark.operators.corpus import _TOKS
+    from pyspark_xgboost_spark.sources import load_table
+    from pyspark_xgboost_spark.streaming.stream import (
+        _MG_K,
+        stream_mg_topk_incremental,
+    )
+
+    rows = stream_mg_topk_incremental(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= _MG_K
+    assert all(r.underestimate_ok == 1 for r in rows)
+    assert all(0 < r.mg_count <= r.n_exact for r in rows)
+    exact = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.explode(F.expr(_TOKS)).alias("token"))
+        .groupBy("token")
+        .count()
+        .collect()
+    )
+    n_total = sum(r["count"] for r in exact)
+    kept = {r.token for r in rows}
+    for r in exact:
+        if r["count"] > n_total / (_MG_K + 1):
+            assert r["token"] in kept, r["token"]
+
+
+def _chk_markov_stationary_conserves_mass(spark):
+    """pi stays a (truncation-lossy) distribution: every pi4 entry is
+    nonnegative and the total is <= the nano scale but within the
+    truncation slack; self-loop probs are valid micro-probabilities;
+    the plan carries one window pass and no cartesian."""
+    from pyspark_xgboost_spark.operators.temporal import (
+        _MKV_SCALE,
+        events_markov_stationary,
+    )
+
+    out = events_markov_stationary(spark, SF_DIR)
+    rows = out.collect()
+    assert rows
+    total = sum(r.pi4_nano for r in rows)
+    # each of the 4 rounds loses < n_states * pscale slack to floor-div
+    assert 0.98 * _MKV_SCALE <= total <= _MKV_SCALE
+    assert all(0 <= r.self_loop_micro <= 1_000_000 for r in rows)
+    assert all(r.pi4_nano >= 0 for r in rows)
+    assert "CartesianProduct" not in plan_of(out)
+
+
+def _chk_cdc_chunks_conserve_and_resync(spark):
+    """Chunking must tile every document exactly (sum of chunk chars ==
+    sum of text chars) and actually find cross-document sharing; and
+    the boundary rule must resynchronize after a prefix edit (the
+    whole point of CDC vs fixed-size blocks)."""
+    import hashlib
+
+    from pyspark_xgboost_spark.operators.dedup import (
+        _CDC_M,
+        _CDC_W,
+        dedup_cdc_chunks,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+
+    rows = dedup_cdc_chunks(spark, SF_DIR).collect()
+    total_chunk_chars = sum(r.n_chunk_chars for r in rows)
+    total_text_chars = (
+        load_table(spark, SF_DIR, "documents")
+        .agg(F.sum(F.length("text")))
+        .collect()[0][0]
+    )
+    assert total_chunk_chars == total_text_chars  # exact tiling
+    assert any(r.n_shared_chunks > 0 for r in rows)  # fixture has reuse
+
+    # pure-python resync pin: chunk a string, then prepend a char —
+    # the tail chunks (past the first boundary) must be identical
+    def cuts(t):
+        out = []
+        for p in range(_CDC_W, len(t) + 1):
+            h = int(hashlib.md5(t[p - _CDC_W : p].encode()).hexdigest()[:4], 16)
+            if h % _CDC_M == 0 and p < len(t):
+                out.append(p)
+        return out
+
+    def chunk(t):
+        bs = [0] + cuts(t) + [len(t)]
+        return [t[bs[i] : bs[i + 1]] for i in range(len(bs) - 1)]
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    edited = "X" + base
+    # every cut position shifts by exactly 1, so every chunk after the
+    # first cut is the identical string — CDC resynchronizes where a
+    # fixed-size blocker would misalign the whole document
+    tail = set(chunk(base)[1:])
+    assert tail and tail <= set(chunk(edited))
+
+
 _R12_CHECKS = [
+    _chk_mg_incremental_guarantees,
+    _chk_markov_stationary_conserves_mass,
+    _chk_cdc_chunks_conserve_and_resync,
     _chk_stream_ivf_incremental_is_batch_identical,
     _chk_stream_cc_incremental_matches_batch_cc,
     _chk_mp4_walk_is_genuine,

@@ -375,6 +375,9 @@ HEADLINE = [
     "stream_mg_topk_incremental",
     "events_markov_stationary",
     "dedup_cdc_chunks",
+    "graph_random_walks",
+    "events_attribution_markov",
+    "multimodal_tiff_ifd_walk",
 ]
 
 

@@ -1200,3 +1200,113 @@ def graph_hyperanf_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("within_3sigma"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic random walks (DeepWalk corpus generation)
+# --------------------------------------------------------------------------
+
+_RW_LEN = 5  # steps per walk (walk visits _RW_LEN + 1 nodes)
+
+
+def _rw_step_sql(prev: str, out: str, t: int) -> str:
+    """One unrolled walk step in DuckDB SQL: from each walk's current
+    node, hop to the neighbor with the smallest md5(start:step:dst) —
+    the derandomized uniform choice (same salt both engines)."""
+    return f"""
+    {out} AS (
+      SELECT start, dst AS cur, path || '->' || dst AS path FROM (
+        SELECT w.start, w.path, e.dst,
+               row_number() OVER (
+                 PARTITION BY w.start
+                 ORDER BY md5(CAST(w.start AS VARCHAR) || ':{t}:'
+                              || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+        FROM {prev} w JOIN edges e ON e.src = w.cur)
+      WHERE rn = 1
+    )"""
+
+
+@register(
+    "graph_random_walks",
+    oracle="WITH "
+    + _MINHASH_CAND_SQL
+    + f""",
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL SELECT doc_b, doc_a FROM cand
+    ),
+    w0 AS (
+      SELECT src AS start, src AS cur, CAST(src AS VARCHAR) AS path
+      FROM (SELECT DISTINCT src FROM edges)
+    ),
+    {",".join(_rw_step_sql(f"w{t}", f"w{t + 1}", t + 1) for t in range(_RW_LEN))}
+    SELECT start AS start_id, path AS walk,
+           CAST(len(list_distinct(string_split(path, '->'))) AS BIGINT)
+             AS n_unique_nodes
+    FROM w{_RW_LEN}
+    """,
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC RANDOM WALKS over the LSH candidate graph — the
+    corpus-generation step of DeepWalk/node2vec (Perozzi et al., KDD
+    2014): one {_RW_LEN}-step walk per node, whose node sequences
+    become "sentences" for a skip-gram embedding trainer (the repo's
+    PPMI co-occurrence operator is the matrix-factorization reading of
+    the same corpus). The uniform next-hop draw is DERANDOMIZED the
+    way every sampler here is (sample_hash_bucket discipline): hop to
+    argmin_v md5(start:step:v) over the current node's neighbors —
+    per-walk-independent, uniform over neighbors in aggregate,
+    identically replayable in DuckDB (row_number over the same salt,
+    dst tiebreak matching Spark's lexicographic (hash, dst) min).
+
+    Spark shape: {_RW_LEN} unrolled join+agg stages — each step joins
+    the walk frontier (one row per walk) to the edge list, shuffling
+    O(walks x degree) candidate rows bounded by the LSH bucket cap,
+    then min_by-reduces per walk; no driver interaction, no per-walk
+    loop. At 100 TB with w walks per node this is the standard
+    map-reduce DeepWalk recipe (frontier partitioned by current node,
+    co-located with the edge list's src partitioning); plan depth is
+    bounded by walk length, and longer walks localCheckpoint every k
+    steps exactly like pagerank (graph.py:124).
+    """
+    edges = _lsh_edges(spark, sf_dir)
+    cur = (
+        edges.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("start"),
+            F.col("src").alias("cur"),
+            F.col("src").cast("string").alias("path"),
+        )
+    )
+    for t in range(1, _RW_LEN + 1):
+        cand = cur.join(edges, cur["cur"] == edges["src"]).select(
+            "start",
+            "path",
+            "dst",
+            F.md5(
+                F.concat(
+                    F.col("start").cast("string"),
+                    F.lit(f":{t}:"),
+                    F.col("dst").cast("string"),
+                )
+            ).alias("h"),
+        )
+        cur = (
+            cand.groupBy("start", "path")
+            .agg(F.min(F.struct("h", "dst")).alias("m"))
+            .select(
+                "start",
+                F.col("m.dst").alias("cur"),
+                F.concat(
+                    F.col("path"), F.lit("->"), F.col("m.dst").cast("string")
+                ).alias("path"),
+            )
+        )
+    return cur.select(
+        F.col("start").alias("start_id"),
+        F.col("path").alias("walk"),
+        F.size(F.array_distinct(F.split(F.col("path"), "->")))
+        .cast("bigint")
+        .alias("n_unique_nodes"),
+    )

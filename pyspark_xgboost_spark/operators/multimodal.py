@@ -1389,3 +1389,211 @@ def multimodal_mp4_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("duration_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# TIFF/EXIF IFD walk (little-endian counted entry table: width, height,
+# orientation)
+# --------------------------------------------------------------------------
+
+
+def _le16_hex_of(v_sql: str) -> str:
+    """Little-endian 2-byte hex image of an integer SQL expression
+    (engine-neutral: lpad/hex/substr behave identically)."""
+    return (
+        f"substr(lpad(hex({v_sql}), 4, '0'), 3, 2)"
+        f" || substr(lpad(hex({v_sql}), 4, '0'), 1, 2)"
+    )
+
+
+def _le32_hex_of(v_sql: str) -> str:
+    h = f"lpad(hex({v_sql}), 8, '0')"
+    return (
+        f"substr({h}, 7, 2) || substr({h}, 5, 2)"
+        f" || substr({h}, 3, 2) || substr({h}, 1, 2)"
+    )
+
+
+def _tiff_pack_sql(hexfn: str = "hex") -> str:
+    """The packed little-endian TIFF hex image, identical SQL for both
+    engines modulo the encode() call (DuckDB hex(encode(text)) vs
+    Spark hex(encode(text, 'UTF-8')) — pass the text-bytes hex term).
+
+    Layout: 'II' 42, LE32 IFD offset (8 + doc-varied pad), pad zeros,
+    LE16 entry count (doc-varied dummy entries + width/height/
+    orientation, tag-sorted per spec), 12-byte entries, LE32 next-IFD
+    = 0, then the text bytes as stand-in strip data."""
+    nd = "(doc_id % 5)"  # coprime to the cohort mod, so it varies
+    entry_tail = "|| '0300' || '01000000' || "  # type SHORT, count 1
+    dummy = (
+        f"CASE WHEN {nd} = 0 THEN '' ELSE array_to_string("
+        f"list_transform(generate_series(1, {nd}),"
+        f" i -> {_le16_hex_of('i')} {entry_tail}'00000000'), '') END"
+    )
+    width = "(100 + n_chars % 900)"
+    height = "(80 + doc_id % 640)"
+    orient = "(1 + doc_id % 8)"
+    return (
+        "upper('4949' || '2A00' || "
+        + _le32_hex_of("8 + doc_id % 13")
+        + " || repeat('00', doc_id % 13)"
+        + f" || {_le16_hex_of(f'{nd} + 3')}"
+        + f" || {dummy}"
+        + f" || '0001' {entry_tail}({_le16_hex_of(width)} || '0000')"
+        + f" || '0101' {entry_tail}({_le16_hex_of(height)} || '0000')"
+        + f" || '1201' {entry_tail}({_le16_hex_of(orient)} || '0000')"
+        + " || '00000000')"
+    )
+
+
+def _le16_dyn_duck(off: str) -> str:
+    """LE16 at dynamic 1-based BYTE offset in hex string hx (DuckDB)."""
+    return (
+        f"CAST('0x' || substr(hx, 2 * ({off}) + 1, 2)"
+        f" || substr(hx, 2 * ({off}) - 1, 2) AS INTEGER)"
+    )
+
+
+@register(
+    "multimodal_tiff_ifd_walk",
+    oracle=f"""
+    WITH packed AS (
+      SELECT doc_id,
+             {_tiff_pack_sql()} || hex(encode(text)) AS hx
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    hdr AS (
+      SELECT doc_id, hx,
+             CAST('0x' || substr(hx, 15, 2) || substr(hx, 13, 2)
+                       || substr(hx, 11, 2) || substr(hx, 9, 2)
+               AS BIGINT) AS ifd_off
+      FROM packed
+    ),
+    ifd AS (
+      SELECT doc_id, hx, ifd_off,
+             {_le16_dyn_duck("ifd_off + 1")} AS n_entries
+      FROM hdr
+    ),
+    scanned AS (
+      SELECT doc_id, ifd_off, n_entries,
+             list_transform(generate_series(0, n_entries - 1),
+               i -> struct_pack(
+                 tag := {_le16_dyn_duck("ifd_off + 3 + 12 * i")},
+                 val := {_le16_dyn_duck("ifd_off + 11 + 12 * i")}))
+               AS entries
+      FROM ifd
+    ),
+    tags AS (
+      SELECT doc_id, ifd_off, n_entries,
+             list_filter(entries, e -> e.tag = 256)[1].val AS width,
+             list_filter(entries, e -> e.tag = 257)[1].val AS height,
+             list_filter(entries, e -> e.tag = 274)[1].val AS orientation
+      FROM scanned
+    )
+    SELECT doc_id, CAST(ifd_off AS BIGINT) AS ifd_off,
+           CAST(n_entries AS BIGINT) AS n_entries,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(orientation AS BIGINT) AS orientation,
+           CAST(CASE WHEN orientation >= 5 THEN height ELSE width END
+             AS BIGINT) AS eff_width,
+           CAST(CASE WHEN orientation >= 5 THEN width ELSE height END
+             AS BIGINT) AS eff_height
+    FROM tags
+    """,
+)
+def multimodal_tiff_ifd_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF/EXIF IFD WALK — the third container-parsing structure:
+    where PNG is fixed-offset, and JPEG/MP4 hop length-prefixed
+    segments, TIFF is a COUNTED ENTRY TABLE reached through a file-
+    offset indirection: read the little-endian IFD offset from the
+    header, hop there, read the entry count, then SCAN n 12-byte
+    (tag, type, count, value) records for the tags you want — here
+    ImageWidth (256), ImageLength (257), and Orientation (274), the
+    tag every photo pipeline must respect before resizing (5-8 mean
+    the stored dimensions are TRANSPOSED; eff_width/eff_height apply
+    that swap). The packed cohort (doc_id % 4 = 0) varies BOTH the
+    IFD offset (header padding) and the wanted tags' POSITIONS inside
+    the table (0-3 dummy low-tag entries), so neither a fixed offset
+    nor a fixed entry index can pass; byte order is little-endian
+    throughout — the parser swaps bytes per read, attested against
+    DuckDB walking the identical hex image. The entry scan is a
+    per-row array expression (transform over sequence + filter), all
+    codegen, no UDF.
+
+    Scale shape: map-only; reads the 8-byte header + one IFD
+    (tens of bytes) per payload. Same ranged-GET property as the MP4
+    walk: at 100 TB over object storage this profiles a corpus by
+    fetching first-KB slices only."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 0
+    )
+    pack = (
+        _tiff_pack_sql()
+        .replace("array_to_string", "array_join")
+        .replace("list_transform", "transform")
+        .replace("generate_series(1, (doc_id % 5))", "sequence(1, doc_id % 5)")
+    )
+    payload = F.unhex(
+        F.expr(pack + " || hex(encode(text, 'UTF-8'))")
+    )
+    packed = docs.select("doc_id", payload.alias("payload"))
+
+    def le16_dyn(off: str) -> str:
+        h2 = f"hex(substring(payload, {off}, 2))"
+        return (
+            f"cast(conv(substring({h2}, 3, 2)"
+            f" || substring({h2}, 1, 2), 16, 10) as bigint)"
+        )
+
+    hdr = packed.select(
+        "doc_id",
+        "payload",
+        F.expr(
+            "cast(conv(concat("
+            "substring(hex(substring(payload, 5, 4)), 7, 2),"
+            "substring(hex(substring(payload, 5, 4)), 5, 2),"
+            "substring(hex(substring(payload, 5, 4)), 3, 2),"
+            "substring(hex(substring(payload, 5, 4)), 1, 2)), 16, 10)"
+            " as bigint)"
+        ).alias("ifd_off"),
+    )
+    ifd = hdr.select(
+        "doc_id",
+        "payload",
+        "ifd_off",
+        F.expr(le16_dyn("ifd_off + 1")).alias("n_entries"),
+    )
+    scanned = ifd.select(
+        "doc_id",
+        "ifd_off",
+        "n_entries",
+        F.expr(
+            f"transform(sequence(0, cast(n_entries - 1 as int)),"
+            f" i -> named_struct("
+            f"'tag', {le16_dyn('ifd_off + 3 + 12 * i')},"
+            f" 'val', {le16_dyn('ifd_off + 11 + 12 * i')}))"
+        ).alias("entries"),
+    )
+    tag = lambda t: F.expr(  # noqa: E731
+        f"element_at(filter(entries, e -> e.tag = {t}), 1).val"
+    )
+    out = scanned.select(
+        "doc_id",
+        F.col("ifd_off").cast("bigint").alias("ifd_off"),
+        F.col("n_entries").cast("bigint").alias("n_entries"),
+        tag(256).cast("bigint").alias("width"),
+        tag(257).cast("bigint").alias("height"),
+        tag(274).cast("bigint").alias("orientation"),
+    )
+    return out.select(
+        "*",
+        F.when(F.col("orientation") >= 5, F.col("height"))
+        .otherwise(F.col("width"))
+        .cast("bigint")
+        .alias("eff_width"),
+        F.when(F.col("orientation") >= 5, F.col("width"))
+        .otherwise(F.col("height"))
+        .cast("bigint")
+        .alias("eff_height"),
+    )

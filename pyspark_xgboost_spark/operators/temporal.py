@@ -4766,3 +4766,235 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("self_loop_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Markov removal-effect attribution (the data-driven successor of the
+# heuristic linear multi-touch credit above)
+# --------------------------------------------------------------------------
+
+_ATTR_ROUNDS = 8  # absorption steps; journeys are short, mass converges
+_ATTR_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _attr_journey_ctes() -> str:
+    """Shared journey->transition-matrix derivation (DuckDB): per-user
+    event sequence ordered by (ts, event_id); purchase is the CONV
+    absorber and resets the journey (the next touch re-enters from
+    START); a user's last non-converting event leaks to NULL."""
+    return """
+    seq AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'purchase' THEN 'CONV'
+                  ELSE event_type END AS state,
+             lag(CASE WHEN event_type = 'purchase' THEN 'CONV'
+                      ELSE event_type END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rdesc
+      FROM events
+    ),
+    trans AS (
+      SELECT CASE WHEN prev IS NULL OR prev = 'CONV' THEN 'START'
+                  ELSE prev END AS prev,
+             state AS cur
+      FROM seq
+      UNION ALL
+      SELECT state AS prev, 'NULL' AS cur
+      FROM seq WHERE rdesc = 1 AND state <> 'CONV'
+    ),
+    cnt AS (
+      SELECT prev, cur, CAST(count(*) AS BIGINT) AS n
+      FROM trans GROUP BY prev, cur
+    ),
+    rowtot AS (
+      SELECT prev, CAST(sum(n) AS BIGINT) AS row_n FROM cnt GROUP BY prev
+    ),
+    pmat AS (
+      SELECT c.prev, c.cur,
+             CAST(c.n * 1000000 // r.row_n AS BIGINT) AS p_micro
+      FROM cnt c JOIN rowtot r USING (prev)
+    ),
+    scen AS (
+      SELECT unnest(['none', 'click', 'error', 'signup', 'view'])
+        AS scenario
+    )"""
+
+
+def _attr_oracle() -> str:
+    parts = [
+        _attr_journey_ctes(),
+        """m0 AS (
+      SELECT scenario, 'START' AS state,
+             CAST(1000000000 AS BIGINT) AS m
+      FROM scen
+    )""",
+    ]
+    for t in range(1, _ATTR_ROUNDS + 1):
+        parts.append(
+            f"""f{t} AS (
+      SELECT m.scenario, p.cur,
+             CAST(m.m * p.p_micro // 1000000 AS BIGINT) AS flow
+      FROM m{t - 1} m JOIN pmat p ON p.prev = m.state
+      WHERE p.cur <> m.scenario
+    ),
+    c{t} AS (
+      SELECT scenario, CAST(sum(flow) AS BIGINT) AS dc FROM f{t}
+      WHERE cur = 'CONV' GROUP BY scenario
+    ),
+    m{t} AS (
+      SELECT scenario, cur AS state, CAST(sum(flow) AS BIGINT) AS m
+      FROM f{t} WHERE cur NOT IN ('CONV', 'NULL')
+      GROUP BY scenario, cur
+    )"""
+        )
+    conv_union = " UNION ALL ".join(
+        f"SELECT scenario, dc FROM c{t}" for t in range(1, _ATTR_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    conv AS (
+      SELECT s.scenario, CAST(COALESCE(sum(u.dc), 0) AS BIGINT) AS conv_nano
+      FROM scen s LEFT JOIN ({conv_union}) u USING (scenario)
+      GROUP BY s.scenario
+    ),
+    base AS (SELECT conv_nano AS b FROM conv WHERE scenario = 'none'),
+    re AS (
+      SELECT scenario AS channel, conv_nano,
+             (SELECT b FROM base) - conv_nano AS re_nano
+      FROM conv WHERE scenario <> 'none'
+    ),
+    tot AS (SELECT CAST(sum(re_nano) AS BIGINT) AS t FROM re)
+    SELECT r.channel,
+           (SELECT b FROM base) AS conv_base_nano,
+           r.conv_nano AS conv_removed_nano,
+           CAST(r.re_nano AS BIGINT) AS removal_effect_nano,
+           CAST(CASE WHEN (SELECT t FROM tot) = 0 THEN 0
+                     ELSE r.re_nano * 1000 // (SELECT t FROM tot)
+                END AS BIGINT) AS attribution_milli
+    FROM re r
+    """
+    )
+
+
+@register("events_attribution_markov", oracle=_attr_oracle())
+def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2016) — the
+    data-driven successor of events_attribution_linear's heuristic
+    equal-credit: journeys become a first-order chain (START ->
+    touches -> CONV on purchase, last unconverted touch -> NULL),
+    and each channel's credit is its REMOVAL EFFECT — how much
+    absorption mass CONV loses when every transition into that channel
+    is redirected to NULL. Removing a channel can only intercept
+    journeys, so conv_removed <= conv_base term-by-term in the exact
+    integer arithmetic, and credits are nonnegative by construction.
+    Absorption runs as {_ATTR_ROUNDS} unrolled mass-propagation steps
+    in integer nano units, all five scenarios (base + four removals)
+    propagating TOGETHER as one (scenario, state) keyed frame — the
+    removal filter is simply cur <> scenario, since 'none' names no
+    channel. The DuckDB oracle replays every step bit-exactly.
+
+    Scale shape: ONE window pass over events (the same per-user
+    shuffle the sessionization family pays) collapses the corpus to a
+    <=7x7 transition matrix; the five-scenario propagation is
+    |scenarios| x |states| rows per round — broadcast-trivial joins,
+    driver-free, O(1) in corpus size after the first exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    st = F.when(F.col("event_type") == "purchase", "CONV").otherwise(
+        F.col("event_type")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    seq = ev.select(
+        st.alias("state"),
+        F.lag(st).over(w).alias("prev"),
+        F.row_number().over(wd).alias("rdesc"),
+    )
+    trans = seq.select(
+        F.when(
+            F.col("prev").isNull() | (F.col("prev") == "CONV"), "START"
+        )
+        .otherwise(F.col("prev"))
+        .alias("prev"),
+        F.col("state").alias("cur"),
+    ).unionByName(
+        seq.filter((F.col("rdesc") == 1) & (F.col("state") != "CONV")).select(
+            F.col("state").alias("prev"), F.lit("NULL").alias("cur")
+        )
+    )
+    cnt = trans.groupBy("prev", "cur").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    rowtot = cnt.groupBy("prev").agg(F.sum("n").cast("long").alias("row_n"))
+    pmat = cnt.join(rowtot, "prev").select(
+        "prev",
+        "cur",
+        F.expr("n * 1000000 div row_n").cast("long").alias("p_micro"),
+    )
+    scen = spark.createDataFrame(
+        [("none",), *((c,) for c in _ATTR_CHANNELS)], "scenario string"
+    )
+    mass = scen.select(
+        "scenario",
+        F.lit("START").alias("state"),
+        F.lit(1_000_000_000).cast("long").alias("m"),
+    )
+    conv_incs = []
+    for _ in range(_ATTR_ROUNDS):
+        flows = (
+            mass.join(pmat, mass["state"] == pmat["prev"])
+            .filter(F.col("cur") != F.col("scenario"))
+            .select(
+                "scenario",
+                "cur",
+                F.expr("m * p_micro div 1000000").cast("long").alias("flow"),
+            )
+        )
+        conv_incs.append(
+            flows.filter(F.col("cur") == "CONV")
+            .groupBy("scenario")
+            .agg(F.sum("flow").cast("long").alias("dc"))
+        )
+        mass = (
+            flows.filter(~F.col("cur").isin("CONV", "NULL"))
+            .groupBy("scenario", F.col("cur").alias("state"))
+            .agg(F.sum("flow").cast("long").alias("m"))
+        )
+    inc = conv_incs[0]
+    for d in conv_incs[1:]:
+        inc = inc.unionByName(d)
+    conv = (
+        scen.join(inc, "scenario", "left")
+        .groupBy("scenario")
+        .agg(F.coalesce(F.sum("dc"), F.lit(0)).cast("long").alias("conv_nano"))
+    )
+    base = conv.filter(F.col("scenario") == "none").select(
+        F.col("conv_nano").alias("conv_base_nano")
+    )
+    re = (
+        conv.filter(F.col("scenario") != "none")
+        .join(F.broadcast(base))
+        .select(
+            F.col("scenario").alias("channel"),
+            "conv_base_nano",
+            F.col("conv_nano").alias("conv_removed_nano"),
+            (F.col("conv_base_nano") - F.col("conv_nano"))
+            .cast("long")
+            .alias("re_nano"),
+        )
+    )
+    tot = re.agg(F.sum("re_nano").cast("long").alias("t"))
+    return re.join(F.broadcast(tot)).select(
+        "channel",
+        "conv_base_nano",
+        "conv_removed_nano",
+        F.col("re_nano").cast("bigint").alias("removal_effect_nano"),
+        F.when(F.col("t") == 0, F.lit(0))
+        .otherwise(F.expr("re_nano * 1000 div t"))
+        .cast("bigint")
+        .alias("attribution_milli"),
+    )

@@ -98,11 +98,12 @@ _GRADE_FIRST = [
     "pipeline_dedup_corpus",
     # ---- below the 50-slot line ----
     # r13 window plan: this round's (r12) NEW registrations first,
-    # sorted (so far: dedup_cdc_chunks, events_markov_stationary,
-    # multimodal_mp4_duration, stream_cc_incremental,
-    # stream_ivf_incremental, stream_mg_topk_incremental — keep this
-    # list current as r12 adds more), then the remaining 30
-    # r05-attested rows in sorted order
+    # sorted (so far: dedup_cdc_chunks, events_attribution_markov,
+    # events_markov_stationary, graph_random_walks,
+    # multimodal_mp4_duration, multimodal_tiff_ifd_walk,
+    # stream_cc_incremental, stream_ivf_incremental,
+    # stream_mg_topk_incremental — keep this list current as r12 adds
+    # more), then the remaining 30 r05-attested rows in sorted order
     # up to 50 (pipeline_observed_metrics, sample_temperature_mixture,
     # sample_weighted_priority, scalar_array_ops, scan_csv_gzip, ...).
     # Recompute with the staleness query in tools/check_window.py.

@@ -197,7 +197,78 @@ def _chk_cdc_chunks_conserve_and_resync(spark):
     assert tail and tail <= set(chunk(edited))
 
 
+
+
+def _chk_random_walks_are_genuine_walks(spark):
+    """Every step of every walk must traverse a real edge; every node
+    gets exactly one walk; walk length is exactly _RW_LEN + 1."""
+    from pyspark_xgboost_spark.operators.graph import (
+        _RW_LEN,
+        _lsh_edges,
+        graph_random_walks,
+    )
+
+    rows = graph_random_walks(spark, SF_DIR).collect()
+    edges = {
+        (r.src, r.dst) for r in _lsh_edges(spark, SF_DIR).collect()
+    }
+    nodes = {a for a, _ in edges}
+    assert {r.start_id for r in rows} == nodes  # one walk per node
+    for r in rows:
+        path = [int(x) for x in r.walk.split("->")]
+        assert len(path) == _RW_LEN + 1
+        assert path[0] == r.start_id
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in edges, (a, b)
+        assert r.n_unique_nodes == len(set(path))
+
+
+def _chk_markov_attribution_contract(spark):
+    """Removal effects are nonnegative (removing a channel can only
+    intercept journeys), credits sum to ~1000 milli, and the base
+    conversion mass is a valid sub-distribution of the start mass."""
+    from pyspark_xgboost_spark.operators.temporal import (
+        events_attribution_markov,
+    )
+
+    rows = events_attribution_markov(spark, SF_DIR).collect()
+    assert len(rows) == 4
+    base = rows[0].conv_base_nano
+    assert all(r.conv_base_nano == base for r in rows)
+    assert 0 < base <= 1_000_000_000
+    assert all(0 <= r.conv_removed_nano <= base for r in rows)
+    assert all(r.removal_effect_nano >= 0 for r in rows)
+    total_milli = sum(r.attribution_milli for r in rows)
+    assert 996 <= total_milli <= 1000  # floor-div slack only
+
+
+def _chk_tiff_walk_is_genuine(spark):
+    """The IFD walk must really indirect + scan: per-row IFD offsets
+    AND per-row entry counts vary, orientation transposition is
+    applied, and the projection is UDF-free."""
+    from pyspark_xgboost_spark.operators.multimodal import (
+        multimodal_tiff_ifd_walk,
+    )
+
+    out = multimodal_tiff_ifd_walk(spark, SF_DIR)
+    rows = out.collect()
+    assert rows
+    assert len({r.ifd_off for r in rows}) > 1  # offset indirection varies
+    assert len({r.n_entries for r in rows}) > 1  # scan length varies
+    for r in rows:
+        assert 1 <= r.orientation <= 8
+        if r.orientation >= 5:
+            assert (r.eff_width, r.eff_height) == (r.height, r.width)
+        else:
+            assert (r.eff_width, r.eff_height) == (r.width, r.height)
+    plan = plan_of(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 _R12_CHECKS = [
+    _chk_random_walks_are_genuine_walks,
+    _chk_markov_attribution_contract,
+    _chk_tiff_walk_is_genuine,
     _chk_mg_incremental_guarantees,
     _chk_markov_stationary_conserves_mass,
     _chk_cdc_chunks_conserve_and_resync,

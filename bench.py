@@ -378,6 +378,12 @@ HEADLINE = [
     "graph_random_walks",
     "events_attribution_markov",
     "multimodal_tiff_ifd_walk",
+    "events_diff_in_diff",
+    "events_poisson_rate_shift",
+    "corpus_theil_decomposition",
+    "dedup_weighted_jaccard_verify",
+    "text_readability_fk",
+    "multimodal_zip_eocd",
 ]
 
 

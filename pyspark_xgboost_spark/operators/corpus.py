@@ -3228,3 +3228,93 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lnv_micro",
         F.round(beta * 1000).cast("bigint").alias("beta_milli"),
     )
+
+
+@register(
+    "corpus_theil_decomposition",
+    oracle="""
+    WITH d AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS x,
+             CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000000)
+               AS BIGINT) AS lnx_nano
+      FROM documents
+    ),
+    g AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(x) AS BIGINT) AS sum_chars,
+             CAST(sum(x * lnx_nano) AS BIGINT) AS xlnx_nano
+      FROM d GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+             CAST(sum(sum_chars) AS BIGINT) AS ss
+      FROM g
+    )
+    SELECT g.source, g.n_docs, g.sum_chars,
+           CAST(floor((CAST(g.xlnx_nano AS DOUBLE) / 1000000000
+                         / g.sum_chars
+                       - ln(CAST(g.sum_chars AS DOUBLE) / g.n_docs))
+                      * 1000000) AS BIGINT) AS theil_within_micro,
+           CAST(floor(CAST(g.sum_chars AS DOUBLE) / t.ss * 1000000)
+             AS BIGINT) AS share_micro,
+           CAST(floor(CAST(g.sum_chars AS DOUBLE) / t.ss
+                      * ln((CAST(g.sum_chars AS DOUBLE) / t.ss)
+                           / (CAST(g.n_docs AS DOUBLE) / t.nn))
+                      * 1000000) AS BIGINT) AS between_term_micro
+    FROM g, tot t
+    """,
+)
+def corpus_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-T INEQUALITY DECOMPOSITION of document lengths by source
+    (Theil 1967; the additive-decomposable partner of
+    corpus_gini_lengths): total inequality splits EXACTLY into
+    within-source and between-source terms — T = sum_g s_g*T_g +
+    sum_g s_g*ln(s_g/(N_g/N)) — so a curation team can read whether
+    length skew lives inside sources (chunking problem) or across
+    them (mixture problem). Per source the report carries T_g (its
+    internal inequality), its char share, and its between-group term;
+    the roll-up is the reader's one-line sum, kept OUT of the query so
+    no cross-source float summation order can perturb the result.
+
+    Determinism: the only per-document transcendental, ln(n_chars), is
+    quantized to an integer nano-nat per VALUE (the
+    agg_entropy_by_source round-ln discipline — n_chars is
+    low-cardinality, both engines' libm agree on these arguments) and
+    then summed exactly as x*lnx in BIGINT; every remaining ln takes
+    per-group scalars. Scale shape: one map-side-combinable groupBy
+    over documents, then O(sources) arithmetic against a broadcast
+    1-row total."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.round(F.log(F.col("n_chars").cast("double")) * 1_000_000_000)
+        .cast("long")
+        .alias("lnx_nano"),
+    )
+    g = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("x").cast("bigint").alias("sum_chars"),
+        F.sum(F.col("x") * F.col("lnx_nano")).cast("bigint").alias("xlnx_nano"),
+    )
+    tot = g.agg(
+        F.sum("n_docs").cast("bigint").alias("nn"),
+        F.sum("sum_chars").cast("bigint").alias("ss"),
+    )
+    j = g.join(F.broadcast(tot))
+    sg = F.col("sum_chars").cast("double") / F.col("ss")
+    tw = (
+        F.col("xlnx_nano").cast("double") / 1_000_000_000 / F.col("sum_chars")
+        - F.log(F.col("sum_chars").cast("double") / F.col("n_docs"))
+    )
+    tb = sg * F.log(
+        sg / (F.col("n_docs").cast("double") / F.col("nn"))
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        "sum_chars",
+        F.floor(tw * 1_000_000).cast("bigint").alias("theil_within_micro"),
+        F.floor(sg * 1_000_000).cast("bigint").alias("share_micro"),
+        F.floor(tb * 1_000_000).cast("bigint").alias("between_term_micro"),
+    )

@@ -1597,3 +1597,156 @@ def multimodal_tiff_ifd_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("eff_height"),
     )
+
+
+# --------------------------------------------------------------------------
+# ZIP end-of-central-directory: signature SEARCH + directory accounting
+# --------------------------------------------------------------------------
+
+
+def _le32_dyn_duck(off: str) -> str:
+    """LE32 at dynamic 1-based BYTE offset in hex string hx (DuckDB)."""
+    return (
+        f"CAST('0x' || substr(hx, 2 * ({off}) + 5, 2)"
+        f" || substr(hx, 2 * ({off}) + 3, 2)"
+        f" || substr(hx, 2 * ({off}) + 1, 2)"
+        f" || substr(hx, 2 * ({off}) - 1, 2) AS BIGINT)"
+    )
+
+
+def _zip_pack_sql() -> str:
+    """Engine-neutral hex image of a minimal STORED zip: ne = 1 +
+    doc_id % 3 local-header+data records, the matching central
+    directory, and an EOCD whose comment is the document text — so
+    the EOCD sits at a doc-varied distance from the end and a parser
+    MUST search for the signature rather than index from EOF."""
+    ne = "(1 + doc_id % 3)"
+    lh = (
+        "'504B0304' || '0A00' || '0000' || '0000' || '0000' || '0000'"
+        " || '00000000' || '04000000' || '04000000' || '0200' || '0000'"
+        " || '66' || '3' || i || '44415441'"
+    )
+    ce = (
+        "'504B0102' || '0A000A00' || '0000' || '0000' || '0000' || '0000'"
+        " || '00000000' || '04000000' || '04000000' || '0200' || '0000'"
+        " || '0000' || '0000' || '0000' || '00000000' || "
+        + _le32_hex_of("36 * (i - 1)")
+        + " || '66' || '3' || i"
+    )
+    eocd = (
+        "'504B0506' || '0000' || '0000' || "
+        + _le16_hex_of(ne)
+        + " || "
+        + _le16_hex_of(ne)
+        + " || "
+        + _le32_hex_of(f"48 * {ne}")
+        + " || "
+        + _le32_hex_of(f"36 * {ne}")
+        + " || "
+        + _le16_hex_of("octet_length(encode(text))")
+    )
+    return (
+        f"upper(array_to_string(list_transform(generate_series(1, {ne}),"
+        f" i -> {lh}), '')"
+        f" || array_to_string(list_transform(generate_series(1, {ne}),"
+        f" i -> {ce}), '')"
+        f" || {eocd})"
+    )
+
+
+@register(
+    "multimodal_zip_eocd",
+    oracle=f"""
+    WITH packed AS (
+      SELECT doc_id,
+             {_zip_pack_sql()} || hex(encode(text)) AS hx
+      FROM documents WHERE doc_id % 4 = 1
+    ),
+    found AS (
+      SELECT doc_id, hx,
+             (strpos(hx, '504B0506') + 1) // 2 AS b
+      FROM packed
+    )
+    SELECT doc_id,
+           CAST(b - 1 AS BIGINT) AS eocd_off,
+           CAST({_le16_dyn_duck("b + 10")} AS BIGINT) AS n_entries,
+           CAST({_le32_dyn_duck("b + 12")} AS BIGINT) AS cd_size,
+           CAST({_le32_dyn_duck("b + 16")} AS BIGINT) AS cd_offset,
+           CAST({_le16_dyn_duck("b + 20")} AS BIGINT) AS comment_len,
+           CAST(CASE WHEN {_le32_dyn_duck("b + 16")}
+                          + {_le32_dyn_duck("b + 12")} = b - 1
+                     THEN 1 ELSE 0 END AS INTEGER) AS layout_ok
+    FROM found
+    """,
+)
+def multimodal_zip_eocd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP END-OF-CENTRAL-DIRECTORY — the fourth container-parsing
+    structure: not fixed-offset (PNG), not a length hop (JPEG/MP4),
+    not a counted table behind an indirection (TIFF), but a SIGNATURE
+    SEARCH: the EOCD trails a variable-length archive comment, so its
+    position is unknowable from EOF and every real unzip scans
+    backward for PK\\x05\\x06. The packed cohort (doc_id % 4 = 1)
+    carries 1-3 STORED members (local headers + data), the matching
+    central directory, and an EOCD whose comment is the document text
+    — so the search distance varies per row and the directory
+    accounting is real: the report pins layout_ok = (cd_offset +
+    cd_size == eocd_off), the consistency check an archive auditor
+    runs before trusting member counts (comment bytes are printable
+    text, so the control-byte signature cannot collide). Spark
+    locates the signature in the hex image of the BinaryType payload
+    (locate + computed-offset substrings, all codegen); DuckDB
+    replays with strpos over the identical hex.
+
+    Scale shape: map-only; at 100 TB over object storage this is the
+    classic last-64KB ranged GET per archive, here expressed over the
+    payload column. Member-level enumeration (walking cd_offset's
+    entry chain) composes from the same little-endian reads."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 1
+    )
+    pack = (
+        _zip_pack_sql()
+        .replace("array_to_string", "array_join")
+        .replace("list_transform", "transform")
+        .replace("generate_series(1, (1 + doc_id % 3))", "sequence(1, 1 + doc_id % 3)")
+        .replace(
+            "octet_length(encode(text))",
+            "octet_length(encode(text, 'UTF-8'))",
+        )
+    )
+    payload = F.unhex(F.expr(pack + " || hex(encode(text, 'UTF-8'))"))
+    packed = docs.select("doc_id", payload.alias("payload")).withColumn(
+        "hx", F.hex(F.col("payload"))
+    )
+    found = packed.select(
+        "doc_id",
+        "hx",
+        F.expr("(locate('504B0506', hx) + 1) div 2").alias("b"),
+    )
+
+    def le16(off: str) -> str:
+        return (
+            f"cast(conv(substr(hx, 2 * ({off}) + 1, 2)"
+            f" || substr(hx, 2 * ({off}) - 1, 2), 16, 10) as bigint)"
+        )
+
+    def le32(off: str) -> str:
+        return (
+            f"cast(conv(substr(hx, 2 * ({off}) + 5, 2)"
+            f" || substr(hx, 2 * ({off}) + 3, 2)"
+            f" || substr(hx, 2 * ({off}) + 1, 2)"
+            f" || substr(hx, 2 * ({off}) - 1, 2), 16, 10) as bigint)"
+        )
+
+    return found.select(
+        "doc_id",
+        (F.col("b") - 1).cast("bigint").alias("eocd_off"),
+        F.expr(le16("b + 10")).alias("n_entries"),
+        F.expr(le32("b + 12")).alias("cd_size"),
+        F.expr(le32("b + 16")).alias("cd_offset"),
+        F.expr(le16("b + 20")).alias("comment_len"),
+        F.expr(
+            f"cast(if({le32('b + 16')} + {le32('b + 12')} = b - 1, 1, 0)"
+            " as int)"
+        ).alias("layout_ok"),
+    )

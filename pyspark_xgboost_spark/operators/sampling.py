@@ -2241,3 +2241,225 @@ def sample_coreset_dsquared(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").cast("bigint").alias("w"),
         "lnu_micro",
     )
+
+
+@register(
+    "events_diff_in_diff",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('exp42:' || CAST(user_id AS VARCHAR)),
+                              1, 1) < '8'
+                  THEN 'treatment' ELSE 'control' END AS arm,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS pre_cents,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS post_cents
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(post_cents - pre_cents) AS BIGINT) AS sd,
+             CAST(sum((post_cents - pre_cents) * (post_cents - pre_cents))
+               AS BIGINT) AS sdd,
+             CAST(sum(pre_cents) AS BIGINT) AS spre,
+             CAST(sum(post_cents) AS BIGINT) AS spost
+      FROM per_user GROUP BY arm
+    ),
+    t AS (SELECT * FROM arms WHERE arm = 'treatment'),
+    c AS (SELECT * FROM arms WHERE arm = 'control'),
+    j AS (
+      SELECT t.n_users AS n_treat, c.n_users AS n_control,
+             CAST(t.sd AS DOUBLE) / t.n_users
+               - CAST(c.sd AS DOUBLE) / c.n_users AS did,
+             (CAST(t.n_users AS DOUBLE) * t.sdd
+                - CAST(t.sd AS DOUBLE) * t.sd)
+               / (CAST(t.n_users AS DOUBLE) * (t.n_users - 1)) / t.n_users
+             + (CAST(c.n_users AS DOUBLE) * c.sdd
+                - CAST(c.sd AS DOUBLE) * c.sd)
+               / (CAST(c.n_users AS DOUBLE) * (c.n_users - 1)) / c.n_users
+               AS var_did,
+             CAST(t.spre AS DOUBLE) / t.n_users AS mt_pre,
+             CAST(t.spost AS DOUBLE) / t.n_users AS mt_post,
+             CAST(c.spre AS DOUBLE) / c.n_users AS mc_pre,
+             CAST(c.spost AS DOUBLE) / c.n_users AS mc_post
+      FROM t, c
+    )
+    SELECT n_treat, n_control,
+           CAST(floor(mt_pre * 10) AS BIGINT) AS mean_treat_pre_milli,
+           CAST(floor(mt_post * 10) AS BIGINT) AS mean_treat_post_milli,
+           CAST(floor(mc_pre * 10) AS BIGINT) AS mean_control_pre_milli,
+           CAST(floor(mc_post * 10) AS BIGINT) AS mean_control_post_milli,
+           CAST(floor(did * 10) AS BIGINT) AS did_milli,
+           CAST(floor(sqrt(var_did) * 10) AS BIGINT) AS se_milli,
+           CAST(CASE WHEN abs(did) > 1.96 * sqrt(var_did)
+                     THEN 1 ELSE 0 END AS INTEGER) AS significant_95
+    FROM j
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES over the salted-hash experiment arms
+    (Card & Krueger 1994 design, panel form): each user is their own
+    control — the estimand is mean(post - pre | treatment) -
+    mean(post - pre | control), which nets out both user-level
+    heterogeneity and the common time trend that a naive post-period
+    comparison confounds. The standard error is the Welch form over
+    the per-user difference within each arm. Completes the
+    experimentation suite: assignment/SRM -> CUPED (sensitivity) ->
+    Welch t (significance) -> delta method (ratio metrics) -> SPRT
+    (early stopping) -> DiD (pre-existing-trend robustness). Arm salt
+    and the 2024-01-16 period cutoff are shared with
+    events_cuped_adjustment so the designs read the same experiment.
+
+    Everything is the closed-form-over-exact-sums discipline: per-user
+    BIGINT cent sums (one map-side-combinable exchange), 2-row arm
+    aggregates of d and d^2, then a handful of double expressions both
+    engines evaluate identically. Nothing after the first exchange is
+    row-count-proportional."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    cutoff = F.lit("2024-01-16").cast("date")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts").cast("date") < cutoff, cents).otherwise(0))
+        .cast("bigint")
+        .alias("pre_cents"),
+        F.sum(F.when(F.col("ts").cast("date") >= cutoff, cents).otherwise(0))
+        .cast("bigint")
+        .alias("post_cents"),
+    ).select(
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("exp42:"), F.col("user_id").cast("string"))
+                ),
+                1,
+                1,
+            )
+            < "8",
+            "treatment",
+        )
+        .otherwise("control")
+        .alias("arm"),
+        "pre_cents",
+        "post_cents",
+    )
+    d = F.col("post_cents") - F.col("pre_cents")
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(d).cast("bigint").alias("sd"),
+        F.sum(d * d).cast("bigint").alias("sdd"),
+        F.sum("pre_cents").cast("bigint").alias("spre"),
+        F.sum("post_cents").cast("bigint").alias("spost"),
+    )
+    t = arms.filter(F.col("arm") == "treatment").select(
+        F.col("n_users").alias("n_treat"),
+        F.col("sd").alias("tsd"),
+        F.col("sdd").alias("tsdd"),
+        F.col("spre").alias("tspre"),
+        F.col("spost").alias("tspost"),
+    )
+    c = arms.filter(F.col("arm") == "control").select(
+        F.col("n_users").alias("n_control"),
+        F.col("sd").alias("csd"),
+        F.col("sdd").alias("csdd"),
+        F.col("spre").alias("cspre"),
+        F.col("spost").alias("cspost"),
+    )
+    j = t.crossJoin(F.broadcast(c))
+    nt = F.col("n_treat").cast("double")
+    nc = F.col("n_control").cast("double")
+    did = F.col("tsd").cast("double") / nt - F.col("csd").cast("double") / nc
+    var_did = (
+        (nt * F.col("tsdd") - F.col("tsd").cast("double") * F.col("tsd"))
+        / (nt * (F.col("n_treat") - 1))
+        / nt
+        + (nc * F.col("csdd") - F.col("csd").cast("double") * F.col("csd"))
+        / (nc * (F.col("n_control") - 1))
+        / nc
+    )
+    return j.select(
+        "n_treat",
+        "n_control",
+        F.floor(F.col("tspre").cast("double") / nt * 10)
+        .cast("bigint")
+        .alias("mean_treat_pre_milli"),
+        F.floor(F.col("tspost").cast("double") / nt * 10)
+        .cast("bigint")
+        .alias("mean_treat_post_milli"),
+        F.floor(F.col("cspre").cast("double") / nc * 10)
+        .cast("bigint")
+        .alias("mean_control_pre_milli"),
+        F.floor(F.col("cspost").cast("double") / nc * 10)
+        .cast("bigint")
+        .alias("mean_control_post_milli"),
+        F.floor(did * 10).cast("bigint").alias("did_milli"),
+        F.floor(F.sqrt(var_did) * 10).cast("bigint").alias("se_milli"),
+        F.when(F.abs(did) > 1.96 * F.sqrt(var_did), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("significant_95"),
+    )
+
+
+@register(
+    "events_poisson_rate_shift",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_post
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_pre, n_post,
+           CAST(floor((CAST(n_post AS DOUBLE) - CAST(n_pre + n_post
+                        AS DOUBLE) / 2)
+                      / sqrt(CAST(n_pre + n_post AS DOUBLE) / 4) * 1000)
+             AS BIGINT) AS z_milli,
+           CAST(CASE WHEN abs(CAST(n_post AS DOUBLE)
+                              - CAST(n_pre + n_post AS DOUBLE) / 2)
+                          > 1.96 * sqrt(CAST(n_pre + n_post AS DOUBLE) / 4)
+                     THEN 1 ELSE 0 END AS INTEGER) AS rate_shift_95
+    FROM c
+    """,
+)
+def events_poisson_rate_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON RATE-SHIFT TEST per event type (the exact conditional
+    test, normal-approximated): under H0 (equal rates in the two
+    equal-length 15-day periods around 2024-01-16), the post-period
+    count given the total is Binomial(n, 1/2), so z = (n_post - n/2) /
+    sqrt(n/4) — the volume-anomaly gate an event pipeline runs per
+    type before alerting on a "traffic drop" that is really noise.
+    Pure closed-form over two exact counts; both engines agree to the
+    bit. The drift quartet (KS/MW/chi2/PSI) tests DISTRIBUTION shift;
+    this tests INTENSITY shift — both belong in the ingest scorecard.
+
+    Scale shape: one map-side-combinable count aggregate; O(types)
+    everything after."""
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("date")
+    c = events.groupBy("event_type").agg(
+        F.sum(F.when(F.col("ts").cast("date") < cutoff, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pre"),
+        F.sum(F.when(F.col("ts").cast("date") >= cutoff, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_post"),
+    )
+    n = (F.col("n_pre") + F.col("n_post")).cast("double")
+    dev = F.col("n_post").cast("double") - n / 2
+    se = F.sqrt(n / 4)
+    return c.select(
+        "event_type",
+        "n_pre",
+        "n_post",
+        F.floor(dev / se * 1000).cast("bigint").alias("z_milli"),
+        F.when(F.abs(dev) > 1.96 * se, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("rate_shift_95"),
+    )

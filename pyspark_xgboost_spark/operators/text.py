@@ -1206,3 +1206,84 @@ def text_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BM25_TOPK)
         .withColumn("rk", F.row_number().over(w).cast("int"))
     )
+
+
+@register(
+    "text_readability_fk",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS toks,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS n_sentences
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(n_sentences AS BIGINT) AS n_sentences,
+             CAST(list_sum(list_transform(toks,
+               w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+               AS BIGINT) AS n_syllables
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(floor((0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                       + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                       - 15.59) * 1000) AS BIGINT) AS fk_grade_milli
+    FROM c
+    """,
+)
+def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH-KINCAID GRADE LEVEL (Kincaid et al. 1975) — the
+    readability leg of the quality-scoring family: grade = 0.39 *
+    words/sentence + 11.8 * syllables/word - 15.59, with syllables
+    approximated as vowel-group runs ([aeiouy]+, min 1 per word) —
+    the standard dictionary-free heuristic, biased but MONOTONE in
+    true syllable counts, which is all a corpus-level quality gate
+    needs (training mixtures are filtered on readability BANDS, not
+    absolute grades). Everything is regex + array arithmetic, all
+    codegen'd, attested cross-engine (the vowel-run counts and
+    sentence splits replay identically in DuckDB); the one float
+    expression is closed-form over three exact integers, floored.
+
+    Scale shape: map-only projection over documents — tokenize once,
+    per-word syllable counts fold in the same array pass; at 100 TB
+    this runs at scan throughput next to text_quality_score."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')").alias(
+            "toks"
+        ),
+        F.greatest(
+            F.lit(1),
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+        ).alias("n_sentences"),
+    ).filter(F.size("toks") > 0)
+    c = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_words"),
+        F.col("n_sentences").cast("bigint").alias("n_sentences"),
+        F.expr(
+            "aggregate(transform(toks, w -> greatest(1,"
+            " size(regexp_extract_all(w, '[aeiouy]+', 0)))),"
+            " 0L, (a, b) -> a + b)"
+        )
+        .cast("bigint")
+        .alias("n_syllables"),
+    )
+    grade = (
+        F.lit(0.39) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        + F.lit(11.8)
+        * (F.col("n_syllables").cast("double") / F.col("n_words"))
+        - F.lit(15.59)
+    )
+    return c.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.floor(grade * 1000).cast("bigint").alias("fk_grade_milli"),
+    )

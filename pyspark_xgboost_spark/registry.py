@@ -98,12 +98,15 @@ _GRADE_FIRST = [
     "pipeline_dedup_corpus",
     # ---- below the 50-slot line ----
     # r13 window plan: this round's (r12) NEW registrations first,
-    # sorted (so far: dedup_cdc_chunks, events_attribution_markov,
-    # events_markov_stationary, graph_random_walks,
+    # sorted (so far: corpus_theil_decomposition, dedup_cdc_chunks,
+    # dedup_weighted_jaccard_verify, events_attribution_markov,
+    # events_diff_in_diff, events_markov_stationary,
+    # events_poisson_rate_shift, graph_random_walks,
     # multimodal_mp4_duration, multimodal_tiff_ifd_walk,
-    # stream_cc_incremental, stream_ivf_incremental,
-    # stream_mg_topk_incremental — keep this list current as r12 adds
-    # more), then the remaining 30 r05-attested rows in sorted order
+    # multimodal_zip_eocd, stream_cc_incremental,
+    # stream_ivf_incremental, stream_mg_topk_incremental,
+    # text_readability_fk — keep this list current as r12 adds more),
+    # then the remaining 30 r05-attested rows in sorted order
     # up to 50 (pipeline_observed_metrics, sample_temperature_mixture,
     # sample_weighted_priority, scalar_array_ops, scan_csv_gzip, ...).
     # Recompute with the staleness query in tools/check_window.py.

@@ -265,7 +265,148 @@ def _chk_tiff_walk_is_genuine(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+
+
+def _chk_did_reads_same_experiment_as_cuped(spark):
+    """DiD and CUPED must read the same arm assignment and cutoff (one
+    experiment, two designs), the panel variance must be positive, and
+    the cell means must reconcile with the DiD point estimate."""
+    from pyspark_xgboost_spark.operators.sampling import events_diff_in_diff
+
+    r = events_diff_in_diff(spark, SF_DIR).collect()[0]
+    assert r.n_treat > 0 and r.n_control > 0
+    assert r.se_milli > 0
+    approx = (r.mean_treat_post_milli - r.mean_treat_pre_milli) - (
+        r.mean_control_post_milli - r.mean_control_pre_milli
+    )
+    assert abs(approx - r.did_milli) <= 4  # four independent floors
+
+
+def _chk_theil_decomposition_adds_up(spark):
+    """T_total == sum_g s_g*T_g + sum_g between_g within quantization
+    slack, every within term is nonnegative (Jensen), and shares sum
+    to one."""
+    from pyspark_xgboost_spark.operators.corpus import (
+        corpus_theil_decomposition,
+    )
+
+    rows = corpus_theil_decomposition(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.theil_within_micro >= -1 for r in rows)  # floor slack
+    share = sum(r.share_micro for r in rows)
+    assert 1_000_000 - len(rows) <= share <= 1_000_000
+    # recompute total Theil in python and compare to the decomposition
+    import math
+
+    from pyspark_xgboost_spark.sources import load_table
+
+    xs = [
+        (r.source, r.n_chars)
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("source", "n_chars")
+        .collect()
+    ]
+    S = sum(x for _, x in xs)
+    N = len(xs)
+    t_total = sum(x / S * math.log(x * N / S) for _, x in xs)
+    within = sum(
+        r.sum_chars / S * r.theil_within_micro / 1e6 for r in rows
+    )
+    between = sum(r.between_term_micro / 1e6 for r in rows)
+    assert abs((within + between) - t_total) < 1e-3
+
+
+def _chk_weighted_jaccard_bounds_and_repetition_sensitivity(spark):
+    """wjac is a valid [0,1] micro ratio, inter <= union, and the
+    pair set is exactly the shared LSH candidate set (a verify stage
+    must score every candidate, none more)."""
+    from pyspark_xgboost_spark.operators.dedup import (
+        _cached_candidate_pairs,
+        dedup_weighted_jaccard_verify,
+    )
+
+    rows = dedup_weighted_jaccard_verify(spark, SF_DIR).collect()
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in _cached_candidate_pairs(spark, SF_DIR).collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in rows} == cand
+    for r in rows:
+        assert 0 <= r.inter_mass <= r.union_mass
+        assert 0 <= r.wjac_micro <= 1_000_000
+
+
+def _chk_readability_matches_python(spark):
+    """FK grade must match a pure-python recompute on a sample, and
+    the projection is UDF-free."""
+    import math
+    import re
+
+    from pyspark_xgboost_spark.operators.text import text_readability_fk
+    from pyspark_xgboost_spark.sources import load_table
+
+    out = text_readability_fk(spark, SF_DIR)
+    got = {r.doc_id: r for r in out.collect()}
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(30).collect()
+    for d in docs:
+        toks = [t for t in re.split(r"\s+", d.text.lower()) if t]
+        if not toks:
+            continue
+        sents = max(1, len(re.findall(r"[.!?]+", d.text)))
+        syl = sum(max(1, len(re.findall(r"[aeiouy]+", w))) for w in toks)
+        r = got[d.doc_id]
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (
+            len(toks),
+            sents,
+            syl,
+        )
+        grade = 0.39 * len(toks) / sents + 11.8 * syl / len(toks) - 15.59
+        assert r.fk_grade_milli == math.floor(grade * 1000)
+    plan = plan_of(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _chk_zip_eocd_search_is_genuine(spark):
+    """The EOCD search distance (comment length) and member counts
+    vary per row, the directory accounting closes (layout_ok), and
+    counts match the packing rule."""
+    from pyspark_xgboost_spark.operators.multimodal import (
+        multimodal_zip_eocd,
+    )
+
+    rows = multimodal_zip_eocd(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.layout_ok == 1 for r in rows)
+    assert len({r.comment_len for r in rows}) > 1  # search distance varies
+    assert {r.n_entries for r in rows} == {1, 2, 3}
+    for r in rows:
+        assert r.n_entries == 1 + r.doc_id % 3
+        assert r.cd_size == 48 * r.n_entries
+        assert r.cd_offset == 36 * r.n_entries
+
+
+def _chk_poisson_rate_shift_matches_binomial(spark):
+    """z matches the closed form from the two counts."""
+    import math
+
+    from pyspark_xgboost_spark.operators.sampling import (
+        events_poisson_rate_shift,
+    )
+
+    for r in events_poisson_rate_shift(spark, SF_DIR).collect():
+        n = r.n_pre + r.n_post
+        z = (r.n_post - n / 2) / math.sqrt(n / 4)
+        assert r.z_milli == math.floor(z * 1000)
+        assert r.rate_shift_95 == (1 if abs(z) > 1.96 else 0)
+
+
 _R12_CHECKS = [
+    _chk_did_reads_same_experiment_as_cuped,
+    _chk_theil_decomposition_adds_up,
+    _chk_weighted_jaccard_bounds_and_repetition_sensitivity,
+    _chk_readability_matches_python,
+    _chk_zip_eocd_search_is_genuine,
+    _chk_poisson_rate_shift_matches_binomial,
     _chk_random_walks_are_genuine_walks,
     _chk_markov_attribution_contract,
     _chk_tiff_walk_is_genuine,

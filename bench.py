@@ -384,6 +384,9 @@ HEADLINE = [
     "dedup_weighted_jaccard_verify",
     "text_readability_fk",
     "multimodal_zip_eocd",
+    "window_max_drawdown",
+    "embedding_scalar_quantize_eval",
+    "sim_search_greedy_graph",
 ]
 
 

@@ -2980,3 +2980,395 @@ def sim_search_mips_norm_pruned(
 
 
 _SIM_ORACLES["sim_search_mips_norm_pruned"] = _mips_oracle()
+
+
+# --------------------------------------------------------------------------
+# Scalar quantization (SQ8) with a graded recall/error eval
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_scalar_quantize_eval",
+    oracle=f"""
+    WITH xm AS (
+      SELECT vec_id, g.j,
+             CAST(round(embedding[g.j] * {_KM_Q}) AS BIGINT) AS x
+      FROM embeddings, unnest(generate_series(1, {_KM_DIM})) AS g(j)
+    ),
+    st AS (
+      SELECT j, CAST(min(x) AS BIGINT) AS mn, CAST(max(x) AS BIGINT) AS mx
+      FROM xm GROUP BY j
+    ),
+    q AS (
+      SELECT xm.vec_id, xm.j, xm.x,
+             (xm.x - st.mn) * 255 // greatest(1, st.mx - st.mn) AS qc
+      FROM xm JOIN st USING (j)
+    ),
+    deq AS (
+      SELECT q.vec_id, q.j, q.x,
+             st.mn + q.qc * (st.mx - st.mn) // 255 AS d
+      FROM q JOIN st USING (j)
+    ),
+    dot_o AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             CAST(sum(a.x * b.x) AS BIGINT) AS s
+      FROM xm a JOIN xm b USING (j)
+      WHERE a.vec_id < {_N_QUERIES} AND b.vec_id <> a.vec_id
+      GROUP BY 1, 2
+    ),
+    dot_d AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             CAST(sum(a.d * b.d) AS BIGINT) AS s
+      FROM deq a JOIN deq b USING (j)
+      WHERE a.vec_id < {_N_QUERIES} AND b.vec_id <> a.vec_id
+      GROUP BY 1, 2
+    ),
+    top_o AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid, row_number() OVER (
+          PARTITION BY qid ORDER BY s DESC, nid) AS rk FROM dot_o)
+      WHERE rk <= {_TOPK}
+    ),
+    top_d AS (
+      SELECT qid, nid FROM (
+        SELECT qid, nid, row_number() OVER (
+          PARTITION BY qid ORDER BY s DESC, nid) AS rk FROM dot_d)
+      WHERE rk <= {_TOPK}
+    ),
+    ov AS (
+      SELECT o.qid, CAST(count(d.nid) AS BIGINT) AS overlap3
+      FROM top_o o LEFT JOIN top_d d
+        ON d.qid = o.qid AND d.nid = o.nid
+      GROUP BY o.qid
+    ),
+    err AS (
+      SELECT vec_id AS qid, CAST(sum(abs(x - d)) AS BIGINT) AS q_l1_err
+      FROM deq WHERE vec_id < {_N_QUERIES} GROUP BY vec_id
+    )
+    SELECT ov.qid AS query_id, ov.overlap3, err.q_l1_err
+    FROM ov JOIN err USING (qid)
+    """,
+)
+def embedding_scalar_quantize_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR QUANTIZATION (SQ8) EVAL — the 4x-compression tier every
+    vector store offers below PQ: per DIMENSION, min/max over the
+    corpus define a uint8 grid, each coordinate stores as q = (x-mn) *
+    255 / (mx-mn), and search runs on the dequantized codes. Like
+    every approximate tier here (LSH, IVF, PQ, SemDeDup, truncation),
+    it ships with a GRADED eval, not a hope: per panel query, the
+    top-{_TOPK} by exact integer dot on the original vectors vs on
+    the dequantized ones (overlap = recall grade), plus the query
+    vector's own L1 reconstruction error. Everything is exact
+    integers — coordinates in milli units, floor-div quantize and
+    dequantize, integer dots — so both engines agree to the bit.
+
+    Scale shape: dim stats are ONE map-side-combined groupBy(j)
+    shrinking to a {_KM_DIM}-row broadcast; quantize/dequantize are
+    map-only array expressions; the eval is the standard fixed-panel
+    broadcast x corpus scan (constant cost at any corpus scale). At
+    100 TB the q codes are what you'd actually persist — 16x smaller
+    shuffles for every downstream consumer that tolerates the graded
+    recall."""
+    xm = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(cast(embedding as array<double>), "
+            f"x -> cast(round(x * {_KM_Q}) as bigint))"
+        ).alias("xm"),
+    )
+    st = (
+        xm.select(F.posexplode("xm").alias("j0", "x"))
+        .groupBy("j0")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    st_row = st.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(j0, mn))), s -> s.mn)"
+        ).alias("mns"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(j0, mx))), s -> s.mx)"
+        ).alias("mxs"),
+    )
+    deq = xm.join(F.broadcast(st_row)).select(
+        "vec_id",
+        "xm",
+        F.expr(
+            f"transform(sequence(1, {_KM_DIM}), j -> element_at(mns, j)"
+            f" + ((element_at(xm, j) - element_at(mns, j)) * 255"
+            f" div greatest(1L, element_at(mxs, j) - element_at(mns, j)))"
+            f" * (element_at(mxs, j) - element_at(mns, j)) div 255)"
+        ).alias("dq"),
+    )
+    panel = deq.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("xm").alias("qx"),
+        F.col("dq").alias("qd"),
+    )
+    cand = F.broadcast(panel).crossJoin(
+        deq.select("vec_id", "xm", "dq")
+    ).filter(F.col("vec_id") != F.col("qid"))
+    dot = lambda a, b: F.expr(  # noqa: E731
+        f"aggregate(zip_with({a}, {b}, (p, q) -> p * q), 0L,"
+        " (acc, z) -> acc + z)"
+    )
+    scored = cand.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        dot("qx", "xm").alias("so"),
+        dot("qd", "dq").alias("sd"),
+    )
+    wo = W.partitionBy("qid").orderBy(F.col("so").desc(), F.col("nid"))
+    wd = W.partitionBy("qid").orderBy(F.col("sd").desc(), F.col("nid"))
+    ranked = scored.select(
+        "qid",
+        "nid",
+        F.row_number().over(wo).alias("rko"),
+        F.row_number().over(wd).alias("rkd"),
+    )
+    top_o = ranked.filter(F.col("rko") <= _TOPK).select("qid", "nid")
+    top_d = ranked.filter(F.col("rkd") <= _TOPK).select(
+        F.col("qid").alias("qid2"), F.col("nid").alias("nid2")
+    )
+    ov = (
+        top_o.join(
+            top_d,
+            (F.col("qid") == F.col("qid2")) & (F.col("nid") == F.col("nid2")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("nid2").cast("bigint").alias("overlap3"))
+    )
+    err = panel.select(
+        "qid",
+        F.expr(
+            "aggregate(zip_with(qx, qd, (a, b) -> abs(a - b)), 0L,"
+            " (acc, z) -> acc + z)"
+        )
+        .cast("bigint")
+        .alias("q_l1_err"),
+    )
+    return ov.join(err, "qid").select(
+        F.col("qid").alias("query_id"), "overlap3", "q_l1_err"
+    )
+
+
+# --------------------------------------------------------------------------
+# Greedy best-first search on a cell-blocked kNN graph (the NSW/HNSW
+# search primitive, layer-0 form)
+# --------------------------------------------------------------------------
+
+_GG_KNN = 4  # out-degree of the kNN graph
+_GG_HOPS = 4  # greedy descent steps
+
+
+def _gg_dist_sql(aq: str, bq: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {_KM_DIM}),"
+        f" j -> ({aq}[j] - {bq}[j]) * ({aq}[j] - {bq}[j])))"
+    )
+
+
+def _gg_hop_sql(prev: str, out: str) -> str:
+    """One greedy hop: candidates = current node + its kNN out-edges;
+    move to the candidate nearest the query (ties: lowest vec_id).
+    Monotone: the current node competes, so distance never rises."""
+    return f"""
+    {out} AS (
+      SELECT qid, cand AS cur FROM (
+        SELECT g.qid, c.cand,
+               row_number() OVER (PARTITION BY g.qid ORDER BY
+                 {_gg_dist_sql("q.q", "x.q")}, c.cand) AS rn
+        FROM {prev} g
+        JOIN (SELECT src, dst AS cand FROM knn
+              UNION ALL SELECT DISTINCT src, src FROM knn) c
+          ON c.src = g.cur
+        JOIN xq q ON q.vec_id = g.qid
+        JOIN xq x ON x.vec_id = c.cand
+        WHERE c.cand <> g.qid)
+      WHERE rn = 1
+    )"""
+
+
+@register(
+    "sim_search_greedy_graph",
+    oracle=f"""
+    WITH xq AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_KM_Q}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cid, q AS cq FROM xq ORDER BY vec_id LIMIT {_KM_K}
+    ),
+    asg AS (
+      SELECT vec_id, q, cid FROM (
+        SELECT x.vec_id, x.q, c.cid,
+               row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, {_KM_DIM}),
+                   j -> (x.q[j] - c.cq[j]) * (x.q[j] - c.cq[j]))), c.cid)
+                 AS rn
+        FROM xq x, cents c) WHERE rn = 1
+    ),
+    knn AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 {_gg_dist_sql("a.q", "b.q")}, b.vec_id) AS rn
+        FROM asg a JOIN asg b
+          ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+      WHERE rn <= {_GG_KNN}
+    ),
+    g0 AS (
+      SELECT vec_id AS qid,
+             (SELECT min(vec_id) FROM xq) AS cur
+      FROM xq WHERE vec_id < {_N_QUERIES}
+    ),
+    {",".join(_gg_hop_sql(f"g{t}", f"g{t + 1}") for t in range(_GG_HOPS))},
+    found AS (
+      SELECT g.qid, g.cur AS found_id,
+             CAST({_gg_dist_sql("q.q", "x.q")} AS BIGINT) AS found_dist_q
+      FROM g{_GG_HOPS} g
+      JOIN xq q ON q.vec_id = g.qid
+      JOIN xq x ON x.vec_id = g.cur
+    ),
+    exact AS (
+      SELECT qid, nid AS exact_id, d AS exact_dist_q FROM (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               CAST({_gg_dist_sql("a.q", "b.q")} AS BIGINT) AS d,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 {_gg_dist_sql("a.q", "b.q")}, b.vec_id) AS rn
+        FROM xq a JOIN xq b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {_N_QUERIES})
+      WHERE rn = 1
+    )
+    SELECT f.qid AS query_id, f.found_id, f.found_dist_q,
+           e.exact_id, e.exact_dist_q,
+           CAST(CASE WHEN f.found_id = e.exact_id THEN 1 ELSE 0 END
+             AS INTEGER) AS hit_top1,
+           CAST(e.exact_dist_q * 1000 // greatest(1, f.found_dist_q)
+             AS BIGINT) AS quality_milli
+    FROM found f JOIN exact e USING (qid)
+    """,
+)
+def sim_search_greedy_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY BEST-FIRST SEARCH ON A kNN GRAPH — the search primitive
+    of NSW/HNSW (Malkov & Yashunin, TPAMI 2020) in its layer-0 form,
+    completing the ANN paradigm set: partition-based (IVF), hash-based
+    (LSH), compression-based (PQ/SQ), and now GRAPH-based. The index
+    is a {_GG_KNN}-out-degree kNN graph built CELL-BLOCKED (neighbors
+    ranked within each coarse cell of the frozen lowest-id codebook —
+    the DiskANN-style sharded construction; never all-pairs), and the
+    query descends greedily from a fixed entry point: each hop
+    considers the current node and its out-edges and moves to
+    whichever is nearest the query, in exact integer distance with
+    lowest-id ties — so descent is monotone and both engines replay
+    the identical {_GG_HOPS}-hop trajectory. The eval is graded, not
+    hoped: per panel query, hit_top1 against the exact nearest
+    neighbor and the distance-quality ratio.
+
+    Scale shape: graph construction is a per-cell self-join bounded by
+    cell population (one shuffle on cid); the graph itself is O(n x
+    {_GG_KNN}) rows partitioned by src; each greedy hop joins the
+    query frontier (panel-sized) to out-edges — at 100 TB every hop
+    is a broadcast of the frontier against the src-partitioned edge
+    table, the same access pattern a DiskANN serving tier does over
+    SSD-resident adjacency lists."""
+    xq = _km_xq(spark, sf_dir)
+    cents = xq.orderBy("vec_id").limit(_KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    asg = _km_assign(xq, _km_cent_row(cents))
+    a = asg.select("vec_id", "q", "cid")
+    b = asg.select(
+        F.col("vec_id").alias("nid"),
+        F.col("q").alias("nq"),
+        F.col("cid").alias("ncid"),
+    )
+    dist = F.expr(
+        "aggregate(zip_with(q, nq, (p, r) -> (p - r) * (p - r)), 0L,"
+        " (acc, z) -> acc + z)"
+    )
+    pairs = (
+        a.join(b, (F.col("cid") == F.col("ncid")) & (F.col("vec_id") != F.col("nid")))
+        .select("vec_id", "nid", dist.alias("d"))
+    )
+    wk = W.partitionBy("vec_id").orderBy("d", "nid")
+    knn = (
+        pairs.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _GG_KNN)
+        .select(F.col("vec_id").alias("src"), F.col("nid").alias("dst"))
+    )
+    edges = knn.unionByName(
+        knn.select("src").distinct().select("src", F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    entry = xq.agg(F.min("vec_id").alias("e"))
+    frontier = (
+        xq.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("q").alias("qq"))
+        .join(F.broadcast(entry))
+        .select("qid", "qq", F.col("e").alias("cur"))
+    )
+    corpus = xq.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("cq2"))
+    qdist = F.expr(
+        "aggregate(zip_with(qq, cq2, (p, r) -> (p - r) * (p - r)), 0L,"
+        " (acc, z) -> acc + z)"
+    )
+    for _ in range(_GG_HOPS):
+        cand = (
+            frontier.join(edges, frontier["cur"] == edges["src"])
+            .filter(F.col("dst") != F.col("qid"))
+            .join(corpus, F.col("dst") == F.col("cand_id"))
+            .select("qid", "qq", "dst", qdist.alias("d"))
+        )
+        frontier = (
+            cand.groupBy("qid")
+            .agg(
+                F.first("qq").alias("qq"),
+                F.min(F.struct("d", "dst")).alias("m"),
+            )
+            .select("qid", "qq", F.col("m.dst").alias("cur"))
+        )
+    found = (
+        frontier.join(corpus, F.col("cur") == F.col("cand_id"))
+        .select(
+            "qid",
+            "qq",
+            F.col("cur").alias("found_id"),
+            qdist.cast("bigint").alias("found_dist_q"),
+        )
+    )
+    exact = (
+        xq.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("q").alias("qq"))
+        .join(F.broadcast(corpus.withColumnRenamed("cand_id", "nid")), F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            F.expr(
+                "aggregate(zip_with(qq, cq2, (p, r) -> (p - r) * (p - r)),"
+                " 0L, (acc, z) -> acc + z)"
+            ).alias("d"),
+        )
+        .groupBy("qid")
+        .agg(F.min(F.struct("d", "nid")).alias("m"))
+        .select(
+            "qid",
+            F.col("m.nid").alias("exact_id"),
+            F.col("m.d").cast("bigint").alias("exact_dist_q"),
+        )
+    )
+    return found.drop("qq").join(exact, "qid").select(
+        F.col("qid").alias("query_id"),
+        "found_id",
+        "found_dist_q",
+        "exact_id",
+        "exact_dist_q",
+        F.when(F.col("found_id") == F.col("exact_id"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("hit_top1"),
+        F.expr("exact_dist_q * 1000 div greatest(1L, found_dist_q)")
+        .cast("bigint")
+        .alias("quality_milli"),
+    )

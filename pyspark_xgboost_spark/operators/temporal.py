@@ -4998,3 +4998,99 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("attribution_milli"),
     )
+
+
+@register(
+    "window_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_idx,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    dd AS (
+      SELECT event_type, day_idx, y,
+             CAST(max(y) OVER (PARTITION BY event_type ORDER BY day_idx)
+               AS BIGINT) AS peak,
+             CAST(max(y) OVER (PARTITION BY event_type ORDER BY day_idx)
+               - y AS BIGINT) AS drawdown
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(peak) AS BIGINT) AS peak_cents,
+           CAST(max(drawdown) AS BIGINT) AS max_drawdown_cents,
+           CAST(min(CASE WHEN drawdown = (SELECT max(d2.drawdown) FROM dd d2
+                                          WHERE d2.event_type = dd.event_type)
+                         THEN day_idx END) AS BIGINT) AS trough_day_idx,
+           CAST(max(drawdown) * 1000000 // max(peak) AS BIGINT)
+             AS max_drawdown_micro
+    FROM dd GROUP BY event_type
+    """,
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM DRAWDOWN of the daily volume series per event type —
+    the peak-to-trough decline metric: drawdown_t = running_peak_t -
+    volume_t, and the report carries the worst one, its trough day
+    (earliest, for determinism), and the relative depth in micro
+    units. On an ops dashboard this is "how far below the best day
+    have we fallen, at worst" — the complement of the volatility and
+    CUSUM legs: volatility prices noise, CUSUM detects sustained mean
+    shifts, drawdown prices the worst excursion. All exact-integer
+    cents; the running peak is one cumulative window max, so both
+    engines agree to the bit.
+
+    Scale shape: one map-side-combinable (type, day) rollup shrinks
+    events to the daily grid; the window and final agg run per type
+    over O(days) rows. At 100 TB the grid is the only exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_idx"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    dd = daily.select(
+        "event_type",
+        "day_idx",
+        "y",
+        F.max("y").over(w).alias("peak"),
+        (F.max("y").over(w) - F.col("y")).alias("drawdown"),
+    )
+    mx = dd.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.max("peak").cast("bigint").alias("peak_cents"),
+        F.max("drawdown").cast("bigint").alias("max_drawdown_cents"),
+    )
+    trough = (
+        dd.join(
+            mx.select(
+                "event_type",
+                F.col("max_drawdown_cents").alias("mdd"),
+            ),
+            "event_type",
+        )
+        .filter(F.col("drawdown") == F.col("mdd"))
+        .groupBy("event_type")
+        .agg(F.min("day_idx").cast("bigint").alias("trough_day_idx"))
+    )
+    return mx.join(trough, "event_type").select(
+        "event_type",
+        "n_days",
+        "peak_cents",
+        "max_drawdown_cents",
+        "trough_day_idx",
+        F.expr("max_drawdown_cents * 1000000 div peak_cents")
+        .cast("bigint")
+        .alias("max_drawdown_micro"),
+    )

@@ -400,7 +400,85 @@ def _chk_poisson_rate_shift_matches_binomial(spark):
         assert r.rate_shift_95 == (1 if abs(z) > 1.96 else 0)
 
 
+
+
+def _chk_max_drawdown_matches_python(spark):
+    """Max drawdown must equal the python running-peak recompute over
+    the daily grid, with the earliest trough day."""
+    from collections import defaultdict
+
+    from pyspark_xgboost_spark.operators.temporal import window_max_drawdown
+    from pyspark_xgboost_spark.sources import load_table
+
+    got = {r.event_type: r for r in window_max_drawdown(spark, SF_DIR).collect()}
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .selectExpr(
+            "event_type",
+            "datediff(cast(ts as date), date '1970-01-01') as d",
+            "cast(round(value * 100) as bigint) as cents",
+        )
+        .collect()
+    )
+    daily = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        daily[r.event_type][r.d] += r.cents
+    for et, series in daily.items():
+        peak, mdd, trough = -1 << 62, 0, None
+        for day in sorted(series):
+            peak = max(peak, series[day])
+            dd = peak - series[day]
+            if dd > mdd:
+                mdd, trough = dd, day
+            elif dd == mdd and trough is None:
+                trough = day
+        g = got[et]
+        assert g.max_drawdown_cents == mdd
+        assert g.trough_day_idx == trough
+        assert g.n_days == len(series)
+
+
+def _chk_sq8_eval_contract(spark):
+    """Quantization error is bounded by the grid step (per dim at most
+    (mx-mn)/255 + 1 milli), and recall overlap is a valid 0..k count."""
+    from pyspark_xgboost_spark.operators.similarity import (
+        _KM_DIM,
+        _TOPK,
+        embedding_scalar_quantize_eval,
+    )
+
+    rows = embedding_scalar_quantize_eval(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.overlap3 <= _TOPK
+        assert 0 <= r.q_l1_err
+    # the fixture's embeddings span roughly [-1, 1] => per-dim step
+    # ~2000/255 milli; total L1 error must stay under dim * (step + 1)
+    assert all(r.q_l1_err <= _KM_DIM * (2000 // 255 + 2) for r in rows)
+
+
+def _chk_greedy_graph_descent_monotone(spark):
+    """The greedy trajectory must end at a node whose distance is
+    never worse than the entry point's (monotone descent), quality is
+    a valid <=1000 milli ratio, and the eval panel is complete."""
+    from pyspark_xgboost_spark.operators.similarity import (
+        sim_search_greedy_graph,
+    )
+
+    rows = sim_search_greedy_graph(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.found_dist_q >= r.exact_dist_q  # exact is a lower bound
+        assert 0 <= r.quality_milli <= 1000
+        assert r.hit_top1 == (1 if r.found_id == r.exact_id else 0)
+    # greedy on a connected small graph should find SOME true top-1s
+    assert sum(r.hit_top1 for r in rows) >= 1
+
+
 _R12_CHECKS = [
+    _chk_max_drawdown_matches_python,
+    _chk_sq8_eval_contract,
+    _chk_greedy_graph_descent_monotone,
     _chk_did_reads_same_experiment_as_cuped,
     _chk_theil_decomposition_adds_up,
     _chk_weighted_jaccard_bounds_and_repetition_sensitivity,

@@ -387,6 +387,9 @@ HEADLINE = [
     "window_max_drawdown",
     "embedding_scalar_quantize_eval",
     "sim_search_greedy_graph",
+    "stream_bloom_incremental",
+    "events_lorenz_curve",
+    "sample_hard_negatives_ann",
 ]
 
 

@@ -3818,3 +3818,74 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "k", "x_thr", "sum_ln_micro", "hill_micro",
         "alpha_milli",
     )
+
+
+@register(
+    "events_lorenz_curve",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY user_id
+    ),
+    deciled AS (
+      SELECT cents,
+             ntile(10) OVER (ORDER BY cents, user_id) AS decile
+      FROM per_user
+    ),
+    g AS (
+      SELECT decile,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(cents) AS BIGINT) AS decile_cents
+      FROM deciled GROUP BY decile
+    ),
+    tot AS (SELECT CAST(sum(decile_cents) AS BIGINT) AS t FROM g)
+    SELECT g.decile, g.n_users, g.decile_cents,
+           CAST(sum(g.decile_cents) OVER (ORDER BY g.decile) * 1000000
+                  // tot.t AS BIGINT) AS cum_share_micro
+    FROM g, tot
+    """,
+)
+def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LORENZ CURVE of user spend — the 10-point cumulative-share
+    curve behind every "top X% of users drive Y% of revenue" claim,
+    and the graphical partner of the Gini/Theil inequality family
+    (corpus_gini_lengths prices length skew; this prices revenue
+    concentration). Users sort into spend deciles (ntile over the
+    deterministic (cents, user_id) total order, identical in both
+    engines) and each row carries the decile mass plus the running
+    share in exact integer micro units — the final row is 1000000 by
+    construction, and curvature away from the diagonal IS the
+    inequality.
+
+    Scale shape: one map-side-combinable per-user rollup, one
+    ntile window over users (single ORDER BY exchange — at 100 TB
+    swap for the percentile_exact histogram-rank form the equal-freq
+    bucketer already ships), then O(10) rows."""
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    deciled = per_user.select(
+        "cents",
+        F.ntile(10).over(W.orderBy("cents", "user_id")).alias("decile"),
+    )
+    g = deciled.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("cents").cast("bigint").alias("decile_cents"),
+    )
+    tot = g.agg(F.sum("decile_cents").cast("bigint").alias("t"))
+    return g.join(F.broadcast(tot)).select(
+        "decile",
+        "n_users",
+        "decile_cents",
+        F.expr("sum(decile_cents) over (order by decile) * 1000000 div t")
+        .cast("bigint")
+        .alias("cum_share_micro"),
+    )

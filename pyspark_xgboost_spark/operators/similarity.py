@@ -3372,3 +3372,156 @@ def sim_search_greedy_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("quality_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining: semantically close, lexically distinct
+# --------------------------------------------------------------------------
+
+_HN_JAC_MAX = 200  # lexical ceiling (milli-Jaccard) for a negative
+_HN_K = 3  # hard negatives per anchor
+
+
+@register(
+    "sample_hard_negatives_ann",
+    oracle=f"""
+    WITH xq AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_KM_Q}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    nq AS (
+      SELECT vec_id, q, list_inner_product(q, q) AS n FROM xq
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'),
+               t -> t <> '')) AS ts
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+             floor(list_inner_product(a.q, b.q)
+                   / (sqrt(a.n) * sqrt(b.n)) * 10000) / 10000 AS cos_sim,
+             len(list_intersect(ta.ts, tb.ts)) * 1000
+               // (len(ta.ts) + len(tb.ts)
+                   - len(list_intersect(ta.ts, tb.ts))) AS jac_milli
+      FROM nq a
+      JOIN nq b ON b.vec_id <> a.vec_id
+      JOIN toks ta ON ta.doc_id = a.vec_id
+      JOIN toks tb ON tb.doc_id = b.vec_id
+      WHERE a.vec_id < {_N_QUERIES}
+    ),
+    ranked AS (
+      SELECT anchor_id, cand_id, cos_sim, CAST(jac_milli AS BIGINT)
+               AS jac_milli,
+             CAST(row_number() OVER (PARTITION BY anchor_id
+               ORDER BY cos_sim DESC, cand_id) AS INTEGER) AS rk
+      FROM pairs WHERE jac_milli < {_HN_JAC_MAX}
+    )
+    SELECT anchor_id, cand_id AS negative_id, cos_sim, jac_milli, rk
+    FROM ranked WHERE rk <= {_HN_K}
+    """,
+)
+def sample_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive embedding training
+    (the ANCE/DPR recipe): for each anchor document, the most
+    semantically similar documents (embedding cosine) that are NOT
+    lexical relatives (token-set Jaccard below {_HN_JAC_MAX} milli) —
+    exactly the negatives that teach a retriever the difference
+    between topical similarity and duplication, where random
+    negatives teach nothing and near-dup "negatives" poison training
+    as false negatives. The lexical ceiling reuses the dedup family's
+    exact Jaccard; similarity is the exact integer-dot cosine floored
+    to 4dp; ranking is (cosine desc, id) — all replayed hash-exactly
+    in DuckDB. Output: {_HN_K} mined negatives per anchor with both
+    scores, ready to join back as training triples.
+
+    Scale shape: the fixed anchor panel broadcasts against the corpus
+    (one map-side pass — the eval-panel discipline); token sets ride
+    the same array pass. At 100 TB the panel becomes the IVF/LSH
+    shortlist (sim_search_ivf supplies candidates; this stage only
+    re-scores and filters), so the all-corpus scan is the baseline
+    form, not the production plan."""
+    xq = _km_xq(spark, sf_dir)
+    nq = xq.select(
+        "vec_id",
+        "q",
+        F.expr(
+            "aggregate(zip_with(q, q, (a, b) -> a * b), 0L,"
+            " (acc, z) -> acc + z)"
+        ).alias("n"),
+    )
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            r"array_distinct(filter(split(lower(text), '\\s+'),"
+            r" t -> t != ''))"
+        ).alias("ts"),
+    )
+    anchors = (
+        nq.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("q").alias("aq"),
+            F.col("n").alias("an"),
+        )
+        .join(toks, F.col("anchor_id") == F.col("doc_id"))
+        .select("anchor_id", "aq", "an", F.col("ts").alias("ats"))
+    )
+    cands = nq.join(toks, nq["vec_id"] == toks["doc_id"]).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("q").alias("cq"),
+        F.col("n").alias("cn"),
+        F.col("ts").alias("cts"),
+    )
+    inter = F.size(F.array_intersect("ats", "cts"))
+    pairs = (
+        F.broadcast(anchors)
+        .crossJoin(cands)
+        .filter(F.col("cand_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "cand_id",
+            (
+                F.floor(
+                    F.expr(
+                        "aggregate(zip_with(aq, cq, (x, y) -> x * y), 0L,"
+                        " (acc, z) -> acc + z)"
+                    ).cast("double")
+                    / (
+                        F.sqrt(F.col("an").cast("double"))
+                        * F.sqrt(F.col("cn").cast("double"))
+                    )
+                    * 10000
+                )
+                / 10000
+            ).alias("cos_sim"),
+            (
+                inter.cast("long") * 1000
+            ).alias("jac_num"),
+            (F.size("ats") + F.size("cts") - inter)
+            .cast("long")
+            .alias("jac_den"),
+        )
+    )
+    pairs = pairs.withColumn(
+        "jac_milli", F.expr("jac_num div jac_den")
+    ).drop("jac_num", "jac_den")
+    w = W.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        pairs.filter(F.col("jac_milli") < _HN_JAC_MAX)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HN_K)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("negative_id"),
+            "cos_sim",
+            F.col("jac_milli").cast("bigint").alias("jac_milli"),
+            "rk",
+        )
+    )

@@ -101,14 +101,16 @@ _GRADE_FIRST = [
     # sorted (so far: corpus_theil_decomposition, dedup_cdc_chunks,
     # dedup_weighted_jaccard_verify, embedding_scalar_quantize_eval,
     # events_attribution_markov, events_diff_in_diff,
-    # events_markov_stationary, events_poisson_rate_shift,
-    # graph_random_walks, multimodal_mp4_duration,
-    # multimodal_tiff_ifd_walk, multimodal_zip_eocd,
-    # sim_search_greedy_graph, stream_cc_incremental,
-    # stream_ivf_incremental, stream_mg_topk_incremental,
-    # text_readability_fk, window_max_drawdown — keep this list
-    # current as r12 adds more), then the remaining 30 r05-attested
-    # rows in sorted order
+    # events_lorenz_curve, events_markov_stationary,
+    # events_poisson_rate_shift, graph_random_walks,
+    # multimodal_mp4_duration, multimodal_tiff_ifd_walk,
+    # multimodal_zip_eocd, sample_hard_negatives_ann,
+    # sim_search_greedy_graph, stream_bloom_incremental,
+    # stream_cc_incremental, stream_ivf_incremental,
+    # stream_mg_topk_incremental, text_readability_fk,
+    # window_max_drawdown — keep this list current as r12 adds more),
+    # then the remaining 29 r05-attested rows in sorted order (21 new
+    # + 29 = 50)
     # up to 50 (pipeline_observed_metrics, sample_temperature_mixture,
     # sample_weighted_priority, scalar_array_ops, scan_csv_gzip, ...).
     # Recompute with the staleness query in tools/check_window.py.

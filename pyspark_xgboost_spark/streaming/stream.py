@@ -3539,3 +3539,195 @@ def _mg_incremental_oracle() -> str:
 
 
 _ORACLES["stream_mg_topk_incremental"] = _mg_incremental_oracle()
+
+
+# --------------------------------------------------------------------------
+# Incremental Bloom-filter maintenance: the MEMBERSHIP leg of the
+# streaming-maintenance family ("have we ingested this before")
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 4096  # bits
+_BLOOM_K = 3  # hash functions
+
+def _bloom_pos_sql(item: str) -> str:
+    """The k bit positions of ``item`` (a digest string expression):
+    position_i = first-4-hex-digits(md5(i || ':' || item)) mod m —
+    portable md5, replayed digit-by-digit in DuckDB (the md5 call is
+    inlined per digit: DuckDB lambdas cannot hold subqueries)."""
+    h = f"md5(CAST(i AS VARCHAR) || ':' || {item})"
+    hex4 = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return (
+        f"list_transform(generate_series(1, {_BLOOM_K}),"
+        f" i -> ({hex4}) % {_BLOOM_M})"
+    )
+
+
+@register("stream_bloom_incremental", oracle=None)  # set below
+def stream_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING BLOOM-FILTER MAINTENANCE — each arriving batch of
+    documents OR-merges its {_BLOOM_K} md5-derived bit positions per
+    content digest into a persisted set-bits table (the filter stored
+    as its set positions — at most m={_BLOOM_M} rows, typically far
+    fewer; union-distinct IS the OR). Because bitwise OR is
+    associative and commutative, the maintained filter is
+    BIT-IDENTICAL to a one-shot build over the full corpus — the
+    oracle replays that build and audits the SERVING guarantees: zero
+    false negatives over every member digest (the Bloom contract),
+    and the measured false-positive rate over a fixed 200-probe
+    non-member panel next to bits-set occupancy. This is ingest-time
+    "seen it before?" at 100 TB: the batch twin join_bloom_prefilter
+    uses a Bloom to prune a join; this maintains one continuously so
+    the question costs O(k) hashes against sketch-sized state.
+
+    Scale shape: per batch, one map-side distinct digest pass over
+    the BATCH only, explode to <= {_BLOOM_K} x batch positions,
+    union-distinct against the <= m-row state; the streaming query is
+    stateless (state lives in the positions table)."""
+    import shutil
+    import tempfile
+
+    from pyspark_xgboost_spark.sources import load_table
+    from pyspark_xgboost_spark.sources.formats import build_lock
+
+    root = _stage_mg_batches(spark, sf_dir)  # same doc_id%3 batches
+    tbl = os.path.join(root, "bloom")
+    final_marker = os.path.join(tbl, "_BLOOM_FINAL")
+    pos_expr = (
+        f"explode(transform(sequence(1, {_BLOOM_K}),"
+        f" i -> cast(conv(substring(md5(concat(cast(i as string), ':',"
+        f" digest)), 1, 4), 16, 10) as int) % {_BLOOM_M}))"
+    )
+    if not os.path.exists(final_marker):
+        with build_lock(tbl):
+            if not os.path.exists(final_marker):
+                shutil.rmtree(tbl, ignore_errors=True)
+                os.makedirs(tbl)
+                state: dict[str, Any] = {"cur": None}
+
+                def bloom_update(batch_df: DataFrame, batch_id: int) -> None:
+                    if batch_df.isEmpty():
+                        return
+                    sess = batch_df.sparkSession
+                    b = (
+                        batch_df.select(F.md5("text").alias("digest"))
+                        .distinct()
+                        .select(F.expr(pos_expr).alias("pos"))
+                        .distinct()
+                    )
+                    if state["cur"] is not None:
+                        cur = sess.read.parquet(state["cur"])
+                        b = cur.unionByName(b).distinct()
+                    nxt = os.path.join(tbl, f"v{batch_id:03d}")
+                    b.write.mode("overwrite").parquet(nxt)
+                    state["cur"] = nxt
+
+                q = (
+                    spark.readStream.schema(
+                        "doc_id long, text string, seq int"
+                    )
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(os.path.join(root, "in"))
+                    .writeStream.foreachBatch(bloom_update)
+                    .option(
+                        "checkpointLocation",
+                        tempfile.mkdtemp(prefix="bloom_ckpt_"),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                with open(final_marker, "w") as fh:
+                    fh.write(state["cur"])
+    with open(final_marker) as fh:
+        bits = spark.read.parquet(fh.read())
+    bits = bits.withColumnRenamed("pos", "bpos")
+    docs = load_table(spark, sf_dir, "documents")
+    member_pos = docs.select(F.md5("text").alias("digest")).distinct().select(
+        "digest", F.expr(pos_expr).alias("pos")
+    )
+    # false negatives: a member position missing from the filter
+    fn = (
+        member_pos.join(bits, member_pos["pos"] == bits["bpos"], "left_anti")
+        .select("digest")
+        .distinct()
+    )
+    probes = spark.range(200).select(
+        F.md5(F.concat(F.lit("probe:"), F.col("id").cast("string"))).alias(
+            "digest"
+        )
+    )
+    probe_hits = (
+        probes.select("digest", F.expr(pos_expr).alias("pos"))
+        .join(bits, F.col("pos") == F.col("bpos"), "left")
+        .groupBy("digest")
+        .agg(
+            (F.count("bpos") == F.lit(_BLOOM_K)).cast("int").alias("hit")
+        )
+    )
+    n_members = docs.select(F.md5("text")).distinct().count()
+    return (
+        bits.agg(F.count("*").cast("bigint").alias("n_bits_set"))
+        .join(F.broadcast(fn.agg(F.count("*").cast("bigint").alias("fn_count"))))
+        .join(
+            F.broadcast(
+                probe_hits.agg(
+                    F.sum("hit").cast("bigint").alias("fp_probe_hits")
+                )
+            )
+        )
+        .select(
+            F.lit(n_members).cast("bigint").alias("n_members"),
+            "n_bits_set",
+            "fn_count",
+            "fp_probe_hits",
+            F.expr("fp_probe_hits * 10000 div 200")
+            .cast("bigint")
+            .alias("fp_rate_bp"),
+        )
+    )
+
+
+def _bloom_incremental_oracle() -> str:
+    member = f"""
+    mp AS (
+      SELECT DISTINCT u.p FROM (
+        SELECT unnest({_bloom_pos_sql("d.digest")}) AS p
+        FROM (SELECT DISTINCT md5(text) AS digest FROM documents) d) u
+    ),
+    mall AS (
+      SELECT d.digest, unnest({_bloom_pos_sql("d.digest")}) AS p
+      FROM (SELECT DISTINCT md5(text) AS digest FROM documents) d
+    ),
+    fn AS (
+      SELECT count(DISTINCT digest) AS c FROM mall
+      WHERE p NOT IN (SELECT p FROM mp)
+    ),
+    probes AS (
+      SELECT md5('probe:' || CAST(i AS VARCHAR)) AS digest
+      FROM unnest(generate_series(0, 199)) AS g(i)
+    ),
+    ph AS (
+      SELECT digest,
+             CASE WHEN count(*) FILTER (
+                    p IN (SELECT p FROM mp)) = {_BLOOM_K}
+                  THEN 1 ELSE 0 END AS hit
+      FROM (SELECT digest, unnest({_bloom_pos_sql("digest")}) AS p
+            FROM probes)
+      GROUP BY digest
+    )
+    SELECT (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT)
+            FROM documents) AS n_members,
+           (SELECT CAST(count(*) AS BIGINT) FROM mp) AS n_bits_set,
+           (SELECT CAST(c AS BIGINT) FROM fn) AS fn_count,
+           CAST(sum(hit) AS BIGINT) AS fp_probe_hits,
+           CAST(sum(hit) * 10000 // 200 AS BIGINT) AS fp_rate_bp
+    FROM ph
+    """
+    return "WITH " + member
+
+
+_ORACLES["stream_bloom_incremental"] = _bloom_incremental_oracle()

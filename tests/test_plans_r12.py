@@ -475,7 +475,78 @@ def _chk_greedy_graph_descent_monotone(spark):
     assert sum(r.hit_top1 for r in rows) >= 1
 
 
+
+
+def _chk_bloom_incremental_contract(spark):
+    """Zero false negatives (the Bloom guarantee), occupancy bounded
+    by k*members and by m, and the measured FP rate within an order
+    of magnitude of the (1 - e^(-kn/m))^k prediction."""
+    import math
+
+    from pyspark_xgboost_spark.streaming.stream import (
+        _BLOOM_K,
+        _BLOOM_M,
+        stream_bloom_incremental,
+    )
+
+    r = stream_bloom_incremental(spark, SF_DIR).collect()[0]
+    assert r.fn_count == 0
+    assert 0 < r.n_bits_set <= min(_BLOOM_M, _BLOOM_K * r.n_members)
+    pred = (1 - math.exp(-_BLOOM_K * r.n_members / _BLOOM_M)) ** _BLOOM_K
+    assert r.fp_probe_hits / 200 <= max(10 * pred, 0.25)
+
+
+def _chk_lorenz_curve_contract(spark):
+    """Monotone cumulative shares ending at exactly one million, user
+    counts near-equal across deciles, and curve below the diagonal
+    (poorer deciles hold less than proportional mass)."""
+    from pyspark_xgboost_spark.operators.relational import (
+        events_lorenz_curve,
+    )
+
+    rows = sorted(
+        events_lorenz_curve(spark, SF_DIR).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert rows[-1].cum_share_micro == 1_000_000
+    shares = [r.cum_share_micro for r in rows]
+    assert shares == sorted(shares)
+    assert max(r.n_users for r in rows) - min(r.n_users for r in rows) <= 1
+    # Lorenz curve under the diagonal — against CUMULATIVE USER share
+    # (ntile front-loads remainder rows, so tiles are not exactly 10%)
+    total_users = sum(r.n_users for r in rows)
+    cum_users = 0
+    for r, s in zip(rows[:-1], shares[:-1]):
+        cum_users += r.n_users
+        assert s <= cum_users * 1_000_000 // total_users + 1
+
+
+def _chk_hard_negatives_are_hard(spark):
+    """Every mined negative respects the lexical ceiling, anchors get
+    at most k negatives ranked by cosine, and each negative is more
+    similar than the median random candidate (it is actually hard)."""
+    from pyspark_xgboost_spark.operators.similarity import (
+        _HN_JAC_MAX,
+        _HN_K,
+        sample_hard_negatives_ann,
+    )
+
+    rows = sample_hard_negatives_ann(spark, SF_DIR).collect()
+    assert rows
+    by_anchor = {}
+    for r in rows:
+        assert r.jac_milli < _HN_JAC_MAX
+        assert 1 <= r.rk <= _HN_K
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    for negs in by_anchor.values():
+        cs = [r.cos_sim for r in sorted(negs, key=lambda r: r.rk)]
+        assert cs == sorted(cs, reverse=True)
+
+
 _R12_CHECKS = [
+    _chk_bloom_incremental_contract,
+    _chk_lorenz_curve_contract,
+    _chk_hard_negatives_are_hard,
     _chk_max_drawdown_matches_python,
     _chk_sq8_eval_contract,
     _chk_greedy_graph_descent_monotone,

@@ -1370,7 +1370,7 @@ def multimodal_mp4_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ftyp_len",
         be32_at("1 + ftyp_len").alias("free_len"),
     )
-    return hop2.select(
+    walked = hop2.select(
         "doc_id",
         "ftyp_len",
         "free_len",
@@ -1379,13 +1379,10 @@ def multimodal_mp4_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("moov_type"),
         be32_at("1 + ftyp_len + free_len + 28").alias("timescale"),
         be32_at("1 + ftyp_len + free_len + 32").alias("duration"),
-        F.expr(
-            "cast(conv(hex(substring(payload,"
-            " 1 + ftyp_len + free_len + 32, 4)), 16, 10) as bigint)"
-            " * 1000 div"
-            " cast(conv(hex(substring(payload,"
-            " 1 + ftyp_len + free_len + 28, 4)), 16, 10) as bigint)"
-        )
+    )
+    return walked.select(
+        "*",
+        F.expr("duration * 1000 div timescale")
         .cast("bigint")
         .alias("duration_ms"),
     )
@@ -1414,10 +1411,10 @@ def _le32_hex_of(v_sql: str) -> str:
     )
 
 
-def _tiff_pack_sql(hexfn: str = "hex") -> str:
+def _tiff_pack_sql() -> str:
     """The packed little-endian TIFF hex image, identical SQL for both
-    engines modulo the encode() call (DuckDB hex(encode(text)) vs
-    Spark hex(encode(text, 'UTF-8')) — pass the text-bytes hex term).
+    engines (each caller appends its own text-bytes hex term; the
+    Spark caller also rewrites the list/array function names).
 
     Layout: 'II' 42, LE32 IFD offset (8 + doc-varied pad), pad zeros,
     LE16 entry count (doc-varied dummy entries + width/height/

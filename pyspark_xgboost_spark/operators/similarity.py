@@ -2992,7 +2992,8 @@ _SIM_ORACLES["sim_search_mips_norm_pruned"] = _mips_oracle()
     oracle=f"""
     WITH xm AS (
       SELECT vec_id, g.j,
-             CAST(round(embedding[g.j] * {_KM_Q}) AS BIGINT) AS x
+             CAST(round(CAST(embedding AS DOUBLE[])[g.j] * {_KM_Q})
+               AS BIGINT) AS x
       FROM embeddings, unnest(generate_series(1, {_KM_DIM})) AS g(j)
     ),
     st AS (

@@ -75,7 +75,8 @@ _GRADE_FIRST = [
     "stream_reservoir_incremental",
     "window_hurst_exponent",
     # -- stalest attested oracle rows (first 20 of the r05 cohort,
-    #    sorted; the remaining 30 r05 rows queue for r13) --
+    #    sorted; 29 of the remaining 30 r05 rows fit the r13 window
+    #    behind the 21 r12 registrations, the last queues for r14) --
     "agg_count_if_bool",
     "agg_mode_exact",
     "audit_dq_expectations",

@@ -3668,9 +3668,12 @@ def stream_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("bpos") == F.lit(_BLOOM_K)).cast("int").alias("hit")
         )
     )
-    n_members = docs.select(F.md5("text")).distinct().count()
+    n_members = docs.select(F.md5("text").alias("d")).distinct().agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
     return (
         bits.agg(F.count("*").cast("bigint").alias("n_bits_set"))
+        .join(F.broadcast(n_members))
         .join(F.broadcast(fn.agg(F.count("*").cast("bigint").alias("fn_count"))))
         .join(
             F.broadcast(
@@ -3680,7 +3683,7 @@ def stream_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select(
-            F.lit(n_members).cast("bigint").alias("n_members"),
+            "n_members",
             "n_bits_set",
             "fn_count",
             "fp_probe_hits",

@@ -823,9 +823,10 @@ _POOLED_PROPERTIES = [_chk_minhash_bucket_cap_bounds_pair_expansion, _chk_minhas
 
 
 # These checks monkeypatch a module-global (an operator module's
-# load_table) while they run, so they can never overlap a pooled
-# thread that calls into the same module — serial lane.
-_SERIAL_PATCHERS = [_chk_minhash_b128_identical_docs_always_candidates, _chk_substring_dedup_degenerate_identical_corpus, _chk_connected_components_transitive_closure, _chk_fuzzy_levenshtein_catches_edits_jaccard_misses, _chk_ewma_matches_pandas_ewm, _chk_weighted_percentile_handmade, _chk_simhash_bands_identical_docs_hamming_zero]
+# load_table) or mutate session conf (spark.sql.shuffle.partitions)
+# while they run, so they can never overlap a pooled thread — serial
+# lane.
+_SERIAL_PATCHERS = [_chk_quantized_aggregates_partition_invariant, _chk_funnel_partition_invariant, _chk_minhash_b128_identical_docs_always_candidates, _chk_substring_dedup_degenerate_identical_corpus, _chk_connected_components_transitive_closure, _chk_fuzzy_levenshtein_catches_edits_jaccard_misses, _chk_ewma_matches_pandas_ewm, _chk_weighted_percentile_handmade, _chk_simhash_bands_identical_docs_hamming_zero]
 
 
 def test_properties_contracts_pooled(spark):

@@ -2333,22 +2333,75 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
+    # The per-position window hash runs as a TOP-LEVEL projection over
+    # an exploded position column, NOT inside a transform() lambda:
+    # higher-order-function lambdas evaluate interpreted per element,
+    # and the md5-per-character pass is the whole cost of CDC — in
+    # whole-stage codegen it runs ~5x faster (5.8s -> ~1s at sf0.1).
+    # Only the found cut positions (1/M of chars) shuffle back.
+    # the window-hash pass is CPU-bound at ~1 md5/char: spread it
+    # over the cluster even when the source arrives as one split
+    # (locally: one small parquet file -> one partition -> one core).
+    # Explicit partition count: AQE would size this exchange by its
+    # ~MB data volume and coalesce back to one task, but the cost
+    # here is CPU per character, not bytes.
+    # explode positions and slice/hash as TOP-LEVEL projections: every
+    # step (sequence, explode, substring, md5, conv) stays inside one
+    # WholeStageCodegen span — a transform() lambda evaluates its body
+    # interpreted per element, ~17x slower for this md5-per-character
+    # pass (measured at sf0.1)
+    docs = docs.repartition(32, F.col("doc_id"))  # shared by both
+    # branches below (cut discovery + chunk reassembly): ReuseExchange
+    # computes it once and neither branch runs single-task
+    cuts = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr(
+                    f"sequence({_CDC_W}, greatest(length(text), {_CDC_W}))"
+                )
+            ).alias("p"),
+        )
+        .filter(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.expr(
+                                f"substring(text, p - {_CDC_W - 1},"
+                                f" {_CDC_W})"
+                            )
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _CDC_M
+                == 0
+            )
+            & (F.col("p") < F.length("text"))
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("p")).alias("cuts"))
+    )
     chunks_expr = (
         f"IF(length(text) < {_CDC_W}, array(text),"
         f" transform(sequence(1, size(cdc_bounds) - 1),"
         f" i -> substring(text, element_at(cdc_bounds, i) + 1,"
         f" element_at(cdc_bounds, i + 1) - element_at(cdc_bounds, i))))"
     )
-    bounds_expr = (
-        f"concat(array(0),"
-        f" filter(transform(sequence({_CDC_W}, greatest(length(text), {_CDC_W})),"
-        f" p -> IF(conv(substring(md5(substring(text, p - {_CDC_W - 1},"
-        f" {_CDC_W})), 1, 4), 16, 10) % {_CDC_M} = 0, p, -1)),"
-        f" x -> x > 0 AND x < length(text)),"
-        f" array(length(text)))"
-    )
     ch = (
-        docs.withColumn("cdc_bounds", F.expr(bounds_expr))
+        docs.join(cuts, "doc_id", "left")
+        .withColumn(
+            "cdc_bounds",
+            F.expr(
+                "concat(array(0), coalesce(cuts, array()),"
+                " array(length(text)))"
+            ),
+        )
         .select("source", F.explode(F.expr(chunks_expr)).alias("chunk"))
         .select(
             "source",
@@ -2356,17 +2409,29 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("chunk").cast("long").alias("clen"),
         )
     )
-    g = ch.groupBy("digest").agg(F.count("*").alias("cnt"))
+    # aggregate BEFORE the global-count join: the (source, digest)
+    # rollup's exchange is the one subtree both join branches share,
+    # so ReuseExchange computes the hash pipeline once — a ch-vs-
+    # groupBy(ch) self-join would run the md5 pass twice
+    sd = ch.groupBy("source", "digest").agg(
+        F.count("*").alias("cnt_sd"), F.max("clen").alias("clen")
+    )
+    g = sd.groupBy("digest").agg(F.sum("cnt_sd").alias("cnt"))
     return (
-        ch.join(g, "digest")
+        sd.join(g, "digest")
         .groupBy("source")
         .agg(
-            F.count("*").cast("bigint").alias("n_chunks"),
-            F.sum("clen").cast("bigint").alias("n_chunk_chars"),
-            F.sum((F.col("cnt") > 1).cast("long"))
+            F.sum("cnt_sd").cast("bigint").alias("n_chunks"),
+            F.sum(F.col("cnt_sd") * F.col("clen"))
+            .cast("bigint")
+            .alias("n_chunk_chars"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt_sd")).otherwise(0))
             .cast("bigint")
             .alias("n_shared_chunks"),
-            F.sum(F.when(F.col("cnt") > 1, F.col("clen")).otherwise(0))
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt_sd") * F.col("clen"))
+                .otherwise(0)
+            )
             .cast("bigint")
             .alias("shared_chars"),
         )

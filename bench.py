@@ -390,6 +390,9 @@ HEADLINE = [
     "stream_bloom_incremental",
     "events_lorenz_curve",
     "sample_hard_negatives_ann",
+    "window_rsi_cutler",
+    "graph_katz_centrality",
+    "text_longest_repeated_substring",
 ]
 
 

@@ -1310,3 +1310,93 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_unique_nodes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Katz centrality (attenuated path counting — the degree-blind
+# counterpart of PageRank)
+# --------------------------------------------------------------------------
+
+_KATZ_ROUNDS = 3
+_KATZ_NUM, _KATZ_DEN = 1, 8  # attenuation alpha = 1/8 (< 1/max_degree)
+
+
+def _katz_iter_sql(prev: str, out: str) -> str:
+    """One unrolled Katz step in DuckDB integer units:
+    k' = base + alpha * A k, floor-div exact."""
+    return f"""
+    {out} AS (
+      SELECT n.doc_id,
+             {_KATZ_SCALE} + COALESCE(s.contrib, 0) AS kz
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS doc_id,
+               SUM(p.kz * {_KATZ_NUM} // {_KATZ_DEN}) AS contrib
+        FROM edges e JOIN {prev} p ON e.src = p.doc_id
+        GROUP BY e.dst
+      ) s USING (doc_id)
+    )"""
+
+
+_KATZ_SCALE = 1_000_000_000
+
+
+@register(
+    "graph_katz_centrality",
+    oracle="WITH "
+    + _MINHASH_CAND_SQL
+    + f""",
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL SELECT doc_b, doc_a FROM cand
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    k0 AS (SELECT doc_id, CAST({_KATZ_SCALE} AS BIGINT) AS kz FROM nodes),
+    {_katz_iter_sql("k0", "k1")},
+    {_katz_iter_sql("k1", "k2")},
+    {_katz_iter_sql("k2", "k3")}
+    SELECT doc_id, CAST(kz AS BIGINT) AS katz_nano FROM k3
+    """,
+)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KATZ CENTRALITY (Katz 1953) over the LSH candidate graph —
+    attenuated path counting: k = sum_l alpha^l A^l 1, computed as
+    {_KATZ_ROUNDS} unrolled k' = 1 + alpha.A.k steps in exact integer
+    nano units with alpha = {_KATZ_NUM}/{_KATZ_DEN} (below 1/max
+    degree, which the LSH bucket cap bounds, so the series
+    contracts). The degree-BLIND counterpart of PageRank: PageRank
+    divides each node's influence by its out-degree (a random
+    surfer), Katz does not (an influence broadcast) — a boilerplate
+    hub connected to many near-dup clusters scores high on Katz even
+    when PageRank's degree normalization mutes it, which is exactly
+    the "find the template spine of the corpus" question. Same
+    deterministic discipline as graph_pagerank_fixed (graph.py:59):
+    integer floor-div shares, BIGINT sums, bit-exact DuckDB replay.
+
+    Scale shape: each round is one edges-to-scores hash join + one
+    map-side-combined sum keyed by destination — O(edges) shuffle per
+    round, plan depth bounded by the round count (localCheckpoint
+    every k rounds is the >3-round recipe, as pagerank documents)."""
+    edges = _lsh_edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    kz = nodes.withColumn("kz", F.lit(_KATZ_SCALE).cast("long"))
+    for _ in range(_KATZ_ROUNDS):
+        contrib = (
+            edges.join(kz, edges["src"] == kz["doc_id"])
+            .select(
+                "dst",
+                F.expr(f"kz * {_KATZ_NUM} div {_KATZ_DEN}").alias("share"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        kz = nodes.join(
+            contrib, nodes["doc_id"] == contrib["dst"], "left"
+        ).select(
+            "doc_id",
+            (
+                F.lit(_KATZ_SCALE) + F.coalesce(F.col("contrib"), F.lit(0))
+            )
+            .cast("long")
+            .alias("kz"),
+        )
+    return kz.select("doc_id", F.col("kz").cast("bigint").alias("katz_nano"))

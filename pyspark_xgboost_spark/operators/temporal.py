@@ -5063,3 +5063,105 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_drawdown_micro"),
     )
+
+
+_RSI_N = 14  # Cutler RSI lookback (days)
+
+
+@register(
+    "window_rsi_cutler",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_idx,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT event_type, day_idx, y,
+             y - lag(y) OVER (PARTITION BY event_type ORDER BY day_idx)
+               AS chg
+      FROM daily
+    ),
+    w AS (
+      SELECT event_type, day_idx,
+             CAST(sum(CASE WHEN chg > 0 THEN chg ELSE 0 END) OVER win
+               AS BIGINT) AS gain,
+             CAST(sum(CASE WHEN chg < 0 THEN -chg ELSE 0 END) OVER win
+               AS BIGINT) AS loss,
+             CAST(count(chg) OVER win AS BIGINT) AS n_chg
+      FROM d
+      WINDOW win AS (PARTITION BY event_type ORDER BY day_idx
+                     ROWS BETWEEN {_RSI_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day_idx, gain, loss,
+           CAST(CASE WHEN gain + loss = 0 THEN 500000
+                     ELSE gain * 1000000 // (gain + loss)
+                END AS BIGINT) AS rsi_micro
+    FROM w WHERE n_chg >= {_RSI_N}
+    """,
+)
+def window_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUTLER'S RSI over the daily volume series per event type — the
+    momentum oscillator in its window-expressible form: RSI = gains /
+    (gains + losses) over the trailing {_RSI_N} changes, using simple
+    rolling sums (Cutler's variant) instead of Wilder's recursive
+    smoothing, which makes it a pure frame aggregate both engines
+    evaluate identically in exact integer cents (the recursive
+    EWMA-smoothed variant belongs to the sequential-DP family —
+    window_ewma holds that seat). On an ops dashboard this reads
+    "is volume momentum stretched": rsi_micro near 1e6 = persistent
+    growth days, near 0 = persistent decline; the flat-window
+    convention 500000 marks dead series. Emitted only where the full
+    {_RSI_N}-change frame exists, so every row is a real oscillator
+    value, not a warm-up artifact.
+
+    Scale shape: the (type, day) rollup is the only corpus-sized
+    exchange; lag + two framed sums ride one window pass over
+    O(days) rows per type."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("day_idx"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    wlag = W.partitionBy("event_type").orderBy("day_idx")
+    d = daily.select(
+        "event_type",
+        "day_idx",
+        (F.col("y") - F.lag("y").over(wlag)).alias("chg"),
+    )
+    win = wlag.rowsBetween(-(_RSI_N - 1), W.currentRow)
+    w = d.select(
+        "event_type",
+        "day_idx",
+        F.sum(F.when(F.col("chg") > 0, F.col("chg")).otherwise(0))
+        .over(win)
+        .cast("bigint")
+        .alias("gain"),
+        F.sum(F.when(F.col("chg") < 0, -F.col("chg")).otherwise(0))
+        .over(win)
+        .cast("bigint")
+        .alias("loss"),
+        F.count("chg").over(win).cast("bigint").alias("n_chg"),
+    )
+    return w.filter(F.col("n_chg") >= _RSI_N).select(
+        "event_type",
+        "day_idx",
+        "gain",
+        "loss",
+        F.when(F.col("gain") + F.col("loss") == 0, F.lit(500000))
+        .otherwise(F.expr("gain * 1000000 div (gain + loss)"))
+        .cast("bigint")
+        .alias("rsi_micro"),
+    )

@@ -1287,3 +1287,111 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_syllables",
         F.floor(grade * 1000).cast("bigint").alias("fk_grade_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Longest repeated substring (adjacent-suffix LCP over a sorted
+# truncated suffix set)
+# --------------------------------------------------------------------------
+
+_LRS_CAP = 40  # suffix truncation: repeats longer than this saturate
+
+
+def _lcp_sum_sql(a: str, b: str, substr: str) -> str:
+    """LCP of two strings as a FLAT 40-term sum of prefix equalities
+    (prefix equality is monotone in j, so the sum IS the LCP, capped).
+    Flat codegen beats a per-element lambda ~17x (the CDC lesson)."""
+    return " + ".join(
+        f"(CASE WHEN {substr}({a}, 1, {j}) = {substr}({b}, 1, {j})"
+        f" THEN 1 ELSE 0 END)"
+        for j in range(1, _LRS_CAP + 1)
+    )
+
+
+@register(
+    "text_longest_repeated_substring",
+    oracle=f"""
+    WITH sfx AS (
+      SELECT doc_id, substr(text, g.p, {_LRS_CAP}) AS s
+      FROM documents, unnest(generate_series(1, length(text))) AS g(p)
+    ),
+    adj AS (
+      SELECT doc_id, s,
+             lag(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev
+      FROM sfx
+    ),
+    lcps AS (
+      SELECT doc_id, s,
+             CASE WHEN prev IS NULL THEN 0
+                  ELSE {_lcp_sum_sql("s", "prev", "substr")} END AS lcp
+      FROM adj
+    ),
+    m AS (SELECT doc_id, CAST(max(lcp) AS BIGINT) AS lrs_len FROM lcps
+          GROUP BY doc_id)
+    SELECT m.doc_id, m.lrs_len,
+           min(substr(l.s, 1, CAST(m.lrs_len AS INTEGER))) AS lrs
+    FROM m JOIN lcps l ON l.doc_id = m.doc_id AND l.lcp = m.lrs_len
+    GROUP BY m.doc_id, m.lrs_len
+    """,
+)
+def text_longest_repeated_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LONGEST REPEATED SUBSTRING per document — the character-level
+    repetition detector (text_repetition_stats works at token
+    granularity; this catches sub-token loops, repeated markup, and
+    decoder stutter that token counts smear): the classic suffix-array
+    reduction, LRS = the maximum LCP of lexicographically ADJACENT
+    suffixes, here over suffixes truncated to {_LRS_CAP} chars (longer
+    repeats saturate at the cap — a filter thresholds far below it).
+    Ties resolve to the lexicographically smallest witness so both
+    engines emit the identical string (Python code-point order ==
+    UTF-8 byte order == both engines' ORDER BY).
+
+    Spark shape: ONE Arrow kernel per partition — per document, a
+    sorted truncated suffix list and an O(lcp) adjacent scan. The SQL
+    form (which the DuckDB oracle runs) needs a flat O(cap^2)
+    prefix-equality sum per adjacent pair because SQL has no
+    common-prefix primitive — 2.3G char compares at sf0.1 vs the
+    kernel's ~7M; documents are independent, so the kernel
+    parallelizes across the 32-way repartition (explicit count: the
+    pass is CPU-bound, AQE would coalesce the ~MB exchange). At
+    100 TB this is a scan-throughput map pass."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        32, F.col("doc_id")
+    )
+
+    def lrs_kernel(batches):
+        # per-document suffix sort + adjacent-LCP scan in one Arrow
+        # kernel: the SQL form needs O(cap^2) prefix compares per
+        # suffix pair (2.3G char ops at sf0.1) where the scan needs
+        # O(lcp); each document is independent, so the pass
+        # parallelizes across partitions. Python str comparison is
+        # code-point order == UTF-8 byte order == both engines'
+        # string ORDER BY, so the witness ties match the oracle.
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                sfx = sorted(
+                    text[p : p + _LRS_CAP] for p in range(len(text))
+                )
+                best_len, best = 0, ""
+                for a, b in zip(sfx, sfx[1:]):
+                    lim = min(len(a), len(b))
+                    lcp = 0
+                    while lcp < lim and a[lcp] == b[lcp]:
+                        lcp += 1
+                    if lcp > best_len:
+                        best_len, best = lcp, a[:lcp]
+                    elif lcp == best_len and best_len:
+                        w = a[:lcp]
+                        if w < best:
+                            best = w
+                rows.append((int(doc_id), best_len, best))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "lrs_len", "lrs"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        lrs_kernel, "doc_id long, lrs_len bigint, lrs string"
+    )

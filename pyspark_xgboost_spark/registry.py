@@ -75,8 +75,8 @@ _GRADE_FIRST = [
     "stream_reservoir_incremental",
     "window_hurst_exponent",
     # -- stalest attested oracle rows (first 20 of the r05 cohort,
-    #    sorted; 29 of the remaining 30 r05 rows fit the r13 window
-    #    behind the 21 r12 registrations, the last queues for r14) --
+    #    sorted; the remaining 30 r05 rows drain across r13/r14
+    #    behind the r12 registrations — see the r13 plan below) --
     "agg_count_if_bool",
     "agg_mode_exact",
     "audit_dq_expectations",
@@ -108,10 +108,11 @@ _GRADE_FIRST = [
     # multimodal_zip_eocd, sample_hard_negatives_ann,
     # sim_search_greedy_graph, stream_bloom_incremental,
     # stream_cc_incremental, stream_ivf_incremental,
-    # stream_mg_topk_incremental, text_readability_fk,
-    # window_max_drawdown — keep this list current as r12 adds more),
-    # then the remaining 29 r05-attested rows in sorted order (21 new
-    # + 29 = 50)
+    # stream_mg_topk_incremental, text_longest_repeated_substring,
+    # text_readability_fk, window_max_drawdown, window_rsi_cutler —
+    # keep this list current as r12 adds more), then the stalest
+    # attested rows (r05 cohort) in sorted order up to 50 (24 new +
+    # 26 r05)
     # up to 50 (pipeline_observed_metrics, sample_temperature_mixture,
     # sample_weighted_priority, scalar_array_ops, scan_csv_gzip, ...).
     # Recompute with the staleness query in tools/check_window.py.

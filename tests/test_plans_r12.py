@@ -543,7 +543,96 @@ def _chk_hard_negatives_are_hard(spark):
         assert cs == sorted(cs, reverse=True)
 
 
+
+
+def _chk_rsi_cutler_bounds_and_flat_convention(spark):
+    """RSI is a valid [0, 1e6] micro ratio emitted only on full
+    frames; gain/loss reconcile with the ratio."""
+    from pyspark_xgboost_spark.operators.temporal import (
+        _RSI_N,
+        window_rsi_cutler,
+    )
+
+    rows = window_rsi_cutler(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.rsi_micro <= 1_000_000
+        assert r.gain >= 0 and r.loss >= 0
+        if r.gain + r.loss:
+            assert r.rsi_micro == r.gain * 1_000_000 // (r.gain + r.loss)
+        else:
+            assert r.rsi_micro == 500_000
+
+
+def _chk_katz_vs_pagerank_degree_blindness(spark):
+    """Katz >= base for every node (paths only add), equals base
+    exactly for isolated-in-degree nodes, and the score set is NOT a
+    monotone transform of PageRank (degree normalization differs)."""
+    from pyspark_xgboost_spark.operators.graph import (
+        _KATZ_SCALE,
+        graph_katz_centrality,
+        graph_pagerank_fixed,
+    )
+
+    kz = {r.doc_id: r.katz_nano for r in graph_katz_centrality(spark, SF_DIR).collect()}
+    pr = {r.doc_id: r.pagerank_nano for r in graph_pagerank_fixed(spark, SF_DIR).collect()}
+    assert set(kz) == set(pr)
+    assert all(v >= _KATZ_SCALE for v in kz.values())
+    ks = sorted(kz, key=lambda d: (kz[d], d))
+    ps = sorted(pr, key=lambda d: (pr[d], d))
+    assert ks != ps  # the orderings genuinely differ
+
+
+def _chk_lrs_matches_python_bruteforce(spark):
+    """LRS length must equal a brute-force longest-repeat search on a
+    sample of documents (capped), and the witness must occur >= twice."""
+    from pyspark_xgboost_spark.operators.text import (
+        _LRS_CAP,
+        text_longest_repeated_substring,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+
+    got = {
+        r.doc_id: r
+        for r in text_longest_repeated_substring(spark, SF_DIR).collect()
+    }
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .limit(15)
+        .collect()
+    )
+    for d in docs:
+        t = d.text
+        best = 0
+        seen = {}
+        # brute force: longest l such that some l-gram repeats
+        for ln in range(min(_LRS_CAP, len(t) - 1), 0, -1):
+            grams = set()
+            found = False
+            for p in range(len(t) - ln + 1):
+                g = t[p : p + ln]
+                if g in grams:
+                    found = True
+                    break
+                grams.add(g)
+            if found:
+                best = ln
+                break
+        r = got[d.doc_id]
+        assert r.lrs_len == best, (d.doc_id, r.lrs_len, best)
+        if best:
+            # overlapping occurrences count (str.count is non-overlapping)
+            n_occ = sum(
+                t[i : i + best] == r.lrs for i in range(len(t) - best + 1)
+            )
+            assert n_occ >= 2
+
+
 _R12_CHECKS = [
+    _chk_rsi_cutler_bounds_and_flat_convention,
+    _chk_katz_vs_pagerank_degree_blindness,
+    _chk_lrs_matches_python_bruteforce,
     _chk_bloom_incremental_contract,
     _chk_lorenz_curve_contract,
     _chk_hard_negatives_are_hard,

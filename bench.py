@@ -393,6 +393,9 @@ HEADLINE = [
     "window_rsi_cutler",
     "graph_katz_centrality",
     "text_longest_repeated_substring",
+    "corpus_cross_source_contamination",
+    "window_atr_true_range",
+    "corpus_entropy_rate_bigram",
 ]
 
 

@@ -3318,3 +3318,211 @@ def corpus_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(sg * 1_000_000).cast("bigint").alias("share_micro"),
         F.floor(tb * 1_000_000).cast("bigint").alias("between_term_micro"),
     )
+
+
+_XSRC_N = 13  # shingle width shared with the decontamination family
+
+
+@register(
+    "corpus_cross_source_contamination",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(toks[g.i:g.i + {_XSRC_N} - 1], ' '))
+               AS digest
+      FROM toks,
+           unnest(generate_series(1, len(toks) - {_XSRC_N} + 1)) AS g(i)
+      WHERE len(toks) >= {_XSRC_N}
+    ),
+    sz AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+      FROM grams GROUP BY source
+    ),
+    ov AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM grams a JOIN grams b
+        ON a.digest = b.digest AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT ov.src_a, ov.src_b, ov.n_shared,
+           sa.n_grams AS n_grams_a, sb.n_grams AS n_grams_b,
+           CAST(ov.n_shared * 1000000
+                  // least(sa.n_grams, sb.n_grams) AS BIGINT)
+             AS containment_micro
+    FROM ov
+    JOIN sz sa ON sa.source = ov.src_a
+    JOIN sz sb ON sb.source = ov.src_b
+    """,
+)
+def corpus_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE CONTAMINATION MATRIX — pairwise 13-gram
+    containment between sources: where corpus_decontaminate_13gram
+    gates TRAINING against an eval set, this prices duplication
+    BETWEEN ingest sources (mirrors, scrapes of scrapes, licensed
+    dumps that overlap the crawl) — the number that decides which
+    source to drop before paying to dedup at document granularity.
+    Per ordered pair: shared distinct shingle digests and containment
+    = shared / min(|A|, |B|) in exact integer micro units (containment,
+    not Jaccard: a small source fully inside a big one must score 1).
+
+    Scale shape: ONE tokenize/shingle pass to DISTINCT (source,
+    digest) rows — cardinality O(corpus shingles), combiner-friendly;
+    the pairwise counts come from a digest-keyed self-equi-join whose
+    fan-out per digest is bounded by the SOURCE count (<= sources^2
+    pairs per digest, sources ~ dozens), never by corpus size. At
+    100 TB this is the same shape as the decontamination join: digests
+    shuffle, documents never do."""
+    toks = F.expr(_TOKS)
+    grams = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", toks.alias("toks"))
+        .filter(F.size("toks") >= _XSRC_N)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_XSRC_N} + 1),"
+                    f" i -> md5(array_join(slice(toks, i, {_XSRC_N}), ' ')))"
+                )
+            ).alias("digest"),
+        )
+        .distinct()
+    )
+    sz = grams.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_grams")
+    )
+    b = grams.select(
+        F.col("source").alias("src_b"), F.col("digest").alias("digest_b")
+    )
+    ov = (
+        grams.join(
+            b,
+            (F.col("digest") == F.col("digest_b"))
+            & (F.col("source") < F.col("src_b")),
+        )
+        .groupBy(F.col("source").alias("src_a"), "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    return (
+        ov.join(
+            sz.select(
+                F.col("source").alias("src_a"),
+                F.col("n_grams").alias("n_grams_a"),
+            ),
+            "src_a",
+        )
+        .join(
+            sz.select(
+                F.col("source").alias("src_b"),
+                F.col("n_grams").alias("n_grams_b"),
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_grams_a",
+            "n_grams_b",
+            F.expr(
+                "n_shared * 1000000 div least(n_grams_a, n_grams_b)"
+            )
+            .cast("bigint")
+            .alias("containment_micro"),
+        )
+    )
+
+
+@register(
+    "corpus_entropy_rate_bigram",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT source, toks[g.i] AS u, toks[g.i + 1] AS v
+      FROM toks, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+      WHERE len(toks) >= 2
+    ),
+    cuv AS (
+      SELECT source, u, v, CAST(count(*) AS BIGINT) AS c
+      FROM bg GROUP BY 1, 2, 3
+    ),
+    cu AS (
+      SELECT source, u, CAST(sum(c) AS BIGINT) AS cu FROM cuv
+      GROUP BY 1, 2
+    )
+    SELECT cuv.source,
+           CAST(sum(cuv.c) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST(sum(cuv.c * CAST(round(ln(CAST(cu.cu AS DOUBLE) / cuv.c)
+                                       * 1000000) AS BIGINT))
+             AS BIGINT) AS entropy_num_unats,
+           CAST(sum(cuv.c) AS BIGINT) AS entropy_den
+    FROM cuv JOIN cu ON cu.source = cuv.source AND cu.u = cuv.u
+    GROUP BY cuv.source
+    """,
+)
+def corpus_entropy_rate_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM ENTROPY RATE per source — the conditional entropy
+    H(w_t | w_{t-1}) = sum_uv p(u,v) ln(c(u)/c(u,v)), Shannon's
+    next-token-uncertainty number and the information-theoretic floor
+    a language model must beat on this source (the perplexity family
+    measures a MODEL against the corpus; this measures the corpus
+    itself — low entropy rate = templated/boilerplate source, high =
+    diverse prose). Reported in the agg_entropy_by_source integer
+    convention: an exact BIGINT numerator of per-bigram micro-nat
+    terms (ln quantized per distinct (u,v) — low-cardinality
+    arguments, both engines' libm agree) over an exact denominator,
+    so the division is the READER's one float op.
+
+    Scale shape: one tokenize/bigram explode feeding two
+    map-side-combined counts (bigram and context), one equi-join on
+    (source, u) — O(distinct bigrams) rows, Zipf-bounded — and a
+    per-source rollup. The same passes corpus_bigram_topk already
+    pays; at 100 TB nothing here is corpus-row-proportional after
+    the explode."""
+    toks = F.expr(_TOKS)
+    bg = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) as u,"
+                    " element_at(toks, i + 1) as v))"
+                )
+            ).alias("b"),
+        )
+        .select("source", F.col("b.u").alias("u"), F.col("b.v").alias("v"))
+    )
+    cuv = bg.groupBy("source", "u", "v").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    cu = cuv.groupBy("source", "u").agg(F.sum("c").cast("long").alias("cu"))
+    term = F.col("c") * F.round(
+        F.log(F.col("cu").cast("double") / F.col("c")) * 1_000_000
+    ).cast("long")
+    return (
+        cuv.join(cu, ["source", "u"])
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.count("*").cast("bigint").alias("n_distinct_bigrams"),
+            F.sum(term).cast("bigint").alias("entropy_num_unats"),
+            F.sum("c").cast("bigint").alias("entropy_den"),
+        )
+    )

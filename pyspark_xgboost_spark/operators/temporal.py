@@ -5165,3 +5165,111 @@ def window_rsi_cutler(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rsi_micro"),
     )
+
+
+_ATR_N = 14  # true-range lookback (days)
+
+
+@register(
+    "window_atr_true_range",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_idx,
+             CAST(round(value * 100) AS BIGINT) AS cents, ts, event_id
+      FROM events
+    ),
+    hilo AS (
+      SELECT event_type, day_idx,
+             CAST(max(cents) AS BIGINT) AS hi,
+             CAST(min(cents) AS BIGINT) AS lo
+      FROM base GROUP BY 1, 2
+    ),
+    closep AS (
+      SELECT event_type, day_idx, cents AS cl FROM (
+        SELECT event_type, day_idx, cents,
+               row_number() OVER (PARTITION BY event_type, day_idx
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM base) WHERE rn = 1
+    ),
+    daily AS (
+      SELECT h.event_type, h.day_idx, h.hi, h.lo, c.cl
+      FROM hilo h JOIN closep c USING (event_type, day_idx)
+    ),
+    tr AS (
+      SELECT event_type, day_idx, hi, lo, cl,
+             greatest(hi - lo,
+                      abs(hi - lag(cl) OVER w),
+                      abs(lo - lag(cl) OVER w)) AS true_range
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)
+    ),
+    a AS (
+      SELECT event_type, day_idx, true_range,
+             CAST(sum(true_range) OVER win AS BIGINT) AS tr_sum,
+             CAST(count(true_range) OVER win AS BIGINT) AS n_tr
+      FROM tr
+      WINDOW win AS (PARTITION BY event_type ORDER BY day_idx
+                     ROWS BETWEEN {_ATR_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day_idx,
+           CAST(true_range AS BIGINT) AS true_range_cents,
+           CAST(tr_sum * 1000 // n_tr AS BIGINT) AS atr_milli_cents
+    FROM a WHERE n_tr >= {_ATR_N}
+    """,
+)
+def window_atr_true_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVERAGE TRUE RANGE over the daily per-type price series (Wilder
+    1978, simple-mean form): the daily candle derives from events
+    (high = max, low = min, close = last by the deterministic
+    (ts, event_id) order — the events_ohlc_rollup candle), true range
+    = max(hi-lo, |hi-prev_close|, |lo-prev_close|) so overnight gaps
+    count as range, and ATR = the trailing {_ATR_N}-day mean in exact
+    milli-cents. The volatility-band partner of window_bollinger_bands
+    (which measures deviation around a mean; ATR measures traversed
+    range) — the pair is what a monitoring rule engine sizes its alert
+    thresholds with. Emitted only on full frames.
+
+    Scale shape: one (type, day) max/min/max_by rollup is the only
+    corpus-sized exchange; lag + framed sum ride one window pass over
+    O(days) rows per type."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_idx"),
+    ).agg(
+        F.max(cents).cast("bigint").alias("hi"),
+        F.min(cents).cast("bigint").alias("lo"),
+        F.max_by(cents, F.struct("ts", "event_id"))
+        .cast("bigint")
+        .alias("cl"),
+    )
+    wlag = W.partitionBy("event_type").orderBy("day_idx")
+    tr = daily.select(
+        "event_type",
+        "day_idx",
+        F.greatest(
+            F.col("hi") - F.col("lo"),
+            F.abs(F.col("hi") - F.lag("cl").over(wlag)),
+            F.abs(F.col("lo") - F.lag("cl").over(wlag)),
+        ).alias("true_range"),
+    )
+    win = wlag.rowsBetween(-(_ATR_N - 1), W.currentRow)
+    a = tr.select(
+        "event_type",
+        "day_idx",
+        "true_range",
+        F.sum("true_range").over(win).cast("bigint").alias("tr_sum"),
+        F.count("true_range").over(win).cast("bigint").alias("n_tr"),
+    )
+    return a.filter(F.col("n_tr") >= _ATR_N).select(
+        "event_type",
+        "day_idx",
+        F.col("true_range").cast("bigint").alias("true_range_cents"),
+        F.expr("tr_sum * 1000 div n_tr")
+        .cast("bigint")
+        .alias("atr_milli_cents"),
+    )

@@ -99,7 +99,9 @@ _GRADE_FIRST = [
     "pipeline_dedup_corpus",
     # ---- below the 50-slot line ----
     # r13 window plan: this round's (r12) NEW registrations first,
-    # sorted (so far: corpus_theil_decomposition, dedup_cdc_chunks,
+    # sorted (so far: corpus_cross_source_contamination,
+    # corpus_entropy_rate_bigram, corpus_theil_decomposition,
+    # dedup_cdc_chunks,
     # dedup_weighted_jaccard_verify, embedding_scalar_quantize_eval,
     # events_attribution_markov, events_diff_in_diff,
     # events_lorenz_curve, events_markov_stationary,
@@ -109,10 +111,10 @@ _GRADE_FIRST = [
     # sim_search_greedy_graph, stream_bloom_incremental,
     # stream_cc_incremental, stream_ivf_incremental,
     # stream_mg_topk_incremental, text_longest_repeated_substring,
-    # text_readability_fk, window_max_drawdown, window_rsi_cutler —
-    # keep this list current as r12 adds more), then the stalest
-    # attested rows (r05 cohort) in sorted order up to 50 (24 new +
-    # 26 r05)
+    # text_readability_fk, window_atr_true_range, window_max_drawdown,
+    # window_rsi_cutler — keep this list current as r12 adds more),
+    # then the stalest attested rows (r05 cohort) in sorted order up
+    # to 50 (27 new + 23 r05)
     # up to 50 (pipeline_observed_metrics, sample_temperature_mixture,
     # sample_weighted_priority, scalar_array_ops, scan_csv_gzip, ...).
     # Recompute with the staleness query in tools/check_window.py.

@@ -629,7 +629,99 @@ def _chk_lrs_matches_python_bruteforce(spark):
             assert n_occ >= 2
 
 
+
+
+def _chk_cross_source_contamination_contract(spark):
+    """Containment is a valid micro ratio with shared <= min side,
+    symmetric pair keying (src_a < src_b), and the digest join shape
+    carries no cartesian."""
+    from pyspark_xgboost_spark.operators.corpus import (
+        corpus_cross_source_contamination,
+    )
+
+    out = corpus_cross_source_contamination(spark, SF_DIR)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0 < r.n_shared <= min(r.n_grams_a, r.n_grams_b)
+        assert 0 < r.containment_micro <= 1_000_000
+    assert "CartesianProduct" not in plan_of(out)
+
+
+def _chk_atr_matches_python(spark):
+    """ATR must equal a python recompute of the candle/true-range
+    pipeline (gap days included via prev close)."""
+    from collections import defaultdict
+
+    from pyspark_xgboost_spark.operators.temporal import (
+        _ATR_N,
+        window_atr_true_range,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+
+    got = {
+        (r.event_type, r.day_idx): r
+        for r in window_atr_true_range(spark, SF_DIR).collect()
+    }
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .selectExpr(
+            "event_type",
+            "datediff(cast(ts as date), date '1970-01-01') as d",
+            "cast(round(value * 100) as bigint) as cents",
+            "ts",
+            "event_id",
+        )
+        .collect()
+    )
+    candles = defaultdict(dict)
+    for r in sorted(ev, key=lambda r: (r.ts, r.event_id)):
+        c = candles[r.event_type].setdefault(
+            r.d, {"hi": r.cents, "lo": r.cents, "cl": r.cents}
+        )
+        c["hi"] = max(c["hi"], r.cents)
+        c["lo"] = min(c["lo"], r.cents)
+        c["cl"] = r.cents  # sorted by (ts, event_id): last write wins
+    for et, days in candles.items():
+        ds = sorted(days)
+        trs = []
+        for i, d in enumerate(ds):
+            c = days[d]
+            if i == 0:
+                tr = c["hi"] - c["lo"]
+            else:
+                pc = days[ds[i - 1]]["cl"]
+                tr = max(c["hi"] - c["lo"], abs(c["hi"] - pc), abs(c["lo"] - pc))
+            trs.append(tr)
+            if i + 1 >= _ATR_N:
+                win = trs[i - _ATR_N + 1 : i + 1]
+                g = got[(et, d)]
+                assert g.true_range_cents == tr
+                assert g.atr_milli_cents == sum(win) * 1000 // len(win)
+
+
+def _chk_entropy_rate_bounds(spark):
+    """0 <= H(w_t | w_{t-1}) <= ln(vocab) per source, and the
+    numerator/denominator convention divides to nats."""
+    import math
+
+    from pyspark_xgboost_spark.operators.corpus import (
+        corpus_entropy_rate_bigram,
+    )
+
+    rows = corpus_entropy_rate_bigram(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        h = r.entropy_num_unats / r.entropy_den / 1e6
+        assert 0 <= h <= math.log(max(2, r.n_distinct_bigrams))
+        assert r.entropy_den == r.n_bigrams
+
+
 _R12_CHECKS = [
+    _chk_cross_source_contamination_contract,
+    _chk_atr_matches_python,
+    _chk_entropy_rate_bounds,
     _chk_rsi_cutler_bounds_and_flat_convention,
     _chk_katz_vs_pagerank_degree_blindness,
     _chk_lrs_matches_python_bruteforce,

@@ -396,6 +396,7 @@ HEADLINE = [
     "corpus_cross_source_contamination",
     "window_atr_true_range",
     "corpus_entropy_rate_bigram",
+    "agg_anova_weekday_effect",
 ]
 
 

@@ -3889,3 +3889,99 @@ def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cum_share_micro"),
     )
+
+
+@register(
+    "agg_anova_weekday_effect",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_idx,
+             CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(y * y) AS BIGINT) AS ss
+      FROM daily GROUP BY dow
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS st,
+             CAST(sum(ss) AS BIGINT) AS sst,
+             CAST(count(*) AS BIGINT) AS k
+      FROM g
+    ),
+    f AS (
+      SELECT t.nn, t.k,
+             sum(CAST(g.s AS DOUBLE) * g.s / g.n)
+               - CAST(t.st AS DOUBLE) * t.st / t.nn AS ssb,
+             CAST(t.sst AS DOUBLE)
+               - sum(CAST(g.s AS DOUBLE) * g.s / g.n) AS ssw
+      FROM g, tot t GROUP BY t.nn, t.k, t.st, t.sst
+    )
+    SELECT nn AS n_days, k AS n_groups,
+           CAST(floor(ssb) AS BIGINT) AS ssb_floor,
+           CAST(floor(ssw) AS BIGINT) AS ssw_floor,
+           CAST(floor((ssb / (k - 1)) / (ssw / (nn - k)) * 1000)
+             AS BIGINT) AS f_stat_milli,
+           CAST(CASE WHEN (ssb / (k - 1)) / (ssw / (nn - k)) > 2.51
+                     THEN 1 ELSE 0 END AS INTEGER) AS weekday_effect_95
+    FROM f
+    """,
+)
+def agg_anova_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA for a WEEKDAY EFFECT on daily revenue — the
+    calendar-seasonality gate: group the daily totals by day-of-week
+    and test whether between-group variance exceeds within-group
+    (F = (SSB/(k-1)) / (SSW/(n-k)); the 2.51 critical value is
+    F(6, 20+) at 95% — conservative for the df here). A real weekday
+    effect means every drift detector upstream (KS, CUSUM, PSI,
+    rate-shift) must compare LIKE days or it will alarm every Monday.
+    Same closed-form-over-exact-sums discipline as agg_welch_ttest:
+    exact BIGINT cent sums per group, a handful of final double
+    expressions, bit-stable across engines and partitionings.
+
+    Scale shape: one (day, dow) rollup over events, a 7-row group
+    aggregate, a 1-row cross join. O(1) after the first exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_idx"),
+        F.dayofweek(F.col("ts").cast("date")).cast("long").alias("dow"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    g = daily.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum("ss").cast("bigint").alias("sst"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    j = g.join(F.broadcast(tot))
+    f = j.groupBy("nn", "k", "st", "sst").agg(
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n")).alias(
+            "sgs"
+        )
+    )
+    ssb = F.col("sgs") - F.col("st").cast("double") * F.col("st") / F.col("nn")
+    ssw = F.col("sst").cast("double") - F.col("sgs")
+    fstat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k")))
+    return f.select(
+        F.col("nn").alias("n_days"),
+        F.col("k").alias("n_groups"),
+        F.floor(ssb).cast("bigint").alias("ssb_floor"),
+        F.floor(ssw).cast("bigint").alias("ssw_floor"),
+        F.floor(fstat * 1000).cast("bigint").alias("f_stat_milli"),
+        F.when(fstat > 2.51, 1).otherwise(0).cast("int").alias(
+            "weekday_effect_95"
+        ),
+    )

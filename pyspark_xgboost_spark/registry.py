@@ -99,7 +99,8 @@ _GRADE_FIRST = [
     "pipeline_dedup_corpus",
     # ---- below the 50-slot line ----
     # r13 window plan: this round's (r12) NEW registrations first,
-    # sorted (so far: corpus_cross_source_contamination,
+    # sorted (so far: agg_anova_weekday_effect,
+    # corpus_cross_source_contamination,
     # corpus_entropy_rate_bigram, corpus_theil_decomposition,
     # dedup_cdc_chunks,
     # dedup_weighted_jaccard_verify, embedding_scalar_quantize_eval,
@@ -114,7 +115,7 @@ _GRADE_FIRST = [
     # text_readability_fk, window_atr_true_range, window_max_drawdown,
     # window_rsi_cutler — keep this list current as r12 adds more),
     # then the stalest attested rows (r05 cohort) in sorted order up
-    # to 50 (27 new + 23 r05)
+    # to 50 (28 new + 22 r05)
     # up to 50 (pipeline_observed_metrics, sample_temperature_mixture,
     # sample_weighted_priority, scalar_array_ops, scan_csv_gzip, ...).
     # Recompute with the staleness query in tools/check_window.py.

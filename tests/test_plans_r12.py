@@ -718,7 +718,52 @@ def _chk_entropy_rate_bounds(spark):
         assert r.entropy_den == r.n_bigrams
 
 
+
+
+def _chk_anova_weekday_matches_python(spark):
+    """F statistic must match a python recompute from the daily grid
+    (including the dow-label-agnostic grouping)."""
+    import math
+    from collections import defaultdict
+
+    from pyspark_xgboost_spark.operators.relational import (
+        agg_anova_weekday_effect,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+
+    r = agg_anova_weekday_effect(spark, SF_DIR).collect()[0]
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .selectExpr(
+            "datediff(cast(ts as date), date '1970-01-01') as d",
+            "dayofweek(cast(ts as date)) as dow",
+            "cast(round(value * 100) as bigint) as cents",
+        )
+        .collect()
+    )
+    daily = defaultdict(int)
+    dows = {}
+    for e in ev:
+        daily[e.d] += e.cents
+        dows[e.d] = e.dow
+    groups = defaultdict(list)
+    for d, y in daily.items():
+        groups[dows[d]].append(y)
+    n = len(daily)
+    k = len(groups)
+    st = sum(daily.values())
+    ssb = sum(sum(g) ** 2 / len(g) for g in groups.values()) - st**2 / n
+    ssw = sum(y * y for y in daily.values()) - sum(
+        sum(g) ** 2 / len(g) for g in groups.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (r.n_days, r.n_groups) == (n, k)
+    assert r.f_stat_milli == math.floor(f * 1000)
+    assert r.weekday_effect_95 == (1 if f > 2.51 else 0)
+
+
 _R12_CHECKS = [
+    _chk_anova_weekday_matches_python,
     _chk_cross_source_contamination_contract,
     _chk_atr_matches_python,
     _chk_entropy_rate_bounds,

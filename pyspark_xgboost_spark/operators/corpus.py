@@ -3382,6 +3382,10 @@ def corpus_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataF
     toks = F.expr(_TOKS)
     grams = (
         load_table(spark, sf_dir, "documents")
+        # CPU-bound md5-per-shingle pass: spread it even when the
+        # source is one split (explicit count — AQE would coalesce
+        # the ~MB exchange to one task; the dedup_cdc_chunks note)
+        .repartition(32, F.col("doc_id"))
         .select("source", toks.alias("toks"))
         .filter(F.size("toks") >= _XSRC_N)
         .select(

@@ -35,91 +35,87 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # never-graded queries first, then this round's new registrations,
 # then the stalest attested rows. See the window comment inside.
 _GRADE_FIRST = [
-    # ROUND-12 WINDOW (slots 1-50), executing the plan documented in
-    # round 11 (ratified by the r11 verdict, which also flagged that
-    # the plan comment omitted sample_coreset_dsquared — included
-    # here): the 30 round-11 NEW registrations (never-driver-graded;
-    # all passed the judge's independent sf0.01 sweep AND the 32-vs-5
-    # partition-invariance sweep in the r11 review), sorted, + the 20
-    # stalest attested oracle rows (head of the r05 cohort) in sorted
-    # order. 30 + 20 = 50 exactly. Audit with tools/check_window.py.
-    # -- never-driver-graded round-11 registrations (30, sorted) --
-    "agg_cramers_v",
-    "agg_hill_tail_index",
-    "audit_column_profile",
-    "audit_fd_violations",
-    "audit_join_explosion",
-    "audit_merkle_table_digest",
-    "corpus_heaps_law",
-    "corpus_tokenizer_fertility",
-    "corpus_vocab_coverage_curve",
-    "events_dtw_similarity",
-    "events_holt_winters_forecast",
-    "events_interarrival_burstiness",
-    "events_kleinberg_burst",
-    "events_sequence_pattern",
-    "graph_clustering_coefficient",
-    "graph_hyperanf_reach",
-    "multimodal_jpeg_dimensions",
-    "multimodal_resize",
-    "sample_coreset_dsquared",
-    "sample_pps_systematic",
-    "sim_search_ivf_drift_eval",
-    "sim_search_mips_norm_pruned",
-    "sink_hilbert_cluster",
-    "sketch_ddsketch_quantiles",
-    "stream_ddsketch_incremental",
-    "stream_decontaminate_incremental",
-    "stream_hll_incremental",
-    "stream_kmeans_minibatch",
-    "stream_reservoir_incremental",
-    "window_hurst_exponent",
-    # -- stalest attested oracle rows (first 20 of the r05 cohort,
-    #    sorted; the remaining 30 r05 rows drain across r13/r14
-    #    behind the r12 registrations — see the r13 plan below) --
-    "agg_count_if_bool",
-    "agg_mode_exact",
-    "audit_dq_expectations",
-    "corpus_importance_resample",
-    "corpus_kgram_novelty",
-    "corpus_mixture_epochs",
-    "corpus_quota_sample_topk",
-    "dedup_containment",
-    "dedup_keep_best",
-    "dedup_substring_exact",
-    "dim_scd2_build",
-    "events_stream_late_data_drop",
-    "graph_pagerank_deep",
-    "graph_pagerank_fixed",
-    "graph_triangle_count",
-    "join_null_safe",
-    "join_point_in_time_scd2",
-    "join_skew_aqe_stress",
-    "multimodal_arrow_byte_stats",
-    "pipeline_dedup_corpus",
+    # ROUND-13 WINDOW (slots 1-50), executing the plan documented in
+    # round 12 and ratified by the r12 verdict (which flagged that the
+    # hand-written plan comment omitted graph_katz_centrality — the
+    # second consecutive one-query omission). This list is now
+    # MACHINE-CHECKED: tools/check_window.py recomputes the expected
+    # window from the committed CORRECTNESS_r*.json history (never-
+    # driver-graded oracle queries first, sorted, minus
+    # _DEFER_TO_NEXT_WINDOW, then stalest attested rows sorted by
+    # (round, name)) and a pytest case fails on any divergence —
+    # a hand-edit can no longer silently drop a query.
+    # -- never-driver-graded round-12 registrations (28, sorted; all
+    #    passed the r12 judge's independent sf0.01 oracle sweep AND
+    #    the 32-vs-5 partition-invariance sweep) --
+    "agg_anova_weekday_effect",
+    "corpus_cross_source_contamination",
+    "corpus_entropy_rate_bigram",
+    "corpus_theil_decomposition",
+    "dedup_cdc_chunks",
+    "dedup_weighted_jaccard_verify",
+    "embedding_scalar_quantize_eval",
+    "events_attribution_markov",
+    "events_diff_in_diff",
+    "events_lorenz_curve",
+    "events_markov_stationary",
+    "events_poisson_rate_shift",
+    "graph_katz_centrality",
+    "graph_random_walks",
+    "multimodal_mp4_duration",
+    "multimodal_tiff_ifd_walk",
+    "multimodal_zip_eocd",
+    "sample_hard_negatives_ann",
+    "sim_search_greedy_graph",
+    "stream_bloom_incremental",
+    "stream_cc_incremental",
+    "stream_ivf_incremental",
+    "stream_mg_topk_incremental",
+    "text_longest_repeated_substring",
+    "text_readability_fk",
+    "window_atr_true_range",
+    "window_max_drawdown",
+    "window_rsi_cutler",
+    # -- stalest attested oracle rows (next 22 of the r05 cohort,
+    #    sorted; the remaining 8 r05 rows drain in r14) --
+    "pipeline_observed_metrics",
+    "sample_temperature_mixture",
+    "sample_weighted_priority",
+    "scalar_array_ops",
+    "scan_csv_gzip",
+    "scan_partition_pruned",
+    "scan_python_datasource",
+    "scan_schema_evolution_merge",
+    "setop_except_intersect_all",
+    "sim_search_pq",
+    "sink_compact_small_files",
+    "sql_recursive_date_spine",
+    "text_bpe_pretokenize",
+    "text_perplexity_bigram",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_lines_by_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
     # ---- below the 50-slot line ----
-    # r13 window plan: this round's (r12) NEW registrations first,
-    # sorted (so far: agg_anova_weekday_effect,
-    # corpus_cross_source_contamination,
-    # corpus_entropy_rate_bigram, corpus_theil_decomposition,
-    # dedup_cdc_chunks,
-    # dedup_weighted_jaccard_verify, embedding_scalar_quantize_eval,
-    # events_attribution_markov, events_diff_in_diff,
-    # events_lorenz_curve, events_markov_stationary,
-    # events_poisson_rate_shift, graph_random_walks,
-    # multimodal_mp4_duration, multimodal_tiff_ifd_walk,
-    # multimodal_zip_eocd, sample_hard_negatives_ann,
-    # sim_search_greedy_graph, stream_bloom_incremental,
-    # stream_cc_incremental, stream_ivf_incremental,
-    # stream_mg_topk_incremental, text_longest_repeated_substring,
-    # text_readability_fk, window_atr_true_range, window_max_drawdown,
-    # window_rsi_cutler — keep this list current as r12 adds more),
-    # then the stalest attested rows (r05 cohort) in sorted order up
-    # to 50 (28 new + 22 r05)
-    # up to 50 (pipeline_observed_metrics, sample_temperature_mixture,
-    # sample_weighted_priority, scalar_array_ops, scan_csv_gzip, ...).
-    # Recompute with the staleness query in tools/check_window.py.
+    # r14 window plan: generated, not hand-written — run
+    # `python tools/check_window.py --next` after the r13
+    # CORRECTNESS artifact lands to print the exact 50-name list
+    # (this round's new registrations + the 8 remaining r05 rows +
+    # the stalest r06 cohort).
 ]
+
+# New registrations made THIS round, after the grading window above was
+# frozen: they are never-driver-graded by definition but deliberately
+# wait for the NEXT window (the window executes the plan ratified by
+# the previous round's verdict). tools/check_window.py verifies every
+# name here (a) exists, (b) has an oracle, and (c) truly has no driver
+# row — so deferral can never hide an omission; at the next
+# recomposition this list is emptied into the window head.
+_DEFER_TO_NEXT_WINDOW: list[str] = []
 
 # Rows-only queries (registered without an oracle by design — goldens /
 # property tests carry their correctness): they can never produce a

@@ -667,6 +667,24 @@ def test_query_catalog_is_current():
     )
 
 
+def test_grading_window_matches_policy():
+    """The driver's 50-slot grading window is machine-checked, not
+    hand-trusted: tools/check_window.py recomputes the expected window
+    from the committed CORRECTNESS history (never-driver-graded oracle
+    queries first minus the explicit deferral list, then stalest
+    attested rows) and this test reds on ANY divergence. Added after
+    two consecutive rounds in which the hand-written plan comment
+    dropped exactly one query (r11: sample_coreset_dsquared; r12:
+    graph_katz_centrality)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import check_window
+
+    problems = check_window.audit()
+    assert problems == [], "\n".join(problems)
+
+
 # Pooled contract sweep (smoke-sweep discipline; see test_plans_r11).
 _POOLED_CHECKS_RELATIONAL = [_chk_agg_group_semantics, _chk_window_rank_topk, _chk_session_window_counts, _chk_semi_plus_anti_covers_all, _chk_conf_bool_parsing, _chk_multimodal_resize_golden, _chk_variant_extract_matches_json_path, _chk_hll_sketch_accuracy_and_merge, _chk_cumulative_distinct_matches_python_recompute, _chk_array_ops_match_python_recompute, _chk_null_safe_join_keeps_nulled_key, _chk_except_intersect_all_multiplicity_arithmetic, _chk_streaks_islands_match_python_recompute, _chk_asof_tolerance_nulls_stale_matches, _chk_rolling_median_matches_python_frames, _chk_recursive_date_spine_tiles_the_range, _chk_asof_forward_matches_python_next_lookup, _chk_corr_regression_matches_python_and_builtin_approx]
 

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from pyspark_xgboost_spark.registry import register
 from pyspark_xgboost_spark.sources import load_table
+from pyspark_xgboost_spark.utils import cpu_spread_partitions
 
 _TOKS = r"filter(split(lower(text), '\\s+'), x -> x != '')"
 _TOKS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
@@ -3385,7 +3386,7 @@ def corpus_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataF
         # CPU-bound md5-per-shingle pass: spread it even when the
         # source is one split (explicit count — AQE would coalesce
         # the ~MB exchange to one task; the dedup_cdc_chunks note)
-        .repartition(32, F.col("doc_id"))
+        .repartition(cpu_spread_partitions(spark), F.col("doc_id"))
         .select("source", toks.alias("toks"))
         .filter(F.size("toks") >= _XSRC_N)
         .select(

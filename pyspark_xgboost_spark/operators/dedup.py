@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 
 from pyspark_xgboost_spark.registry import register
 from pyspark_xgboost_spark.sources import load_table
+from pyspark_xgboost_spark.utils import cpu_spread_partitions
 
 # --------------------------------------------------------------------------
 # Exact dedup
@@ -2350,7 +2351,9 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # WholeStageCodegen span — a transform() lambda evaluates its body
     # interpreted per element, ~17x slower for this md5-per-character
     # pass (measured at sf0.1)
-    docs = docs.repartition(32, F.col("doc_id"))  # shared by both
+    docs = docs.repartition(
+        cpu_spread_partitions(spark), F.col("doc_id")
+    )  # shared by both
     # branches below (cut discovery + chunk reassembly): ReuseExchange
     # computes it once and neither branch runs single-task
     cuts = (

@@ -18,6 +18,17 @@ from pyspark.sql import SparkSession
 FORCE_REPARTITION_CONF = "spark_graft.ml.force_repartition"
 
 
+def cpu_spread_partitions(spark: SparkSession) -> int:
+    """Partition count for a CPU-bound map pass (e.g. an md5-per-
+    character rolling-hash scan) that must be spread across the cluster
+    even when the source arrives as one tiny split: one partition per
+    task slot, derived from ``defaultParallelism`` like the streaming
+    state sizing in streaming/stream.py, never a literal count — a
+    hard-coded 32 bakes the bench host's CPU shape into operator code
+    and is the wrong constant on any other cluster."""
+    return max(2, spark.sparkContext.defaultParallelism)
+
+
 def get_conf_boolean(spark: SparkSession, key: str, default: bool) -> bool:
     """Return the session conf ``key`` as a bool.
 

@@ -667,6 +667,24 @@ def test_query_catalog_is_current():
     )
 
 
+def test_no_literal_task_counts_in_operator_code():
+    """CPU-spread repartitions in operator code must derive their count
+    from the cluster (utils.cpu_spread_partitions / defaultParallelism),
+    never a literal — a hard-coded 32 bakes the bench host's CPU shape
+    into the plan and is wrong on any other cluster. Scenario constants
+    (e.g. 'write 64 small files' in sources/) are out of scope."""
+    import glob
+    import re
+
+    offenders = []
+    for path in glob.glob("/root/repo/pyspark_xgboost_spark/operators/*.py"):
+        with open(path) as fh:
+            for i, line in enumerate(fh, 1):
+                if re.search(r"\.repartition\(\s*\d", line):
+                    offenders.append(f"{path}:{i}: {line.strip()}")
+    assert offenders == [], "\n".join(offenders)
+
+
 def test_grading_window_matches_policy():
     """The driver's 50-slot grading window is machine-checked, not
     hand-trusted: tools/check_window.py recomputes the expected window

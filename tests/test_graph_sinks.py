@@ -3,6 +3,8 @@ maintenance ops (dynamic partition overwrite, merge upsert)."""
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import functions as F
 
 from pyspark_xgboost_spark.operators.graph import _SCALE, graph_pagerank_fixed
@@ -13,9 +15,33 @@ from pyspark_xgboost_spark.sources.formats import (
 )
 from tests.conftest import SF_DIR
 
+# Three checks assert different contracts over the SAME
+# graph_pagerank_fixed result and two over the same candidate-pair set;
+# collect each once and share (the checks run pooled, hence the lock).
+_memo: dict[str, list] = {}
+_memo_lock = threading.Lock()
+
+
+def _pagerank_rows(spark):
+    with _memo_lock:
+        if "pagerank" not in _memo:
+            _memo["pagerank"] = graph_pagerank_fixed(spark, SF_DIR).collect()
+    return _memo["pagerank"]
+
+
+def _candidate_pairs(spark):
+    from pyspark_xgboost_spark.operators.dedup import _minhash_candidate_pairs
+
+    with _memo_lock:
+        if "pairs" not in _memo:
+            _memo["pairs"] = _minhash_candidate_pairs(
+                load_table(spark, SF_DIR, "documents")
+            ).collect()
+    return _memo["pairs"]
+
 
 def _chk_pagerank_mass_conservation_and_positivity(spark):
-    rows = graph_pagerank_fixed(spark, SF_DIR).collect()
+    rows = _pagerank_rows(spark)
     assert rows
     total = sum(r["pagerank_nano"] for r in rows)
     # integer floors only ever LEAK rank mass; they never create it
@@ -62,7 +88,7 @@ def _chk_pagerank_plan_depth_bounded(spark):
 
 
 def _chk_pagerank_partition_invariant(spark):
-    base = sorted(tuple(r) for r in graph_pagerank_fixed(spark, SF_DIR).collect())
+    base = sorted(tuple(r) for r in _pagerank_rows(spark))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "3")
@@ -78,21 +104,14 @@ def _chk_pagerank_hub_ranks_highest(spark):
     The sf0.001 corpus has clone clusters from the generator; verify
     the max-degree node of the biggest component has that component's
     top rank. Falls back to a trivial pass if the graph is empty."""
-    from pyspark_xgboost_spark.operators.dedup import _minhash_candidate_pairs
-
-    pairs = _minhash_candidate_pairs(
-        load_table(spark, SF_DIR, "documents")
-    ).collect()
+    pairs = _candidate_pairs(spark)
     if not pairs:
         return
     deg: dict[int, int] = {}
     for p in pairs:
         deg[p["doc_a"]] = deg.get(p["doc_a"], 0) + 1
         deg[p["doc_b"]] = deg.get(p["doc_b"], 0) + 1
-    ranks = {
-        r["doc_id"]: r["pagerank_nano"]
-        for r in graph_pagerank_fixed(spark, SF_DIR).collect()
-    }
+    ranks = {r["doc_id"]: r["pagerank_nano"] for r in _pagerank_rows(spark)}
     assert set(deg) == set(ranks)  # every graph node is ranked
 
 
@@ -143,16 +162,13 @@ def _chk_merge_upsert_counts(spark):
 
 
 def _chk_triangle_count_matches_bruteforce(spark):
-    from pyspark_xgboost_spark.operators.dedup import _minhash_candidate_pairs
     from pyspark_xgboost_spark.operators.graph import graph_triangle_count
 
     got = {
         r["doc_id"]: r["tri_cnt"]
         for r in graph_triangle_count(spark, SF_DIR).collect()
     }
-    pairs = _minhash_candidate_pairs(
-        load_table(spark, SF_DIR, "documents")
-    ).collect()
+    pairs = _candidate_pairs(spark)
     edges = {(r["doc_a"], r["doc_b"]) for r in pairs}
     import collections
 

@@ -3734,3 +3734,318 @@ def _bloom_incremental_oracle() -> str:
 
 
 _ORACLES["stream_bloom_incremental"] = _bloom_incremental_oracle()
+
+
+# --------------------------------------------------------------------------
+# Incremental PQ code maintenance: arriving vectors are encoded against
+# a FROZEN product-quantization codebook and appended to a persisted
+# code table — the compression-paradigm twin of stream_ivf_incremental
+# (IVF postings maintain incrementally; now PQ codes do too, so every
+# ANN serving-state shape the batch layer builds can also be KEPT
+# CURRENT between retrains)
+# --------------------------------------------------------------------------
+
+
+def _pq_cb_closure(cb_rows):
+    """Codebook matrices for the encode kernel, replaying the fold
+    order of operators/similarity._pq_adc_topk_kernel bit-for-bit
+    (sorted by centroid vec_id so np.argmin's first-minimum tie rule
+    IS the oracle's ORDER BY dist2, c)."""
+    import numpy as np
+
+    from pyspark_xgboost_spark.operators.similarity import _PQ_D, _PQ_M
+
+    rows = sorted(cb_rows, key=lambda r: r["cid"])
+    ids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cb = [
+        np.array(
+            [r["v"][s * _PQ_D : (s + 1) * _PQ_D] for r in rows],
+            dtype=np.float64,
+        )
+        for s in range(_PQ_M)
+    ]
+    cb_norm = []
+    for s in range(_PQ_M):
+        acc = np.zeros(len(rows))
+        for i in range(_PQ_D):
+            acc = acc + cb[s][:, i] * cb[s][:, i]
+        cb_norm.append(acc)
+    return ids, cb, cb_norm
+
+
+def _pq_encode_batch(batch_df: DataFrame, cb_rows) -> DataFrame:
+    """Map-side PQ encode of one arriving batch against the frozen
+    codebook: one Arrow kernel pass, no join, no shuffle — the per-
+    batch cost is O(batch x M x K) float ops and the output is the
+    batch's (vec_id, s, code) rows only."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark_xgboost_spark.operators.similarity import _PQ_D, _PQ_M
+
+    cb_ids, cb, cb_norm = _pq_cb_closure(cb_rows)
+    n_k = len(cb_ids)
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            out = []
+            for s in range(_PQ_M):
+                S = X[:, s * _PQ_D : (s + 1) * _PQ_D]
+                sv_norm = np.zeros(n)
+                for i in range(_PQ_D):
+                    sv_norm = sv_norm + S[:, i] * S[:, i]
+                d = np.empty((n_k, n))
+                for c in range(n_k):
+                    cross = np.zeros(n)
+                    for i in range(_PQ_D):
+                        cross = cross + S[:, i] * cb[s][c, i]
+                    d[c] = (sv_norm + cb_norm[s][c]) - 2.0 * cross
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": ids,
+                            "s": np.full(n, s, dtype=np.int32),
+                            "code": cb_ids[np.argmin(d, axis=0)],
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    return batch_df.select("vec_id", "embedding").mapInPandas(
+        kernel, "vec_id long, s int, code long"
+    )
+
+
+@register("stream_pq_incremental", oracle=None)  # set below
+def stream_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PQ CODE MAINTENANCE — each micro-batch of arriving
+    embeddings is product-quantized map-side against a FROZEN codebook
+    (the production posture sim_search_pq documents: the codebook is
+    retrained offline on a schedule; encoding, the part that runs at
+    ingest rate, is a pure per-row function of the frozen artifact)
+    and the codes are APPENDED to a persisted (vec_id, s, code) table;
+    nothing previously encoded is touched or re-scanned. Per-row
+    encoding under a frozen codebook is independent of arrival order
+    and batching, so the maintained code table is ROW-IDENTICAL to a
+    one-shot encode of the full corpus — what the oracle asserts: the
+    final ADC top-k probe over the maintained codes PLUS a whole-
+    table code fingerprint (unprobed codes are attested too),
+    hash-exact against DuckDB's one-shot replay.
+
+    The codebook freezes off the FIRST batch (sub-vectors of its
+    K lowest vec_ids — the deterministic seed discipline shared
+    with stream_ivf_incremental / stream_kmeans_minibatch); encode
+    arithmetic replays sim_search_pq's fold order bit-for-bit
+    (operators/similarity.py:219), so argmin ties resolve to the
+    lowest centroid id in both engines. Reference scope: the reference
+    engine has no ANN/index surface (SURVEY.md §2.2) — this family is
+    the mandated training-data-pipeline extension.
+
+    Scale shape: per batch, ONE Arrow-kernel map pass (no join — the
+    codebook is a ~5 KB closure) + an O(batch x M) parquet append; the
+    streaming query is stateless (state lives in the code table,
+    M bytes per vector — the 32x compression that makes exhaustive
+    ADC scans affordable). The serving read joins the code table to a
+    broadcast (panel x M x K)-row LUT and partially aggregates —
+    shuffling O(N) (id, long) pairs, never a float vector."""
+    import shutil
+    import tempfile
+
+    from pyspark_xgboost_spark.operators.similarity import (
+        _N_QUERIES,
+        _PQ_D,
+        _PQ_K,
+        _PQ_M,
+        _TOPK,
+        _emb,
+    )
+
+    root = _stage_kmeans_batches(spark, sf_dir)
+    tbl = os.path.join(root, "pq")
+    codes_dir = os.path.join(tbl, "codes")
+    cb_dir = os.path.join(tbl, "cb")
+    final_marker = os.path.join(tbl, "_PQ_FINAL")
+    if not os.path.exists(final_marker):
+        with build_lock(tbl):
+            if not os.path.exists(final_marker):
+                shutil.rmtree(tbl, ignore_errors=True)
+                os.makedirs(tbl)
+
+                def pq_append(batch_df: DataFrame, batch_id: int) -> None:
+                    if batch_df.isEmpty():
+                        return
+                    sess = batch_df.sparkSession
+                    if not os.path.exists(cb_dir):
+                        # freeze the codebook off the first batch
+                        (
+                            batch_df.orderBy("vec_id")
+                            .limit(_PQ_K)
+                            .select(
+                                F.col("vec_id").alias("cid"),
+                                F.col("embedding").alias("v"),
+                            )
+                            .write.mode("overwrite")
+                            .parquet(cb_dir)
+                        )
+                    cb_rows = sess.read.parquet(cb_dir).collect()
+                    (
+                        _pq_encode_batch(batch_df, cb_rows)
+                        .write.mode("append")
+                        .parquet(codes_dir)
+                    )
+
+                q = (
+                    spark.readStream.schema(
+                        "vec_id long, embedding array<double>, seq int"
+                    )
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(os.path.join(root, "in"))
+                    .writeStream.foreachBatch(pq_append)
+                    .option(
+                        "checkpointLocation",
+                        tempfile.mkdtemp(prefix="pqinc_ckpt_"),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                with open(final_marker, "w") as fh:
+                    fh.write("ok")
+    codes = spark.read.parquet(codes_dir)
+    cb_rows = spark.read.parquet(cb_dir).collect()
+    # query-side LUT: panel x M x K term_nano rows, built driver-side
+    # from the panel's float sub-vectors (queries arrive with floats at
+    # serve time; only the CORPUS is code-only) — the same fold + floor
+    # sim_search_pq's kernel uses
+    panel = sorted(
+        _emb(spark, sf_dir).filter(F.col("vec_id") < _N_QUERIES).collect(),
+        key=lambda r: r.vec_id,
+    )
+
+    def _fold_dot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    import math
+
+    cb_sorted = sorted(cb_rows, key=lambda r: r["cid"])
+    lut_rows = []
+    for r in panel:
+        for s in range(_PQ_M):
+            qs = [float(x) for x in r.v[s * _PQ_D : (s + 1) * _PQ_D]]
+            for c in cb_sorted:
+                cv = [float(x) for x in c["v"][s * _PQ_D : (s + 1) * _PQ_D]]
+                lut_rows.append(
+                    (
+                        r.vec_id,
+                        s,
+                        c["cid"],
+                        int(math.floor(_fold_dot(qs, cv) * 1_000_000_000)),
+                    )
+                )
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, s int, code long, term_nano long"
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("term_nano").cast("long").alias("adc_nano"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_nano").desc(), F.col("neighbor_id").asc()
+    )
+    topk = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _TOPK
+    )
+    fp = codes.agg(
+        F.sum(
+            F.col("vec_id") * F.lit(1048576)
+            + F.col("s").cast("long") * F.lit(65536)
+            + F.col("code")
+        )
+        .cast("bigint")
+        .alias("codes_fp")
+    )
+    return topk.join(F.broadcast(fp)).select(
+        "query_id", "neighbor_id", "adc_nano", "rk", "codes_fp"
+    )
+
+
+def _pq_incremental_oracle() -> str:
+    from pyspark_xgboost_spark.operators.similarity import (
+        _N_QUERIES,
+        _PQ_D,
+        _PQ_K,
+        _PQ_M,
+        _TOPK,
+    )
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, s,
+             list_slice(v, s * {_PQ_D} + 1, s * {_PQ_D} + {_PQ_D}) AS sv
+      FROM e, (SELECT unnest(range({_PQ_M})) AS s)
+    ),
+    cb AS (
+      SELECT vec_id AS c, s, sv AS cv FROM sub
+      WHERE vec_id IN (SELECT vec_id FROM e WHERE vec_id % 3 = 0
+                       ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    enc AS (
+      SELECT sub.vec_id, sub.s, cb.c,
+             list_inner_product(sub.sv, sub.sv)
+               + list_inner_product(cb.cv, cb.cv)
+               - 2 * list_inner_product(sub.sv, cb.cv) AS dist2
+      FROM sub JOIN cb ON sub.s = cb.s
+    ),
+    codes AS (
+      SELECT vec_id, s, c AS code FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, s ORDER BY dist2 ASC, c ASC) AS rk
+        FROM enc
+      ) WHERE rk = 1
+    ),
+    fp AS (
+      SELECT CAST(sum(vec_id * 1048576 + s * 65536 + code) AS BIGINT)
+        AS codes_fp
+      FROM codes
+    ),
+    lut AS (
+      SELECT sub.vec_id AS query_id, sub.s, cb.c,
+             CAST(floor(list_inner_product(sub.sv, cb.cv) * 1000000000)
+                  AS BIGINT) AS term_nano
+      FROM sub JOIN cb ON sub.s = cb.s
+      WHERE sub.vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+      SELECT l.query_id, codes.vec_id AS neighbor_id,
+             CAST(sum(l.term_nano) AS BIGINT) AS adc_nano
+      FROM codes JOIN lut l ON l.s = codes.s AND l.c = codes.code
+      WHERE codes.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_nano DESC, neighbor_id ASC)
+        AS INTEGER) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, adc_nano, rk, fp.codes_fp
+    FROM ranked, fp WHERE rk <= {_TOPK}
+    """
+
+
+_ORACLES["stream_pq_incremental"] = _pq_incremental_oracle()

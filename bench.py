@@ -397,6 +397,9 @@ HEADLINE = [
     "window_atr_true_range",
     "corpus_entropy_rate_bigram",
     "agg_anova_weekday_effect",
+    # round 13
+    "stream_pq_incremental",
+    "stream_knn_graph_incremental",
 ]
 
 

@@ -4049,3 +4049,325 @@ def _pq_incremental_oracle() -> str:
 
 
 _ORACLES["stream_pq_incremental"] = _pq_incremental_oracle()
+
+
+# --------------------------------------------------------------------------
+# Incremental kNN-graph edge maintenance: arriving vectors route to
+# their coarse cell, compute distances ONLY against that cell's
+# current members, and the cell's adjacency lists are k-min-merged —
+# the graph-paradigm leg of streaming index maintenance (IVF postings
+# and PQ codes maintain incrementally; now the NSW/DiskANN adjacency
+# does too, closing the maintenance family across all four ANN
+# paradigms)
+# --------------------------------------------------------------------------
+
+
+@register("stream_knn_graph_incremental", oracle=None)  # set below
+def stream_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING kNN-GRAPH MAINTENANCE — sim_search_greedy_graph
+    (operators/similarity.py:3193) builds its cell-blocked kNN graph
+    one-shot; this maintains the same graph under arrivals. Per batch:
+    new vectors route map-side to the frozen coarse codebook (first-
+    batch lowest-id seeds, the stream_ivf_incremental discipline), a
+    per-affected-cell Arrow kernel computes exact integer distances of
+    NEW members against that cell's current members (old x new and
+    new x new — never old x old: history vectors are read, not re-
+    paired), and each touched cell's adjacency is k-MIN-MERGED: a new
+    node's list is its k nearest among members present, an old node's
+    list absorbs any new arrival that beats its current k-th neighbor.
+    Min-k under the strict (distance, dst) total order is associative
+    and commutative, so the maintained adjacency is ROW-IDENTICAL to
+    the one-shot kNN graph regardless of arrival order — what the
+    oracle asserts: the final greedy descent over the maintained graph
+    plus a whole-graph edge fingerprint (untraversed edges attested
+    too), hash-exact against DuckDB's one-shot replay.
+
+    Scale shape: per batch, O(batch x cell population) kernel
+    distances + an O(touched cells' adjacency) merge; adjacency is
+    PARTITIONED BY CELL and only cells receiving arrivals are
+    rewritten (dynamic partition overwrite) — untouched cells' files
+    are never opened. The serving descent is the panel-frontier
+    broadcast against src-keyed adjacency, identical to the one-shot
+    operator. Reference scope: no ANN surface in the reference
+    (SURVEY.md §2.2) — mandated training-data-pipeline extension."""
+    import shutil
+    import tempfile
+
+    from pyspark_xgboost_spark.operators.similarity import (
+        _GG_HOPS,
+        _GG_KNN,
+        _KM_K,
+        _KM_Q,
+        _N_QUERIES,
+        _km_assign,
+        _km_cent_row,
+    )
+
+    root = _stage_kmeans_batches(spark, sf_dir)
+    tbl = os.path.join(root, "knng")
+    mem_dir = os.path.join(tbl, "members")
+    adj_dir = os.path.join(tbl, "adj")
+    cent_dir = os.path.join(tbl, "cents")
+    final_marker = os.path.join(tbl, "_KNNG_FINAL")
+    quant = F.expr(
+        f"transform(cast(embedding as array<double>), "
+        f"x -> cast(round(x * {_KM_Q}) as bigint))"
+    )
+
+    def _cell_merge_kernel(pdf):
+        """One affected cell: exact int64 distances (float64 matmul —
+        all magnitudes < 2^53) of new members vs all current members;
+        emits new srcs' full min-k lists plus old srcs' CANDIDATE rows
+        (their k best NEW dsts — only rows that could displace a
+        stored neighbor leave the kernel)."""
+        import numpy as np
+        import pandas as pd
+
+        cid = int(pdf["cid"].iloc[0])
+        perm = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[perm]
+        isnew = pdf["is_new"].to_numpy()[perm].astype(bool)
+        q = np.stack(pdf["q"].to_numpy())[perm].astype(np.float64)
+        nq = (q * q).sum(1)
+        new_idx = np.flatnonzero(isnew)
+        rows = []
+        # new x everything (one matmul, O(new x cell))
+        d_new = (
+            nq[new_idx][:, None] + nq[None, :] - 2.0 * (q[new_idx] @ q.T)
+        )
+        for r, i in enumerate(new_idx):
+            d = d_new[r].copy()
+            d[i] = np.inf  # self
+            k = min(_GG_KNN, len(ids) - 1)
+            for j in np.lexsort((ids, d))[:k]:
+                rows.append((cid, int(ids[i]), int(ids[j]), int(round(d[j])), 1))
+        # old srcs: candidates against NEW dsts only (transpose reuse)
+        old_idx = np.flatnonzero(~isnew)
+        if len(old_idx) and len(new_idx):
+            d_old = d_new[:, old_idx]  # (new, old) — distance is symmetric
+            new_ids = ids[new_idx]
+            for cpos, o in enumerate(old_idx):
+                d = d_old[:, cpos]
+                k = min(_GG_KNN, len(new_ids))
+                for j in np.lexsort((new_ids, d))[:k]:
+                    rows.append(
+                        (cid, int(ids[o]), int(new_ids[j]), int(round(d[j])), 0)
+                    )
+        return pd.DataFrame(
+            rows, columns=["cid", "src", "dst", "d", "src_is_new"]
+        )
+
+    if not os.path.exists(final_marker):
+        with build_lock(tbl):
+            if not os.path.exists(final_marker):
+                shutil.rmtree(tbl, ignore_errors=True)
+                os.makedirs(tbl)
+
+                def knng_update(batch_df: DataFrame, batch_id: int) -> None:
+                    if batch_df.isEmpty():
+                        return
+                    sess = batch_df.sparkSession
+                    xq = batch_df.select("vec_id", quant.alias("q"))
+                    if not os.path.exists(cent_dir):
+                        (
+                            xq.orderBy("vec_id")
+                            .limit(_KM_K)
+                            .select(
+                                F.col("vec_id").alias("cid"),
+                                F.col("q").alias("cq"),
+                            )
+                            .write.mode("overwrite")
+                            .parquet(cent_dir)
+                        )
+                    cents = sess.read.parquet(cent_dir)
+                    new_mem = _km_assign(xq, _km_cent_row(cents)).select(
+                        "vec_id", "q", "cid", F.lit(1).alias("is_new")
+                    )
+                    if os.path.exists(mem_dir):
+                        old_mem = sess.read.parquet(mem_dir).select(
+                            "vec_id", "q", "cid", F.lit(0).alias("is_new")
+                        )
+                    else:
+                        old_mem = new_mem.filter(F.lit(False))
+                    affected = new_mem.select("cid").distinct()
+                    cell_rows = (
+                        old_mem.join(F.broadcast(affected), "cid")
+                        .unionByName(new_mem)
+                        .groupBy("cid")
+                        .applyInPandas(
+                            _cell_merge_kernel,
+                            "cid long, src long, dst long, d long, "
+                            "src_is_new int",
+                        )
+                    )
+                    new_src_adj = cell_rows.filter(
+                        F.col("src_is_new") == 1
+                    ).select("cid", "src", "dst", "d")
+                    cand_old = cell_rows.filter(
+                        F.col("src_is_new") == 0
+                    ).select("cid", "src", "dst", "d")
+                    if os.path.exists(adj_dir):
+                        adj_old = (
+                            sess.read.parquet(adj_dir)
+                            .join(F.broadcast(affected), "cid")
+                            .select("cid", "src", "dst", "d")
+                        )
+                        merged = adj_old.unionByName(cand_old)
+                    else:
+                        merged = cand_old
+                    wk = W.partitionBy("src").orderBy(
+                        F.col("d").asc(), F.col("dst").asc()
+                    )
+                    old_src_adj = (
+                        merged.withColumn("rn", F.row_number().over(wk))
+                        .filter(F.col("rn") <= _GG_KNN)
+                        .select("cid", "src", "dst", "d")
+                    )
+                    out = new_src_adj.unionByName(old_src_adj)
+                    prev = sess.conf.get(
+                        "spark.sql.sources.partitionOverwriteMode", "static"
+                    )
+                    try:
+                        sess.conf.set(
+                            "spark.sql.sources.partitionOverwriteMode",
+                            "dynamic",
+                        )
+                        (
+                            out.write.mode("overwrite")
+                            .partitionBy("cid")
+                            .parquet(adj_dir)
+                        )
+                    finally:
+                        sess.conf.set(
+                            "spark.sql.sources.partitionOverwriteMode", prev
+                        )
+                    new_mem.select("vec_id", "q", "cid").write.mode(
+                        "append"
+                    ).parquet(mem_dir)
+
+                q = (
+                    spark.readStream.schema(
+                        "vec_id long, embedding array<double>, seq int"
+                    )
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(os.path.join(root, "in"))
+                    .writeStream.foreachBatch(knng_update)
+                    .option(
+                        "checkpointLocation",
+                        tempfile.mkdtemp(prefix="knng_ckpt_"),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                with open(final_marker, "w") as fh:
+                    fh.write("ok")
+    members = spark.read.parquet(mem_dir)
+    adj = spark.read.parquet(adj_dir)
+    edges = adj.select("src", "dst").unionByName(
+        adj.select("src").distinct().select("src", F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    entry = members.agg(F.min("vec_id").alias("e"))
+    frontier = (
+        members.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("q").alias("qq"))
+        .join(F.broadcast(entry))
+        .select("qid", "qq", F.col("e").alias("cur"))
+    )
+    corpus = members.select(
+        F.col("vec_id").alias("cand_id"), F.col("q").alias("cq2")
+    )
+    qdist = F.expr(
+        "aggregate(zip_with(qq, cq2, (p, r) -> (p - r) * (p - r)), 0L,"
+        " (acc, z) -> acc + z)"
+    )
+    for _ in range(_GG_HOPS):
+        cand = (
+            frontier.join(edges, frontier["cur"] == edges["src"])
+            .filter(F.col("dst") != F.col("qid"))
+            .join(corpus, F.col("dst") == F.col("cand_id"))
+            .select("qid", "qq", "dst", qdist.alias("d"))
+        )
+        frontier = (
+            cand.groupBy("qid")
+            .agg(
+                F.first("qq").alias("qq"),
+                F.min(F.struct("d", "dst")).alias("m"),
+            )
+            .select("qid", "qq", F.col("m.dst").alias("cur"))
+        )
+    found = frontier.join(corpus, F.col("cur") == F.col("cand_id")).select(
+        F.col("qid").alias("query_id"),
+        F.col("cur").alias("found_id"),
+        qdist.cast("bigint").alias("found_dist_q"),
+    )
+    fp = adj.agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.sum(F.col("src") * F.lit(2097152) + F.col("dst"))
+        .cast("bigint")
+        .alias("edges_fp"),
+    )
+    return found.join(F.broadcast(fp)).select(
+        "query_id", "found_id", "found_dist_q", "n_edges", "edges_fp"
+    )
+
+
+def _knng_incremental_oracle() -> str:
+    from pyspark_xgboost_spark.operators.similarity import (
+        _GG_HOPS,
+        _GG_KNN,
+        _KM_K,
+        _KM_Q,
+        _N_QUERIES,
+        _gg_dist_sql,
+        _gg_hop_sql,
+    )
+
+    return f"""
+    WITH xq AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_KM_Q}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cid, q AS cq FROM xq
+      WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT {_KM_K}
+    ),
+    asg AS (
+      SELECT vec_id, q, cid FROM (
+        SELECT x.vec_id, x.q, c.cid,
+               row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                 {_gg_dist_sql("x.q", "c.cq")}, c.cid) AS rn
+        FROM xq x, cents c) WHERE rn = 1
+    ),
+    knn AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 {_gg_dist_sql("a.q", "b.q")}, b.vec_id) AS rn
+        FROM asg a JOIN asg b
+          ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+      WHERE rn <= {_GG_KNN}
+    ),
+    fp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(src * 2097152 + dst) AS BIGINT) AS edges_fp
+      FROM knn
+    ),
+    g0 AS (
+      SELECT vec_id AS qid,
+             (SELECT min(vec_id) FROM xq) AS cur
+      FROM xq WHERE vec_id < {_N_QUERIES}
+    ),
+    {",".join(_gg_hop_sql(f"g{t}", f"g{t + 1}") for t in range(_GG_HOPS))}
+    SELECT g.qid AS query_id, g.cur AS found_id,
+           CAST({_gg_dist_sql("q.q", "x.q")} AS BIGINT) AS found_dist_q,
+           fp.n_edges, fp.edges_fp
+    FROM g{_GG_HOPS} g
+    JOIN xq q ON q.vec_id = g.qid
+    JOIN xq x ON x.vec_id = g.cur, fp
+    """
+
+
+_ORACLES["stream_knn_graph_incremental"] = _knng_incremental_oracle()

@@ -1,0 +1,154 @@
+"""Shape assertions for the round-13 additions.
+
+Each contract lives in a ``_chk_*`` function; ONE pytest case fans
+them out over a thread pool sharing the session (the smoke-sweep
+discipline — see test_plans_r11)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tests.test_plans import plan_of
+
+
+def _chk_pq_incremental_codes_match_oneshot_encode(spark):
+    """The maintained (vec_id, s, code) table must equal a one-shot
+    encode of the full corpus with the same frozen codebook (per-row
+    encoding under a frozen codebook cannot depend on batching), and
+    it must have arrived through MULTIPLE batch appends — maintenance,
+    not a disguised rebuild."""
+    import glob
+
+    from pyspark_xgboost_spark.operators.similarity import _PQ_M
+    from pyspark_xgboost_spark.streaming.stream import (
+        _pq_encode_batch,
+        _stage_kmeans_batches,
+        stream_pq_incremental,
+    )
+
+    stream_pq_incremental(spark, SF_DIR).collect()  # ensure state built
+    root = _stage_kmeans_batches(spark, SF_DIR)
+    codes_dir = os.path.join(root, "pq", "codes")
+    codes = spark.read.parquet(codes_dir)
+    n_vec = spark.read.parquet(os.path.join(root, "in")).count()
+    assert codes.count() == n_vec * _PQ_M
+
+    # one-shot replay: encode the full staged corpus in one call
+    cb_rows = spark.read.parquet(os.path.join(root, "pq", "cb")).collect()
+    full = spark.read.parquet(os.path.join(root, "in"))
+    oneshot = _pq_encode_batch(full, cb_rows)
+    maintained = {tuple(r) for r in codes.collect()}
+    replay = {tuple(r) for r in oneshot.collect()}
+    assert maintained == replay
+
+    # >= 2 physical appends: the table was built batch-wise
+    files = glob.glob(os.path.join(codes_dir, "part-*.parquet"))
+    assert len(files) >= 2, files
+
+
+def _chk_pq_incremental_encode_is_map_side(spark):
+    """The per-batch encode must be a pure map pass: no join, no
+    exchange, no corpus re-scan — the codebook travels as a closure."""
+    from pyspark_xgboost_spark.streaming.stream import (
+        _pq_encode_batch,
+        _stage_kmeans_batches,
+    )
+
+    root = _stage_kmeans_batches(spark, SF_DIR)
+    batch = spark.read.parquet(os.path.join(root, "in"))
+    cb_rows = (
+        spark.read.parquet(os.path.join(root, "pq", "cb")).collect()
+    )
+    plan = plan_of(_pq_encode_batch(batch, cb_rows))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def _chk_knng_incremental_adjacency_equals_oneshot(spark):
+    """The k-min-merged adjacency must equal the one-shot cell-blocked
+    kNN graph computed brute-force over the final membership — the
+    associativity claim the operator's oracle rides on, checked here
+    edge-by-edge (the oracle checks descent + fingerprint)."""
+    import collections
+
+    import numpy as np
+
+    from pyspark_xgboost_spark.operators.similarity import _GG_KNN
+    from pyspark_xgboost_spark.streaming.stream import (
+        _stage_kmeans_batches,
+        stream_knn_graph_incremental,
+    )
+
+    stream_knn_graph_incremental(spark, SF_DIR).collect()
+    root = _stage_kmeans_batches(spark, SF_DIR)
+    members = spark.read.parquet(os.path.join(root, "knng", "members"))
+    adj = spark.read.parquet(os.path.join(root, "knng", "adj"))
+
+    by_cell = collections.defaultdict(list)
+    for r in members.collect():
+        by_cell[r["cid"]].append((r["vec_id"], np.array(r["q"], dtype=np.float64)))
+    expect = set()
+    for cell in by_cell.values():
+        ids = np.array([v for v, _ in sorted(cell)])
+        q = np.stack([x for _, x in sorted(cell)])
+        nq = (q * q).sum(1)
+        d = nq[:, None] + nq[None, :] - 2.0 * (q @ q.T)
+        np.fill_diagonal(d, np.inf)
+        k = min(_GG_KNN, len(ids) - 1)
+        for i in range(len(ids)):
+            for j in np.lexsort((ids, d[i]))[:k]:
+                expect.add((int(ids[i]), int(ids[j]), int(round(d[i, j]))))
+    got = {(r["src"], r["dst"], r["d"]) for r in adj.collect()}
+    assert got == expect
+
+
+def _chk_knng_incremental_adjacency_is_cell_partitioned(spark):
+    """Adjacency state is partitioned by cell on disk (cid=N dirs), so
+    a batch rewrites only the cells it touches and a probe's adjacency
+    read is partition-pruned I/O."""
+    from pyspark_xgboost_spark.streaming.stream import (
+        _stage_kmeans_batches,
+        stream_knn_graph_incremental,
+    )
+
+    stream_knn_graph_incremental(spark, SF_DIR).collect()
+    root = _stage_kmeans_batches(spark, SF_DIR)
+    adj_dir = os.path.join(root, "knng", "adj")
+    cid_dirs = [d for d in os.listdir(adj_dir) if d.startswith("cid=")]
+    assert len(cid_dirs) >= 2, cid_dirs
+    # partition pruning reaches the scan when filtering one cell
+    one = spark.read.parquet(adj_dir).filter(F.col("cid") == 0)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+
+
+def _chk_deferred_registrations_window_consistency(spark):
+    """Round-13's post-freeze registrations sit in
+    _DEFER_TO_NEXT_WINDOW and the machine audit accepts the whole
+    composition (belt to test_grading_window_matches_policy's
+    suspenders — this one runs even when someone targets only the
+    r13 file)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import check_window
+
+    assert check_window.audit() == []
+
+
+_R13_CHECKS = [
+    _chk_pq_incremental_codes_match_oneshot_encode,
+    _chk_pq_incremental_encode_is_map_side,
+    _chk_knng_incremental_adjacency_equals_oneshot,
+    _chk_knng_incremental_adjacency_is_cell_partitioned,
+    _chk_deferred_registrations_window_consistency,
+]
+
+
+def test_r13_contracts_pooled(spark):
+    from tests.conftest import run_pooled
+
+    run_pooled(spark, _R13_CHECKS)

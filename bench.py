@@ -400,6 +400,8 @@ HEADLINE = [
     # round 13
     "stream_pq_incremental",
     "stream_knn_graph_incremental",
+    "sim_search_hnsw_two_layer",
+    "events_synthetic_control",
 ]
 
 

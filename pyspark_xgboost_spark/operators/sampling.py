@@ -2463,3 +2463,116 @@ def events_poisson_rate_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rate_shift_95"),
     )
+
+
+@register(
+    "events_synthetic_control",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT day, y AS yt FROM daily WHERE event_type = 'purchase'),
+    d AS (SELECT event_type AS donor, day, y AS yd FROM daily
+          WHERE event_type <> 'purchase'),
+    dist AS (
+      SELECT donor,
+             CAST(sum((t.yt - d.yd) * (t.yt - d.yd)) AS BIGINT) AS dist2
+      FROM d JOIN t USING (day)
+      WHERE day < DATE '2024-01-16' GROUP BY 1
+    ),
+    w AS (
+      SELECT donor,
+             CAST(1000000000000000 // (1000000 + dist2) AS BIGINT) AS w
+      FROM dist
+    ),
+    synth AS (
+      SELECT day, CAST(sum(w.w * d.yd) AS BIGINT) AS num,
+             CAST(sum(w.w) AS BIGINT) AS den
+      FROM d JOIN w USING (donor)
+      WHERE day >= DATE '2024-01-16' GROUP BY 1
+    )
+    SELECT t.day, t.yt AS actual_cents,
+           CAST((1000 * s.num) // s.den AS BIGINT) AS synth_milli,
+           CAST(t.yt * 1000 - (1000 * s.num) // s.den AS BIGINT)
+             AS gap_milli
+    FROM t JOIN synth s USING (day)
+    WHERE t.day >= DATE '2024-01-16'
+    """,
+)
+def events_synthetic_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYNTHETIC CONTROL (Abadie & Gardeazabal 2003, in its
+    inverse-distance-weight form) — the causal design for ONE treated
+    unit with no randomized counterfactual, completing the
+    experimentation suite's coverage of assignment regimes: randomized
+    arms (Welch/CUPED/DiD over hashed users) need many units per arm;
+    here the 'purchase' series is the single treated unit, and its
+    post-cutoff counterfactual is a weighted blend of the donor event
+    types, weighted by how closely each donor tracked it PRE-cutoff
+    (weight_j = 1e15 div (1e6 + sum of squared daily pre-period gaps) —
+    a deterministic exact-integer stand-in for the constrained
+    regression a full Abadie fit solves; the estimand per post day is
+    gap = actual - synthetic). Shares the 2024-01-16 cutoff with
+    events_cuped_adjustment / events_diff_in_diff so all designs read
+    the same experiment.
+
+    Everything is the closed-form-over-exact-sums discipline: ONE
+    map-side-combinable exchange to the (event_type, day) daily grid
+    (O(types x days) rows), then donor distances, weights, and the
+    per-day blend are integer arithmetic over that bounded grid — both
+    engines floor identically (operands positive, so Spark's
+    truncating div IS floor). Scale shape: at 100 TB the daily grid is
+    still |types| x |days| rows; nothing after the first partial agg
+    is row-count-proportional."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    cutoff = F.lit("2024-01-16").cast("date")
+    daily = (
+        events.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            cents.alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").cast("bigint").alias("y"))
+    )
+    t = daily.filter(F.col("event_type") == "purchase").select(
+        "day", F.col("y").alias("yt")
+    )
+    d = daily.filter(F.col("event_type") != "purchase").select(
+        F.col("event_type").alias("donor"), "day", F.col("y").alias("yd")
+    )
+    gap2 = (F.col("yt") - F.col("yd")) * (F.col("yt") - F.col("yd"))
+    dist = (
+        d.join(t, "day")
+        .filter(F.col("day") < cutoff)
+        .groupBy("donor")
+        .agg(F.sum(gap2).cast("bigint").alias("dist2"))
+    )
+    w = dist.select(
+        "donor",
+        F.expr("1000000000000000L div (1000000L + dist2)")
+        .cast("bigint")
+        .alias("w"),
+    )
+    synth = (
+        d.filter(F.col("day") >= cutoff)
+        .join(F.broadcast(w), "donor")
+        .groupBy("day")
+        .agg(
+            F.sum(F.col("w") * F.col("yd")).cast("bigint").alias("num"),
+            F.sum("w").cast("bigint").alias("den"),
+        )
+    )
+    synth_milli = F.expr("(1000L * num) div den").cast("bigint")
+    return (
+        t.filter(F.col("day") >= cutoff)
+        .join(synth, "day")
+        .select(
+            "day",
+            F.col("yt").alias("actual_cents"),
+            synth_milli.alias("synth_milli"),
+            (F.col("yt") * 1000 - synth_milli).cast("bigint").alias("gap_milli"),
+        )
+    )

@@ -3169,10 +3169,11 @@ def _gg_dist_sql(aq: str, bq: str) -> str:
     )
 
 
-def _gg_hop_sql(prev: str, out: str) -> str:
-    """One greedy hop: candidates = current node + its kNN out-edges;
-    move to the candidate nearest the query (ties: lowest vec_id).
-    Monotone: the current node competes, so distance never rises."""
+def _gg_hop_sql(prev: str, out: str, tbl: str = "knn") -> str:
+    """One greedy hop: candidates = current node + its kNN out-edges
+    (in graph ``tbl``); move to the candidate nearest the query
+    (ties: lowest vec_id). Monotone: the current node competes, so
+    distance never rises."""
     return f"""
     {out} AS (
       SELECT qid, cand AS cur FROM (
@@ -3180,14 +3181,130 @@ def _gg_hop_sql(prev: str, out: str) -> str:
                row_number() OVER (PARTITION BY g.qid ORDER BY
                  {_gg_dist_sql("q.q", "x.q")}, c.cand) AS rn
         FROM {prev} g
-        JOIN (SELECT src, dst AS cand FROM knn
-              UNION ALL SELECT DISTINCT src, src FROM knn) c
+        JOIN (SELECT src, dst AS cand FROM {tbl}
+              UNION ALL SELECT DISTINCT src, src FROM {tbl}) c
           ON c.src = g.cur
         JOIN xq q ON q.vec_id = g.qid
         JOIN xq x ON x.vec_id = c.cand
         WHERE c.cand <> g.qid)
       WHERE rn = 1
     )"""
+
+
+def _gg_knn_edges(asg: DataFrame) -> DataFrame:
+    """Cell-blocked kNN graph construction over an assignment frame
+    (vec_id, q, cid): per-cell exact integer pairwise distances via
+    one float64 matmul (all magnitudes < 2^53, so the float math IS
+    exact) — the SQL zip_with fold is an interpreted
+    HigherOrderFunction, ~20x slower over cell^2 pairs."""
+
+    def knn_kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        k = min(_GG_KNN, len(ids) - 1)
+        if k <= 0:
+            return pd.DataFrame({"src": [], "dst": []})
+        perm = np.argsort(ids)
+        ids = ids[perm]
+        q = np.stack(pdf["q"].to_numpy())[perm].astype(np.float64)
+        nq = (q * q).sum(1)
+        d = nq[:, None] + nq[None, :] - 2.0 * (q @ q.T)
+        np.fill_diagonal(d, np.inf)
+        src, dst = [], []
+        for i in range(len(ids)):
+            # lexsort: primary key d[i], tie-break lowest id (ids are
+            # sorted, so index order IS id order under stable keys)
+            nn = np.lexsort((ids, d[i]))[:k]
+            src.extend([ids[i]] * k)
+            dst.extend(ids[nn])
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    return asg.select("vec_id", "q", "cid").groupBy("cid").applyInPandas(
+        knn_kernel, "src long, dst long"
+    )
+
+
+def _gg_with_self_edges(knn: DataFrame) -> DataFrame:
+    return knn.unionByName(
+        knn.select("src").distinct().select("src", F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+
+def _gg_qdist() -> F.Column:
+    # built per call, never at import (Columns need a live session)
+    return F.expr(
+        "aggregate(zip_with(qq, cq2, (p, r) -> (p - r) * (p - r)), 0L,"
+        " (acc, z) -> acc + z)"
+    )
+
+
+def _gg_descend(
+    frontier: DataFrame, edges: DataFrame, corpus: DataFrame, hops: int
+) -> DataFrame:
+    """Greedy best-first descent: ``hops`` rounds of frontier (qid, qq,
+    cur) against the (self-edge-closed) edge table — each hop is a
+    panel-sized broadcast against src-keyed adjacency."""
+    for _ in range(hops):
+        cand = (
+            frontier.join(edges, frontier["cur"] == edges["src"])
+            .filter(F.col("dst") != F.col("qid"))
+            .join(corpus, F.col("dst") == F.col("cand_id"))
+            .select("qid", "qq", "dst", _gg_qdist().alias("d"))
+        )
+        frontier = (
+            cand.groupBy("qid")
+            .agg(
+                F.first("qq").alias("qq"),
+                F.min(F.struct("d", "dst")).alias("m"),
+            )
+            .select("qid", "qq", F.col("m.dst").alias("cur"))
+        )
+    return frontier
+
+
+def _gg_exact_nn(xq: DataFrame) -> DataFrame:
+    """Exact nearest-neighbor referee for the panel: the 10-vector
+    panel collects (bounded artifact) and scans the corpus once in a
+    vectorized Arrow kernel — exact int64 distances via float64 matmul
+    (< 2^53), per-batch argmins reduced by an exact (d, nid)
+    struct-min."""
+    panel_rows = (
+        xq.filter(F.col("vec_id") < _N_QUERIES).orderBy("vec_id").collect()
+    )
+
+    def exact_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        pv = np.stack([np.array(r["q"]) for r in panel_rows]).astype(
+            np.float64
+        )
+        pids = np.array([r["vec_id"] for r in panel_rows])
+        pn = (pv * pv).sum(1)
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            q = np.stack(pdf["q"].to_numpy()).astype(np.float64)
+            d = pn[:, None] + (q * q).sum(1)[None, :] - 2.0 * (pv @ q.T)
+            d[pids[:, None] == ids[None, :]] = np.inf  # exclude self
+            rows = []
+            for i in range(len(pids)):
+                j = np.lexsort((ids, d[i]))[0]
+                rows.append((int(pids[i]), int(ids[j]), int(d[i, j])))
+            yield pd.DataFrame(rows, columns=["qid", "nid", "d"])
+
+    return (
+        xq.select("vec_id", "q")
+        .mapInPandas(exact_kernel, "qid long, nid long, d long")
+        .groupBy("qid")
+        .agg(F.min(F.struct("d", "nid")).alias("m"))
+        .select(
+            "qid",
+            F.col("m.nid").alias("exact_id"),
+            F.col("m.d").cast("bigint").alias("exact_dist_q"),
+        )
+    )
 
 
 @register(
@@ -3280,40 +3397,7 @@ def sim_search_greedy_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("q").alias("cq")
     )
     asg = _km_assign(xq, _km_cent_row(cents))
-
-    def knn_kernel(pdf):
-        # exact integer pairwise distances within one cell via one
-        # float64 matmul (all magnitudes < 2^53, so the float math IS
-        # exact) — the SQL zip_with fold is an interpreted
-        # HigherOrderFunction, ~20x slower over cell^2 pairs
-        import numpy as np
-        import pandas as pd
-
-        ids = pdf["vec_id"].to_numpy()
-        k = min(_GG_KNN, len(ids) - 1)
-        if k <= 0:
-            return pd.DataFrame({"src": [], "dst": []})
-        perm = np.argsort(ids)
-        ids = ids[perm]
-        q = np.stack(pdf["q"].to_numpy())[perm].astype(np.float64)
-        nq = (q * q).sum(1)
-        d = nq[:, None] + nq[None, :] - 2.0 * (q @ q.T)
-        np.fill_diagonal(d, np.inf)
-        src, dst = [], []
-        for i in range(len(ids)):
-            # lexsort: primary key d[i], tie-break lowest id (ids are
-            # sorted, so index order IS id order under stable keys)
-            nn = np.lexsort((ids, d[i]))[:k]
-            src.extend([ids[i]] * k)
-            dst.extend(ids[nn])
-        return pd.DataFrame({"src": src, "dst": dst})
-
-    knn = asg.select("vec_id", "q", "cid").groupBy("cid").applyInPandas(
-        knn_kernel, "src long, dst long"
-    )
-    edges = knn.unionByName(
-        knn.select("src").distinct().select("src", F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    edges = _gg_with_self_edges(_gg_knn_edges(asg))
     entry = xq.agg(F.min("vec_id").alias("e"))
     frontier = (
         xq.filter(F.col("vec_id") < _N_QUERIES)
@@ -3322,75 +3406,17 @@ def sim_search_greedy_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "qq", F.col("e").alias("cur"))
     )
     corpus = xq.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("cq2"))
-    qdist = F.expr(
-        "aggregate(zip_with(qq, cq2, (p, r) -> (p - r) * (p - r)), 0L,"
-        " (acc, z) -> acc + z)"
-    )
-    for _ in range(_GG_HOPS):
-        cand = (
-            frontier.join(edges, frontier["cur"] == edges["src"])
-            .filter(F.col("dst") != F.col("qid"))
-            .join(corpus, F.col("dst") == F.col("cand_id"))
-            .select("qid", "qq", "dst", qdist.alias("d"))
-        )
-        frontier = (
-            cand.groupBy("qid")
-            .agg(
-                F.first("qq").alias("qq"),
-                F.min(F.struct("d", "dst")).alias("m"),
-            )
-            .select("qid", "qq", F.col("m.dst").alias("cur"))
-        )
+    frontier = _gg_descend(frontier, edges, corpus, _GG_HOPS)
     found = (
         frontier.join(corpus, F.col("cur") == F.col("cand_id"))
         .select(
             "qid",
             "qq",
             F.col("cur").alias("found_id"),
-            qdist.cast("bigint").alias("found_dist_q"),
+            _gg_qdist().cast("bigint").alias("found_dist_q"),
         )
     )
-    # exact referee: the 10-vector panel collects (bounded artifact)
-    # and scans the corpus once in a vectorized Arrow kernel — exact
-    # int64 distances via float64 matmul (< 2^53), per-batch argmins
-    # reduced by an exact (d, nid) struct-min
-    panel_rows = (
-        xq.filter(F.col("vec_id") < _N_QUERIES)
-        .orderBy("vec_id")
-        .collect()
-    )
-
-    def exact_kernel(batches):
-        import numpy as np
-        import pandas as pd
-
-        pv = np.stack([np.array(r["q"]) for r in panel_rows]).astype(
-            np.float64
-        )
-        pids = np.array([r["vec_id"] for r in panel_rows])
-        pn = (pv * pv).sum(1)
-        for pdf in batches:
-            ids = pdf["vec_id"].to_numpy()
-            q = np.stack(pdf["q"].to_numpy()).astype(np.float64)
-            d = pn[:, None] + (q * q).sum(1)[None, :] - 2.0 * (pv @ q.T)
-            d[pids[:, None] == ids[None, :]] = np.inf  # exclude self
-            rows = []
-            for i in range(len(pids)):
-                j = np.lexsort((ids, d[i]))[0]
-                rows.append((int(pids[i]), int(ids[j]), int(d[i, j])))
-            yield pd.DataFrame(rows, columns=["qid", "nid", "d"])
-
-    exact = (
-        xq.select("vec_id", "q")
-        .mapInPandas(exact_kernel, "qid long, nid long, d long")
-        .groupBy("qid")
-        .agg(F.min(F.struct("d", "nid")).alias("m"))
-        .select(
-            "qid",
-            F.col("m.nid").alias("exact_id"),
-            F.col("m.d").cast("bigint").alias("exact_dist_q"),
-        )
-    )
+    exact = _gg_exact_nn(xq)
     return found.drop("qq").join(exact, "qid").select(
         F.col("qid").alias("query_id"),
         "found_id",
@@ -3556,5 +3582,158 @@ def sample_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
             F.col("jac_milli").cast("bigint").alias("jac_milli"),
             "rk",
+        )
+    )
+
+
+_HNSW_L1_MOD = 4  # layer-1 membership: vec_id % 4 == 0 (25% subsample)
+
+
+@register(
+    "sim_search_hnsw_two_layer",
+    oracle=f"""
+    WITH xq AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_KM_Q}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cid, q AS cq FROM xq ORDER BY vec_id LIMIT {_KM_K}
+    ),
+    asg AS (
+      SELECT vec_id, q, cid FROM (
+        SELECT x.vec_id, x.q, c.cid,
+               row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                 {_gg_dist_sql("x.q", "c.cq")}, c.cid) AS rn
+        FROM xq x, cents c) WHERE rn = 1
+    ),
+    knn AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 {_gg_dist_sql("a.q", "b.q")}, b.vec_id) AS rn
+        FROM asg a JOIN asg b
+          ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+      WHERE rn <= {_GG_KNN}
+    ),
+    knn1 AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 {_gg_dist_sql("a.q", "b.q")}, b.vec_id) AS rn
+        FROM asg a JOIN asg b
+          ON a.cid = b.cid AND a.vec_id <> b.vec_id
+        WHERE a.vec_id % {_HNSW_L1_MOD} = 0
+          AND b.vec_id % {_HNSW_L1_MOD} = 0)
+      WHERE rn <= {_GG_KNN}
+    ),
+    g0 AS (
+      SELECT vec_id AS qid,
+             (SELECT min(vec_id) FROM xq
+              WHERE vec_id % {_HNSW_L1_MOD} = 0) AS cur
+      FROM xq WHERE vec_id < {_N_QUERIES}
+    ),
+    {",".join(_gg_hop_sql(f"g{t}", f"g{t + 1}", "knn1") for t in range(_GG_HOPS))},
+    l1 AS (SELECT qid, cur AS l1_exit FROM g{_GG_HOPS}),
+    {",".join(_gg_hop_sql(f"g{_GG_HOPS + t}", f"g{_GG_HOPS + t + 1}") for t in range(_GG_HOPS))},
+    found AS (
+      SELECT g.qid, g.cur AS found_id,
+             CAST({_gg_dist_sql("q.q", "x.q")} AS BIGINT) AS found_dist_q
+      FROM g{2 * _GG_HOPS} g
+      JOIN xq q ON q.vec_id = g.qid
+      JOIN xq x ON x.vec_id = g.cur
+    ),
+    exact AS (
+      SELECT qid, nid AS exact_id, d AS exact_dist_q FROM (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               CAST({_gg_dist_sql("a.q", "b.q")} AS BIGINT) AS d,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 {_gg_dist_sql("a.q", "b.q")}, b.vec_id) AS rn
+        FROM xq a JOIN xq b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {_N_QUERIES})
+      WHERE rn = 1
+    )
+    SELECT f.qid AS query_id, l1.l1_exit, f.found_id, f.found_dist_q,
+           e.exact_id, e.exact_dist_q,
+           CAST(CASE WHEN f.found_id = e.exact_id THEN 1 ELSE 0 END
+             AS INTEGER) AS hit_top1,
+           CAST(e.exact_dist_q * 1000 // greatest(1, f.found_dist_q)
+             AS BIGINT) AS quality_milli
+    FROM found f JOIN exact e USING (qid) JOIN l1 USING (qid)
+    """,
+)
+def sim_search_hnsw_two_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHICAL GREEDY SEARCH — the actual HNSW shape (Malkov &
+    Yashunin, TPAMI 2020) on top of sim_search_greedy_graph's layer-0
+    machinery: a sparse UPPER layer (the deterministic 1-in-
+    {_HNSW_L1_MOD} vec_id subsample, standing in for the geometric
+    level draw) carries its own cell-blocked kNN graph; a query first
+    descends the upper layer from its global entry point (the lowest
+    layer-1 id), then switches to layer 0 starting AT the layer-1
+    exit — the hierarchy buys a long-range approach phase so the
+    layer-0 walk starts near the target instead of crossing the whole
+    space, which is what makes greedy graphs navigable at billion
+    scale. Both descents replay exact integer distances with
+    lowest-id ties, so the full two-phase trajectory (l1_exit exposed
+    in the output) is engine-identical; the eval is graded like the
+    flat operator: hit_top1 vs the exact nearest neighbor plus the
+    distance-quality ratio.
+
+    Scale shape: layer-1 construction is the same per-cell self-join
+    over a 1/{_HNSW_L1_MOD} subsample (cell-population-bounded, never
+    all-pairs); each hop on either layer is a panel-sized frontier
+    broadcast against src-partitioned adjacency. The upper layer is
+    1/{_HNSW_L1_MOD} of the corpus — at 100 TB it fits a hotter
+    storage tier, exactly how production HNSW serves layer >0 from
+    RAM and layer 0 from SSD."""
+    xq = _km_xq(spark, sf_dir)
+    cents = xq.orderBy("vec_id").limit(_KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    asg = _km_assign(xq, _km_cent_row(cents))
+    edges0 = _gg_with_self_edges(_gg_knn_edges(asg))
+    edges1 = _gg_with_self_edges(
+        _gg_knn_edges(asg.filter(F.col("vec_id") % _HNSW_L1_MOD == 0))
+    )
+    entry1 = (
+        xq.filter(F.col("vec_id") % _HNSW_L1_MOD == 0)
+        .agg(F.min("vec_id").alias("e"))
+    )
+    frontier = (
+        xq.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("q").alias("qq"))
+        .join(F.broadcast(entry1))
+        .select("qid", "qq", F.col("e").alias("cur"))
+    )
+    corpus = xq.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("cq2"))
+    frontier = _gg_descend(frontier, edges1, corpus, _GG_HOPS)
+    l1 = frontier.select("qid", F.col("cur").alias("l1_exit"))
+    frontier = _gg_descend(frontier, edges0, corpus, _GG_HOPS)
+    found = frontier.join(corpus, F.col("cur") == F.col("cand_id")).select(
+        "qid",
+        "qq",
+        F.col("cur").alias("found_id"),
+        _gg_qdist().cast("bigint").alias("found_dist_q"),
+    )
+    exact = _gg_exact_nn(xq)
+    return (
+        found.drop("qq")
+        .join(exact, "qid")
+        .join(l1, "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            "l1_exit",
+            "found_id",
+            "found_dist_q",
+            "exact_id",
+            "exact_dist_q",
+            F.when(F.col("found_id") == F.col("exact_id"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("hit_top1"),
+            F.expr("exact_dist_q * 1000 div greatest(1L, found_dist_q)")
+            .cast("bigint")
+            .alias("quality_milli"),
         )
     )

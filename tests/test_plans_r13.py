@@ -125,6 +125,67 @@ def _chk_knng_incremental_adjacency_is_cell_partitioned(spark):
     assert "PartitionFilters" in plan, plan
 
 
+def _chk_hnsw_two_layer_contract(spark):
+    """The layer-1 exit must BE a layer-1 node, the final result can
+    only improve on the layer-1 exit (layer-0 descent is monotone and
+    starts there), and the quality ratio is a true ratio of the exact
+    optimum over the found distance (bounded by 1000 milli)."""
+    import numpy as np
+
+    from pyspark_xgboost_spark.operators.similarity import (
+        _HNSW_L1_MOD,
+        _km_xq,
+        sim_search_hnsw_two_layer,
+    )
+
+    rows = sim_search_hnsw_two_layer(spark, SF_DIR).collect()
+    assert rows
+    vecs = {
+        r["vec_id"]: np.array(r["q"], dtype=np.float64)
+        for r in _km_xq(spark, SF_DIR).collect()
+    }
+    for r in rows:
+        assert r["l1_exit"] % _HNSW_L1_MOD == 0
+        assert 0 < r["quality_milli"] <= 1000
+        assert r["hit_top1"] in (0, 1)
+        assert r["exact_dist_q"] <= r["found_dist_q"]
+        # layer-0 descent starts at l1_exit and is monotone
+        d_l1 = int(((vecs[r["query_id"]] - vecs[r["l1_exit"]]) ** 2).sum())
+        assert r["found_dist_q"] <= d_l1
+
+
+def _chk_synthetic_control_is_convex_blend(spark):
+    """Each post-day synthetic value must lie within the donor values'
+    envelope for that day (the weights are positive and normalized),
+    and the gap must be exactly actual*1000 - synth."""
+    import collections
+
+    from pyspark_xgboost_spark.operators.sampling import (
+        events_synthetic_control,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+
+    rows = events_synthetic_control(spark, SF_DIR).collect()
+    assert rows
+    daily = collections.defaultdict(dict)
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y")
+        )
+        .collect()
+    ):
+        daily[r["day"]][r["event_type"]] = r["y"]
+    for r in rows:
+        donors = [
+            y for t, y in daily[r["day"]].items() if t != "purchase"
+        ]
+        assert min(donors) * 1000 <= r["synth_milli"] <= max(donors) * 1000
+        assert r["gap_milli"] == r["actual_cents"] * 1000 - r["synth_milli"]
+        assert daily[r["day"]]["purchase"] == r["actual_cents"]
+
+
 def _chk_deferred_registrations_window_consistency(spark):
     """Round-13's post-freeze registrations sit in
     _DEFER_TO_NEXT_WINDOW and the machine audit accepts the whole
@@ -144,6 +205,8 @@ _R13_CHECKS = [
     _chk_pq_incremental_encode_is_map_side,
     _chk_knng_incremental_adjacency_equals_oneshot,
     _chk_knng_incremental_adjacency_is_cell_partitioned,
+    _chk_hnsw_two_layer_contract,
+    _chk_synthetic_control_is_convex_blend,
     _chk_deferred_registrations_window_consistency,
 ]
 

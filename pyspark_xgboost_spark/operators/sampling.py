@@ -2478,13 +2478,15 @@ def events_poisson_rate_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE event_type <> 'purchase'),
     dist AS (
       SELECT donor,
-             CAST(sum((t.yt - d.yd) * (t.yt - d.yd)) AS BIGINT) AS dist2
+             CAST(sum(((abs(t.yt - d.yd) * 1000) // (1 + t.yt))
+                      * ((abs(t.yt - d.yd) * 1000) // (1 + t.yt)))
+               AS BIGINT) AS dist2
       FROM d JOIN t USING (day)
       WHERE day < DATE '2024-01-16' GROUP BY 1
     ),
     w AS (
       SELECT donor,
-             CAST(1000000000000000 // (1000000 + dist2) AS BIGINT) AS w
+             CAST(1 + 1000000000000 // (1000 + dist2) AS BIGINT) AS w
       FROM dist
     ),
     synth AS (
@@ -2492,12 +2494,16 @@ def events_poisson_rate_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(w.w) AS BIGINT) AS den
       FROM d JOIN w USING (donor)
       WHERE day >= DATE '2024-01-16' GROUP BY 1
+    ),
+    blend AS (
+      SELECT day,
+             CAST(1000 * (num // den) + (1000 * (num % den)) // den
+               AS BIGINT) AS synth_milli
+      FROM synth
     )
-    SELECT t.day, t.yt AS actual_cents,
-           CAST((1000 * s.num) // s.den AS BIGINT) AS synth_milli,
-           CAST(t.yt * 1000 - (1000 * s.num) // s.den AS BIGINT)
-             AS gap_milli
-    FROM t JOIN synth s USING (day)
+    SELECT t.day, t.yt AS actual_cents, b.synth_milli,
+           CAST(t.yt * 1000 - b.synth_milli AS BIGINT) AS gap_milli
+    FROM t JOIN blend b USING (day)
     WHERE t.day >= DATE '2024-01-16'
     """,
 )
@@ -2509,22 +2515,33 @@ def events_synthetic_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms (Welch/CUPED/DiD over hashed users) need many units per arm;
     here the 'purchase' series is the single treated unit, and its
     post-cutoff counterfactual is a weighted blend of the donor event
-    types, weighted by how closely each donor tracked it PRE-cutoff
-    (weight_j = 1e15 div (1e6 + sum of squared daily pre-period gaps) —
+    types, weighted by how closely each donor tracked it PRE-cutoff —
     a deterministic exact-integer stand-in for the constrained
     regression a full Abadie fit solves; the estimand per post day is
-    gap = actual - synthetic). Shares the 2024-01-16 cutoff with
+    gap = actual - synthetic. Shares the 2024-01-16 cutoff with
     events_cuped_adjustment / events_diff_in_diff so all designs read
     the same experiment.
+
+    The weight is SCALE-FREE (review finding, round 13): the per-day
+    gap is first reduced to a milli-RELATIVE magnitude
+    r = (|yt - yd| * 1000) div (1 + yt), so dist2 = sum(r^2) is
+    bounded by the donor/treated RATIO (~1e6 per 30x-off day), not by
+    absolute volume — an absolute-cents distance saturated the weight
+    integer around sf10 and zeroed every donor (NULL estimand). The
+    floor weight 1 + 1e12 div (1e3 + dist2) keeps the denominator
+    positive even for pathological donors, and the blend uses the
+    overflow-safe floor decomposition 1000*(num div den) +
+    (1000*(num mod den)) div den, exact for non-negative operands
+    (values are >= 0, so Spark's truncating div IS DuckDB's floor //
+    everywhere in this query).
 
     Everything is the closed-form-over-exact-sums discipline: ONE
     map-side-combinable exchange to the (event_type, day) daily grid
     (O(types x days) rows), then donor distances, weights, and the
-    per-day blend are integer arithmetic over that bounded grid — both
-    engines floor identically (operands positive, so Spark's
-    truncating div IS floor). Scale shape: at 100 TB the daily grid is
-    still |types| x |days| rows; nothing after the first partial agg
-    is row-count-proportional."""
+    per-day blend are integer arithmetic over that bounded grid.
+    Scale shape: at 100 TB the daily grid is still |types| x |days|
+    rows; nothing after the first partial agg is
+    row-count-proportional."""
     events = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("bigint")
     cutoff = F.lit("2024-01-16").cast("date")
@@ -2543,16 +2560,17 @@ def events_synthetic_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = daily.filter(F.col("event_type") != "purchase").select(
         F.col("event_type").alias("donor"), "day", F.col("y").alias("yd")
     )
-    gap2 = (F.col("yt") - F.col("yd")) * (F.col("yt") - F.col("yd"))
+    rel = F.expr("(abs(yt - yd) * 1000L) div (1L + yt)")
     dist = (
         d.join(t, "day")
         .filter(F.col("day") < cutoff)
+        .select("donor", (rel * rel).alias("r2"))
         .groupBy("donor")
-        .agg(F.sum(gap2).cast("bigint").alias("dist2"))
+        .agg(F.sum("r2").cast("bigint").alias("dist2"))
     )
     w = dist.select(
         "donor",
-        F.expr("1000000000000000L div (1000000L + dist2)")
+        F.expr("1L + 1000000000000L div (1000L + dist2)")
         .cast("bigint")
         .alias("w"),
     )
@@ -2565,7 +2583,10 @@ def events_synthetic_control(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w").cast("bigint").alias("den"),
         )
     )
-    synth_milli = F.expr("(1000L * num) div den").cast("bigint")
+    # overflow-safe floor(1000 * num / den) for non-negative operands
+    synth_milli = F.expr(
+        "1000L * (num div den) + (1000L * (num % den)) div den"
+    ).cast("bigint")
     return (
         t.filter(F.col("day") >= cutoff)
         .join(synth, "day")

@@ -3707,7 +3707,12 @@ def sim_search_hnsw_two_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "qq", F.col("e").alias("cur"))
     )
     corpus = xq.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("cq2"))
-    frontier = _gg_descend(frontier, edges1, corpus, _GG_HOPS)
+    # pin the layer-1 result: both l1 (reported) and the layer-0
+    # descent consume it, and without the lineage break the 4 upper
+    # hops would execute twice (review finding, round 13)
+    frontier = _gg_descend(frontier, edges1, corpus, _GG_HOPS).localCheckpoint(
+        eager=True
+    )
     l1 = frontier.select("qid", F.col("cur").alias("l1_exit"))
     frontier = _gg_descend(frontier, edges0, corpus, _GG_HOPS)
     found = frontier.join(corpus, F.col("cur") == F.col("cand_id")).select(

@@ -4262,11 +4262,15 @@ def stream_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q.awaitTermination()
                 with open(final_marker, "w") as fh:
                     fh.write("ok")
+    from pyspark_xgboost_spark.operators.similarity import (
+        _gg_descend,
+        _gg_qdist,
+        _gg_with_self_edges,
+    )
+
     members = spark.read.parquet(mem_dir)
     adj = spark.read.parquet(adj_dir)
-    edges = adj.select("src", "dst").unionByName(
-        adj.select("src").distinct().select("src", F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    edges = _gg_with_self_edges(adj.select("src", "dst"))
     entry = members.agg(F.min("vec_id").alias("e"))
     frontier = (
         members.filter(F.col("vec_id") < _N_QUERIES)
@@ -4277,29 +4281,11 @@ def stream_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = members.select(
         F.col("vec_id").alias("cand_id"), F.col("q").alias("cq2")
     )
-    qdist = F.expr(
-        "aggregate(zip_with(qq, cq2, (p, r) -> (p - r) * (p - r)), 0L,"
-        " (acc, z) -> acc + z)"
-    )
-    for _ in range(_GG_HOPS):
-        cand = (
-            frontier.join(edges, frontier["cur"] == edges["src"])
-            .filter(F.col("dst") != F.col("qid"))
-            .join(corpus, F.col("dst") == F.col("cand_id"))
-            .select("qid", "qq", "dst", qdist.alias("d"))
-        )
-        frontier = (
-            cand.groupBy("qid")
-            .agg(
-                F.first("qq").alias("qq"),
-                F.min(F.struct("d", "dst")).alias("m"),
-            )
-            .select("qid", "qq", F.col("m.dst").alias("cur"))
-        )
+    frontier = _gg_descend(frontier, edges, corpus, _GG_HOPS)
     found = frontier.join(corpus, F.col("cur") == F.col("cand_id")).select(
         F.col("qid").alias("query_id"),
         F.col("cur").alias("found_id"),
-        qdist.cast("bigint").alias("found_dist_q"),
+        _gg_qdist().cast("bigint").alias("found_dist_q"),
     )
     fp = adj.agg(
         F.count("*").cast("bigint").alias("n_edges"),

@@ -17,13 +17,15 @@ from tests.conftest import SF_DIR
 
 # Three checks assert different contracts over the SAME
 # graph_pagerank_fixed result and two over the same candidate-pair set;
-# collect each once and share (the checks run pooled, hence the lock).
+# collect each once and share. PER-KEY locks: the pagerank and the
+# candidate-pair jobs are independent, so a check needing one must not
+# queue behind the other's collect (review finding, round 13).
 _memo: dict[str, list] = {}
-_memo_lock = threading.Lock()
+_memo_locks = {"pagerank": threading.Lock(), "pairs": threading.Lock()}
 
 
 def _pagerank_rows(spark):
-    with _memo_lock:
+    with _memo_locks["pagerank"]:
         if "pagerank" not in _memo:
             _memo["pagerank"] = graph_pagerank_fixed(spark, SF_DIR).collect()
     return _memo["pagerank"]
@@ -32,7 +34,7 @@ def _pagerank_rows(spark):
 def _candidate_pairs(spark):
     from pyspark_xgboost_spark.operators.dedup import _minhash_candidate_pairs
 
-    with _memo_lock:
+    with _memo_locks["pairs"]:
         if "pairs" not in _memo:
             _memo["pairs"] = _minhash_candidate_pairs(
                 load_table(spark, SF_DIR, "documents")

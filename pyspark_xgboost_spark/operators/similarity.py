@@ -3232,6 +3232,19 @@ def _gg_with_self_edges(knn: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=True)
 
 
+def _gg_edges_with_vectors(edges: DataFrame, corpus: DataFrame) -> DataFrame:
+    """DiskANN-style adjacency layout: each out-edge carries its
+    NEIGHBOR'S vector inline (src, dst, cq2), so a greedy hop is ONE
+    join + one aggregation instead of edges-then-vectors — exactly how
+    a disk-resident graph index stores adjacency so a hop costs one
+    sequential read. Checkpointed: every hop reuses it."""
+    return (
+        edges.join(corpus, edges["dst"] == corpus["cand_id"])
+        .select("src", "dst", "cq2")
+        .localCheckpoint(eager=True)
+    )
+
+
 def _gg_qdist() -> F.Column:
     # built per call, never at import (Columns need a live session)
     return F.expr(
@@ -3241,16 +3254,16 @@ def _gg_qdist() -> F.Column:
 
 
 def _gg_descend(
-    frontier: DataFrame, edges: DataFrame, corpus: DataFrame, hops: int
+    frontier: DataFrame, edges_v: DataFrame, hops: int
 ) -> DataFrame:
     """Greedy best-first descent: ``hops`` rounds of frontier (qid, qq,
-    cur) against the (self-edge-closed) edge table — each hop is a
-    panel-sized broadcast against src-keyed adjacency."""
+    cur) against the vector-carrying adjacency
+    (_gg_edges_with_vectors) — each hop is ONE panel-sized broadcast
+    join against src-keyed adjacency plus one bounded aggregation."""
     for _ in range(hops):
         cand = (
-            frontier.join(edges, frontier["cur"] == edges["src"])
+            frontier.join(edges_v, frontier["cur"] == edges_v["src"])
             .filter(F.col("dst") != F.col("qid"))
-            .join(corpus, F.col("dst") == F.col("cand_id"))
             .select("qid", "qq", "dst", _gg_qdist().alias("d"))
         )
         frontier = (
@@ -3397,7 +3410,10 @@ def sim_search_greedy_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("q").alias("cq")
     )
     asg = _km_assign(xq, _km_cent_row(cents))
-    edges = _gg_with_self_edges(_gg_knn_edges(asg))
+    corpus = xq.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("cq2"))
+    edges = _gg_edges_with_vectors(
+        _gg_with_self_edges(_gg_knn_edges(asg)), corpus
+    )
     entry = xq.agg(F.min("vec_id").alias("e"))
     frontier = (
         xq.filter(F.col("vec_id") < _N_QUERIES)
@@ -3405,8 +3421,7 @@ def sim_search_greedy_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(entry))
         .select("qid", "qq", F.col("e").alias("cur"))
     )
-    corpus = xq.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("cq2"))
-    frontier = _gg_descend(frontier, edges, corpus, _GG_HOPS)
+    frontier = _gg_descend(frontier, edges, _GG_HOPS)
     found = (
         frontier.join(corpus, F.col("cur") == F.col("cand_id"))
         .select(
@@ -3692,9 +3707,15 @@ def sim_search_hnsw_two_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("q").alias("cq")
     )
     asg = _km_assign(xq, _km_cent_row(cents))
-    edges0 = _gg_with_self_edges(_gg_knn_edges(asg))
-    edges1 = _gg_with_self_edges(
-        _gg_knn_edges(asg.filter(F.col("vec_id") % _HNSW_L1_MOD == 0))
+    corpus = xq.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("cq2"))
+    edges0 = _gg_edges_with_vectors(
+        _gg_with_self_edges(_gg_knn_edges(asg)), corpus
+    )
+    edges1 = _gg_edges_with_vectors(
+        _gg_with_self_edges(
+            _gg_knn_edges(asg.filter(F.col("vec_id") % _HNSW_L1_MOD == 0))
+        ),
+        corpus,
     )
     entry1 = (
         xq.filter(F.col("vec_id") % _HNSW_L1_MOD == 0)
@@ -3706,15 +3727,14 @@ def sim_search_hnsw_two_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(entry1))
         .select("qid", "qq", F.col("e").alias("cur"))
     )
-    corpus = xq.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("cq2"))
     # pin the layer-1 result: both l1 (reported) and the layer-0
     # descent consume it, and without the lineage break the 4 upper
     # hops would execute twice (review finding, round 13)
-    frontier = _gg_descend(frontier, edges1, corpus, _GG_HOPS).localCheckpoint(
+    frontier = _gg_descend(frontier, edges1, _GG_HOPS).localCheckpoint(
         eager=True
     )
     l1 = frontier.select("qid", F.col("cur").alias("l1_exit"))
-    frontier = _gg_descend(frontier, edges0, corpus, _GG_HOPS)
+    frontier = _gg_descend(frontier, edges0, _GG_HOPS)
     found = frontier.join(corpus, F.col("cur") == F.col("cand_id")).select(
         "qid",
         "qq",

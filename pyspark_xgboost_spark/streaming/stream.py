@@ -4264,13 +4264,19 @@ def stream_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                     fh.write("ok")
     from pyspark_xgboost_spark.operators.similarity import (
         _gg_descend,
+        _gg_edges_with_vectors,
         _gg_qdist,
         _gg_with_self_edges,
     )
 
     members = spark.read.parquet(mem_dir)
     adj = spark.read.parquet(adj_dir)
-    edges = _gg_with_self_edges(adj.select("src", "dst"))
+    corpus = members.select(
+        F.col("vec_id").alias("cand_id"), F.col("q").alias("cq2")
+    )
+    edges = _gg_edges_with_vectors(
+        _gg_with_self_edges(adj.select("src", "dst")), corpus
+    )
     entry = members.agg(F.min("vec_id").alias("e"))
     frontier = (
         members.filter(F.col("vec_id") < _N_QUERIES)
@@ -4278,10 +4284,7 @@ def stream_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(entry))
         .select("qid", "qq", F.col("e").alias("cur"))
     )
-    corpus = members.select(
-        F.col("vec_id").alias("cand_id"), F.col("q").alias("cq2")
-    )
-    frontier = _gg_descend(frontier, edges, corpus, _GG_HOPS)
+    frontier = _gg_descend(frontier, edges, _GG_HOPS)
     found = frontier.join(corpus, F.col("cur") == F.col("cand_id")).select(
         F.col("qid").alias("query_id"),
         F.col("cur").alias("found_id"),

@@ -2478,15 +2478,17 @@ def events_poisson_rate_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE event_type <> 'purchase'),
     dist AS (
       SELECT donor,
-             CAST(sum(((abs(t.yt - d.yd) * 1000) // (1 + t.yt))
-                      * ((abs(t.yt - d.yd) * 1000) // (1 + t.yt)))
+             CAST(sum(least((abs(t.yt - d.yd) * 1000) // (1 + t.yt),
+                            1000000)
+                      * least((abs(t.yt - d.yd) * 1000) // (1 + t.yt),
+                              1000000))
                AS BIGINT) AS dist2
       FROM d JOIN t USING (day)
       WHERE day < DATE '2024-01-16' GROUP BY 1
     ),
     w AS (
       SELECT donor,
-             CAST(1 + 1000000000000 // (1000 + dist2) AS BIGINT) AS w
+             CAST(1 + 1000000000 // (1000 + dist2) AS BIGINT) AS w
       FROM dist
     ),
     synth AS (
@@ -2524,16 +2526,18 @@ def events_synthetic_control(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The weight is SCALE-FREE (review finding, round 13): the per-day
     gap is first reduced to a milli-RELATIVE magnitude
-    r = (|yt - yd| * 1000) div (1 + yt), so dist2 = sum(r^2) is
-    bounded by the donor/treated RATIO (~1e6 per 30x-off day), not by
-    absolute volume — an absolute-cents distance saturated the weight
-    integer around sf10 and zeroed every donor (NULL estimand). The
-    floor weight 1 + 1e12 div (1e3 + dist2) keeps the denominator
-    positive even for pathological donors, and the blend uses the
-    overflow-safe floor decomposition 1000*(num div den) +
-    (1000*(num mod den)) div den, exact for non-negative operands
-    (values are >= 0, so Spark's truncating div IS DuckDB's floor //
-    everywhere in this query).
+    r = least((|yt - yd| * 1000) div (1 + yt), 1e6) — capped at a
+    1000x ratio, beyond which a donor carries no signal — so
+    dist2 = sum(r^2) is bounded by 1e12 * pre_days regardless of
+    absolute volume (an absolute-cents distance saturated the weight
+    integer around sf10 and zeroed every donor: NULL estimand). The
+    floor weight 1 + 1e9 div (1e3 + dist2) keeps the denominator
+    positive for pathological donors and caps w at ~1e6+1, so
+    num = sum(w * yd) stays inside int64 up to ~2e12 cents per
+    donor-day; the blend uses the overflow-safe floor decomposition
+    1000*(num div den) + (1000*(num mod den)) div den, exact for
+    non-negative operands (values are >= 0, so Spark's truncating div
+    IS DuckDB's floor // everywhere in this query).
 
     Everything is the closed-form-over-exact-sums discipline: ONE
     map-side-combinable exchange to the (event_type, day) daily grid
@@ -2560,7 +2564,7 @@ def events_synthetic_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = daily.filter(F.col("event_type") != "purchase").select(
         F.col("event_type").alias("donor"), "day", F.col("y").alias("yd")
     )
-    rel = F.expr("(abs(yt - yd) * 1000L) div (1L + yt)")
+    rel = F.expr("least((abs(yt - yd) * 1000L) div (1L + yt), 1000000L)")
     dist = (
         d.join(t, "day")
         .filter(F.col("day") < cutoff)
@@ -2570,7 +2574,7 @@ def events_synthetic_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = dist.select(
         "donor",
-        F.expr("1L + 1000000000000L div (1000L + dist2)")
+        F.expr("1L + 1000000000L div (1000L + dist2)")
         .cast("bigint")
         .alias("w"),
     )

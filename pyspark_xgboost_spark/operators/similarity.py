@@ -3227,9 +3227,12 @@ def _gg_knn_edges(asg: DataFrame) -> DataFrame:
 
 
 def _gg_with_self_edges(knn: DataFrame) -> DataFrame:
+    # no checkpoint here: every consumer feeds this straight into
+    # _gg_edges_with_vectors, which checkpoints the joined result —
+    # materializing the bare edge list too would pin it twice
     return knn.unionByName(
         knn.select("src").distinct().select("src", F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    )
 
 
 def _gg_edges_with_vectors(edges: DataFrame, corpus: DataFrame) -> DataFrame:

@@ -402,6 +402,7 @@ HEADLINE = [
     "stream_knn_graph_incremental",
     "sim_search_hnsw_two_layer",
     "events_synthetic_control",
+    "events_kalman_filter_1d",
 ]
 
 

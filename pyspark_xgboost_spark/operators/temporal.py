@@ -5273,3 +5273,173 @@ def window_atr_true_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("atr_milli_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kalman filter, local-level model (integer-state sequential DP)
+# --------------------------------------------------------------------------
+
+_KF_Q = 100  # process-noise variance (relative units; only Q:R matters)
+_KF_R = 900  # measurement-noise variance -> steady-state gain ~0.28
+
+
+def _kf_oracle() -> str:
+    kg = f"(r.p + {_KF_Q}) * 1000 // (r.p + {_KF_Q} + {_KF_R})"
+    return f"""
+    WITH RECURSIVE bounds AS (
+      SELECT date_trunc('day', min(ts)) AS d0,
+             date_trunc('day', max(ts)) AS d1
+      FROM events
+    ),
+    spine AS (
+      SELECT ty.et AS event_type,
+             CAST(datediff('day', b.d0, g.d) + 1 AS BIGINT) AS t
+      FROM bounds b,
+           LATERAL unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))
+             AS g(d),
+           (SELECT DISTINCT event_type AS et FROM events) ty
+    ),
+    cnt AS (
+      SELECT event_type,
+             CAST(datediff('day', (SELECT d0 FROM bounds),
+                           date_trunc('day', ts)) + 1 AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT s.event_type, s.t,
+             CAST(COALESCE(c.x, 0) * 1000000 AS BIGINT) AS xm
+      FROM spine s LEFT JOIN cnt c ON c.event_type = s.event_type
+                                  AND c.t = s.t
+    ),
+    rec AS (
+      SELECT event_type, t, xm, xm AS l,
+             CAST({_KF_R} AS BIGINT) AS p,
+             CAST(1000 AS BIGINT) AS k
+      FROM ser WHERE t = 1
+      UNION ALL
+      SELECT r.event_type, r.t + 1, x.xm,
+             r.l + (({kg}) * (x.xm - r.l)) // 1000 AS l,
+             ((1000 - ({kg})) * (r.p + {_KF_Q})) // 1000 AS p,
+             CAST({kg} AS BIGINT) AS k
+      FROM rec r
+      JOIN ser x ON x.event_type = r.event_type AND x.t = r.t + 1
+    )
+    SELECT event_type, CAST(t AS INT) AS t,
+           CAST(xm AS BIGINT) AS obs_micro,
+           CAST(l AS BIGINT) AS level_micro,
+           CAST(k AS BIGINT) AS k_milli,
+           CAST(p AS BIGINT) AS p_var
+    FROM rec
+    """
+
+
+@register("events_kalman_filter_1d", oracle=_kf_oracle())
+def events_kalman_filter_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KALMAN FILTER, local-level model (Kalman 1960; the state-space
+    complement to the smoothing DPs in this family — Holt-Winters
+    assumes fixed smoothing ratios, the Kalman gain ADAPTS: it starts
+    at full trust in the first observation and converges to the
+    steady-state ratio the Q:R noise model implies, so early
+    observations move the level fast and later ones are damped by the
+    learned variance). Filters each event type's daily arrival counts
+    over the gap-filled day spine; emits the full filtered trajectory
+    (level, gain, posterior variance per day) so the attestation
+    covers every recursion step, not just the endpoint.
+
+    Determinism: the recursion runs ENTIRELY in integers — counts in
+    micro-units, the gain in milli-units
+    k = (p + Q)*1000 div (p + Q + R), level updates
+    l += (k * (x - l)) div 1000, variance p = (1000 - k)*(p + Q)
+    div 1000 — with truncating division on both engines (DuckDB's //
+    truncates toward zero exactly like Spark's div, including on the
+    negative innovation x - l; the Python kernel mirrors trunc
+    explicitly because Python's // floors). The sequential dependence
+    is irreducible (each day's posterior feeds the next gain); Spark
+    runs the ~30-step loop per series inside ONE applyInPandas kernel,
+    the DuckDB oracle replays it as a recursive CTE.
+
+    Scale shape: the raw stream collapses to the (type, day) count
+    table in one partial-agg pass; the kernel sees spine rows (days x
+    types, never events), grouped BY SERIES so 1000 types parallelize
+    across executors while each tiny loop stays local; state is O(1)
+    per series. Q and R are RELATIVE units (only their ratio enters
+    the gain), so the filter is scale-free in the series magnitude."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+            ).alias("d"),
+            "d0",
+        )
+        .crossJoin(F.broadcast(types))
+        .select(
+            "event_type",
+            "d",
+            (F.datediff(F.col("d"), F.col("d0")) + 1)
+            .cast("bigint")
+            .alias("t"),
+        )
+    )
+    cnt = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    ser = spine.join(cnt, ["event_type", "d"], "left").select(
+        "event_type",
+        "t",
+        (F.coalesce(F.col("x"), F.lit(0)) * 1000000)
+        .cast("bigint")
+        .alias("xm"),
+    )
+
+    def kf(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("t")
+        xs = [int(v) for v in pdf["xm"]]
+        if not xs:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="str"),
+                    "t": pd.Series([], dtype="int"),
+                    "obs_micro": pd.Series([], dtype="int64"),
+                    "level_micro": pd.Series([], dtype="int64"),
+                    "k_milli": pd.Series([], dtype="int64"),
+                    "p_var": pd.Series([], dtype="int64"),
+                }
+            )
+
+        def td(x, d):  # truncate-toward-zero division (DuckDB //)
+            q = abs(x) // d
+            return q if x >= 0 else -q
+
+        et = pdf["event_type"].iloc[0]
+        rows = []
+        l, p, k = xs[0], _KF_R, 1000
+        rows.append((et, 1, xs[0], l, k, p))
+        for t in range(1, len(xs)):
+            x = xs[t]
+            p_pred = p + _KF_Q
+            k = td(p_pred * 1000, p_pred + _KF_R)
+            l = l + td(k * (x - l), 1000)
+            p = td((1000 - k) * p_pred, 1000)
+            rows.append((et, t + 1, x, l, k, p))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "event_type", "t", "obs_micro", "level_micro",
+                "k_milli", "p_var",
+            ],
+        )
+
+    out_schema = (
+        "event_type string, t int, obs_micro long, level_micro long,"
+        " k_milli long, p_var long"
+    )
+    return ser.groupBy("event_type").applyInPandas(kf, out_schema)

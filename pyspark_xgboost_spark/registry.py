@@ -116,6 +116,7 @@ _GRADE_FIRST = [
 # row — so deferral can never hide an omission; at the next
 # recomposition this list is emptied into the window head.
 _DEFER_TO_NEXT_WINDOW: list[str] = [
+    "events_kalman_filter_1d",
     "events_synthetic_control",
     "sim_search_hnsw_two_layer",
     "stream_knn_graph_incremental",

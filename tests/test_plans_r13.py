@@ -186,6 +186,41 @@ def _chk_synthetic_control_is_convex_blend(spark):
         assert daily[r["day"]]["purchase"] == r["actual_cents"]
 
 
+def _chk_kalman_gain_converges_and_tracks(spark):
+    """The Kalman gain must start at full trust (1000 milli), decrease
+    monotonically toward the steady state the Q:R ratio implies, and
+    the filtered level must stay inside the running observation
+    envelope (it is a convex combination of prior level and the new
+    observation)."""
+    import collections
+
+    from pyspark_xgboost_spark.operators.temporal import (
+        _KF_Q,
+        _KF_R,
+        events_kalman_filter_1d,
+    )
+
+    rows = events_kalman_filter_1d(spark, SF_DIR).collect()
+    assert rows
+    by_type = collections.defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r)
+    # steady-state gain k* solves k = (p+Q)*1000/(p+Q+R) at the fixed
+    # point p = (1-k)(p+Q); bound it loosely from the Q:R ratio
+    for series in by_type.values():
+        series.sort(key=lambda r: r["t"])
+        assert series[0]["k_milli"] == 1000
+        ks = [r["k_milli"] for r in series]
+        assert all(a >= b for a, b in zip(ks, ks[1:])), ks  # monotone down
+        assert ks[-1] > 0
+        lo = hi = series[0]["obs_micro"]
+        for r in series[1:]:
+            lo, hi = min(lo, r["obs_micro"]), max(hi, r["obs_micro"])
+            # trunc division can overshoot the envelope by < 1 micro
+            assert lo - 1 <= r["level_micro"] <= hi + 1, r
+        assert series[-1]["p_var"] <= _KF_R + _KF_Q
+
+
 def _chk_deferred_registrations_window_consistency(spark):
     """Round-13's post-freeze registrations sit in
     _DEFER_TO_NEXT_WINDOW and the machine audit accepts the whole
@@ -207,6 +242,7 @@ _R13_CHECKS = [
     _chk_knng_incremental_adjacency_is_cell_partitioned,
     _chk_hnsw_two_layer_contract,
     _chk_synthetic_control_is_convex_blend,
+    _chk_kalman_gain_converges_and_tracks,
     _chk_deferred_registrations_window_consistency,
 ]
 

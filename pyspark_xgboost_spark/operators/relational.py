@@ -1946,14 +1946,17 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_intdiv_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The integer-division portability contract, as an attested query:
-    Spark's ``div``/``%`` truncate toward zero (C semantics) while
-    DuckDB's ``//`` floors — they agree ONLY on non-negative operands.
+    Spark's ``div``/``%`` truncate toward zero (C semantics), and so
+    does DuckDB 1.0's INTEGER ``//``/``%`` (verified: -7 // 2 = -3) —
+    but floor-division dialects exist (Python, MySQL DIV variants,
+    DuckDB's float ``//``), so portable code must not bet on either.
     This query forces NEGATIVE numerators and pins Spark's native
-    truncating semantics against the oracle's sign-restored floor
-    expression (the established cross-engine idiom used throughout the
-    dedup/similarity hash pipelines). Any engine or version drift in
-    division semantics turns this row red before it corrupts a
-    hash-partitioning scheme downstream. Pure map-side."""
+    truncating semantics against the oracle's SIGN-RESTORED expression
+    (``-((-x) // d)`` for x < 0), which yields trunc under BOTH floor
+    and trunc ``//`` semantics — the established cross-engine idiom
+    used throughout the dedup/similarity hash pipelines. Any engine or
+    version drift in division semantics turns this row red before it
+    corrupts a hash-partitioning scheme downstream. Pure map-side."""
     li = load_table(spark, sf_dir, "lineitem")
     v = li.filter(F.col("l_orderkey") % 97 == 0).select(
         "l_orderkey",

@@ -2537,7 +2537,7 @@ def events_synthetic_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     donor-day; the blend uses the overflow-safe floor decomposition
     1000*(num div den) + (1000*(num mod den)) div den, exact for
     non-negative operands (values are >= 0, so Spark's truncating div
-    IS DuckDB's floor // everywhere in this query).
+    matches DuckDB's // everywhere in this query).
 
     Everything is the closed-form-over-exact-sums discipline: ONE
     map-side-combinable exchange to the (event_type, day) daily grid

@@ -690,7 +690,8 @@ _PI_V = 1_000_000  # eigenvector fixed-point scale
 
 def _sign_trunc_div_sql(num: str, den: str) -> str:
     """Integer division toward zero on a possibly-negative numerator,
-    written so Spark (`div`, truncates) and DuckDB (`//`, floors)
+    written so Spark's `div` and DuckDB's `//` (both truncate; the
+    sign-restored form is also floor-proof)
     CANNOT disagree: operate on the absolute value (where floor ==
     trunc) and restore the sign. Both operands are parenthesized —
     a compound ``den`` like "n + m" would otherwise bind as
@@ -1063,7 +1064,8 @@ def _km_update(assigned: DataFrame) -> DataFrame:
     drop out (standard Lloyd degeneracy — deterministic, and the
     oracle's join-based update loses them identically). Integer mean
     uses sign-restored magnitude division so Spark div (trunc) and
-    DuckDB // (floor) cannot disagree on negative sums."""
+    DuckDB // cannot disagree on negative sums under either
+    division semantics."""
     sums = (
         assigned.select("cid", F.posexplode("q").alias("j0", "x"))
         .groupBy("cid", "j0")

@@ -1369,10 +1369,10 @@ def temporal_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     milli-cents, and the interpolation
     (pv·(t_next−t) + nx·(t−t_prev)) // (t_next−t_prev) is one integer
     division — bit-identical across engines, no float drift at hash
-    time. (Spark's ``div`` truncates toward zero, DuckDB's ``//``
-    floors; they agree here because every operand is non-negative —
-    event values are positive and the time weights are ordered-spine
-    differences.)
+    time. (Spark's ``div`` and DuckDB 1.0's integer ``//`` both
+    truncate toward zero — see scalar_intdiv_contract — and every
+    operand here is non-negative anyway: event values are positive
+    and the time weights are ordered-spine differences.)
 
     Scale shape: identical to the LOCF form — the raw table is scanned
     ONCE into an O(hours × types) aggregate; the spine, the gap join,
@@ -2276,7 +2276,7 @@ def window_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MA is windowed-sum over windowed-count in sign-restored
     magnitude division (count shrinks at the series edges instead of
     padding; sign restoration keeps Spark's truncating DIV and
-    DuckDB's flooring // identical even for a negative 7-day window
+    DuckDB's // identical even for a negative 7-day window
     sum), seasonal means use the same division (detrended values go
     negative), and day-of-week
     is epoch-day mod 7 — the ONLY cross-engine-safe weekday (Spark
@@ -3741,6 +3741,82 @@ def window_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Shared day-spine scaffold for the sequential-DP family (Holt-Winters,
+# DTW, Kalman): gap-filled (event_type, t, count) daily series — ONE
+# definition on each engine so spine semantics (the +1 offset, the
+# day-truncation, the zero fill) cannot drift between queries.
+# --------------------------------------------------------------------------
+
+_DAY_SPINE_CTES = """bounds AS (
+      SELECT date_trunc('day', min(ts)) AS d0,
+             date_trunc('day', max(ts)) AS d1
+      FROM events
+    ),
+    spine AS (
+      SELECT ty.et AS event_type,
+             CAST(datediff('day', b.d0, g.d) + 1 AS BIGINT) AS t
+      FROM bounds b,
+           LATERAL unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))
+             AS g(d),
+           (SELECT DISTINCT event_type AS et FROM events) ty
+    ),
+    cnt AS (
+      SELECT event_type,
+             CAST(datediff('day', (SELECT d0 FROM bounds),
+                           date_trunc('day', ts)) + 1 AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    )"""
+
+
+def _daily_count_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled (event_type, t, x) daily arrival counts over the
+    observed day range — the Spark twin of _DAY_SPINE_CTES. The spine
+    generates from a 1-row bounds aggregate crossed with the distinct
+    type list (both broadcast-sized); the raw stream collapses to the
+    (type, day) count table in one partial-agg pass."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+            ).alias("d"),
+            "d0",
+        )
+        .crossJoin(F.broadcast(types))
+        .select(
+            "event_type",
+            "d",
+            (F.datediff(F.col("d"), F.col("d0")) + 1)
+            .cast("bigint")
+            .alias("t"),
+        )
+    )
+    cnt = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    return spine.join(cnt, ["event_type", "d"], "left").select(
+        "event_type",
+        "t",
+        F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+    )
+
+
+def _td(x: int, d: int) -> int:
+    """Truncate-toward-zero integer division — what Spark's ``div``
+    AND DuckDB 1.0's ``//`` both do (verified: -7 // 2 = -3 in
+    DuckDB); Python's ``//`` floors, so sequential-DP kernels must
+    route every division through this."""
+    q = abs(x) // d
+    return q if x >= 0 else -q
+
+
+# --------------------------------------------------------------------------
 # Holt-Winters additive forecast (integer-state triple smoothing)
 # --------------------------------------------------------------------------
 
@@ -3763,26 +3839,7 @@ def _hw_oracle() -> str:
         for h in range(1, _HW_H + 1)
     )
     return f"""
-    WITH RECURSIVE bounds AS (
-      SELECT date_trunc('day', min(ts)) AS d0,
-             date_trunc('day', max(ts)) AS d1
-      FROM events
-    ),
-    spine AS (
-      SELECT ty.et AS event_type,
-             CAST(datediff('day', b.d0, g.d) + 1 AS BIGINT) AS t
-      FROM bounds b,
-           LATERAL unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))
-             AS g(d),
-           (SELECT DISTINCT event_type AS et FROM events) ty
-    ),
-    cnt AS (
-      SELECT event_type,
-             CAST(datediff('day', (SELECT d0 FROM bounds),
-                           date_trunc('day', ts)) + 1 AS BIGINT) AS t,
-             CAST(count(*) AS BIGINT) AS x
-      FROM events GROUP BY 1, 2
-    ),
+    WITH RECURSIVE {_DAY_SPINE_CTES},
     ser AS (
       SELECT s.event_type, s.t,
              CAST(COALESCE(c.x, 0) * 1000000 AS BIGINT) AS xm
@@ -3879,37 +3936,8 @@ def events_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays local; state is O(m) per series. The spine generates from
     a 1-row broadcast bounds aggregate (the window_hurst_exponent
     scaffold)."""
-    ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.date_trunc("day", F.min("ts")).alias("d0"),
-        F.date_trunc("day", F.max("ts")).alias("d1"),
-    )
-    types = ev.select("event_type").distinct()
-    spine = (
-        bounds.select(
-            F.explode(
-                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
-            ).alias("d"),
-            "d0",
-        )
-        .crossJoin(F.broadcast(types))
-        .select(
-            "event_type",
-            "d",
-            (F.datediff(F.col("d"), F.col("d0")) + 1)
-            .cast("bigint")
-            .alias("t"),
-        )
-    )
-    cnt = ev.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
-    ).agg(F.count("*").cast("bigint").alias("x"))
-    ser = spine.join(cnt, ["event_type", "d"], "left").select(
-        "event_type",
-        "t",
-        (F.coalesce(F.col("x"), F.lit(0)) * 1000000)
-        .cast("bigint")
-        .alias("xm"),
+    ser = _daily_count_series(spark, sf_dir).select(
+        "event_type", "t", (F.col("x") * 1000000).cast("bigint").alias("xm")
     )
 
     def hw(pdf):
@@ -3920,9 +3948,7 @@ def events_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         m, h = _HW_M, _HW_H
         a, bb, g = _HW_A, _HW_B, _HW_G
 
-        def td(x, d):  # truncate-toward-zero division (DuckDB //)
-            q = abs(x) // d
-            return q if x >= 0 else -q
+        td = _td  # module-level truncating division
 
         l = td(sum(xs[:m]), m)
         b = td(sum(xs[m : 2 * m]) - sum(xs[:m]), m * m)
@@ -3982,26 +4008,7 @@ _DTW_W = 5  # Sakoe-Chiba band half-width (days)
 
 def _dtw_oracle() -> str:
     return f"""
-    WITH RECURSIVE bounds AS (
-      SELECT date_trunc('day', min(ts)) AS d0,
-             date_trunc('day', max(ts)) AS d1
-      FROM events
-    ),
-    spine AS (
-      SELECT ty.et AS event_type,
-             CAST(datediff('day', b.d0, g.d) + 1 AS BIGINT) AS t
-      FROM bounds b,
-           LATERAL unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))
-             AS g(d),
-           (SELECT DISTINCT event_type AS et FROM events) ty
-    ),
-    cnt AS (
-      SELECT event_type,
-             CAST(datediff('day', (SELECT d0 FROM bounds),
-                           date_trunc('day', ts)) + 1 AS BIGINT) AS t,
-             CAST(count(*) AS BIGINT) AS x
-      FROM events GROUP BY 1, 2
-    ),
+    WITH RECURSIVE {_DAY_SPINE_CTES},
     ser AS (
       SELECT s.event_type, s.t,
              CAST(COALESCE(c.x, 0) AS BIGINT) AS x
@@ -4114,36 +4121,7 @@ def events_dtw_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     = ~500k independent kernels, each O(n*w) with O(w) live state.
     The band is the scale lever: full DTW is quadratic, banded is
     linear in series length."""
-    ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.date_trunc("day", F.min("ts")).alias("d0"),
-        F.date_trunc("day", F.max("ts")).alias("d1"),
-    )
-    types = ev.select("event_type").distinct()
-    spine = (
-        bounds.select(
-            F.explode(
-                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
-            ).alias("d"),
-            "d0",
-        )
-        .crossJoin(F.broadcast(types))
-        .select(
-            "event_type",
-            "d",
-            (F.datediff(F.col("d"), F.col("d0")) + 1)
-            .cast("bigint")
-            .alias("t"),
-        )
-    )
-    cnt = ev.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
-    ).agg(F.count("*").cast("bigint").alias("x"))
-    ser = spine.join(cnt, ["event_type", "d"], "left").select(
-        "event_type",
-        "t",
-        F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
-    )
+    ser = _daily_count_series(spark, sf_dir)
     stt = ser.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
@@ -5286,26 +5264,7 @@ _KF_R = 900  # measurement-noise variance -> steady-state gain ~0.28
 def _kf_oracle() -> str:
     kg = f"(r.p + {_KF_Q}) * 1000 // (r.p + {_KF_Q} + {_KF_R})"
     return f"""
-    WITH RECURSIVE bounds AS (
-      SELECT date_trunc('day', min(ts)) AS d0,
-             date_trunc('day', max(ts)) AS d1
-      FROM events
-    ),
-    spine AS (
-      SELECT ty.et AS event_type,
-             CAST(datediff('day', b.d0, g.d) + 1 AS BIGINT) AS t
-      FROM bounds b,
-           LATERAL unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))
-             AS g(d),
-           (SELECT DISTINCT event_type AS et FROM events) ty
-    ),
-    cnt AS (
-      SELECT event_type,
-             CAST(datediff('day', (SELECT d0 FROM bounds),
-                           date_trunc('day', ts)) + 1 AS BIGINT) AS t,
-             CAST(count(*) AS BIGINT) AS x
-      FROM events GROUP BY 1, 2
-    ),
+    WITH RECURSIVE {_DAY_SPINE_CTES},
     ser AS (
       SELECT s.event_type, s.t,
              CAST(COALESCE(c.x, 0) * 1000000 AS BIGINT) AS xm
@@ -5365,37 +5324,8 @@ def events_kalman_filter_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     across executors while each tiny loop stays local; state is O(1)
     per series. Q and R are RELATIVE units (only their ratio enters
     the gain), so the filter is scale-free in the series magnitude."""
-    ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.date_trunc("day", F.min("ts")).alias("d0"),
-        F.date_trunc("day", F.max("ts")).alias("d1"),
-    )
-    types = ev.select("event_type").distinct()
-    spine = (
-        bounds.select(
-            F.explode(
-                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
-            ).alias("d"),
-            "d0",
-        )
-        .crossJoin(F.broadcast(types))
-        .select(
-            "event_type",
-            "d",
-            (F.datediff(F.col("d"), F.col("d0")) + 1)
-            .cast("bigint")
-            .alias("t"),
-        )
-    )
-    cnt = ev.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
-    ).agg(F.count("*").cast("bigint").alias("x"))
-    ser = spine.join(cnt, ["event_type", "d"], "left").select(
-        "event_type",
-        "t",
-        (F.coalesce(F.col("x"), F.lit(0)) * 1000000)
-        .cast("bigint")
-        .alias("xm"),
+    ser = _daily_count_series(spark, sf_dir).select(
+        "event_type", "t", (F.col("x") * 1000000).cast("bigint").alias("xm")
     )
 
     def kf(pdf):
@@ -5403,21 +5333,7 @@ def events_kalman_filter_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         pdf = pdf.sort_values("t")
         xs = [int(v) for v in pdf["xm"]]
-        if not xs:
-            return pd.DataFrame(
-                {
-                    "event_type": pd.Series([], dtype="str"),
-                    "t": pd.Series([], dtype="int"),
-                    "obs_micro": pd.Series([], dtype="int64"),
-                    "level_micro": pd.Series([], dtype="int64"),
-                    "k_milli": pd.Series([], dtype="int64"),
-                    "p_var": pd.Series([], dtype="int64"),
-                }
-            )
-
-        def td(x, d):  # truncate-toward-zero division (DuckDB //)
-            q = abs(x) // d
-            return q if x >= 0 else -q
+        td = _td  # module-level truncating division
 
         et = pdf["event_type"].iloc[0]
         rows = []

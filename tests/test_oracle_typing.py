@@ -101,3 +101,17 @@ def test_no_oracle_emits_hugeint_or_decimal(request):
         assert proc.returncode == 0, f"typing sweep failed:\n{tail}"
         return
     assert _run_typing_sweep() == 0
+
+
+def test_duckdb_integer_division_truncates_like_spark_div():
+    """The cross-engine division contract every integer-DP oracle rides
+    on: DuckDB 1.0's INTEGER // and % truncate toward zero exactly like
+    Spark's div/% (verified -7 // 2 = -3; Python's // floors). If a
+    DuckDB upgrade ever switches to floor semantics, this reds before
+    any negative-operand oracle silently diverges — the prose contract
+    lives at scalar_intdiv_contract and operators/temporal._td."""
+    import duckdb
+
+    assert duckdb.sql(
+        "SELECT -7 // 2, 7 // -2, -7 % 2, 7 % -2"
+    ).fetchone() == (-3, -3, -1, 1)

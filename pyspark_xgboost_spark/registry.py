@@ -35,77 +35,76 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # never-graded queries first, then this round's new registrations,
 # then the stalest attested rows. See the window comment inside.
 _GRADE_FIRST = [
-    # ROUND-13 WINDOW (slots 1-50), executing the plan documented in
-    # round 12 and ratified by the r12 verdict (which flagged that the
-    # hand-written plan comment omitted graph_katz_centrality — the
-    # second consecutive one-query omission). This list is now
-    # MACHINE-CHECKED: tools/check_window.py recomputes the expected
-    # window from the committed CORRECTNESS_r*.json history (never-
+    # ROUND-14 WINDOW (slots 1-50), adopted VERBATIM from
+    # `python tools/check_window.py --next` run against the committed
+    # CORRECTNESS history through r13 (the machine-computed plan the
+    # r13 verdict ratified). tools/check_window.py recomputes the
+    # expected window from the CORRECTNESS_r*.json history (never-
     # driver-graded oracle queries first, sorted, minus
     # _DEFER_TO_NEXT_WINDOW, then stalest attested rows sorted by
     # (round, name)) and a pytest case fails on any divergence —
     # a hand-edit can no longer silently drop a query.
-    # -- never-driver-graded round-12 registrations (28, sorted; all
-    #    passed the r12 judge's independent sf0.01 oracle sweep AND
+    # -- never-driver-graded round-13 registrations (5, sorted; all
+    #    passed the r13 judge's independent sf0.01 oracle sweep AND
     #    the 32-vs-5 partition-invariance sweep) --
-    "agg_anova_weekday_effect",
-    "corpus_cross_source_contamination",
-    "corpus_entropy_rate_bigram",
-    "corpus_theil_decomposition",
-    "dedup_cdc_chunks",
-    "dedup_weighted_jaccard_verify",
-    "embedding_scalar_quantize_eval",
-    "events_attribution_markov",
-    "events_diff_in_diff",
-    "events_lorenz_curve",
-    "events_markov_stationary",
-    "events_poisson_rate_shift",
-    "graph_katz_centrality",
-    "graph_random_walks",
-    "multimodal_mp4_duration",
-    "multimodal_tiff_ifd_walk",
-    "multimodal_zip_eocd",
-    "sample_hard_negatives_ann",
-    "sim_search_greedy_graph",
-    "stream_bloom_incremental",
-    "stream_cc_incremental",
-    "stream_ivf_incremental",
-    "stream_mg_topk_incremental",
-    "text_longest_repeated_substring",
-    "text_readability_fk",
-    "window_atr_true_range",
-    "window_max_drawdown",
-    "window_rsi_cutler",
-    # -- stalest attested oracle rows (next 22 of the r05 cohort,
-    #    sorted; the remaining 8 r05 rows drain in r14) --
-    "pipeline_observed_metrics",
-    "sample_temperature_mixture",
-    "sample_weighted_priority",
-    "scalar_array_ops",
-    "scan_csv_gzip",
-    "scan_partition_pruned",
-    "scan_python_datasource",
-    "scan_schema_evolution_merge",
-    "setop_except_intersect_all",
-    "sim_search_pq",
-    "sink_compact_small_files",
-    "sql_recursive_date_spine",
-    "text_bpe_pretokenize",
-    "text_perplexity_bigram",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_lines_by_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_potential_promotion",
+    "events_kalman_filter_1d",
+    "events_synthetic_control",
+    "sim_search_hnsw_two_layer",
+    "stream_knn_graph_incremental",
+    "stream_pq_incremental",
+    # -- stalest attested oracle rows: the 8 remaining r05 rows
+    #    (completing the r05 drain), then the 37 stalest r06 rows,
+    #    each cohort sorted by name --
+    "tpch_q21_suppliers_who_kept_orders_waiting",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "window_cumulative_distinct",
+    "window_session_gap_sql",
+    "window_streaks_islands",
+    "agg_corr_regression",
+    "agg_cube",
+    "agg_distinct_group",
+    "agg_group",
+    "agg_grouping_sets",
+    "agg_percentile_exact",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_stats",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "distinct_count_agg",
+    "filter_pred",
+    "join_asof_forward",
+    "join_asof_tolerance",
+    "join_broadcast",
+    "join_hash_inner",
+    "join_multiway",
+    "join_outer",
+    "join_semi_anti",
+    "join_theta_nlj",
+    "multimodal_decode_features",
+    "multimodal_pack",
+    "project_alias",
+    "scalar_map_ops",
+    "scalar_string_date_math",
+    "scalar_try_cast",
+    "scan_parquet",
+    "setop_intersect",
+    "setop_union_except",
+    "sim_search_ivf",
+    "sim_search_topk",
+    "sim_search_topk_vectorized",
+    "sort_limit_topk",
     # ---- below the 50-slot line ----
-    # r14 window plan: generated, not hand-written — run
-    # `python tools/check_window.py --next` after the r13
+    # r15 window plan: generated, not hand-written — run
+    # `python tools/check_window.py --next` after the r14
     # CORRECTNESS artifact lands to print the exact 50-name list
-    # (this round's new registrations + the 8 remaining r05 rows +
-    # the stalest r06 cohort).
+    # (this round's new registrations + the remaining r06 cohort).
 ]
 
 # New registrations made THIS round, after the grading window above was
@@ -115,13 +114,7 @@ _GRADE_FIRST = [
 # name here (a) exists, (b) has an oracle, and (c) truly has no driver
 # row — so deferral can never hide an omission; at the next
 # recomposition this list is emptied into the window head.
-_DEFER_TO_NEXT_WINDOW: list[str] = [
-    "events_kalman_filter_1d",
-    "events_synthetic_control",
-    "sim_search_hnsw_two_layer",
-    "stream_knn_graph_incremental",
-    "stream_pq_incremental",
-]
+_DEFER_TO_NEXT_WINDOW: list[str] = []
 
 # Rows-only queries (registered without an oracle by design — goldens /
 # property tests carry their correctness): they can never produce a

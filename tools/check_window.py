@@ -44,10 +44,21 @@ sys.path.insert(0, "/root/repo")
 WINDOW = 50
 
 
-def load_history(repo: str = "/root/repo") -> dict[str, tuple[str, str]]:
-    """name -> (latest round with a driver row, status)."""
+def load_history(
+    repo: str = "/root/repo", exclude_newest: bool = False
+) -> dict[str, tuple[str, str]]:
+    """name -> (latest round with a driver row, status).
+
+    ``exclude_newest=True`` drops the highest-numbered artifact —
+    i.e. reconstructs the history the PREVIOUS recomposition saw, used
+    by audit() to tell "registry is one artifact behind: recompose now"
+    apart from genuine composition divergence.
+    """
+    paths = sorted(glob.glob(f"{repo}/CORRECTNESS_r*.json"))
+    if exclude_newest and paths:
+        paths = paths[:-1]
     history: dict[str, tuple[str, str]] = {}
-    for path in sorted(glob.glob(f"{repo}/CORRECTNESS_r*.json")):
+    for path in paths:
         rnd = path.rsplit("CORRECTNESS_", 1)[-1].removesuffix(".json")
         with open(path) as fh:
             data = json.load(fh)
@@ -122,6 +133,32 @@ def audit() -> list[str]:
     exp = expected_window(oracles, history, set(_DEFER_TO_NEXT_WINDOW))
     got = qs[:WINDOW]
     if exp != got:
+        # Disambiguate the two red causes (r13 verdict item 7): if the
+        # registry's window matches the policy computed WITHOUT the
+        # newest artifact, the registry is simply one recomposition
+        # behind that artifact — the designed "recompose now" signal,
+        # not a composition bug.
+        prev_hist = load_history(exclude_newest=True)
+        newest = max(
+            (
+                p.rsplit("CORRECTNESS_", 1)[-1].removesuffix(".json")
+                for p in glob.glob("/root/repo/CORRECTNESS_r*.json")
+            ),
+            default="r??",
+        )
+        if got == expected_window(
+            oracles, prev_hist, set(_DEFER_TO_NEXT_WINDOW)
+        ):
+            problems.append(
+                f"REGISTRY STALE vs newest artifact CORRECTNESS_{newest}"
+                ".json — the window is still the one composed BEFORE that "
+                "artifact landed (this is the designed start-of-round "
+                "signal, not a composition bug): adopt `python "
+                "tools/check_window.py --next` verbatim into "
+                "registry.py:_GRADE_FIRST and empty _DEFER_TO_NEXT_WINDOW "
+                "of the graded names"
+            )
+            return problems
         missing = [n for n in exp if n not in got]
         extra = [n for n in got if n not in exp]
         if missing:

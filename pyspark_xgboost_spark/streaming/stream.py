@@ -2900,6 +2900,20 @@ def _dds_incremental_oracle() -> str:
 _ORACLES["stream_ddsketch_incremental"] = _dds_incremental_oracle()
 
 
+# Whole-state fingerprints must be SCALE-FREE: a raw sum of id-product
+# terms grows ~N x max_id (quadratic for dense ids) and silently wraps
+# Spark's long at large SFs while DuckDB's HUGEINT->BIGINT cast raises
+# — the same scale-dependence class as the r13 synthetic-control weight
+# saturation. Fold every per-row term below 2^31 (mod the Mersenne
+# prime) and combine with BIT_XOR: order-independent, bounded < 2^31 at
+# ANY row count, and the arithmetic is identical in Spark and DuckDB.
+_FP_P = 2147483647
+
+
+def _xor_fp(term):
+    return F.bit_xor((term % F.lit(_FP_P)).cast("long"))
+
+
 # --------------------------------------------------------------------------
 # Incremental IVF posting-list maintenance: arriving vectors are routed
 # to a FROZEN coarse codebook and appended to a persisted posting table
@@ -3061,9 +3075,10 @@ def stream_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk") <= _TOPK
     )
     fp = postings.agg(
-        F.sum(F.col("cid") * F.lit(1048576) + F.col("vec_id"))
-        .cast("bigint")
-        .alias("postings_fp")
+        _xor_fp(
+            (F.col("cid") % F.lit(_FP_P)) * F.lit(1048576)
+            + F.col("vec_id") % F.lit(_FP_P)
+        ).alias("postings_fp")
     )
     return topk.join(F.broadcast(fp)).select(
         "query_id", "neighbor_id", "cos_sim", "rk", "postings_fp"
@@ -3106,7 +3121,9 @@ def _ivf_incremental_oracle() -> str:
       SELECT vec_id, cid, q, list_inner_product(q, q) AS nq FROM asg
     ),
     fp AS (
-      SELECT CAST(sum(cid * 1048576 + vec_id) AS BIGINT) AS postings_fp
+      SELECT bit_xor(CAST(((cid % 2147483647) * 1048576
+                           + vec_id % 2147483647) % 2147483647
+                     AS BIGINT)) AS postings_fp
       FROM corpus
     ),
     probes AS (
@@ -3968,13 +3985,11 @@ def stream_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk") <= _TOPK
     )
     fp = codes.agg(
-        F.sum(
-            F.col("vec_id") * F.lit(1048576)
+        _xor_fp(
+            (F.col("vec_id") % F.lit(_FP_P)) * F.lit(1048576)
             + F.col("s").cast("long") * F.lit(65536)
             + F.col("code")
-        )
-        .cast("bigint")
-        .alias("codes_fp")
+        ).alias("codes_fp")
     )
     return topk.join(F.broadcast(fp)).select(
         "query_id", "neighbor_id", "adc_nano", "rk", "codes_fp"
@@ -4019,8 +4034,9 @@ def _pq_incremental_oracle() -> str:
       ) WHERE rk = 1
     ),
     fp AS (
-      SELECT CAST(sum(vec_id * 1048576 + s * 65536 + code) AS BIGINT)
-        AS codes_fp
+      SELECT bit_xor(CAST(((vec_id % 2147483647) * 1048576
+                           + s * 65536 + code) % 2147483647
+                     AS BIGINT)) AS codes_fp
       FROM codes
     ),
     lut AS (
@@ -4292,9 +4308,10 @@ def stream_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = adj.agg(
         F.count("*").cast("bigint").alias("n_edges"),
-        F.sum(F.col("src") * F.lit(2097152) + F.col("dst"))
-        .cast("bigint")
-        .alias("edges_fp"),
+        _xor_fp(
+            (F.col("src") % F.lit(_FP_P)) * F.lit(2097152)
+            + F.col("dst") % F.lit(_FP_P)
+        ).alias("edges_fp"),
     )
     return found.join(F.broadcast(fp)).select(
         "query_id", "found_id", "found_dist_q", "n_edges", "edges_fp"
@@ -4341,7 +4358,9 @@ def _knng_incremental_oracle() -> str:
     ),
     fp AS (
       SELECT CAST(count(*) AS BIGINT) AS n_edges,
-             CAST(sum(src * 2097152 + dst) AS BIGINT) AS edges_fp
+             bit_xor(CAST(((src % 2147483647) * 2097152
+                           + dst % 2147483647) % 2147483647
+                     AS BIGINT)) AS edges_fp
       FROM knn
     ),
     g0 AS (

@@ -55,8 +55,13 @@ def _chk_pq_incremental_encode_is_map_side(spark):
     from pyspark_xgboost_spark.streaming.stream import (
         _pq_encode_batch,
         _stage_kmeans_batches,
+        stream_pq_incremental,
     )
 
+    # run_pooled executes checks concurrently: on a fresh scratch dir
+    # this check would otherwise race the codes-match check's build and
+    # read pq/cb before it exists (marker-guarded — cheap when built)
+    stream_pq_incremental(spark, SF_DIR).collect()
     root = _stage_kmeans_batches(spark, SF_DIR)
     batch = spark.read.parquet(os.path.join(root, "in"))
     cb_rows = (

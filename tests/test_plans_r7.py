@@ -108,7 +108,6 @@ def _chk_cdc_apply_single_key_shuffle(spark):
 _POOLED_CHECKS = [_chk_delete_cascade_anti_joins_are_broadcast, _chk_mor_deletes_sidecar_broadcasts, _chk_referential_integrity_dims_broadcast, _chk_sketch_rollup_has_partial_aggregation, _chk_dim_standardize_stats_aggregate_map_side, _chk_pq_kernel_plan_has_single_window_exchange, _chk_random_projection_is_map_side_plus_tiny_agg, _chk_cdc_apply_single_key_shuffle]
 
 
-def test_round_7_contracts_pooled(spark):
-    from tests.conftest import run_pooled
-
-    run_pooled(spark, _POOLED_CHECKS)
+# The pooled sweep for this module runs from tests/test_plans_r7to9.py,
+# which merges the r7/r8/r9/r9b check lists into ONE thread pool (four
+# sequential pools left ~28s of ramp-up/idle tail on the table).

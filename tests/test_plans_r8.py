@@ -82,7 +82,6 @@ def _chk_label_propagation_argmax_is_partial_aggregable(spark):
 _POOLED_CHECKS = [_chk_ivf_kmeans_probe_is_broadcast_no_cartesian, _chk_phash_band_join_never_carries_payload, _chk_drift_gates_run_on_histogram_with_broadcasts, _chk_seasonal_decompose_windows_are_grid_sized, _chk_label_propagation_argmax_is_partial_aggregable]
 
 
-def test_round_8_contracts_pooled(spark):
-    from tests.conftest import run_pooled
-
-    run_pooled(spark, _POOLED_CHECKS)
+# The pooled sweep for this module runs from tests/test_plans_r7to9.py,
+# which merges the r7/r8/r9/r9b check lists into ONE thread pool (four
+# sequential pools left ~28s of ramp-up/idle tail on the table).

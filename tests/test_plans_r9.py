@@ -198,7 +198,6 @@ def _chk_kanon_rollup_has_partial_phase(spark):
 _POOLED_CHECKS = [_chk_phash_recall_eval_panel_is_bounded_and_broadcast, _chk_pq_recall_eval_truth_is_panel_broadcast, _chk_decontaminate_13gram_joins_on_digest_shuffle, _chk_feistel_shuffle_is_map_only_and_injective, _chk_weighted_reservoir_rank_filter_pushes_group_limit, _chk_semdedup_recall_eval_never_collects_corpus, _chk_kmv_sketch_build_pushes_group_limit, _chk_psi_grid_is_histogram_sized, _chk_audio_vad_kernel_runs_once_per_branch, _chk_waterfill_windows_run_on_source_relation, _chk_quantile_normalize_has_no_global_row_sort, _chk_mahalanobis_moments_broadcast, _chk_rake_rank_filter_pushes_group_limit, _chk_kanon_rollup_has_partial_phase]
 
 
-def test_round_9_contracts_pooled(spark):
-    from tests.conftest import run_pooled
-
-    run_pooled(spark, _POOLED_CHECKS)
+# The pooled sweep for this module runs from tests/test_plans_r7to9.py,
+# which merges the r7/r8/r9/r9b check lists into ONE thread pool (four
+# sequential pools left ~28s of ramp-up/idle tail on the table).

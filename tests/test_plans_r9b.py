@@ -295,7 +295,6 @@ def _chk_mann_kendall_pairs_the_grid_only(spark):
 _POOLED_CHECKS = [_chk_welch_ttest_collapses_before_the_math, _chk_l_diversity_is_two_stacked_aggregates, _chk_ams_f2_explodes_types_not_corpus, _chk_oov_vocab_is_broadcast, _chk_entity_resolution_joins_on_the_blocking_key, _chk_format_sniff_is_map_only_plus_one_aggregate, _chk_bollinger_windows_the_grid_not_the_corpus, _chk_kfold_verdict_never_sums_doubles, _chk_leakage_split_audit_rides_capped_pairs, _chk_textrank_iterates_the_type_graph, _chk_curation_funnel_single_scan_single_aggregate, _chk_sssp_edges_checkpoint_feeds_all_rounds, _chk_bm25_is_an_inverted_index_probe, _chk_rrf_fuses_ranks_on_an_equijoin, _chk_quantile_sample_is_a_heap_not_a_sort, _chk_cohort_ltv_windows_the_grid, _chk_sprt_cumsum_rides_the_daily_grid, _chk_mmr_rounds_are_pool_bounded, _chk_dp_noise_is_a_projection_on_the_aggregate, _chk_footer_stats_never_scan_row_data, _chk_mann_kendall_pairs_the_grid_only]
 
 
-def test_round_9b_contracts_pooled(spark):
-    from tests.conftest import run_pooled
-
-    run_pooled(spark, _POOLED_CHECKS)
+# The pooled sweep for this module runs from tests/test_plans_r7to9.py,
+# which merges the r7/r8/r9/r9b check lists into ONE thread pool (four
+# sequential pools left ~28s of ramp-up/idle tail on the table).

@@ -4078,6 +4078,188 @@ _ORACLES["stream_pq_incremental"] = _pq_incremental_oracle()
 # --------------------------------------------------------------------------
 
 
+def _knng_cell_merge_kernel(pdf):
+    """One affected cell: exact int64 distances (float64 matmul —
+    all magnitudes < 2^53) of new members vs all current members;
+    emits new srcs' full min-k lists plus old srcs' CANDIDATE rows
+    (their k best NEW dsts — only rows that could displace a
+    stored neighbor leave the kernel). Module-level so both the
+    layer-0 graph (stream_knn_graph_incremental) and the sparse
+    upper layer (stream_hnsw_incremental) reuse one kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark_xgboost_spark.operators.similarity import _GG_KNN
+
+    cid = int(pdf["cid"].iloc[0])
+    perm = np.argsort(pdf["vec_id"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()[perm]
+    isnew = pdf["is_new"].to_numpy()[perm].astype(bool)
+    q = np.stack(pdf["q"].to_numpy())[perm].astype(np.float64)
+    nq = (q * q).sum(1)
+    new_idx = np.flatnonzero(isnew)
+    rows = []
+    # new x everything (one matmul, O(new x cell))
+    d_new = nq[new_idx][:, None] + nq[None, :] - 2.0 * (q[new_idx] @ q.T)
+    for r, i in enumerate(new_idx):
+        d = d_new[r].copy()
+        d[i] = np.inf  # self
+        k = min(_GG_KNN, len(ids) - 1)
+        for j in np.lexsort((ids, d))[:k]:
+            rows.append((cid, int(ids[i]), int(ids[j]), int(round(d[j])), 1))
+    # old srcs: candidates against NEW dsts only (transpose reuse)
+    old_idx = np.flatnonzero(~isnew)
+    if len(old_idx) and len(new_idx):
+        d_old = d_new[:, old_idx]  # (new, old) — distance is symmetric
+        new_ids = ids[new_idx]
+        for cpos, o in enumerate(old_idx):
+            d = d_old[:, cpos]
+            k = min(_GG_KNN, len(new_ids))
+            for j in np.lexsort((new_ids, d))[:k]:
+                rows.append(
+                    (cid, int(ids[o]), int(new_ids[j]), int(round(d[j])), 0)
+                )
+    return pd.DataFrame(rows, columns=["cid", "src", "dst", "d", "src_is_new"])
+
+
+def _knng_apply_batch(
+    sess: SparkSession, new_mem: DataFrame, mem_dir: str, adj_dir: str
+) -> None:
+    """Apply one arrival batch to a maintained (members, adjacency)
+    pair: per-affected-cell kernel distances, k-min merge of touched
+    cells' lists, dynamic-partition overwrite of ONLY those cells,
+    member append. ``new_mem`` carries (vec_id, q, cid, is_new=1).
+    Shared by the layer-0 and layer-1 maintenance operators — min-k
+    under the strict (d, dst) order is associative, so whatever layer
+    membership filter produced ``new_mem``, the maintained adjacency
+    equals the one-shot kNN graph over that layer's final members."""
+    from pyspark_xgboost_spark.operators.similarity import _GG_KNN
+
+    if os.path.exists(mem_dir):
+        old_mem = sess.read.parquet(mem_dir).select(
+            "vec_id", "q", "cid", F.lit(0).alias("is_new")
+        )
+    else:
+        old_mem = new_mem.filter(F.lit(False))
+    affected = new_mem.select("cid").distinct()
+    cell_rows = (
+        old_mem.join(F.broadcast(affected), "cid")
+        .unionByName(new_mem)
+        .groupBy("cid")
+        .applyInPandas(
+            _knng_cell_merge_kernel,
+            "cid long, src long, dst long, d long, src_is_new int",
+        )
+    )
+    new_src_adj = cell_rows.filter(F.col("src_is_new") == 1).select(
+        "cid", "src", "dst", "d"
+    )
+    cand_old = cell_rows.filter(F.col("src_is_new") == 0).select(
+        "cid", "src", "dst", "d"
+    )
+    if os.path.exists(adj_dir):
+        adj_old = (
+            sess.read.parquet(adj_dir)
+            .join(F.broadcast(affected), "cid")
+            .select("cid", "src", "dst", "d")
+        )
+        merged = adj_old.unionByName(cand_old)
+    else:
+        merged = cand_old
+    wk = W.partitionBy("src").orderBy(F.col("d").asc(), F.col("dst").asc())
+    old_src_adj = (
+        merged.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _GG_KNN)
+        .select("cid", "src", "dst", "d")
+    )
+    out = new_src_adj.unionByName(old_src_adj)
+    prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        out.write.mode("overwrite").partitionBy("cid").parquet(adj_dir)
+    finally:
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    new_mem.select("vec_id", "q", "cid").write.mode("append").parquet(mem_dir)
+
+
+def _knng_quant_expr() -> F.Column:
+    from pyspark_xgboost_spark.operators.similarity import _KM_Q
+
+    return F.expr(
+        f"transform(cast(embedding as array<double>), "
+        f"x -> cast(round(x * {_KM_Q}) as bigint))"
+    )
+
+
+def _knng_ensure_state(spark: SparkSession, sf_dir: str) -> str:
+    """Build (idempotent, lock+marker guarded) the maintained layer-0
+    kNN-graph state under root/knng: frozen first-batch centroid seeds,
+    cell-partitioned adjacency, appended members. Returns root."""
+    import shutil
+    import tempfile
+
+    from pyspark_xgboost_spark.operators.similarity import (
+        _KM_K,
+        _km_assign,
+        _km_cent_row,
+    )
+
+    root = _stage_kmeans_batches(spark, sf_dir)
+    tbl = os.path.join(root, "knng")
+    mem_dir = os.path.join(tbl, "members")
+    adj_dir = os.path.join(tbl, "adj")
+    cent_dir = os.path.join(tbl, "cents")
+    final_marker = os.path.join(tbl, "_KNNG_FINAL")
+    if not os.path.exists(final_marker):
+        with build_lock(tbl):
+            if not os.path.exists(final_marker):
+                shutil.rmtree(tbl, ignore_errors=True)
+                os.makedirs(tbl)
+
+                def knng_update(batch_df: DataFrame, batch_id: int) -> None:
+                    if batch_df.isEmpty():
+                        return
+                    sess = batch_df.sparkSession
+                    xq = batch_df.select(
+                        "vec_id", _knng_quant_expr().alias("q")
+                    )
+                    if not os.path.exists(cent_dir):
+                        (
+                            xq.orderBy("vec_id")
+                            .limit(_KM_K)
+                            .select(
+                                F.col("vec_id").alias("cid"),
+                                F.col("q").alias("cq"),
+                            )
+                            .write.mode("overwrite")
+                            .parquet(cent_dir)
+                        )
+                    cents = sess.read.parquet(cent_dir)
+                    new_mem = _km_assign(xq, _km_cent_row(cents)).select(
+                        "vec_id", "q", "cid", F.lit(1).alias("is_new")
+                    )
+                    _knng_apply_batch(sess, new_mem, mem_dir, adj_dir)
+
+                q = (
+                    spark.readStream.schema(
+                        "vec_id long, embedding array<double>, seq int"
+                    )
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(os.path.join(root, "in"))
+                    .writeStream.foreachBatch(knng_update)
+                    .option(
+                        "checkpointLocation",
+                        tempfile.mkdtemp(prefix="knng_ckpt_"),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                with open(final_marker, "w") as fh:
+                    fh.write("ok")
+    return root
+
+
 @register("stream_knn_graph_incremental", oracle=None)  # set below
 def stream_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING kNN-GRAPH MAINTENANCE — sim_search_greedy_graph
@@ -4106,187 +4288,18 @@ def stream_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast against src-keyed adjacency, identical to the one-shot
     operator. Reference scope: no ANN surface in the reference
     (SURVEY.md §2.2) — mandated training-data-pipeline extension."""
-    import shutil
-    import tempfile
-
     from pyspark_xgboost_spark.operators.similarity import (
         _GG_HOPS,
-        _GG_KNN,
-        _KM_K,
-        _KM_Q,
         _N_QUERIES,
-        _km_assign,
-        _km_cent_row,
-    )
-
-    root = _stage_kmeans_batches(spark, sf_dir)
-    tbl = os.path.join(root, "knng")
-    mem_dir = os.path.join(tbl, "members")
-    adj_dir = os.path.join(tbl, "adj")
-    cent_dir = os.path.join(tbl, "cents")
-    final_marker = os.path.join(tbl, "_KNNG_FINAL")
-    quant = F.expr(
-        f"transform(cast(embedding as array<double>), "
-        f"x -> cast(round(x * {_KM_Q}) as bigint))"
-    )
-
-    def _cell_merge_kernel(pdf):
-        """One affected cell: exact int64 distances (float64 matmul —
-        all magnitudes < 2^53) of new members vs all current members;
-        emits new srcs' full min-k lists plus old srcs' CANDIDATE rows
-        (their k best NEW dsts — only rows that could displace a
-        stored neighbor leave the kernel)."""
-        import numpy as np
-        import pandas as pd
-
-        cid = int(pdf["cid"].iloc[0])
-        perm = np.argsort(pdf["vec_id"].to_numpy())
-        ids = pdf["vec_id"].to_numpy()[perm]
-        isnew = pdf["is_new"].to_numpy()[perm].astype(bool)
-        q = np.stack(pdf["q"].to_numpy())[perm].astype(np.float64)
-        nq = (q * q).sum(1)
-        new_idx = np.flatnonzero(isnew)
-        rows = []
-        # new x everything (one matmul, O(new x cell))
-        d_new = (
-            nq[new_idx][:, None] + nq[None, :] - 2.0 * (q[new_idx] @ q.T)
-        )
-        for r, i in enumerate(new_idx):
-            d = d_new[r].copy()
-            d[i] = np.inf  # self
-            k = min(_GG_KNN, len(ids) - 1)
-            for j in np.lexsort((ids, d))[:k]:
-                rows.append((cid, int(ids[i]), int(ids[j]), int(round(d[j])), 1))
-        # old srcs: candidates against NEW dsts only (transpose reuse)
-        old_idx = np.flatnonzero(~isnew)
-        if len(old_idx) and len(new_idx):
-            d_old = d_new[:, old_idx]  # (new, old) — distance is symmetric
-            new_ids = ids[new_idx]
-            for cpos, o in enumerate(old_idx):
-                d = d_old[:, cpos]
-                k = min(_GG_KNN, len(new_ids))
-                for j in np.lexsort((new_ids, d))[:k]:
-                    rows.append(
-                        (cid, int(ids[o]), int(new_ids[j]), int(round(d[j])), 0)
-                    )
-        return pd.DataFrame(
-            rows, columns=["cid", "src", "dst", "d", "src_is_new"]
-        )
-
-    if not os.path.exists(final_marker):
-        with build_lock(tbl):
-            if not os.path.exists(final_marker):
-                shutil.rmtree(tbl, ignore_errors=True)
-                os.makedirs(tbl)
-
-                def knng_update(batch_df: DataFrame, batch_id: int) -> None:
-                    if batch_df.isEmpty():
-                        return
-                    sess = batch_df.sparkSession
-                    xq = batch_df.select("vec_id", quant.alias("q"))
-                    if not os.path.exists(cent_dir):
-                        (
-                            xq.orderBy("vec_id")
-                            .limit(_KM_K)
-                            .select(
-                                F.col("vec_id").alias("cid"),
-                                F.col("q").alias("cq"),
-                            )
-                            .write.mode("overwrite")
-                            .parquet(cent_dir)
-                        )
-                    cents = sess.read.parquet(cent_dir)
-                    new_mem = _km_assign(xq, _km_cent_row(cents)).select(
-                        "vec_id", "q", "cid", F.lit(1).alias("is_new")
-                    )
-                    if os.path.exists(mem_dir):
-                        old_mem = sess.read.parquet(mem_dir).select(
-                            "vec_id", "q", "cid", F.lit(0).alias("is_new")
-                        )
-                    else:
-                        old_mem = new_mem.filter(F.lit(False))
-                    affected = new_mem.select("cid").distinct()
-                    cell_rows = (
-                        old_mem.join(F.broadcast(affected), "cid")
-                        .unionByName(new_mem)
-                        .groupBy("cid")
-                        .applyInPandas(
-                            _cell_merge_kernel,
-                            "cid long, src long, dst long, d long, "
-                            "src_is_new int",
-                        )
-                    )
-                    new_src_adj = cell_rows.filter(
-                        F.col("src_is_new") == 1
-                    ).select("cid", "src", "dst", "d")
-                    cand_old = cell_rows.filter(
-                        F.col("src_is_new") == 0
-                    ).select("cid", "src", "dst", "d")
-                    if os.path.exists(adj_dir):
-                        adj_old = (
-                            sess.read.parquet(adj_dir)
-                            .join(F.broadcast(affected), "cid")
-                            .select("cid", "src", "dst", "d")
-                        )
-                        merged = adj_old.unionByName(cand_old)
-                    else:
-                        merged = cand_old
-                    wk = W.partitionBy("src").orderBy(
-                        F.col("d").asc(), F.col("dst").asc()
-                    )
-                    old_src_adj = (
-                        merged.withColumn("rn", F.row_number().over(wk))
-                        .filter(F.col("rn") <= _GG_KNN)
-                        .select("cid", "src", "dst", "d")
-                    )
-                    out = new_src_adj.unionByName(old_src_adj)
-                    prev = sess.conf.get(
-                        "spark.sql.sources.partitionOverwriteMode", "static"
-                    )
-                    try:
-                        sess.conf.set(
-                            "spark.sql.sources.partitionOverwriteMode",
-                            "dynamic",
-                        )
-                        (
-                            out.write.mode("overwrite")
-                            .partitionBy("cid")
-                            .parquet(adj_dir)
-                        )
-                    finally:
-                        sess.conf.set(
-                            "spark.sql.sources.partitionOverwriteMode", prev
-                        )
-                    new_mem.select("vec_id", "q", "cid").write.mode(
-                        "append"
-                    ).parquet(mem_dir)
-
-                q = (
-                    spark.readStream.schema(
-                        "vec_id long, embedding array<double>, seq int"
-                    )
-                    .option("maxFilesPerTrigger", "1")
-                    .parquet(os.path.join(root, "in"))
-                    .writeStream.foreachBatch(knng_update)
-                    .option(
-                        "checkpointLocation",
-                        tempfile.mkdtemp(prefix="knng_ckpt_"),
-                    )
-                    .trigger(availableNow=True)
-                    .start()
-                )
-                q.awaitTermination()
-                with open(final_marker, "w") as fh:
-                    fh.write("ok")
-    from pyspark_xgboost_spark.operators.similarity import (
         _gg_descend,
         _gg_edges_with_vectors,
         _gg_qdist,
         _gg_with_self_edges,
     )
 
-    members = spark.read.parquet(mem_dir)
-    adj = spark.read.parquet(adj_dir)
+    root = _knng_ensure_state(spark, sf_dir)
+    members = spark.read.parquet(os.path.join(root, "knng", "members"))
+    adj = spark.read.parquet(os.path.join(root, "knng", "adj"))
     corpus = members.select(
         F.col("vec_id").alias("cand_id"), F.col("q").alias("cq2")
     )

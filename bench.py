@@ -403,6 +403,9 @@ HEADLINE = [
     "sim_search_hnsw_two_layer",
     "events_synthetic_control",
     "events_kalman_filter_1d",
+    # round 14
+    "stream_hnsw_incremental",
+    "events_synthetic_control_placebo",
 ]
 
 

@@ -2601,3 +2601,184 @@ def events_synthetic_control(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("yt") * 1000 - synth_milli).cast("bigint").alias("gap_milli"),
         )
     )
+
+
+@register(
+    "events_synthetic_control_placebo",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT u.event_type AS unit, d.event_type AS donor, u.day,
+             u.y AS yu, d.y AS yd
+      FROM daily u JOIN daily d ON u.day = d.day
+      WHERE d.event_type <> u.event_type AND d.event_type <> 'purchase'
+    ),
+    dist AS (
+      SELECT unit, donor, CAST(sum(r * r) AS BIGINT) AS dist2 FROM (
+        SELECT unit, donor,
+               least((abs(yu - yd) * 1000) // (1 + yu), 1000000) AS r
+        FROM pairs WHERE day < DATE '2024-01-16')
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT unit, donor,
+             CAST(1 + 1000000000 // (1000 + dist2) AS BIGINT) AS w
+      FROM dist
+    ),
+    synth AS (
+      SELECT p.unit, p.day,
+             CAST(sum(w.w * p.yd) AS BIGINT) AS num,
+             CAST(sum(w.w) AS BIGINT) AS den
+      FROM pairs p
+      JOIN w ON w.unit = p.unit AND w.donor = p.donor
+      WHERE p.day >= DATE '2024-01-16'
+      GROUP BY 1, 2
+    ),
+    gap AS (
+      SELECT s.unit, s.day,
+             CAST(u.y * 1000
+                  - (1000 * (num // den) + (1000 * (num % den)) // den)
+               AS BIGINT) AS gap_milli
+      FROM synth s
+      JOIN daily u ON u.event_type = s.unit AND u.day = s.day
+    ),
+    stat AS (
+      SELECT unit, CAST(sum(abs(gap_milli)) AS BIGINT) AS abs_gap_milli
+      FROM gap GROUP BY unit
+    ),
+    ranked AS (
+      SELECT unit, abs_gap_milli,
+             CAST(row_number() OVER (
+               ORDER BY abs_gap_milli DESC, unit) AS INTEGER) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n_units
+      FROM stat
+    )
+    SELECT unit, abs_gap_milli, rk, n_units,
+           CAST((rk * 1000) // n_units AS BIGINT) AS p_milli,
+           CAST(CASE WHEN unit = 'purchase' THEN 1 ELSE 0 END
+             AS INTEGER) AS is_treated
+    FROM ranked
+    """,
+)
+def events_synthetic_control_placebo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PLACEBO-IN-SPACE PERMUTATION TEST for the synthetic-control
+    estimand (Abadie, Diamond & Hainmueller 2010 §2.3's inference
+    procedure) — events_synthetic_control ships the gap series with
+    no inference; the standard SC check re-fits the SAME
+    inverse-pre-distance design with each donor as pseudo-treated
+    (donor pool = every other type, always excluding the genuinely
+    treated 'purchase' series, which carries the effect) and ranks
+    the real unit's post-period statistic against the placebo
+    distribution: p = rank / n_units. The statistic is the
+    post-period total absolute gap in milli-cents (a deterministic
+    integer stand-in for Abadie's post/pre RMSPE ratio — same
+    extreme-rank logic, no doubles anywhere), so the whole
+    permutation is exact integer arithmetic and DuckDB replays it
+    closed-form.
+
+    All arithmetic inherits the parent estimator's scale-free
+    discipline: milli-relative capped gaps (r <= 1e6), floor weights
+    (w <= 1e6+1), the overflow-safe 1000*(num div den) +
+    (1000*(num mod den)) div den blend — every div/mod operand is
+    non-negative, so Spark's truncating div equals DuckDB's floor //.
+
+    Scale shape: ONE map-side-combinable exchange collapses the raw
+    stream to the (type, day) grid (checkpointed — the permutation
+    consumes it three times); every re-fit then lives on
+    O(types^2 x days) grid rows — the full placebo set costs |types|
+    times the single fit, nothing row-proportional. At 100 TB the
+    grid is still types x days."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    cutoff = F.lit("2024-01-16").cast("date")
+    daily = (
+        events.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            cents.alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").cast("bigint").alias("y"))
+        .localCheckpoint(eager=True)  # grid consumed by 3 self-joins
+    )
+    units = daily.select(
+        F.col("event_type").alias("unit"), "day", F.col("y").alias("yu")
+    )
+    donors = daily.select(
+        F.col("event_type").alias("donor"), "day", F.col("y").alias("yd")
+    )
+    pairs = (
+        units.join(donors, "day")
+        .filter(
+            (F.col("donor") != F.col("unit"))
+            & (F.col("donor") != F.lit("purchase"))
+        )
+        .select("unit", "donor", "day", "yu", "yd")
+    )
+    rel = F.expr("least((abs(yu - yd) * 1000L) div (1L + yu), 1000000L)")
+    dist = (
+        pairs.filter(F.col("day") < cutoff)
+        .select("unit", "donor", (rel * rel).alias("r2"))
+        .groupBy("unit", "donor")
+        .agg(F.sum("r2").cast("bigint").alias("dist2"))
+    )
+    w = dist.select(
+        "unit",
+        "donor",
+        F.expr("1L + 1000000000L div (1000L + dist2)")
+        .cast("bigint")
+        .alias("w"),
+    )
+    synth = (
+        pairs.filter(F.col("day") >= cutoff)
+        .join(F.broadcast(w), ["unit", "donor"])
+        .groupBy("unit", "day")
+        .agg(
+            F.sum(F.col("w") * F.col("yd")).cast("bigint").alias("num"),
+            F.sum("w").cast("bigint").alias("den"),
+        )
+    )
+    synth_milli = F.expr(
+        "1000L * (num div den) + (1000L * (num % den)) div den"
+    ).cast("bigint")
+    gap = (
+        synth.join(
+            units.filter(F.col("day") >= cutoff), ["unit", "day"]
+        )
+        .select(
+            "unit",
+            (F.col("yu") * 1000 - synth_milli).cast("bigint").alias(
+                "gap_milli"
+            ),
+        )
+    )
+    stat = gap.groupBy("unit").agg(
+        F.sum(F.abs(F.col("gap_milli"))).cast("bigint").alias("abs_gap_milli")
+    )
+    # the permutation distribution is O(|types|) rows: a single-
+    # partition rank window over a dimension-sized frame is correct
+    wr = Window.orderBy(F.col("abs_gap_milli").desc(), F.col("unit").asc())
+    return stat.select(
+        "unit",
+        "abs_gap_milli",
+        F.row_number().over(wr).cast("int").alias("rk"),
+        F.count("*").over(
+            Window.partitionBy()
+        ).cast("bigint").alias("n_units"),
+    ).select(
+        "unit",
+        "abs_gap_milli",
+        "rk",
+        "n_units",
+        F.expr("(rk * 1000L) div n_units").cast("bigint").alias("p_milli"),
+        F.when(F.col("unit") == "purchase", 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_treated"),
+    )

@@ -114,7 +114,10 @@ _GRADE_FIRST = [
 # name here (a) exists, (b) has an oracle, and (c) truly has no driver
 # row — so deferral can never hide an omission; at the next
 # recomposition this list is emptied into the window head.
-_DEFER_TO_NEXT_WINDOW: list[str] = []
+_DEFER_TO_NEXT_WINDOW: list[str] = [
+    "events_synthetic_control_placebo",
+    "stream_hnsw_incremental",
+]
 
 # Rows-only queries (registered without an oracle by design — goldens /
 # property tests carry their correctness): they can never produce a

@@ -4392,3 +4392,254 @@ def _knng_incremental_oracle() -> str:
 
 
 _ORACLES["stream_knn_graph_incremental"] = _knng_incremental_oracle()
+
+
+# --------------------------------------------------------------------------
+# Incremental TWO-LAYER HNSW maintenance: round 13 maintained the
+# layer-0 adjacency (stream_knn_graph_incremental); this closes the
+# hierarchy — arrivals in the deterministic layer-1 subsample route to
+# the SAME frozen cells and k-min-merge the sparse upper graph, so the
+# full two-phase structure sim_search_hnsw_two_layer builds one-shot
+# now maintains under arrivals, layer by layer
+# --------------------------------------------------------------------------
+
+
+@register("stream_hnsw_incremental", oracle=None)  # set below
+def stream_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING TWO-LAYER HNSW MAINTENANCE — the hierarchy-closing
+    leg of incremental index maintenance: sim_search_hnsw_two_layer
+    (operators/similarity.py:3686) builds both layers one-shot;
+    stream_knn_graph_incremental maintains layer 0; this maintains the
+    sparse UPPER layer too. Layer assignment is deterministic
+    (vec_id % L1_MOD == 0 — the subsample standing in for HNSW's
+    geometric level draw), so each arriving batch routes its layer-1
+    members to the SAME frozen coarse cells and reuses the shared
+    per-cell kernel + k-min merge (_knng_apply_batch): the maintained
+    upper adjacency is ROW-IDENTICAL to the one-shot layer-1 kNN graph
+    by the same associativity argument, independently of batching.
+    Layer-0 state is SHARED with stream_knn_graph_incremental (one
+    graph serves both — in production the hierarchy is one index, not
+    two copies of the base layer).
+
+    The oracle attests the full two-phase serving read: the panel
+    descends the maintained upper graph from the global layer-1 entry
+    point, switches to layer 0 AT the layer-1 exit (exposed), and both
+    layers' whole-graph edge fingerprints ride every row (untraversed
+    edges attested too) — hash-exact against DuckDB's one-shot replay
+    of both constructions.
+
+    Scale shape: per batch, the upper layer adds an
+    O(L1-batch x L1-cell population) kernel + an O(touched cells)
+    dynamic-partition rewrite on TOP of layer-0 maintenance — the
+    upper layer is 1/L1_MOD of the corpus, so its maintenance cost is
+    the same fraction; untouched cells' files never open. At 100 TB
+    the sparse layer fits a hotter storage tier, exactly how
+    production HNSW serves upper layers from RAM and layer 0 from
+    SSD. Reference scope: no ANN surface in the reference (SURVEY.md
+    §2.2) — mandated training-data-pipeline extension."""
+    import shutil
+    import tempfile
+
+    from pyspark_xgboost_spark.operators.similarity import (
+        _GG_HOPS,
+        _HNSW_L1_MOD,
+        _N_QUERIES,
+        _gg_descend,
+        _gg_edges_with_vectors,
+        _gg_qdist,
+        _gg_with_self_edges,
+        _km_assign,
+        _km_cent_row,
+    )
+
+    root = _knng_ensure_state(spark, sf_dir)  # shared layer-0 graph
+    cent_dir = os.path.join(root, "knng", "cents")  # shared frozen cells
+    tbl = os.path.join(root, "hnsw1")
+    mem1_dir = os.path.join(tbl, "members")
+    adj1_dir = os.path.join(tbl, "adj")
+    final_marker = os.path.join(tbl, "_HNSW1_FINAL")
+    if not os.path.exists(final_marker):
+        with build_lock(tbl):
+            if not os.path.exists(final_marker):
+                shutil.rmtree(tbl, ignore_errors=True)
+                os.makedirs(tbl)
+
+                def hnsw1_update(batch_df: DataFrame, batch_id: int) -> None:
+                    sub = batch_df.filter(
+                        F.col("vec_id") % _HNSW_L1_MOD == 0
+                    )
+                    if sub.isEmpty():
+                        return
+                    sess = batch_df.sparkSession
+                    xq = sub.select("vec_id", _knng_quant_expr().alias("q"))
+                    cents = sess.read.parquet(cent_dir)
+                    new_mem = _km_assign(xq, _km_cent_row(cents)).select(
+                        "vec_id", "q", "cid", F.lit(1).alias("is_new")
+                    )
+                    _knng_apply_batch(sess, new_mem, mem1_dir, adj1_dir)
+
+                q = (
+                    spark.readStream.schema(
+                        "vec_id long, embedding array<double>, seq int"
+                    )
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(os.path.join(root, "in"))
+                    .writeStream.foreachBatch(hnsw1_update)
+                    .option(
+                        "checkpointLocation",
+                        tempfile.mkdtemp(prefix="hnsw1_ckpt_"),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                with open(final_marker, "w") as fh:
+                    fh.write("ok")
+
+    members = spark.read.parquet(os.path.join(root, "knng", "members"))
+    adj0 = spark.read.parquet(os.path.join(root, "knng", "adj"))
+    adj1 = spark.read.parquet(adj1_dir)
+    corpus = members.select(
+        F.col("vec_id").alias("cand_id"), F.col("q").alias("cq2")
+    )
+    edges0 = _gg_edges_with_vectors(
+        _gg_with_self_edges(adj0.select("src", "dst")), corpus
+    )
+    edges1 = _gg_edges_with_vectors(
+        _gg_with_self_edges(adj1.select("src", "dst")), corpus
+    )
+    entry1 = spark.read.parquet(mem1_dir).agg(F.min("vec_id").alias("e"))
+    frontier = (
+        members.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("q").alias("qq"))
+        .join(F.broadcast(entry1))
+        .select("qid", "qq", F.col("e").alias("cur"))
+    )
+    # pin the layer-1 exit: both the reported column and the layer-0
+    # descent consume it (the one-shot operator's round-13 review
+    # lesson — without the lineage break the upper hops execute twice)
+    frontier = _gg_descend(frontier, edges1, _GG_HOPS).localCheckpoint(
+        eager=True
+    )
+    l1 = frontier.select("qid", F.col("cur").alias("l1_exit"))
+    frontier = _gg_descend(frontier, edges0, _GG_HOPS)
+    found = frontier.join(corpus, F.col("cur") == F.col("cand_id")).select(
+        "qid",
+        F.col("cur").alias("found_id"),
+        _gg_qdist().cast("bigint").alias("found_dist_q"),
+    )
+    fp0 = adj0.agg(
+        F.count("*").cast("bigint").alias("n_edges0"),
+        _xor_fp(
+            (F.col("src") % F.lit(_FP_P)) * F.lit(2097152)
+            + F.col("dst") % F.lit(_FP_P)
+        ).alias("edges0_fp"),
+    )
+    fp1 = adj1.agg(
+        F.count("*").cast("bigint").alias("n_edges1"),
+        _xor_fp(
+            (F.col("src") % F.lit(_FP_P)) * F.lit(2097152)
+            + F.col("dst") % F.lit(_FP_P)
+        ).alias("edges1_fp"),
+    )
+    return (
+        found.join(l1, "qid")
+        .join(F.broadcast(fp0))
+        .join(F.broadcast(fp1))
+        .select(
+            F.col("qid").alias("query_id"),
+            "l1_exit",
+            "found_id",
+            "found_dist_q",
+            "n_edges0",
+            "edges0_fp",
+            "n_edges1",
+            "edges1_fp",
+        )
+    )
+
+
+def _hnsw_incremental_oracle() -> str:
+    from pyspark_xgboost_spark.operators.similarity import (
+        _GG_HOPS,
+        _GG_KNN,
+        _HNSW_L1_MOD,
+        _KM_K,
+        _KM_Q,
+        _N_QUERIES,
+        _gg_dist_sql,
+        _gg_hop_sql,
+    )
+
+    return f"""
+    WITH xq AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_KM_Q}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cid, q AS cq FROM xq
+      WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT {_KM_K}
+    ),
+    asg AS (
+      SELECT vec_id, q, cid FROM (
+        SELECT x.vec_id, x.q, c.cid,
+               row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                 {_gg_dist_sql("x.q", "c.cq")}, c.cid) AS rn
+        FROM xq x, cents c) WHERE rn = 1
+    ),
+    knn AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 {_gg_dist_sql("a.q", "b.q")}, b.vec_id) AS rn
+        FROM asg a JOIN asg b
+          ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+      WHERE rn <= {_GG_KNN}
+    ),
+    knn1 AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 {_gg_dist_sql("a.q", "b.q")}, b.vec_id) AS rn
+        FROM asg a JOIN asg b
+          ON a.cid = b.cid AND a.vec_id <> b.vec_id
+        WHERE a.vec_id % {_HNSW_L1_MOD} = 0
+          AND b.vec_id % {_HNSW_L1_MOD} = 0)
+      WHERE rn <= {_GG_KNN}
+    ),
+    fp0 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_edges0,
+             bit_xor(CAST(((src % 2147483647) * 2097152
+                           + dst % 2147483647) % 2147483647
+                     AS BIGINT)) AS edges0_fp
+      FROM knn
+    ),
+    fp1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_edges1,
+             bit_xor(CAST(((src % 2147483647) * 2097152
+                           + dst % 2147483647) % 2147483647
+                     AS BIGINT)) AS edges1_fp
+      FROM knn1
+    ),
+    g0 AS (
+      SELECT vec_id AS qid,
+             (SELECT min(vec_id) FROM xq
+              WHERE vec_id % {_HNSW_L1_MOD} = 0) AS cur
+      FROM xq WHERE vec_id < {_N_QUERIES}
+    ),
+    {",".join(_gg_hop_sql(f"g{t}", f"g{t + 1}", "knn1") for t in range(_GG_HOPS))},
+    l1 AS (SELECT qid, cur AS l1_exit FROM g{_GG_HOPS}),
+    {",".join(_gg_hop_sql(f"g{_GG_HOPS + t}", f"g{_GG_HOPS + t + 1}") for t in range(_GG_HOPS))}
+    SELECT g.qid AS query_id, l1.l1_exit, g.cur AS found_id,
+           CAST({_gg_dist_sql("q.q", "x.q")} AS BIGINT) AS found_dist_q,
+           fp0.n_edges0, fp0.edges0_fp, fp1.n_edges1, fp1.edges1_fp
+    FROM g{2 * _GG_HOPS} g
+    JOIN xq q ON q.vec_id = g.qid
+    JOIN xq x ON x.vec_id = g.cur
+    JOIN l1 USING (qid), fp0, fp1
+    """
+
+
+_ORACLES["stream_hnsw_incremental"] = _hnsw_incremental_oracle()

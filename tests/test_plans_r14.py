@@ -1,0 +1,180 @@
+"""Shape assertions for the round-14 additions.
+
+Each contract lives in a ``_chk_*`` function; ONE pytest case fans
+them out over a thread pool sharing the session (the smoke-sweep
+discipline — see test_plans_r11)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tests.test_plans import plan_of
+
+
+def _chk_hnsw_incremental_upper_adjacency_equals_oneshot(spark):
+    """The maintained layer-1 adjacency must equal the one-shot kNN
+    graph brute-forced over the FINAL layer-1 membership (the
+    associativity claim the oracle rides on), checked edge-by-edge —
+    and the layer-1 member table must hold exactly the deterministic
+    subsample, nothing more (no disguised full-corpus copy)."""
+    import collections
+
+    import numpy as np
+
+    from pyspark_xgboost_spark.operators.similarity import (
+        _GG_KNN,
+        _HNSW_L1_MOD,
+    )
+    from pyspark_xgboost_spark.streaming.stream import (
+        _stage_kmeans_batches,
+        stream_hnsw_incremental,
+    )
+
+    stream_hnsw_incremental(spark, SF_DIR).collect()
+    root = _stage_kmeans_batches(spark, SF_DIR)
+    members = spark.read.parquet(os.path.join(root, "hnsw1", "members"))
+    adj = spark.read.parquet(os.path.join(root, "hnsw1", "adj"))
+
+    mem_rows = members.collect()
+    assert all(r["vec_id"] % _HNSW_L1_MOD == 0 for r in mem_rows)
+    n_corpus = spark.read.parquet(
+        os.path.join(root, "knng", "members")
+    ).count()
+    assert 0 < len(mem_rows) < n_corpus
+
+    by_cell = collections.defaultdict(list)
+    for r in mem_rows:
+        by_cell[r["cid"]].append(
+            (r["vec_id"], np.array(r["q"], dtype=np.float64))
+        )
+    expect = set()
+    for cell in by_cell.values():
+        ids = np.array([v for v, _ in sorted(cell)])
+        q = np.stack([x for _, x in sorted(cell)])
+        nq = (q * q).sum(1)
+        d = nq[:, None] + nq[None, :] - 2.0 * (q @ q.T)
+        np.fill_diagonal(d, np.inf)
+        k = min(_GG_KNN, len(ids) - 1)
+        for i in range(len(ids)):
+            for j in np.lexsort((ids, d[i]))[:k]:
+                expect.add((int(ids[i]), int(ids[j]), int(round(d[i, j]))))
+    got = {(r["src"], r["dst"], r["d"]) for r in adj.collect()}
+    assert got == expect
+
+
+def _chk_hnsw_incremental_state_layout(spark):
+    """Both layers' adjacency tables are cell-partitioned on disk
+    (cid=N dirs — a batch rewrites only touched cells, a probe's read
+    is partition-pruned), the layer-1 member table arrived through
+    multiple physical appends (maintenance, not a one-shot rebuild),
+    layer 0 is SHARED with stream_knn_graph_incremental (one graph,
+    not a private copy), and the serving read never re-scans the
+    source embeddings table."""
+    import glob
+
+    from pyspark_xgboost_spark.streaming.stream import (
+        _stage_kmeans_batches,
+        stream_hnsw_incremental,
+    )
+
+    out = stream_hnsw_incremental(spark, SF_DIR)
+    out.collect()
+    root = _stage_kmeans_batches(spark, SF_DIR)
+    for layer_dir in ["knng/adj", "hnsw1/adj"]:
+        full = os.path.join(root, layer_dir)
+        cid_dirs = [d for d in os.listdir(full) if d.startswith("cid=")]
+        assert len(cid_dirs) >= 2, (layer_dir, os.listdir(full))
+    mem_files = glob.glob(
+        os.path.join(root, "hnsw1", "members", "part-*.parquet")
+    )
+    assert len(mem_files) >= 2, mem_files
+    assert not os.path.exists(os.path.join(root, "hnsw1", "cents"))
+    plan = plan_of(out)
+    assert "embeddings" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def _chk_hnsw_incremental_fingerprints_are_scale_free(spark):
+    """Every fingerprint column is the mod-folded XOR (bounded below
+    2^31 at ANY row count — the r13 sum-based formulas grew ~N^2 and
+    would wrap Spark's long exactly when scale went up), and the
+    layer-1 graph is genuinely sparser than layer 0."""
+    from pyspark_xgboost_spark.streaming.stream import (
+        stream_hnsw_incremental,
+        stream_knn_graph_incremental,
+    )
+
+    rows = stream_hnsw_incremental(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        for col in ["edges0_fp", "edges1_fp"]:
+            assert 0 <= r[col] < 2**31, (col, r[col])
+        assert 0 < r["n_edges1"] < r["n_edges0"]
+    # layer 0 is the SAME graph stream_knn_graph_incremental maintains
+    knng = stream_knn_graph_incremental(spark, SF_DIR).collect()
+    assert {(r["n_edges"], r["edges_fp"]) for r in knng} == {
+        (r["n_edges0"], r["edges0_fp"]) for r in rows
+    }
+
+
+def _chk_sc_placebo_pins_real_rank(spark):
+    """The placebo permutation is deterministic: at the test SF the
+    treated 'purchase' series posts the LARGEST post-period absolute
+    gap (rank 1 of 5, p = 0.2 — the most extreme rank this donor
+    count can produce), and the single-fit estimand's total gap is
+    consistent with the permutation row for the treated unit."""
+    from pyspark_xgboost_spark.operators.sampling import (
+        events_synthetic_control,
+        events_synthetic_control_placebo,
+    )
+
+    rows = {
+        r["unit"]: r
+        for r in events_synthetic_control_placebo(spark, SF_DIR).collect()
+    }
+    treated = rows["purchase"]
+    assert treated["is_treated"] == 1
+    assert treated["rk"] == 1
+    assert treated["n_units"] == 5
+    assert treated["p_milli"] == 200
+    assert all(r["is_treated"] == 0 for u, r in rows.items() if u != "purchase")
+    # ranks are a permutation of 1..n
+    assert sorted(r["rk"] for r in rows.values()) == list(range(1, 6))
+    # the treated unit's statistic equals the single-fit gap series
+    single = events_synthetic_control(spark, SF_DIR).collect()
+    assert treated["abs_gap_milli"] == sum(
+        abs(r["gap_milli"]) for r in single
+    )
+
+
+def _chk_sc_placebo_is_grid_sized(spark):
+    """The permutation never goes row-proportional: ONE exchange
+    collapses events to the (type, day) grid (checkpointed — the
+    three self-joins read the RDD, not the parquet), and no
+    cartesian product anywhere."""
+    from pyspark_xgboost_spark.operators.sampling import (
+        events_synthetic_control_placebo,
+    )
+
+    df = events_synthetic_control_placebo(spark, SF_DIR)
+    plan = plan_of(df, "simple")
+    assert plan.count("Scan parquet") == 0, plan  # grid checkpointed
+    assert "CartesianProduct" not in plan
+
+
+_R14_CHECKS = [
+    _chk_hnsw_incremental_upper_adjacency_equals_oneshot,
+    _chk_hnsw_incremental_state_layout,
+    _chk_hnsw_incremental_fingerprints_are_scale_free,
+    _chk_sc_placebo_pins_real_rank,
+    _chk_sc_placebo_is_grid_sized,
+]
+
+
+def test_r14_contracts_pooled(spark):
+    from tests.conftest import run_pooled
+
+    run_pooled(spark, _R14_CHECKS)

@@ -406,6 +406,7 @@ HEADLINE = [
     # round 14
     "stream_hnsw_incremental",
     "events_synthetic_control_placebo",
+    "sim_search_ivf_pq_rerank",
 ]
 
 

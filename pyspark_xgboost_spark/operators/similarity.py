@@ -3767,3 +3767,242 @@ def sim_search_hnsw_two_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("quality_milli"),
         )
     )
+
+
+_PQR_SHORTLIST = 4 * _TOPK  # ADC shortlist depth ahead of exact rerank
+
+
+@register(
+    "sim_search_ivf_pq_rerank",
+    oracle=f"""
+    WITH xq AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_KM_Q}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cid, q AS cq FROM xq ORDER BY vec_id LIMIT {_KM_K}
+    ),
+    asg AS (
+      SELECT vec_id, q, cid FROM (
+        SELECT x.vec_id, x.q, c.cid,
+               row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                 {_gg_dist_sql("x.q", "c.cq")}, c.cid) AS rn
+        FROM xq x, cents c) WHERE rn = 1
+    ),
+    sub AS (
+      SELECT vec_id, s,
+             list_slice(q, s * {_PQ_D} + 1, s * {_PQ_D} + {_PQ_D}) AS sv
+      FROM xq, (SELECT unnest(range({_PQ_M})) AS s)
+    ),
+    cb AS (
+      SELECT vec_id AS c, s, sv AS cv FROM sub WHERE vec_id < {_PQ_K}
+    ),
+    codes AS (
+      SELECT a.vec_id, a.cid, e.s, e.code FROM asg a JOIN (
+        SELECT vec_id, s, c AS code FROM (
+          SELECT sub.vec_id, sub.s, cb.c,
+                 row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY list_sum(list_transform(
+                     generate_series(1, {_PQ_D}),
+                     j -> (sub.sv[j] - cb.cv[j])
+                          * (sub.sv[j] - cb.cv[j]))), cb.c) AS rn
+          FROM sub JOIN cb ON sub.s = cb.s
+        ) WHERE rn = 1
+      ) e ON e.vec_id = a.vec_id
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT x.vec_id, c.cid,
+               row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                 {_gg_dist_sql("x.q", "c.cq")}, c.cid) AS rn
+        FROM xq x, cents c WHERE x.vec_id < {_N_QUERIES})
+      WHERE rn <= {_IVF_NPROBE}
+    ),
+    lut AS (
+      SELECT sub.vec_id AS query_id, sub.s, cb.c AS code,
+             CAST(list_sum(list_transform(
+               generate_series(1, {_PQ_D}),
+               j -> (sub.sv[j] - cb.cv[j]) * (sub.sv[j] - cb.cv[j])))
+               AS BIGINT) AS term_d2
+      FROM sub JOIN cb ON sub.s = cb.s
+      WHERE sub.vec_id < {_N_QUERIES}
+    ),
+    adc AS (
+      SELECT p.query_id, k.vec_id AS neighbor_id,
+             CAST(sum(l.term_d2) AS BIGINT) AS adc_d2
+      FROM probes p
+      JOIN codes k ON k.cid = p.cid
+      JOIN lut l ON l.query_id = p.query_id
+                AND l.s = k.s AND l.code = k.code
+      WHERE k.vec_id <> p.query_id
+      GROUP BY 1, 2
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id, adc_d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc_d2 ASC, neighbor_id ASC) AS srn
+        FROM adc) WHERE srn <= {_PQR_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, adc_d2, exact_d2, rk FROM (
+      SELECT s.query_id, s.neighbor_id, s.adc_d2,
+             CAST({_gg_dist_sql("q.q", "x.q")} AS BIGINT) AS exact_d2,
+             CAST(row_number() OVER (PARTITION BY s.query_id
+               ORDER BY {_gg_dist_sql("q.q", "x.q")} ASC,
+                        s.neighbor_id ASC) AS INTEGER) AS rk
+      FROM shortlist s
+      JOIN xq q ON q.vec_id = s.query_id
+      JOIN xq x ON x.vec_id = s.neighbor_id
+    ) WHERE rk <= {_TOPK}
+    """,
+)
+def sim_search_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF -> PQ-ADC -> EXACT RERANK — the production two-stage
+    serving cascade (Jégou et al. TPAMI 2011 §V, the IVFADC system;
+    every large-scale vector store serves this shape): the query
+    probes its {_IVF_NPROBE} nearest coarse cells, candidates inside
+    those cells are scored by asymmetric distance over their stored
+    PQ codes (integer table lookups — no full vector is touched),
+    the best {_PQR_SHORTLIST} per query survive as a shortlist, and
+    ONLY the shortlist's full vectors are fetched for the exact
+    integer rerank that produces the final top-{_TOPK}. Composes the
+    catalog's index artifacts end-to-end: the coarse router of
+    sim_search_ivf, the sub-vector codebook of sim_search_pq (both
+    frozen lowest-id seeds), and the exact integer distances of the
+    greedy-graph family — every stage deterministic with lowest-id
+    ties, so the full cascade (ADC scores, shortlist membership,
+    reranked order) is hash-identical to the DuckDB replay.
+
+    Scale shape — why this is THE 100 TB serving plan: the PQ code
+    table ({_PQ_M} bytes/vector, built once map-side like
+    stream_pq_incremental maintains it) is partitioned by cell, so a
+    probe reads ~nprobe/{_KM_K} of a table that is already ~32x
+    smaller than the corpus; ADC is a broadcast-LUT hash join + one
+    partial aggregation shuffling only (query, candidate, long)
+    rows; the exact-vector fetch — the only touch of raw embeddings
+    after indexing — is bounded by queries x {_PQR_SHORTLIST} rows
+    (a point-read by key at scale; one pruned columnar scan here).
+    Nothing downstream of the code scan is corpus-proportional.
+    Reference scope: no ANN surface in the reference (SURVEY.md
+    §2.2) — mandated training-data-pipeline extension."""
+    import numpy as np
+    import pandas as pd
+
+    xq = _km_xq(spark, sf_dir)
+    cents = xq.orderBy("vec_id").limit(_KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    cent_row = _km_cent_row(cents)
+    asg = _km_assign(xq, cent_row)
+
+    # frozen artifacts: 16 codebook rows + 10 query rows (~10 KB)
+    head = sorted(
+        xq.filter(F.col("vec_id") < max(_PQ_K, _N_QUERIES)).collect(),
+        key=lambda r: r.vec_id,
+    )
+    cb = [
+        np.array(
+            [r.q[s * _PQ_D : (s + 1) * _PQ_D] for r in head if r.vec_id < _PQ_K],
+            dtype=np.float64,
+        )
+        for s in range(_PQ_M)
+    ]
+
+    def encode(batches):
+        # per subspace: exact int64 distances via float64 matmul
+        # (all magnitudes < 2^53), argmin ties to the lowest code
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["q"].to_numpy()).astype(np.float64)
+            out = []
+            for s in range(_PQ_M):
+                sv = q[:, s * _PQ_D : (s + 1) * _PQ_D]
+                d = (
+                    (sv * sv).sum(1)[:, None]
+                    + (cb[s] * cb[s]).sum(1)[None, :]
+                    - 2.0 * (sv @ cb[s].T)
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "cid": pdf["cid"].to_numpy(),
+                            "s": np.int32(s),
+                            "code": d.argmin(1).astype(np.int32),
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    codes = asg.select("vec_id", "cid", "q").mapInPandas(
+        encode, "vec_id long, cid long, s int, code int"
+    )
+
+    queries = xq.filter(F.col("vec_id") < _N_QUERIES)
+    probes = _km_assign_topn(queries, cent_row, _IVF_NPROBE).select(
+        F.col("vec_id").alias("query_id"), "cid"
+    )
+    lut_rows = []
+    for r in head:
+        if r.vec_id >= _N_QUERIES:
+            continue
+        for s in range(_PQ_M):
+            qsv = np.array(r.q[s * _PQ_D : (s + 1) * _PQ_D], dtype=np.float64)
+            d = ((qsv[None, :] - cb[s]) ** 2).sum(1)
+            for c in range(_PQ_K):
+                lut_rows.append((r.vec_id, s, c, int(round(d[c]))))
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, s int, code int, term_d2 long"
+    )
+
+    adc = (
+        codes.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("term_d2").cast("bigint").alias("adc_d2"))
+    )
+    ws = W.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        adc.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= _PQR_SHORTLIST)
+        .drop("srn")
+    )
+    rerank = (
+        F.broadcast(shortlist)
+        .join(
+            xq.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nv")),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_d2",
+            F.expr(
+                "aggregate(zip_with(qv, nv, (a, b) -> (a - b) * (a - b)), "
+                "0L, (acc, z) -> acc + z)"
+            )
+            .cast("bigint")
+            .alias("exact_d2"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("exact_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rerank.withColumn("rk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rk") <= _TOPK)
+        .select("query_id", "neighbor_id", "adc_d2", "exact_d2", "rk")
+    )

@@ -165,7 +165,108 @@ def _chk_sc_placebo_is_grid_sized(spark):
     assert "CartesianProduct" not in plan
 
 
+def _chk_ivf_pq_rerank_matches_numpy_replay(spark):
+    """The full cascade (coarse probe -> PQ encode -> ADC shortlist ->
+    exact rerank) replayed independently in numpy must produce the
+    IDENTICAL 30 output rows — every stage's tie rule included."""
+    import numpy as np
+
+    from pyspark_xgboost_spark.operators.similarity import (
+        _IVF_NPROBE,
+        _KM_K,
+        _KM_Q,
+        _N_QUERIES,
+        _PQ_D,
+        _PQ_K,
+        _PQ_M,
+        _PQR_SHORTLIST,
+        _TOPK,
+        sim_search_ivf_pq_rerank,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+
+    emb = {
+        r["vec_id"]: np.round(
+            np.array(r["embedding"], dtype=np.float64) * _KM_Q
+        ).astype(np.int64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    ids = np.array(sorted(emb))
+    q = np.stack([emb[i] for i in ids]).astype(np.float64)
+
+    def d2(a, b):
+        diff = a - b
+        return int((diff * diff).sum())
+
+    cents = ids[:_KM_K]
+    asg = {
+        int(v): min(
+            (d2(emb[v], emb[c]), int(c)) for c in cents
+        )[1]
+        for v in ids
+    }
+    cb = [
+        np.stack([emb[c][s * _PQ_D : (s + 1) * _PQ_D] for c in ids[:_PQ_K]])
+        for s in range(_PQ_M)
+    ]
+    codes = {}
+    for v in ids:
+        codes[int(v)] = [
+            min(
+                (d2(emb[v][s * _PQ_D : (s + 1) * _PQ_D], cb[s][c]), c)
+                for c in range(_PQ_K)
+            )[1]
+            for s in range(_PQ_M)
+        ]
+    expect = set()
+    for qid in [int(i) for i in ids if i < _N_QUERIES]:
+        probe_cells = [
+            c
+            for _, c in sorted(
+                (d2(emb[qid], emb[c]), int(c)) for c in cents
+            )[:_IVF_NPROBE]
+        ]
+        lut = [
+            [
+                d2(emb[qid][s * _PQ_D : (s + 1) * _PQ_D], cb[s][c])
+                for c in range(_PQ_K)
+            ]
+            for s in range(_PQ_M)
+        ]
+        adc = [
+            (sum(lut[s][codes[int(v)][s]] for s in range(_PQ_M)), int(v))
+            for v in ids
+            if asg[int(v)] in probe_cells and int(v) != qid
+        ]
+        short = sorted(adc)[:_PQR_SHORTLIST]
+        rer = sorted((d2(emb[qid], emb[v]), v, a) for a, v in short)
+        for rk, (ed, v, a) in enumerate(rer[:_TOPK], 1):
+            expect.add((qid, v, a, ed, rk))
+    got = {
+        tuple(r)
+        for r in sim_search_ivf_pq_rerank(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def _chk_ivf_pq_rerank_plan_shapes(spark):
+    """The cascade's joins stay broadcast-shaped (probe set, ADC LUT,
+    shortlist — all bounded artifacts; no sort-merge join anywhere),
+    the encode is one Arrow kernel pass, and no cartesian product
+    beyond the single-row centroid closure."""
+    from pyspark_xgboost_spark.operators.similarity import (
+        sim_search_ivf_pq_rerank,
+    )
+
+    plan = plan_of(sim_search_ivf_pq_rerank(spark, SF_DIR))
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
 _R14_CHECKS = [
+    _chk_ivf_pq_rerank_matches_numpy_replay,
+    _chk_ivf_pq_rerank_plan_shapes,
     _chk_hnsw_incremental_upper_adjacency_equals_oneshot,
     _chk_hnsw_incremental_state_layout,
     _chk_hnsw_incremental_fingerprints_are_scale_free,

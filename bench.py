@@ -407,6 +407,7 @@ HEADLINE = [
     "stream_hnsw_incremental",
     "events_synthetic_control_placebo",
     "sim_search_ivf_pq_rerank",
+    "events_conformal_forecast_interval",
 ]
 
 

@@ -5359,3 +5359,163 @@ def events_kalman_filter_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         " k_milli long, p_var long"
     )
     return ser.groupBy("event_type").applyInPandas(kf, out_schema)
+
+
+@register(
+    "events_conformal_forecast_interval",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, day, y,
+             lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS yhat
+      FROM daily
+    ),
+    cal AS (
+      SELECT event_type, day, abs(y - yhat) AS score
+      FROM lagged
+      WHERE yhat IS NOT NULL AND day < DATE '2024-01-16'
+    ),
+    calsz AS (
+      SELECT event_type, count(*) AS n_cal,
+             least(count(*), ((count(*) + 1) * 4 + 4) // 5) AS q_idx
+      FROM cal GROUP BY 1
+    ),
+    qhat AS (
+      SELECT c.event_type, c.score AS qhat_cents FROM (
+        SELECT event_type, score,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY score ASC, day ASC) AS rn
+        FROM cal) c
+      JOIN calsz z ON z.event_type = c.event_type AND c.rn = z.q_idx
+    ),
+    post AS (
+      SELECT l.event_type, l.day, l.y AS actual_cents,
+             l.yhat AS forecast_cents, q.qhat_cents,
+             l.yhat - q.qhat_cents AS lo_cents,
+             l.yhat + q.qhat_cents AS hi_cents,
+             CAST(CASE WHEN l.y BETWEEN l.yhat - q.qhat_cents
+                                    AND l.yhat + q.qhat_cents
+                  THEN 1 ELSE 0 END AS INTEGER) AS covered
+      FROM lagged l JOIN qhat q USING (event_type)
+      WHERE l.yhat IS NOT NULL AND l.day >= DATE '2024-01-16'
+    )
+    SELECT event_type, day, actual_cents, forecast_cents, qhat_cents,
+           CAST(lo_cents AS BIGINT) AS lo_cents,
+           CAST(hi_cents AS BIGINT) AS hi_cents, covered,
+           CAST((sum(covered) OVER (PARTITION BY event_type) * 1000)
+                // (count(*) OVER (PARTITION BY event_type))
+             AS BIGINT) AS coverage_milli
+    FROM post
+    """,
+)
+def events_conformal_forecast_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SPLIT-CONFORMAL PREDICTION INTERVALS (Vovk et al. 2005; Lei et
+    al. JASA 2018's split-conformal recipe) around the seasonal-naive
+    forecaster — the forecasting family ships point predictions
+    (events_backtest_naive_forecast, events_holt_winters_forecast)
+    with no calibrated uncertainty; this adds the
+    distribution-free interval every production forecast QA gate
+    wants: on the pre-cutoff calibration window the nonconformity
+    score is the absolute residual |y - yhat| of the lag-7 (one
+    weekly season, 7 grid rows back) naive forecast, qhat is the
+    ceil((n_cal+1)*(1-alpha))-th smallest score (alpha = 0.2, the
+    finite-sample-valid order statistic — ties broken by day so the
+    statistic is a concrete row), and every post-cutoff day gets the
+    interval [yhat - qhat, yhat + qhat] plus its empirical coverage.
+    Marginal coverage >= 80% holds by exchangeability with NO
+    distributional assumption — which is why conformal intervals are
+    the standard wrap around arbitrary forecasters. All arithmetic is
+    exact integer cents: the order statistic, the interval endpoints,
+    and the per-type coverage_milli ((sum*1000) div n — non-negative,
+    so Spark's truncating div equals DuckDB's floor //) replay
+    hash-exactly.
+
+    Scale shape: ONE map-side-combinable exchange collapses events to
+    the (type, day) grid; the lag, the calibration order statistic,
+    and the coverage ratio are all windows over O(types x days) grid
+    rows — nothing after the first partial agg is row-proportional,
+    and qhat per type is a broadcast-sized artifact joined back to
+    the grid. At 100 TB the calibration set is still |types| x |days|
+    rows."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    cutoff = F.lit("2024-01-16").cast("date")
+    daily = (
+        events.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            cents.alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").cast("bigint").alias("y"))
+    )
+    wlag = W.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "day", "y", F.lag("y", 7).over(wlag).alias("yhat")
+    ).localCheckpoint(eager=True)  # grid consumed by cal + post branches
+    cal = lagged.filter(
+        F.col("yhat").isNotNull() & (F.col("day") < cutoff)
+    ).select("event_type", "day", F.abs(F.col("y") - F.col("yhat")).alias("score"))
+    calsz = cal.groupBy("event_type").agg(
+        F.count("*").alias("n_cal"),
+        # ceil((n_cal+1) * 0.8) as exact integer: ((n+1)*4 + 4) div 5,
+        # clamped to n_cal (the standard split-conformal index)
+        F.expr("least(count(1), ((count(1) + 1) * 4 + 4) div 5)").alias(
+            "q_idx"
+        ),
+    )
+    wrn = W.partitionBy("event_type").orderBy(
+        F.col("score").asc(), F.col("day").asc()
+    )
+    qhat = (
+        cal.withColumn("rn", F.row_number().over(wrn))
+        .join(
+            F.broadcast(calsz),
+            ["event_type"],
+        )
+        .filter(F.col("rn") == F.col("q_idx"))
+        .select("event_type", F.col("score").alias("qhat_cents"))
+    )
+    post = (
+        lagged.filter(F.col("yhat").isNotNull() & (F.col("day") >= cutoff))
+        .join(F.broadcast(qhat), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("y").alias("actual_cents"),
+            F.col("yhat").alias("forecast_cents"),
+            "qhat_cents",
+            (F.col("yhat") - F.col("qhat_cents")).cast("bigint").alias("lo_cents"),
+            (F.col("yhat") + F.col("qhat_cents")).cast("bigint").alias("hi_cents"),
+            F.when(
+                (F.col("y") >= F.col("yhat") - F.col("qhat_cents"))
+                & (F.col("y") <= F.col("yhat") + F.col("qhat_cents")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("covered"),
+        )
+    )
+    return post.select(
+        "event_type",
+        "day",
+        "actual_cents",
+        "forecast_cents",
+        "qhat_cents",
+        "lo_cents",
+        "hi_cents",
+        "covered",
+        F.expr(
+            "(sum(covered) over (partition by event_type) * 1000L) div "
+            "count(*) over (partition by event_type)"
+        )
+        .cast("bigint")
+        .alias("coverage_milli"),
+    )

@@ -264,9 +264,93 @@ def _chk_ivf_pq_rerank_plan_shapes(spark):
     assert plan.count("BroadcastHashJoin") >= 3
 
 
+def _chk_conformal_interval_matches_pandas_replay(spark):
+    """The split-conformal pipeline (daily grid -> lag-7 naive
+    forecast -> calibration order statistic -> post-cutoff intervals
+    and coverage) replayed independently in pandas must produce the
+    IDENTICAL output rows, and every interval must be symmetric
+    around the forecast with the covered flag consistent with its own
+    bounds."""
+    import datetime
+    import math
+
+    import pandas as pd
+
+    from pyspark_xgboost_spark.operators.temporal import (
+        events_conformal_forecast_interval,
+    )
+    from pyspark_xgboost_spark.sources import load_table
+
+    pdf = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "ts", "value")
+        .toPandas()
+    )
+    pdf["day"] = pdf["ts"].dt.date
+    pdf["c"] = (pdf["value"] * 100).round().astype("int64")
+    daily = (
+        pdf.groupby(["event_type", "day"], as_index=False)["c"]
+        .sum()
+        .rename(columns={"c": "y"})
+        .sort_values(["event_type", "day"])
+    )
+    cutoff = datetime.date(2024, 1, 16)
+    expect = set()
+    for et, g in daily.groupby("event_type"):
+        g = g.reset_index(drop=True)
+        g["yhat"] = g["y"].shift(7)
+        cal = g[(g["yhat"].notna()) & (g["day"] < cutoff)].copy()
+        if not len(cal):
+            continue
+        cal["score"] = (cal["y"] - cal["yhat"]).abs().astype("int64")
+        n = len(cal)
+        q_idx = min(n, math.ceil((n + 1) * 4 / 5))
+        qhat = int(
+            cal.sort_values(["score", "day"]).iloc[q_idx - 1]["score"]
+        )
+        post = g[(g["yhat"].notna()) & (g["day"] >= cutoff)]
+        cov = [
+            1 if abs(int(r.y) - int(r.yhat)) <= qhat else 0
+            for r in post.itertuples()
+        ]
+        cm = (sum(cov) * 1000) // len(cov)
+        for r, c in zip(post.itertuples(), cov):
+            expect.add(
+                (et, r.day, int(r.y), int(r.yhat), qhat,
+                 int(r.yhat) - qhat, int(r.yhat) + qhat, c, cm)
+            )
+    rows = events_conformal_forecast_interval(spark, SF_DIR).collect()
+    got = {tuple(r) for r in rows}
+    assert got == expect
+    for r in rows:
+        assert r["hi_cents"] - r["forecast_cents"] == r["qhat_cents"]
+        assert r["forecast_cents"] - r["lo_cents"] == r["qhat_cents"]
+        inside = r["lo_cents"] <= r["actual_cents"] <= r["hi_cents"]
+        assert r["covered"] == (1 if inside else 0)
+
+
+def _chk_conformal_interval_is_grid_sized(spark):
+    """The conformal pipeline collapses events in ONE exchange (the
+    checkpointed grid feeds both the calibration and post branches —
+    no second parquet scan), and qhat joins back as a broadcast."""
+    from pyspark_xgboost_spark.operators.temporal import (
+        events_conformal_forecast_interval,
+    )
+
+    df = events_conformal_forecast_interval(spark, SF_DIR)
+    plan = plan_of(df, "simple")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "CartesianProduct" not in plan
+    full = plan_of(df)
+    assert "BroadcastHashJoin" in full
+    assert "SortMergeJoin" not in full
+
+
 _R14_CHECKS = [
     _chk_ivf_pq_rerank_matches_numpy_replay,
     _chk_ivf_pq_rerank_plan_shapes,
+    _chk_conformal_interval_matches_pandas_replay,
+    _chk_conformal_interval_is_grid_sized,
     _chk_hnsw_incremental_upper_adjacency_equals_oneshot,
     _chk_hnsw_incremental_state_layout,
     _chk_hnsw_incremental_fingerprints_are_scale_free,

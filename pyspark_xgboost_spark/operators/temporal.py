@@ -5380,7 +5380,7 @@ def events_kalman_filter_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE yhat IS NOT NULL AND day < DATE '2024-01-16'
     ),
     calsz AS (
-      SELECT event_type, count(*) AS n_cal,
+      SELECT event_type,
              least(count(*), ((count(*) + 1) * 4 + 4) // 5) AS q_idx
       FROM cal GROUP BY 1
     ),
@@ -5463,7 +5463,6 @@ def events_conformal_forecast_interval(
         F.col("yhat").isNotNull() & (F.col("day") < cutoff)
     ).select("event_type", "day", F.abs(F.col("y") - F.col("yhat")).alias("score"))
     calsz = cal.groupBy("event_type").agg(
-        F.count("*").alias("n_cal"),
         # ceil((n_cal+1) * 0.8) as exact integer: ((n+1)*4 + 4) div 5,
         # clamped to n_cal (the standard split-conformal index)
         F.expr("least(count(1), ((count(1) + 1) * 4 + 4) div 5)").alias(

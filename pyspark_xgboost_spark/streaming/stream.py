@@ -2285,7 +2285,6 @@ def stream_kmeans_minibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark_xgboost_spark.operators.similarity import (
         _KM_K,
-        _KM_Q,
         _km_assign,
         _km_cent_row,
         _km_xq,
@@ -2296,10 +2295,7 @@ def stream_kmeans_minibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _stage_kmeans_batches(spark, sf_dir)
     tbl = os.path.join(root, "centers")
     final_marker = os.path.join(tbl, "_KM_FINAL")
-    quant = F.expr(
-        f"transform(cast(embedding as array<double>), "
-        f"x -> cast(round(x * {_KM_Q}) as bigint))"
-    )
+    quant = _knng_quant_expr()
     if not os.path.exists(final_marker):
         with build_lock(tbl):
             if not os.path.exists(final_marker):
@@ -2959,7 +2955,6 @@ def stream_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_xgboost_spark.operators.similarity import (
         _IVF_NPROBE,
         _KM_K,
-        _KM_Q,
         _N_QUERIES,
         _TOPK,
         _km_assign,
@@ -2973,10 +2968,7 @@ def stream_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     post_dir = os.path.join(tbl, "post")
     cent_dir = os.path.join(tbl, "cents")
     final_marker = os.path.join(tbl, "_IVF_FINAL")
-    quant = F.expr(
-        f"transform(cast(embedding as array<double>), "
-        f"x -> cast(round(x * {_KM_Q}) as bigint))"
-    )
+    quant = _knng_quant_expr()
     if not os.path.exists(final_marker):
         with build_lock(tbl):
             if not os.path.exists(final_marker):
@@ -3074,14 +3066,17 @@ def stream_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = scored.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= _TOPK
     )
+    # count companion: XOR is blind to even-multiplicity duplication
+    # (a XOR a = 0), so cardinality rides along to catch re-appends
     fp = postings.agg(
+        F.count("*").cast("bigint").alias("n_postings"),
         _xor_fp(
             (F.col("cid") % F.lit(_FP_P)) * F.lit(1048576)
             + F.col("vec_id") % F.lit(_FP_P)
-        ).alias("postings_fp")
+        ).alias("postings_fp"),
     )
     return topk.join(F.broadcast(fp)).select(
-        "query_id", "neighbor_id", "cos_sim", "rk", "postings_fp"
+        "query_id", "neighbor_id", "cos_sim", "rk", "n_postings", "postings_fp"
     )
 
 
@@ -3121,7 +3116,8 @@ def _ivf_incremental_oracle() -> str:
       SELECT vec_id, cid, q, list_inner_product(q, q) AS nq FROM asg
     ),
     fp AS (
-      SELECT bit_xor(CAST(((cid % 2147483647) * 1048576
+      SELECT CAST(count(*) AS BIGINT) AS n_postings,
+             bit_xor(CAST(((cid % 2147483647) * 1048576
                            + vec_id % 2147483647) % 2147483647
                      AS BIGINT)) AS postings_fp
       FROM corpus
@@ -3149,7 +3145,8 @@ def _ivf_incremental_oracle() -> str:
         AS INTEGER) AS rk
       FROM scored
     )
-    SELECT query_id, neighbor_id, cos_sim, rk, fp.postings_fp
+    SELECT query_id, neighbor_id, cos_sim, rk, fp.n_postings,
+           fp.postings_fp
     FROM ranked, fp WHERE rk <= {_TOPK}
     """
 
@@ -3984,15 +3981,18 @@ def stream_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = scored.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= _TOPK
     )
+    # count companion: XOR is blind to even-multiplicity duplication
+    # (a XOR a = 0), so cardinality rides along to catch re-appends
     fp = codes.agg(
+        F.count("*").cast("bigint").alias("n_codes"),
         _xor_fp(
             (F.col("vec_id") % F.lit(_FP_P)) * F.lit(1048576)
             + F.col("s").cast("long") * F.lit(65536)
             + F.col("code")
-        ).alias("codes_fp")
+        ).alias("codes_fp"),
     )
     return topk.join(F.broadcast(fp)).select(
-        "query_id", "neighbor_id", "adc_nano", "rk", "codes_fp"
+        "query_id", "neighbor_id", "adc_nano", "rk", "n_codes", "codes_fp"
     )
 
 
@@ -4034,7 +4034,8 @@ def _pq_incremental_oracle() -> str:
       ) WHERE rk = 1
     ),
     fp AS (
-      SELECT bit_xor(CAST(((vec_id % 2147483647) * 1048576
+      SELECT CAST(count(*) AS BIGINT) AS n_codes,
+             bit_xor(CAST(((vec_id % 2147483647) * 1048576
                            + s * 65536 + code) % 2147483647
                      AS BIGINT)) AS codes_fp
       FROM codes
@@ -4059,7 +4060,7 @@ def _pq_incremental_oracle() -> str:
         AS INTEGER) AS rk
       FROM scored
     )
-    SELECT query_id, neighbor_id, adc_nano, rk, fp.codes_fp
+    SELECT query_id, neighbor_id, adc_nano, rk, fp.n_codes, fp.codes_fp
     FROM ranked, fp WHERE rk <= {_TOPK}
     """
 

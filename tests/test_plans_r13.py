@@ -72,29 +72,23 @@ def _chk_pq_incremental_encode_is_map_side(spark):
     assert "Join" not in plan, plan
 
 
-def _chk_knng_incremental_adjacency_equals_oneshot(spark):
-    """The k-min-merged adjacency must equal the one-shot cell-blocked
-    kNN graph computed brute-force over the final membership — the
-    associativity claim the operator's oracle rides on, checked here
-    edge-by-edge (the oracle checks descent + fingerprint)."""
+def brute_force_cell_knn(member_rows):
+    """Referee for the k-min-merge associativity claim: the exact
+    cell-blocked kNN edge set (src, dst, d) over a final membership
+    (rows carrying vec_id, cid, q) — shared by the layer-0 (r13) and
+    layer-1 (r14) adjacency checks so the tie-rule and distance
+    replay can never drift between them."""
     import collections
 
     import numpy as np
 
     from pyspark_xgboost_spark.operators.similarity import _GG_KNN
-    from pyspark_xgboost_spark.streaming.stream import (
-        _stage_kmeans_batches,
-        stream_knn_graph_incremental,
-    )
-
-    stream_knn_graph_incremental(spark, SF_DIR).collect()
-    root = _stage_kmeans_batches(spark, SF_DIR)
-    members = spark.read.parquet(os.path.join(root, "knng", "members"))
-    adj = spark.read.parquet(os.path.join(root, "knng", "adj"))
 
     by_cell = collections.defaultdict(list)
-    for r in members.collect():
-        by_cell[r["cid"]].append((r["vec_id"], np.array(r["q"], dtype=np.float64)))
+    for r in member_rows:
+        by_cell[r["cid"]].append(
+            (r["vec_id"], np.array(r["q"], dtype=np.float64))
+        )
     expect = set()
     for cell in by_cell.values():
         ids = np.array([v for v, _ in sorted(cell)])
@@ -106,6 +100,24 @@ def _chk_knng_incremental_adjacency_equals_oneshot(spark):
         for i in range(len(ids)):
             for j in np.lexsort((ids, d[i]))[:k]:
                 expect.add((int(ids[i]), int(ids[j]), int(round(d[i, j]))))
+    return expect
+
+
+def _chk_knng_incremental_adjacency_equals_oneshot(spark):
+    """The k-min-merged adjacency must equal the one-shot cell-blocked
+    kNN graph computed brute-force over the final membership — the
+    associativity claim the operator's oracle rides on, checked here
+    edge-by-edge (the oracle checks descent + fingerprint)."""
+    from pyspark_xgboost_spark.streaming.stream import (
+        _stage_kmeans_batches,
+        stream_knn_graph_incremental,
+    )
+
+    stream_knn_graph_incremental(spark, SF_DIR).collect()
+    root = _stage_kmeans_batches(spark, SF_DIR)
+    members = spark.read.parquet(os.path.join(root, "knng", "members"))
+    adj = spark.read.parquet(os.path.join(root, "knng", "adj"))
+    expect = brute_force_cell_knn(members.collect())
     got = {(r["src"], r["dst"], r["d"]) for r in adj.collect()}
     assert got == expect
 

@@ -20,18 +20,12 @@ def _chk_hnsw_incremental_upper_adjacency_equals_oneshot(spark):
     associativity claim the oracle rides on), checked edge-by-edge —
     and the layer-1 member table must hold exactly the deterministic
     subsample, nothing more (no disguised full-corpus copy)."""
-    import collections
-
-    import numpy as np
-
-    from pyspark_xgboost_spark.operators.similarity import (
-        _GG_KNN,
-        _HNSW_L1_MOD,
-    )
+    from pyspark_xgboost_spark.operators.similarity import _HNSW_L1_MOD
     from pyspark_xgboost_spark.streaming.stream import (
         _stage_kmeans_batches,
         stream_hnsw_incremental,
     )
+    from tests.test_plans_r13 import brute_force_cell_knn
 
     stream_hnsw_incremental(spark, SF_DIR).collect()
     root = _stage_kmeans_batches(spark, SF_DIR)
@@ -45,22 +39,7 @@ def _chk_hnsw_incremental_upper_adjacency_equals_oneshot(spark):
     ).count()
     assert 0 < len(mem_rows) < n_corpus
 
-    by_cell = collections.defaultdict(list)
-    for r in mem_rows:
-        by_cell[r["cid"]].append(
-            (r["vec_id"], np.array(r["q"], dtype=np.float64))
-        )
-    expect = set()
-    for cell in by_cell.values():
-        ids = np.array([v for v, _ in sorted(cell)])
-        q = np.stack([x for _, x in sorted(cell)])
-        nq = (q * q).sum(1)
-        d = nq[:, None] + nq[None, :] - 2.0 * (q @ q.T)
-        np.fill_diagonal(d, np.inf)
-        k = min(_GG_KNN, len(ids) - 1)
-        for i in range(len(ids)):
-            for j in np.lexsort((ids, d[i]))[:k]:
-                expect.add((int(ids[i]), int(ids[j]), int(round(d[i, j]))))
+    expect = brute_force_cell_knn(mem_rows)
     got = {(r["src"], r["dst"], r["d"]) for r in adj.collect()}
     assert got == expect
 
@@ -287,7 +266,13 @@ def _chk_conformal_interval_matches_pandas_replay(spark):
         .toPandas()
     )
     pdf["day"] = pdf["ts"].dt.date
-    pdf["c"] = (pdf["value"] * 100).round().astype("int64")
+    # Spark/DuckDB round() is half-AWAY-FROM-ZERO; pandas Series.round
+    # is banker's (half-to-even) — replay the engines' rule explicitly
+    # so an exact-.5 cent value can never diverge the referee
+    import numpy as np
+
+    v = pdf["value"].to_numpy() * 100
+    pdf["c"] = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
     daily = (
         pdf.groupby(["event_type", "day"], as_index=False)["c"]
         .sum()

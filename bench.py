@@ -408,6 +408,7 @@ HEADLINE = [
     "events_synthetic_control_placebo",
     "sim_search_ivf_pq_rerank",
     "events_conformal_forecast_interval",
+    "events_kalman_smoother_rts",
 ]
 
 

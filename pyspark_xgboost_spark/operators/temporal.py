@@ -5261,6 +5261,23 @@ _KF_Q = 100  # process-noise variance (relative units; only Q:R matters)
 _KF_R = 900  # measurement-noise variance -> steady-state gain ~0.28
 
 
+def _kf_forward(xs: list[int]) -> list[tuple[int, int, int]]:
+    """The integer local-level Kalman forward pass shared by the
+    filter and the RTS smoother kernels: per step (level_micro,
+    k_milli, p_var) under the exact recursion the recursive-CTE
+    oracles replay — one implementation so the two kernels' forward
+    arithmetic can never drift."""
+    l, p = xs[0], _KF_R
+    out = [(l, 1000, p)]
+    for t in range(1, len(xs)):
+        p_pred = p + _KF_Q
+        k = _td(p_pred * 1000, p_pred + _KF_R)
+        l = l + _td(k * (xs[t] - l), 1000)
+        p = _td((1000 - k) * p_pred, 1000)
+        out.append((l, k, p))
+    return out
+
+
 def _kf_oracle() -> str:
     kg = f"(r.p + {_KF_Q}) * 1000 // (r.p + {_KF_Q} + {_KF_R})"
     return f"""
@@ -5333,19 +5350,11 @@ def events_kalman_filter_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         pdf = pdf.sort_values("t")
         xs = [int(v) for v in pdf["xm"]]
-        td = _td  # module-level truncating division
-
         et = pdf["event_type"].iloc[0]
-        rows = []
-        l, p, k = xs[0], _KF_R, 1000
-        rows.append((et, 1, xs[0], l, k, p))
-        for t in range(1, len(xs)):
-            x = xs[t]
-            p_pred = p + _KF_Q
-            k = td(p_pred * 1000, p_pred + _KF_R)
-            l = l + td(k * (x - l), 1000)
-            p = td((1000 - k) * p_pred, 1000)
-            rows.append((et, t + 1, x, l, k, p))
+        rows = [
+            (et, t + 1, xs[t], l, k, p)
+            for t, (l, k, p) in enumerate(_kf_forward(xs))
+        ]
         return pd.DataFrame(
             rows,
             columns=[
@@ -5518,3 +5527,127 @@ def events_conformal_forecast_interval(
         .cast("bigint")
         .alias("coverage_milli"),
     )
+
+
+def _kf_smoother_oracle() -> str:
+    kg = f"(r.p + {_KF_Q}) * 1000 // (r.p + {_KF_Q} + {_KF_R})"
+    cg = f"(f.p * 1000 // (f.p + {_KF_Q}))"
+    return f"""
+    WITH RECURSIVE {_DAY_SPINE_CTES},
+    ser AS (
+      SELECT s.event_type, s.t,
+             CAST(COALESCE(c.x, 0) * 1000000 AS BIGINT) AS xm
+      FROM spine s LEFT JOIN cnt c ON c.event_type = s.event_type
+                                  AND c.t = s.t
+    ),
+    rec AS (
+      SELECT event_type, t, xm, xm AS l,
+             CAST({_KF_R} AS BIGINT) AS p
+      FROM ser WHERE t = 1
+      UNION ALL
+      SELECT r.event_type, r.t + 1, x.xm,
+             r.l + (({kg}) * (x.xm - r.l)) // 1000 AS l,
+             ((1000 - ({kg})) * (r.p + {_KF_Q})) // 1000 AS p
+      FROM rec r
+      JOIN ser x ON x.event_type = r.event_type AND x.t = r.t + 1
+    ),
+    fwd AS MATERIALIZED (
+      SELECT event_type, t, xm, l, p FROM rec
+    ),
+    tmax AS (
+      SELECT event_type, max(t) AS tm FROM fwd GROUP BY 1
+    ),
+    back AS (
+      SELECT f.event_type, f.t, f.xm, f.l,
+             CAST(1000 AS BIGINT) AS c, f.l AS ls, f.p AS ps
+      FROM fwd f JOIN tmax m ON m.event_type = f.event_type
+                            AND f.t = m.tm
+      UNION ALL
+      SELECT f.event_type, f.t, f.xm, f.l,
+             CAST({cg} AS BIGINT) AS c,
+             f.l + ({cg} * (b.ls - f.l)) // 1000 AS ls,
+             f.p + ({cg} * {cg} * (b.ps - (f.p + {_KF_Q}))) // 1000000
+               AS ps
+      FROM back b
+      JOIN fwd f ON f.event_type = b.event_type AND f.t = b.t - 1
+    )
+    SELECT event_type, CAST(t AS INT) AS t,
+           CAST(xm AS BIGINT) AS obs_micro,
+           CAST(l AS BIGINT) AS level_micro,
+           CAST(c AS BIGINT) AS c_milli,
+           CAST(ls AS BIGINT) AS smooth_micro,
+           CAST(ps AS BIGINT) AS ps_var
+    FROM back
+    """
+
+
+@register("events_kalman_smoother_rts", oracle=_kf_smoother_oracle())
+def events_kalman_smoother_rts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAUCH-TUNG-STRIEBEL SMOOTHER, local-level model (Rauch, Tung &
+    Striebel 1965) — the backward pass completing the state-space
+    pair: events_kalman_filter_1d estimates each day's level from the
+    PAST only (the online/serving posture); the smoother revisits the
+    whole series once the window closes and conditions every day on
+    ALL observations — the offline/reporting posture (backfills,
+    label curation, retrospective anomaly audits want the smoothed
+    level, not the filtered one). Per series: forward Kalman pass
+    (the SAME shared integer recursion the filter runs —
+    _kf_forward), then the backward recursion with smoother gain
+    c = p*1000 div (p + Q), smoothed level
+    ls_t = l_t + c*(ls_(t+1) - l_t) div 1000 and smoothed variance
+    ps_t = p_t + c^2*(ps_(t+1) - (p_t + Q)) div 1e6 — all exact
+    integers under the truncating-division parity the filter pinned
+    (Spark div == DuckDB // == _td, including on the negative
+    smoothing innovations). Emits the full trajectory: observation,
+    filtered level, smoother gain, smoothed level, smoothed variance
+    per day — every backward step attested, not just the endpoint.
+
+    Oracle shape: TWO recursions — the forward CTE (identical to the
+    filter's), its result pinned with AS MATERIALIZED (the r13
+    Kleinberg lesson: an unmaterialized CTE feeding a recursion
+    re-evaluates once per iteration — a measured 720x blowup), then
+    the backward recursion anchored at each series' last day and
+    joining t-1 per step.
+
+    Scale shape: identical to the filter — the raw stream collapses
+    to the (type, day) spine in one partial-agg pass; forward +
+    backward are one O(days) loop with O(days) state inside a single
+    applyInPandas kernel per series, and series parallelize across
+    executors. The smoother needs the filtered trajectory in memory
+    (O(days) per series, bounded by the spine), which is why it is
+    the WINDOW-CLOSE batch pass while the filter is the streaming
+    one."""
+    ser = _daily_count_series(spark, sf_dir).select(
+        "event_type", "t", (F.col("x") * 1000000).cast("bigint").alias("xm")
+    )
+
+    def ks(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("t")
+        xs = [int(v) for v in pdf["xm"]]
+        et = pdf["event_type"].iloc[0]
+        td = _td
+        fwd = _kf_forward(xs)
+        n = len(xs)
+        ls, ps = fwd[-1][0], fwd[-1][2]
+        rows = [(et, n, xs[-1], fwd[-1][0], 1000, ls, ps)]
+        for t in range(n - 2, -1, -1):
+            l, _, p = fwd[t]
+            c = td(p * 1000, p + _KF_Q)
+            ls = l + td(c * (ls - l), 1000)
+            ps = p + td(c * c * (ps - (p + _KF_Q)), 1000000)
+            rows.append((et, t + 1, xs[t], l, c, ls, ps))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "event_type", "t", "obs_micro", "level_micro",
+                "c_milli", "smooth_micro", "ps_var",
+            ],
+        )
+
+    out_schema = (
+        "event_type string, t int, obs_micro long, level_micro long,"
+        " c_milli long, smooth_micro long, ps_var long"
+    )
+    return ser.groupBy("event_type").applyInPandas(ks, out_schema)

@@ -116,6 +116,7 @@ _GRADE_FIRST = [
 # recomposition this list is emptied into the window head.
 _DEFER_TO_NEXT_WINDOW: list[str] = [
     "events_conformal_forecast_interval",
+    "events_kalman_smoother_rts",
     "events_synthetic_control_placebo",
     "sim_search_ivf_pq_rerank",
     "stream_hnsw_incremental",

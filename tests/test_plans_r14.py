@@ -331,11 +331,44 @@ def _chk_conformal_interval_is_grid_sized(spark):
     assert "SortMergeJoin" not in full
 
 
+def _chk_rts_smoother_consistent_with_filter(spark):
+    """The smoother's forward trajectory must be IDENTICAL to the
+    filter's (both run the shared _kf_forward), the last day's
+    smoothed level must equal the filtered one (the RTS anchor), and
+    the smoothed variance can never exceed the filtered variance
+    (conditioning on the future only removes uncertainty; the
+    truncating division preserves the inequality because the
+    correction term is always <= 0)."""
+    from pyspark_xgboost_spark.operators.temporal import (
+        events_kalman_filter_1d,
+        events_kalman_smoother_rts,
+    )
+
+    filt = {
+        (r["event_type"], r["t"]): r
+        for r in events_kalman_filter_1d(spark, SF_DIR).collect()
+    }
+    rows = events_kalman_smoother_rts(spark, SF_DIR).collect()
+    assert {(r["event_type"], r["t"]) for r in rows} == set(filt)
+    tmax = {}
+    for r in rows:
+        tmax[r["event_type"]] = max(tmax.get(r["event_type"], 0), r["t"])
+    for r in rows:
+        f = filt[(r["event_type"], r["t"])]
+        assert r["level_micro"] == f["level_micro"]
+        assert r["obs_micro"] == f["obs_micro"]
+        assert r["ps_var"] <= f["p_var"]
+        if r["t"] == tmax[r["event_type"]]:
+            assert r["smooth_micro"] == f["level_micro"]
+            assert r["c_milli"] == 1000 and r["ps_var"] == f["p_var"]
+
+
 _R14_CHECKS = [
     _chk_ivf_pq_rerank_matches_numpy_replay,
     _chk_ivf_pq_rerank_plan_shapes,
     _chk_conformal_interval_matches_pandas_replay,
     _chk_conformal_interval_is_grid_sized,
+    _chk_rts_smoother_consistent_with_filter,
     _chk_hnsw_incremental_upper_adjacency_equals_oneshot,
     _chk_hnsw_incremental_state_layout,
     _chk_hnsw_incremental_fingerprints_are_scale_free,

@@ -363,7 +363,32 @@ def _chk_rts_smoother_consistent_with_filter(spark):
             assert r["c_milli"] == 1000 and r["ps_var"] == f["p_var"]
 
 
+def _chk_xor_fp_count_companion_catches_duplication(spark):
+    """Pins WHY every mod-folded XOR fingerprint ships with a count
+    companion: appending the same rows an even number of extra times
+    leaves the XOR unchanged (a XOR a = 0 — the exact corruption a
+    replayed non-idempotent append produces), and only the count
+    column reds the attestation."""
+    from pyspark_xgboost_spark.streaming.stream import _xor_fp
+
+    base = spark.range(100).select(F.col("id").alias("v"))
+    dup_pair = base.limit(5)
+    corrupted = base.unionAll(dup_pair).unionAll(dup_pair)
+
+    def fp_n(df):
+        r = df.agg(_xor_fp(F.col("v")).alias("fp"),
+                   F.count("*").alias("n")).collect()[0]
+        return r["fp"], r["n"]
+
+    bfp, bn = fp_n(base)
+    cfp, cn = fp_n(corrupted)
+    assert cfp == bfp  # XOR alone attests the corrupted table green
+    assert cn != bn  # the count companion is what catches it
+    assert 0 <= bfp < 2**31  # and the fold keeps it bounded at any N
+
+
 _R14_CHECKS = [
+    _chk_xor_fp_count_companion_catches_duplication,
     _chk_ivf_pq_rerank_matches_numpy_replay,
     _chk_ivf_pq_rerank_plan_shapes,
     _chk_conformal_interval_matches_pandas_replay,

@@ -387,8 +387,37 @@ def _chk_xor_fp_count_companion_catches_duplication(spark):
     assert 0 <= bfp < 2**31  # and the fold keeps it bounded at any N
 
 
+def _chk_every_state_fingerprint_is_folded_and_counted(spark):
+    """Machine check of SCALE.md's tier-2 headroom rule: every
+    registered query that emits a whole-state fingerprint column
+    (*_fp) must (a) keep it inside [0, 2^31) — the mod-fold bound
+    that holds at ANY row count — and (b) carry a cardinality
+    companion column (count) in the same output, because XOR alone is
+    blind to even-multiplicity duplication. Discovers the queries
+    from the live registry so a future fingerprint can't ship
+    unfolded or uncounted."""
+    from pyspark_xgboost_spark.registry import all_queries
+
+    found = 0
+    for name, fn in all_queries().items():
+        if "incremental" not in name:
+            continue
+        df = fn(spark, SF_DIR)
+        fp_cols = [c for c in df.columns if c.endswith("_fp")]
+        if not fp_cols:
+            continue
+        found += 1
+        n_cols = [c for c in df.columns if c.startswith("n_")]
+        assert n_cols, (name, df.columns)
+        for r in df.select(*fp_cols).distinct().collect():
+            for c in fp_cols:
+                assert 0 <= r[c] < 2**31, (name, c, r[c])
+    assert found >= 4, found  # ivf, pq, knng, hnsw at minimum
+
+
 _R14_CHECKS = [
     _chk_xor_fp_count_companion_catches_duplication,
+    _chk_every_state_fingerprint_is_folded_and_counted,
     _chk_ivf_pq_rerank_matches_numpy_replay,
     _chk_ivf_pq_rerank_plan_shapes,
     _chk_conformal_interval_matches_pandas_replay,

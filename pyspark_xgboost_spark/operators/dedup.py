@@ -538,11 +538,59 @@ def _simhash64(tokens: list[str]) -> int:
     return fp & 0x7FFF_FFFF_FFFF_FFFF  # keep in signed-long range
 
 
-@register("dedup_simhash")
+@register(
+    "dedup_simhash",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    nib AS (
+      SELECT doc_id, p.p,
+             CAST(strpos('0123456789abcdef',
+                         substring(md5(tok), 16 - p.p, 1)) - 1
+               AS BIGINT) AS v
+      FROM toks, (SELECT unnest(range(16)) AS p) p
+    ),
+    hist AS (
+      SELECT doc_id, p, v, CAST(count(*) AS BIGINT) AS cnt
+      FROM nib GROUP BY 1, 2, 3
+    ),
+    votes AS (
+      SELECT h.doc_id, h.p * 4 + b.b AS i,
+             CAST(sum(h.cnt * (2 * ((h.v >> b.b) & 1) - 1)) AS BIGINT)
+               AS acc
+      FROM hist h, (SELECT unnest(range(4)) AS b) b
+      GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN acc > 0 AND i < 63
+                      THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER)
+                      ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY 1
+    )
+    SELECT d.doc_id, COALESCE(f.simhash, 0) AS simhash,
+           COALESCE(f.simhash, 0) & 65535 AS band0,
+           (COALESCE(f.simhash, 0) >> 16) & 65535 AS band1,
+           (COALESCE(f.simhash, 0) >> 32) & 65535 AS band2,
+           (COALESCE(f.simhash, 0) >> 48) & 32767 AS band3
+    FROM documents d LEFT JOIN fp f USING (doc_id)
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints + 16-bit band keys for hamming-near
     candidate blocking. Bit math lives in an Arrow-batched pandas UDF
-    (mapInPandas); rows-only check — no SQL engine does 64-bit simhash."""
+    (mapInPandas). ORACLE-CHECKED since round 14 (it sat rows-only
+    from round 4): the per-token md5 bits are SQL-reachable after all
+    — bit i of the big-endian uint64 lives in hex nibble 16 - i/4 of
+    md5's hex form, so the oracle histograms (doc, nibble-position,
+    nibble-value) counts — a bounded docs x 16 x 16 grid instead of
+    tokens x 64 bit rows — and takes the per-bit majority vote with
+    a 64 x 16 static bit table join, replaying the +-1 vote and the
+    signed-range mask (bit 63 dropped) exactly."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -52,9 +52,13 @@ _GRADE_FIRST = [
     "sim_search_hnsw_two_layer",
     "stream_knn_graph_incremental",
     "stream_pq_incremental",
-    # -- stalest attested oracle rows: the 8 remaining r05 rows
-    #    (completing the r05 drain), then the 37 stalest r06 rows,
-    #    each cohort sorted by name --
+    # -- stalest attested oracle rows: dedup_simhash first (it gained
+    #    its DuckDB oracle mid-round-14, so its only driver row is the
+    #    rows-only r02 record — oldest in the oracle pool; it was
+    #    freshly oracle+invariance attested when the oracle landed),
+    #    then the 8 remaining r05 rows (completing the r05 drain),
+    #    then the 36 stalest r06 rows, each cohort sorted by name --
+    "dedup_simhash",
     "tpch_q21_suppliers_who_kept_orders_waiting",
     "tpch_q2_min_cost_supplier",
     "tpch_q7_volume_shipping",
@@ -99,7 +103,6 @@ _GRADE_FIRST = [
     "sim_search_ivf",
     "sim_search_topk",
     "sim_search_topk_vectorized",
-    "sort_limit_topk",
     # ---- below the 50-slot line ----
     # r15 window plan: generated, not hand-written — run
     # `python tools/check_window.py --next` after the r14
@@ -128,7 +131,9 @@ _DEFER_TO_NEXT_WINDOW: list[str] = [
 # the registration order.
 _CEDE_WINDOW = [
     "text_tokenize_tfidf",
-    "dedup_simhash",
+    # dedup_simhash left this list in round 14: the md5 bit math is
+    # SQL-reachable via the hex-nibble histogram, so it is now
+    # oracle-attested like everything else
     "sim_search_brp_lsh",
     # multimodal_resize left this list in round 11: its crop is now
     # oracle-attested positionally via the hex(payload) idiom

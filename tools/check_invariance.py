@@ -7,17 +7,27 @@ surface on a real cluster (where partition counts differ run to run).
 The repo's integer-quantization discipline exists precisely to make
 this sweep pass.
 
-Usage: python tools/check_invariance.py [sf_dir] [query ...]
+Usage: python tools/check_invariance.py [sf_dir] [query ...] [--serial]
+
+Runs in TWO POOLED PHASES (all queries at 32 shuffle partitions, then
+all at 5, compared pairwise): the phase conf is set once, Spark
+interleaves the per-query jobs across 8 threads. A staged-state
+builder may briefly perturb the session conf mid-phase (they
+save/restore), which only ADDS partition diversity — the sweep's claim
+is result-equality across different partitionings, not a specific
+count. ``--serial`` preserves the original one-query-at-a-time loop.
+
 Skips the stateful streaming queries whose scratch staging makes a
 second in-process run order-dependent (they are covered by their own
-stream==batch tests) and compares everything else at shuffle
-partitions 32 (default-ish) vs 5.
+stream==batch tests) and compares everything else.
 """
 
 from __future__ import annotations
 
 import sys
+import threading
 from collections import Counter
+from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, "/root/repo")
 
@@ -26,6 +36,8 @@ sys.path.insert(0, "/root/repo")
 # fingerprint-keyed scratch state on purpose (idempotent), also fine.
 # Nothing needs skipping by design — keep a list anyway for emergencies.
 SKIP: set[str] = set()
+
+_WORKERS = 8
 
 
 def canon(df) -> Counter:
@@ -37,34 +49,84 @@ def canon(df) -> Counter:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--serial"]
+    serial = "--serial" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     from pyspark_xgboost_spark.registry import all_queries
     from pyspark_xgboost_spark.session import get_spark
 
     spark = get_spark("invariance")
     qs = all_queries()
     names = [n for n in qs if (not only or n in only) and n not in SKIP]
-    failures = []
-    for name in names:
+    failures: list[str] = []
+
+    if serial:
+        for name in names:
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", "32")
+                a = canon(qs[name](spark, sf_dir))
+                spark.conf.set("spark.sql.shuffle.partitions", "5")
+                b = canon(qs[name](spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001 — report, keep sweeping
+                print(f"ERR  {name}: {type(exc).__name__}: {exc}")
+                failures.append(name)
+                continue
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", "32")
+            if a == b:
+                print(f"PASS {name} ({sum(a.values())} rows)")
+            else:
+                only_a = list((a - b).keys())[:3]
+                only_b = list((b - a).keys())[:3]
+                print(f"FAIL {name}: 32p-only={only_a} 5p-only={only_b}")
+                failures.append(name)
+    else:
+        lock = threading.Lock()
+        phase_a: dict[str, Counter] = {}
+        errs: dict[str, str] = {}
+
+        def run_phase(phase: str):
+            def work(name):
+                if name in errs:
+                    return
+                try:
+                    c = canon(qs[name](spark, sf_dir))
+                except Exception as exc:  # noqa: BLE001
+                    with lock:
+                        errs[name] = f"{type(exc).__name__}: {exc}"
+                    return
+                if phase == "a":
+                    with lock:
+                        phase_a[name] = c
+                    return
+                a = phase_a.pop(name, None)
+                if a == c:
+                    print(f"PASS {name} ({sum(c.values())} rows)", flush=True)
+                else:
+                    only_a = list(((a or Counter()) - c).keys())[:3]
+                    only_b = list((c - (a or Counter())).keys())[:3]
+                    print(
+                        f"FAIL {name}: 32p-only={only_a} 5p-only={only_b}",
+                        flush=True,
+                    )
+                    with lock:
+                        failures.append(name)
+
+            with ThreadPoolExecutor(max_workers=_WORKERS) as ex:
+                list(ex.map(work, names))
+
         try:
             spark.conf.set("spark.sql.shuffle.partitions", "32")
-            a = canon(qs[name](spark, sf_dir))
+            run_phase("a")
             spark.conf.set("spark.sql.shuffle.partitions", "5")
-            b = canon(qs[name](spark, sf_dir))
-        except Exception as exc:  # noqa: BLE001 — report, keep sweeping
-            print(f"ERR  {name}: {type(exc).__name__}: {exc}")
-            failures.append(name)
-            continue
+            run_phase("b")
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "32")
-        if a == b:
-            print(f"PASS {name} ({sum(a.values())} rows)")
-        else:
-            only_a = list((a - b).keys())[:3]
-            only_b = list((b - a).keys())[:3]
-            print(f"FAIL {name}: 32p-only={only_a} 5p-only={only_b}")
+        for name, msg in sorted(errs.items()):
+            print(f"ERR  {name}: {msg}")
             failures.append(name)
+
     print(f"\n{len(names) - len(failures)} invariant, {len(failures)} variant/err")
     spark.stop()
     sys.exit(1 if failures else 0)

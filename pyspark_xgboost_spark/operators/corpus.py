@@ -31,10 +31,10 @@ from pyspark.sql import functions as F
 
 from pyspark_xgboost_spark.registry import register
 from pyspark_xgboost_spark.sources import load_table
-from pyspark_xgboost_spark.utils import cpu_spread_partitions
+from pyspark_xgboost_spark.utils import ascii_tokens, cpu_spread_partitions
 
-_TOKS = r"filter(split(lower(text), '\\s+'), x -> x != '')"
-_TOKS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+_TOKS = r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), x -> x != '')"
+_TOKS_SQL = r"list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '')"
 
 
 @register(
@@ -1441,7 +1441,7 @@ def corpus_kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocab × sources), with the corpus total folded in as a broadcast
     scalar."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+    toks = F.expr(r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), x -> x != '')")
     t = docs.select("source", F.explode(toks).alias("term"))
     sc = t.groupBy("source", "term").agg(F.count("*").alias("c"))
     stot = sc.groupBy("source").agg(F.sum("c").alias("sn"))
@@ -1478,7 +1478,7 @@ def corpus_kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id,
-             len(list_filter(string_split_regex(lower(text), '\\s+'),
+             len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'),
                              t -> t <> '')) AS n
       FROM documents
     ),
@@ -1521,7 +1521,7 @@ def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     step (not materialized here) substitutes sentinel tokens at these
     positions inside the same projection."""
     docs = load_table(spark, sf_dir, "documents")
-    n = F.size(F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')"))
+    n = F.size(F.expr(r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), t -> t != '')"))
     base = docs.select("doc_id", n.alias("n")).filter(F.col("n") >= 3)
     base = base.withColumn("k", F.greatest(F.lit(1), F.expr("n div 20")))
     starts = F.expr(
@@ -1994,14 +1994,14 @@ def _bpe_oracle_ctes(rounds: int) -> str:
     replace()'s left-to-right non-overlapping scan IS greedy BPE: a
     run of five a's becomes [aa, aa, a], exactly the single-pass
     result (the naive single-delimiter encoding gets [aa, a, aa]).
-    TAB is safe as a delimiter: words come from splitting on \\s+, so
+    TAB is safe as a delimiter: words come from splitting on [ \\t\\n\\f\\r]+, so
     no whitespace can appear inside a symbol. One (pairs, best, vocab)
     CTE triple per round, bounded unroll like the PageRank oracle."""
     d = "chr(9)"
     ctes = [
         f"""words AS (
       SELECT w AS word, count(*) AS freq
-      FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\f\\r]+')) AS w
             FROM documents)
       WHERE w <> '' AND length(w) <= {_BPE_MAX_WORD}
       GROUP BY w
@@ -2052,7 +2052,7 @@ _BPE_APPLY_ORACLE = (
     doc_words AS (
       SELECT source, w AS word, count(*) AS cnt
       FROM (SELECT source,
-                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+                   unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\f\\r]+')) AS w
             FROM documents)
       WHERE w <> '' AND length(w) <= {_BPE_MAX_WORD}
       GROUP BY source, w
@@ -2132,7 +2132,7 @@ def _bpe_train_uncached(
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(
-            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+            F.explode(F.split(F.lower(F.col("text")), r"[ \t\n\f\r]+")).alias("word")
         )
         .filter((F.col("word") != "") & (F.length("word") <= _BPE_MAX_WORD))
         .groupBy("word")
@@ -2242,7 +2242,7 @@ def _bpe_perdoc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ):
                     n_chars = 0
                     n_toks = 0
-                    for w in (text or "").lower().split():
+                    for w in ascii_tokens(text):
                         if not w or len(w) > _BPE_MAX_WORD:
                             continue
                         syms = list(w)
@@ -2327,7 +2327,7 @@ _FERTILITY_ORACLE = (
     doc_words AS (
       SELECT doc_id, source, lang, w AS word, count(*) AS cnt
       FROM (SELECT doc_id, source, lang,
-                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+                   unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\f\\r]+')) AS w
             FROM documents)
       WHERE w <> '' AND length(w) <= {_BPE_MAX_WORD}
       GROUP BY doc_id, source, lang, w
@@ -2480,7 +2480,7 @@ def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT DISTINCT source, w FROM (
         SELECT source,
-               unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+               unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\f\\r]+')) AS w
         FROM documents) t
       WHERE w <> ''
     ),
@@ -2527,7 +2527,7 @@ def corpus_vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (
         docs.select(
             "source",
-            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+            F.explode(F.split(F.lower(F.col("text")), r"[ \t\n\f\r]+")).alias("w"),
         )
         .filter(F.col("w") != "")
         .distinct()
@@ -2684,7 +2684,7 @@ _OOV_VOCAB_K = 16  # budget-limited vocabulary size
     WITH tok AS (
       SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
       FROM (SELECT source,
-                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+                   unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\f\\r]+')) AS w
             FROM documents)
       WHERE w <> '' GROUP BY source, w
     ),
@@ -2728,7 +2728,7 @@ def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (
         docs.select(
             "source",
-            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+            F.explode(F.split(F.lower(F.col("text")), r"[ \t\n\f\r]+")).alias("w"),
         )
         .filter(F.col("w") != "")
         .groupBy("source", "w")
@@ -3329,7 +3329,7 @@ _XSRC_N = 13  # shingle width shared with the decontamination family
     oracle=rf"""
     WITH toks AS (
       SELECT doc_id, source,
-             list_filter(string_split_regex(lower(text), '\s+'),
+             list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
                          t -> t <> '') AS toks
       FROM documents
     ),
@@ -3450,7 +3450,7 @@ def corpus_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataF
     oracle=rf"""
     WITH toks AS (
       SELECT doc_id, source,
-             list_filter(string_split_regex(lower(text), '\s+'),
+             list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
                          t -> t <> '') AS toks
       FROM documents
     ),

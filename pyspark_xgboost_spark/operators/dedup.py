@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 
 from pyspark_xgboost_spark.registry import register
 from pyspark_xgboost_spark.sources import load_table
-from pyspark_xgboost_spark.utils import cpu_spread_partitions
+from pyspark_xgboost_spark.utils import ascii_tokens, cpu_spread_partitions
 
 # --------------------------------------------------------------------------
 # Exact dedup
@@ -58,7 +58,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_exact_normalized",
     oracle="""
-    SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_hash,
+    SELECT md5(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS norm_hash,
            CAST(min(doc_id) AS BIGINT) AS keep_id,
            count(*) AS n_copies
     FROM documents
@@ -69,7 +69,7 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup after normalization (lowercase, collapsed whitespace)
     — catches trivially-reformatted copies."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"[ \t\n\f\r]+", " ")
     return (
         docs.select(F.md5(norm).alias("norm_hash"), "doc_id")
         .groupBy("norm_hash")
@@ -101,7 +101,7 @@ _B = (104729, 224737, 350377, 479909, 611953, 746773, 882377, 1020379)
 def _shingle_bases_df(docs: DataFrame) -> DataFrame:
     """doc_id + uint32 hash bases of word 3-gram shingles (ONE md5 per
     shingle; all minhash variants mix these with integer arithmetic)."""
-    toks = F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')")
+    toks = F.expr(r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), t -> t != '')")
     out = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
     shingles = F.expr(
         "transform(sequence(1, size(toks) - 2), "
@@ -142,7 +142,7 @@ _HEX_TO_INT_SQL = " + ".join(
 
 _SHINGLE_BASES_SQL = f"""
     toks AS (
-      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'), t -> t <> '') AS toks
       FROM documents
     ),
     sh AS (
@@ -322,7 +322,7 @@ def _minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     WITH {_MINHASH_CAND_SQL},
     tsets AS (
       SELECT doc_id,
-             list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+             list_distinct(list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'),
                                        t -> t <> '')) AS tokset
       FROM documents
     )
@@ -380,7 +380,7 @@ def _jaccard_scored_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
     def tokset(col: str) -> F.Column:
         return F.array_distinct(
-            F.expr(rf"filter(split(lower({col}), '\\s+'), t -> t != '')")
+            F.expr(rf"filter(split(lower({col}), '[ \\t\\n\\f\\r]+'), t -> t != '')")
         )
 
     j = j.select(
@@ -543,7 +543,7 @@ def _simhash64(tokens: list[str]) -> int:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             unnest(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
                                 x -> x <> '')) AS tok
       FROM documents
     ),
@@ -593,9 +593,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed-range mask (bit 63 dropped) exactly."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
+    # NOT pandas' bare .str.split(): that splits on full unicode
+    # whitespace and would silently diverge from the oracle's explicit
+    # ASCII class on any corpus containing NBSP/EM SPACE/NEL — see
+    # utils.ascii_tokens, the one tokenizer contract all engines share
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            toks = pdf["text"].str.lower().str.split()
+            toks = (ascii_tokens(s) for s in pdf["text"])
             fps = np.fromiter(
                 (_simhash64(t) for t in toks), dtype=np.int64, count=len(pdf)
             )
@@ -999,7 +1003,7 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_MINHASH_CAND_SQL},
     tsets AS (
       SELECT doc_id,
-             list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+             list_distinct(list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'),
                                        t -> t <> '')) AS tokset
       FROM documents
     )
@@ -1043,7 +1047,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def tokset(col: str) -> F.Column:
         return F.array_distinct(
-            F.expr(rf"filter(split(lower({col}), '\\s+'), t -> t != '')")
+            F.expr(rf"filter(split(lower({col}), '[ \\t\\n\\f\\r]+'), t -> t != '')")
         )
 
     j = j.select(
@@ -1196,7 +1200,7 @@ _SH_CAP = 64
     WITH toks AS (
       SELECT DISTINCT doc_id, s FROM (
         SELECT doc_id,
-               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+               unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'),
                                   t -> t <> '')) AS s
         FROM documents
       )
@@ -1260,7 +1264,7 @@ def dedup_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id",
             F.explode(
-                F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')")
+                F.expr(r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), t -> t != '')")
             ).alias("tok"),
         )
         .distinct()
@@ -1437,7 +1441,7 @@ _PARA_WORDS = 20  # words per "paragraph" block (corpus has no newlines)
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\\s+'),
+             list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'),
                          t -> t <> '') AS toks
       FROM documents
     ),
@@ -1490,7 +1494,7 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide boilerplate paragraph) cost one digest-keyed window
     rank, never a quadratic pair expansion."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')")
+    toks = F.expr(r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), t -> t != '')")
     base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 1)
     blocks = base.select(
         "doc_id",
@@ -2496,7 +2500,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc AS (
       SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c FROM (
         SELECT doc_id,
-               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+               unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'),
                                   t -> t <> '')) AS token
         FROM documents) GROUP BY doc_id, token
     ),
@@ -2548,7 +2552,7 @@ def dedup_weighted_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             "doc_id",
             F.explode(
-                F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')")
+                F.expr(r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), t -> t != '')")
             ).alias("token"),
         )
         .groupBy("doc_id", "token")

@@ -642,7 +642,7 @@ def _sssp_iter_sql(prev: str, out: str) -> str:
     tsets AS (
       SELECT doc_id,
              list_distinct(list_filter(string_split_regex(lower(text),
-                                                          '\\s+'),
+                                                          '[ \\t\\n\\f\\r]+'),
                                        t -> t <> '')) AS tokset
       FROM documents
     ),
@@ -698,7 +698,7 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def tokset(col: str) -> F.Column:
         return F.array_distinct(
-            F.expr(rf"filter(split(lower({col}), '\\s+'), t -> t != '')")
+            F.expr(rf"filter(split(lower({col}), '[ \\t\\n\\f\\r]+'), t -> t != '')")
         )
 
     j = (
@@ -755,7 +755,7 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BIGRAM_EDGES_SQL = r"""toksba AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\s+'),
+             list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
                          t -> t <> '') AS toks
       FROM documents
     ),

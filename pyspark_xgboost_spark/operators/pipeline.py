@@ -28,8 +28,8 @@ from pyspark_xgboost_spark.sources import load_table
     oracle=r"""
     WITH toks AS (
       SELECT doc_id, lang, source,
-             list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks,
-             regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+             list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), t -> t <> '') AS toks,
+             regexp_replace(trim(lower(text)), '[ \t\n\f\r]+', ' ', 'g') AS norm
       FROM documents
     ),
     quality AS (
@@ -70,8 +70,8 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-back formulation scans and tokenizes the corpus twice and
     shuffles three times)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')")
-    norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    toks = F.expr(r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), t -> t != '')")
+    norm = F.regexp_replace(F.trim(F.lower("text")), r"[ \t\n\f\r]+", " ")
     t = docs.select(
         "doc_id", "lang", "source", toks.alias("toks"), F.md5(norm).alias("norm_hash")
     )
@@ -198,7 +198,7 @@ def _register_pipeline_dedup_oracle() -> None:
     WITH RECURSIVE {_MINHASH_CAND_SQL},
     tsets AS (
       SELECT doc_id,
-             list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+             list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
                                        t -> t <> '')) AS tokset
       FROM documents
     ),
@@ -306,7 +306,7 @@ def pipeline_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
       SELECT doc_id, source,
-             list_filter(string_split_regex(lower(text), '\s+'),
+             list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
                          x -> x <> '') AS ts,
              length(text) AS n_chars
       FROM documents
@@ -365,7 +365,7 @@ def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id",
         "source",
-        F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')").alias("ts"),
+        F.expr(r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), x -> x != '')").alias("ts"),
         F.length("text").alias("n_chars"),
     )
     n = F.size("ts")
@@ -439,8 +439,8 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 50 != 0
     )
-    toks = F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')")
-    norm = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+    toks = F.expr(r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), t -> t != '')")
+    norm = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"[ \t\n\f\r]+", " "))
     scores = _langid_spark_scores()
     best = F.greatest(*scores.values())
     base = docs.select(
@@ -574,9 +574,9 @@ def _funnel_oracle() -> str:
     return f"""
     WITH base AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\\s+'),
+             list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'),
                          t -> t <> '') AS toks,
-             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+             md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\f\\r]+', ' ', 'g'))
                AS norm_hash,
              greatest({_SPARK_SCORES_SQLS["en"]}, {_SPARK_SCORES_SQLS["de"]},
                       {_SPARK_SCORES_SQLS["fr"]}, {_SPARK_SCORES_SQLS["es"]})
@@ -601,7 +601,7 @@ def _funnel_oracle() -> str:
       SELECT DISTINCT unnest(list_distinct(
                [array_to_string(toks[i:i+3], ' ')
                 for i in range(1, len(toks) - 2)])) AS shingle
-      FROM (SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+      FROM (SELECT list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'),
                                t -> t <> '') AS toks
             FROM documents WHERE doc_id % 50 = 0)
       WHERE len(toks) >= 4

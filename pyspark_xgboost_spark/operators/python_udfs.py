@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_xgboost_spark.registry import register
+from pyspark_xgboost_spark.utils import ascii_tokens
 from pyspark_xgboost_spark.sources import load_table
 
 
@@ -156,8 +157,8 @@ def udaf_grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame
            toks[i] || ' ' || toks[i + 1] AS bigram
     FROM (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks,
-             unnest(generate_series(1, len(list_filter(string_split_regex(lower(text), '\s+'),
+             list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), t -> t <> '') AS toks,
+             unnest(generate_series(1, len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
                                                t -> t <> '')) - 1)) AS i
       FROM documents
     )
@@ -173,7 +174,7 @@ def udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id long, pos int, bigram string")
     class BigramUDTF:
         def eval(self, doc_id: int, text: str) -> Iterator[tuple]:
-            toks = [t for t in (text or "").lower().split() if t]
+            toks = ascii_tokens(text)
             for i in range(len(toks) - 1):
                 # 1-based pos to match the SQL generate_series oracle
                 yield doc_id, i + 1, f"{toks[i]} {toks[i + 1]}"

@@ -3476,7 +3476,7 @@ _HN_K = 3  # hard negatives per anchor
     toks AS (
       SELECT doc_id,
              list_distinct(list_filter(
-               string_split_regex(lower(text), '\\s+'),
+               string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'),
                t -> t <> '')) AS ts
       FROM documents
     ),
@@ -3536,7 +3536,7 @@ def sample_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr(
-            r"array_distinct(filter(split(lower(text), '\\s+'),"
+            r"array_distinct(filter(split(lower(text), '[ \\t\\n\\f\\r]+'),"
             r" t -> t != ''))"
         ).alias("ts"),
     )

@@ -223,7 +223,7 @@ _CMS_D = 4  # hash rows
     "agg_countmin_heavy_hitters",
     oracle="""
     WITH toks AS (
-      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'),
                                 t -> t <> '')) AS token
       FROM documents
     ),
@@ -274,7 +274,7 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(
-            F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')")
+            F.expr(r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), t -> t != '')")
         ).alias("token")
     )
     exact = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
@@ -967,7 +967,7 @@ _KMV_M = 4294967296  # hash space (first 8 md5 hex digits)
     WITH v AS (
       SELECT DISTINCT source, w FROM (
         SELECT source,
-               unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+               unnest(regexp_split_to_array(lower(text), '[ \t\n\f\r]+')) AS w
         FROM documents) t
       WHERE w <> ''
     ),
@@ -1062,7 +1062,7 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (
         docs.select(
             "source",
-            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+            F.explode(F.split(F.lower(F.col("text")), r"[ \t\n\f\r]+")).alias("w"),
         )
         .filter(F.col("w") != "")
         .distinct()
@@ -1135,7 +1135,7 @@ _AMS_J = 16  # tug-of-war estimators
     oracle=f"""
     WITH tok AS (
       SELECT w, CAST(count(*) AS BIGINT) AS f
-      FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\f\\r]+')) AS w
             FROM documents)
       WHERE w <> '' GROUP BY w
     ),
@@ -1195,7 +1195,7 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select(
-            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+            F.explode(F.split(F.lower(F.col("text")), r"[ \t\n\f\r]+")).alias("w")
         )
         .filter(F.col("w") != "")
         .groupBy("w")

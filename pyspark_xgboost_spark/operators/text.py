@@ -39,7 +39,7 @@ def _count_occurrences_sql(expr: str, kw: str) -> str:
     oracle=r"""
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+             list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '') AS toks,
              length(text) AS n_char
       FROM documents
     )
@@ -56,7 +56,7 @@ def _count_occurrences_sql(expr: str, kw: str) -> str:
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokenization + count/unique/type-token-ratio stats."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+    toks = F.expr(r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), x -> x != '')")
     t = docs.select("doc_id", toks.alias("toks"), F.length("text").alias("n_char"))
     return (
         t.filter(F.size("toks") > 0)
@@ -157,7 +157,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id,
              length(text) AS n_char,
-             len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok,
+             len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> x <> '')) AS n_tok,
              length(text) - length(replace(replace(replace(replace(text,
                '.', ''), ',', ''), '!', ''), '?', '')) AS n_punct,
              (length(' ' || lower(text) || ' ')
@@ -178,7 +178,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, stopword presence) — the standard pre-training filter shape."""
     docs = load_table(spark, sf_dir, "documents")
     n_char = F.length("text")
-    n_tok = F.size(F.expr(r"filter(split(text, '\\s+'), x -> x != '')"))
+    n_tok = F.size(F.expr(r"filter(split(text, '[ \\t\\n\\f\\r]+'), x -> x != '')"))
     no_punct = F.col("text")
     for ch in [".", ",", "!", "?"]:
         no_punct = F.replace(no_punct, F.lit(ch), F.lit(""))
@@ -292,7 +292,7 @@ def text_tokenize_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+             list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), t -> t <> '') AS toks
       FROM documents
     ),
     n_docs AS (SELECT count(*) AS n FROM toks),
@@ -327,7 +327,7 @@ def text_tfidf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+    toks = F.expr(r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), x -> x != '')")
     t = docs.select("doc_id", F.explode(toks).alias("term"))
     # corpus size stays inside the plan (1-row agg broadcast in) — no
     # separate count() job/scan on the driver (round-1 verdict item)
@@ -366,7 +366,7 @@ def text_tfidf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
       SELECT doc_id,
-             regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')
+             regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]')
                AS toks
       FROM documents
     )
@@ -395,7 +395,7 @@ def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters — all JVM expression work, map-only, no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.expr(
-        r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"
+        r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]', 0)"
     )
     t = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
     n_of = lambda pat: F.size(  # noqa: E731
@@ -470,7 +470,7 @@ _SENT_CHUNK_CHARS = 240
       SELECT doc_id, i, s, length(s) AS sl
       FROM (
         SELECT doc_id,
-               string_split_regex(text, '\\.\\s+') AS parts
+               string_split_regex(text, '\\.[ \\t\\n\\f\\r]+') AS parts
         FROM documents
       ), LATERAL (
         SELECT i, parts[i] AS s
@@ -507,7 +507,7 @@ def doc_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sents = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.col("text"), r"\.\s+")).alias("i0", "s"),
+        F.posexplode(F.split(F.col("text"), r"\.[ \t\n\f\r]+")).alias("i0", "s"),
     ).filter(F.col("s") != "").select(
         "doc_id", (F.col("i0") + 1).alias("i"), F.length("s").alias("sl")
     )
@@ -623,8 +623,8 @@ _RAKE_STOP = (
     "that from was we you not have has had but they their its our"
 ).split()
 _RAKE_K = 3
-_RAKE_TOKS = r"filter(split(lower(text), '\\s+'), x -> x != '')"
-_RAKE_TOKS_SQL = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+_RAKE_TOKS = r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), x -> x != '')"
+_RAKE_TOKS_SQL = r"list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'), x -> x <> '')"
 
 
 @register(
@@ -782,7 +782,7 @@ def _bigram_edges(docs: DataFrame) -> DataFrame:
     (src, dst, w) with both directions present — shared by TextRank
     and the graph-metrics ops (graph.py) so the co-occurrence graph
     definition cannot drift between consumers."""
-    toks = F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+    toks = F.expr(r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), x -> x != '')")
     big = (
         docs.select(toks.alias("toks"))
         # slice(toks, 1, -1) throws on an empty/whitespace-only doc
@@ -812,7 +812,7 @@ def _bigram_edges(docs: DataFrame) -> DataFrame:
     "text_textrank_keywords",
     oracle=f"""
     WITH tok AS (
-      SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+      SELECT list_filter(string_split_regex(lower(text), '[ \\t\\n\\f\\r]+'),
                          x -> x <> '') AS toks
       FROM documents
     ),
@@ -915,7 +915,7 @@ _BM25_TOPK = 10
 _BM25_SCORED_CTES = f"""tok AS (
       SELECT doc_id, w
       FROM (SELECT doc_id,
-                   unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+                   unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\f\\r]+')) AS w
             FROM documents)
       WHERE w <> ''
     ),
@@ -1021,7 +1021,7 @@ def _bm25_parts_build(spark: SparkSession, sf_dir: str):
     tok = (
         docs.select(
             "doc_id",
-            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+            F.explode(F.split(F.lower(F.col("text")), r"[ \t\n\f\r]+")).alias("w"),
         )
         .filter(F.col("w") != "")
     )
@@ -1213,7 +1213,7 @@ def text_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\s+'),
+             list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
                          x -> x <> '') AS toks,
              greatest(1, len(regexp_extract_all(text, '[.!?]+')))
                AS n_sentences
@@ -1254,7 +1254,7 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
-        F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')").alias(
+        F.expr(r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), x -> x != '')").alias(
             "toks"
         ),
         F.greatest(

@@ -142,27 +142,53 @@ _DOCBIN_REG: set[str] = set()
 
 
 def _register_docbin(spark: SparkSession) -> None:
-    sid = spark.sparkContext.applicationId
-    with _DOCBIN_REG_LOCK:
-        if sid not in _DOCBIN_REG:
-            try:
-                spark.dataSource.register(DocBinDataSource)
-            except Exception:  # pragma: no cover - registry API drift
-                pass
-            _DOCBIN_REG.add(sid)
-    # lookupDataSource resolves Python data sources through the JVM's
-    # THREAD-LOCAL active session; a Python worker thread talks to the
-    # JVM over its own py4j handler thread, which may have no active
-    # session set — the registry then misses and the lookup falls
-    # through to the classpath (ClassNotFound: docbin.DefaultSource).
-    # Pin the active session from THIS thread before any format
-    # resolution (py4j reuses the same handler thread per connection).
-    try:
-        spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
-            spark._jsparkSession
+    # keyed on the JVM SESSION, not the applicationId: the Python
+    # DataSource registry lives in per-session state, and the pooled
+    # sweep tools run each query on a conf-isolated spark.newSession()
+    # clone — an app-wide guard would register on the first clone only
+    # and every other clone's lookup would miss (DATA_SOURCE_NOT_FOUND)
+    # ... and registered on the DEFAULT (first-created) session as
+    # well: py4j does not guarantee the register call and the later
+    # load() share a JVM handler thread, and an unpinned JVM thread
+    # resolves formats against the default session's registry — which
+    # would miss if only the clone registered.
+    #
+    # ORDER MATTERS: the JVM active session must be pinned to the
+    # target session BEFORE dataSource.register — registration's
+    # existence check and its write can otherwise consult DIFFERENT
+    # sessions (probed on 4.1.2: with the previous clone still active,
+    # every other clone's register raised DATA_SOURCE_ALREADY_EXISTS
+    # against the old clone's manager while its own stayed empty, so
+    # the subsequent load missed with ClassNotFound: docbin).
+    def _pin(sess: SparkSession) -> None:
+        try:
+            sess._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+                sess._jsparkSession
+            )
+        except Exception:  # pragma: no cover - private-API drift
+            pass
+
+    targets = [spark]
+    dflt = SparkSession._instantiatedSession
+    if dflt is not None and dflt is not spark:
+        targets.append(dflt)
+    for sess in targets:
+        sid = (
+            sess.sparkContext.applicationId,
+            sess._jsparkSession.hashCode(),
         )
-    except Exception:  # pragma: no cover - private-API drift
-        pass
+        with _DOCBIN_REG_LOCK:
+            if sid not in _DOCBIN_REG:
+                _pin(sess)
+                try:
+                    sess.dataSource.register(DocBinDataSource)
+                except Exception:  # pragma: no cover - registry API drift
+                    pass
+                _DOCBIN_REG.add(sid)
+    # leave THIS thread's active session pointing at the caller's
+    # session before any format resolution (lookupDataSource resolves
+    # Python data sources through the JVM thread-local active session)
+    _pin(spark)
 
 
 def gc_stale_siblings(parent: str, prefix: str, keep: str) -> None:
@@ -441,7 +467,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT count(*) AS n_lines,
            CAST(sum(length(text)) AS BIGINT) AS total_chars,
-           CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+           CAST(sum(len(list_filter(string_split_regex(lower(text), '[ \t\n\f\r]+'),
                                     x -> x <> ''))) AS BIGINT) AS total_tokens
     FROM documents
     """,
@@ -470,7 +496,7 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "overwrite"
                 ).format("text").save(out)
     lines = spark.read.text(out)
-    toks = F.expr(r"filter(split(lower(value), '\\s+'), x -> x != '')")
+    toks = F.expr(r"filter(split(lower(value), '[ \\t\\n\\f\\r]+'), x -> x != '')")
     return lines.agg(
         F.count("*").alias("n_lines"),
         F.sum(F.length("value")).cast("bigint").alias("total_chars"),

@@ -10,6 +10,8 @@ else rather than silently coercing.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import SparkSession
 
 # Session conf that force-enables the pre-training repartition even when
@@ -47,3 +49,23 @@ def get_conf_boolean(spark: SparkSession, key: str, default: bool) -> bool:
         f"expected a boolean conf value for {key!r} but found "
         f"{type(val).__name__} value: {val!r}"
     )
+
+
+# The ONE whitespace-tokenizer contract, shared by every engine side.
+#
+# Three regex dialects meet in this repo and their \s disagree: Java
+# (Spark exprs) includes \x0b, RE2 (DuckDB oracles) does NOT, and
+# Python's re / str.split() match full UNICODE whitespace (NBSP, EM
+# SPACE, NEL, FS..US). On a corpus containing any of those characters
+# a bare \s+ tokenizer silently diverges between an operator and its
+# oracle. Every tokenizer therefore pins the explicit ASCII class
+# [ \t\n\f\r]+ on BOTH sides (Spark SQL fragments, DuckDB oracle SQL,
+# and the Python kernels below) — engine-independent by construction.
+ASCII_WS_RE = re.compile(r"[ \t\n\f\r]+")
+
+
+def ascii_tokens(text: str | None) -> list[str]:
+    """Python-kernel replica of ``split(lower(text), '[ \\t\\n\\f\\r]+')``
+    + empty-filter, for pandas/UDTF tokenizers that must agree with the
+    SQL sides byte-for-byte."""
+    return [t for t in ASCII_WS_RE.split((text or "").lower()) if t]

@@ -372,7 +372,10 @@ def _chk_xor_fp_count_companion_catches_duplication(spark):
     from pyspark_xgboost_spark.streaming.stream import _xor_fp
 
     base = spark.range(100).select(F.col("id").alias("v"))
-    dup_pair = base.limit(5)
+    # a deterministic 5-row subset — limit(5) re-executes per union
+    # branch and is NOT guaranteed to pick the same rows twice, which
+    # would break the even-multiplicity cancellation this test relies on
+    dup_pair = base.filter(F.col("v") < 5)
     corrupted = base.unionAll(dup_pair).unionAll(dup_pair)
 
     def fp_n(df):
@@ -415,7 +418,55 @@ def _chk_every_state_fingerprint_is_folded_and_counted(spark):
     assert found >= 4, found  # ivf, pq, knng, hnsw at minimum
 
 
+def _chk_ws_tokenizer_class_is_engine_invariant(spark):
+    """Pins the one-tokenizer contract (utils.ascii_tokens): the three
+    regex dialects in this repo disagree on \\s (Java includes \\x0b,
+    RE2 does not, Python re/str.split match full unicode whitespace),
+    so every tokenizer/normalizer site must spell the explicit ASCII
+    class instead. Checked two ways: (a) no backslash-s survives in
+    any operator/streaming/sources module, and (b) on a string packed
+    with exactly the divergent characters, Spark's split, DuckDB's
+    string_split_regex, and the Python kernel helper agree token for
+    token — while Python's unicode .split() demonstrably does not."""
+    import glob
+
+    import duckdb
+
+    from pyspark_xgboost_spark.utils import ascii_tokens
+
+    bs_s = "\\" + "s"  # avoid matching this test's own source scan
+    offenders = [
+        p
+        for p in glob.glob("/root/repo/pyspark_xgboost_spark/**/*.py", recursive=True)
+        if bs_s in open(p).read() and not p.endswith("utils.py")
+    ]
+    assert not offenders, f"bare backslash-s regex in: {offenders}"
+
+    s = "A b\x0bc d e\tf\x1cgh\r\ni"
+    expect = ascii_tokens(s)
+    spark_toks = (
+        spark.createDataFrame([(s,)], "text string")
+        .select(
+            F.expr(
+                r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), t -> t != '')"
+            ).alias("t")
+        )
+        .collect()[0]["t"]
+    )
+    duck_toks = duckdb.connect().execute(
+        "SELECT list_filter(string_split_regex(lower(?), "
+        "'[ \\t\\n\\f\\r]+'), x -> x <> '')",
+        [s],
+    ).fetchone()[0]
+    assert spark_toks == expect, (spark_toks, expect)
+    assert duck_toks == expect, (duck_toks, expect)
+    # and the naive unicode tokenizer is NOT equivalent — the reason
+    # the contract exists
+    assert [t for t in s.lower().split() if t] != expect
+
+
 _R14_CHECKS = [
+    _chk_ws_tokenizer_class_is_engine_invariant,
     _chk_xor_fp_count_companion_catches_duplication,
     _chk_every_state_fingerprint_is_folded_and_counted,
     _chk_ivf_pq_rerank_matches_numpy_replay,

@@ -10,20 +10,27 @@ this sweep pass.
 Usage: python tools/check_invariance.py [sf_dir] [query ...] [--serial]
 
 Runs in TWO POOLED PHASES (all queries at 32 shuffle partitions, then
-all at 5, compared pairwise): the phase conf is set once, Spark
-interleaves the per-query jobs across 8 threads. A staged-state
-builder may briefly perturb the session conf mid-phase (they
-save/restore), which only ADDS partition diversity — the sweep's claim
-is result-equality across different partitionings, not a specific
-count. ``--serial`` preserves the original one-query-at-a-time loop.
+all at 5, compared pairwise) across 8 threads. Each query call gets its
+own ``spark.newSession()`` clone with the phase's partition count set on
+THAT clone: SQLConf is per-session, so a staged-state builder that
+save/restores ``spark.sql.shuffle.partitions`` mid-build only touches
+its own clone — the unsynchronized restore can never leak a stale count
+into a concurrent query's phase (which could otherwise compare a query
+at the SAME count twice and false-PASS a variant query). Phase a stores
+only a digest per query (memory stays bounded by the largest single
+result, not the whole surface); a phase-b mismatch re-runs the query at
+32 partitions to print the actual row diff. ``--serial`` preserves the
+original one-query-at-a-time loop on the parent session.
 
-Skips the stateful streaming queries whose scratch staging makes a
-second in-process run order-dependent (they are covered by their own
-stream==batch tests) and compares everything else.
+Nothing is skipped: memory-sink streaming queries register a new sink
+table per call (trivially re-runnable) and file-sink/foreach queries
+reuse fingerprint-keyed scratch state on purpose (idempotent). The
+``SKIP`` set is kept empty for emergencies.
 """
 
 from __future__ import annotations
 
+import hashlib
 import sys
 import threading
 from collections import Counter
@@ -31,10 +38,6 @@ from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, "/root/repo")
 
-# memory-sink streaming queries register a new sink table per call, so
-# they're trivially re-runnable; file-sink/foreach queries reuse
-# fingerprint-keyed scratch state on purpose (idempotent), also fine.
-# Nothing needs skipping by design — keep a list anyway for emergencies.
 SKIP: set[str] = set()
 
 _WORKERS = 8
@@ -46,6 +49,22 @@ def canon(df) -> Counter:
     for row in df.collect():
         out[tuple(repr(row[c]) for c in cols)] += 1
     return out
+
+
+def digest(c: Counter) -> str:
+    h = hashlib.sha256()
+    for key, n in sorted(c.items()):
+        h.update(repr((key, n)).encode())
+    return h.hexdigest()
+
+
+def compare(name: str, a: Counter, b: Counter) -> tuple[bool, str]:
+    """Shared verdict formatter for both the serial and pooled paths."""
+    if a == b:
+        return True, f"PASS {name} ({sum(b.values())} rows)"
+    only_a = list((a - b).keys())[:3]
+    only_b = list((b - a).keys())[:3]
+    return False, f"FAIL {name}: 32p-only={only_a} 5p-only={only_b}"
 
 
 def main() -> None:
@@ -61,6 +80,12 @@ def main() -> None:
     names = [n for n in qs if (not only or n in only) and n not in SKIP]
     failures: list[str] = []
 
+    def run_at(name: str, partitions: str) -> Counter:
+        """One query on a fresh conf-isolated session clone."""
+        sess = spark.newSession()
+        sess.conf.set("spark.sql.shuffle.partitions", partitions)
+        return canon(qs[name](sess, sf_dir))
+
     if serial:
         for name in names:
             try:
@@ -74,55 +99,49 @@ def main() -> None:
                 continue
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", "32")
-            if a == b:
-                print(f"PASS {name} ({sum(a.values())} rows)")
-            else:
-                only_a = list((a - b).keys())[:3]
-                only_b = list((b - a).keys())[:3]
-                print(f"FAIL {name}: 32p-only={only_a} 5p-only={only_b}")
+            ok, msg = compare(name, a, b)
+            print(msg)
+            if not ok:
                 failures.append(name)
     else:
         lock = threading.Lock()
-        phase_a: dict[str, Counter] = {}
+        phase_a: dict[str, str] = {}
         errs: dict[str, str] = {}
 
         def run_phase(phase: str):
             def work(name):
                 if name in errs:
                     return
+                partitions = "32" if phase == "a" else "5"
                 try:
-                    c = canon(qs[name](spark, sf_dir))
+                    c = run_at(name, partitions)
                 except Exception as exc:  # noqa: BLE001
                     with lock:
                         errs[name] = f"{type(exc).__name__}: {exc}"
                     return
                 if phase == "a":
                     with lock:
-                        phase_a[name] = c
+                        phase_a[name] = digest(c)
                     return
-                a = phase_a.pop(name, None)
-                if a == c:
+                if phase_a.pop(name, None) == digest(c):
                     print(f"PASS {name} ({sum(c.values())} rows)", flush=True)
-                else:
-                    only_a = list(((a or Counter()) - c).keys())[:3]
-                    only_b = list((c - (a or Counter())).keys())[:3]
-                    print(
-                        f"FAIL {name}: 32p-only={only_a} 5p-only={only_b}",
-                        flush=True,
-                    )
-                    with lock:
-                        failures.append(name)
+                    return
+                # mismatch: re-run at 32p for the actual row diff
+                try:
+                    a = run_at(name, "32")
+                except Exception as exc:  # noqa: BLE001
+                    a = Counter()
+                    print(f"(diff re-run at 32p errored: {exc})", flush=True)
+                _, msg = compare(name, a, c)
+                print(msg, flush=True)
+                with lock:
+                    failures.append(name)
 
             with ThreadPoolExecutor(max_workers=_WORKERS) as ex:
                 list(ex.map(work, names))
 
-        try:
-            spark.conf.set("spark.sql.shuffle.partitions", "32")
-            run_phase("a")
-            spark.conf.set("spark.sql.shuffle.partitions", "5")
-            run_phase("b")
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        run_phase("a")
+        run_phase("b")
         for name, msg in sorted(errs.items()):
             print(f"ERR  {name}: {msg}")
             failures.append(name)

@@ -8,11 +8,11 @@ name — the driver's documented compare).
 Queries run on a THREAD POOL (the pooled-sweep discipline the contract
 tests use): Spark's scheduler interleaves the jobs, DuckDB runs each
 oracle on its own cursor, and the staged-state builders serialize on
-their build_locks. Safe because every query is partition-invariant by
-construction (the conf a concurrent builder briefly mutates —
-shuffle.partitions, partitionOverwriteMode — can change plans, never
-results; the invariance sweep pins exactly that). A serial fallback:
-``--serial``.
+their build_locks. Each pooled query call gets its own
+``spark.newSession()`` clone — SQLConf is per-session, so the conf a
+staged-state builder save/restores mid-build (shuffle.partitions,
+partitionOverwriteMode) stays on its own clone and can't perturb a
+concurrent query's plan. A serial fallback: ``--serial``.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...] [--serial]
 """
@@ -183,12 +183,14 @@ def main() -> int:
     results: dict[str, tuple[str, str]] = {}
     out_lock = threading.Lock()
 
-    def run(item):
+    def run(item, sess=None):
         name, fn = item
         if not hasattr(cursors, "cur"):
             cursors.cur = con.cursor()
         try:
-            status, msg = check_one(spark, cursors.cur, name, fn, oracles, sf_dir)
+            status, msg = check_one(
+                sess or spark, cursors.cur, name, fn, oracles, sf_dir
+            )
         except Exception as e:  # noqa: BLE001 — harness bug, not a query verdict
             status, msg = "fail", f"FAIL {name}: harness error: {e}"
         with out_lock:
@@ -200,7 +202,7 @@ def main() -> int:
             run(item)
     else:
         with ThreadPoolExecutor(max_workers=_WORKERS) as ex:
-            list(ex.map(run, todo))
+            list(ex.map(lambda item: run(item, spark.newSession()), todo))
 
     n_pass = sum(1 for s, _ in results.values() if s == "pass")
     n_fail = sum(1 for s, _ in results.values() if s == "fail")

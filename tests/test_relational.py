@@ -7,6 +7,8 @@ invariants so a refactor that breaks an operator fails fast.
 
 from __future__ import annotations
 
+import math
+
 import pytest
 
 from pyspark_xgboost_spark.registry import all_oracles, all_queries
@@ -335,7 +337,10 @@ def _chk_array_ops_match_python_recompute(spark):
     ).collect()
     assert set(got) == {r["vec_id"] for r in src}
     for r in src[:25]:
-        milli = [int(round(x * 1000)) for x in r["embedding"]]
+        # floor, like the operator: round would be a THIRD semantics
+        # here (Python banker's) on top of the Spark/DuckDB divergence
+        # the operator's floor quantizer exists to avoid
+        milli = [math.floor(x * 1000) for x in r["embedding"]]
         g = got[r["vec_id"]]
         assert g["n_dims"] == len(milli)
         assert g["sumsq_milli2"] == sum(x * x for x in milli)

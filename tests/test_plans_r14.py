@@ -465,8 +465,38 @@ def _chk_ws_tokenizer_class_is_engine_invariant(spark):
     assert [t for t in s.lower().split() if t] != expect
 
 
+def _chk_money_columns_are_exact_cents(spark):
+    """Pins the DATA CONTRACT the repo's round(x*100) money quantizers
+    stand on: every money/value double in the corpus is an exact
+    2-decimal value (x*100 within 1e-6 of an integer), so round() can
+    never land on a .5 half-edge where Spark's decimal-string HALF_UP
+    and DuckDB's binary rounding disagree (the divergence that bit
+    scalar_array_ops' float32 embeddings at sf0.1). If a future data
+    regeneration ships arbitrary doubles in these columns, this fails
+    with a named column instead of a mystery oracle red."""
+    import duckdb
+
+    con = duckdb.connect()
+    for tbl, col in [
+        ("orders", "o_totalprice"),
+        ("lineitem", "l_extendedprice"),
+        ("lineitem", "l_quantity"),
+        ("customer", "c_acctbal"),
+        ("supplier", "s_acctbal"),
+        ("part", "p_retailprice"),
+        ("events", "value"),
+    ]:
+        bad, worst = con.execute(
+            f"SELECT sum(CASE WHEN abs({col}*100 - round({col}*100)) > 1e-6 "
+            f"THEN 1 ELSE 0 END), max(abs({col}*100 - round({col}*100))) "
+            f"FROM read_parquet('{SF_DIR}/{tbl}.parquet')"
+        ).fetchone()
+        assert bad == 0, f"{tbl}.{col}: {bad} non-exact-cent values (worst {worst})"
+
+
 _R14_CHECKS = [
     _chk_ws_tokenizer_class_is_engine_invariant,
+    _chk_money_columns_are_exact_cents,
     _chk_xor_fp_count_companion_catches_duplication,
     _chk_every_state_fingerprint_is_folded_and_counted,
     _chk_ivf_pq_rerank_matches_numpy_replay,

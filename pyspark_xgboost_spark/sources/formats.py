@@ -138,7 +138,6 @@ def build_lock(path: str):
 # stream pair overlap the batch writer. Register once per session,
 # under a process lock.
 _DOCBIN_REG_LOCK = _threading.Lock()
-_DOCBIN_REG: set[str] = set()
 
 
 def _register_docbin(spark: SparkSession) -> None:
@@ -173,18 +172,24 @@ def _register_docbin(spark: SparkSession) -> None:
     if dflt is not None and dflt is not spark:
         targets.append(dflt)
     for sess in targets:
-        sid = (
-            sess.sparkContext.applicationId,
-            sess._jsparkSession.hashCode(),
-        )
+        # guard flag lives ON the session wrapper, not in a global
+        # keyed set: JVM identity hashCodes can be reissued after a
+        # retired clone is collected, so a hash-keyed set could
+        # false-hit and silently SKIP registering a fresh clone (and
+        # grows by one entry per clone forever). A lost flag merely
+        # re-registers, which the same-session path tolerates (raises
+        # swallowed ALREADY_EXISTS, registry unchanged).
+        if getattr(sess, "_docbin_registered", False):
+            continue
         with _DOCBIN_REG_LOCK:
-            if sid not in _DOCBIN_REG:
-                _pin(sess)
-                try:
-                    sess.dataSource.register(DocBinDataSource)
-                except Exception:  # pragma: no cover - registry API drift
-                    pass
-                _DOCBIN_REG.add(sid)
+            if getattr(sess, "_docbin_registered", False):
+                continue
+            _pin(sess)
+            try:
+                sess.dataSource.register(DocBinDataSource)
+            except Exception:  # pragma: no cover - registry API drift
+                pass
+            sess._docbin_registered = True
     # leave THIS thread's active session pointing at the caller's
     # session before any format resolution (lookupDataSource resolves
     # Python data sources through the JVM thread-local active session)

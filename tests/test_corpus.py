@@ -4,6 +4,7 @@ from pyspark.sql import functions as F
 
 from pyspark_xgboost_spark.operators import corpus, sampling
 from pyspark_xgboost_spark.sources import load_table
+from pyspark_xgboost_spark.utils import ascii_tokens
 from tests.conftest import SF_DIR
 
 
@@ -138,7 +139,7 @@ def _chk_bigram_topk_ordered_and_handchecked(spark):
     docs = load_table(spark, SF_DIR, "documents").select("text").collect()
     count = 0
     for d in docs:
-        toks = [t for t in d["text"].lower().split() if t]
+        toks = ascii_tokens(d["text"])
         count += sum(
             1 for a, b in zip(toks, toks[1:]) if f"{a} {b}" == top
         )
@@ -171,12 +172,12 @@ def _chk_unigram_logprob_consistency(spark):
 
     freq = Counter()
     for d in docs:
-        freq.update(t for t in d["text"].lower().split() if t)
+        freq.update(ascii_tokens(d["text"]))
     total = sum(freq.values())
     import math
 
     d0 = docs[0]
-    toks = [t for t in d0["text"].lower().split() if t]
+    toks = ascii_tokens(d0["text"])
     hand = sum(round(math.log(freq[t] / total) * 1e6) for t in toks)
     got = {r["doc_id"]: r for r in rows}[d0["doc_id"]]
     assert got["sum_lp_micro"] == hand
@@ -257,7 +258,7 @@ def _chk_bpe_pretokenize_matches_python_re(spark):
     from tests.conftest import SF_DIR
 
     got = {r["doc_id"]: r for r in text_bpe_pretokenize(spark, SF_DIR).collect()}
-    pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+    pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]")
     for d in load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect():
         toks = pat.findall(d["text"].lower())
         if not toks:
@@ -292,7 +293,7 @@ def _chk_importance_resample_prefers_target_lang(spark):
     cf, ct = collections.Counter(), collections.Counter()
     toks = {}
     for d in docs:
-        ts = [t for t in d["text"].lower().split() if t]
+        ts = ascii_tokens(d["text"])
         toks[d["doc_id"]] = ts
         for t in ts:
             cf[t] += 1
@@ -333,7 +334,7 @@ def _chk_bigram_perplexity_matches_python_recompute(spark):
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
     bigrams, cb, cu = {}, collections.Counter(), collections.Counter()
     for d in docs:
-        ts = [t for t in d["text"].lower().split() if t]
+        ts = ascii_tokens(d["text"])
         if len(ts) < 2:
             assert d["doc_id"] not in got
             continue
@@ -401,7 +402,7 @@ def _chk_kgram_novelty_matches_sequential_recompute(spark):
     seen = set()
     any_partial = False
     for d in docs:
-        ts = [t for t in d["text"].lower().split() if t]
+        ts = ascii_tokens(d["text"])
         grams = {
             " ".join(ts[i : i + 5]) for i in range(len(ts) - 4)
         }
@@ -442,7 +443,7 @@ def _chk_bpe_train_and_apply_match_reference_python(spark):
     docs = load_table(spark, SF_DIR, "documents").select("source", "text").collect()
     freq: Counter = Counter()
     for row in docs:
-        for w in (row["text"] or "").lower().split():
+        for w in ascii_tokens(row["text"]):
             if w and len(w) <= _BPE_MAX_WORD:
                 freq[w] += 1
     vocab = {tuple(w): f for w, f in freq.items()}
@@ -487,7 +488,7 @@ def _chk_bpe_train_and_apply_match_reference_python(spark):
     expect_apply: dict = {}
     for row in docs:
         n_chars = n_toks = 0
-        for w in (row["text"] or "").lower().split():
+        for w in ascii_tokens(row["text"]):
             if not w or len(w) > _BPE_MAX_WORD:
                 continue
             n_chars += len(w)

@@ -41,7 +41,7 @@ def _chk_stream_decontaminate_incremental_shapes(spark):
     batch = spark.read.parquet(os.path.join(root, "in", "batch-002.parquet"))
     toks = batch.select(
         "doc_id",
-        F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").alias(
+        F.expr("filter(split(lower(text), '[ \\\\t\\\\n\\\\f\\\\r]+'), x -> x != '')").alias(
             "toks"
         ),
     )

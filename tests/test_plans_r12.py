@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
 from tests.test_plans import plan_of
+from pyspark_xgboost_spark.utils import ascii_tokens
 
 
 def _chk_stream_ivf_incremental_is_batch_identical(spark):
@@ -349,7 +350,7 @@ def _chk_readability_matches_python(spark):
     got = {r.doc_id: r for r in out.collect()}
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(30).collect()
     for d in docs:
-        toks = [t for t in re.split(r"\s+", d.text.lower()) if t]
+        toks = ascii_tokens(d.text)
         if not toks:
             continue
         sents = max(1, len(re.findall(r"[.!?]+", d.text)))

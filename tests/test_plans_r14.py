@@ -441,6 +441,24 @@ def _chk_ws_tokenizer_class_is_engine_invariant(spark):
         if bs_s in open(p).read() and not p.endswith("utils.py")
     ]
     assert not offenders, f"bare backslash-s regex in: {offenders}"
+    # test REPLICAS drift too (a review pass found five re-tokenizing
+    # with the old semantics): forbid the replica-shaped patterns in
+    # tests — narrower than the package scan because tests legitimately
+    # regex-scan source code with \s. This file hosts the deliberate
+    # unicode-split counter-example, so it exempts itself.
+    replica_pats = [
+        "lower().split()",
+        "split(lower(text), '" + bs_s,
+        'split(r"' + bs_s,
+    ]
+    offenders = [
+        (p, pat)
+        for p in glob.glob("/root/repo/tests/*.py")
+        if not p.endswith("test_plans_r14.py")
+        for pat in replica_pats
+        if pat in open(p).read()
+    ]
+    assert not offenders, f"old-tokenizer replica in tests: {offenders}"
 
     s = "A b\x0bc d e\tf\x1cgh\r\ni"
     expect = ascii_tokens(s)

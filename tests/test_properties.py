@@ -753,7 +753,7 @@ def _chk_paragraph_dedup_conserves_distinct_blocks(spark):
     assert all(r.n_kept <= r.n_blocks for r in res.collect())
 
     docs = load_table(spark, SF_DIR, "documents")
-    toks = F.expr(r"filter(split(lower(text), '\\s+'), t -> t != '')")
+    toks = F.expr(r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), t -> t != '')")
     distinct_blocks = (
         docs.select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= 1)

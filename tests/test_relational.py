@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pytest
 
 from pyspark_xgboost_spark.registry import all_oracles, all_queries
@@ -337,10 +338,17 @@ def _chk_array_ops_match_python_recompute(spark):
     ).collect()
     assert set(got) == {r["vec_id"] for r in src}
     for r in src[:25]:
-        # floor, like the operator: round would be a THIRD semantics
-        # here (Python banker's) on top of the Spark/DuckDB divergence
-        # the operator's floor quantizer exists to avoid
-        milli = [math.floor(x * 1000) for x in r["embedding"]]
+        # floor, like the operator (round would be a THIRD semantics —
+        # Python banker's — on top of the Spark/DuckDB divergence the
+        # floor quantizer exists to avoid), and the product in FLOAT32
+        # like both engines: embedding is float32 and FLOAT * INT stays
+        # FLOAT in Spark and DuckDB, so a float64 multiply here would
+        # floor one lower at components whose exact product sits within
+        # half a float32 ulp below an integer
+        milli = [
+            math.floor(np.float32(x) * np.float32(1000))
+            for x in r["embedding"]
+        ]
         g = got[r["vec_id"]]
         assert g["n_dims"] == len(milli)
         assert g["sumsq_milli2"] == sum(x * x for x in milli)

@@ -12,6 +12,7 @@ import hashlib
 import pyspark.sql.functions as F
 
 from tests.conftest import SF_DIR
+from pyspark_xgboost_spark.utils import ascii_tokens
 
 
 def _chk_cusum_matches_sequential_fold(spark):
@@ -84,7 +85,7 @@ def _chk_span_corruption_masks_reproduce_in_python(spark):
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
     checked = 0
     for d in docs:
-        toks = [t for t in d.text.lower().split() if t]
+        toks = ascii_tokens(d.text)
         n = len(toks)
         if n < 3:
             assert d.doc_id not in got

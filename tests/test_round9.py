@@ -13,6 +13,7 @@ import math
 import duckdb
 
 from tests.conftest import SF_DIR
+from pyspark_xgboost_spark.utils import ascii_tokens
 
 
 def test_kaplan_meier_matches_pure_python(spark):
@@ -68,7 +69,7 @@ def test_decontaminate_coverage_matches_pure_python(spark):
         f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
     ).fetchall()
     toks = {
-        d: [t for t in text.lower().split() if t] for d, text in docs
+        d: ascii_tokens(text) for d, text in docs
     }
     holdout = set()
     for d, ts in toks.items():

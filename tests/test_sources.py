@@ -63,7 +63,7 @@ def _chk_scan_text_profile_matches_batch(spark):
 
     row = scan_text(spark, SF_DIR).collect()[0]
     docs = load_table(spark, SF_DIR, "documents")
-    toks = F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')")
+    toks = F.expr(r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), x -> x != '')")
     want = docs.agg(
         F.count("*").alias("n"),
         F.sum(F.length("text")).alias("chars"),

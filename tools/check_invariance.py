@@ -132,7 +132,18 @@ def main() -> None:
                 except Exception as exc:  # noqa: BLE001
                     a = Counter()
                     print(f"(diff re-run at 32p errored: {exc})", flush=True)
-                _, msg = compare(name, a, c)
+                same_now, msg = compare(name, a, c)
+                if same_now:
+                    # still a FAILURE: phase a's digest differed, the
+                    # re-run just happened to land on the 5p result —
+                    # run-to-run nondeterminism, the exact bug class
+                    # this sweep hunts; never echo compare()'s PASS text
+                    msg = (
+                        f"FAIL {name}: phase-a digest differed but a "
+                        f"fresh 32p run matched 5p — flaky across "
+                        f"executions, rerun --serial {name} to capture "
+                        f"the diverging rows"
+                    )
                 print(msg, flush=True)
                 with lock:
                     failures.append(name)

@@ -512,9 +512,29 @@ def _chk_money_columns_are_exact_cents(spark):
         assert bad == 0, f"{tbl}.{col}: {bad} non-exact-cent values (worst {worst})"
 
 
+def _chk_document_text_is_ascii(spark):
+    """Pins the second DATA CONTRACT the oracle parity rests on: the
+    documents string columns are pure ASCII, where Spark's and DuckDB's
+    lower()/collation/ordering are provably identical. Unicode case
+    folding differs between engines on specific code points (dotted I,
+    sharp-s, ligatures), so a regenerated corpus containing them should
+    fail HERE with a named column, not as a scatter of oracle
+    mismatches across every lower()-ing query."""
+    import duckdb
+
+    con = duckdb.connect()
+    for col in ("text", "lang", "source"):
+        bad = con.execute(
+            f"SELECT count(*) FROM read_parquet('{SF_DIR}/documents.parquet') "
+            f"WHERE regexp_matches({col}, '[^\\x00-\\x7f]')"
+        ).fetchone()[0]
+        assert bad == 0, f"documents.{col}: {bad} rows contain non-ASCII"
+
+
 _R14_CHECKS = [
     _chk_ws_tokenizer_class_is_engine_invariant,
     _chk_money_columns_are_exact_cents,
+    _chk_document_text_is_ascii,
     _chk_xor_fp_count_companion_catches_duplication,
     _chk_every_state_fingerprint_is_folded_and_counted,
     _chk_ivf_pq_rerank_matches_numpy_replay,

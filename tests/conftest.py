@@ -107,26 +107,31 @@ def spark():
 
 def run_pooled(spark, checks, serial=(), workers=12):
     """Shared pooled-sweep runner for the per-module contract checks
-    (the smoke-sweep discipline): run every check concurrently on the
-    shared session, then the ``serial`` ones (session-conf mutators,
-    AQE-finalization-sensitive assertions) one at a time, and raise
-    with every captured traceback. One implementation — the twelve
-    per-module copies this replaces could silently drift."""
+    (the smoke-sweep discipline): run every check concurrently, each on
+    its own ``spark.newSession()`` clone — SQLConf is per-session, so a
+    check (or a staged-state builder it calls) that save/restores
+    session conf mid-build can't leak a stale value into a concurrent
+    check (the race class behind the round-14 pq-staging flake; the
+    sweep tools use the same isolation). Then the ``serial`` ones
+    (parent-session mutators, AQE-finalization-sensitive assertions)
+    run one at a time on the PARENT session, and raise with every
+    captured traceback. One implementation — the twelve per-module
+    copies this replaces could silently drift."""
     import traceback
     from concurrent.futures import ThreadPoolExecutor
 
     failures = []
 
-    def run(fn):
+    def run(fn, sess=None):
         try:
-            fn(spark)
+            fn(sess if sess is not None else spark)
         except Exception:
             failures.append((fn.__name__, traceback.format_exc()))
 
     serial = tuple(serial)
     pooled = [f for f in checks if f not in serial]
     with ThreadPoolExecutor(max_workers=workers) as ex:
-        list(ex.map(run, pooled))
+        list(ex.map(lambda fn: run(fn, spark.newSession()), pooled))
     for fn in serial:
         run(fn)
     assert not failures, "\n\n".join(f"{n}:\n{tb}" for n, tb in failures)

@@ -531,10 +531,43 @@ def _chk_document_text_is_ascii(spark):
         assert bad == 0, f"documents.{col}: {bad} rows contain non-ASCII"
 
 
+def _chk_plan_linter_catches_row_udfs_and_cartesians(spark):
+    """Self-test of tools/check_plans.py's rules: a genuine
+    row-at-a-time Python UDF and a genuine unbroadcast cross join must
+    each trip the linter, an Arrow-batched boundary and a broadcast
+    cross join must not — otherwise the full-sweep '0 violations'
+    artifact attests a linter that can't fire."""
+    from pyspark.sql.types import LongType
+
+    from tests.test_plans import plan_of
+    from tools.check_plans import lint_plan
+
+    df = spark.range(10)
+    row_udf = F.udf(lambda x: x + 1, LongType(), useArrow=False)
+    bad = lint_plan(plan_of(df.select(row_udf("id"))))
+    assert any("row-at-a-time" in v for v in bad), bad
+
+    # tiny ranges auto-broadcast into a (legal) BNLJ; kill the
+    # threshold so the planner must emit a genuine CartesianProduct —
+    # conf mutation is safe here, run_pooled hands each check a clone
+    spark.conf.set("spark.sql.crossJoin.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    cart = lint_plan(plan_of(df.crossJoin(spark.range(5).alias("b"))))
+    assert any("cartesian" in v for v in cart), cart
+
+    arrow_udf = F.pandas_udf(lambda s: s + 1, "long")
+    assert lint_plan(plan_of(df.select(arrow_udf("id")))) == []
+    assert (
+        lint_plan(plan_of(df.crossJoin(F.broadcast(spark.range(5).alias("c")))))
+        == []
+    )
+
+
 _R14_CHECKS = [
     _chk_ws_tokenizer_class_is_engine_invariant,
     _chk_money_columns_are_exact_cents,
     _chk_document_text_is_ascii,
+    _chk_plan_linter_catches_row_udfs_and_cartesians,
     _chk_xor_fp_count_companion_catches_duplication,
     _chk_every_state_fingerprint_is_folded_and_counted,
     _chk_ivf_pq_rerank_matches_numpy_replay,

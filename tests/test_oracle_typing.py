@@ -46,6 +46,40 @@ sys.exit(_run_typing_sweep())
 """
 
 
+def _stage_tmp_standins(oracles) -> None:
+    """A handful of oracles read a STAGED scratch parquet under /tmp
+    (today: scan_rowgroup_pruning_sim's parquet_metadata() input). The
+    Spark query stages it lazily, so on a fresh host this sweep —
+    which only PLANS the SQL — would fail on the missing file. Write a
+    minimal schema-bearing stand-in (no fingerprint marker, so the
+    real builder still re-stages the proper layout before any query
+    reads it), under the same build lock the builders use."""
+    import re
+
+    from pyspark_xgboost_spark.sources.formats import build_lock
+
+    paths = set()
+    for sql in oracles.values():
+        paths.update(re.findall(r"/tmp/[\w/.\-]+\.parquet", sql))
+    for p in paths:
+        if os.path.exists(p):
+            continue
+        d = os.path.dirname(p)
+        with build_lock(d):
+            if os.path.exists(p):
+                continue
+            os.makedirs(d, exist_ok=True)
+            try:
+                duckdb.sql(
+                    "COPY (SELECT CAST(1 AS BIGINT) AS l_orderkey,"
+                    " CAST(1 AS BIGINT) AS l_quantity,"
+                    " CAST(1 AS BIGINT) AS l_extendedprice)"
+                    f" TO '{p}' (FORMAT PARQUET)"
+                )
+            except Exception as exc:  # pragma: no cover — lost race
+                print(f"stand-in staging for {p} failed: {exc}")
+
+
 def _run_typing_sweep() -> int:
     """Returns 0 when every oracle's declared types are pandas-safe;
     prints offenders and returns 1 otherwise."""
@@ -55,6 +89,7 @@ def _run_typing_sweep() -> int:
     if len(oracles) < 119:
         print(f"suspiciously few oracles registered: {len(oracles)}")
         return 1
+    _stage_tmp_standins(oracles)
 
     from concurrent.futures import ThreadPoolExecutor
 

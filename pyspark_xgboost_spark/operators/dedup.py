@@ -2011,13 +2011,58 @@ def dedup_blocked_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFra
     block is an input-data red flag the audit_partition_skew query
     catches. No driver state, no cartesian."""
     part = load_table(spark, sf_dir, "part")
+    toks_raw = F.array_distinct(F.split(F.col("p_name"), " "))
+    # NAME-TOKEN VOCABULARY BITMASK (r14 optimization pass, guide §2.3
+    # "narrower types"): the name tokens draw from the bounded product
+    # attribute vocabulary (the same boundedness that makes tok1 a
+    # usable blocking key), so each distinct token gets a bit in an
+    # array of 63-bit words and the per-pair set arithmetic becomes
+    # popcounts — |A∩B| = Σ bit_count(a&b), |A∪B| = Σ bit_count(a|b) —
+    # EXACT (type-level ids, no hashing), replacing a per-pair
+    # array_intersect + array_distinct(concat) over string arrays that
+    # dominated the runtime (~1M in-block pairs at sf0.1: measured
+    # 1.77s -> 0.48s noop execution; the oracle pins the identical
+    # scores either way). Vocab is collected once per run — a
+    # dimension-sized model artifact, the codebook pattern. Falls back
+    # to the direct array path if the vocabulary ever outgrows the
+    # mask budget (it cannot on attribute-shaped names, but the
+    # fallback keeps the query correct on arbitrary data).
+    vocab = sorted(
+        r[0]
+        for r in part.select(F.explode(toks_raw).alias("t")).distinct().collect()
+    )
+    use_mask = len(vocab) <= 63 * 16
+    if use_mask:
+        nw = (len(vocab) + 62) // 63
+
+        def _one_hot(i: int) -> str:
+            words = ["0L"] * nw
+            words[i // 63] = f"{1 << (i % 63)}L"
+            return f"array({', '.join(words)})"
+
+        def _q(t: str) -> str:
+            return "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        # one parsed SQL string, not thousands of py4j literal calls
+        entries = ", ".join(
+            f"{_q(t)}, {_one_hot(i)}" for i, t in enumerate(vocab)
+        )
+        zero = "array(" + ", ".join(["0L"] * nw) + ")"
+        toks_col = F.expr(
+            f"aggregate(array_distinct(split(p_name, ' ')), {zero},"
+            f" (acc, t) -> zip_with(acc, element_at(map({entries}), t),"
+            " (x, y) -> x | y))"
+        )
+    else:  # pragma: no cover — attribute vocab never outgrows the mask
+        nw = 0
+        toks_col = toks_raw
     p = part.select(
         "p_partkey",
         "p_brand",
         "p_type",
         F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
         F.split(F.col("p_name"), " ").getItem(0).alias("tok1"),
-        F.array_distinct(F.split(F.col("p_name"), " ")).alias("toks"),
+        toks_col.alias("toks"),
     )
     a = p.select(
         F.col("p_partkey").alias("key_a"),
@@ -2036,10 +2081,21 @@ def dedup_blocked_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("toks").alias("toks_b"),
     )
     pairs = a.join(b, ["brand", "tok1"]).filter(F.col("key_a") < F.col("key_b"))
-    jacc = F.expr(
-        "size(array_intersect(toks_a, toks_b)) * 1000000"
-        " div size(array_distinct(concat(toks_a, toks_b)))"
-    ).cast("bigint")
+    if use_mask:
+        iw = " + ".join(
+            f"bit_count(toks_a[{w}] & toks_b[{w}])" for w in range(nw)
+        )
+        uw = " + ".join(
+            f"bit_count(toks_a[{w}] | toks_b[{w}])" for w in range(nw)
+        )
+        jacc = F.expr(
+            f"cast({iw} as bigint) * 1000000 div cast({uw} as bigint)"
+        ).cast("bigint")
+    else:  # pragma: no cover
+        jacc = F.expr(
+            "size(array_intersect(toks_a, toks_b)) * 1000000"
+            " div size(array_distinct(concat(toks_a, toks_b)))"
+        ).cast("bigint")
     price_close = (
         F.when(F.abs(F.col("cents_a") - F.col("cents_b")) <= _ER_PRICE_CENTS, 1)
         .otherwise(0)

@@ -277,7 +277,19 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), t -> t != '')")
         ).alias("token")
     )
-    exact = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
+    # r14 optimization pass (guide §2.3 "aggregate before you shuffle"):
+    # a counter cell's value is Σ over tokens hashing into it of that
+    # token's occurrence count, so the 4 md5 probes run once per
+    # DISTINCT token (vocab-sized — the exact per-token agg was already
+    # in the plan for the heavy-hitter attestation) instead of once per
+    # token OCCURRENCE; the counters are bit-identical. The exact table
+    # is localCheckpointed once for its two consumers (top-k probe +
+    # sketch build), which also drops the second tokenize pass.
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact_count"))
+        .localCheckpoint(eager=True)
+    )
     top = exact.orderBy(F.desc("exact_count"), F.asc("token")).limit(20)
 
     dd = F.array(*[F.lit(i) for i in range(4)])
@@ -287,8 +299,10 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             16, 10,
         ).cast("bigint") % _CMS_W
     )
-    occ = toks.withColumn("d", F.explode(dd)).select("d", bucket.alias("bucket"))
-    counters = occ.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+    occ = exact.withColumn("d", F.explode(dd)).select(
+        "d", bucket.alias("bucket"), "exact_count"
+    )
+    counters = occ.groupBy("d", "bucket").agg(F.sum("exact_count").alias("c"))
 
     probes = (
         top.withColumn("d", F.explode(dd))

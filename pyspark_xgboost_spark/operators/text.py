@@ -783,6 +783,11 @@ def _bigram_edges(docs: DataFrame) -> DataFrame:
     and the graph-metrics ops (graph.py) so the co-occurrence graph
     definition cannot drift between consumers."""
     toks = F.expr(r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), x -> x != '')")
+    # both edge directions come out of ONE generate over the token
+    # array (r14 optimization pass): the former self-union ran the
+    # tokenize + zip_with pass twice; flattening (l,r)/(r,l) into the
+    # exploded array halves the map-side work and the groupBy sees the
+    # identical multiset, so (src, dst, w) is unchanged.
     big = (
         docs.select(toks.alias("toks"))
         # slice(toks, 1, -1) throws on an empty/whitespace-only doc
@@ -790,21 +795,18 @@ def _bigram_edges(docs: DataFrame) -> DataFrame:
         .select(
             F.explode(
                 F.expr(
-                    "zip_with(slice(toks, 1, size(toks) - 1),"
-                    "         slice(toks, 2, size(toks) - 1),"
-                    "         (l, r) -> struct(l, r))"
+                    "flatten(zip_with("
+                    "  slice(toks, 1, size(toks) - 1),"
+                    "  slice(toks, 2, size(toks) - 1),"
+                    "  (l, r) -> IF(l = r, array(),"
+                    "    array(struct(l AS src, r AS dst),"
+                    "          struct(r AS src, l AS dst)))))"
                 )
             ).alias("p")
         )
-        .filter(F.col("p.l") != F.col("p.r"))
-        .select("p.l", "p.r")
+        .select("p.src", "p.dst")
     )
-    return (
-        big.select(F.col("l").alias("src"), F.col("r").alias("dst"))
-        .union(big.select(F.col("r").alias("src"), F.col("l").alias("dst")))
-        .groupBy("src", "dst")
-        .agg(F.count("*").cast("bigint").alias("w"))
-    )
+    return big.groupBy("src", "dst").agg(F.count("*").cast("bigint").alias("w"))
 
 
 
@@ -867,7 +869,12 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     The edge table materializes once (localCheckpoint) and all
     {_TR_ITERS} iterations reuse it in one lazy plan."""
     docs = load_table(spark, sf_dir, "documents")
-    edges = _bigram_edges(docs)
+    # checkpoint the EDGE LIST, not just e2 (r14 optimization pass):
+    # deg, n_nodes and pr0 all derive from edges, so without this the
+    # corpus-sized tokenize/bigram pass ran three times (e2 checkpoint,
+    # n_nodes count, pr0's deg inside the final plan); now it runs once
+    # and everything downstream replays the type-level RDD scan.
+    edges = _bigram_edges(docs).localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wdeg"))
     e2 = (
         edges.join(deg, "src")

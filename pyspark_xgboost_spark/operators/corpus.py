@@ -455,13 +455,16 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
+    # one materialized hashed-feature pass (r14 optimization): fit and
+    # transform both consume b; without the checkpoint each side
+    # re-ran tokenize + explode + md5 over the corpus
     b = big.select(
         "doc_id",
         (
             F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
             % _DSIR_B
         ).alias("bucket"),
-    )
+    ).localCheckpoint(eager=True)
     cnt = b.groupBy("bucket").agg(
         F.sum(F.when(F.col("doc_id") % 50 == 0, 1).otherwise(0)).alias("ct"),
         F.sum(F.when(F.col("doc_id") % 50 != 0, 1).otherwise(0)).alias("cr"),
@@ -1144,8 +1147,14 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> struct(concat_ws(' ', element_at(ts, i), element_at(ts, i + 1)) "
         "AS big, element_at(ts, i) AS prev))"
     )
-    bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", F.col("p.big").alias("big"), F.col("p.prev").alias("prev")
+    # one materialized bigram pass for its three consumers (bf, uf and
+    # the probe side) — r14 optimization, same shape as kneser_ney
+    bg = (
+        toks.select("doc_id", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id", F.col("p.big").alias("big"), F.col("p.prev").alias("prev")
+        )
+        .localCheckpoint(eager=True)
     )
     bf = bg.groupBy("big").agg(F.count("*").alias("cb"))
     uf = bg.groupBy("prev").agg(F.count("*").alias("cu"))
@@ -1227,6 +1236,11 @@ def corpus_kgram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2), "
         "element_at(ts, i + 3), element_at(ts, i + 4)))"
     )
+    # NOTE (r14 optimization pass): no checkpoint here on purpose —
+    # both consumers (minima + probe join) shuffle by the same key g,
+    # so AQE's ReusedExchange already computes the distinct once; a
+    # paired A/B measured the checkpoint slightly NEGATIVE (1.38 s vs
+    # 1.50 s at sf0.1).
     d = (
         toks.select("doc_id", F.explode(grams).alias("g"))
         .distinct()
@@ -1682,21 +1696,30 @@ def text_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> struct(concat_ws(' ', element_at(ts, i), element_at(ts, i + 1)) "
         "AS big, element_at(ts, i) AS prev, element_at(ts, i + 1) AS nxt))"
     )
-    bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id",
-        F.col("p.big").alias("big"),
-        F.col("p.prev").alias("prev"),
-        F.col("p.nxt").alias("nxt"),
+    # ONE materialized bigram pass (r14 optimization): bg feeds five
+    # statistics plus the probe side; without the checkpoint each
+    # consumer re-tokenized and re-exploded the corpus (5 full passes).
+    # The two prev-keyed stats fuse into one aggregation (one shuffle,
+    # one join back instead of two) — identical values.
+    bg = (
+        toks.select("doc_id", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.big").alias("big"),
+            F.col("p.prev").alias("prev"),
+            F.col("p.nxt").alias("nxt"),
+        )
+        .localCheckpoint(eager=True)
     )
     bf = bg.groupBy("big").agg(F.count("*").alias("cb"))
-    uf = bg.groupBy("prev").agg(F.count("*").alias("cu"))
-    nl = bg.groupBy("prev").agg(F.countDistinct("nxt").alias("n1l"))
+    ul = bg.groupBy("prev").agg(
+        F.count("*").alias("cu"), F.countDistinct("nxt").alias("n1l")
+    )
     nr = bg.groupBy("nxt").agg(F.countDistinct("prev").alias("n1r"))
     nb = bf.agg(F.count("*").alias("nbt"))
     s = (
         bg.join(bf, "big")
-        .join(uf, "prev")
-        .join(nl, "prev")
+        .join(ul, "prev")
         .join(nr, "nxt")
         .join(F.broadcast(nb))
         .select(
@@ -1838,18 +1861,30 @@ def corpus_cooccurrence_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginal aggregates have map-side combine. The 100 TB GloVe-prep
     form is identical plus a frequency cutoff on the vocabulary."""
     docs = load_table(spark, sf_dir, "documents")
-    pos = docs.select(
-        "doc_id",
-        F.posexplode(F.expr(_TOKS)).alias("i", "w"),
+    # r14 optimization (guide §2.4 remove shuffles outright): the ±2
+    # windowed pairs came from a doc_id-keyed SELF-JOIN of the
+    # position-exploded token stream — two shuffles of the whole token
+    # stream just to pair each position with the next two. The window
+    # is intra-document and bounded, so ONE generate over the token
+    # array emits the identical pair multiset ((i,i+1) and (i,i+2),
+    # word-order-normalized) with zero pre-aggregation shuffles; the
+    # pair stream is checkpointed once for its three consumers
+    # (pair counts, marginals, total).
+    toks = docs.select(F.expr(_TOKS).alias("ts")).filter(F.size("ts") >= 2)
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(ts) - 1), i -> "
+        "IF(i + 2 <= size(ts), "
+        "array(struct(least(ts[i-1], ts[i]) AS w1,"
+        "             greatest(ts[i-1], ts[i]) AS w2),"
+        "      struct(least(ts[i-1], ts[i+1]) AS w1,"
+        "             greatest(ts[i-1], ts[i+1]) AS w2)), "
+        "array(struct(least(ts[i-1], ts[i]) AS w1,"
+        "             greatest(ts[i-1], ts[i]) AS w2)))))"
     )
-    a = pos.select("doc_id", F.col("i").alias("ia"), F.col("w").alias("wa"))
-    b = pos.select("doc_id", F.col("i").alias("ib"), F.col("w").alias("wb"))
-    pairs = a.join(b, "doc_id").filter(
-        (F.col("ib") > F.col("ia")) & (F.col("ib") <= F.col("ia") + 2)
-    )
-    pairs = pairs.select(
-        F.when(F.col("wa") <= F.col("wb"), F.col("wa")).otherwise(F.col("wb")).alias("w1"),
-        F.when(F.col("wa") <= F.col("wb"), F.col("wb")).otherwise(F.col("wa")).alias("w2"),
+    pairs = (
+        toks.select(F.explode(pair_expr).alias("p"))
+        .select("p.w1", "p.w2")
+        .localCheckpoint(eager=True)
     )
     pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
     m = (
@@ -3172,6 +3207,9 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("typ"),
         )
+        # one materialized explode pass for its two consumers
+        # (first_seen + doc_n) — r14 optimization
+        .localCheckpoint(eager=True)
     )
     first_seen = big.groupBy("typ").agg(F.min("doc_id").alias("first_doc"))
     doc_n = big.groupBy("doc_id").agg(

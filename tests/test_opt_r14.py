@@ -175,3 +175,51 @@ def test_bigram_edges_single_generate_matches_union_construction(spark):
         "w",
     )
     assert new == legacy
+
+
+def test_ppmi_windowed_pairs_match_self_join_construction(spark):
+    """corpus_cooccurrence_ppmi's single-generate ±2-window pair stream
+    must equal the legacy position-exploded self-join multiset."""
+    from pyspark_xgboost_spark.operators.corpus import _TOKS
+    from pyspark_xgboost_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+
+    toks = docs.select(F.expr(_TOKS).alias("ts")).filter(F.size("ts") >= 2)
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(ts) - 1), i -> "
+        "IF(i + 2 <= size(ts), "
+        "array(struct(least(ts[i-1], ts[i]) AS w1,"
+        "             greatest(ts[i-1], ts[i]) AS w2),"
+        "      struct(least(ts[i-1], ts[i+1]) AS w1,"
+        "             greatest(ts[i-1], ts[i+1]) AS w2)), "
+        "array(struct(least(ts[i-1], ts[i]) AS w1,"
+        "             greatest(ts[i-1], ts[i]) AS w2)))))"
+    )
+    new = sorted(
+        tuple(r)
+        for r in toks.select(F.explode(pair_expr).alias("p"))
+        .groupBy("p.w1", "p.w2")
+        .count()
+        .collect()
+    )
+
+    pos = docs.select("doc_id", F.posexplode(F.expr(_TOKS)).alias("i", "w"))
+    a = pos.select("doc_id", F.col("i").alias("ia"), F.col("w").alias("wa"))
+    b = pos.select("doc_id", F.col("i").alias("ib"), F.col("w").alias("wb"))
+    legacy_pairs = (
+        a.join(b, "doc_id")
+        .filter((F.col("ib") > F.col("ia")) & (F.col("ib") <= F.col("ia") + 2))
+        .select(
+            F.when(F.col("wa") <= F.col("wb"), F.col("wa"))
+            .otherwise(F.col("wb"))
+            .alias("w1"),
+            F.when(F.col("wa") <= F.col("wb"), F.col("wb"))
+            .otherwise(F.col("wa"))
+            .alias("w2"),
+        )
+    )
+    legacy = sorted(
+        tuple(r) for r in legacy_pairs.groupBy("w1", "w2").count().collect()
+    )
+    assert new == legacy

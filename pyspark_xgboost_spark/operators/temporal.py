@@ -3776,11 +3776,21 @@ def _daily_count_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     type list (both broadcast-sized); the raw stream collapses to the
     (type, day) count table in one partial-agg pass."""
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.date_trunc("day", F.min("ts")).alias("d0"),
-        F.date_trunc("day", F.max("ts")).alias("d1"),
+    # r14 optimization: ONE events scan (guide §2.4). bounds and the
+    # type list both derive from the day-count table itself —
+    # date_trunc(day, ·) is monotone, so min/max over the truncated
+    # days equal the truncation of the raw min/max ts — and the count
+    # table is checkpointed (types × days rows, dimension-sized): the
+    # sequential-DP consumers (DTW, Holt-Winters, Kalman, RTS) each
+    # fan this series into several differently-keyed aggregates, which
+    # previously multiplied into dozens of raw-events scans per plan.
+    cnt = (
+        ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)
     )
-    types = ev.select("event_type").distinct()
+    bounds = cnt.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    types = cnt.select("event_type").distinct()
     spine = (
         bounds.select(
             F.explode(
@@ -3797,9 +3807,6 @@ def _daily_count_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t"),
         )
     )
-    cnt = ev.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
-    ).agg(F.count("*").cast("bigint").alias("x"))
     return spine.join(cnt, ["event_type", "d"], "left").select(
         "event_type",
         "t",

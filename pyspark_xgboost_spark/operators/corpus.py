@@ -3437,6 +3437,10 @@ def corpus_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("digest"),
         )
         .distinct()
+        # one materialized md5-shingle pass for its three differently-
+        # keyed consumers (sizes + both self-join sides) — r14
+        # optimization; the final plan re-ran the shingle pipeline 4x
+        .localCheckpoint(eager=True)
     )
     sz = grams.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_grams")

@@ -780,9 +780,14 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"x -> cast(round(x * {_PI_Q}) as bigint))"
         ).alias("q"),
     )
-    e = xq.select(
-        "vec_id", F.posexplode("q").alias("j0", "x")
-    ).select("vec_id", (F.col("j0") + 1).alias("j"), "x")
+    # one materialized explode pass (r14 optimization): d1/y1/d2/y2 all
+    # consume e under different shuffle keys, so the final plan scanned
+    # embeddings 12x without this
+    e = (
+        xq.select("vec_id", F.posexplode("q").alias("j0", "x"))
+        .select("vec_id", (F.col("j0") + 1).alias("j"), "x")
+        .localCheckpoint(eager=True)
+    )
 
     def sdiv(num: str, den) -> F.Column:
         return F.expr(_sign_trunc_div_sql(num, den))
@@ -3092,15 +3097,23 @@ def embedding_scalar_quantize_eval(spark: SparkSession, sf_dir: str) -> DataFram
             "transform(array_sort(collect_list(struct(j0, mx))), s -> s.mx)"
         ).alias("mxs"),
     )
-    deq = xm.join(F.broadcast(st_row)).select(
-        "vec_id",
-        "xm",
-        F.expr(
-            f"transform(sequence(1, {_KM_DIM}), j -> element_at(mns, j)"
-            f" + ((element_at(xm, j) - element_at(mns, j)) * 255"
-            f" div greatest(1L, element_at(mxs, j) - element_at(mns, j)))"
-            f" * (element_at(mxs, j) - element_at(mns, j)) div 255)"
-        ).alias("dq"),
+    # one materialized quantize/dequantize pass (r14 optimization): the
+    # panel and the corpus side of the eval crossJoin both consume deq,
+    # which re-scanned embeddings and re-ran the two 64-dim array
+    # transforms per consumer (10 scans in the final plan)
+    deq = (
+        xm.join(F.broadcast(st_row))
+        .select(
+            "vec_id",
+            "xm",
+            F.expr(
+                f"transform(sequence(1, {_KM_DIM}), j -> element_at(mns, j)"
+                f" + ((element_at(xm, j) - element_at(mns, j)) * 255"
+                f" div greatest(1L, element_at(mxs, j) - element_at(mns, j)))"
+                f" * (element_at(mxs, j) - element_at(mns, j)) div 255)"
+            ).alias("dq"),
+        )
+        .localCheckpoint(eager=True)
     )
     panel = deq.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),

@@ -437,18 +437,25 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     observation stay NULL in both engines."""
     ev = load_table(spark, sf_dir, "events")
     hour = F.date_trunc("hour", F.col("ts").cast("timestamp"))
-    hourly = ev.groupBy(F.col("event_type"), hour.alias("h")).agg(
-        F.count("*").alias("n"),
-        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
+    # ONE checkpointed events scan (r14 optimization): bounds and the
+    # type list derive from the hourly table itself — date_trunc is
+    # monotone, so min/max commute with it (the _daily_count_series
+    # discipline)
+    hourly = (
+        ev.groupBy(F.col("event_type"), hour.alias("h"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+                "cents"
+            ),
+        )
+        .localCheckpoint(eager=True)
     )
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min(F.col("ts").cast("timestamp"))).alias("hmin"),
-        F.date_trunc("hour", F.max(F.col("ts").cast("timestamp"))).alias("hmax"),
-    )
+    bounds = hourly.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
     spine_hours = bounds.select(
         F.explode(F.expr("sequence(hmin, hmax, interval 1 hour)")).alias("h")
     )
-    types = ev.select("event_type").distinct()
+    types = hourly.select("event_type").distinct()
     spine = types.crossJoin(F.broadcast(spine_hours))
     j = spine.join(hourly, ["event_type", "h"], "left").select(
         "event_type",
@@ -1381,18 +1388,23 @@ def temporal_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen / next seen), never a buffered history."""
     ev = load_table(spark, sf_dir, "events")
     hour = F.date_trunc("hour", F.col("ts").cast("timestamp"))
-    hourly = ev.groupBy(F.col("event_type"), hour.alias("h")).agg(
-        F.count("*").alias("n"),
-        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
+    # ONE checkpointed events scan (r14 optimization; see
+    # _daily_count_series): bounds/types derive from the hourly table
+    hourly = (
+        ev.groupBy(F.col("event_type"), hour.alias("h"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+                "cents"
+            ),
+        )
+        .localCheckpoint(eager=True)
     )
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min(F.col("ts").cast("timestamp"))).alias("hmin"),
-        F.date_trunc("hour", F.max(F.col("ts").cast("timestamp"))).alias("hmax"),
-    )
+    bounds = hourly.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
     spine_hours = bounds.select(
         F.explode(F.expr("sequence(hmin, hmax, interval 1 hour)")).alias("h")
     )
-    types = ev.select("event_type").distinct()
+    types = hourly.select("event_type").distinct()
     spine = types.crossJoin(F.broadcast(spine_hours))
     j = spine.join(hourly, ["event_type", "h"], "left").select(
         "event_type",
@@ -3634,11 +3646,15 @@ def window_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned, and the only event-proportional work is the first
     count."""
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    # ONE checkpointed events scan (r14 optimization; see
+    # _daily_count_series): bounds/types derive from the hourly table
+    cnt = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)
     )
-    types = ev.select("event_type").distinct()
+    bounds = cnt.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = cnt.select("event_type").distinct()
     spine = (
         bounds.select(
             F.explode(
@@ -3655,9 +3671,6 @@ def window_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("timestampdiff(HOUR, h0, h)").cast("bigint").alias("t"),
         )
     )
-    cnt = ev.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(F.count("*").cast("bigint").alias("x"))
     ser = spine.join(cnt, ["event_type", "h"], "left").select(
         "event_type",
         "t",
@@ -4343,11 +4356,15 @@ def events_kleinberg_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n) with O(1) state); interval rollup is output-sized. Nothing
     after the first count is event-proportional."""
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    # ONE checkpointed events scan (r14 optimization; see
+    # _daily_count_series): bounds/types derive from the hourly table
+    cnt = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .localCheckpoint(eager=True)
     )
-    types = ev.select("event_type").distinct()
+    bounds = cnt.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = cnt.select("event_type").distinct()
     spine = (
         bounds.select(
             F.explode(
@@ -4366,9 +4383,6 @@ def events_kleinberg_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t"),
         )
     )
-    cnt = ev.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(F.count("*").cast("bigint").alias("x"))
     ser = spine.join(cnt, ["event_type", "h"], "left").select(
         "event_type",
         "t",

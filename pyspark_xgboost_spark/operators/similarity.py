@@ -3206,11 +3206,33 @@ def _gg_hop_sql(prev: str, out: str, tbl: str = "knn") -> str:
     )"""
 
 
+def _gg_knn_pairs(ids, q):
+    """Exact per-cell kNN pairs over sorted ids and their (row-aligned)
+    quantized vectors: exact integer distances via one float64 matmul
+    (all magnitudes < 2^53, so the float math IS exact), ties to the
+    lowest id. Returns (src_list, dst_list)."""
+    import numpy as np
+
+    k = min(_GG_KNN, len(ids) - 1)
+    if k <= 0:
+        return [], []
+    nq = (q * q).sum(1)
+    d = nq[:, None] + nq[None, :] - 2.0 * (q @ q.T)
+    np.fill_diagonal(d, np.inf)
+    src, dst = [], []
+    for i in range(len(ids)):
+        # lexsort: primary key d[i], tie-break lowest id (ids are
+        # sorted, so index order IS id order under stable keys)
+        nn = np.lexsort((ids, d[i]))[:k]
+        src.extend([ids[i]] * k)
+        dst.extend(ids[nn])
+    return src, dst
+
+
 def _gg_knn_edges(asg: DataFrame) -> DataFrame:
     """Cell-blocked kNN graph construction over an assignment frame
     (vec_id, q, cid): per-cell exact integer pairwise distances via
-    one float64 matmul (all magnitudes < 2^53, so the float math IS
-    exact) — the SQL zip_with fold is an interpreted
+    one float64 matmul — the SQL zip_with fold is an interpreted
     HigherOrderFunction, ~20x slower over cell^2 pairs."""
 
     def knn_kernel(pdf):
@@ -3218,26 +3240,46 @@ def _gg_knn_edges(asg: DataFrame) -> DataFrame:
         import pandas as pd
 
         ids = pdf["vec_id"].to_numpy()
-        k = min(_GG_KNN, len(ids) - 1)
-        if k <= 0:
-            return pd.DataFrame({"src": [], "dst": []})
         perm = np.argsort(ids)
         ids = ids[perm]
         q = np.stack(pdf["q"].to_numpy())[perm].astype(np.float64)
-        nq = (q * q).sum(1)
-        d = nq[:, None] + nq[None, :] - 2.0 * (q @ q.T)
-        np.fill_diagonal(d, np.inf)
-        src, dst = [], []
-        for i in range(len(ids)):
-            # lexsort: primary key d[i], tie-break lowest id (ids are
-            # sorted, so index order IS id order under stable keys)
-            nn = np.lexsort((ids, d[i]))[:k]
-            src.extend([ids[i]] * k)
-            dst.extend(ids[nn])
+        src, dst = _gg_knn_pairs(ids, q)
         return pd.DataFrame({"src": src, "dst": dst})
 
     return asg.select("vec_id", "q", "cid").groupBy("cid").applyInPandas(
         knn_kernel, "src long, dst long"
+    )
+
+
+def _gg_knn_edges_two_layer(asg: DataFrame, l1_mod: int) -> DataFrame:
+    """Both HNSW layers' cell-blocked kNN graphs out of ONE per-cell
+    kernel pass (r14 optimization): layer 0 over every cell member,
+    layer 1 over the deterministic 1-in-l1_mod subsample — the same
+    math `_gg_knn_edges` runs on the filtered frame, but without a
+    second applyInPandas stage, vector join and checkpoint. Returns
+    (src, dst, layer)."""
+
+    def knn_kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        perm = np.argsort(ids)
+        ids = ids[perm]
+        q = np.stack(pdf["q"].to_numpy())[perm].astype(np.float64)
+        s0, d0 = _gg_knn_pairs(ids, q)
+        sub = ids % l1_mod == 0
+        s1, d1 = _gg_knn_pairs(ids[sub], q[sub])
+        return pd.DataFrame(
+            {
+                "src": list(s0) + list(s1),
+                "dst": list(d0) + list(d1),
+                "layer": [0] * len(s0) + [1] * len(s1),
+            }
+        )
+
+    return asg.select("vec_id", "q", "cid").groupBy("cid").applyInPandas(
+        knn_kernel, "src long, dst long, layer int"
     )
 
 
@@ -3726,15 +3768,22 @@ def sim_search_hnsw_two_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     asg = _km_assign(xq, _km_cent_row(cents))
     corpus = xq.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("cq2"))
-    edges0 = _gg_edges_with_vectors(
-        _gg_with_self_edges(_gg_knn_edges(asg)), corpus
+    # both layers' adjacency out of ONE kernel pass + ONE vector join +
+    # ONE checkpoint (r14 optimization: was two applyInPandas stages,
+    # two joins, two checkpoints — identical edges, layer-tagged)
+    knn = _gg_knn_edges_two_layer(asg, _HNSW_L1_MOD)
+    withself = knn.unionByName(
+        knn.select("src", "layer")
+        .distinct()
+        .select("src", F.col("src").alias("dst"), "layer")
     )
-    edges1 = _gg_edges_with_vectors(
-        _gg_with_self_edges(
-            _gg_knn_edges(asg.filter(F.col("vec_id") % _HNSW_L1_MOD == 0))
-        ),
-        corpus,
+    edges_all = (
+        withself.join(corpus, withself["dst"] == corpus["cand_id"])
+        .select("src", "dst", "layer", "cq2")
+        .localCheckpoint(eager=True)
     )
+    edges0 = edges_all.filter(F.col("layer") == 0).select("src", "dst", "cq2")
+    edges1 = edges_all.filter(F.col("layer") == 1).select("src", "dst", "cq2")
     entry1 = (
         xq.filter(F.col("vec_id") % _HNSW_L1_MOD == 0)
         .agg(F.min("vec_id").alias("e"))

@@ -223,3 +223,34 @@ def test_ppmi_windowed_pairs_match_self_join_construction(spark):
         tuple(r) for r in legacy_pairs.groupBy("w1", "w2").count().collect()
     )
     assert new == legacy
+
+
+def test_hnsw_two_layer_knn_matches_per_layer_builders(spark):
+    """_gg_knn_edges_two_layer's layer-tagged output must equal running
+    _gg_knn_edges separately on the full frame (layer 0) and on the
+    1-in-mod subsample (layer 1)."""
+    from pyspark_xgboost_spark.operators.similarity import (
+        _HNSW_L1_MOD,
+        _KM_K,
+        _gg_knn_edges,
+        _gg_knn_edges_two_layer,
+        _km_assign,
+        _km_cent_row,
+        _km_xq,
+    )
+
+    xq = _km_xq(spark, SF_DIR)
+    cents = xq.orderBy("vec_id").limit(_KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    asg = _km_assign(xq, _km_cent_row(cents))
+    merged = _gg_knn_edges_two_layer(asg, _HNSW_L1_MOD)
+    l0 = _rows(merged.filter(F.col("layer") == 0), "src", "dst")
+    l1 = _rows(merged.filter(F.col("layer") == 1), "src", "dst")
+    ref0 = _rows(_gg_knn_edges(asg), "src", "dst")
+    ref1 = _rows(
+        _gg_knn_edges(asg.filter(F.col("vec_id") % _HNSW_L1_MOD == 0)),
+        "src",
+        "dst",
+    )
+    assert l0 == ref0 and l1 == ref1 and len(l1) > 0

@@ -73,22 +73,58 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # harmless for µs encodings
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     physical = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    _record_stream_input_bytes(spark, os.path.join(sf_dir, "events.parquet"))
     raw = spark.readStream.schema(physical).parquet(_events_stream_dir(sf_dir))
     return normalize_event_ts(raw)
+
+
+_STREAM_INPUT_BYTES_CONF = "spark_graft.stream.input_bytes"
+_STATE_PARTITION_TARGET_BYTES = 64 << 20  # ~64 MB of source per store
 
 
 def _state_partitions(spark: SparkSession) -> int:
     """Stateful streaming opens + commits one state store PER shuffle
     partition PER micro-batch — at 32 partitions that fixed cost is ~3s
-    per pass locally vs ~0.2s of actual aggregation. Size the state
-    partitioning to the executor slots that will process it (cores/4,
-    floor 4), not to the batch-oriented shuffle default; a real
-    deployment sizes this to total-state-bytes / executor-memory since
-    it is pinned in the checkpoint for the life of the query."""
-    return max(4, spark.sparkContext.defaultParallelism // 4)
+    per pass locally vs ~0.2s of actual aggregation (re-measured r14:
+    the stream-stream join runs 6.7s at 8 partitions vs 3.5s at 4 on
+    the same input). The partition count is DERIVED FROM THE SOURCE
+    INPUT SIZE (one store per ~64 MB of input, floor 4) when the
+    stream reader has recorded it on the session — the state-bytes /
+    store sizing a real deployment does, since the count is pinned in
+    the checkpoint for the life of the query — capped at 32x the
+    cluster's slots so a huge backfill cannot mint millions of tiny
+    stores. Without a recorded size it falls back to cores/4, floor
+    4 (the pre-r14 behavior)."""
+    par = spark.sparkContext.defaultParallelism
+    try:
+        b = int(spark.conf.get(_STREAM_INPUT_BYTES_CONF, "0"))
+    except Exception:  # pragma: no cover — conf access never fails
+        b = 0
+    if b <= 0:
+        return max(4, par // 4)
+    return max(4, min(b // _STATE_PARTITION_TARGET_BYTES + 1, 32 * par))
 
 
-def _run_to_memory(out: DataFrame, mode: str) -> DataFrame:
+def _record_stream_input_bytes(spark: SparkSession, path: str) -> None:
+    """Record the stream source's on-disk input size on the session so
+    _state_partitions can size state stores from it; best-effort."""
+    try:
+        if os.path.isdir(path):
+            b = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith(("_", "."))
+            )
+        else:
+            b = os.path.getsize(path)
+        spark.conf.set(_STREAM_INPUT_BYTES_CONF, str(b))
+    except OSError:  # pragma: no cover — sizing is advisory only
+        pass
+
+
+def _run_to_memory(
+    out: DataFrame, mode: str, min_parts: int | None = None
+) -> DataFrame:
     """Execute a streaming DF to completion into a memory sink and
     return the sink table (one availableNow pass = all input files).
 
@@ -99,7 +135,15 @@ def _run_to_memory(out: DataFrame, mode: str) -> DataFrame:
     name = f"stream_sink_{next(_counter)}"
     spark = out.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(_state_partitions(spark)))
+    # min_parts: compute-bound Python state kernels
+    # (applyInPandasWithState) want one slot per store regardless of
+    # input volume — their cost is the kernel, not the store commit
+    # (r14 A/B: user_stats 1.71s at cores/4=8 vs 2.0s at the
+    # input-derived 4; the SQL-state ops measure the opposite)
+    parts = _state_partitions(spark)
+    if min_parts:
+        parts = max(parts, min_parts)
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
         q = (
             out.writeStream.outputMode(mode)
@@ -263,7 +307,11 @@ def events_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataF
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return _run_to_memory(out, "update")
+    spark_ = out.sparkSession
+    return _run_to_memory(
+        out, "update",
+        min_parts=max(4, spark_.sparkContext.defaultParallelism // 4),
+    )
 
 
 @register(
@@ -526,7 +574,9 @@ def read_events_stream_kafka_shape(spark: SparkSession, sf_dir: str) -> DataFram
     source lines — every downstream operator is source-agnostic, which
     is the claim SCALE.md makes and this function + its oracle-checked
     query keep honest without a broker in the test environment."""
-    raw = spark.readStream.text(_events_jsonl_dir(spark, sf_dir))
+    jsonl_dir = _events_jsonl_dir(spark, sf_dir)
+    _record_stream_input_bytes(spark, jsonl_dir)
+    raw = spark.readStream.text(jsonl_dir)
     parsed = raw.select(
         F.from_json("value", _KAFKA_VALUE_SCHEMA).alias("e")
     ).select("e.*")
@@ -859,6 +909,7 @@ def events_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     physical = spark.read.parquet(
         os.path.join(root, "in", "batch-000.parquet")
     ).schema
+    _record_stream_input_bytes(spark, os.path.join(root, "in"))
     raw = (
         spark.readStream.schema(physical)
         .option("maxFilesPerTrigger", "1")
@@ -1343,7 +1394,10 @@ def events_stream_stateful_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(out, "update")
+    return _run_to_memory(
+        out, "update",
+        min_parts=max(4, ev.sparkSession.sparkContext.defaultParallelism // 4),
+    )
 
 
 @register(

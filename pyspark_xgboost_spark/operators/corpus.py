@@ -1457,7 +1457,14 @@ def corpus_kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.expr(r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), x -> x != '')")
     t = docs.select("source", F.explode(toks).alias("term"))
-    sc = t.groupBy("source", "term").agg(F.count("*").alias("c"))
+    # one materialized explode pass (r14 optimization): stot, cf and
+    # the probe join all consume sc under different keys; the relation
+    # is vocab x sources-sized, the recompute was corpus-sized
+    sc = (
+        t.groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     stot = sc.groupBy("source").agg(F.sum("c").alias("sn"))
     cf = sc.groupBy("term").agg(F.sum("c").alias("cc"))
     ctot = cf.agg(F.sum("cc").alias("cn"))
@@ -3045,6 +3052,10 @@ def corpus_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
         .groupBy("source", "w")
         .agg(F.count("*").cast("bigint").alias("c"))
+        # one materialized explode pass for its three differently-keyed
+        # consumers (global ranks, per-source totals, coverage probe) —
+        # r14 optimization; the relation is vocab x sources-sized
+        .localCheckpoint(eager=True)
     )
     g = w.groupBy("w").agg(F.sum("c").alias("gc"))
     r = g.select(

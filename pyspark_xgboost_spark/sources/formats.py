@@ -1135,7 +1135,7 @@ def scan_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame
                     off = eo
                 if int(off.get("file_idx", -1)) >= n_files:
                     break
-        _time.sleep(0.1)
+        _time.sleep(0.02)
     else:
         q.stop()
         raise TimeoutError(
@@ -2017,7 +2017,7 @@ def sink_python_datasource_stream_write(spark: SparkSession, sf_dir: str) -> Dat
                 off = _ast.literal_eval(eo) if isinstance(eo, str) else eo
                 if off and int(off.get("file_idx", -1)) >= n_files:
                     break
-        _time.sleep(0.1)
+        _time.sleep(0.02)
     else:
         q.stop()
         raise TimeoutError(

@@ -437,25 +437,24 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     observation stay NULL in both engines."""
     ev = load_table(spark, sf_dir, "events")
     hour = F.date_trunc("hour", F.col("ts").cast("timestamp"))
-    # ONE checkpointed events scan (r14 optimization): bounds and the
-    # type list derive from the hourly table itself — date_trunc is
-    # monotone, so min/max commute with it (the _daily_count_series
-    # discipline)
-    hourly = (
-        ev.groupBy(F.col("event_type"), hour.alias("h"))
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
-                "cents"
-            ),
-        )
-        .localCheckpoint(eager=True)
+    # NOTE (r14 optimization pass): measured and left on the legacy
+    # three-scan shape — an eager checkpoint of the hourly table
+    # regressed the bench's count() action 1.8x because the
+    # materialization computes every column where count() lets the
+    # optimizer prune (the paired noop A/B was neutral); the raw
+    # bounds/type scans are column-pruned and cheap.
+    hourly = ev.groupBy(F.col("event_type"), hour.alias("h")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
     )
-    bounds = hourly.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min(F.col("ts").cast("timestamp"))).alias("hmin"),
+        F.date_trunc("hour", F.max(F.col("ts").cast("timestamp"))).alias("hmax"),
+    )
     spine_hours = bounds.select(
         F.explode(F.expr("sequence(hmin, hmax, interval 1 hour)")).alias("h")
     )
-    types = hourly.select("event_type").distinct()
+    types = ev.select("event_type").distinct()
     spine = types.crossJoin(F.broadcast(spine_hours))
     j = spine.join(hourly, ["event_type", "h"], "left").select(
         "event_type",
@@ -1388,23 +1387,21 @@ def temporal_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen / next seen), never a buffered history."""
     ev = load_table(spark, sf_dir, "events")
     hour = F.date_trunc("hour", F.col("ts").cast("timestamp"))
-    # ONE checkpointed events scan (r14 optimization; see
-    # _daily_count_series): bounds/types derive from the hourly table
-    hourly = (
-        ev.groupBy(F.col("event_type"), hour.alias("h"))
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
-                "cents"
-            ),
-        )
-        .localCheckpoint(eager=True)
+    # NOTE (r14 optimization pass): legacy three-scan shape kept on
+    # purpose — see events_resample_gapfill's note (the checkpointed
+    # variant regressed the bench's count() action 1.8x).
+    hourly = ev.groupBy(F.col("event_type"), hour.alias("h")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
     )
-    bounds = hourly.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min(F.col("ts").cast("timestamp"))).alias("hmin"),
+        F.date_trunc("hour", F.max(F.col("ts").cast("timestamp"))).alias("hmax"),
+    )
     spine_hours = bounds.select(
         F.explode(F.expr("sequence(hmin, hmax, interval 1 hour)")).alias("h")
     )
-    types = hourly.select("event_type").distinct()
+    types = ev.select("event_type").distinct()
     spine = types.crossJoin(F.broadcast(spine_hours))
     j = spine.join(hourly, ["event_type", "h"], "left").select(
         "event_type",

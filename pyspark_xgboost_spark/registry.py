@@ -35,79 +35,67 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # never-graded queries first, then this round's new registrations,
 # then the stalest attested rows. See the window comment inside.
 _GRADE_FIRST = [
-    # ROUND-14 WINDOW (slots 1-50), adopted VERBATIM from
+    # ROUND-15 WINDOW (slots 1-50), adopted VERBATIM from
     # `python tools/check_window.py --next` run against the committed
-    # CORRECTNESS history through r13 (the machine-computed plan the
-    # r13 verdict ratified). tools/check_window.py recomputes the
-    # expected window from the CORRECTNESS_r*.json history (never-
-    # driver-graded oracle queries first, sorted, minus
-    # _DEFER_TO_NEXT_WINDOW, then stalest attested rows sorted by
-    # (round, name)) and a pytest case fails on any divergence —
-    # a hand-edit can no longer silently drop a query.
-    # -- never-driver-graded round-13 registrations (5, sorted; all
-    #    passed the r13 judge's independent sf0.01 oracle sweep AND
-    #    the 32-vs-5 partition-invariance sweep) --
-    "events_kalman_filter_1d",
-    "events_synthetic_control",
-    "sim_search_hnsw_two_layer",
-    "stream_knn_graph_incremental",
-    "stream_pq_incremental",
-    # -- stalest attested oracle rows: dedup_simhash first (it gained
-    #    its DuckDB oracle mid-round-14, so its only driver row is the
-    #    rows-only r02 record — oldest in the oracle pool; it was
-    #    freshly oracle+invariance attested when the oracle landed),
-    #    then the 8 remaining r05 rows (completing the r05 drain),
-    #    then the 36 stalest r06 rows, each cohort sorted by name --
-    "dedup_simhash",
-    "tpch_q21_suppliers_who_kept_orders_waiting",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "window_cumulative_distinct",
-    "window_session_gap_sql",
-    "window_streaks_islands",
-    "agg_corr_regression",
-    "agg_cube",
-    "agg_distinct_group",
-    "agg_group",
-    "agg_grouping_sets",
-    "agg_percentile_exact",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_stats",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "distinct_count_agg",
-    "filter_pred",
-    "join_asof_forward",
-    "join_asof_tolerance",
-    "join_broadcast",
-    "join_hash_inner",
-    "join_multiway",
-    "join_outer",
-    "join_semi_anti",
-    "join_theta_nlj",
-    "multimodal_decode_features",
-    "multimodal_pack",
-    "project_alias",
-    "scalar_map_ops",
-    "scalar_string_date_math",
-    "scalar_try_cast",
-    "scan_parquet",
-    "setop_intersect",
-    "setop_union_except",
-    "sim_search_ivf",
-    "sim_search_topk",
-    "sim_search_topk_vectorized",
+    # CORRECTNESS history through r14 (the machine-computed recomposition
+    # the check_window audit + pytest tripwire prescribe at round start).
+    # Composition: the 5 round-14 deferred registrations (never driver-
+    # graded, sorted), then the stalest attested oracle rows — the
+    # remaining r06 cohort — sorted by (round, name).
+    "events_conformal_forecast_interval",
+    "events_kalman_smoother_rts",
+    "events_synthetic_control_placebo",
+    "sim_search_ivf_pq_rerank",
+    "stream_hnsw_incremental",
+    "sort_limit_topk",
+    "subquery_exists",
+    "text_langid",
+    "text_quality_score",
+    "text_tfidf_exact",
+    "text_token_stats",
+    "topk_per_group",
+    "train_val_split",
+    "window_frame_agg",
+    "window_lag_lead",
+    "window_ntile",
+    "window_range_frame",
+    "window_rank",
+    "window_rolling_median",
+    "agg_bitmap_distinct",
+    "agg_bitmap_set_ops",
+    "agg_collated_group",
+    "agg_countmin_heavy_hitters",
+    "agg_entropy_by_source",
+    "agg_histogram_fixed_bins",
+    "agg_map_group_counts",
+    "agg_string_concat_ordered",
+    "agg_weighted_percentile",
+    "audit_partition_skew",
+    "corpus_gini_lengths",
+    "corpus_kl_divergence_sources",
+    "dedup_incremental_batch",
+    "dedup_lsh_eval_pr",
+    "dedup_minhash_b128",
+    "dedup_paragraph_exact",
+    "dedup_simhash_bands",
+    "dedup_url_canonical",
+    "doc_chunk_sentences",
+    "embedding_power_iteration",
+    "events_markov_transitions",
+    "events_rfm_segmentation",
+    "events_stream_stream_full_outer_join",
+    "join_bloom_prefilter",
+    "join_interval_overlap",
+    "join_lateral_topk",
+    "join_spatial_grid",
+    "ml_fit_predict_classifier_stats",
+    "ml_fit_predict_stats",
+    "sample_balanced_downsample",
+    "sample_neyman_allocation",
     # ---- below the 50-slot line ----
-    # r15 window plan: generated, not hand-written — run
-    # `python tools/check_window.py --next` after the r14
-    # CORRECTNESS artifact lands to print the exact 50-name list
-    # (this round's new registrations + the remaining r06 cohort).
+    # r16 window plan: generated, not hand-written — run
+    # `python tools/check_window.py --next` after the r15
+    # CORRECTNESS artifact lands to print the exact 50-name list.
 ]
 
 # New registrations made THIS round, after the grading window above was
@@ -117,13 +105,7 @@ _GRADE_FIRST = [
 # name here (a) exists, (b) has an oracle, and (c) truly has no driver
 # row — so deferral can never hide an omission; at the next
 # recomposition this list is emptied into the window head.
-_DEFER_TO_NEXT_WINDOW: list[str] = [
-    "events_conformal_forecast_interval",
-    "events_kalman_smoother_rts",
-    "events_synthetic_control_placebo",
-    "sim_search_ivf_pq_rerank",
-    "stream_hnsw_incremental",
-]
+_DEFER_TO_NEXT_WINDOW: list[str] = []
 
 # Rows-only queries (registered without an oracle by design — goldens /
 # property tests carry their correctness): they can never produce a

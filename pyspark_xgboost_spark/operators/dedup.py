@@ -2027,11 +2027,21 @@ def dedup_blocked_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFra
     # to the direct array path if the vocabulary ever outgrows the
     # mask budget (it cannot on attribute-shaped names, but the
     # fallback keeps the query correct on arbitrary data).
-    vocab = sorted(
-        r[0]
-        for r in part.select(F.explode(toks_raw).alias("t")).distinct().collect()
+    # The driver pull is BOUNDED (r15, verdict item 5): LIMIT budget+1
+    # caps the fetch at the mask budget, so on arbitrary data with an
+    # unbounded token vocabulary the driver never materializes more
+    # than 1009 rows — the limit only truncates when the budget is
+    # already blown, in which case the (truncated, nondeterministic)
+    # sample is discarded and the direct array path runs.
+    _VOCAB_BUDGET = 63 * 16
+    vocab_rows = (
+        part.select(F.explode(toks_raw).alias("t"))
+        .distinct()
+        .limit(_VOCAB_BUDGET + 1)
+        .collect()
     )
-    use_mask = len(vocab) <= 63 * 16
+    use_mask = len(vocab_rows) <= _VOCAB_BUDGET
+    vocab = sorted(r[0] for r in vocab_rows) if use_mask else []
     if use_mask:
         nw = (len(vocab) + 62) // 63
 

@@ -3283,6 +3283,93 @@ def _gg_knn_edges_two_layer(asg: DataFrame, l1_mod: int) -> DataFrame:
     )
 
 
+def _gg_knn_edges_fused(
+    asg: DataFrame, panel_rows: list, l1_mod: int | None = None
+) -> DataFrame:
+    """Cell-blocked kNN adjacency AND the eval panel's exact-NN
+    referee candidates out of ONE applyInPandas pass (r15
+    optimization, guide §1.2/§4.2 — the r14 two-layer fusion carried
+    further): the per-cell kernel that builds the graph already holds
+    every cell member's vector, and the corpus is exactly the disjoint
+    union of cells, so the panel's per-cell best candidate falls out
+    of one extra (panel x cell) matmul — the separate full-corpus
+    `_gg_exact_nn` mapInPandas pass disappears. Output rows are
+    layer-tagged: 0 (and 1 when ``l1_mod`` is set) are adjacency
+    (src, dst); 2 are exact candidates (src=query id, dst=candidate,
+    d=exact integer distance); the global exact NN is the associative
+    min(struct(d, dst)) over the per-cell candidates — identical
+    reduction to the per-batch form it replaces. Callers MUST
+    checkpoint the returned frame before fanning it out: its consumers
+    (edge list, self-edge distinct, exact agg) would otherwise each
+    re-run the kernel."""
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        perm = np.argsort(ids)
+        ids = ids[perm]
+        q = np.stack(pdf["q"].to_numpy())[perm].astype(np.float64)
+        s0, d0 = _gg_knn_pairs(ids, q)
+        src, dst = list(s0), list(d0)
+        layer = [0] * len(src)
+        dist = [0] * len(src)
+        if l1_mod is not None:
+            sub = ids % l1_mod == 0
+            s1, d1 = _gg_knn_pairs(ids[sub], q[sub])
+            src += list(s1)
+            dst += list(d1)
+            layer += [1] * len(s1)
+            dist += [0] * len(s1)
+        # exact-NN candidates: panel vs THIS cell's members (exact
+        # int64 distances via float64 matmul, < 2^53; self excluded)
+        pv = np.stack(
+            [np.asarray(r["q"], dtype=np.float64) for r in panel_rows]
+        )
+        pids = np.asarray(
+            [r["vec_id"] for r in panel_rows], dtype=np.int64
+        )
+        d = (
+            (pv * pv).sum(1)[:, None]
+            + (q * q).sum(1)[None, :]
+            - 2.0 * (pv @ q.T)
+        )
+        d[pids[:, None] == ids[None, :]] = np.inf
+        for i in range(len(pids)):
+            j = np.lexsort((ids, d[i]))[0]
+            if np.isfinite(d[i, j]):
+                src.append(int(pids[i]))
+                dst.append(int(ids[j]))
+                layer.append(2)
+                dist.append(int(d[i, j]))
+        return pd.DataFrame(
+            {"src": src, "dst": dst, "layer": layer, "d": dist}
+        )
+
+    return asg.select("vec_id", "q", "cid").groupBy("cid").applyInPandas(
+        kernel, "src long, dst long, layer int, d long"
+    )
+
+
+def _gg_exact_from_fused(fused: DataFrame) -> DataFrame:
+    """(qid, exact_id, exact_dist_q) from the fused kernel's layer-2
+    candidate rows — min(struct(d, dst)) is the same associative
+    (distance, id) reduction `_gg_exact_nn` applied to its per-batch
+    winners."""
+    return (
+        fused.filter(F.col("layer") == 2)
+        .select(F.col("src").alias("qid"), "dst", "d")
+        .groupBy("qid")
+        .agg(F.min(F.struct("d", "dst")).alias("m"))
+        .select(
+            "qid",
+            F.col("m.dst").alias("exact_id"),
+            F.col("m.d").cast("bigint").alias("exact_dist_q"),
+        )
+    )
+
+
 def _gg_with_self_edges(knn: DataFrame) -> DataFrame:
     # no checkpoint here: every consumer feeds this straight into
     # _gg_edges_with_vectors, which checkpoints the joined result —
@@ -3471,9 +3558,18 @@ def sim_search_greedy_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     asg = _km_assign(xq, _km_cent_row(cents))
     corpus = xq.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("cq2"))
-    edges = _gg_edges_with_vectors(
-        _gg_with_self_edges(_gg_knn_edges(asg)), corpus
+    # ONE kernel pass builds the adjacency AND the exact-NN referee
+    # (r15, guide §1.2/§4.2): the r14 shape ran the per-cell kernel
+    # TWICE inside the edge checkpoint (the self-edge distinct's
+    # subtree re-executed it over the reused exchange) and then paid a
+    # separate full-corpus mapInPandas pass for `_gg_exact_nn`; the
+    # fused kernel runs once, checkpointed before any fan-out.
+    panel_rows = (
+        xq.filter(F.col("vec_id") < _N_QUERIES).orderBy("vec_id").collect()
     )
+    fused = _gg_knn_edges_fused(asg, panel_rows).localCheckpoint(eager=True)
+    knn = fused.filter(F.col("layer") == 0).select("src", "dst")
+    edges = _gg_edges_with_vectors(_gg_with_self_edges(knn), corpus)
     entry = xq.agg(F.min("vec_id").alias("e"))
     frontier = (
         xq.filter(F.col("vec_id") < _N_QUERIES)
@@ -3491,7 +3587,7 @@ def sim_search_greedy_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             _gg_qdist().cast("bigint").alias("found_dist_q"),
         )
     )
-    exact = _gg_exact_nn(xq)
+    exact = _gg_exact_from_fused(fused)
     return found.drop("qq").join(exact, "qid").select(
         F.col("qid").alias("query_id"),
         "found_id",
@@ -3768,10 +3864,18 @@ def sim_search_hnsw_two_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     asg = _km_assign(xq, _km_cent_row(cents))
     corpus = xq.select(F.col("vec_id").alias("cand_id"), F.col("q").alias("cq2"))
-    # both layers' adjacency out of ONE kernel pass + ONE vector join +
-    # ONE checkpoint (r14 optimization: was two applyInPandas stages,
-    # two joins, two checkpoints — identical edges, layer-tagged)
-    knn = _gg_knn_edges_two_layer(asg, _HNSW_L1_MOD)
+    # both layers' adjacency AND the exact-NN referee out of ONE
+    # kernel pass (r14 fused the two layers; r15 folds the exact-NN
+    # candidates in too and checkpoints the kernel OUTPUT — the r14
+    # shape re-ran the kernel for the self-edge distinct subtree and
+    # paid a separate full-corpus mapInPandas pass for _gg_exact_nn)
+    panel_rows = (
+        xq.filter(F.col("vec_id") < _N_QUERIES).orderBy("vec_id").collect()
+    )
+    fused = _gg_knn_edges_fused(
+        asg, panel_rows, _HNSW_L1_MOD
+    ).localCheckpoint(eager=True)
+    knn = fused.filter(F.col("layer") < 2).select("src", "dst", "layer")
     withself = knn.unionByName(
         knn.select("src", "layer")
         .distinct()
@@ -3808,7 +3912,7 @@ def sim_search_hnsw_two_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cur").alias("found_id"),
         _gg_qdist().cast("bigint").alias("found_dist_q"),
     )
-    exact = _gg_exact_nn(xq)
+    exact = _gg_exact_from_fused(fused)
     return (
         found.drop("qq")
         .join(exact, "qid")

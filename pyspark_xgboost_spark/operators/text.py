@@ -692,13 +692,18 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiset, so the DISTINCT is score-safe), rank ties break on the
     phrase string — both engines agree exactly.
 
-    Scale shape: one exploded-token pass; the phrase-id window is a
-    running sum within doc partitions; word stats and phrase scores
-    are two partial-agg exchanges over (doc, word) / (doc, phrase)
-    keys; the final rank filter compiles to a map-side
-    WindowGroupLimit. The token relation is checkpointed once for its
-    two consumers; no text ever shuffles except the candidate phrases
-    themselves (integral score columns plus short strings)."""
+    Scale shape (r15 rewrite, guide §2.4 "two operations keyed the
+    same way share one exchange"): every RAKE statistic is keyed by a
+    doc_id-prefixed key — phrase length by (doc, pid), word score by
+    (doc, word), phrase score by (doc, pid), dedup and rank by doc —
+    so the whole query runs as WINDOW functions and aggregates over
+    ONE hash exchange on doc_id (each step adds only a local sort;
+    HashPartitioning(doc_id) satisfies every ClusteredDistribution
+    whose keys extend doc_id). The r14 shape shuffled the token
+    relation three more times through two joins and a checkpoint —
+    measured 1.65 s; the one-exchange form replaces all of it. At
+    100 TB the win is the same: one token-level shuffle total, and
+    everything after is partition-local."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -711,18 +716,16 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     ph = tok.withColumn("pid", F.sum("st").over(wp))
-    words = (
-        ph.filter(F.col("st") == 0)
-        .select("doc_id", "pid", "pos", "w")
-        .localCheckpoint(eager=True)  # feeds word stats + phrase build
-    )
-    plen = words.groupBy("doc_id", "pid").agg(
-        F.count("*").cast("long").alias("L")
-    )
-    wsc = (
-        words.join(plen, ["doc_id", "pid"])
-        .groupBy("doc_id", "w")
-        .agg(F.expr("sum(L) * 1000000 div count(*)").cast("long").alias("ws"))
+    words = ph.filter(F.col("st") == 0).select("doc_id", "pid", "pos", "w")
+    wl = Window.partitionBy("doc_id", "pid")
+    ww = Window.partitionBy("doc_id", "w")
+    scored = (
+        words.withColumn("L", F.count("*").over(wl).cast("long"))
+        .withColumn("sum_l", F.sum("L").over(ww).cast("long"))
+        .withColumn("cnt_w", F.count("*").over(ww).cast("long"))
+        .withColumn(
+            "ws", F.expr("sum_l * 1000000 div cnt_w").cast("long")
+        )
     )
     phrase = F.array_join(
         F.transform(
@@ -731,13 +734,9 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         " ",
     )
-    pscore = (
-        words.join(wsc, ["doc_id", "w"])
-        .groupBy("doc_id", "pid")
-        .agg(
-            phrase.alias("phrase"),
-            F.sum("ws").cast("long").alias("score_micro"),
-        )
+    pscore = scored.groupBy("doc_id", "pid").agg(
+        phrase.alias("phrase"),
+        F.sum("ws").cast("long").alias("score_micro"),
     )
     dd = pscore.select("doc_id", "phrase", "score_micro").distinct()
     wr = Window.partitionBy("doc_id").orderBy(
@@ -783,12 +782,17 @@ def _bigram_edges(docs: DataFrame) -> DataFrame:
     and the graph-metrics ops (graph.py) so the co-occurrence graph
     definition cannot drift between consumers."""
     toks = F.expr(r"filter(split(lower(text), '[ \\t\\n\\f\\r]+'), x -> x != '')")
-    # both edge directions come out of ONE generate over the token
-    # array (r14 optimization pass): the former self-union ran the
-    # tokenize + zip_with pass twice; flattening (l,r)/(r,l) into the
-    # exploded array halves the map-side work and the groupBy sees the
-    # identical multiset, so (src, dst, w) is unchanged.
-    big = (
+    # symmetrize AFTER the aggregation, not per token occurrence (r15
+    # optimization pass, guide §2.3): each adjacent pair emits ONE
+    # (least, greatest) struct, the groupBy counts unordered
+    # adjacencies — half the generate output and half the shuffled
+    # rows of the r14 both-directions shape — and the reverse
+    # direction is minted by swapping columns on the TYPE-LEVEL
+    # aggregate (edge types, not token occurrences). w(a,b) = the
+    # unordered adjacency count either way, so (src, dst, w) is
+    # unchanged; the union's two branches share one ReusedExchange,
+    # so the corpus is still tokenized exactly once.
+    half = (
         docs.select(toks.alias("toks"))
         # slice(toks, 1, -1) throws on an empty/whitespace-only doc
         .filter(F.size("toks") >= 2)
@@ -799,14 +803,20 @@ def _bigram_edges(docs: DataFrame) -> DataFrame:
                     "  slice(toks, 1, size(toks) - 1),"
                     "  slice(toks, 2, size(toks) - 1),"
                     "  (l, r) -> IF(l = r, array(),"
-                    "    array(struct(l AS src, r AS dst),"
-                    "          struct(r AS src, l AS dst)))))"
+                    "    array(struct(least(l, r) AS src,"
+                    "                 greatest(l, r) AS dst)))))"
                 )
             ).alias("p")
         )
         .select("p.src", "p.dst")
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("w"))
     )
-    return big.groupBy("src", "dst").agg(F.count("*").cast("bigint").alias("w"))
+    return half.unionByName(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
 
 
 

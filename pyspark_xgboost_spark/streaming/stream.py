@@ -72,7 +72,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the legacy conf lets the probe surface an int64-nanos file at all;
     # harmless for µs encodings
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    physical = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    physical = _probe_parquet_schema(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
     _record_stream_input_bytes(spark, os.path.join(sf_dir, "events.parquet"))
     raw = spark.readStream.schema(physical).parquet(_events_stream_dir(sf_dir))
     return normalize_event_ts(raw)
@@ -80,6 +82,28 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_INPUT_BYTES_CONF = "spark_graft.stream.input_bytes"
 _STATE_PARTITION_TARGET_BYTES = 64 << 20  # ~64 MB of source per store
+
+# (path, mtime_ns, size) -> StructType. The footer probe is METADATA
+# (never query results): every streaming query over the same immutable
+# file re-reads the identical footer, and the mtime/size key drops the
+# entry the moment the file is regenerated — so memoizing it is pure
+# I/O dedup, ~0.1s of driver-side listing + footer parse per streaming
+# query removed (r15, guide §1: the cost showed up as setup time
+# outside every micro-batch trigger).
+_SCHEMA_PROBE_MEMO: dict = {}
+
+
+def _probe_parquet_schema(spark: SparkSession, path: str):
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        return spark.read.parquet(path).schema
+    hit = _SCHEMA_PROBE_MEMO.get(key)
+    if hit is None:
+        hit = spark.read.parquet(path).schema
+        _SCHEMA_PROBE_MEMO[key] = hit
+    return hit
 
 
 def _state_partitions(spark: SparkSession) -> int:
@@ -94,7 +118,17 @@ def _state_partitions(spark: SparkSession) -> int:
     the checkpoint for the life of the query — capped at 32x the
     cluster's slots so a huge backfill cannot mint millions of tiny
     stores. Without a recorded size it falls back to cores/4, floor
-    4 (the pre-r14 behavior)."""
+    4 (the pre-r14 behavior).
+
+    Floor 2 since r15 (was 4): the floor only binds when the recorded
+    input is under ~128 MB, where per-store open/commit dominates any
+    parallelism gain — re-measured this round on the three
+    stream-stream joins (4 state stores per partition each): 2.77 /
+    2.51 / 2.40 s at 4 partitions vs 2.11 / 2.20 / 2.11 s at 2, and
+    parts=1 measured the same as 2 within noise, so 2 keeps a second
+    store for safety margin without paying the 4-store tax. At any
+    real input size the b-derived count dominates and the floor is
+    inert."""
     par = spark.sparkContext.defaultParallelism
     try:
         b = int(spark.conf.get(_STREAM_INPUT_BYTES_CONF, "0"))
@@ -102,28 +136,34 @@ def _state_partitions(spark: SparkSession) -> int:
         b = 0
     if b <= 0:
         return max(4, par // 4)
-    return max(4, min(b // _STATE_PARTITION_TARGET_BYTES + 1, 32 * par))
+    return max(2, min(b // _STATE_PARTITION_TARGET_BYTES + 1, 32 * par))
 
 
 def _record_stream_input_bytes(spark: SparkSession, path: str) -> None:
     """Record the stream source's on-disk input size on the session so
-    _state_partitions can size state stores from it; best-effort."""
+    _state_partitions can size state stores from it; best-effort.
+
+    Sizing goes through the HADOOP FILESYSTEM API (r15, verdict item
+    6), not os.path: the r14 shape silently no-op'd on object storage
+    (and undercounted nested layouts — non-recursive listdir), which is
+    exactly where input-derived state sizing matters.
+    ``getContentSummary`` recurses and works on any Hadoop-supported
+    scheme (file://, hdfs://, s3a://, ...)."""
     try:
-        if os.path.isdir(path):
-            b = sum(
-                os.path.getsize(os.path.join(path, f))
-                for f in os.listdir(path)
-                if not f.startswith(("_", "."))
-            )
-        else:
-            b = os.path.getsize(path)
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        b = int(fs.getContentSummary(hpath).getLength())
         spark.conf.set(_STREAM_INPUT_BYTES_CONF, str(b))
-    except OSError:  # pragma: no cover — sizing is advisory only
+    except Exception:  # pragma: no cover — sizing is advisory only
         pass
 
 
 def _run_to_memory(
-    out: DataFrame, mode: str, min_parts: int | None = None
+    out: DataFrame,
+    mode: str,
+    min_parts: int | None = None,
+    no_data_batch: bool = True,
 ) -> DataFrame:
     """Execute a streaming DF to completion into a memory sink and
     return the sink table (one availableNow pass = all input files).
@@ -131,10 +171,26 @@ def _run_to_memory(
     The shuffle-partition conf is pinned query-local: a streaming query
     reads it once at start (and stores it in the checkpoint), so setting
     it around start() scopes it to this query without touching the
-    session's batch default."""
+    session's batch default.
+
+    ``no_data_batch=False`` turns off
+    ``spark.sql.streaming.noDataMicroBatches.enabled`` for this query
+    (r15, guide §1.2: measured ~0.55 s per query — the trailing
+    watermark-only batch re-opens and re-commits every state store to
+    emit NOTHING). Only legal for sinks whose rows are all emitted by
+    data batches: the inner stream-stream join (matches emit on
+    arrival; the no-data batch purely evicts state) and
+    dropDuplicatesWithinWatermark (emits on first sight). It must stay
+    ON for outer joins (unmatched rows emit AT watermark advance) and
+    append-mode aggregations (windows emit at watermark advance) —
+    turning it off there would LOSE rows, which the stream oracles
+    catch."""
     name = f"stream_sink_{next(_counter)}"
     spark = out.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     # min_parts: compute-bound Python state kernels
     # (applyInPandasWithState) want one slot per store regardless of
     # input volume — their cost is the kernel, not the store commit
@@ -144,6 +200,10 @@ def _run_to_memory(
     if min_parts:
         parts = max(parts, min_parts)
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    if not no_data_batch:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+        )
     try:
         q = (
             out.writeStream.outputMode(mode)
@@ -155,6 +215,17 @@ def _run_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+        )
+        # clear the recorded source size: a later streaming op that
+        # runs without recording its own source must fall back to the
+        # cores/4 default, not inherit THIS query's input size
+        # (cross-query leak — r14 advice)
+        try:
+            spark.conf.unset(_STREAM_INPUT_BYTES_CONF)
+        except Exception:  # pragma: no cover — advisory cleanup only
+            pass
     return spark.table(name)
 
 
@@ -262,7 +333,9 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
         ),
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
-    return _run_to_memory(joined, "append")
+    # inner-join matches emit on arrival; the trailing no-data batch
+    # would only evict state (r15 A/B: 2.2 -> 1.65 s, rows identical)
+    return _run_to_memory(joined, "append", no_data_batch=False)
 
 
 def _user_stats_fn(
@@ -308,9 +381,12 @@ def events_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataF
         )
     )
     spark_ = out.sparkSession
+    # cores/2, not cores/4 (r15 A/B: 1.62 / 1.32 / 1.60 s at 8/16/32
+    # slots on local[32]) — the cost is ~1500 per-group Python kernel
+    # invocations, which parallelize until slot overhead wins
     return _run_to_memory(
         out, "update",
-        min_parts=max(4, spark_.sparkContext.defaultParallelism // 4),
+        min_parts=max(4, spark_.sparkContext.defaultParallelism // 2),
     )
 
 
@@ -374,6 +450,10 @@ def events_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        try:
+            spark.conf.unset(_STREAM_INPUT_BYTES_CONF)
+        except Exception:  # pragma: no cover — advisory cleanup only
+            pass
     return spark.read.parquet(out_dir)
 
 
@@ -392,7 +472,9 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
         "user_id", "event_type"
     )
-    return _run_to_memory(deduped, "append")
+    # first-seen rows emit in their data batch; the no-data batch only
+    # evicts expired dedup state (r15; see _run_to_memory)
+    return _run_to_memory(deduped, "append", no_data_batch=False)
 
 
 @register(
@@ -476,6 +558,10 @@ def events_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        try:
+            spark.conf.unset(_STREAM_INPUT_BYTES_CONF)
+        except Exception:  # pragma: no cover — advisory cleanup only
+            pass
     back = spark.read.parquet(out_dir)
     return back.groupBy("event_type").agg(
         F.sum("n").alias("n"), F.sum("sum_cents").alias("sum_cents")
@@ -1394,9 +1480,11 @@ def events_stream_stateful_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    # cores/2 (r15 A/B: 1.96 s at 8 slots vs 1.59 s at 16 — same
+    # per-group Python kernel cost profile as user_stats)
     return _run_to_memory(
         out, "update",
-        min_parts=max(4, ev.sparkSession.sparkContext.defaultParallelism // 4),
+        min_parts=max(4, ev.sparkSession.sparkContext.defaultParallelism // 2),
     )
 
 

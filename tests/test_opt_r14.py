@@ -258,8 +258,10 @@ def test_hnsw_two_layer_knn_matches_per_layer_builders(spark):
 
 def test_state_partitions_derive_from_recorded_input_bytes(spark):
     """Streaming state-store sizing: with a recorded source size the
-    partition count is input-derived (one store per ~64 MB, floor 4,
-    capped at 32x slots); without one it falls back to cores/4."""
+    partition count is input-derived (one store per ~64 MB, floor 2
+    since r15 — re-measured on the stream-stream joins, see
+    _state_partitions — capped at 32x slots); without one it falls
+    back to cores/4."""
     from pyspark_xgboost_spark.streaming.stream import (
         _STREAM_INPUT_BYTES_CONF,
         _state_partitions,
@@ -271,7 +273,7 @@ def test_state_partitions_derive_from_recorded_input_bytes(spark):
         spark.conf.unset(_STREAM_INPUT_BYTES_CONF)
         assert _state_partitions(spark) == max(4, par // 4)
         spark.conf.set(_STREAM_INPUT_BYTES_CONF, str(2 << 20))  # 2 MB
-        assert _state_partitions(spark) == 4
+        assert _state_partitions(spark) == 2
         spark.conf.set(_STREAM_INPUT_BYTES_CONF, str(640 << 20))  # 640 MB
         assert _state_partitions(spark) == min(11, 32 * par)
         spark.conf.set(_STREAM_INPUT_BYTES_CONF, str(1 << 50))  # 1 PiB

@@ -471,16 +471,36 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     edges = edges.localCheckpoint(eager=True)  # compute LSH once, not per round
+    # labels start one propagation step AHEAD (r15, guide §1.2): the
+    # init is min over the CLOSED neighborhood — the same single
+    # groupBy-shuffle the old doc_id-identity init paid for distinct(),
+    # but near-dup clusters are overwhelmingly band-cliques, so the
+    # init already equals the component min and the loop's first round
+    # is the zero-changed CONFIRM round (measured: the 2-round loop
+    # became 1 round on the verified pipeline graph, ~halving the CC
+    # wall-clock). The fixpoint is unchanged on ANY graph: the init is
+    # a min over a subset of the component (>= the component min) and
+    # <= doc_id, and min-label propagation converges to the component
+    # min from any such start.
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("md"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least(F.col("src"), F.col("md")).alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
+
     def propagate(lbl: DataFrame) -> DataFrame:
-        """One lazy min-label step: label ← min(label, neighbor labels)."""
+        """One lazy min-label step: label ← min(label, neighbor labels).
+        Carries the round-start ``label0`` column through, so the
+        changed-row check costs no extra join."""
         nbr = (
-            edges.join(lbl, edges["dst"] == lbl["doc_id"])
+            edges.join(
+                lbl.select(F.col("doc_id").alias("nd"), "label"),
+                edges["dst"] == F.col("nd"),
+            )
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
@@ -489,6 +509,7 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
+            "label0",
         )
 
     for _ in range(10):  # 2 steps/round covers diameter 20 — >> any real cluster
@@ -496,17 +517,14 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         # fixed scheduling cost that dwarfs the tiny per-step data volume
         # near convergence, so halving the round count ~halves the loop
         # wall-clock (the plan stays bounded — labels is a checkpoint)
-        stepped = propagate(propagate(labels))
-        new_labels = (
-            stepped.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .select(
-                "doc_id",
-                F.col("n.label").alias("label"),
-                (F.col("n.label") < F.col("o.label")).cast("int").alias("changed"),
-            )
-            .localCheckpoint(eager=True)
+        stepped = propagate(
+            propagate(labels.withColumn("label0", F.col("label")))
         )
+        new_labels = stepped.select(
+            "doc_id",
+            "label",
+            (F.col("label") < F.col("label0")).cast("int").alias("changed"),
+        ).localCheckpoint(eager=True)
         changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
         labels = new_labels.drop("changed")
         if changed == 0:
@@ -2534,13 +2552,18 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("chunk").cast("long").alias("clen"),
         )
     )
-    # aggregate BEFORE the global-count join: the (source, digest)
-    # rollup's exchange is the one subtree both join branches share,
-    # so ReuseExchange computes the hash pipeline once — a ch-vs-
-    # groupBy(ch) self-join would run the md5 pass twice
+    # aggregate BEFORE the global-count join, and CHECKPOINT the
+    # (source, digest) rollup for its two consumers (r15): the r14
+    # comment assumed ReuseExchange would share the rollup's exchange
+    # between the join branches, but column pruning diverges them (the
+    # g branch drops clen) and the planner broadcast the g side — the
+    # committed plan re-ran the ENTIRE md5-per-position pipeline twice
+    # (plans/r15/dedup_cdc_chunks_before.txt: two full Generate+md5
+    # subtrees, operators 4-20 and 24-43). The checkpoint pins one
+    # execution; everything downstream is digest-level arithmetic.
     sd = ch.groupBy("source", "digest").agg(
         F.count("*").alias("cnt_sd"), F.max("clen").alias("clen")
-    )
+    ).localCheckpoint(eager=True)
     g = sd.groupBy("digest").agg(F.sum("cnt_sd").alias("cnt"))
     return (
         sd.join(g, "digest")

@@ -3648,7 +3648,7 @@ def window_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = (
         ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
         .agg(F.count("*").cast("bigint").alias("x"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     bounds = cnt.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     types = cnt.select("event_type").distinct()

@@ -4645,12 +4645,25 @@ def stream_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = members.select(
         F.col("vec_id").alias("cand_id"), F.col("q").alias("cq2")
     )
-    edges0 = _gg_edges_with_vectors(
-        _gg_with_self_edges(adj0.select("src", "dst")), corpus
-    )
-    edges1 = _gg_edges_with_vectors(
-        _gg_with_self_edges(adj1.select("src", "dst")), corpus
-    )
+    # the two layers' vector-carrying adjacencies are INDEPENDENT eager
+    # checkpoints — build them concurrently so the smaller layer-1 job
+    # back-fills the executor slots the layer-0 join leaves idle
+    # (guide §2.6 overlap-independent-jobs; r15: 0.37 + 0.31 s
+    # sequential, ~max of the two threaded)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f0 = pool.submit(
+            _gg_edges_with_vectors,
+            _gg_with_self_edges(adj0.select("src", "dst")),
+            corpus,
+        )
+        f1 = pool.submit(
+            _gg_edges_with_vectors,
+            _gg_with_self_edges(adj1.select("src", "dst")),
+            corpus,
+        )
+        edges0, edges1 = f0.result(), f1.result()
     entry1 = spark.read.parquet(mem1_dir).agg(F.min("vec_id").alias("e"))
     frontier = (
         members.filter(F.col("vec_id") < _N_QUERIES)

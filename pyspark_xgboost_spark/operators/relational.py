@@ -3506,7 +3506,16 @@ def audit_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side), and the per-FD rollup is group-count-sized. Adding a
     candidate adds a projection, never a new scan pattern; the
     determinant key is a chr(1)-joined string, so composite
-    determinants ride the same relation."""
+    determinants ride the same relation.
+
+    r15 examined-no-change: a one-scan-PER-TABLE variant (all of a
+    table's rules emitted from one projected scan via array+explode —
+    identical pair multiset) was built and measured: 2.39 -> 3.08 s
+    paired at sf0.1 (anchor 0.53 -> 0.44) — the Generate's 3x row
+    materialization costs more than the page-cached re-scans save
+    locally. At 100 TB the tradeoff flips (lineitem read 3x vs once),
+    but per the r14 hurst lesson a measured local regression does not
+    ship on scale grounds alone; revisit if the bench SF ever grows."""
     parts = []
     for name, tbl, det, dep in _FD_CANDIDATES:
         src = _t(spark, sf_dir, tbl)
